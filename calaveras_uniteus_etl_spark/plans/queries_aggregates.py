@@ -1,0 +1,631 @@
+"""Aggregation operator inventory (SURVEY.md §2.F, §2.H, §2.I).
+
+Each query re-expresses one aggregation pattern from the reference's
+report surface over the driver's synthetic star schema, with a DuckDB
+oracle. Citations point at a representative reference site for the
+pattern.
+
+Scale notes: every query here is a single hash-aggregate (Catalyst does
+partial/final automatically), grouped on low-cardinality keys — no
+shuffle skew risk; top-k compiles to TakeOrderedAndProject (no global
+sort materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from calaveras_uniteus_etl_spark.functions.datetime_ext import (
+    julian_day_diff,
+    sqlite_week,
+    to_day,
+    to_month,
+)
+from calaveras_uniteus_etl_spark.plans import _exact as X
+from calaveras_uniteus_etl_spark.plans.catalog import register
+from calaveras_uniteus_etl_spark.plans.tables import table
+
+# ---------------------------------------------------------------------------
+# F1 — global COUNT(*) with filters (reference: core/reports/handlers.py:25-74)
+# ---------------------------------------------------------------------------
+
+_F1_ORACLE = """
+SELECT
+  (SELECT COUNT(*) FROM customer)                                   AS customers,
+  (SELECT COUNT(*) FROM orders   WHERE o_orderstatus <> 'F')        AS open_orders,
+  (SELECT COUNT(*) FROM lineitem WHERE l_quantity >= 25)            AS big_lineitems,
+  (SELECT COUNT(*) FROM events   WHERE event_type = 'purchase')     AS purchases
+"""
+
+
+@register(
+    "f1_summary_counts",
+    oracle=_F1_ORACLE,
+    doc="Multi-table summary counts (cross-join of scalar aggregates).",
+)
+def f1_summary_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customers = table(spark, sf_dir, "customer").agg(F.count("*").alias("customers"))
+    open_orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") != "F")
+        .agg(F.count("*").alias("open_orders"))
+    )
+    big_lineitems = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 25)
+        .agg(F.count("*").alias("big_lineitems"))
+    )
+    purchases = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .agg(F.count("*").alias("purchases"))
+    )
+    return customers.crossJoin(open_orders).crossJoin(big_lineitems).crossJoin(purchases)
+
+
+# ---------------------------------------------------------------------------
+# F2 — COUNT(DISTINCT) per group (reference: core/app.py:2510-2520)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f2_count_distinct",
+    oracle="""
+SELECT o_orderstatus AS status,
+       COUNT(DISTINCT o_custkey) AS unique_customers,
+       COUNT(*) AS order_count
+FROM orders GROUP BY o_orderstatus
+""",
+    doc="COUNT(DISTINCT col) by group — 'unique clients per status'.",
+)
+def f2_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.countDistinct("o_custkey").alias("unique_customers"),
+            F.count("*").alias("order_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F3 — single-col GROUP BY + count + ORDER BY count DESC LIMIT n
+#      (reference: core/reports/handlers.py:84-151 status/service dists)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f3_topk_group_count",
+    oracle="""
+SELECT p_brand AS brand, COUNT(*) AS cnt
+FROM part GROUP BY p_brand
+ORDER BY cnt DESC, brand LIMIT 10
+""",
+    doc="Top-k single-column distribution (TakeOrderedAndProject).",
+)
+def f3_topk_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "part")
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("brand"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# F4 — multi-column GROUP BY, full aggregate battery (flagship; pattern of
+#      core/app.py:3487-3527 two-level service distribution). TPC-H Q1 shape.
+# ---------------------------------------------------------------------------
+
+_F4_ORACLE = f"""
+SELECT l_returnflag AS return_flag,
+       l_linestatus AS line_status,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+       {X.o_sum('l_extendedprice', 'sum_base_price')},
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,6))
+         AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(6,4)))
+                * (1 + CAST(l_tax AS DECIMAL(6,4)))) AS DECIMAL(38,10))
+         AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       {X.o_avg('l_extendedprice', '*', 'avg_price')},
+       CAST(SUM(CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "f4_pricing_summary",
+    oracle=_F4_ORACLE,
+    doc="Flagship: multi-column group-by with sum/avg battery over the "
+    "fact table (exact-decimal arithmetic; single shuffle on 2 keys).",
+)
+def f4_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp")
+    )
+    qty = X.dec("l_quantity")
+    price = X.dec("l_extendedprice")
+    disc = X.dec("l_discount", X.RATE)
+    tax = X.dec("l_tax", X.RATE)
+    return li.groupBy(
+        F.col("l_returnflag").alias("return_flag"),
+        F.col("l_linestatus").alias("line_status"),
+    ).agg(
+        X.exact_sum(qty, "sum_qty"),
+        X.exact_sum(price, "sum_base_price"),
+        X.exact_sum(price * (F.lit(1) - disc), "sum_disc_price", scale=6),
+        X.exact_sum(
+            price * (F.lit(1) - disc) * (F.lit(1) + tax), "sum_charge", scale=10
+        ),
+        X.exact_avg(qty, F.lit(1), "avg_qty"),
+        X.exact_avg(price, F.lit(1), "avg_price"),
+        X.exact_avg(disc, F.lit(1), "avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F5 — conditional aggregation / pivot-by-CASE (reference: core/app.py:2824-2834)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f5_conditional_agg",
+    oracle="""
+SELECT o_orderpriority AS priority,
+       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS fulfilled,
+       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS open_cnt,
+       COUNT(CASE WHEN o_totalprice > 200000 THEN 1 END) AS big_orders,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                     THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE)
+         / COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS avg_open_price
+FROM orders GROUP BY o_orderpriority
+""",
+    doc="SUM/COUNT/AVG over CASE WHEN — pivot-style conditional aggregates.",
+)
+def f5_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    is_f = F.col("o_orderstatus") == "F"
+    is_o = F.col("o_orderstatus") == "O"
+    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.sum(F.when(is_f, 1).otherwise(0)).alias("fulfilled"),
+        F.sum(F.when(is_o, 1).otherwise(0)).alias("open_cnt"),
+        F.count(F.when(F.col("o_totalprice") > 200000, 1)).alias("big_orders"),
+        (
+            F.sum(F.when(is_o, X.dec("o_totalprice"))).cast("double")
+            / F.count(F.when(is_o, 1))
+        ).alias("avg_open_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F6 — AVG/MIN/MAX of date differences (reference: core/app.py:3096-3139
+#      resolution-time by service; julianday arithmetic)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f6_date_diff_stats",
+    oracle="""
+SELECT l.l_returnflag AS return_flag,
+       ROUND(SUM((epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) / 86400e6)
+             / COUNT(*), 1) AS avg_ship_days,
+       ROUND(MIN((epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) / 86400e6), 1)
+         AS min_ship_days,
+       ROUND(MAX((epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) / 86400e6), 1)
+         AS max_ship_days,
+       COUNT(*) AS n
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY l.l_returnflag
+""",
+    doc="julianday-style fractional-day diff stats (ROUND(AVG(...),1)).",
+)
+def f6_date_diff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    gap = julian_day_diff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_returnflag").alias("return_flag"))
+        .agg(
+            F.round(F.sum(gap) / F.count("*"), 1).alias("avg_ship_days"),
+            F.round(F.min(gap), 1).alias("min_ship_days"),
+            F.round(F.max(gap), 1).alias("max_ship_days"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F7 — HAVING threshold (reference: core/app.py:3119 'HAVING total >= 3')
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f7_having_threshold",
+    oracle="""
+SELECT o_custkey AS custkey, COUNT(*) AS order_count
+FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12
+""",
+    doc="Post-aggregation filter (HAVING) — frequent customers.",
+)
+def f7_having_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count("*").alias("order_count"))
+        .filter(F.col("order_count") >= 12)
+    )
+
+
+# ---------------------------------------------------------------------------
+# F8 — ORDER BY computed rate (reference: core/app.py:4374)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f8_order_by_rate",
+    oracle="""
+SELECT o_orderpriority AS priority,
+       COUNT(*) AS total,
+       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS fulfilled,
+       ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) * 100.0
+             / COUNT(*), 1) AS fulfillment_rate
+FROM orders GROUP BY o_orderpriority
+ORDER BY fulfillment_rate DESC, priority
+""",
+    doc="Rate computed in the aggregate and used as the sort key.",
+)
+def f8_order_by_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fulfilled = F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("total"),
+            fulfilled.alias("fulfilled"),
+            F.round(fulfilled * 100.0 / F.count("*"), 1).alias("fulfillment_rate"),
+        )
+        .orderBy(F.desc("fulfillment_rate"), F.asc("priority"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# F9 — time-bucketed counts: daily / SQLite-week / monthly
+#      (reference: core/app.py:2759-2810, 3410-3484; strftime buckets)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f9_daily_counts",
+    oracle="""
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS cnt
+FROM events GROUP BY day, event_type
+""",
+    doc="strftime('%Y-%m-%d') daily bucketing by type.",
+)
+def f9_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(to_day("ts").alias("day"), F.col("event_type"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "f9_weekly_counts",
+    oracle="""
+SELECT strftime(ts, '%Y-W%W') AS week, COUNT(*) AS cnt,
+       COUNT(DISTINCT user_id) AS active_users
+FROM events GROUP BY week
+""",
+    doc="SQLite '%Y-W%W' week bucketing — custom expression "
+    "(C-semantics Monday week-of-year, NOT ISO weekofyear).",
+)
+def f9_weekly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(sqlite_week("ts").alias("week"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.countDistinct("user_id").alias("active_users"),
+        )
+    )
+
+
+@register(
+    "f9_monthly_counts",
+    oracle="""
+SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderstatus AS status,
+       COUNT(*) AS cnt
+FROM orders GROUP BY month, status
+""",
+    doc="strftime('%Y-%m') period × status matrix (timeline datasets).",
+)
+def f9_monthly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            to_month("o_orderdate").alias("month"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# F10 — cohort analysis, two-level aggregate with CTEs
+#       (reference: core/app.py:3939-4007)
+# ---------------------------------------------------------------------------
+
+_F10_ORACLE = """
+WITH first_order AS (
+  SELECT o_custkey, MIN(o_orderdate) AS first_date
+  FROM orders GROUP BY o_custkey
+)
+SELECT strftime(f.first_date, '%Y-%m') AS cohort,
+       COUNT(DISTINCT f.o_custkey) AS cohort_size,
+       COUNT(DISTINCT CASE WHEN strftime(o.o_orderdate, '%Y-%m')
+                              <> strftime(f.first_date, '%Y-%m')
+                           THEN o.o_custkey END) AS returned,
+       ROUND(100.0 * COUNT(DISTINCT CASE WHEN strftime(o.o_orderdate, '%Y-%m')
+                                            <> strftime(f.first_date, '%Y-%m')
+                                         THEN o.o_custkey END)
+             / NULLIF(COUNT(DISTINCT f.o_custkey), 0), 1) AS retention_pct
+FROM first_order f JOIN orders o ON f.o_custkey = o.o_custkey
+GROUP BY cohort
+"""
+
+
+@register(
+    "f10_cohort_retention",
+    oracle=_F10_ORACLE,
+    doc="Cohort-by-first-month retention: two-stage aggregation, "
+    "NULLIF-guarded percentage.",
+)
+def f10_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_date"))
+    j = first.join(o, "o_custkey")
+    returned_key = F.when(
+        to_month("o_orderdate") != to_month("first_date"), F.col("o_custkey")
+    )
+    returned = F.countDistinct(returned_key)
+    size = F.countDistinct("o_custkey")
+    return j.groupBy(to_month("first_date").alias("cohort")).agg(
+        size.alias("cohort_size"),
+        returned.alias("returned"),
+        F.round(100.0 * returned / F.nullif(size, F.lit(0)), 1).alias("retention_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F11 — single-row staged funnel (reference: core/reports/router.py:512-608)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f11_funnel",
+    oracle="""
+SELECT COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS views,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
+       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signups,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases,
+       COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END)
+         AS purchasing_users,
+       ROUND(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) * 100.0
+             / NULLIF(COUNT(CASE WHEN event_type = 'view' THEN 1 END), 0), 2)
+         AS view_to_purchase_pct
+FROM events
+""",
+    doc="One SELECT computing all funnel stages as conditional counts.",
+)
+def f11_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+
+    def stage(t: str):
+        return F.count(F.when(F.col("event_type") == t, 1))
+
+    return e.agg(
+        stage("view").alias("views"),
+        stage("click").alias("clicks"),
+        stage("signup").alias("signups"),
+        stage("purchase").alias("purchases"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("purchasing_users"),
+        F.round(
+            stage("purchase") * 100.0 / F.nullif(stage("view"), F.lit(0)), 2
+        ).alias("view_to_purchase_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F12/F13 — CASE-bucketed histogram with custom bucket ordering
+#           (reference: core/reports/handlers.py:235-300 age brackets,
+#            :257-268 ORDER BY CASE)
+# ---------------------------------------------------------------------------
+
+_BUCKET_SQL = """CASE WHEN c_acctbal < 0 THEN 'negative'
+     WHEN c_acctbal < 2500 THEN 'low'
+     WHEN c_acctbal < 5000 THEN 'mid'
+     WHEN c_acctbal < 7500 THEN 'high'
+     ELSE 'top' END"""
+
+_ORDER_SQL = """CASE WHEN c_acctbal < 0 THEN 1 WHEN c_acctbal < 2500 THEN 2
+     WHEN c_acctbal < 5000 THEN 3 WHEN c_acctbal < 7500 THEN 4 ELSE 5 END"""
+
+
+def _acctbal_bucket():
+    c = F.col("c_acctbal")
+    return (
+        F.when(c < 0, "negative")
+        .when(c < 2500, "low")
+        .when(c < 5000, "mid")
+        .when(c < 7500, "high")
+        .otherwise("top")
+    )
+
+
+def _acctbal_order():
+    c = F.col("c_acctbal")
+    return F.when(c < 0, 1).when(c < 2500, 2).when(c < 5000, 3).when(c < 7500, 4).otherwise(5)
+
+
+@register(
+    "f12_histogram_buckets",
+    oracle=f"""
+SELECT {_BUCKET_SQL} AS balance_bucket,
+       MIN({_ORDER_SQL}) AS bucket_order,
+       COUNT(*) AS cnt,
+       COUNT(DISTINCT c_nationkey) AS nations
+FROM customer
+GROUP BY balance_bucket
+ORDER BY bucket_order
+""",
+    doc="CASE-WHEN bucketing → GROUP BY bucket with custom sort index "
+    "(F12 histogram + F13 ORDER BY CASE).",
+)
+def f12_histogram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "customer")
+        .groupBy(_acctbal_bucket().alias("balance_bucket"))
+        .agg(
+            F.min(_acctbal_order()).alias("bucket_order"),
+            F.count("*").alias("cnt"),
+            F.countDistinct("c_nationkey").alias("nations"),
+        )
+        .orderBy("bucket_order")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F14 — DISTINCT value lists + global min/max (reference: core/app.py:3727-3831)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f14_distinct_values",
+    oracle="SELECT DISTINCT o_orderpriority AS value FROM orders ORDER BY value",
+    doc="Filter-options: DISTINCT column values, sorted.",
+)
+def f14_distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .select(F.col("o_orderpriority").alias("value"))
+        .distinct()
+        .orderBy("value")
+    )
+
+
+@register(
+    "f14_date_range",
+    oracle="""
+SELECT strftime(MIN(o_orderdate), '%Y-%m-%d') AS min_date,
+       strftime(MAX(o_orderdate), '%Y-%m-%d') AS max_date
+FROM orders
+""",
+    doc="Global MIN/MAX date range for filter bounds.",
+)
+def f14_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "orders").agg(
+        to_day(F.min("o_orderdate")).alias("min_date"),
+        to_day(F.max("o_orderdate")).alias("max_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F15 — scatter aggregate (reference: core/reports/handlers.py:436-489)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f15_scatter",
+    oracle="""
+SELECT user_id, CAST(FLOOR(value / 50) AS BIGINT) AS value_bucket, COUNT(*) AS cnt
+FROM events GROUP BY user_id, value_bucket
+""",
+    doc="Two-dimensional point-cloud aggregate (x, y) -> count.",
+)
+def f15_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "user_id",
+            F.floor(F.col("value") / 50).cast("long").alias("value_bucket"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# F16 — AVG over boolean expression = rate (reference: core/app.py:4505-4508)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f16_avg_boolean",
+    oracle="""
+SELECT c_mktsegment AS segment,
+       ROUND(AVG(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END), 4)
+         AS fulfillment_rate
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+    doc="Acceptance-rate idiom: AVG(CASE WHEN ... 1.0 ELSE 0.0).",
+)
+def f16_avg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.round(
+                F.avg(F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0)), 4
+            ).alias("fulfillment_rate")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# I1 — UNION ALL of two aggregates (reference: core/reports/router.py:623-647)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "i1_union_all_stats",
+    oracle="""
+SELECT 'click' AS metric, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value
+FROM events WHERE event_type = 'click'
+UNION ALL
+SELECT 'purchase' AS metric, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value
+FROM events WHERE event_type = 'purchase'
+""",
+    doc="UNION ALL of two labeled aggregate rows (timing-analysis shape).",
+)
+def i1_union_all_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+
+    def leg(t: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == t)
+            .agg(
+                F.count("*").alias("n"),
+                X.exact_sum(X.dec("value", X.VALUE6), "total_value", scale=6),
+            )
+            .select(F.lit(t).alias("metric"), "n", "total_value")
+        )
+
+    return leg("click").unionByName(leg("purchase"))

@@ -1,0 +1,173 @@
+"""ETL write-semantics expressed as checkable queries (SURVEY.md §2.B/§2.C).
+
+The load-path operators (upsert-by-PK, latest-file argmax, cleaning,
+PHI hashing) are library code in ``operators/``; these registry entries
+drive them over the synthetic tables so the driver's oracle can verify
+their *semantics*, not just that they run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from calaveras_uniteus_etl_spark.functions.hashing import salted_sha256
+from calaveras_uniteus_etl_spark.plans.catalog import register
+from calaveras_uniteus_etl_spark.plans.tables import table
+
+# ---------------------------------------------------------------------------
+# C2 — upsert by primary key as a join-based merge
+#      (reference: core/database.py:366-465 — full-PK-pull + per-row UPDATE,
+#       re-expressed as anti-join ∪ incoming; SURVEY §7.3 semantics:
+#       dedupe-within-batch keep-last, then last-write-wins merge)
+# ---------------------------------------------------------------------------
+
+_C2_ORACLE = """
+WITH existing AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(16,4)) AS price
+  FROM orders
+),
+incoming AS (
+  SELECT o_orderkey, 'X' AS o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(3,2))
+              AS DECIMAL(16,4)) AS price
+  FROM orders WHERE o_orderkey % 10 = 0
+),
+merged AS (
+  SELECT e.* FROM existing e
+  LEFT JOIN incoming i ON e.o_orderkey = i.o_orderkey
+  WHERE i.o_orderkey IS NULL
+  UNION ALL
+  SELECT * FROM incoming
+)
+SELECT o_orderstatus AS status, COUNT(*) AS cnt,
+       CAST(SUM(price) AS DECIMAL(38,4)) AS total_price
+FROM merged GROUP BY o_orderstatus
+"""
+
+
+@register(
+    "c2_upsert_merge",
+    oracle=_C2_ORACLE,
+    doc="Join-based last-write-wins merge (anti-join + union) replacing "
+    "the reference's per-row UPDATE loop — the one physical strategy "
+    "deliberately NOT imitated at scale.",
+)
+def c2_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calaveras_uniteus_etl_spark.operators.upsert import merge_upsert
+
+    # the 10% uplift stays in exact decimal arithmetic end-to-end —
+    # dec(12,2) * dec(3,2) = dec(16,4), never rounded
+    base = table(spark, sf_dir, "orders")
+    existing = base.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").cast("decimal(16,4)").alias("price"),
+    )
+    incoming = base.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        (
+            F.col("o_totalprice").cast("decimal(12,2)")
+            * F.lit("1.1").cast("decimal(3,2)")
+        )
+        .cast("decimal(16,4)")
+        .alias("price"),
+    )
+    merged = merge_upsert(existing, incoming, keys=["o_orderkey"])
+    return merged.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").alias("cnt"),
+        F.sum("price").cast("decimal(38,4)").alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4 — latest-per-group argmax (reference latest-file-only filter:
+#      core/etl_service.py:1293-1306)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c4_latest_per_group",
+    oracle="""
+SELECT user_id, event_id AS latest_event_id, event_type AS latest_event_type
+FROM (
+  SELECT user_id, event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+           AS rn
+  FROM events
+) WHERE rn = 1
+""",
+    doc="Per-group argmax via window row_number (latest event per user).",
+)
+def c4_latest_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("latest_event_id"),
+            F.col("event_type").alias("latest_event_type"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B3/B4 — cleaning transforms surfaced as a checkable projection
+#         (reference: core/etl_service.py:690-718)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b_clean_normalize",
+    oracle="""
+SELECT doc_id,
+       md5(trim(replace(replace(text, 'â€™', ''''), 'â€œ', '"'))) AS clean_md5,
+       CASE WHEN trim(text) = '' OR lower(trim(text)) IN ('nan', 'null', 'none')
+            THEN NULL ELSE length(trim(text)) END AS clean_len
+FROM documents
+""",
+    doc="Whitespace trim + mojibake repair + null-sentinel normalization, "
+    "verified byte-exactly via md5 of the cleaned text.",
+)
+def b_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calaveras_uniteus_etl_spark.operators.cleaning import (
+        normalize_sentinels_expr,
+        repair_mojibake_expr,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    cleaned = F.trim(repair_mojibake_expr(F.col("text")))
+    return d.select(
+        "doc_id",
+        F.md5(cleaned).alias("clean_md5"),
+        F.length(normalize_sentinels_expr(cleaned)).alias("clean_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B5 — salted-SHA-256 PHI hashing (reference: core/config.py:225-243)
+# ---------------------------------------------------------------------------
+
+_PHI_SALT = "pepper-42"
+
+
+@register(
+    "b5_phi_hash",
+    oracle=f"""
+SELECT c_custkey,
+       CASE WHEN c_name IS NULL OR c_name = '' OR lower(c_name) = 'nan'
+            THEN c_name
+            ELSE sha256('{_PHI_SALT}' || c_name || '{_PHI_SALT}') END AS name_hash
+FROM customer
+""",
+    doc="PHI hashing as pure built-ins: sha256(salt || value || salt) with "
+    "the reference's null/empty/'nan' skip rules — zero Python UDFs.",
+)
+def b5_phi_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return c.select("c_custkey", salted_sha256("c_name", _PHI_SALT).alias("name_hash"))

@@ -1,0 +1,274 @@
+"""Filter / projection / pagination / scalar-function inventory
+(SURVEY.md §2.D, §2.J).
+
+The reference builds WHERE clauses as SQL text (core/reports/filters.py);
+here the same predicates are composable Column expressions so Catalyst
+pushes them into the parquet scan (verify with .explain → PushedFilters).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import or_
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from calaveras_uniteus_etl_spark.plans.catalog import register
+from calaveras_uniteus_etl_spark.plans.tables import load_tables, table
+
+# ---------------------------------------------------------------------------
+# D1 — date-range filter (reference: core/reports/filters.py:16-54)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d1_date_range_filter",
+    oracle="""
+SELECT event_id, event_type, user_id
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+""",
+    doc="Start/end date-range predicate pushed to the scan.",
+)
+def d1_date_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "events")
+        .filter(
+            (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+            & (F.col("ts") <= F.lit("2024-01-20 00:00:00").cast("timestamp"))
+        )
+        .select("event_id", "event_type", "user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D2 — multi-facet WHERE builder (reference: core/reports/filters.py:57-131)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d2_multi_facet_filter",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+FROM orders
+WHERE o_orderstatus IN ('O', 'P')
+  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+  AND o_totalprice >= 50000
+""",
+    doc="Status + priority + threshold facets ANDed together.",
+)
+def d2_multi_facet_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderstatus").isin("O", "P")
+            & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & (F.col("o_totalprice") >= 50000)
+        )
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D3 — conditional join gating: date filter present → INNER JOIN + COUNT
+#      DISTINCT (reference: core/reports/filters.py:134-158)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d3_demographics_gate",
+    oracle="""
+SELECT c_mktsegment AS segment, COUNT(DISTINCT c.c_custkey) AS unique_customers
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+WHERE o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+GROUP BY c_mktsegment
+""",
+    doc="Date-gated demographics: join + COUNT(DISTINCT) path of the "
+    "conditional filter builder.",
+)
+def d3_demographics_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        F.broadcast(c)
+        .join(o, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.countDistinct(c.c_custkey).alias("unique_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# D4 — NULL / sentinel-value filters (reference: core/reports/handlers.py:87,
+#      358 "NOT IN ('undisclosed','')")
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d4_null_sentinel_filter",
+    oracle="""
+SELECT lang, COUNT(*) AS cnt
+FROM documents
+WHERE lang IS NOT NULL AND lang NOT IN ('', 'und') AND n_chars > 0
+GROUP BY lang
+""",
+    doc="IS NOT NULL + NOT IN sentinel-set filtering before a rollup.",
+)
+def d4_null_sentinel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "documents")
+        .filter(
+            F.col("lang").isNotNull()
+            & ~F.col("lang").isin("", "und")
+            & (F.col("n_chars") > 0)
+        )
+        .groupBy("lang")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# D5 — LIKE substring search over selected columns
+#      (reference: core/database.py:298-317)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d5_like_search",
+    oracle="""
+SELECT p_partkey, p_name, p_type
+FROM part
+WHERE p_name LIKE '%widget%' OR p_type LIKE '%ECONOMY%'
+""",
+    doc="OR of LIKE '%term%' predicates across columns.",
+)
+def d5_like_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    preds = [F.col("p_name").contains("widget"), F.col("p_type").contains("ECONOMY")]
+    return p.filter(reduce(or_, preds)).select("p_partkey", "p_name", "p_type")
+
+
+# ---------------------------------------------------------------------------
+# D6 — pagination LIMIT/OFFSET (reference: core/app.py:1774-1820)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d6_pagination",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus
+FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 40
+""",
+    doc="Keyed pagination: ORDER BY unique key, OFFSET+LIMIT.",
+)
+def d6_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+        .offset(40)
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# D7 — dynamic sort column/direction (reference: core/app.py:2205-2245)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d7_dynamic_sort",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+""",
+    doc="Validated dynamic ORDER BY col DESC with unique-key tiebreak.",
+)
+def d7_dynamic_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# D8 — SELECT-only ad-hoc SQL gate with auto-LIMIT
+#      (reference: core/app.py:2248-2280)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d8_adhoc_sql_gate",
+    oracle="""
+SELECT n_name, COUNT(*) AS suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name ORDER BY suppliers DESC, n_name LIMIT 100
+""",
+    doc="Ad-hoc SQL executed through the SELECT-only guard (auto LIMIT).",
+)
+def d8_adhoc_sql_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calaveras_uniteus_etl_spark.operators.adhoc import run_select_only
+
+    load_tables(spark, sf_dir)
+    return run_select_only(
+        spark,
+        "SELECT n_name, COUNT(*) AS suppliers "
+        "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+        "GROUP BY n_name ORDER BY suppliers DESC, n_name",
+        limit=100,
+    )
+
+
+# ---------------------------------------------------------------------------
+# J — scalar function suite (SURVEY §2.J: COALESCE/NULLIF/CAST/concat/
+#     ROUND/CASE, incl. the SQLite-CAST divergence handled via try_cast)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j1_scalar_suite",
+    oracle="""
+SELECT o_orderkey,
+       UPPER(o_orderstatus) AS status_upper,
+       o_orderstatus || '-' || o_orderpriority AS status_priority,
+       COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_defaulted,
+       CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec,
+       ROUND(o_orderkey / 7.0, 2) AS key_ratio,
+       COALESCE(TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT), 0)
+         AS priority_num,
+       COALESCE(TRY_CAST(o_orderstatus AS BIGINT), 0) AS bogus_cast,
+       CASE WHEN o_totalprice > 150000 THEN 'large' ELSE 'small' END AS size_label,
+       length(o_orderpriority) AS prio_len
+FROM orders WHERE o_orderkey < 100
+""",
+    doc="Scalar-function battery: COALESCE, NULLIF, ||, ROUND, CASE, "
+    "length, and SQLite-CAST-as-0 parity via coalesce(try_cast(...), 0).",
+)
+def j1_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderstatus").alias("status_upper"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_priority"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
+            "status_defaulted"
+        ),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price_dec"),
+        F.round(F.col("o_orderkey") / 7.0, 2).alias("key_ratio"),
+        F.coalesce(
+            F.substring("o_orderpriority", 1, 1).try_cast("long"), F.lit(0)
+        ).alias("priority_num"),
+        F.coalesce(F.col("o_orderstatus").try_cast("long"), F.lit(0)).alias(
+            "bogus_cast"
+        ),
+        F.when(F.col("o_totalprice") > 150000, "large")
+        .otherwise("small")
+        .alias("size_label"),
+        F.length("o_orderpriority").alias("prio_len"),
+    )

@@ -1,0 +1,329 @@
+"""Join operator inventory (SURVEY.md §2.E).
+
+All reference joins are equi-joins on keys plus one range-predicate
+join (E5) and one pair-edge aggregation (E8). Physical strategy is left
+to Catalyst/AQE: dimension sides are hinted with ``broadcast()`` where
+they are broadcast-sized at any realistic scale factor, fact-fact joins
+shuffle on their keys (sort-merge with AQE skew handling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from calaveras_uniteus_etl_spark.functions.datetime_ext import julian_day_diff
+from calaveras_uniteus_etl_spark.plans import _exact as X
+from calaveras_uniteus_etl_spark.plans.catalog import register
+from calaveras_uniteus_etl_spark.plans.tables import table
+
+# ---------------------------------------------------------------------------
+# E1 — dimension ⋈ fact INNER join + aggregate
+#      (reference people⋈cases: core/reports/handlers.py:276,317,357)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "e1_inner_join_agg",
+    oracle="""
+SELECT c_mktsegment AS segment,
+       COUNT(*) AS order_count,
+       COUNT(DISTINCT c_custkey) AS unique_customers,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+""",
+    doc="INNER equi-join dimension→fact, grouped rollup (broadcast-hash).",
+)
+def e1_inner_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        F.broadcast(c)
+        .join(o, c.c_custkey == o.o_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("order_count"),
+            F.countDistinct("c_custkey").alias("unique_customers"),
+            X.exact_sum(X.dec("o_totalprice"), "revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# E2 — LEFT join preserving unmatched dimension rows
+#      (reference cases⟕employees workload: core/database_schema.py:431-441)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "e2_left_join_preserve",
+    oracle="""
+SELECT c_custkey AS custkey,
+       COUNT(o_orderkey) AS order_count,
+       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 0) AS DECIMAL(38,2))
+         AS total_spend
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+""",
+    doc="LEFT join keeps zero-order customers (COUNT(col) skips NULLs).",
+)
+def e2_left_join_preserve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(F.col("c_custkey").alias("custkey"))
+        .agg(
+            F.count("o_orderkey").alias("order_count"),
+            F.coalesce(
+                F.sum(X.dec("o_totalprice")).cast("decimal(38,2)"),
+                F.lit(0).cast("decimal(38,2)"),
+            ).alias("total_spend"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# E3 — chained multi-table join (reference referrals⟕cases⟕people views:
+#      core/database_schema.py:415-429)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "e3_chain_join",
+    oracle="""
+SELECT r_name AS region, n_name AS nation,
+       COUNT(*) AS order_count,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS revenue
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey = c_custkey
+GROUP BY r_name, n_name
+""",
+    doc="4-table chained equi-join up a dimension hierarchy.",
+)
+def e3_chain_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("order_count"),
+            X.exact_sum(X.dec("o_totalprice"), "revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# E4 — left-join chain + single-row multi-DISTINCT funnel
+#      (reference ar⟕cases⟕referrals: core/app.py:4557-4577)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "e4_multi_distinct_funnel",
+    oracle="""
+SELECT COUNT(DISTINCT c.c_custkey) AS customers,
+       COUNT(DISTINCT o.o_orderkey) AS orders,
+       COUNT(DISTINCT l.l_partkey) AS parts
+FROM customer c
+LEFT JOIN orders   o ON o.o_custkey = c.c_custkey
+LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+""",
+    doc="Two LEFT joins feeding one multi-COUNT(DISTINCT) row.",
+)
+def e4_multi_distinct_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .join(li, li.l_orderkey == o.o_orderkey, "left")
+        .agg(
+            F.countDistinct("c_custkey").alias("customers"),
+            F.countDistinct("o_orderkey").alias("orders"),
+            F.countDistinct("l_partkey").alias("parts"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# E5 — equi-join with additional range predicate
+#      (reference service pathways: core/app.py:4027-4043,
+#       'r.referral_created_at > c.case_created_at' + avg julianday gap)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "e5_range_predicate_join",
+    oracle="""
+SELECT o.o_orderpriority AS priority,
+       COUNT(*) AS n,
+       ROUND(SUM((epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) / 86400e6)
+             / COUNT(*), 1) AS avg_gap_days
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+               AND l.l_shipdate > o.o_orderdate
+GROUP BY o.o_orderpriority
+""",
+    doc="Equi-join + range predicate, fractional-day average gap.",
+)
+def e5_range_predicate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    gap = julian_day_diff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        o.join(
+            li,
+            (li.l_orderkey == o.o_orderkey) & (li.l_shipdate > o.o_orderdate),
+        )
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(gap) / F.count("*"), 1).alias("avg_gap_days"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# E6 — join to pre-aggregated derived tables
+#      (reference touchpoints: core/app.py:3537-3596)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "e6_preagg_join",
+    oracle="""
+WITH order_stats AS (
+  SELECT o_custkey, COUNT(*) AS order_count,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS spend
+  FROM orders GROUP BY o_custkey
+),
+open_stats AS (
+  SELECT o_custkey, COUNT(*) AS open_count
+  FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey
+)
+SELECT c.c_custkey AS custkey,
+       COALESCE(os.order_count, 0) AS order_count,
+       COALESCE(os.spend, 0) AS spend,
+       COALESCE(op.open_count, 0) AS open_count
+FROM customer c
+LEFT JOIN order_stats os ON os.o_custkey = c.c_custkey
+LEFT JOIN open_stats  op ON op.o_custkey = c.c_custkey
+""",
+    doc="LEFT joins against two pre-aggregated subqueries with "
+    "COALESCE(...,0) defaults.",
+)
+def e6_preagg_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    # distinct key aliases: both derived tables share `orders` lineage,
+    # and Spark (rightly) rejects the ambiguous self-join reference
+    order_stats = o.groupBy(F.col("o_custkey").alias("os_custkey")).agg(
+        F.count("*").alias("order_count"),
+        F.sum(X.dec("o_totalprice")).cast("decimal(38,2)").alias("spend"),
+    )
+    open_stats = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("op_custkey"))
+        .agg(F.count("*").alias("open_count"))
+    )
+    return (
+        c.join(order_stats, c.c_custkey == F.col("os_custkey"), "left")
+        .join(open_stats, c.c_custkey == F.col("op_custkey"), "left")
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.coalesce("order_count", F.lit(0)).alias("order_count"),
+            F.coalesce("spend", F.lit(0).cast("decimal(38,2)")).alias("spend"),
+            F.coalesce("open_count", F.lit(0)).alias("open_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# E7 — simple dimension LEFT join enrichment
+#      (reference cases⟕assistance_requests: core/app.py:4413-4424)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "e7_dim_enrich_join",
+    oracle="""
+SELECT s_suppkey AS suppkey, s_name AS supplier, n_name AS nation,
+       CAST(s_acctbal AS DECIMAL(12,2)) AS acctbal
+FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey
+""",
+    doc="LEFT enrichment join to a tiny dimension (always broadcast).",
+)
+def e7_dim_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    return s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left").select(
+        F.col("s_suppkey").alias("suppkey"),
+        F.col("s_name").alias("supplier"),
+        F.col("n_name").alias("nation"),
+        X.dec("s_acctbal").alias("acctbal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E8 — pair-edge aggregation with inequality filter (network edges)
+#      (reference provider collaboration: core/app.py:3198-3211, 4499-4517)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "e8_pair_edges",
+    oracle="""
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       COUNT(*) AS shipments,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS volume
+FROM lineitem l
+JOIN orders o    ON o.o_orderkey = l.l_orderkey
+JOIN customer c  ON c.c_custkey = o.o_custkey
+JOIN nation cn   ON cn.n_nationkey = c.c_nationkey
+JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+JOIN nation sn   ON sn.n_nationkey = s.s_nationkey
+WHERE cn.n_name <> sn.n_name
+GROUP BY cust_nation, supp_nation
+ORDER BY shipments DESC, cust_nation, supp_nation
+LIMIT 50
+""",
+    doc="Directed edge list: inequality filter then GROUP BY pair, top-50.",
+)
+def e8_pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    disc_price = X.dec("l_extendedprice") * (F.lit(1) - X.dec("l_discount", X.RATE))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(
+            F.count("*").alias("shipments"),
+            X.exact_sum(disc_price, "volume", scale=6),
+        )
+        .orderBy(F.desc("shipments"), "cust_nation", "supp_nation")
+        .limit(50)
+    )
