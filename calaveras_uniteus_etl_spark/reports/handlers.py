@@ -1,0 +1,255 @@
+"""Healthcare report handlers: the reference's analytics endpoints as
+DataFrame-returning functions.
+
+Each function mirrors one reference endpoint's query semantics
+(citations inline) over the warehouse tables, parameterized by
+``ReportFilters`` and an injectable ``as_of`` timestamp. The
+synthetic-table operator patterns in ``plans/queries_*`` prove each
+underlying operator against the DuckDB oracle; these handlers compose
+the same operators over the healthcare schema and are covered by
+fixture tests (tests/test_reports.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from calaveras_uniteus_etl_spark.functions.datetime_ext import (
+    julian_day_diff,
+    sqlite_week,
+    to_day,
+    to_month,
+)
+from calaveras_uniteus_etl_spark.reports.filters import (
+    ReportFilters,
+    apply_report_filters,
+    demographics_base,
+)
+
+NOT_SPECIFIED = "Not Specified"
+
+
+# --- summary counts (reference core/reports/handlers.py:25-74) -------------
+
+
+def summary_counts(
+    people: DataFrame, cases: DataFrame, referrals: DataFrame, ar: DataFrame,
+    f: ReportFilters = ReportFilters(),
+) -> DataFrame:
+    return (
+        people.agg(F.count("*").alias("total_people"))
+        .crossJoin(
+            apply_report_filters(cases, "cases", f).agg(
+                F.count("*").alias("total_cases")
+            )
+        )
+        .crossJoin(
+            apply_report_filters(referrals, "referrals", f).agg(
+                F.count("*").alias("total_referrals")
+            )
+        )
+        .crossJoin(ar.agg(F.count("*").alias("total_assistance_requests")))
+    )
+
+
+# --- gender / race / language distributions (handlers.py:302-383) ----------
+
+
+def demographic_distribution(
+    people: DataFrame, cases: DataFrame, column: str, f: ReportFilters = ReportFilters()
+) -> DataFrame:
+    """COALESCE(col,'Not Specified') GROUP BY ORDER BY count DESC; with a
+    date filter the base switches to the joined COUNT(DISTINCT) path."""
+    base, distinct = demographics_base(people, cases, f)
+    counter = F.countDistinct("person_id") if distinct else F.count("*")
+    return (
+        base.groupBy(F.coalesce(F.col(column), F.lit(NOT_SPECIFIED)).alias(column))
+        .agg(counter.alias("count"))
+        .orderBy(F.desc("count"), F.asc(column))
+    )
+
+
+# --- age brackets (handlers.py:235-300) -------------------------------------
+
+_AGE_BUCKETS = ((0, 17, "0-17"), (18, 24, "18-24"), (25, 34, "25-34"),
+                (35, 44, "35-44"), (45, 54, "45-54"), (55, 64, "55-64"))
+
+
+def age_distribution(
+    people: DataFrame, cases: DataFrame, as_of: str, f: ReportFilters = ReportFilters()
+) -> DataFrame:
+    """CASE-bucketed age histogram with custom bucket ordering
+    (julianday('now') made injectable via as_of)."""
+    base, distinct = demographics_base(people, cases, f)
+    age = F.floor(
+        (F.lit(as_of).cast("timestamp").cast("double")
+         - F.col("date_of_birth").cast("timestamp").cast("double"))
+        / F.lit(86400.0 * 365.25)
+    )
+    bucket = F.lit("65+")
+    order = F.lit(len(_AGE_BUCKETS) + 1)
+    for i, (lo, hi, label) in reversed(list(enumerate(_AGE_BUCKETS, start=1))):
+        bucket = F.when((age >= lo) & (age <= hi), label).otherwise(bucket)
+        order = F.when((age >= lo) & (age <= hi), i).otherwise(order)
+    counter = F.countDistinct("person_id") if distinct else F.count("*")
+    return (
+        base.filter(F.col("date_of_birth").isNotNull())
+        .groupBy(bucket.alias("age_bracket"))
+        .agg(F.min(order).alias("bucket_order"), counter.alias("count"))
+        .orderBy("bucket_order")
+    )
+
+
+# --- income brackets (handlers.py:491-561) ----------------------------------
+
+
+def income_distribution(people: DataFrame) -> DataFrame:
+    """SQLite CAST parity: unparseable income behaves as 0 via
+    coalesce(try_cast, 0) (SURVEY §7.3 trap #2)."""
+    income = F.coalesce(F.col("gross_monthly_income").try_cast("double"), F.lit(0.0))
+    bucket = (
+        F.when(income <= 0, "No Income")
+        .when(income < 1000, "$1-999")
+        .when(income < 2500, "$1,000-2,499")
+        .when(income < 5000, "$2,500-4,999")
+        .otherwise("$5,000+")
+    )
+    order = (
+        F.when(income <= 0, 1).when(income < 1000, 2).when(income < 2500, 3)
+        .when(income < 5000, 4).otherwise(5)
+    )
+    return (
+        people.groupBy(bucket.alias("income_bracket"))
+        .agg(F.min(order).alias("bucket_order"), F.count("*").alias("count"))
+        .orderBy("bucket_order")
+    )
+
+
+# --- status / service distributions with top-k (handlers.py:84-151) --------
+
+
+def status_distribution(df: DataFrame, table: str, f: ReportFilters = ReportFilters()) -> DataFrame:
+    col = "referral_status" if table == "referrals" else "case_status"
+    return (
+        apply_report_filters(df, table, f)
+        .groupBy(F.coalesce(F.col(col), F.lit("Unknown")).alias("status"))
+        .agg(F.count("*").alias("count"))
+        .orderBy(F.desc("count"), F.asc("status"))
+    )
+
+
+def top_service_types(df: DataFrame, table: str, n: int = 10, f: ReportFilters = ReportFilters()) -> DataFrame:
+    return (
+        apply_report_filters(df, table, f)
+        .filter(F.col("service_type").isNotNull())
+        .groupBy("service_type")
+        .agg(F.count("*").alias("count"))
+        .orderBy(F.desc("count"), F.asc("service_type"))
+        .limit(n)
+    )
+
+
+# --- time series (core/app.py:2759-2810, 3410-3484) -------------------------
+
+
+def timeline(df: DataFrame, date_col: str, grouping: str = "day", by_status: str | None = None) -> DataFrame:
+    """Period bucketing: day / SQLite-week / month (F9 patterns)."""
+    period = {"day": to_day, "week": sqlite_week, "month": to_month}[grouping](date_col)
+    keys = [period.alias("period")]
+    if by_status:
+        keys.append(F.coalesce(F.col(by_status), F.lit("Unknown")).alias("status"))
+    return (
+        df.filter(F.col(date_col).isNotNull())
+        .groupBy(*keys)
+        .agg(F.count("*").alias("count"))
+        .orderBy("period")
+    )
+
+
+# --- resolution time (core/app.py:3096-3139) ---------------------------------
+
+
+def resolution_time_by_service(cases: DataFrame, f: ReportFilters = ReportFilters()) -> DataFrame:
+    gap = julian_day_diff("case_closed_at", "case_created_at")
+    return (
+        apply_report_filters(cases, "cases", f)
+        .filter(F.col("case_closed_at").isNotNull() & F.col("case_created_at").isNotNull())
+        .groupBy(F.coalesce("service_type", F.lit("Unknown")).alias("service_type"))
+        .agg(
+            F.round(F.sum(gap) / F.count("*"), 1).alias("avg_days"),
+            F.round(F.min(gap), 1).alias("min_days"),
+            F.round(F.max(gap), 1).alias("max_days"),
+            F.count("*").alias("resolved_cases"),
+        )
+        .orderBy(F.desc("resolved_cases"), F.asc("service_type"))
+    )
+
+
+# --- network edges (core/app.py:3198-3211, 4499-4517) ------------------------
+
+
+def provider_network_edges(referrals: DataFrame, n: int = 50, f: ReportFilters = ReportFilters()) -> DataFrame:
+    """Directed provider pairs, self-edges excluded (E8 pattern)."""
+    return (
+        apply_report_filters(referrals, "referrals", f)
+        .filter(
+            F.col("sending_provider_name").isNotNull()
+            & F.col("receiving_provider_name").isNotNull()
+            & (F.col("sending_provider_name") != F.col("receiving_provider_name"))
+        )
+        .groupBy("sending_provider_name", "receiving_provider_name")
+        .agg(
+            F.count("*").alias("referral_count"),
+            F.avg(
+                F.when(
+                    F.col("referral_status").isin("accepted", "completed"), 1.0
+                ).otherwise(0.0)
+            ).alias("acceptance_rate"),
+        )
+        .orderBy(F.desc("referral_count"), "sending_provider_name", "receiving_provider_name")
+        .limit(n)
+    )
+
+
+# --- cohort retention (core/app.py:3939-4007) --------------------------------
+
+
+def cohort_retention(cases: DataFrame) -> DataFrame:
+    first = cases.groupBy("person_id").agg(F.min("case_created_at").alias("first_date"))
+    j = first.join(cases, "person_id")
+    returned_key = F.when(
+        to_month("case_created_at") != to_month("first_date"), F.col("person_id")
+    )
+    size = F.countDistinct("person_id")
+    returned = F.countDistinct(returned_key)
+    return (
+        j.groupBy(to_month("first_date").alias("cohort"))
+        .agg(
+            size.alias("cohort_size"),
+            returned.alias("returned"),
+            F.round(100.0 * returned / F.nullif(size, F.lit(0)), 1).alias("retention_pct"),
+        )
+        .orderBy("cohort")
+    )
+
+
+# --- referral funnel (core/reports/router.py:512-608) ------------------------
+
+
+def referral_funnel(referrals: DataFrame, f: ReportFilters = ReportFilters()) -> DataFrame:
+    r = apply_report_filters(referrals, "referrals", f)
+
+    def stage(col: str):
+        return F.count(F.when(F.col(col).isNotNull(), 1))
+
+    total = F.count("*")
+    return r.agg(
+        total.alias("created"),
+        stage("sent_at").alias("sent"),
+        stage("accepted_at").alias("accepted"),
+        stage("completed_at").alias("completed"),
+        F.round(
+            stage("completed_at") * 100.0 / F.nullif(total, F.lit(0)), 1
+        ).alias("completion_pct"),
+    )

@@ -1,0 +1,89 @@
+"""Parquet-backed warehouse: the engine's table store.
+
+Replaces the reference's SQLite data DB (/root/reference/core/
+database.py) with partition-friendly parquet directories, one per
+table, registered as temp views for Spark SQL. Writes are atomic at
+the directory level (write to ``<table>.tmp-<nonce>``, swap) so a
+failed job never corrupts the live table — the closest plain-parquet
+analog of the reference's transactional upsert.
+
+At 100 TB the same layout holds: fact tables gain a partition column
+(e.g. month of the primary timestamp) via ``partition_by``; the
+overwrite-merge upsert becomes a partition-scoped rewrite rather than
+a whole-table one when keys are time-clustered (or a Delta/Iceberg
+MERGE where a lakehouse format is available).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from calaveras_uniteus_etl_spark.schema import TABLE_SCHEMAS
+
+
+class Warehouse:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def exists(self, table: str) -> bool:
+        p = self.path(table)
+        return os.path.isdir(p) and any(
+            f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(p)
+        )
+
+    def read(self, table: str) -> DataFrame:
+        if self.exists(table):
+            return self.spark.read.parquet(self.path(table))
+        if table in TABLE_SCHEMAS:
+            return self.spark.createDataFrame([], TABLE_SCHEMAS[table])
+        raise FileNotFoundError(f"table {table!r} not found in warehouse")
+
+    def write(
+        self,
+        table: str,
+        df: DataFrame,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """Write with atomic swap for overwrites.
+
+        Overwriting a table whose own scan feeds the new plan (the
+        merge-upsert shape) would otherwise read-while-truncate; the
+        tmp-dir swap also removes that hazard.
+        """
+        target = self.path(table)
+        if mode == "append" and self.exists(table):
+            writer = df.write.mode("append")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(target)
+            return
+        tmp = f"{target}.tmp-{uuid.uuid4().hex[:8]}"
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp)
+        old = f"{target}.old-{uuid.uuid4().hex[:8]}"
+        if os.path.exists(target):
+            os.rename(target, old)
+        os.rename(tmp, target)
+        if os.path.exists(old):
+            shutil.rmtree(old, ignore_errors=True)
+
+    def register_views(self, tables: list[str] | None = None) -> None:
+        """Expose warehouse tables as temp views for spark.sql."""
+        for t in tables or [t for t in TABLE_SCHEMAS if self.exists(t)]:
+            self.read(t).createOrReplaceTempView(t)
+
+    def table_stats(self) -> dict[str, int]:
+        """COUNT(*) per existing table (reference core/database.py:723-769)."""
+        return {t: self.read(t).count() for t in TABLE_SCHEMAS if self.exists(t)}
