@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from calaveras_uniteus_etl_spark.operators import dedup as dd
 from calaveras_uniteus_etl_spark.plans.catalog import register
 from calaveras_uniteus_etl_spark.plans.tables import table
 
@@ -58,4 +59,218 @@ def x1_dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("total_docs"),
         F.countDistinct(F.md5("text")).alias("unique_docs"),
         (F.count("*") - F.countDistinct(F.md5("text"))).alias("removed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2 — MinHash signatures + LSH candidate pairs
+#
+# Scale shape: signatures are K=12 longs per doc; the LSH join shuffles
+# on (band, band_key) — never on document text — so candidate volume is
+# governed by the band/row split, not corpus size. See operators/dedup.py.
+# ---------------------------------------------------------------------------
+
+_EST_MIN = 0.5  # estimated-Jaccard acceptance threshold
+
+
+def _spark_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = dd.with_shingles(table(spark, sf_dir, "documents"))
+    return d.withColumn("sig", dd.minhash_sig_expr()).select("doc_id", "sig")
+
+
+_DUCK_SIGS = f"""
+WITH {dd.duck_shingles_cte()}, sigs AS (
+  SELECT doc_id, {dd.duck_minhash_sig_sql()} AS sig FROM shing
+)"""
+
+
+@register(
+    "x2_minhash_signatures",
+    oracle=_DUCK_SIGS + "\nSELECT doc_id, sig FROM sigs",
+    doc="Per-document MinHash signature (K=12 md5-family minima over "
+    "word-3-shingles) — the array itself is oracle-checked.",
+)
+def x2_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _spark_sigs(spark, sf_dir)
+
+
+@register(
+    "x2_minhash_lsh_pairs",
+    oracle=_DUCK_SIGS
+    + f""", bands AS (
+  SELECT doc_id, sig, t.b AS band, {dd.duck_band_key_sql()} AS band_key
+  FROM sigs CROSS JOIN (SELECT unnest(range({dd.LSH_BANDS})) AS b) t
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(len(list_filter(range({dd.MINHASH_K}), i -> sa[i+1] = sb[i+1])) AS DOUBLE)
+             / {dd.MINHASH_K}, 4) AS est_sim
+FROM cand
+WHERE CAST(len(list_filter(range({dd.MINHASH_K}), i -> sa[i+1] = sb[i+1])) AS DOUBLE)
+      / {dd.MINHASH_K} >= {_EST_MIN}
+""",
+    doc="MinHash+LSH near-dup pairs: band-bucket join (4 bands × 3 rows) "
+    "→ distinct candidates → signature-estimated Jaccard ≥ 0.5.",
+)
+def x2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = _spark_sigs(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id", "sig", F.posexplode(dd.band_keys_expr()).alias("band", "band_key")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sa"),
+            F.col("b.sig").alias("sb"),
+        )
+        .distinct()
+    )
+    est = F.expr(
+        f"cast(size(filter(sequence(0, {dd.MINHASH_K - 1}), i -> sa[i] = sb[i])) as double)"
+        f" / {dd.MINHASH_K}"
+    )
+    return cand.select(
+        "doc_a", "doc_b", F.round(est, 4).alias("est_sim")
+    ).filter(est >= _EST_MIN)
+
+
+# ---------------------------------------------------------------------------
+# X3 — SimHash fingerprints + banded hamming pairs
+# ---------------------------------------------------------------------------
+
+_HAMMING_MAX = 6
+
+
+@register(
+    "x3_simhash",
+    oracle=f"""
+WITH {dd.duck_shingles_cte()}, hashes AS (
+  SELECT b.doc_id, {dd.duck_token_hash_sql()} AS hs
+  FROM base b
+)
+SELECT doc_id, {dd.duck_simhash_sql()} AS simhash FROM hashes
+""",
+    doc="32-bit SimHash fingerprint: per-token md5-derived hashes, "
+    "majority bit vote — built-in array exprs only.",
+)
+def x3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = dd.with_shingles(table(spark, sf_dir, "documents"))
+    hs, sim = dd.simhash_exprs()
+    return d.withColumn("hs", hs).select("doc_id", sim.alias("simhash"))
+
+
+@register(
+    "x3_simhash_pairs",
+    oracle=f"""
+WITH {dd.duck_shingles_cte()}, hashes AS (
+  SELECT b.doc_id, {dd.duck_token_hash_sql()} AS hs FROM base b
+), fp AS (
+  SELECT doc_id, {dd.duck_simhash_sql()} AS simhash FROM hashes
+), bands AS (
+  SELECT doc_id, simhash, t.k AS band, (simhash // power(256, t.k)::BIGINT) % 256 AS byte
+  FROM fp CROSS JOIN (SELECT unnest(range({dd.SIMHASH_BYTE_BANDS})) AS k) t
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
+""",
+    doc="SimHash near-dup pairs: byte-band join (any equal byte of the "
+    "32-bit fingerprint) → hamming distance ≤ 6.",
+)
+def x3_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = dd.with_shingles(table(spark, sf_dir, "documents"))
+    hs, sim = dd.simhash_exprs()
+    fp = d.withColumn("hs", hs).select("doc_id", sim.alias("simhash"))
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, %d), k -> (simhash div cast(pow(256, k) as bigint)) %% 256)"
+                % (dd.SIMHASH_BYTE_BANDS - 1)
+            )
+        ).alias("band", "byte"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.expr("cast(bit_count(a.simhash ^ b.simhash) as int)")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _HAMMING_MAX)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4 — exact n-gram Jaccard via inverted shingle index
+#
+# Scale shape: the self-join shuffles on the shingle *digest* (8 bytes),
+# not the text; at real scale, posting lists are capped by document
+# frequency (stop-shingles add quadratic pairs, near-zero signal).
+# ---------------------------------------------------------------------------
+
+_JACCARD_MIN = 0.4
+
+
+@register(
+    "x4_ngram_jaccard",
+    oracle=f"""
+WITH {dd.duck_shingles_cte()}, sh AS (
+  SELECT doc_id, unnest(list_transform(shingles, g -> md5(g))) AS g
+  FROM shing
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(c AS DOUBLE) / (x.n + y.n - c), 4) AS jaccard
+FROM shared JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= {_JACCARD_MIN}
+""",
+    doc="Exact word-3-shingle Jaccard: inverted-index join on shingle "
+    "digests, |A∩B| / (|A|+|B|−|A∩B|) ≥ 0.4.",
+)
+def x4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = dd.with_shingles(table(spark, sf_dir, "documents"))
+    sh = d.select(
+        "doc_id", F.explode(F.expr("transform(shingles, g -> md5(g))")).alias("g")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    jac = F.col("c").cast("double") / (F.col("x.n") + F.col("y.n") - F.col("c"))
+    return (
+        shared.join(sizes.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
+        .join(sizes.alias("y"), F.col("doc_b") == F.col("y.doc_id"))
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .filter(jac >= _JACCARD_MIN)
     )

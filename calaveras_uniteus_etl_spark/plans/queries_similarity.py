@@ -80,3 +80,151 @@ def x5_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _TOPK)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# X6 — LSH-bucketed ANN (scale path) + embedding-cosine near-dup
+#
+# Same cosine arithmetic as X5, but candidates come from sign-random-
+# projection buckets (operators/similarity.py) instead of the full cross
+# product: the candidate join shuffles on (table, bucket) small-int keys,
+# so cost scales with bucket occupancy, not corpus size.
+# ---------------------------------------------------------------------------
+
+from calaveras_uniteus_etl_spark.operators import similarity as sim
+
+_ANN_TOPK = 3
+_NEARDUP_MIN = 0.4
+
+_DUCK_COSINE = """ROUND(list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))
+       / NULLIF(sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))), 0), 4)"""
+
+
+def _spark_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "embedding",
+        F.posexplode(sim.buckets_array_expr()).alias("tbl", "bucket"),
+    )
+
+
+def _duck_buckets_cte() -> str:
+    return f"""
+  buckets AS (
+    SELECT vec_id, embedding, t.tbl AS tbl, bks[t.tbl + 1] AS bucket
+    FROM (SELECT vec_id, embedding, {sim.duck_buckets_list_sql()} AS bks FROM embeddings)
+    CROSS JOIN (SELECT unnest(range({sim.N_TABLES})) AS tbl) t
+  )"""
+
+
+@register(
+    "x6_ann_lsh_topk",
+    oracle=f"""
+WITH {_duck_buckets_cte()},
+probes AS (
+  SELECT * FROM buckets WHERE vec_id < {_N_QUERY}
+),
+cand AS (
+  SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+         p.embedding AS q, c.embedding AS e
+  FROM probes p JOIN buckets c
+    ON p.tbl = c.tbl AND p.bucket = c.bucket AND p.vec_id <> c.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, {_DUCK_COSINE.format(a="q", b="e")} AS cosine
+  FROM cand
+)
+SELECT query_id, neighbor_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM scored
+) WHERE rn <= {_ANN_TOPK}
+""",
+    doc="LSH-bucketed ANN top-k: sign-random-projection buckets (8 tables "
+    "× 4 bits) prune candidates before exact cosine ranking — the scale "
+    "path next to X5's brute force.",
+)
+def x6_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _spark_buckets(spark, sf_dir)
+    probes = b.filter(F.col("vec_id") < _N_QUERY).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q"),
+        "tbl",
+        "bucket",
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(
+            b,
+            (probes.tbl == b.tbl)
+            & (probes.bucket == b.bucket)
+            & (F.col("query_id") != F.col("vec_id")),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "q", "embedding")
+        .distinct()
+    )
+    num = _dot(F.col("q"), F.col("embedding"))
+    den = F.nullif(
+        F.sqrt(_dot(F.col("q"), F.col("q")))
+        * F.sqrt(_dot(F.col("embedding"), F.col("embedding"))),
+        F.lit(0.0),
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", F.round(num / den, 4).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _ANN_TOPK)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+@register(
+    "x6_embed_neardup",
+    oracle=f"""
+WITH {_duck_buckets_cte()},
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         a.embedding AS ea, b.embedding AS eb
+  FROM buckets a JOIN buckets b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, {_DUCK_COSINE.format(a="ea", b="eb")} AS cosine
+FROM cand
+WHERE {_DUCK_COSINE.format(a="ea", b="eb")} >= {_NEARDUP_MIN}
+""",
+    doc="Embedding-cosine near-dup pairs: LSH bucket collision → exact "
+    "cosine ≥ 0.4. Approximate-recall by construction; oracle mirrors "
+    "the same buckets exactly.",
+)
+def x6_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _spark_buckets(spark, sf_dir)
+    a, c = b.alias("a"), b.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.tbl") == F.col("c.tbl"))
+            & (F.col("a.bucket") == F.col("c.bucket"))
+            & (F.col("a.vec_id") < F.col("c.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("c.vec_id").alias("vec_b"),
+            F.col("a.embedding").alias("ea"),
+            F.col("c.embedding").alias("eb"),
+        )
+        .distinct()
+    )
+    num = _dot(F.col("ea"), F.col("eb"))
+    den = F.nullif(
+        F.sqrt(_dot(F.col("ea"), F.col("ea"))) * F.sqrt(_dot(F.col("eb"), F.col("eb"))),
+        F.lit(0.0),
+    )
+    cosine = F.round(num / den, 4)
+    return (
+        cand.select("vec_a", "vec_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= _NEARDUP_MIN)
+    )

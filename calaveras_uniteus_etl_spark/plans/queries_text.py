@@ -66,3 +66,176 @@ def x10_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
     return d.select("doc_id", F.md5(normalized).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# X7 — language identification (stopword-hit heuristic)
+# ---------------------------------------------------------------------------
+
+from calaveras_uniteus_etl_spark.operators.dedup import NORM_DUCK, NORM_SPARK
+
+_STOPWORDS = {
+    "en": ("the", "and", "of", "to", "in", "is", "it", "a"),
+    "es": ("el", "la", "de", "que", "y", "los", "se", "del"),
+    "fr": ("le", "et", "les", "des", "une", "du", "dans", "est"),
+    "de": ("der", "die", "und", "den", "von", "zu", "das", "mit"),
+}
+_LANG_ORDER = ("en", "es", "fr", "de")
+
+
+def _pred_case(hit: dict[str, str]) -> str:
+    """Shared argmax-with-tiebreak CASE (identical SQL both engines)."""
+    clauses = []
+    for i, lang in enumerate(_LANG_ORDER):
+        geq = " AND ".join(
+            f"{hit[lang]} >= {hit[other]}" for other in _LANG_ORDER[i + 1 :]
+        )
+        cond = f"{hit[lang]} > 0" + (f" AND {geq}" if geq else "")
+        clauses.append(f"WHEN {cond} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + " ELSE 'und' END"
+
+
+def _hits_spark(lang: str) -> str:
+    lits = ", ".join(f"'{t}'" for t in _STOPWORDS[lang])
+    return f"size(filter(w, t -> t in ({lits})))"
+
+
+def _hits_duck(lang: str) -> str:
+    lits = ", ".join(f"'{t}'" for t in _STOPWORDS[lang])
+    return f"len(list_filter(w, t -> t IN ({lits})))"
+
+
+_X7_PRED_SPARK = _pred_case({lang: _hits_spark(lang) for lang in _LANG_ORDER})
+_X7_PRED_DUCK = _pred_case({lang: _hits_duck(lang) for lang in _LANG_ORDER})
+
+
+@register(
+    "x7_language_id",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split({NORM_DUCK.format(col="text")}, ' ') AS w
+  FROM documents
+)
+SELECT doc_id, lang AS lang_actual, {_X7_PRED_DUCK} AS lang_pred
+FROM toks
+""",
+    doc="Language-ID n-gram/stopword heuristic: per-language stopword "
+    "hit counts, argmax with deterministic tiebreak.",
+)
+def x7_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("w", F.expr(f"split({NORM_SPARK.format(col='text')}, ' ')"))
+        .select(
+            "doc_id",
+            F.col("lang").alias("lang_actual"),
+            F.expr(_X7_PRED_SPARK).alias("lang_pred"),
+        )
+    )
+
+
+@register(
+    "x7_language_confusion",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split({NORM_DUCK.format(col="text")}, ' ') AS w
+  FROM documents
+)
+SELECT lang AS lang_actual, {_X7_PRED_DUCK} AS lang_pred, COUNT(*) AS n_docs
+FROM toks
+GROUP BY 1, 2
+""",
+    doc="Language-ID confusion matrix: actual × predicted counts.",
+)
+def x7_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("w", F.expr(f"split({NORM_SPARK.format(col='text')}, ' ')"))
+        .groupBy(
+            F.col("lang").alias("lang_actual"),
+            F.expr(_X7_PRED_SPARK).alias("lang_pred"),
+        )
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# X8 — document quality scoring
+#
+# Ratios are emitted as raw doubles (no rounding): both engines divide
+# bit-identical operands, so the quotients are IEEE-identical — and
+# skipping ROUND avoids engine-specific tie-break behavior on exactly
+# representable midpoints.
+# ---------------------------------------------------------------------------
+
+_X8_STOP = ", ".join(f"'{t}'" for t in _STOPWORDS["en"])
+
+
+@register(
+    "x8_quality_score",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, text, {NORM_DUCK.format(col="text")} AS norm,
+         string_split({NORM_DUCK.format(col="text")}, ' ') AS w
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         length(text) AS n_chars_actual,
+         CASE WHEN norm = '' THEN 0 ELSE len(w) END AS n_tokens,
+         CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"-]', '', 'g')) AS BIGINT) AS n_punct,
+         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+         len(list_filter(w, t -> t IN ({_X8_STOP}))) AS n_stop
+  FROM toks
+)
+SELECT doc_id, n_tokens,
+       CAST(n_punct AS DOUBLE) / NULLIF(n_chars_actual, 0) AS punct_ratio,
+       CAST(n_digits AS DOUBLE) / NULLIF(n_chars_actual, 0) AS digit_ratio,
+       CAST(n_stop AS DOUBLE) / NULLIF(n_tokens, 0) AS stopword_ratio,
+       CAST(n_chars_actual - (n_tokens - 1) AS DOUBLE) / NULLIF(n_tokens, 0) AS mean_token_len,
+       CASE WHEN n_tokens >= 30 AND n_stop > 0 THEN 'good'
+            WHEN n_tokens >= 15 THEN 'fair'
+            ELSE 'poor' END AS quality_bucket
+FROM m
+""",
+    doc="Quality scoring: token count, punct/digit/stopword ratios, mean "
+    "token length, threshold bucket — all built-in expressions.",
+)
+def x8_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    norm = NORM_SPARK.format(col="text")
+    m = (
+        d.withColumn("norm", F.expr(norm))
+        .withColumn("w", F.expr("split(norm, ' ')"))
+        .select(
+            "doc_id",
+            F.length("text").cast("long").alias("n_chars_actual"),
+            F.expr("case when norm = '' then 0 else size(w) end")
+            .cast("long")
+            .alias("n_tokens"),
+            F.expr(
+                """cast(length(text) - length(regexp_replace(text, '[.,;:!?\\'"-]', '')) as bigint)"""
+            ).alias("n_punct"),
+            F.expr(
+                "cast(length(text) - length(regexp_replace(text, '[0-9]', '')) as bigint)"
+            ).alias("n_digits"),
+            F.expr(f"cast(size(filter(w, t -> t in ({_X8_STOP}))) as bigint)").alias(
+                "n_stop"
+            ),
+        )
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_punct").cast("double") / F.nullif(F.col("n_chars_actual"), F.lit(0)))
+        .alias("punct_ratio"),
+        (F.col("n_digits").cast("double") / F.nullif(F.col("n_chars_actual"), F.lit(0)))
+        .alias("digit_ratio"),
+        (F.col("n_stop").cast("double") / F.nullif(F.col("n_tokens"), F.lit(0)))
+        .alias("stopword_ratio"),
+        ((F.col("n_chars_actual") - (F.col("n_tokens") - 1)).cast("double")
+         / F.nullif(F.col("n_tokens"), F.lit(0))).alias("mean_token_len"),
+        F.expr(
+            "case when n_tokens >= 30 and n_stop > 0 then 'good' "
+            "when n_tokens >= 15 then 'fair' else 'poor' end"
+        ).alias("quality_bucket"),
+    )
