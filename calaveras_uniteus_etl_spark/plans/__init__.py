@@ -13,6 +13,8 @@ from calaveras_uniteus_etl_spark.plans import (  # noqa: F401  (import = registe
     queries_etl,
     queries_filters,
     queries_joins,
+    queries_multimodal,
     queries_similarity,
+    queries_streaming,
     queries_text,
 )

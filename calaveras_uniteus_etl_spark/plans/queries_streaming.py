@@ -1,0 +1,127 @@
+"""Event-stream operators, batch-checkable form.
+
+The reference has no streaming semantics (SURVEY.md §2.K) — these are
+the driver's north-star extensions expressed so the SAME logical plans
+serve both execution modes:
+
+- ``s1_tumbling_window`` uses ``F.window`` — the exact operator a
+  ``readStream`` + watermark pipeline runs (streaming/windows.py wires
+  it); in batch it is an ordinary hash aggregate on the bucketed key.
+- ``s2_sessionization`` is the gap-and-island form of the stateful
+  session operator (streaming/sessionize.py holds the
+  ``applyInPandasWithState`` twin); in batch it is two window functions
+  and an aggregate.
+
+Scale notes: the window aggregate shuffles once on (window, type) —
+partial aggregation happens map-side; sessionization shuffles once on
+user_id and both window functions reuse that single sort. Sums of the
+double ``value`` measure go through exact DECIMAL (plans/_exact.py) so
+results are partition-order independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from calaveras_uniteus_etl_spark.plans._exact import VALUE6, dec, exact_sum
+from calaveras_uniteus_etl_spark.plans.catalog import register
+from calaveras_uniteus_etl_spark.plans.tables import table
+
+WINDOW = "6 hours"
+SESSION_GAP_MIN = 360  # same 6-hour scale as the window
+
+
+@register(
+    "s1_tumbling_window",
+    oracle=f"""
+SELECT time_bucket(INTERVAL '{WINDOW}', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    doc="Tumbling 6-hour window aggregate via F.window — the identical "
+    "plan Structured Streaming runs behind a watermark "
+    "(streaming/windows.py); exact-decimal value sums.",
+)
+def s1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", WINDOW).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_sum(dec("value", VALUE6), "sum_value", scale=6),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "s2_sessionization",
+    oracle=f"""
+WITH lagged AS (
+  SELECT user_id, event_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > {SESSION_GAP_MIN}::BIGINT * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM lagged
+), sess AS (
+  SELECT user_id, event_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_no, COUNT(*) AS n_events,
+         epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+  FROM sess GROUP BY 1, 2
+)
+SELECT user_id,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS total_events,
+       CAST(MAX(n_events) AS BIGINT) AS longest_session_events,
+       CAST(SUM(dur_us) AS DOUBLE) / 60000000 AS total_session_minutes
+FROM per_session
+GROUP BY user_id
+""",
+    doc="Gap sessionization (6h inactivity): lag + running-sum session "
+    "ids, per-user session stats — the batch twin of the "
+    "applyInPandasWithState stateful operator.",
+)
+def s2_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(order))
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            gap_us.isNull() | (gap_us > SESSION_GAP_MIN * 60 * 1_000_000), 1
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_no",
+        F.sum("new_session").over(order.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_session = sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("total_events"),
+        F.max("n_events").alias("longest_session_events"),
+        (F.sum("dur_us").cast("double") / F.lit(60000000)).alias(
+            "total_session_minutes"
+        ),
+    )

@@ -1,0 +1,52 @@
+"""Watermarked window aggregates over an event stream.
+
+The streaming twin of ``plans/queries_streaming.s1_tumbling_window``:
+the grouped plan is IDENTICAL (``F.window`` bucketing + hash
+aggregate); streaming only adds the watermark, which bounds state by
+telling Spark when a window can no longer receive late rows and may be
+finalized/evicted.
+
+Scale notes: state per key is one aggregate row; watermark delay is the
+late-data SLA — at 100 TB of events the knobs that matter are
+shuffle partitions for the (window, key) exchange and the state-store
+backend (RocksDB for large key spaces), both session-level configs, not
+plan changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_agg(
+    events: DataFrame,
+    window: str = "6 hours",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling-window count + sum; works on batch and stream alike.
+
+    On a streaming DataFrame the watermark enables append-mode output
+    (a window emits once it is final); on a batch DataFrame the
+    watermark is a no-op and the result equals s1_tumbling_window.
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.window(ts_col, window).alias("win"), key_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(38,6)")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1,0 +1,180 @@
+"""Structured Streaming surface tests.
+
+Covers: exactly-once file-source ingest (checkpointed file log +
+micro-batch merge upsert), watermarked tumbling windows matching the
+batch plan, built-in session windows matching gap-and-island, and the
+applyInPandasWithState sessionizer holding state across separate runs
+of the same checkpointed query.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from calaveras_uniteus_etl_spark.schema import TABLE_SCHEMAS
+from calaveras_uniteus_etl_spark.streaming import (
+    session_window_agg,
+    sessionize_with_state,
+    stream_ingest,
+    windowed_agg,
+)
+from calaveras_uniteus_etl_spark.warehouse import Warehouse
+
+UTC = dt.timezone.utc
+
+
+def _write_people_file(path, rows: list[dict]) -> None:
+    """Pipe-delimited file with the full declared people column set."""
+    cols = [f.name for f in TABLE_SCHEMAS["people"].fields]
+    with open(path, "w") as f:
+        f.write("|".join(cols) + "\n")
+        for row in rows:
+            f.write("|".join(str(row.get(c, "")) for c in cols) + "\n")
+
+
+def test_stream_ingest_exactly_once_with_upsert(spark, tmp_path):
+    inp = tmp_path / "in"
+    inp.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_people_file(
+        inp / "people_a.txt",
+        [
+            {"person_id": "p1", "first_name": "Ann"},
+            {"person_id": "p2", "first_name": "Bob"},
+        ],
+    )
+    _write_people_file(inp / "people_b.txt", [{"person_id": "p3", "first_name": "Cal"}])
+
+    q = stream_ingest(spark, str(inp), wh, "people", ckpt)
+    q.awaitTermination()
+    got = {r["person_id"] for r in wh.read("people").collect()}
+    assert got == {"p1", "p2", "p3"}
+
+    # second run: only the new file is consumed (the checkpointed file
+    # log skips a+b), and the shared key p2 is updated, not duplicated
+    _write_people_file(
+        inp / "people_c.txt",
+        [{"person_id": "p2", "first_name": "Bea"}, {"person_id": "p4"}],
+    )
+    q = stream_ingest(spark, str(inp), wh, "people", ckpt)
+    q.awaitTermination()
+    out = {r["person_id"]: r["first_name"] for r in wh.read("people").collect()}
+    assert out == {"p1": "Ann", "p2": "Bea", "p3": "Cal", "p4": None}
+
+
+def _events_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, ts, uid, et, float(v)) for i, (ts, uid, et, v) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+
+
+@pytest.fixture()
+def small_events(spark):
+    t0 = dt.datetime(2024, 3, 1, 0, 30, tzinfo=UTC)
+    rows = []
+    for h in range(0, 48, 2):  # every 2h over 2 days, 2 users, 2 types
+        ts = t0 + dt.timedelta(hours=h)
+        rows.append((ts, 1, "click", 1.5))
+        rows.append((ts + dt.timedelta(minutes=10), 2, "view", 2.25))
+    return _events_df(spark, rows)
+
+
+def test_windowed_agg_stream_matches_batch(spark, small_events, tmp_path):
+    src = str(tmp_path / "events_parquet")
+    small_events.write.parquet(src)
+
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in windowed_agg(small_events).collect()
+    }
+
+    stream = spark.readStream.schema(small_events.schema).parquet(src)
+    q = (
+        windowed_agg(stream)
+        .writeStream.format("memory")
+        .queryName("win_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM win_out").collect()
+    }
+    assert streamed == batch and len(batch) > 0
+
+
+def test_session_window_matches_gap_and_island(spark, small_events):
+    # gap-and-island reference implementation (same as s2_sessionization)
+    from pyspark.sql.window import Window
+
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(order))
+    sess_counts = (
+        small_events.withColumn(
+            "new_s",
+            F.when(gap_us.isNull() | (gap_us > 6 * 3600 * 1_000_000), 1).otherwise(0),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("new_s").alias("n_sessions"))
+    )
+    expect = {r["user_id"]: r["n_sessions"] for r in sess_counts.collect()}
+
+    got_rows = session_window_agg(small_events).collect()
+    got: dict[int, int] = {}
+    for r in got_rows:
+        got[r["user_id"]] = got.get(r["user_id"], 0) + 1
+    assert got == expect
+    # every event accounted for
+    assert sum(r["n_events"] for r in got_rows) == small_events.count()
+
+
+def test_sessionize_with_state_across_runs(spark, tmp_path):
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    sink = str(tmp_path / "sessions_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+    t0 = dt.datetime(2024, 3, 1, 8, 0, tzinfo=UTC)
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        ).parquet(str(src))
+        q = (
+            sessionize_with_state(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: one user, two events 1h apart — session stays open, nothing emitted
+    _events_df(spark, [(t0, 7, "click", 1.0), (t0 + dt.timedelta(hours=1), 7, "click", 1.0)]) \
+        .coalesce(1).write.mode("append").parquet(str(src))
+    run_once()
+    spark_read = lambda: spark.read.schema(
+        "user_id long, session_start timestamp, session_end timestamp, n_events long"
+    ).parquet(sink)
+    assert spark_read().count() == 0
+
+    # run 2: an event 20h later closes the run-1 session (state survived
+    # the restart via the checkpoint) and is emitted exactly once
+    _events_df(spark, [(t0 + dt.timedelta(hours=21), 7, "click", 1.0)]) \
+        .coalesce(1).write.mode("append").parquet(str(src))
+    run_once()
+    rows = spark_read().collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["user_id"] == 7 and r["n_events"] == 2
+    assert (r["session_end"] - r["session_start"]) == dt.timedelta(hours=1)
