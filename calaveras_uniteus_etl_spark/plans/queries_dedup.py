@@ -73,14 +73,34 @@ def x1_dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EST_MIN = 0.5  # estimated-Jaccard acceptance threshold
 
 
+def _docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, spread across cores before CPU-heavy hashing.
+
+    The synthetic table arrives as one parquet file → one partition;
+    signature/fingerprint projections are md5-dense, so repartition
+    first (tiny shuffle of raw text, then fully parallel compute). At
+    real scale the source is already many splits and Spark elides
+    nothing — the repartition is a no-op cost-wise relative to the
+    hash work it parallelizes.
+    """
+    par = spark.sparkContext.defaultParallelism
+    return table(spark, sf_dir, "documents").repartition(par, "doc_id")
+
+
 def _spark_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = dd.with_shingles(table(spark, sf_dir, "documents"))
-    return d.withColumn("sig", dd.minhash_sig_expr()).select("doc_id", "sig")
+    d = dd.with_shingles(_docs_wide(spark, sf_dir))
+    return (
+        d.withColumn("hs", dd.shingle_hashes_expr())
+        .withColumn("sig", dd.minhash_sig_expr())
+        .select("doc_id", "sig")
+    )
 
 
 _DUCK_SIGS = f"""
-WITH {dd.duck_shingles_cte()}, sigs AS (
-  SELECT doc_id, {dd.duck_minhash_sig_sql()} AS sig FROM shing
+WITH {dd.duck_shingles_cte()}, shash AS (
+  SELECT doc_id, {dd.duck_shingle_hashes_sql()} AS hs FROM shing
+), sigs AS (
+  SELECT doc_id, {dd.duck_minhash_sig_sql()} AS sig FROM shash
 )"""
 
 
@@ -116,11 +136,17 @@ WHERE CAST(len(list_filter(range({dd.MINHASH_K}), i -> sa[i+1] = sb[i+1])) AS DO
     "→ distinct candidates → signature-estimated Jaccard ≥ 0.5.",
 )
 def x2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = _spark_sigs(spark, sf_dir)
+    # Cache the signature relation: the LSH self-join would otherwise
+    # re-derive the (md5-heavy) signature subtree on both sides, and
+    # again when signatures are joined back onto the candidates. The
+    # cached relation is K longs per doc — O(corpus), tiny next to the
+    # text it summarizes.
+    sigs = _spark_sigs(spark, sf_dir).cache()
     bands = sigs.select(
-        "doc_id", "sig", F.posexplode(dd.band_keys_expr()).alias("band", "band_key")
+        "doc_id", F.posexplode(dd.band_keys_expr()).alias("band", "band_key")
     )
     a, b = bands.alias("a"), bands.alias("b")
+    # distinct over bare id pairs — never over the signature arrays
     cand = (
         a.join(
             b,
@@ -128,19 +154,17 @@ def x2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sa"),
-            F.col("b.sig").alias("sb"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    pairs = cand.join(
+        sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa")), "doc_a"
+    ).join(sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb")), "doc_b")
     est = F.expr(
         f"cast(size(filter(sequence(0, {dd.MINHASH_K - 1}), i -> sa[i] = sb[i])) as double)"
         f" / {dd.MINHASH_K}"
     )
-    return cand.select(
+    return pairs.select(
         "doc_a", "doc_b", F.round(est, 4).alias("est_sim")
     ).filter(est >= _EST_MIN)
 
@@ -165,7 +189,7 @@ SELECT doc_id, {dd.duck_simhash_sql()} AS simhash FROM hashes
     "majority bit vote — built-in array exprs only.",
 )
 def x3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = dd.with_shingles(table(spark, sf_dir, "documents"))
+    d = dd.with_shingles(_docs_wide(spark, sf_dir))
     hs, sim = dd.simhash_exprs()
     return d.withColumn("hs", hs).select("doc_id", sim.alias("simhash"))
 
@@ -191,7 +215,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
     "32-bit fingerprint) → hamming distance ≤ 6.",
 )
 def x3_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = dd.with_shingles(table(spark, sf_dir, "documents"))
+    d = dd.with_shingles(_docs_wide(spark, sf_dir))
     hs, sim = dd.simhash_exprs()
     fp = d.withColumn("hs", hs).select("doc_id", sim.alias("simhash"))
     bands = fp.select(
@@ -238,7 +262,7 @@ _JACCARD_MIN = 0.4
     "x4_ngram_jaccard",
     oracle=f"""
 WITH {dd.duck_shingles_cte()}, sh AS (
-  SELECT doc_id, unnest(list_transform(shingles, g -> md5(g))) AS g
+  SELECT doc_id, unnest({dd.duck_shingle_digests_sql()}) AS g
   FROM shing
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
@@ -252,14 +276,19 @@ SELECT doc_a, doc_b,
 FROM shared JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
 WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= {_JACCARD_MIN}
 """,
-    doc="Exact word-3-shingle Jaccard: inverted-index join on shingle "
-    "digests, |A∩B| / (|A|+|B|−|A∩B|) ≥ 0.4.",
+    doc="Exact word-3-shingle Jaccard: inverted-index join on 60-bit "
+    "shingle digests, |A∩B| / (|A|+|B|−|A∩B|) ≥ 0.4.",
 )
 def x4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = dd.with_shingles(table(spark, sf_dir, "documents"))
+    # The inverted index is used three times (both self-join sides +
+    # per-doc sizes): cache it once. Postings are (doc_id, bigint
+    # digest) — the join/shuffle never carries shingle text, and a
+    # 60-bit digest makes cross-doc collisions (the only thing that
+    # could perturb exactness) a 1-in-2^60 event.
+    d = dd.with_shingles(_docs_wide(spark, sf_dir))
     sh = d.select(
-        "doc_id", F.explode(F.expr("transform(shingles, g -> md5(g))")).alias("g")
-    )
+        "doc_id", F.explode(dd.shingle_digests_expr()).alias("g")
+    ).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (

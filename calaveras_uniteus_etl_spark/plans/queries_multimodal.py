@@ -32,7 +32,10 @@ _H2 = _duck_fold("substr(md5(text), 16, 15)")
 
 
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    # spread before the Arrow/pandas decode stage (source is one file)
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     return d.select(
         "doc_id",
         F.encode("text", "utf-8").alias("payload"),

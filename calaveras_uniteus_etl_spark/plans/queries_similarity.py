@@ -101,13 +101,25 @@ _DUCK_COSINE = """ROUND(list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUB
                 * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))), 0), 4)"""
 
 
-def _spark_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _spark_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectors with bucket ids and a precomputed norm, cached.
+
+    The self-join and the cosine step both reuse this one relation:
+    buckets/norms are computed once per vector, never per candidate
+    pair, and the join carries (vec_id, tbl, bucket) — 3 small ints —
+    until the final embedding join-back.
+    """
     e = table(spark, sf_dir, "embeddings")
     return e.select(
         "vec_id",
         "embedding",
-        F.posexplode(sim.buckets_array_expr()).alias("tbl", "bucket"),
-    )
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        sim.buckets_array_expr().alias("bks"),
+    ).cache()
+
+
+def _spark_buckets(vecs: DataFrame) -> DataFrame:
+    return vecs.select("vec_id", F.posexplode("bks").alias("tbl", "bucket"))
 
 
 def _duck_buckets_cte() -> str:
@@ -147,32 +159,38 @@ SELECT query_id, neighbor_id, cosine FROM (
     "path next to X5's brute force.",
 )
 def x6_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b = _spark_buckets(spark, sf_dir)
+    vecs = _spark_vecs(spark, sf_dir)
+    b = _spark_buckets(vecs)
     probes = b.filter(F.col("vec_id") < _N_QUERY).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q"),
-        "tbl",
-        "bucket",
+        F.col("vec_id").alias("query_id"), "tbl", "bucket"
     )
     cand = (
         F.broadcast(probes)
-        .join(
-            b,
-            (probes.tbl == b.tbl)
-            & (probes.bucket == b.bucket)
-            & (F.col("query_id") != F.col("vec_id")),
-        )
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), "q", "embedding")
+        .join(b, ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
-    num = _dot(F.col("q"), F.col("embedding"))
-    den = F.nullif(
-        F.sqrt(_dot(F.col("q"), F.col("q")))
-        * F.sqrt(_dot(F.col("embedding"), F.col("embedding"))),
-        F.lit(0.0),
+    qside = vecs.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q"),
+        F.col("nrm").alias("qn"),
     )
-    scored = cand.select(
-        "query_id", "neighbor_id", F.round(num / den, 4).alias("cosine")
+    nside = vecs.select(
+        F.col("vec_id").alias("neighbor_id"), "embedding", F.col("nrm").alias("en")
+    )
+    scored = (
+        cand.join(F.broadcast(qside), "query_id")
+        .join(nside, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("q"), F.col("embedding"))
+                / F.nullif(F.col("qn") * F.col("en"), F.lit(0.0)),
+                4,
+            ).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -201,8 +219,11 @@ WHERE {_DUCK_COSINE.format(a="ea", b="eb")} >= {_NEARDUP_MIN}
     "the same buckets exactly.",
 )
 def x6_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b = _spark_buckets(spark, sf_dir)
+    vecs = _spark_vecs(spark, sf_dir)
+    b = _spark_buckets(vecs)
     a, c = b.alias("a"), b.alias("c")
+    # candidate mining carries only (vec_id, vec_id): the distinct and
+    # the shuffle never see the 64-float payload
     cand = (
         a.join(
             c,
@@ -210,21 +231,27 @@ def x6_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.bucket") == F.col("c.bucket"))
             & (F.col("a.vec_id") < F.col("c.vec_id")),
         )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("c.vec_id").alias("vec_b"),
-            F.col("a.embedding").alias("ea"),
-            F.col("c.embedding").alias("eb"),
-        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("c.vec_id").alias("vec_b"))
         .distinct()
     )
-    num = _dot(F.col("ea"), F.col("eb"))
-    den = F.nullif(
-        F.sqrt(_dot(F.col("ea"), F.col("ea"))) * F.sqrt(_dot(F.col("eb"), F.col("eb"))),
-        F.lit(0.0),
+    aside = vecs.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
     )
-    cosine = F.round(num / den, 4)
+    bside = vecs.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cosine = F.round(
+        _dot(F.col("ea"), F.col("eb"))
+        / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)),
+        4,
+    )
     return (
-        cand.select("vec_a", "vec_b", cosine.alias("cosine"))
+        cand.join(aside, "vec_a")
+        .join(bside, "vec_b")
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= _NEARDUP_MIN)
     )
