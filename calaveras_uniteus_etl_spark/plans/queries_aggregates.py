@@ -629,3 +629,67 @@ def i1_union_all_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return leg("click").unionByName(leg("purchase"))
+
+
+# ---------------------------------------------------------------------------
+# M1 — audit-trail stats bundle (SURVEY §2.M)
+#
+# The reference's audit/ops surface (core/audit_logger.py:263-345:
+# totals, by-category, top-10 users, success/failure split, last-seen
+# leaderboard) is the same F1-F3 shapes over an append-only log; events
+# stands in for the audit table. One query returns the whole bundle the
+# way the endpoint does: labeled sections unioned into a single frame.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m1_audit_stats",
+    oracle="""
+WITH by_cat AS (
+  SELECT 'by_category' AS section, event_type AS label,
+         COUNT(*) AS n, CAST(NULL AS TIMESTAMP) AS last_seen
+  FROM events GROUP BY event_type
+), top_users AS (
+  SELECT 'top_user' AS section, CAST(user_id AS VARCHAR) AS label,
+         COUNT(*) AS n, MAX(ts) AS last_seen
+  FROM events GROUP BY user_id
+  ORDER BY n DESC, label LIMIT 10
+), totals AS (
+  SELECT 'total' AS section, 'events' AS label,
+         COUNT(*) AS n, MAX(ts) AS last_seen
+  FROM events
+)
+SELECT * FROM totals
+UNION ALL SELECT * FROM by_cat
+UNION ALL SELECT * FROM top_users
+""",
+    doc="Audit-log stats bundle: totals + by-category + top-10 actor "
+    "leaderboard with last-seen timestamps, one labeled frame "
+    "(reference core/audit_logger.py:263-345 shape).",
+)
+def m1_audit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    totals = e.agg(
+        F.lit("total").alias("section"),
+        F.lit("events").alias("label"),
+        F.count("*").alias("n"),
+        F.max("ts").alias("last_seen"),
+    ).select("section", "label", "n", "last_seen")
+    by_cat = (
+        e.groupBy(F.col("event_type").alias("label"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("by_category").alias("section"),
+            "label",
+            "n",
+            F.lit(None).cast("timestamp").alias("last_seen"),
+        )
+    )
+    top_users = (
+        e.groupBy(F.col("user_id").cast("string").alias("label"))
+        .agg(F.count("*").alias("n"), F.max("ts").alias("last_seen"))
+        .orderBy(F.desc("n"), F.asc("label"))
+        .limit(10)
+        .select(F.lit("top_user").alias("section"), "label", "n", "last_seen")
+    )
+    return totals.unionByName(by_cat).unionByName(top_users)
