@@ -33,14 +33,11 @@ WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
     doc="Start/end date-range predicate pushed to the scan.",
 )
 def d1_date_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        table(spark, sf_dir, "events")
-        .filter(
-            (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
-            & (F.col("ts") <= F.lit("2024-01-20 00:00:00").cast("timestamp"))
-        )
-        .select("event_id", "event_type", "user_id")
-    )
+    from calaveras_uniteus_etl_spark.plans.tables import events_in_range
+
+    return events_in_range(
+        spark, sf_dir, "2024-01-10 00:00:00", "2024-01-20 00:00:00"
+    ).select("event_id", "event_type", "user_id")
 
 
 # ---------------------------------------------------------------------------

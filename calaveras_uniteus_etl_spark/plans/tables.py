@@ -45,6 +45,32 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def events_in_range(
+    spark: SparkSession, sf_dir: str, start_iso: str, end_iso: str
+) -> DataFrame:
+    """events filtered to [start, end] with the predicate ON THE SCAN.
+
+    ``table()`` converts the raw TIMESTAMP(NANOS) long to a timestamp
+    column first, which leaves any later range predicate sitting above
+    a projection — Parquet row-group statistics never see it. Here the
+    bounds are converted to epoch-nanos ints and applied to the raw
+    long column, so min/max skipping works (the difference between
+    scanning a day and scanning 100 TB of history); the ns→µs
+    conversion happens above the already-filtered scan.
+    """
+    import datetime as _dt
+
+    def ns(s: str) -> int:
+        t = _dt.datetime.fromisoformat(s).replace(tzinfo=_dt.timezone.utc)
+        return int(t.timestamp()) * 1_000_000_000
+
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    filtered = raw.filter(
+        (F.col("ts") >= F.lit(ns(start_iso))) & (F.col("ts") <= F.lit(ns(end_iso)))
+    )
+    return filtered.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load all tables and register them as temp views."""
     out: dict[str, DataFrame] = {}

@@ -1,0 +1,163 @@
+"""Fixture tests for the healthcare report handlers and analytical views.
+
+Small hand-built people/cases/referrals/employees tables with
+hand-computed expectations — the unit-semantics tier the reference's
+own test suite models (SURVEY.md §5): filter gating, NULL defaulting,
+bucket ordering, funnel arithmetic, view shapes.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from calaveras_uniteus_etl_spark.reports.filters import ReportFilters
+from calaveras_uniteus_etl_spark.reports import handlers as H
+from calaveras_uniteus_etl_spark.reports.views import register_views
+
+AS_OF = "2026-01-01 00:00:00"
+
+
+@pytest.fixture(scope="module")
+def fixture_tables(spark):
+    people = spark.createDataFrame(
+        [
+            ("p1", "Ann", "Ayes", "1990-06-15 00:00:00", "female", "450"),
+            ("p2", "Bob", "Bee", "1950-01-01 00:00:00", "male", "abc"),
+            ("p3", "Cal", "Cee", None, None, "3000"),
+            ("p4", "Dee", "Dye", "2010-03-03 00:00:00", "female", None),
+        ],
+        "person_id string, first_name string, last_name string, "
+        "date_of_birth string, gender string, gross_monthly_income string",
+    )
+    cases = spark.createDataFrame(
+        [
+            ("c1", "p1", "open", "Housing", "ProvA", "w1",
+             "2025-11-01 00:00:00", "2025-12-20 00:00:00", None),
+            ("c2", "p1", "closed", "Food", "ProvA", "w1",
+             "2025-06-01 00:00:00", "2025-06-11 12:00:00", "2025-06-11 12:00:00"),
+            ("c3", "p2", "open", "Housing", "ProvB", "w2",
+             "2025-12-15 00:00:00", "2025-12-16 00:00:00", None),
+            ("c4", "p3", "resolved", None, "ProvB", None,
+             "2025-03-01 00:00:00", "2025-03-31 00:00:00", "2025-03-31 00:00:00"),
+        ],
+        "case_id string, person_id string, case_status string, "
+        "service_type string, provider_name string, primary_worker_id string, "
+        "case_created_at string, case_updated_at string, case_closed_at string",
+    )
+    referrals = spark.createDataFrame(
+        [
+            ("r1", "p1", "c1", "accepted", "ProvA", "ProvB", "Housing",
+             "2025-12-01 00:00:00", "2025-12-01 00:00:00",
+             "2025-12-02 00:00:00", "2025-12-03 00:00:00"),
+            ("r2", "p2", "c3", "declined", "ProvA", "ProvB", "Food",
+             "2025-12-15 00:00:00", "2025-12-15 00:00:00", None, None),
+            ("r3", "p3", "c4", "accepted", "ProvB", "ProvA", "Housing",
+             "2025-03-02 00:00:00", "2025-03-02 00:00:00",
+             "2025-03-04 00:00:00", None),
+            ("r4", "p1", "c1", "pending", "ProvA", "ProvA", "Housing",
+             "2025-12-05 00:00:00", None, None, None),
+        ],
+        "referral_id string, person_id string, case_id string, "
+        "referral_status string, sending_provider_name string, "
+        "receiving_provider_name string, service_type string, "
+        "referral_created_at string, sent_at string, accepted_at string, "
+        "completed_at string",
+    )
+    employees = spark.createDataFrame(
+        [
+            ("w1", "Wyn", "One", "ProvA"),
+            ("w2", "Wes", "Two", "ProvB"),
+            ("w3", "Wil", "Tri", "ProvB"),
+        ],
+        "employee_id string, employee_first_name string, "
+        "employee_last_name string, provider_name string",
+    )
+    for name, df in [
+        ("people", people), ("cases", cases),
+        ("referrals", referrals), ("employees", employees),
+    ]:
+        df.createOrReplaceTempView(name)
+    return dict(people=people, cases=cases, referrals=referrals, employees=employees)
+
+
+def test_demographic_distribution_null_default(spark, fixture_tables):
+    t = fixture_tables
+    rows = H.demographic_distribution(t["people"], t["cases"], "gender").collect()
+    got = {r["gender"]: r["count"] for r in rows}
+    assert got == {"female": 2, "male": 1, "Not Specified": 1}
+    # date gating switches to the joined COUNT(DISTINCT person_id) path
+    f = ReportFilters(start_date="2025-12-01 00:00:00", end_date="2025-12-31 00:00:00")
+    rows = H.demographic_distribution(t["people"], t["cases"], "gender", f).collect()
+    got = {r["gender"]: r["count"] for r in rows}
+    assert got == {"female": 1, "male": 1}  # p1 (c1 updated Dec), p2 (c3)
+
+
+def test_age_and_income_buckets(spark, fixture_tables):
+    t = fixture_tables
+    ages = {r["age_bracket"]: r["count"]
+            for r in H.age_distribution(t["people"], t["cases"], AS_OF).collect()}
+    assert ages == {"35-44": 1, "65+": 1, "0-17": 1}  # p3 has NULL dob → excluded
+    rows = H.income_distribution(t["people"]).collect()
+    got = {r["income_bracket"]: r["count"] for r in rows}
+    # 'abc' parses as 0 (SQLite CAST parity), NULL income → 0 → No Income
+    assert got == {"No Income": 2, "$1-999": 1, "$2,500-4,999": 1}
+    assert [r["income_bracket"] for r in rows] == [
+        "No Income", "$1-999", "$2,500-4,999"
+    ]  # custom bucket order, not count order
+
+
+def test_status_distribution_and_facets(spark, fixture_tables):
+    t = fixture_tables
+    got = {r["status"]: r["count"]
+           for r in H.status_distribution(t["cases"], "cases").collect()}
+    assert got == {"open": 2, "closed": 1, "resolved": 1}
+    f = ReportFilters(provider="ProvB")
+    got = {r["status"]: r["count"]
+           for r in H.status_distribution(t["referrals"], "referrals", f).collect()}
+    # referrals provider matches sending OR receiving: r1, r2 (recv), r3 (send)
+    assert got == {"accepted": 2, "declined": 1}
+
+
+def test_resolution_time(spark, fixture_tables):
+    rows = H.resolution_time_by_service(fixture_tables["cases"]).collect()
+    got = {r["service_type"]: (r["avg_days"], r["resolved_cases"]) for r in rows}
+    assert got == {"Food": (10.5, 1), "Unknown": (30.0, 1)}
+
+
+def test_provider_network_edges_excludes_self(spark, fixture_tables):
+    rows = H.provider_network_edges(fixture_tables["referrals"]).collect()
+    pairs = {(r["sending_provider_name"], r["receiving_provider_name"]):
+             (r["referral_count"], r["acceptance_rate"]) for r in rows}
+    # r4 ProvA→ProvA self-edge excluded
+    assert pairs == {("ProvA", "ProvB"): (2, 0.5), ("ProvB", "ProvA"): (1, 1.0)}
+
+
+def test_referral_funnel(spark, fixture_tables):
+    r = H.referral_funnel(fixture_tables["referrals"]).collect()[0]
+    assert (r["created"], r["sent"], r["accepted"], r["completed"]) == (4, 3, 2, 1)
+    assert r["completion_pct"] == 25.0
+
+
+def test_timeline_week_bucketing(spark, fixture_tables):
+    rows = H.timeline(fixture_tables["referrals"], "referral_created_at", "week").collect()
+    got = {r["period"]: r["count"] for r in rows}
+    # 2025-03-02 is a Sunday → still week 08 (Mondays-elapsed count);
+    # Dec 1 is a Monday → r1 + r4 (Dec 5) share W48, Dec 15 → W50
+    assert got == {"2025-W08": 1, "2025-W48": 2, "2025-W50": 1}
+
+
+def test_views_shapes(spark, fixture_tables):
+    register_views(spark, as_of=AS_OF)
+    active = spark.sql("SELECT * FROM v_active_cases").collect()
+    assert {r["case_id"] for r in active} == {"c1", "c3"}
+    assert {r["worker_name"] for r in active} == {"Wyn One", "Wes Two"}
+    wl = {r["employee_id"]: (r["total_cases"], r["open_cases"])
+          for r in spark.sql("SELECT * FROM v_employee_workload").collect()}
+    assert wl == {"w1": (2, 1), "w2": (1, 1), "w3": (0, 0)}
+    flow = spark.sql("SELECT * FROM v_referral_flow").collect()
+    assert {r["referral_id"] for r in flow} == {"r1", "r2", "r4"}  # 90-day window
+    journey = {r["person_id"]: r["total_cases"]
+               for r in spark.sql("SELECT * FROM v_client_journey").collect()}
+    assert journey == {"p1": 2, "p2": 1, "p3": 1, "p4": 0}
