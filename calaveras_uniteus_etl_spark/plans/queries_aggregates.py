@@ -693,3 +693,69 @@ def m1_audit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("top_user").alias("section"), "label", "n", "last_seen")
     )
     return totals.unionByName(by_cat).unionByName(top_users)
+
+
+# ---------------------------------------------------------------------------
+# F17 — skew-mitigated aggregation (salting; 100 TB technique)
+#
+# events has 5 hot event_type keys (~2000 rows each at sf0.01): a naive
+# groupBy sends each hot key to one reducer. Salting splits every key
+# across N sub-aggregates (stage 1 shuffles on (key, salt)), then a
+# cheap stage-2 combine over N rows per key restores exact results —
+# the pattern is result-invariant, so the plain GROUP BY is the oracle.
+# The salt must be deterministic for the oracle contract: md5 of the
+# row's unique id, not rand().
+# ---------------------------------------------------------------------------
+
+_N_SALTS = 16
+
+
+@register(
+    "f17_skew_salted_agg",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+FROM events
+GROUP BY event_type
+""",
+    doc="Salted two-stage aggregation over skewed keys: partial agg on "
+    "(key, md5-salt mod 16), combine per key — exact results, hot keys "
+    "spread across 16 reducers.",
+)
+def f17_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    salted = e.withColumn(
+        "_salt",
+        F.expr(f"cast(conv(substr(md5(cast(event_id as string)), 1, 15), 16, 10) as bigint) % {_N_SALTS}"),
+    )
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count("*").alias("pn"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("pv"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        F.sum("pv").cast("decimal(38,6)").alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F2b — approx_count_distinct (HLL++): the scalable stand-in for exact
+# COUNT(DISTINCT) at 100 TB (SURVEY §2.F note). Sketch internals are
+# engine-private, so there is no cross-engine oracle — the driver
+# records the weaker rows-only check, by design.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f2_approx_count_distinct",
+    oracle=None,
+    doc="approx_count_distinct(user_id) by event_type (HLL++, rsd=0.01) "
+    "— the 100 TB stand-in for exact F2; sketches are engine-private, "
+    "hence rows-only check.",
+)
+def f2_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+    )
