@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from calaveras_uniteus_etl_spark.functions.datetime_ext import julian_day_diff
 from calaveras_uniteus_etl_spark.plans import _exact as X
@@ -326,4 +327,73 @@ def e8_pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("shipments"), "cust_nation", "supp_nation")
         .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# E9 — as-of join (temporal nearest-predecessor; Spark-lacks operator)
+#
+# "Most recent click at-or-before each purchase, per user." Spark has no
+# native ASOF JOIN; the scalable composition is union + one window pass:
+# interleave both sides ordered by (ts, side) within each user and carry
+# the last click timestamp forward — one shuffle on user_id, no
+# per-group pandas, no range cross-product. DuckDB's native ASOF JOIN
+# is the oracle. Clicks are pre-aggregated to one per (user, ts) so the
+# at-or-before match is unambiguous in both engines.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "e9_asof_join",
+    oracle="""
+WITH clicks AS (
+  SELECT user_id, ts, MAX(event_id) AS click_id
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, ts
+), purchases AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id AS purchase_id, p.user_id,
+       c.click_id,
+       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+    doc="As-of join: latest prior click per purchase via union + single "
+    "window pass (Spark lacks ASOF; DuckDB's native ASOF JOIN is the "
+    "oracle). One shuffle on user_id.",
+)
+def e9_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select("user_id", "ts", "click_id", F.lit(0).alias("side"),
+                F.lit(None).cast("long").alias("event_id"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(None).cast("long").alias("click_id"),
+        F.lit(1).alias("side"), "event_id",
+    )
+    both = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = both.select(
+        "*",
+        F.last(F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("last_click_ts"),
+        F.last(F.when(F.col("side") == 0, F.col("click_id")), ignorenulls=True)
+        .over(w)
+        .alias("last_click_id"),
+    )
+    return carried.filter(F.col("side") == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("last_click_id").alias("click_id"),
+        (F.unix_micros("ts") - F.unix_micros("last_click_ts")).alias("gap_us"),
     )

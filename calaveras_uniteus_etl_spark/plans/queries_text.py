@@ -239,3 +239,73 @@ def x8_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "when n_tokens >= 15 then 'fair' else 'poor' end"
         ).alias("quality_bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X12 — TF-IDF top terms per document
+#
+# Classic text-pipeline scoring, all relational: explode tokens → tf per
+# (doc, term) → df per term → idf = ln(N/df) → top-3 terms per doc by
+# window rank. Determinism: N/df is double division of identical ints,
+# and the score is quantized to 6dp before ranking/output: JVM and
+# DuckDB libm ln() agree to within 1 ulp but not always exactly, and
+# rounding collapses that (verified: the raw doubles differ on real
+# inputs at the 16th digit). Ranking ties break on the term itself. Scale shape: two shuffles (doc-term agg,
+# term df) + a broadcast of the tiny df relation back onto tf.
+# ---------------------------------------------------------------------------
+
+_TFIDF_TOPK = 3
+
+
+@register(
+    "x12_tfidf_top_terms",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({NORM_DUCK.format(col="text")}, ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS rn
+  FROM scored
+) WHERE rn <= {_TFIDF_TOPK}
+""",
+    doc="TF-IDF top-3 terms per doc: tf x ln(N/df), window rank with "
+    "term tiebreak — two shuffles plus a broadcast df join.",
+)
+def x12_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.expr(f"split({NORM_SPARK.format(col='text')}, ' ')")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_rel = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar; at scale a cheap count job, never a collect of rows
+    scored = tf.join(F.broadcast(df_rel), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+            "tfidf"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TFIDF_TOPK)
+        .select("doc_id", "term", "tf", "df", "tfidf")
+    )
