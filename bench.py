@@ -39,6 +39,9 @@ HEADLINE = [
     "x11_multimodal_rollup",
     "s1_tumbling_window",
     "s2_sessionization",
+    "e9_asof_join",
+    "x12_tfidf_top_terms",
+    "f17_skew_salted_agg",
 ]
 
 
