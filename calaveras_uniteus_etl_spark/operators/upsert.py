@@ -82,9 +82,16 @@ def undo_load(
     window_end,
 ) -> DataFrame:
     """ETL job undo (reference: core/app.py:1403-1517): drop rows whose
-    audit timestamp falls inside the job's processing window."""
+    audit timestamp falls inside the job's processing window.
+
+    NULL audit timestamps are preserved — a row the ETL never stamped
+    cannot belong to the job being undone (a bare NOT-BETWEEN filter
+    would silently delete them, since NULL comparisons propagate).
+    """
     c = F.col(loaded_at_col)
-    return table_df.filter(~(c >= F.lit(window_start)) | ~(c <= F.lit(window_end)))
+    return table_df.filter(
+        c.isNull() | (c < F.lit(window_start)) | (c > F.lit(window_end))
+    )
 
 
 def latest_per_group(

@@ -1,0 +1,113 @@
+"""Tests for export sinks (A8-A10), job undo (C3), warehouse
+partitioned writes, and the ad-hoc SQL gate (D8)."""
+
+from __future__ import annotations
+
+import csv
+import datetime as dt
+import json
+import os
+import zipfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from calaveras_uniteus_etl_spark.exports.writers import (
+    export_single_csv,
+    export_sql_dump,
+    export_table,
+    export_zip,
+)
+from calaveras_uniteus_etl_spark.operators.adhoc import run_select_only
+from calaveras_uniteus_etl_spark.operators.upsert import undo_load
+from calaveras_uniteus_etl_spark.warehouse import Warehouse
+
+
+@pytest.fixture(scope="module")
+def small_df(spark):
+    return spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, None, 3.5)],
+        "id long, name string, v double",
+    )
+
+
+def test_export_table_formats(spark, small_df, tmp_path):
+    for fmt in ("csv", "json", "parquet"):
+        out = str(tmp_path / fmt)
+        export_table(small_df, out, fmt=fmt)
+        assert os.path.isdir(out)
+    back = spark.read.parquet(str(tmp_path / "parquet"))
+    assert back.count() == 3
+    with pytest.raises(ValueError):
+        export_table(small_df, str(tmp_path / "x"), fmt="xml")
+
+
+def test_export_single_csv_and_zip(spark, small_df, tmp_path):
+    p = tmp_path / "one.csv"
+    n = export_single_csv(small_df.orderBy("id"), str(p))
+    assert n == 3
+    rows = list(csv.reader(open(p)))
+    assert rows[0] == ["id", "name", "v"] and len(rows) == 4
+
+    z = tmp_path / "all.zip"
+    counts = export_zip({"t1": small_df, "t2": small_df.limit(1)}, str(z))
+    assert counts == {"t1": 3, "t2": 1}
+    with zipfile.ZipFile(z) as zf:
+        assert sorted(zf.namelist()) == ["t1.csv", "t2.csv"]
+
+
+def test_export_sql_dump_quoting(spark, small_df, tmp_path):
+    p = tmp_path / "dump.sql"
+    export_sql_dump({"t": small_df}, str(p))
+    text = open(p).read()
+    assert "INSERT INTO t" in text and "NULL" in text
+
+
+def test_single_file_cap(spark, tmp_path):
+    big = spark.range(50).select(F.col("id"))
+    n = export_single_csv(big, str(tmp_path / "capped.csv"), cap=10)
+    assert n == 10
+
+
+def test_undo_load_window_and_nulls(spark):
+    t0 = dt.datetime(2026, 1, 1, 10, 0)
+    rows = [
+        (1, t0 - dt.timedelta(hours=1)),   # before window → kept
+        (2, t0),                            # inside → removed
+        (3, t0 + dt.timedelta(minutes=30)), # inside → removed
+        (4, t0 + dt.timedelta(hours=2)),    # after → kept
+        (5, None),                          # never stamped → kept
+    ]
+    df = spark.createDataFrame(rows, "id long, etl_loaded_at timestamp")
+    out = undo_load(
+        df, "etl_loaded_at", t0, t0 + dt.timedelta(hours=1)
+    )
+    assert {r["id"] for r in out.collect()} == {1, 4, 5}
+
+
+def test_warehouse_partitioned_write_prunes(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(i, f"2024-0{1 + i % 2}", float(i)) for i in range(10)],
+        "id long, month string, v double",
+    )
+    wh.write("events", df, partition_by=["month"])
+    # physical layout is hive-partitioned → partition filter prunes dirs
+    assert os.path.isdir(os.path.join(wh.path("events"), "month=2024-01"))
+    back = wh.read("events").filter(F.col("month") == "2024-02")
+    assert back.count() == 5
+    plan = back._jdf.queryExecution().toString()
+    assert "month=2024-02" in plan or "PartitionFilters" in plan
+
+
+def test_adhoc_gate(spark, small_df):
+    small_df.createOrReplaceTempView("adhoc_t")
+    out = run_select_only(spark, "SELECT id FROM adhoc_t ORDER BY id")
+    assert [r["id"] for r in out.collect()] == [1, 2, 3]
+    # auto-LIMIT applied
+    capped = run_select_only(spark, "SELECT id FROM adhoc_t ORDER BY id", limit=2)
+    assert capped.count() == 2
+    for bad in ("DROP TABLE adhoc_t", "insert into adhoc_t values (9,'z',0.0)"):
+        with pytest.raises(ValueError):
+            run_select_only(spark, bad)
