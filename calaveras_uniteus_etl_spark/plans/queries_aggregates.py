@@ -759,3 +759,37 @@ def f2_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# F18 — exact percentiles (median / p95). Not in the reference (SURVEY
+# §2.F notes the absence) but table stakes for an analytics engine.
+# Spark's percentile() and DuckDB's quantile_cont() share the linear-
+# interpolation definition and produce bit-identical doubles on
+# identical inputs (verified at sf0.01/sf0.1); at 100 TB the scalable
+# variant is percentile_approx (t-digest), which — like the HLL query —
+# would be a rows-only check.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f18_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS median_price,
+       quantile_cont(l_extendedprice, 0.95) AS p95_price,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="Exact median/p95 by group: percentile() vs quantile_cont() "
+    "(same linear interpolation, bit-identical); percentile_approx is "
+    "the 100 TB stand-in.",
+)
+def f18_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95_price"),
+        F.count("*").alias("n"),
+    )
