@@ -72,6 +72,17 @@ def x1_dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EST_MIN = 0.5  # estimated-Jaccard acceptance threshold
 
+# Mega-bucket guard for every LSH-style candidate miner: a bucket with
+# B members contributes B(B−1)/2 pairs, so one boilerplate-heavy bucket
+# (identical headers, templated text) can dominate the whole join at
+# corpus scale. Buckets above the cap are dropped — their members are
+# near-certainly mutual near-dups reachable through their OTHER bands/
+# tables, and the cap turns a quadratic tail into a bounded one. At the
+# test SFs no bucket comes near the cap, so results are unchanged; the
+# predicate exists so the SAME plan survives 100×. Mirrored verbatim in
+# each oracle.
+BUCKET_CAP = 1000
+
 
 def _docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents, spread across cores before CPU-heavy hashing.
@@ -120,9 +131,14 @@ def x2_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     + f""", bands AS (
   SELECT doc_id, sig, t.b AS band, {dd.duck_band_key_sql()} AS band_key
   FROM sigs CROSS JOIN (SELECT unnest(range({dd.LSH_BANDS})) AS b) t
+), ok AS (
+  SELECT band, band_key FROM bands GROUP BY band, band_key
+  HAVING COUNT(*) <= 1000
+), bands_ok AS (
+  SELECT bands.* FROM bands JOIN ok USING (band, band_key)
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
-  FROM bands a JOIN bands b
+  FROM bands_ok a JOIN bands_ok b
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b,
@@ -145,6 +161,13 @@ def x2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sigs.select(
         "doc_id", F.posexplode(dd.band_keys_expr()).alias("band", "band_key")
     )
+    ok = (
+        bands.groupBy("band", "band_key")
+        .agg(F.count("*").alias("bc"))
+        .filter(F.col("bc") <= BUCKET_CAP)
+        .drop("bc")
+    )
+    bands = bands.join(ok, ["band", "band_key"])
     a, b = bands.alias("a"), bands.alias("b")
     # distinct over bare id pairs — never over the signature arrays
     cand = (
@@ -205,9 +228,14 @@ WITH {dd.duck_shingles_cte()}, hashes AS (
   SELECT doc_id, simhash, t.k AS band, (simhash // power(256, t.k)::BIGINT) % 256 AS byte
   FROM fp CROSS JOIN (SELECT unnest(range({dd.SIMHASH_BYTE_BANDS})) AS k) t
 )
+, ok AS (
+  SELECT band, byte FROM bands GROUP BY band, byte HAVING COUNT(*) <= 1000
+), bands_ok AS (
+  SELECT bands.* FROM bands JOIN ok USING (band, byte)
+)
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-FROM bands a JOIN bands b
+FROM bands_ok a JOIN bands_ok b
   ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
 """,
@@ -228,6 +256,13 @@ def x3_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "byte"),
     )
+    ok = (
+        bands.groupBy("band", "byte")
+        .agg(F.count("*").alias("bc"))
+        .filter(F.col("bc") <= BUCKET_CAP)
+        .drop("bc")
+    )
+    bands = bands.join(ok, ["band", "byte"])
     a, b = bands.alias("a"), bands.alias("b")
     ham = F.expr("cast(bit_count(a.simhash ^ b.simhash) as int)")
     return (

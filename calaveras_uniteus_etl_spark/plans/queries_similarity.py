@@ -118,16 +118,30 @@ def _spark_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
 
 
+_BUCKET_CAP = 1000  # mega-bucket guard; see queries_dedup.BUCKET_CAP
+
+
 def _spark_buckets(vecs: DataFrame) -> DataFrame:
-    return vecs.select("vec_id", F.posexplode("bks").alias("tbl", "bucket"))
+    b = vecs.select("vec_id", F.posexplode("bks").alias("tbl", "bucket"))
+    ok = (
+        b.groupBy("tbl", "bucket")
+        .agg(F.count("*").alias("bc"))
+        .filter(F.col("bc") <= _BUCKET_CAP)
+        .drop("bc")
+    )
+    return b.join(ok, ["tbl", "bucket"])
 
 
 def _duck_buckets_cte() -> str:
     return f"""
-  buckets AS (
+  buckets_all AS (
     SELECT vec_id, embedding, t.tbl AS tbl, bks[t.tbl + 1] AS bucket
     FROM (SELECT vec_id, embedding, {sim.duck_buckets_list_sql()} AS bks FROM embeddings)
     CROSS JOIN (SELECT unnest(range({sim.N_TABLES})) AS tbl) t
+  ), bok AS (
+    SELECT tbl, bucket FROM buckets_all GROUP BY tbl, bucket HAVING COUNT(*) <= 1000
+  ), buckets AS (
+    SELECT buckets_all.* FROM buckets_all JOIN bok USING (tbl, bucket)
   )"""
 
 
