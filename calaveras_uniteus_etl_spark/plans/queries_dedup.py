@@ -296,9 +296,13 @@ _JACCARD_MIN = 0.4
 @register(
     "x4_ngram_jaccard",
     oracle=f"""
-WITH {dd.duck_shingles_cte()}, sh AS (
+WITH {dd.duck_shingles_cte()}, sh_all AS (
   SELECT doc_id, unnest({dd.duck_shingle_digests_sql()}) AS g
   FROM shing
+), rare AS (
+  SELECT g FROM sh_all GROUP BY g HAVING COUNT(*) <= 1000
+), sh AS (
+  SELECT sh_all.* FROM sh_all JOIN rare USING (g)
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
 ), shared AS (
@@ -312,7 +316,8 @@ FROM shared JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
 WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= {_JACCARD_MIN}
 """,
     doc="Exact word-3-shingle Jaccard: inverted-index join on 60-bit "
-    "shingle digests, |A∩B| / (|A|+|B|−|A∩B|) ≥ 0.4.",
+    "shingle digests with a df≤1000 posting cap, "
+    "|A∩B| / (|A|+|B|−|A∩B|) ≥ 0.4.",
 )
 def x4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The inverted index is used three times (both self-join sides +
@@ -321,9 +326,20 @@ def x4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 60-bit digest makes cross-doc collisions (the only thing that
     # could perturb exactness) a 1-in-2^60 event.
     d = dd.with_shingles(_docs_wide(spark, sf_dir))
-    sh = d.select(
-        "doc_id", F.explode(dd.shingle_digests_expr()).alias("g")
-    ).cache()
+    sh_all = d.select("doc_id", F.explode(dd.shingle_digests_expr()).alias("g"))
+    # posting-list df-cap (same rationale as BUCKET_CAP): a shingle in
+    # D docs adds D(D-1)/2 shared-pair increments, so boilerplate
+    # shingles dominate the self-join quadratically at corpus scale.
+    # Jaccard is then computed over the <=cap shingle universe on BOTH
+    # sides (sizes after the filter, so numerator and denominator
+    # agree). Inactive at test SFs (max df 25 at sf0.1).
+    rare = (
+        sh_all.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= BUCKET_CAP)
+        .drop("df")
+    )
+    sh = sh_all.join(rare, "g").cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
