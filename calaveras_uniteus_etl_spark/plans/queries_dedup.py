@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as WindowSpec
 
 from calaveras_uniteus_etl_spark.operators import dedup as dd
 from calaveras_uniteus_etl_spark.plans.catalog import register
@@ -299,10 +300,10 @@ _JACCARD_MIN = 0.4
 WITH {dd.duck_shingles_cte()}, sh_all AS (
   SELECT doc_id, unnest({dd.duck_shingle_digests_sql()}) AS g
   FROM shing
-), rare AS (
-  SELECT g FROM sh_all GROUP BY g HAVING COUNT(*) <= 1000
 ), sh AS (
-  SELECT sh_all.* FROM sh_all JOIN rare USING (g)
+  SELECT doc_id, g FROM (
+    SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS df FROM sh_all
+  ) WHERE df <= 1000
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
 ), shared AS (
@@ -333,13 +334,14 @@ def x4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Jaccard is then computed over the <=cap shingle universe on BOTH
     # sides (sizes after the filter, so numerator and denominator
     # agree). Inactive at test SFs (max df 25 at sf0.1).
-    rare = (
-        sh_all.groupBy("g")
-        .agg(F.count("*").alias("df"))
+    sh = (
+        sh_all.withColumn(
+            "df", F.count("*").over(WindowSpec.partitionBy("g"))
+        )
         .filter(F.col("df") <= BUCKET_CAP)
         .drop("df")
+        .cache()
     )
-    sh = sh_all.join(rare, "g").cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
