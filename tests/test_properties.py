@@ -1,0 +1,154 @@
+"""Property-based tests (hypothesis) for the semantically-trickiest
+operators: merge-upsert last-write-wins, within-batch keep-last, the
+cleaning pipeline's idempotence, and MinHash's similarity-estimation
+property. Each property is checked against a trivially-correct Python
+model of the same semantics.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from hypothesis import given, settings, strategies as st, HealthCheck
+
+from pyspark.sql import functions as F
+
+from calaveras_uniteus_etl_spark.operators.upsert import (
+    dedupe_keep_last,
+    merge_upsert,
+    upsert_stats,
+)
+
+_SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+_keys = st.integers(min_value=0, max_value=9)
+_vals = st.text(alphabet="abcxyz", min_size=0, max_size=4)
+
+
+@settings(**_SETTINGS)
+@given(
+    existing=st.lists(st.tuples(_keys, _vals), max_size=12),
+    incoming=st.lists(st.tuples(_keys, _vals), max_size=12),
+)
+def test_merge_upsert_matches_python_model(spark, existing, incoming):
+    """Merged table == dict-model: existing overlaid by incoming
+    (last occurrence wins within the batch)."""
+    ex_model = {}
+    for k, v in existing:
+        ex_model[k] = v  # existing itself modeled as already keyed: dedupe first
+    existing_unique = list(ex_model.items())
+
+    model = dict(ex_model)
+    for k, v in incoming:
+        model[k] = v
+
+    ex_df = spark.createDataFrame(
+        existing_unique or [(None, None)], "k int, v string"
+    ).filter(F.col("k").isNotNull())
+    in_df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(incoming)] or [(None, None, None)],
+        "_ord long, k int, v string",
+    ).filter(F.col("k").isNotNull())
+
+    merged = merge_upsert(
+        ex_df, in_df.select("k", "v", "_ord"), ["k"], order_col="_ord"
+    ).drop("_ord")
+    got = {r["k"]: r["v"] for r in merged.collect()}
+    assert got == model
+    # key-uniqueness invariant
+    assert merged.count() == merged.select("k").distinct().count()
+
+
+@settings(**_SETTINGS)
+@given(rows=st.lists(st.tuples(_keys, _vals), min_size=1, max_size=15))
+def test_dedupe_keep_last_is_last_occurrence(spark, rows):
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)], "_ord long, k int, v string"
+    )
+    out = {r["k"]: r["v"] for r in dedupe_keep_last(df, ["k"], "_ord").collect()}
+    model = {}
+    for k, v in rows:
+        model[k] = v
+    assert out == model
+
+
+@settings(**_SETTINGS)
+@given(
+    existing=st.sets(_keys, max_size=8),
+    incoming=st.lists(_keys, max_size=10),
+)
+def test_upsert_stats_partition(spark, existing, incoming):
+    """inserted + updated == distinct incoming keys; updated == overlap."""
+    ex_df = spark.createDataFrame(
+        [(k, "old") for k in existing] or [(None, None)], "k int, v string"
+    ).filter(F.col("k").isNotNull())
+    in_df = spark.createDataFrame(
+        [(k, "new") for k in incoming] or [(None, None)], "k int, v string"
+    ).filter(F.col("k").isNotNull())
+    stats = upsert_stats(ex_df, in_df, ["k"])
+    distinct_in = set(incoming)
+    assert stats.updated == len(distinct_in & existing)
+    assert stats.inserted == len(distinct_in - existing)
+
+
+@settings(**_SETTINGS)
+@given(
+    text=st.text(
+        alphabet=" abcdef\t\n'ʼ", min_size=0, max_size=40
+    )
+)
+def test_cleaning_normalization_idempotent(spark, text):
+    """clean∘clean == drop_all_null∘clean: a first pass may normalize a
+    row to all-NULL (e.g. whitespace-only fields), which a second pass
+    would then drop — beyond that, normalization is idempotent."""
+    from calaveras_uniteus_etl_spark.operators.cleaning import (
+        clean,
+        drop_all_null_rows,
+    )
+
+    df = spark.createDataFrame([(text,)], "t string")
+    once, _ = clean(df)
+    twice, _ = clean(once)
+    assert twice.collect() == drop_all_null_rows(once).collect()
+
+
+def _true_jaccard(a: str, b: str) -> float:
+    def sh(t: str) -> set[str]:
+        w = " ".join(t.lower().split()).split(" ")
+        if len(w) < 3:
+            return {" ".join(w)}
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_minhash_estimates_jaccard(spark):
+    """Signature agreement approximates true shingle Jaccard: identical
+    docs → 1.0; disjoint-vocabulary docs → ~0; a known-overlap pair
+    lands within a loose K=12 tolerance."""
+    from calaveras_uniteus_etl_spark.operators import dedup as dd
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different vocabulary with zero overlap whatsoever here now"
+    docs = [(0, base), (1, base), (2, near), (3, far)]
+    d = dd.with_shingles(
+        spark.createDataFrame(docs, "doc_id long, text string")
+    ).withColumn("hs", dd.shingle_hashes_expr()).withColumn(
+        "sig", dd.minhash_sig_expr()
+    )
+    sigs = {r["doc_id"]: r["sig"] for r in d.select("doc_id", "sig").collect()}
+
+    def est(x, y):
+        return sum(a == b for a, b in zip(sigs[x], sigs[y])) / dd.MINHASH_K
+
+    assert est(0, 1) == 1.0
+    assert est(0, 3) <= 2 / dd.MINHASH_K  # disjoint vocab: at most noise
+    true = _true_jaccard(base, near)
+    assert abs(est(0, 2) - true) <= 0.35  # K=12 → coarse but centered
