@@ -42,6 +42,7 @@ HEADLINE = [
     "e9_asof_join",
     "x12_tfidf_top_terms",
     "f17_skew_salted_agg",
+    "x13_ann_ivf_topk",
 ]
 
 

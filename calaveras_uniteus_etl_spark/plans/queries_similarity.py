@@ -269,3 +269,112 @@ def x6_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= _NEARDUP_MIN)
     )
+
+
+# ---------------------------------------------------------------------------
+# X13 — IVF ANN (inverted-file index; the second scale path next to LSH)
+#
+# Classic IVF structure: a coarse quantizer assigns every vector to its
+# nearest centroid (inverted lists); a query probes only the nprobe
+# nearest lists. Centroids here are the first 16 corpus vectors —
+# deterministic, so the oracle mirrors them exactly; a production
+# deployment replaces them with k-means centroids without touching the
+# query shape. Assignment is an argmax over 16 cosines (broadcast
+# centroids, no shuffle); the probe join shuffles only (centroid, id)
+# pairs. At 100 TB: lists are the partition key, so a query touches
+# nprobe/nlists of the corpus.
+# ---------------------------------------------------------------------------
+
+_N_CENTROIDS = 16
+_N_PROBE = 2
+
+_DUCK_COS_RAW = """(list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))
+       / NULLIF(sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))), 0))"""
+
+
+@register(
+    "x13_ann_ivf_topk",
+    oracle=f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < {_N_CENTROIDS}
+), assign AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, cents.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_DUCK_COS_RAW.format(a="e.embedding", b="cents.c")} DESC, cents.cid) AS rn
+    FROM embeddings e CROSS JOIN cents
+  ) WHERE rn = 1
+), probe_lists AS (
+  SELECT query_id, cid FROM (
+    SELECT p.vec_id AS query_id, cents.cid,
+           ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                              ORDER BY {_DUCK_COS_RAW.format(a="p.embedding", b="cents.c")} DESC, cents.cid) AS rn
+    FROM embeddings p CROSS JOIN cents WHERE p.vec_id < {_N_QUERY}
+  ) WHERE rn <= {_N_PROBE}
+), cand AS (
+  SELECT pl.query_id, a.vec_id AS neighbor_id, q.embedding AS qe, a.embedding AS ne
+  FROM probe_lists pl
+  JOIN assign a ON a.cid = pl.cid
+  JOIN embeddings q ON q.vec_id = pl.query_id
+  WHERE a.vec_id <> pl.query_id
+)
+SELECT query_id, neighbor_id, cosine FROM (
+  SELECT query_id, neighbor_id,
+         ROUND({_DUCK_COS_RAW.format(a="qe", b="ne")}, 4) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ROUND({_DUCK_COS_RAW.format(a="qe", b="ne")}, 4) DESC, neighbor_id) AS rn
+  FROM cand
+) WHERE rn <= {_ANN_TOPK}
+""",
+    doc="IVF ANN top-k: coarse-quantizer assignment to 16 deterministic "
+    "centroid lists, nprobe=2 probe join, exact cosine rerank — the "
+    "inverted-file scale path next to X6's LSH.",
+)
+def x13_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c")
+    )
+    cos_raw = _dot(F.col("embedding"), F.col("c")) / F.nullif(
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(_dot(F.col("c"), F.col("c"))),
+        F.lit(0.0),
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "embedding", "cid", cos_raw.alias("cc")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("cid"))
+    ranked = scored.withColumn("rn", F.row_number().over(w_assign))
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "embedding", "cid")
+    probe_lists = (
+        ranked.filter((F.col("vec_id") < _N_QUERY) & (F.col("rn") <= _N_PROBE))
+        .select(F.col("vec_id").alias("query_id"), "cid")
+    )
+    probes = e.filter(F.col("vec_id") < _N_QUERY).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    cand = (
+        F.broadcast(probe_lists)
+        .join(assign, "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(probes), "query_id")
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                "qe", F.col("embedding").alias("ne"))
+    )
+    cosine = F.round(
+        _dot(F.col("qe"), F.col("ne"))
+        / F.nullif(
+            F.sqrt(_dot(F.col("qe"), F.col("qe")))
+            * F.sqrt(_dot(F.col("ne"), F.col("ne"))),
+            F.lit(0.0),
+        ),
+        4,
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= _ANN_TOPK)
+        .select("query_id", "neighbor_id", "cosine")
+    )
