@@ -356,3 +356,96 @@ def x4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .filter(jac >= _JACCARD_MIN)
     )
+
+
+# ---------------------------------------------------------------------------
+# X14 — near-dup connected components (keeper selection)
+#
+# Pair lists aren't actionable until transitively grouped: {A≈B, B≈C}
+# must yield ONE keeper for {A,B,C}. Components are computed by min-
+# label propagation — iterate "label := min(label, neighbors' labels)"
+# to fixpoint — the standard Spark shape for iterative graph algorithms
+# without GraphFrames: a driver loop over joins, localCheckpoint per
+# round to keep lineage flat. Rounds needed = graph diameter (near-dup
+# clusters are shallow; capped at 20). The DuckDB oracle computes the
+# same fixpoint with WITH RECURSIVE reachability. Non-SQL-expressible
+# in one query on the Spark side, yet still fully oracle-checked.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x14_neardup_components",
+    oracle=_DUCK_SIGS
+    + f""", bands AS (
+  SELECT doc_id, sig, t.b AS band, {dd.duck_band_key_sql()} AS band_key
+  FROM sigs CROSS JOIN (SELECT unnest(range({dd.LSH_BANDS})) AS b) t
+), ok AS (
+  SELECT band, band_key FROM bands GROUP BY band, band_key
+  HAVING COUNT(*) <= 1000
+), bands_ok AS (
+  SELECT bands.* FROM bands JOIN ok USING (band, band_key)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
+  FROM bands_ok a JOIN bands_ok b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), pairs AS (
+  SELECT doc_a, doc_b FROM cand
+  WHERE CAST(len(list_filter(range({dd.MINHASH_K}), i -> sa[i+1] = sb[i+1])) AS DOUBLE)
+        / {dd.MINHASH_K} >= {_EST_MIN}
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+), reach AS (
+  WITH RECURSIVE r(node, lbl) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.b, r.lbl FROM r JOIN edges e ON e.a = r.node
+  ) SELECT node, MIN(lbl) AS component FROM r GROUP BY node
+)
+SELECT component AS keeper_id,
+       COUNT(*) AS member_count,
+       COUNT(*) - 1 AS removable
+FROM reach
+GROUP BY component
+""",
+    doc="Near-dup connected components over the MinHash-LSH pair graph: "
+    "min-label propagation to fixpoint (driver loop over joins, "
+    "localCheckpoint per round) → keeper + removable count per cluster; "
+    "recursive-CTE oracle.",
+)
+def x14_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = x2_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b").cache()
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .cache()
+    )
+    labels = edges.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(20):  # cap = max expected cluster diameter
+        neighbor_min = (
+            edges.join(labels, edges.a == labels.node)
+            .groupBy(F.col("b").alias("node2"))
+            .agg(F.min("lbl").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("nmin"), F.col("lbl"))).alias(
+                    "new_lbl"
+                ),
+                "lbl",
+            )
+        )
+        changed = updated.filter(F.col("new_lbl") != F.col("lbl")).count()
+        labels = updated.select(
+            "node", F.col("new_lbl").alias("lbl")
+        ).localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels.groupBy(F.col("lbl").alias("keeper_id")).agg(
+        F.count("*").alias("member_count"),
+        (F.count("*") - 1).alias("removable"),
+    )
