@@ -309,3 +309,95 @@ def x12_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _TFIDF_TOPK)
         .select("doc_id", "term", "tf", "df", "tfidf")
     )
+
+
+# ---------------------------------------------------------------------------
+# X15 — deterministic train/val/test split (hash bucketing)
+#
+# The split every training-data pipeline needs: assignment must be a
+# pure function of a stable key (reproducible across runs, engines, and
+# re-shards — never rand()). md5-derived bucket in [0,100): <90 train,
+# <95 val, else test.
+# ---------------------------------------------------------------------------
+
+from calaveras_uniteus_etl_spark.functions.hashing import duckdb_md5_long_sql as _fold
+
+
+@register(
+    "x15_train_test_split",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, {_fold("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM b GROUP BY 1
+""",
+    doc="Deterministic train/val/test split: md5(doc_id) bucket in "
+    "[0,100) → 90/5/5 — reproducible across runs/engines/shards, "
+    "never rand().",
+)
+def x15_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "cast(conv(substr(md5(concat('split:', cast(doc_id as string))), 1, 15), 16, 10) as bigint) % 100"
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return d.groupBy(split.alias("split")).agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X16 — PII scrubbing (regex redaction)
+#
+# The text-side counterpart of the ETL's PHI hashing: emails, phone
+# numbers, and SSN-shaped tokens replaced with typed placeholders.
+# Patterns stay in the RE2 ∩ Java-regex common subset (no backrefs, no
+# lookaround) so Spark and DuckDB compile them identically.
+# ---------------------------------------------------------------------------
+
+_PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}", "<PHONE>"),
+    (r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+)
+
+
+@register(
+    "x16_pii_scrub",
+    oracle=f"""
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '{_PII_PATTERNS[0][0]}', '{_PII_PATTERNS[0][1]}', 'g'),
+           '{_PII_PATTERNS[1][0].replace("'", "''")}', '{_PII_PATTERNS[1][1]}', 'g'),
+           '{_PII_PATTERNS[2][0]}', '{_PII_PATTERNS[2][1]}', 'g')) AS scrubbed_hash,
+       length(regexp_replace(regexp_replace(regexp_replace(text,
+           '{_PII_PATTERNS[0][0]}', '{_PII_PATTERNS[0][1]}', 'g'),
+           '{_PII_PATTERNS[1][0].replace("'", "''")}', '{_PII_PATTERNS[1][1]}', 'g'),
+           '{_PII_PATTERNS[2][0]}', '{_PII_PATTERNS[2][1]}', 'g')) AS scrubbed_len
+FROM documents
+""",
+    doc="PII scrubbing: email/phone/SSN regex redaction with typed "
+    "placeholders (RE2∩Java-regex subset); scrubbed text verified "
+    "byte-exactly via md5.",
+)
+def x16_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    scrubbed = F.col("text")
+    for pat, repl in _PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return d.select(
+        "doc_id",
+        F.md5(scrubbed).alias("scrubbed_hash"),
+        F.length(scrubbed).cast("long").alias("scrubbed_len"),
+    )
