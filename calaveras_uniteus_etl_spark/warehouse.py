@@ -87,3 +87,27 @@ class Warehouse:
     def table_stats(self) -> dict[str, int]:
         """COUNT(*) per existing table (reference core/database.py:723-769)."""
         return {t: self.read(t).count() for t in TABLE_SCHEMAS if self.exists(t)}
+
+    def write_bucketed(
+        self,
+        table: str,
+        df: DataFrame,
+        bucket_cols: list[str],
+        n_buckets: int = 32,
+        sort_cols: list[str] | None = None,
+    ) -> None:
+        """Persist as a bucketed catalog table (co-located join path).
+
+        Two tables bucketed the same way on their join key sort-merge
+        join WITHOUT either side shuffling — at 100 TB that removes the
+        dominant cost of every fact-to-fact join on a stable key. Plain
+        ``df.write.parquet`` cannot carry bucket metadata, so this path
+        goes through ``saveAsTable`` (session catalog); the bucket
+        spec's hash is Spark-internal, which is fine here — bucketing
+        is a physical layout contract between Spark jobs, not a
+        cross-engine semantic.
+        """
+        writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        writer.option("path", self.path(f"bucketed_{table}")).saveAsTable(table)
