@@ -401,3 +401,148 @@ def x16_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(scrubbed).alias("scrubbed_hash"),
         F.length(scrubbed).cast("long").alias("scrubbed_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X17 — repetition quality signals (Gopher-style filters)
+#
+# Repetitious documents are the classic LLM-pretraining failure mode;
+# the standard filters measure duplicate-line fraction and the mass of
+# the most frequent n-gram. Both are pure relational/array expressions
+# over the token list — no UDFs.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x17_repetition_signals",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split({NORM_DUCK.format(col="text")}, ' ') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, len(w) AS n_tokens,
+         CASE WHEN len(w) >= 2 THEN
+           list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+         ELSE [] END AS g2
+  FROM toks
+), top2 AS (
+  SELECT doc_id, n_tokens,
+         len(g2) AS n_bigrams,
+         CASE WHEN len(g2) = 0 THEN 0
+              ELSE (SELECT MAX(c) FROM (
+                     SELECT COUNT(*) AS c FROM unnest(g2) AS t(x) GROUP BY x))
+         END AS top_bigram_count
+  FROM grams
+)
+SELECT doc_id, n_tokens,
+       CAST(top_bigram_count AS DOUBLE) / NULLIF(n_bigrams, 0) AS top_bigram_frac,
+       CASE WHEN CAST(top_bigram_count AS DOUBLE) / NULLIF(n_bigrams, 0) > 0.2
+            THEN 'drop' ELSE 'keep' END AS repetition_verdict
+FROM top2
+""",
+    doc="Gopher-style repetition filter: mass fraction of the most "
+    "frequent bigram per doc, keep/drop verdict at 0.2 — array exprs "
+    "only, no UDFs.",
+)
+def x17_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = F.expr(f"split({NORM_SPARK.format(col='text')}, ' ')")
+    m = d.select("doc_id", w.alias("w")).select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_tokens"),
+        F.expr(
+            "case when size(w) >= 2 then "
+            "transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1])) "
+            "else array() end"
+        ).alias("g2"),
+    )
+    # most-frequent-bigram count via aggregate over the distinct grams:
+    # size(filter(g2, x = g)) per distinct g, max'd — stays array-side,
+    # avoiding an explode+groupBy shuffle per doc
+    top = m.select(
+        "doc_id",
+        "n_tokens",
+        F.size("g2").cast("long").alias("n_bigrams"),
+        F.expr(
+            "case when size(g2) = 0 then 0 else "
+            "array_max(transform(array_distinct(g2), g -> size(filter(g2, x -> x = g)))) end"
+        )
+        .cast("long")
+        .alias("top_bigram_count"),
+    )
+    frac = F.col("top_bigram_count").cast("double") / F.nullif(
+        F.col("n_bigrams"), F.lit(0)
+    )
+    return top.select(
+        "doc_id",
+        "n_tokens",
+        frac.alias("top_bigram_frac"),
+        F.when(frac > 0.2, "drop").otherwise("keep").alias("repetition_verdict"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X18 — benchmark decontamination (13-gram collision check)
+#
+# The standard eval-contamination test: does a training document share
+# any 13-gram with the benchmark set? Both sides join on 60-bit gram
+# digests (inverted index), so the check shuffles 8-byte keys, never
+# text. Benchmark stand-in: doc_id < 50.
+# ---------------------------------------------------------------------------
+
+_DECONTAM_N = 13
+
+
+def _gram13_duck(src: str) -> str:
+    gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(_DECONTAM_N))
+    from calaveras_uniteus_etl_spark.functions.hashing import duckdb_md5_long_sql
+
+    return f"""
+  SELECT doc_id, unnest(CASE WHEN len(w) >= {_DECONTAM_N} THEN
+           list_distinct(list_transform(range(1, len(w) - {_DECONTAM_N - 2}),
+             i -> {duckdb_md5_long_sql(gram)}))
+         ELSE [] END) AS g
+  FROM (SELECT doc_id, string_split({NORM_DUCK.format(col="text")}, ' ') AS w
+        FROM documents {src})"""
+
+
+@register(
+    "x18_decontamination",
+    oracle=f"""
+WITH bench AS ({_gram13_duck("WHERE doc_id < 50")}),
+train AS ({_gram13_duck("WHERE doc_id >= 50")}),
+hits AS (
+  SELECT t.doc_id, COUNT(DISTINCT t.g) AS contaminated_grams
+  FROM train t JOIN (SELECT DISTINCT g FROM bench) b ON t.g = b.g
+  GROUP BY t.doc_id
+)
+SELECT doc_id, contaminated_grams FROM hits
+""",
+    doc="Benchmark decontamination: 13-gram digest collision between "
+    "train docs and the benchmark set (doc_id<5); inverted-index join "
+    "on 8-byte digests.",
+)
+def x18_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    n = _DECONTAM_N
+    gram = "concat(" + ", ' ', ".join(f"w[i+{j}]" for j in range(n)) + ")"
+    grams = d.select(
+        "doc_id", F.expr(f"split({NORM_SPARK.format(col='text')}, ' ')").alias("w")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"case when size(w) >= {n} then "
+                f"array_distinct(transform(sequence(0, size(w)-{n}), "
+                f"i -> cast(conv(substr(md5({gram}), 1, 15), 16, 10) as bigint))) "
+                "else array() end"
+            )
+        ).alias("g"),
+    )
+    bench = grams.filter(F.col("doc_id") < 50).select("g").distinct()
+    train = grams.filter(F.col("doc_id") >= 50)
+    return (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("contaminated_grams"))
+    )
