@@ -397,3 +397,51 @@ def e9_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last_click_id").alias("click_id"),
         (F.unix_micros("ts") - F.unix_micros("last_click_ts")).alias("gap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E10 — semi / anti joins (the incremental-skip dataflow shape)
+#
+# The reference's isin/~isin upsert split (core/database.py:401-405) and
+# already-processed file skip (core/etl_service.py:213-229) are semi-
+# and anti-joins; here they are explicit plan nodes (LeftSemi/LeftAnti —
+# no payload duplication, the build side carries keys only).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "e10_semi_anti_join",
+    oracle="""
+SELECT 'with_lineitems' AS side, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_price
+FROM orders o WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+UNION ALL
+SELECT 'without_lineitems', COUNT(*),
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+FROM orders o WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+""",
+    doc="Explicit left-semi / left-anti joins (EXISTS / NOT EXISTS): "
+    "the incremental-skip and upsert-split dataflow shape as plan "
+    "nodes, keys-only build side.",
+)
+def e10_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    li_keys = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    cond = o.o_orderkey == li_keys.l_orderkey
+
+    def side(name: str, how: str) -> DataFrame:
+        return (
+            o.join(li_keys, cond, how)
+            .agg(
+                F.lit(name).alias("side"),
+                F.count("*").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+                .cast("decimal(38,2)")
+                .alias("total_price"),
+            )
+            .select("side", "n_orders", "total_price")
+        )
+
+    return side("with_lineitems", "left_semi").unionByName(
+        side("without_lineitems", "left_anti")
+    )
