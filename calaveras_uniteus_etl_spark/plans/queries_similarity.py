@@ -378,3 +378,75 @@ def x13_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _ANN_TOPK)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# X19 — int8 embedding quantization (symmetric, per-vector scale)
+#
+# The storage path for planet-scale embedding tables: 4x smaller than
+# float32, with the per-vector max-abs scale kept alongside. Rounding
+# is floor(x + 0.5) — explicit round-half-up, identical in both engines
+# (never the engines' round(), whose half-tie behavior differs).
+# Reconstruction error is reported per vector so the quality loss is
+# observable, not assumed.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x19_embed_quantize_int8",
+    oracle="""
+WITH m AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]), v -> abs(v))) AS max_abs
+  FROM embeddings
+), q AS (
+  SELECT vec_id, max_abs,
+         CASE WHEN max_abs = 0 THEN CAST(0 AS DOUBLE) ELSE 127 / max_abs END AS scale,
+         CASE WHEN max_abs = 0 THEN list_transform(e, v -> CAST(0 AS BIGINT))
+              ELSE list_transform(e, v -> CAST(floor(v * (127 / max_abs) + 0.5) AS BIGINT))
+         END AS qv,
+         e
+  FROM m
+)
+SELECT vec_id, scale, qv,
+       list_reduce(list_transform(range(len(e)),
+         i -> CASE WHEN scale = 0 THEN abs(e[i+1])
+                   ELSE abs(e[i+1] - qv[i+1] / scale) END),
+         (a, b) -> a + b) / len(e) AS mean_abs_err
+FROM q
+""",
+    doc="Symmetric int8 quantization with per-vector scale: explicit "
+    "floor(x+0.5) round-half-up (engine-neutral), quantized array and "
+    "mean reconstruction error oracle-checked per vector.",
+)
+def x19_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    m = e.select(
+        "vec_id",
+        F.expr("transform(embedding, v -> cast(v as double))").alias("e"),
+    ).select(
+        "vec_id",
+        "e",
+        F.expr("array_max(transform(e, v -> abs(v)))").alias("max_abs"),
+    )
+    q = m.select(
+        "vec_id",
+        "e",
+        F.expr("case when max_abs = 0 then cast(0 as double) else 127 / max_abs end").alias(
+            "scale"
+        ),
+        F.expr(
+            "case when max_abs = 0 then transform(e, v -> cast(0 as bigint)) "
+            "else transform(e, v -> cast(floor(v * (127 / max_abs) + 0.5) as bigint)) end"
+        ).alias("qv"),
+    )
+    return q.select(
+        "vec_id",
+        "scale",
+        "qv",
+        F.expr(
+            "aggregate(transform(sequence(0, size(e)-1), "
+            "i -> case when scale = 0 then abs(e[i]) else abs(e[i] - qv[i] / scale) end), "
+            "cast(0 as double), (a, b) -> a + b) / size(e)"
+        ).alias("mean_abs_err"),
+    )
