@@ -50,3 +50,38 @@ def windowed_agg(
             "sum_value",
         )
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    max_gap: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join within an event-time interval.
+
+    The canonical attribution shape: right-side events joined to
+    left-side events of the same key that happened within ``max_gap``
+    BEFORE them. On streams both sides carry watermarks and the time
+    bound lets Spark evict join state (unbounded state otherwise); on
+    batch DataFrames the same plan is an ordinary join + range filter,
+    which is what the parity test exercises.
+    """
+    from pyspark.sql import functions as F
+
+    l, r = left, right
+    if l.isStreaming:
+        l = l.withWatermark(left_ts, watermark)
+    if r.isStreaming:
+        r = r.withWatermark(right_ts, watermark)
+    cond = (
+        (l[key_col] == r[key_col])
+        & (r[right_ts] >= l[left_ts])
+        & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {max_gap}"))
+    )
+    return l.join(r, cond).select(
+        l[key_col].alias(key_col), l[left_ts], r[right_ts]
+    )

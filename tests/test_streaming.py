@@ -178,3 +178,46 @@ def test_sessionize_with_state_across_runs(spark, tmp_path):
     r = rows[0]
     assert r["user_id"] == 7 and r["n_events"] == 2
     assert (r["session_end"] - r["session_start"]) == dt.timedelta(hours=1)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    from calaveras_uniteus_etl_spark.streaming.windows import interval_join
+
+    t0 = dt.datetime(2024, 4, 1, 9, 0, tzinfo=UTC)
+    clicks = spark.createDataFrame(
+        [(1, t0), (1, t0 + dt.timedelta(hours=3)), (2, t0 + dt.timedelta(minutes=10))],
+        "user_id long, l_ts timestamp",
+    )
+    buys = spark.createDataFrame(
+        [
+            (1, t0 + dt.timedelta(minutes=30)),   # within 1h of click 1 → match
+            (1, t0 + dt.timedelta(hours=5)),      # >1h after click 2 → no match
+            (2, t0 + dt.timedelta(minutes=40)),   # within 1h of user-2 click → match
+        ],
+        "user_id long, r_ts timestamp",
+    )
+    expect = sorted(
+        (r["user_id"], r["l_ts"], r["r_ts"])
+        for r in interval_join(clicks, buys).collect()
+    )
+    assert len(expect) == 2
+
+    cdir, bdir = str(tmp_path / "clicks"), str(tmp_path / "buys")
+    clicks.write.parquet(cdir)
+    buys.write.parquet(bdir)
+    cs = spark.readStream.schema(clicks.schema).parquet(cdir)
+    bs = spark.readStream.schema(buys.schema).parquet(bdir)
+    q = (
+        interval_join(cs, bs)
+        .writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["user_id"], r["l_ts"], r["r_ts"])
+        for r in spark.sql("SELECT * FROM ssj_out").collect()
+    )
+    assert got == expect
