@@ -180,3 +180,39 @@ def test_required_field_rows_dropped(tmp_path, spark, input_dir):
     ingest(spark, cfg)
     wh = Warehouse(spark, cfg.warehouse_dir)
     assert wh.read("people").count() == 1
+
+
+def test_malformed_rows_jagged_and_quoted(tmp_path, spark):
+    """Jagged rows: extra fields are dropped, missing fields are NULL —
+    Spark CSV PERMISSIVE-mode behavior, matching the reference's intent
+    of loading what parses rather than failing the file."""
+    from calaveras_uniteus_etl_spark.sources.delimited import read_delimited
+
+    p = tmp_path / "jagged.txt"
+    p.write_text(
+        "a|b|c\n"
+        "1|2|3\n"
+        "4|5\n"  # short row → c NULL
+        "6|7|8|9\n"  # long row → extra dropped
+        '10|"x|y"|11\n'  # quoted delimiter preserved
+    )
+    rows = {r["a"]: (r["b"], r["c"]) for r in read_delimited(spark, str(p)).collect()}
+    assert rows == {
+        "1": ("2", "3"),
+        "4": ("5", None),
+        "6": ("7", "8"),
+        "10": ("x|y", "11"),
+    }
+
+
+def test_latin1_bytes_do_not_fail(tmp_path, spark):
+    from calaveras_uniteus_etl_spark.sources.delimited import (
+        detect_encoding,
+        read_delimited,
+    )
+
+    p = tmp_path / "latin.txt"
+    p.write_bytes(b"name|note\ncaf\xe9|ok\n")  # 0xe9 invalid utf-8
+    assert detect_encoding(str(p)) == "latin-1"
+    rows = read_delimited(spark, str(p)).collect()
+    assert rows[0]["name"] == "caf\xe9"

@@ -221,3 +221,47 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ssj_out").collect()
     )
     assert got == expect
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Exactly-once event dedup on a stream: dropDuplicatesWithinWatermark
+    keeps the first arrival of each event_id even when the duplicate
+    lands in a later micro-batch inside the watermark window."""
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    sink = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    t0 = dt.datetime(2024, 5, 1, 12, 0, tzinfo=UTC)
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        ).parquet(str(src))
+        q = (
+            stream.withWatermark("ts", "2 hours")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    df1 = spark.createDataFrame(
+        [(100, t0, 1, "click", 1.0), (101, t0 + dt.timedelta(minutes=5), 1, "view", 2.0)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    df1.coalesce(1).write.mode("append").parquet(str(src))
+    run_once()
+    # duplicate of 100 arrives in a later run, still within the watermark
+    df2 = spark.createDataFrame(
+        [(100, t0 + dt.timedelta(minutes=10), 1, "click", 1.0)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    df2.coalesce(1).write.mode("append").parquet(str(src))
+    run_once()
+    out = spark.read.schema(df1.schema).parquet(sink)
+    ids = sorted(r["event_id"] for r in out.collect())
+    assert ids == [100, 101]
