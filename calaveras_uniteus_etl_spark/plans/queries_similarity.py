@@ -118,7 +118,7 @@ def _spark_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
 
 
-_BUCKET_CAP = 1000  # mega-bucket guard; see queries_dedup.BUCKET_CAP
+from calaveras_uniteus_etl_spark.plans.queries_dedup import BUCKET_CAP as _BUCKET_CAP
 
 
 def _spark_buckets(vecs: DataFrame) -> DataFrame:
