@@ -546,3 +546,53 @@ def x18_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.countDistinct("g").alias("contaminated_grams"))
     )
+
+
+# ---------------------------------------------------------------------------
+# X20 — deterministic stratified sampling (per-language quotas)
+#
+# Corpus curation needs per-stratum rates (e.g. upsample low-resource
+# languages); like X15 the assignment must be a pure function of the
+# key. Rates here: en 10%, others 50% — checked by comparing sampled
+# counts per language against the hash-bucket predicate itself.
+# ---------------------------------------------------------------------------
+
+_STRATA_PCT = {"en": 10, "es": 50, "fr": 50, "de": 50, "zh": 50}
+
+
+def _strata_case(bucket: str) -> str:
+    whens = " ".join(
+        f"WHEN lang = '{lang}' AND {bucket} < {pct} THEN 1"
+        for lang, pct in _STRATA_PCT.items()
+    )
+    return f"CASE {whens} ELSE 0 END"
+
+
+@register(
+    "x20_stratified_sample",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, lang,
+         {_fold("'strat:' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_total,
+       CAST(SUM({_strata_case("bucket")}) AS BIGINT) AS n_sampled
+FROM b GROUP BY lang
+""",
+    doc="Deterministic stratified sampling: per-language md5-bucket "
+    "quotas (en 10%, others 50%) — reproducible curation-rate control.",
+)
+def x20_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "cast(conv(substr(md5(concat('strat:', cast(doc_id as string))), 1, 15), 16, 10) as bigint) % 100"
+    )
+    keep = F.lit(0)
+    for lang, pct in _STRATA_PCT.items():
+        keep = F.when((F.col("lang") == lang) & (bucket < pct), 1).otherwise(keep)
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_total"),
+        F.sum(keep).cast("bigint").alias("n_sampled"),
+    )
