@@ -28,15 +28,22 @@ def dec(col: Column | str, prec: str = MONEY) -> Column:
 
 
 def exact_sum(col: Column, alias: str, scale: int = 2) -> Column:
-    """Exact decimal SUM, surfaced as DECIMAL(38, scale).
+    """Exact decimal SUM, surfaced as DOUBLE.
 
-    Kept in the decimal domain to the very end: DuckDB's decimal→double
-    cast goes through int128 and loses precision once the unscaled
-    value exceeds 2^53 (observed at scale 10), while Spark's BigDecimal
-    cast rounds correctly — so a double output would hash-mismatch.
-    Identical decimal values stringify identically; no FP involved.
+    The sum stays in the decimal domain (order-independent), is rounded
+    to ``scale``, and only then cast to double. Surfacing DOUBLE (not
+    DECIMAL) matters for the differential harness: Spark's toPandas
+    yields ``Decimal`` objects while DuckDB's ``.df()`` yields float64,
+    and ``str(Decimal('49612.30')) != str(49612.3)`` — trailing-zero
+    cents hash-mismatch. Identical float64 bits stringify identically.
+
+    Exactness requirement: the rounded sum's unscaled value must stay
+    below 2^53 — then the int→double conversion is exact in both
+    engines and the final division by 10^scale is a single correctly-
+    rounded IEEE op, giving bit-identical doubles. Callers pick
+    ``scale`` so magnitude × 10^scale < 9e15 (money → 2-4dp).
     """
-    return F.sum(col).cast(f"decimal(38,{scale})").alias(alias)
+    return F.sum(col).cast(f"decimal(38,{scale})").cast("double").alias(alias)
 
 
 def exact_avg(col: Column, count_col: Column, alias: str) -> Column:
@@ -54,7 +61,10 @@ def exact_avg(col: Column, count_col: Column, alias: str) -> Column:
 
 
 def o_sum(expr: str, alias: str, prec: str = "DECIMAL(12,2)", scale: int = 2) -> str:
-    return f"CAST(SUM(CAST({expr} AS {prec})) AS DECIMAL(38,{scale})) AS {alias}"
+    return (
+        f"CAST(CAST(SUM(CAST({expr} AS {prec})) AS DECIMAL(38,{scale}))"
+        f" AS DOUBLE) AS {alias}"
+    )
 
 
 def o_avg(expr: str, count_expr: str, alias: str, prec: str = "DECIMAL(12,2)") -> str:

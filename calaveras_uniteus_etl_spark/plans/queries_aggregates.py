@@ -123,14 +123,15 @@ def f3_topk_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 _F4_ORACLE = f"""
 SELECT l_returnflag AS return_flag,
        l_linestatus AS line_status,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2))
+            AS DOUBLE) AS sum_qty,
        {X.o_sum('l_extendedprice', 'sum_base_price')},
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,6))
+                * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS VARCHAR)
          AS sum_disc_price,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
                 * (1 - CAST(l_discount AS DECIMAL(6,4)))
-                * (1 + CAST(l_tax AS DECIMAL(6,4)))) AS DECIMAL(38,10))
+                * (1 + CAST(l_tax AS DECIMAL(6,4)))) AS VARCHAR)
          AS sum_charge,
        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
        {X.o_avg('l_extendedprice', '*', 'avg_price')},
@@ -162,10 +163,18 @@ def f4_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         X.exact_sum(qty, "sum_qty"),
         X.exact_sum(price, "sum_base_price"),
-        X.exact_sum(price * (F.lit(1) - disc), "sum_disc_price", scale=6),
-        X.exact_sum(
-            price * (F.lit(1) - disc) * (F.lit(1) + tax), "sum_charge", scale=10
-        ),
+        # surfaced as exact decimal STRINGS at native scale: any rescale
+        # disagrees across engines (Spark HALF_UP vs DuckDB truncation),
+        # and a scale-10 double cast is inexact past 2^53 unscaled —
+        # identical unscaled values print identically at any magnitude
+        F.sum(price * (F.lit(1) - disc))
+        .cast("decimal(38,6)")
+        .cast("string")
+        .alias("sum_disc_price"),
+        F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))
+        .cast("decimal(38,10)")
+        .cast("string")
+        .alias("sum_charge"),
         X.exact_avg(qty, F.lit(1), "avg_qty"),
         X.exact_avg(price, F.lit(1), "avg_price"),
         X.exact_avg(disc, F.lit(1), "avg_disc"),
@@ -182,8 +191,10 @@ def f4_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f5_conditional_agg",
     oracle="""
 SELECT o_orderpriority AS priority,
-       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS fulfilled,
-       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS open_cnt,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+         AS fulfilled,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+         AS open_cnt,
        COUNT(CASE WHEN o_totalprice > 200000 THEN 1 END) AS big_orders,
        CAST(SUM(CASE WHEN o_orderstatus = 'O'
                      THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE)
@@ -277,7 +288,8 @@ def f7_having_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderpriority AS priority,
        COUNT(*) AS total,
-       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS fulfilled,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+         AS fulfilled,
        ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) * 100.0
              / COUNT(*), 1) AS fulfillment_rate
 FROM orders GROUP BY o_orderpriority
@@ -606,11 +618,13 @@ def f16_avg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     "i1_union_all_stats",
     oracle="""
 SELECT 'click' AS metric, COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)
+         AS total_value
 FROM events WHERE event_type = 'click'
 UNION ALL
 SELECT 'purchase' AS metric, COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)
+         AS total_value
 FROM events WHERE event_type = 'purchase'
 """,
     doc="UNION ALL of two labeled aggregate rows (timing-analysis shape).",
@@ -715,7 +729,8 @@ _N_SALTS = 16
     oracle="""
 SELECT event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)
+         AS sum_value
 FROM events
 GROUP BY event_type
 """,
@@ -735,7 +750,7 @@ def f17_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return partial.groupBy("event_type").agg(
         F.sum("pn").alias("n_events"),
-        F.sum("pv").cast("decimal(38,6)").alias("sum_value"),
+        F.sum("pv").cast("decimal(38,6)").cast("double").alias("sum_value"),
     )
 
 

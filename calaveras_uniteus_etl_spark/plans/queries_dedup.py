@@ -118,12 +118,16 @@ WITH {dd.duck_shingles_cte()}, shash AS (
 
 @register(
     "x2_minhash_signatures",
-    oracle=_DUCK_SIGS + "\nSELECT doc_id, sig FROM sigs",
+    oracle=_DUCK_SIGS
+    + "\nSELECT doc_id, array_to_string(sig, '-') AS sig_str FROM sigs",
     doc="Per-document MinHash signature (K=12 md5-family minima over "
-    "word-3-shingles) — the array itself is oracle-checked.",
+    "word-3-shingles), serialized to a scalar string — the harness "
+    "canon sorts/hashes scalar cells, not lists.",
 )
 def x2_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _spark_sigs(spark, sf_dir)
+    return _spark_sigs(spark, sf_dir).select(
+        "doc_id", F.array_join("sig", "-").alias("sig_str")
+    )
 
 
 @register(

@@ -43,7 +43,7 @@ merged AS (
   SELECT * FROM incoming
 )
 SELECT o_orderstatus AS status, COUNT(*) AS cnt,
-       CAST(SUM(price) AS DECIMAL(38,4)) AS total_price
+       CAST(CAST(SUM(price) AS DECIMAL(38,4)) AS DOUBLE) AS total_price
 FROM merged GROUP BY o_orderstatus
 """
 
@@ -79,7 +79,7 @@ def c2_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = merge_upsert(existing, incoming, keys=["o_orderkey"])
     return merged.groupBy(F.col("o_orderstatus").alias("status")).agg(
         F.count("*").alias("cnt"),
-        F.sum("price").cast("decimal(38,4)").alias("total_price"),
+        F.sum("price").cast("decimal(38,4)").cast("double").alias("total_price"),
     )
 
 

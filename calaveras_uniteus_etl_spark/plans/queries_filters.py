@@ -235,7 +235,7 @@ SELECT o_orderkey,
        UPPER(o_orderstatus) AS status_upper,
        o_orderstatus || '-' || o_orderpriority AS status_priority,
        COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_defaulted,
-       CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec,
+       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec,
        ROUND(o_orderkey / 7.0, 2) AS key_ratio,
        COALESCE(TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT), 0)
          AS priority_num,
@@ -256,7 +256,7 @@ def j1_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
             "status_defaulted"
         ),
-        F.col("o_totalprice").cast("decimal(12,2)").alias("price_dec"),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("double").alias("price_dec"),
         F.round(F.col("o_orderkey") / 7.0, 2).alias("key_ratio"),
         F.coalesce(
             F.substring("o_orderpriority", 1, 1).try_cast("long"), F.lit(0)

@@ -30,7 +30,8 @@ from calaveras_uniteus_etl_spark.plans.tables import table
 SELECT c_mktsegment AS segment,
        COUNT(*) AS order_count,
        COUNT(DISTINCT c_custkey) AS unique_customers,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS revenue
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+            AS DOUBLE) AS revenue
 FROM customer JOIN orders ON c_custkey = o_custkey
 GROUP BY c_mktsegment
 """,
@@ -62,8 +63,8 @@ def e1_inner_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_custkey AS custkey,
        COUNT(o_orderkey) AS order_count,
-       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 0) AS DECIMAL(38,2))
-         AS total_spend
+       CAST(CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 0)
+                 AS DECIMAL(38,2)) AS DOUBLE) AS total_spend
 FROM customer LEFT JOIN orders ON c_custkey = o_custkey
 GROUP BY c_custkey
 """,
@@ -80,7 +81,9 @@ def e2_left_join_preserve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(
                 F.sum(X.dec("o_totalprice")).cast("decimal(38,2)"),
                 F.lit(0).cast("decimal(38,2)"),
-            ).alias("total_spend"),
+            )
+            .cast("double")
+            .alias("total_spend"),
         )
     )
 
@@ -96,7 +99,8 @@ def e2_left_join_preserve(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT r_name AS region, n_name AS nation,
        COUNT(*) AS order_count,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS revenue
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+            AS DOUBLE) AS revenue
 FROM region
 JOIN nation   ON n_regionkey = r_regionkey
 JOIN customer ON c_nationkey = n_nationkey
@@ -213,7 +217,7 @@ open_stats AS (
 )
 SELECT c.c_custkey AS custkey,
        COALESCE(os.order_count, 0) AS order_count,
-       COALESCE(os.spend, 0) AS spend,
+       CAST(COALESCE(os.spend, 0) AS DOUBLE) AS spend,
        COALESCE(op.open_count, 0) AS open_count
 FROM customer c
 LEFT JOIN order_stats os ON os.o_custkey = c.c_custkey
@@ -242,7 +246,9 @@ def e6_preagg_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("c_custkey").alias("custkey"),
             F.coalesce("order_count", F.lit(0)).alias("order_count"),
-            F.coalesce("spend", F.lit(0).cast("decimal(38,2)")).alias("spend"),
+            F.coalesce("spend", F.lit(0).cast("decimal(38,2)"))
+            .cast("double")
+            .alias("spend"),
             F.coalesce("open_count", F.lit(0)).alias("open_count"),
         )
     )
@@ -258,7 +264,7 @@ def e6_preagg_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "e7_dim_enrich_join",
     oracle="""
 SELECT s_suppkey AS suppkey, s_name AS supplier, n_name AS nation,
-       CAST(s_acctbal AS DECIMAL(12,2)) AS acctbal
+       CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal
 FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey
 """,
     doc="LEFT enrichment join to a tiny dimension (always broadcast).",
@@ -270,7 +276,7 @@ def e7_dim_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_suppkey").alias("suppkey"),
         F.col("s_name").alias("supplier"),
         F.col("n_name").alias("nation"),
-        X.dec("s_acctbal").alias("acctbal"),
+        X.dec("s_acctbal").cast("double").alias("acctbal"),
     )
 
 
@@ -285,8 +291,9 @@ def e7_dim_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
        COUNT(*) AS shipments,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
-                * (1 - CAST(l.l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS volume
+       CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                     * (1 - CAST(l.l_discount AS DECIMAL(6,4))))
+                 AS DECIMAL(38,6)) AS DOUBLE) AS volume
 FROM lineitem l
 JOIN orders o    ON o.o_orderkey = l.l_orderkey
 JOIN customer c  ON c.c_custkey = o.o_custkey
@@ -413,11 +420,13 @@ def e9_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "e10_semi_anti_join",
     oracle="""
 SELECT 'with_lineitems' AS side, COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_price
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+            AS DOUBLE) AS total_price
 FROM orders o WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
 UNION ALL
 SELECT 'without_lineitems', COUNT(*),
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+            AS DOUBLE)
 FROM orders o WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
 """,
     doc="Explicit left-semi / left-anti joins (EXISTS / NOT EXISTS): "
@@ -437,6 +446,7 @@ def e10_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count("*").alias("n_orders"),
                 F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
                 .cast("decimal(38,2)")
+                .cast("double")
                 .alias("total_price"),
             )
             .select("side", "n_orders", "total_price")

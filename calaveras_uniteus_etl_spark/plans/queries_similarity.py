@@ -408,7 +408,7 @@ WITH m AS (
          e
   FROM m
 )
-SELECT vec_id, scale, qv,
+SELECT vec_id, scale, array_to_string(qv, '-') AS qv_str,
        list_reduce(list_transform(range(len(e)),
          i -> CASE WHEN scale = 0 THEN abs(e[i+1])
                    ELSE abs(e[i+1] - qv[i+1] / scale) END),
@@ -443,7 +443,11 @@ def x19_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.select(
         "vec_id",
         "scale",
-        "qv",
+        # serialized to a scalar: the harness canon sorts/hashes cells,
+        # and pandas cannot factorize list-valued cells
+        F.expr("array_join(transform(qv, v -> cast(v as string)), '-')").alias(
+            "qv_str"
+        ),
         F.expr(
             "aggregate(transform(sequence(0, size(e)-1), "
             "i -> case when scale = 0 then abs(e[i]) else abs(e[i] - qv[i] / scale) end), "

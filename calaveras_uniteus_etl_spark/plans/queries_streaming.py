@@ -39,7 +39,8 @@ SESSION_GAP_MIN = 360  # same 6-hour scale as the window
 SELECT time_bucket(INTERVAL '{WINDOW}', ts) AS window_start,
        event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)
+         AS sum_value
 FROM events
 GROUP BY 1, 2
 """,

@@ -32,9 +32,28 @@ TABLE_NAMES = (
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
+def _enable_nanos_as_long(spark: SparkSession) -> None:
+    """Make TIMESTAMP(NANOS) parquet readable on ANY SparkSession.
+
+    events.parquet stores ts as INT64 TIMESTAMP(NANOS,false), which a
+    vanilla Spark session rejects outright (PARQUET_TYPE_ILLEGAL).
+    ``spark.sql.legacy.parquet.nanosAsLong`` is a runtime-settable SQL
+    conf, so plans set it themselves instead of depending on how the
+    caller built the session.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        # A Spark build that refuses the conf at runtime will surface a
+        # clear PARQUET_TYPE_ILLEGAL on the read below; nothing to mask.
+        pass
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}")
+    if name == "events":
+        _enable_nanos_as_long(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark reads only
@@ -64,6 +83,7 @@ def events_in_range(
         t = _dt.datetime.fromisoformat(s).replace(tzinfo=_dt.timezone.utc)
         return int(t.timestamp()) * 1_000_000_000
 
+    _enable_nanos_as_long(spark)
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     filtered = raw.filter(
         (F.col("ts") >= F.lit(ns(start_iso))) & (F.col("ts") <= F.lit(ns(end_iso)))

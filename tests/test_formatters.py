@@ -12,7 +12,9 @@ from calaveras_uniteus_etl_spark.reports.formatters import (
     labels_values,
     sankey,
 )
-from tests.oracle_harness import _canon, canonical_rows
+import pandas as pd
+
+from tests.oracle_harness import _canon_frame, _cells
 
 
 def test_labels_values_null_default(spark):
@@ -47,16 +49,20 @@ def test_sankey_node_indexing(spark):
     }
 
 
-def test_canon_values():
-    assert _canon(None) == "∅"
-    assert _canon(float("nan")) == "nan"
-    assert _canon(1.0) == "1.0"  # repr, full precision
-    assert _canon(0.1 + 0.2) == "0.30000000000000004"
-    assert _canon([1, None, 2.5]) == "[1,∅,2.5]"
-    assert _canon(Decimal("1.0000")) == "1.0000"  # Decimal ≠ float on purpose
+def test_canon_is_type_faithful():
+    # the whole point of the strict canon: Decimal('1.00') and 1.0 must
+    # NOT compare equal — DuckDB's .df() gives float64 where Spark's
+    # toPandas gives Decimal, and the driver hashes the difference
+    dec = pd.DataFrame({"v": [Decimal("1.00")]})
+    flt = pd.DataFrame({"v": [1.0]})
+    assert _cells(_canon_frame(dec)) != _cells(_canon_frame(flt))
+    # identical float64 bits stringify identically
+    assert _cells(_canon_frame(pd.DataFrame({"v": [0.1 + 0.2]}))) == _cells(
+        _canon_frame(pd.DataFrame({"v": [0.30000000000000004]}))
+    )
 
 
-def test_canonical_rows_column_and_row_order_insensitive():
-    a = canonical_rows(["b", "a"], [(2, "x"), (1, "y")])
-    b = canonical_rows(["a", "b"], [("y", 1), ("x", 2)])
-    assert a == b
+def test_canon_column_and_row_order_insensitive():
+    a = pd.DataFrame({"b": [2, 1], "a": ["x", "y"]})
+    b = pd.DataFrame({"a": ["y", "x"], "b": [1, 2]})
+    assert _cells(_canon_frame(a)) == _cells(_canon_frame(b))
