@@ -63,18 +63,29 @@ class IngestReport:
         return [t for t in self.tasks if t.status == TaskStatus.SKIPPED]
 
 
-def _processed_set(wh: Warehouse) -> set[tuple[str, str]]:
-    """(file_name, md5) pairs already loaded — the incremental-skip
-    identity (reference etl_service.py:213-229)."""
-    if not wh.exists("etl_metadata"):
+def _processed_subset(
+    spark: SparkSession, wh: Warehouse, candidates: list[tuple[str, str]]
+) -> set[tuple[str, str]]:
+    """Which of this batch's (file_name, md5) pairs are already loaded
+    (reference incremental-skip identity, etl_service.py:213-229).
+
+    Semi-join shape on purpose: the candidate list (this batch's file
+    listing) is the small side, so only its matches ever reach the
+    driver — bounded by batch size. Collecting etl_metadata itself
+    would grow with total history and eventually not fit.
+    """
+    if not candidates or not wh.exists("etl_metadata"):
         return set()
-    rows = (
+    cand = spark.createDataFrame(candidates, "file_name string, file_hash string")
+    matched = (
         wh.read("etl_metadata")
         .filter(F.col("status") == "completed")
         .select("file_name", "file_hash")
+        .join(F.broadcast(cand), ["file_name", "file_hash"], "left_semi")
+        .distinct()
         .collect()
     )
-    return {(r.file_name, r.file_hash) for r in rows}
+    return {(r.file_name, r.file_hash) for r in matched}
 
 
 def ingest_file(
@@ -195,13 +206,18 @@ def ingest(
     job_id = "etl_" + started_at.strftime("%Y%m%d_%H%M%S_%f")
     wh = Warehouse(spark, config.warehouse_dir)
 
-    processed = _processed_set(wh) if config.skip_processed else None
     tasks = discover_files(
         config.input_dir,
         selected_files=selected_files,
-        processed=processed,
         mappings=mappings,
     )
+    if config.skip_processed:
+        processed = _processed_subset(
+            spark, wh, [(t.file_name, t.file_hash) for t in tasks]
+        )
+        for t in tasks:
+            if (t.file_name, t.file_hash) in processed:
+                t.status = TaskStatus.SKIPPED
     if config.latest_file_only:
         tasks = latest_only(tasks)
 

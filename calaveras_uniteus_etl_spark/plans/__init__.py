@@ -75,6 +75,12 @@ _CHECK_PRIORITY = [
     "e3_chain_join",
     "e6_preagg_join",
     "x2_minhash_signatures",
+    # -- new this round (no prior driver evidence) -------------------
+    "r1_cases_by_location",
+    "r2_household_scatter",
+    "r3_touchpoint_averages",
+    "r3_touchpoint_distribution",
+    "r4_service_pathways",
 ]
 
 

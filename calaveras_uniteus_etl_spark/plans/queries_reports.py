@@ -1,7 +1,294 @@
 """Registry queries for the parameterized report-handler families
-(SURVEY.md §3 report surface): geographic rollup, household scatter,
-touchpoints, and service pathways — filled in alongside
-``reports/handlers.py``.
+added in round 2 (reference endpoints: geographic
+core/app.py:3229-3284, household scatter :4446-4463, touchpoints
+:3537-3596, service pathways :4027-4056).
+
+Each query expresses the handler's operator pattern over the synthetic
+star schema so the driver's DuckDB differential gate can score it; the
+healthcare-schema handlers themselves (reports/handlers.py) reuse the
+same plan shapes and are fixture-tested.
+
+Scale shapes: every pattern here pre-aggregates per-key counts before
+joining back onto the spine (small shuffle payloads), keeps distinct
+counts on single keys, and bounds output with HAVING/top-k — the same
+discipline as the rest of the registry.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from calaveras_uniteus_etl_spark.functions.datetime_ext import julian_day_diff
+from calaveras_uniteus_etl_spark.plans.catalog import register
+from calaveras_uniteus_etl_spark.plans.tables import table
+
+# ---------------------------------------------------------------------------
+# R1 — geographic rollup (cases-by-location shape): dimension hierarchy
+# as "location", COUNT(DISTINCT fact-id), top-15.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "r1_cases_by_location",
+    oracle="""
+SELECT n_name AS city, r_name AS state,
+       COUNT(DISTINCT o_orderkey) AS case_count
+FROM customer
+JOIN nation ON n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n_regionkey
+JOIN orders ON o_custkey = c_custkey
+WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+GROUP BY n_name, r_name
+ORDER BY case_count DESC, city, state
+LIMIT 15
+""",
+    doc="Geographic rollup: location hierarchy join, COUNT(DISTINCT "
+    "case), date filter on the fact, top-15 (cases-by-location "
+    "endpoint shape, core/app.py:3229-3284).",
+)
+def r1_cases_by_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("city"), F.col("r_name").alias("state"))
+        .agg(F.countDistinct("o_orderkey").alias("case_count"))
+        .orderBy(F.desc("case_count"), "city", "state")
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# R2 — household scatter shape: per-entity count, CASE bucket over the
+# count, then per-bucket rollup (two-level aggregation).
+# ---------------------------------------------------------------------------
+
+_R2_BUCKET_SQL = """CASE
+  WHEN order_count = 0 THEN 'Unknown'
+  WHEN order_count = 1 THEN '1 order'
+  WHEN order_count BETWEEN 2 AND 3 THEN '2-3 orders'
+  WHEN order_count BETWEEN 4 AND 5 THEN '4-5 orders'
+  ELSE '6+ orders' END"""
+
+
+@register(
+    "r2_household_scatter",
+    oracle=f"""
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS order_count
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey
+)
+SELECT {_R2_BUCKET_SQL} AS category,
+       CAST(SUM(order_count) AS BIGINT) AS case_count,
+       COUNT(*) AS client_count
+FROM per_cust
+GROUP BY category
+ORDER BY case_count DESC, category
+""",
+    doc="Household-scatter shape: per-customer order count, CASE "
+    "bucket over the count, per-bucket case/client rollup "
+    "(core/app.py:4446-4463).",
+)
+def r2_household_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_count"))
+    )
+    n = F.col("order_count")
+    bucket = (
+        F.when(n == 0, "Unknown")
+        .when(n == 1, "1 order")
+        .when(n.between(2, 3), "2-3 orders")
+        .when(n.between(4, 5), "4-5 orders")
+        .otherwise("6+ orders")
+    )
+    return (
+        per_cust.groupBy(bucket.alias("category"))
+        .agg(
+            F.sum("order_count").alias("case_count"),
+            F.count("*").alias("client_count"),
+        )
+        .orderBy(F.desc("case_count"), "category")
+    )
+
+
+# ---------------------------------------------------------------------------
+# R3 — touchpoints: spine LEFT JOIN three pre-aggregated per-key
+# counters; AVG skips the NULLs the joins introduce.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "r3_touchpoint_averages",
+    oracle="""
+WITH oc AS (
+  SELECT o_custkey AS k, COUNT(*) AS order_count FROM orders GROUP BY o_custkey
+), lc AS (
+  SELECT o_custkey AS k, COUNT(*) AS lineitem_count
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_custkey
+), ec AS (
+  SELECT user_id AS k, COUNT(*) AS event_count FROM events GROUP BY user_id
+)
+SELECT COUNT(DISTINCT c_custkey) AS total_clients,
+       AVG(order_count) AS avg_orders_per_client,
+       AVG(lineitem_count) AS avg_lineitems_per_client,
+       AVG(event_count) AS avg_events_per_client
+FROM customer
+LEFT JOIN oc ON oc.k = c_custkey
+LEFT JOIN lc ON lc.k = c_custkey
+LEFT JOIN ec ON ec.k = c_custkey
+""",
+    doc="Touchpoint averages: customer spine LEFT JOIN three "
+    "pre-aggregated per-key counters, AVG over present counts only "
+    "(core/app.py:3537-3560).",
+)
+def r3_touchpoint_averages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    e = table(spark, sf_dir, "events")
+    oc = o.groupBy(F.col("o_custkey").alias("oc_k")).agg(
+        F.count("*").alias("order_count")
+    )
+    lc = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("lc_k"))
+        .agg(F.count("*").alias("lineitem_count"))
+    )
+    ec = e.groupBy(F.col("user_id").alias("ec_k")).agg(
+        F.count("*").alias("event_count")
+    )
+    return (
+        c.join(oc, c.c_custkey == F.col("oc_k"), "left")
+        .join(lc, c.c_custkey == F.col("lc_k"), "left")
+        .join(ec, c.c_custkey == F.col("ec_k"), "left")
+        .agg(
+            F.countDistinct("c_custkey").alias("total_clients"),
+            F.avg("order_count").alias("avg_orders_per_client"),
+            F.avg("lineitem_count").alias("avg_lineitems_per_client"),
+            F.avg("event_count").alias("avg_events_per_client"),
+        )
+    )
+
+
+@register(
+    "r3_touchpoint_distribution",
+    oracle="""
+WITH oc AS (
+  SELECT o_custkey AS k, COUNT(*) AS order_count FROM orders GROUP BY o_custkey
+), ec AS (
+  SELECT user_id AS k, COUNT(*) AS event_count FROM events GROUP BY user_id
+), totals AS (
+  SELECT c_custkey,
+         COALESCE(order_count, 0) + COALESCE(event_count, 0) AS total_touchpoints
+  FROM customer
+  LEFT JOIN oc ON oc.k = c_custkey
+  LEFT JOIN ec ON ec.k = c_custkey
+)
+SELECT CASE
+         WHEN total_touchpoints = 0 THEN '0'
+         WHEN total_touchpoints = 1 THEN '1'
+         WHEN total_touchpoints BETWEEN 2 AND 3 THEN '2-3'
+         WHEN total_touchpoints BETWEEN 4 AND 6 THEN '4-6'
+         WHEN total_touchpoints BETWEEN 7 AND 10 THEN '7-10'
+         ELSE '10+' END AS touchpoint_range,
+       CAST(MIN(CASE
+         WHEN total_touchpoints = 0 THEN 0
+         WHEN total_touchpoints = 1 THEN 1
+         WHEN total_touchpoints BETWEEN 2 AND 3 THEN 2
+         WHEN total_touchpoints BETWEEN 4 AND 6 THEN 3
+         WHEN total_touchpoints BETWEEN 7 AND 10 THEN 4
+         ELSE 5 END) AS INT) AS bucket_order,
+       COUNT(*) AS client_count
+FROM totals
+GROUP BY touchpoint_range
+ORDER BY bucket_order
+""",
+    doc="Touchpoint histogram: per-client total engagement bucketed "
+    "into ranges with custom bucket ordering (core/app.py:3563-3596).",
+)
+def r3_touchpoint_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    e = table(spark, sf_dir, "events")
+    oc = o.groupBy(F.col("o_custkey").alias("oc_k")).agg(
+        F.count("*").alias("order_count")
+    )
+    ec = e.groupBy(F.col("user_id").alias("ec_k")).agg(
+        F.count("*").alias("event_count")
+    )
+    total = F.coalesce("order_count", F.lit(0)) + F.coalesce("event_count", F.lit(0))
+    ranges = ((0, 0, "0", 0), (1, 1, "1", 1), (2, 3, "2-3", 2),
+              (4, 6, "4-6", 3), (7, 10, "7-10", 4))
+    bucket = F.lit("10+")
+    order = F.lit(5)
+    for lo, hi, label, pos in reversed(ranges):
+        bucket = F.when(total.between(lo, hi), label).otherwise(bucket)
+        order = F.when(total.between(lo, hi), pos).otherwise(order)
+    return (
+        c.join(oc, c.c_custkey == F.col("oc_k"), "left")
+        .join(ec, c.c_custkey == F.col("ec_k"), "left")
+        .groupBy(bucket.alias("touchpoint_range"))
+        .agg(
+            F.min(order).cast("int").alias("bucket_order"),
+            F.count("*").alias("client_count"),
+        )
+        .orderBy("bucket_order")
+    )
+
+
+# ---------------------------------------------------------------------------
+# R4 — service pathways: fact⋈fact on the case key with a strict
+# temporal-order predicate, HAVING floor, avg day-gap, top-20.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "r4_service_pathways",
+    oracle="""
+SELECT o_orderpriority AS initial_service,
+       l_returnflag AS referral_service,
+       COUNT(*) AS pathway_count,
+       ROUND(SUM((epoch_us(l_shipdate) - epoch_us(o_orderdate)) / 86400e6)
+             / COUNT(*), 1) AS avg_days_between
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate
+GROUP BY o_orderpriority, l_returnflag
+HAVING COUNT(*) >= 2
+ORDER BY pathway_count DESC, initial_service, referral_service
+LIMIT 20
+""",
+    doc="Service-pathway edges: join on the case key, referral "
+    "strictly after creation, HAVING count>=2, ROUND(avg day gap, 1), "
+    "top-20 (core/app.py:4027-4056).",
+)
+def r4_service_pathways(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    gap = julian_day_diff("l_shipdate", "o_orderdate")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy(
+            F.col("o_orderpriority").alias("initial_service"),
+            F.col("l_returnflag").alias("referral_service"),
+        )
+        .agg(
+            F.count("*").alias("pathway_count"),
+            F.round(F.sum(gap) / F.count("*"), 1).alias("avg_days_between"),
+        )
+        .filter(F.col("pathway_count") >= 2)
+        .orderBy(F.desc("pathway_count"), "initial_service", "referral_service")
+        .limit(20)
+    )

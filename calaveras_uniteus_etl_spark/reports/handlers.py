@@ -234,6 +234,164 @@ def cohort_retention(cases: DataFrame) -> DataFrame:
     )
 
 
+# --- geographic distribution (core/app.py:3229-3284) -------------------------
+
+
+def cases_by_location(
+    people: DataFrame, cases: DataFrame, n: int = 15, f: ReportFilters = ReportFilters()
+) -> DataFrame:
+    """Case counts by city/county/state: people⋈cases with the date
+    filter on case_updated_at, non-null city only, top-n by COUNT
+    (DISTINCT case_id). (Reference reads the
+    current_person_address_* columns; this schema's short names map
+    1:1 — schema.py PEOPLE.)"""
+    gated = apply_report_filters(cases, "cases", f).select("person_id", "case_id")
+    return (
+        people.filter(F.col("city").isNotNull())
+        .join(gated, "person_id")
+        .groupBy("city", "county", "state")
+        .agg(F.countDistinct("case_id").alias("case_count"))
+        .orderBy(F.desc("case_count"), "city", "county", "state")
+        .limit(n)
+    )
+
+
+# --- household-size scatter (core/app.py:4446-4463) --------------------------
+
+def household_scatter(
+    people: DataFrame, cases: DataFrame, f: ReportFilters = ReportFilters()
+) -> DataFrame:
+    """Case/client counts per household-size category (CASE bucket on
+    people.household_size; cases LEFT JOIN people keeps cases whose
+    person is missing → NULL → 'Unknown')."""
+    hh = F.col("household_size")
+    buckets = (
+        (hh.isNull(), "Unknown"),
+        (hh == 1, "1 person"),
+        (hh.between(2, 3), "2-3 people"),
+        (hh.between(4, 5), "4-5 people"),
+    )
+    bucket = F.lit("6+ people")
+    for cond, label in reversed(buckets):
+        bucket = F.when(cond, label).otherwise(bucket)
+    return (
+        apply_report_filters(cases, "cases", f)
+        .join(people.select("person_id", "household_size"), "person_id", "left")
+        .groupBy(bucket.alias("household_category"))
+        .agg(
+            F.countDistinct("case_id").alias("case_count"),
+            F.countDistinct("person_id").alias("client_count"),
+        )
+        .orderBy(F.desc("case_count"), "household_category")
+    )
+
+
+# --- client touchpoints (core/app.py:3537-3596) ------------------------------
+
+
+def _per_person_counts(
+    people: DataFrame, cases: DataFrame, referrals: DataFrame, ar: DataFrame
+) -> DataFrame:
+    """people LEFT JOIN three pre-aggregated per-person counters —
+    the three GROUP BYs shuffle small (person_id, count) pairs, never
+    full payload rows, and join back onto the people spine."""
+
+    def counts(df: DataFrame, alias: str) -> DataFrame:
+        return df.groupBy("person_id").agg(F.count("*").alias(alias))
+
+    return (
+        people.select("person_id")
+        .join(counts(cases, "case_count"), "person_id", "left")
+        .join(counts(referrals, "referral_count"), "person_id", "left")
+        .join(counts(ar, "ar_count"), "person_id", "left")
+    )
+
+
+def touchpoint_averages(
+    people: DataFrame, cases: DataFrame, referrals: DataFrame, ar: DataFrame
+) -> DataFrame:
+    """Single-row engagement summary: AVG skips the NULLs the LEFT
+    JOINs introduce — per-source averages are over clients having that
+    source, exactly the reference's semantics."""
+    return _per_person_counts(people, cases, referrals, ar).agg(
+        F.countDistinct("person_id").alias("total_clients"),
+        F.avg("case_count").alias("avg_cases_per_client"),
+        F.avg("referral_count").alias("avg_referrals_per_client"),
+        F.avg("ar_count").alias("avg_assistance_requests_per_client"),
+    )
+
+
+_TOUCHPOINT_RANGES = (
+    (1, 1, "1", 1),
+    (2, 3, "2-3", 2),
+    (4, 6, "4-6", 3),
+    (7, 10, "7-10", 4),
+)
+
+
+def touchpoint_distribution(
+    people: DataFrame, cases: DataFrame, referrals: DataFrame, ar: DataFrame
+) -> DataFrame:
+    """Histogram of total touchpoints (cases+referrals+ARs) per client.
+    Zero-touchpoint clients fall outside every range (CASE with no
+    ELSE in the reference) and surface as a NULL-range row."""
+    total = (
+        F.coalesce("case_count", F.lit(0))
+        + F.coalesce("referral_count", F.lit(0))
+        + F.coalesce("ar_count", F.lit(0))
+    )
+    bucket = F.when(total > 10, "10+")
+    order = F.when(total > 10, 5)
+    for lo, hi, label, pos in _TOUCHPOINT_RANGES:
+        bucket = F.when(total.between(lo, hi), label).otherwise(bucket)
+        order = F.when(total.between(lo, hi), pos).otherwise(order)
+    return (
+        _per_person_counts(people, cases, referrals, ar)
+        .groupBy(bucket.alias("touchpoint_range"))
+        .agg(F.min(order).alias("bucket_order"), F.count("*").alias("client_count"))
+        .orderBy(F.asc_nulls_last("bucket_order"))
+    )
+
+
+# --- service pathways (core/app.py:4027-4056) --------------------------------
+
+
+def service_pathways(
+    cases: DataFrame,
+    referrals: DataFrame,
+    n: int = 20,
+    min_count: int = 2,
+    f: ReportFilters = ReportFilters(),
+) -> DataFrame:
+    """initial service → referred service transition edges: cases ⋈
+    referrals on case_id, referral strictly after case creation,
+    HAVING count ≥ min_count, avg day-gap, top-n."""
+    c = apply_report_filters(cases, "cases", f).select(
+        "case_id",
+        F.col("service_type").alias("initial_service"),
+        "case_created_at",
+    )
+    r = referrals.select(
+        "case_id",
+        F.col("service_type").alias("referral_service"),
+        "referral_created_at",
+    )
+    gap = julian_day_diff("referral_created_at", "case_created_at")
+    return (
+        c.filter(F.col("initial_service").isNotNull())
+        .join(r.filter(F.col("referral_service").isNotNull()), "case_id")
+        .filter(F.col("referral_created_at") > F.col("case_created_at"))
+        .groupBy("initial_service", "referral_service")
+        .agg(
+            F.count("*").alias("pathway_count"),
+            F.round(F.sum(gap) / F.count("*"), 1).alias("avg_days_between"),
+        )
+        .filter(F.col("pathway_count") >= min_count)
+        .orderBy(F.desc("pathway_count"), "initial_service", "referral_service")
+        .limit(n)
+    )
+
+
 # --- referral funnel (core/reports/router.py:512-608) ------------------------
 
 

@@ -23,13 +23,17 @@ AS_OF = "2026-01-01 00:00:00"
 def fixture_tables(spark):
     people = spark.createDataFrame(
         [
-            ("p1", "Ann", "Ayes", "1990-06-15 00:00:00", "female", "450"),
-            ("p2", "Bob", "Bee", "1950-01-01 00:00:00", "male", "abc"),
-            ("p3", "Cal", "Cee", None, None, "3000"),
-            ("p4", "Dee", "Dye", "2010-03-03 00:00:00", "female", None),
+            ("p1", "Ann", "Ayes", "1990-06-15 00:00:00", "female", "450",
+             1, "Angels Camp", "Calaveras", "CA"),
+            ("p2", "Bob", "Bee", "1950-01-01 00:00:00", "male", "abc",
+             4, "San Andreas", "Calaveras", "CA"),
+            ("p3", "Cal", "Cee", None, None, "3000", None, None, None, None),
+            ("p4", "Dee", "Dye", "2010-03-03 00:00:00", "female", None,
+             7, "Angels Camp", "Calaveras", "CA"),
         ],
         "person_id string, first_name string, last_name string, "
-        "date_of_birth string, gender string, gross_monthly_income string",
+        "date_of_birth string, gender string, gross_monthly_income string, "
+        "household_size long, city string, county string, state string",
     )
     cases = spark.createDataFrame(
         [
@@ -65,6 +69,15 @@ def fixture_tables(spark):
         "referral_created_at string, sent_at string, accepted_at string, "
         "completed_at string",
     )
+    ar = spark.createDataFrame(
+        [
+            ("a1", "c1", "p1", "housed", "2025-12-01 00:00:00"),
+            ("a2", "c2", "p1", "at-risk", "2025-06-05 00:00:00"),
+            ("a3", "c3", "p2", "unhoused", "2025-12-16 00:00:00"),
+        ],
+        "ar_id string, case_id string, person_id string, "
+        "housing_current_status string, updated_at string",
+    )
     employees = spark.createDataFrame(
         [
             ("w1", "Wyn", "One", "ProvA"),
@@ -77,9 +90,13 @@ def fixture_tables(spark):
     for name, df in [
         ("people", people), ("cases", cases),
         ("referrals", referrals), ("employees", employees),
+        ("assistance_requests", ar),
     ]:
         df.createOrReplaceTempView(name)
-    return dict(people=people, cases=cases, referrals=referrals, employees=employees)
+    return dict(
+        people=people, cases=cases, referrals=referrals,
+        employees=employees, ar=ar,
+    )
 
 
 def test_demographic_distribution_null_default(spark, fixture_tables):
@@ -146,6 +163,72 @@ def test_timeline_week_bucketing(spark, fixture_tables):
     # 2025-03-02 is a Sunday → still week 08 (Mondays-elapsed count);
     # Dec 1 is a Monday → r1 + r4 (Dec 5) share W48, Dec 15 → W50
     assert got == {"2025-W08": 1, "2025-W48": 2, "2025-W50": 1}
+
+
+def test_cases_by_location(spark, fixture_tables):
+    t = fixture_tables
+    rows = H.cases_by_location(t["people"], t["cases"]).collect()
+    got = [(r["city"], r["county"], r["state"], r["case_count"]) for r in rows]
+    # p3 has NULL city → c4 excluded; p4 has an address but no cases
+    assert got == [
+        ("Angels Camp", "Calaveras", "CA", 2),
+        ("San Andreas", "Calaveras", "CA", 1),
+    ]
+    f = ReportFilters(start_date="2025-12-01 00:00:00")
+    rows = H.cases_by_location(t["people"], t["cases"], f=f).collect()
+    # only c1 (updated Dec 20) and c3 (Dec 16) pass the date gate
+    assert [(r["city"], r["case_count"]) for r in rows] == [
+        ("Angels Camp", 1), ("San Andreas", 1)
+    ]
+
+
+def test_household_scatter_buckets(spark, fixture_tables):
+    t = fixture_tables
+    rows = H.household_scatter(t["people"], t["cases"]).collect()
+    got = {r["household_category"]: (r["case_count"], r["client_count"])
+           for r in rows}
+    # p1 (hh=1) has c1+c2; p2 (hh=4) has c3; p3 (hh NULL) has c4
+    assert got == {
+        "1 person": (2, 1), "4-5 people": (1, 1), "Unknown": (1, 1)
+    }
+
+
+def test_touchpoint_averages(spark, fixture_tables):
+    t = fixture_tables
+    r = H.touchpoint_averages(
+        t["people"], t["cases"], t["referrals"], t["ar"]
+    ).collect()[0]
+    assert r["total_clients"] == 4
+    # AVG skips clients with no rows in a source (LEFT JOIN NULLs):
+    # cases p1:2 p2:1 p3:1; referrals p1:2 p2:1 p3:1; ARs p1:2 p2:1
+    assert r["avg_cases_per_client"] == pytest.approx(4 / 3)
+    assert r["avg_referrals_per_client"] == pytest.approx(4 / 3)
+    assert r["avg_assistance_requests_per_client"] == pytest.approx(1.5)
+
+
+def test_touchpoint_distribution(spark, fixture_tables):
+    t = fixture_tables
+    rows = H.touchpoint_distribution(
+        t["people"], t["cases"], t["referrals"], t["ar"]
+    ).collect()
+    got = [(r["touchpoint_range"], r["client_count"]) for r in rows]
+    # totals: p1=6 → 4-6, p2=3 → 2-3, p3=2 → 2-3, p4=0 → NULL range last
+    assert got == [("2-3", 2), ("4-6", 1), (None, 1)]
+
+
+def test_service_pathways(spark, fixture_tables):
+    t = fixture_tables
+    rows = H.service_pathways(t["cases"], t["referrals"]).collect()
+    # c1 (Housing, Nov 1) → r1 (Dec 1, +30d) and r4 (Dec 5, +34d);
+    # r2 is NOT strictly after c3's creation (same instant) → dropped;
+    # c4 has NULL service_type → dropped
+    assert [(r["initial_service"], r["referral_service"],
+             r["pathway_count"], r["avg_days_between"]) for r in rows] == [
+        ("Housing", "Housing", 2, 32.0)
+    ]
+    assert H.service_pathways(
+        t["cases"], t["referrals"], min_count=3
+    ).count() == 0
 
 
 def test_views_shapes(spark, fixture_tables):
