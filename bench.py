@@ -20,9 +20,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "f4_pricing_summary",
+    "f1_summary_counts",
     "f2_count_distinct",
+    "f9_daily_counts",
     "f9_weekly_counts",
     "f10_cohort_retention",
+    "f11_funnel",
+    "f15_scatter",
+    "i1_union_all_stats",
+    "m1_audit_stats",
+    "d1_date_range_filter",
     "e3_chain_join",
     "e5_range_predicate_join",
     "e8_pair_edges",
@@ -43,6 +50,9 @@ HEADLINE = [
     "x12_tfidf_top_terms",
     "f17_skew_salted_agg",
     "x13_ann_ivf_topk",
+    "r1_cases_by_location",
+    "r3_touchpoint_distribution",
+    "r4_service_pathways",
 ]
 
 

@@ -217,6 +217,15 @@ DATA_QUALITY_ISSUES = _t(
     ("created_at", _TS),
 )
 
+# sftp_cache — core/database_schema.py:383-389 (remote listing snapshots;
+# the autoincrement id is dropped — sync_time orders snapshots)
+SFTP_CACHE = _t(
+    ("sync_time", _TS),
+    ("file_list", _S),
+    ("file_count", _L),
+    ("synced_by", _S),
+)
+
 # schema_errors — core/internal_schema.py:188-200
 SCHEMA_ERRORS = _t(
     ("file_name", _S),
@@ -240,6 +249,7 @@ TABLE_SCHEMAS: dict[str, StructType] = {
     "etl_metadata": ETL_METADATA,
     "data_quality_issues": DATA_QUALITY_ISSUES,
     "schema_errors": SCHEMA_ERRORS,
+    "sftp_cache": SFTP_CACHE,
 }
 
 
