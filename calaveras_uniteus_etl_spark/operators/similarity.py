@@ -9,12 +9,13 @@ only same-bucket candidates trades recall for a corpus-size-independent
 candidate set — the standard SRP-LSH construction (Charikar 2002).
 
 Determinism contract: hyperplane entries are ±1 Rademacher signs
-derived from md5 of "plane:dim" (computed once here with hashlib, then
-inlined as literals into BOTH the Spark plan and the DuckDB oracle), so
-the same buckets fall out of both engines bit-for-bit. Dot products are
-left-fold sums of float→double-exact products — Spark's ``aggregate``
-and DuckDB's ``list_reduce`` associate identically, so even near-zero
-dots sign-match.
+derived from md5 of "plane:dim", so the same buckets fall out of both
+engines bit-for-bit. Every dot product is a LEFT-FOLD sum of
+float→double-exact ±terms, in three interchangeable spellings: the
+oracle's left-associated ``+``/``-`` SQL chain, the equivalent Spark
+expression chain (``_dot_signs_spark``), and the vectorized
+``np.cumsum`` hot path (``buckets_array_udf``) — all associate
+identically, so even near-zero dots sign-match.
 
 Scale notes: bucketing is a narrow projection (no shuffle); the
 candidate join shuffles on (table, bucket) — small ints, never the
@@ -27,12 +28,20 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 EMBED_DIM = 64
 N_TABLES = 8
-N_PLANES = 4  # bits per table → 2^4 buckets/table
+# bits per table → 2^6 buckets/table. Tuned against the synthetic
+# corpus: at 4 bits a random pair collides in some table ~40% of the
+# time (candidate volume ~O(n²)), at 6 bits ~12% with ~98% recall for
+# true near-dups (per-bit collision 0.86 at cosine 0.9 → 1-(1-0.86^6)^8).
+# Raising bits is the scale lever: bucket occupancy n/2^P drives the
+# self-join cost, and the oracle derives from the same constant.
+N_PLANES = 6
 
 
 def _sign(plane: int, dim: int) -> float:
@@ -49,11 +58,20 @@ def plane_signs(plane: int) -> list[float]:
 
 
 def _dot_signs_spark(vec_col: str, signs: list[float]) -> str:
-    lits = ", ".join(f"{s:.1f}D" for s in signs)
-    return (
-        f"aggregate(zip_with({vec_col}, array({lits}), (x, y) -> cast(x as double) * y), "
-        "cast(0 as double), (acc, v) -> acc + v)"
-    )
+    """±1-weighted dot as an explicit left-associated sum chain.
+
+    Same fold order (and therefore bit-identical doubles) as an
+    ``aggregate(zip_with(...))`` left fold, but a flat arithmetic
+    expression stays inside whole-stage codegen instead of the
+    interpreted higher-order-function path — and multiplying by ±1 is
+    an exact sign flip, so ``- x`` ≡ ``x * -1.0``.
+    """
+    terms = [
+        ("+ " if s > 0 else "- ") + f"cast({vec_col}[{i}] as double)"
+        for i, s in enumerate(signs)
+    ]
+    # "a + b - c" parses left-associated: ((a + b) - c) — the fold order
+    return "(" + terms[0].lstrip("+ ") + " " + " ".join(terms[1:]) + ")"
 
 
 def bucket_expr(table_idx: int, vec_col: str = "embedding") -> Column:
@@ -67,19 +85,67 @@ def bucket_expr(table_idx: int, vec_col: str = "embedding") -> Column:
 
 
 def buckets_array_expr(vec_col: str = "embedding") -> Column:
-    """Array of all T bucket ids (posexplode → (table, bucket) rows)."""
+    """Array of all T bucket ids as a built-in expression tree.
+
+    Correct but pathological for the optimizer: T×P chains of
+    EMBED_DIM terms is a ~3000-node tree that costs seconds of
+    analysis/codegen per plan. ``buckets_array_udf`` below is the hot
+    path; this stays as the expression-level reference the oracle SQL
+    is derived from.
+    """
     return F.array(*[bucket_expr(t, vec_col) for t in range(N_TABLES)])
+
+
+_SIGNS_MATRIX = None
+
+
+def _signs_matrix():
+    global _SIGNS_MATRIX
+    if _SIGNS_MATRIX is None:
+        _SIGNS_MATRIX = np.array(
+            [plane_signs(k) for k in range(N_TABLES * N_PLANES)], dtype=np.float64
+        )
+    return _SIGNS_MATRIX
+
+
+def buckets_array_udf() -> Column:
+    """All T bucket ids via one Arrow-batched vectorized pass.
+
+    Bit-parity with the SQL chains: float32→float64 elementwise
+    products are exact, and ``np.cumsum`` accumulates strictly left to
+    right — the same fold order as the oracle's left-associated
+    ``+``/``-`` chain — so even near-zero dots sign-match. A per-plane
+    loop keeps peak temp memory at one (batch × EMBED_DIM) array.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def _buckets(emb: pd.Series) -> pd.Series:
+        S = _signs_matrix()
+        V = np.stack(emb.to_numpy()).astype(np.float64)  # (B, D)
+        n = len(V)
+        buckets = np.zeros((n, N_TABLES), dtype=np.int64)
+        for t in range(N_TABLES):
+            for p in range(N_PLANES):
+                dots = np.cumsum(V * S[t * N_PLANES + p], axis=1)[:, -1]
+                buckets[:, t] += (dots > 0) << p
+        return pd.Series(list(buckets.astype(np.int32)))
+
+    return _buckets(F.col("embedding"))
 
 
 # --- DuckDB oracle side ----------------------------------------------------
 
 
 def _dot_signs_duck(vec_expr: str, signs: list[float]) -> str:
-    lits = ", ".join(f"{s:.1f}" for s in signs)
-    return (
-        f"list_reduce(list_transform(range({EMBED_DIM}), "
-        f"i -> CAST({vec_expr}[i+1] AS DOUBLE) * ([{lits}])[i+1]), (a, b) -> a + b)"
-    )
+    """Same explicit left-associated chain, 1-based list indexing —
+    flat arithmetic vectorizes across rows where a per-row
+    list_transform/list_reduce closure pair does not."""
+    terms = [
+        ("+ " if s > 0 else "- ") + f"CAST({vec_expr}[{i + 1}] AS DOUBLE)"
+        for i, s in enumerate(signs)
+    ]
+    return "(" + terms[0].lstrip("+ ") + " " + " ".join(terms[1:]) + ")"
 
 
 def duck_bucket_sql(table_idx: int, vec_expr: str = "embedding") -> str:

@@ -44,11 +44,22 @@ SELECT query_id, neighbor_id, cosine FROM (
 
 
 def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    """Left-fold dot product as an explicit sum chain.
+
+    Bit-identical to ``aggregate(zip_with(...))`` (same fold order,
+    seed 0.0 + first product is exact) and to DuckDB's
+    ``list_dot_product``, but a flat ~250-node arithmetic expression
+    runs inside whole-stage codegen instead of the interpreted
+    higher-order-function path. Accepts Column or name; columns must
+    be simple references (the chain indexes them by name).
+    """
+    an = a._jc.toString() if not isinstance(a, str) else a
+    bn = b._jc.toString() if not isinstance(b, str) else b
+    terms = " + ".join(
+        f"(cast({an}[{i}] as double) * cast({bn}[{i}] as double))"
+        for i in range(sim.EMBED_DIM)
     )
+    return F.expr("(" + terms + ")")
 
 
 @register(
@@ -58,7 +69,11 @@ def _dot(a, b):
     "broadcast probe set, rank via window). Baseline for ANN.",
 )
 def x5_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "embeddings")
+    # single-file source → rebalance so the per-row interpreted dot
+    # products fan out across cores (narrow data, wide compute)
+    e = table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
     probes = e.filter(F.col("vec_id") < _N_QUERY).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
     )
@@ -109,12 +124,18 @@ def _spark_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair, and the join carries (vec_id, tbl, bucket) — 3 small ints —
     until the final embedding join-back.
     """
-    e = table(spark, sf_dir, "embeddings")
+    # repartition first: the synthetic source is one parquet file → one
+    # task, which would serialize the 32 hyperplane dot products per
+    # vector onto a single core. At scale the source arrives already
+    # partitioned and this is a cheap narrow-width rebalance.
+    e = table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
     return e.select(
         "vec_id",
         "embedding",
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
-        sim.buckets_array_expr().alias("bks"),
+        sim.buckets_array_udf().alias("bks"),
     ).cache()
 
 
@@ -133,10 +154,12 @@ def _spark_buckets(vecs: DataFrame) -> DataFrame:
 
 
 def _duck_buckets_cte() -> str:
+    # ids only — candidate mining never carries the vector payload;
+    # scoring joins embeddings back by id (mirrors the Spark plan)
     return f"""
   buckets_all AS (
-    SELECT vec_id, embedding, t.tbl AS tbl, bks[t.tbl + 1] AS bucket
-    FROM (SELECT vec_id, embedding, {sim.duck_buckets_list_sql()} AS bks FROM embeddings)
+    SELECT vec_id, t.tbl AS tbl, bks[t.tbl + 1] AS bucket
+    FROM (SELECT vec_id, {sim.duck_buckets_list_sql()} AS bks FROM embeddings)
     CROSS JOIN (SELECT unnest(range({sim.N_TABLES})) AS tbl) t
   ), bok AS (
     SELECT tbl, bucket FROM buckets_all GROUP BY tbl, bucket HAVING COUNT(*) <= 1000
@@ -150,17 +173,19 @@ def _duck_buckets_cte() -> str:
     oracle=f"""
 WITH {_duck_buckets_cte()},
 probes AS (
-  SELECT * FROM buckets WHERE vec_id < {_N_QUERY}
+  SELECT vec_id, tbl, bucket FROM buckets WHERE vec_id < {_N_QUERY}
 ),
 cand AS (
-  SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS neighbor_id,
-         p.embedding AS q, c.embedding AS e
+  SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS neighbor_id
   FROM probes p JOIN buckets c
     ON p.tbl = c.tbl AND p.bucket = c.bucket AND p.vec_id <> c.vec_id
 ),
 scored AS (
-  SELECT query_id, neighbor_id, {_DUCK_COSINE.format(a="q", b="e")} AS cosine
+  SELECT query_id, neighbor_id, {_DUCK_COSINE.format(a="q.embedding", b="e.embedding")}
+           AS cosine
   FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings e ON e.vec_id = cand.neighbor_id
 )
 SELECT query_id, neighbor_id, cosine FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -219,14 +244,19 @@ def x6_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH {_duck_buckets_cte()},
 cand AS (
-  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         a.embedding AS ea, b.embedding AS eb
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM buckets a JOIN buckets b
     ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT vec_a, vec_b,
+         {_DUCK_COSINE.format(a="ea.embedding", b="eb.embedding")} AS cosine
+  FROM cand
+  JOIN embeddings ea ON ea.vec_id = cand.vec_a
+  JOIN embeddings eb ON eb.vec_id = cand.vec_b
 )
-SELECT vec_a, vec_b, {_DUCK_COSINE.format(a="ea", b="eb")} AS cosine
-FROM cand
-WHERE {_DUCK_COSINE.format(a="ea", b="eb")} >= {_NEARDUP_MIN}
+SELECT vec_a, vec_b, cosine FROM scored
+WHERE cosine >= {_NEARDUP_MIN}
 """,
     doc="Embedding-cosine near-dup pairs: LSH bucket collision → exact "
     "cosine ≥ 0.4. Approximate-recall by construction; oracle mirrors "
@@ -332,7 +362,9 @@ SELECT query_id, neighbor_id, cosine FROM (
     "inverted-file scale path next to X6's LSH.",
 )
 def x13_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "embeddings")
+    e = table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
     cents = e.filter(F.col("vec_id") < _N_CENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("c")
     )
