@@ -69,21 +69,27 @@ def _dot(a, b):
     "broadcast probe set, rank via window). Baseline for ANN.",
 )
 def x5_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # single-file source → rebalance so the per-row interpreted dot
-    # products fan out across cores (narrow data, wide compute)
-    e = table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
+    # single-file source → rebalance so the per-row dot products fan
+    # out across cores (narrow data, wide compute); norms precomputed
+    # once per side — identical operands, so bit-parity with the
+    # oracle's inline sqrt(list_dot_product(...)) holds
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select(
+            "vec_id",
+            "embedding",
+            F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        )
     )
     probes = e.filter(F.col("vec_id") < _N_QUERY).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q"),
+        F.col("nrm").alias("qn"),
     )
     joined = e.join(F.broadcast(probes), F.col("vec_id") != F.col("query_id"))
     num = _dot(F.col("q"), F.col("embedding"))
-    den = F.nullif(
-        F.sqrt(_dot(F.col("q"), F.col("q")))
-        * F.sqrt(_dot(F.col("embedding"), F.col("embedding"))),
-        F.lit(0.0),
-    )
+    den = F.nullif(F.col("qn") * F.col("nrm"), F.lit(0.0))
     scored = joined.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
@@ -144,13 +150,17 @@ from calaveras_uniteus_etl_spark.plans.queries_dedup import BUCKET_CAP as _BUCKE
 
 def _spark_buckets(vecs: DataFrame) -> DataFrame:
     b = vecs.select("vec_id", F.posexplode("bks").alias("tbl", "bucket"))
+    # the cap relation has at most N_TABLES * 2^N_PLANES rows regardless
+    # of corpus size — broadcast it so the cap filter never shuffles b
     ok = (
         b.groupBy("tbl", "bucket")
         .agg(F.count("*").alias("bc"))
         .filter(F.col("bc") <= _BUCKET_CAP)
         .drop("bc")
     )
-    return b.join(ok, ["tbl", "bucket"])
+    # cached: both sides of the candidate self-join (and the x6_ann
+    # probe path) read this relation — (vec_id, tbl, bucket) ints only
+    return b.join(F.broadcast(ok), ["tbl", "bucket"]).cache()
 
 
 def _duck_buckets_cte() -> str:
@@ -277,6 +287,12 @@ def x6_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.vec_id").alias("vec_a"), F.col("c.vec_id").alias("vec_b"))
         .distinct()
+        # the distinct's post-shuffle stage is a few MB of id pairs, so
+        # AQE coalesces it to ~1 partition — which would serialize the
+        # downstream cosine scoring onto one core. Re-spread by the
+        # join-back key (cheap: bare int pairs; at scale this hash
+        # partitioning is reusable by the payload join on vec_a).
+        .repartition(spark.sparkContext.defaultParallelism, "vec_a")
     )
     aside = vecs.select(
         F.col("vec_id").alias("vec_a"),
@@ -362,45 +378,62 @@ SELECT query_id, neighbor_id, cosine FROM (
     "inverted-file scale path next to X6's LSH.",
 )
 def x13_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
+    # norm precomputed once per vector — sqrt(dot(v, v)) over identical
+    # operands is bit-identical wherever it is evaluated, so the oracle
+    # (which recomputes it inline) still hash-matches
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select(
+            "vec_id",
+            "embedding",
+            F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        )
+        .cache()
     )
     cents = e.filter(F.col("vec_id") < _N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("c")
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c"),
+        F.col("nrm").alias("cn"),
     )
     cos_raw = _dot(F.col("embedding"), F.col("c")) / F.nullif(
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
-        * F.sqrt(_dot(F.col("c"), F.col("c"))),
-        F.lit(0.0),
+        F.col("nrm") * F.col("cn"), F.lit(0.0)
     )
-    scored = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "embedding", "cid", cos_raw.alias("cc")
-    )
+    # payload dropped BEFORE the assignment window: the shuffle carries
+    # (vec_id, cid, cc) ints+double, never 16 copies of the embedding
+    scored = e.crossJoin(F.broadcast(cents)).select("vec_id", "cid", cos_raw.alias("cc"))
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("cid"))
     ranked = scored.withColumn("rn", F.row_number().over(w_assign))
-    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "embedding", "cid")
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cid")
     probe_lists = (
         ranked.filter((F.col("vec_id") < _N_QUERY) & (F.col("rn") <= _N_PROBE))
         .select(F.col("vec_id").alias("query_id"), "cid")
     )
     probes = e.filter(F.col("vec_id") < _N_QUERY).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
     )
+    # candidate mining on bare (query_id, neighbor_id); embeddings join
+    # back late by id — at scale this is the only corpus-wide shuffle
     cand = (
         F.broadcast(probe_lists)
         .join(assign, "cid")
         .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .join(F.broadcast(probes), "query_id")
-        .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                "qe", F.col("embedding").alias("ne"))
+        .join(
+            e.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("ne"),
+                F.col("nrm").alias("nn"),
+            ),
+            "neighbor_id",
+        )
     )
     cosine = F.round(
         _dot(F.col("qe"), F.col("ne"))
-        / F.nullif(
-            F.sqrt(_dot(F.col("qe"), F.col("qe")))
-            * F.sqrt(_dot(F.col("ne"), F.col("ne"))),
-            F.lit(0.0),
-        ),
+        / F.nullif(F.col("qn") * F.col("nn"), F.lit(0.0)),
         4,
     )
     w_rank = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
