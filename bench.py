@@ -50,6 +50,7 @@ HEADLINE = [
     "x12_tfidf_top_terms",
     "f17_skew_salted_agg",
     "x13_ann_ivf_topk",
+    "x21_curation_funnel",
     "r1_cases_by_location",
     "r3_touchpoint_distribution",
     "r4_service_pathways",

@@ -596,3 +596,118 @@ def x20_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_total"),
         F.sum(keep).cast("bigint").alias("n_sampled"),
     )
+
+# ---------------------------------------------------------------------------
+# X21 — composed corpus-curation funnel (the end-to-end pipeline story)
+#
+# Every large-scale pretraining corpus goes through the same gauntlet:
+# exact dedup → language ID → quality gate → split assignment. This
+# query composes the already-oracled stages (x1 keeper, x7 lang-id, x8
+# quality bucket, x15 split) into ONE cumulative retention funnel, the
+# number a pipeline owner actually reads ("how many docs/tokens survive
+# to training?").
+#
+# Scale shape: a single projection computes all per-doc flags (built-in
+# expressions only), ONE shuffle on the 16-byte content digest elects
+# exact-dedup keepers (window MIN, no self-join), and a map-side
+# partially-aggregated conditional SUM reduces to one row — unpivoted
+# to the 5-stage funnel. No joins, no second pass over text.
+# ---------------------------------------------------------------------------
+
+_X21_STAGES = (
+    ("1_raw", "true"),
+    ("2_exact_dedup", "is_keeper"),
+    ("3_lang_identified", "is_keeper AND lang_pred <> 'und'"),
+    ("4_quality_pass", "is_keeper AND lang_pred <> 'und' AND n_tokens >= 15"),
+    (
+        "5_train_split",
+        "is_keeper AND lang_pred <> 'und' AND n_tokens >= 15 AND split = 'train'",
+    ),
+)
+
+
+@register(
+    "x21_curation_funnel",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, text, md5(text) AS digest,
+         {NORM_DUCK.format(col="text")} AS norm,
+         string_split({NORM_DUCK.format(col="text")}, ' ') AS w
+  FROM documents
+), flags AS (
+  SELECT doc_id,
+         doc_id = MIN(doc_id) OVER (PARTITION BY digest) AS is_keeper,
+         CASE WHEN norm = '' THEN 0 ELSE len(w) END AS n_tokens,
+         {_X7_PRED_DUCK} AS lang_pred,
+         CASE WHEN {_fold("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 90
+              THEN 'train'
+              WHEN {_fold("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 95
+              THEN 'val' ELSE 'test' END AS split
+  FROM toks
+), agg AS (
+  SELECT
+    {", ".join(
+        f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS d{i}, "
+        f"CAST(SUM(CASE WHEN {cond} THEN n_tokens ELSE 0 END) AS BIGINT) AS t{i}"
+        for i, (_, cond) in enumerate(_X21_STAGES)
+    )}
+  FROM flags
+)
+{" UNION ALL ".join(
+    f"SELECT '{stage}' AS stage, d{i} AS n_docs, t{i} AS n_tokens FROM agg"
+    for i, (stage, _) in enumerate(_X21_STAGES)
+)}
+""",
+    doc="Composed corpus-curation funnel: exact-dedup keeper → lang-id "
+    "→ quality gate → train split, cumulative doc/token retention per "
+    "stage — one text pass, one digest shuffle, one aggregate.",
+)
+def x21_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    norm = NORM_SPARK.format(col="text")
+    bucket = (
+        "cast(conv(substr(md5(concat('split:', cast(doc_id as string))), 1, 15), 16, 10)"
+        " as bigint) % 100"
+    )
+    flags = (
+        d.withColumn("norm", F.expr(norm))
+        .withColumn("w", F.expr("split(norm, ' ')"))
+        .select(
+            "doc_id",
+            F.md5("text").alias("digest"),
+            F.expr("case when norm = '' then 0 else size(w) end")
+            .cast("long")
+            .alias("n_tokens"),
+            F.expr(_X7_PRED_SPARK).alias("lang_pred"),
+            F.expr(
+                f"case when {bucket} < 90 then 'train' "
+                f"when {bucket} < 95 then 'val' else 'test' end"
+            ).alias("split"),
+        )
+        .withColumn(
+            "is_keeper",
+            F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("digest")),
+        )
+    )
+    agg = flags.agg(
+        *[
+            e
+            for i, (_, cond) in enumerate(_X21_STAGES)
+            for e in (
+                F.sum(F.when(F.expr(cond), 1).otherwise(0))
+                .cast("long")
+                .alias(f"d{i}"),
+                F.sum(F.when(F.expr(cond), F.col("n_tokens")).otherwise(0))
+                .cast("long")
+                .alias(f"t{i}"),
+            )
+        ]
+    )
+    stack = ", ".join(
+        f"'{stage}', d{i}, t{i}" for i, (stage, _) in enumerate(_X21_STAGES)
+    )
+    return agg.select(
+        F.expr(f"stack({len(_X21_STAGES)}, {stack}) as (stage, n_docs, n_tokens)")
+    )
