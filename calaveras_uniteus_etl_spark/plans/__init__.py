@@ -54,6 +54,7 @@ _CHECK_PRIORITY = [
     "x18_decontamination",
     "x20_stratified_sample",
     "x21_curation_funnel",
+    "x22_vocab_topk",
     # -- r01 row was an error or hash mismatch; fixed this round -----
     "f1_summary_counts",
     "f9_daily_counts",

@@ -711,3 +711,67 @@ def x21_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         F.expr(f"stack({len(_X21_STAGES)}, {stack}) as (stage, n_docs, n_tokens)")
     )
+
+# ---------------------------------------------------------------------------
+# X22 — vocabulary statistics (tokenizer-construction shape)
+#
+# Global term frequencies with rank and cumulative corpus share — the
+# aggregation behind building a tokenizer vocab / frequency cutoff.
+# Scale shape: one shuffle (term counts, map-side combined), then
+# ORDER BY + LIMIT k which Spark executes as TakeOrderedAndProject
+# (per-partition top-k, never a global sort); the rank/cumulative
+# window runs over the k survivors only, and the corpus total joins in
+# as a broadcast scalar. Determinism: counts are exact BIGINTs, the
+# running share divides identical integer operands → identical doubles.
+# ---------------------------------------------------------------------------
+
+_VOCAB_TOPK = 50
+
+
+@register(
+    "x22_vocab_topk",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(string_split({NORM_DUCK.format(col="text")}, ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT term, COUNT(*) AS tf FROM toks WHERE term <> '' GROUP BY term
+), top AS (
+  SELECT term, tf FROM tf ORDER BY tf DESC, term LIMIT {_VOCAB_TOPK}
+), total AS (
+  SELECT SUM(tf) AS total_tf FROM tf
+)
+SELECT term, tf,
+       CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, term) AS BIGINT) AS rank,
+       CAST(SUM(tf) OVER (ORDER BY tf DESC, term
+                          ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+         / CAST(total_tf AS DOUBLE) AS cum_share
+FROM top CROSS JOIN total
+""",
+    doc="Vocabulary top-k: exact term frequencies, rank, cumulative "
+    "corpus share — TakeOrderedAndProject top-k, window only over the "
+    "k survivors, broadcast scalar total.",
+)
+def x22_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.expr(f"split({NORM_SPARK.format(col='text')}, ' ')")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("term").agg(F.count("*").alias("tf"))
+    top = tf.orderBy(F.desc("tf"), F.asc("term")).limit(_VOCAB_TOPK)
+    total = tf.agg(F.sum("tf").alias("total_tf"))
+    w = Window.orderBy(F.desc("tf"), F.asc("term"))
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            "tf",
+            F.row_number().over(w).cast("bigint").alias("rank"),
+            (
+                F.sum("tf").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double")
+                / F.col("total_tf").cast("double")
+            ).alias("cum_share"),
+        )
+    )
