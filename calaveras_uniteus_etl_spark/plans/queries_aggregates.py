@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from calaveras_uniteus_etl_spark.functions.datetime_ext import (
     julian_day_diff,
@@ -807,4 +808,50 @@ def f18_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
         F.expr("percentile(l_extendedprice, 0.95)").alias("p95_price"),
         F.count("*").alias("n"),
+    )
+
+# ---------------------------------------------------------------------------
+# F19 — rolling time-series metrics over the daily grain
+#
+# The dashboard trend-line shape: daily counts, a 7-observation rolling
+# mean, and day-over-day delta. The rolling window runs over the
+# AGGREGATED day series — after the one events shuffle, the series has
+# one row per day (bounded by calendar time, not data volume: 100 TB of
+# events is still <50k days), so the global ordering is cheap by
+# construction. Determinism: the mean divides an exact BIGINT window
+# sum by an exact window count (identical integer operands → identical
+# doubles); the delta is cast to DOUBLE on both sides so the NULL-first
+# row canonicalizes identically (float64 NaN) in both engines.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f19_rolling_daily",
+    oracle="""
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS cnt
+  FROM events GROUP BY day
+)
+SELECT day, cnt,
+       CAST(SUM(cnt) OVER w7 AS DOUBLE) / COUNT(*) OVER w7 AS avg_7d,
+       CAST(cnt - LAG(cnt) OVER (ORDER BY day) AS DOUBLE) AS delta_1d
+FROM daily
+WINDOW w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+    doc="Daily counts + 7-observation rolling mean + day-over-day "
+    "delta; rolling window over the day grain, never over raw events.",
+)
+def f19_rolling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(to_day("ts").alias("day"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    w7 = Window.orderBy("day").rowsBetween(-6, 0)
+    w1 = Window.orderBy("day")
+    return daily.select(
+        "day",
+        "cnt",
+        (F.sum("cnt").over(w7).cast("double") / F.count("*").over(w7)).alias("avg_7d"),
+        (F.col("cnt") - F.lag("cnt", 1).over(w1)).cast("double").alias("delta_1d"),
     )
