@@ -56,6 +56,7 @@ _CHECK_PRIORITY = [
     "x21_curation_funnel",
     "x22_vocab_topk",
     "f19_rolling_daily",
+    "x23_kmeans_refine",
     # -- r01 row was an error or hash mismatch; fixed this round -----
     "f1_summary_counts",
     "f9_daily_counts",

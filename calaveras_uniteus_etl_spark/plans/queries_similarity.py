@@ -519,3 +519,152 @@ def x19_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(0 as double), (a, b) -> a + b) / size(e)"
         ).alias("mean_abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X23 — k-means centroid refinement (2 Lloyd iterations, exact parity)
+#
+# x13's IVF uses deterministic seed centroids; a real deployment refines
+# them with Lloyd iterations. Iterative floating-point k-means is not
+# reproducible across engines (mean-of-doubles depends on reduction
+# order), so this operator runs in FIXED-POINT: embeddings quantize to
+# integers (floor(x·2^20) — exact: a double times a power of two only
+# shifts the exponent), cluster sums are exact BIGINTs, and each
+# centroid mean divides identical integer operands → identical doubles
+# everywhere. Distances are left-folded squared-diff chains (the x5/x6
+# fold-order contract). Assignment ties break on cid.
+#
+# Scale shape per iteration: assignment is a broadcast of ≤k centroid
+# arrays (no shuffle of the corpus), recentering is one groupBy(cid,
+# dim) over exploded dims — (int, int, long) rows, map-side combined.
+# Output is the per-(cid, dim) refined mean + cluster size: 1024 scalar
+# rows, canon-friendly.
+# ---------------------------------------------------------------------------
+
+_KM_SCALE = 1 << 20
+_KM_K = _N_CENTROIDS  # reuse the IVF seed count
+
+
+def _sqdist_spark(vcol: str, ccol: str) -> str:
+    terms = [
+        f"((cast({vcol}[{i}] as double) - {ccol}[{i}]) * "
+        f"(cast({vcol}[{i}] as double) - {ccol}[{i}]))"
+        for i in range(sim.EMBED_DIM)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _sqdist_duck(vcol: str, ccol: str) -> str:
+    terms = [
+        f"((CAST({vcol}[{i + 1}] AS DOUBLE) - {ccol}[{i + 1}]) * "
+        f"(CAST({vcol}[{i + 1}] AS DOUBLE) - {ccol}[{i + 1}]))"
+        for i in range(sim.EMBED_DIM)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _km_assign_spark(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """argmin_cid dist(v, c) via broadcast crossJoin + window rank."""
+    d = F.expr(_sqdist_spark("q", "c"))
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "q", "cid", d.alias("dist")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "q", "cid")
+    )
+
+
+def _km_recenter_spark(assign: DataFrame) -> DataFrame:
+    """Exact integer recentering → DOUBLE centroid arrays."""
+    by_dim = (
+        assign.select("cid", F.posexplode("q").alias("dim", "val"))
+        .groupBy("cid", "dim")
+        .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+        .select(
+            "cid", "dim", (F.col("s").cast("double") / F.col("n")).alias("m"), "n"
+        )
+    )
+    return by_dim.groupBy("cid").agg(
+        F.expr("transform(array_sort(collect_list(struct(dim, m))), x -> x.m)").alias(
+            "c"
+        ),
+        F.max("n").alias("n_members"),
+    )
+
+
+def _km_duck_cte() -> str:
+    """DuckDB twin of quantize → assign → recenter → assign → recenter."""
+    q = (
+        "list_transform(CAST(embedding AS DOUBLE[]), "
+        f"x -> CAST(floor(x * {_KM_SCALE}) AS BIGINT))"
+    )
+    recenter = f"""
+  {{out}} AS (
+    SELECT cid, list(m ORDER BY dim) AS c, MAX(n) AS n_members
+    FROM (
+      SELECT cid, dim, CAST(SUM(val) AS DOUBLE) / COUNT(*) AS m, COUNT(*) AS n
+      FROM (
+        SELECT cid, d.dim AS dim, q[d.dim + 1] AS val
+        FROM {{assign}} CROSS JOIN
+             (SELECT unnest(range({sim.EMBED_DIM})) AS dim) d
+      ) GROUP BY cid, dim
+    ) GROUP BY cid
+  )"""
+    assign = """
+  {out} AS (
+    SELECT vec_id, q, cid FROM (
+      SELECT v.vec_id, v.q, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                ORDER BY {dist} ASC, c.cid) AS rn
+      FROM qvecs v CROSS JOIN {cents} c
+    ) WHERE rn = 1
+  )"""
+    return f"""
+  qvecs AS (
+    SELECT vec_id, {q} AS q FROM embeddings
+  ), seeds AS (
+    SELECT vec_id AS cid, list_transform(q, x -> CAST(x AS DOUBLE)) AS c
+    FROM qvecs WHERE vec_id < {_KM_K}
+  ),{assign.format(out="a1", cents="seeds", dist=_sqdist_duck("v.q", "c.c"))},
+  {recenter.format(out="c1", assign="a1")},{assign.format(
+        out="a2", cents="c1", dist=_sqdist_duck("v.q", "c.c")
+    )},
+  {recenter.format(out="c2", assign="a2")}"""
+
+
+@register(
+    "x23_kmeans_refine",
+    oracle=f"""
+WITH {_km_duck_cte()}
+SELECT cid, n_members, d.dim AS dim, c[d.dim + 1] AS c_mean
+FROM c2 CROSS JOIN (SELECT unnest(range({sim.EMBED_DIM})) AS dim) d
+""",
+    doc="Fixed-point k-means refinement of the IVF seed centroids: 2 "
+    "Lloyd iterations with exact integer cluster sums (floor(x*2^20) "
+    "quantization), broadcast assignment, tie-broken argmin — "
+    "bit-identical centroid means across engines.",
+)
+def x23_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    qvecs = e.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> cast(floor(cast(x as double) * {_KM_SCALE}) as bigint))"
+        ).alias("q"),
+    ).cache()
+    seeds = qvecs.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"),
+        F.expr("transform(q, x -> cast(x as double))").alias("c"),
+    )
+    a1 = _km_assign_spark(qvecs, seeds)
+    c1 = _km_recenter_spark(a1)
+    a2 = _km_assign_spark(qvecs, c1.select("cid", "c"))
+    c2 = _km_recenter_spark(a2)
+    return c2.select(
+        "cid", "n_members", F.posexplode("c").alias("dim", "c_mean")
+    ).select("cid", "n_members", F.col("dim").cast("bigint").alias("dim"), "c_mean")
