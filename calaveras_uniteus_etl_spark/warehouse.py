@@ -88,6 +88,50 @@ class Warehouse:
         """COUNT(*) per existing table (reference core/database.py:723-769)."""
         return {t: self.read(t).count() for t in TABLE_SCHEMAS if self.exists(t)}
 
+    def compact(
+        self,
+        table: str,
+        target_file_bytes: int = 128 << 20,
+        partition_by: list[str] | None = None,
+    ) -> dict[str, int]:
+        """OPTIMIZE-style small-file compaction (bin packing).
+
+        Incremental appends accumulate small files; at scale a table of
+        million-row parquet shards degrades every scan (task-per-file
+        scheduling, no row-group locality). Rewrite the table into
+        ``ceil(bytes / target)`` files via the atomic-swap write path —
+        a full rewrite here, a partition-scoped one when ``partition_by``
+        narrows it (matching how the upsert is partition-scoped at
+        scale). Returns before/after file counts for ops visibility.
+        """
+        import math
+
+        p = self.path(table)
+        files_before = sum(
+            1
+            for root, _, names in os.walk(p)
+            for f in names
+            if f.endswith(".parquet")
+        )
+        size = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, names in os.walk(p)
+            for f in names
+            if f.endswith(".parquet")
+        )
+        n = max(1, math.ceil(size / target_file_bytes))
+        df = self.read(table)
+        cols = partition_by or []
+        compacted = df.repartition(n, *cols) if cols else df.repartition(n)
+        self.write(table, compacted, partition_by=partition_by)
+        files_after = sum(
+            1
+            for root, _, names in os.walk(self.path(table))
+            for f in names
+            if f.endswith(".parquet")
+        )
+        return {"files_before": files_before, "files_after": files_after, "bytes": size}
+
     def write_bucketed(
         self,
         table: str,
