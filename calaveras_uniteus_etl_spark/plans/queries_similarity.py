@@ -2,8 +2,11 @@
 
 ANN over the ``embeddings`` table (array<float>, 64-dim). Brute-force
 cosine top-k is the exactness baseline; the LSH-bucketed variant
-(operators/similarity.py) is the scale path. Dot products use built-in
-higher-order functions (zip_with + aggregate) — JVM-side, no UDFs.
+(operators/similarity.py) is the scale path. Pair scoring uses flat
+left-folded sum chains (JVM whole-stage codegen); the one Python
+touchpoint is the Arrow-vectorized bucket UDF
+(``operators/similarity.buckets_array_udf``), whose np.cumsum fold
+order is bit-identical to the SQL chains.
 """
 
 from __future__ import annotations
@@ -203,9 +206,10 @@ SELECT query_id, neighbor_id, cosine FROM (
   FROM scored
 ) WHERE rn <= {_ANN_TOPK}
 """,
-    doc="LSH-bucketed ANN top-k: sign-random-projection buckets (8 tables "
-    "× 4 bits) prune candidates before exact cosine ranking — the scale "
-    "path next to X5's brute force.",
+    doc="LSH-bucketed ANN top-k: sign-random-projection buckets "
+    f"({sim.N_TABLES} tables × {sim.N_PLANES} bits) prune candidates "
+    "before exact cosine ranking — the scale path next to X5's brute "
+    "force.",
 )
 def x6_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _spark_vecs(spark, sf_dir)

@@ -163,6 +163,11 @@ class SFTPStage:
         for f in files if files is not None else self.discover():
             local = os.path.join(self.landing_dir, f.filename)
             try:
+                # the filename is a server-controlled field: reject path
+                # separators so a hostile listing can't escape the
+                # landing dir (same contract as sources/staging.py)
+                if not f.filename or os.path.basename(f.filename) != f.filename:
+                    raise ValueError(f"invalid remote filename: {f.filename!r}")
                 self.client.download(f.remote_path, local)
                 results.append(
                     FetchResult(
@@ -173,6 +178,10 @@ class SFTPStage:
                     )
                 )
             except Exception as exc:  # noqa: BLE001 - file-scoped failure
+                # a dead transfer must not leave a truncated file where
+                # ingest would discover and load it as valid data
+                if os.path.isfile(local):
+                    os.remove(local)
                 results.append(
                     FetchResult(
                         filename=f.filename, success=False, error=str(exc)[:500]
@@ -190,8 +199,14 @@ class SFTPStage:
     ) -> None:
         """Append one listing snapshot to sftp_cache (reference caches
         the JSON file list per sync, database_schema.py:383-389)."""
+        if sync_time is None:
+            sync_time = datetime.now(tz=timezone.utc)
+        if sync_time.tzinfo is not None:
+            # normalize to naive UTC like every other stored timestamp,
+            # so mixed callers can't produce inconsistently-shifted rows
+            sync_time = sync_time.astimezone(timezone.utc).replace(tzinfo=None)
         row = (
-            sync_time or datetime.now(tz=timezone.utc).replace(tzinfo=None),
+            sync_time,
             json.dumps(
                 [
                     {

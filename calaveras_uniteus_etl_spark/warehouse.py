@@ -98,11 +98,14 @@ class Warehouse:
 
         Incremental appends accumulate small files; at scale a table of
         million-row parquet shards degrades every scan (task-per-file
-        scheduling, no row-group locality). Rewrite the table into
-        ``ceil(bytes / target)`` files via the atomic-swap write path —
-        a full rewrite here, a partition-scoped one when ``partition_by``
-        narrows it (matching how the upsert is partition-scoped at
-        scale). Returns before/after file counts for ops visibility.
+        scheduling, no row-group locality). This is a FULL rewrite of
+        the table into ``ceil(bytes / target)`` files via the
+        atomic-swap write path; ``partition_by`` re-establishes the
+        directory layout (rows cluster per partition, so a skewed
+        partition can exceed the target — the bin-pack target is
+        table-global, not per-partition). A lakehouse format's
+        partition-scoped OPTIMIZE is the upgrade path when only a few
+        partitions are fragmented. Returns before/after file counts.
         """
         import math
 

@@ -117,3 +117,39 @@ def test_paramiko_client_is_import_gated():
 
     with pytest.raises(ImportError, match="paramiko not installed"):
         ParamikoSFTPClient(host="example.invalid")
+
+
+def test_fetch_rejects_traversal_filenames(tmp_path):
+    """A hostile listing with path separators must not escape the
+    landing dir (server-controlled field; same contract as staging)."""
+    evil = "../../evil_people_20250101.txt"
+    client = FakeClient({evil: PEOPLE_TXT, "ok_people_20250101.txt": PEOPLE_TXT})
+    landing = tmp_path / "landing"
+    stage = SFTPStage(client, remote_dir="/in", landing_dir=str(landing))
+    results = {r.filename: r for r in stage.fetch()}
+    assert not results[evil].success
+    assert "invalid remote filename" in results[evil].error
+    assert results["ok_people_20250101.txt"].success
+    assert not (tmp_path / "evil_people_20250101.txt").exists()
+
+
+class PartialWriteClient(FakeClient):
+    """Writes half the payload, then dies — a mid-transfer failure."""
+
+    def download(self, remote_path: str, local_path: str) -> None:
+        name = remote_path.rsplit("/", 1)[1]
+        body = self.files[name]
+        with open(local_path, "w", encoding="utf-8") as f:
+            f.write(body[: len(body) // 2])
+        raise IOError("connection reset mid-transfer")
+
+
+def test_fetch_cleans_up_partial_files(tmp_path):
+    """A dead transfer must not leave a truncated file where ingest
+    would discover and load it as valid data."""
+    client = PartialWriteClient({"people_20250101.txt": PEOPLE_TXT})
+    landing = tmp_path / "landing"
+    stage = SFTPStage(client, remote_dir="/in", landing_dir=str(landing))
+    [res] = stage.fetch()
+    assert not res.success
+    assert not (landing / "people_20250101.txt").exists()

@@ -38,6 +38,12 @@ def main() -> int:
     from calaveras_uniteus_etl_spark.plans import REGISTRY
     from tests.oracle_harness import compare
 
+    unknown = sorted(set(only or []) - set(REGISTRY))
+    if unknown:
+        # a typo'd name must not read as an all-green run
+        print(f"unknown query name(s): {unknown}")
+        return 2
+
     failures = []
     t_all = time.time()
     for name, spec in REGISTRY.items():
