@@ -57,6 +57,7 @@ _CHECK_PRIORITY = [
     "x22_vocab_topk",
     "f19_rolling_daily",
     "x23_kmeans_refine",
+    "m2_key_skew_profile",
     # -- r01 row was an error or hash mismatch; fixed this round -----
     "f1_summary_counts",
     "f9_daily_counts",

@@ -855,3 +855,51 @@ def f19_rolling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("cnt").over(w7).cast("double") / F.count("*").over(w7)).alias("avg_7d"),
         (F.col("cnt") - F.lag("cnt", 1).over(w1)).cast("double").alias("delta_1d"),
     )
+
+# ---------------------------------------------------------------------------
+# M2 — key-skew profiler (the diagnostic that justifies F17's salting)
+#
+# Before salting a hot key you have to find it: per-key cardinality
+# stats over the grouping key — max/avg skew factor and the count
+# distribution's quantiles. One shuffle (per-key counts, map-side
+# combined), then a single-row aggregate. Spark's percentile() and
+# DuckDB's quantile_cont() interpolate identically (bit-for-bit,
+# verified by f18); every ratio divides identical numeric operands.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m2_key_skew_profile",
+    oracle="""
+WITH k AS (
+  SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+       CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS avg_cnt,
+       CAST(MAX(cnt) AS DOUBLE) / (CAST(SUM(cnt) AS DOUBLE) / COUNT(*)) AS skew_factor,
+       quantile_cont(cnt, 0.5) AS p50_cnt,
+       quantile_cont(cnt, 0.99) AS p99_cnt
+FROM k
+""",
+    doc="Grouping-key skew diagnostics: per-key counts, max/avg skew "
+    "factor, p50/p99 of the count distribution — the profile that "
+    "decides when F17's salted two-stage aggregation is needed.",
+)
+def m2_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    avg_cnt = F.sum("cnt").cast("double") / F.count("*")
+    return k.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+        avg_cnt.alias("avg_cnt"),
+        (F.max("cnt").cast("double") / avg_cnt).alias("skew_factor"),
+        F.percentile("cnt", F.lit(0.5)).alias("p50_cnt"),
+        F.percentile("cnt", F.lit(0.99)).alias("p99_cnt"),
+    )
