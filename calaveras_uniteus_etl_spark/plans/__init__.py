@@ -81,6 +81,7 @@ _CHECK_PRIORITY = [
     "e6_preagg_join",
     "x2_minhash_signatures",
     # -- new this round (no prior driver evidence) -------------------
+    "x24_sequence_packing",
     "r1_cases_by_location",
     "r2_household_scatter",
     "r3_touchpoint_averages",

@@ -775,3 +775,89 @@ def x22_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_share"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# X24 — sequence packing (concat-and-chunk into training sequences)
+#
+# The last step before tokens hit the trainer: documents concatenate in
+# a deterministic order and chunk into fixed-budget sequences; a doc's
+# pack is floor(start_offset / budget). A single global cumulative sum
+# is inherently sequential, so packing is SHARD-LOCAL — docs hash into
+# shards (md5 bucket: deterministic, engine-neutral) and the running
+# offset windows over (split, shard) partitions, all of which pack in
+# parallel. That is exactly how real pipelines shard this job; the
+# price is per-shard (not global) boundary waste, which the output
+# makes observable. Integer arithmetic end-to-end — no float risk.
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 4096
+_PACK_SHARDS = 8
+
+
+@register(
+    "x24_sequence_packing",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN {NORM_DUCK.format(col="text")} = '' THEN 0
+              ELSE len(string_split({NORM_DUCK.format(col="text")}, ' ')) END AS n_tokens,
+         CASE WHEN {_fold("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 90
+              THEN 'train'
+              WHEN {_fold("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 95
+              THEN 'val' ELSE 'test' END AS split,
+         {_fold("'shard:' || CAST(doc_id AS VARCHAR)")} % {_PACK_SHARDS} AS shard
+  FROM documents
+), packed AS (
+  SELECT split, shard, n_tokens,
+         (SUM(n_tokens) OVER (PARTITION BY split, shard ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tokens)
+           // {_PACK_BUDGET} AS pack_id
+  FROM toks
+)
+SELECT split, CAST(shard AS BIGINT) AS shard,
+       CAST(COUNT(DISTINCT pack_id) AS BIGINT) AS n_packs,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM packed
+GROUP BY split, shard
+""",
+    doc="Sequence packing: shard-local concat-and-chunk into "
+    f"{_PACK_BUDGET}-token training sequences (md5 shard hashing, "
+    "running integer offsets per (split, shard) — fully parallel, "
+    "deterministic pack ids).",
+)
+def x24_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    norm = NORM_SPARK.format(col="text")
+    bucket = (
+        "cast(conv(substr(md5(concat('{tag}:', cast(doc_id as string))), 1, 15), 16, 10)"
+        " as bigint)"
+    )
+    toks = d.select(
+        "doc_id",
+        F.expr(
+            f"case when {norm} = '' then 0 else size(split({norm}, ' ')) end"
+        ).cast("long").alias("n_tokens"),
+        F.expr(
+            f"case when {bucket.format(tag='split')} % 100 < 90 then 'train' "
+            f"when {bucket.format(tag='split')} % 100 < 95 then 'val' else 'test' end"
+        ).alias("split"),
+        F.expr(f"{bucket.format(tag='shard')} % {_PACK_SHARDS}").alias("shard"),
+    )
+    w = (
+        Window.partitionBy("split", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # integer div end-to-end: double division would round past 2^53,
+    # and shard-cumulative token offsets can reach there at 100 TB
+    packed = toks.withColumn(
+        "offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    ).withColumn("pack_id", F.expr(f"offset div {_PACK_BUDGET}"))
+    return packed.groupBy("split", F.col("shard").cast("bigint").alias("shard")).agg(
+        F.countDistinct("pack_id").cast("bigint").alias("n_packs"),
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
