@@ -51,6 +51,10 @@ HEADLINE = [
     "f17_skew_salted_agg",
     "x13_ann_ivf_topk",
     "x21_curation_funnel",
+    "x22_vocab_topk",
+    "x24_sequence_packing",
+    "f19_rolling_daily",
+    "m2_key_skew_profile",
     "r1_cases_by_location",
     "r3_touchpoint_distribution",
     "r4_service_pathways",
