@@ -903,3 +903,250 @@ def m2_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("cnt", F.lit(0.5)).alias("p50_cnt"),
         F.percentile("cnt", F.lit(0.99)).alias("p99_cnt"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F20 — grouped percentile profile (per-language document-length stats)
+#
+# The grouped cousin of F18: data-profiling quantiles per category —
+# the reference profiles numeric columns per facet the same way it
+# does age/income distributions (core/reports/handlers.py:79-137),
+# just without SQLite window support; quantile profiling is the OLAP
+# idiom for it. One hash-aggregate on a 5-value key; percentile() and
+# quantile_cont() interpolate bit-identically (verified by f18).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f20_length_profile_by_lang",
+    oracle="""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS docs,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       quantile_cont(n_chars, 0.25) AS p25_chars,
+       quantile_cont(n_chars, 0.5)  AS p50_chars,
+       quantile_cont(n_chars, 0.75) AS p75_chars,
+       quantile_cont(n_chars, 0.99) AS p99_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY lang
+""",
+    doc="Per-language document-length percentile profile (grouped "
+    "quantiles: p25/p50/p75/p99 + avg/min/max).",
+)
+def f20_length_profile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("docs"),
+            (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.percentile("n_chars", F.lit(0.25)).alias("p25_chars"),
+            F.percentile("n_chars", F.lit(0.5)).alias("p50_chars"),
+            F.percentile("n_chars", F.lit(0.75)).alias("p75_chars"),
+            F.percentile("n_chars", F.lit(0.99)).alias("p99_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F21 — ROLLUP subtotals up the dimension hierarchy
+#
+# The reference emits fixed two-level report trees (region → nation
+# style groupings, e.g. network totals with per-provider breakdowns,
+# core/app.py:3328-3388) by running one query per level; ROLLUP is the
+# single-pass OLAP operator for the same tree. Spark expands the
+# grouping sets before the hash-aggregate — still one shuffle, rows ×
+# (levels+1) partial states, no extra pass over the fact table.
+# grouping_id bit order (leftmost key = MSB) matches DuckDB GROUPING().
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f21_rollup_revenue",
+    oracle="""
+SELECT r_name AS region, n_name AS nation,
+       CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid,
+       COUNT(*) AS order_count,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+            AS DOUBLE) AS revenue
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey = c_custkey
+GROUP BY ROLLUP(r_name, n_name)
+""",
+    doc="ROLLUP(region, nation) revenue subtotals + grand total in one "
+    "aggregate pass; GROUPING id distinguishes subtotal rows.",
+)
+def f21_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(F.col("r_name").alias("region"), F.col("n_name").alias("nation"),
+                "o_totalprice")
+        .rollup("region", "nation")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count("*").alias("order_count"),
+            X.exact_sum(X.dec("o_totalprice"), "revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F22 — pivot (long → wide cross-tab)
+#
+# The reference builds status-by-category cross-tabs with one CASE
+# column per status (F5's shape, core/app.py:2934-2974). Spark's
+# first-class spelling is groupBy().pivot() with an EXPLICIT value
+# list — never the value-discovery overload, which runs an extra
+# distinct job over the fact table and makes the output schema
+# data-dependent (a schema change at 100 TB because one bad row added
+# a status). Compiles to the same single hash-aggregate as F5.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f22_pivot_status",
+    oracle="""
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS cnt_f,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS cnt_o,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS cnt_p,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                 FILTER (WHERE o_orderstatus = 'O') AS DECIMAL(38,2))
+            AS DOUBLE) AS open_revenue
+FROM orders
+GROUP BY o_orderpriority
+""",
+    doc="Cross-tab via groupBy().pivot() with an explicit value list "
+    "(static schema, no discovery pass).",
+)
+def f22_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pivoted = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            # count(*) is rejected inside Pivot; count(lit(1)) is the
+            # same aggregate
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(X.dec("o_totalprice")).alias("rev"),
+        )
+    )
+    return pivoted.select(
+        "priority",
+        F.col("F_cnt").cast("bigint").alias("cnt_f"),
+        F.col("O_cnt").cast("bigint").alias("cnt_o"),
+        F.col("P_cnt").cast("bigint").alias("cnt_p"),
+        F.col("O_rev").cast("decimal(38,2)").cast("double").alias("open_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# G1 — inter-event gap statistics (LAG window over a partitioned order)
+#
+# The sessionizer (s2) consumes per-user gaps; this is the diagnostic
+# that picks its gap threshold: LAG over (PARTITION BY user_id ORDER BY
+# ts, event_id) — the unique-key tiebreak makes gaps deterministic when
+# timestamps collide — then one global stats row. The window shuffles
+# once on user_id (hash-partitioned, no global sort); the stats
+# aggregate is a single-row reduce.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g1_event_gap_stats",
+    oracle="""
+WITH gaps AS (
+  SELECT epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap_us) AS DOUBLE) / COUNT(gap_us) AS avg_gap_us,
+       quantile_cont(gap_us, 0.5)  AS p50_gap_us,
+       quantile_cont(gap_us, 0.95) AS p95_gap_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+FROM gaps
+""",
+    doc="Per-user inter-event gaps via LAG with (ts, event_id) "
+    "tiebreak; global n/avg/p50/p95/max gap stats in microseconds.",
+)
+def g1_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id")
+        .withColumn(
+            "gap_us",
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w),
+        )
+    )
+    return gaps.agg(
+        F.count("gap_us").cast("bigint").alias("n_gaps"),
+        (F.sum("gap_us").cast("double") / F.count("gap_us")).alias("avg_gap_us"),
+        F.percentile("gap_us", F.lit(0.5)).alias("p50_gap_us"),
+        F.percentile("gap_us", F.lit(0.95)).alias("p95_gap_us"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# H2 — per-group top-k (ranked window, two-stage)
+#
+# F3/D7 are GLOBAL top-k (TakeOrderedAndProject); the reference's
+# "top services per provider"-style report slices need top-k WITHIN
+# each group (core/reports/handlers.py:140-142 run per facet value).
+# Stage 1 aggregates spend per (priority, custkey) — map-side combined,
+# one shuffle; stage 2 ranks inside each priority partition and keeps
+# k=3. The window sorts only per-group aggregates (|groups×custs|,
+# not raw orders), which is what keeps it viable at 100 TB; the rank
+# has a total-order tiebreak (spend DESC, custkey ASC).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "h2_topk_per_group",
+    oracle="""
+WITH spend AS (
+  SELECT o_orderpriority AS priority, o_custkey AS custkey,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+              AS DOUBLE) AS spend
+  FROM orders
+  GROUP BY priority, custkey
+), ranked AS (
+  SELECT priority, custkey, spend,
+         ROW_NUMBER() OVER (PARTITION BY priority
+                            ORDER BY spend DESC, custkey) AS rnk
+  FROM spend
+)
+SELECT priority, custkey, spend, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 3
+""",
+    doc="Top-3 customers by spend within each order priority: "
+    "aggregate-then-rank window with total-order tiebreak.",
+)
+def h2_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spend = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_custkey").alias("custkey"),
+        )
+        .agg(X.exact_sum(X.dec("o_totalprice"), "spend"))
+    )
+    w = Window.partitionBy("priority").orderBy(F.desc("spend"), F.asc("custkey"))
+    return (
+        spend.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+    )
