@@ -861,3 +861,80 @@ def x24_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X25 — corpus-LM unigram log-probability score (perplexity proxy)
+#
+# The CCNet-style quality signal: score each document by the mean
+# log-probability of its tokens under the corpus's own unigram
+# distribution — boilerplate/templated docs score high, gibberish and
+# off-distribution docs score low, and the score feeds the curation
+# funnel's keep/drop decision the same way the reference's quality
+# gates feed its ETL issue log (x8's structural cousin, learned from
+# data instead of fixed ratios).
+#
+# Two passes over the token relation, both map-side combined:
+#   1. vocab counts -> p(t) = cnt/total; ln p is quantized to integer
+#      MICRO-NATS immediately (round(ln*1e6)) so the per-doc sum is a
+#      BIGINT sum — order-independent across partitions/engines (a
+#      double sum of ln values would be summation-order dependent);
+#   2. per-doc BIGINT sum + count; the mean divides the same two
+#      numbers in both engines (one IEEE op, bit-identical).
+# The vocab relation is broadcast (bounded by distinct tokens, far
+# under any fact-table scale); total token count is one scalar agg.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x25_unigram_logprob",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({NORM_DUCK.format(col="text")}, ' ')) AS term
+  FROM documents
+), vocab AS (
+  SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term
+), total AS (
+  SELECT SUM(cnt) AS n_tokens FROM vocab
+), lp AS (
+  SELECT term,
+         CAST(ROUND(ln(CAST(cnt AS DOUBLE) / n_tokens) * 1e6) AS BIGINT)
+           AS lp_micro
+  FROM vocab CROSS JOIN total
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(lp.lp_micro) AS BIGINT) AS lp_micro_sum,
+       CAST(SUM(lp.lp_micro) AS DOUBLE) / (1e6 * COUNT(*)) AS avg_logprob
+FROM toks t JOIN lp USING (term)
+GROUP BY t.doc_id
+""",
+    doc="Per-doc mean unigram log-prob under the corpus LM "
+    "(micro-nat BIGINT arithmetic for cross-engine exactness).",
+)
+def x25_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.expr(f"split({NORM_SPARK.format(col='text')}, ' ')")).alias("term"),
+    )
+    vocab = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    # scalar total: a cheap two-stage count job, never a row collect
+    n_tokens = vocab.agg(F.sum("cnt")).first()[0]
+    lp = vocab.select(
+        "term",
+        F.round(F.log(F.col("cnt").cast("double") / F.lit(float(n_tokens))) * 1e6)
+        .cast("bigint")
+        .alias("lp_micro"),
+    )
+    return (
+        toks.join(F.broadcast(lp), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("lp_micro").cast("bigint").alias("lp_micro_sum"),
+            (F.sum("lp_micro").cast("double") / (1e6 * F.count("*"))).alias(
+                "avg_logprob"
+            ),
+        )
+    )
