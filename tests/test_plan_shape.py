@@ -1,0 +1,86 @@
+"""Physical-plan regression tests — the 100 TB contract.
+
+Correctness tests prove the small-SF answer; these prove the PLAN —
+that filters reach the parquet scan (row-group skipping), projections
+prune columns (ReadSchema), dimension joins broadcast instead of
+shuffling the fact table, and nothing degenerates into a cartesian
+product. A regression here is invisible at sf0.01 and catastrophic at
+100 TB, which is why the plan text itself is under test.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from calaveras_uniteus_etl_spark.plans import REGISTRY
+from calaveras_uniteus_etl_spark.plans.tables import events_in_range, table
+
+SF = "/root/testdata/sf0.001"
+
+
+def physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_events_range_predicate_reaches_scan(spark):
+    df = events_in_range(spark, SF, "2024-01-10", "2024-01-20")
+    plan = physical(df)
+    # The bound must appear as a parquet PushedFilters entry on the raw
+    # epoch-nanos long — not as a post-scan Filter over a converted
+    # timestamp (which would defeat row-group min/max skipping).
+    assert "PushedFilters" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("GreaterThanOrEqual(ts" in ln for ln in pushed), pushed
+
+
+def test_projection_prunes_parquet_schema(spark):
+    df = table(spark, SF, "documents").select("doc_id", "lang")
+    plan = physical(df)
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read, plan
+    assert "text" not in read[0], read[0]  # widest column must be pruned
+
+
+def test_filter_pushdown_on_documents(spark):
+    df = table(spark, SF, "documents").filter("lang = 'en'").select("doc_id")
+    plan = physical(df)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan, plan
+
+
+@pytest.mark.parametrize("name", ["e3_chain_join", "e7_dim_enrich_join",
+                                  "f21_rollup_revenue"])
+def test_dim_joins_broadcast_not_shuffle(spark, name):
+    plan = physical(REGISTRY[name].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    # the fact table must never be shuffled for a dimension lookup
+    assert "SortMergeJoin" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "f21_rollup_revenue",
+        "f22_pivot_status",
+        "g1_event_gap_stats",
+        "h2_topk_per_group",
+        "x25_unigram_logprob",
+        "f20_length_profile_by_lang",
+    ],
+)
+def test_new_queries_have_no_cartesian_product(spark, name):
+    plan = physical(REGISTRY[name].fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_rollup_is_single_aggregate_pass(spark):
+    # ROLLUP must compile to Expand + hash aggregate, not one job per
+    # grouping level (the reference's per-level-query workaround).
+    plan = physical(REGISTRY["f21_rollup_revenue"].fn(spark, SF))
+    assert "Expand" in plan, plan
+
+
+def test_global_topk_is_take_ordered(spark):
+    # ORDER BY + LIMIT must compile to TakeOrderedAndProject (per-
+    # partition top-k + merge), never a global sort materialization.
+    plan = physical(REGISTRY["f3_topk_group_count"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
