@@ -171,3 +171,59 @@ FROM customer
 def b5_phi_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     return c.select("c_custkey", salted_sha256("c_name", _PHI_SALT).alias("name_hash"))
+
+
+# ---------------------------------------------------------------------------
+# C7 — SCD2 history reconstruction from a change log
+#
+# The warehouse-side extension of C2/C4: instead of keeping only the
+# latest row per key (upsert) the dimension keeps every version with
+# a validity interval. Events are treated as the change log; LEAD over
+# (PARTITION BY key ORDER BY ts, event_id) closes each version at the
+# next change (NULL = current). One hash-shuffle on the key, interval
+# arithmetic in integer microseconds — no driver-side loop, no second
+# pass. Output restricted to a deterministic 2% key sample (user_id
+# mod 50) purely to bound the compared relation — and because the
+# sample predicate is on the window's partition key, Catalyst pushes
+# it below the Window to the scan, so only sampled keys shuffle.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c7_scd2_intervals",
+    oracle="""
+WITH log AS (
+  SELECT user_id, event_id, event_type,
+         epoch_us(ts) AS valid_from_us,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS valid_to_us
+  FROM events
+)
+SELECT user_id, event_id, event_type, valid_from_us, valid_to_us,
+       CAST(valid_to_us IS NULL AS BOOLEAN) AS is_current
+FROM log
+WHERE user_id % 50 = 0
+""",
+    doc="SCD2 validity intervals from a change log: LEAD window closes "
+    "each version at the next change per key; NULL valid_to marks the "
+    "current row.",
+)
+def c7_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    log = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "event_type", "ts")
+        .withColumn("valid_from_us", F.unix_micros("ts"))
+        .withColumn("valid_to_us", F.lead(F.unix_micros("ts")).over(w))
+    )
+    return (
+        log.filter(F.col("user_id") % 50 == 0)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "valid_from_us",
+            "valid_to_us",
+            F.col("valid_to_us").isNull().alias("is_current"),
+        )
+    )

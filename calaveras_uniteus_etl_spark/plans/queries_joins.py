@@ -455,3 +455,68 @@ def e10_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return side("with_lineitems", "left_semi").unionByName(
         side("without_lineitems", "left_anti")
     )
+
+
+# ---------------------------------------------------------------------------
+# E11 — skew-salted shuffle join (the join-side twin of F17)
+#
+# When the probe side is skewed on the join key AND the build side is
+# too big to broadcast, a plain shuffle join sends every hot key to one
+# reducer. The salted form spreads each hot key over N_SALTS reducers:
+# fact rows get a deterministic md5 salt, the dim side is exploded once
+# per salt value, and the join runs on (key, salt) — same rows out,
+# bounded per-task input. AQE's skew-join split is the automatic
+# cousin; this is the explicit spelling that also works mid-pipeline
+# where AQE can't rewrite. The shuffle_hash hint keeps the demo honest
+# (without it Catalyst would just broadcast the small test dim).
+# ---------------------------------------------------------------------------
+
+_JOIN_SALTS = 8
+
+
+@register(
+    "e11_salted_skew_join",
+    oracle="""
+SELECT c.c_mktsegment AS segment,
+       COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+            AS DOUBLE) AS sum_value
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY c.c_mktsegment
+""",
+    doc="Skew-salted shuffle join: fact salted by md5(event_id) mod 8, "
+    "dim exploded per salt, join on (key, salt) — identical rows to "
+    "the plain join, hot keys spread over 8 reducers.",
+)
+def e11_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    salted = e.withColumn(
+        "_salt",
+        F.expr(
+            "cast(conv(substr(md5(cast(event_id as string)), 1, 15), 16, 10)"
+            f" as bigint) % {_JOIN_SALTS}"
+        ),
+    )
+    exploded = c.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(_JOIN_SALTS)]))
+    )
+    return (
+        salted.hint("shuffle_hash")
+        .join(
+            exploded,
+            (salted.user_id == exploded.c_custkey)
+            & (salted._salt == exploded._salt),
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
