@@ -1150,3 +1150,69 @@ def h2_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         spend.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# F23 — equi-depth histogram (percentile cutpoints, not global ntile)
+#
+# F12 buckets by fixed width; the equi-depth variant buckets by data
+# quantiles. The naive spelling — ntile(10) OVER (ORDER BY value) — is
+# a single-partition global sort, a non-starter at 100 TB. The scale
+# form: one percentile pass produces 9 cutpoints (tiny, broadcast as
+# literals), one map-side pass assigns buckets, one hash-aggregate
+# counts. Cutpoints are the same float64 in both engines (percentile ≡
+# quantile_cont bit-for-bit), so boundary assignment is identical.
+# ---------------------------------------------------------------------------
+
+_EQ_DECILES = [i / 10.0 for i in range(1, 10)]
+
+
+@register(
+    "f23_equidepth_histogram",
+    oracle="""
+WITH cuts AS (
+  SELECT quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS c
+  FROM events
+), b AS (
+  SELECT CAST(
+           (CASE WHEN value > c[1] THEN 1 ELSE 0 END) +
+           (CASE WHEN value > c[2] THEN 1 ELSE 0 END) +
+           (CASE WHEN value > c[3] THEN 1 ELSE 0 END) +
+           (CASE WHEN value > c[4] THEN 1 ELSE 0 END) +
+           (CASE WHEN value > c[5] THEN 1 ELSE 0 END) +
+           (CASE WHEN value > c[6] THEN 1 ELSE 0 END) +
+           (CASE WHEN value > c[7] THEN 1 ELSE 0 END) +
+           (CASE WHEN value > c[8] THEN 1 ELSE 0 END) +
+           (CASE WHEN value > c[9] THEN 1 ELSE 0 END) AS BIGINT) AS decile,
+         value
+  FROM events CROSS JOIN cuts
+  WHERE value IS NOT NULL
+)
+SELECT decile,
+       COUNT(*) AS n,
+       CAST(MIN(value) AS DOUBLE) AS lo,
+       CAST(MAX(value) AS DOUBLE) AS hi
+FROM b GROUP BY decile
+""",
+    doc="Equi-depth decile histogram: percentile cutpoints broadcast as "
+    "literals + map-side bucket assignment — never a global-sort "
+    "ntile.",
+)
+def f23_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # one tiny percentile job -> nine float64 literals (same bits as
+    # DuckDB's quantile_cont, so bucket boundaries agree exactly)
+    cuts = e.agg(
+        F.percentile("value", F.array(*[F.lit(q) for q in _EQ_DECILES]))
+    ).first()[0]
+    decile = sum(
+        (F.col("value") > F.lit(float(c))).cast("int") for c in cuts
+    ).cast("bigint")
+    return (
+        e.groupBy(decile.alias("decile"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").cast("double").alias("lo"),
+            F.max("value").cast("double").alias("hi"),
+        )
+    )

@@ -227,3 +227,57 @@ def c7_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("valid_to_us").isNull().alias("is_current"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C8 — incremental aggregate maintenance (partial-state merge)
+#
+# The batch form of what Structured Streaming does per micro-batch and
+# the contract behind any materialized daily-rollup table: partial
+# aggregates computed per ingest slice must MERGE to exactly the
+# full-recompute answer. Counts and decimal sums are associative, so
+# the slice grain (here: per calendar day, the ETL's natural load
+# unit) never changes the result. The query computes per-slice
+# partials, merges them, and — because the oracle is the direct
+# one-pass aggregate — the driver's hash check IS the proof that
+# incremental == full.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c8_incremental_agg_merge",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+            AS DOUBLE) AS sum_value,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY event_type
+""",
+    doc="Materialized-rollup maintenance: per-day partial aggregates "
+    "merged to the exact full-recompute answer (count/sum merge by "
+    "re-aggregation; distinct via per-slice key sets re-distincted).",
+)
+def c8_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    slice_key = F.to_date("ts").alias("_slice")
+    # stage 1: what each daily load would persist to the rollup table
+    partials = e.groupBy(slice_key, "event_type").agg(
+        F.count("*").alias("pn"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("pv"),
+    )
+    # distinct users can't merge from counts — the rollup persists the
+    # per-slice key set (bounded by |users| per day), merged by
+    # re-distincting, exactly like a streaming state store would
+    user_sets = e.select(slice_key, "event_type", "user_id").distinct()
+    merged = partials.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        F.sum("pv").cast("decimal(38,6)").cast("double").alias("sum_value"),
+    )
+    users = user_sets.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users")
+    )
+    return merged.join(users, "event_type").select(
+        "event_type", "n_events", "sum_value", "n_users"
+    )
