@@ -1216,3 +1216,78 @@ def f23_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").cast("double").alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M3 — Z-order layout key (multi-dimension clustering for scan pruning)
+#
+# Parquet row-group skipping only helps on columns the file is sorted
+# by; sorting by a Morton (Z-order) interleave of two key columns
+# preserves locality in BOTH, which is how lakehouse OPTIMIZE ZORDER
+# makes (user, day) point lookups skip files. The interleave is pure
+# integer bit-math (10 bits of each key), identical in Spark
+# (shiftright/&) and DuckDB (>>/&); the query emits per-bucket
+# occupancy of the top-8 zkey bits — the file-assignment histogram a
+# writer would use. warehouse.compact() is where the engine would sort
+# by this key before writing.
+# ---------------------------------------------------------------------------
+
+
+def _spark_morton(uid: str, day: str, bits: int = 10):
+    parts = []
+    for i in range(bits):
+        parts.append(
+            (F.shiftright(F.col(uid), i).bitwiseAND(F.lit(1)))
+            .cast("bigint") * F.lit(1 << (2 * i))
+        )
+        parts.append(
+            (F.shiftright(F.col(day), i).bitwiseAND(F.lit(1)))
+            .cast("bigint") * F.lit(1 << (2 * i + 1))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out + p
+    return out
+
+
+def _duck_morton(uid: str, day: str, bits: int = 10) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({uid} >> {i}) & 1) * {1 << (2 * i)})")
+        terms.append(f"((({day} >> {i}) & 1) * {1 << (2 * i + 1)})")
+    return " + ".join(terms)
+
+
+@register(
+    "m3_zorder_layout",
+    oracle=f"""
+WITH keyed AS (
+  SELECT {_duck_morton("(user_id % 1024)", "((epoch_us(ts) // 86400000000) % 1024)")} AS zkey
+  FROM events
+)
+SELECT CAST(zkey >> 12 AS BIGINT) AS bucket,
+       COUNT(*) AS n_rows,
+       CAST(MIN(zkey) AS BIGINT) AS min_zkey,
+       CAST(MAX(zkey) AS BIGINT) AS max_zkey
+FROM keyed GROUP BY bucket
+""",
+    doc="Morton/Z-order interleave of (user_id, day) as a clustering "
+    "key + per-bucket occupancy — the layout that lets parquet "
+    "row-group stats prune on both dimensions.",
+)
+def m3_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 1024).alias("uid"),
+        # integer div, never a double->int cast (DuckDB rounds, Spark
+        # truncates — `div` and `//` are both true floor-toward-zero)
+        (F.expr("unix_micros(ts) div 86400000000") % 1024).alias("day"),
+    )
+    keyed = e.select(_spark_morton("uid", "day").alias("zkey"))
+    return (
+        keyed.groupBy(F.shiftright(F.col("zkey"), 12).cast("bigint").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("zkey").cast("bigint").alias("min_zkey"),
+            F.max("zkey").cast("bigint").alias("max_zkey"),
+        )
+    )

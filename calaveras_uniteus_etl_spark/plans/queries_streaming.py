@@ -126,3 +126,44 @@ def s2_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_session_minutes"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# S3 — at-least-once replay → exactly-once recovery (stream dedup twin)
+#
+# Batch twin of ``dropDuplicatesWithinWatermark`` (exercised on a real
+# stream in tests/test_streaming.py): the input is the event log UNION
+# a replayed 1-in-7 slice — exactly what an at-least-once source
+# delivers after a retry — and the dedup keeps one row per event_id.
+# The oracle aggregates the ORIGINAL log, so the hash match proves the
+# dedup restored exactly-once semantics. One shuffle on the dedup key;
+# in streaming the same state is bounded by the watermark instead of
+# the batch boundary.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s3_replay_dedup",
+    oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)
+         AS sum_value
+FROM events
+GROUP BY event_type
+""",
+    doc="Exactly-once recovery from at-least-once replay: union a "
+    "replayed slice, dropDuplicates on event_id; oracle aggregates "
+    "the original log — hash match proves the dedup.",
+)
+def s3_replay_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    replayed = e.unionByName(e.filter(F.col("event_id") % 7 == 0))
+    return (
+        replayed.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_sum(dec("value", VALUE6), "sum_value", scale=6),
+        )
+    )
