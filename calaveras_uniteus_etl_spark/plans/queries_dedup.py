@@ -453,3 +453,150 @@ def x14_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("member_count"),
         (F.count("*") - 1).alias("removable"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X26 — MinHash estimation-error audit (approximate vs exact, same run)
+#
+# The question every approximate-dedup deployment has to answer before
+# trusting K=12 signatures at corpus scale: how far is the signature
+# estimate from the true Jaccard on the pairs it actually surfaces?
+# This runs the X2 LSH miner, joins each candidate pair back to its
+# exact shingle-set Jaccard (X4's arithmetic, restricted to the
+# candidate set — never all-pairs), and reports the error profile.
+# Every statistic is computed in integer MICRO-units (round(x*1e6))
+# so the per-pair sums are BIGINT — order-independent across
+# partitions and engines; the means divide identical operands.
+# ---------------------------------------------------------------------------
+
+_MATCH_MIN = int(dd.MINHASH_K * _EST_MIN)  # est >= 0.5 <=> matched rows >= 6
+
+
+@register(
+    "x26_minhash_error",
+    oracle=_DUCK_SIGS
+    + f""", bands AS (
+  SELECT doc_id, sig, t.b AS band, {dd.duck_band_key_sql()} AS band_key
+  FROM sigs CROSS JOIN (SELECT unnest(range({dd.LSH_BANDS})) AS b) t
+), ok AS (
+  SELECT band, band_key FROM bands GROUP BY band, band_key
+  HAVING COUNT(*) <= {BUCKET_CAP}
+), bands_ok AS (
+  SELECT bands.* FROM bands JOIN ok USING (band, band_key)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
+  FROM bands_ok a JOIN bands_ok b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), est AS (
+  SELECT doc_a, doc_b,
+         len(list_filter(range({dd.MINHASH_K}), i -> sa[i+1] = sb[i+1]))
+           AS matched
+  FROM cand
+  WHERE len(list_filter(range({dd.MINHASH_K}), i -> sa[i+1] = sb[i+1]))
+        >= {_MATCH_MIN}
+), sh AS (
+  SELECT doc_id, unnest({dd.duck_shingle_digests_sql()}) AS g FROM shing
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+  FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT e.doc_a, e.doc_b,
+         CAST(ROUND(CAST(e.matched AS DOUBLE) / {dd.MINHASH_K} * 1e6) AS BIGINT)
+           AS est_micro,
+         CAST(ROUND(CAST(COALESCE(i.c, 0) AS DOUBLE)
+                    / (sx.n + sy.n - COALESCE(i.c, 0)) * 1e6) AS BIGINT)
+           AS exact_micro
+  FROM est e
+  LEFT JOIN inter i USING (doc_a, doc_b)
+  JOIN sizes sx ON e.doc_a = sx.doc_id
+  JOIN sizes sy ON e.doc_b = sy.doc_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(est_micro) AS DOUBLE) / (1e6 * COUNT(*)) AS mean_est,
+       CAST(SUM(exact_micro) AS DOUBLE) / (1e6 * COUNT(*)) AS mean_exact,
+       CAST(SUM(ABS(est_micro - exact_micro)) AS DOUBLE) / (1e6 * COUNT(*))
+         AS mean_abs_err,
+       CAST(MAX(ABS(est_micro - exact_micro)) AS DOUBLE) / 1e6 AS max_abs_err
+FROM scored
+""",
+    doc="Error profile of the K=12 MinHash estimate vs exact shingle "
+    "Jaccard over the LSH candidate pairs — integer micro-unit "
+    "arithmetic end-to-end.",
+)
+def x26_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = dd.with_shingles(_docs_wide(spark, sf_dir))
+    sigs = (
+        d.withColumn("hs", dd.shingle_hashes_expr())
+        .withColumn("sig", dd.minhash_sig_expr())
+        .select("doc_id", "sig")
+        .cache()
+    )
+    bands = sigs.select(
+        "doc_id", F.posexplode(dd.band_keys_expr()).alias("band", "band_key")
+    )
+    ok = (
+        bands.groupBy("band", "band_key")
+        .agg(F.count("*").alias("bc"))
+        .filter(F.col("bc") <= BUCKET_CAP)
+        .drop("bc")
+    )
+    bands = bands.join(ok, ["band", "band_key"])
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    pairs = cand.join(
+        sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa")), "doc_a"
+    ).join(sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb")), "doc_b")
+    matched = F.expr(
+        f"size(filter(sequence(0, {dd.MINHASH_K - 1}), i -> sa[i] = sb[i]))"
+    )
+    est = pairs.select("doc_a", "doc_b", matched.alias("matched")).filter(
+        F.col("matched") >= _MATCH_MIN
+    )
+    # exact Jaccard restricted to candidate docs: the inverted-index
+    # self-join re-used from X4, inner-joined to the candidate pairs —
+    # never an all-pairs pass
+    sh = d.select("doc_id", F.explode(dd.shingle_digests_expr()).alias("g"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x, y = sh.alias("x"), sh.alias("y")
+    inter = (
+        x.join(y, (F.col("x.g") == F.col("y.g")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    scored = (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("nx")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("ny")), "doc_b")
+        .select(
+            F.round(
+                F.col("matched").cast("double") / dd.MINHASH_K * 1e6
+            ).cast("bigint").alias("est_micro"),
+            F.round(
+                F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                / (F.col("nx") + F.col("ny") - F.coalesce(F.col("c"), F.lit(0)))
+                * 1e6
+            ).cast("bigint").alias("exact_micro"),
+        )
+    )
+    err = F.abs(F.col("est_micro") - F.col("exact_micro"))
+    return scored.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        (F.sum("est_micro").cast("double") / (1e6 * F.count("*"))).alias("mean_est"),
+        (F.sum("exact_micro").cast("double") / (1e6 * F.count("*"))).alias("mean_exact"),
+        (F.sum(err).cast("double") / (1e6 * F.count("*"))).alias("mean_abs_err"),
+        (F.max(err).cast("double") / 1e6).alias("max_abs_err"),
+    )
