@@ -938,3 +938,86 @@ def x25_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X27 — overlapping document chunking (RAG / context-window prep)
+#
+# The complement of x24's packing: packing concatenates SHORT docs up
+# to the context length, chunking splits LONG docs down to it, with a
+# stride overlap so no boundary context is lost. One explode over a
+# per-doc integer sequence — no shuffle at all until a downstream op
+# needs one (the chunk table inherits the scan's partitioning), and
+# chunk identity is content-addressed (md5 of the chunk words) so
+# downstream exact-dedup of chunks composes with x1. Spark
+# slice(w, s+1, C) ≡ DuckDB list_slice(w, s+1, s+C): both 1-based,
+# both truncate at the end of the list.
+# ---------------------------------------------------------------------------
+
+_CHUNK_WORDS = 32
+_CHUNK_STRIDE = 24  # 8-word overlap between consecutive chunks
+
+
+@register(
+    "x27_doc_chunking",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split({NORM_DUCK.format(col="text")}, ' ') AS w
+  FROM documents
+), spans AS (
+  SELECT doc_id, w, len(w) AS n_words,
+         1 + (GREATEST(len(w) - {_CHUNK_WORDS}, 0) + {_CHUNK_STRIDE} - 1)
+             // {_CHUNK_STRIDE} AS n_chunks
+  FROM toks
+), chunks AS (
+  SELECT doc_id,
+         CAST(t.i AS BIGINT) AS chunk_idx,
+         CAST(t.i * {_CHUNK_STRIDE} AS BIGINT) AS start_word,
+         list_slice(w, t.i * {_CHUNK_STRIDE} + 1,
+                    t.i * {_CHUNK_STRIDE} + {_CHUNK_WORDS}) AS cw
+  FROM spans CROSS JOIN (SELECT unnest(range(1000)) AS i) t
+  WHERE t.i < n_chunks
+)
+SELECT doc_id, chunk_idx, start_word,
+       CAST(len(cw) AS BIGINT) AS chunk_words,
+       md5(array_to_string(cw, ' ')) AS chunk_md5
+FROM chunks
+""",
+    doc="Stride-overlap chunking of long docs (32-word chunks, 24-word "
+    "stride): per-doc integer explode, content-addressed chunk ids.",
+)
+def x27_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.expr(f"split({NORM_SPARK.format(col='text')}, ' ')").alias("w"),
+    )
+    spans = toks.withColumn(
+        "n_chunks",
+        F.lit(1)
+        + (
+            (F.greatest(F.size("w") - _CHUNK_WORDS, F.lit(0)) + _CHUNK_STRIDE - 1)
+            / _CHUNK_STRIDE
+        ).cast("int"),
+    )
+    chunks = spans.select(
+        "doc_id",
+        F.explode(F.expr("sequence(0, n_chunks - 1)")).alias("chunk_idx"),
+        "w",
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        (F.col("chunk_idx") * _CHUNK_STRIDE).cast("bigint").alias("start_word"),
+        F.slice(
+            "w",
+            F.col("chunk_idx") * _CHUNK_STRIDE + 1,
+            F.lit(_CHUNK_WORDS),
+        ).alias("cw"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "start_word",
+        F.size("cw").cast("bigint").alias("chunk_words"),
+        F.md5(F.array_join("cw", " ")).alias("chunk_md5"),
+    )
