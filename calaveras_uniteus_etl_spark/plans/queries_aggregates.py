@@ -1291,3 +1291,103 @@ def m3_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("zkey").cast("bigint").alias("max_zkey"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# F24 — CUBE (all grouping combinations in one pass)
+#
+# ROLLUP (f21) walks one hierarchy; CUBE materializes every subset of
+# the grouping keys — the cross-tab-with-margins every BI layer asks
+# for. Same Expand + single hash-aggregate physical shape: rows ×
+# 2^keys partial states, one shuffle, no per-combination re-scan.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f24_cube_margins",
+    oracle="""
+SELECT o_orderstatus AS status, o_orderpriority AS priority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       COUNT(*) AS n_orders,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+            AS DOUBLE) AS revenue
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""",
+    doc="CUBE(status, priority) with GROUPING id: every margin of the "
+    "cross-tab in one Expand + hash-aggregate pass.",
+)
+def f24_cube_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            "o_totalprice",
+        )
+        .cube("status", "priority")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count("*").alias("n_orders"),
+            X.exact_sum(X.dec("o_totalprice"), "revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# H3 — shipping-priority top-k (TPC-H Q3 shape)
+#
+# The classic selective-join-then-rank plan: two date-filtered scans
+# (both predicates pushed to parquet), a broadcast of the filtered
+# customer segment, revenue aggregate on the join key, global top-10
+# via TakeOrderedAndProject. The revenue expression reuses f4's exact
+# decimal chain (dec(12,2) × dec(6,4) stays exact).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "h3_shipping_priority",
+    oracle="""
+SELECT l.l_orderkey AS orderkey,
+       CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                     * (1 - CAST(l.l_discount AS DECIMAL(6,4))))
+                 AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       o.o_orderpriority AS priority
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l.l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, orderkey
+LIMIT 10
+""",
+    doc="TPC-H Q3 shape: segment-filtered broadcast join, pushed date "
+    "predicates, revenue aggregate, global top-10 via "
+    "TakeOrderedAndProject.",
+)
+def h3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    rev = X.dec("l_extendedprice") * (F.lit(1) - X.dec("l_discount", X.RATE))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.sum(rev).cast("decimal(38,6)").cast("double").alias("revenue"))
+        .select("orderkey", "revenue", "orderdate", "priority")
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )
