@@ -58,6 +58,16 @@ HEADLINE = [
     "r1_cases_by_location",
     "r3_touchpoint_distribution",
     "r4_service_pathways",
+    "f21_rollup_revenue",
+    "h3_shipping_priority",
+    "h2_topk_per_group",
+    "g1_event_gap_stats",
+    "e11_salted_skew_join",
+    "c7_scd2_intervals",
+    "x25_unigram_logprob",
+    "x26_minhash_error",
+    "x27_doc_chunking",
+    "m3_zorder_layout",
 ]
 
 

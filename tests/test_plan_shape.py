@@ -48,7 +48,7 @@ def test_filter_pushdown_on_documents(spark):
 
 
 @pytest.mark.parametrize("name", ["e3_chain_join", "e7_dim_enrich_join",
-                                  "f21_rollup_revenue"])
+                                  "f21_rollup_revenue", "h3_shipping_priority"])
 def test_dim_joins_broadcast_not_shuffle(spark, name):
     plan = physical(REGISTRY[name].fn(spark, SF))
     assert "BroadcastHashJoin" in plan, plan
@@ -65,6 +65,16 @@ def test_dim_joins_broadcast_not_shuffle(spark, name):
         "h2_topk_per_group",
         "x25_unigram_logprob",
         "f20_length_profile_by_lang",
+        "e11_salted_skew_join",
+        "c7_scd2_intervals",
+        "c8_incremental_agg_merge",
+        "f23_equidepth_histogram",
+        "f24_cube_margins",
+        "s3_replay_dedup",
+        "m3_zorder_layout",
+        "x26_minhash_error",
+        "x27_doc_chunking",
+        "h3_shipping_priority",
     ],
 )
 def test_new_queries_have_no_cartesian_product(spark, name):
@@ -72,15 +82,17 @@ def test_new_queries_have_no_cartesian_product(spark, name):
     assert "CartesianProduct" not in plan, plan
 
 
-def test_rollup_is_single_aggregate_pass(spark):
-    # ROLLUP must compile to Expand + hash aggregate, not one job per
-    # grouping level (the reference's per-level-query workaround).
-    plan = physical(REGISTRY["f21_rollup_revenue"].fn(spark, SF))
+@pytest.mark.parametrize("name", ["f21_rollup_revenue", "f24_cube_margins"])
+def test_grouping_sets_are_single_aggregate_pass(spark, name):
+    # ROLLUP/CUBE must compile to Expand + hash aggregate, not one job
+    # per grouping level (the reference's per-level-query workaround).
+    plan = physical(REGISTRY[name].fn(spark, SF))
     assert "Expand" in plan, plan
 
 
-def test_global_topk_is_take_ordered(spark):
+@pytest.mark.parametrize("name", ["f3_topk_group_count", "h3_shipping_priority"])
+def test_global_topk_is_take_ordered(spark, name):
     # ORDER BY + LIMIT must compile to TakeOrderedAndProject (per-
     # partition top-k + merge), never a global sort materialization.
-    plan = physical(REGISTRY["f3_topk_group_count"].fn(spark, SF))
+    plan = physical(REGISTRY[name].fn(spark, SF))
     assert "TakeOrderedAndProject" in plan, plan
