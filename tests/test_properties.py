@@ -152,3 +152,44 @@ def test_minhash_estimates_jaccard(spark):
     assert est(0, 3) <= 2 / dd.MINHASH_K  # disjoint vocab: at most noise
     true = _true_jaccard(base, near)
     assert abs(est(0, 2) - true) <= 0.35  # K=12 → coarse but centered
+
+
+# ---------------------------------------------------------------------------
+# Morton interleave (m3): the Spark expression must equal the Python
+# bit-interleave model, and the key must be decodable back to both
+# coordinates (locality claims depend on the interleave being exact).
+# ---------------------------------------------------------------------------
+
+
+def _py_morton(uid: int, day: int, bits: int = 10) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((uid >> i) & 1) << (2 * i)
+        z |= ((day >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@settings(**_SETTINGS)
+@given(
+    coords=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1023),
+            st.integers(min_value=0, max_value=1023),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_spark_morton_matches_python_model(spark, coords):
+    from calaveras_uniteus_etl_spark.plans.queries_aggregates import _spark_morton
+
+    df = spark.createDataFrame(coords, ["uid", "day"]).select(
+        "uid", "day", _spark_morton("uid", "day").alias("zkey")
+    )
+    for r in df.collect():
+        z = _py_morton(r.uid, r.day)
+        assert r.zkey == z
+        # decode round-trip: even bits -> uid, odd bits -> day
+        uid = sum(((z >> (2 * i)) & 1) << i for i in range(10))
+        day = sum(((z >> (2 * i + 1)) & 1) << i for i in range(10))
+        assert (uid, day) == (r.uid, r.day)
