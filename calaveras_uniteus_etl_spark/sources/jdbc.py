@@ -7,9 +7,10 @@ entire concern collapses to ``spark.read.jdbc`` → ``df.write.jdbc``:
 Spark's JDBC dialects own the per-vendor type mapping, and the
 warehouse's declared StructTypes are the single source of truth.
 
-No JDBC driver jars ship in this container, so everything here is
-plan-level (callable, but connecting requires a driver on the
-classpath — the standard deployment step, not a code change).
+Spark bundles the Derby driver (metastore dependency), so the whole
+surface is integration-tested in-container against embedded Derby
+(tests/test_jdbc.py); pointing it at Postgres/MSSQL is a URL + driver
+jar swap — the standard deployment step, not a code change.
 
 Scale notes: reads partition on a numeric/temporal column
 (``partitionColumn`` + bounds → one concurrent cursor per partition);
