@@ -1391,3 +1391,65 @@ def h3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("orderkey"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# F25 — robust statistics (median / MAD / IQR outlier count)
+#
+# Mean/stddev (f15's scatter stats) are skew-fragile; the robust set —
+# median, median-absolute-deviation, and the Tukey 1.5×IQR outlier
+# count — is what a data-quality monitor actually alarms on. Two
+# percentile passes (the second over |x − median|, a derived column of
+# bit-identical doubles) plus one conditional count; every comparison
+# is between identical float64s in both engines, so the outlier count
+# is exact, not approximately equal.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f25_robust_stats",
+    oracle="""
+WITH q AS (
+  SELECT quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.5)  AS med,
+         quantile_cont(value, 0.75) AS q3
+  FROM events WHERE value IS NOT NULL
+), mad AS (
+  SELECT quantile_cont(ABS(value - med), 0.5) AS mad
+  FROM events CROSS JOIN q WHERE value IS NOT NULL
+)
+SELECT CAST(med AS DOUBLE) AS median,
+       CAST(mad AS DOUBLE) AS mad,
+       CAST(q3 - q1 AS DOUBLE) AS iqr,
+       CAST((SELECT COUNT(*) FROM events CROSS JOIN q
+             WHERE value IS NOT NULL
+               AND (value < q1 - 1.5 * (q3 - q1)
+                    OR value > q3 + 1.5 * (q3 - q1))) AS BIGINT)
+         AS n_outliers
+FROM q CROSS JOIN mad
+""",
+    doc="Robust profile of events.value: median, MAD, IQR, and Tukey "
+    "1.5×IQR outlier count — two percentile passes, exact cross-engine.",
+)
+def f25_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    q1, med, q3 = e.agg(
+        F.percentile("value", F.lit(0.25)),
+        F.percentile("value", F.lit(0.5)),
+        F.percentile("value", F.lit(0.75)),
+    ).first()
+    mad = e.agg(
+        F.percentile(F.abs(F.col("value") - F.lit(med)), F.lit(0.5))
+    ).first()[0]
+    iqr = q3 - q1
+    lo, hi = q1 - 1.5 * iqr, q3 + 1.5 * iqr
+    return e.agg(
+        F.lit(med).cast("double").alias("median"),
+        F.lit(mad).cast("double").alias("mad"),
+        F.lit(iqr).cast("double").alias("iqr"),
+        F.sum(
+            ((F.col("value") < F.lit(lo)) | (F.col("value") > F.lit(hi))).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_outliers"),
+    )

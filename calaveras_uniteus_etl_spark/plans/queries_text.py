@@ -1021,3 +1021,65 @@ def x27_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("cw").cast("bigint").alias("chunk_words"),
         F.md5(F.array_join("cw", " ")).alias("chunk_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X28 — training-mixture source weights (domain reweighting)
+#
+# Building a training mix means deciding how hard to up/down-sample
+# each source so the sampled token distribution hits a target (here:
+# uniform across sources — the DoReMi-style learned target drops in by
+# replacing one literal vector). Weight = target_share / actual_share,
+# computed from per-source token mass in micro-units so every engine
+# sees identical integers; the final weights divide identical operands.
+# One aggregate over (source), a scalar total, broadcast arithmetic —
+# the entire query is two map-side-combined passes at any corpus size.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x28_source_mixture",
+    oracle=f"""
+WITH per_source AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         SUM(len(string_split({NORM_DUCK.format(col="text")}, ' '))) AS n_tokens
+  FROM documents GROUP BY source
+), total AS (
+  SELECT SUM(n_tokens) AS all_tokens, COUNT(*) AS n_sources FROM per_source
+)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_tokens AS DOUBLE) / all_tokens AS token_share,
+       CAST(1.0 AS DOUBLE) / n_sources AS target_share,
+       (CAST(1.0 AS DOUBLE) / n_sources)
+         / (CAST(n_tokens AS DOUBLE) / all_tokens) AS sample_weight
+FROM per_source CROSS JOIN total
+""",
+    doc="Per-source token mass and up/down-sampling weights toward a "
+    "uniform token target — the mixture arithmetic of a training-data "
+    "curation run.",
+)
+def x28_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.expr(f"split({NORM_SPARK.format(col='text')}, ' ')")))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    total = per_source.agg(
+        F.sum("n_tokens").alias("all_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    share = F.col("n_tokens").cast("double") / F.col("all_tokens")
+    target = F.lit(1.0) / F.col("n_sources")
+    return per_source.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        share.alias("token_share"),
+        target.alias("target_share"),
+        (target / share).alias("sample_weight"),
+    )
