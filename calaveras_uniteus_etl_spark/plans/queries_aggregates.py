@@ -1453,3 +1453,66 @@ def f25_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_outliers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F26 — least-squares trend over the daily series
+#
+# The trend-detection companion to f19's rolling mean: slope/intercept
+# of ordinary least squares fitted to (day_index, daily_count). Both
+# coordinates are integers, so Σx, Σy, Σxy, Σx² are BIGINT — exact and
+# order-independent — and slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
+# divides identical integers in both engines: the fit is bit-exact,
+# no regression library involved. Day index is an integer day diff
+# from a fixed epoch (never a double cast).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f26_trend_slope",
+    oracle="""
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day_idx, COUNT(*) AS cnt
+  FROM events GROUP BY day_idx
+), s AS (
+  SELECT COUNT(*) AS n,
+         SUM(day_idx) AS sx, SUM(cnt) AS sy,
+         SUM(day_idx * cnt) AS sxy, SUM(day_idx * day_idx) AS sxx
+  FROM daily
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / (n * sxx - sx * sx) AS slope_per_day,
+       CAST(sy AS DOUBLE) / n
+         - (CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx))
+           * (CAST(sx AS DOUBLE) / n) AS intercept
+FROM s
+""",
+    doc="OLS slope/intercept of daily event counts over integer day "
+    "index — all moments are BIGINT sums, so the fit is bit-exact "
+    "across engines.",
+)
+def f26_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.expr("unix_micros(ts) div 86400000000").alias("day_idx"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    s = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("day_idx").alias("sx"),
+        F.sum("cnt").alias("sy"),
+        F.sum(F.col("day_idx") * F.col("cnt")).alias("sxy"),
+        F.sum(F.col("day_idx") * F.col("day_idx")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num.cast("double") / den
+    return s.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        slope.alias("slope_per_day"),
+        (
+            F.col("sy").cast("double") / F.col("n")
+            - slope * (F.col("sx").cast("double") / F.col("n"))
+        ).alias("intercept"),
+    )
