@@ -27,8 +27,8 @@ from calaveras_uniteus_etl_spark.plans import (  # noqa: F401  (import = registe
 # round-2 flagship additions (x21/x22/f19/x23/m2), then the 21 whose
 # round-1 rows were errors/hash-misses (fixed in round 2, need
 # confirming rows) — exactly 50. Round-2 report/packing additions
-# (x24, r1–r4) and the late-round-2 additions (f20–f24, g1, h2/h3,
-# e11, c7/c8, s3, m3, x25–x27) queue behind them for the next
+# (x24, r1–r4) and the late-round-2 additions (f20–f26, g1, h2/h3,
+# e11, c7/c8, s3, m3, x25–x28) queue behind them for the next
 # rotation.
 _CHECK_PRIORITY = [
     # -- no driver row yet (r01 stopped before these) ----------------
