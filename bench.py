@@ -68,6 +68,15 @@ HEADLINE = [
     "x26_minhash_error",
     "x27_doc_chunking",
     "m3_zorder_layout",
+    "x28_source_mixture",
+    "f20_length_profile_by_lang",
+    "f22_pivot_status",
+    "f23_equidepth_histogram",
+    "f24_cube_margins",
+    "f25_robust_stats",
+    "f26_trend_slope",
+    "s3_replay_dedup",
+    "c8_incremental_agg_merge",
 ]
 
 
