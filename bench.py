@@ -77,6 +77,11 @@ HEADLINE = [
     "f26_trend_slope",
     "s3_replay_dedup",
     "c8_incremental_agg_merge",
+    "h4_local_supplier_volume",
+    "h5_big_order_customers",
+    "g2_session_windows",
+    "x29_semdedup_prune",
+    "x30_weighted_sample",
 ]
 
 

@@ -28,8 +28,9 @@ from calaveras_uniteus_etl_spark.plans import (  # noqa: F401  (import = registe
 # round-1 rows were errors/hash-misses (fixed in round 2, need
 # confirming rows) — exactly 50. Round-2 report/packing additions
 # (x24, r1–r4) and the late-round-2 additions (f20–f26, g1, h2/h3,
-# e11, c7/c8, s3, m3, x25–x28) queue behind them for the next
-# rotation.
+# e11, c7/c8, s3, m3, x25–x28) and the session-3 additions (h4/h5
+# TPC-H shapes, g2 batch sessionization, x29 semantic dedup, x30
+# weighted sampling) queue behind them for the next rotation.
 _CHECK_PRIORITY = [
     # -- no driver row yet (r01 stopped before these) ----------------
     "e7_dim_enrich_join",

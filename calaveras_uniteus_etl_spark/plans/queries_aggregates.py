@@ -1516,3 +1516,92 @@ def f26_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             - slope * (F.col("sx").cast("double") / F.col("n"))
         ).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# G2 — batch sessionization (gap-split window → per-session rollup)
+#
+# The batch twin of the streaming sessionizer (s2): per-user events
+# split into sessions wherever the gap exceeds 12h, expressed as the
+# classic two-window composition — LAG flags session starts, a running
+# SUM over the same (user_id, ts, event_id) order numbers them — then
+# one groupBy per session and a bounded histogram rollup. Both windows
+# share one hash-partition-by-user_id shuffle (no global sort); the
+# per-session aggregate reuses the same partitioning, so the whole
+# plan is a single exchange however large the event log is. Durations
+# are integer microsecond sums; the mean divides identical BIGINTs.
+# ---------------------------------------------------------------------------
+
+_G2_GAP_US = 12 * 3600 * 1_000_000  # 12h session gap (see g1's p50/p75)
+
+
+@register(
+    "g2_session_windows",
+    oracle=f"""
+WITH t AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)
+              > {_G2_GAP_US} OR LAG(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), numbered AS (
+  SELECT user_id, t,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sess_idx
+  FROM t
+), sessions AS (
+  SELECT user_id, sess_idx, COUNT(*) AS n_events,
+         MAX(t) - MIN(t) AS dur_us
+  FROM numbered GROUP BY user_id, sess_idx
+)
+SELECT CASE WHEN n_events = 1 THEN '1' WHEN n_events <= 4 THEN '2-4'
+            WHEN n_events <= 9 THEN '5-9' ELSE '10+' END AS bucket,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(SUM(dur_us) AS DOUBLE) / COUNT(*) AS avg_dur_us
+FROM sessions
+GROUP BY 1
+ORDER BY bucket
+""",
+    doc="Batch sessionization: 12h-gap LAG flag + running-SUM session "
+    "numbering over one user_id shuffle, per-session rollup, bounded "
+    "session-size histogram.",
+)
+def g2_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("t")
+    )
+    prev = F.lag("t").over(w)
+    flagged = e.withColumn(
+        "is_new",
+        F.when(prev.isNull() | (F.col("t") - prev > _G2_GAP_US), 1).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "sess_idx",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sessions = numbered.groupBy("user_id", "sess_idx").agg(
+        F.count("*").alias("n_events"),
+        (F.max("t") - F.min("t")).alias("dur_us"),
+    )
+    bucket = (
+        F.when(F.col("n_events") == 1, "1")
+        .when(F.col("n_events") <= 4, "2-4")
+        .when(F.col("n_events") <= 9, "5-9")
+        .otherwise("10+")
+    )
+    return (
+        sessions.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            (F.sum("dur_us").cast("double") / F.count("*")).alias("avg_dur_us"),
+        )
+        .orderBy("bucket")
+    )

@@ -520,3 +520,139 @@ def e11_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# H4 — local-supplier volume (TPC-H Q5 shape)
+#
+# The canonical star-schema stress test: six tables, one year of
+# orders, revenue only where the customer's and the supplier's nation
+# coincide. region→nation→customer/supplier are broadcast dims (fixed
+# or slowly-growing at any SF), so the only shuffles are the two
+# fact-side equi-joins (orders⋈lineitem on orderkey, then the agg on
+# nation) — the plan a 1000-executor cluster wants: filters pushed to
+# both fact scans, dimension lookups map-side, revenue in exact
+# decimals.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "h4_local_supplier_volume",
+    oracle="""
+SELECT n_name AS nation,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (1 - CAST(l_discount AS DECIMAL(6,4))))
+                 AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+               AND s.s_nationkey = c.c_nationkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+JOIN region r   ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, nation
+""",
+    doc="TPC-H Q5 shape: 6-table star join, region-filtered, customer "
+    "and supplier nation must match; dims broadcast, facts shuffle "
+    "once on orderkey.",
+)
+def h4_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    s = table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev = X.dec("l_extendedprice") * (F.lit(1) - X.dec("l_discount", X.RATE))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(rev).cast("decimal(38,6)").cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("nation"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# H5 — large-volume customers (TPC-H Q18 shape)
+#
+# Group-then-semi-join: the qualifying orderkeys come from an
+# aggregate-HAVING subquery over the fact table itself, then rejoin
+# lineitem/orders/customer for the report columns. The HAVING filter
+# collapses the fact table to a tiny key set — at scale the rejoin is
+# a broadcast of that key set over lineitem, never a second full
+# shuffle. l_quantity is integral, so double SUMs are exact in any
+# summation order.
+# ---------------------------------------------------------------------------
+
+_H5_QTY_MIN = 250
+
+
+@register(
+    "h5_big_order_customers",
+    oracle=f"""
+SELECT c.c_name AS name, c.c_custkey AS custkey, o.o_orderkey AS orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS totalprice,
+       CAST(SUM(l.l_quantity) AS BIGINT) AS sum_qty
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > {_H5_QTY_MIN}
+)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY totalprice DESC, orderkey
+LIMIT 100
+""",
+    doc="TPC-H Q18 shape: HAVING-filtered orderkey set semi-joined back "
+    "through orders→customer, top-100 by order value.",
+)
+def h5_big_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > _H5_QTY_MIN)
+        .select("l_orderkey")
+    )
+    o = table(spark, sf_dir, "orders").join(
+        F.broadcast(big), F.col("o_orderkey") == big.l_orderkey, "left_semi"
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_name").alias("name"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            X.dec("o_totalprice").cast("double").alias("totalprice"),
+        )
+        .agg(F.sum("l_quantity").cast("bigint").alias("sum_qty"))
+        .orderBy(F.desc("totalprice"), F.asc("orderkey"))
+        .limit(100)
+    )

@@ -672,3 +672,131 @@ def x23_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c2.select(
         "cid", "n_members", F.posexplode("c").alias("dim", "c_mean")
     ).select("cid", "n_members", F.col("dim").cast("bigint").alias("dim"), "c_mean")
+
+
+# ---------------------------------------------------------------------------
+# X29 — SemDeDup-style semantic prune (cluster ∩ LSH bucket → cosine)
+#
+# Semantic dedup à la SemDeDup (Abbas et al. 2023): embeddings are
+# clustered (the x23 fixed-point assignment over the x13 seed
+# centroids), and within each cluster, pairs above a cosine threshold
+# are pruned down to one survivor (lowest vec_id). Raw within-cluster
+# all-pairs is quadratic in cluster size — the guard here intersects
+# cluster membership with the x6 SRP-LSH buckets, so candidates are
+# (same cluster AND same bucket), each bucket already capped at
+# BUCKET_CAP. At 100 TB the knobs move together: more centroids keeps
+# cluster occupancy flat, more LSH bits keeps bucket occupancy flat,
+# and the candidate join still shuffles only (tbl, bucket, cid, id)
+# ints. Output: each pruned vector with its best-keeper neighbor.
+# ---------------------------------------------------------------------------
+
+_X29_TAU = 0.3
+
+
+@register(
+    "x29_semdedup_prune",
+    oracle=f"""
+WITH {_duck_buckets_cte()},
+qvecs AS (
+  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+           x -> CAST(floor(x * {_KM_SCALE}) AS BIGINT)) AS q
+  FROM embeddings
+), seeds AS (
+  SELECT vec_id AS cid, list_transform(q, x -> CAST(x AS DOUBLE)) AS c
+  FROM qvecs WHERE vec_id < {_KM_K}
+), assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {{dist}} ASC, c.cid) AS rn
+    FROM qvecs v CROSS JOIN seeds c
+  ) WHERE rn = 1
+), ba AS (
+  SELECT b.vec_id, b.tbl, b.bucket, a.cid
+  FROM buckets b JOIN assign a USING (vec_id)
+), cand AS (
+  SELECT DISTINCT x.cid AS cid, x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM ba x JOIN ba y
+    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.cid = y.cid
+   AND x.vec_id < y.vec_id
+), scored AS (
+  SELECT cid, vec_a, vec_b,
+         {_DUCK_COSINE.format(a="ea.embedding", b="eb.embedding")} AS cosine
+  FROM cand
+  JOIN embeddings ea ON ea.vec_id = cand.vec_a
+  JOIN embeddings eb ON eb.vec_id = cand.vec_b
+)
+SELECT cid, vec_a AS kept_id, vec_b AS pruned_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_b
+                               ORDER BY cosine DESC, vec_a) AS rn
+  FROM scored WHERE cosine >= {_X29_TAU}
+) WHERE rn = 1
+""".format(dist=_sqdist_duck("v.q", "c.c")),
+    doc="SemDeDup-style semantic prune: fixed-point k-means cluster "
+    "membership intersected with SRP-LSH buckets bounds the candidate "
+    f"pairs; cosine >= {_X29_TAU} prunes to the lowest-id survivor.",
+)
+def x29_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _spark_vecs(spark, sf_dir)
+    b = _spark_buckets(vecs)
+    qvecs = vecs.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> cast(floor(cast(x as double) * {_KM_SCALE}) as bigint))"
+        ).alias("q"),
+    )
+    seeds = qvecs.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"),
+        F.expr("transform(q, x -> cast(x as double))").alias("c"),
+    )
+    assign = _km_assign_spark(qvecs, seeds).select("vec_id", "cid")
+    ba = b.join(assign, "vec_id")
+    x, y = ba.alias("x"), ba.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.tbl") == F.col("y.tbl"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.cid") == F.col("y.cid"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.cid").alias("cid"),
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+        )
+        .distinct()
+        .repartition(spark.sparkContext.defaultParallelism, "vec_a")
+    )
+    aside = vecs.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    bside = vecs.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cosine = F.round(
+        _dot(F.col("ea"), F.col("eb"))
+        / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)),
+        4,
+    )
+    scored = (
+        cand.join(aside, "vec_a")
+        .join(bside, "vec_b")
+        .select("cid", "vec_a", "vec_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= _X29_TAU)
+    )
+    w = Window.partitionBy("vec_b").orderBy(F.desc("cosine"), F.asc("vec_a"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cid",
+            F.col("vec_a").alias("kept_id"),
+            F.col("vec_b").alias("pruned_id"),
+            "cosine",
+        )
+    )

@@ -1083,3 +1083,76 @@ def x28_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         target.alias("target_share"),
         (target / share).alias("sample_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X30 — deterministic weighted sampling (quality-proportional keep)
+#
+# Importance sampling for mixture construction: each document is kept
+# with probability proportional to a quality proxy (here length,
+# clamped), decided by a salted md5 draw — u = md5_long("ws:"+doc_id)
+# mod 1024 < weight — so the sample is a pure function of the doc id:
+# reproducible across engines, re-runs, and partitionings, and
+# requires no RNG state, no global pass, no shuffle (the decision is a
+# narrow per-row projection; only the audit rollup below aggregates).
+# Integer-only arithmetic end-to-end: no double→int casts to disagree
+# on (Spark truncates, DuckDB rounds).
+# ---------------------------------------------------------------------------
+
+_X30_DENOM = 1024  # weight granularity (parts per 1024)
+
+
+@register(
+    "x30_weighted_sample",
+    oracle=f"""
+WITH draws AS (
+  SELECT source, lang,
+         least({_X30_DENOM}, n_chars * 4) AS w_ppk,
+         list_reduce(list_transform(
+           string_split_regex(substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15), ''),
+           x -> strpos('0123456789abcdef', x) - 1), (a, b) -> a * 16 + b)
+           % {_X30_DENOM} AS u
+  FROM documents
+)
+SELECT source, lang,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN u < w_ppk THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN u < w_ppk THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS kept_share,
+       CAST(SUM(w_ppk) AS DOUBLE) / (COUNT(*) * {_X30_DENOM}) AS expected_share
+FROM draws
+GROUP BY source, lang
+ORDER BY source, lang
+""",
+    doc="Deterministic weighted sampling: keep-probability ∝ clamped "
+    "doc length, decided by a salted md5 draw per doc id — "
+    "reproducible, shuffle-free, integer-only; per-(source, lang) "
+    "kept-vs-expected audit rollup.",
+)
+def x30_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calaveras_uniteus_etl_spark.functions.hashing import md5_long
+
+    d = table(spark, sf_dir, "documents")
+    draws = d.select(
+        "source",
+        "lang",
+        F.least(F.lit(_X30_DENOM), F.col("n_chars") * 4).alias("w_ppk"),
+        (
+            md5_long(F.concat(F.lit("ws:"), F.col("doc_id").cast("string")))
+            % _X30_DENOM
+        ).alias("u"),
+    )
+    kept = F.sum(F.when(F.col("u") < F.col("w_ppk"), 1).otherwise(0))
+    return (
+        draws.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            kept.cast("bigint").alias("n_kept"),
+            (kept.cast("double") / F.count("*")).alias("kept_share"),
+            (
+                F.sum("w_ppk").cast("double")
+                / (F.count("*") * F.lit(_X30_DENOM))
+            ).alias("expected_share"),
+        )
+        .orderBy("source", "lang")
+    )

@@ -48,7 +48,8 @@ def test_filter_pushdown_on_documents(spark):
 
 
 @pytest.mark.parametrize("name", ["e3_chain_join", "e7_dim_enrich_join",
-                                  "f21_rollup_revenue", "h3_shipping_priority"])
+                                  "f21_rollup_revenue", "h3_shipping_priority",
+                                  "h4_local_supplier_volume"])
 def test_dim_joins_broadcast_not_shuffle(spark, name):
     plan = physical(REGISTRY[name].fn(spark, SF))
     assert "BroadcastHashJoin" in plan, plan
@@ -75,6 +76,11 @@ def test_dim_joins_broadcast_not_shuffle(spark, name):
         "x26_minhash_error",
         "x27_doc_chunking",
         "h3_shipping_priority",
+        "h4_local_supplier_volume",
+        "h5_big_order_customers",
+        "g2_session_windows",
+        "x29_semdedup_prune",
+        "x30_weighted_sample",
     ],
 )
 def test_new_queries_have_no_cartesian_product(spark, name):
@@ -90,7 +96,8 @@ def test_grouping_sets_are_single_aggregate_pass(spark, name):
     assert "Expand" in plan, plan
 
 
-@pytest.mark.parametrize("name", ["f3_topk_group_count", "h3_shipping_priority"])
+@pytest.mark.parametrize("name", ["f3_topk_group_count", "h3_shipping_priority",
+                                  "h5_big_order_customers"])
 def test_global_topk_is_take_ordered(spark, name):
     # ORDER BY + LIMIT must compile to TakeOrderedAndProject (per-
     # partition top-k + merge), never a global sort materialization.
