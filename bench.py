@@ -82,6 +82,7 @@ HEADLINE = [
     "g2_session_windows",
     "x29_semdedup_prune",
     "x30_weighted_sample",
+    "r6_provider_performance",
 ]
 
 

@@ -292,3 +292,97 @@ def r4_service_pathways(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pathway_count"), "initial_service", "referral_service")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# R6 — provider performance: per-provider multi-COUNT(DISTINCT CASE)
+# status split + resolution-day stats + completion rate, HAVING floor,
+# (volume, avg-days) ordering, top-20 — the provider-performance
+# endpoint shape (core/app.py:4211-4288). The day stats sum exact
+# integer microsecond gaps (BIGINT) and convert once at the end, so
+# the averages are bit-identical across engines; NULL avg (no
+# fulfilled orders) sorts last on both sides.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "r6_provider_performance",
+    oracle="""
+SELECT l_suppkey AS provider,
+       COUNT(DISTINCT l_orderkey) AS total_orders,
+       COUNT(DISTINCT o_custkey) AS unique_customers,
+       COUNT(DISTINCT CASE WHEN o_orderstatus = 'O' THEN l_orderkey END)
+         AS open_orders,
+       COUNT(DISTINCT CASE WHEN o_orderstatus = 'P' THEN l_orderkey END)
+         AS partial_orders,
+       COUNT(DISTINCT CASE WHEN o_orderstatus = 'F' THEN l_orderkey END)
+         AS fulfilled_orders,
+       ROUND(CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                      THEN epoch_us(l_shipdate) - epoch_us(o_orderdate) END)
+                  AS DOUBLE) / 86400e6
+             / COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END), 1) AS avg_days,
+       ROUND(CAST(MIN(CASE WHEN o_orderstatus = 'F'
+                      THEN epoch_us(l_shipdate) - epoch_us(o_orderdate) END)
+                  AS DOUBLE) / 86400e6, 1) AS min_days,
+       ROUND(CAST(MAX(CASE WHEN o_orderstatus = 'F'
+                      THEN epoch_us(l_shipdate) - epoch_us(o_orderdate) END)
+                  AS DOUBLE) / 86400e6, 1) AS max_days,
+       ROUND(COUNT(DISTINCT CASE WHEN o_orderstatus = 'F' THEN l_orderkey END)
+             * 100.0 / COUNT(DISTINCT l_orderkey), 1) AS completion_rate
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+GROUP BY l_suppkey
+HAVING COUNT(DISTINCT l_orderkey) >= 5
+ORDER BY total_orders DESC, avg_days ASC, provider
+LIMIT 20
+""",
+    doc="Provider-performance shape: per-supplier multi-distinct "
+    "status split, exact-integer day-gap stats, completion rate, "
+    "HAVING floor, (volume, avg-days, key) top-20 "
+    "(core/app.py:4211-4288).",
+)
+def r6_provider_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_shipdate"
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"
+    )
+    # parquet timestamps arrive as TIMESTAMP_NTZ; the cast matches
+    # julian_day_diff's contract (session TZ differences cancel in the
+    # subtraction) and keeps the gap an exact integer microsecond count
+    gap_us = F.unix_micros(F.col("l_shipdate").cast("timestamp")) - F.unix_micros(
+        F.col("o_orderdate").cast("timestamp")
+    )
+    f_gap = F.when(F.col("o_orderstatus") == "F", gap_us)
+
+    def distinct_if(status: str, alias: str):
+        return F.countDistinct(
+            F.when(F.col("o_orderstatus") == status, F.col("l_orderkey"))
+        ).alias(alias)
+
+    total = F.countDistinct("l_orderkey")
+    fulfilled = F.countDistinct(
+        F.when(F.col("o_orderstatus") == "F", F.col("l_orderkey"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_suppkey").alias("provider"))
+        .agg(
+            total.alias("total_orders"),
+            F.countDistinct("o_custkey").alias("unique_customers"),
+            distinct_if("O", "open_orders"),
+            distinct_if("P", "partial_orders"),
+            distinct_if("F", "fulfilled_orders"),
+            F.round(
+                F.sum(f_gap).cast("double") / 86400e6 / F.count(f_gap), 1
+            ).alias("avg_days"),
+            F.round(F.min(f_gap).cast("double") / 86400e6, 1).alias("min_days"),
+            F.round(F.max(f_gap).cast("double") / 86400e6, 1).alias("max_days"),
+            F.round(fulfilled * 100.0 / total, 1).alias("completion_rate"),
+        )
+        .filter(F.col("total_orders") >= 5)
+        .orderBy(
+            F.desc("total_orders"), F.asc_nulls_last("avg_days"), F.asc("provider")
+        )
+        .limit(20)
+    )

@@ -411,3 +411,183 @@ def referral_funnel(referrals: DataFrame, f: ReportFilters = ReportFilters()) ->
             stage("completed_at") * 100.0 / F.nullif(total, F.lit(0)), 1
         ).alias("completion_pct"),
     )
+
+
+# --- referral conversion rates (core/app.py:3142-3186) -----------------------
+
+
+def referral_conversion_rates(
+    referrals: DataFrame, f: ReportFilters = ReportFilters(),
+    min_total: int = 5, n: int = 10,
+) -> DataFrame:
+    """Acceptance/decline/pending split + acceptance rate per service
+    type; HAVING total >= min_total, top-n by volume."""
+    accepted = F.sum(F.when(F.col("referral_status") == "accepted", 1).otherwise(0))
+    declined = F.sum(F.when(F.col("referral_status") == "declined", 1).otherwise(0))
+    pending = F.sum(
+        F.when(F.col("referral_status").isin("pending", "off_platform"), 1).otherwise(0)
+    )
+    total = F.count("*")
+    return (
+        apply_report_filters(referrals, "referrals", f)
+        .filter(F.col("service_type").isNotNull())
+        .groupBy("service_type")
+        .agg(
+            total.alias("total_referrals"),
+            accepted.alias("accepted"),
+            declined.alias("declined"),
+            pending.alias("pending"),
+            F.round(accepted * 100.0 / F.nullif(total, F.lit(0)), 1).alias(
+                "acceptance_rate"
+            ),
+        )
+        .filter(F.col("total_referrals") >= min_total)
+        .orderBy(F.desc("total_referrals"), "service_type")
+        .limit(n)
+    )
+
+
+# --- case outcomes (core/app.py:2853-2888) -----------------------------------
+
+
+def case_outcomes(cases: DataFrame, f: ReportFilters = ReportFilters()) -> DataFrame:
+    """Counts per outcome resolution type (schema column ``outcome``,
+    reference outcome_resolution_type, database_schema.py:153)."""
+    return (
+        apply_report_filters(cases, "cases", f)
+        .filter(F.col("outcome").isNotNull())
+        .groupBy(F.col("outcome").alias("resolution_type"))
+        .agg(F.count("*").alias("count"))
+        .orderBy(F.desc("count"), "resolution_type")
+    )
+
+
+# --- provider performance (core/app.py:4211-4288) ----------------------------
+
+
+def provider_performance(
+    cases: DataFrame, f: ReportFilters = ReportFilters(),
+    min_cases: int = 5, n: int = 20,
+) -> DataFrame:
+    """Per-provider caseload + status split + resolution-day stats.
+
+    COUNT(DISTINCT CASE WHEN ...) statuses mirror the reference's
+    bucket lists; completion rate = closed/total. The per-group
+    multi-distinct is the E4/F2 Expand shape — one shuffle however
+    many providers exist."""
+    gap = julian_day_diff("case_closed_at", "case_created_at")
+    closed_gap = F.when(F.col("case_closed_at").isNotNull(), gap)
+    active = F.countDistinct(
+        F.when(
+            F.col("case_status").isin("active", "open", "in_progress"),
+            F.col("case_id"),
+        )
+    )
+    pending = F.countDistinct(
+        F.when(
+            F.col("case_status").isin("pending", "awaiting", "new"), F.col("case_id")
+        )
+    )
+    closed = F.countDistinct(
+        F.when(F.col("case_status").isin("completed", "closed"), F.col("case_id"))
+    )
+    total = F.countDistinct("case_id")
+    return (
+        apply_report_filters(cases, "cases", f)
+        .filter(
+            F.col("case_created_at").isNotNull() & F.col("provider_name").isNotNull()
+        )
+        .groupBy(F.col("provider_name").alias("provider"))
+        .agg(
+            total.alias("total_cases"),
+            F.countDistinct("person_id").alias("unique_clients"),
+            active.alias("active_cases"),
+            pending.alias("pending_cases"),
+            closed.alias("closed_cases"),
+            F.round(F.avg(closed_gap), 1).alias("avg_days"),
+            F.round(F.min(closed_gap), 1).alias("min_days"),
+            F.round(F.max(closed_gap), 1).alias("max_days"),
+            F.round(
+                closed * 100.0 / F.nullif(total, F.lit(0)), 1
+            ).alias("completion_rate"),
+        )
+        .filter(F.col("total_cases") >= min_cases)
+        .orderBy(F.desc("total_cases"), F.asc("avg_days"), "provider")
+        .limit(n)
+    )
+
+
+# --- high-risk drop-off analysis (core/app.py:4347-4393) ---------------------
+
+
+def high_risk_drop_off(
+    referrals: DataFrame, f: ReportFilters = ReportFilters(),
+    min_total: int = 5, n: int = 10,
+) -> DataFrame:
+    """Service types ranked by drop-off (declined/rejected/off_platform)
+    rate; HAVING total >= min_total, top-n by rate."""
+    dropped = F.sum(
+        F.when(
+            F.col("referral_status").isin("declined", "rejected", "off_platform"), 1
+        ).otherwise(0)
+    )
+    total = F.count("*")
+    return (
+        apply_report_filters(referrals, "referrals", f)
+        .filter(
+            F.col("referral_created_at").isNotNull()
+            & F.col("service_type").isNotNull()
+        )
+        .groupBy("service_type")
+        .agg(
+            total.alias("total_referrals"),
+            F.round(dropped * 100.0 / F.nullif(total, F.lit(0)), 1).alias(
+                "drop_off_rate"
+            ),
+        )
+        .filter(F.col("total_referrals") >= min_total)
+        .orderBy(F.desc("drop_off_rate"), F.desc("total_referrals"), "service_type")
+        .limit(n)
+    )
+
+
+# --- employee workload (core/app.py:3349-3409) -------------------------------
+
+
+def employee_workload(
+    employees: DataFrame, cases: DataFrame, f: ReportFilters = ReportFilters(),
+    n: int = 20,
+) -> DataFrame:
+    """Caseload per employee: LEFT JOIN keeps idle employees out via
+    HAVING total > 0; resolution rate from the ``outcome`` column."""
+    active = F.count(
+        F.when(F.col("case_status").isin("active", "managed", "processed"), 1)
+    )
+    resolved = F.count(F.when(F.col("outcome") == "resolved", 1))
+    total = F.count("case_id")
+    return (
+        employees.join(
+            apply_report_filters(cases, "cases", f),
+            employees.employee_id == F.col("primary_worker_id"),
+            "left",
+        )
+        .groupBy(
+            F.concat_ws(
+                " ", "employee_first_name", "employee_last_name"
+            ).alias("employee_name"),
+            employees.provider_name.alias("provider"),
+        )
+        .agg(
+            active.alias("active_cases"),
+            total.alias("total_cases"),
+            resolved.alias("resolved_cases"),
+            F.round(resolved * 100.0 / F.nullif(total, F.lit(0)), 1).alias(
+                "resolution_rate"
+            ),
+        )
+        .filter(F.col("total_cases") > 0)
+        .orderBy(
+            F.desc("active_cases"), F.desc("total_cases"), "employee_name"
+        )
+        .limit(n)
+    )

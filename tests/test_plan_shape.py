@@ -81,6 +81,7 @@ def test_dim_joins_broadcast_not_shuffle(spark, name):
         "g2_session_windows",
         "x29_semdedup_prune",
         "x30_weighted_sample",
+        "r6_provider_performance",
     ],
 )
 def test_new_queries_have_no_cartesian_product(spark, name):

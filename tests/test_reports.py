@@ -38,17 +38,20 @@ def fixture_tables(spark):
     cases = spark.createDataFrame(
         [
             ("c1", "p1", "open", "Housing", "ProvA", "w1",
-             "2025-11-01 00:00:00", "2025-12-20 00:00:00", None),
+             "2025-11-01 00:00:00", "2025-12-20 00:00:00", None, None),
             ("c2", "p1", "closed", "Food", "ProvA", "w1",
-             "2025-06-01 00:00:00", "2025-06-11 12:00:00", "2025-06-11 12:00:00"),
+             "2025-06-01 00:00:00", "2025-06-11 12:00:00", "2025-06-11 12:00:00",
+             "resolved"),
             ("c3", "p2", "open", "Housing", "ProvB", "w2",
-             "2025-12-15 00:00:00", "2025-12-16 00:00:00", None),
+             "2025-12-15 00:00:00", "2025-12-16 00:00:00", None, None),
             ("c4", "p3", "resolved", None, "ProvB", None,
-             "2025-03-01 00:00:00", "2025-03-31 00:00:00", "2025-03-31 00:00:00"),
+             "2025-03-01 00:00:00", "2025-03-31 00:00:00", "2025-03-31 00:00:00",
+             "unresolved"),
         ],
         "case_id string, person_id string, case_status string, "
         "service_type string, provider_name string, primary_worker_id string, "
-        "case_created_at string, case_updated_at string, case_closed_at string",
+        "case_created_at string, case_updated_at string, case_closed_at string, "
+        "outcome string",
     )
     referrals = spark.createDataFrame(
         [
@@ -244,3 +247,57 @@ def test_views_shapes(spark, fixture_tables):
     journey = {r["person_id"]: r["total_cases"]
                for r in spark.sql("SELECT * FROM v_client_journey").collect()}
     assert journey == {"p1": 2, "p2": 1, "p3": 1, "p4": 0}
+
+
+def test_referral_conversion_rates(spark, fixture_tables):
+    rows = H.referral_conversion_rates(
+        fixture_tables["referrals"], min_total=1
+    ).collect()
+    got = {
+        r["service_type"]: (
+            r["total_referrals"], r["accepted"], r["declined"],
+            r["pending"], r["acceptance_rate"],
+        )
+        for r in rows
+    }
+    assert got == {"Housing": (3, 2, 0, 1, 66.7), "Food": (1, 0, 1, 0, 0.0)}
+    # default min_total=5 excludes everything in the 4-row fixture
+    assert H.referral_conversion_rates(fixture_tables["referrals"]).count() == 0
+
+
+def test_case_outcomes(spark, fixture_tables):
+    rows = H.case_outcomes(fixture_tables["cases"]).collect()
+    got = {r["resolution_type"]: r["count"] for r in rows}
+    assert got == {"resolved": 1, "unresolved": 1}  # NULL outcomes excluded
+
+
+def test_provider_performance(spark, fixture_tables):
+    rows = H.provider_performance(fixture_tables["cases"], min_cases=1).collect()
+    assert [r["provider"] for r in rows] == ["ProvA", "ProvB"]  # avg_days tiebreak
+    a, b = rows
+    assert (a["total_cases"], a["unique_clients"], a["active_cases"],
+            a["closed_cases"], a["avg_days"], a["completion_rate"]) == (
+        2, 1, 1, 1, 10.5, 50.0)
+    assert (b["total_cases"], b["unique_clients"], b["active_cases"],
+            b["closed_cases"], b["avg_days"], b["completion_rate"]) == (
+        2, 2, 1, 0, 30.0, 0.0)  # 'resolved' status is not in the closed list
+
+
+def test_high_risk_drop_off(spark, fixture_tables):
+    rows = H.high_risk_drop_off(fixture_tables["referrals"], min_total=1).collect()
+    got = [(r["service_type"], r["total_referrals"], r["drop_off_rate"])
+           for r in rows]
+    assert got == [("Food", 1, 100.0), ("Housing", 3, 0.0)]  # rate-ranked
+
+
+def test_employee_workload(spark, fixture_tables):
+    rows = H.employee_workload(
+        fixture_tables["employees"], fixture_tables["cases"]
+    ).collect()
+    got = [(r["employee_name"], r["provider"], r["active_cases"],
+            r["total_cases"], r["resolved_cases"], r["resolution_rate"])
+           for r in rows]
+    # w3 has no cases → dropped by HAVING; fixture statuses are not in
+    # the reference's active list (active/managed/processed) → 0
+    assert got == [("Wyn One", "ProvA", 0, 2, 1, 50.0),
+                   ("Wes Two", "ProvB", 0, 1, 0, 0.0)]
