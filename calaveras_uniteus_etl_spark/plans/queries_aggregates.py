@@ -1571,25 +1571,16 @@ ORDER BY bucket
     "session-size histogram.",
 )
 def g2_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    from calaveras_uniteus_etl_spark.operators.sessions import (
+        assign_sessions,
+        session_rollup,
+    )
+
     e = table(spark, sf_dir, "events").select(
         "user_id", "event_id", F.unix_micros("ts").alias("t")
     )
-    prev = F.lag("t").over(w)
-    flagged = e.withColumn(
-        "is_new",
-        F.when(prev.isNull() | (F.col("t") - prev > _G2_GAP_US), 1).otherwise(0),
-    )
-    numbered = flagged.withColumn(
-        "sess_idx",
-        F.sum("is_new").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    sessions = numbered.groupBy("user_id", "sess_idx").agg(
-        F.count("*").alias("n_events"),
-        (F.max("t") - F.min("t")).alias("dur_us"),
-    )
+    numbered = assign_sessions(e, "user_id", "t", "event_id", _G2_GAP_US)
+    sessions = session_rollup(numbered, "user_id", "t")
     bucket = (
         F.when(F.col("n_events") == 1, "1")
         .when(F.col("n_events") <= 4, "2-4")

@@ -193,3 +193,56 @@ def test_spark_morton_matches_python_model(spark, coords):
         uid = sum(((z >> (2 * i)) & 1) << i for i in range(10))
         day = sum(((z >> (2 * i + 1)) & 1) << i for i in range(10))
         assert (uid, day) == (r.uid, r.day)
+
+
+# --- batch sessionization (operators/sessions.py) --------------------------
+
+
+def _session_model(times: list[int], gap: int) -> list[int]:
+    """Trivially-correct per-entity session numbering over sorted times."""
+    out, sess = [], 0
+    prev = None
+    for t in sorted(times):
+        if prev is None or t - prev > gap:
+            sess += 1
+        out.append(sess)
+        prev = t
+    return out
+
+
+@settings(**_SETTINGS)
+@given(
+    streams=st.dictionaries(
+        st.integers(min_value=0, max_value=3),  # entity id
+        st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=12),
+        min_size=1,
+        max_size=4,
+    ),
+    gap=st.integers(min_value=1, max_value=100),
+)
+def test_assign_sessions_matches_python_model(spark, streams, gap):
+    """Window-based session numbering == the sorted-scan Python model,
+    for every entity, at any gap threshold (ties broken by event id)."""
+    from calaveras_uniteus_etl_spark.operators.sessions import assign_sessions
+
+    rows = []
+    eid = 0
+    for entity, times in streams.items():
+        for t in times:
+            rows.append((entity, eid, t))
+            eid += 1
+    df = spark.createDataFrame(rows, "entity int, event_id int, t long")
+    got = {
+        (r["entity"], r["event_id"]): r["sess_idx"]
+        for r in assign_sessions(df, "entity", "t", "event_id", gap).collect()
+    }
+
+    for entity, times in streams.items():
+        # model over (t, event_id)-sorted rows — same total order as the
+        # window; equal timestamps extend the current session
+        ordered = sorted(
+            [(t, e) for (ent, e, t) in rows if ent == entity]
+        )
+        expected = _session_model([t for t, _ in ordered], gap)
+        for (t, e), want in zip(ordered, expected):
+            assert got[(entity, e)] == want, (entity, t, e)
