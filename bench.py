@@ -83,6 +83,7 @@ HEADLINE = [
     "x29_semdedup_prune",
     "x30_weighted_sample",
     "r6_provider_performance",
+    "x31_dsir_weights",
 ]
 
 

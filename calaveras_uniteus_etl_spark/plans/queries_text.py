@@ -1156,3 +1156,115 @@ def x30_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# X31 — DSIR-style importance weights (hashed-n-gram log-ratio)
+#
+# Data Selection via Importance Resampling (Xie et al. 2023): score
+# each raw document by how target-like its token distribution is,
+# using hashed unigram buckets — w(doc) = Σ_tokens ln(p_target(b) /
+# q_raw(b)) with Laplace smoothing. Docs scoring high are resampled
+# into the training mixture (x30's weighted sampler is the natural
+# consumer of these weights, x28's mixture the natural target spec).
+#
+# Cross-engine arithmetic follows x25's micro-nat contract: bucket
+# counts are exact BIGINTs, each bucket's log-ratio quantizes to
+# integer micro-nats once (ROUND(ln-diff × 1e6)), per-doc sums are
+# BIGINT — order-independent — and the mean divides the same two
+# numbers everywhere. Scale shape: the bucket relation is fixed-size
+# (B=256 rows, broadcast); the token relation is scanned twice (count
+# pass + score pass), both map-side combined; totals are two scalar
+# aggregates, never a row collect.
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 256  # hashed feature buckets
+_DSIR_TARGET_LANG = "en"
+
+
+@register(
+    "x31_dsir_weights",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(string_split({NORM_DUCK.format(col="text")}, ' ')) AS term
+  FROM documents
+), bt AS (
+  SELECT doc_id, lang, {_fold("term")} % {_DSIR_B} AS b
+  FROM toks
+), raw AS (
+  SELECT b, COUNT(*) AS r_cnt FROM bt GROUP BY b
+), tgt AS (
+  SELECT b, COUNT(*) AS t_cnt FROM bt WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY b
+), tot AS (
+  SELECT (SELECT SUM(r_cnt) FROM raw) AS r_total,
+         (SELECT COALESCE(SUM(t_cnt), 0) FROM tgt) AS t_total
+), lr AS (
+  SELECT raw.b,
+         CAST(ROUND((ln(CAST(COALESCE(t_cnt, 0) + 1 AS DOUBLE)
+                        / (t_total + {_DSIR_B}))
+                     - ln(CAST(r_cnt + 1 AS DOUBLE)
+                          / (r_total + {_DSIR_B}))) * 1e6) AS BIGINT) AS lr_micro
+  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot
+)
+SELECT bt.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(lr.lr_micro) AS BIGINT) AS dsir_micro_sum,
+       CAST(SUM(lr.lr_micro) AS DOUBLE) / (1e6 * COUNT(*)) AS avg_importance
+FROM bt JOIN lr USING (b)
+GROUP BY bt.doc_id
+""",
+    doc="DSIR importance weights: hashed-unigram bucket log-ratio of "
+    f"the {_DSIR_TARGET_LANG!r}-target vs raw distribution (Laplace-"
+    "smoothed), micro-nat BIGINT per-doc sums.",
+)
+def x31_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calaveras_uniteus_etl_spark.functions.hashing import md5_long
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.expr(f"split({NORM_SPARK.format(col='text')}, ' ')")).alias(
+            "term"
+        ),
+    )
+    bt = toks.select("doc_id", "lang", (md5_long("term") % _DSIR_B).alias("b"))
+    raw = bt.groupBy("b").agg(F.count("*").alias("r_cnt"))
+    tgt = (
+        bt.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count("*").alias("t_cnt"))
+    )
+    # two scalar totals (cheap two-stage count jobs, like x25's)
+    r_total = raw.agg(F.sum("r_cnt")).first()[0]
+    t_total = tgt.agg(F.sum("t_cnt")).first()[0] or 0
+    lr = raw.join(tgt, "b", "left").select(
+        "b",
+        F.round(
+            (
+                F.log(
+                    (F.coalesce(F.col("t_cnt"), F.lit(0)) + 1).cast("double")
+                    / F.lit(float(t_total + _DSIR_B))
+                )
+                - F.log(
+                    (F.col("r_cnt") + 1).cast("double")
+                    / F.lit(float(r_total + _DSIR_B))
+                )
+            )
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("lr_micro"),
+    )
+    return (
+        bt.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("lr_micro").cast("bigint").alias("dsir_micro_sum"),
+            (F.sum("lr_micro").cast("double") / (1e6 * F.count("*"))).alias(
+                "avg_importance"
+            ),
+        )
+    )

@@ -82,6 +82,7 @@ def test_dim_joins_broadcast_not_shuffle(spark, name):
         "x29_semdedup_prune",
         "x30_weighted_sample",
         "r6_provider_performance",
+        "x31_dsir_weights",
     ],
 )
 def test_new_queries_have_no_cartesian_product(spark, name):
