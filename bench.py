@@ -84,6 +84,7 @@ HEADLINE = [
     "x30_weighted_sample",
     "r6_provider_performance",
     "x31_dsir_weights",
+    "g3_user_growth",
 ]
 
 

@@ -1596,3 +1596,53 @@ def g2_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# G3 — cumulative distinct-entity growth curve
+#
+# The "total users over time" dashboard line: each user counts once,
+# on the day of their FIRST event, and the curve is the running sum of
+# those daily cohort sizes. Two bounded shuffles (argmin per user,
+# daily rollup), then — like f19 — the running window runs over the
+# aggregated DAY grain, one row per calendar day, so the global
+# ordering is cheap at any data volume. A naive COUNT(DISTINCT user)
+# per day-prefix would rescan events once per day; this shape scans
+# them once, total.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g3_user_growth",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+), daily AS (
+  SELECT strftime(first_ts, '%Y-%m-%d') AS day, COUNT(*) AS new_users
+  FROM firsts GROUP BY day
+)
+SELECT day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_users
+FROM daily
+""",
+    doc="Cumulative distinct-user growth: first-event day per user, "
+    "daily cohort sizes, running total over the day grain — one scan, "
+    "never a per-day distinct rescan.",
+)
+def g3_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    firsts = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+    )
+    daily = firsts.groupBy(to_day("first_ts").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+    )

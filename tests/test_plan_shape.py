@@ -83,6 +83,7 @@ def test_dim_joins_broadcast_not_shuffle(spark, name):
         "x30_weighted_sample",
         "r6_provider_performance",
         "x31_dsir_weights",
+        "g3_user_growth",
     ],
 )
 def test_new_queries_have_no_cartesian_product(spark, name):
