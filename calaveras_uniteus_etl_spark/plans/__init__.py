@@ -93,10 +93,52 @@ _CHECK_PRIORITY = [
     "r4_service_pathways",
 ]
 
+# Queries with a GREEN round-1 driver row. If the driver's cap turns
+# out to be larger than 50, the slots after the priority block should
+# go to never-checked entries first — these greens go last (their
+# evidence already exists).
+_R1_GREEN = [
+    "f2_count_distinct",
+    "f3_topk_group_count",
+    "f6_date_diff_stats",
+    "f7_having_threshold",
+    "f9_monthly_counts",
+    "f10_cohort_retention",
+    "f12_histogram_buckets",
+    "f14_distinct_values",
+    "f14_date_range",
+    "f16_avg_boolean",
+    "f18_percentiles",
+    "x1_dedup_exact",
+    "x1_dedup_exact_survivors",
+    "x2_minhash_lsh_pairs",
+    "x3_simhash",
+    "x3_simhash_pairs",
+    "x4_ngram_jaccard",
+    "x14_neardup_components",
+    "b_clean_normalize",
+    "b5_phi_hash",
+    "d2_multi_facet_filter",
+    "d3_demographics_gate",
+    "d4_null_sentinel_filter",
+    "d5_like_search",
+    "d6_pagination",
+    "d7_dynamic_sort",
+    "e1_inner_join_agg",
+    "e4_multi_distinct_funnel",
+    "e5_range_predicate_join",
+]
+
 
 def _reorder_registry() -> None:
     ordered = {n: REGISTRY[n] for n in _CHECK_PRIORITY if n in REGISTRY}
-    ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)
+    # middle block: everything with no driver row yet, registration order
+    ordered.update(
+        (n, s)
+        for n, s in REGISTRY.items()
+        if n not in ordered and n not in _R1_GREEN
+    )
+    ordered.update((n, REGISTRY[n]) for n in _R1_GREEN if n in REGISTRY)
     REGISTRY.clear()
     REGISTRY.update(ordered)
 
