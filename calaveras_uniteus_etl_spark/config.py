@@ -82,21 +82,66 @@ REQUIRED_FIELDS: dict[str, list[str]] = {
 class PHIConfig:
     enabled: bool = True
     salt: str = "calaveras-spark-salt"
+    # Mirrors the reference's fields_to_hash registry verbatim
+    # (core/config.py:162-223). Ids hash too — the hash is
+    # deterministic, so joins/upserts still line up across tables.
+    # Fields absent from a given file are skipped (same guard as
+    # the reference's hash_dataframe_fields).
     fields: dict[str, tuple[str, ...]] = field(
         default_factory=lambda: {
             "people": (
+                "person_id",
                 "first_name",
                 "middle_name",
                 "last_name",
                 "preferred_name",
-                "ssn",
+                "person_email_address",
+                "person_phone_number",
+                "current_person_address_line1",
+                "current_person_address_line2",
                 "medicaid_id",
                 "medicare_id",
+                "person_external_id",
+            ),
+            "cases": ("case_id", "person_id", "case_external_id"),
+            "referrals": (
+                "referral_id",
+                "case_id",
+                "person_id",
+                "referral_created_by_id",
+                "referral_external_id",
+            ),
+            "employees": (
+                "employee_id",
+                "first_name",
+                "last_name",
+                "email",
+                "phone_number",
+                "employee_external_id",
             ),
             "assistance_requests": (
+                "assistance_request_id",
+                "person_id",
+                "case_id",
                 "person_first_name",
                 "person_last_name",
-                "person_ssn",
+                "person_date_of_birth",
+                "person_middle_name",
+                "person_preferred_name",
+                "person_email_address",
+                "person_phone_number",
+                "address_line_1",
+                "address_line_2",
+            ),
+            "assistance_requests_supplemental_responses": (
+                "ar_supplemental_response_id",
+                "assistance_request_id",
+            ),
+            "resource_lists": ("resource_list_id",),
+            "resource_list_shares": (
+                "share_id",
+                "resource_list_id",
+                "person_id",
             ),
         }
     )

@@ -145,16 +145,21 @@ def test_phi_hashing_applied(tmp_path, spark, input_dir):
     cfg = _cfg(tmp_path, phi_enabled=True)
     ingest(spark, cfg)
     wh = Warehouse(spark, cfg.warehouse_dir)
-    row = wh.read("people").filter(F.col("person_id") == "p1").collect()[0]
+    salt = cfg.phi.salt
+
+    def h(value: str) -> str:
+        return (
+            spark.createDataFrame([(value,)], "v string")
+            .select(salted_sha256("v", salt).alias("h"))
+            .collect()[0]["h"]
+        )
+
+    # ids hash too (reference fields_to_hash includes person_id) — the
+    # hash is deterministic, so the row stays addressable by hashed key
+    row = wh.read("people").filter(F.col("person_id") == h("p1")).collect()[0]
     # sha256 hexdigest format, deterministic, not the cleartext
     assert row["first_name"] != "John" and len(row["first_name"]) == 64
-    salt = cfg.phi.salt
-    expected = (
-        spark.createDataFrame([("John",)], "v string")
-        .select(salted_sha256("v", salt).alias("h"))
-        .collect()[0]["h"]
-    )
-    assert row["first_name"] == expected
+    assert row["first_name"] == h("John")
     # gender is not a PHI field
     assert row["gender"] == "male"
 
