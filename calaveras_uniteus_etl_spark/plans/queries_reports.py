@@ -386,3 +386,45 @@ def r6_provider_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# R7 — demographic-correlation matrix shape: fact LEFT JOIN dimension,
+# two-dimensional GROUP BY, COUNT(DISTINCT fact-id) per cell
+# (core/app.py:4621-4712 age/gender-by-service, race-by-outcome).
+# The grouping keys are low-cardinality, so the matrix itself is tiny;
+# the only shuffle that scales with data is the join on the customer
+# key, which AQE plans (no broadcast hint: the customer dimension
+# scales with SF in TPC-H, unlike nation/region).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "r7_correlation_matrix",
+    oracle="""
+SELECT o_orderpriority AS service,
+       COALESCE(c_mktsegment, 'Unknown') AS segment,
+       COUNT(DISTINCT o_orderkey) AS case_count
+FROM orders LEFT JOIN customer ON c_custkey = o_custkey
+GROUP BY service, segment
+ORDER BY service, segment
+""",
+    doc="Correlation-matrix shape: fact LEFT JOIN dimension, two-dim "
+    "GROUP BY with COUNT(DISTINCT fact-id), NULL dimension → "
+    "'Unknown' (demographic-correlations endpoint, "
+    "core/app.py:4621-4712).",
+)
+def r7_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "left")
+        .groupBy(
+            F.col("o_orderpriority").alias("service"),
+            F.coalesce(F.col("c_mktsegment"), F.lit("Unknown")).alias(
+                "segment"
+            ),
+        )
+        .agg(F.countDistinct("o_orderkey").alias("case_count"))
+        .orderBy("service", "segment")
+    )

@@ -23,6 +23,8 @@ from calaveras_uniteus_etl_spark.functions.datetime_ext import (
 )
 from calaveras_uniteus_etl_spark.reports.filters import (
     ReportFilters,
+    apply_date_range,
+    apply_facets,
     apply_report_filters,
     demographics_base,
 )
@@ -547,6 +549,342 @@ def high_risk_drop_off(
         )
         .filter(F.col("total_referrals") >= min_total)
         .orderBy(F.desc("drop_off_rate"), F.desc("total_referrals"), "service_type")
+        .limit(n)
+    )
+
+
+# --- top sending / receiving providers (core/app.py:2693-2757) ---------------
+
+
+def top_providers(
+    referrals: DataFrame, direction: str = "sending", n: int = 10,
+    f: ReportFilters = ReportFilters(),
+) -> DataFrame:
+    """Top-n providers by referral volume, from either end of the edge
+    (the reference exposes two endpoints; one parameter here)."""
+    col = {"sending": "sending_provider_name",
+           "receiving": "receiving_provider_name"}[direction]
+    return (
+        apply_report_filters(referrals, "referrals", f)
+        .filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("provider"))
+        .agg(F.count("*").alias("count"))
+        .orderBy(F.desc("count"), "provider")
+        .limit(n)
+    )
+
+
+# --- top programs with acceptance rates (core/app.py:2813-2852) --------------
+
+
+def top_programs(
+    referrals: DataFrame, n: int = 15, f: ReportFilters = ReportFilters()
+) -> DataFrame:
+    accepted = F.sum(
+        F.when(F.col("referral_status") == "accepted", 1).otherwise(0)
+    )
+    total = F.count("*")
+    return (
+        apply_report_filters(referrals, "referrals", f)
+        .filter(F.col("receiving_program_name").isNotNull())
+        .groupBy(F.col("receiving_program_name").alias("program_name"))
+        .agg(
+            total.alias("total_referrals"),
+            accepted.alias("accepted_referrals"),
+            F.round(
+                accepted * 100.0 / F.nullif(total, F.lit(0)), 1
+            ).alias("acceptance_rate"),
+        )
+        .orderBy(F.desc("total_referrals"), "program_name")
+        .limit(n)
+    )
+
+
+# --- veteran / military services (core/app.py:3287-3341) ---------------------
+
+
+def veteran_services(
+    ar: DataFrame, dimension: str = "affiliation",
+    f: ReportFilters = ReportFilters(),
+) -> DataFrame:
+    """Assistance-request counts by military affiliation or branch;
+    blank strings excluded like the reference's ``!= ''`` guard."""
+    col = {"affiliation": "mil_affiliation", "branch": "mil_branch"}[dimension]
+    return (
+        apply_report_filters(ar, "assistance_requests", f)
+        .filter(F.col(col).isNotNull() & (F.col(col) != ""))
+        .groupBy(F.col(col).alias(dimension))
+        .agg(F.count("*").alias("count"))
+        .orderBy(F.desc("count"), dimension)
+    )
+
+
+# --- service subtype breakdown (core/app.py:3487-3527) -----------------------
+
+
+def service_subtypes(
+    cases: DataFrame, n: int = 25, f: ReportFilters = ReportFilters()
+) -> DataFrame:
+    return (
+        apply_report_filters(cases, "cases", f)
+        .filter(
+            F.col("service_type").isNotNull()
+            & F.col("service_subtype").isNotNull()
+        )
+        .groupBy("service_type", "service_subtype")
+        .agg(F.count("*").alias("count"))
+        .orderBy(F.desc("count"), "service_type", "service_subtype")
+        .limit(n)
+    )
+
+
+# --- outcome metrics (core/app.py:4062-4129) ---------------------------------
+# This endpoint family date-filters on case_created_at (not the
+# case_updated_at the shared filter map uses), so the range is applied
+# directly here.
+
+
+def _outcome_base(cases: DataFrame, f: ReportFilters) -> DataFrame:
+    base = cases.filter(F.col("case_created_at").isNotNull())
+    if f.has_date:
+        base = apply_date_range(base, "case_created_at", f)
+    return apply_facets(base, f, "cases")
+
+
+def outcome_distribution(
+    cases: DataFrame, f: ReportFilters = ReportFilters()
+) -> DataFrame:
+    """Unlike case_outcomes (which drops NULLs), this surfaces
+    unrecorded outcomes as a 'Not Recorded' row."""
+    return (
+        _outcome_base(cases, f)
+        .groupBy(
+            F.coalesce(F.col("outcome"), F.lit("Not Recorded")).alias(
+                "resolution_type"
+            )
+        )
+        .agg(F.count("*").alias("count"))
+        .orderBy(F.desc("count"), "resolution_type")
+    )
+
+
+def time_to_resolution(
+    cases: DataFrame, n: int = 10, f: ReportFilters = ReportFilters()
+) -> DataFrame:
+    gap = julian_day_diff("case_closed_at", "case_created_at")
+    return (
+        _outcome_base(cases, f)
+        .filter(
+            F.col("case_closed_at").isNotNull()
+            & F.col("service_type").isNotNull()
+        )
+        .groupBy("service_type")
+        .agg(
+            F.round(F.sum(gap) / F.count("*"), 1).alias("avg_days_to_close"),
+            F.count("*").alias("closed_count"),
+        )
+        .orderBy(F.desc("closed_count"), "service_type")
+        .limit(n)
+    )
+
+
+# --- client risk factors: housing impact (core/app.py:4394-4427) -------------
+
+
+def housing_impact(
+    cases: DataFrame, ar: DataFrame, n: int = 10,
+    f: ReportFilters = ReportFilters(),
+) -> DataFrame:
+    """Case volume and resolution speed per housing status. LEFT JOIN
+    keeps cases with no assistance request ('Not Specified'); the AVG
+    only sees closed cases (CASE WHEN gives NULL otherwise)."""
+    gap = julian_day_diff("case_closed_at", "case_created_at")
+    closed_gap = F.when(F.col("case_closed_at").isNotNull(), gap)
+    return (
+        _outcome_base(cases, f)
+        .join(
+            ar.select("case_id", "housing_current_status"), "case_id", "left"
+        )
+        .groupBy(
+            F.coalesce(
+                F.col("housing_current_status"), F.lit(NOT_SPECIFIED)
+            ).alias("housing_status")
+        )
+        .agg(
+            F.countDistinct("case_id").alias("case_count"),
+            F.round(F.avg(closed_gap), 1).alias("avg_resolution_days"),
+        )
+        .orderBy(F.desc("case_count"), "housing_status")
+        .limit(n)
+    )
+
+
+# --- demographic correlations (core/app.py:4621-4712) ------------------------
+
+_CORR_AGE_BUCKETS = ((0, 17, "Under 18"), (18, 24, "18-24"), (25, 34, "25-34"),
+                     (35, 44, "35-44"), (45, 54, "45-54"), (55, 64, "55-64"))
+
+
+def demographic_correlation(
+    cases: DataFrame, people: DataFrame, dimension: str, as_of: str = "",
+    f: ReportFilters = ReportFilters(),
+) -> DataFrame:
+    """Two-dimensional COUNT(DISTINCT case_id) matrices: service×age,
+    service×gender, or race×status. cases LEFT JOIN people keeps cases
+    whose person is missing (→ 'Unknown' demographic)."""
+    base = _outcome_base(cases, f)
+    if dimension == "age_by_service":
+        age = F.floor(
+            (F.lit(as_of).cast("timestamp").cast("double")
+             - F.col("date_of_birth").cast("timestamp").cast("double"))
+            / F.lit(86400.0 * 365.25)
+        )
+        bucket = F.when(age.isNull(), "Unknown").otherwise(F.lit("65+"))
+        for lo, hi, label in reversed(_CORR_AGE_BUCKETS):
+            bucket = F.when((age >= lo) & (age <= hi), label).otherwise(bucket)
+        joined = base.filter(F.col("service_type").isNotNull()).join(
+            people.select("person_id", "date_of_birth"), "person_id", "left"
+        )
+        keys = [F.col("service_type").alias("service"),
+                bucket.alias("age_group")]
+        order = ["service", "age_group"]
+    elif dimension == "gender_by_service":
+        joined = base.filter(F.col("service_type").isNotNull()).join(
+            people.select("person_id", "gender"), "person_id", "left"
+        )
+        keys = [F.col("service_type").alias("service"),
+                F.coalesce("gender", F.lit("Unknown")).alias("gender")]
+        order = ["service", "gender"]
+    elif dimension == "race_by_outcome":
+        joined = base.filter(F.col("case_status").isNotNull()).join(
+            people.select("person_id", "race"), "person_id", "left"
+        )
+        keys = [F.coalesce("race", F.lit("Unknown")).alias("race"),
+                F.col("case_status").alias("status")]
+        order = ["race", "status"]
+    else:
+        raise ValueError(f"unknown dimension: {dimension}")
+    return (
+        joined.groupBy(*keys)
+        .agg(F.countDistinct("case_id").alias("case_count"))
+        .orderBy(*order)
+    )
+
+
+# --- geographic distribution (core/app.py:4132-4211) -------------------------
+
+_GEO_LEVELS = {
+    "city": ("city", 15, True),
+    "county": ("county", 10, False),
+    "zip": ("postal_code", 15, False),
+}
+
+
+def geographic_distribution(
+    cases: DataFrame, people: DataFrame, level: str = "city",
+    f: ReportFilters = ReportFilters(),
+) -> DataFrame:
+    """COUNT(DISTINCT case_id) per city/county/zip; the city level also
+    counts distinct clients. cases LEFT JOIN people keeps cases whose
+    person is missing (→ 'Unknown'), matching the reference's COALESCE."""
+    col, n, with_clients = _GEO_LEVELS[level]
+    aggs = [F.countDistinct("case_id").alias("case_count")]
+    if with_clients:
+        aggs.append(F.countDistinct(cases.person_id).alias("client_count"))
+    return (
+        _outcome_base(cases, f)
+        .join(
+            people.select("person_id", F.col(col).alias("geo")),
+            "person_id", "left",
+        )
+        .groupBy(F.coalesce(F.col("geo"), F.lit("Unknown")).alias(level))
+        .agg(*aggs)
+        .orderBy(F.desc("case_count"), level)
+        .limit(n)
+    )
+
+
+# --- provider performance metrics (core/app.py:4289-4347) --------------------
+
+
+def provider_performance_metrics(
+    referrals: DataFrame, provider_type: str = "receiving",
+    min_referrals: int = 3, n: int = 15, f: ReportFilters = ReportFilters(),
+) -> DataFrame:
+    """Acceptance/completion rates + avg accepted-response days per
+    provider (either edge end), HAVING total >= 3."""
+    col = {"receiving": "receiving_provider_name",
+           "sending": "sending_provider_name"}[provider_type]
+    total = F.count("*")
+    accepted = F.sum(
+        F.when(F.col("referral_status") == "accepted", 1).otherwise(0)
+    )
+    completed = F.sum(
+        F.when(
+            F.col("referral_status").isin("completed", "closed"), 1
+        ).otherwise(0)
+    )
+    response = F.when(
+        F.col("accepted_at").isNotNull(),
+        julian_day_diff("accepted_at", "referral_created_at"),
+    )
+    return (
+        apply_report_filters(referrals, "referrals", f)
+        .filter(
+            F.col("referral_created_at").isNotNull() & F.col(col).isNotNull()
+        )
+        .groupBy(F.col(col).alias("provider_name"))
+        .agg(
+            total.alias("total_referrals"),
+            F.round(accepted * 100.0 / total, 1).alias("acceptance_rate"),
+            F.round(completed * 100.0 / total, 1).alias("completion_rate"),
+            F.round(F.avg(response), 1).alias("avg_response_days"),
+        )
+        .filter(F.col("total_referrals") >= min_referrals)
+        .orderBy(F.desc("total_referrals"), "provider_name")
+        .limit(n)
+    )
+
+
+# --- referral network (core/app.py:4481-4538) --------------------------------
+
+
+def referral_network(
+    referrals: DataFrame, min_referrals: int = 3, n: int = 50,
+    f: ReportFilters = ReportFilters(),
+) -> DataFrame:
+    """Provider-collaboration edges plus distinct-client counts and an
+    acceptance rate per edge (richer sibling of
+    ``provider_network_edges``); self-edges excluded."""
+    return (
+        apply_report_filters(referrals, "referrals", f)
+        .filter(
+            F.col("referral_created_at").isNotNull()
+            & F.col("sending_provider_name").isNotNull()
+            & F.col("receiving_provider_name").isNotNull()
+            & (F.col("sending_provider_name")
+               != F.col("receiving_provider_name"))
+        )
+        .groupBy(
+            F.col("sending_provider_name").alias("source"),
+            F.col("receiving_provider_name").alias("target"),
+        )
+        .agg(
+            F.count("*").alias("referral_count"),
+            F.countDistinct("person_id").alias("unique_clients"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("referral_status").isin("accepted", "completed"),
+                        1.0,
+                    ).otherwise(0.0)
+                )
+                * 100,
+                1,
+            ).alias("acceptance_rate"),
+        )
+        .filter(F.col("referral_count") >= min_referrals)
+        .orderBy(F.desc("referral_count"), "source", "target")
         .limit(n)
     )
 

@@ -149,6 +149,8 @@ ASSISTANCE_REQUESTS = _t(
     ("household_size", _L),
     ("mil_is_veteran", _B),
     ("mil_active_duty", _B),
+    ("mil_affiliation", _S),
+    ("mil_branch", _S),
     ("mil_service_start_date", _DT),
     ("city", _S),
     ("county", _S),

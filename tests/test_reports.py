@@ -23,63 +23,72 @@ AS_OF = "2026-01-01 00:00:00"
 def fixture_tables(spark):
     people = spark.createDataFrame(
         [
-            ("p1", "Ann", "Ayes", "1990-06-15 00:00:00", "female", "450",
-             1, "Angels Camp", "Calaveras", "CA"),
-            ("p2", "Bob", "Bee", "1950-01-01 00:00:00", "male", "abc",
-             4, "San Andreas", "Calaveras", "CA"),
-            ("p3", "Cal", "Cee", None, None, "3000", None, None, None, None),
-            ("p4", "Dee", "Dye", "2010-03-03 00:00:00", "female", None,
-             7, "Angels Camp", "Calaveras", "CA"),
+            ("p1", "Ann", "Ayes", "1990-06-15 00:00:00", "female", "white",
+             "450", 1, "Angels Camp", "Calaveras", "CA"),
+            ("p2", "Bob", "Bee", "1950-01-01 00:00:00", "male", None,
+             "abc", 4, "San Andreas", "Calaveras", "CA"),
+            ("p3", "Cal", "Cee", None, None, "asian", "3000", None, None,
+             None, None),
+            ("p4", "Dee", "Dye", "2010-03-03 00:00:00", "female", "white",
+             None, 7, "Angels Camp", "Calaveras", "CA"),
         ],
         "person_id string, first_name string, last_name string, "
-        "date_of_birth string, gender string, gross_monthly_income string, "
+        "date_of_birth string, gender string, race string, "
+        "gross_monthly_income string, "
         "household_size long, city string, county string, state string",
     )
     cases = spark.createDataFrame(
         [
-            ("c1", "p1", "open", "Housing", "ProvA", "w1",
+            ("c1", "p1", "open", "Housing", "Rent Assistance", "ProvA", "w1",
              "2025-11-01 00:00:00", "2025-12-20 00:00:00", None, None),
-            ("c2", "p1", "closed", "Food", "ProvA", "w1",
+            ("c2", "p1", "closed", "Food", "Food Pantry", "ProvA", "w1",
              "2025-06-01 00:00:00", "2025-06-11 12:00:00", "2025-06-11 12:00:00",
              "resolved"),
-            ("c3", "p2", "open", "Housing", "ProvB", "w2",
+            ("c3", "p2", "open", "Housing", "Rent Assistance", "ProvB", "w2",
              "2025-12-15 00:00:00", "2025-12-16 00:00:00", None, None),
-            ("c4", "p3", "resolved", None, "ProvB", None,
+            ("c4", "p3", "resolved", None, None, "ProvB", None,
              "2025-03-01 00:00:00", "2025-03-31 00:00:00", "2025-03-31 00:00:00",
              "unresolved"),
         ],
         "case_id string, person_id string, case_status string, "
-        "service_type string, provider_name string, primary_worker_id string, "
+        "service_type string, service_subtype string, provider_name string, "
+        "primary_worker_id string, "
         "case_created_at string, case_updated_at string, case_closed_at string, "
         "outcome string",
     )
     referrals = spark.createDataFrame(
         [
-            ("r1", "p1", "c1", "accepted", "ProvA", "ProvB", "Housing",
+            ("r1", "p1", "c1", "accepted", "ProvA", "ProvB", "ProgX",
+             "Housing",
              "2025-12-01 00:00:00", "2025-12-01 00:00:00",
              "2025-12-02 00:00:00", "2025-12-03 00:00:00"),
-            ("r2", "p2", "c3", "declined", "ProvA", "ProvB", "Food",
+            ("r2", "p2", "c3", "declined", "ProvA", "ProvB", "ProgX", "Food",
              "2025-12-15 00:00:00", "2025-12-15 00:00:00", None, None),
-            ("r3", "p3", "c4", "accepted", "ProvB", "ProvA", "Housing",
+            ("r3", "p3", "c4", "accepted", "ProvB", "ProvA", "ProgY",
+             "Housing",
              "2025-03-02 00:00:00", "2025-03-02 00:00:00",
              "2025-03-04 00:00:00", None),
-            ("r4", "p1", "c1", "pending", "ProvA", "ProvA", "Housing",
+            ("r4", "p1", "c1", "pending", "ProvA", "ProvA", None, "Housing",
              "2025-12-05 00:00:00", None, None, None),
         ],
         "referral_id string, person_id string, case_id string, "
         "referral_status string, sending_provider_name string, "
-        "receiving_provider_name string, service_type string, "
+        "receiving_provider_name string, receiving_program_name string, "
+        "service_type string, "
         "referral_created_at string, sent_at string, accepted_at string, "
         "completed_at string",
     )
     ar = spark.createDataFrame(
         [
-            ("a1", "c1", "p1", "housed", "2025-12-01 00:00:00"),
-            ("a2", "c2", "p1", "at-risk", "2025-06-05 00:00:00"),
-            ("a3", "c3", "p2", "unhoused", "2025-12-16 00:00:00"),
+            ("a1", "c1", "p1", "housed", "veteran", "army",
+             "2025-12-01 00:00:00"),
+            ("a2", "c2", "p1", "at-risk", "", None, "2025-06-05 00:00:00"),
+            ("a3", "c3", "p2", "unhoused", "family_member", "navy",
+             "2025-12-16 00:00:00"),
         ],
         "ar_id string, case_id string, person_id string, "
-        "housing_current_status string, updated_at string",
+        "housing_current_status string, mil_affiliation string, "
+        "mil_branch string, updated_at string",
     )
     employees = spark.createDataFrame(
         [
@@ -301,3 +310,128 @@ def test_employee_workload(spark, fixture_tables):
     # the reference's active list (active/managed/processed) → 0
     assert got == [("Wyn One", "ProvA", 0, 2, 1, 50.0),
                    ("Wes Two", "ProvB", 0, 1, 0, 0.0)]
+
+
+def test_top_providers(spark, fixture_tables):
+    r = fixture_tables["referrals"]
+    sending = [(x["provider"], x["count"])
+               for x in H.top_providers(r, "sending").collect()]
+    assert sending == [("ProvA", 3), ("ProvB", 1)]
+    # receiving ties 2-2 → name ascending breaks it
+    receiving = [(x["provider"], x["count"])
+                 for x in H.top_providers(r, "receiving").collect()]
+    assert receiving == [("ProvA", 2), ("ProvB", 2)]
+
+
+def test_top_programs(spark, fixture_tables):
+    rows = H.top_programs(fixture_tables["referrals"]).collect()
+    got = [(r["program_name"], r["total_referrals"], r["accepted_referrals"],
+            r["acceptance_rate"]) for r in rows]
+    # r4 has no program → excluded from the denominator entirely
+    assert got == [("ProgX", 2, 1, 50.0), ("ProgY", 1, 1, 100.0)]
+
+
+def test_veteran_services(spark, fixture_tables):
+    ar = fixture_tables["ar"]
+    aff = [(r["affiliation"], r["count"])
+           for r in H.veteran_services(ar, "affiliation").collect()]
+    # a2's blank affiliation is excluded like the reference's != ''
+    assert aff == [("family_member", 1), ("veteran", 1)]
+    br = [(r["branch"], r["count"])
+          for r in H.veteran_services(ar, "branch").collect()]
+    assert br == [("army", 1), ("navy", 1)]
+
+
+def test_service_subtypes(spark, fixture_tables):
+    rows = H.service_subtypes(fixture_tables["cases"]).collect()
+    got = [(r["service_type"], r["service_subtype"], r["count"])
+           for r in rows]
+    assert got == [("Housing", "Rent Assistance", 2), ("Food", "Food Pantry", 1)]
+
+
+def test_outcome_distribution(spark, fixture_tables):
+    rows = H.outcome_distribution(fixture_tables["cases"]).collect()
+    got = {r["resolution_type"]: r["count"] for r in rows}
+    # NULL outcomes surface as 'Not Recorded' (unlike case_outcomes)
+    assert got == {"Not Recorded": 2, "resolved": 1, "unresolved": 1}
+
+
+def test_time_to_resolution(spark, fixture_tables):
+    rows = H.time_to_resolution(fixture_tables["cases"]).collect()
+    # c4 closed but service_type NULL → excluded; only c2 (Food) remains
+    assert [(r["service_type"], r["avg_days_to_close"], r["closed_count"])
+            for r in rows] == [("Food", 10.5, 1)]
+
+
+def test_housing_impact(spark, fixture_tables):
+    rows = H.housing_impact(
+        fixture_tables["cases"], fixture_tables["ar"]
+    ).collect()
+    got = {r["housing_status"]: (r["case_count"], r["avg_resolution_days"])
+           for r in rows}
+    assert got == {
+        "housed": (1, None),        # c1 open → no resolution average
+        "at-risk": (1, 10.5),       # c2 closed after 10.5 days
+        "unhoused": (1, None),      # c3 open
+        "Not Specified": (1, 30.0), # c4 has no assistance request
+    }
+
+
+def test_demographic_correlation(spark, fixture_tables):
+    t = fixture_tables
+    gender = [(r["service"], r["gender"], r["case_count"])
+              for r in H.demographic_correlation(
+                  t["cases"], t["people"], "gender_by_service").collect()]
+    assert gender == [("Food", "female", 1), ("Housing", "female", 1),
+                      ("Housing", "male", 1)]
+    age = [(r["service"], r["age_group"], r["case_count"])
+           for r in H.demographic_correlation(
+               t["cases"], t["people"], "age_by_service", as_of=AS_OF
+           ).collect()]
+    assert age == [("Food", "35-44", 1), ("Housing", "35-44", 1),
+                   ("Housing", "65+", 1)]
+    race = [(r["race"], r["status"], r["case_count"])
+            for r in H.demographic_correlation(
+                t["cases"], t["people"], "race_by_outcome").collect()]
+    assert race == [("Unknown", "open", 1), ("asian", "resolved", 1),
+                    ("white", "closed", 1), ("white", "open", 1)]
+    with pytest.raises(ValueError):
+        H.demographic_correlation(t["cases"], t["people"], "nope")
+
+
+def test_geographic_distribution(spark, fixture_tables):
+    t = fixture_tables
+    city = [(r["city"], r["case_count"], r["client_count"])
+            for r in H.geographic_distribution(
+                t["cases"], t["people"], "city").collect()]
+    # p3 has no city → Unknown; p1 two cases, one client
+    assert city == [("Angels Camp", 2, 1), ("San Andreas", 1, 1),
+                    ("Unknown", 1, 1)]
+    county = [(r["county"], r["case_count"])
+              for r in H.geographic_distribution(
+                  t["cases"], t["people"], "county").collect()]
+    assert county == [("Calaveras", 3), ("Unknown", 1)]
+
+
+def test_provider_performance_metrics(spark, fixture_tables):
+    r = fixture_tables["referrals"]
+    rows = H.provider_performance_metrics(r, "sending", min_referrals=1).collect()
+    got = [(x["provider_name"], x["total_referrals"], x["acceptance_rate"],
+            x["completion_rate"], x["avg_response_days"]) for x in rows]
+    # ProvA sends r1 (accepted, 1 day to accept), r2 (declined),
+    # r4 (pending); ProvB sends r3 (accepted, 2 days)
+    assert got == [("ProvA", 3, 33.3, 0.0, 1.0), ("ProvB", 1, 100.0, 0.0, 2.0)]
+    # default HAVING >= 3 drops ProvB
+    kept = [x["provider_name"]
+            for x in H.provider_performance_metrics(r, "sending").collect()]
+    assert kept == ["ProvA"]
+
+
+def test_referral_network(spark, fixture_tables):
+    rows = H.referral_network(
+        fixture_tables["referrals"], min_referrals=1).collect()
+    got = [(x["source"], x["target"], x["referral_count"],
+            x["unique_clients"], x["acceptance_rate"]) for x in rows]
+    # r4 is a self-edge (ProvA→ProvA) → excluded
+    assert got == [("ProvA", "ProvB", 2, 2, 50.0),
+                   ("ProvB", "ProvA", 1, 1, 100.0)]
