@@ -85,6 +85,7 @@ HEADLINE = [
     "r6_provider_performance",
     "x31_dsir_weights",
     "g3_user_growth",
+    "x32_dup_span_stats",
 ]
 
 

@@ -600,3 +600,107 @@ def x26_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(err).cast("double") / (1e6 * F.count("*"))).alias("mean_abs_err"),
         (F.max(err).cast("double") / 1e6).alias("max_abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X32 — duplicated-span boilerplate profile (exact-substring dedup)
+#
+# Corpus-internal exact-substring duplication at word-span granularity:
+# the profile a pipeline computes before trimming spans that repeat
+# verbatim across documents (boilerplate headers, licence blocks,
+# templated text). Distinct from X4 (pairwise document similarity) and
+# X18 (overlap against an *external* test set): here the unit is the
+# span itself and the signal is its corpus-wide document frequency.
+#
+# Scale shape: spans are hashed to 60-bit digests inside the projection
+# (the shuffle never carries span text); document frequency is one
+# groupBy on the digest; the flag joins back on the same digest key so
+# AQE can reuse the exchange; the final per-doc rollup shuffles
+# (doc_id, two counters). No self-join anywhere — cost is linear in
+# total span count, which is linear in corpus words.
+# ---------------------------------------------------------------------------
+
+SPAN_WORDS = 8
+SPAN_MIN_DOCS = 2  # a span in >= this many distinct docs is boilerplate
+
+
+def _span_digests_expr() -> str:
+    """Spark expr: array of 60-bit digests of positional 8-word spans."""
+    n = SPAN_WORDS
+    gram = "concat(" + ", ' ', ".join(f"w[i+{j}]" for j in range(n)) + ")"
+    return (
+        f"case when size(w) >= {n} then "
+        f"transform(sequence(0, size(w)-{n}), i -> "
+        f"cast(conv(substr(md5(concat('sp:', {gram})), 1, 15), 16, 10) as bigint)) "
+        "else array() end"
+    )
+
+
+def _duck_span_digests_sql() -> str:
+    """DuckDB twin of :func:`_span_digests_expr` (1-based lists)."""
+    from calaveras_uniteus_etl_spark.functions.hashing import duckdb_md5_long_sql
+
+    n = SPAN_WORDS
+    gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    fold = duckdb_md5_long_sql(f"'sp:' || {gram}")
+    return (
+        f"CASE WHEN len(w) >= {n} THEN "
+        f"list_transform(range(1, len(w) - {n - 2}), i -> {fold}) "
+        "ELSE [] END"
+    )
+
+
+@register(
+    "x32_dup_span_stats",
+    oracle=rf"""
+WITH base AS (
+  SELECT doc_id, {dd.NORM_DUCK.format(col='text')} AS norm FROM documents
+), words AS (
+  SELECT doc_id, string_split(norm, ' ') AS w FROM base
+), ex AS (
+  SELECT doc_id, unnest({_duck_span_digests_sql()}) AS g FROM words
+), freq AS (
+  SELECT g, COUNT(DISTINCT doc_id) AS ddf FROM ex GROUP BY g
+), per AS (
+  SELECT ex.doc_id,
+         COUNT(*) AS n_spans,
+         SUM(CASE WHEN ddf >= {SPAN_MIN_DOCS} THEN 1 ELSE 0 END) AS n_dup
+  FROM ex JOIN freq USING (g)
+  GROUP BY ex.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup_spans,
+       CASE WHEN COALESCE(n_spans, 0) = 0 THEN 0.0
+            ELSE ROUND(n_dup * 1.0 / n_spans, 6) END AS dup_ratio
+FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+""",
+    doc="Exact-substring duplication profile: positional 8-word spans "
+    "hashed to 60-bit digests, corpus-wide document frequency per "
+    "span, per-document duplicated-span counts and ratio (the "
+    "boilerplate-trim signal; Lee et al. 2021 'Deduplicating Training "
+    "Data', span-granular approximation).",
+)
+def x32_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = dd.with_shingles(_docs_wide(spark, sf_dir))
+    ex = d.select("doc_id", F.explode(F.expr(_span_digests_expr())).alias("g"))
+    freq = ex.groupBy("g").agg(F.countDistinct("doc_id").alias("ddf"))
+    per = (
+        ex.join(freq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(
+                F.when(F.col("ddf") >= SPAN_MIN_DOCS, 1).otherwise(0)
+            ).alias("n_dup"),
+        )
+    )
+    spine = table(spark, sf_dir, "documents").select("doc_id")
+    return spine.join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.when(F.coalesce("n_spans", F.lit(0)) == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("n_dup") / F.col("n_spans"), 6))
+        .alias("dup_ratio"),
+    )
