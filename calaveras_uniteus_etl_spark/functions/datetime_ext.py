@@ -14,6 +14,25 @@ from pyspark.sql import functions as F
 
 SECONDS_PER_DAY = 86400.0
 
+# SQL fragment for the tz-free epoch origin, usable inside F.expr().
+NTZ_EPOCH_SQL = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def epoch_us(ts: Column | str) -> Column:
+    """Microseconds since 1970-01-01 00:00:00, timezone-free.
+
+    ``F.unix_micros`` only accepts TIMESTAMP (session-tz) input, so it
+    rejects the TIMESTAMP_NTZ columns parquet scans produce and its
+    value would shift with the session timezone. This computes the
+    offset against an NTZ epoch literal instead — identical to DuckDB's
+    ``epoch_us`` over naive timestamps on any session timezone, and
+    valid for TIMESTAMP, TIMESTAMP_NTZ, and DATE inputs alike.
+    """
+    c = F.col(ts) if isinstance(ts, str) else ts
+    return F.timestamp_diff(
+        "MICROSECOND", F.expr(NTZ_EPOCH_SQL), c.cast("timestamp_ntz")
+    )
+
 
 def sqlite_week(ts: Column | str) -> Column:
     """``strftime('%Y-W%W', ts)`` parity (C/SQLite semantics).

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from calaveras_uniteus_etl_spark.functions.datetime_ext import (
+    epoch_us,
     julian_day_diff,
     sqlite_week,
     to_day,
@@ -1089,7 +1090,7 @@ def g1_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "ts", "event_id")
         .withColumn(
             "gap_us",
-            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w),
+            epoch_us("ts") - F.lag(epoch_us("ts")).over(w),
         )
     )
     return gaps.agg(
@@ -1280,7 +1281,13 @@ def m3_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 1024).alias("uid"),
         # integer div, never a double->int cast (DuckDB rounds, Spark
         # truncates — `div` and `//` are both true floor-toward-zero)
-        (F.expr("unix_micros(ts) div 86400000000") % 1024).alias("day"),
+        (
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+                " cast(ts as timestamp_ntz)) div 86400000000"
+            )
+            % 1024
+        ).alias("day"),
     )
     keyed = e.select(_spark_morton("uid", "day").alias("zkey"))
     return (
@@ -1495,7 +1502,12 @@ FROM s
 def f26_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         table(spark, sf_dir, "events")
-        .groupBy(F.expr("unix_micros(ts) div 86400000000").alias("day_idx"))
+        .groupBy(
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+                " cast(ts as timestamp_ntz)) div 86400000000"
+            ).alias("day_idx")
+        )
         .agg(F.count("*").alias("cnt"))
     )
     s = daily.agg(
@@ -1577,7 +1589,7 @@ def g2_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = table(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.unix_micros("ts").alias("t")
+        "user_id", "event_id", epoch_us("ts").alias("t")
     )
     numbered = assign_sessions(e, "user_id", "t", "event_id", _G2_GAP_US)
     sessions = session_rollup(numbered, "user_id", "t")

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from calaveras_uniteus_etl_spark.functions.datetime_ext import epoch_us
 from calaveras_uniteus_etl_spark.functions.hashing import salted_sha256
 from calaveras_uniteus_etl_spark.plans.catalog import register
 from calaveras_uniteus_etl_spark.plans.tables import table
@@ -213,8 +214,8 @@ def c7_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     log = (
         table(spark, sf_dir, "events")
         .select("user_id", "event_id", "event_type", "ts")
-        .withColumn("valid_from_us", F.unix_micros("ts"))
-        .withColumn("valid_to_us", F.lead(F.unix_micros("ts")).over(w))
+        .withColumn("valid_from_us", epoch_us("ts"))
+        .withColumn("valid_to_us", F.lead(epoch_us("ts")).over(w))
     )
     return (
         log.filter(F.col("user_id") % 50 == 0)

@@ -13,7 +13,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from calaveras_uniteus_etl_spark.functions.datetime_ext import julian_day_diff
+from calaveras_uniteus_etl_spark.functions.datetime_ext import (
+    epoch_us,
+    julian_day_diff,
+)
 from calaveras_uniteus_etl_spark.plans import _exact as X
 from calaveras_uniteus_etl_spark.plans.catalog import register
 from calaveras_uniteus_etl_spark.plans.tables import table
@@ -402,7 +405,7 @@ def e9_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("purchase_id"),
         "user_id",
         F.col("last_click_id").alias("click_id"),
-        (F.unix_micros("ts") - F.unix_micros("last_click_ts")).alias("gap_us"),
+        (epoch_us("ts") - epoch_us("last_click_ts")).alias("gap_us"),
     )
 
 

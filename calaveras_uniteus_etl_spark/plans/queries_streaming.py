@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from calaveras_uniteus_etl_spark.functions.datetime_ext import epoch_us
 from calaveras_uniteus_etl_spark.plans._exact import VALUE6, dec, exact_sum
 from calaveras_uniteus_etl_spark.plans.catalog import register
 from calaveras_uniteus_etl_spark.plans.tables import table
@@ -103,7 +104,7 @@ GROUP BY user_id
 def s2_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
     order = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(order))
+    gap_us = epoch_us(F.col("ts")) - epoch_us(F.lag("ts").over(order))
     flagged = e.withColumn(
         "new_session",
         F.when(
@@ -116,7 +117,7 @@ def s2_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_session = sess.groupBy("user_id", "session_no").agg(
         F.count("*").alias("n_events"),
-        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
+        (epoch_us(F.max("ts")) - epoch_us(F.min("ts"))).alias("dur_us"),
     )
     return per_session.groupBy("user_id").agg(
         F.count("*").alias("n_sessions"),

@@ -35,11 +35,13 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"
 def _enable_nanos_as_long(spark: SparkSession) -> None:
     """Make TIMESTAMP(NANOS) parquet readable on ANY SparkSession.
 
-    events.parquet stores ts as INT64 TIMESTAMP(NANOS,false), which a
-    vanilla Spark session rejects outright (PARQUET_TYPE_ILLEGAL).
-    ``spark.sql.legacy.parquet.nanosAsLong`` is a runtime-settable SQL
-    conf, so plans set it themselves instead of depending on how the
-    caller built the session.
+    On Spark builds that reject INT64 TIMESTAMP(NANOS) outright
+    (PARQUET_TYPE_ILLEGAL), ``spark.sql.legacy.parquet.nanosAsLong`` is
+    a runtime-settable SQL conf that surfaces the column as an
+    epoch-nanos long. Spark 4.1+ instead reads the column natively as
+    TIMESTAMP_NTZ (µs-truncated) and ignores the legacy conf, so this
+    is a harmless no-op there. Plans set it themselves instead of
+    depending on how the caller built the session.
     """
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -49,6 +51,34 @@ def _enable_nanos_as_long(spark: SparkSession) -> None:
         pass
 
 
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize events.ts to TIMESTAMP_NTZ at µs precision.
+
+    The parquet column is INT64 TIMESTAMP(NANOS,false). Depending on
+    the Spark build it surfaces as either an epoch-nanos LongType
+    (legacy nanosAsLong path) or TIMESTAMP_NTZ already truncated to µs
+    (Spark 4.1+ native read). Both converge on TIMESTAMP_NTZ wall-clock
+    — the same value DuckDB produces casting TIMESTAMP_NS to TIMESTAMP,
+    and free of session-timezone dependence either way.
+    """
+    from pyspark.sql.types import LongType, TimestampType
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        # epoch-nanos → µs offset from a tz-free NTZ epoch literal, so
+        # the result does not depend on the session timezone.
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
+    elif isinstance(dt, TimestampType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}")
@@ -56,11 +86,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         _enable_nanos_as_long(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark reads only
-        # as an epoch-nanos long (spark.sql.legacy.parquet.nanosAsLong).
-        # Truncate to microseconds — the same truncation DuckDB applies
-        # when casting TIMESTAMP_NS to TIMESTAMP.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = _normalize_events_ts(df)
     return df
 
 
@@ -69,15 +95,16 @@ def events_in_range(
 ) -> DataFrame:
     """events filtered to [start, end] with the predicate ON THE SCAN.
 
-    ``table()`` converts the raw TIMESTAMP(NANOS) long to a timestamp
-    column first, which leaves any later range predicate sitting above
-    a projection — Parquet row-group statistics never see it. Here the
-    bounds are converted to epoch-nanos ints and applied to the raw
-    long column, so min/max skipping works (the difference between
-    scanning a day and scanning 100 TB of history); the ns→µs
-    conversion happens above the already-filtered scan.
+    ``table()`` normalizes the ts column first, which can leave a later
+    range predicate sitting above a projection — Parquet row-group
+    statistics never see it. Here the predicate is applied to the raw
+    column in whatever type the scan produced, so min/max skipping
+    works (the difference between scanning a day and scanning 100 TB of
+    history); normalization happens above the already-filtered scan.
     """
     import datetime as _dt
+
+    from pyspark.sql.types import LongType
 
     def ns(s: str) -> int:
         t = _dt.datetime.fromisoformat(s).replace(tzinfo=_dt.timezone.utc)
@@ -85,10 +112,18 @@ def events_in_range(
 
     _enable_nanos_as_long(spark)
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    filtered = raw.filter(
-        (F.col("ts") >= F.lit(ns(start_iso))) & (F.col("ts") <= F.lit(ns(end_iso)))
-    )
-    return filtered.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(raw.schema["ts"].dataType, LongType):
+        filtered = raw.filter(
+            (F.col("ts") >= F.lit(ns(start_iso))) & (F.col("ts") <= F.lit(ns(end_iso)))
+        )
+    else:
+        lo = F.lit(start_iso).cast("timestamp_ntz")
+        hi = F.lit(end_iso).cast("timestamp_ntz")
+        filtered = raw.filter(
+            (F.col("ts").cast("timestamp_ntz") >= lo)
+            & (F.col("ts").cast("timestamp_ntz") <= hi)
+        )
+    return _normalize_events_ts(filtered)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
