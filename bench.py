@@ -86,6 +86,9 @@ HEADLINE = [
     "x31_dsir_weights",
     "g3_user_growth",
     "x32_dup_span_stats",
+    "x33_source_overlap",
+    "x34_bloom_membership",
+    "g4_activity_heatmap",
 ]
 
 

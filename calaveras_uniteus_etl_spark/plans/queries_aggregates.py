@@ -1658,3 +1658,41 @@ def g3_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# G4 — activity heatmap (hour-of-day × day-of-week matrix).
+# The standard ops-dashboard rollup: two low-cardinality derived keys,
+# so the aggregate is one shuffle on a ≤168-cell key space with full
+# map-side partial aggregation — the same plan at any corpus size.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g4_activity_heatmap",
+    oracle="""
+SELECT CAST(EXTRACT(dow FROM ts) AS INT) AS dow,
+       CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+ORDER BY dow, hour
+""",
+    doc="Hour-of-day × day-of-week activity matrix with per-cell "
+    "event and distinct-user counts (dow 0=Sunday, matching DuckDB's "
+    "EXTRACT(dow) — Spark's dayofweek is 1-based).",
+)
+def g4_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hour"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("dow", "hour")
+    )

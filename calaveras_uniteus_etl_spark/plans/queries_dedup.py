@@ -130,9 +130,11 @@ def x2_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "x2_minhash_lsh_pairs",
-    oracle=_DUCK_SIGS
+# Shared CTE chain: signatures → bands → capped buckets → distinct
+# candidate pairs carrying both signatures. Reused by the x2 pair
+# oracle and the x33 source-overlap oracle.
+_DUCK_PAIR_CTES = (
+    _DUCK_SIGS
     + f""", bands AS (
   SELECT doc_id, sig, t.b AS band, {dd.duck_band_key_sql()} AS band_key
   FROM sigs CROSS JOIN (SELECT unnest(range({dd.LSH_BANDS})) AS b) t
@@ -145,18 +147,18 @@ def x2_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
   FROM bands_ok a JOIN bands_ok b
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)"""
 )
-SELECT doc_a, doc_b,
-       ROUND(CAST(len(list_filter(range({dd.MINHASH_K}), i -> sa[i+1] = sb[i+1])) AS DOUBLE)
-             / {dd.MINHASH_K}, 4) AS est_sim
-FROM cand
-WHERE CAST(len(list_filter(range({dd.MINHASH_K}), i -> sa[i+1] = sb[i+1])) AS DOUBLE)
-      / {dd.MINHASH_K} >= {_EST_MIN}
-""",
-    doc="MinHash+LSH near-dup pairs: band-bucket join (4 bands × 3 rows) "
-    "→ distinct candidates → signature-estimated Jaccard ≥ 0.5.",
-)
-def x2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+
+def _lsh_pair_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs with integer signature-match counts.
+
+    Returns (doc_a, doc_b, nm) where nm is the number of agreeing
+    MinHash slots — kept as an exact integer so downstream aggregates
+    (x33's per-source averages) can sum it deterministically instead of
+    averaging doubles.
+    """
     # Cache the signature relation: the LSH self-join would otherwise
     # re-derive the (md5-heavy) signature subtree on both sides, and
     # again when signatures are joined back onto the candidates. The
@@ -188,13 +190,96 @@ def x2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = cand.join(
         sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa")), "doc_a"
     ).join(sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb")), "doc_b")
-    est = F.expr(
-        f"cast(size(filter(sequence(0, {dd.MINHASH_K - 1}), i -> sa[i] = sb[i])) as double)"
-        f" / {dd.MINHASH_K}"
+    nm = F.expr(
+        f"size(filter(sequence(0, {dd.MINHASH_K - 1}), i -> sa[i] = sb[i]))"
     )
-    return pairs.select(
+    return pairs.select("doc_a", "doc_b", nm.alias("nm"))
+
+
+@register(
+    "x2_minhash_lsh_pairs",
+    oracle=_DUCK_PAIR_CTES
+    + f"""
+SELECT doc_a, doc_b,
+       ROUND(CAST(len(list_filter(range({dd.MINHASH_K}), i -> sa[i+1] = sb[i+1])) AS DOUBLE)
+             / {dd.MINHASH_K}, 4) AS est_sim
+FROM cand
+WHERE CAST(len(list_filter(range({dd.MINHASH_K}), i -> sa[i+1] = sb[i+1])) AS DOUBLE)
+      / {dd.MINHASH_K} >= {_EST_MIN}
+""",
+    doc="MinHash+LSH near-dup pairs: band-bucket join (4 bands × 3 rows) "
+    "→ distinct candidates → signature-estimated Jaccard ≥ 0.5.",
+)
+def x2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _lsh_pair_matches(spark, sf_dir)
+    est = F.col("nm").cast("double") / dd.MINHASH_K
+    return p.select(
         "doc_a", "doc_b", F.round(est, 4).alias("est_sim")
     ).filter(est >= _EST_MIN)
+
+
+# ---------------------------------------------------------------------------
+# X33 — cross-source near-dup overlap matrix
+#
+# The corpus-curation question behind dedup: WHICH sources duplicate
+# each other (e.g. a web crawl re-hosting a books corpus)? Near-dup
+# pairs from the LSH miner are joined onto the per-doc source label and
+# rolled up per unordered source pair. Scale shape: the pair relation
+# is already bounded by the band/bucket cap; the source join ships only
+# (doc_id, source) — the matrix itself is #sources², tiny.
+# ---------------------------------------------------------------------------
+
+_X33_MIN_NM = 6  # same acceptance bar as x2: nm/K >= 0.5  <=>  nm >= 6
+
+
+@register(
+    "x33_source_overlap",
+    oracle=_DUCK_PAIR_CTES
+    + f""", pairs AS (
+  SELECT doc_a, doc_b,
+         len(list_filter(range({dd.MINHASH_K}), i -> sa[i+1] = sb[i+1])) AS nm
+  FROM cand
+), accepted AS (
+  SELECT * FROM pairs WHERE nm >= {_X33_MIN_NM}
+)
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       COUNT(*) AS pair_count,
+       ROUND(CAST(SUM(nm) AS DOUBLE) / ({dd.MINHASH_K} * COUNT(*)), 4) AS avg_sim
+FROM accepted
+JOIN documents da ON da.doc_id = accepted.doc_a
+JOIN documents db ON db.doc_id = accepted.doc_b
+GROUP BY least(da.source, db.source), greatest(da.source, db.source)
+ORDER BY pair_count DESC, source_a, source_b
+""",
+    doc="Cross-source near-dup overlap matrix: LSH pairs joined onto "
+    "per-doc source labels, rolled up per unordered source pair with "
+    "an exact-integer average similarity (sum of match counts, one "
+    "double division at the end).",
+)
+def x33_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _lsh_pair_matches(spark, sf_dir).filter(F.col("nm") >= _X33_MIN_NM)
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    joined = p.join(
+        src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")),
+        "doc_a",
+    ).join(
+        src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")),
+        "doc_b",
+    )
+    return (
+        joined.groupBy(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .agg(
+            F.count("*").alias("pair_count"),
+            F.round(
+                F.sum("nm").cast("double") / (dd.MINHASH_K * F.count("*")), 4
+            ).alias("avg_sim"),
+        )
+        .orderBy(F.desc("pair_count"), "source_a", "source_b")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -703,4 +788,125 @@ def x32_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.coalesce("n_spans", F.lit(0)) == 0, F.lit(0.0))
         .otherwise(F.round(F.col("n_dup") / F.col("n_spans"), 6))
         .alias("dup_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X34 — Bloom-filter membership (compact broadcast anti-join shape)
+#
+# The 100 TB incremental-ingest problem: "is this document already in
+# the corpus?" without shuffling the corpus. Build a fixed-size Bloom
+# filter over the member set with ONE aggregation (bit_or per word —
+# 4096 rows total, map-side combined), broadcast it, and probe with a
+# tiny join. False positives are possible by construction (the probe
+# output reports them honestly); false negatives are not. Both engines
+# compute identical md5-derived bit positions, so the filter — and
+# therefore every hit/miss — is bit-reproducible.
+# ---------------------------------------------------------------------------
+
+_BLOOM_WORDS = 4096  # BIGINT words, 32 bits used per word
+_BLOOM_BITS = _BLOOM_WORDS * 32  # 131072 bits: ~0.1% fp at 5k members, k=3
+_BLOOM_K = 3
+
+
+def _bloom_oracle() -> str:
+    from calaveras_uniteus_etl_spark.functions.hashing import duckdb_md5_long_sql
+
+    mfold = duckdb_md5_long_sql("cast(i as varchar) || ':' || text")
+    pfold = duckdb_md5_long_sql("cast(i as varchar) || ':' || ptext")
+    return f"""
+WITH seeds AS (SELECT unnest(range({_BLOOM_K})) AS i),
+mpos AS (
+  SELECT {mfold} % {_BLOOM_BITS} AS p FROM documents CROSS JOIN seeds
+),
+bloom AS (
+  SELECT p // 32 AS word, bit_or(1::BIGINT << (p % 32)) AS bloom_word
+  FROM mpos GROUP BY p // 32
+),
+probes AS (
+  SELECT doc_id AS probe_id, text AS ptext, TRUE AS is_member
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, text || ' [novel-probe]', FALSE
+  FROM documents WHERE doc_id % 5 = 1
+),
+ppos AS (
+  SELECT probe_id, is_member, {pfold} % {_BLOOM_BITS} AS p
+  FROM probes CROSS JOIN seeds
+),
+checks AS (
+  SELECT probe_id, is_member,
+         COALESCE((bloom_word & (1::BIGINT << (p % 32)))
+                  = (1::BIGINT << (p % 32)), FALSE) AS hit
+  FROM ppos LEFT JOIN bloom ON bloom.word = p // 32
+)
+SELECT probe_id, is_member, bool_and(hit) AS bloom_hit
+FROM checks GROUP BY probe_id, is_member
+ORDER BY probe_id
+"""
+
+
+def _bloom_positions(text_col):
+    """Array of K bit positions for a text column (Spark side)."""
+    from calaveras_uniteus_etl_spark.functions.hashing import md5_long_seeded
+
+    return F.array(
+        *[md5_long_seeded(text_col, i) % _BLOOM_BITS for i in range(_BLOOM_K)]
+    )
+
+
+@register(
+    "x34_bloom_membership",
+    oracle=_bloom_oracle(),
+    doc="Bloom-filter membership: bit_or-aggregated 131072-bit filter "
+    "over md5-seeded positions of every document, broadcast to a probe "
+    "set of half members / half novel texts; reports per-probe exact "
+    "membership vs filter verdict (false positives possible, false "
+    "negatives never).",
+)
+def x34_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    bits = (
+        d.select(F.explode(_bloom_positions(F.col("text"))).alias("p"))
+        .select(
+            (F.col("p") / 32).cast("long").alias("word"),
+            F.expr("shiftleft(1L, cast(p % 32 as int))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bloom_word"))
+    )
+    members = d.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("probe_id"),
+        F.col("text").alias("ptext"),
+        F.lit(True).alias("is_member"),
+    )
+    novel = d.filter(F.col("doc_id") % 5 == 1).select(
+        F.col("doc_id").alias("probe_id"),
+        F.concat(F.col("text"), F.lit(" [novel-probe]")).alias("ptext"),
+        F.lit(False).alias("is_member"),
+    )
+    ppos = members.unionAll(novel).select(
+        "probe_id",
+        "is_member",
+        F.explode(_bloom_positions(F.col("ptext"))).alias("p"),
+    )
+    checks = ppos.join(
+        F.broadcast(bits),
+        (F.col("p") / 32).cast("long") == F.col("word"),
+        "left",
+    ).select(
+        "probe_id",
+        "is_member",
+        F.coalesce(
+            F.expr(
+                "(bloom_word & shiftleft(1L, cast(p % 32 as int)))"
+                " = shiftleft(1L, cast(p % 32 as int))"
+            ),
+            F.lit(False),
+        ).alias("hit"),
+    )
+    return (
+        checks.groupBy("probe_id", "is_member")
+        .agg(F.expr("bool_and(hit)").alias("bloom_hit"))
+        .orderBy("probe_id")
     )
