@@ -84,6 +84,9 @@ def test_dim_joins_broadcast_not_shuffle(spark, name):
         "r6_provider_performance",
         "x31_dsir_weights",
         "g3_user_growth",
+        "x33_source_overlap",
+        "x34_bloom_membership",
+        "g4_activity_heatmap",
     ],
 )
 def test_new_queries_have_no_cartesian_product(spark, name):
@@ -106,3 +109,11 @@ def test_global_topk_is_take_ordered(spark, name):
     # partition top-k + merge), never a global sort materialization.
     plan = physical(REGISTRY[name].fn(spark, SF))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bloom_probe_join_is_broadcast(spark):
+    # x34's point at scale: the filter is 4096 rows, so probing must be
+    # a broadcast join — shuffling probes against the filter would make
+    # the sketch pointless.
+    plan = physical(REGISTRY["x34_bloom_membership"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
