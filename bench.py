@@ -89,6 +89,9 @@ HEADLINE = [
     "x33_source_overlap",
     "x34_bloom_membership",
     "g4_activity_heatmap",
+    "x35_lsh_threshold_sweep",
+    "x36_cluster_size_dist",
+    "c9_snapshot_diff",
 ]
 
 

@@ -910,3 +910,113 @@ def x34_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("bool_and(hit)").alias("bloom_hit"))
         .orderBy("probe_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# X35 — LSH threshold sweep (dedup-tuning curve)
+#
+# Before committing a similarity cutoff at corpus scale you want the
+# retention curve: how many candidate pairs survive each threshold.
+# One pass over the pair miner's integer match counts — a 7-row
+# cumulative rollup, no re-mining per threshold (the naive approach
+# re-runs the join once per cutoff).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x35_lsh_threshold_sweep",
+    oracle=_DUCK_PAIR_CTES
+    + f""", pairs AS (
+  SELECT len(list_filter(range({dd.MINHASH_K}), i -> sa[i+1] = sb[i+1])) AS nm
+  FROM cand
+), hist AS (
+  SELECT nm, COUNT(*) AS cnt FROM pairs WHERE nm >= 6 GROUP BY nm
+)
+SELECT nm AS min_matches,
+       ROUND(CAST(nm AS DOUBLE) / {dd.MINHASH_K}, 4) AS est_sim_threshold,
+       CAST(SUM(cnt) OVER (ORDER BY nm DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS pairs_retained
+FROM hist
+ORDER BY nm
+""",
+    doc="Dedup threshold-tuning curve: candidate pairs retained at "
+    "each signature-match cutoff (6..12 of K=12), one pass over the "
+    "LSH miner output — never one re-mining join per threshold.",
+)
+def x35_lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hist = (
+        _lsh_pair_matches(spark, sf_dir)
+        .filter(F.col("nm") >= 6)
+        .groupBy("nm")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = WindowSpec.orderBy(F.desc("nm")).rowsBetween(
+        WindowSpec.unboundedPreceding, WindowSpec.currentRow
+    )
+    return hist.select(
+        F.col("nm").alias("min_matches"),
+        F.round(F.col("nm").cast("double") / dd.MINHASH_K, 4).alias(
+            "est_sim_threshold"
+        ),
+        F.sum("cnt").over(w).cast("bigint").alias("pairs_retained"),
+    ).orderBy("min_matches")
+
+
+# ---------------------------------------------------------------------------
+# X36 — near-dup cluster size distribution
+#
+# The curation question over x14's components: is duplication mostly
+# pairs, or a few giant boilerplate clusters? Sizes beyond the
+# histogram's head are what the BUCKET_CAP exists for.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x36_cluster_size_dist",
+    oracle=_DUCK_PAIR_CTES
+    + f""", pairs AS (
+  SELECT doc_a, doc_b FROM cand
+  WHERE CAST(len(list_filter(range({dd.MINHASH_K}), i -> sa[i+1] = sb[i+1])) AS DOUBLE)
+        / {dd.MINHASH_K} >= {_EST_MIN}
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+), reach AS (
+  WITH RECURSIVE r(node, lbl) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.b, r.lbl FROM r JOIN edges e ON e.a = r.node
+  ) SELECT node, MIN(lbl) AS component FROM r GROUP BY node
+), comp AS (
+  SELECT component, COUNT(*) AS csize FROM reach GROUP BY component
+)
+SELECT csize AS cluster_size,
+       COUNT(*) AS n_clusters,
+       CAST(csize * COUNT(*) AS BIGINT) AS docs_covered,
+       CAST((csize - 1) * COUNT(*) AS BIGINT) AS removable_docs
+FROM comp
+GROUP BY csize
+ORDER BY csize
+""",
+    doc="Near-dup cluster size histogram over x14's components: how "
+    "many clusters of each size, docs covered, and docs removable if "
+    "one keeper survives per cluster.",
+)
+def x36_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = x14_neardup_components(spark, sf_dir)
+    return (
+        comp.groupBy(F.col("member_count").alias("cluster_size"))
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("docs_covered"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("removable_docs"),
+        )
+        .orderBy("cluster_size")
+    )

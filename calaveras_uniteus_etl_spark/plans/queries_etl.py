@@ -282,3 +282,74 @@ def c8_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.join(users, "event_type").select(
         "event_type", "n_events", "sum_value", "n_users"
     )
+
+
+# ---------------------------------------------------------------------------
+# C9 — snapshot diff (warehouse reconciliation)
+#
+# The operational twin of the merge upsert: given yesterday's and
+# today's snapshot of a table, report what was added / removed /
+# changed / unchanged. One full-outer join on the primary key; the
+# change test compares the business columns directly (never a
+# stringified row hash — float formatting differs across engines).
+# Snapshots are carved deterministically out of orders so the oracle
+# sees the same inputs: snapshot A drops keys ≡0 (mod 101), snapshot B
+# drops keys ≡0 (mod 103) and reprices keys ≡0 (mod 7).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c9_snapshot_diff",
+    oracle="""
+WITH snap_a AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS price
+  FROM orders WHERE o_orderkey % 101 <> 0
+), snap_b AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2 ELSE o_totalprice END
+           AS price
+  FROM orders WHERE o_orderkey % 103 <> 0
+), diff AS (
+  SELECT CASE
+           WHEN a.k IS NULL THEN 'added'
+           WHEN b.k IS NULL THEN 'removed'
+           WHEN a.st <> b.st OR a.price <> b.price THEN 'changed'
+           ELSE 'unchanged' END AS status
+  FROM snap_a a FULL OUTER JOIN snap_b b ON a.k = b.k
+)
+SELECT status, COUNT(*) AS n_rows
+FROM diff GROUP BY status ORDER BY status
+""",
+    doc="Snapshot reconciliation: full-outer join of two table "
+    "versions on the primary key, per-row added/removed/changed/"
+    "unchanged classification, one-shuffle rollup.",
+)
+def c9_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_totalprice").alias("price"),
+    )
+    snap_a = o.filter(F.col("k") % 101 != 0)
+    snap_b = o.filter(F.col("k") % 103 != 0).withColumn(
+        "price",
+        F.when(F.col("k") % 7 == 0, F.col("price") * 2).otherwise(F.col("price")),
+    )
+    a, b = snap_a.alias("a"), snap_b.alias("b")
+    status = (
+        F.when(F.col("a.k").isNull(), "added")
+        .when(F.col("b.k").isNull(), "removed")
+        .when(
+            (F.col("a.st") != F.col("b.st"))
+            | (F.col("a.price") != F.col("b.price")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        a.join(b, F.col("a.k") == F.col("b.k"), "full_outer")
+        .select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").alias("n_rows"))
+        .orderBy("status")
+    )
