@@ -286,7 +286,9 @@ SELECT doc_id, term, tf, df, tfidf FROM (
 def x12_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     toks = d.select(
         "doc_id",
         F.explode(F.expr(f"split({NORM_SPARK.format(col='text')}, ' ')")).alias("term"),
@@ -755,7 +757,9 @@ FROM top CROSS JOIN total
 def x22_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     toks = d.select(
         F.explode(F.expr(f"split({NORM_SPARK.format(col='text')}, ' ')")).alias("term")
     ).filter(F.col("term") != "")
@@ -913,7 +917,9 @@ GROUP BY t.doc_id
     "(micro-nat BIGINT arithmetic for cross-engine exactness).",
 )
 def x25_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     toks = d.select(
         "doc_id",
         F.explode(F.expr(f"split({NORM_SPARK.format(col='text')}, ' ')")).alias("term"),
@@ -987,7 +993,9 @@ FROM chunks
     "stride): per-doc integer explode, content-addressed chunk ids.",
 )
 def x27_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     toks = d.select(
         "doc_id",
         F.expr(f"split({NORM_SPARK.format(col='text')}, ' ')").alias("w"),
@@ -1221,7 +1229,12 @@ GROUP BY bt.doc_id
 def x31_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from calaveras_uniteus_etl_spark.functions.hashing import md5_long
 
-    d = table(spark, sf_dir, "documents")
+    # spread docs across cores before the md5-dense explode (the test
+    # source is one parquet file → one partition; same rationale as
+    # queries_dedup._docs_wide)
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     toks = d.select(
         "doc_id",
         "lang",
@@ -1229,7 +1242,13 @@ def x31_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term"
         ),
     )
-    bt = toks.select("doc_id", "lang", (md5_long("term") % _DSIR_B).alias("b"))
+    # cache: the exploded+hashed token relation feeds four jobs (raw
+    # bucket counts, target bucket counts, the two scalar totals, and
+    # the final per-doc score join) — without the cache the md5-dense
+    # explode re-runs for each. ~3 longs/token, O(corpus tokens).
+    bt = toks.select(
+        "doc_id", "lang", (md5_long("term") % _DSIR_B).alias("b")
+    ).cache()
     raw = bt.groupBy("b").agg(F.count("*").alias("r_cnt"))
     tgt = (
         bt.filter(F.col("lang") == _DSIR_TARGET_LANG)
