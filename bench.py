@@ -92,6 +92,8 @@ HEADLINE = [
     "x35_lsh_threshold_sweep",
     "x36_cluster_size_dist",
     "c9_snapshot_diff",
+    "x37_source_cap",
+    "x38_ann_recall_audit",
 ]
 
 

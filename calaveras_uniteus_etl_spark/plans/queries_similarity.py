@@ -800,3 +800,100 @@ def x29_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X38 — ANN recall audit (approximate vs exact, same run)
+#
+# The acceptance gate for any ANN rollout: what fraction of the TRUE
+# top-k does the bucketed index return? Runs the exact ranker (x5) and
+# the LSH ranker (x6) over the same probe set and reports per-probe
+# recall@k. Cost is one brute-force pass over the bounded probe set —
+# the audit is run on a sample at scale, never the full corpus, which
+# is exactly what the bounded probe set models.
+# ---------------------------------------------------------------------------
+
+_RECALL_K = _ANN_TOPK  # compare at the ANN's own k
+
+
+@register(
+    "x38_ann_recall_audit",
+    oracle=f"""
+WITH {_duck_buckets_cte()},
+aprobes AS (
+  SELECT vec_id, tbl, bucket FROM buckets WHERE vec_id < {_N_QUERY}
+),
+acand AS (
+  SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM aprobes p JOIN buckets c
+    ON p.tbl = c.tbl AND p.bucket = c.bucket AND p.vec_id <> c.vec_id
+),
+ascored AS (
+  SELECT query_id, neighbor_id,
+         {_DUCK_COSINE.format(a="q.embedding", b="e.embedding")} AS cosine
+  FROM acand
+  JOIN embeddings q ON q.vec_id = acand.query_id
+  JOIN embeddings e ON e.vec_id = acand.neighbor_id
+),
+ann AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM ascored
+  ) WHERE rn <= {_RECALL_K}
+),
+eprobes AS (
+  SELECT vec_id AS query_id, embedding AS q
+  FROM embeddings WHERE vec_id < {_N_QUERY}
+),
+escored AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         ROUND(list_dot_product(p.q, e.embedding)
+               / NULLIF(sqrt(list_dot_product(p.q, p.q))
+                        * sqrt(list_dot_product(e.embedding, e.embedding)), 0),
+               4) AS cosine
+  FROM eprobes p, embeddings e
+  WHERE e.vec_id <> p.query_id
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM escored
+  ) WHERE rn <= {_RECALL_K}
+)
+SELECT x.query_id,
+       CAST(COUNT(a.neighbor_id) AS BIGINT) AS ann_hits,
+       ROUND(COUNT(a.neighbor_id) / {_RECALL_K}.0, 4) AS recall_at_k
+FROM exact x
+LEFT JOIN ann a
+  ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+GROUP BY x.query_id
+ORDER BY x.query_id
+""",
+    doc=f"ANN quality audit: recall@{_RECALL_K} of the LSH-bucketed "
+    "ranker (x6) against the exact cosine ranker (x5) per probe — the "
+    "acceptance metric for trading exactness for bucket pruning.",
+)
+def x38_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    exact = (
+        x5_cosine_topk(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RECALL_K)
+        .select("query_id", "neighbor_id")
+    )
+    ann = x6_ann_lsh_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(ann, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("ann_hits"),
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0))) / float(_RECALL_K), 4
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )

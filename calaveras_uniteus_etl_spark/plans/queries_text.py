@@ -1287,3 +1287,67 @@ def x31_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X37 — per-source document cap (corpus balancing)
+#
+# The mixture-shaping primitive next to x28/x30: bound every source's
+# contribution to at most N docs, chosen by a salted-hash draw so the
+# survivor set is deterministic, unbiased, and identical on every
+# engine and every rerun — never "first N in file order", which bakes
+# crawl order into the corpus. One window rank per source; the
+# checksum column proves the SAME docs survive, not just the same
+# count.
+# ---------------------------------------------------------------------------
+
+_X37_CAP = 15
+
+
+@register(
+    "x37_source_cap",
+    oracle=f"""
+WITH ranked AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN rn <= {_X37_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN rn <= {_X37_CAP} THEN doc_id END) AS BIGINT)
+         AS kept_id_checksum
+FROM ranked
+GROUP BY source
+ORDER BY source
+""",
+    doc=f"Per-source cap: keep at most {_X37_CAP} docs per source by a "
+    "deterministic salted-hash draw (window rank over md5 order), with "
+    "a survivor-id checksum so engines must agree on WHICH docs stay.",
+)
+def x37_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents").select("source", "doc_id")
+    w = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.concat(F.lit("cap:"), F.col("doc_id").cast("string"))), "doc_id"
+        )
+    )
+    ranked = d.withColumn("rn", w)
+    kept = F.when(F.col("rn") <= _X37_CAP, 1).otherwise(0)
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(kept).cast("bigint").alias("n_kept"),
+            F.sum(F.when(F.col("rn") <= _X37_CAP, F.col("doc_id")))
+            .cast("bigint")
+            .alias("kept_id_checksum"),
+        )
+        .orderBy("source")
+    )
