@@ -94,6 +94,8 @@ HEADLINE = [
     "c9_snapshot_diff",
     "x37_source_cap",
     "x38_ann_recall_audit",
+    "x39_media_resize_plan",
+    "x40_frame_sample",
 ]
 
 

@@ -116,3 +116,110 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "payload", "media_type").mapInPandas(
         _extract_batches, schema=FEATURE_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Resize planning + frame sampling — the remaining two media plumbing
+# stages. Same contract as extract_features: real Arrow mapInPandas
+# path, deterministic fake decode, integer-only arithmetic so the
+# DuckDB oracle mirrors every output bit.
+# ---------------------------------------------------------------------------
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, media_type string, width int, height int, "
+    "out_width int, out_height int, resized boolean"
+)
+
+FPS = 24  # fake decoder's constant frame rate
+FRAME_EVERY_N = 48  # sample one frame every 2 seconds
+FRAME_MAX = 16  # per-video cap
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, t_offset_ms bigint"
+
+
+def resize_fit(w: int, h: int, tw: int, th: int) -> tuple[int, int, bool]:
+    """Aspect-preserving fit into (tw, th), integer arithmetic only.
+
+    Never upscales. The binding side is chosen by cross-multiplication
+    and the other side floors — no floating-point scale factor, so any
+    engine reproduces the output dims exactly.
+    """
+    if w <= tw and h <= th:
+        return w, h, False
+    if tw * h >= th * w:  # height is the binding constraint
+        return (w * th) // h, th, True
+    return tw, (h * tw) // w, True
+
+
+def _resize_batches(tw: int, th: int):
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p, mt in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_type"]
+            ):
+                f = _fake_features(bytes(p), mt)
+                if f["width"] is None:  # audio: nothing to resize
+                    rows.append((doc_id, mt, None, None, None, None, False))
+                    continue
+                ow, oh, scaled = resize_fit(f["width"], f["height"], tw, th)
+                rows.append(
+                    (doc_id, mt, f["width"], f["height"], ow, oh, scaled)
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "media_type", "width", "height",
+                    "out_width", "out_height", "resized",
+                ],
+            )
+            yield out.astype(
+                {c: "Int32" for c in ("width", "height", "out_width", "out_height")}
+            )
+
+    return kernel
+
+
+def resize_plan(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Plan aspect-preserving resizes for image/video payloads.
+
+    Narrow Arrow map, no shuffle; a production deployment swaps the
+    fake dimension probe for the real decoder and emits the resized
+    payload bytes alongside — the schema/batching contract is already
+    the real one.
+    """
+    return media.select("doc_id", "payload", "media_type").mapInPandas(
+        _resize_batches(target_w, target_h), schema=RESIZE_SCHEMA
+    )
+
+
+def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids, idxs, offs = [], [], []
+        for doc_id, p, mt in zip(pdf["doc_id"], pdf["payload"], pdf["media_type"]):
+            if mt != "video":
+                continue
+            f = _fake_features(bytes(p), mt)
+            n_frames = f["duration_s"] * FPS
+            k = 0
+            while k * FRAME_EVERY_N < n_frames and k < FRAME_MAX:
+                fi = k * FRAME_EVERY_N
+                ids.append(doc_id)
+                idxs.append(fi)
+                offs.append(fi * 1000 // FPS)
+                k += 1
+        yield pd.DataFrame(
+            {"doc_id": ids, "frame_idx": idxs, "t_offset_ms": offs}
+        ).astype({"frame_idx": "Int32"} if ids else {})
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    """Sample every-Nth-frame indices per video, capped per doc.
+
+    One output row per sampled frame (doc_id, frame_idx, t_offset_ms);
+    the real decoder would attach the frame payload per row. Row fan-
+    out happens inside the Arrow batch — never a driver-side loop.
+    """
+    return media.select("doc_id", "payload", "media_type").mapInPandas(
+        _frame_batches, schema=FRAME_SCHEMA
+    )

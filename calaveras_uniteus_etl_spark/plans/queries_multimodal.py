@@ -94,3 +94,74 @@ def x11_multimodal_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bytes").alias("total_bytes"),
         F.sum("width").cast("bigint").alias("sum_width"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X39/X40 — resize planning and frame sampling (the remaining media
+# stages from the multimodal brief). Integer-only arithmetic inside
+# the Arrow kernel, mirrored exactly in SQL.
+# ---------------------------------------------------------------------------
+
+_TW, _TH = 640, 480
+
+
+@register(
+    "x39_media_resize_plan",
+    oracle=f"""
+WITH dims AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+           AS media_type,
+         CASE WHEN doc_id % 3 IN (0, 2) THEN CAST({_H1} % 1920 + 1 AS INT) END AS width,
+         CASE WHEN doc_id % 3 IN (0, 2) THEN CAST({_H2} % 1080 + 1 AS INT) END AS height
+  FROM documents
+)
+SELECT doc_id, media_type, width, height,
+       CAST(CASE WHEN width IS NULL THEN NULL
+            WHEN width <= {_TW} AND height <= {_TH} THEN width
+            WHEN {_TW} * height >= {_TH} * width THEN (width * {_TH}) // height
+            ELSE {_TW} END AS INT) AS out_width,
+       CAST(CASE WHEN width IS NULL THEN NULL
+            WHEN width <= {_TW} AND height <= {_TH} THEN height
+            WHEN {_TW} * height >= {_TH} * width THEN {_TH}
+            ELSE (height * {_TW}) // width END AS INT) AS out_height,
+       CASE WHEN width IS NULL THEN FALSE
+            ELSE NOT (width <= {_TW} AND height <= {_TH}) END AS resized
+FROM dims
+""",
+    doc=f"Aspect-preserving resize plan into {_TW}x{_TH} for image/"
+    "video payloads: binding side by integer cross-multiplication, "
+    "floor on the other — never upscales, audio passes through NULL. "
+    "Runs through the real Arrow mapInPandas plumbing "
+    "(operators/multimodal.py:resize_plan).",
+)
+def x39_media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calaveras_uniteus_etl_spark.operators.multimodal import resize_plan
+
+    return resize_plan(_media(spark, sf_dir), _TW, _TH)
+
+
+@register(
+    "x40_frame_sample",
+    oracle=f"""
+WITH vids AS (
+  SELECT doc_id, CAST({_H1} % 600 + 1 AS INT) AS duration_s
+  FROM documents WHERE doc_id % 3 = 2
+), ks AS (SELECT unnest(range(16)) AS k)
+SELECT doc_id,
+       CAST(k * 48 AS INT) AS frame_idx,
+       CAST(k * 48 * 1000 // 24 AS BIGINT) AS t_offset_ms
+FROM vids CROSS JOIN ks
+WHERE k * 48 < duration_s * 24
+ORDER BY doc_id, frame_idx
+""",
+    doc="Per-video frame sampling: every 48th frame at the fake "
+    "decoder's 24 fps, capped at 16 frames/video, one row per sampled "
+    "frame with its millisecond offset — fan-out inside the Arrow "
+    "batch (operators/multimodal.py:sample_frames), never a driver "
+    "loop.",
+)
+def x40_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calaveras_uniteus_etl_spark.operators.multimodal import sample_frames
+
+    return sample_frames(_media(spark, sf_dir))
