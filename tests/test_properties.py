@@ -246,3 +246,63 @@ def test_assign_sessions_matches_python_model(spark, streams, gap):
         expected = _session_model([t for t, _ in ordered], gap)
         for (t, e), want in zip(ordered, expected):
             assert got[(entity, e)] == want, (entity, t, e)
+
+
+# ---------------------------------------------------------------------------
+# epoch_us: Spark value == DuckDB epoch_us on the same naive timestamp,
+# for any session timezone (the property that made it replace
+# unix_micros).
+# ---------------------------------------------------------------------------
+
+
+@settings(**_SETTINGS)
+@given(
+    us=st.integers(min_value=0, max_value=2_000_000_000_000_000),  # 1970..2033
+)
+def test_epoch_us_matches_duckdb(spark, us):
+    import datetime as dt
+
+    import duckdb
+
+    from calaveras_uniteus_etl_spark.functions.datetime_ext import epoch_us
+
+    ts = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=us)
+    got = (
+        spark.createDataFrame([(ts,)], "ts timestamp_ntz")
+        .select(epoch_us("ts").alias("u"))
+        .first()[0]
+    )
+    want = duckdb.sql(f"SELECT epoch_us(TIMESTAMP '{ts.isoformat(sep=' ')}')").fetchone()[0]
+    assert got == want == us
+
+
+# ---------------------------------------------------------------------------
+# resize_fit: aspect-preserving, never upscaling, always inside the box.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=8192),
+    h=st.integers(min_value=1, max_value=8192),
+    tw=st.integers(min_value=1, max_value=4096),
+    th=st.integers(min_value=1, max_value=4096),
+)
+def test_resize_fit_invariants(w, h, tw, th):
+    from calaveras_uniteus_etl_spark.operators.multimodal import resize_fit
+
+    ow, oh, resized = resize_fit(w, h, tw, th)
+    assert resized == (w > tw or h > th)
+    # never upscale
+    assert ow <= w and oh <= h
+    if resized:
+        assert ow <= tw and oh <= th
+        # the binding side is tight
+        assert ow == tw or oh == th
+        # aspect preserved within integer-floor tolerance on the free side
+        if ow == tw:
+            assert oh == (h * tw) // w
+        else:
+            assert ow == (w * th) // h
+    else:
+        assert (ow, oh) == (w, h)
