@@ -14,6 +14,9 @@ semantics to port. This package is the idiomatic-Spark upgrade path:
   streaming twin of s2_sessionization).
 """
 
+from calaveras_uniteus_etl_spark.streaming.enrich import (  # noqa: F401
+    enrich_with_dimension,
+)
 from calaveras_uniteus_etl_spark.streaming.ingest import stream_ingest  # noqa: F401
 from calaveras_uniteus_etl_spark.streaming.windows import (  # noqa: F401
     windowed_agg,

@@ -265,3 +265,41 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     out = spark.read.schema(df1.schema).parquet(sink)
     ids = sorted(r["event_id"] for r in out.collect())
     assert ids == [100, 101]
+
+
+def test_stream_static_enrich_matches_batch(spark, small_events, tmp_path):
+    """Stream-static broadcast join: per-micro-batch enrich equals the
+    batch join, row for row."""
+    from calaveras_uniteus_etl_spark.streaming.enrich import enrich_with_dimension
+
+    dim = spark.createDataFrame(
+        [("click", "web"), ("view", "web"), ("purchase", "commerce")],
+        "etype string, channel string",
+    )
+    src_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    small_events.write.parquet(src_dir)
+
+    stream = spark.readStream.schema(small_events.schema).parquet(src_dir)
+    enriched = enrich_with_dimension(stream, dim, "event_type", "etype").select(
+        "event_id", "event_type", "channel"
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_out")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.event_id, r.event_type, r.channel)
+        for r in spark.sql("SELECT * FROM enrich_out").collect()
+    }
+    want = {
+        (r.event_id, r.event_type, r.channel)
+        for r in enrich_with_dimension(small_events, dim, "event_type", "etype")
+        .select("event_id", "event_type", "channel")
+        .collect()
+    }
+    assert got == want and len(want) > 0
