@@ -96,6 +96,8 @@ HEADLINE = [
     "x38_ann_recall_audit",
     "x39_media_resize_plan",
     "x40_frame_sample",
+    "x41_ivf_recall_audit",
+    "h6_returned_items",
 ]
 
 

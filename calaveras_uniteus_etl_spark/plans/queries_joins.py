@@ -659,3 +659,70 @@ def h5_big_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("totalprice"), F.asc("orderkey"))
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# H6 — returned-item reporting (TPC-H Q10 shape)
+#
+# Which customers returned the most revenue in a quarter: lineitem
+# filtered to returnflag='R' (pushed to the scan), one quarter of
+# orders, customer+nation dims broadcast, exact-decimal revenue,
+# top-20 by revenue. The only corpus-scale shuffle is
+# orders⋈lineitem on orderkey + the customer-grain aggregate; the
+# TakeOrdered top-k never materializes a global sort.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "h6_returned_items",
+    oracle="""
+SELECT c.c_custkey AS custkey, c.c_name AS name, n.n_name AS nation,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (1 - CAST(l_discount AS DECIMAL(6,4))))
+                 AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, custkey
+LIMIT 20
+""",
+    doc="TPC-H Q10 shape: returned-item revenue per customer over one "
+    "quarter — returnflag filter pushed to the lineitem scan, "
+    "customer/nation broadcast, exact-decimal revenue, top-20.",
+)
+def h6_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    c = (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_nationkey")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-10-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    rev = X.dec("l_extendedprice") * (F.lit(1) - X.dec("l_discount", X.RATE))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.sum(rev).cast("decimal(38,6)").cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("custkey"))
+        .limit(20)
+    )

@@ -897,3 +897,103 @@ def x38_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# X41 — IVF recall audit (the x38 audit for the inverted-file path)
+#
+# Same acceptance metric, other index: recall@k of the nprobe=2 IVF
+# ranker (x13) against the exact ranker. Together with x38 this gives
+# the recall-per-index-family table an ANN rollout decision needs.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x41_ivf_recall_audit",
+    oracle=f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < {_N_CENTROIDS}
+), assign AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, cents.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_DUCK_COS_RAW.format(a="e.embedding", b="cents.c")} DESC, cents.cid) AS rn
+    FROM embeddings e CROSS JOIN cents
+  ) WHERE rn = 1
+), probe_lists AS (
+  SELECT query_id, cid FROM (
+    SELECT p.vec_id AS query_id, cents.cid,
+           ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                              ORDER BY {_DUCK_COS_RAW.format(a="p.embedding", b="cents.c")} DESC, cents.cid) AS rn
+    FROM embeddings p CROSS JOIN cents WHERE p.vec_id < {_N_QUERY}
+  ) WHERE rn <= {_N_PROBE}
+), icand AS (
+  SELECT pl.query_id, a.vec_id AS neighbor_id, q.embedding AS qe, a.embedding AS ne
+  FROM probe_lists pl
+  JOIN assign a ON a.cid = pl.cid
+  JOIN embeddings q ON q.vec_id = pl.query_id
+  WHERE a.vec_id <> pl.query_id
+), ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY ROUND({_DUCK_COS_RAW.format(a="qe", b="ne")}, 4) DESC, neighbor_id) AS rn
+    FROM icand
+  ) WHERE rn <= {_ANN_TOPK}
+),
+eprobes AS (
+  SELECT vec_id AS query_id, embedding AS q
+  FROM embeddings WHERE vec_id < {_N_QUERY}
+),
+escored AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         ROUND(list_dot_product(p.q, e.embedding)
+               / NULLIF(sqrt(list_dot_product(p.q, p.q))
+                        * sqrt(list_dot_product(e.embedding, e.embedding)), 0),
+               4) AS cosine
+  FROM eprobes p, embeddings e
+  WHERE e.vec_id <> p.query_id
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM escored
+  ) WHERE rn <= {_ANN_TOPK}
+)
+SELECT x.query_id,
+       CAST(COUNT(i.neighbor_id) AS BIGINT) AS ivf_hits,
+       ROUND(COUNT(i.neighbor_id) / {_ANN_TOPK}.0, 4) AS recall_at_k
+FROM exact x
+LEFT JOIN ivf i
+  ON i.query_id = x.query_id AND i.neighbor_id = x.neighbor_id
+GROUP BY x.query_id
+ORDER BY x.query_id
+""",
+    doc=f"IVF quality audit: recall@{_ANN_TOPK} of the nprobe={_N_PROBE} "
+    "inverted-file ranker (x13) against the exact cosine ranker — "
+    "together with x38 this is the recall-per-index-family comparison "
+    "an ANN rollout decides on.",
+)
+def x41_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    exact = (
+        x5_cosine_topk(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _ANN_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    ivf = x13_ann_ivf_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("ivf_hits"),
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0))) / float(_ANN_TOPK), 4
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
