@@ -158,3 +158,8 @@ class ETLConfig:
     upsert: bool = True
     latest_file_only: bool = False
     skip_processed: bool = True
+    # C6: collect the cleaning report (two extra counting actions per
+    # file) and append data_quality_issues rows. The reference always
+    # logs these (core/database.py:540-565); configurable here so bulk
+    # backfills can opt out of the counting passes.
+    quality_log: bool = True

@@ -106,7 +106,7 @@ def ingest_file(
         _append_schema_errors(spark, wh, task, result)
         return task
 
-    cleaned, _ = clean(raw)
+    cleaned, quality = clean(raw, collect_report=config.quality_log)
     # required-field enforcement (rows lacking the PK are quality issues)
     required = REQUIRED_FIELDS.get(table, PRIMARY_KEYS.get(table, []))
     for col in required:
@@ -152,8 +152,67 @@ def ingest_file(
         mode = "append" if wh.exists(table) and not config.upsert else "overwrite"
         wh.write(table, batch, mode=mode)
         task.rows_inserted = batch.count()
+    if config.quality_log:
+        _append_quality_issues(spark, wh, task, quality)
     task.status = TaskStatus.COMPLETED
     return task
+
+
+def _append_quality_issues(spark, wh, task, quality) -> None:
+    """C6: persist the cleaning report as data_quality_issues rows
+    (reference core/database.py:540-565 logs dropped-row and null-rate
+    issues per load; summarized by quality_summary())."""
+    now = datetime.now(tz=timezone.utc).replace(tzinfo=None)
+    rows = []
+    if quality.dropped_all_null_rows:
+        rows.append(
+            (task.table_name, task.file_name, "all_null_row", None,
+             quality.dropped_all_null_rows,
+             f"dropped {quality.dropped_all_null_rows} fully-null rows", now)
+        )
+    rows += [
+        (task.table_name, task.file_name, "null_values", col, n,
+         f"{n} null values in {col}", now)
+        for col, n in sorted(quality.null_counts.items())
+        if n
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, TABLE_SCHEMAS["data_quality_issues"])
+    wh.write(
+        "data_quality_issues", df,
+        mode="append" if wh.exists("data_quality_issues") else "overwrite",
+    )
+
+
+def quality_summary(wh) -> "DataFrame":
+    """The /api/data-quality/summary rollup: one row per grain/key.
+
+    grain='total' (key NULL), grain='issue_type', grain='table_name' —
+    the reference returns the same three aggregates as a dict
+    (core/database.py:567-594). One scan, one shuffle on the tiny
+    (grain, key) keyspace via grouping sets.
+    """
+    from pyspark.sql import functions as _F
+
+    issues = wh.read("data_quality_issues")
+    return (
+        issues.select("issue_type", "table_name", "issue_count")
+        .groupBy("issue_type", "table_name")
+        .agg(_F.sum("issue_count").alias("n"))
+        .select(
+            _F.explode(
+                _F.array(
+                    _F.struct(_F.lit("total").alias("grain"), _F.lit(None).cast("string").alias("key"), _F.col("n")),
+                    _F.struct(_F.lit("issue_type").alias("grain"), _F.col("issue_type").alias("key"), _F.col("n")),
+                    _F.struct(_F.lit("table_name").alias("grain"), _F.col("table_name").alias("key"), _F.col("n")),
+                )
+            ).alias("g")
+        )
+        .select("g.grain", "g.key", "g.n")
+        .groupBy("grain", "key")
+        .agg(_F.sum("n").cast("bigint").alias("n_issues"))
+    )
 
 
 def _append_schema_errors(spark, wh, task, result) -> None:

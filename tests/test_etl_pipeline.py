@@ -221,3 +221,37 @@ def test_latin1_bytes_do_not_fail(tmp_path, spark):
     assert detect_encoding(str(p)) == "latin-1"
     rows = read_delimited(spark, str(p)).collect()
     assert rows[0]["name"] == "caf\xe9"
+
+
+def test_quality_issues_logged_and_summarized(tmp_path, spark, input_dir):
+    """C6: the cleaning report lands as data_quality_issues rows and
+    quality_summary() rolls them up the way the reference's
+    /api/data-quality/summary does (total / by type / by table)."""
+    from calaveras_uniteus_etl_spark.etl import quality_summary
+
+    # p3's people_created_at is the NULL sentinel → one null_values row
+    (input_dir / "people_20240101.txt").write_text(PEOPLE_V1)
+    cfg = _cfg(tmp_path)
+    report = ingest(spark, cfg)
+    assert [t.status for t in report.tasks] == [TaskStatus.COMPLETED]
+
+    wh = Warehouse(spark, cfg.warehouse_dir)
+    issues = wh.read("data_quality_issues")
+    logged = {
+        (r.issue_type, r.column_name): r.issue_count for r in issues.collect()
+    }
+    assert logged[("null_values", "people_created_at")] == 1
+    assert all(r.table_name == "people" for r in issues.collect())
+
+    s = {(r.grain, r.key): r.n_issues for r in quality_summary(wh).collect()}
+    total = sum(v for (g, _), v in s.items() if g == "issue_type")
+    assert s[("total", None)] == total > 0
+    assert s[("table_name", "people")] == s[("total", None)]
+
+
+def test_quality_log_opt_out(tmp_path, spark, input_dir):
+    (input_dir / "people_20240101.txt").write_text(PEOPLE_V1)
+    cfg = _cfg(tmp_path, quality_log=False)
+    ingest(spark, cfg)
+    wh = Warehouse(spark, cfg.warehouse_dir)
+    assert not wh.exists("data_quality_issues")
