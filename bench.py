@@ -98,6 +98,8 @@ HEADLINE = [
     "x40_frame_sample",
     "x41_ivf_recall_audit",
     "h6_returned_items",
+    "g5_rolling_7d_users",
+    "e12_link_rank",
 ]
 
 

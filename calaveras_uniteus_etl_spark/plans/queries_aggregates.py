@@ -1696,3 +1696,53 @@ def g4_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# G5 — rolling 7-day distinct users (exact, via explode-to-window)
+#
+# Exact distinct counts over sliding windows can't merge from daily
+# counts; the scalable exact form materializes the per-(user, day)
+# grain once, then fans each user-day into the ≤7 window-ends it
+# belongs to — shuffle keys are (window_end, user), never raw events,
+# and the fan-out factor is the window length, not the data volume.
+# (The approximate path at 100 TB is f2's HLL sketch; this is its
+# exact twin.)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g5_rolling_7d_users",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), expanded AS (
+  SELECT user_id, d + to_days(CAST(i AS INT)) AS window_end
+  FROM ud CROSS JOIN (SELECT unnest(range(7)) AS i) t
+)
+SELECT strftime(window_end, '%Y-%m-%d') AS window_end,
+       COUNT(DISTINCT user_id) AS users_7d
+FROM expanded
+GROUP BY window_end
+ORDER BY window_end
+""",
+    doc="Exact rolling 7-day distinct users: per-(user, day) grain "
+    "fanned into its window-ends (explode-to-window), one distinct "
+    "aggregate on (window_end, user) — never a per-window rescan.",
+)
+def g5_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ud = (
+        table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    expanded = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        "d",
+    ).select("user_id", F.date_add(F.col("d"), F.col("i")).alias("window_end"))
+    return (
+        expanded.groupBy(F.date_format("window_end", "yyyy-MM-dd").alias("window_end"))
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+        .orderBy("window_end")
+    )

@@ -726,3 +726,120 @@ def h6_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("custkey"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# E12 — link rank over the collaboration graph (iterative power method)
+#
+# PageRank-style importance over the e8 nation→nation shipment edges:
+# rank flows along distinct edges for a FIXED 3 iterations with
+# damping 0.85, all arithmetic in integer micro-rank units (integer
+# division both engines truncates identically), so the result is
+# bit-reproducible and the DuckDB oracle just unrolls the three
+# iterations as CTEs. The Spark side is the canonical iterative-join
+# driver loop (x14's pattern); per iteration the shuffle carries
+# (node, rank) pairs only. Dangling mass is dropped (standard
+# simplification) — both engines agree because both drop it.
+# ---------------------------------------------------------------------------
+
+_RANK_BASE = 1_000_000  # initial rank per node, micro-units
+_RANK_ITERS = 3
+_DAMP_NUM, _DAMP_DEN = 850_000, 1_000_000  # 0.85 damping in micro-units
+
+
+def _link_rank_oracle() -> str:
+    edges = """
+SELECT DISTINCT cn.n_name AS src, sn.n_name AS dst
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+WHERE cn.n_name <> sn.n_name
+"""
+    sql = f"""
+WITH edges AS ({edges}),
+nodes AS (SELECT src AS n FROM edges UNION SELECT dst FROM edges),
+outdeg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+r0 AS (SELECT n, CAST({_RANK_BASE} AS BIGINT) AS r FROM nodes)"""
+    for t in range(1, _RANK_ITERS + 1):
+        sql += f""",
+c{t} AS (
+  SELECT e.dst AS n, SUM(r.r // o.od) AS contrib
+  FROM edges e JOIN r{t - 1} r ON r.n = e.src JOIN outdeg o ON o.src = e.src
+  GROUP BY e.dst
+),
+r{t} AS (
+  SELECT nodes.n,
+         CAST({_RANK_BASE - _DAMP_NUM}
+              + (COALESCE(c{t}.contrib, 0) * {_DAMP_NUM}) // {_DAMP_DEN} AS BIGINT) AS r
+  FROM nodes LEFT JOIN c{t} ON c{t}.n = nodes.n
+)"""
+    sql += f"""
+SELECT n AS nation, r AS rank_micro FROM r{_RANK_ITERS}
+ORDER BY rank_micro DESC, nation
+"""
+    return sql
+
+
+@register(
+    "e12_link_rank",
+    oracle=_link_rank_oracle(),
+    doc=f"Link rank: {_RANK_ITERS} damped power iterations over the "
+    "distinct nation→nation shipment edges, integer micro-rank "
+    "arithmetic (identical truncation both engines), iterative-join "
+    "driver loop on the Spark side.",
+)
+def e12_link_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("src"))
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("dst"))
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .cache()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("n"))
+        .unionByName(edges.select(F.col("dst").alias("n")))
+        .distinct()
+        .cache()
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("od"))
+    ranks = nodes.select("n", F.lit(_RANK_BASE).cast("bigint").alias("r"))
+    for _ in range(_RANK_ITERS):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("n", "src_n"), F.col("src_n") == F.col("src"))
+            .join(outdeg, "src")
+            .groupBy(F.col("dst").alias("cn_node"))
+            .agg(F.sum(F.expr("r div od")).alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.n == F.col("cn_node"), "left")
+            .select(
+                "n",
+                (
+                    F.lit(150_000)
+                    + F.expr(
+                        f"(coalesce(contrib, 0L) * {_DAMP_NUM}) div {_DAMP_DEN}"
+                    )
+                )
+                .cast("bigint")
+                .alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        F.col("n").alias("nation"), F.col("r").alias("rank_micro")
+    ).orderBy(F.desc("rank_micro"), "nation")

@@ -87,6 +87,17 @@ def test_dim_joins_broadcast_not_shuffle(spark, name):
         "x33_source_overlap",
         "x34_bloom_membership",
         "g4_activity_heatmap",
+        "x35_lsh_threshold_sweep",
+        "x36_cluster_size_dist",
+        "c9_snapshot_diff",
+        "x37_source_cap",
+        "x38_ann_recall_audit",
+        "x39_media_resize_plan",
+        "x40_frame_sample",
+        "x41_ivf_recall_audit",
+        "h6_returned_items",
+        "g5_rolling_7d_users",
+        "e12_link_rank",
     ],
 )
 def test_new_queries_have_no_cartesian_product(spark, name):
