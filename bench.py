@@ -100,6 +100,7 @@ HEADLINE = [
     "h6_returned_items",
     "g5_rolling_7d_users",
     "e12_link_rank",
+    "x42_ivf_nprobe_sweep",
 ]
 
 

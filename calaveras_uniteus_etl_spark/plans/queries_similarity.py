@@ -997,3 +997,167 @@ def x41_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# X42 — IVF nprobe sweep (recall/cost tuning table)
+#
+# The actual tuning decision behind x41: how much recall does each
+# extra probed list buy, and at what candidate volume? Centroid
+# assignment and probe-list ranking are computed ONCE; each nprobe row
+# is only a different rank cutoff over the same relation. Output: one
+# row per nprobe with total candidates (cost proxy) and mean recall@k
+# across the probe set.
+# ---------------------------------------------------------------------------
+
+_SWEEP_PROBES = (1, 2, 4)
+
+
+def _ivf_sweep_oracle() -> str:
+    head = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < {_N_CENTROIDS}
+), assign AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, cents.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_DUCK_COS_RAW.format(a="e.embedding", b="cents.c")} DESC, cents.cid) AS rn
+    FROM embeddings e CROSS JOIN cents
+  ) WHERE rn = 1
+), pranked AS (
+  SELECT p.vec_id AS query_id, cents.cid,
+         ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                            ORDER BY {_DUCK_COS_RAW.format(a="p.embedding", b="cents.c")} DESC, cents.cid) AS rn
+  FROM embeddings p CROSS JOIN cents WHERE p.vec_id < {_N_QUERY}
+), eprobes AS (
+  SELECT vec_id AS query_id, embedding AS q
+  FROM embeddings WHERE vec_id < {_N_QUERY}
+), escored AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         ROUND(list_dot_product(p.q, e.embedding)
+               / NULLIF(sqrt(list_dot_product(p.q, p.q))
+                        * sqrt(list_dot_product(e.embedding, e.embedding)), 0),
+               4) AS cosine
+  FROM eprobes p, embeddings e
+  WHERE e.vec_id <> p.query_id
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM escored
+  ) WHERE rn <= {_ANN_TOPK}
+)"""
+    arms = []
+    for np_ in _SWEEP_PROBES:
+        head += f""",
+cand{np_} AS (
+  SELECT pl.query_id, a.vec_id AS neighbor_id, q.embedding AS qe, a.embedding AS ne
+  FROM (SELECT query_id, cid FROM pranked WHERE rn <= {np_}) pl
+  JOIN assign a ON a.cid = pl.cid
+  JOIN embeddings q ON q.vec_id = pl.query_id
+  WHERE a.vec_id <> pl.query_id
+),
+ivf{np_} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY ROUND({_DUCK_COS_RAW.format(a="qe", b="ne")}, 4) DESC, neighbor_id) AS rn
+    FROM cand{np_}
+  ) WHERE rn <= {_ANN_TOPK}
+)"""
+        arms.append(f"""
+SELECT {np_} AS nprobe,
+       (SELECT COUNT(*) FROM cand{np_}) AS total_candidates,
+       ROUND((SELECT COUNT(*) FROM exact x JOIN ivf{np_} i
+              ON i.query_id = x.query_id AND i.neighbor_id = x.neighbor_id)
+             / ({_N_QUERY} * {_ANN_TOPK}.0), 4) AS mean_recall""")
+    return head + "\n" + "\nUNION ALL".join(arms) + "\nORDER BY nprobe"
+
+
+@register(
+    "x42_ivf_nprobe_sweep",
+    oracle=_ivf_sweep_oracle(),
+    doc="IVF tuning table: candidate volume (cost proxy) and mean "
+    f"recall@{_ANN_TOPK} per nprobe in {_SWEEP_PROBES} — assignment "
+    "and probe ranking computed once, each row only a rank cutoff.",
+)
+def x42_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select(
+            "vec_id",
+            "embedding",
+            F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        )
+        .cache()
+    )
+    cents = e.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c"),
+        F.col("nrm").alias("cn"),
+    )
+    cos_raw = _dot(F.col("embedding"), F.col("c")) / F.nullif(
+        F.col("nrm") * F.col("cn"), F.lit(0.0)
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", cos_raw.alias("cc")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("cid"))
+    ranked = scored.withColumn("rn", F.row_number().over(w_assign)).cache()
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cid")
+    probes = e.filter(F.col("vec_id") < _N_QUERY).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    w_exact = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    exact = (
+        x5_cosine_topk(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w_exact))
+        .filter(F.col("rn") <= _ANN_TOPK)
+        .select("query_id", "neighbor_id")
+        .cache()
+    )
+    rows = []
+    for np_ in _SWEEP_PROBES:
+        pl = (
+            ranked.filter((F.col("vec_id") < _N_QUERY) & (F.col("rn") <= np_))
+            .select(F.col("vec_id").alias("query_id"), "cid")
+        )
+        cand = (
+            F.broadcast(pl)
+            .join(assign, "cid")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", F.col("vec_id").alias("neighbor_id"))
+            .cache()
+        )
+        n_cand = cand.count()
+        scored_np = cand.join(F.broadcast(probes), "query_id").join(
+            e.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("ne"),
+                F.col("nrm").alias("nn"),
+            ),
+            "neighbor_id",
+        )
+        cosine = F.round(
+            _dot(F.col("qe"), F.col("ne"))
+            / F.nullif(F.col("qn") * F.col("nn"), F.lit(0.0)),
+            4,
+        )
+        topk = (
+            scored_np.select("query_id", "neighbor_id", cosine.alias("cosine"))
+            .withColumn("rn", F.row_number().over(w_exact))
+            .filter(F.col("rn") <= _ANN_TOPK)
+            .select("query_id", "neighbor_id")
+        )
+        hits = exact.join(topk, ["query_id", "neighbor_id"]).count()
+        rows.append(
+            (np_, n_cand, round(hits / (_N_QUERY * float(_ANN_TOPK)), 4))
+        )
+    return spark.createDataFrame(
+        rows, "nprobe int, total_candidates bigint, mean_recall double"
+    )

@@ -98,6 +98,7 @@ def test_dim_joins_broadcast_not_shuffle(spark, name):
         "h6_returned_items",
         "g5_rolling_7d_users",
         "e12_link_rank",
+        "x42_ivf_nprobe_sweep",
     ],
 )
 def test_new_queries_have_no_cartesian_product(spark, name):
