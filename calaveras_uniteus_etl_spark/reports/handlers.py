@@ -39,6 +39,9 @@ def summary_counts(
     people: DataFrame, cases: DataFrame, referrals: DataFrame, ar: DataFrame,
     f: ReportFilters = ReportFilters(),
 ) -> DataFrame:
+    # crossJoins here are 1-row × 1-row (each side is a single global
+    # aggregate) — constant cost at any data volume, not a cartesian
+    # blow-up risk.
     return (
         people.agg(F.count("*").alias("total_people"))
         .crossJoin(
