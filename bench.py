@@ -101,6 +101,7 @@ HEADLINE = [
     "g5_rolling_7d_users",
     "e12_link_rank",
     "x42_ivf_nprobe_sweep",
+    "x43_countmin_freq",
 ]
 
 

@@ -1351,3 +1351,123 @@ def x37_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# X43 — count-min sketch frequency audit
+#
+# The third sketch in the scale toolkit (next to f2's HLL cardinality
+# and x34's Bloom membership): approximate term frequencies in D×W
+# counters instead of one cell per distinct term. Count-min is fully
+# deterministic given its hash family, so the whole sketch — and its
+# one-sided error (estimate ≥ truth, never below) — is oracle-checked
+# cell for cell. The audit output compares the estimate against the
+# exact count for the exact top-20 terms; `overestimate` quantifies
+# collision noise at this W.
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4  # hash rows
+_CMS_W = 1024  # counters per row
+_CMS_AUDIT_K = 20  # audit the exact top-k terms
+
+
+def _cms_oracle() -> str:
+    from calaveras_uniteus_etl_spark.functions.hashing import duckdb_md5_long_sql
+
+    norm = NORM_DUCK.format(col="text")
+    cell = duckdb_md5_long_sql("CAST(d AS VARCHAR) || ':' || term")
+    probe_cell = duckdb_md5_long_sql("CAST(rows_d.d AS VARCHAR) || ':' || t.term")
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split({norm}, ' ')) AS term FROM documents
+), toks_ne AS (
+  SELECT term FROM toks WHERE term <> ''
+), rows_d AS (SELECT unnest(range({_CMS_D})) AS d),
+cms AS (
+  SELECT d, {cell} % {_CMS_W} AS bucket, COUNT(*) AS cnt
+  FROM toks_ne CROSS JOIN rows_d
+  GROUP BY d, {cell} % {_CMS_W}
+), exact AS (
+  SELECT term, COUNT(*) AS exact_n FROM toks_ne GROUP BY term
+  ORDER BY exact_n DESC, term LIMIT {_CMS_AUDIT_K}
+), est AS (
+  SELECT t.term, t.exact_n, MIN(c.cnt) AS cms_n
+  FROM exact t CROSS JOIN rows_d
+  JOIN cms c ON c.d = rows_d.d AND c.bucket = {probe_cell} % {_CMS_W}
+  GROUP BY t.term, t.exact_n
+)
+SELECT term, exact_n, CAST(cms_n AS BIGINT) AS cms_n,
+       CAST(cms_n - exact_n AS BIGINT) AS overestimate
+FROM est
+ORDER BY exact_n DESC, term
+"""
+
+
+@register(
+    "x43_countmin_freq",
+    oracle=_cms_oracle(),
+    doc=f"Count-min sketch ({_CMS_D}x{_CMS_W} counters, md5-seeded "
+    "rows) with a frequency audit over the exact top-20 terms: "
+    "estimate = min over rows, one-sided error (cms_n >= exact_n) "
+    "quantified per term.",
+)
+def x43_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calaveras_uniteus_etl_spark.functions.hashing import md5_long_seeded
+
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = d.select(
+        F.explode(F.expr(f"split({NORM_SPARK.format(col='text')}, ' ')")).alias(
+            "term"
+        )
+    ).filter(F.col("term") != "").cache()
+
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("d"),
+                        (md5_long_seeded("term", i) % _CMS_W).alias("bucket"),
+                    )
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("c")
+    ).select("c.d", "c.bucket")
+    cms = cells.groupBy("d", "bucket").agg(F.count("*").alias("cnt"))
+
+    exact = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("term"))
+        .limit(_CMS_AUDIT_K)
+    )
+    probe_cells = exact.select(
+        "term",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("d"),
+                        (md5_long_seeded("term", i) % _CMS_W).alias("bucket"),
+                    )
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("c"),
+    ).select("term", "exact_n", "c.d", "c.bucket")
+    est = (
+        F.broadcast(probe_cells)
+        .join(cms, ["d", "bucket"])
+        .groupBy("term", "exact_n")
+        .agg(F.min("cnt").alias("cms_n"))
+    )
+    return est.select(
+        "term",
+        "exact_n",
+        F.col("cms_n").cast("bigint").alias("cms_n"),
+        (F.col("cms_n") - F.col("exact_n")).cast("bigint").alias("overestimate"),
+    ).orderBy(F.desc("exact_n"), "term")

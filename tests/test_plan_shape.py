@@ -99,6 +99,7 @@ def test_dim_joins_broadcast_not_shuffle(spark, name):
         "g5_rolling_7d_users",
         "e12_link_rank",
         "x42_ivf_nprobe_sweep",
+        "x43_countmin_freq",
     ],
 )
 def test_new_queries_have_no_cartesian_product(spark, name):
