@@ -435,3 +435,39 @@ def test_referral_network(spark, fixture_tables):
     # r4 is a self-edge (ProvA→ProvA) → excluded
     assert got == [("ProvA", "ProvB", 2, 2, 50.0),
                    ("ProvB", "ProvA", 1, 1, 100.0)]
+
+
+def test_summary_counts_with_filters(spark, fixture_tables):
+    t = fixture_tables
+    row = H.summary_counts(t["people"], t["cases"], t["referrals"], t["ar"]).first()
+    assert (
+        row.total_people, row.total_cases,
+        row.total_referrals, row.total_assistance_requests,
+    ) == (4, 4, 4, 3)
+    # a service-type filter gates cases and referrals, never people/ar
+    f = ReportFilters(service_type="Housing")
+    row = H.summary_counts(t["people"], t["cases"], t["referrals"], t["ar"], f).first()
+    assert (row.total_people, row.total_cases, row.total_referrals) == (4, 2, 3)
+
+
+def test_top_service_types_excludes_null_and_caps(spark, fixture_tables):
+    got = [
+        (r.service_type, r["count"])
+        for r in H.top_service_types(fixture_tables["cases"], "cases", n=1).collect()
+    ]
+    # Housing(2) beats Food(1); c4's NULL service_type never appears
+    assert got == [("Housing", 2)]
+
+
+def test_cohort_retention_returning_clients(spark, fixture_tables):
+    rows = {
+        r.cohort: (r.cohort_size, r.returned, r.retention_pct)
+        for r in H.cohort_retention(fixture_tables["cases"]).collect()
+    }
+    # p1's first case is 2025-06 (c2); c1 in 2025-11 makes p1 a returner
+    assert rows["2025-06"] == (1, 1, 100.0)
+    # p2 (2025-12) and p3 (2025-03) never return
+    assert rows["2025-12"] == (1, 0, 0.0)
+    assert rows["2025-03"] == (1, 0, 0.0)
+    # cohorts key on the FIRST month only — one row per person here
+    assert sum(size for size, _, _ in rows.values()) == 3
