@@ -44,3 +44,32 @@ def test_cobucketed_join_has_no_exchange(spark, tmp_path):
     a, b = spark.read.parquet(p1).hint("merge"), spark.read.parquet(p2).hint("merge")
     plain = a.join(b, a.o_key == b.l_key)
     assert "Exchange" in plain._jdf.queryExecution().executedPlan().toString()
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Date-partitioned fact writes must give partition pruning: a
+    month-filtered read shows the predicate under PartitionFilters and
+    scans only that month's directory — the difference between reading
+    a day and reading 100 TB of history."""
+    from calaveras_uniteus_etl_spark.warehouse import Warehouse
+    from pyspark.sql import functions as F
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ev = spark.range(0, 3000).selectExpr(
+        "id AS event_id",
+        "timestampadd(HOUR, cast(id % 2160 as int), TIMESTAMP '2024-01-01 00:00:00') AS ts",
+        "id % 97 AS user_id",
+    ).withColumn("month", F.date_format("ts", "yyyy-MM"))
+    wh.write("events_part", ev, partition_by=["month"])
+
+    df = wh.read("events_part").filter(F.col("month") == "2024-02")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "month" in pf[0], plan
+    assert df.count() == ev.filter(F.col("month") == "2024-02").count() > 0
+
+    # directory layout really is one subdir per month
+    import os
+
+    months = [d for d in os.listdir(wh.path("events_part")) if d.startswith("month=")]
+    assert len(months) == 3  # Jan, Feb, Mar (2160 h = 90 days)
