@@ -102,6 +102,7 @@ HEADLINE = [
     "e12_link_rank",
     "x42_ivf_nprobe_sweep",
     "x43_countmin_freq",
+    "x44_chunk_dup_census",
 ]
 
 

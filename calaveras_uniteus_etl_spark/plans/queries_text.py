@@ -1471,3 +1471,58 @@ def x43_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cms_n").cast("bigint").alias("cms_n"),
         (F.col("cms_n") - F.col("exact_n")).cast("bigint").alias("overestimate"),
     ).orderBy(F.desc("exact_n"), "term")
+
+
+# ---------------------------------------------------------------------------
+# X44 — chunk-duplication census (partial-overlap dedup signal)
+#
+# Doc-level dedup misses documents that share long passages without
+# being near-dups overall (quotes, licenses, syndicated sections).
+# This censuses x27's content-addressed chunks across the corpus: the
+# copies-per-chunk histogram is the partial-overlap profile a chunk-
+# level dedup pass would act on. One groupBy on the 128-bit chunk
+# digest — text never shuffles twice — then a tiny histogram rollup.
+# ---------------------------------------------------------------------------
+
+from calaveras_uniteus_etl_spark.plans.catalog import REGISTRY as _TEXT_REG
+
+_X27_SQL = _TEXT_REG["x27_doc_chunking"].oracle
+
+
+@register(
+    "x44_chunk_dup_census",
+    oracle=f"""
+WITH x27 AS ({_X27_SQL}),
+occ AS (
+  SELECT chunk_md5,
+         COUNT(*) AS copies,
+         COUNT(DISTINCT doc_id) AS docs
+  FROM x27 GROUP BY chunk_md5
+)
+SELECT copies,
+       COUNT(*) AS n_chunk_hashes,
+       CAST(SUM(copies) AS BIGINT) AS chunk_instances,
+       CAST(SUM(docs) AS BIGINT) AS doc_slots
+FROM occ
+GROUP BY copies
+ORDER BY copies
+""",
+    doc="Chunk-duplication census over x27's content-addressed chunks: "
+    "copies-per-chunk histogram (distinct docs carried alongside) — "
+    "the partial-overlap signal doc-level dedup misses.",
+)
+def x44_chunk_dup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = x27_doc_chunking(spark, sf_dir)
+    occ = chunks.groupBy("chunk_md5").agg(
+        F.count("*").alias("copies"),
+        F.countDistinct("doc_id").alias("docs"),
+    )
+    return (
+        occ.groupBy("copies")
+        .agg(
+            F.count("*").alias("n_chunk_hashes"),
+            F.sum("copies").cast("bigint").alias("chunk_instances"),
+            F.sum("docs").cast("bigint").alias("doc_slots"),
+        )
+        .orderBy("copies")
+    )

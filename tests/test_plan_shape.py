@@ -100,6 +100,7 @@ def test_dim_joins_broadcast_not_shuffle(spark, name):
         "e12_link_rank",
         "x42_ivf_nprobe_sweep",
         "x43_countmin_freq",
+        "x44_chunk_dup_census",
     ],
 )
 def test_new_queries_have_no_cartesian_product(spark, name):
