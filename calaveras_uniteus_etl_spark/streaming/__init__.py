@@ -18,6 +18,10 @@ from calaveras_uniteus_etl_spark.streaming.enrich import (  # noqa: F401
     enrich_with_dimension,
 )
 from calaveras_uniteus_etl_spark.streaming.ingest import stream_ingest  # noqa: F401
+from calaveras_uniteus_etl_spark.streaming.rollup import (  # noqa: F401
+    merge_rollup,
+    stream_rollup,
+)
 from calaveras_uniteus_etl_spark.streaming.windows import (  # noqa: F401
     windowed_agg,
 )

@@ -303,3 +303,46 @@ def test_stream_static_enrich_matches_batch(spark, small_events, tmp_path):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_foreachbatch_rollup_equals_batch_recompute(spark, small_events, tmp_path):
+    """Incrementally-maintained rollup == full batch aggregate after
+    two separate drains (new files arriving between runs)."""
+    from calaveras_uniteus_etl_spark.streaming.rollup import (
+        ROLLUP_TABLE,
+        stream_rollup,
+    )
+    from calaveras_uniteus_etl_spark.warehouse import Warehouse
+
+    src = tmp_path / "roll_in"
+    src.mkdir()
+    ckpt = str(tmp_path / "roll_ck")
+    wh = Warehouse(spark, str(tmp_path / "roll_wh"))
+
+    half1 = small_events.filter(F.col("event_id") % 2 == 0)
+    half2 = small_events.filter(F.col("event_id") % 2 == 1)
+
+    half1.write.parquet(str(src / "drop1"))
+    q = stream_rollup(spark, str(src / "*"), wh, ckpt, small_events.schema)
+    q.awaitTermination(120)
+
+    half2.write.parquet(str(src / "drop2"))
+    q = stream_rollup(spark, str(src / "*"), wh, ckpt, small_events.schema)
+    q.awaitTermination(120)
+
+    got = {
+        (r.event_type, r.n_events, str(r.sum_value))
+        for r in wh.read(ROLLUP_TABLE).collect()
+    }
+    want = {
+        (r.event_type, r.n_events, str(r.sum_value))
+        for r in small_events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(38,6)")
+            .alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == want and len(want) > 0
