@@ -103,6 +103,7 @@ HEADLINE = [
     "x42_ivf_nprobe_sweep",
     "x43_countmin_freq",
     "x44_chunk_dup_census",
+    "f27_bounded_conversion",
 ]
 
 

@@ -1746,3 +1746,85 @@ def g5_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("users_7d"))
         .orderBy("window_end")
     )
+
+
+# ---------------------------------------------------------------------------
+# F27 — bounded conversion funnel (click → purchase within 7 days)
+#
+# The windowed-attribution twin of e9's as-of join: every purchase
+# looks back at the same user's latest prior click (one carry-forward
+# window over the user partition — a single shuffle on user_id) and
+# converts only if the gap is within the attribution window. Gap sums
+# stay exact BIGINT microseconds; the average divides two identical
+# integers on both engines.
+# ---------------------------------------------------------------------------
+
+_F27_WINDOW_US = 7 * 86400 * 1_000_000  # 7-day attribution window
+
+
+@register(
+    "f27_bounded_conversion",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+         MAX(CASE WHEN event_type = 'click'
+             THEN epoch_us(CAST(ts AS TIMESTAMP)) END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_click_t
+  FROM events
+), purchases AS (
+  SELECT t - last_click_t AS gap_us,
+         last_click_t IS NOT NULL AS has_click,
+         last_click_t IS NOT NULL
+           AND t - last_click_t <= {_F27_WINDOW_US} AS converted
+  FROM ordered WHERE event_type = 'purchase'
+)
+SELECT COUNT(*) AS n_purchases,
+       CAST(SUM(CASE WHEN has_click THEN 1 ELSE 0 END) AS BIGINT)
+         AS with_prior_click,
+       CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+         AS converted_7d,
+       CAST(SUM(CASE WHEN converted THEN gap_us END) AS DOUBLE)
+         / NULLIF(SUM(CASE WHEN converted THEN 1 ELSE 0 END), 0)
+         AS avg_gap_us
+FROM purchases
+""",
+    doc="Bounded attribution funnel: each purchase attributes to the "
+    "user's latest prior click via one carry-forward window, counted "
+    "as converted only within the 7-day window; exact-integer gap "
+    "arithmetic.",
+)
+def f27_bounded_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts", epoch_us("ts").alias("t")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ordered = e.withColumn(
+        "last_click_t",
+        F.max(F.when(F.col("event_type") == "click", F.col("t"))).over(w),
+    )
+    p = ordered.filter(F.col("event_type") == "purchase").select(
+        (F.col("t") - F.col("last_click_t")).alias("gap_us"),
+        F.col("last_click_t").isNotNull().alias("has_click"),
+        (
+            F.col("last_click_t").isNotNull()
+            & ((F.col("t") - F.col("last_click_t")) <= _F27_WINDOW_US)
+        ).alias("converted"),
+    )
+    conv = F.when(F.col("converted"), 1).otherwise(0)
+    return p.agg(
+        F.count("*").alias("n_purchases"),
+        F.sum(F.when(F.col("has_click"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("with_prior_click"),
+        F.sum(conv).cast("bigint").alias("converted_7d"),
+        (
+            F.sum(F.when(F.col("converted"), F.col("gap_us"))).cast("double")
+            / F.nullif(F.sum(conv), F.lit(0))
+        ).alias("avg_gap_us"),
+    )

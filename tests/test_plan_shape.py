@@ -101,6 +101,7 @@ def test_dim_joins_broadcast_not_shuffle(spark, name):
         "x42_ivf_nprobe_sweep",
         "x43_countmin_freq",
         "x44_chunk_dup_census",
+        "f27_bounded_conversion",
     ],
 )
 def test_new_queries_have_no_cartesian_product(spark, name):
