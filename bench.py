@@ -104,6 +104,7 @@ HEADLINE = [
     "x43_countmin_freq",
     "x44_chunk_dup_census",
     "f27_bounded_conversion",
+    "x45_split_leakage",
 ]
 
 

@@ -1020,3 +1020,83 @@ def x36_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# X45 — split-leakage audit (near-dup pairs straddling train/test)
+#
+# A hash split (x15) is only sound if near-duplicate documents land on
+# the SAME side — a train↔test near-dup pair is evaluation leakage the
+# split itself cannot see. This joins the LSH pair miner onto the x15
+# split assignment and counts pairs per unordered split pair; any row
+# with is_leakage=true is a pair a dedup-aware splitter must collapse
+# before splitting. Same scale shape as x33: pairs are already
+# bounded; the split join ships (doc_id, split) only.
+# ---------------------------------------------------------------------------
+
+
+def _x45_split_sql() -> str:
+    from calaveras_uniteus_etl_spark.functions.hashing import duckdb_md5_long_sql
+
+    b = duckdb_md5_long_sql("'split:' || CAST(doc_id AS VARCHAR)")
+    return f"""splits AS (
+  SELECT doc_id,
+         CASE WHEN {b} % 100 < 90 THEN 'train'
+              WHEN {b} % 100 < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)"""
+
+
+@register(
+    "x45_split_leakage",
+    oracle=_DUCK_PAIR_CTES
+    + f""", pairs AS (
+  SELECT doc_a, doc_b FROM cand
+  WHERE len(list_filter(range({dd.MINHASH_K}), i -> sa[i+1] = sb[i+1])) >= {_X33_MIN_NM}
+), {_x45_split_sql()}
+SELECT least(a.split, b.split) AS split_a,
+       greatest(a.split, b.split) AS split_b,
+       a.split <> b.split AS is_leakage,
+       COUNT(*) AS pair_count
+FROM pairs
+JOIN splits a ON a.doc_id = pairs.doc_a
+JOIN splits b ON b.doc_id = pairs.doc_b
+GROUP BY 1, 2, 3
+ORDER BY pair_count DESC, split_a, split_b
+""",
+    doc="Split-leakage audit: LSH near-dup pairs joined onto the x15 "
+    "hash split, counted per unordered split pair — any cross-split "
+    "row is evaluation leakage a dedup-aware splitter must collapse "
+    "first.",
+)
+def x45_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _lsh_pair_matches(spark, sf_dir).filter(
+        F.col("nm") >= _X33_MIN_NM
+    ).select("doc_a", "doc_b")
+    bucket = F.expr(
+        "cast(conv(substr(md5(concat('split:', cast(doc_id as string))), 1, 15),"
+        " 16, 10) as bigint) % 100"
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    splits = table(spark, sf_dir, "documents").select(
+        "doc_id", split.alias("split")
+    )
+    joined = pairs.join(
+        splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sp_a")),
+        "doc_a",
+    ).join(
+        splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sp_b")),
+        "doc_b",
+    )
+    return (
+        joined.groupBy(
+            F.least("sp_a", "sp_b").alias("split_a"),
+            F.greatest("sp_a", "sp_b").alias("split_b"),
+            (F.col("sp_a") != F.col("sp_b")).alias("is_leakage"),
+        )
+        .agg(F.count("*").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "split_a", "split_b")
+    )
