@@ -105,6 +105,7 @@ HEADLINE = [
     "x44_chunk_dup_census",
     "f27_bounded_conversion",
     "x45_split_leakage",
+    "x46_template_mining",
 ]
 
 

@@ -1100,3 +1100,58 @@ def x45_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("pair_count"))
         .orderBy(F.desc("pair_count"), "split_a", "split_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# X46 — template mining (the top boilerplate spans themselves)
+#
+# x32 profiles how boilerplate-heavy each DOCUMENT is; this surfaces
+# the actual SPANS — the artifact a removal list is built from. Top-25
+# span digests by document frequency, with instance counts and the
+# lowest carrier doc_id so the span text can be pulled for review.
+# Shuffle keys are 60-bit digests; the top-k is TakeOrdered, never a
+# global sort of the span relation.
+# ---------------------------------------------------------------------------
+
+_X46_TOPK = 25
+
+
+@register(
+    "x46_template_mining",
+    oracle=rf"""
+WITH base AS (
+  SELECT doc_id, {dd.NORM_DUCK.format(col='text')} AS norm FROM documents
+), words AS (
+  SELECT doc_id, string_split(norm, ' ') AS w FROM base
+), ex AS (
+  SELECT doc_id, unnest({_duck_span_digests_sql()}) AS g FROM words
+)
+SELECT g AS span_digest,
+       COUNT(DISTINCT doc_id) AS doc_freq,
+       COUNT(*) AS instances,
+       MIN(doc_id) AS sample_doc
+FROM ex
+GROUP BY g
+HAVING COUNT(DISTINCT doc_id) >= {SPAN_MIN_DOCS}
+ORDER BY doc_freq DESC, instances DESC, span_digest
+LIMIT {_X46_TOPK}
+""",
+    doc=f"Template mining: top-{_X46_TOPK} 8-word span digests by "
+    "document frequency (instances and a sample carrier doc "
+    "alongside) — the removal list x32's per-doc boilerplate profile "
+    "points at.",
+)
+def x46_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = dd.with_shingles(_docs_wide(spark, sf_dir))
+    ex = d.select("doc_id", F.explode(F.expr(_span_digests_expr())).alias("g"))
+    return (
+        ex.groupBy(F.col("g").alias("span_digest"))
+        .agg(
+            F.countDistinct("doc_id").alias("doc_freq"),
+            F.count("*").alias("instances"),
+            F.min("doc_id").alias("sample_doc"),
+        )
+        .filter(F.col("doc_freq") >= SPAN_MIN_DOCS)
+        .orderBy(F.desc("doc_freq"), F.desc("instances"), "span_digest")
+        .limit(_X46_TOPK)
+    )

@@ -103,6 +103,7 @@ def test_dim_joins_broadcast_not_shuffle(spark, name):
         "x44_chunk_dup_census",
         "f27_bounded_conversion",
         "x45_split_leakage",
+        "x46_template_mining",
     ],
 )
 def test_new_queries_have_no_cartesian_product(spark, name):
