@@ -106,6 +106,7 @@ HEADLINE = [
     "f27_bounded_conversion",
     "x45_split_leakage",
     "x46_template_mining",
+    "g6_engagement_ratios",
 ]
 
 

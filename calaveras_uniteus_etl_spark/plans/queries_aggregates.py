@@ -1828,3 +1828,77 @@ def f27_bounded_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.sum(conv), F.lit(0))
         ).alias("avg_gap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# G6 — DAU / WAU / MAU engagement ratios
+#
+# The product-analytics staple built on g5's explode-to-window trick at
+# three window lengths: per active day, distinct users that day (DAU),
+# over the trailing 7 days (WAU) and 30 days (MAU), plus the DAU/MAU
+# stickiness ratio. The per-(user, day) grain materializes once and
+# feeds all three aggregates; nothing rescans events per window.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g6_engagement_ratios",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), dau AS (
+  SELECT d AS day, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY d
+), wau AS (
+  SELECT d + to_days(CAST(i AS INT)) AS day, COUNT(DISTINCT user_id) AS wau
+  FROM ud CROSS JOIN (SELECT unnest(range(7)) AS i) t
+  GROUP BY 1
+), mau AS (
+  SELECT d + to_days(CAST(i AS INT)) AS day, COUNT(DISTINCT user_id) AS mau
+  FROM ud CROSS JOIN (SELECT unnest(range(30)) AS i) t
+  GROUP BY 1
+)
+SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau, wau, mau,
+       CAST(dau AS DOUBLE) / mau AS stickiness
+FROM dau JOIN wau ON wau.day = dau.day JOIN mau ON mau.day = dau.day
+ORDER BY day
+""",
+    doc="DAU/WAU/MAU + DAU/MAU stickiness per active day: one "
+    "(user, day) materialization feeding all three distinct windows "
+    "via explode-to-window — never a per-window rescan.",
+)
+def g6_engagement_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ud = (
+        table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+        .cache()
+    )
+
+    def windowed(n: int, alias: str) -> DataFrame:
+        return (
+            ud.select(
+                "user_id",
+                F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("i"),
+                "d",
+            )
+            .select("user_id", F.date_add(F.col("d"), F.col("i")).alias("day"))
+            .groupBy("day")
+            .agg(F.countDistinct("user_id").alias(alias))
+        )
+
+    dau = ud.groupBy(F.col("d").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    out = (
+        dau.join(windowed(7, "wau"), "day")
+        .join(windowed(30, "mau"), "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            "mau",
+            (F.col("dau").cast("double") / F.col("mau")).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+    return out

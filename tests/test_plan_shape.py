@@ -104,6 +104,7 @@ def test_dim_joins_broadcast_not_shuffle(spark, name):
         "f27_bounded_conversion",
         "x45_split_leakage",
         "x46_template_mining",
+        "g6_engagement_ratios",
     ],
 )
 def test_new_queries_have_no_cartesian_product(spark, name):
