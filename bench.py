@@ -107,6 +107,7 @@ HEADLINE = [
     "x45_split_leakage",
     "x46_template_mining",
     "g6_engagement_ratios",
+    "x47_bm25_search",
 ]
 
 

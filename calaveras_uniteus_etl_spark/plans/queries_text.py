@@ -1526,3 +1526,117 @@ def x44_chunk_dup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("copies")
     )
+
+
+# ---------------------------------------------------------------------------
+# X47 — BM25 lexical search (top-k for a fixed query)
+#
+# The retrieval op next to ANN: Okapi BM25 over the corpus for a fixed
+# term set. Cross-engine determinism follows x25's micro-unit
+# contract: idf (the only transcendental) quantizes once to integer
+# micro-nats, the tf-normalization factor — a pure arithmetic function
+# of identical integer operands — quantizes to micro-units, and the
+# per-doc score is a SUM of exact BIGINT products. Scale shape: tf is
+# one groupBy over (doc, query-term) after an explode FILTERED to the
+# query terms (the scan never indexes the whole vocabulary), doc
+# lengths ride the same pass, df/avgdl are broadcast scalars.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "table")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+
+@register(
+    "x47_bm25_search",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({NORM_DUCK.format(col="text")}, ' ')) AS term
+  FROM documents
+), lens AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+         COUNT(*) AS n_docs
+  FROM lens
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+  WHERE term IN {_BM25_TERMS!r}
+  GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+), idf AS (
+  SELECT term,
+         CAST(ROUND(ln((n_docs - df + 0.5) / (df + 0.5) + 1) * 1e6) AS BIGINT)
+           AS idf_micro
+  FROM df CROSS JOIN stats
+), scored AS (
+  SELECT tf.doc_id,
+         SUM(idf_micro *
+             CAST(ROUND(tf / (tf + {_BM25_K1} * (1 - {_BM25_B}
+                  + {_BM25_B} * dl / avgdl)) * 1e6) AS BIGINT)) AS score_pico
+  FROM tf
+  JOIN idf USING (term)
+  JOIN lens USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(score_pico AS BIGINT) AS score_pico
+FROM scored
+ORDER BY score_pico DESC, doc_id
+LIMIT {_BM25_TOPK}
+""",
+    doc=f"Okapi BM25 top-{_BM25_TOPK} for the fixed query "
+    f"{_BM25_TERMS}: query-term-filtered tf pass, broadcast df/avgdl, "
+    "idf and tf-norm quantized to exact integer micro-units (x25's "
+    "cross-engine log contract), TakeOrdered top-k.",
+)
+def x47_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = d.select(
+        "doc_id",
+        F.explode(F.expr(f"split({NORM_SPARK.format(col='text')}, ' ')")).alias(
+            "term"
+        ),
+    ).cache()
+    lens = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = lens.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        F.count("*").alias("n_docs"),
+    ).first()
+    avgdl, n_docs = stats["avgdl"], stats["n_docs"]
+    tf = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_rel = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = df_rel.select(
+        "term",
+        F.round(
+            F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("idf_micro"),
+    )
+    tfnorm = F.round(
+        F.col("tf")
+        / (
+            F.col("tf")
+            + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.lit(avgdl))
+        )
+        * 1e6
+    ).cast("bigint")
+    return (
+        tf.join(F.broadcast(idf), "term")
+        .join(lens, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("idf_micro") * tfnorm).alias("score_pico"))
+        .select("doc_id", F.col("score_pico").cast("bigint").alias("score_pico"))
+        .orderBy(F.desc("score_pico"), "doc_id")
+        .limit(_BM25_TOPK)
+    )

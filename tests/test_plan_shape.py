@@ -105,6 +105,7 @@ def test_dim_joins_broadcast_not_shuffle(spark, name):
         "x45_split_leakage",
         "x46_template_mining",
         "g6_engagement_ratios",
+        "x47_bm25_search",
     ],
 )
 def test_new_queries_have_no_cartesian_product(spark, name):
