@@ -108,6 +108,7 @@ HEADLINE = [
     "x46_template_mining",
     "g6_engagement_ratios",
     "x47_bm25_search",
+    "g7_transition_matrix",
 ]
 
 

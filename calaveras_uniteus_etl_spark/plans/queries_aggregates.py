@@ -1902,3 +1902,65 @@ def g6_engagement_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# G7 — event-type transition matrix (first-order Markov counts)
+#
+# Per-user consecutive event pairs via one LAG over the user partition
+# (single shuffle on user_id, same sort c4/g1 reuse), rolled up into
+# the (prev, curr) transition matrix with row-normalized probabilities
+# — the sequence-analytics staple behind journey/flow diagrams. The
+# probability divides two exact counts, so both engines emit identical
+# doubles.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g7_transition_matrix",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+), pairs AS (
+  SELECT prev_type, event_type AS curr_type FROM ordered
+  WHERE prev_type IS NOT NULL
+), counts AS (
+  SELECT prev_type, curr_type, COUNT(*) AS n FROM pairs
+  GROUP BY prev_type, curr_type
+), totals AS (
+  SELECT prev_type, SUM(n) AS row_total FROM counts GROUP BY prev_type
+)
+SELECT c.prev_type, c.curr_type, c.n AS transitions,
+       CAST(c.n AS DOUBLE) / row_total AS probability
+FROM counts c JOIN totals USING (prev_type)
+ORDER BY prev_type, curr_type
+""",
+    doc="First-order transition matrix over per-user event sequences: "
+    "one LAG pass, (prev, curr) counts, row-normalized probabilities "
+    "from exact integer division operands.",
+)
+def g7_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .select("prev_type", F.col("event_type").alias("curr_type"))
+    )
+    counts = pairs.groupBy("prev_type", "curr_type").agg(F.count("*").alias("n"))
+    totals = counts.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
+    return (
+        counts.join(totals, "prev_type")
+        .select(
+            "prev_type",
+            "curr_type",
+            F.col("n").alias("transitions"),
+            (F.col("n").cast("double") / F.col("row_total")).alias("probability"),
+        )
+        .orderBy("prev_type", "curr_type")
+    )

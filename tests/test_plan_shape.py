@@ -106,6 +106,7 @@ def test_dim_joins_broadcast_not_shuffle(spark, name):
         "x46_template_mining",
         "g6_engagement_ratios",
         "x47_bm25_search",
+        "g7_transition_matrix",
     ],
 )
 def test_new_queries_have_no_cartesian_product(spark, name):
