@@ -109,6 +109,7 @@ HEADLINE = [
     "g6_engagement_ratios",
     "x47_bm25_search",
     "g7_transition_matrix",
+    "x48_exact_contamination",
 ]
 
 

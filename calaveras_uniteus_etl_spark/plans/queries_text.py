@@ -1640,3 +1640,72 @@ def x47_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_pico"), "doc_id")
         .limit(_BM25_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# X48 — exact contamination probes (substring containment)
+#
+# x18's 13-gram collision catches paraphrase-scale overlap; this is
+# the blunt, zero-false-positive complement: does any training doc
+# CONTAIN a benchmark probe string verbatim? Probes are 6-word spans
+# lifted deterministically from the benchmark docs (doc_id < 5), the
+# probe set broadcasts (it is tiny by construction), and the scan is
+# one `contains` pass over normalized text — no index, no shuffle of
+# text, linear in corpus bytes.
+# ---------------------------------------------------------------------------
+
+_X48_SPAN = 6  # words per probe string
+
+
+@register(
+    "x48_exact_contamination",
+    oracle=f"""
+WITH bench AS (
+  SELECT doc_id AS probe_id,
+         array_to_string(list_slice(
+           string_split({NORM_DUCK.format(col="text")}, ' '), 1, {_X48_SPAN}), ' ')
+           AS probe
+  FROM documents WHERE doc_id < 5
+), train AS (
+  SELECT doc_id, {NORM_DUCK.format(col="text")} AS norm
+  FROM documents WHERE doc_id >= 5
+)
+SELECT probe_id, probe,
+       CAST(COUNT(CASE WHEN contains(norm, probe) THEN 1 END) AS BIGINT)
+         AS contaminated_docs,
+       CAST(MIN(CASE WHEN contains(norm, probe) THEN doc_id END) AS BIGINT)
+         AS first_doc
+FROM bench CROSS JOIN train
+GROUP BY probe_id, probe
+ORDER BY probe_id
+""",
+    doc=f"Exact contamination: {_X48_SPAN}-word probe strings lifted "
+    "from the benchmark docs (doc_id<5), broadcast `contains` scan "
+    "over the train split — the zero-false-positive complement to "
+    "x18's n-gram collision check.",
+)
+def x48_exact_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    norm = F.expr(NORM_SPARK.format(col="text"))
+    bench = (
+        d.filter(F.col("doc_id") < 5)
+        .select(
+            F.col("doc_id").alias("probe_id"),
+            F.array_join(F.slice(F.split(norm, " "), 1, _X48_SPAN), " ").alias(
+                "probe"
+            ),
+        )
+    )
+    train = d.filter(F.col("doc_id") >= 5).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).select("doc_id", norm.alias("norm"))
+    hit = F.col("norm").contains(F.col("probe"))
+    return (
+        train.join(F.broadcast(bench))
+        .groupBy("probe_id", "probe")
+        .agg(
+            F.count(F.when(hit, 1)).cast("bigint").alias("contaminated_docs"),
+            F.min(F.when(hit, F.col("doc_id"))).cast("bigint").alias("first_doc"),
+        )
+        .orderBy("probe_id")
+    )

@@ -107,6 +107,7 @@ def test_dim_joins_broadcast_not_shuffle(spark, name):
         "g6_engagement_ratios",
         "x47_bm25_search",
         "g7_transition_matrix",
+        "x48_exact_contamination",
     ],
 )
 def test_new_queries_have_no_cartesian_product(spark, name):
