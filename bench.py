@@ -110,6 +110,8 @@ HEADLINE = [
     "x47_bm25_search",
     "g7_transition_matrix",
     "x48_exact_contamination",
+    "h8_forecast_revenue",
+    "x49_token_budget_fill",
 ]
 
 

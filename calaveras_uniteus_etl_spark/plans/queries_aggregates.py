@@ -1964,3 +1964,47 @@ def g7_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "curr_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# H8 — forecast-revenue-change filter+agg (TPC-H Q6 shape)
+#
+# The pure pushdown benchmark: three scan-level predicates (date year,
+# discount band, quantity cap), one exact-decimal product-sum, zero
+# joins. At scale the entire query is a filtered columnar scan with
+# map-side partial aggregation — the plan every predicate-pushdown
+# regression guards.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "h8_forecast_revenue",
+    oracle="""
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * CAST(l_discount AS DECIMAL(6,4)))
+               AS DECIMAL(38,6)) AS DOUBLE) AS revenue_effect,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    doc="TPC-H Q6 shape: three pushed scan predicates, exact-decimal "
+    "discount-revenue sum, no joins — the canonical pushdown+partial-"
+    "agg plan.",
+)
+def h8_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * F.col("l_discount").cast(
+        "decimal(6,4)"
+    )
+    return li.agg(
+        F.sum(rev).cast("decimal(38,6)").cast("double").alias("revenue_effect"),
+        F.count("*").alias("n_lines"),
+    )

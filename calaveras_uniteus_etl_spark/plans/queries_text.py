@@ -1709,3 +1709,80 @@ def x48_exact_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# X49 — token-budget greedy fill (curation under a budget)
+#
+# "Give me the best docs that fit in N tokens": order the corpus by a
+# deterministic quality proxy and admit documents while the running
+# token total stays within budget. One ranked cumulative-sum window —
+# the same plan shape as g3's running total — with the admission test
+# on the PRE-add prefix sum so the first over-budget doc is excluded,
+# deterministic on every engine. Output is the per-source composition
+# of the admitted set, not the doc list (stable, small).
+# ---------------------------------------------------------------------------
+
+_X49_BUDGET = 50_000  # token budget
+
+
+@register(
+    "x49_token_budget_fill",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         len(string_split({NORM_DUCK.format(col="text")}, ' ')) AS n_tokens,
+         length(text) - length(replace(text, ' ', '')) AS quality_proxy
+  FROM documents
+), ranked AS (
+  SELECT *,
+         SUM(n_tokens) OVER (ORDER BY quality_proxy DESC, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prior_tokens
+  FROM scored
+), admitted AS (
+  SELECT * FROM ranked
+  WHERE COALESCE(prior_tokens, 0) + n_tokens <= {_X49_BUDGET}
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens
+FROM admitted
+GROUP BY source
+ORDER BY source
+""",
+    doc=f"Token-budget curation: admit docs in deterministic quality "
+    f"order while the running total fits {_X49_BUDGET} tokens (prefix-"
+    "sum window, first over-budget doc excluded); reports the "
+    "admitted set's per-source composition.",
+)
+def x49_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    norm = F.expr(NORM_SPARK.format(col="text"))
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(norm, " ")).alias("n_tokens"),
+        (
+            F.length("text") - F.length(F.replace(F.col("text"), F.lit(" ")))
+        ).alias("quality_proxy"),
+    )
+    w = (
+        Window.orderBy(F.desc("quality_proxy"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = scored.withColumn("prior_tokens", F.sum("n_tokens").over(w))
+    admitted = ranked.filter(
+        F.coalesce(F.col("prior_tokens"), F.lit(0)) + F.col("n_tokens")
+        <= _X49_BUDGET
+    )
+    return (
+        admitted.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("tokens"),
+        )
+        .orderBy("source")
+    )

@@ -108,6 +108,8 @@ def test_dim_joins_broadcast_not_shuffle(spark, name):
         "x47_bm25_search",
         "g7_transition_matrix",
         "x48_exact_contamination",
+        "h8_forecast_revenue",
+        "x49_token_budget_fill",
     ],
 )
 def test_new_queries_have_no_cartesian_product(spark, name):
