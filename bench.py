@@ -112,6 +112,7 @@ HEADLINE = [
     "x48_exact_contamination",
     "h8_forecast_revenue",
     "x49_token_budget_fill",
+    "x50_curation_manifest",
 ]
 
 

@@ -1786,3 +1786,90 @@ def x49_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# X50 — per-document curation manifest (the pipeline's endpoint)
+#
+# x21 reports the funnel's stage COUNTS; this emits the per-document
+# VERDICT — keep or the first failing stage — which is the artifact a
+# downstream trainer actually consumes (and the audit trail a data
+# steward reviews). Same one-text-pass flags as x21 (shared stage
+# definitions), one digest-window shuffle, deterministic everywhere.
+# ---------------------------------------------------------------------------
+
+_X50_REASON_SQL = """CASE
+  WHEN NOT is_keeper THEN 'drop:exact_dup'
+  WHEN lang_pred = 'und' THEN 'drop:lang_unknown'
+  WHEN n_tokens < 15 THEN 'drop:quality'
+  ELSE 'keep:' || split END"""
+
+
+@register(
+    "x50_curation_manifest",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, text, md5(text) AS digest,
+         {NORM_DUCK.format(col="text")} AS norm,
+         string_split({NORM_DUCK.format(col="text")}, ' ') AS w
+  FROM documents
+), flags AS (
+  SELECT doc_id,
+         doc_id = MIN(doc_id) OVER (PARTITION BY digest) AS is_keeper,
+         CASE WHEN norm = '' THEN 0 ELSE len(w) END AS n_tokens,
+         {_X7_PRED_DUCK} AS lang_pred,
+         CASE WHEN {_fold("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 90
+              THEN 'train'
+              WHEN {_fold("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 95
+              THEN 'val' ELSE 'test' END AS split
+  FROM toks
+)
+SELECT doc_id,
+       {_X50_REASON_SQL} AS verdict,
+       CAST(n_tokens AS BIGINT) AS n_tokens
+FROM flags
+ORDER BY doc_id
+""",
+    doc="Per-document curation manifest: keep (with split) or the "
+    "first failing stage (exact dup / unknown lang / quality floor) — "
+    "x21's shared stage logic surfaced at document grain, the artifact "
+    "a trainer consumes.",
+)
+def x50_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    norm = NORM_SPARK.format(col="text")
+    bucket = (
+        "cast(conv(substr(md5(concat('split:', cast(doc_id as string))), 1, 15), 16, 10)"
+        " as bigint) % 100"
+    )
+    flags = (
+        d.withColumn("norm", F.expr(norm))
+        .withColumn("w", F.expr("split(norm, ' ')"))
+        .select(
+            "doc_id",
+            F.md5("text").alias("digest"),
+            F.expr("case when norm = '' then 0 else size(w) end")
+            .cast("long")
+            .alias("n_tokens"),
+            F.expr(_X7_PRED_SPARK).alias("lang_pred"),
+            F.expr(
+                f"case when {bucket} < 90 then 'train' "
+                f"when {bucket} < 95 then 'val' else 'test' end"
+            ).alias("split"),
+        )
+        .withColumn(
+            "is_keeper",
+            F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("digest")),
+        )
+    )
+    verdict = F.expr(
+        "CASE WHEN NOT is_keeper THEN 'drop:exact_dup' "
+        "WHEN lang_pred = 'und' THEN 'drop:lang_unknown' "
+        "WHEN n_tokens < 15 THEN 'drop:quality' "
+        "ELSE concat('keep:', split) END"
+    )
+    return flags.select(
+        "doc_id", verdict.alias("verdict"), F.col("n_tokens").cast("bigint")
+    ).orderBy("doc_id")

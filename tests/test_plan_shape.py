@@ -110,6 +110,7 @@ def test_dim_joins_broadcast_not_shuffle(spark, name):
         "x48_exact_contamination",
         "h8_forecast_revenue",
         "x49_token_budget_fill",
+        "x50_curation_manifest",
     ],
 )
 def test_new_queries_have_no_cartesian_product(spark, name):
