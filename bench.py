@@ -113,6 +113,7 @@ HEADLINE = [
     "h8_forecast_revenue",
     "x49_token_budget_fill",
     "x50_curation_manifest",
+    "e13_range_dim_join",
 ]
 
 

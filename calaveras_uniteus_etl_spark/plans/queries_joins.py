@@ -843,3 +843,62 @@ def e12_link_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("n").alias("nation"), F.col("r").alias("rank_micro")
     ).orderBy(F.desc("rank_micro"), "nation")
+
+
+# ---------------------------------------------------------------------------
+# E13 — range-dimension join (non-equi broadcast)
+#
+# The banding pattern SQL warehouses use instead of CASE ladders: a
+# tiny dimension of [lo, hi) value bands joined to the fact on a range
+# predicate. With the dimension broadcast, Spark plans a
+# BroadcastNestedLoopJoin whose inner side is a handful of rows — the
+# fact table streams through map-side, no shuffle, no cartesian risk.
+# The band table is inlined identically in both engines.
+# ---------------------------------------------------------------------------
+
+_E13_BANDS = (
+    ("negative", float("-inf"), 0.0),
+    ("low", 0.0, 100.0),
+    ("mid", 100.0, 500.0),
+    ("high", 500.0, float("inf")),
+)
+
+
+@register(
+    "e13_range_dim_join",
+    oracle="""
+WITH bands(band, lo, hi) AS (
+  VALUES ('negative', CAST('-infinity' AS DOUBLE), 0.0),
+         ('low', 0.0, 100.0),
+         ('mid', 100.0, 500.0),
+         ('high', 500.0, CAST('infinity' AS DOUBLE))
+)
+SELECT band,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY band
+ORDER BY band
+""",
+    doc="Range-dimension (banding) join: tiny [lo, hi) band table "
+    "broadcast against the fact on a non-equi predicate — the "
+    "warehouse alternative to CASE ladders; fact streams map-side, "
+    "no shuffle.",
+)
+def e13_range_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select("user_id", "value")
+    bands = spark.createDataFrame(
+        list(_E13_BANDS), "band string, lo double, hi double"
+    )
+    return (
+        e.join(
+            F.broadcast(bands),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("band")
+    )
