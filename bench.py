@@ -114,6 +114,7 @@ HEADLINE = [
     "x49_token_budget_fill",
     "x50_curation_manifest",
     "e13_range_dim_join",
+    "d9_keyset_pagination",
 ]
 
 

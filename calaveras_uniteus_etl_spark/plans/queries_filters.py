@@ -269,3 +269,58 @@ def j1_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("size_label"),
         F.length("o_orderpriority").alias("prio_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D9 — keyset (seek) pagination
+#
+# d6 reproduces the reference's OFFSET pagination; OFFSET must compute
+# and discard every earlier row, so page N costs O(N) — fine in SQLite,
+# pathological at warehouse scale. The seek form resumes AFTER the last
+# seen (sort-key, tiebreak) tuple with a sargable predicate, so every
+# page costs the same: pushed scan filter + TakeOrdered page. The
+# cursor below is a fixed literal so both engines page identically.
+# ---------------------------------------------------------------------------
+
+_D9_CURSOR_DATE = "1995-06-15 00:00:00"  # last seen (o_orderdate, o_orderkey)
+_D9_CURSOR_KEY = 900
+_D9_PAGE = 20
+
+
+@register(
+    "d9_keyset_pagination",
+    oracle=f"""
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+       o_totalprice
+FROM orders
+WHERE o_orderdate > TIMESTAMP '{_D9_CURSOR_DATE}'
+   OR (o_orderdate = TIMESTAMP '{_D9_CURSOR_DATE}' AND o_orderkey > {_D9_CURSOR_KEY})
+ORDER BY o_orderdate, o_orderkey
+LIMIT {_D9_PAGE}
+""",
+    doc="Keyset pagination: resume strictly after the cursor tuple "
+    "(o_orderdate, o_orderkey) with a sargable predicate + TakeOrdered "
+    f"page of {_D9_PAGE} — constant cost per page, unlike d6's OFFSET "
+    "scan-and-discard.",
+)
+def d9_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    cursor_ts = F.lit(_D9_CURSOR_DATE).cast("timestamp")
+    return (
+        o.filter(
+            (F.col("o_orderdate") > cursor_ts)
+            | (
+                (F.col("o_orderdate") == cursor_ts)
+                & (F.col("o_orderkey") > _D9_CURSOR_KEY)
+            )
+        )
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(_D9_PAGE)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
+                "o_orderdate"
+            ),
+            "o_totalprice",
+        )
+    )

@@ -112,6 +112,7 @@ def test_dim_joins_broadcast_not_shuffle(spark, name):
         "x49_token_budget_fill",
         "x50_curation_manifest",
         "e13_range_dim_join",
+        "d9_keyset_pagination",
     ],
 )
 def test_new_queries_have_no_cartesian_product(spark, name):
