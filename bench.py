@@ -115,6 +115,7 @@ HEADLINE = [
     "x50_curation_manifest",
     "e13_range_dim_join",
     "d9_keyset_pagination",
+    "x51_embedding_health",
 ]
 
 

@@ -1161,3 +1161,72 @@ def x42_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "nprobe int, total_candidates bigint, mean_recall double"
     )
+
+
+# ---------------------------------------------------------------------------
+# X51 — embedding batch health check
+#
+# The validation gate before vectors reach an index or trainer: count
+# zero/near-zero vectors and norm outliers, and profile the norm
+# distribution. Norms reuse x5's deterministic left-fold dot product;
+# aggregate sums run over ROUND(norm*1e6) BIGINTs so the totals are
+# order-independent — never a raw double sum across partitions.
+# ---------------------------------------------------------------------------
+
+_X51_LOW = 0.5  # norm below → suspicious (near-zero / truncated)
+_X51_HIGH = 12.0  # norm above → suspicious (unnormalized / corrupt)
+
+
+@register(
+    "x51_embedding_health",
+    oracle=f"""
+WITH norms AS (
+  SELECT vec_id,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+), q AS (
+  SELECT vec_id, nrm, CAST(ROUND(nrm * 1e6) AS BIGINT) AS nrm_micro
+  FROM norms
+)
+SELECT COUNT(*) AS n_vecs,
+       CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       CAST(SUM(CASE WHEN nrm > 0 AND nrm < {_X51_LOW} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low_norm,
+       CAST(SUM(CASE WHEN nrm > {_X51_HIGH} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_high_norm,
+       CAST(MIN(nrm_micro) AS BIGINT) AS min_norm_micro,
+       CAST(MAX(nrm_micro) AS BIGINT) AS max_norm_micro,
+       CAST(SUM(nrm_micro) AS DOUBLE) / COUNT(*) AS avg_norm_micro
+FROM q
+""",
+    doc="Embedding batch health: zero-vector and norm-outlier counts "
+    "plus a micro-quantized norm profile (BIGINT sums, order-"
+    "independent) — the gate before vectors reach an index.",
+)
+def x51_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    nrm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    q = e.select(
+        nrm.alias("nrm"),
+        F.round(nrm * 1e6).cast("bigint").alias("nrm_micro"),
+    )
+    return q.agg(
+        F.count("*").alias("n_vecs"),
+        F.sum(F.when(F.col("nrm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero"),
+        F.sum(
+            F.when((F.col("nrm") > 0) & (F.col("nrm") < _X51_LOW), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_low_norm"),
+        F.sum(F.when(F.col("nrm") > _X51_HIGH, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_high_norm"),
+        F.min("nrm_micro").cast("bigint").alias("min_norm_micro"),
+        F.max("nrm_micro").cast("bigint").alias("max_norm_micro"),
+        (F.sum("nrm_micro").cast("double") / F.count("*")).alias("avg_norm_micro"),
+    )
