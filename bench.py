@@ -116,6 +116,7 @@ HEADLINE = [
     "e13_range_dim_join",
     "d9_keyset_pagination",
     "x51_embedding_health",
+    "f28_yoy_revenue",
 ]
 
 

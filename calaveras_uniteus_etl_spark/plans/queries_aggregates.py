@@ -2008,3 +2008,69 @@ def h8_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(rev).cast("decimal(38,6)").cast("double").alias("revenue_effect"),
         F.count("*").alias("n_lines"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F28 — year-over-year monthly revenue comparison
+#
+# The BI staple missing between f9 (time buckets) and f26 (trend fit):
+# each month's exact-decimal revenue next to the same month one year
+# earlier, with absolute and percent deltas. LAG(12) over the month
+# series — the month relation is tiny, so the window is a single-task
+# sort; the only corpus-scale work is the one month-grain aggregate.
+# Percent delta divides two identically-derived doubles.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f28_yoy_revenue",
+    oracle="""
+WITH monthly AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+              AS DOUBLE) AS revenue
+  FROM orders GROUP BY month
+), shifted AS (
+  SELECT month, revenue,
+         LAG(revenue, 12) OVER (ORDER BY month) AS revenue_prior_year
+  FROM monthly
+)
+SELECT month, revenue, revenue_prior_year,
+       revenue - revenue_prior_year AS yoy_delta,
+       ROUND((revenue - revenue_prior_year) * 100.0
+             / NULLIF(revenue_prior_year, 0), 2) AS yoy_pct
+FROM shifted
+WHERE revenue_prior_year IS NOT NULL
+ORDER BY month
+""",
+    doc="Year-over-year revenue: month-grain exact-decimal totals, "
+    "LAG(12) self-alignment, absolute and percent deltas from "
+    "identical double operands.",
+)
+def f28_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(to_month("o_orderdate").alias("month"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("decimal(38,2)")
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.orderBy("month")
+    shifted = monthly.withColumn(
+        "revenue_prior_year", F.lag("revenue", 12).over(w)
+    ).filter(F.col("revenue_prior_year").isNotNull())
+    return shifted.select(
+        "month",
+        "revenue",
+        "revenue_prior_year",
+        (F.col("revenue") - F.col("revenue_prior_year")).alias("yoy_delta"),
+        F.round(
+            (F.col("revenue") - F.col("revenue_prior_year"))
+            * 100.0
+            / F.nullif(F.col("revenue_prior_year"), F.lit(0.0)),
+            2,
+        ).alias("yoy_pct"),
+    ).orderBy("month")

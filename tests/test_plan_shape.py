@@ -114,6 +114,7 @@ def test_dim_joins_broadcast_not_shuffle(spark, name):
         "e13_range_dim_join",
         "d9_keyset_pagination",
         "x51_embedding_health",
+        "f28_yoy_revenue",
     ],
 )
 def test_new_queries_have_no_cartesian_product(spark, name):
