@@ -117,6 +117,7 @@ HEADLINE = [
     "d9_keyset_pagination",
     "x51_embedding_health",
     "f28_yoy_revenue",
+    "x52_quality_dup_matrix",
 ]
 
 

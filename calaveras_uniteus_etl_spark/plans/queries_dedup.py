@@ -1155,3 +1155,83 @@ def x46_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("doc_freq"), F.desc("instances"), "span_digest")
         .limit(_X46_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# X52 — quality × duplication matrix (cross-signal calibration)
+#
+# Do exact duplicates concentrate in low-quality documents? The answer
+# decides whether dedup and quality filtering are redundant or
+# complementary passes. One text pass derives both signals (x8's
+# quality bucket, x1's exact-dup flag via a digest window) and the
+# matrix is a four-cell rollup with per-bucket dup rates from exact
+# integer operands.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x52_quality_dup_matrix",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, text, md5(text) AS digest,
+         {dd.NORM_DUCK.format(col='text')} AS norm,
+         string_split({dd.NORM_DUCK.format(col='text')}, ' ') AS w
+  FROM documents
+), flags AS (
+  SELECT doc_id,
+         COUNT(*) OVER (PARTITION BY digest) > 1 AS is_dup,
+         CASE WHEN norm = '' THEN 0 ELSE len(w) END AS n_tokens
+  FROM toks
+), bucketed AS (
+  SELECT CASE WHEN n_tokens >= 30 THEN 'good'
+              WHEN n_tokens >= 15 THEN 'fair'
+              ELSE 'poor' END AS quality_bucket,
+         is_dup
+  FROM flags
+)
+SELECT quality_bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS dup_rate
+FROM bucketed
+GROUP BY quality_bucket
+ORDER BY quality_bucket
+""",
+    doc="Quality x duplication calibration: token-count quality bucket "
+    "against exact-dup membership (digest window), per-bucket dup "
+    "rates from exact integer operands — decides whether dedup and "
+    "quality filters are redundant or complementary.",
+)
+def x52_quality_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    norm = dd.NORM_SPARK.format(col="text")
+    flags = (
+        d.withColumn("norm", F.expr(norm))
+        .withColumn("w", F.expr("split(norm, ' ')"))
+        .select(
+            "doc_id",
+            F.md5("text").alias("digest"),
+            F.expr("case when norm = '' then 0 else size(w) end").alias(
+                "n_tokens"
+            ),
+        )
+        .withColumn("is_dup", F.count("*").over(W.partitionBy("digest")) > 1)
+    )
+    bucket = (
+        F.when(F.col("n_tokens") >= 30, "good")
+        .when(F.col("n_tokens") >= 15, "fair")
+        .otherwise("poor")
+    )
+    dup = F.when(F.col("is_dup"), 1).otherwise(0)
+    return (
+        flags.groupBy(bucket.alias("quality_bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(dup).cast("bigint").alias("n_dup_docs"),
+            (F.sum(dup).cast("double") / F.count("*")).alias("dup_rate"),
+        )
+        .orderBy("quality_bucket")
+    )

@@ -115,6 +115,7 @@ def test_dim_joins_broadcast_not_shuffle(spark, name):
         "d9_keyset_pagination",
         "x51_embedding_health",
         "f28_yoy_revenue",
+        "x52_quality_dup_matrix",
     ],
 )
 def test_new_queries_have_no_cartesian_product(spark, name):
