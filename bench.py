@@ -118,6 +118,7 @@ HEADLINE = [
     "x51_embedding_health",
     "f28_yoy_revenue",
     "x52_quality_dup_matrix",
+    "f29_pareto_revenue",
 ]
 
 

@@ -2074,3 +2074,83 @@ def f28_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("yoy_pct"),
     ).orderBy("month")
+
+
+# ---------------------------------------------------------------------------
+# F29 — revenue concentration (Pareto / 80-20 analysis)
+#
+# What share of revenue do the top 10/20/50% of customers carry?
+# Per-customer exact-decimal revenue, descending rank, cumulative
+# share — then one row per decile threshold. The rank window sorts the
+# customer-grain relation (already aggregate-sized), never raw orders;
+# shares divide micro-quantized BIGINTs so every engine agrees.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f29_pareto_revenue",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS rev
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT rev,
+         ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey) AS rn,
+         COUNT(*) OVER () AS n_cust,
+         CAST(ROUND(rev * 100) AS BIGINT) AS rev_cents,
+         CAST(SUM(CAST(ROUND(rev * 100) AS BIGINT))
+              OVER (ORDER BY rev DESC, o_custkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_cents,
+         CAST(SUM(CAST(ROUND(rev * 100) AS BIGINT)) OVER () AS BIGINT)
+           AS total_cents
+  FROM per_cust
+)
+SELECT pct.p AS top_pct,
+       CAST(MAX(CASE WHEN rn <= n_cust * pct.p / 100 THEN cum_cents END)
+            AS DOUBLE) / MAX(total_cents) AS revenue_share,
+       CAST(MAX(CASE WHEN rn <= n_cust * pct.p / 100 THEN rn END) AS BIGINT)
+         AS n_customers
+FROM ranked CROSS JOIN (SELECT unnest([10, 20, 50]) AS p) pct
+GROUP BY pct.p
+ORDER BY pct.p
+""",
+    doc="Pareto revenue concentration: per-customer exact-decimal "
+    "revenue ranked descending, cumulative cent-quantized share at the "
+    "top 10/20/50% customer thresholds (integer rank cutoffs, BIGINT "
+    "sums).",
+)
+def f29_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("decimal(38,2)")
+        .alias("rev")
+    )
+    w_rank = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
+    w_all = Window.partitionBy()
+    cents = F.round(F.col("rev") * 100).cast("bigint")
+    ranked = per_cust.select(
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_all).alias("n_cust"),
+        F.sum(cents)
+        .over(w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("cum_cents"),
+        F.sum(cents).over(w_all).cast("bigint").alias("total_cents"),
+    )
+    pct = spark.createDataFrame([(10,), (20,), (50,)], "p int")
+    hit = F.when(F.col("rn") <= F.col("n_cust") * F.col("p") / 100, True)
+    return (
+        ranked.crossJoin(F.broadcast(pct))
+        .groupBy(F.col("p").alias("top_pct"))
+        .agg(
+            (
+                F.max(F.when(hit, F.col("cum_cents"))).cast("double")
+                / F.max("total_cents")
+            ).alias("revenue_share"),
+            F.max(F.when(hit, F.col("rn"))).cast("bigint").alias("n_customers"),
+        )
+        .orderBy("top_pct")
+    )

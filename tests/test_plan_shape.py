@@ -116,6 +116,7 @@ def test_dim_joins_broadcast_not_shuffle(spark, name):
         "x51_embedding_health",
         "f28_yoy_revenue",
         "x52_quality_dup_matrix",
+        "f29_pareto_revenue",
     ],
 )
 def test_new_queries_have_no_cartesian_product(spark, name):
