@@ -119,6 +119,7 @@ HEADLINE = [
     "f28_yoy_revenue",
     "x52_quality_dup_matrix",
     "f29_pareto_revenue",
+    "x53_incremental_neardup",
 ]
 
 

@@ -1235,3 +1235,100 @@ def x52_quality_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("quality_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# X53 — incremental near-dup (new batch vs existing corpus)
+#
+# The daily-ingest variant of x2: only the NEW batch's bands probe the
+# corpus index — never a corpus×corpus self-join. The batch is small
+# by construction, so its band relation broadcasts and the corpus side
+# streams map-side; cost scales with batch size × bucket occupancy,
+# independent of corpus history. Each new doc reports its best match
+# (highest signature agreement, lowest id tiebreak) or none.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x53_incremental_neardup",
+    oracle=_DUCK_PAIR_CTES.replace(", cand AS (", ", cand_unused AS (")
+    + f""", new_bands AS (
+  SELECT * FROM bands_ok WHERE doc_id % 10 = 0
+), old_bands AS (
+  SELECT * FROM bands_ok WHERE doc_id % 10 <> 0
+), probe AS (
+  SELECT DISTINCT n.doc_id AS new_doc, o.doc_id AS old_doc,
+         n.sig AS ns, o.sig AS os
+  FROM new_bands n JOIN old_bands o
+    ON n.band = o.band AND n.band_key = o.band_key
+), scored AS (
+  SELECT new_doc, old_doc,
+         len(list_filter(range({dd.MINHASH_K}), i -> ns[i+1] = os[i+1])) AS nm
+  FROM probe
+), best AS (
+  SELECT new_doc, old_doc AS best_match, nm FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY new_doc
+                                 ORDER BY nm DESC, old_doc) AS rn
+    FROM scored WHERE nm >= {_X33_MIN_NM}
+  ) WHERE rn = 1
+)
+SELECT new_doc, best_match, CAST(nm AS BIGINT) AS match_slots,
+       ROUND(CAST(nm AS DOUBLE) / {dd.MINHASH_K}, 4) AS est_sim
+FROM best
+ORDER BY new_doc
+""",
+    doc="Incremental near-dup: the new batch's LSH bands (doc_id%10=0) "
+    "probe the existing corpus index — batch-side broadcast, never a "
+    "corpus self-join; per new doc, the best existing match above the "
+    "x2 acceptance bar.",
+)
+def x53_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = _spark_sigs(spark, sf_dir).cache()
+    bands = sigs.select(
+        "doc_id", F.posexplode(dd.band_keys_expr()).alias("band", "band_key")
+    )
+    ok = (
+        bands.groupBy("band", "band_key")
+        .agg(F.count("*").alias("bc"))
+        .filter(F.col("bc") <= BUCKET_CAP)
+        .drop("bc")
+    )
+    bands = bands.join(ok, ["band", "band_key"])
+    new_b = bands.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("new_doc"), "band", "band_key"
+    )
+    old_b = bands.filter(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("old_doc"), "band", "band_key"
+    )
+    probe = (
+        F.broadcast(new_b)
+        .join(old_b, ["band", "band_key"])
+        .select("new_doc", "old_doc")
+        .distinct()
+    )
+    scored = probe.join(
+        sigs.select(F.col("doc_id").alias("new_doc"), F.col("sig").alias("ns")),
+        "new_doc",
+    ).join(
+        sigs.select(F.col("doc_id").alias("old_doc"), F.col("sig").alias("os")),
+        "old_doc",
+    ).select(
+        "new_doc",
+        "old_doc",
+        F.expr(
+            f"size(filter(sequence(0, {dd.MINHASH_K - 1}), i -> ns[i] = os[i]))"
+        ).alias("nm"),
+    )
+    w = WindowSpec.partitionBy("new_doc").orderBy(F.desc("nm"), F.asc("old_doc"))
+    return (
+        scored.filter(F.col("nm") >= _X33_MIN_NM)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "new_doc",
+            F.col("old_doc").alias("best_match"),
+            F.col("nm").cast("bigint").alias("match_slots"),
+            F.round(F.col("nm").cast("double") / dd.MINHASH_K, 4).alias("est_sim"),
+        )
+        .orderBy("new_doc")
+    )

@@ -117,6 +117,7 @@ def test_dim_joins_broadcast_not_shuffle(spark, name):
         "f28_yoy_revenue",
         "x52_quality_dup_matrix",
         "f29_pareto_revenue",
+        "x53_incremental_neardup",
     ],
 )
 def test_new_queries_have_no_cartesian_product(spark, name):
