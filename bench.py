@@ -120,6 +120,7 @@ HEADLINE = [
     "x52_quality_dup_matrix",
     "f29_pareto_revenue",
     "x53_incremental_neardup",
+    "f30_drift_monitor",
 ]
 
 

@@ -2154,3 +2154,93 @@ def f29_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("top_pct")
     )
+
+
+# ---------------------------------------------------------------------------
+# F30 — batch drift monitor (PSI-style share comparison)
+#
+# Ingest monitoring: did the new batch's length distribution drift
+# from the reference batch's? Quartile cuts come from the REFERENCE
+# half only (f23's exact percentile-literal trick, so both engines
+# bucket identically), both halves bucket map-side, and the per-bucket
+# shares divide exact integer counts — a population-stability report
+# with zero floating-point ambiguity.
+# ---------------------------------------------------------------------------
+
+_F30_QS = (0.25, 0.5, 0.75)
+
+
+@register(
+    "f30_drift_monitor",
+    oracle=f"""
+WITH ref AS (
+  SELECT n_chars FROM documents WHERE doc_id % 2 = 0
+), new_b AS (
+  SELECT n_chars FROM documents WHERE doc_id % 2 = 1
+), cuts AS (
+  SELECT quantile_cont(n_chars, [{", ".join(str(q) for q in _F30_QS)}]) AS c
+  FROM ref
+), rb AS (
+  SELECT CAST((CASE WHEN n_chars > c[1] THEN 1 ELSE 0 END)
+            + (CASE WHEN n_chars > c[2] THEN 1 ELSE 0 END)
+            + (CASE WHEN n_chars > c[3] THEN 1 ELSE 0 END) AS BIGINT) AS bucket
+  FROM ref CROSS JOIN cuts
+), nb AS (
+  SELECT CAST((CASE WHEN n_chars > c[1] THEN 1 ELSE 0 END)
+            + (CASE WHEN n_chars > c[2] THEN 1 ELSE 0 END)
+            + (CASE WHEN n_chars > c[3] THEN 1 ELSE 0 END) AS BIGINT) AS bucket
+  FROM new_b CROSS JOIN cuts
+), rc AS (
+  SELECT bucket, COUNT(*) AS ref_n FROM rb GROUP BY bucket
+), nc AS (
+  SELECT bucket, COUNT(*) AS new_n FROM nb GROUP BY bucket
+), tot AS (
+  SELECT (SELECT COUNT(*) FROM rb) AS ref_total,
+         (SELECT COUNT(*) FROM nb) AS new_total
+)
+SELECT rc.bucket,
+       ref_n, COALESCE(new_n, 0) AS new_n,
+       CAST(ref_n AS DOUBLE) / ref_total AS ref_share,
+       CAST(COALESCE(new_n, 0) AS DOUBLE) / new_total AS new_share,
+       ABS(CAST(ref_n AS DOUBLE) / ref_total
+           - CAST(COALESCE(new_n, 0) AS DOUBLE) / new_total) AS share_drift
+FROM rc LEFT JOIN nc USING (bucket) CROSS JOIN tot
+ORDER BY rc.bucket
+""",
+    doc="PSI-style drift monitor: quartile cuts from the reference "
+    "batch only (exact percentile literals), both batches bucketed "
+    "map-side, per-bucket share deltas from exact integer counts.",
+)
+def f30_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ref = d.filter(F.col("doc_id") % 2 == 0)
+    new_b = d.filter(F.col("doc_id") % 2 == 1)
+    cuts = ref.agg(
+        F.percentile("n_chars", F.array(*[F.lit(q) for q in _F30_QS]))
+    ).first()[0]
+
+    def bucket():
+        return sum(
+            (F.col("n_chars") > F.lit(float(c))).cast("int") for c in cuts
+        ).cast("bigint")
+
+    rc = ref.groupBy(bucket().alias("bucket")).agg(F.count("*").alias("ref_n"))
+    nc = new_b.groupBy(bucket().alias("bucket")).agg(F.count("*").alias("new_n"))
+    ref_total = ref.count()
+    new_total = new_b.count()
+    ref_share = F.col("ref_n").cast("double") / F.lit(ref_total)
+    new_share = F.coalesce(F.col("new_n"), F.lit(0)).cast("double") / F.lit(
+        new_total
+    )
+    return (
+        rc.join(nc, "bucket", "left")
+        .select(
+            "bucket",
+            "ref_n",
+            F.coalesce("new_n", F.lit(0)).cast("bigint").alias("new_n"),
+            ref_share.alias("ref_share"),
+            new_share.alias("new_share"),
+            F.abs(ref_share - new_share).alias("share_drift"),
+        )
+        .orderBy("bucket")
+    )

@@ -118,6 +118,7 @@ def test_dim_joins_broadcast_not_shuffle(spark, name):
         "x52_quality_dup_matrix",
         "f29_pareto_revenue",
         "x53_incremental_neardup",
+        "f30_drift_monitor",
     ],
 )
 def test_new_queries_have_no_cartesian_product(spark, name):
