@@ -121,6 +121,7 @@ HEADLINE = [
     "f29_pareto_revenue",
     "x53_incremental_neardup",
     "f30_drift_monitor",
+    "x54_shard_balance",
 ]
 
 

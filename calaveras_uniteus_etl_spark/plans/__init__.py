@@ -33,7 +33,7 @@ from calaveras_uniteus_etl_spark.plans import (  # noqa: F401  (import = registe
 # weighted sampling) and the session-4 additions (x33 source-overlap
 # matrix, x34 bloom membership, g4 activity heatmap, x35 threshold sweep,
 # x36 cluster sizes, c9 snapshot diff, x37 source cap, x39/x40
-# media resize/frame-sample, x41 IVF recall, h6 TPC-H Q10, g5 rolling distinct, x42 nprobe sweep, x43 count-min, x44 chunk census, f27 bounded conversion, x45 split leakage, x46 template mining, g6 engagement, x47 BM25, g7 transitions, x48 exact contamination, h8 TPC-H Q6, x49 token budget, x50 manifest, e13 range-dim join, d9 keyset pagination, x51 embedding health, f28 YoY, x52 quality-dup matrix, f29 Pareto, x53 incremental near-dup, f30 drift monitor, e12 link
+# media resize/frame-sample, x41 IVF recall, h6 TPC-H Q10, g5 rolling distinct, x42 nprobe sweep, x43 count-min, x44 chunk census, f27 bounded conversion, x45 split leakage, x46 template mining, g6 engagement, x47 BM25, g7 transitions, x48 exact contamination, h8 TPC-H Q6, x49 token budget, x50 manifest, e13 range-dim join, d9 keyset pagination, x51 embedding health, f28 YoY, x52 quality-dup matrix, f29 Pareto, x53 incremental near-dup, f30 drift monitor, x54 shard balance, e12 link
 # rank, x38 ANN
 # recall audit) queue behind
 # them for the next rotation.

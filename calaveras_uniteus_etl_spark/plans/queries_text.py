@@ -1873,3 +1873,62 @@ def x50_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flags.select(
         "doc_id", verdict.alias("verdict"), F.col("n_tokens").cast("bigint")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# X54 — training-shard assignment balance
+#
+# The write-side check before emitting training shards: assign every
+# doc to one of N shards by a salted hash (reshard-stable, engine-
+# identical) and verify the doc/token balance across shards — skewed
+# shards starve data loaders. Shares divide exact integer totals.
+# ---------------------------------------------------------------------------
+
+_X54_SHARDS = 8
+
+
+@register(
+    "x54_shard_balance",
+    oracle=f"""
+WITH assigned AS (
+  SELECT {_fold("'shard:' || CAST(doc_id AS VARCHAR)")} % {_X54_SHARDS} AS shard,
+         len(string_split({NORM_DUCK.format(col="text")}, ' ')) AS n_tokens
+  FROM documents
+), tot AS (
+  SELECT COUNT(*) AS all_docs, SUM(n_tokens) AS all_tokens FROM assigned
+)
+SELECT shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_tokens) AS DOUBLE) / all_tokens AS token_share
+FROM assigned CROSS JOIN tot
+GROUP BY shard, all_tokens
+ORDER BY shard
+""",
+    doc=f"Shard balance: md5-salted assignment of docs to "
+    f"{_X54_SHARDS} training shards with per-shard doc/token counts "
+    "and token share — the loader-starvation check before writing "
+    "shards.",
+)
+def x54_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    norm = F.expr(NORM_SPARK.format(col="text"))
+    shard = F.expr(
+        "cast(conv(substr(md5(concat('shard:', cast(doc_id as string))), 1, 15),"
+        f" 16, 10) as bigint) % {_X54_SHARDS}"
+    )
+    assigned = d.select(
+        shard.alias("shard"), F.size(F.split(norm, " ")).alias("n_tokens")
+    )
+    total_tokens = assigned.agg(F.sum("n_tokens")).first()[0]
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            (F.sum("n_tokens").cast("double") / F.lit(float(total_tokens))).alias(
+                "token_share"
+            ),
+        )
+        .orderBy("shard")
+    )

@@ -119,6 +119,7 @@ def test_dim_joins_broadcast_not_shuffle(spark, name):
         "f29_pareto_revenue",
         "x53_incremental_neardup",
         "f30_drift_monitor",
+        "x54_shard_balance",
     ],
 )
 def test_new_queries_have_no_cartesian_product(spark, name):
