@@ -100,3 +100,48 @@ def test_tokenize_after_norm_parity(frames):
         f"array_to_string(string_split({NORM_DUCK.format(col='s')}, ' '), '|')",
     )
     assert s == d
+
+
+def test_oracle_harness_detects_perturbation(spark):
+    """Meta-test: the differential harness must FAIL when one value is
+    off — a harness that passes everything is worse than none (the
+    round-1 lenient canon masked 8 driver failures)."""
+    from calaveras_uniteus_etl_spark.plans.catalog import REGISTRY, QuerySpec
+    from tests.oracle_harness import compare
+
+    name = "_perturb_probe"
+    try:
+        REGISTRY[name] = QuerySpec(
+            name=name,
+            # off-by-one vs the oracle's COUNT(*)
+            fn=lambda s, d: s.sql("SELECT 501 AS n"),
+            oracle="SELECT CAST(COUNT(*) AS INT) AS n FROM documents",
+            doc="harness self-test",
+        )
+        r = compare(spark, "/root/testdata/sf0.01", name)
+        assert not r["values_match"], "harness accepted a wrong value"
+        # and the same shape with the right value must pass
+        REGISTRY[name] = QuerySpec(
+            name=name,
+            fn=lambda s, d: s.sql("SELECT CAST(500 AS INT) AS n"),
+            oracle="SELECT CAST(COUNT(*) AS INT) AS n FROM documents",
+            doc="harness self-test",
+        )
+        r = compare(spark, "/root/testdata/sf0.01", name)
+        assert r["values_match"], r
+    finally:
+        REGISTRY.pop(name, None)
+
+
+def test_exact_dedup_is_idempotent(spark):
+    """Dedup survivors re-deduped are unchanged (pass-2 is a no-op)."""
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    pass1 = d.withColumn("h", F.md5("text")).dropDuplicates(["h"])
+    pass2 = pass1.dropDuplicates(["h"])
+    assert pass1.count() == pass2.count()
+    # and the SAME digests survive both passes
+    s1 = {r.h for r in pass1.select("h").collect()}
+    s2 = {r.h for r in pass2.select("h").collect()}
+    assert s1 == s2
