@@ -21,12 +21,19 @@ NTZ_EPOCH_SQL = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
 def epoch_us(ts: Column | str) -> Column:
     """Microseconds since 1970-01-01 00:00:00, timezone-free.
 
-    ``F.unix_micros`` only accepts TIMESTAMP (session-tz) input, so it
-    rejects the TIMESTAMP_NTZ columns parquet scans produce and its
-    value would shift with the session timezone. This computes the
-    offset against an NTZ epoch literal instead — identical to DuckDB's
-    ``epoch_us`` over naive timestamps on any session timezone, and
-    valid for TIMESTAMP, TIMESTAMP_NTZ, and DATE inputs alike.
+    For TIMESTAMP_NTZ and DATE inputs only. ``F.unix_micros`` only
+    accepts TIMESTAMP (session-tz) input, so it rejects the
+    TIMESTAMP_NTZ columns parquet scans produce and its value would
+    shift with the session timezone. This computes the offset against
+    an NTZ epoch literal instead — identical to DuckDB's ``epoch_us``
+    over naive timestamps on any session timezone.
+
+    Do NOT pass a session-tz TIMESTAMP column: its cast to
+    timestamp_ntz reads the wall clock through the session timezone,
+    so the result would shift with ``spark.sql.session.timeZone``.
+    For instants, convert explicitly first
+    (``to_utc_timestamp(ts, sessionLocalTimeZone)``) or use
+    ``F.unix_micros`` directly.
     """
     c = F.col(ts) if isinstance(ts, str) else ts
     return F.timestamp_diff(

@@ -1867,11 +1867,14 @@ ORDER BY day
     "via explode-to-window — never a per-window rescan.",
 )
 def g6_engagement_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One (user, day) materialization feeds dau + two exploded windows
+    # in the returned plan; localCheckpoint blocks free on GC, unlike
+    # a CacheManager entry (see x53).
     ud = (
         table(spark, sf_dir, "events")
         .select("user_id", F.to_date("ts").alias("d"))
         .distinct()
-        .cache()
+        .localCheckpoint(eager=True)
     )
 
     def windowed(n: int, alias: str) -> DataFrame:

@@ -1283,7 +1283,12 @@ ORDER BY new_doc
     "x2 acceptance bar.",
 )
 def x53_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = _spark_sigs(spark, sf_dir).cache()
+    # localCheckpoint, not cache(): the signature relation is shared by
+    # three branches of the one returned plan, and checkpoint blocks
+    # are released by the ContextCleaner once the result is GC'd —
+    # cache() entries would sit in the CacheManager for the rest of a
+    # 150-query run unless explicitly unpersisted.
+    sigs = _spark_sigs(spark, sf_dir).localCheckpoint(eager=True)
     bands = sigs.select(
         "doc_id", F.posexplode(dd.band_keys_expr()).alias("band", "band_key")
     )

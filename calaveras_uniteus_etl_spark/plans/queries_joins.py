@@ -818,28 +818,40 @@ def e12_link_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     outdeg = edges.groupBy("src").agg(F.count("*").alias("od"))
     ranks = nodes.select("n", F.lit(_RANK_BASE).cast("bigint").alias("r"))
-    for _ in range(_RANK_ITERS):
-        contrib = (
-            edges.join(ranks.withColumnRenamed("n", "src_n"), F.col("src_n") == F.col("src"))
-            .join(outdeg, "src")
-            .groupBy(F.col("dst").alias("cn_node"))
-            .agg(F.sum(F.expr("r div od")).alias("contrib"))
-        )
-        ranks = (
-            nodes.join(contrib, nodes.n == F.col("cn_node"), "left")
-            .select(
-                "n",
-                (
-                    F.lit(150_000)
-                    + F.expr(
-                        f"(coalesce(contrib, 0L) * {_DAMP_NUM}) div {_DAMP_DEN}"
-                    )
+    # Each iteration ends in an EAGER localCheckpoint, so after the
+    # loop the returned plan references only the checkpointed ranks —
+    # the edge/node caches can be released instead of lingering for
+    # the rest of a 150-query run.
+    try:
+        for _ in range(_RANK_ITERS):
+            contrib = (
+                edges.join(
+                    ranks.withColumnRenamed("n", "src_n"),
+                    F.col("src_n") == F.col("src"),
                 )
-                .cast("bigint")
-                .alias("r"),
+                .join(outdeg, "src")
+                .groupBy(F.col("dst").alias("cn_node"))
+                .agg(F.sum(F.expr("r div od")).alias("contrib"))
             )
-            .localCheckpoint(eager=True)
-        )
+            ranks = (
+                nodes.join(contrib, nodes.n == F.col("cn_node"), "left")
+                .select(
+                    "n",
+                    (
+                        # teleport mass, same derivation as the oracle
+                        F.lit(_RANK_BASE - _DAMP_NUM)
+                        + F.expr(
+                            f"(coalesce(contrib, 0L) * {_DAMP_NUM}) div {_DAMP_DEN}"
+                        )
+                    )
+                    .cast("bigint")
+                    .alias("r"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        edges.unpersist()
+        nodes.unpersist()
     return ranks.select(
         F.col("n").alias("nation"), F.col("r").alias("rank_micro")
     ).orderBy(F.desc("rank_micro"), "nation")

@@ -1122,42 +1122,55 @@ def x42_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     rows = []
-    for np_ in _SWEEP_PROBES:
-        pl = (
-            ranked.filter((F.col("vec_id") < _N_QUERY) & (F.col("rn") <= np_))
-            .select(F.col("vec_id").alias("query_id"), "cid")
-        )
-        cand = (
-            F.broadcast(pl)
-            .join(assign, "cid")
-            .filter(F.col("vec_id") != F.col("query_id"))
-            .select("query_id", F.col("vec_id").alias("neighbor_id"))
-            .cache()
-        )
-        n_cand = cand.count()
-        scored_np = cand.join(F.broadcast(probes), "query_id").join(
-            e.select(
-                F.col("vec_id").alias("neighbor_id"),
-                F.col("embedding").alias("ne"),
-                F.col("nrm").alias("nn"),
-            ),
-            "neighbor_id",
-        )
-        cosine = F.round(
-            _dot(F.col("qe"), F.col("ne"))
-            / F.nullif(F.col("qn") * F.col("nn"), F.lit(0.0)),
-            4,
-        )
-        topk = (
-            scored_np.select("query_id", "neighbor_id", cosine.alias("cosine"))
-            .withColumn("rn", F.row_number().over(w_exact))
-            .filter(F.col("rn") <= _ANN_TOPK)
-            .select("query_id", "neighbor_id")
-        )
-        hits = exact.join(topk, ["query_id", "neighbor_id"]).count()
-        rows.append(
-            (np_, n_cand, round(hits / (_N_QUERY * float(_ANN_TOPK)), 4))
-        )
+    # The result rows are collected driver-side inside the sweep, so
+    # every cached relation can be released before returning — a full
+    # registry/bench run must not accumulate executor storage.
+    try:
+        for np_ in _SWEEP_PROBES:
+            pl = (
+                ranked.filter((F.col("vec_id") < _N_QUERY) & (F.col("rn") <= np_))
+                .select(F.col("vec_id").alias("query_id"), "cid")
+            )
+            cand = (
+                F.broadcast(pl)
+                .join(assign, "cid")
+                .filter(F.col("vec_id") != F.col("query_id"))
+                .select("query_id", F.col("vec_id").alias("neighbor_id"))
+                .cache()
+            )
+            try:
+                n_cand = cand.count()
+                scored_np = cand.join(F.broadcast(probes), "query_id").join(
+                    e.select(
+                        F.col("vec_id").alias("neighbor_id"),
+                        F.col("embedding").alias("ne"),
+                        F.col("nrm").alias("nn"),
+                    ),
+                    "neighbor_id",
+                )
+                cosine = F.round(
+                    _dot(F.col("qe"), F.col("ne"))
+                    / F.nullif(F.col("qn") * F.col("nn"), F.lit(0.0)),
+                    4,
+                )
+                topk = (
+                    scored_np.select(
+                        "query_id", "neighbor_id", cosine.alias("cosine")
+                    )
+                    .withColumn("rn", F.row_number().over(w_exact))
+                    .filter(F.col("rn") <= _ANN_TOPK)
+                    .select("query_id", "neighbor_id")
+                )
+                hits = exact.join(topk, ["query_id", "neighbor_id"]).count()
+            finally:
+                cand.unpersist()
+            rows.append(
+                (np_, n_cand, round(hits / (_N_QUERY * float(_ANN_TOPK)), 4))
+            )
+    finally:
+        exact.unpersist()
+        ranked.unpersist()
+        e.unpersist()
     return spark.createDataFrame(
         rows, "nprobe int, total_candidates bigint, mean_recall double"
     )

@@ -1417,11 +1417,18 @@ def x43_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    toks = d.select(
-        F.explode(F.expr(f"split({NORM_SPARK.format(col='text')}, ' ')")).alias(
-            "term"
+    # Shared by the sketch build and the exact-count probe within one
+    # returned plan; localCheckpoint blocks self-release on GC where a
+    # cache() entry would outlive the query (see x53).
+    toks = (
+        d.select(
+            F.explode(
+                F.expr(f"split({NORM_SPARK.format(col='text')}, ' ')")
+            ).alias("term")
         )
-    ).filter(F.col("term") != "").cache()
+        .filter(F.col("term") != "")
+        .localCheckpoint(eager=True)
+    )
 
     cells = toks.select(
         F.explode(
@@ -1596,12 +1603,15 @@ def x47_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
+    # Serves the avgdl .first() below AND three branches of the
+    # returned plan; localCheckpoint so the blocks free on GC instead
+    # of lingering in the CacheManager (see x53).
     toks = d.select(
         "doc_id",
         F.explode(F.expr(f"split({NORM_SPARK.format(col='text')}, ' ')")).alias(
             "term"
         ),
-    ).cache()
+    ).localCheckpoint(eager=True)
     lens = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
     stats = lens.agg(
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),

@@ -19,6 +19,7 @@ from calaveras_uniteus_etl_spark.streaming.enrich import (  # noqa: F401
 )
 from calaveras_uniteus_etl_spark.streaming.ingest import stream_ingest  # noqa: F401
 from calaveras_uniteus_etl_spark.streaming.rollup import (  # noqa: F401
+    apply_batch,
     merge_rollup,
     stream_rollup,
 )

@@ -8,11 +8,15 @@ micro-batches. This is the pattern for serving-layer tables at 100 TB:
 the stream only ever shuffles its own micro-batch on the rollup key,
 and the merge rewrites a key-grain table that stays aggregate-sized.
 
-Restart safety: the checkpoint's offset log makes each file's
-contribution exactly-once at the source; the merge itself is
-idempotent per batch because the warehouse write is an atomic swap —
-a crash between merge and commit replays the batch against the
-PRE-swap table state only if the swap did not happen.
+Restart safety: foreachBatch is at-least-once — a crash after the
+warehouse swap succeeds but before the checkpoint commit log records
+the batch replays that batch_id on restart, and a naive merge would
+double-count it. The rollup therefore carries the last applied
+batch_id in-band (``_applied_batch``, a constant column written in
+the same atomic swap as the data it covers), and ``sink`` skips any
+batch whose id is <= the recorded one. batch_ids are assigned
+monotonically by the checkpoint, so skip-if-seen makes the merge
+idempotent across crash-replay and the maintained table exactly-once.
 """
 
 from __future__ import annotations
@@ -24,6 +28,7 @@ from pyspark.sql.streaming import StreamingQuery
 from calaveras_uniteus_etl_spark.warehouse import Warehouse
 
 ROLLUP_TABLE = "events_rollup"
+APPLIED_BATCH_COL = "_applied_batch"
 
 
 def _partials(batch: DataFrame, key: str, value: str) -> DataFrame:
@@ -50,6 +55,44 @@ def merge_rollup(existing: DataFrame, partial: DataFrame, key: str) -> DataFrame
     )
 
 
+def apply_batch(
+    warehouse: Warehouse,
+    batch: DataFrame,
+    batch_id: int,
+    key: str = "event_type",
+    value: str = "value",
+) -> bool:
+    """Merge one micro-batch into the rollup, idempotently per batch_id.
+
+    Returns False (no-op) when ``batch_id`` was already applied — the
+    crash-replay case where the previous run's swap landed but its
+    checkpoint commit did not. The applied batch_id travels in the
+    same atomic swap as the merged data, so the marker can never
+    disagree with the table contents.
+    """
+    partial = _partials(batch, key, value)
+    if warehouse.exists(ROLLUP_TABLE):
+        existing = warehouse.read(ROLLUP_TABLE)
+        if APPLIED_BATCH_COL in existing.columns:
+            last = existing.agg(F.max(APPLIED_BATCH_COL).alias("b")).collect()[
+                0
+            ]["b"]
+            if last is not None and batch_id <= last:
+                return False  # crash-replay of an already-applied batch
+        merged = merge_rollup(existing, partial, key)
+    else:
+        merged = partial.select(
+            key,
+            F.col("n_events").cast("bigint").alias("n_events"),
+            "sum_value",
+        )
+    warehouse.write(
+        ROLLUP_TABLE,
+        merged.withColumn(APPLIED_BATCH_COL, F.lit(batch_id).cast("bigint")),
+    )
+    return True
+
+
 def stream_rollup(
     spark: SparkSession,
     input_dir: str,
@@ -62,16 +105,7 @@ def stream_rollup(
     """Drain ``input_dir`` maintaining the rollup table exactly once."""
 
     def sink(batch: DataFrame, batch_id: int) -> None:
-        partial = _partials(batch, key, value)
-        if warehouse.exists(ROLLUP_TABLE):
-            merged = merge_rollup(warehouse.read(ROLLUP_TABLE), partial, key)
-        else:
-            merged = partial.select(
-                key,
-                F.col("n_events").cast("bigint").alias("n_events"),
-                "sum_value",
-            )
-        warehouse.write(ROLLUP_TABLE, merged)
+        apply_batch(warehouse, batch, batch_id, key, value)
 
     stream = spark.readStream.schema(schema).parquet(input_dir)
     return (

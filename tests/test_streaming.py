@@ -346,3 +346,37 @@ def test_foreachbatch_rollup_equals_batch_recompute(spark, small_events, tmp_pat
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_rollup_crash_replay_is_idempotent(spark, small_events, tmp_path):
+    """At-least-once foreachBatch: re-delivering an already-applied
+    batch_id (crash after swap, before checkpoint commit) must not
+    double-count; a NEW batch_id with the same data must."""
+    from calaveras_uniteus_etl_spark.streaming.rollup import (
+        ROLLUP_TABLE,
+        apply_batch,
+    )
+    from calaveras_uniteus_etl_spark.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "replay_wh"))
+
+    assert apply_batch(wh, small_events, batch_id=0) is True
+    baseline = {
+        (r.event_type, r.n_events, str(r.sum_value))
+        for r in wh.read(ROLLUP_TABLE).collect()
+    }
+
+    # crash-replay: same batch_id again -> skipped, table unchanged
+    assert apply_batch(wh, small_events, batch_id=0) is False
+    assert {
+        (r.event_type, r.n_events, str(r.sum_value))
+        for r in wh.read(ROLLUP_TABLE).collect()
+    } == baseline
+
+    # genuinely new batch -> merged (counts double)
+    assert apply_batch(wh, small_events, batch_id=1) is True
+    doubled = {
+        (r.event_type, r.n_events)
+        for r in wh.read(ROLLUP_TABLE).collect()
+    }
+    assert doubled == {(t, n * 2) for (t, n, _s) in baseline}
