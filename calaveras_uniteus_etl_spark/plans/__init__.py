@@ -111,6 +111,8 @@ _NEVER_CHECKED = [
 # behind the backlog above so they enter the check window as soon as
 # the backlog drains (round 4+). Update when registering new queries.
 _NEW_THIS_ROUND = [
+    "j2_json_props",
+    "r8_share_mix",
 ]
 
 # Entries with a GREEN driver row in round 1 or round 2 (union = 78).

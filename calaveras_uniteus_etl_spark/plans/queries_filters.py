@@ -272,6 +272,62 @@ def j1_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# J2 — JSON property extraction (semi-structured scalar family)
+#
+# The events table carries a JSON props column, the warehouse-standard
+# shape for sparse attributes. Extraction stays JVM-side
+# (get_json_object is a Catalyst expression, no UDF) and the path
+# filter + aggregation happen AFTER the parse projection, so at scale
+# the single scan parses each props string exactly once. Oracle uses
+# DuckDB's built-in JSON extension over identical paths.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j2_json_props",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(SUM(k) AS DOUBLE) / COUNT(*) AS avg_k,
+       CAST(SUM(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+FROM (
+  SELECT event_type,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+) WHERE k IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+""",
+    doc="JSON scalar extraction: get_json_object path parse of the "
+    "props column (JVM-side, single parse per row) into per-type "
+    "min/max/sum/avg/threshold stats; DuckDB JSON extension as oracle.",
+)
+def j2_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    return (
+        e.filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+            (F.sum("k").cast("double") / F.count("*")).alias("avg_k"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_high"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
 # D9 — keyset (seek) pagination
 #
 # d6 reproduces the reference's OFFSET pagination; OFFSET must compute

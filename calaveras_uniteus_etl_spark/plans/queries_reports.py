@@ -428,3 +428,65 @@ def r7_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("o_orderkey").alias("case_count"))
         .orderBy("service", "segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# R8 — share-mix shape (reports/handlers.py:shares_by_method): two-key
+# group with percent-of-total. The share analog on the synthetic star:
+# method := event_type, language := a JSON-prop-derived bucket. The
+# pct divides two exact counts (IEEE-deterministic, f8 discipline) and
+# the total comes from an empty-frame window — the result is already
+# aggregate-sized (|methods| x |languages| rows), so the single-
+# partition window is constant cost, same as the handler.
+# ---------------------------------------------------------------------------
+
+_R8_LANG_SQL = """CASE CAST(json_extract(props, '$.k') AS BIGINT) % 3
+  WHEN 0 THEN 'en' WHEN 1 THEN 'es' ELSE 'other' END"""
+
+
+@register(
+    "r8_share_mix",
+    oracle=f"""
+WITH counts AS (
+  SELECT event_type AS method,
+         {_R8_LANG_SQL} AS language,
+         COUNT(*) AS share_count
+  FROM events
+  GROUP BY method, language
+)
+SELECT method, language, share_count,
+       ROUND(share_count * 100.0 / SUM(share_count) OVER (), 1)
+         AS pct_of_total
+FROM counts
+ORDER BY share_count DESC, method, language
+""",
+    doc="Share-mix report shape (shares_by_method handler): "
+    "method x language counts + percent-of-total over an "
+    "aggregate-sized window (resource_list_shares analytics; tables "
+    "core/database_schema.py:310-360).",
+)
+def r8_share_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    k = F.get_json_object("props", "$.k").cast("long")
+    lang = (
+        F.when(k % 3 == 0, "en").when(k % 3 == 1, "es").otherwise("other")
+    )
+    counts = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("method"), lang.alias("language")
+        )
+        .agg(F.count("*").alias("share_count"))
+    )
+    return counts.select(
+        "method",
+        "language",
+        "share_count",
+        F.round(
+            F.col("share_count")
+            * 100.0
+            / F.sum("share_count").over(Window.partitionBy()),
+            1,
+        ).alias("pct_of_total"),
+    ).orderBy(F.desc("share_count"), "method", "language")

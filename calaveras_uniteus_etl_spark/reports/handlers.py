@@ -12,7 +12,7 @@ fixture tests (tests/test_reports.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from calaveras_uniteus_etl_spark.functions.datetime_ext import (
@@ -931,4 +931,123 @@ def employee_workload(
             F.desc("active_cases"), F.desc("total_cases"), "employee_name"
         )
         .limit(n)
+    )
+
+
+# --- resource-list share analytics ------------------------------------------
+# The reference stores resource_lists / resource_list_shares
+# (core/database_schema.py:310-360) but surfaces them only through the
+# generic ETL/export machinery; these handlers give the share events a
+# first-class analytics counterpart using the same patterns as the
+# case/referral reports above.
+
+
+def share_activity_summary(
+    lists: DataFrame, shares: DataFrame, f: ReportFilters = ReportFilters(),
+) -> DataFrame:
+    """Single-row rollup: lists created, share events, distinct lists
+    actually shared, distinct recipients, shares per shared list."""
+    li = apply_date_range(lists, "created_at", f)
+    sh = apply_date_range(shares, "created_at", f)
+    lists_created = li.agg(F.countDistinct("id").alias("v")).collect()[0]["v"]
+    return sh.agg(
+        F.lit(lists_created).cast("bigint").alias("lists_created"),
+        F.count("*").alias("share_events"),
+        F.countDistinct("resource_list_id").alias("lists_shared"),
+        F.countDistinct("person_id").alias("persons_reached"),
+        F.round(
+            F.count("*")
+            / F.nullif(
+                F.countDistinct("resource_list_id").cast("double"), F.lit(0.0)
+            ),
+            2,
+        ).alias("shares_per_list"),
+    )
+
+
+def shares_by_method(
+    shares: DataFrame, f: ReportFilters = ReportFilters(),
+) -> DataFrame:
+    """share_method x share_language mix with percent-of-total — the
+    delivery-channel breakdown (NULLs bucketed as Not Specified)."""
+    sh = apply_date_range(shares, "created_at", f)
+    counts = sh.groupBy(
+        F.coalesce("share_method", F.lit(NOT_SPECIFIED)).alias("method"),
+        F.coalesce("share_language", F.lit(NOT_SPECIFIED)).alias("language"),
+    ).agg(F.count("*").alias("share_count"))
+    total = Window.partitionBy()
+    return counts.select(
+        "method",
+        "language",
+        "share_count",
+        F.round(
+            F.col("share_count") * 100.0 / F.sum("share_count").over(total), 1
+        ).alias("pct_of_total"),
+    ).orderBy(F.desc("share_count"), "method", "language")
+
+
+def top_sharing_employees(
+    shares: DataFrame, employees: DataFrame,
+    f: ReportFilters = ReportFilters(), n: int = 10,
+) -> DataFrame:
+    """Top-n sharers: share volume, distinct lists, distinct
+    recipients per employee (broadcast dim enrich, top-k)."""
+    sh = apply_date_range(shares, "created_at", f)
+    emp = employees.select(
+        "employee_id",
+        F.concat_ws(
+            " ", "employee_first_name", "employee_last_name"
+        ).alias("employee_name"),
+    )
+    return (
+        sh.groupBy(F.col("shared_by_employee_id").alias("employee_id"))
+        .agg(
+            F.count("*").alias("share_count"),
+            F.countDistinct("resource_list_id").alias("lists_shared"),
+            F.countDistinct("person_id").alias("persons_reached"),
+        )
+        .join(F.broadcast(emp), "employee_id", "left")
+        .select(
+            F.coalesce("employee_name", F.lit(NOT_SPECIFIED)).alias(
+                "employee_name"
+            ),
+            "share_count",
+            "lists_shared",
+            "persons_reached",
+        )
+        .orderBy(F.desc("share_count"), "employee_name")
+        .limit(n)
+    )
+
+
+def shared_list_reach(
+    lists: DataFrame, shares: DataFrame, f: ReportFilters = ReportFilters(),
+) -> DataFrame:
+    """Reach buckets: LEFT JOIN keeps never-shared lists in the 0
+    bucket (household-scatter two-level aggregation shape)."""
+    li = apply_date_range(lists, "created_at", f).select(
+        F.col("id").alias("resource_list_id")
+    )
+    per_list = (
+        li.join(
+            shares.select("resource_list_id", F.lit(1).alias("one")),
+            "resource_list_id",
+            "left",
+        )
+        .groupBy("resource_list_id")
+        .agg(F.count("one").alias("share_count"))
+    )
+    bucket = (
+        F.when(F.col("share_count") == 0, "never shared")
+        .when(F.col("share_count") == 1, "shared once")
+        .when(F.col("share_count").between(2, 3), "2-3 shares")
+        .otherwise("4+ shares")
+    )
+    return (
+        per_list.groupBy(bucket.alias("reach"))
+        .agg(
+            F.count("*").alias("list_count"),
+            F.sum("share_count").cast("bigint").alias("share_events"),
+        )
+        .orderBy("reach")
     )

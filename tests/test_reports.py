@@ -471,3 +471,93 @@ def test_cohort_retention_returning_clients(spark, fixture_tables):
     assert rows["2025-03"] == (1, 0, 0.0)
     # cohorts key on the FIRST month only — one row per person here
     assert sum(size for size, _, _ in rows.values()) == 3
+
+
+@pytest.fixture(scope="module")
+def share_tables(spark):
+    lists = spark.createDataFrame(
+        [
+            ("L1", "p1", "ProvA", "ProgX", "Housing", "2025-12-01 00:00:00"),
+            ("L2", "p2", "ProvA", "ProgX", "Food", "2025-12-02 00:00:00"),
+            ("L3", "p3", "ProvB", "ProgY", "Housing", "2025-12-03 00:00:00"),
+            ("L4", "p1", "ProvB", "ProgY", "Food", "2025-12-04 00:00:00"),
+        ],
+        "id string, person_id string, provider_name string, "
+        "program_name string, service_type string, created_at string",
+    )
+    shares = spark.createDataFrame(
+        [
+            ("S1", "L1", "p1", "w1", "ann@x.org", "email", "en",
+             "2025-12-05 00:00:00"),
+            ("S2", "L1", "p1", "w1", "+1555", "sms", "en",
+             "2025-12-06 00:00:00"),
+            ("S3", "L1", "p4", "w2", "dee@x.org", "email", "es",
+             "2025-12-07 00:00:00"),
+            ("S4", "L2", "p2", "w1", "bob@x.org", "email", "en",
+             "2025-12-08 00:00:00"),
+            ("S5", "L3", "p3", "w9", "cal@x.org", None, None,
+             "2025-12-09 00:00:00"),
+        ],
+        "id string, resource_list_id string, person_id string, "
+        "shared_by_employee_id string, shared_to string, "
+        "share_method string, share_language string, created_at string",
+    )
+    return dict(lists=lists, shares=shares)
+
+
+def test_share_activity_summary(spark, share_tables, fixture_tables):
+    r = H.share_activity_summary(
+        share_tables["lists"], share_tables["shares"]
+    ).collect()[0]
+    assert (
+        r.lists_created, r.share_events, r.lists_shared, r.persons_reached
+    ) == (4, 5, 3, 4)
+    assert abs(r.shares_per_list - round(5 / 3, 2)) < 1e-9
+    # date gating trims both sides
+    f = ReportFilters(
+        start_date="2025-12-03 00:00:00", end_date="2025-12-07 00:00:00"
+    )
+    r = H.share_activity_summary(
+        share_tables["lists"], share_tables["shares"], f
+    ).collect()[0]
+    assert (r.lists_created, r.share_events, r.lists_shared) == (2, 3, 1)
+
+
+def test_shares_by_method_mix(spark, share_tables):
+    rows = H.shares_by_method(share_tables["shares"]).collect()
+    got = {(r.method, r.language): (r.share_count, r.pct_of_total) for r in rows}
+    assert got == {
+        ("email", "en"): (2, 40.0),
+        ("email", "es"): (1, 20.0),
+        ("sms", "en"): (1, 20.0),
+        ("Not Specified", "Not Specified"): (1, 20.0),
+    }
+    # deterministic ordering: volume desc then name
+    assert rows[0].method == "email" and rows[0].language == "en"
+
+
+def test_top_sharing_employees(spark, share_tables, fixture_tables):
+    rows = H.top_sharing_employees(
+        share_tables["shares"], fixture_tables["employees"]
+    ).collect()
+    assert [
+        (r.employee_name, r.share_count, r.lists_shared, r.persons_reached)
+        for r in rows
+    ] == [
+        ("Wyn One", 3, 2, 2),
+        ("Not Specified", 1, 1, 1),  # w9 missing from employees dim
+        ("Wes Two", 1, 1, 1),
+    ]
+
+
+def test_shared_list_reach_buckets(spark, share_tables):
+    rows = H.shared_list_reach(
+        share_tables["lists"], share_tables["shares"]
+    ).collect()
+    got = {r.reach: (r.list_count, r.share_events) for r in rows}
+    # L1: 3 shares, L2: 1, L3: 1, L4: never shared
+    assert got == {
+        "2-3 shares": (1, 3),
+        "shared once": (2, 2),
+        "never shared": (1, 0),
+    }
