@@ -7,13 +7,17 @@ row-at-a-time, batches stream through the worker (no whole-partition
 materialization), and the output schema is a fixed contract so
 downstream plans stay columnar.
 
-The actual codec work (PIL/libav/librosa) is NOT available in this
-environment, so :func:`decode_media` is a clearly-marked stub behind an
-import-try, and :func:`extract_features` runs a DETERMINISTIC FAKE
-decode — md5-derived pseudo-dimensions — that keeps every bit of the
-Spark-side plumbing (schema, batching, partitioning, UDF signature)
-real and oracle-checkable. Swap ``_fake_features`` for a real decoder
-and nothing else changes.
+Decode is REAL for formats the standard library can handle —
+PNG (zlib inflate + unfilter) and PCM WAV (RIFF), via
+functions/codecs.py — dispatched on magic bytes. Formats needing an
+external codec (JPEG/MP3/MP4) go through a Pillow import guard and
+raise ``NotImplementedError`` when it is absent. Payloads with no
+recognizable magic (the driver's synthetic testdata) fall back to the
+DETERMINISTIC FAKE decode — md5-derived pseudo-dimensions — which
+keeps every bit of the Spark-side plumbing (schema, batching,
+partitioning, UDF signature) oracle-checkable: the differential gate
+runs on opaque payloads, the real-codec path is pytest-covered with
+constructed PNG/WAV fixtures.
 """
 
 from __future__ import annotations
@@ -25,6 +29,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
+from calaveras_uniteus_etl_spark.functions import codecs
+
 MEDIA_TYPES = ("image", "audio", "video")
 
 # Output contract of extract_features — fixed, engine-facing.
@@ -34,21 +40,56 @@ FEATURE_SCHEMA = (
 )
 
 
-def decode_media(payload: bytes, media_type: str):  # pragma: no cover - stub
-    """Real decode hook — unavailable in this container.
+def decode_media(payload: bytes, media_type: str) -> dict:
+    """Real decode: PNG and PCM WAV natively (functions/codecs.py),
+    other image formats via Pillow when installed.
 
-    A production deployment plugs PIL (image), libav (video) or
-    soundfile/librosa (audio) in here; the container has none of them,
-    so this raises rather than silently faking.
+    Raises ``NotImplementedError`` for formats with no available codec
+    (e.g. video containers without libav) rather than silently faking;
+    ``ValueError`` for payloads with no recognizable magic.
     """
+    kind = codecs.sniff_media(payload)
+    if kind == "png":
+        return codecs.decode_png(payload)
+    if kind == "wav":
+        return codecs.decode_wav(payload)
+    if kind == "jpeg":
+        return codecs.decode_image_any(payload)  # Pillow-guarded
+    raise ValueError(
+        f"unrecognized {media_type} payload (no known magic bytes); "
+        "extract_features falls back to the deterministic fake decode"
+    )
+
+
+def _real_features(payload: bytes, media_type: str) -> dict | None:
+    """Feature dict via the real codecs, or None when the payload has
+    no recognizable magic (synthetic testdata -> fake path)."""
+    kind = codecs.sniff_media(payload)
+    if kind is None:
+        return None
+    base = {
+        "n_bytes": len(payload),
+        "digest": hashlib.md5(payload).hexdigest(),
+        "width": None,
+        "height": None,
+        "duration_s": None,
+        "sample_rate": None,
+    }
     try:
-        import PIL  # noqa: F401
-    except ImportError:
-        raise NotImplementedError(
-            "media codecs are not installed in this environment; "
-            "extract_features uses the deterministic fake decode instead"
-        )
-    raise NotImplementedError("real decode not wired yet")
+        decoded = decode_media(payload, media_type)
+    except NotImplementedError:
+        # Recognized format, no codec available (e.g. JPEG without
+        # Pillow): identity features with NULL dimensions — never a
+        # fake decode of a real payload. Downstream quarantines on
+        # NULL dims.
+        return base
+    base.update(
+        {
+            k: decoded.get(k)
+            for k in ("width", "height", "duration_s", "sample_rate")
+        }
+    )
+    return base
 
 
 def _fake_features(payload: bytes, media_type: str) -> dict:
@@ -90,7 +131,7 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """
     for pdf in batches:
         feats = [
-            _fake_features(bytes(p), mt)
+            _real_features(bytes(p), mt) or _fake_features(bytes(p), mt)
             for p, mt in zip(pdf["payload"], pdf["media_type"])
         ]
         out = pd.DataFrame(feats)
