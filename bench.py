@@ -122,6 +122,15 @@ HEADLINE = [
     "x53_incremental_neardup",
     "f30_drift_monitor",
     "x54_shard_balance",
+    "j2_json_props",
+    "r8_share_mix",
+    "h9_disjunctive_brackets",
+    "h10_priority_semi",
+    "h11_value_share",
+    "h12_inactive_rich",
+    "f31_grouping_sets",
+    "m4_column_profile",
+    "x55_cluster_representative",
 ]
 
 

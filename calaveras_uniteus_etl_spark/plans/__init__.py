@@ -113,6 +113,13 @@ _NEVER_CHECKED = [
 _NEW_THIS_ROUND = [
     "j2_json_props",
     "r8_share_mix",
+    "h9_disjunctive_brackets",
+    "h10_priority_semi",
+    "h11_value_share",
+    "h12_inactive_rich",
+    "f31_grouping_sets",
+    "m4_column_profile",
+    "x55_cluster_representative",
 ]
 
 # Entries with a GREEN driver row in round 1 or round 2 (union = 78).

@@ -2247,3 +2247,140 @@ def f30_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# F31 — GROUPING SETS (explicit set list)
+#
+# ROLLUP (f21) and CUBE (f24) are sugar over GROUPING SETS; the
+# explicit form is what warehouses emit when a report wants a custom
+# subtotal lattice — here (flag, status), (flag), (status), ():
+# per-cell, both one-dimension margins, and the grand total, all in
+# one aggregate pass (Spark Expand operator: one scan, four grouping
+# streams), never four scans.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f31_grouping_sets",
+    oracle="""
+SELECT l_returnflag AS rflag, l_linestatus AS lstatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                        (l_returnflag), (l_linestatus), ())
+""",
+    doc="Explicit GROUPING SETS lattice — cells, both margins, grand "
+    "total in a single Expand+aggregate pass; GROUPING id "
+    "distinguishes the four streams.",
+)
+def f31_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("rflag"),
+        F.col("l_linestatus").alias("lstatus"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    return li.groupingSets(
+        [["rflag", "lstatus"], ["rflag"], ["lstatus"], []],
+        "rflag",
+        "lstatus",
+    ).agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count("*").alias("n_items"),
+        F.sum("qty").alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M4 — table profiler (ANALYZE-style column statistics)
+#
+# The ops-side census every warehouse runs before planning: one pass
+# over the fact computes nulls/distincts/extremes for every profiled
+# column simultaneously (a single wide aggregate), then unpivots to
+# the long (column, metric) layout with stack() — never one scan per
+# column. Numeric and string extremes ride separate typed columns so
+# no cross-engine number→text formatting is involved.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m4_column_profile",
+    oracle="""
+WITH s AS (
+  SELECT COUNT(*) AS n_rows,
+         COUNT(*) - COUNT(o_orderstatus) AS null_status,
+         COUNT(DISTINCT o_orderstatus) AS nd_status,
+         MIN(o_orderstatus) AS min_status, MAX(o_orderstatus) AS max_status,
+         COUNT(*) - COUNT(o_orderpriority) AS null_prio,
+         COUNT(DISTINCT o_orderpriority) AS nd_prio,
+         MIN(o_orderpriority) AS min_prio, MAX(o_orderpriority) AS max_prio,
+         COUNT(*) - COUNT(o_totalprice) AS null_price,
+         COUNT(DISTINCT o_totalprice) AS nd_price,
+         MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+         COUNT(*) - COUNT(o_orderkey) AS null_key,
+         COUNT(DISTINCT o_orderkey) AS nd_key,
+         MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+  FROM orders
+)
+SELECT * FROM (
+  SELECT 'o_orderstatus' AS col_name, n_rows, null_status AS n_null,
+         nd_status AS n_distinct, CAST(NULL AS DOUBLE) AS min_num,
+         CAST(NULL AS DOUBLE) AS max_num,
+         min_status AS min_str, max_status AS max_str FROM s
+  UNION ALL
+  SELECT 'o_orderpriority', n_rows, null_prio, nd_prio,
+         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         min_prio, max_prio FROM s
+  UNION ALL
+  SELECT 'o_totalprice', n_rows, null_price, nd_price,
+         CAST(min_price AS DOUBLE), CAST(max_price AS DOUBLE),
+         NULL, NULL FROM s
+  UNION ALL
+  SELECT 'o_orderkey', n_rows, null_key, nd_key,
+         CAST(min_key AS DOUBLE), CAST(max_key AS DOUBLE),
+         NULL, NULL FROM s
+) ORDER BY col_name
+""",
+    doc="ANALYZE-style profiler: one wide aggregate pass computes "
+    "nulls/distincts/extremes for four columns, unpivoted to long "
+    "(column, metric) rows; typed num/str extreme columns avoid "
+    "number-to-text formatting divergence.",
+)
+def m4_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    s = o.agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count("o_orderstatus")).alias("null_status"),
+        F.countDistinct("o_orderstatus").alias("nd_status"),
+        F.min("o_orderstatus").alias("min_status"),
+        F.max("o_orderstatus").alias("max_status"),
+        (F.count("*") - F.count("o_orderpriority")).alias("null_prio"),
+        F.countDistinct("o_orderpriority").alias("nd_prio"),
+        F.min("o_orderpriority").alias("min_prio"),
+        F.max("o_orderpriority").alias("max_prio"),
+        (F.count("*") - F.count("o_totalprice")).alias("null_price"),
+        F.countDistinct("o_totalprice").alias("nd_price"),
+        F.min("o_totalprice").cast("double").alias("min_price"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+        (F.count("*") - F.count("o_orderkey")).alias("null_key"),
+        F.countDistinct("o_orderkey").alias("nd_key"),
+        F.min("o_orderkey").cast("double").alias("min_key"),
+        F.max("o_orderkey").cast("double").alias("max_key"),
+    )
+    return s.select(
+        F.expr(
+            """stack(4,
+  'o_orderstatus',   n_rows, null_status, nd_status,
+      CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min_status, max_status,
+  'o_orderpriority', n_rows, null_prio,   nd_prio,
+      CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min_prio,   max_prio,
+  'o_totalprice',    n_rows, null_price,  nd_price,
+      min_price, max_price, CAST(NULL AS STRING), CAST(NULL AS STRING),
+  'o_orderkey',      n_rows, null_key,    nd_key,
+      min_key,   max_key,   CAST(NULL AS STRING), CAST(NULL AS STRING)
+) AS (col_name, n_rows, n_null, n_distinct,
+      min_num, max_num, min_str, max_str)"""
+        )
+    ).orderBy("col_name")

@@ -447,25 +447,11 @@ def x4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# X14 — near-dup connected components (keeper selection)
-#
-# Pair lists aren't actionable until transitively grouped: {A≈B, B≈C}
-# must yield ONE keeper for {A,B,C}. Components are computed by min-
-# label propagation — iterate "label := min(label, neighbors' labels)"
-# to fixpoint — the standard Spark shape for iterative graph algorithms
-# without GraphFrames: a driver loop over joins, localCheckpoint per
-# round to keep lineage flat. Rounds needed = graph diameter (near-dup
-# clusters are shallow; capped at 20). The DuckDB oracle computes the
-# same fixpoint with WITH RECURSIVE reachability. Non-SQL-expressible
-# in one query on the Spark side, yet still fully oracle-checked.
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "x14_neardup_components",
-    oracle=_DUCK_SIGS
-    + f""", bands AS (
+def _duck_reach_sql() -> str:
+    """Shared oracle prefix: LSH candidate pairs → symmetric edges →
+    WITH RECURSIVE reachability, min-label per node (CTE ``reach``).
+    Used by x14 (cluster census) and x55 (representative pick)."""
+    return _DUCK_SIGS + f""", bands AS (
   SELECT doc_id, sig, t.b AS band, {dd.duck_band_key_sql()} AS band_key
   FROM sigs CROSS JOIN (SELECT unnest(range({dd.LSH_BANDS})) AS b) t
 ), ok AS (
@@ -490,7 +476,28 @@ def x4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION
     SELECT e.b, r.lbl FROM r JOIN edges e ON e.a = r.node
   ) SELECT node, MIN(lbl) AS component FROM r GROUP BY node
-)
+)"""
+
+
+# ---------------------------------------------------------------------------
+# X14 — near-dup connected components (keeper selection)
+#
+# Pair lists aren't actionable until transitively grouped: {A≈B, B≈C}
+# must yield ONE keeper for {A,B,C}. Components are computed by min-
+# label propagation — iterate "label := min(label, neighbors' labels)"
+# to fixpoint — the standard Spark shape for iterative graph algorithms
+# without GraphFrames: a driver loop over joins, localCheckpoint per
+# round to keep lineage flat. Rounds needed = graph diameter (near-dup
+# clusters are shallow; capped at 20). The DuckDB oracle computes the
+# same fixpoint with WITH RECURSIVE reachability. Non-SQL-expressible
+# in one query on the Spark side, yet still fully oracle-checked.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x14_neardup_components",
+    oracle=_duck_reach_sql()
+    + """
 SELECT component AS keeper_id,
        COUNT(*) AS member_count,
        COUNT(*) - 1 AS removable
@@ -503,41 +510,57 @@ GROUP BY component
     "recursive-CTE oracle.",
 )
 def x14_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = _neardup_labels(spark, sf_dir)
+    return labels.groupBy(F.col("lbl").alias("keeper_id")).agg(
+        F.count("*").alias("member_count"),
+        (F.count("*") - 1).alias("removable"),
+    )
+
+
+def _neardup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-label propagation over the LSH pair graph → (node, lbl).
+
+    Each round ends in an EAGER localCheckpoint, so the returned plan
+    references only checkpointed labels; the pair/edge caches that
+    feed the iterations are released on exit (they must not outlive
+    the query in a 150-entry registry run).
+    """
     pairs = x2_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b").cache()
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
         .cache()
     )
-    labels = edges.select(F.col("a").alias("node")).distinct().select(
-        "node", F.col("node").alias("lbl")
-    )
-    for _ in range(20):  # cap = max expected cluster diameter
-        neighbor_min = (
-            edges.join(labels, edges.a == labels.node)
-            .groupBy(F.col("b").alias("node2"))
-            .agg(F.min("lbl").alias("nmin"))
+    try:
+        labels = edges.select(F.col("a").alias("node")).distinct().select(
+            "node", F.col("node").alias("lbl")
         )
-        updated = (
-            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
-            .select(
-                "node",
-                F.least(F.col("lbl"), F.coalesce(F.col("nmin"), F.col("lbl"))).alias(
-                    "new_lbl"
-                ),
-                "lbl",
+        for _ in range(20):  # cap = max expected cluster diameter
+            neighbor_min = (
+                edges.join(labels, edges.a == labels.node)
+                .groupBy(F.col("b").alias("node2"))
+                .agg(F.min("lbl").alias("nmin"))
             )
-        )
-        changed = updated.filter(F.col("new_lbl") != F.col("lbl")).count()
-        labels = updated.select(
-            "node", F.col("new_lbl").alias("lbl")
-        ).localCheckpoint(eager=True)
-        if changed == 0:
-            break
-    return labels.groupBy(F.col("lbl").alias("keeper_id")).agg(
-        F.count("*").alias("member_count"),
-        (F.count("*") - 1).alias("removable"),
-    )
+            updated = (
+                labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("lbl"), F.coalesce(F.col("nmin"), F.col("lbl"))
+                    ).alias("new_lbl"),
+                    "lbl",
+                )
+            )
+            changed = updated.filter(F.col("new_lbl") != F.col("lbl")).count()
+            labels = updated.select(
+                "node", F.col("new_lbl").alias("lbl")
+            ).localCheckpoint(eager=True)
+            if changed == 0:
+                break
+    finally:
+        pairs.unpersist()
+        edges.unpersist()
+    return labels
 
 
 # ---------------------------------------------------------------------------
@@ -1336,4 +1359,64 @@ def x53_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("nm").cast("double") / dd.MINHASH_K, 4).alias("est_sim"),
         )
         .orderBy("new_doc")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X55 — canonical representative per near-dup cluster (keep-best)
+#
+# x14 counts clusters; the curation step that follows picks WHICH
+# member survives. Policy: longest document wins (quality proxy),
+# doc_id as the deterministic tiebreak — the "keep best, drop rest"
+# rule every near-dup pipeline applies before writing shards. One
+# row_number window over the labeled nodes joined to the documents
+# dim; the labels come from the same checkpointed propagation as x14,
+# so clusters and representatives can never disagree between the two
+# queries.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x55_cluster_representative",
+    oracle=_duck_reach_sql()
+    + """
+SELECT cluster_id, rep_doc, rep_chars, member_count
+FROM (
+  SELECT r.component AS cluster_id, r.node AS rep_doc,
+         d.n_chars AS rep_chars,
+         COUNT(*) OVER (PARTITION BY r.component) AS member_count,
+         ROW_NUMBER() OVER (PARTITION BY r.component
+                            ORDER BY d.n_chars DESC, r.node) AS rn
+  FROM reach r JOIN documents d ON d.doc_id = r.node
+)
+WHERE rn = 1
+ORDER BY cluster_id
+""",
+    doc="Keep-best canonicalization: per near-dup cluster, the longest "
+    "member (doc_id tiebreak) via one row_number window over "
+    "labels⋈documents; shares x14's propagation fixpoint.",
+)
+def x55_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = _neardup_labels(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = WindowSpec.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("rep_doc")
+    )
+    return (
+        labels.select(
+            F.col("lbl").alias("cluster_id"), F.col("node").alias("rep_doc")
+        )
+        .join(docs, F.col("rep_doc") == F.col("doc_id"))
+        .select(
+            "cluster_id",
+            "rep_doc",
+            F.col("n_chars").alias("rep_chars"),
+            F.count("*")
+            .over(WindowSpec.partitionBy("cluster_id"))
+            .alias("member_count"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("cluster_id")
     )

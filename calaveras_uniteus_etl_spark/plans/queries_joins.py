@@ -914,3 +914,256 @@ def e13_range_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+# ---------------------------------------------------------------------------
+# H9 — disjunctive predicate brackets (TPC-H Q19 shape)
+#
+# OR of three conjunctive (brand, size-range, quantity-range) brackets
+# across a fact⋈dim join. Catalyst extracts the common p_partkey
+# equality as the join key, pushes the per-bracket part predicates to
+# the part scan (a p_brand IN (...) superset filter) and evaluates the
+# residual disjunction post-join — the classic "complex predicate
+# still prunes the scan" check. Part is broadcast; lineitem never
+# shuffles.
+# ---------------------------------------------------------------------------
+
+_H9_BRACKETS = (
+    ("Brand#11", 1, 15, 1, 11),
+    ("Brand#22", 10, 30, 10, 20),
+    ("Brand#33", 20, 50, 20, 30),
+)
+
+
+def _h9_bracket_sql() -> str:
+    return " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi} "
+        f"AND l_quantity BETWEEN {qlo} AND {qhi})"
+        for b, slo, shi, qlo, qhi in _H9_BRACKETS
+    )
+
+
+@register(
+    "h9_disjunctive_brackets",
+    oracle=f"""
+SELECT p_brand,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (1 - CAST(l_discount AS DECIMAL(6,4))))
+                 AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE {_h9_bracket_sql()}
+GROUP BY p_brand
+ORDER BY p_brand
+""",
+    doc="TPC-H Q19 shape: OR of conjunctive (brand, size, quantity) "
+    "brackets over lineitem⋈part; broadcast part, residual "
+    "disjunction post-join, exact-decimal revenue.",
+)
+def h9_disjunctive_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    bracket = None
+    for b, slo, shi, qlo, qhi in _H9_BRACKETS:
+        cond = (
+            (F.col("p_brand") == b)
+            & F.col("p_size").between(slo, shi)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+        bracket = cond if bracket is None else (bracket | cond)
+    rev = X.dec("l_extendedprice") * (F.lit(1) - X.dec("l_discount", X.RATE))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(bracket)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(rev).cast("decimal(38,6)").cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# H10 — EXISTS semi-join by priority (TPC-H Q4 shape)
+#
+# Orders with at least one slow-shipping lineitem, counted by
+# priority. The correlated EXISTS becomes a LEFT SEMI join on
+# orderkey with the lateness predicate in the join condition — one
+# shuffle on orderkey, no duplicate counting however many lineitems
+# match (semi-join semantics, not DISTINCT patch-up). The testdata
+# schema has no commitdate/receiptdate, so "slow" is shipdate more
+# than 60 days after the order date.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "h10_priority_semi",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    doc="TPC-H Q4 shape: correlated EXISTS as LEFT SEMI join with the "
+    "lateness predicate inside the join condition; counts stay "
+    "per-order regardless of matching-lineitem multiplicity.",
+)
+def h10_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    slow = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, slow, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# H11 — group share vs global scalar (TPC-H Q11 shape)
+#
+# Parts whose revenue exceeds a fraction of TOTAL revenue. The global
+# total is a 1-row aggregate crossJoined (broadcast, constant cost)
+# onto the per-part rollup; the share test multiplies the DECIMAL
+# part revenue by the integer share denominator instead of comparing
+# against a rounded fraction — exact integer-decimal arithmetic, no
+# epsilon, identical row sets in both engines at any SF. Testdata has
+# no partsupp, so lineitem revenue stands in for stock value.
+# ---------------------------------------------------------------------------
+
+_H11_SHARE_DEN = 2000  # keep parts with revenue > total/2000
+
+
+@register(
+    "h11_value_share",
+    oracle=f"""
+WITH pr AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l_discount AS DECIMAL(6,4))))
+              AS DECIMAL(38,6)) AS part_rev
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey AS part, CAST(part_rev AS DOUBLE) AS revenue
+FROM pr
+WHERE part_rev * {_H11_SHARE_DEN} > (SELECT SUM(part_rev) FROM pr)
+ORDER BY revenue DESC, part
+""",
+    doc="TPC-H Q11 shape: per-part revenue filtered against a global "
+    "total via 1-row broadcast crossJoin; share test in exact "
+    "decimal-integer arithmetic (rev*DEN > total), no epsilon.",
+)
+def h11_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    rev = X.dec("l_extendedprice") * (F.lit(1) - X.dec("l_discount", X.RATE))
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(rev).cast("decimal(38,6)").alias("part_rev")
+    )
+    total = pr.agg(
+        F.sum("part_rev").cast("decimal(38,6)").alias("total_rev")
+    )
+    return (
+        pr.crossJoin(F.broadcast(total))  # 1-row total: constant cost
+        .filter(F.col("part_rev") * _H11_SHARE_DEN > F.col("total_rev"))
+        .select(
+            F.col("l_partkey").alias("part"),
+            F.col("part_rev").cast("double").alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), "part")
+    )
+
+
+# ---------------------------------------------------------------------------
+# H12 — lapsed rich customers (TPC-H Q22 shape)
+#
+# Anti-join against the fact table gated by a global scalar (average
+# positive balance). Both scalar and anti-join avoid correlated
+# per-row execution: the average is a 1-row broadcast, the NOT EXISTS
+# is a LEFT ANTI join on custkey with the recency predicate pushed to
+# the orders scan. The average is exact-decimal then double
+# (order-independent), so the > comparison selects identical
+# customers in both engines. Every testdata customer has ordered at
+# least once, so "inactive" is no order since the cutoff — a
+# non-degenerate anti-join at every SF. No c_phone in testdata; the
+# segment stands in for the country-code grouping.
+# ---------------------------------------------------------------------------
+
+_H12_CUTOFF = "2000-01-01 00:00:00"
+
+
+@register(
+    "h12_inactive_rich",
+    oracle=f"""
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+         / COUNT(*) AS ab
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_mktsegment AS segment,
+       COUNT(*) AS n_customers,
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2))
+            AS DOUBLE) AS total_bal
+FROM customer
+WHERE c_acctbal > (SELECT ab FROM avg_bal)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '{_H12_CUTOFF}'
+  )
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    doc="TPC-H Q22 shape: global exact-decimal AVG scalar broadcast + "
+    "LEFT ANTI join on the recency-filtered fact; per-segment count "
+    "and balance rollup of lapsed above-average customers.",
+)
+def h12_inactive_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(_H12_CUTOFF).cast("timestamp"))
+        .select("o_custkey")
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(X.dec("c_acctbal")).cast("double") / F.count("*")
+            ).alias("ab")
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))  # 1-row scalar: constant cost
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(X.dec("c_acctbal"))
+            .cast("decimal(38,2)")
+            .cast("double")
+            .alias("total_bal"),
+        )
+        .orderBy("segment")
+    )
