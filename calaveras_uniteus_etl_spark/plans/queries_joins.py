@@ -1075,8 +1075,14 @@ def h11_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_extendedprice", "l_discount"
     )
     rev = X.dec("l_extendedprice") * (F.lit(1) - X.dec("l_discount", X.RATE))
-    pr = li.groupBy("l_partkey").agg(
-        F.sum(rev).cast("decimal(38,6)").alias("part_rev")
+    # Materialize the per-part rollup once (localCheckpoint: blocks
+    # free on GC) — both the share filter and the total derive from
+    # it, so the fact table is scanned exactly once, not once per
+    # consumer. At 100 TB pr is parts-sized, not fact-sized.
+    pr = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(rev).cast("decimal(38,6)").alias("part_rev"))
+        .localCheckpoint(eager=True)
     )
     total = pr.agg(
         F.sum("part_rev").cast("decimal(38,6)").alias("total_rev")
