@@ -131,6 +131,16 @@ HEADLINE = [
     "f31_grouping_sets",
     "m4_column_profile",
     "x55_cluster_representative",
+    "h13_volume_shipping",
+    "h14_market_share",
+    "h15_custdist",
+    "h16_promo_effect",
+    "h17_top_supplier",
+    "h18_small_qty_avg",
+    "h19_large_volume_orders",
+    "h20_supplier_variety",
+    "h21_waiting_orders",
+    "h22_min_cost_supplier",
 ]
 
 

@@ -18,6 +18,7 @@ from calaveras_uniteus_etl_spark.plans import (  # noqa: F401  (import = registe
     queries_similarity,
     queries_streaming,
     queries_text,
+    queries_tpch,
 )
 
 # The driver's correctness harness walks the registry in order and caps
@@ -120,6 +121,16 @@ _NEW_THIS_ROUND = [
     "f31_grouping_sets",
     "m4_column_profile",
     "x55_cluster_representative",
+    "h13_volume_shipping",
+    "h14_market_share",
+    "h15_custdist",
+    "h16_promo_effect",
+    "h17_top_supplier",
+    "h18_small_qty_avg",
+    "h19_large_volume_orders",
+    "h20_supplier_variety",
+    "h21_waiting_orders",
+    "h22_min_cost_supplier",
 ]
 
 # Entries with a GREEN driver row in round 1 or round 2 (union = 78).

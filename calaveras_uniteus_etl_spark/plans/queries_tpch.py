@@ -1,0 +1,659 @@
+"""Deep TPC-H-shape operator coverage (h13+): the join/agg patterns a
+reference user's ad-hoc analytics would grow into at warehouse scale.
+
+The reference's report endpoints are flat GROUP BYs over one joined
+view (core/app.py report routes; see SURVEY.md §2.E/§2.F); these
+queries cover the harder shapes that appear the moment the same data
+model is queried at scale: nation-pair volume joins (Q7), market-share
+ratios (Q8), distribution-of-counts (Q13), promo share (Q14), argmax
+against a global scalar (Q15), correlated-average filters (Q17),
+HAVING-gated fact rollups joined back to dimensions (Q18), distinct
+counting across a fact link (Q16), exists/not-exists sibling logic
+(Q21), and per-group argmin selection (Q2).
+
+Cross-engine determinism follows plans/catalog.py rules: money sums in
+exact DECIMAL then DOUBLE, averages as decimal-sum / count, ratio
+outputs as double division of identically-derived operands, every
+LIMIT under a total order. Testdata has no partsupp table, so Q2/Q11/
+Q16-style stock relations are derived from lineitem supplier links.
+
+Scale notes (100 TB shapes): dimension sides (nation, region,
+supplier, part, customer) broadcast and PRUNE the fact scans before
+any shuffle; the only fact-fact shuffle is lineitem⋈orders on
+orderkey, entered with both sides already dimension-filtered. Fact
+rollups (per-order, per-part, per-supplier) aggregate BEFORE joining
+back to dimensions, so shuffles carry keys + fixed-width aggregates,
+never payload columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from calaveras_uniteus_etl_spark.plans import _exact as X
+from calaveras_uniteus_etl_spark.plans.catalog import register
+from calaveras_uniteus_etl_spark.plans.tables import table
+
+# Exact per-row revenue: dec(12,2) * dec(6,4) products stay exact.
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(6,4)))"
+)
+
+
+def _rev() -> F.Column:
+    return X.dec("l_extendedprice") * (F.lit(1) - X.dec("l_discount", X.RATE))
+
+
+# ---------------------------------------------------------------------------
+# H13 — nation-pair volume shipping (TPC-H Q7 shape)
+# ---------------------------------------------------------------------------
+
+_H13_A, _H13_B = "NATION_1", "NATION_2"
+
+
+@register(
+    "h13_volume_shipping",
+    oracle=f"""
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+       CAST(CAST(SUM({_REV_SQL}) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey
+WHERE (sn.n_name = '{_H13_A}' AND cn.n_name = '{_H13_B}')
+   OR (sn.n_name = '{_H13_B}' AND cn.n_name = '{_H13_A}')
+GROUP BY sn.n_name, cn.n_name, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+    doc="TPC-H Q7 shape: nation-pair revenue by ship year. Both fact "
+    "sides are dimension-pruned (supplier and customer filtered to "
+    "the 2-nation pair, broadcast) BEFORE the lineitem⋈orders "
+    "shuffle — at 100 TB the shuffle moves ~2/25ths of each fact.",
+)
+def h13_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(_H13_A, _H13_B)
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        table(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # Prune each fact with its broadcast dim first; shuffle the two
+    # pruned facts on orderkey; pair-filter needs both sides so it
+    # sits directly above the join.
+    li_s = li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+    o_c = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    return (
+        li_s.join(o_c, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            ((F.col("supp_nation") == _H13_A) & (F.col("cust_nation") == _H13_B))
+            | ((F.col("supp_nation") == _H13_B) & (F.col("cust_nation") == _H13_A))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(X.exact_sum(_rev(), "revenue", scale=6))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# H14 — market share ratio (TPC-H Q8 shape)
+# ---------------------------------------------------------------------------
+
+_H14_REGION = "ASIA"
+_H14_NATION = "NATION_12"  # an ASIA nation: numerator of the share
+_H14_TYPE = "PROMO"
+_H14_LO, _H14_HI = "1995-01-01 00:00:00", "1997-01-01 00:00:00"
+
+
+@register(
+    "h14_market_share",
+    oracle=f"""
+WITH base AS (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+         {_REV_SQL} AS volume,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s_nationkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation cn ON cn.n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = cn.n_regionkey
+  WHERE r_name = '{_H14_REGION}' AND p_type = '{_H14_TYPE}'
+    AND o_orderdate >= TIMESTAMP '{_H14_LO}'
+    AND o_orderdate <  TIMESTAMP '{_H14_HI}'
+)
+SELECT o_year,
+       CAST(CAST(SUM(CASE WHEN supp_nation = '{_H14_NATION}'
+                          THEN volume ELSE 0 END) AS DECIMAL(38,6)) AS DOUBLE)
+       / CAST(CAST(SUM(volume) AS DECIMAL(38,6)) AS DOUBLE) AS mkt_share,
+       CAST(CAST(SUM(volume) AS DECIMAL(38,6)) AS DOUBLE) AS total_volume
+FROM base GROUP BY o_year ORDER BY o_year
+""",
+    doc="TPC-H Q8 shape: one nation's share of a region's PROMO import "
+    "volume by order year. Conditional and total sums both exact-"
+    "decimal then DOUBLE; the share is one double division of "
+    "identically-derived operands (no epsilon). part/supplier/"
+    "customer-region prunes broadcast ahead of the fact shuffle.",
+)
+def h14_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == _H14_REGION)
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == _H14_TYPE)
+        .select("p_partkey")
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                n.join(
+                    F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+                ).select(F.col("n_nationkey").alias("cn_key"))
+            ),
+            F.col("c_nationkey") == F.col("cn_key"),
+        )
+        .select("c_custkey")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_H14_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_H14_HI).cast("timestamp"))
+    )
+    li_pruned = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")).join(
+        F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    o_pruned = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "o_orderdate"
+    )
+    vol = _rev()
+    num = F.when(F.col("supp_nation") == _H14_NATION, vol).otherwise(
+        F.lit(0).cast("decimal(19,6)")
+    )
+    return (
+        li_pruned.join(o_pruned, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(num).cast("decimal(38,6)").cast("double")
+                / F.sum(vol).cast("decimal(38,6)").cast("double")
+            ).alias("mkt_share"),
+            X.exact_sum(vol, "total_volume", scale=6),
+        )
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# H15 — customer order-count distribution (TPC-H Q13 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "h15_custdist",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    doc="TPC-H Q13 shape: two-level aggregate — orders per customer "
+    "(LEFT join keeps zero-order customers), then the distribution "
+    "of those counts. First agg shuffles on custkey, second on the "
+    "small c_count domain; no payload columns move.",
+)
+def h15_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# H16 — promo revenue share (TPC-H Q14 shape)
+# ---------------------------------------------------------------------------
+
+_H16_LO, _H16_HI = "1996-01-01 00:00:00", "1996-02-01 00:00:00"
+
+
+@register(
+    "h16_promo_effect",
+    oracle=f"""
+SELECT 100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN {_REV_SQL} ELSE 0 END) AS DECIMAL(38,6)) AS DOUBLE)
+       / CAST(CAST(SUM({_REV_SQL}) AS DECIMAL(38,6)) AS DOUBLE)
+       AS promo_revenue_pct
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '{_H16_LO}'
+  AND l_shipdate <  TIMESTAMP '{_H16_HI}'
+""",
+    doc="TPC-H Q14 shape: PROMO share of one ship-month's revenue. "
+    "Date range pushed to the lineitem scan (one month of row "
+    "groups), part broadcast; single-row output, exact-decimal "
+    "conditional sums, one double division.",
+)
+def h16_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_H16_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_H16_HI).cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = _rev()
+    promo = F.when(F.col("p_type") == "PROMO", vol).otherwise(
+        F.lit(0).cast("decimal(19,6)")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("decimal(38,6)").cast("double")
+                / F.sum(vol).cast("decimal(38,6)").cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# H17 — top supplier by quarter revenue (TPC-H Q15 shape)
+# ---------------------------------------------------------------------------
+
+_H17_LO, _H17_HI = "1996-01-01 00:00:00", "1996-04-01 00:00:00"
+
+
+@register(
+    "h17_top_supplier",
+    oracle=f"""
+WITH sr AS (
+  SELECT l_suppkey,
+         CAST(SUM({_REV_SQL}) AS DECIMAL(38,6)) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{_H17_LO}'
+    AND l_shipdate <  TIMESTAMP '{_H17_HI}'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey AS suppkey, s_name AS supplier,
+       CAST(total_rev AS DOUBLE) AS total_rev
+FROM sr JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_rev = (SELECT MAX(total_rev) FROM sr)
+ORDER BY suppkey
+""",
+    doc="TPC-H Q15 shape: supplier(s) achieving the quarter's MAX "
+    "revenue. Per-supplier rollup materialized once "
+    "(localCheckpoint), max derived from it as a 1-row broadcast; "
+    "the equality test stays in exact DECIMAL so ties select "
+    "identical rows in both engines.",
+)
+def h17_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_H17_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_H17_HI).cast("timestamp"))
+    )
+    sr = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(_rev()).cast("decimal(38,6)").alias("total_rev"))
+        .localCheckpoint(eager=True)  # scanned by max AND filter: once
+    )
+    mx = sr.agg(F.max("total_rev").alias("max_rev"))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sr.crossJoin(F.broadcast(mx))  # 1-row max: constant cost
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supplier"),
+            F.col("total_rev").cast("double").alias("total_rev"),
+        )
+        .orderBy("suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# H18 — small-quantity revenue loss (TPC-H Q17 shape)
+# ---------------------------------------------------------------------------
+
+_H18_BRAND = "Brand#12"
+
+
+@register(
+    "h18_small_qty_avg",
+    oracle=f"""
+WITH pa AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+         / COUNT(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+            AS DECIMAL(38,2)) AS DOUBLE) / 7.0 AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN pa ON pa.l_partkey = lineitem.l_partkey
+WHERE p_brand = '{_H18_BRAND}'
+  AND l_quantity < 0.5 * avg_qty
+""",
+    doc="TPC-H Q17 shape: decorrelated per-part average — the "
+    "correlated subquery becomes a per-part rollup joined back to "
+    "the brand-filtered fact. Threshold compares the raw double "
+    "quantity against 0.5×(exact-decimal-avg), identical in both "
+    "engines. Brand filter prunes via broadcast part before the "
+    "rollup join.",
+)
+def h18_small_qty_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == _H18_BRAND)
+        .select("p_partkey")
+    )
+    # Per-part average over the FULL fact (the correlated subquery's
+    # domain), but only brand parts reach the final join — semi-prune
+    # the rollup with the broadcast brand list so the shuffle carries
+    # ~1/25th of the part domain.
+    brand_li = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    pa = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "semi")
+        .groupBy("l_partkey")
+        .agg(
+            (
+                F.sum(X.dec("l_quantity")).cast("double") / F.count("*")
+            ).alias("avg_qty")
+        )
+        .withColumnRenamed("l_partkey", "pa_partkey")
+    )
+    return (
+        brand_li.join(
+            F.broadcast(pa), F.col("l_partkey") == F.col("pa_partkey")
+        )
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            (
+                F.sum(X.dec("l_extendedprice"))
+                .cast("decimal(38,2)")
+                .cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# H19 — large-volume orders (TPC-H Q18 shape)
+# ---------------------------------------------------------------------------
+
+_H19_QTY = 250
+
+
+@register(
+    "h19_large_volume_orders",
+    oracle=f"""
+SELECT c_name, o_orderkey AS orderkey,
+       CAST(o_totalprice AS DOUBLE) AS totalprice,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)))
+            AS DECIMAL(38,2)) AS DOUBLE) AS total_qty
+FROM orders
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN customer ON c_custkey = o_custkey
+GROUP BY c_name, o_orderkey, o_totalprice
+HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > {_H19_QTY}
+ORDER BY totalprice DESC, orderkey
+LIMIT 100
+""",
+    doc="TPC-H Q18 shape: orders whose line quantity sum exceeds a "
+    "threshold. The HAVING gate runs on a per-orderkey rollup FIRST "
+    "(fact-only shuffle, two columns), and only surviving orderkeys "
+    "join orders+customer — at 100 TB the expensive join sees ~1% "
+    "of orders, not all of them. Exact-decimal HAVING both sides.",
+)
+def h19_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(X.dec("l_quantity")).alias("qty_sum"))
+        .filter(F.col("qty_sum") > _H19_QTY)
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            F.col("qty_sum").cast("decimal(38,2)").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("totalprice"), "orderkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# H20 — supplier variety per part group (TPC-H Q16 shape)
+# ---------------------------------------------------------------------------
+
+_H20_EXCL = "Brand#1"
+
+
+@register(
+    "h20_supplier_variety",
+    oracle=f"""
+SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON l_partkey = p_partkey
+WHERE p_brand <> '{_H20_EXCL}' AND p_size BETWEEN 10 AND 40
+GROUP BY p_brand, p_type
+ORDER BY supplier_cnt DESC, p_brand, p_type
+LIMIT 50
+""",
+    doc="TPC-H Q16 shape (lineitem links stand in for partsupp): "
+    "distinct suppliers per (brand, type). Part filter broadcast-"
+    "prunes the fact; COUNT(DISTINCT) expands to a two-phase "
+    "distinct-then-count under AQE, shuffling only 3 key columns.",
+)
+def h20_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != _H20_EXCL) & F.col("p_size").between(10, 40)
+    ).select("p_partkey", "p_brand", "p_type")
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# H21 — sole-failing-supplier orders (TPC-H Q21 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "h21_waiting_orders",
+    oracle="""
+WITH ord AS (
+  SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp
+  FROM lineitem GROUP BY l_orderkey
+), rflag AS (
+  SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_r_supp
+  FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM (SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+      FROM lineitem l1
+      JOIN orders ON o_orderkey = l1.l_orderkey
+      WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R') l1
+JOIN ord ON ord.l_orderkey = l1.l_orderkey
+JOIN rflag ON rflag.l_orderkey = l1.l_orderkey
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE ord.n_supp >= 2 AND rflag.n_r_supp = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+    doc="TPC-H Q21 shape (returnflag='R' stands in for the missing "
+    "receipt/commit dates): suppliers who alone 'failed' multi-"
+    "supplier finished orders. The correlated EXISTS / NOT EXISTS "
+    "pair decorrelates into per-order distinct-supplier rollups "
+    "(n_supp≥2 ∧ n_r_supp=1) joined once — three passes over the "
+    "fact's key columns, zero correlated probes.",
+)
+def h21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    ord_stats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp")
+    )
+    r_stats = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_r_supp"))
+        .withColumnRenamed("l_orderkey", "r_orderkey")
+    )
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"), "semi")
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        l1.join(
+            ord_stats.filter(F.col("n_supp") >= 2).select("l_orderkey"),
+            "l_orderkey",
+            "semi",
+        )
+        .join(
+            r_stats.filter(F.col("n_r_supp") == 1).select("r_orderkey"),
+            F.col("l_orderkey") == F.col("r_orderkey"),
+            "semi",
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# H22 — per-part cheapest supplier (TPC-H Q2 shape)
+# ---------------------------------------------------------------------------
+
+_H22_MAX_SIZE = 5
+
+
+@register(
+    "h22_min_cost_supplier",
+    oracle=f"""
+WITH unit AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(l_extendedprice / l_quantity) AS min_unit
+  FROM lineitem WHERE l_quantity > 0
+  GROUP BY l_partkey, l_suppkey
+), ranked AS (
+  SELECT l_partkey, l_suppkey, min_unit,
+         ROW_NUMBER() OVER (PARTITION BY l_partkey
+                            ORDER BY min_unit, l_suppkey) AS rn
+  FROM unit
+)
+SELECT p_partkey AS part, s_name AS supplier,
+       CAST(min_unit AS DOUBLE) AS unit_price
+FROM ranked
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE rn = 1 AND p_size <= {_H22_MAX_SIZE}
+ORDER BY part
+""",
+    doc="TPC-H Q2 shape (lineitem unit prices stand in for partsupp "
+    "supplycost): per-part argmin supplier via ROW_NUMBER with a "
+    "suppkey tiebreak. The window partitions on partkey (reuses the "
+    "rollup's shuffle), per-row double division is IEEE-identical "
+    "in both engines, and the size filter broadcast-prunes last "
+    "since the rollup is already part-grain (small).",
+)
+def h22_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 0)
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    )
+    unit = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("min_unit")
+    )
+    w = Window.partitionBy("l_partkey").orderBy("min_unit", "l_suppkey")
+    ranked = unit.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= _H22_MAX_SIZE)
+        .select("p_partkey")
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        ranked.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("p_partkey").alias("part"),
+            F.col("s_name").alias("supplier"),
+            F.col("min_unit").cast("double").alias("unit_price"),
+        )
+        .orderBy("part")
+    )

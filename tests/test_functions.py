@@ -29,14 +29,15 @@ from calaveras_uniteus_etl_spark.functions.hashing import (
 
 
 def _boundary_dates() -> list[dt.date]:
-    """Every day around each year boundary 2019→2026 (covers Jan-1
-    falling on every weekday, leap years 2020/2024, and week 52/53
-    cases), plus mid-year spot checks."""
+    """Every day around each year boundary 1996→2026 (covers Jan-1
+    falling on every weekday across three decades, all leap years
+    including the century year 2000, and week 52/53 cases), plus
+    mid-year spot checks."""
     days = []
-    for year in range(2020, 2027):
+    for year in range(1996, 2027):
         for delta in range(-10, 11):
             days.append(dt.date(year, 1, 1) + dt.timedelta(days=delta))
-    for year in (2020, 2023, 2024):
+    for year in (2000, 2004, 2020, 2023, 2024):
         days.extend([dt.date(year, 6, 15), dt.date(year, 12, 31)])
     return sorted(set(days))
 
