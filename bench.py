@@ -141,6 +141,8 @@ HEADLINE = [
     "h20_supplier_variety",
     "h21_waiting_orders",
     "h22_min_cost_supplier",
+    "i2_set_ops",
+    "g8_spend_deciles",
 ]
 
 

@@ -131,6 +131,8 @@ _NEW_THIS_ROUND = [
     "h20_supplier_variety",
     "h21_waiting_orders",
     "h22_min_cost_supplier",
+    "i2_set_ops",
+    "g8_spend_deciles",
 ]
 
 # Entries with a GREEN driver row in round 1 or round 2 (union = 78).

@@ -2384,3 +2384,129 @@ def m4_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       min_num, max_num, min_str, max_str)"""
         )
     ).orderBy("col_name")
+
+
+# ---------------------------------------------------------------------------
+# I2 — INTERSECT / EXCEPT set operations (engine-first-class; the
+# reference has none — SURVEY §2.I "No INTERSECT/EXCEPT"). Customer
+# retention as set algebra: buyers active in both 1995 and 1996,
+# only-1995 (churned), only-1996 (acquired). Spark compiles INTERSECT
+# and EXCEPT to left-semi/left-anti over the distinct key sets — the
+# shuffles carry one bigint column, so the shape is key-cardinality
+# bound at any SF.
+# ---------------------------------------------------------------------------
+
+_I2_Y1 = ("1995-01-01 00:00:00", "1996-01-01 00:00:00")
+_I2_Y2 = ("1996-01-01 00:00:00", "1997-01-01 00:00:00")
+
+
+@register(
+    "i2_set_ops",
+    oracle=f"""
+WITH y1 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{_I2_Y1[0]}'
+    AND o_orderdate <  TIMESTAMP '{_I2_Y1[1]}'
+), y2 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{_I2_Y2[0]}'
+    AND o_orderdate <  TIMESTAMP '{_I2_Y2[1]}'
+)
+SELECT 'retained' AS cohort,
+       (SELECT COUNT(*) FROM (SELECT * FROM y1 INTERSECT SELECT * FROM y2))
+         AS n_customers
+UNION ALL
+SELECT 'churned',
+       (SELECT COUNT(*) FROM (SELECT * FROM y1 EXCEPT SELECT * FROM y2))
+UNION ALL
+SELECT 'acquired',
+       (SELECT COUNT(*) FROM (SELECT * FROM y2 EXCEPT SELECT * FROM y1))
+""",
+    doc="Set operators INTERSECT/EXCEPT (engine extension; reference "
+    "has none): year-over-year buyer retention as set algebra over "
+    "distinct custkey sets. Spark plans semi/anti joins on a single "
+    "bigint key.",
+)
+def i2_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+
+    def year_keys(lo: str, hi: str) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y1 = year_keys(*_I2_Y1)
+    y2 = year_keys(*_I2_Y2)
+
+    def labeled(label: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("n_customers")).select(
+            F.lit(label).alias("cohort"), "n_customers"
+        )
+
+    return (
+        labeled("retained", y1.intersect(y2))
+        .unionByName(labeled("churned", y1.exceptAll(y2)))
+        .unionByName(labeled("acquired", y2.exceptAll(y1)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# G8 — NTILE decile segmentation (window-function family).
+#
+# Customer lifetime spend cut into deciles; per-decile count and
+# exact-decimal spend range/total. The NTILE runs over the customer-
+# grain rollup (dim-sized — the global window is a deliberate,
+# bounded single partition; at fact scale the same cut would use
+# percentile thresholds instead, f23's equi-depth shape). The total
+# order (spend, custkey) makes tile assignment deterministic in both
+# engines.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g8_spend_deciles",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+           AS spend
+  FROM orders GROUP BY o_custkey
+), tiled AS (
+  SELECT o_custkey, spend,
+         NTILE(10) OVER (ORDER BY spend, o_custkey) AS decile
+  FROM spend
+)
+SELECT decile,
+       COUNT(*) AS n_customers,
+       CAST(MIN(spend) AS DOUBLE) AS min_spend,
+       CAST(MAX(spend) AS DOUBLE) AS max_spend,
+       CAST(CAST(SUM(spend) AS DECIMAL(38,2)) AS DOUBLE) AS total_spend
+FROM tiled GROUP BY decile ORDER BY decile
+""",
+    doc="NTILE(10) decile segmentation of customer lifetime spend "
+    "(window family, engine extension). Spend stays in exact DECIMAL "
+    "through the window and the decile rollup; ties broken by "
+    "custkey so tile membership is engine-independent.",
+)
+def g8_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(X.dec("o_totalprice")).cast("decimal(38,2)").alias("spend")
+    )
+    w = Window.orderBy("spend", "o_custkey")
+    tiled = spend.withColumn("decile", F.ntile(10).over(w))
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min("spend").cast("double").alias("min_spend"),
+            F.max("spend").cast("double").alias("max_spend"),
+            F.sum("spend").cast("decimal(38,2)").cast("double").alias("total_spend"),
+        )
+        .orderBy("decile")
+    )

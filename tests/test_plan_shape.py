@@ -120,6 +120,17 @@ def test_dim_joins_broadcast_not_shuffle(spark, name):
         "x53_incremental_neardup",
         "f30_drift_monitor",
         "x54_shard_balance",
+        "h13_volume_shipping",
+        "h14_market_share",
+        "h15_custdist",
+        "h16_promo_effect",
+        "h18_small_qty_avg",
+        "h19_large_volume_orders",
+        "h20_supplier_variety",
+        "h21_waiting_orders",
+        "h22_min_cost_supplier",
+        "i2_set_ops",
+        "g8_spend_deciles",
     ],
 )
 def test_new_queries_have_no_cartesian_product(spark, name):
@@ -141,6 +152,38 @@ def test_global_topk_is_take_ordered(spark, name):
     # ORDER BY + LIMIT must compile to TakeOrderedAndProject (per-
     # partition top-k + merge), never a global sort materialization.
     plan = physical(REGISTRY[name].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name", ["h14_market_share", "h16_promo_effect", "h20_supplier_variety"]
+)
+def test_tpch_dim_prunes_broadcast(spark, name):
+    # The Q8/Q14/Q16 shapes hinge on part/supplier/customer pruning the
+    # fact scan via broadcast BEFORE any shuffle; a SortMergeJoin against
+    # a dimension here means the prune regressed to a fact-sized shuffle.
+    plan = physical(REGISTRY[name].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_h19_aggregates_before_join(spark):
+    # Q18's contract: the HAVING rollup must run on lineitem ALONE and
+    # only surviving orderkeys reach the orders⋈customer join — i.e. the
+    # plan contains an aggregate whose input is the bare lineitem scan,
+    # below every join. If the rollup sat above a join, 100 TB of
+    # payload would shuffle before the 1% gate.
+    lines = physical(REGISTRY["h19_large_volume_orders"].fn(spark, SF)).splitlines()
+    gate = next(i for i, ln in enumerate(lines) if "qty_sum" in ln and "Filter" in ln)
+    scan = next(
+        i for i, ln in enumerate(lines[gate:], gate) if "lineitem.parquet" in ln
+    )
+    below_gate = "\n".join(lines[gate:scan])
+    assert "HashAggregate" in below_gate, below_gate
+    assert "Join" not in below_gate, below_gate
+
+
+def test_h19_topk_is_take_ordered(spark):
+    plan = physical(REGISTRY["h19_large_volume_orders"].fn(spark, SF))
     assert "TakeOrderedAndProject" in plan, plan
 
 

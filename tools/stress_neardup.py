@@ -65,6 +65,12 @@ def main() -> int:
             print(f"{name:28s} {sec:7.2f}s  rows={n}")
         return out
 
+    # Warm the JVM/codegen on the base corpus first so the measured 1x
+    # pass is not inflated by startup cost (which would fake sub-linear
+    # ratios at 10x).
+    print("--- warmup (unrecorded) ---")
+    run_suite(base)
+
     print(f"--- base corpus ({base}) ---")
     base_stats = run_suite(base)
 
