@@ -136,6 +136,7 @@ _NEW_THIS_ROUND = [
     "g8_spend_deciles",
     "x56_pq_codes",
     "x57_pq_ann_topk",
+    "x58_bigram_logprob",
 ]
 
 # Entries with a GREEN driver row in round 1 or round 2 (union = 78).

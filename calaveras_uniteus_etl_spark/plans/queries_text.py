@@ -1942,3 +1942,114 @@ def x54_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# X58 — bigram LM scoring (CCNet-style perplexity filter, one order up
+# from x25's unigram model).
+#
+# Per-document mean conditional log-probability under an add-one-
+# smoothed bigram model trained on the corpus itself: p(w2|w1) =
+# (c(w1,w2)+1) / (c(w1)+V). The standard quality gate for web-scale
+# pretraining data (Wenzek et al. 2020, "CCNet") keeps low-perplexity
+# documents; this computes the score columnarly — bigrams come from a
+# zip of the shifted token array (no self-join), the bigram-count
+# relation is corpus-sized so it joins back by SHUFFLE on (w1,w2)
+# (data-sized state is never broadcast), and the per-doc rollup
+# aggregates map-side. Probabilities round to micro-nat BIGINTs (the
+# x25 trick) so the sum is order-independent and engine-exact.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x58_bigram_logprob",
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id, string_split({NORM_DUCK.format(col="text")}, ' ') AS w
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(w) AS term FROM docs
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(w) - 1),
+                i -> struct_pack(w1 := w[i + 1], w2 := w[i + 2]))) AS b
+  FROM docs WHERE len(w) >= 2
+), bge AS (
+  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg
+), cu AS (
+  SELECT term, COUNT(*) AS c1 FROM toks GROUP BY term
+), vocab AS (
+  SELECT COUNT(*) AS v FROM cu
+), cbg AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM bge GROUP BY w1, w2
+), lp AS (
+  SELECT cbg.w1, cbg.w2,
+         CAST(ROUND(ln((CAST(c2 AS DOUBLE) + 1)
+                       / (CAST(c1 AS DOUBLE) + v)) * 1e6) AS BIGINT)
+           AS lp_micro
+  FROM cbg JOIN cu ON cu.term = cbg.w1 CROSS JOIN vocab
+)
+SELECT e.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(lp.lp_micro) AS BIGINT) AS lp_micro_sum,
+       CAST(SUM(lp.lp_micro) AS DOUBLE) / (1e6 * COUNT(*)) AS avg_logprob
+FROM bge e JOIN lp ON lp.w1 = e.w1 AND lp.w2 = e.w2
+GROUP BY e.doc_id
+""",
+    doc="Per-doc mean bigram conditional log-prob, add-one smoothing "
+    "over the corpus LM (micro-nat BIGINT arithmetic; bigrams from "
+    "a shifted-array zip, counts joined back by shuffle).",
+)
+def x58_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    docs = d.select(
+        "doc_id",
+        F.expr(f"split({NORM_SPARK.format(col='text')}, ' ')").alias("w"),
+    )
+    toks = docs.select("doc_id", F.explode("w").alias("term"))
+    bge = (
+        docs.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(w, 1, size(w) - 1), "
+                    "slice(w, 2, size(w) - 1), "
+                    "(a, b) -> struct(a AS w1, b AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    cu = toks.groupBy("term").agg(F.count("*").alias("c1"))
+    # vocab size: scalar aggregate job, never a row collect
+    v = cu.count()
+    cbg = bge.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    lp = cbg.join(cu, cbg.w1 == cu.term).select(
+        "w1",
+        "w2",
+        F.round(
+            F.log(
+                (F.col("c2").cast("double") + F.lit(1.0))
+                / (F.col("c1").cast("double") + F.lit(float(v)))
+            )
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("lp_micro"),
+    )
+    # lp is corpus-vocabulary-sized: shuffle join on the bigram key
+    # (broadcast would ship data-sized state to every executor)
+    return (
+        bge.join(lp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("lp_micro").cast("bigint").alias("lp_micro_sum"),
+            (F.sum("lp_micro").cast("double") / (1e6 * F.count("*"))).alias(
+                "avg_logprob"
+            ),
+        )
+    )
