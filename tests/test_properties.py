@@ -306,3 +306,37 @@ def test_resize_fit_invariants(w, h, tw, th):
             assert ow == (w * th) // h
     else:
         assert (ow, oh) == (w, h)
+
+
+# ---------------------------------------------------------------------------
+# sqlite_week: exhaustive parity with DuckDB's C-semantics strftime
+# '%Y-W%W' for EVERY day 1996-01-01..2026-12-31 (~11.3k days). Year
+# boundaries are the classic divergence point between %W and ISO
+# weekofyear (SURVEY §7.3 flags this as the likeliest future
+# hash-mismatch source), so the sweep is exhaustive rather than
+# sampled — one Spark job, one DuckDB query, full join on the day.
+# ---------------------------------------------------------------------------
+
+
+def test_sqlite_week_matches_duckdb_every_day_1996_2026(spark):
+    import duckdb
+
+    from calaveras_uniteus_etl_spark.functions.datetime_ext import sqlite_week
+
+    got = {
+        r["d"]: r["w"]
+        for r in spark.sql(
+            "SELECT explode(sequence(DATE'1996-01-01', DATE'2026-12-31')) AS d"
+        )
+        .select(F.col("d").cast("string").alias("d"), sqlite_week(F.col("d").cast("timestamp_ntz")).alias("w"))
+        .collect()
+    }
+    want = dict(
+        duckdb.sql(
+            "SELECT CAST(CAST(d AS DATE) AS VARCHAR), strftime(d, '%Y-W%W') FROM "
+            "generate_series(DATE '1996-01-01', DATE '2026-12-31', INTERVAL 1 DAY) t(d)"
+        ).fetchall()
+    )
+    assert len(got) == len(want) == 11323
+    mismatches = {d: (got[d], want[d]) for d in want if got[d] != want[d]}
+    assert not mismatches, dict(list(mismatches.items())[:5])
