@@ -137,6 +137,9 @@ _NEW_THIS_ROUND = [
     "x56_pq_codes",
     "x57_pq_ann_topk",
     "x58_bigram_logprob",
+    "h23_product_profit",
+    "h24_late_priority_lines",
+    "h25_dominant_part_suppliers",
 ]
 
 # Entries with a GREEN driver row in round 1 or round 2 (union = 78).

@@ -657,3 +657,222 @@ def h22_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part")
     )
+
+
+# ---------------------------------------------------------------------------
+# H23 — product-type profit (TPC-H Q9 shape)
+#
+# Testdata has no partsupp, so supply cost derives from the part
+# dimension instead: cost = 0.5 × p_retailprice per unit. Arithmetic
+# stays in the exact-decimal domain end to end — l_quantity is
+# integral (1..50), so the cost product is dec(19,6) × dec(12,0) and
+# the per-row amount keeps scale 6; the sum never rounds.
+# ---------------------------------------------------------------------------
+
+_H23_TOKEN = "red "  # Q9's p_name LIKE '%green%' analogue
+
+
+@register(
+    "h23_product_profit",
+    oracle=f"""
+SELECT n_name AS nation,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+       CAST(CAST(SUM(
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * (1 - CAST(l_discount AS DECIMAL(6,4)))
+         - CAST(p_retailprice AS DECIMAL(12,2))
+           * CAST(0.5 AS DECIMAL(6,4))
+           * CAST(l_quantity AS DECIMAL(12,0))
+       ) AS DECIMAL(38,6)) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+WHERE p_name LIKE '{_H23_TOKEN}%'
+GROUP BY n_name, o_year
+ORDER BY nation, o_year DESC
+""",
+    doc="TPC-H Q9 shape: profit (revenue minus derived supply cost) "
+    "by supplier nation and order year. The part filter broadcast-"
+    "prunes lineitem to ~1/9th before the single fact-fact shuffle "
+    "on orderkey; supplier→nation is a broadcast chain; the rollup "
+    "carries only (nation, year, amount). Reference ceiling: flat "
+    "report GROUP BYs (core/app.py report routes).",
+)
+def h23_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith(_H23_TOKEN))
+        .select("p_partkey", "p_retailprice")
+    )
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = _rev() - X.dec("p_retailprice") * F.lit("0.5").cast(
+        X.RATE
+    ) * F.col("l_quantity").cast("decimal(12,0)")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(X.exact_sum(amount, "sum_profit", scale=6))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# H24 — late-shipment priority counts (TPC-H Q12 shape)
+#
+# Testdata has no l_shipmode / l_commitdate / l_receiptdate, so the
+# adaptation keeps Q12's exact structure with stand-ins: group by
+# l_returnflag (the categorical "mode"), and "late" = shipped more
+# than 60 days after the order date (the receipt>commit analogue —
+# a cross-table date predicate that cannot be pushed below the join).
+# ---------------------------------------------------------------------------
+
+_H24_LO, _H24_HI = "1996-01-01 00:00:00", "1997-01-01 00:00:00"
+_H24_LATE_DAYS = 60
+
+
+@register(
+    "h24_late_priority_lines",
+    oracle=f"""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate >= o_orderdate + INTERVAL {_H24_LATE_DAYS} DAY
+  AND l_shipdate >= TIMESTAMP '{_H24_LO}'
+  AND l_shipdate <  TIMESTAMP '{_H24_HI}'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    doc="TPC-H Q12 shape: per-category conditional priority counts "
+    "under a cross-table lateness predicate. The shipdate range "
+    "prunes the lineitem scan (pushed filter); the join carries only "
+    "(orderkey, returnflag, shipdate) vs (orderkey, priority, "
+    "orderdate); counts fold map-side into 3 groups.",
+)
+def h24_late_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(_H24_LO).cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit(_H24_HI).cast("timestamp_ntz"))
+        )
+        .select("l_orderkey", "l_returnflag", "l_shipdate")
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            >= F.timestamp_add("DAY", F.lit(_H24_LATE_DAYS), F.col("o_orderdate"))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# H25 — dominant suppliers of a part family (TPC-H Q20 shape)
+#
+# Q20's partsupp availability test becomes a shipped-share test:
+# keep suppliers who shipped more than 30% of a red part's total 1996
+# volume. Quantities are integral, so the threshold compares scaled
+# BIGINTs (qty×10 > 3×total) — no doubles anywhere. The correlated
+# "more than half the part's total" subquery becomes a window SUM
+# over the (part, supplier) rollup, reusing its shuffle partitioning.
+# ---------------------------------------------------------------------------
+
+_H25_TOKEN = "red "
+_H25_LO, _H25_HI = "1996-01-01 00:00:00", "1997-01-01 00:00:00"
+
+
+@register(
+    "h25_dominant_part_suppliers",
+    oracle=f"""
+WITH sold AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS supp_qty
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '{_H25_TOKEN}%'
+    AND l_shipdate >= TIMESTAMP '{_H25_LO}'
+    AND l_shipdate <  TIMESTAMP '{_H25_HI}'
+  GROUP BY l_partkey, l_suppkey
+), shares AS (
+  SELECT l_suppkey, supp_qty,
+         SUM(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty
+  FROM sold
+)
+SELECT DISTINCT s_name AS supplier, s_acctbal AS acctbal
+FROM shares
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE supp_qty * 10 > part_qty * 3
+ORDER BY supplier
+""",
+    doc="TPC-H Q20 shape: nested semi-join — suppliers whose shipped "
+    "share of any red part exceeds 30%. Part filter broadcast-prunes "
+    "the fact scan; the correlated total is a window SUM on the "
+    "(part, supplier) rollup (no second shuffle — same partitioning); "
+    "the supplier join runs on the tiny qualifying set. Integer-"
+    "scaled threshold keeps the predicate exact in both engines.",
+)
+def h25_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith(_H25_TOKEN))
+        .select("p_partkey")
+    )
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(_H25_LO).cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit(_H25_HI).cast("timestamp_ntz"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    sold = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("supp_qty"))
+    )
+    shares = sold.withColumn(
+        "part_qty", F.sum("supp_qty").over(Window.partitionBy("l_partkey"))
+    ).filter(F.col("supp_qty") * 10 > F.col("part_qty") * 3)
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    return (
+        shares.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.col("s_name").alias("supplier"), F.col("s_acctbal").alias("acctbal"))
+        .distinct()
+        .orderBy("supplier")
+    )
