@@ -168,3 +168,62 @@ def s3_replay_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum(dec("value", VALUE6), "sum_value", scale=6),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# S4 — stream-stream interval join (click → purchase attribution)
+#
+# Registry twin of streaming/windows.py:interval_join, the watermarked
+# stream-stream join whose batch form is the identical logical plan
+# (parity proven in tests/test_streaming.py::
+# test_stream_stream_interval_join_matches_batch). The time bound is
+# what lets streaming evict join state; in batch it is a range filter
+# above a single user_id shuffle. Aggregating to per-user pair counts
+# keeps the checked surface stable and the output bounded.
+# ---------------------------------------------------------------------------
+
+_S4_GAP_MIN = 30
+
+
+@register(
+    "s4_interval_join",
+    oracle=f"""
+SELECT c.user_id,
+       COUNT(*) AS n_pairs,
+       CAST(MIN(epoch_us(p.ts) - epoch_us(c.ts)) AS BIGINT) AS min_lag_us,
+       CAST(MAX(epoch_us(p.ts) - epoch_us(c.ts)) AS BIGINT) AS max_lag_us
+FROM events c
+JOIN events p
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL {_S4_GAP_MIN} MINUTE
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+GROUP BY c.user_id
+ORDER BY c.user_id
+""",
+    doc="Stream-stream interval join, batch-checkable form: purchases "
+    "attributed to same-user clicks within 30 minutes, rolled up per "
+    "user. Both sides prune by event_type at the scan; one shuffle "
+    "on user_id serves the join AND the rollup (same key).",
+)
+def s4_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calaveras_uniteus_etl_spark.streaming.windows import interval_join
+
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("l_ts")
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("r_ts")
+    )
+    pairs = interval_join(clicks, buys, max_gap=f"{_S4_GAP_MIN} minutes")
+    lag = epoch_us("r_ts") - epoch_us("l_ts")
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min(lag).cast("bigint").alias("min_lag_us"),
+            F.max(lag).cast("bigint").alias("max_lag_us"),
+        )
+        .orderBy("user_id")
+    )
