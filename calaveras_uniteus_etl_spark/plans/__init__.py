@@ -141,6 +141,7 @@ _NEW_THIS_ROUND = [
     "h24_late_priority_lines",
     "h25_dominant_part_suppliers",
     "s4_interval_join",
+    "x59_hybrid_rrf",
 ]
 
 # Entries with a GREEN driver row in round 1 or round 2 (union = 78).

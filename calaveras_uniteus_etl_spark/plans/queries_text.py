@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from calaveras_uniteus_etl_spark.plans.catalog import register
 from calaveras_uniteus_etl_spark.plans.tables import table
@@ -2052,4 +2053,194 @@ def x58_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "avg_logprob"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X59 — hybrid retrieval: reciprocal-rank fusion of BM25 and cosine
+#
+# The standard production retrieval stack (Cormack et al. 2009 RRF;
+# every hybrid search engine since): a lexical ranking and a semantic
+# ranking computed independently, fused by summed reciprocal ranks
+# score = Σ 1/(60 + rank). Ranks are ROW_NUMBER under total orders
+# (score DESC, doc_id), the fusion term is quantized to micro-units
+# (ROUND(1e6/(60+r)) — .5 ties round identically half-away in both
+# engines), and the two rankings meet in a FULL OUTER join on doc_id
+# so docs found by only one ranker still score. embeddings.vec_id is
+# documents.doc_id grain, so the fusion key is shared.
+#
+# Scale shape: each ranker's global ORDER BY is rank assignment over
+# an already-aggregated doc-grain relation (corpus-sized, not
+# token-sized); the fusion join carries (doc_id, rank) pairs only;
+# top-k is TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+
+_X59_PROBE = 7  # vec_id whose embedding is the semantic query
+_X59_RRF_K = 60
+_X59_TOPK = 20
+
+
+@register(
+    "x59_hybrid_rrf",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({NORM_DUCK.format(col="text")}, ' ')) AS term
+  FROM documents
+), lens AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+         COUNT(*) AS n_docs
+  FROM lens
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+  WHERE term IN {_BM25_TERMS!r}
+  GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+), idf AS (
+  SELECT term,
+         CAST(ROUND(ln((n_docs - df + 0.5) / (df + 0.5) + 1) * 1e6) AS BIGINT)
+           AS idf_micro
+  FROM df CROSS JOIN stats
+), lex AS (
+  SELECT tf.doc_id,
+         SUM(idf_micro *
+             CAST(ROUND(tf / (tf + {_BM25_K1} * (1 - {_BM25_B}
+                  + {_BM25_B} * dl / avgdl)) * 1e6) AS BIGINT)) AS score_pico
+  FROM tf
+  JOIN idf USING (term)
+  JOIN lens USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+), lexrank AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score_pico DESC, doc_id) AS r
+  FROM lex
+), probe AS (
+  SELECT embedding AS q FROM embeddings WHERE vec_id = {_X59_PROBE}
+), semrank AS (
+  SELECT vec_id AS doc_id,
+         ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS r
+  FROM (
+    SELECT e.vec_id,
+           ROUND(list_dot_product(p.q, e.embedding)
+                 / NULLIF(sqrt(list_dot_product(p.q, p.q))
+                          * sqrt(list_dot_product(e.embedding, e.embedding)),
+                          0),
+                 4) AS cos
+    FROM embeddings e CROSS JOIN probe p
+    WHERE e.vec_id <> {_X59_PROBE}
+  )
+)
+SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+       CAST(COALESCE(l.r, 0) AS BIGINT) AS lex_rank,
+       CAST(COALESCE(s.r, 0) AS BIGINT) AS sem_rank,
+       CAST(COALESCE(CAST(ROUND(1e6 / ({_X59_RRF_K} + l.r)) AS BIGINT), 0)
+          + COALESCE(CAST(ROUND(1e6 / ({_X59_RRF_K} + s.r)) AS BIGINT), 0)
+          AS BIGINT) AS rrf_micro
+FROM lexrank l
+FULL JOIN semrank s USING (doc_id)
+ORDER BY rrf_micro DESC, doc_id
+LIMIT {_X59_TOPK}
+""",
+    doc=f"Hybrid retrieval top-{_X59_TOPK}: BM25 ranking fused with "
+    f"cosine-to-probe ranking by reciprocal-rank fusion "
+    f"(k={_X59_RRF_K}, micro-unit quantized). Full-outer fusion join "
+    "on doc-grain rank pairs; both rankers reuse their registry "
+    "siblings' shapes (x47 lexical, x5 semantic).",
+)
+def x59_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calaveras_uniteus_etl_spark.plans.queries_similarity import _dot
+
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = d.select(
+        "doc_id",
+        F.explode(F.expr(f"split({NORM_SPARK.format(col='text')}, ' ')")).alias(
+            "term"
+        ),
+    ).localCheckpoint(eager=True)
+    lens = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = lens.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        F.count("*").alias("n_docs"),
+    ).first()
+    avgdl, n_docs = stats["avgdl"], stats["n_docs"]
+    tf = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_rel = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = df_rel.select(
+        "term",
+        F.round(
+            F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("idf_micro"),
+    )
+    tfnorm = F.round(
+        F.col("tf")
+        / (
+            F.col("tf")
+            + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.lit(avgdl))
+        )
+        * 1e6
+    ).cast("bigint")
+    lex = (
+        tf.join(F.broadcast(idf), "term")
+        .join(lens, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("idf_micro") * tfnorm).alias("score_pico"))
+    )
+    lexrank = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score_pico"), "doc_id"))
+        .alias("lex_r"),
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    probe = e.filter(F.col("vec_id") == _X59_PROBE).select(
+        F.col("embedding").alias("q")
+    )
+    cos = F.round(
+        _dot("q", "embedding")
+        / F.nullif(
+            F.sqrt(_dot("q", "q")) * F.sqrt(_dot("embedding", "embedding")),
+            F.lit(0.0),
+        ),
+        4,
+    )
+    semrank = (
+        e.filter(F.col("vec_id") != _X59_PROBE)
+        .crossJoin(F.broadcast(probe))  # 1-row probe: broadcast by construction
+        .select(F.col("vec_id").alias("doc_id"), cos.alias("cos"))
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cos"), "doc_id"))
+            .alias("sem_r"),
+        )
+    )
+
+    rrf = lambda r: F.coalesce(  # noqa: E731
+        F.round(F.lit(1e6) / (F.lit(_X59_RRF_K) + r)).cast("bigint"), F.lit(0)
+    )
+    return (
+        lexrank.join(semrank, "doc_id", "full")
+        .select(
+            "doc_id",
+            F.coalesce("lex_r", F.lit(0)).cast("bigint").alias("lex_rank"),
+            F.coalesce("sem_r", F.lit(0)).cast("bigint").alias("sem_rank"),
+            (rrf(F.col("lex_r")) + rrf(F.col("sem_r")))
+            .cast("bigint")
+            .alias("rrf_micro"),
+        )
+        .orderBy(F.desc("rrf_micro"), "doc_id")
+        .limit(_X59_TOPK)
     )
