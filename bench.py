@@ -145,6 +145,13 @@ HEADLINE = [
     "g8_spend_deciles",
     "x56_pq_codes",
     "x57_pq_ann_topk",
+    "x58_bigram_logprob",
+    "h23_product_profit",
+    "h24_late_priority_lines",
+    "h25_dominant_part_suppliers",
+    "s4_interval_join",
+    "x59_hybrid_rrf",
+    "x60_bpe_pair_counts",
 ]
 
 

@@ -142,6 +142,7 @@ _NEW_THIS_ROUND = [
     "h25_dominant_part_suppliers",
     "s4_interval_join",
     "x59_hybrid_rrf",
+    "x60_bpe_pair_counts",
 ]
 
 # Entries with a GREEN driver row in round 1 or round 2 (union = 78).

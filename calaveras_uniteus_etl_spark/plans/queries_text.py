@@ -2244,3 +2244,74 @@ def x59_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_micro"), "doc_id")
         .limit(_X59_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# X60 — BPE merge-candidate counting (tokenizer-training inner loop)
+#
+# One round of byte-pair-encoding training reduced to its scale-
+# critical step: count adjacent symbol pairs across the corpus and
+# surface the top merge candidates. The trick that survives 100 TB is
+# the grain change BEFORE the expensive explode: aggregate the token
+# stream to the VOCABULARY first (word, n_uses) — vocab size grows
+# ~O(corpus^0.5) (Heaps' law), so the pair explode and the pair
+# shuffle run on vocab-grain rows weighted by n_uses, never on the
+# raw token stream. This is exactly how production BPE trainers
+# (SentencePiece, HF tokenizers) structure the count.
+# ---------------------------------------------------------------------------
+
+_X60_TOPK = 25
+_X60_MIN_WORD = 2
+
+
+@register(
+    "x60_bpe_pair_counts",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(string_split({NORM_DUCK.format(col="text")}, ' ')) AS word
+  FROM documents
+), vocab AS (
+  SELECT word, COUNT(*) AS n_uses FROM toks
+  WHERE length(word) >= {_X60_MIN_WORD}
+  GROUP BY word
+), pairs AS (
+  SELECT unnest(list_transform(range(length(word) - 1),
+                               i -> substr(word, i + 1, 2))) AS pair,
+         n_uses
+  FROM vocab
+)
+SELECT pair, CAST(SUM(n_uses) AS BIGINT) AS n_pairs
+FROM pairs
+GROUP BY pair
+ORDER BY n_pairs DESC, pair
+LIMIT {_X60_TOPK}
+""",
+    doc=f"Top-{_X60_TOPK} BPE merge candidates: adjacent character "
+    "pairs counted corpus-wide. Token stream collapses to vocab "
+    "grain first (Heaps'-law shrink), so the pair explode/shuffle "
+    "carries (word, n_uses) rows only.",
+)
+def x60_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(
+            F.explode(
+                F.expr(f"split({NORM_SPARK.format(col='text')}, ' ')")
+            ).alias("word")
+        )
+        .filter(F.length("word") >= _X60_MIN_WORD)
+        .groupBy("word")
+        .agg(F.count("*").alias("n_uses"))
+    )
+    pairs = vocab.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+        "n_uses",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n_uses").cast("bigint").alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), "pair")
+        .limit(_X60_TOPK)
+    )
