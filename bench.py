@@ -152,6 +152,7 @@ HEADLINE = [
     "s4_interval_join",
     "x59_hybrid_rrf",
     "x60_bpe_pair_counts",
+    "x61_media_phash_neardup",
 ]
 
 

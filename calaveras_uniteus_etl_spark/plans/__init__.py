@@ -143,6 +143,7 @@ _NEW_THIS_ROUND = [
     "s4_interval_join",
     "x59_hybrid_rrf",
     "x60_bpe_pair_counts",
+    "x61_media_phash_neardup",
 ]
 
 # Entries with a GREEN driver row in round 1 or round 2 (union = 78).

@@ -165,3 +165,100 @@ def x40_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from calaveras_uniteus_etl_spark.operators.multimodal import sample_frames
 
     return sample_frames(_media(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# X61 — perceptual-hash near-dup over images (banded hamming join)
+#
+# The image twin of the text SimHash miner (plans/queries_dedup.py):
+# a 60-bit per-image fingerprint, LSH-banded into 4×15-bit keys so
+# candidate pairs come from band-bucket self-joins (never all-pairs),
+# then exact hamming distance via bit_count(xor) on the candidates
+# only. With the deterministic fake decoder the fingerprint derives
+# from the payload md5 (so only byte-identical images land at
+# hamming 0 — the oracle mirrors it exactly); with a real decoder the
+# same plan runs on a DCT/aHash fingerprint — only the fingerprint
+# expression changes, the banding/join/verify shape is decoder-
+# agnostic. At 100 TB the shuffle carries (band_key, doc_id, hash60)
+# triples and every bucket is collision-sized.
+# ---------------------------------------------------------------------------
+
+_X61_BANDS = 4
+_X61_BITS = 15  # per band; 4×15 = the 60-bit fingerprint
+_X61_MAX_HAM = 8
+
+
+@register(
+    "x61_media_phash_neardup",
+    oracle=f"""
+WITH imgs AS (
+  SELECT doc_id, {_H1} AS h
+  FROM documents WHERE doc_id % 3 = 0
+), banded AS (
+  SELECT doc_id, h, unnest(range({_X61_BANDS})) AS band
+  FROM imgs
+), keyed AS (
+  SELECT doc_id, h, band,
+         (h // power(2, band * {_X61_BITS})::BIGINT) % {1 << _X61_BITS} AS band_key
+  FROM banded
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.h AS ha, b.h AS hb
+  FROM keyed a JOIN keyed b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(ha, hb)) AS INT) AS hamming,
+       bit_count(xor(ha, hb)) <= {_X61_MAX_HAM} AS is_neardup
+FROM cand
+ORDER BY doc_a, doc_b
+""",
+    doc="Image near-dup: 60-bit fingerprint (fake-decoder md5 fold; "
+    "decoder-agnostic plan), 4×15-bit LSH bands, bucket self-join "
+    "for candidates, exact bit_count(xor) hamming verify ≤ "
+    f"{_X61_MAX_HAM}.",
+)
+def x61_media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _media(spark, sf_dir).filter(F.col("media_type") == "image")
+    imgs = m.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("payload"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    keyed = imgs.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(_X61_BANDS - 1))).alias("band"),
+    ).withColumn(
+        "band_key",
+        F.expr(f"shiftrightunsigned(h, band * {_X61_BITS})")
+        % (1 << _X61_BITS),
+    )
+    a = keyed.select(
+        F.col("band"),
+        F.col("band_key"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("h").alias("ha"),
+    )
+    b = keyed.select(
+        F.col("band"),
+        F.col("band_key"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("h").alias("hb"),
+    )
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            ham.cast("int").alias("hamming"),
+            (ham <= _X61_MAX_HAM).alias("is_neardup"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
