@@ -2078,6 +2078,7 @@ def x58_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 _X59_PROBE = 7  # vec_id whose embedding is the semantic query
 _X59_RRF_K = 60
 _X59_TOPK = 20
+_X59_CAND = 100  # per-ranker candidate cutoff before rank assignment
 
 
 @register(
@@ -2116,7 +2117,8 @@ WITH toks AS (
 ), lexrank AS (
   SELECT doc_id,
          ROW_NUMBER() OVER (ORDER BY score_pico DESC, doc_id) AS r
-  FROM lex
+  FROM (SELECT * FROM lex ORDER BY score_pico DESC, doc_id
+        LIMIT {_X59_CAND})
 ), probe AS (
   SELECT embedding AS q FROM embeddings WHERE vec_id = {_X59_PROBE}
 ), semrank AS (
@@ -2131,6 +2133,8 @@ WITH toks AS (
                  4) AS cos
     FROM embeddings e CROSS JOIN probe p
     WHERE e.vec_id <> {_X59_PROBE}
+    ORDER BY cos DESC, e.vec_id
+    LIMIT {_X59_CAND}
   )
 )
 SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
@@ -2146,9 +2150,11 @@ LIMIT {_X59_TOPK}
 """,
     doc=f"Hybrid retrieval top-{_X59_TOPK}: BM25 ranking fused with "
     f"cosine-to-probe ranking by reciprocal-rank fusion "
-    f"(k={_X59_RRF_K}, micro-unit quantized). Full-outer fusion join "
-    "on doc-grain rank pairs; both rankers reuse their registry "
-    "siblings' shapes (x47 lexical, x5 semantic).",
+    f"(k={_X59_RRF_K}, micro-unit quantized). Each ranker takes its "
+    f"top-{_X59_CAND} via TakeOrderedAndProject before rank "
+    "assignment, so the global window sorts a bounded candidate set; "
+    "full-outer fusion join on doc-grain rank pairs (x47 lexical, "
+    "x5 semantic shapes).",
 )
 def x59_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from calaveras_uniteus_etl_spark.plans.queries_similarity import _dot
@@ -2197,11 +2203,18 @@ def x59_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum(F.col("idf_micro") * tfnorm).alias("score_pico"))
     )
-    lexrank = lex.select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.desc("score_pico"), "doc_id"))
-        .alias("lex_r"),
+    # Candidate cutoff FIRST (TakeOrderedAndProject — a per-partition
+    # top-N reduce, no all-rows single-partition shuffle), so the
+    # global ROW_NUMBER window only ever sorts _X59_CAND rows.
+    lexrank = (
+        lex.orderBy(F.desc("score_pico"), "doc_id")
+        .limit(_X59_CAND)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score_pico"), "doc_id"))
+            .alias("lex_r"),
+        )
     )
 
     e = table(spark, sf_dir, "embeddings")
@@ -2220,6 +2233,8 @@ def x59_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("vec_id") != _X59_PROBE)
         .crossJoin(F.broadcast(probe))  # 1-row probe: broadcast by construction
         .select(F.col("vec_id").alias("doc_id"), cos.alias("cos"))
+        .orderBy(F.desc("cos"), "doc_id")
+        .limit(_X59_CAND)
         .select(
             "doc_id",
             F.row_number()
