@@ -195,3 +195,47 @@ def test_bloom_probe_join_is_broadcast(spark):
     # the sketch pointless.
     plan = physical(REGISTRY["x34_bloom_membership"].fn(spark, SF))
     assert "BroadcastHashJoin" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x58_bigram_logprob",
+        "h23_product_profit",
+        "h24_late_priority_lines",
+        "h25_dominant_part_suppliers",
+        "s4_interval_join",
+        "x59_hybrid_rrf",
+        "x60_bpe_pair_counts",
+        "x61_media_phash_neardup",
+    ],
+)
+def test_round3_queries_have_no_cartesian_product(spark, name):
+    plan = physical(REGISTRY[name].fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+
+
+@pytest.mark.parametrize("name", ["h23_product_profit", "h25_dominant_part_suppliers"])
+def test_round3_tpch_dim_prunes_broadcast(spark, name):
+    # Q9/Q20 hinge on the part filter broadcast-pruning lineitem before
+    # any shuffle; a SortMergeJoin against part means the prune
+    # regressed to a fact-sized shuffle.
+    plan = physical(REGISTRY[name].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_x59_rank_windows_are_candidate_bounded(spark):
+    # The fusion rankers must take their top-N via TakeOrderedAndProject
+    # BEFORE the global ROW_NUMBER window — a Window whose child is a
+    # full single-partition Exchange of the corpus is the 100 TB
+    # regression this guards against.
+    plan = physical(REGISTRY["x59_hybrid_rrf"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_h24_shipdate_range_reaches_scan(spark):
+    # The cross-table lateness predicate cannot push down, but the
+    # shipdate RANGE must — it is what prunes the fact scan.
+    plan = physical(REGISTRY["h24_late_priority_lines"].fn(spark, SF))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_shipdate" in ln and "GreaterThanOrEqual" in ln for ln in pushed), pushed
