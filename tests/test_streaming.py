@@ -380,3 +380,76 @@ def test_rollup_crash_replay_is_idempotent(spark, small_events, tmp_path):
         for r in wh.read(ROLLUP_TABLE).collect()
     }
     assert doubled == {(t, n * 2) for (t, n, _s) in baseline}
+
+
+def test_watermark_drops_late_rows_across_triggers(spark, tmp_path):
+    """Late-data semantics, not just parity: a row arriving in a later
+    trigger with event time older than (max seen - watermark) must be
+    DROPPED from the append-mode windowed aggregate, while a second
+    batch's on-time rows still emit. Two availableNow runs over one
+    checkpoint make the watermark actually advance between arrivals —
+    a single-batch test can never exercise eviction. The sink is a
+    parquet directory (memory sinks cannot recover a checkpoint), so
+    the cumulative output also proves each window emits exactly once.
+    """
+    import datetime as dt
+
+    from calaveras_uniteus_etl_spark.streaming.windows import windowed_agg
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "late_ckpt")
+    out_dir = str(tmp_path / "late_out")
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    t0 = dt.datetime(2024, 5, 1, 0, 0)
+
+    def run_trigger():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            windowed_agg(stream, window="1 hour", watermark="1 hour")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            (r["window_start"], r["event_type"], r["n_events"])
+            for r in spark.read.parquet(out_dir).collect()
+        )
+
+    # Trigger 1: events up to t0+10h. Watermark after this batch is
+    # 10:00 - 1h = 09:00, so windows ending <= 09:00 are final.
+    spark.createDataFrame(
+        [
+            (1, t0 + dt.timedelta(hours=1), "click", 1.0),
+            (2, t0 + dt.timedelta(hours=1, minutes=30), "click", 1.0),
+            (3, t0 + dt.timedelta(hours=10), "view", 1.0),
+        ],
+        schema,
+    ).write.mode("append").parquet(str(src))
+    out1 = run_trigger()
+    # the 01:00 window is final (ends 02:00 <= 09:00 watermark) → emitted
+    assert (t0 + dt.timedelta(hours=1), "click", 2) in out1
+
+    # Trigger 2: one LATE row into the already-finalized 01:00 window
+    # (event time 01:45 < 09:00 watermark) and one on-time row that
+    # pushes the clock forward so the 10:00 view window finalizes.
+    spark.createDataFrame(
+        [
+            (4, t0 + dt.timedelta(hours=1, minutes=45), "click", 1.0),
+            (5, t0 + dt.timedelta(hours=20), "view", 1.0),
+        ],
+        schema,
+    ).write.mode("append").parquet(str(src))
+    out2 = run_trigger()
+
+    # The late click was dropped: the 01:00 window still shows exactly
+    # one emission with n=2 (no re-emit, no n=1/n=3 sibling)...
+    clicks = [r for r in out2 if r[0] == t0 + dt.timedelta(hours=1)]
+    assert clicks == [(t0 + dt.timedelta(hours=1), "click", 2)]
+    # ...and the on-time 10:00 view emitted exactly once.
+    views10 = [r for r in out2 if r[0] == t0 + dt.timedelta(hours=10)]
+    assert views10 == [(t0 + dt.timedelta(hours=10), "view", 1)]
