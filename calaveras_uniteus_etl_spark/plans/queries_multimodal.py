@@ -180,8 +180,14 @@ def x40_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same plan runs on a DCT/aHash fingerprint — only the fingerprint
 # expression changes, the banding/join/verify shape is decoder-
 # agnostic. At 100 TB the shuffle carries (band_key, doc_id, hash60)
-# triples and every bucket is collision-sized.
+# triples, and the same mega-bucket guard as the text miners
+# (BUCKET_CAP from queries_dedup) drops degenerate buckets — an
+# all-black-thumbnail bucket would otherwise go quadratic. Inactive
+# at the driver's SFs (buckets are collision-sized), mirrored in the
+# oracle so activation never breaks parity.
 # ---------------------------------------------------------------------------
+
+from calaveras_uniteus_etl_spark.plans.queries_dedup import BUCKET_CAP as _X61_CAP
 
 _X61_BANDS = 4
 _X61_BITS = 15  # per band; 4×15 = the 60-bit fingerprint
@@ -201,9 +207,14 @@ WITH imgs AS (
   SELECT doc_id, h, band,
          (h // power(2, band * {_X61_BITS})::BIGINT) % {1 << _X61_BITS} AS band_key
   FROM banded
+), ok AS (
+  SELECT band, band_key FROM keyed
+  GROUP BY band, band_key HAVING COUNT(*) <= {_X61_CAP}
+), kept AS (
+  SELECT keyed.* FROM keyed JOIN ok USING (band, band_key)
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.h AS ha, b.h AS hb
-  FROM keyed a JOIN keyed b
+  FROM kept a JOIN kept b
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b,
@@ -234,6 +245,13 @@ def x61_media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"shiftrightunsigned(h, band * {_X61_BITS})")
         % (1 << _X61_BITS),
     )
+    ok = (
+        keyed.groupBy("band", "band_key")
+        .agg(F.count("*").alias("bc"))
+        .filter(F.col("bc") <= _X61_CAP)
+        .drop("bc")
+    )
+    keyed = keyed.join(ok, ["band", "band_key"])
     a = keyed.select(
         F.col("band"),
         F.col("band_key"),

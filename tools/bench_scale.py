@@ -41,6 +41,11 @@ QUERIES = (
     "x6_embed_neardup",        # embedding bucket-collision near-dup
     "x36_cluster_size_dist",   # connected-components loop
     "x47_bm25_search",         # lexical scoring over posting lists
+    "h23_product_profit",      # TPC-H Q9 star join + fact-fact shuffle
+    "s4_interval_join",        # fact-fact event-time interval join
+    "x58_bigram_logprob",      # token-stream LM scoring (bigram join-back)
+    "x59_hybrid_rrf",          # candidate-bounded rank fusion
+    "x60_bpe_pair_counts",     # vocab-grain pair counting
 )
 
 # Key columns that must be remapped per replica to keep joins
