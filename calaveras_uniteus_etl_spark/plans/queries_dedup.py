@@ -551,10 +551,13 @@ def _neardup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "lbl",
                 )
             )
-            changed = updated.filter(F.col("new_lbl") != F.col("lbl")).count()
-            labels = updated.select(
-                "node", F.col("new_lbl").alias("lbl")
-            ).localCheckpoint(eager=True)
+            # One materialization per round: checkpoint the (old, new)
+            # pair, then both the convergence count and next round's
+            # labels read the checkpointed blocks instead of recomputing
+            # the join/groupBy pipeline a second time.
+            snap = updated.localCheckpoint(eager=True)
+            changed = snap.filter(F.col("new_lbl") != F.col("lbl")).count()
+            labels = snap.select("node", F.col("new_lbl").alias("lbl"))
             if changed == 0:
                 break
     finally:
