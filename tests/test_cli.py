@@ -1,0 +1,138 @@
+"""CLI surface: the reference's entry points (§3) driven end-to-end —
+ingest pipe-delimited fixtures, run reports, gated ad-hoc SQL, exports
+— each command emitting one JSON document.
+"""
+
+from __future__ import annotations
+
+import json
+import zipfile
+
+import pytest
+
+from calaveras_uniteus_etl_spark.cli import build_parser
+
+PEOPLE = (
+    "person_id|first_name|last_name|gender|date_of_birth|people_created_at\n"
+    "p1|John|Doe|male|1990-01-15|2024-01-01 10:00:00\n"
+    "p2|Jane|Smith|female|1985-06-20|2024-01-02 11:00:00\n"
+    "p3|Ann|Lee|female|2000-12-31|2024-01-03 12:00:00\n"
+)
+
+CASES = (
+    "case_id|person_id|case_status|case_created_at|case_updated_at|service_type\n"
+    "c1|p1|open|2024-01-01 10:00:00|2024-01-01 10:00:00|Housing\n"
+    "c2|p2|managed|2024-01-02 11:00:00|2024-01-02 11:00:00|Food\n"
+    "c3|p3|open|2024-02-03 10:00:00|2024-02-03 10:00:00|Housing\n"
+)
+
+
+def _run(spark, argv, capsys):
+    a = build_parser().parse_args(argv)
+    rc = a.fn(spark, a)
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return rc, json.loads(out)
+
+
+@pytest.fixture()
+def warehouse(spark, tmp_path, capsys):
+    inp = tmp_path / "input"
+    inp.mkdir()
+    (inp / "people_20240101.txt").write_text(PEOPLE)
+    (inp / "cases_20240101.txt").write_text(CASES)
+    wh = str(tmp_path / "wh")
+    rc, rep = _run(
+        spark,
+        ["ingest", "--input-dir", str(inp), "--warehouse", wh, "--no-phi"],
+        capsys,
+    )
+    assert rc == 0
+    assert {t["table"]: t["status"] for t in rep["tasks"]} == {
+        "people": "completed",
+        "cases": "completed",
+    }
+    assert all(t["rows_inserted"] == 3 for t in rep["tasks"])
+    return wh
+
+
+def test_cli_report_rows_and_chart(spark, warehouse, capsys):
+    rc, out = _run(
+        spark,
+        ["report", "--name", "status_distribution", "--table", "cases",
+         "--warehouse", warehouse],
+        capsys,
+    )
+    assert rc == 0
+    assert out["columns"] == ["status", "count"]
+    assert dict((r[0], r[1]) for r in out["rows"]) == {"open": 2, "managed": 1}
+
+    rc, chart = _run(
+        spark,
+        ["report", "--name", "status_distribution", "--table", "cases",
+         "--warehouse", warehouse, "--chart"],
+        capsys,
+    )
+    assert chart["labels"] == ["open", "managed"]
+    assert chart["values"] == [2, 1]
+
+
+def test_cli_report_with_filters(spark, warehouse, capsys):
+    rc, out = _run(
+        spark,
+        ["report", "--name", "top_service_types", "--table", "cases",
+         "--warehouse", warehouse, "--start-date", "2024-02-01"],
+        capsys,
+    )
+    assert out["rows"] == [["Housing", 1]]
+
+
+def test_cli_summary_and_timeline(spark, warehouse, capsys):
+    rc, out = _run(
+        spark, ["report", "--name", "summary", "--warehouse", warehouse], capsys
+    )
+    row = dict(zip(out["columns"], out["rows"][0]))
+    assert row["total_people"] == 3 and row["total_cases"] == 3
+
+    rc, tl = _run(
+        spark,
+        ["report", "--name", "timeline", "--table", "cases",
+         "--warehouse", warehouse, "--grouping", "month"],
+        capsys,
+    )
+    assert [r[1] for r in tl["rows"]] == [2, 1]
+
+
+def test_cli_query_gate(spark, warehouse, capsys):
+    rc, out = _run(
+        spark,
+        ["query", "--warehouse", warehouse, "--sql",
+         "SELECT case_status, COUNT(*) AS n FROM cases GROUP BY case_status"],
+        capsys,
+    )
+    assert out["row_count"] == 2
+
+    from calaveras_uniteus_etl_spark.operators.adhoc import QueryNotAllowedError
+
+    a = build_parser().parse_args(
+        ["query", "--warehouse", warehouse, "--sql", "DROP TABLE cases"]
+    )
+    with pytest.raises(QueryNotAllowedError):
+        a.fn(spark, a)
+
+
+def test_cli_export_zip(spark, warehouse, tmp_path, capsys):
+    out_path = str(tmp_path / "dump.zip")
+    rc, out = _run(
+        spark,
+        ["export", "--tables", "people,cases", "--fmt", "zip",
+         "--out", out_path, "--warehouse", warehouse],
+        capsys,
+    )
+    assert rc == 0 and out["rows"] == {"people": 3, "cases": 3}
+    with zipfile.ZipFile(out_path) as z:
+        assert sorted(z.namelist()) == ["cases.csv", "people.csv"]
+
+
+def test_cli_quality_empty(spark, warehouse, capsys):
+    rc, out = _run(spark, ["quality", "--warehouse", warehouse], capsys)
+    assert rc == 0 and out["rows"] == []
