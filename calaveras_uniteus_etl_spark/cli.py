@@ -100,7 +100,9 @@ def _report_registry():
         ),
         "top_providers": (
             ("referrals",),
-            lambda t, a: h.top_providers(t["referrals"], a.limit or 10, flt(a)),
+            lambda t, a: h.top_providers(
+                t["referrals"], a.facet or "sending", a.limit or 10, flt(a)
+            ),
         ),
         "demographics": (
             ("people", "cases"),
@@ -112,6 +114,87 @@ def _report_registry():
             ("people", "cases"),
             lambda t, a: h.age_distribution(
                 t["people"], t["cases"],
+                a.as_of or "2026-01-01 00:00:00", flt(a),
+            ),
+        ),
+        "income_distribution": (
+            ("people",),
+            lambda t, a: h.income_distribution(t["people"]),
+        ),
+        "cases_by_location": (
+            ("people", "cases"),
+            lambda t, a: h.cases_by_location(
+                t["people"], t["cases"], a.limit or 15, flt(a)
+            ),
+        ),
+        "household_scatter": (
+            ("people", "cases"),
+            lambda t, a: h.household_scatter(t["people"], t["cases"], flt(a)),
+        ),
+        "touchpoint_averages": (
+            ("people", "cases", "referrals", "assistance_requests"),
+            lambda t, a: h.touchpoint_averages(
+                t["people"], t["cases"], t["referrals"], t["assistance_requests"]
+            ),
+        ),
+        "touchpoint_distribution": (
+            ("people", "cases", "referrals", "assistance_requests"),
+            lambda t, a: h.touchpoint_distribution(
+                t["people"], t["cases"], t["referrals"], t["assistance_requests"]
+            ),
+        ),
+        "service_pathways": (
+            ("cases", "referrals"),
+            lambda t, a: h.service_pathways(
+                t["cases"], t["referrals"], a.limit or 20, f=flt(a)
+            ),
+        ),
+        "conversion_rates": (
+            ("referrals",),
+            lambda t, a: h.referral_conversion_rates(
+                t["referrals"], flt(a), n=a.limit or 10
+            ),
+        ),
+        "provider_performance": (
+            ("cases",),
+            lambda t, a: h.provider_performance(t["cases"], flt(a), n=a.limit or 20),
+        ),
+        "high_risk_drop_off": (
+            ("referrals",),
+            lambda t, a: h.high_risk_drop_off(t["referrals"], flt(a), n=a.limit or 10),
+        ),
+        "top_programs": (
+            ("referrals",),
+            lambda t, a: h.top_programs(t["referrals"], a.limit or 15, flt(a)),
+        ),
+        "veteran_services": (
+            ("assistance_requests",),
+            lambda t, a: h.veteran_services(
+                t["assistance_requests"], a.facet or "affiliation", flt(a)
+            ),
+        ),
+        "service_subtypes": (
+            ("cases",),
+            lambda t, a: h.service_subtypes(t["cases"], a.limit or 25, flt(a)),
+        ),
+        "outcome_distribution": (
+            ("cases",),
+            lambda t, a: h.outcome_distribution(t["cases"], flt(a)),
+        ),
+        "time_to_resolution": (
+            ("cases",),
+            lambda t, a: h.time_to_resolution(t["cases"], a.limit or 10, flt(a)),
+        ),
+        "housing_impact": (
+            ("cases", "assistance_requests"),
+            lambda t, a: h.housing_impact(
+                t["cases"], t["assistance_requests"], a.limit or 10, flt(a)
+            ),
+        ),
+        "demographic_correlation": (
+            ("cases", "people"),
+            lambda t, a: h.demographic_correlation(
+                t["cases"], t["people"], a.facet or "gender_by_service",
                 a.as_of or "2026-01-01 00:00:00", flt(a),
             ),
         ),

@@ -143,7 +143,7 @@ ASSISTANCE_REQUESTS = _t(
     ("person_ssn", _S),
     ("person_gender", _S),
     ("person_race", _S),
-    ("housing_status", _S),
+    ("housing_current_status", _S),  # reference name, database_schema.py:273
     ("employment_status", _S),
     ("education_status", _S),
     ("household_size", _L),

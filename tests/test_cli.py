@@ -136,3 +136,17 @@ def test_cli_export_zip(spark, warehouse, tmp_path, capsys):
 def test_cli_quality_empty(spark, warehouse, capsys):
     rc, out = _run(spark, ["quality", "--warehouse", warehouse], capsys)
     assert rc == 0 and out["rows"] == []
+
+
+def test_cli_every_report_runs(spark, warehouse, capsys):
+    """Smoke the whole dispatch table — every named report must execute
+    against a freshly-ingested warehouse and emit a rows payload."""
+    from calaveras_uniteus_etl_spark.cli import _report_registry
+
+    needs_table = {"status_distribution", "top_service_types", "timeline"}
+    for name in _report_registry():
+        argv = ["report", "--name", name, "--warehouse", warehouse]
+        if name in needs_table:
+            argv += ["--table", "cases"]
+        rc, out = _run(spark, argv, capsys)
+        assert rc == 0 and "columns" in out, name
