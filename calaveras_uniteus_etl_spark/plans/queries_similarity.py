@@ -1121,59 +1121,77 @@ def x42_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .cache()
     )
-    rows = []
-    # The result rows are collected driver-side inside the sweep, so
-    # every cached relation can be released before returning — a full
-    # registry/bench run must not accumulate executor storage.
-    try:
-        for np_ in _SWEEP_PROBES:
-            pl = (
-                ranked.filter((F.col("vec_id") < _N_QUERY) & (F.col("rn") <= np_))
-                .select(F.col("vec_id").alias("query_id"), "cid")
-            )
-            cand = (
-                F.broadcast(pl)
-                .join(assign, "cid")
-                .filter(F.col("vec_id") != F.col("query_id"))
-                .select("query_id", F.col("vec_id").alias("neighbor_id"))
-                .cache()
-            )
-            try:
-                n_cand = cand.count()
-                scored_np = cand.join(F.broadcast(probes), "query_id").join(
-                    e.select(
-                        F.col("vec_id").alias("neighbor_id"),
-                        F.col("embedding").alias("ne"),
-                        F.col("nrm").alias("nn"),
-                    ),
-                    "neighbor_id",
-                )
-                cosine = F.round(
-                    _dot(F.col("qe"), F.col("ne"))
-                    / F.nullif(F.col("qn") * F.col("nn"), F.lit(0.0)),
-                    4,
-                )
-                topk = (
-                    scored_np.select(
-                        "query_id", "neighbor_id", cosine.alias("cosine")
-                    )
-                    .withColumn("rn", F.row_number().over(w_exact))
-                    .filter(F.col("rn") <= _ANN_TOPK)
-                    .select("query_id", "neighbor_id")
-                )
-                hits = exact.join(topk, ["query_id", "neighbor_id"]).count()
-            finally:
-                cand.unpersist()
-            rows.append(
-                (np_, n_cand, round(hits / (_N_QUERY * float(_ANN_TOPK)), 4))
-            )
-    finally:
-        exact.unpersist()
-        ranked.unpersist()
-        e.unpersist()
-    return spark.createDataFrame(
-        rows, "nprobe int, total_candidates bigint, mean_recall double"
+    # Sweep arms as DATA, not a driver loop: each (query, neighbor)
+    # candidate pair enters the sweep at the rank its neighbor's
+    # centroid holds in the query's probe ranking, so a broadcast
+    # non-equi join against the tiny arms relation fans each pair out
+    # to every nprobe that includes it. One cosine per pair, one
+    # window pass for all arms, ONE action total (the old shape ran
+    # 2 actions per arm plus per-arm cosine recompute).
+    max_np = max(_SWEEP_PROBES)
+    pl = ranked.filter(
+        (F.col("vec_id") < _N_QUERY) & (F.col("rn") <= max_np)
+    ).select(F.col("vec_id").alias("query_id"), "cid", F.col("rn").alias("entry"))
+    pairs = (
+        F.broadcast(pl)
+        .join(assign, "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "entry")
     )
+    cosine = F.round(
+        _dot(F.col("qe"), F.col("ne"))
+        / F.nullif(F.col("qn") * F.col("nn"), F.lit(0.0)),
+        4,
+    )
+    scored_pairs = (
+        pairs.join(F.broadcast(probes), "query_id")
+        .join(
+            e.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("ne"),
+                F.col("nrm").alias("nn"),
+            ),
+            "neighbor_id",
+        )
+        .select("query_id", "neighbor_id", "entry", cosine.alias("cosine"))
+    )
+    arms = spark.createDataFrame(
+        [(int(k),) for k in _SWEEP_PROBES], "nprobe int"
+    )
+    armed = scored_pairs.join(
+        F.broadcast(arms), F.col("entry") <= F.col("nprobe")
+    )
+    w_arm = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    hits = (
+        armed.withColumn("rn2", F.row_number().over(w_arm))
+        .filter(F.col("rn2") <= _ANN_TOPK)
+        .join(exact, ["query_id", "neighbor_id"])
+        .groupBy("nprobe")
+        .agg(F.count("*").alias("hits"))
+    )
+    out = (
+        armed.groupBy("nprobe")
+        .agg(F.count("*").alias("total_candidates"))
+        .join(hits, "nprobe", "left")
+        .select(
+            "nprobe",
+            F.col("total_candidates").cast("bigint").alias("total_candidates"),
+            F.round(
+                F.coalesce(F.col("hits"), F.lit(0))
+                / F.lit(_N_QUERY * float(_ANN_TOPK)),
+                4,
+            ).alias("mean_recall"),
+        )
+        .orderBy("nprobe")
+    )
+    # Materialize before releasing the shared caches the plan feeds on.
+    out = out.localCheckpoint(eager=True)
+    exact.unpersist()
+    ranked.unpersist()
+    e.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
