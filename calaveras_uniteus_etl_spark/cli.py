@@ -198,6 +198,50 @@ def _report_registry():
                 a.as_of or "2026-01-01 00:00:00", flt(a),
             ),
         ),
+        "geographic_distribution": (
+            ("cases", "people"),
+            lambda t, a: h.geographic_distribution(
+                t["cases"], t["people"], a.facet or "city", flt(a)
+            ),
+        ),
+        "provider_performance_metrics": (
+            ("referrals",),
+            lambda t, a: h.provider_performance_metrics(
+                t["referrals"], a.facet or "receiving", n=a.limit or 15, f=flt(a)
+            ),
+        ),
+        "referral_network": (
+            ("referrals",),
+            lambda t, a: h.referral_network(t["referrals"], n=a.limit or 50, f=flt(a)),
+        ),
+        "employee_workload": (
+            ("employees", "cases"),
+            lambda t, a: h.employee_workload(
+                t["employees"], t["cases"], flt(a), n=a.limit or 20
+            ),
+        ),
+        "share_activity_summary": (
+            ("resource_lists", "resource_list_shares"),
+            lambda t, a: h.share_activity_summary(
+                t["resource_lists"], t["resource_list_shares"], flt(a)
+            ),
+        ),
+        "shares_by_method": (
+            ("resource_list_shares",),
+            lambda t, a: h.shares_by_method(t["resource_list_shares"], flt(a)),
+        ),
+        "top_sharing_employees": (
+            ("resource_list_shares", "employees"),
+            lambda t, a: h.top_sharing_employees(
+                t["resource_list_shares"], t["employees"], flt(a), n=a.limit or 10
+            ),
+        ),
+        "shared_list_reach": (
+            ("resource_lists", "resource_list_shares"),
+            lambda t, a: h.shared_list_reach(
+                t["resource_lists"], t["resource_list_shares"], flt(a)
+            ),
+        ),
     }
 
 
@@ -296,6 +340,9 @@ def cmd_query(spark, a) -> int:
     wh = Warehouse(spark, a.warehouse)
     for t in TABLE_SCHEMAS:
         wh.read(t).createOrReplaceTempView(t)
+    from calaveras_uniteus_etl_spark.reports.views import register_views
+
+    register_views(spark)  # v_active_cases … v_client_journey
     res = execute_query(spark, a.sql, limit=a.limit or ROW_CAP)
     _emit({"columns": res.columns, "rows": res.records, "row_count": res.row_count})
     return 0

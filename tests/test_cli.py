@@ -150,3 +150,13 @@ def test_cli_every_report_runs(spark, warehouse, capsys):
             argv += ["--table", "cases"]
         rc, out = _run(spark, argv, capsys)
         assert rc == 0 and "columns" in out, name
+
+
+def test_cli_query_views_available(spark, warehouse, capsys):
+    rc, out = _run(
+        spark,
+        ["query", "--warehouse", warehouse, "--sql",
+         "SELECT COUNT(*) AS n FROM v_active_cases"],
+        capsys,
+    )
+    assert rc == 0 and out["rows"][0]["n"] == 3  # open+managed are active
