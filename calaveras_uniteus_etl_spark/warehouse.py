@@ -158,3 +158,28 @@ class Warehouse:
         if sort_cols:
             writer = writer.sortBy(*sort_cols)
         writer.option("path", self.path(f"bucketed_{table}")).saveAsTable(table)
+
+    def write_sorted(
+        self,
+        table: str,
+        df: DataFrame,
+        range_cols: list[str],
+        n_files: int | None = None,
+    ) -> None:
+        """Range-clustered rewrite for row-group min/max pruning.
+
+        ``repartitionByRange`` gives every output file a disjoint slice
+        of the sort key and ``sortWithinPartitions`` orders rows inside
+        each file, so parquet footer min/max statistics become
+        selective: a point or range predicate on the key skips whole
+        files and row groups at planning/scan time. This is the
+        single-column complement to the Morton layout m3 computes —
+        use it for the one dominant filter column (usually event time);
+        use z-order when two columns share the scans. The write goes
+        through the atomic-swap path like every overwrite.
+        """
+        n = n_files or df.sparkSession.sparkContext.defaultParallelism
+        clustered = df.repartitionByRange(n, *range_cols).sortWithinPartitions(
+            *range_cols
+        )
+        self.write(table, clustered)

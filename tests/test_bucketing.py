@@ -73,3 +73,50 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
 
     months = [d for d in os.listdir(wh.path("events_part")) if d.startswith("month=")]
     assert len(months) == 3  # Jan, Feb, Mar (2160 h = 90 days)
+
+
+def test_write_sorted_clusters_ranges_disjointly(spark, tmp_path):
+    """write_sorted must produce files whose min/max ranges of the sort
+    key are pairwise disjoint — the property parquet footer pruning
+    needs. Verified against the actual file footers via pyarrow, and
+    the plan must show RangePartitioning (not hash/round-robin)."""
+    import pyarrow.parquet as pq
+
+    from calaveras_uniteus_etl_spark.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.range(0, 100_000).selectExpr(
+        "id", "cast(id % 977 as long) AS k", "uuid() AS payload"
+    )
+    plan = (
+        df.repartitionByRange(8, "id")._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "rangepartitioning" in plan.lower(), plan
+
+    wh.write_sorted("events_sorted", df, ["id"], n_files=8)
+
+    import os
+
+    ranges = []
+    root = wh.path("events_sorted")
+    for f in sorted(os.listdir(root)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(root, f))
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)  # id is the first column
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) == 8
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, (ranges,)  # pairwise disjoint key slices
+
+    # and a point filter prunes at scan: only 1 of 8 files can match
+    hit = (
+        spark.read.parquet(root).filter("id = 12345").count()
+    )
+    assert hit == 1
