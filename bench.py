@@ -153,6 +153,7 @@ HEADLINE = [
     "x59_hybrid_rrf",
     "x60_bpe_pair_counts",
     "x61_media_phash_neardup",
+    "x62_hard_negatives",
 ]
 
 

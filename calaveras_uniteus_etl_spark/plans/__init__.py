@@ -144,6 +144,7 @@ _NEW_THIS_ROUND = [
     "x59_hybrid_rrf",
     "x60_bpe_pair_counts",
     "x61_media_phash_neardup",
+    "x62_hard_negatives",
 ]
 
 # Entries with a GREEN driver row in round 1 or round 2 (union = 78).

@@ -1261,3 +1261,90 @@ def x51_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("nrm_micro").cast("bigint").alias("max_norm_micro"),
         (F.sum("nrm_micro").cast("double") / F.count("*")).alias("avg_norm_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X62 — hard-negative mining for contrastive training
+#
+# Embedding-model training data needs hard negatives: pairs the coarse
+# retrieval space confuses (same SRP-LSH bucket — a retriever would
+# surface one for the other) that are semantically NOT matches
+# (different label, low exact cosine). Random negatives are too easy;
+# all-pairs mining is quadratic. Bucket-collision candidates reuse x6's
+# exact machinery — the id-pair shuffle never carries payloads — and
+# the label filter + low-cosine tail selects the confusable non-matches
+# (RocketQA/ANCE-style mining, hash-bucket flavored).
+# ---------------------------------------------------------------------------
+
+_HARDNEG_MAX = 0.2  # exact-cosine ceiling: below = semantically far
+
+
+@register(
+    "x62_hard_negatives",
+    oracle=f"""
+WITH {{bcte}},
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buckets a JOIN buckets b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b,
+       CAST(ea.label AS INT) AS label_a,
+       CAST(eb.label AS INT) AS label_b,
+       {{cosexpr}} AS cosine
+FROM cand
+JOIN embeddings ea ON ea.vec_id = cand.vec_a
+JOIN embeddings eb ON eb.vec_id = cand.vec_b
+WHERE ea.label <> eb.label
+  AND {{cosexpr}} <= {_HARDNEG_MAX}
+ORDER BY vec_a, vec_b
+""".format(
+        bcte=_duck_buckets_cte(),
+        cosexpr=_DUCK_COSINE.format(a="ea.embedding", b="eb.embedding"),
+    ),
+    doc=f"Contrastive hard negatives: SRP-LSH bucket collisions with "
+    f"different labels and exact cosine ≤ {_HARDNEG_MAX} — the "
+    "confusable non-matches an embedding trainer should sample; "
+    "id-pair candidate shuffle, payloads join back late (x6 shape).",
+)
+def x62_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _spark_vecs(spark, sf_dir)
+    labels = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    b = _spark_buckets(vecs)
+    a, c = b.alias("a"), b.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.tbl") == F.col("c.tbl"))
+            & (F.col("a.bucket") == F.col("c.bucket"))
+            & (F.col("a.vec_id") < F.col("c.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("c.vec_id").alias("vec_b"))
+        .distinct()
+        .repartition(spark.sparkContext.defaultParallelism, "vec_a")
+    )
+    aside = vecs.join(labels, "vec_id").select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+        F.col("label").cast("int").alias("label_a"),
+    )
+    bside = vecs.join(labels, "vec_id").select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+        F.col("label").cast("int").alias("label_b"),
+    )
+    cosine = F.round(
+        _dot(F.col("ea"), F.col("eb"))
+        / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)),
+        4,
+    )
+    return (
+        cand.join(aside, "vec_a")
+        .join(bside, "vec_b")
+        .filter(F.col("label_a") != F.col("label_b"))
+        .select("vec_a", "vec_b", "label_a", "label_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") <= _HARDNEG_MAX)
+        .orderBy("vec_a", "vec_b")
+    )
