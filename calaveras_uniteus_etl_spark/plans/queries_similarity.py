@@ -1277,6 +1277,7 @@ def x51_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _HARDNEG_MAX = 0.2  # exact-cosine ceiling: below = semantically far
+_HARDNEG_PER_ANCHOR = 5  # hardest negatives kept per anchor
 
 
 @register(
@@ -1291,12 +1292,14 @@ cand AS (
 SELECT vec_a, vec_b,
        CAST(ea.label AS INT) AS label_a,
        CAST(eb.label AS INT) AS label_b,
-       {{cosexpr}} AS cosine
+       {{cosexpr}} + 0.0 AS cosine
 FROM cand
 JOIN embeddings ea ON ea.vec_id = cand.vec_a
 JOIN embeddings eb ON eb.vec_id = cand.vec_b
 WHERE ea.label <> eb.label
   AND {{cosexpr}} <= {_HARDNEG_MAX}
+QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_a
+                           ORDER BY {{cosexpr}} DESC, vec_b) <= {_HARDNEG_PER_ANCHOR}
 ORDER BY vec_a, vec_b
 """.format(
         bcte=_duck_buckets_cte(),
@@ -1335,16 +1338,30 @@ def x62_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("nb"),
         F.col("label").cast("int").alias("label_b"),
     )
+    # + 0.0 folds IEEE negative zero into +0.0 — the low-cosine tail
+    # otherwise rounds to -0.0 under one engine's formatting and 0.0
+    # under the other's.
     cosine = F.round(
         _dot(F.col("ea"), F.col("eb"))
         / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)),
         4,
-    )
+    ) + F.lit(0.0)
     return (
         cand.join(aside, "vec_a")
         .join(bside, "vec_b")
         .filter(F.col("label_a") != F.col("label_b"))
         .select("vec_a", "vec_b", "label_a", "label_b", cosine.alias("cosine"))
         .filter(F.col("cosine") <= _HARDNEG_MAX)
+        # hardest (closest-to-boundary) N per anchor: the pairs an
+        # embedding trainer actually samples, and the output stays
+        # anchor-bounded at any corpus size
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_a").orderBy(F.desc("cosine"), "vec_b")
+            ),
+        )
+        .filter(F.col("rn") <= _HARDNEG_PER_ANCHOR)
+        .drop("rn")
         .orderBy("vec_a", "vec_b")
     )
