@@ -154,6 +154,7 @@ HEADLINE = [
     "x60_bpe_pair_counts",
     "x61_media_phash_neardup",
     "x62_hard_negatives",
+    "x63_embed_covariance",
 ]
 
 

@@ -145,6 +145,7 @@ _NEW_THIS_ROUND = [
     "x60_bpe_pair_counts",
     "x61_media_phash_neardup",
     "x62_hard_negatives",
+    "x63_embed_covariance",
 ]
 
 # Entries with a GREEN driver row in round 1 or round 2 (union = 78).

@@ -1365,3 +1365,93 @@ def x62_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("vec_a", "vec_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# X63 — embedding feature covariance (whitening / PCA preparation)
+#
+# The one-pass statistic every embedding-space analysis starts from:
+# the dim×dim covariance of the corpus (whitening, PCA, OOD scoring,
+# feature-collapse detection all consume it). The distributed shape is
+# the point — each vector explodes to its (dim, value) pairs, the
+# per-vector self-join emits the upper-triangle products (2080 rows
+# per vector at 64 dims, partitioned by vec_id so the join never
+# shuffles payloads), and one groupBy((di, dj)) reduces across the
+# corpus with map-side partial aggregation. Values quantize to
+# milli-units so every sum is an exact BIGINT; the unnormalized
+# covariance numerator n·Σxy − Σx·Σy stays integer end-to-end
+# (comfortably inside BIGINT through sf100) — no float summation
+# order anywhere.
+# ---------------------------------------------------------------------------
+
+_COV_TOPK = 20
+
+
+@register(
+    "x63_embed_covariance",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id, d.dim AS dim,
+         CAST(ROUND(CAST(embedding[d.dim + 1] AS DOUBLE) * 1000) AS BIGINT)
+           AS qv
+  FROM embeddings CROSS JOIN (SELECT unnest(range({sim.EMBED_DIM})) AS dim) d
+), n AS (
+  SELECT COUNT(DISTINCT vec_id) AS n FROM q
+), sums AS (
+  SELECT dim, CAST(SUM(qv) AS BIGINT) AS sx FROM q GROUP BY dim
+), prods AS (
+  SELECT a.dim AS di, b.dim AS dj, CAST(SUM(a.qv * b.qv) AS BIGINT) AS sxy
+  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+  GROUP BY a.dim, b.dim
+)
+SELECT CAST(di AS INT) AS di, CAST(dj AS INT) AS dj,
+       CAST(n.n * sxy - sa.sx * sb.sx AS BIGINT) AS cov_num
+FROM prods
+JOIN sums sa ON sa.dim = di
+JOIN sums sb ON sb.dim = dj
+CROSS JOIN n
+ORDER BY abs(n.n * sxy - sa.sx * sb.sx) DESC, di, dj
+LIMIT {_COV_TOPK}
+""",
+    doc=f"Top-{_COV_TOPK} covariance entries of the embedding feature "
+    "space (unnormalized integer numerator n·Σxy − Σx·Σy in "
+    "milli-unit² — exact BIGINT, no float sums). Per-vector "
+    "upper-triangle product explode, one corpus-wide reduce.",
+)
+def x63_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    q = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "vec_id",
+        "dim",
+        F.round(F.col("v").cast("double") * 1000).cast("bigint").alias("qv"),
+    ).localCheckpoint(eager=True)  # feeds three branches below once
+    n = q.select("vec_id").distinct().count()
+    sums = q.groupBy("dim").agg(F.sum("qv").cast("bigint").alias("sx"))
+    a, b = q.alias("a"), q.alias("b")
+    prods = (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.vec_id"))
+            & (F.col("a.dim") <= F.col("b.dim")),
+        )
+        .groupBy(F.col("a.dim").alias("di"), F.col("b.dim").alias("dj"))
+        .agg(F.sum(F.col("a.qv") * F.col("b.qv")).cast("bigint").alias("sxy"))
+    )
+    sa = sums.select(F.col("dim").alias("di"), F.col("sx").alias("sxa"))
+    sb = sums.select(F.col("dim").alias("dj"), F.col("sx").alias("sxb"))
+    cov = F.lit(n) * F.col("sxy") - F.col("sxa") * F.col("sxb")
+    return (
+        prods.join(F.broadcast(sa), "di")
+        .join(F.broadcast(sb), "dj")
+        .select(
+            F.col("di").cast("int").alias("di"),
+            F.col("dj").cast("int").alias("dj"),
+            cov.cast("bigint").alias("cov_num"),
+        )
+        .orderBy(F.abs(F.col("cov_num")).desc(), "di", "dj")
+        .limit(_COV_TOPK)
+    )
