@@ -208,6 +208,8 @@ def test_bloom_probe_join_is_broadcast(spark):
         "x59_hybrid_rrf",
         "x60_bpe_pair_counts",
         "x61_media_phash_neardup",
+        "x62_hard_negatives",
+        "x63_embed_covariance",
     ],
 )
 def test_round3_queries_have_no_cartesian_product(spark, name):
