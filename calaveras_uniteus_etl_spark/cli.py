@@ -34,6 +34,16 @@ _CREATED_AT = {
 }
 
 
+def _created_at_col(table: str | None) -> str:
+    try:
+        return _CREATED_AT[table]
+    except KeyError:
+        raise SystemExit(
+            f"timeline has no default date column for table {table!r}; "
+            f"pass --date-col (tables with defaults: {sorted(_CREATED_AT)})"
+        ) from None
+
+
 # --- report dispatch --------------------------------------------------------
 # name -> (needed tables, builder(tables, filters, args) -> DataFrame).
 # Mirrors the reference's report router (core/reports/router.py): one
@@ -73,8 +83,8 @@ def _report_registry():
         "timeline": (
             ("*table",),
             lambda t, a: h.timeline(
-                t[a.table],
-                a.date_col or _CREATED_AT[a.table],
+                h.apply_report_filters(t[a.table], a.table, flt(a)),
+                a.date_col or _created_at_col(a.table),
                 a.grouping or "day",
             ),
         ),

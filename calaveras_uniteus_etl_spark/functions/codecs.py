@@ -202,7 +202,10 @@ def decode_wav(payload: bytes) -> dict:
         "sample_rate": sample_rate,
         "n_channels": n_channels,
         "n_frames": n_frames,
-        "duration_s": n_frames // max(sample_rate, 1),
+        # round-half-up (not Python's banker's round): floor division
+        # reported 0 s for any clip under a second, indistinguishable
+        # from an empty file
+        "duration_s": int(n_frames / max(sample_rate, 1) + 0.5),
         "samples": samples,
     }
 

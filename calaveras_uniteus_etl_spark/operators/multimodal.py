@@ -83,6 +83,12 @@ def _real_features(payload: bytes, media_type: str) -> dict | None:
         # fake decode of a real payload. Downstream quarantines on
         # NULL dims.
         return base
+    except Exception:  # noqa: BLE001 — corrupt payload with valid magic
+        # A truncated/corrupt payload (valid PNG/RIFF magic, bad body:
+        # zlib.error, EOFError, wave.Error, ...) must quarantine as a
+        # NULL-dims row, not kill the whole mapInPandas job — one bad
+        # file in a 100 TB batch cannot be a job-level failure.
+        return base
     base.update(
         {
             k: decoded.get(k)

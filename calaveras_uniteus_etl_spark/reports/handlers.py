@@ -949,9 +949,10 @@ def share_activity_summary(
     actually shared, distinct recipients, shares per shared list."""
     li = apply_date_range(lists, "created_at", f)
     sh = apply_date_range(shares, "created_at", f)
-    lists_created = li.agg(F.countDistinct("id").alias("v")).collect()[0]["v"]
+    # 1-row x 1-row crossJoin (h11/h12 pattern): the lists side stays
+    # in the lazy plan — no eager collect, one job for the whole row
+    created = li.agg(F.countDistinct("id").cast("bigint").alias("lists_created"))
     return sh.agg(
-        F.lit(lists_created).cast("bigint").alias("lists_created"),
         F.count("*").alias("share_events"),
         F.countDistinct("resource_list_id").alias("lists_shared"),
         F.countDistinct("person_id").alias("persons_reached"),
@@ -962,6 +963,12 @@ def share_activity_summary(
             ),
             2,
         ).alias("shares_per_list"),
+    ).crossJoin(F.broadcast(created)).select(
+        "lists_created",
+        "share_events",
+        "lists_shared",
+        "persons_reached",
+        "shares_per_list",
     )
 
 
@@ -1028,9 +1035,13 @@ def shared_list_reach(
     li = apply_date_range(lists, "created_at", f).select(
         F.col("id").alias("resource_list_id")
     )
+    # shares filter on the same window as every sibling handler —
+    # otherwise this report disagrees with share_activity_summary on
+    # share counts for the identical ReportFilters
+    sh = apply_date_range(shares, "created_at", f)
     per_list = (
         li.join(
-            shares.select("resource_list_id", F.lit(1).alias("one")),
+            sh.select("resource_list_id", F.lit(1).alias("one")),
             "resource_list_id",
             "left",
         )

@@ -17,6 +17,10 @@ the same atomic swap as the data it covers), and ``sink`` skips any
 batch whose id is <= the recorded one. batch_ids are assigned
 monotonically by the checkpoint, so skip-if-seen makes the merge
 idempotent across crash-replay and the maintained table exactly-once.
+The marker also carries the checkpoint's run id (``_applied_run``):
+batch_ids restart at 0 when a checkpoint is recreated, so the skip
+only applies within the same run — a fresh checkpoint merges instead
+of silently dropping data (see ``checkpoint_run_id``).
 """
 
 from __future__ import annotations
@@ -29,6 +33,31 @@ from calaveras_uniteus_etl_spark.warehouse import Warehouse
 
 ROLLUP_TABLE = "events_rollup"
 APPLIED_BATCH_COL = "_applied_batch"
+RUN_ID_COL = "_applied_run"
+_RUN_ID_FILE = "_rollup_run_id"
+
+
+def checkpoint_run_id(checkpoint_dir: str) -> str:
+    """Stable id for one checkpoint lineage (Delta's txnAppId pattern).
+
+    batch_ids restart at 0 whenever the checkpoint directory is
+    recreated, so skip-if-seen on batch_id alone would silently drop
+    every batch of a fresh run against an existing rollup. The run id
+    lives IN the checkpoint dir: same dir -> same id (crash-replay is
+    still deduped); new/recreated dir -> new id (nothing is skipped;
+    the one transition batch falls back to at-least-once, which is the
+    correct failure direction — duplicates, never silent loss).
+    """
+    import os
+    import uuid
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    p = os.path.join(checkpoint_dir, _RUN_ID_FILE)
+    if not os.path.exists(p):
+        with open(p, "w") as f:
+            f.write(uuid.uuid4().hex)
+    with open(p) as f:
+        return f.read().strip()
 
 
 def _partials(batch: DataFrame, key: str, value: str) -> DataFrame:
@@ -61,23 +90,31 @@ def apply_batch(
     batch_id: int,
     key: str = "event_type",
     value: str = "value",
+    run_id: str | None = None,
 ) -> bool:
     """Merge one micro-batch into the rollup, idempotently per batch_id.
 
-    Returns False (no-op) when ``batch_id`` was already applied — the
-    crash-replay case where the previous run's swap landed but its
-    checkpoint commit did not. The applied batch_id travels in the
-    same atomic swap as the merged data, so the marker can never
-    disagree with the table contents.
+    Returns False (no-op) when ``batch_id`` was already applied BY THE
+    SAME RUN — the crash-replay case where the previous attempt's swap
+    landed but its checkpoint commit did not. Both the batch_id and
+    the run id travel in the same atomic swap as the merged data, so
+    the markers can never disagree with the table contents. A batch
+    from a DIFFERENT run id (fresh/recreated checkpoint) is never
+    skipped: batch_ids restart at 0 there, and skipping on the stale
+    marker would silently drop data.
     """
     partial = _partials(batch, key, value)
     if warehouse.exists(ROLLUP_TABLE):
         existing = warehouse.read(ROLLUP_TABLE)
         if APPLIED_BATCH_COL in existing.columns:
-            last = existing.agg(F.max(APPLIED_BATCH_COL).alias("b")).collect()[
-                0
-            ]["b"]
-            if last is not None and batch_id <= last:
+            row = existing.agg(
+                F.max(APPLIED_BATCH_COL).alias("b"),
+                F.max(RUN_ID_COL).alias("r")
+                if RUN_ID_COL in existing.columns
+                else F.lit(None).alias("r"),
+            ).collect()[0]
+            same_run = run_id is None or row["r"] is None or row["r"] == run_id
+            if same_run and row["b"] is not None and batch_id <= row["b"]:
                 return False  # crash-replay of an already-applied batch
         merged = merge_rollup(existing, partial, key)
     else:
@@ -88,7 +125,9 @@ def apply_batch(
         )
     warehouse.write(
         ROLLUP_TABLE,
-        merged.withColumn(APPLIED_BATCH_COL, F.lit(batch_id).cast("bigint")),
+        merged.withColumn(
+            APPLIED_BATCH_COL, F.lit(batch_id).cast("bigint")
+        ).withColumn(RUN_ID_COL, F.lit(run_id).cast("string")),
     )
     return True
 
@@ -103,9 +142,10 @@ def stream_rollup(
     value: str = "value",
 ) -> StreamingQuery:
     """Drain ``input_dir`` maintaining the rollup table exactly once."""
+    run_id = checkpoint_run_id(checkpoint_dir)
 
     def sink(batch: DataFrame, batch_id: int) -> None:
-        apply_batch(warehouse, batch, batch_id, key, value)
+        apply_batch(warehouse, batch, batch_id, key, value, run_id=run_id)
 
     stream = spark.readStream.schema(schema).parquet(input_dir)
     return (

@@ -40,9 +40,20 @@ class Warehouse:
             f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(p)
         )
 
+    # column renames shipped after warehouses existed: old name -> new.
+    # read() aliases on the fly so pre-rename tables keep working; the
+    # next overwrite persists the new name.
+    _LEGACY_RENAMES = {
+        "assistance_requests": {"housing_status": "housing_current_status"},
+    }
+
     def read(self, table: str) -> DataFrame:
         if self.exists(table):
-            return self.spark.read.parquet(self.path(table))
+            df = self.spark.read.parquet(self.path(table))
+            for old, new in self._LEGACY_RENAMES.get(table, {}).items():
+                if old in df.columns and new not in df.columns:
+                    df = df.withColumnRenamed(old, new)
+            return df
         if table in TABLE_SCHEMAS:
             return self.spark.createDataFrame([], TABLE_SCHEMAS[table])
         raise FileNotFoundError(f"table {table!r} not found in warehouse")

@@ -160,3 +160,42 @@ def test_cli_query_views_available(spark, warehouse, capsys):
         capsys,
     )
     assert rc == 0 and out["rows"][0]["n"] == 3  # open+managed are active
+
+
+def test_cli_timeline_applies_filters(spark, warehouse, capsys):
+    rc, tl = _run(
+        spark,
+        ["report", "--name", "timeline", "--table", "cases",
+         "--warehouse", warehouse, "--grouping", "month",
+         "--start-date", "2024-02-01"],
+        capsys,
+    )
+    assert rc == 0 and [r[1] for r in tl["rows"]] == [1]  # February only
+
+
+def test_cli_timeline_unknown_table_is_clean_error(spark, warehouse, capsys):
+    from calaveras_uniteus_etl_spark.cli import build_parser
+
+    a = build_parser().parse_args(
+        ["report", "--name", "timeline", "--table", "employees",
+         "--warehouse", warehouse]
+    )
+    with pytest.raises(SystemExit, match="date column"):
+        a.fn(spark, a)
+
+
+def test_warehouse_reads_legacy_housing_column(spark, tmp_path):
+    """Pre-rename warehouses stored housing_status; read() must alias
+    it to housing_current_status so handlers keep working."""
+    from calaveras_uniteus_etl_spark.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "legacy_wh"))
+    old = spark.createDataFrame(
+        [("a1", "c1", "housed")],
+        "assistance_request_id string, case_id string, housing_status string",
+    )
+    old.write.parquet(wh.path("assistance_requests"))
+    got = wh.read("assistance_requests")
+    assert "housing_current_status" in got.columns
+    assert "housing_status" not in got.columns
+    assert got.first()["housing_current_status"] == "housed"

@@ -154,3 +154,33 @@ def test_extract_features_real_payloads_end_to_end(spark):
     assert (rows[2].duration_s, rows[2].sample_rate) == (3, 16000)
     # opaque payload -> deterministic fake path (dims derived from md5)
     assert rows[3].width is not None and 1 <= rows[3].width <= 1920
+
+
+def test_corrupt_payload_quarantines_instead_of_crashing(spark):
+    """A payload with valid PNG magic but a truncated body must come
+    back as a NULL-dims identity row, not kill the mapInPandas job."""
+    from calaveras_uniteus_etl_spark.functions import codecs
+    from calaveras_uniteus_etl_spark.operators.multimodal import extract_features
+
+    good = codecs.encode_png([[0, 128], [255, 64]])
+    corrupt = good[:20]  # magic + partial IHDR, truncated body
+    media = spark.createDataFrame(
+        [(1, bytearray(good), "image"), (2, bytearray(corrupt), "image")],
+        "doc_id long, payload binary, media_type string",
+    )
+    rows = {r["doc_id"]: r for r in extract_features(media).collect()}
+    assert rows[1]["width"] == 2 and rows[1]["height"] == 2
+    # corrupt row survived the job with NULL dims (quarantine signal)
+    assert rows[2]["width"] is None and rows[2]["height"] is None
+    assert rows[2]["n_bytes"] == len(corrupt)
+
+
+def test_subsecond_wav_duration_rounds_not_floors():
+    from calaveras_uniteus_etl_spark.functions import codecs
+
+    import numpy as np
+
+    half_sec = codecs.encode_wav(np.zeros(8000, dtype=np.int16), 16000)
+    assert codecs.decode_wav(half_sec)["duration_s"] == 1  # was 0 (floor)
+    short = codecs.encode_wav(np.zeros(3000, dtype=np.int16), 16000)
+    assert codecs.decode_wav(short)["duration_s"] == 0  # < 0.5 s rounds down

@@ -382,6 +382,42 @@ def test_rollup_crash_replay_is_idempotent(spark, small_events, tmp_path):
     assert doubled == {(t, n * 2) for (t, n, _s) in baseline}
 
 
+def test_rollup_fresh_checkpoint_does_not_drop_data(spark, small_events, tmp_path):
+    """Losing the checkpoint dir restarts batch_ids at 0; the run-id
+    marker must prevent the skip-if-seen guard from silently dropping
+    every batch of the new run against the existing rollup."""
+    from calaveras_uniteus_etl_spark.streaming.rollup import (
+        ROLLUP_TABLE,
+        apply_batch,
+        checkpoint_run_id,
+    )
+    from calaveras_uniteus_etl_spark.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "fresh_wh"))
+    ck1 = str(tmp_path / "ck1")
+    run1 = checkpoint_run_id(ck1)
+    assert apply_batch(wh, small_events, batch_id=5, run_id=run1) is True
+    baseline = {
+        (r.event_type, r.n_events) for r in wh.read(ROLLUP_TABLE).collect()
+    }
+
+    # same run, replayed batch -> still deduped
+    assert apply_batch(wh, small_events, batch_id=5, run_id=run1) is False
+
+    # checkpoint dir lost/recreated: new run id, batch_ids restart at 0.
+    # batch 0 <= recorded batch 5, but it is a DIFFERENT run -> merged.
+    ck2 = str(tmp_path / "ck2")
+    run2 = checkpoint_run_id(ck2)
+    assert run2 != run1
+    assert apply_batch(wh, small_events, batch_id=0, run_id=run2) is True
+    assert {
+        (r.event_type, r.n_events) for r in wh.read(ROLLUP_TABLE).collect()
+    } == {(t, n * 2) for (t, n) in baseline}
+
+    # and the same checkpoint dir yields the same id across restarts
+    assert checkpoint_run_id(ck2) == run2
+
+
 def test_watermark_drops_late_rows_across_triggers(spark, tmp_path):
     """Late-data semantics, not just parity: a row arriving in a later
     trigger with event time older than (max seen - watermark) must be
