@@ -26,7 +26,8 @@ from calaveras_uniteus_etl_spark.plans import (  # noqa: F401  (import = registe
 # how many entries it checks per round (50 in rounds 1 and 2). Iteration
 # order therefore front-loads the entries with the LEAST driver
 # evidence. After round 2 the union of driver-green rows (r01 ∪ r02)
-# covers 78 of the 150 registered queries; the 71 below have never
+# covers 78 of the queries registered at that point (150); the 71
+# below have never
 # received a driver row, so they go first (the round-3 check window
 # covers the first 50; the remainder queue for round 4). Queries added
 # in round 3 register after these via _NEW_THIS_ROUND. All previously
