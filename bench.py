@@ -18,144 +18,17 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-HEADLINE = [
-    "f4_pricing_summary",
-    "f1_summary_counts",
-    "f2_count_distinct",
-    "f9_daily_counts",
-    "f9_weekly_counts",
-    "f10_cohort_retention",
-    "f11_funnel",
-    "f15_scatter",
-    "i1_union_all_stats",
-    "m1_audit_stats",
-    "d1_date_range_filter",
-    "e3_chain_join",
-    "e5_range_predicate_join",
-    "e8_pair_edges",
-    "c2_upsert_merge",
-    "x1_dedup_exact_survivors",
-    "x2_minhash_lsh_pairs",
-    "x4_ngram_jaccard",
-    "x5_cosine_topk",
-    "x6_ann_lsh_topk",
-    "x6_embed_neardup",
-    "x7_language_confusion",
-    "x8_quality_score",
-    "x10_fingerprint",
-    "x11_multimodal_rollup",
-    "s1_tumbling_window",
-    "s2_sessionization",
-    "e9_asof_join",
-    "x12_tfidf_top_terms",
-    "f17_skew_salted_agg",
-    "x13_ann_ivf_topk",
-    "x21_curation_funnel",
-    "x22_vocab_topk",
-    "x24_sequence_packing",
-    "f19_rolling_daily",
-    "m2_key_skew_profile",
-    "r1_cases_by_location",
-    "r3_touchpoint_distribution",
-    "r4_service_pathways",
-    "f21_rollup_revenue",
-    "h3_shipping_priority",
-    "h2_topk_per_group",
-    "g1_event_gap_stats",
-    "e11_salted_skew_join",
-    "c7_scd2_intervals",
-    "x25_unigram_logprob",
-    "x26_minhash_error",
-    "x27_doc_chunking",
-    "m3_zorder_layout",
-    "x28_source_mixture",
-    "f20_length_profile_by_lang",
-    "f22_pivot_status",
-    "f23_equidepth_histogram",
-    "f24_cube_margins",
-    "f25_robust_stats",
-    "f26_trend_slope",
-    "s3_replay_dedup",
-    "c8_incremental_agg_merge",
-    "h4_local_supplier_volume",
-    "h5_big_order_customers",
-    "g2_session_windows",
-    "x29_semdedup_prune",
-    "x30_weighted_sample",
-    "r6_provider_performance",
-    "x31_dsir_weights",
-    "g3_user_growth",
-    "x32_dup_span_stats",
-    "x33_source_overlap",
-    "x34_bloom_membership",
-    "g4_activity_heatmap",
-    "x35_lsh_threshold_sweep",
-    "x36_cluster_size_dist",
-    "c9_snapshot_diff",
-    "x37_source_cap",
-    "x38_ann_recall_audit",
-    "x39_media_resize_plan",
-    "x40_frame_sample",
-    "x41_ivf_recall_audit",
-    "h6_returned_items",
-    "g5_rolling_7d_users",
-    "e12_link_rank",
-    "x42_ivf_nprobe_sweep",
-    "x43_countmin_freq",
-    "x44_chunk_dup_census",
-    "f27_bounded_conversion",
-    "x45_split_leakage",
-    "x46_template_mining",
-    "g6_engagement_ratios",
-    "x47_bm25_search",
-    "g7_transition_matrix",
-    "x48_exact_contamination",
-    "h8_forecast_revenue",
-    "x49_token_budget_fill",
-    "x50_curation_manifest",
-    "e13_range_dim_join",
-    "d9_keyset_pagination",
-    "x51_embedding_health",
-    "f28_yoy_revenue",
-    "x52_quality_dup_matrix",
-    "f29_pareto_revenue",
-    "x53_incremental_neardup",
-    "f30_drift_monitor",
-    "x54_shard_balance",
-    "j2_json_props",
-    "r8_share_mix",
-    "h9_disjunctive_brackets",
-    "h10_priority_semi",
-    "h11_value_share",
-    "h12_inactive_rich",
-    "f31_grouping_sets",
-    "m4_column_profile",
-    "x55_cluster_representative",
-    "h13_volume_shipping",
-    "h14_market_share",
-    "h15_custdist",
-    "h16_promo_effect",
-    "h17_top_supplier",
-    "h18_small_qty_avg",
-    "h19_large_volume_orders",
-    "h20_supplier_variety",
-    "h21_waiting_orders",
-    "h22_min_cost_supplier",
-    "i2_set_ops",
-    "g8_spend_deciles",
-    "x56_pq_codes",
-    "x57_pq_ann_topk",
-    "x58_bigram_logprob",
-    "h23_product_profit",
-    "h24_late_priority_lines",
-    "h25_dominant_part_suppliers",
-    "s4_interval_join",
-    "x59_hybrid_rrf",
-    "x60_bpe_pair_counts",
-    "x61_media_phash_neardup",
-    "x62_hard_negatives",
-    "x63_embed_covariance",
-]
+# Benchmark set = the ENTIRE registry, in registry order — every
+# operator the engine claims is timed every round; nothing is cherry-
+# picked. (Registry order front-loads driver-unchecked queries; order
+# does not affect per-query timings since each is warmed first.)
+def _headline() -> list[str]:
+    from calaveras_uniteus_etl_spark.plans import REGISTRY
+
+    return list(REGISTRY)
+
+
+HEADLINE: list[str] = []
 
 
 def main() -> None:
@@ -165,6 +38,7 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
+    HEADLINE[:] = _headline()
 
     # Warmup (JMH-style): run every headline query once at the smallest
     # SF so janino codegen + JIT + Python/Arrow worker startup happen
