@@ -147,6 +147,7 @@ _NEW_THIS_ROUND = [
     "x61_media_phash_neardup",
     "x62_hard_negatives",
     "x63_embed_covariance",
+    "s5_last_touch_attribution",
 ]
 
 # Entries with a GREEN driver row in round 1 or round 2 (union = 78).

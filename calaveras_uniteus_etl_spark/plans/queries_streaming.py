@@ -227,3 +227,87 @@ def s4_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# S5 — last-touch attribution (argmax companion to s4)
+#
+# s4 counts all click→purchase pairs; attribution pipelines credit
+# each purchase to exactly ONE touch — the most recent same-user
+# click inside the window (last-touch). The shape is the interval
+# join plus a per-purchase ROW_NUMBER argmax, then a rollup of
+# attributed purchase value per click-hour: the serving-layer table a
+# marketing/ops deployment maintains. All on one user_id shuffle; the
+# argmax window partitions by the purchase event id (already co-
+# partitioned); value sums go through exact decimals.
+# ---------------------------------------------------------------------------
+
+_S5_GAP_MIN = 30
+
+
+@register(
+    "s5_last_touch_attribution",
+    oracle=f"""
+WITH pairs AS (
+  SELECT c.ts AS c_ts, p.event_id AS p_id, p.ts AS p_ts, p.value AS p_value,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id
+                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+  FROM events c
+  JOIN events p
+    ON p.user_id = c.user_id
+   AND p.ts >= c.ts
+   AND p.ts <= c.ts + INTERVAL {_S5_GAP_MIN} MINUTE
+  WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+)
+SELECT time_bucket(INTERVAL '1 hour', c_ts) AS click_hour,
+       COUNT(*) AS n_purchases,
+       CAST(CAST(SUM(CAST(p_value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+            AS DOUBLE) AS attributed_value
+FROM pairs WHERE rn = 1
+GROUP BY 1
+ORDER BY click_hour
+""",
+    doc="Last-touch attribution: each purchase credited to its most "
+    "recent same-user click within 30 min (per-purchase ROW_NUMBER "
+    "argmax over the interval join), rolled up to attributed value "
+    "per click-hour; exact-decimal sums.",
+)
+def s5_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id")
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+        F.col("value").alias("p_value"),
+    )
+    pairs = clicks.join(
+        buys,
+        (clicks.user_id == buys.user_id)
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (
+            F.col("p_ts")
+            <= F.timestamp_add("MINUTE", F.lit(_S5_GAP_MIN), F.col("c_ts"))
+        ),
+    )
+    w = Window.partitionBy("p_id").orderBy(F.desc("c_ts"), F.desc("c_id"))
+    attributed = pairs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        attributed.groupBy(
+            F.window("c_ts", "1 hour").alias("win")
+        )
+        .agg(
+            F.count("*").alias("n_purchases"),
+            exact_sum(dec("p_value", VALUE6), "attributed_value", scale=6),
+        )
+        .select(
+            F.col("win.start").alias("click_hour"),
+            "n_purchases",
+            "attributed_value",
+        )
+        .orderBy("click_hour")
+    )
