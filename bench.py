@@ -20,15 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Benchmark set = the ENTIRE registry, in registry order — every
 # operator the engine claims is timed every round; nothing is cherry-
-# picked. (Registry order front-loads driver-unchecked queries; order
-# does not affect per-query timings since each is warmed first.)
-def _headline() -> list[str]:
-    from calaveras_uniteus_etl_spark.plans import REGISTRY
-
-    return list(REGISTRY)
-
-
-HEADLINE: list[str] = []
+# picked. Resolved inside main() after the registry imports.
 
 
 def main() -> None:
@@ -38,7 +30,7 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
-    HEADLINE[:] = _headline()
+    headline = list(REGISTRY)
 
     # Warmup (JMH-style): run every headline query once at the smallest
     # SF so janino codegen + JIT + Python/Arrow worker startup happen
@@ -51,7 +43,7 @@ def main() -> None:
     ).count()
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(sf_dir):
-        for name in HEADLINE:
+        for name in headline:
             spec = REGISTRY.get(name)
             if spec is not None:
                 spec.fn(spark, warm_dir).count()
@@ -60,7 +52,7 @@ def main() -> None:
     # machine load (observed 2-4x spikes); the min of two runs is the
     # standard noise-resistant estimator for a deterministic workload
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         spec = REGISTRY.get(name)
         if spec is None:
             continue

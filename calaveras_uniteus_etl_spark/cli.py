@@ -52,7 +52,11 @@ def _created_at_col(table: str | None) -> str:
 
 def _report_registry():
     from calaveras_uniteus_etl_spark.reports import handlers as h
-    from calaveras_uniteus_etl_spark.reports.filters import ReportFilters
+    from calaveras_uniteus_etl_spark.reports.filters import (
+        ReportFilters,
+        apply_date_range,
+        apply_facets,
+    )
 
     def flt(a) -> ReportFilters:
         return ReportFilters(
@@ -80,10 +84,21 @@ def _report_registry():
             ("*table",),
             lambda t, a: h.top_service_types(t[a.table], a.table, a.limit or 10, flt(a)),
         ),
+        # timeline filters on the SAME column it buckets (the reference
+        # time-series endpoints filter their own date column, not the
+        # facet machinery's updated_at), then applies the facet filters.
         "timeline": (
             ("*table",),
             lambda t, a: h.timeline(
-                h.apply_report_filters(t[a.table], a.table, flt(a)),
+                apply_facets(
+                    apply_date_range(
+                        t[a.table],
+                        a.date_col or _created_at_col(a.table),
+                        flt(a),
+                    ),
+                    flt(a),
+                    a.table,
+                ),
                 a.date_col or _created_at_col(a.table),
                 a.grouping or "day",
             ),

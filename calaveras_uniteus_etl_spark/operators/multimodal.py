@@ -23,6 +23,9 @@ constructed PNG/WAV fixtures.
 from __future__ import annotations
 
 import hashlib
+import struct
+import wave
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -83,11 +86,14 @@ def _real_features(payload: bytes, media_type: str) -> dict | None:
         # fake decode of a real payload. Downstream quarantines on
         # NULL dims.
         return base
-    except Exception:  # noqa: BLE001 — corrupt payload with valid magic
-        # A truncated/corrupt payload (valid PNG/RIFF magic, bad body:
-        # zlib.error, EOFError, wave.Error, ...) must quarantine as a
-        # NULL-dims row, not kill the whole mapInPandas job — one bad
-        # file in a 100 TB batch cannot be a job-level failure.
+    except (ValueError, OSError, EOFError, zlib.error, struct.error,
+            wave.Error):
+        # A truncated/corrupt payload (valid PNG/RIFF magic, bad body)
+        # must quarantine as a NULL-dims row, not kill the whole
+        # mapInPandas job — one bad file in a 100 TB batch cannot be a
+        # job-level failure. The catch is the codec error surface
+        # only: genuine engine bugs (TypeError, MemoryError, ...)
+        # still crash loudly.
         return base
     base.update(
         {

@@ -273,6 +273,8 @@ ORDER BY click_hour
     "per click-hour; exact-decimal sums.",
 )
 def s5_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calaveras_uniteus_etl_spark.streaming.windows import interval_join
+
     e = table(spark, sf_dir, "events")
     clicks = e.filter(F.col("event_type") == "click").select(
         "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id")
@@ -283,14 +285,13 @@ def s5_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("p_id"),
         F.col("value").alias("p_value"),
     )
-    pairs = clicks.join(
+    pairs = interval_join(
+        clicks,
         buys,
-        (clicks.user_id == buys.user_id)
-        & (F.col("p_ts") >= F.col("c_ts"))
-        & (
-            F.col("p_ts")
-            <= F.timestamp_add("MINUTE", F.lit(_S5_GAP_MIN), F.col("c_ts"))
-        ),
+        left_ts="c_ts",
+        right_ts="p_ts",
+        max_gap=f"{_S5_GAP_MIN} minutes",
+        extra=("c_id", "p_id", "p_value"),
     )
     w = Window.partitionBy("p_id").orderBy(F.desc("c_ts"), F.desc("c_id"))
     attributed = pairs.withColumn("rn", F.row_number().over(w)).filter(

@@ -44,20 +44,36 @@ def checkpoint_run_id(checkpoint_dir: str) -> str:
     recreated, so skip-if-seen on batch_id alone would silently drop
     every batch of a fresh run against an existing rollup. The run id
     lives IN the checkpoint dir: same dir -> same id (crash-replay is
-    still deduped); new/recreated dir -> new id (nothing is skipped;
-    the one transition batch falls back to at-least-once, which is the
-    correct failure direction — duplicates, never silent loss).
+    still deduped); new/recreated dir -> new id (nothing is skipped).
+    NOTE: a fresh availableNow checkpoint re-reads the ENTIRE input
+    directory, so every historical batch re-merges once under the new
+    run id — drop the rollup table together with a lost checkpoint so
+    the run rebuilds it. The guard's job is to make the failure
+    direction loud duplicates instead of silent loss.
     """
     import os
     import uuid
 
     os.makedirs(checkpoint_dir, exist_ok=True)
     p = os.path.join(checkpoint_dir, _RUN_ID_FILE)
-    if not os.path.exists(p):
-        with open(p, "w") as f:
+
+    def _read() -> str:
+        try:
+            with open(p) as f:
+                return f.read().strip()
+        except FileNotFoundError:
+            return ""
+
+    rid = _read()
+    if not rid:  # missing OR empty (crash mid-create): mint atomically
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
             f.write(uuid.uuid4().hex)
-    with open(p) as f:
-        return f.read().strip()
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, p)
+        rid = _read()
+    return rid
 
 
 def _partials(batch: DataFrame, key: str, value: str) -> DataFrame:
@@ -101,7 +117,9 @@ def apply_batch(
     the markers can never disagree with the table contents. A batch
     from a DIFFERENT run id (fresh/recreated checkpoint) is never
     skipped: batch_ids restart at 0 there, and skipping on the stale
-    marker would silently drop data.
+    marker would silently drop data. The same applies to a legacy
+    rollup carrying no run marker when a run id IS supplied — merge,
+    never skip, on any marker mismatch.
     """
     partial = _partials(batch, key, value)
     if warehouse.exists(ROLLUP_TABLE):
@@ -113,7 +131,10 @@ def apply_batch(
                 if RUN_ID_COL in existing.columns
                 else F.lit(None).alias("r"),
             ).collect()[0]
-            same_run = run_id is None or row["r"] is None or row["r"] == run_id
+            # Legacy tables (no run marker) only dedupe for callers
+            # that also predate run ids; a run-id-aware caller must
+            # MERGE against them (at-least-once, never silent loss).
+            same_run = (run_id is None) or (row["r"] == run_id)
             if same_run and row["b"] is not None and batch_id <= row["b"]:
                 return False  # crash-replay of an already-applied batch
         merged = merge_rollup(existing, partial, key)

@@ -60,6 +60,7 @@ def interval_join(
     right_ts: str = "r_ts",
     max_gap: str = "1 hour",
     watermark: str = "1 hour",
+    extra: tuple[str, ...] = (),
 ) -> DataFrame:
     """Stream-stream inner join within an event-time interval.
 
@@ -82,6 +83,7 @@ def interval_join(
         & (r[right_ts] >= l[left_ts])
         & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {max_gap}"))
     )
-    return l.join(r, cond).select(
-        l[key_col].alias(key_col), l[left_ts], r[right_ts]
-    )
+    cols = [l[key_col].alias(key_col), l[left_ts], r[right_ts]]
+    for c in extra:  # payload passthrough, resolved from its side
+        cols.append(l[c] if c in l.columns else r[c])
+    return l.join(r, cond).select(*cols)

@@ -22,8 +22,8 @@ PEOPLE = (
 CASES = (
     "case_id|person_id|case_status|case_created_at|case_updated_at|service_type\n"
     "c1|p1|open|2024-01-01 10:00:00|2024-01-01 10:00:00|Housing\n"
-    "c2|p2|managed|2024-01-02 11:00:00|2024-01-02 11:00:00|Food\n"
-    "c3|p3|open|2024-02-03 10:00:00|2024-02-03 10:00:00|Housing\n"
+    "c2|p2|managed|2024-01-02 11:00:00|2024-02-02 11:00:00|Food\n"  # created Jan, updated Feb
+    "c3|p3|open|2024-02-03 10:00:00|2024-01-05 09:00:00|Housing\n"  # created Feb, updated Jan
 )
 
 
@@ -83,7 +83,9 @@ def test_cli_report_with_filters(spark, warehouse, capsys):
          "--warehouse", warehouse, "--start-date", "2024-02-01"],
         capsys,
     )
-    assert out["rows"] == [["Housing", 1]]
+    # facet reports filter on case_updated_at (reference semantics):
+    # only c2 was UPDATED on/after Feb 1 (c3 was merely created then).
+    assert out["rows"] == [["Food", 1]]
 
 
 def test_cli_summary_and_timeline(spark, warehouse, capsys):
@@ -170,6 +172,10 @@ def test_cli_timeline_applies_filters(spark, warehouse, capsys):
          "--start-date", "2024-02-01"],
         capsys,
     )
+    # c3 is created in February but UPDATED in January: the timeline
+    # must filter on the bucketing column (created_at), so c3 survives.
+    # Filtering on updated_at (the facet machinery's column) would
+    # return an empty timeline here.
     assert rc == 0 and [r[1] for r in tl["rows"]] == [1]  # February only
 
 

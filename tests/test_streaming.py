@@ -418,6 +418,32 @@ def test_rollup_fresh_checkpoint_does_not_drop_data(spark, small_events, tmp_pat
     assert checkpoint_run_id(ck2) == run2
 
 
+def test_rollup_legacy_table_without_run_marker_merges(spark, small_events, tmp_path):
+    """A rollup written by pre-run-id code has no _applied_run column;
+    a run-id-aware caller must MERGE against it (at-least-once), not
+    skip on the legacy batch marker."""
+    from calaveras_uniteus_etl_spark.streaming.rollup import (
+        ROLLUP_TABLE,
+        apply_batch,
+    )
+    from calaveras_uniteus_etl_spark.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "legacy_roll_wh"))
+    # legacy writer: no run_id -> marker column present, run column NULL
+    assert apply_batch(wh, small_events, batch_id=7, run_id=None) is True
+    baseline = {
+        (r.event_type, r.n_events) for r in wh.read(ROLLUP_TABLE).collect()
+    }
+    # legacy callers still dedupe among themselves
+    assert apply_batch(wh, small_events, batch_id=7, run_id=None) is False
+    # run-id-aware caller with a fresh checkpoint: batch 0 <= 7 but the
+    # marker is not this run's -> merged, not dropped
+    assert apply_batch(wh, small_events, batch_id=0, run_id="r-new") is True
+    assert {
+        (r.event_type, r.n_events) for r in wh.read(ROLLUP_TABLE).collect()
+    } == {(t, n * 2) for (t, n) in baseline}
+
+
 def test_watermark_drops_late_rows_across_triggers(spark, tmp_path):
     """Late-data semantics, not just parity: a row arriving in a later
     trigger with event time older than (max seen - watermark) must be
