@@ -369,7 +369,15 @@ def cmd_query(spark, a) -> int:
 
     register_views(spark)  # v_active_cases … v_client_journey
     res = execute_query(spark, a.sql, limit=a.limit or ROW_CAP)
-    _emit({"columns": res.columns, "rows": res.records, "row_count": res.row_count})
+    # Same row shape as report/quality (_rows_payload): columns +
+    # list-of-lists, one consistent JSON contract across subcommands.
+    _emit(
+        {
+            "columns": res.columns,
+            "rows": [[rec[c] for c in res.columns] for rec in res.records],
+            "row_count": res.row_count,
+        }
+    )
     return 0
 
 

@@ -1,0 +1,161 @@
+"""Distributed prefix aggregation — running sums without the global sort.
+
+A window like ``SUM(x) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)``
+with no PARTITION BY compiles to a single-partition WindowExec: Spark
+funnels the WHOLE relation through one task to sort it. Fine on a
+dim-sized rollup; catastrophic when the relation scales with the data
+(per-customer revenue at 100 TB is 10⁸⁺ rows through one thread).
+
+``prefix_rank`` computes the same result with a two-phase plan that
+stays parallel at any scale:
+
+1. ``repartitionByRange(n, ...)`` on the total order — each task owns
+   one contiguous key range. ``n`` is ALWAYS explicit so the exchange
+   plans as ``REPARTITION_BY_NUM``, which AQE never coalesces: the
+   offsets branch re-derives the same exchange (RangePartitioner's
+   sample seed is deterministic), and partition ids must agree between
+   the two branches for the offset join to be correct.
+2. A *partition-local* window keyed on ``spark_partition_id()`` —
+   every task sorts only its own slice.
+3. A per-partition ``(rows, sum)`` rollup — at most one row per
+   shuffle partition — turned into exclusive prefix offsets with a
+   window over that tiny relation, then **broadcast** back and added.
+
+The rollup branch recomputes the scan + range shuffle (Catalyst prunes
+the window out of it, but does not reuse the exchange across the
+branches): a deliberate 2× constant on the cheap side of the plan in
+exchange for zero data-sized caching/lineage-truncation — both
+branches stay independently recomputable on executor loss.
+
+The result is bit-exact equal to the global window for integer and
+DECIMAL sums (both are associative/exact); for float sums the
+re-association can differ in the last ulp, so keep those on the
+global-window path or quantize first (as f29 does with cents).
+
+Used by the data-sized prefix queries: f29_pareto_revenue,
+g8_spend_deciles, x49_token_budget_fill (plans/queries_aggregates.py,
+plans/queries_text.py). tests/test_plan_shape.py asserts the plans
+carry no single-partition Exchange feeding a WindowExec.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_PID = "__prefix_pid"
+_LOCAL_SUM = "__prefix_local_sum"
+_LOCAL_RN = "__prefix_local_rn"
+_OFF_SUM = "__prefix_off_sum"
+_OFF_ROWS = "__prefix_off_rows"
+_PART_SUM = "__prefix_part_sum"
+_PART_ROWS = "__prefix_part_rows"
+
+
+def prefix_rank(
+    df: DataFrame,
+    order: list[Column],
+    value: str | None = None,
+    *,
+    cum_col: str | None = None,
+    rn_col: str | None = None,
+    total_sum_col: str | None = None,
+    total_rows_col: str | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Attach running-total / rank / grand-total columns over a total order.
+
+    ``order`` must be a TOTAL order (include a unique tiebreaker such as
+    the primary key) — ties straddling a range boundary would otherwise
+    make the split nondeterministic. Columns produced (all optional):
+
+    - ``cum_col``: inclusive running ``SUM(value)`` in ``order``
+      (exclusive prefix = ``cum_col - value``).
+    - ``rn_col``: global 1-based ``row_number`` in ``order`` (BIGINT).
+    - ``total_sum_col`` / ``total_rows_col``: grand total of ``value`` /
+      row count, attached to every row (replaces ``... OVER ()``).
+    """
+    if cum_col is None and rn_col is None and total_sum_col is None and (
+        total_rows_col is None
+    ):
+        raise ValueError("prefix_rank: request at least one output column")
+    need_sum = value is not None and (cum_col or total_sum_col)
+    if (cum_col or total_sum_col) and value is None:
+        raise ValueError("prefix_rank: cum_col/total_sum_col need a value column")
+
+    n = partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    part = df.repartitionByRange(n, *order).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    w_local = Window.partitionBy(_PID).orderBy(*order)
+    local = part.withColumn(_LOCAL_RN, F.row_number().over(w_local))
+    if need_sum:
+        local = local.withColumn(
+            _LOCAL_SUM,
+            F.sum(value).over(
+                w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+
+    # Per-partition totals: ≤ one row per shuffle partition, so the
+    # global windows below run over a cluster-sized (not data-sized)
+    # relation and the join back is broadcast by construction.
+    aggs = [F.count(F.lit(1)).alias(_PART_ROWS)]
+    if need_sum:
+        aggs.append(F.sum(value).alias(_PART_SUM))
+    totals = local.groupBy(_PID).agg(*aggs)
+    w_excl = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy(_PID).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    off_cols = [F.col(_PID)]
+    if rn_col is not None or total_rows_col is not None:
+        off_cols.append(
+            F.coalesce(F.sum(_PART_ROWS).over(w_excl), F.lit(0)).alias(_OFF_ROWS)
+        )
+    if total_rows_col is not None:
+        off_cols.append(F.sum(_PART_ROWS).over(w_all).alias(total_rows_col))
+    if need_sum:
+        sum_type = totals.schema[_PART_SUM].dataType
+        off_cols.append(
+            F.coalesce(
+                F.sum(_PART_SUM).over(w_excl), F.lit(0).cast(sum_type)
+            ).alias(_OFF_SUM)
+        )
+    if total_sum_col is not None:
+        off_cols.append(F.sum(_PART_SUM).over(w_all).alias(total_sum_col))
+    offsets = totals.select(*off_cols)
+
+    out = local.join(F.broadcast(offsets), _PID)
+    if cum_col is not None:
+        out = out.withColumn(cum_col, F.col(_LOCAL_SUM) + F.col(_OFF_SUM))
+    if rn_col is not None:
+        out = out.withColumn(
+            rn_col, (F.col(_LOCAL_RN).cast("bigint") + F.col(_OFF_ROWS))
+        )
+    return out.drop(_PID, _LOCAL_SUM, _LOCAL_RN, _OFF_SUM, _OFF_ROWS)
+
+
+def ntile_from_rank(rn: Column, total: Column, n: int) -> Column:
+    """SQL NTILE(n) derived from a global rank + total row count.
+
+    Standard NTILE semantics (Spark and DuckDB agree): with ``q =
+    total div n`` and ``r = total mod n``, the first ``r`` tiles get
+    ``q + 1`` rows, the rest ``q``. Exact integer arithmetic
+    throughout; combined with :func:`prefix_rank` this replaces a
+    single-partition ``NTILE() OVER (ORDER BY ...)`` with a fully
+    parallel plan. CASE is short-circuit per row, so the ``q = 0``
+    branch (total < n, every row inside the first ``r`` tiles) never
+    divides by zero. Divisions go through double, exact for counts
+    below 2^53 (~9e15 rows — far past 100 TB row counts).
+    """
+    q = F.floor(total / F.lit(n)).cast("bigint")
+    r = (total % F.lit(n)).cast("bigint")
+    threshold = r * (q + F.lit(1))
+    in_big = rn <= threshold
+    big_tile = F.floor((rn - F.lit(1)) / (q + F.lit(1))) + F.lit(1)
+    small_tile = r + F.floor((rn - threshold - F.lit(1)) / q) + F.lit(1)
+    return F.when(in_big, big_tile).otherwise(small_tile).cast("int")

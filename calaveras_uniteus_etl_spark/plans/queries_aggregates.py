@@ -24,6 +24,10 @@ from calaveras_uniteus_etl_spark.functions.datetime_ext import (
     to_day,
     to_month,
 )
+from calaveras_uniteus_etl_spark.operators.prefix import (
+    ntile_from_rank,
+    prefix_rank,
+)
 from calaveras_uniteus_etl_spark.plans import _exact as X
 from calaveras_uniteus_etl_spark.plans.catalog import register
 from calaveras_uniteus_etl_spark.plans.tables import table
@@ -2131,18 +2135,22 @@ def f29_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,2)")
         .alias("rev")
     )
-    w_rank = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
-    w_all = Window.partitionBy()
-    cents = F.round(F.col("rev") * 100).cast("bigint")
-    ranked = per_cust.select(
-        F.row_number().over(w_rank).alias("rn"),
-        F.count("*").over(w_all).alias("n_cust"),
-        F.sum(cents)
-        .over(w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("bigint")
-        .alias("cum_cents"),
-        F.sum(cents).over(w_all).cast("bigint").alias("total_cents"),
+    # The per-customer relation is data-sized: the running sum / rank /
+    # grand totals come from the two-phase prefix operator (range
+    # repartition + partition-local window + broadcast offsets), not a
+    # single-partition global window. Bit-exact: cents are BIGINT.
+    cents = per_cust.withColumn(
+        "cents", F.round(F.col("rev") * 100).cast("bigint")
     )
+    ranked = prefix_rank(
+        cents,
+        [F.desc("rev"), F.asc("o_custkey")],
+        "cents",
+        cum_col="cum_cents",
+        rn_col="rn",
+        total_sum_col="total_cents",
+        total_rows_col="n_cust",
+    ).select("rn", "n_cust", "cum_cents", "total_cents")
     pct = spark.createDataFrame([(10,), (20,), (50,)], "p int")
     hit = F.when(F.col("rn") <= F.col("n_cust") * F.col("p") / 100, True)
     return (
@@ -2459,12 +2467,11 @@ def i2_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # G8 — NTILE decile segmentation (window-function family).
 #
 # Customer lifetime spend cut into deciles; per-decile count and
-# exact-decimal spend range/total. The NTILE runs over the customer-
-# grain rollup (dim-sized — the global window is a deliberate,
-# bounded single partition; at fact scale the same cut would use
-# percentile thresholds instead, f23's equi-depth shape). The total
-# order (spend, custkey) makes tile assignment deterministic in both
-# engines.
+# exact-decimal spend range/total. The customer-grain rollup scales
+# with the data, so the tile comes from operators/prefix.py's
+# distributed rank (range repartition + broadcast offsets) rather
+# than a single-partition NTILE window. The total order (spend,
+# custkey) makes tile assignment deterministic in both engines.
 # ---------------------------------------------------------------------------
 
 
@@ -2498,8 +2505,19 @@ def g8_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend = o.groupBy("o_custkey").agg(
         F.sum(X.dec("o_totalprice")).cast("decimal(38,2)").alias("spend")
     )
-    w = Window.orderBy("spend", "o_custkey")
-    tiled = spend.withColumn("decile", F.ntile(10).over(w))
+    # NTILE over a data-sized relation: derive the tile from a
+    # distributed global rank + total count (prefix_rank) instead of a
+    # single-partition NTILE window — same standard tile-size formula
+    # both engines implement, exact integer arithmetic.
+    ranked = prefix_rank(
+        spend,
+        [F.asc("spend"), F.asc("o_custkey")],
+        rn_col="rn",
+        total_rows_col="n_total",
+    )
+    tiled = ranked.withColumn(
+        "decile", ntile_from_rank(F.col("rn"), F.col("n_total"), 10)
+    )
     return (
         tiled.groupBy("decile")
         .agg(

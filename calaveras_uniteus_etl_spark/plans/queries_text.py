@@ -1768,7 +1768,7 @@ ORDER BY source
     "admitted set's per-source composition.",
 )
 def x49_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from calaveras_uniteus_etl_spark.operators.prefix import prefix_rank
 
     d = table(spark, sf_dir, "documents")
     norm = F.expr(NORM_SPARK.format(col="text"))
@@ -1780,15 +1780,18 @@ def x49_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("text") - F.length(F.replace(F.col("text"), F.lit(" ")))
         ).alias("quality_proxy"),
     )
-    w = (
-        Window.orderBy(F.desc("quality_proxy"), F.asc("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # The prefix sum runs over EVERY document, so it uses the
+    # distributed two-phase operator, not a single-partition global
+    # window. Inclusive running total ≤ budget ≡ the oracle's
+    # COALESCE(exclusive, 0) + n_tokens ≤ budget; token counts are
+    # integers, so the re-association is exact.
+    ranked = prefix_rank(
+        scored,
+        [F.desc("quality_proxy"), F.asc("doc_id")],
+        "n_tokens",
+        cum_col="cum_tokens",
     )
-    ranked = scored.withColumn("prior_tokens", F.sum("n_tokens").over(w))
-    admitted = ranked.filter(
-        F.coalesce(F.col("prior_tokens"), F.lit(0)) + F.col("n_tokens")
-        <= _X49_BUDGET
-    )
+    admitted = ranked.filter(F.col("cum_tokens") <= _X49_BUDGET)
     return (
         admitted.groupBy("source")
         .agg(

@@ -25,6 +25,8 @@ of silently dropping data (see ``checkpoint_run_id``).
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -117,9 +119,12 @@ def apply_batch(
     the markers can never disagree with the table contents. A batch
     from a DIFFERENT run id (fresh/recreated checkpoint) is never
     skipped: batch_ids restart at 0 there, and skipping on the stale
-    marker would silently drop data. The same applies to a legacy
-    rollup carrying no run marker when a run id IS supplied — merge,
-    never skip, on any marker mismatch.
+    marker would silently drop data. The same applies across the
+    version boundary in either direction — a run-id-aware caller on a
+    legacy table (no run marker), or a legacy caller (run_id=None) on
+    a run-id-written table (warns) — merge, never skip, on any marker
+    mismatch. Only a legacy caller on a legacy table still dedupes on
+    batch_id alone.
     """
     partial = _partials(batch, key, value)
     if warehouse.exists(ROLLUP_TABLE):
@@ -131,10 +136,22 @@ def apply_batch(
                 if RUN_ID_COL in existing.columns
                 else F.lit(None).alias("r"),
             ).collect()[0]
-            # Legacy tables (no run marker) only dedupe for callers
-            # that also predate run ids; a run-id-aware caller must
-            # MERGE against them (at-least-once, never silent loss).
-            same_run = (run_id is None) or (row["r"] == run_id)
+            # Markers only dedupe when both sides speak the same run
+            # dialect: a legacy caller (run_id=None) against a table
+            # WITH a run marker, or a run-id-aware caller against a
+            # legacy table, is a mixed-version writer set — MERGE
+            # (at-least-once), never skip, because the batch_id
+            # sequence cannot be trusted across the version boundary.
+            if run_id is None and row["r"] is not None:
+                warnings.warn(
+                    "rollup table carries a run id but caller passed "
+                    "run_id=None (mixed-version writers): merging "
+                    "without batch dedup",
+                    stacklevel=2,
+                )
+                same_run = False
+            else:
+                same_run = (run_id is None) or (row["r"] == run_id)
             if same_run and row["b"] is not None and batch_id <= row["b"]:
                 return False  # crash-replay of an already-applied batch
         merged = merge_rollup(existing, partial, key)

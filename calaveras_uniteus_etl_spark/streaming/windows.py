@@ -85,5 +85,14 @@ def interval_join(
     )
     cols = [l[key_col].alias(key_col), l[left_ts], r[right_ts]]
     for c in extra:  # payload passthrough, resolved from its side
-        cols.append(l[c] if c in l.columns else r[c])
+        in_l, in_r = c in l.columns, c in r.columns
+        if in_l and in_r:
+            raise ValueError(
+                f"interval_join: extra column {c!r} exists on both sides; "
+                "rename one side before joining (silent left-side "
+                "resolution would be a wrong-column hazard)"
+            )
+        if not (in_l or in_r):
+            raise ValueError(f"interval_join: extra column {c!r} on neither side")
+        cols.append(l[c] if in_l else r[c])
     return l.join(r, cond).select(*cols)

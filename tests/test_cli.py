@@ -161,7 +161,8 @@ def test_cli_query_views_available(spark, warehouse, capsys):
          "SELECT COUNT(*) AS n FROM v_active_cases"],
         capsys,
     )
-    assert rc == 0 and out["rows"][0]["n"] == 3  # open+managed are active
+    # rows are list-of-lists, the same shape report/quality emit
+    assert rc == 0 and dict(zip(out["columns"], out["rows"][0]))["n"] == 3
 
 
 def test_cli_timeline_applies_filters(spark, warehouse, capsys):

@@ -1,0 +1,162 @@
+"""operators/prefix.py — distributed prefix aggregation.
+
+Two proofs per surface: (1) bit-exact equality against the naive
+single-partition global window on adversarial data (duplicates in the
+sort key, negatives, empty/small relations, partition counts larger
+than the row count), and (2) the physical-plan contract — the
+data-sized window is partitioned on the derived range-partition id,
+and any single-partition exchange in the plan feeds only the
+per-partition totals rollup (bounded by the shuffle partition count,
+never by the data).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from calaveras_uniteus_etl_spark.operators.prefix import (
+    ntile_from_rank,
+    prefix_rank,
+)
+from calaveras_uniteus_etl_spark.plans import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _demo(spark, n_rows: int, seed_mod: int):
+    # Deterministic data with heavy sort-key duplication (k has ~10
+    # distinct values) so range boundaries land inside tie runs unless
+    # the tiebreaker does its job; v includes negatives so max-based
+    # shortcuts would be caught.
+    return spark.range(n_rows).select(
+        F.col("id"),
+        (F.col("id") % seed_mod).alias("k"),
+        (F.col("id") * 7 % 23 - 11).cast("bigint").alias("v"),
+    )
+
+
+@pytest.mark.parametrize("n_rows,parts", [(1, 8), (7, 32), (500, 8), (5000, 3)])
+def test_prefix_rank_matches_global_window(spark, n_rows, parts):
+    df = _demo(spark, n_rows, 10)
+    order = [F.asc("k"), F.asc("id")]
+    got = prefix_rank(
+        df,
+        order,
+        "v",
+        cum_col="cum",
+        rn_col="rn",
+        total_sum_col="tot",
+        total_rows_col="n",
+        partitions=parts,
+    ).orderBy("rn")
+    w = Window.orderBy(*order)
+    want = df.select(
+        "id",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.sum("v")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.sum("v").over(Window.partitionBy()).alias("tot"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    ).orderBy("rn")
+    assert [r.asDict() for r in got.select(want.columns).collect()] == [
+        r.asDict() for r in want.collect()
+    ]
+
+
+def test_prefix_rank_descending_order(spark):
+    df = _demo(spark, 300, 5)
+    got = prefix_rank(
+        df, [F.desc("k"), F.asc("id")], "v", cum_col="cum", rn_col="rn",
+        partitions=16,
+    )
+    w = Window.orderBy(F.desc("k"), F.asc("id"))
+    want = df.select(
+        "id",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.sum("v")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+    )
+    assert sorted(got.select("id", "rn", "cum").collect()) == sorted(
+        want.collect()
+    )
+
+
+def test_prefix_rank_rank_only_no_value(spark):
+    df = _demo(spark, 100, 3)
+    got = prefix_rank(
+        df, [F.asc("k"), F.asc("id")], rn_col="rn", total_rows_col="n",
+        partitions=8,
+    )
+    rows = got.select("rn", "n").collect()
+    assert sorted(r.rn for r in rows) == list(range(1, 101))
+    assert {r.n for r in rows} == {100}
+
+
+def test_prefix_rank_arg_validation(spark):
+    df = _demo(spark, 10, 3)
+    with pytest.raises(ValueError, match="at least one"):
+        prefix_rank(df, [F.asc("id")])
+    with pytest.raises(ValueError, match="need a value column"):
+        prefix_rank(df, [F.asc("id")], cum_col="cum")
+
+
+@pytest.mark.parametrize("total,n", [(1, 10), (9, 10), (10, 10), (11, 10),
+                                     (97, 10), (100, 4), (1000, 7)])
+def test_ntile_formula_matches_spark_ntile(spark, total, n):
+    df = spark.range(1, total + 1).select(F.col("id").alias("rn"))
+    got = df.select(
+        "rn", ntile_from_rank(F.col("rn"), F.lit(total), n).alias("tile")
+    )
+    want = spark.range(total).select(
+        F.ntile(n).over(Window.orderBy("id")).alias("tile"),
+        (F.col("id") + 1).alias("rn"),
+    )
+    assert sorted(got.collect()) == sorted(
+        want.select("rn", "tile").collect()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Physical-plan contract for the three prefix-rewritten registry
+# queries (the driver's WindowExec warning trio: f29 / g8 / x49).
+# ---------------------------------------------------------------------------
+
+_PREFIX_QUERIES = [
+    "f29_pareto_revenue",
+    "g8_spend_deciles",
+    "x49_token_budget_fill",
+]
+
+
+def _first_hashagg_below(lines: list[str], i: int) -> str:
+    for ln in lines[i + 1:]:
+        if "HashAggregate" in ln:
+            return ln
+    return ""
+
+
+@pytest.mark.parametrize("name", _PREFIX_QUERIES)
+def test_no_data_sized_single_partition_window(spark, name):
+    plan = (
+        REGISTRY[name]
+        .fn(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # The data-sized window must be partitioned on the range-partition
+    # id — a windowspec whose first element is a bare column (no sort
+    # direction), i.e. a PARTITION BY.
+    assert "windowspecdefinition(__prefix_pid" in plan, plan
+    # Any SinglePartition exchange may exist ONLY on the per-partition
+    # totals branch: the first aggregate beneath it must group on the
+    # partition id (≤ shuffle-partition-count rows), never on data.
+    lines = plan.splitlines()
+    singles = [i for i, ln in enumerate(lines) if "Exchange SinglePartition" in ln]
+    for i in singles:
+        agg = _first_hashagg_below(lines, i)
+        assert "__prefix_pid" in agg, (lines[i], agg)

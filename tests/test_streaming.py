@@ -444,6 +444,58 @@ def test_rollup_legacy_table_without_run_marker_merges(spark, small_events, tmp_
     } == {(t, n * 2) for (t, n) in baseline}
 
 
+def test_rollup_legacy_caller_on_run_id_table_merges(spark, small_events, tmp_path):
+    """Mixed versions the OTHER way: a legacy caller (run_id=None)
+    restarting with a fresh checkpoint against a run-id-written table
+    must merge (with a warning), not skip on the stale batch marker —
+    its batch_ids restarted at 0 and the recorded sequence is not its
+    own."""
+    import warnings as _warnings
+
+    from calaveras_uniteus_etl_spark.streaming.rollup import (
+        ROLLUP_TABLE,
+        apply_batch,
+    )
+    from calaveras_uniteus_etl_spark.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "mixed_roll_wh"))
+    assert apply_batch(wh, small_events, batch_id=9, run_id="r-old") is True
+    baseline = {
+        (r.event_type, r.n_events) for r in wh.read(ROLLUP_TABLE).collect()
+    }
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        assert apply_batch(wh, small_events, batch_id=0, run_id=None) is True
+    assert any("mixed-version" in str(w.message) for w in caught)
+    assert {
+        (r.event_type, r.n_events) for r in wh.read(ROLLUP_TABLE).collect()
+    } == {(t, n * 2) for (t, n) in baseline}
+
+
+def test_interval_join_rejects_ambiguous_extra(spark):
+    """An `extra` passthrough column present on BOTH sides must raise,
+    not silently resolve to the left side."""
+    import pytest as _pytest
+
+    from calaveras_uniteus_etl_spark.streaming.windows import interval_join
+
+    t0 = dt.datetime(2024, 4, 1, 9, 0, tzinfo=UTC)
+    l = spark.createDataFrame(
+        [(1, t0, "a")], "user_id long, l_ts timestamp, payload string"
+    )
+    r = spark.createDataFrame(
+        [(1, t0, "b")], "user_id long, r_ts timestamp, payload string"
+    )
+    with _pytest.raises(ValueError, match="both sides"):
+        interval_join(l, r, extra=("payload",))
+    with _pytest.raises(ValueError, match="neither side"):
+        interval_join(l, r, extra=("missing_col",))
+    # unambiguous extras still pass through from their side
+    out = interval_join(l, r.withColumnRenamed("payload", "r_payload"),
+                        extra=("payload", "r_payload")).collect()
+    assert [(x.payload, x.r_payload) for x in out] == [("a", "b")]
+
+
 def test_watermark_drops_late_rows_across_triggers(spark, tmp_path):
     """Late-data semantics, not just parity: a row arriving in a later
     trigger with event time older than (max seen - watermark) must be
