@@ -68,17 +68,60 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
 
     sf_label = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
+    sf_val = float(sf_label) if sf_label else sf_dir
+    # The driver captures only the LAST ~2000 chars of stdout; a
+    # 190-query dict blows that budget and the record lands unparsed
+    # (BENCH_r02/r03 are tail-truncated for exactly this reason). So:
+    # full per-query detail goes to BENCH_FULL.json in the repo, and
+    # the printed line carries the totals plus a representative
+    # per-plan-family subset — guaranteed to fit the tail window.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
+        "w",
+    ) as f:
+        json.dump(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf_label) if sf_label else sf_dir,
-            }
+                "sf": sf_val,
+            },
+            f,
         )
+        f.write("\n")
+    subset = [
+        "f4_pricing_summary",
+        "h4_local_supplier_volume",
+        "h19_large_volume_orders",
+        "h23_product_profit",
+        "e12_link_rank",
+        "s2_sessionization",
+        "s4_interval_join",
+        "x2_minhash_lsh_pairs",
+        "x4_ngram_jaccard",
+        "x6_embed_neardup",
+        "x14_neardup_components",
+        "x47_bm25_search",
+        "x57_pq_ann_topk",
+        "x64_ivfpq_adc",
+        "f29_pareto_revenue",
+    ]
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": {q: timings[q] for q in subset if q in timings},
+            "slowest": slowest,
+            "n_queries": len(timings),
+            "detail": "BENCH_FULL.json",
+            "sf": sf_val,
+        }
     )
+    assert len(line) < 1900, len(line)  # driver tail window is 2000 chars
+    print(line)
     spark.stop()
 
 

@@ -399,6 +399,9 @@ def cmd_export(spark, a) -> int:
     elif a.fmt == "sql":
         writers.export_sql_dump(tables, a.out)
         _emit({"written": a.out, "tables": names})
+    elif a.fmt == "sqlite":
+        counts = writers.export_sqlite(tables, a.out)
+        _emit({"written": a.out, "rows": counts})
     elif a.fmt == "excel":
         writers.export_excel(tables, a.out)
         _emit({"written": a.out, "tables": names})
@@ -459,7 +462,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     pe = sub.add_parser("export", help="export warehouse tables")
     pe.add_argument("--tables", required=True, help="comma-separated")
-    pe.add_argument("--fmt", required=True, choices=("csv", "zip", "sql", "excel"))
+    pe.add_argument(
+        "--fmt", required=True, choices=("csv", "zip", "sql", "sqlite", "excel")
+    )
     pe.add_argument("--out", required=True)
     pe.add_argument("--warehouse", required=True)
     pe.set_defaults(fn=cmd_export)

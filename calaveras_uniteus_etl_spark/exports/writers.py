@@ -92,6 +92,65 @@ def export_sql_dump(tables: dict[str, DataFrame], path: str, cap: int = SINGLE_F
                 f.write(f"INSERT INTO {name} ({cols}) VALUES ({values});\n")
 
 
+def export_sqlite(
+    tables: dict[str, DataFrame], path: str, cap: int = SINGLE_FILE_ROW_CAP
+) -> dict[str, int]:
+    """Single-file SQLite database (reference app.py:1934-2202 '.db'
+    branch). Driver-side by nature — a .db file is not a distributed
+    sink — so it runs through the same capped local iterator as every
+    other single-file export. Types map by Spark dtype: integral →
+    INTEGER, fractional/decimal → REAL, everything else TEXT (SQLite
+    affinity semantics make finer DDL pointless)."""
+    import datetime as _dt
+    import decimal as _decimal
+    import sqlite3
+
+    def sql_type(spark_type: str) -> str:
+        if spark_type in ("tinyint", "smallint", "int", "bigint", "boolean"):
+            return "INTEGER"
+        if spark_type in ("float", "double") or spark_type.startswith("decimal"):
+            return "REAL"
+        return "TEXT"
+
+    def adapt(v):
+        if isinstance(v, bool):
+            return int(v)
+        if isinstance(v, _decimal.Decimal):
+            return float(v)
+        if isinstance(v, (_dt.datetime, _dt.date)):
+            return v.isoformat(sep=" ") if isinstance(v, _dt.datetime) else v.isoformat()
+        if isinstance(v, (list, dict)):
+            return str(v)
+        return v
+
+    counts: dict[str, int] = {}
+    if os.path.exists(path):
+        os.remove(path)  # overwrite semantics, like every other sink here
+    con = sqlite3.connect(path)
+    try:
+        for name, df in tables.items():
+            cols = ", ".join(
+                f'"{c}" {sql_type(t)}' for c, t in df.dtypes
+            )
+            con.execute(f'CREATE TABLE "{name}" ({cols})')
+            ph = ", ".join("?" for _ in df.columns)
+            n = 0
+            batch: list[tuple] = []
+            for row in _iter_capped(df, cap):
+                batch.append(tuple(adapt(row[c]) for c in df.columns))
+                n += 1
+                if len(batch) >= 1000:
+                    con.executemany(f'INSERT INTO "{name}" VALUES ({ph})', batch)
+                    batch = []
+            if batch:
+                con.executemany(f'INSERT INTO "{name}" VALUES ({ph})', batch)
+            counts[name] = n
+        con.commit()
+    finally:
+        con.close()
+    return counts
+
+
 def export_excel(tables: dict[str, DataFrame], path: str, cap: int = SINGLE_FILE_ROW_CAP) -> None:
     """Excel via pandas when an engine is available (reference caps at
     100k rows/table, app.py:2062); gated import — openpyxl may be absent."""

@@ -102,7 +102,14 @@ _NEVER_CHECKED = [
 # Round-4 additions with no driver evidence yet: they queue directly
 # behind the backlog above so they enter the check window as soon as
 # the backlog drains (round 5+). Update when registering new queries.
-_NEW_THIS_ROUND: list[str] = []
+_NEW_THIS_ROUND: list[str] = [
+    "x64_ivfpq_adc",
+    "x65_ngram_containment",
+    "x66_shingle_novelty",
+    "g9_group_percent_rank",
+    "m5_join_key_skew_audit",
+    "d10_facet_grid",
+]
 
 # Entries with a GREEN driver row in rounds 1-3 (union = 129) sit in
 # the middle in registration order; f2 stays dead last (rows-only).

@@ -2528,3 +2528,136 @@ def g8_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# G9 — per-group percent_rank (window family, partitioned = scale-safe)
+#
+# Spend percentile of every customer WITHIN their nation, rolled up to
+# the per-nation top-decile segment. Unlike f29/g8 (global order →
+# prefix operator), this window partitions on nation: each partition
+# is one nation's customers, so the sort parallelizes across groups at
+# any scale — the canonical "windows are fine when partitioned" shape,
+# documented here as the counterpoint to operators/prefix.py.
+# percent_rank = (rank-1)/(N-1) over the total order (spend, custkey):
+# identical rational arithmetic in both engines.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g9_group_percent_rank",
+    oracle="""
+WITH spend AS (
+  SELECT c.c_nationkey, o.o_custkey,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+           AS spend
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_nationkey, o.o_custkey
+), pr AS (
+  SELECT c_nationkey, o_custkey, spend,
+         PERCENT_RANK() OVER (PARTITION BY c_nationkey
+                              ORDER BY spend, o_custkey) AS prk
+  FROM spend
+)
+SELECT n.n_name AS nation,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CASE WHEN prk >= 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+         AS top_decile_customers,
+       CAST(CAST(SUM(CASE WHEN prk >= 0.9 THEN spend END)
+                 AS DECIMAL(38,2)) AS DOUBLE) AS top_decile_spend
+FROM pr JOIN nation n ON pr.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+""",
+    doc="PERCENT_RANK of customer lifetime spend within each nation, "
+    "rolled up to the per-nation top-decile count and exact-decimal "
+    "spend. Partitioned window — parallel across nations at any "
+    "scale.",
+)
+def g9_group_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    spend = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum(X.dec("o_totalprice")).cast("decimal(38,2)").alias("spend"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("spend", "o_custkey")
+    pr = spend.withColumn("prk", F.percent_rank().over(w))
+    top = F.col("prk") >= 0.9
+    return (
+        pr.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.when(top, 1).otherwise(0))
+            .cast("bigint")
+            .alias("top_decile_customers"),
+            F.sum(F.when(top, F.col("spend")))
+            .cast("decimal(38,2)")
+            .cast("double")
+            .alias("top_decile_spend"),
+        )
+        .orderBy("nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# M5 — join-key skew audit (ops family; the input to salting decisions)
+#
+# e11 FIXES skew once you know the hot keys; this MEASURES it: per
+# candidate join key of the biggest fact table, the cardinality, the
+# heaviest key's row count, and the max/mean ratio ("skew factor" —
+# how much longer the hottest shuffle task runs than the average). An
+# operator a data platform runs before choosing partitioning/salting,
+# not after the job dies. One aggregate pass per key column; only
+# (key, count) pairs shuffle.
+# ---------------------------------------------------------------------------
+
+_M5_KEYS = ("l_orderkey", "l_suppkey", "l_partkey")
+
+
+@register(
+    "m5_join_key_skew_audit",
+    oracle="""
+{}
+ORDER BY key_col
+""".format(
+        "\nUNION ALL\n".join(
+            f"""SELECT '{k}' AS key_col,
+       COUNT(*) AS n_keys,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       CAST(MAX(cnt) AS BIGINT) AS max_key_rows,
+       ROUND(MAX(cnt) * COUNT(*) / CAST(SUM(cnt) AS DOUBLE), 4)
+         AS skew_factor
+FROM (SELECT {k}, COUNT(*) AS cnt FROM lineitem GROUP BY {k})"""
+            for k in _M5_KEYS
+        )
+    ),
+    doc="Join-key skew audit over lineitem's three join keys: distinct "
+    "keys, heaviest key's rows, and max/mean skew factor — the "
+    "measurement that decides broadcast vs salting (e11) vs plain "
+    "shuffle before a production join is laid out.",
+)
+def m5_join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(*_M5_KEYS)
+    parts = []
+    for k in _M5_KEYS:
+        per_key = li.groupBy(k).agg(F.count("*").alias("cnt"))
+        parts.append(
+            per_key.agg(
+                F.lit(k).alias("key_col"),
+                F.count("*").alias("n_keys"),
+                F.sum("cnt").cast("bigint").alias("n_rows"),
+                F.max("cnt").cast("bigint").alias("max_key_rows"),
+                F.round(
+                    F.max("cnt") * F.count("*") / F.sum("cnt").cast("double"),
+                    4,
+                ).alias("skew_factor"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("key_col")

@@ -523,7 +523,7 @@ def _neardup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each round ends in an EAGER localCheckpoint, so the returned plan
     references only checkpointed labels; the pair/edge caches that
     feed the iterations are released on exit (they must not outlive
-    the query in a 150-entry registry run).
+    the query in a full-registry run).
     """
     pairs = x2_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b").cache()
     edges = (
@@ -1313,7 +1313,7 @@ def x53_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three branches of the one returned plan, and checkpoint blocks
     # are released by the ContextCleaner once the result is GC'd —
     # cache() entries would sit in the CacheManager for the rest of a
-    # 150-query run unless explicitly unpersisted.
+    # full-registry run unless explicitly unpersisted.
     sigs = _spark_sigs(spark, sf_dir).localCheckpoint(eager=True)
     bands = sigs.select(
         "doc_id", F.posexplode(dd.band_keys_expr()).alias("band", "band_key")
@@ -1422,4 +1422,156 @@ def x55_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
         .orderBy("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X65 — asymmetric shingle containment (doc-inside-doc duplication)
+#
+# Jaccard (x4) under-scores the quote/excerpt case: a 50-word passage
+# fully contained in a 5000-word doc has tiny |A∩B|/|A∪B| but
+# containment |A∩B|/min(|A|,|B|) ≈ 1 (Broder 1997's resemblance vs
+# containment split). Training-data curation needs BOTH: symmetric
+# near-dups collapse; containment flags boilerplate/quotation
+# inclusion that survives Jaccard. Same inverted-index shape and
+# df-cap as x4 — the only change is the denominator.
+# ---------------------------------------------------------------------------
+
+_CONTAIN_MIN = 0.8
+
+
+@register(
+    "x65_ngram_containment",
+    oracle=f"""
+WITH {dd.duck_shingles_cte()}, sh_all AS (
+  SELECT doc_id, unnest({dd.duck_shingle_digests_sql()}) AS g
+  FROM shing
+), sh AS (
+  SELECT doc_id, g FROM (
+    SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS df FROM sh_all
+  ) WHERE df <= 1000
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(c AS DOUBLE) / LEAST(x.n, y.n), 4) AS containment
+FROM shared JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+WHERE CAST(c AS DOUBLE) / LEAST(x.n, y.n) >= {_CONTAIN_MIN}
+""",
+    doc="Asymmetric n-gram containment |A∩B| / min(|A|,|B|) ≥ 0.8 over "
+    "the df-capped inverted shingle index: catches doc-inside-doc "
+    "duplication (quotes, boilerplate inclusion) that symmetric "
+    "Jaccard misses.",
+)
+def x65_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Identical index build to x4 (digests only through the shuffle,
+    # df-cap against boilerplate-shingle quadratic blowup); the
+    # containment denominator is min(|A|,|B|) so a small doc fully
+    # inside a large one scores ~1.0 regardless of the size gap.
+    d = dd.with_shingles(_docs_wide(spark, sf_dir))
+    sh_all = d.select("doc_id", F.explode(dd.shingle_digests_expr()).alias("g"))
+    sh = (
+        sh_all.withColumn(
+            "df", F.count("*").over(WindowSpec.partitionBy("g"))
+        )
+        .filter(F.col("df") <= BUCKET_CAP)
+        .drop("df")
+        .cache()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    cont = F.col("c").cast("double") / F.least(F.col("x.n"), F.col("y.n"))
+    return (
+        shared.join(sizes.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
+        .join(sizes.alias("y"), F.col("doc_b") == F.col("y.doc_id"))
+        .select("doc_a", "doc_b", F.round(cont, 4).alias("containment"))
+        .filter(cont >= _CONTAIN_MIN)
+    )
+
+
+# ---------------------------------------------------------------------------
+# X66 — per-source shingle novelty (corpus freshness audit)
+#
+# Curation question x28/x33 don't answer: how much NEW text does each
+# source actually contribute, in arrival order? A shingle is novel for
+# the doc where it first appears (min doc_id over the corpus — ids are
+# the ingest order in this schema); a source whose docs are mostly
+# non-novel shingles is re-crawling what the corpus already has and
+# should be down-weighted before training. One digest-grain aggregate
+# (first-owner per shingle) joined back to the posting list — no
+# self-join, so no df-cap needed; the shuffle carries 8-byte digests.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x66_shingle_novelty",
+    oracle=f"""
+WITH {dd.duck_shingles_cte()}, sh AS (
+  SELECT doc_id, unnest({dd.duck_shingle_digests_sql()}) AS g
+  FROM shing
+), firsts AS (
+  SELECT g, MIN(doc_id) AS first_doc FROM sh GROUP BY g
+), scored AS (
+  SELECT d.source, sh.doc_id, sh.g,
+         CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END AS novel
+  FROM sh
+  JOIN firsts f ON f.g = sh.g
+  JOIN documents d ON d.doc_id = sh.doc_id
+)
+SELECT source,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(novel) AS BIGINT) AS novel_shingles,
+       ROUND(CAST(SUM(novel) AS DOUBLE) / COUNT(*), 4) AS novelty_rate
+FROM scored
+GROUP BY source
+ORDER BY source
+""",
+    doc="Per-source shingle novelty: fraction of each source's "
+    "word-3-shingles whose corpus-wide first occurrence (min doc_id "
+    "= ingest order) lies in that source's docs — the re-crawl / "
+    "redundancy signal for source-level mixture weighting.",
+)
+def x66_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = dd.with_shingles(_docs_wide(spark, sf_dir))
+    sh = d.select(
+        "doc_id", F.explode(dd.shingle_digests_expr()).alias("g")
+    ).cache()
+    firsts = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    scored = (
+        sh.join(firsts, "g")
+        .join(src, "doc_id")
+        .select(
+            "source",
+            "doc_id",
+            F.when(F.col("first_doc") == F.col("doc_id"), 1)
+            .otherwise(0)
+            .alias("novel"),
+        )
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_shingles"),
+            F.sum("novel").cast("bigint").alias("novel_shingles"),
+            F.round(
+                F.sum("novel").cast("double") / F.count("*"), 4
+            ).alias("novelty_rate"),
+        )
+        .orderBy("source")
     )

@@ -380,3 +380,74 @@ def d9_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# D10 — single-pass facet grid (the filter-chip counts a report UI shows)
+#
+# The reference's report pages run one COUNT query per filter facet;
+# at fact scale that is F scans of the fact table. This computes every
+# facet's value counts in ONE scan: each row explodes into (facet,
+# value) pairs — a constant-width array, no shuffle growth — and a
+# single hash aggregate produces the whole grid. The oracle is the
+# naive per-facet UNION ALL, proving the fused plan returns exactly
+# the chips the F separate queries would.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d10_facet_grid",
+    oracle="""
+SELECT 'event_type' AS facet, event_type AS val, COUNT(*) AS cnt
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'month' AS facet, strftime(ts, '%Y-%m') AS val, COUNT(*) AS cnt
+FROM events GROUP BY strftime(ts, '%Y-%m')
+UNION ALL
+SELECT 'value_band' AS facet,
+       CASE WHEN value < 1 THEN 'lt_1'
+            WHEN value < 10 THEN '1_to_10'
+            ELSE 'gte_10' END AS val,
+       COUNT(*) AS cnt
+FROM events
+GROUP BY CASE WHEN value < 1 THEN 'lt_1'
+              WHEN value < 10 THEN '1_to_10'
+              ELSE 'gte_10' END
+ORDER BY facet, val
+""",
+    doc="All filter-facet counts (event_type, month, value band) in a "
+    "single fact scan: rows explode into constant-width (facet, "
+    "value) pairs feeding one hash aggregate — F facets for the "
+    "price of one scan instead of F.",
+)
+def d10_facet_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calaveras_uniteus_etl_spark.functions.datetime_ext import to_month
+
+    e = table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    band = (
+        F.when(F.col("value") < 1, "lt_1")
+        .when(F.col("value") < 10, "1_to_10")
+        .otherwise("gte_10")
+    )
+    pairs = e.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("event_type").alias("facet"),
+                    F.col("event_type").alias("val"),
+                ),
+                F.struct(
+                    F.lit("month").alias("facet"),
+                    to_month("ts").alias("val"),
+                ),
+                F.struct(F.lit("value_band").alias("facet"), band.alias("val")),
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy(
+            F.col("p.facet").alias("facet"), F.col("p.val").alias("val")
+        )
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("facet", "val")
+    )

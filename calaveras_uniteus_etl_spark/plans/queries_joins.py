@@ -821,7 +821,7 @@ def e12_link_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Each iteration ends in an EAGER localCheckpoint, so after the
     # loop the returned plan references only the checkpointed ranks —
     # the edge/node caches can be released instead of lingering for
-    # the rest of a 150-query run.
+    # the rest of a full-registry run.
     try:
         for _ in range(_RANK_ITERS):
             contrib = (

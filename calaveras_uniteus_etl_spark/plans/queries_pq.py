@@ -231,3 +231,211 @@ def x57_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X64 — IVF-PQ with asymmetric distance (IVFADC; Jégou et al. 2011 §IV)
+#
+# The production-scale composition of x13 and x56/x57: a coarse
+# quantizer cuts the candidate set to nprobe inverted lists, and PQ
+# codes computed on the RESIDUAL (vector − its coarse centroid) cut
+# the memory — residual energy is much smaller than vector energy, so
+# the same code budget buys finer resolution. Query time: per probed
+# cell, a (subspace × code) lookup table against the probe's residual
+# in that cell; candidate distance is a sum of M table entries over
+# vectors whose coarse cell was probed.
+#
+# Deterministic construction (same rules as the module header): fixed-
+# point integer vectors; coarse centroids = first C corpus vectors;
+# residual codebook = residuals of the first K vectors; every argmin
+# is exact-integer with id tiebreak — bit-identical in both engines.
+# Residual elements are bounded by 2·2^20, so a subspace term is
+# ≤ (4·2^20)² · 8 ≈ 1.4e14 ≪ 2^63: no overflow anywhere.
+#
+# Scale notes: the corpus-sized relations carry (vec_id, cid) and the
+# 8-byte codes only; centroids (C=8), codebook (K·M=128) and the LUT
+# (P·nprobe·M·K=1024) are all broadcast. The ADC join hits only the
+# vectors in probed cells — nprobe/C of the corpus — and aggregates
+# map-side. This is the plan you run when 100 TB of embeddings will
+# neither fit in memory raw nor be scanned per query.
+# ---------------------------------------------------------------------------
+
+_C = 8  # coarse cells (IVF lists)
+_NPROBE = 2
+_P = 4  # query vectors
+_DIM = sim.EMBED_DIM
+
+
+@register(
+    "x64_ivfpq_adc",
+    oracle=f"""
+WITH qvecs AS (
+    SELECT vec_id, {_Q_SQL} AS q FROM embeddings
+  ), cents AS (
+    SELECT vec_id AS cid, q AS cq FROM qvecs WHERE vec_id < {_C}
+  ), cdist AS (
+    SELECT v.vec_id, c.cid,
+           SUM((v.q[d.d + 1] - c.cq[d.d + 1])
+               * (v.q[d.d + 1] - c.cq[d.d + 1])) AS sqd
+    FROM qvecs v
+    CROSS JOIN cents c
+    CROSS JOIN (SELECT unnest(range({_DIM})) AS d) d
+    GROUP BY v.vec_id, c.cid
+  ), assign AS (
+    SELECT vec_id, cid FROM (
+      SELECT vec_id, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sqd, cid) AS rn
+      FROM cdist
+    ) WHERE rn = 1
+  ), res AS (
+    SELECT v.vec_id, a.cid,
+           list_transform(range(1, {_DIM + 1}), i -> v.q[i] - c.cq[i]) AS r
+    FROM qvecs v
+    JOIN assign a ON a.vec_id = v.vec_id
+    JOIN cents c ON c.cid = a.cid
+  ), cb AS (
+    SELECT vec_id AS code, r AS cr FROM res WHERE vec_id < {_K}
+  ), rdists AS (
+    SELECT v.vec_id, m.m, c.code,
+           SUM((v.r[m.m * {_SUB} + d.d + 1] - c.cr[m.m * {_SUB} + d.d + 1])
+               * (v.r[m.m * {_SUB} + d.d + 1] - c.cr[m.m * {_SUB} + d.d + 1]))
+             AS sqdist
+    FROM res v
+    CROSS JOIN (SELECT unnest(range({_M})) AS m) m
+    CROSS JOIN cb c
+    CROSS JOIN (SELECT unnest(range({_SUB})) AS d) d
+    GROUP BY v.vec_id, m.m, c.code
+  ), codes AS (
+    SELECT vec_id, m, code FROM (
+      SELECT vec_id, m, code,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                ORDER BY sqdist, code) AS rn
+      FROM rdists
+    ) WHERE rn = 1
+  ), plist AS (
+    SELECT vec_id AS probe_id, cid FROM (
+      SELECT vec_id, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sqd, cid) AS rn
+      FROM cdist WHERE vec_id < {_P}
+    ) WHERE rn <= {_NPROBE}
+  ), pres AS (
+    SELECT pl.probe_id, pl.cid,
+           list_transform(range(1, {_DIM + 1}), i -> q.q[i] - c.cq[i]) AS pr
+    FROM plist pl
+    JOIN qvecs q ON q.vec_id = pl.probe_id
+    JOIN cents c ON c.cid = pl.cid
+  ), lut AS (
+    SELECT p.probe_id, p.cid, m.m, c.code,
+           SUM((p.pr[m.m * {_SUB} + d.d + 1] - c.cr[m.m * {_SUB} + d.d + 1])
+               * (p.pr[m.m * {_SUB} + d.d + 1] - c.cr[m.m * {_SUB} + d.d + 1]))
+             AS part
+    FROM pres p
+    CROSS JOIN (SELECT unnest(range({_M})) AS m) m
+    CROSS JOIN cb c
+    CROSS JOIN (SELECT unnest(range({_SUB})) AS d) d
+    GROUP BY p.probe_id, p.cid, m.m, c.code
+  ), adc AS (
+    SELECT l.probe_id, k.vec_id, SUM(l.part) AS adc_dist
+    FROM codes k
+    JOIN assign a ON a.vec_id = k.vec_id
+    JOIN lut l ON l.cid = a.cid AND l.m = k.m AND l.code = k.code
+    WHERE k.vec_id <> l.probe_id
+    GROUP BY l.probe_id, k.vec_id
+  )
+SELECT probe_id, vec_id, CAST(adc_dist AS BIGINT) AS adc_dist,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT probe_id, vec_id, adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY probe_id
+                            ORDER BY adc_dist, vec_id) AS rank
+  FROM adc
+) WHERE rank <= {_TOPK}
+""",
+    doc="IVF-PQ ADC top-k (IVFADC): coarse cells from 8 deterministic "
+    "centroids, 4-bit PQ codes on the coarse residuals, per-probe "
+    "per-cell lookup tables (1024 rows, broadcast), candidates "
+    "restricted to nprobe=2 probed cells. The memory-and-candidate "
+    "bounded ANN plan for corpus-scale embeddings.",
+)
+def x64_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = _quantized(spark, sf_dir)
+    cents = qv.filter(F.col("vec_id") < _C).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cq")
+    )
+    # coarse distances once for BOTH corpus assignment and probe lists
+    cdist = qv.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", _sqdist("q", "cq").alias("sqd")
+    )
+    w_vec = Window.partitionBy("vec_id").orderBy("sqd", "cid")
+    ranked = cdist.withColumn("rn", F.row_number().over(w_vec))
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cid")
+    plist = (
+        ranked.filter((F.col("vec_id") < _P) & (F.col("rn") <= _NPROBE))
+        .select(F.col("vec_id").alias("probe_id"), "cid")
+    )
+    res = (
+        qv.join(assign, "vec_id")
+        .join(F.broadcast(cents), "cid")
+        .select(
+            "vec_id",
+            "cid",
+            F.expr("zip_with(q, cq, (x, y) -> x - y)").alias("r"),
+        )
+    )
+    sub_expr = (
+        f"transform(sequence(0, {_M - 1}), "
+        f"m -> struct(m as m, slice(r, m * {_SUB} + 1, {_SUB}) as sub))"
+    )
+    cb = (
+        res.filter(F.col("vec_id") < _K)
+        .select(
+            F.col("vec_id").alias("code"),
+            F.explode(F.expr(sub_expr)).alias("s"),
+        )
+        .select("code", F.col("s.m").alias("m"), F.col("s.sub").alias("csub"))
+    )
+    subs = res.select(
+        "vec_id", F.explode(F.expr(sub_expr)).alias("s")
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub"))
+    w_code = Window.partitionBy("vec_id", "m").orderBy("sqdist", "code")
+    codes = (
+        subs.join(F.broadcast(cb), "m")
+        .select("vec_id", "m", "code", _sqdist("sub", "csub").alias("sqdist"))
+        .withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "code")
+    )
+    pres = (
+        plist.join(qv, F.col("probe_id") == F.col("vec_id"))
+        .join(F.broadcast(cents), "cid")
+        .select(
+            "probe_id",
+            "cid",
+            F.expr("zip_with(q, cq, (x, y) -> x - y)").alias("pr"),
+        )
+    )
+    lut = pres.crossJoin(F.broadcast(cb.withColumnRenamed("m", "cm"))).select(
+        "probe_id",
+        "cid",
+        F.col("cm").alias("m"),
+        "code",
+        _sqdist(f"slice(pr, cm * {_SUB} + 1, {_SUB})", "csub").alias("part"),
+    )
+    adc = (
+        codes.join(assign, "vec_id")
+        .join(F.broadcast(lut), ["cid", "m", "code"])
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .groupBy("probe_id", "vec_id")
+        .agg(F.sum("part").alias("adc_dist"))
+    )
+    w_top = Window.partitionBy("probe_id").orderBy("adc_dist", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w_top))
+        .filter(F.col("rank") <= _TOPK)
+        .select(
+            "probe_id",
+            "vec_id",
+            "adc_dist",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

@@ -64,6 +64,62 @@ def test_export_sql_dump_quoting(spark, small_df, tmp_path):
     assert "INSERT INTO t" in text and "NULL" in text
 
 
+def test_export_sqlite_round_trip(spark, small_df, tmp_path):
+    """A10's .db target: write a SQLite file and read it back with the
+    stdlib driver — types mapped by affinity, NULLs preserved, decimals
+    and timestamps adapted, overwrite semantics on re-export."""
+    import decimal
+    import sqlite3
+
+    from calaveras_uniteus_etl_spark.exports.writers import export_sqlite
+
+    typed = small_df.withColumn(
+        "d", F.lit(decimal.Decimal("12.34")).cast("decimal(10,2)")
+    ).withColumn("ts", F.lit(dt.datetime(2026, 3, 1, 9, 30)))
+    p = str(tmp_path / "export.db")
+    counts = export_sqlite({"t1": typed, "t2": small_df.limit(1)}, p)
+    assert counts == {"t1": 3, "t2": 1}
+
+    con = sqlite3.connect(p)
+    try:
+        got = con.execute(
+            "SELECT id, name, v, d, ts FROM t1 ORDER BY id"
+        ).fetchall()
+        assert got[0] == (1, "a", 1.5, 12.34, "2026-03-01 09:30:00")
+        assert got[2][1] is None  # NULL survives
+        cols = {r[1]: r[2] for r in con.execute("PRAGMA table_info(t1)")}
+        assert cols["id"] == "INTEGER" and cols["d"] == "REAL"
+        assert cols["name"] == "TEXT" and cols["ts"] == "TEXT"
+    finally:
+        con.close()
+
+    # overwrite: a second export replaces, never appends
+    export_sqlite({"t1": typed.limit(2)}, p)
+    con = sqlite3.connect(p)
+    try:
+        assert con.execute("SELECT COUNT(*) FROM t1").fetchone()[0] == 2
+        with pytest.raises(sqlite3.OperationalError):
+            con.execute("SELECT * FROM t2")
+    finally:
+        con.close()
+
+
+def test_export_sqlite_respects_cap(spark, tmp_path):
+    import sqlite3
+
+    from calaveras_uniteus_etl_spark.exports.writers import export_sqlite
+
+    big = spark.range(5000).select(F.col("id"))
+    p = str(tmp_path / "capped.db")
+    counts = export_sqlite({"big": big}, p, cap=1500)
+    assert counts == {"big": 1500}
+    con = sqlite3.connect(p)
+    try:
+        assert con.execute("SELECT COUNT(*) FROM big").fetchone()[0] == 1500
+    finally:
+        con.close()
+
+
 def test_single_file_cap(spark, tmp_path):
     big = spark.range(50).select(F.col("id"))
     n = export_single_csv(big, str(tmp_path / "capped.csv"), cap=10)
