@@ -109,6 +109,9 @@ _NEW_THIS_ROUND: list[str] = [
     "g9_group_percent_rank",
     "m5_join_key_skew_audit",
     "d10_facet_grid",
+    "s6_windowed_topk",
+    "x68_vocab_coverage",
+    "j3_string_suite",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 (union = 129) sit in

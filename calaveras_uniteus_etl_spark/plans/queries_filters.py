@@ -451,3 +451,52 @@ def d10_facet_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .orderBy("facet", "val")
     )
+
+
+# ---------------------------------------------------------------------------
+# J3 — string-function battery (the rest of the reference's scalar surface)
+#
+# The reference's SQL uses SQLite string functions the J1 battery did
+# not cover: instr, replace, trim family, lpad/rpad-style padding,
+# reverse, repeat. All are Catalyst expressions with DuckDB twins —
+# parity is asserted byte-for-byte through the hash canon. Runs on the
+# same bounded key window as j1 (constant output, pushed-down range).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j3_string_suite",
+    oracle="""
+SELECT c_custkey,
+       instr(c_name, '0') AS pos_zero,
+       replace(c_name, '#', '~') AS name_swapped,
+       trim(c_name) AS name_trim,
+       ltrim(c_name, 'C') AS name_ltrim_c,
+       rtrim(c_name, '0123456789') AS name_no_digits,
+       lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+       rpad(substr(c_name, 1, 4), 6, '.') AS name_dotted,
+       reverse(substr(c_name, 1, 6)) AS name_rev,
+       repeat('-', CAST(c_custkey % 4 AS INTEGER)) AS dashes,
+       substr(c_name, -3) AS name_tail
+FROM customer WHERE c_custkey < 80
+""",
+    doc="String-scalar battery: INSTR, REPLACE, TRIM/LTRIM/RTRIM with "
+    "character sets, LPAD/RPAD, REVERSE, REPEAT, negative-index "
+    "SUBSTR — the reference's remaining SQLite string surface, all "
+    "Catalyst built-ins (no UDFs).",
+)
+def j3_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 80)
+    return c.select(
+        "c_custkey",
+        F.instr("c_name", "0").cast("bigint").alias("pos_zero"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("~")).alias("name_swapped"),
+        F.trim(F.col("c_name")).alias("name_trim"),
+        F.ltrim(F.col("c_name"), F.lit("C")).alias("name_ltrim_c"),
+        F.rtrim(F.col("c_name"), F.lit("0123456789")).alias("name_no_digits"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_padded"),
+        F.rpad(F.substring("c_name", 1, 4), 6, ".").alias("name_dotted"),
+        F.reverse(F.substring("c_name", 1, 6)).alias("name_rev"),
+        F.repeat(F.lit("-"), (F.col("c_custkey") % 4).cast("int")).alias("dashes"),
+        F.substring(F.col("c_name"), -3, 3).alias("name_tail"),
+    )

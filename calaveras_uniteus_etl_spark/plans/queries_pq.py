@@ -394,16 +394,22 @@ def x64_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("code", F.col("s.m").alias("m"), F.col("s.sub").alias("csub"))
     )
+    # cid rides along through encode so the ADC stage needs no join
+    # back to the assignment — one corpus-corpus join fewer.
     subs = res.select(
-        "vec_id", F.explode(F.expr(sub_expr)).alias("s")
-    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub"))
+        "vec_id", "cid", F.explode(F.expr(sub_expr)).alias("s")
+    ).select(
+        "vec_id", "cid", F.col("s.m").alias("m"), F.col("s.sub").alias("sub")
+    )
     w_code = Window.partitionBy("vec_id", "m").orderBy("sqdist", "code")
     codes = (
         subs.join(F.broadcast(cb), "m")
-        .select("vec_id", "m", "code", _sqdist("sub", "csub").alias("sqdist"))
+        .select(
+            "vec_id", "cid", "m", "code", _sqdist("sub", "csub").alias("sqdist")
+        )
         .withColumn("rn", F.row_number().over(w_code))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "m", "code")
+        .select("vec_id", "cid", "m", "code")
     )
     pres = (
         plist.join(qv, F.col("probe_id") == F.col("vec_id"))
@@ -422,8 +428,7 @@ def x64_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sqdist(f"slice(pr, cm * {_SUB} + 1, {_SUB})", "csub").alias("part"),
     )
     adc = (
-        codes.join(assign, "vec_id")
-        .join(F.broadcast(lut), ["cid", "m", "code"])
+        codes.join(F.broadcast(lut), ["cid", "m", "code"])
         .filter(F.col("vec_id") != F.col("probe_id"))
         .groupBy("probe_id", "vec_id")
         .agg(F.sum("part").alias("adc_dist"))

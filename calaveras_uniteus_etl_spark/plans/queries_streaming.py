@@ -312,3 +312,66 @@ def s5_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("click_hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# S6 — windowed top-k trending (the "what's hot right now" serving table)
+#
+# Per tumbling window, the top-3 event types by count with their rank —
+# the leaderboard a monitoring/trending surface maintains incrementally
+# (in streaming: the same aggregate behind a watermark, re-ranked per
+# trigger in foreachBatch). Rank partitions BY WINDOW, so the sort
+# parallelizes across windows at any scale; within a window the
+# universe is |event_type| — bounded. Count ties break on event_type
+# for engine-independent membership.
+# ---------------------------------------------------------------------------
+
+_S6_TOPK = 3
+
+
+@register(
+    "s6_windowed_topk",
+    oracle=f"""
+WITH counted AS (
+  SELECT time_bucket(INTERVAL '{WINDOW}', ts) AS window_start,
+         event_type, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, event_type, n_events,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT window_start, event_type, n_events,
+         ROW_NUMBER() OVER (PARTITION BY window_start
+                            ORDER BY n_events DESC, event_type) AS rnk
+  FROM counted
+) WHERE rnk <= {_S6_TOPK}
+""",
+    doc="Per-window top-3 trending event types (rank within tumbling "
+    "6-hour windows, deterministic tie-break) — the incremental "
+    "leaderboard shape; window-partitioned rank stays parallel at "
+    "any scale.",
+)
+def s6_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    counted = (
+        e.groupBy(F.window("ts", WINDOW).alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _S6_TOPK)
+        .select(
+            "window_start",
+            "event_type",
+            "n_events",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )

@@ -2333,3 +2333,80 @@ def x60_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_pairs"), "pair")
         .limit(_X60_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# X68 — vocabulary coverage / OOV audit (tokenizer-fit per source)
+#
+# Before committing to a tokenizer vocabulary, measure what it covers:
+# with the vocab fixed to the corpus's top-V terms (x22's universe),
+# the per-source out-of-vocabulary token rate tells you which sources
+# a V-sized vocab under-serves (code, non-Latin scripts, noisy OCR).
+# Shape: the vocab is a V-row broadcast; the corpus side is one token
+# explode + left-semi-style membership flag + per-source aggregate —
+# no shuffle wider than (source, 2 counters).
+# ---------------------------------------------------------------------------
+
+_X68_VOCAB = 500
+
+
+@register(
+    "x68_vocab_coverage",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, unnest(string_split({NORM_DUCK.format(col="text")}, ' ')) AS term
+  FROM documents
+), toks_ne AS (
+  SELECT doc_id, source, term FROM toks WHERE term <> ''
+), tf AS (
+  SELECT term, COUNT(*) AS tf FROM toks_ne GROUP BY term
+), vocab AS (
+  SELECT term FROM tf ORDER BY tf DESC, term LIMIT {_X68_VOCAB}
+)
+SELECT source,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS oov_tokens,
+       ROUND(CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 4) AS oov_rate
+FROM toks_ne t LEFT JOIN vocab v ON t.term = v.term
+GROUP BY source
+ORDER BY source
+""",
+    doc=f"Per-source out-of-vocabulary rate against the corpus top-"
+    f"{_X68_VOCAB} vocabulary: the tokenizer-fit audit that flags "
+    "sources a fixed-size vocab under-serves. Vocab is a broadcast "
+    "top-k; the corpus pass is one explode + membership aggregate.",
+)
+def x68_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    norm = F.expr(NORM_SPARK.format(col="text"))
+    toks = (
+        d.select(
+            "source", F.explode(F.split(norm, " ")).alias("term")
+        ).filter(F.col("term") != "")
+    )
+    tf = toks.groupBy("term").agg(F.count("*").alias("tf"))
+    vocab = (
+        tf.orderBy(F.desc("tf"), F.asc("term"))
+        .limit(_X68_VOCAB)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("oov_tokens"),
+            F.round(
+                F.sum(
+                    F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+                ).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )

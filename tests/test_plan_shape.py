@@ -271,3 +271,54 @@ def test_partitioned_fact_join_uses_dynamic_partition_pruning(spark, tmp_path):
     plan = physical(f.join(d, "day").groupBy("grp").count())
     scan_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert any("dynamicpruning" in ln.lower() for ln in scan_lines), plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x64_ivfpq_adc",
+        "x65_ngram_containment",
+        "x66_shingle_novelty",
+        "g9_group_percent_rank",
+        "m5_join_key_skew_audit",
+        "d10_facet_grid",
+        "s6_windowed_topk",
+        "x68_vocab_coverage",
+        "j3_string_suite",
+    ],
+)
+def test_round4_queries_have_no_cartesian_product(spark, name):
+    plan = physical(REGISTRY[name].fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_x64_corpus_side_joins_broadcast(spark):
+    """IVFADC's constant-size relations (centroids C=8, codebook K·M=128,
+    probe LUT ≤1024) must broadcast; the corpus-sized code relation must
+    never be the build side of a shuffle join."""
+    plan = physical(REGISTRY["x64_ivfpq_adc"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    # the only acceptable SMJ would be corpus-corpus; there is none here
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_d10_facet_grid_is_single_scan(spark):
+    """The whole point of the fused facet grid: ONE scan of events, not
+    one per facet."""
+    plan = physical(REGISTRY["d10_facet_grid"].fn(spark, SF))
+    scans = [ln for ln in plan.splitlines() if "Scan parquet" in ln]
+    assert len(scans) == 1, scans
+
+
+def test_g9_window_is_partitioned(spark):
+    """g9's window must partition on nation (parallel across groups) —
+    no unpartitioned windowspec anywhere in the plan."""
+    plan = physical(REGISTRY["g9_group_percent_rank"].fn(spark, SF))
+    specs = [
+        ln for ln in plan.splitlines() if "windowspecdefinition(" in ln
+    ]
+    assert specs, plan
+    for ln in specs:
+        head = ln.split("windowspecdefinition(", 1)[1]
+        first = head.split(",", 1)[0]
+        assert " ASC" not in first and " DESC" not in first, ln

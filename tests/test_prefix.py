@@ -160,3 +160,63 @@ def test_no_data_sized_single_partition_window(spark, name):
     for i in singles:
         agg = _first_hashagg_below(lines, i)
         assert "__prefix_pid" in agg, (lines[i], agg)
+
+
+# ---------------------------------------------------------------------------
+# Property-based equivalence: arbitrary (key, value) multisets, random
+# partition counts — prefix_rank must equal the naive global window.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-5, max_value=5),  # heavy key ties
+            st.integers(min_value=-(10**9), max_value=10**9),
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    parts=st.integers(min_value=1, max_value=40),
+)
+def test_prefix_rank_property_equivalence(spark, rows, parts):
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)],
+        "id long, k long, v long",
+    )
+    order = [F.asc("k"), F.asc("id")]
+    got = {
+        (r.id, r.rn, r.cum, r.tot, r.n)
+        for r in prefix_rank(
+            df,
+            order,
+            "v",
+            cum_col="cum",
+            rn_col="rn",
+            total_sum_col="tot",
+            total_rows_col="n",
+            partitions=parts,
+        ).collect()
+    }
+    w = Window.orderBy(*order)
+    want = {
+        (r.id, r.rn, r.cum, r.tot, r.n)
+        for r in df.select(
+            "id",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.sum("v")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("cum"),
+            F.sum("v").over(Window.partitionBy()).alias("tot"),
+            F.count("*").over(Window.partitionBy()).alias("n"),
+        ).collect()
+    }
+    assert got == want
