@@ -26,9 +26,17 @@ from calaveras_uniteus_etl_spark.schema import TABLE_SCHEMAS
 
 
 class Warehouse:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, snapshot_retention: int = 0):
+        """``snapshot_retention`` > 0 turns every overwrite's displaced
+        directory into a retained table version (time travel): the
+        atomic swap already produces the old directory for free, so
+        keeping the last N versions costs one rename instead of a
+        delete — the plain-parquet sketch of a lakehouse table's
+        version history. 0 (default) preserves the original
+        delete-on-swap behavior."""
         self.spark = spark
         self.root = root
+        self.snapshot_retention = snapshot_retention
         os.makedirs(root, exist_ok=True)
 
     def path(self, table: str) -> str:
@@ -88,7 +96,56 @@ class Warehouse:
             os.rename(target, old)
         os.rename(tmp, target)
         if os.path.exists(old):
-            shutil.rmtree(old, ignore_errors=True)
+            if self.snapshot_retention > 0:
+                os.makedirs(self._snap_root(table), exist_ok=True)
+                seq = (max(self.list_snapshots(table), default=-1)) + 1
+                os.rename(old, self._snap_path(table, seq))
+                self._prune_snapshots(table)
+            else:
+                shutil.rmtree(old, ignore_errors=True)
+
+    # ------------------------------------------------------------------
+    # Table versions (time travel). Versions are integers in write
+    # order; version v is the table state displaced by the (v+1)-th
+    # retained overwrite. Monotonic across pruning: sequence numbers
+    # are never reused, so "version 7" always means the same bytes.
+    # ------------------------------------------------------------------
+
+    def _snap_root(self, table: str) -> str:
+        return os.path.join(self.root, "_snapshots", table)
+
+    def _snap_path(self, table: str, seq: int) -> str:
+        return os.path.join(self._snap_root(table), f"v{seq:08d}")
+
+    def list_snapshots(self, table: str) -> list[int]:
+        """Retained version numbers, oldest first."""
+        root = self._snap_root(table)
+        if not os.path.isdir(root):
+            return []
+        return sorted(
+            int(d[1:]) for d in os.listdir(root)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+
+    def _prune_snapshots(self, table: str) -> None:
+        snaps = self.list_snapshots(table)
+        for seq in snaps[: max(0, len(snaps) - self.snapshot_retention)]:
+            shutil.rmtree(self._snap_path(table, seq), ignore_errors=True)
+
+    def read_version(self, table: str, version: int) -> DataFrame:
+        """Read a retained historical version of a table."""
+        p = self._snap_path(table, version)
+        if not os.path.isdir(p):
+            raise FileNotFoundError(
+                f"table {table!r} has no retained version {version}; "
+                f"available: {self.list_snapshots(table)}"
+            )
+        return self.spark.read.parquet(p)
+
+    def restore(self, table: str, version: int) -> None:
+        """Make a historical version current (the pre-restore state is
+        itself retained as a new version, so a restore is undoable)."""
+        self.write(table, self.read_version(table, version))
 
     def register_views(self, tables: list[str] | None = None) -> None:
         """Expose warehouse tables as temp views for spark.sql."""

@@ -567,3 +567,70 @@ def test_watermark_drops_late_rows_across_triggers(spark, tmp_path):
     # ...and the on-time 10:00 view emitted exactly once.
     views10 = [r for r in out2 if r[0] == t0 + dt.timedelta(hours=10)]
     assert views10 == [(t0 + dt.timedelta(hours=10), "view", 1)]
+
+
+def test_s6_leaderboard_foreachbatch_matches_batch(spark, tmp_path):
+    """s6's serving pattern: windowed counts maintained by the stream,
+    top-k re-ranked per trigger in foreachBatch. With availableNow over
+    a static source the final leaderboard must equal the batch plan on
+    the same rows."""
+    from pyspark.sql.window import Window
+
+    t0 = dt.datetime(2024, 4, 1, 0, 0, tzinfo=UTC)
+    rows = [
+        (i, t0 + dt.timedelta(hours=i % 18), ["a", "b", "b", "c", "c", "c"][i % 6])
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    src = str(tmp_path / "s6_src")
+    df.write.parquet(src)
+
+    def leaderboard(frame):
+        counted = (
+            frame.groupBy(F.window("ts", "6 hours").alias("win"), "event_type")
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col("win.start").alias("window_start"), "event_type", "n_events")
+        )
+        w = Window.partitionBy("window_start").orderBy(
+            F.desc("n_events"), F.asc("event_type")
+        )
+        return (
+            counted.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 2)
+        )
+
+    expect = {
+        (r.window_start, r.event_type, r.n_events, r.rnk)
+        for r in leaderboard(df).collect()
+    }
+
+    out: dict[str, set] = {}
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    agg = (
+        stream.groupBy(F.window("ts", "6 hours").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events")
+    )
+
+    def sink(batch, _bid):
+        # complete-mode batch carries the full windowed counts; the
+        # rank runs HERE (rank inside a streaming agg is unsupported)
+        w = Window.partitionBy("window_start").orderBy(
+            F.desc("n_events"), F.asc("event_type")
+        )
+        out["rows"] = {
+            (r.window_start, r.event_type, r.n_events, r.rnk)
+            for r in batch.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 2)
+            .collect()
+        }
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "s6_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert out["rows"] == expect
