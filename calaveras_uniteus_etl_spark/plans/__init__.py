@@ -112,6 +112,7 @@ _NEW_THIS_ROUND: list[str] = [
     "s6_windowed_topk",
     "x68_vocab_coverage",
     "j3_string_suite",
+    "x69_knn_label_eval",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 (union = 129) sit in

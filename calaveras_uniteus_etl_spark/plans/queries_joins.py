@@ -494,24 +494,14 @@ GROUP BY c.c_mktsegment
     "the plain join, hot keys spread over 8 reducers.",
 )
 def e11_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calaveras_uniteus_etl_spark.operators.salting import salted_join
+
     e = table(spark, sf_dir, "events")
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    salted = e.withColumn(
-        "_salt",
-        F.expr(
-            "cast(conv(substr(md5(cast(event_id as string)), 1, 15), 16, 10)"
-            f" as bigint) % {_JOIN_SALTS}"
-        ),
-    )
-    exploded = c.withColumn(
-        "_salt", F.explode(F.array(*[F.lit(i) for i in range(_JOIN_SALTS)]))
-    )
     return (
-        salted.hint("shuffle_hash")
-        .join(
-            exploded,
-            (salted.user_id == exploded.c_custkey)
-            & (salted._salt == exploded._salt),
+        salted_join(
+            e, c, "user_id", "c_custkey", salt_from="event_id",
+            n_salts=_JOIN_SALTS,
         )
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(

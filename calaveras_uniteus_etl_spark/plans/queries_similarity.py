@@ -1455,3 +1455,110 @@ def x63_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("cov_num")).desc(), "di", "dj")
         .limit(_COV_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# X69 — kNN label agreement (embedding-quality eval)
+#
+# The curation question behind every embedding column: do nearby
+# vectors share labels? A collapsed or shuffled embedding scores ~at
+# chance; a healthy one scores high. Protocol: 10% deterministic probe
+# sample (vec_id % 10), exact top-5 cosine neighbors (rank on the
+# 4-dp-rounded cosine with id tiebreak, x5's convention), per-label
+# mean agreement as exact-integer matched/(5·n) division. At corpus
+# scale the candidate set comes from the ANN index (x6/x13/x64)
+# instead of the cross join — the eval math is unchanged; the probe
+# side is sampled and broadcast, so the pass is one corpus scan.
+# ---------------------------------------------------------------------------
+
+_X69_K = 5
+
+
+@register(
+    "x69_knn_label_eval",
+    oracle=f"""
+WITH probes AS (
+  SELECT vec_id AS probe_id, embedding AS q, label AS probe_label
+  FROM embeddings WHERE vec_id % 10 = 0
+), scored AS (
+  SELECT p.probe_id, p.probe_label, e.vec_id AS neighbor_id,
+         e.label AS neighbor_label,
+         ROUND({_DUCK_COS_RAW.format(a="p.q", b="e.embedding")}, 4) AS cosine
+  FROM probes p JOIN embeddings e ON e.vec_id <> p.probe_id
+), knn AS (
+  SELECT probe_id, probe_label, neighbor_label FROM (
+    SELECT probe_id, probe_label, neighbor_label,
+           ROW_NUMBER() OVER (PARTITION BY probe_id
+                              ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM scored
+  ) WHERE rn <= {_X69_K}
+), per_probe AS (
+  SELECT probe_id, probe_label,
+         SUM(CASE WHEN neighbor_label = probe_label THEN 1 ELSE 0 END) AS matched
+  FROM knn GROUP BY probe_id, probe_label
+)
+SELECT probe_label AS label,
+       COUNT(*) AS n_probes,
+       CAST(SUM(matched) AS BIGINT) AS matched_neighbors,
+       ROUND(CAST(SUM(matched) AS DOUBLE) / (COUNT(*) * {_X69_K}), 4)
+         AS agreement
+FROM per_probe
+GROUP BY probe_label
+ORDER BY probe_label
+""",
+    doc=f"Embedding-quality eval: top-{_X69_K} exact-cosine neighbors "
+    "of a 10% deterministic probe sample, per-label mean "
+    "neighbor-label agreement (collapse/shuffle detector; ANN "
+    "candidates replace the cross join at corpus scale).",
+)
+def x69_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select(
+            "vec_id",
+            "embedding",
+            "label",
+            F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        )
+    )
+    probes = e.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("q"),
+        F.col("label").alias("probe_label"),
+        F.col("nrm").alias("qn"),
+    )
+    joined = e.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+    num = _dot(F.col("q"), F.col("embedding"))
+    den = F.nullif(F.col("qn") * F.col("nrm"), F.lit(0.0))
+    scored = joined.select(
+        "probe_id",
+        "probe_label",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.round(num / den, 4).alias("cosine"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    knn = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _X69_K
+    )
+    per_probe = knn.groupBy("probe_id", "probe_label").agg(
+        F.sum(
+            F.when(F.col("neighbor_label") == F.col("probe_label"), 1).otherwise(0)
+        ).alias("matched")
+    )
+    return (
+        per_probe.groupBy(F.col("probe_label").alias("label"))
+        .agg(
+            F.count("*").alias("n_probes"),
+            F.sum("matched").cast("bigint").alias("matched_neighbors"),
+            F.round(
+                F.sum("matched").cast("double")
+                / (F.count("*") * _X69_K),
+                4,
+            ).alias("agreement"),
+        )
+        .orderBy("label")
+    )

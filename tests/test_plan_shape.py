@@ -285,6 +285,7 @@ def test_partitioned_fact_join_uses_dynamic_partition_pruning(spark, tmp_path):
         "s6_windowed_topk",
         "x68_vocab_coverage",
         "j3_string_suite",
+        "x69_knn_label_eval",
     ],
 )
 def test_round4_queries_have_no_cartesian_product(spark, name):
