@@ -113,6 +113,9 @@ _NEW_THIS_ROUND: list[str] = [
     "x68_vocab_coverage",
     "j3_string_suite",
     "x69_knn_label_eval",
+    "g10_activity_streaks",
+    "x70_gopher_quality_gate",
+    "s7_ewma_drift",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 (union = 129) sit in

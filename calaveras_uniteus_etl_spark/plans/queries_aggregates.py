@@ -2661,3 +2661,64 @@ def m5_join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("key_col")
+
+
+# ---------------------------------------------------------------------------
+# G10 — activity streaks (gaps-and-islands, window family)
+#
+# Longest run of CONSECUTIVE active days per user — the canonical
+# gaps-and-islands shape (day − row_number() is constant within an
+# unbroken run). Both windows partition on user_id, so every sort is
+# per-user-local and the operator parallelizes across users at any
+# scale; only (user, day) pairs shuffle (the DISTINCT collapses the
+# raw event volume map-side first). All arithmetic is integer
+# (date − rank-day anchor, COUNT), so the cross-engine hash is exact.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g10_activity_streaks",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), isl AS (
+  SELECT user_id, day,
+         day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INT) AS anchor
+  FROM days
+), streaks AS (
+  SELECT user_id, anchor, COUNT(*) AS len
+  FROM isl GROUP BY user_id, anchor
+)
+SELECT user_id,
+       CAST(SUM(len) AS BIGINT) AS n_active_days,
+       COUNT(*) AS n_streaks,
+       CAST(MAX(len) AS BIGINT) AS longest_streak
+FROM streaks
+GROUP BY user_id
+ORDER BY longest_streak DESC, user_id
+""",
+    doc="Gaps-and-islands: longest consecutive-active-day streak per "
+    "user via the day-minus-row_number anchor trick; user-partitioned "
+    "windows (scale-safe), integer arithmetic end-to-end.",
+)
+def g10_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    days = (
+        table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = days.withColumn(
+        "anchor", F.date_sub(F.col("day"), F.row_number().over(w).cast("int"))
+    )
+    streaks = isl.groupBy("user_id", "anchor").agg(F.count("*").alias("len"))
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.sum("len").cast("bigint").alias("n_active_days"),
+            F.count("*").alias("n_streaks"),
+            F.max("len").cast("bigint").alias("longest_streak"),
+        )
+        .orderBy(F.desc("longest_streak"), F.asc("user_id"))
+    )

@@ -375,3 +375,97 @@ def s6_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("bigint").alias("rnk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# S7 — trailing EWMA drift monitor (stateful-operator batch twin)
+#
+# Per-user exponentially weighted moving average of purchase value at
+# the user's LATEST purchase, truncated to the trailing 8 events —
+# the metric a streaming anomaly/drift monitor keeps per key. The
+# streaming twin (streaming/ewma.py) maintains the same trailing
+# window in applyInPandasWithState state; parity is pytest-checked.
+#
+# Determinism: a float EWMA recursion is reduction-order-poison, so
+# the weights are dyadic (alpha = 1/2, truncated at depth 8 with the
+# tail mass folded into the oldest term: 64/128, 32/128, ..., 1/128,
+# 1/128). Values quantize to cents once; the weighted sum is then a
+# BIGINT dot product and the single division by 12800.0 is one IEEE
+# op on identical operands in both engines.
+#
+# Scale shape: one shuffle on user_id; the lag window sorts each
+# user's purchases locally (partitioned window — no global sort).
+# ---------------------------------------------------------------------------
+
+EWMA_DEPTH = 8
+_EWMA_W = [1 << (EWMA_DEPTH - 2 - j) for j in range(EWMA_DEPTH - 1)] + [1]
+_EWMA_DENOM = (1 << (EWMA_DEPTH - 1)) * 100  # weights sum * cents scale
+
+
+def _ewma_dot(cols: list[str]) -> str:
+    """Σ w_j · c_j as SQL text (identical in both dialects)."""
+    return " + ".join(f"{w} * {c}" for w, c in zip(_EWMA_W, cols))
+
+
+@register(
+    "s7_ewma_drift",
+    oracle=f"""
+WITH p AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS c0
+  FROM events WHERE event_type = 'purchase'
+), lagged AS (
+  SELECT user_id, c0,
+         {", ".join(f"LAG(c0, {j}) OVER w AS c{j}" for j in range(1, EWMA_DEPTH))},
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn_desc,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_purchases
+  FROM p
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, n_purchases,
+       CAST(c0 AS DOUBLE) / 100 AS last_value,
+       CAST({_ewma_dot([f"c{j}" for j in range(EWMA_DEPTH)])} AS DOUBLE)
+         / {_EWMA_DENOM} AS ewma
+FROM lagged
+WHERE rn_desc = 1 AND n_purchases >= {EWMA_DEPTH}
+ORDER BY user_id
+""",
+    doc="Trailing-8 dyadic EWMA (alpha=1/2) of purchase value per "
+    "user at their latest purchase — exact BIGINT cent arithmetic, "
+    "batch twin of the applyInPandasWithState drift monitor.",
+)
+def s7_ewma_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("c0"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = p.select(
+        "user_id",
+        "c0",
+        *[F.lag("c0", j).over(w).alias(f"c{j}") for j in range(1, EWMA_DEPTH)],
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id")))
+        .alias("rn_desc"),
+        F.count("*").over(Window.partitionBy("user_id")).alias("n_purchases"),
+    )
+    dot = F.expr(_ewma_dot([f"c{j}" for j in range(EWMA_DEPTH)]))
+    return (
+        lagged.filter(
+            (F.col("rn_desc") == 1) & (F.col("n_purchases") >= EWMA_DEPTH)
+        )
+        .select(
+            "user_id",
+            "n_purchases",
+            (F.col("c0").cast("double") / 100).alias("last_value"),
+            (dot.cast("double") / _EWMA_DENOM).alias("ewma"),
+        )
+        .orderBy("user_id")
+    )

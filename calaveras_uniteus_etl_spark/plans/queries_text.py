@@ -2410,3 +2410,98 @@ def x68_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# X70 — Gopher-style quality gate (rule battery with per-rule counts)
+#
+# The document-level heuristic filter suite from Rae et al. 2021
+# ("Scaling Language Models: ... Gopher", §A1.1), re-expressed as one
+# relational pass: every rule is a boolean over per-doc integer
+# counters, aggregated to per-rule failure counts plus the pass-all
+# retention rate. x8 scores documents; THIS gates them — the form a
+# curation pipeline actually applies before training. All rule
+# comparisons are integer cross-multiplications (no float thresholds:
+# "mean word length in [3,10]" is 3·n ≤ chars ≤ 10·n), so the result
+# hashes identically on both engines; the single double is the final
+# retention ratio (IEEE division of identical ints). One scan, one
+# 1-row aggregate — map-side partials make it corpus-size-proof.
+# ---------------------------------------------------------------------------
+
+_X70_STOP_ALL = ", ".join(
+    f"'{t}'" for ts in _STOPWORDS.values() for t in ts
+)
+_X70_MIN_WORDS, _X70_MAX_WORDS = 30, 50_000
+
+
+def _x70_flags(n, chars, stop, alpha, digits, normlen) -> dict[str, str]:
+    """Rule → fail-predicate SQL, identical text in both dialects."""
+    return {
+        "fail_word_count": f"({n} < {_X70_MIN_WORDS} OR {n} > {_X70_MAX_WORDS})",
+        "fail_mean_word_len": f"(3 * {n} > {chars} OR {chars} > 10 * {n})",
+        "fail_min_stopwords": f"({stop} < 2)",
+        "fail_alpha_frac": f"(10 * {alpha} < 8 * {n})",
+        "fail_digit_frac": f"(5 * {digits} > {normlen})",
+    }
+
+
+_X70_FLAGS = _x70_flags("n", "chars", "stop", "alpha", "digits", "normlen")
+_X70_FAIL_ANY = " OR ".join(_X70_FLAGS.values())
+
+
+@register(
+    "x70_gopher_quality_gate",
+    oracle=f"""
+WITH m AS (
+  SELECT len(w) AS n,
+         length(norm) - (len(w) - 1) AS chars,
+         len(list_filter(w, t -> t IN ({_X70_STOP_ALL}))) AS stop,
+         len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS alpha,
+         length(norm) - length(regexp_replace(norm, '[0-9]', '', 'g')) AS digits,
+         length(norm) AS normlen
+  FROM (
+    SELECT {NORM_DUCK.format(col="text")} AS norm,
+           string_split({NORM_DUCK.format(col="text")}, ' ') AS w
+    FROM documents
+  )
+)
+SELECT COUNT(*) AS n_docs,
+       {", ".join(f"CAST(SUM(CASE WHEN {p} THEN 1 ELSE 0 END) AS BIGINT) AS {r}" for r, p in _X70_FLAGS.items())},
+       CAST(SUM(CASE WHEN NOT ({_X70_FAIL_ANY}) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pass_all,
+       CAST(SUM(CASE WHEN NOT ({_X70_FAIL_ANY}) THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS retention_rate
+FROM m
+""",
+    doc="Gopher rule battery (Rae et al. 2021 A1.1): word-count bounds, "
+    "mean-word-length 3-10, >=2 stopwords, >=80% alphabetic words, "
+    "<=20% digit chars — per-rule failure counts and pass-all "
+    "retention in one integer-arithmetic aggregate pass.",
+)
+def x70_gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    norm_sql = NORM_SPARK.format(col="text")
+    m = d.select(
+        F.expr(norm_sql).alias("norm"),
+        F.expr(f"split({norm_sql}, ' ')").alias("w"),
+    ).select(
+        F.expr("size(w)").alias("n"),
+        F.expr("length(norm) - (size(w) - 1)").alias("chars"),
+        F.expr(f"size(filter(w, t -> t in ({_X70_STOP_ALL})))").alias("stop"),
+        F.expr("size(filter(w, t -> t rlike '[a-z]'))").alias("alpha"),
+        F.expr(
+            "length(norm) - length(regexp_replace(norm, '[0-9]', ''))"
+        ).alias("digits"),
+        F.length("norm").alias("normlen"),
+    )
+    aggs = [F.count("*").alias("n_docs")]
+    for rule, pred in _X70_FLAGS.items():
+        aggs.append(
+            F.sum(F.when(F.expr(pred), 1).otherwise(0)).cast("bigint").alias(rule)
+        )
+    pass_all = F.when(~F.expr(_X70_FAIL_ANY), 1).otherwise(0)
+    aggs.append(F.sum(pass_all).cast("bigint").alias("n_pass_all"))
+    aggs.append(
+        (F.sum(pass_all).cast("double") / F.count("*")).alias("retention_rate")
+    )
+    return m.agg(*aggs)

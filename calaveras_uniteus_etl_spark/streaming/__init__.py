@@ -11,11 +11,18 @@ semantics to port. This package is the idiomatic-Spark upgrade path:
   twin of plans/queries_streaming.s1_tumbling_window);
 - ``sessionize``: built-in ``session_window`` aggregation plus a
   custom stateful operator via ``applyInPandasWithState`` (the
-  streaming twin of s2_sessionization).
+  streaming twin of s2_sessionization);
+- ``ewma``: per-key trailing-window EWMA drift monitor, the second
+  ``applyInPandasWithState`` operator (streaming twin of
+  s7_ewma_drift) — a per-key recursion over event order that no
+  built-in windowed aggregate expresses.
 """
 
 from calaveras_uniteus_etl_spark.streaming.enrich import (  # noqa: F401
     enrich_with_dimension,
+)
+from calaveras_uniteus_etl_spark.streaming.ewma import (  # noqa: F401
+    ewma_with_state,
 )
 from calaveras_uniteus_etl_spark.streaming.ingest import stream_ingest  # noqa: F401
 from calaveras_uniteus_etl_spark.streaming.rollup import (  # noqa: F401

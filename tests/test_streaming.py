@@ -634,3 +634,78 @@ def test_s6_leaderboard_foreachbatch_matches_batch(spark, tmp_path):
     )
     q.awaitTermination()
     assert out["rows"] == expect
+
+
+def test_ewma_with_state_matches_batch_twin(spark, tmp_path):
+    """Two-trigger availableNow run of the stateful EWMA operator must
+    end bit-identical to the batch-twin window plan over the union of
+    both batches — including a user who only crosses the depth-8 gate
+    because state carried their first batch's purchases across the
+    restart. Non-purchase events must not perturb the average."""
+    from calaveras_uniteus_etl_spark.plans import REGISTRY
+    from calaveras_uniteus_etl_spark.streaming import ewma_with_state
+
+    t0 = dt.datetime(2024, 6, 1, 12, 0, tzinfo=UTC)
+    rows = []
+    for i in range(12):  # user 1: 12 purchases → emitted
+        rows.append((t0 + dt.timedelta(hours=i), 1, "purchase", 10.07 + 3.5 * i))
+        rows.append((t0 + dt.timedelta(hours=i, minutes=5), 1, "click", 999.99))
+    for i in range(10):  # user 2: 5 purchases in each batch → gate
+        et = "purchase" if i % 2 == 0 else "view"
+        rows.append((t0 + dt.timedelta(hours=i), 2, et, 250.01 + i))
+        rows.append((t0 + dt.timedelta(hours=24 + i), 2, et, 17.5 * (i + 1)))
+    for i in range(3):  # user 3: under the gate forever → never emitted
+        rows.append((t0 + dt.timedelta(hours=i), 3, "purchase", 5.25))
+    all_events = _events_df(spark, rows)
+
+    # batch twin over the full event set, via the registered query
+    batch_dir = tmp_path / "s7_batch"
+    all_events.write.parquet(str(batch_dir / "events.parquet"))
+    twin = {
+        r["user_id"]: (r["n_purchases"], r["last_value"], r["ewma"])
+        for r in REGISTRY["s7_ewma_drift"].fn(spark, str(batch_dir)).collect()
+    }
+    assert set(twin) == {1, 2}
+
+    # streaming: same events split at the 24h mark, two restarts on one
+    # checkpoint so user 2's gate crossing depends on persisted state
+    src = tmp_path / "ewma_src"
+    src.mkdir()
+    sink = str(tmp_path / "ewma_out")
+    ckpt = str(tmp_path / "ewma_ckpt")
+    cut = t0 + dt.timedelta(hours=24)
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        ).parquet(str(src))
+        q = (
+            ewma_with_state(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    all_events.filter(F.col("ts") < cut).coalesce(1).write.mode("append").parquet(
+        str(src)
+    )
+    run_once()
+    all_events.filter(F.col("ts") >= cut).coalesce(1).write.mode("append").parquet(
+        str(src)
+    )
+    run_once()
+
+    out = spark.read.schema(
+        "user_id long, n_purchases long, last_value double, ewma double"
+    ).parquet(sink)
+    # last emission per user = the state after all events
+    final = {
+        r["user_id"]: (r["n_purchases"], r["last_value"], r["ewma"])
+        for r in sorted(out.collect(), key=lambda r: r["n_purchases"])
+    }
+    assert 3 not in final  # never crossed the depth gate
+    assert final == twin  # bit-identical doubles, not approx
