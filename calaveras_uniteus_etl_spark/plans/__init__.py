@@ -116,6 +116,7 @@ _NEW_THIS_ROUND: list[str] = [
     "g10_activity_streaks",
     "x70_gopher_quality_gate",
     "s7_ewma_drift",
+    "x71_dup_graph_triangles",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 (union = 129) sit in

@@ -1575,3 +1575,131 @@ def x66_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# X71 — near-dup graph triangle census (degree-ordered orientation)
+#
+# Structure audit of the near-dup pair graph (x2's edges): triangles
+# mean transitive duplication (template families), and the global
+# clustering coefficient 3T/W separates "chains of pairwise-similar
+# docs" from "dense clique families" — the signal that decides whether
+# cluster-collapse dedup (x14/x36) is safe or over-merges.
+#
+# The algorithm is the scale-canonical one: orient every edge from the
+# LOWER (degree, id) endpoint to the higher, so each wedge is counted
+# at exactly one apex and per-apex fanout is bounded by arboricity —
+# the trick that keeps wedge volume near-linear on power-law graphs
+# (the worst case for naive u<v orientation, where one hot hub emits
+# deg² wedges). Rank packs (degree, id) into one BIGINT (d·2³² + id):
+# identical integer total order in both engines. Wedge→triangle
+# closure is a self-join on the oriented edge list; everything that
+# shuffles is bare (src, dst, rank) longs. The only double is the
+# final clustering ratio (IEEE division of exact ints).
+# ---------------------------------------------------------------------------
+
+_X71_EST = (
+    f"CAST(len(list_filter(range({dd.MINHASH_K}), i -> sa[i+1] = sb[i+1])) "
+    f"AS DOUBLE) / {dd.MINHASH_K}"
+)
+
+
+@register(
+    "x71_dup_graph_triangles",
+    oracle=_DUCK_PAIR_CTES
+    + f""", edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM cand WHERE {_X71_EST} >= {_EST_MIN}
+), deg AS (
+  SELECT n, COUNT(*) AS d
+  FROM (SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges)
+  GROUP BY n
+), ranked AS (
+  SELECT e.u, e.v,
+         du.d * 4294967296 + e.u AS ru,
+         dv.d * 4294967296 + e.v AS rv
+  FROM edges e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+), ori AS (
+  SELECT CASE WHEN ru < rv THEN u ELSE v END AS src,
+         CASE WHEN ru < rv THEN v ELSE u END AS dst,
+         CASE WHEN ru < rv THEN rv ELSE ru END AS rdst
+  FROM ranked
+), wedge AS (
+  SELECT x.dst AS b, y.dst AS c
+  FROM ori x JOIN ori y ON x.src = y.src AND x.rdst < y.rdst
+), tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM wedge w JOIN ori e ON e.src = w.b AND e.dst = w.c
+), scalars AS (
+  SELECT (SELECT COUNT(*) FROM deg) AS n_vertices,
+         (SELECT COUNT(*) FROM edges) AS n_edges,
+         (SELECT COUNT(*) FROM wedge) AS n_oriented_wedges,
+         (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_open_wedges
+)
+SELECT n_vertices, n_edges, n_oriented_wedges, n_triangles,
+       CAST(3 * n_triangles AS DOUBLE) / NULLIF(n_open_wedges, 0)
+         AS clustering_coeff
+FROM scalars CROSS JOIN tri
+""",
+    doc="Triangle census of the MinHash-LSH near-dup graph via "
+    "degree-ordered edge orientation (rank = deg*2^32 + id): wedge "
+    "self-join + closure check, global clustering coefficient 3T/W — "
+    "the transitivity audit behind cluster-collapse dedup decisions.",
+)
+def x71_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    est = F.col("nm").cast("double") / dd.MINHASH_K
+    # Materialize the (small) edge list once: three consumers below
+    # would otherwise each re-run the md5-heavy signature pipeline.
+    edges = (
+        _lsh_pair_matches(spark, sf_dir)
+        .filter(est >= _EST_MIN)
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    rank = lambda d, n: d * F.lit(4294967296).cast("long") + n  # noqa: E731
+    ranked = (
+        edges.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+        .select(
+            "u", "v",
+            rank(F.col("du"), F.col("u")).alias("ru"),
+            rank(F.col("dv"), F.col("v")).alias("rv"),
+        )
+    )
+    fwd = F.col("ru") < F.col("rv")
+    ori = ranked.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(fwd, F.col("rv")).otherwise(F.col("ru")).alias("rdst"),
+    ).localCheckpoint(eager=True)
+    x, y = ori.alias("x"), ori.alias("y")
+    wedge = x.join(
+        y, (F.col("x.src") == F.col("y.src")) & (F.col("x.rdst") < F.col("y.rdst"))
+    ).select(F.col("x.dst").alias("b"), F.col("y.dst").alias("c"))
+    tri = wedge.join(
+        ori, (F.col("src") == F.col("b")) & (F.col("dst") == F.col("c"))
+    ).agg(F.count("*").alias("n_triangles"))
+    scalars = (
+        deg.agg(
+            F.count("*").alias("n_vertices"),
+            F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint")
+            .alias("n_open_wedges"),
+        )
+        .crossJoin(edges.agg(F.count("*").alias("n_edges")))  # 1-row × 1-row
+        .crossJoin(wedge.agg(F.count("*").alias("n_oriented_wedges")))
+    )
+    return scalars.crossJoin(tri).select(  # all sides are single-row scalars
+        "n_vertices",
+        "n_edges",
+        "n_oriented_wedges",
+        "n_triangles",
+        (
+            (F.lit(3) * F.col("n_triangles")).cast("double")
+            / F.nullif(F.col("n_open_wedges"), F.lit(0))
+        ).alias("clustering_coeff"),
+    )
