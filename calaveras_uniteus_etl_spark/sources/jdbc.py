@@ -9,8 +9,12 @@ warehouse's declared StructTypes are the single source of truth.
 
 Spark bundles the Derby driver (metastore dependency), so the whole
 surface is integration-tested in-container against embedded Derby
-(tests/test_jdbc.py); pointing it at Postgres/MSSQL is a URL + driver
-jar swap — the standard deployment step, not a code change.
+(tests/test_jdbc.py); a second vendor is exercised end-to-end when a
+cached public duckdb_jdbc jar is present — a DuckDB-file source read
+through a partitioned JDBC scan and landed in Derby, the literal
+any-to-any migration the reference performs. Pointing at Postgres/
+MSSQL is a URL + driver jar swap — a deployment step, not a code
+change.
 
 Scale notes: reads partition on a numeric/temporal column
 (``partitionColumn`` + bounds → one concurrent cursor per partition);

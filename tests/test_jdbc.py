@@ -78,3 +78,89 @@ def test_migrate_warehouse_to_jdbc(spark, tmp_path, derby_url):
     assert counts == {"people": 2}
     back = read_jdbc_table(spark, derby_url, "people", driver=DRIVER)
     assert {r.person_id for r in back.collect()} == {"p1", "p2"}
+
+
+def _find_duckdb_jdbc_jar() -> str | None:
+    """Locate a duckdb_jdbc jar in the local coursier/ivy caches.
+
+    The jar is the public org.duckdb:duckdb_jdbc Maven artifact; we
+    only use it if a build tool already cached it locally (no network).
+    """
+    import glob
+
+    for root in ("~/.cache/coursier", "~/.ivy2", "~/.m2"):
+        hits = glob.glob(
+            os.path.expanduser(os.path.join(root, "**", "duckdb_jdbc-*.jar")),
+            recursive=True,
+        )
+        if hits:
+            return sorted(hits)[-1]
+    return None
+
+
+_DUCKDB_JAR = _find_duckdb_jdbc_jar()
+
+
+@pytest.mark.skipif(_DUCKDB_JAR is None, reason="no duckdb_jdbc jar cached locally")
+def test_jdbc_cross_vendor_migration(tmp_path):
+    """A11's actual claim is any-to-any VENDOR migration. This runs the
+    real shape: a DuckDB database (written by the native engine) is
+    read through Spark's JDBC source — partitioned, one cursor per
+    split — and landed in embedded Derby via the same write_jdbc_table
+    used everywhere, then read back and value-compared. Runs in a
+    subprocess because spark.jars only applies at JVM launch (the
+    suite's shared session can't load the DuckDB driver).
+
+    Note: DuckDB is source-only here. Its JDBC driver opens a separate
+    database instance per connection, so Spark's create-on-one-
+    connection / insert-on-another write protocol can't target it —
+    a driver limitation, not a write_jdbc_table one (the write path is
+    proven against Derby above).
+    """
+    import subprocess
+    import sys as _sys
+    import textwrap
+
+    import duckdb
+
+    src_db = os.path.join(str(tmp_path), "src.duckdb")
+    con = duckdb.connect(src_db)
+    con.execute(
+        "CREATE TABLE people AS "
+        "SELECT i AS id, i * 2.5 AS income, 'p' || i AS name "
+        "FROM range(100) t(i)"
+    )
+    con.close()
+
+    derby = os.path.join(str(tmp_path), "derby_dst")
+    prog = textwrap.dedent(
+        f"""
+        from pyspark.sql import SparkSession
+        from calaveras_uniteus_etl_spark.sources.jdbc import (
+            read_jdbc_table, write_jdbc_table)
+        spark = (SparkSession.builder.master("local[2]")
+                 .config("spark.jars", {_DUCKDB_JAR!r})
+                 .config("spark.ui.enabled", "false")
+                 .getOrCreate())
+        spark.sparkContext.setLogLevel("ERROR")
+        src = read_jdbc_table(
+            spark, "jdbc:duckdb:{src_db}", "people",
+            partition_column="id", lower_bound=0, upper_bound=100,
+            num_partitions=4, driver="org.duckdb.DuckDBDriver")
+        assert src.rdd.getNumPartitions() == 4  # parallel cursors
+        dst_url = "jdbc:derby:{derby};create=true"
+        write_jdbc_table(src, dst_url, "people", mode="overwrite",
+                         driver={DRIVER!r})
+        back = read_jdbc_table(spark, dst_url, "people", driver={DRIVER!r})
+        got = {{(r.id, r.income, r.name) for r in back.collect()}}
+        assert got == {{(i, i * 2.5, f"p{{i}}") for i in range(100)}}, got
+        spark.stop()
+        print("MIGRATION_OK")
+        """
+    )
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(__file__)))
+    res = subprocess.run(
+        [_sys.executable, "-c", prog], capture_output=True, text=True,
+        env=env, timeout=300,
+    )
+    assert "MIGRATION_OK" in res.stdout, res.stderr[-3000:]

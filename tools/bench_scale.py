@@ -46,6 +46,9 @@ QUERIES = (
     "x58_bigram_logprob",      # token-stream LM scoring (bigram join-back)
     "x59_hybrid_rrf",          # candidate-bounded rank fusion
     "x60_bpe_pair_counts",     # vocab-grain pair counting
+    "g10_activity_streaks",    # gaps-and-islands per-user windows
+    "s7_ewma_drift",           # per-user lag-window EWMA
+    "x71_dup_graph_triangles",  # oriented wedge self-join graph census
 )
 
 # Key columns that must be remapped per replica to keep joins
