@@ -323,3 +323,21 @@ def test_g9_window_is_partitioned(spark):
         head = ln.split("windowspecdefinition(", 1)[1]
         first = head.split(",", 1)[0]
         assert " ASC" not in first and " DESC" not in first, ln
+
+
+@pytest.mark.parametrize("name", ["g10_activity_streaks", "s7_ewma_drift"])
+def test_new_user_windows_are_partitioned(spark, name):
+    """g10/s7 sort per user, never globally: every windowspec must
+    open with a PARTITION BY column (no sort-direction marker), and no
+    SinglePartition exchange may feed a Window."""
+    plan = physical(REGISTRY[name].fn(spark, SF))
+    specs = [ln for ln in plan.splitlines() if "windowspecdefinition(" in ln]
+    assert specs, plan
+    for ln in specs:
+        first = ln.split("windowspecdefinition(", 1)[1].split(",", 1)[0]
+        assert " ASC" not in first and " DESC" not in first, ln
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            below = "\n".join(lines[i + 1 : i + 3])
+            assert "Window" not in below, plan
