@@ -117,6 +117,10 @@ _NEW_THIS_ROUND: list[str] = [
     "x70_gopher_quality_gate",
     "s7_ewma_drift",
     "x71_dup_graph_triangles",
+    "f32_ordered_funnel",
+    "m6_constraint_audit",
+    "s8_interval_join_outer",
+    "x72_kmv_distinct_sketch",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 (union = 129) sit in

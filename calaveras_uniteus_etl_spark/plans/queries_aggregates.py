@@ -2722,3 +2722,228 @@ def g10_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("longest_streak"), F.asc("user_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# F32 — strictly-ordered multi-step funnel (chained argmin)
+#
+# The product-analytics staple f11/e4 do NOT express: a user counts at
+# step N only if step N's event happened strictly AFTER their step-N−1
+# entry time. Each stage is "earliest qualifying event per user given
+# the previous stage's timestamp" — a per-user aggregate joined back
+# into the next stage's filter, never a window over the raw stream.
+# Timestamps compare as raw NTZ microseconds (identical total order in
+# both engines); the only doubles are the final conversion ratios.
+#
+# Scale shape: three user_id hash aggregates, each input pre-filtered
+# to one event type at the scan (pushed predicate), and two shuffle
+# joins on user_id — the per-user stage relations are 1 row/user, so
+# every join is a co-partitioned key join, no fan-out anywhere.
+# ---------------------------------------------------------------------------
+
+_F32_STEPS = ("view", "click", "purchase")
+
+
+@register(
+    "f32_ordered_funnel",
+    oracle=f"""
+WITH t1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = '{_F32_STEPS[0]}' GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = '{_F32_STEPS[1]}' AND e.ts > t1.t1
+  GROUP BY e.user_id
+), t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = '{_F32_STEPS[2]}' AND e.ts > t2.t2
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+       (SELECT COUNT(*) FROM t1) AS step1_view,
+       (SELECT COUNT(*) FROM t2) AS step2_click,
+       (SELECT COUNT(*) FROM t3) AS step3_purchase,
+       CAST((SELECT COUNT(*) FROM t2) AS DOUBLE)
+         / NULLIF((SELECT COUNT(*) FROM t1), 0) AS conv_1_to_2,
+       CAST((SELECT COUNT(*) FROM t3) AS DOUBLE)
+         / NULLIF((SELECT COUNT(*) FROM t2), 0) AS conv_2_to_3
+""",
+    doc="Strictly-ordered view->click->purchase funnel: each step is "
+    "the earliest qualifying event AFTER the user's previous-step "
+    "time (chained per-user argmin + co-partitioned joins), with "
+    "stage conversion ratios — the ordering-aware counterpart of the "
+    "distinct-count funnels f11/e4.",
+)
+def f32_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    t1 = (
+        e.filter(F.col("event_type") == _F32_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        e.filter(F.col("event_type") == _F32_STEPS[1])
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        e.filter(F.col("event_type") == _F32_STEPS[2])
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    # all five inputs are single-row aggregates → broadcast-scalar joins
+    return (
+        e.agg(F.countDistinct("user_id").alias("n_users"))
+        .crossJoin(t1.agg(F.count("*").alias("step1_view")))
+        .crossJoin(t2.agg(F.count("*").alias("step2_click")))
+        .crossJoin(t3.agg(F.count("*").alias("step3_purchase")))
+        .select(
+            "n_users",
+            "step1_view",
+            "step2_click",
+            "step3_purchase",
+            (
+                F.col("step2_click").cast("double")
+                / F.nullif(F.col("step1_view"), F.lit(0))
+            ).alias("conv_1_to_2"),
+            (
+                F.col("step3_purchase").cast("double")
+                / F.nullif(F.col("step2_click"), F.lit(0))
+            ).alias("conv_2_to_3"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# M6 — declarative constraint audit (Deequ-style expectation suite)
+#
+# The reference logs per-row quality issues at ingest (C6); at warehouse
+# scale the complementary operator is a declarative constraint sweep
+# over the LANDED tables: PK uniqueness, FK referential integrity,
+# completeness, and domain/range expectations, one verdict row per
+# constraint. Each check is a count of violations — exact integers, so
+# the report is canon-stable.
+#
+# Scale shape: one aggregate or one anti-join per constraint, each over
+# a single table scan with only the checked columns read; FK checks
+# anti-join the fact's key against the PK side (broadcast when the PK
+# side is a dimension). The UNION ALL is of 1-row relations.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m6_constraint_audit",
+    oracle="""
+SELECT * FROM (
+  SELECT 'orders_pk_unique' AS constraint_name,
+         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+  FROM orders
+  UNION ALL
+  SELECT 'orders_custkey_complete',
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'orders_fk_customer',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey))
+  UNION ALL
+  SELECT 'lineitem_fk_orders',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey))
+  UNION ALL
+  SELECT 'lineitem_discount_range',
+         CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'events_type_domain',
+         CAST(SUM(CASE WHEN event_type NOT IN
+                       ('click','view','signup','purchase','error')
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM events
+)
+ORDER BY constraint_name
+""",
+    doc="Deequ-style declarative expectation suite over the landed "
+    "warehouse: PK uniqueness, FK orphan anti-joins (broadcast dim "
+    "side), completeness, and domain/range checks — one exact "
+    "violation count per constraint.",
+)
+def m6_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    c = table(spark, sf_dir, "customer")
+    ev = table(spark, sf_dir, "events")
+
+    def verdict(name: str, count_col) -> DataFrame:
+        src, agg = count_col
+        return src.agg(
+            F.lit(name).alias("constraint_name"),
+            agg.cast("bigint").alias("n_violations"),
+        )
+
+    checks = [
+        verdict(
+            "orders_pk_unique",
+            (o, F.count("*") - F.countDistinct("o_orderkey")),
+        ),
+        verdict(
+            "orders_custkey_complete",
+            (o, F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))),
+        ),
+        # FK orphans: anti-join against the (broadcastable) dimension PK
+        o.join(
+            F.broadcast(c.select("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        ).agg(
+            F.lit("orders_fk_customer").alias("constraint_name"),
+            F.count("*").cast("bigint").alias("n_violations"),
+        ),
+        # fact-fact FK: shuffle anti-join on the shared key
+        li.join(
+            o.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_anti",
+        ).agg(
+            F.lit("lineitem_fk_orders").alias("constraint_name"),
+            F.count("*").cast("bigint").alias("n_violations"),
+        ),
+        verdict(
+            "lineitem_discount_range",
+            (
+                li,
+                F.sum(
+                    F.when(
+                        (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1
+                    ).otherwise(0)
+                ),
+            ),
+        ),
+        verdict(
+            "events_type_domain",
+            (
+                ev,
+                F.sum(
+                    F.when(
+                        ~F.col("event_type").isin(
+                            "click", "view", "signup", "purchase", "error"
+                        ),
+                        1,
+                    ).otherwise(0)
+                ),
+            ),
+        ),
+    ]
+    out = checks[0]
+    for chk in checks[1:]:
+        out = out.unionAll(chk)
+    return out.orderBy("constraint_name")

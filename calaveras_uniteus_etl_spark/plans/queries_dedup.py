@@ -1703,3 +1703,100 @@ def x71_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.col("n_open_wedges"), F.lit(0))
         ).alias("clustering_coeff"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X72 — KMV (bottom-k) distinct-shingle sketch per source + accuracy
+#
+# The third sketch family (after the HLL stand-in f2 and count-min
+# x43): a K-minimum-values estimator of each source's distinct-shingle
+# cardinality — the mergeable summary a federated ingest keeps per
+# shard to estimate union/overlap sizes without exchanging shingle
+# sets. Estimate = (k−1)·2⁶⁰ / h_k with h_k the k-th smallest distinct
+# 60-bit shingle digest; fully deterministic given the data, so unlike
+# f2 it IS SQL-oracle-able, and the exact distinct count rides along
+# as the built-in error audit.
+#
+# Scale shape: the k-th smallest is NOT taken with one per-source sort
+# (5 sources = 5 data-sized window partitions at corpus scale).
+# Bottom-k runs two-phase, mirroring operators/prefix.py's philosophy:
+# partition-local row_number over (source, spark_partition_id) keeps
+# every sort partition-bounded, survivors (≤ partitions·k per source)
+# merge in a second window over a k·P-bounded relation. The digest
+# relation itself is distinct-deduped on (source, digest) first — one
+# hash shuffle, no text movement.
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_EST_NUM = float((_KMV_K - 1) << 60)  # same double literal both engines
+
+
+@register(
+    "x72_kmv_distinct_sketch",
+    oracle=f"""
+WITH {dd.duck_shingles_cte()}, sh AS (
+  SELECT DISTINCT d.source, g.g
+  FROM shing
+  CROSS JOIN unnest({dd.duck_shingle_digests_sql()}) AS g(g)
+  JOIN documents d ON d.doc_id = shing.doc_id
+), ranked AS (
+  SELECT source, g,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY g) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n_exact
+  FROM sh
+)
+SELECT source,
+       CAST(n_exact AS BIGINT) AS n_distinct_exact,
+       g AS kth_min_digest,
+       {_KMV_EST_NUM!r} / g AS est_distinct,
+       {_KMV_EST_NUM!r} / g / n_exact - 1 AS rel_error
+FROM ranked WHERE rn = {_KMV_K}
+ORDER BY source
+""",
+    doc=f"KMV/bottom-k distinct sketch: per-source k={_KMV_K} minimum "
+    "distinct shingle digests -> (k-1)*2^60/h_k cardinality estimate "
+    "with exact-count error audit; two-phase partition-local bottom-k "
+    "(no data-sized window partition), mergeable across shards.",
+)
+def x72_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = dd.with_shingles(_docs_wide(spark, sf_dir))
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    sh = (
+        d.select("doc_id", F.explode(dd.shingle_digests_expr()).alias("g"))
+        .join(src, "doc_id")
+        .select("source", "g")
+        .distinct()
+    )
+    # phase 1: bottom-k within each (source, physical partition)
+    part = sh.withColumn("pid", F.spark_partition_id())
+    w1 = WindowSpec.partitionBy("source", "pid").orderBy("g")
+    local = (
+        part.withColumn("lrn", F.row_number().over(w1))
+        .filter(F.col("lrn") <= _KMV_K)
+        .select("source", "g")
+    )
+    # phase 2: merge the <= k*P survivors per source; also recover the
+    # exact distinct count from the full relation (one aggregate)
+    exact = sh.groupBy("source").agg(F.count("*").alias("n_distinct_exact"))
+    w2 = WindowSpec.partitionBy("source").orderBy("g")
+    kth = (
+        local.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == _KMV_K)
+        .select("source", F.col("g").alias("kth_min_digest"))
+    )
+    return (
+        kth.join(exact, "source")
+        .select(
+            "source",
+            F.col("n_distinct_exact").cast("bigint"),
+            "kth_min_digest",
+            (F.lit(_KMV_EST_NUM) / F.col("kth_min_digest")).alias("est_distinct"),
+            (
+                F.lit(_KMV_EST_NUM)
+                / F.col("kth_min_digest")
+                / F.col("n_distinct_exact")
+                - 1
+            ).alias("rel_error"),
+        )
+        .orderBy("source")
+    )

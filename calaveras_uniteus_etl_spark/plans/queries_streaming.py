@@ -469,3 +469,83 @@ def s7_ewma_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# S8 — left-outer interval join (orphan accounting)
+#
+# s4 keeps only clicks that converted; the operational twin keeps every
+# click and reports the unconverted ones — the relation a marketing
+# pipeline alerts on. Same interval predicate, LEFT OUTER: per user,
+# total clicks, clicks with ≥1 purchase in-window, orphan clicks.
+# In streaming mode the SAME operator (streaming/windows.interval_join
+# with how="left_outer") emits the null-matched rows once the
+# watermark passes each click's join interval — identical totals one
+# watermark delay later, proven across triggers in
+# tests/test_streaming.py.
+#
+# Scale shape: both sides prune by event_type at the scan; one
+# user_id shuffle serves join and rollup. The outer side adds no
+# state beyond the inner join's (the interval bound is what lets
+# streaming evict either way).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s8_interval_join_outer",
+    oracle=f"""
+WITH j AS (
+  SELECT c.user_id, c.ts AS l_ts, p.ts AS r_ts
+  FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+    ON p.user_id = c.user_id
+   AND p.ts >= c.ts
+   AND p.ts <= c.ts + INTERVAL {_S4_GAP_MIN} MINUTE
+), per_click AS (
+  SELECT user_id, l_ts, COUNT(r_ts) AS n_matches
+  FROM j GROUP BY user_id, l_ts
+)
+SELECT user_id,
+       COUNT(*) AS n_clicks,
+       CAST(SUM(CASE WHEN n_matches > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS converted_clicks,
+       CAST(SUM(CASE WHEN n_matches = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS orphan_clicks
+FROM per_click
+GROUP BY user_id
+ORDER BY user_id
+""",
+    doc="Left-outer interval join: every click kept, per-user "
+    "converted vs orphan counts — the unconverted-traffic relation. "
+    "Streaming twin emits null matches after watermark expiry "
+    "(interval_join how='left_outer').",
+)
+def s8_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calaveras_uniteus_etl_spark.streaming.windows import interval_join
+
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("l_ts")
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("r_ts")
+    )
+    pairs = interval_join(
+        clicks, buys, max_gap=f"{_S4_GAP_MIN} minutes", how="left_outer"
+    )
+    per_click = pairs.groupBy("user_id", "l_ts").agg(
+        F.count("r_ts").alias("n_matches")
+    )
+    return (
+        per_click.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_clicks"),
+            F.sum(F.when(F.col("n_matches") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("converted_clicks"),
+            F.sum(F.when(F.col("n_matches") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("orphan_clicks"),
+        )
+        .orderBy("user_id")
+    )

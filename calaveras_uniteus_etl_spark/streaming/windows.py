@@ -61,8 +61,9 @@ def interval_join(
     max_gap: str = "1 hour",
     watermark: str = "1 hour",
     extra: tuple[str, ...] = (),
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join within an event-time interval.
+    """Stream-stream join within an event-time interval.
 
     The canonical attribution shape: right-side events joined to
     left-side events of the same key that happened within ``max_gap``
@@ -70,6 +71,14 @@ def interval_join(
     bound lets Spark evict join state (unbounded state otherwise); on
     batch DataFrames the same plan is an ordinary join + range filter,
     which is what the parity test exercises.
+
+    ``how="left_outer"`` keeps unmatched LEFT rows (right columns
+    null). Streaming semantics differ from batch in TIMING only: an
+    unmatched left row cannot emit until the watermark passes the end
+    of its join interval (before that, a matching right row could
+    still arrive), so null-joined rows surface one watermark delay
+    late — the same total rows as the batch twin, proven across
+    triggers in tests/test_streaming.py.
     """
     from pyspark.sql import functions as F
 
@@ -95,4 +104,6 @@ def interval_join(
         if not (in_l or in_r):
             raise ValueError(f"interval_join: extra column {c!r} on neither side")
         cols.append(l[c] if in_l else r[c])
-    return l.join(r, cond).select(*cols)
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"interval_join: unsupported how={how!r}")
+    return l.join(r, cond, how).select(*cols)

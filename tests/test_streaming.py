@@ -709,3 +709,70 @@ def test_ewma_with_state_matches_batch_twin(spark, tmp_path):
     }
     assert 3 not in final  # never crossed the depth gate
     assert final == twin  # bit-identical doubles, not approx
+
+
+def test_left_outer_interval_join_emits_orphans_after_watermark(spark, tmp_path):
+    """Stream-stream LEFT OUTER interval join semantics: a matched pair
+    emits as soon as both sides arrive, but an UNMATCHED left row must
+    be withheld until the watermark passes the end of its join interval
+    (a match could still arrive), then emit exactly once with nulls.
+    Two availableNow triggers over one checkpoint make the watermark
+    actually advance between arrivals."""
+    from calaveras_uniteus_etl_spark.streaming.windows import interval_join
+
+    t0 = dt.datetime(2024, 7, 1, 9, 0, tzinfo=UTC)
+    lsrc = tmp_path / "lo_clicks"
+    rsrc = tmp_path / "lo_buys"
+    lsrc.mkdir(); rsrc.mkdir()
+    sink = str(tmp_path / "lo_out")
+    ckpt = str(tmp_path / "lo_ckpt")
+    lschema = "user_id long, l_ts timestamp"
+    rschema = "user_id long, r_ts timestamp"
+
+    def run_once():
+        l = spark.readStream.schema(lschema).parquet(str(lsrc))
+        r = spark.readStream.schema(rschema).parquet(str(rsrc))
+        q = (
+            interval_join(l, r, max_gap="30 minutes", watermark="1 hour",
+                          how="left_outer")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            (r["user_id"], r["r_ts"] is not None)
+            for r in spark.read.schema(
+                "user_id long, l_ts timestamp, r_ts timestamp"
+            ).parquet(sink).collect()
+        )
+
+    # trigger 1: user 1 click+purchase (match), user 2 click (no match yet)
+    spark.createDataFrame(
+        [(1, t0), (2, t0)], lschema
+    ).coalesce(1).write.mode("append").parquet(str(lsrc))
+    spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=10))], rschema
+    ).coalesce(1).write.mode("append").parquet(str(rsrc))
+    out1 = run_once()
+    # the match emits; user 2's orphan is withheld (its interval could
+    # still be matched — watermark has not passed t0+30min)
+    assert out1 == [(1, True)], out1
+
+    # trigger 2: far-future rows on BOTH inputs (the join watermark is
+    # the MIN across inputs — advancing one side alone pins it) push
+    # the watermark past user 2's interval end, and the orphan emits
+    # with a null right side, exactly once. The t0+3h click stays
+    # withheld in turn (its own interval is not yet past watermark),
+    # so the outer join's completeness is eventual, never speculative.
+    spark.createDataFrame(
+        [(3, t0 + dt.timedelta(hours=3))], lschema
+    ).coalesce(1).write.mode("append").parquet(str(lsrc))
+    spark.createDataFrame(
+        [(99, t0 + dt.timedelta(hours=3))], rschema
+    ).coalesce(1).write.mode("append").parquet(str(rsrc))
+    out2 = run_once()
+    assert out2 == [(1, True), (2, False)], out2
