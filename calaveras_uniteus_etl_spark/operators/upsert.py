@@ -52,6 +52,7 @@ def merge_upsert(
     incoming: DataFrame,
     keys: list[str],
     order_col: str | None = None,
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """Last-write-wins merge: rows of ``existing`` not matched by key,
     plus all (deduped) ``incoming`` rows.
@@ -59,9 +60,30 @@ def merge_upsert(
     Equivalent to ``MERGE INTO ... WHEN MATCHED UPDATE SET * WHEN NOT
     MATCHED INSERT *`` on a lakehouse table, expressed as pure
     DataFrame ops so it works on plain parquet.
+
+    ``evolve_schema=True`` is the lakehouse mergeSchema behavior: a
+    column new to the batch is APPENDED to the table schema (existing
+    rows read null there), and a column the batch stopped sending is
+    kept (upserted rows null there — last-write-wins applies to the
+    whole row, so an absent column is an explicit null, not a
+    carry-forward). Default stays strict: the batch must cover the
+    table's columns, extras are rejected rather than silently dropped.
     """
     batch = dedupe_keep_last(incoming, keys, order_col)
+    if order_col is not None:
+        # the intra-batch ordering column is merge bookkeeping, never
+        # part of the table schema
+        batch = batch.drop(order_col)
     untouched = existing.join(batch, on=keys, how="left_anti")
+    if evolve_schema:
+        return untouched.unionByName(batch, allowMissingColumns=True)
+    extra = [c for c in batch.columns if c not in existing.columns]
+    if extra:
+        raise ValueError(
+            f"merge_upsert: batch carries columns {extra} absent from the "
+            "table; pass evolve_schema=True to append them (silently "
+            "dropping data would be a correctness hazard)"
+        )
     return untouched.unionByName(batch.select(*existing.columns))
 
 

@@ -121,6 +121,7 @@ _NEW_THIS_ROUND: list[str] = [
     "m6_constraint_audit",
     "s8_interval_join_outer",
     "x72_kmv_distinct_sketch",
+    "x73_kmv_sketch_merge",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 (union = 129) sit in

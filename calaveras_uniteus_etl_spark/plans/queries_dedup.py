@@ -1800,3 +1800,166 @@ def x72_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# X73 — KMV sketch algebra: pairwise union/overlap from sketches alone
+#
+# The point of keeping per-shard KMV sketches (x72) is that they MERGE:
+# the bottom-k of a union is the bottom-k of the concatenated sketches,
+# so |A∪B| is estimable without ever rescanning either corpus, and
+# |A∩B| follows by inclusion–exclusion. This query materializes the
+# per-source sketches once (k·sources rows — KILOBYTES at any corpus
+# size) and then computes every pairwise union/overlap estimate purely
+# on that tiny relation, next to the exact overlap for the audit.
+#
+# Scale shape: one distinct-shuffle + two-phase bottom-k builds the
+# sketches (x72's plan); everything after operates on ≤ k·|sources|
+# rows — the sketch-algebra stage would run on a laptop for a 100 TB
+# corpus, which is precisely the operational argument for sketches.
+# The exact-overlap audit joins distinct digest sets per source pair
+# (source_a < source_b), bare longs only.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x73_kmv_sketch_merge",
+    oracle=f"""
+WITH {dd.duck_shingles_cte()}, sh AS (
+  SELECT DISTINCT d.source, g.g
+  FROM shing
+  CROSS JOIN unnest({dd.duck_shingle_digests_sql()}) AS g(g)
+  JOIN documents d ON d.doc_id = shing.doc_id
+), sk AS (
+  SELECT source, g FROM (
+    SELECT source, g, ROW_NUMBER() OVER (PARTITION BY source ORDER BY g) AS rn
+    FROM sh
+  ) WHERE rn <= {_KMV_K}
+), merged AS (
+  SELECT a.source AS source_a, b.source AS source_b, u.g,
+         ROW_NUMBER() OVER (PARTITION BY a.source, b.source ORDER BY u.g) AS rn
+  FROM (SELECT DISTINCT source FROM sk) a
+  JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source
+  JOIN LATERAL (
+    SELECT DISTINCT g FROM sk WHERE sk.source IN (a.source, b.source)
+  ) u ON TRUE
+), union_est AS (
+  SELECT source_a, source_b, {_KMV_EST_NUM!r} / g AS est_union
+  FROM merged WHERE rn = {_KMV_K}
+), exact AS (
+  SELECT x.source AS source_a, y.source AS source_b,
+         COUNT(*) AS exact_overlap
+  FROM sh x JOIN sh y ON x.g = y.g AND x.source < y.source
+  GROUP BY 1, 2
+), singles AS (
+  SELECT source, {_KMV_EST_NUM!r} / MAX(g) AS est_single
+  FROM (SELECT source, g FROM sk QUALIFY
+          ROW_NUMBER() OVER (PARTITION BY source ORDER BY g) = {_KMV_K})
+  GROUP BY source
+)
+SELECT u.source_a AS source_a, u.source_b AS source_b,
+       ROUND(sa.est_single + sb.est_single - u.est_union, 1) AS est_overlap,
+       CAST(COALESCE(e.exact_overlap, 0) AS BIGINT) AS exact_overlap
+FROM union_est u
+JOIN singles sa ON sa.source = u.source_a
+JOIN singles sb ON sb.source = u.source_b
+LEFT JOIN exact e ON e.source_a = u.source_a AND e.source_b = u.source_b
+ORDER BY u.source_a, u.source_b
+""",
+    doc=f"KMV sketch merge: bottom-{_KMV_K} union sketches per source "
+    "pair give |A∪B| estimates, inclusion-exclusion gives |A∩B|, all "
+    "on the kilobyte sketch relation — exact pairwise overlap rides "
+    "along as the audit. The mergeability property that makes KMV the "
+    "federated-ingest sketch.",
+)
+def x73_kmv_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = dd.with_shingles(_docs_wide(spark, sf_dir))
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    sh = (
+        d.select("doc_id", F.explode(dd.shingle_digests_expr()).alias("g"))
+        .join(src, "doc_id")
+        .select("source", "g")
+        .distinct()
+        .localCheckpoint(eager=True)  # reused by sketch build AND audit
+    )
+    # two-phase bottom-k (x72's plan) → the per-source sketch relation
+    w1 = WindowSpec.partitionBy("source", "pid").orderBy("g")
+    local = (
+        sh.withColumn("pid", F.spark_partition_id())
+        .withColumn("lrn", F.row_number().over(w1))
+        .filter(F.col("lrn") <= _KMV_K)
+        .select("source", "g")
+    )
+    w2 = WindowSpec.partitionBy("source").orderBy("g")
+    sk = (
+        local.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("source", "g")
+        .localCheckpoint(eager=True)  # ≤ k · |sources| rows
+    )
+    srcs = sk.select("source").distinct()
+    pairs = (
+        srcs.alias("a")
+        .join(
+            srcs.alias("b"),
+            F.col("a.source") < F.col("b.source"),
+        )
+        .select(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+    )
+    # merged union sketch per pair: digests of either side, dedup, rank
+    both = pairs.join(
+        sk,
+        (F.col("source") == F.col("source_a"))
+        | (F.col("source") == F.col("source_b")),
+    ).select("source_a", "source_b", "g").distinct()
+    wp = WindowSpec.partitionBy("source_a", "source_b").orderBy("g")
+    union_est = (
+        both.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == _KMV_K)
+        .select(
+            "source_a",
+            "source_b",
+            (F.lit(_KMV_EST_NUM) / F.col("g")).alias("est_union"),
+        )
+    )
+    singles = (
+        sk.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == _KMV_K)
+        .select("source", (F.lit(_KMV_EST_NUM) / F.col("g")).alias("est_single"))
+    )
+    exact = (
+        sh.alias("x")
+        .join(
+            sh.alias("y"),
+            (F.col("x.g") == F.col("y.g"))
+            & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(
+            F.col("x.source").alias("source_a"), F.col("y.source").alias("source_b")
+        )
+        .agg(F.count("*").alias("exact_overlap"))
+    )
+    sa = singles.select(
+        F.col("source").alias("source_a"), F.col("est_single").alias("ea")
+    )
+    sb = singles.select(
+        F.col("source").alias("source_b"), F.col("est_single").alias("eb")
+    )
+    return (
+        union_est.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .join(exact, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.round(F.col("ea") + F.col("eb") - F.col("est_union"), 1).alias(
+                "est_overlap"
+            ),
+            F.coalesce("exact_overlap", F.lit(0)).cast("bigint").alias(
+                "exact_overlap"
+            ),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -188,3 +188,43 @@ def test_compact_bin_packs_small_files(spark, tmp_path):
     out = wh.read("compactme")
     assert out.count() == 2000
     assert out.agg(F.sum("event_id")).collect()[0][0] == sum(range(2000))
+
+
+# ---------------------------------------------------------------------------
+# merge_upsert schema evolution (C2 + lakehouse mergeSchema semantics)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_upsert_schema_evolution(spark):
+    from calaveras_uniteus_etl_spark.operators.upsert import merge_upsert
+
+    import pytest as _pytest
+
+    existing = spark.createDataFrame(
+        [("p1", "alice"), ("p2", "bob")], ["person_id", "name"]
+    )
+    wider = spark.createDataFrame(
+        [("p2", "bea", "x@example.com"), ("p3", "cal", None)],
+        ["person_id", "name", "email"],
+    )
+    # default = strict: extras are an error, never a silent drop
+    with _pytest.raises(ValueError, match="email"):
+        merge_upsert(existing, wider, keys=["person_id"])
+
+    merged = merge_upsert(existing, wider, keys=["person_id"], evolve_schema=True)
+    assert merged.columns == ["person_id", "name", "email"]
+    got = {r["person_id"]: (r["name"], r["email"]) for r in merged.collect()}
+    # untouched row null-padded; matched row overwritten wholesale
+    assert got == {
+        "p1": ("alice", None),
+        "p2": ("bea", "x@example.com"),
+        "p3": ("cal", None),
+    }
+
+    # a later NARROW batch (column stopped arriving): kept column reads
+    # null on upserted rows — whole-row last-write-wins, no carry-forward
+    narrow = spark.createDataFrame([("p2", "beatrice")], ["person_id", "name"])
+    merged2 = merge_upsert(merged, narrow, keys=["person_id"], evolve_schema=True)
+    got2 = {r["person_id"]: (r["name"], r["email"]) for r in merged2.collect()}
+    assert got2["p2"] == ("beatrice", None)
+    assert got2["p1"] == ("alice", None) and got2["p3"] == ("cal", None)
