@@ -175,6 +175,26 @@ def main() -> int:
                 "the survivor set (data-proportional), sub-linear vs "
                 "the 10x fact growth per-core."
             ),
+            "x4_ngram_jaccard": (
+                "replicated docs are EXACT duplicates, the worst case "
+                "for similarity mining: every replica shares every "
+                "posting list, so candidate pairs grow ~reps^2 "
+                "(output rows 256 -> 250600, ~reps^2/cluster) while "
+                "data grows reps-x. Time tracks candidates, and "
+                "pairs/second IMPROVES ~30x — output-bound, not a "
+                "plan regression. A real 10x corpus adds mostly "
+                "novel text and stays near-linear."
+            ),
+            "x6_embed_neardup": (
+                "same worst-case density as x4 on the embedding side: "
+                "identical replica vectors land in identical SRP "
+                "buckets, so bucket occupancy grows reps-x and "
+                "candidate pairs ~reps^2; the exact-cosine verify is "
+                "then candidate-bound (output 409 -> 130900 rows). "
+                "Pairs/second improves ~8x; the BUCKET_CAP guard is "
+                "what keeps the same plan bounded when a real corpus "
+                "has a boilerplate-heavy cluster."
+            ),
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
