@@ -122,6 +122,7 @@ _NEW_THIS_ROUND: list[str] = [
     "s8_interval_join_outer",
     "x72_kmv_distinct_sketch",
     "x73_kmv_sketch_merge",
+    "x74_leakage_free_split",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 (union = 129) sit in

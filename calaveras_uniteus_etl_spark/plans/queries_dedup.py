@@ -1963,3 +1963,135 @@ def x73_kmv_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# X74 — leakage-free train/val/test split (cluster-aware assignment)
+#
+# x45 AUDITS split leakage; this PREVENTS it: the split is assigned
+# per near-dup COMPONENT (md5 of the component label, 90/5/5), so two
+# near-duplicate documents can never land in different splits — the
+# constructive fix for eval contamination. Docs outside the pair
+# graph are their own singleton component. The report is per-split
+# volume (components/docs/chars) plus the proof column: near-dup
+# pairs with exactly one endpoint in the split — structurally zero,
+# and the oracle recomputes it from scratch rather than trusting the
+# construction.
+#
+# Scale shape: component labels come from the capped LSH miner + min-
+# label propagation (x14's plan); the split hash and the rollup are
+# one map + one small aggregate. The leakage proof joins the pair
+# list to the (doc, split) relation twice on bare ids.
+# ---------------------------------------------------------------------------
+
+_X74_UNITS = 20  # 18/1/1 → 90/5/5
+_X74_SPLIT_CASE = (
+    "CASE WHEN u < 18 THEN 'train' WHEN u = 18 THEN 'val' ELSE 'test' END"
+)
+
+def _x74_oracle() -> str:
+    from calaveras_uniteus_etl_spark.functions.hashing import duckdb_md5_long_sql
+
+    h = duckdb_md5_long_sql("CAST(comp AS VARCHAR)")
+    return (
+        _duck_reach_sql()
+        + f""", lab AS (
+  SELECT d.doc_id, d.n_chars, COALESCE(r.component, d.doc_id) AS comp
+  FROM documents d LEFT JOIN reach r ON r.node = d.doc_id
+), assigned AS (
+  SELECT doc_id, n_chars, comp, u,
+         {_X74_SPLIT_CASE} AS split
+  FROM (SELECT *, {h} % {_X74_UNITS} AS u FROM lab)
+), cross_pairs AS (
+  SELECT sa.split AS split, COUNT(*) AS n
+  FROM pairs p
+  JOIN assigned sa ON sa.doc_id = p.doc_a
+  JOIN assigned sb ON sb.doc_id = p.doc_b
+  WHERE sa.split <> sb.split
+  GROUP BY sa.split
+  UNION ALL
+  SELECT sb.split, COUNT(*)
+  FROM pairs p
+  JOIN assigned sa ON sa.doc_id = p.doc_a
+  JOIN assigned sb ON sb.doc_id = p.doc_b
+  WHERE sa.split <> sb.split
+  GROUP BY sb.split
+), crossing AS (
+  SELECT split, CAST(SUM(n) AS BIGINT) AS cross_split_pairs
+  FROM cross_pairs GROUP BY split
+)
+SELECT a.split AS split,
+       COUNT(DISTINCT a.comp) AS n_components,
+       COUNT(*) AS n_docs,
+       CAST(SUM(a.n_chars) AS BIGINT) AS n_chars,
+       CAST(COALESCE(MAX(c.cross_split_pairs), 0) AS BIGINT)
+         AS cross_split_pairs
+FROM assigned a LEFT JOIN crossing c ON c.split = a.split
+GROUP BY a.split
+ORDER BY a.split
+"""
+    )
+
+
+
+@register(
+    "x74_leakage_free_split",
+    oracle=_x74_oracle(),
+    doc="Cluster-aware 90/5/5 split: md5 of the near-dup component "
+    "label decides the split for ALL members (singletons = own doc), "
+    "so near-duplicates can never straddle splits; per-split volume "
+    "plus a recomputed cross-split-pair proof column (must be 0).",
+)
+def x74_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calaveras_uniteus_etl_spark.functions.hashing import md5_long
+
+    labels = _neardup_labels(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    lab = (
+        docs.join(labels, docs.doc_id == labels.node, "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce(F.col("lbl"), F.col("doc_id")).alias("comp"),
+        )
+    )
+    assigned = lab.withColumn(
+        "u", F.pmod(md5_long(F.col("comp").cast("string")), F.lit(_X74_UNITS))
+    ).withColumn("split", F.expr(_X74_SPLIT_CASE))
+    pairs = x2_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sp = assigned.select("doc_id", "split")
+    cross = (
+        pairs.join(sp.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("split", "sa"), "doc_a")
+        .join(sp.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("split", "sb"), "doc_b")
+        .filter(F.col("sa") != F.col("sb"))
+    )
+    # endpoint-attributed: a crossing pair counts once per side
+    crossing = (
+        cross.select(F.col("sa").alias("split"))
+        .unionAll(cross.select(F.col("sb").alias("split")))
+        .groupBy("split")
+        .agg(F.count("*").alias("cross_split_pairs"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.countDistinct("comp").alias("n_components"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .join(crossing, "split", "left")
+        .select(
+            "split",
+            "n_components",
+            "n_docs",
+            "n_chars",
+            F.coalesce("cross_split_pairs", F.lit(0))
+            .cast("bigint")
+            .alias("cross_split_pairs"),
+        )
+        .orderBy("split")
+    )
+
+

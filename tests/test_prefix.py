@@ -220,3 +220,64 @@ def test_prefix_rank_property_equivalence(spark, rows, parts):
         ).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Two-phase bottom-k (x72/x73's KMV selection) — property equivalence:
+# partition-local row_number + k·P merge must equal one global sort's
+# bottom-k for ANY grouping, values, and partition count.
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=0, max_value=10**12),
+        ),
+        min_size=1,
+        max_size=150,
+    ),
+    parts=st.integers(min_value=1, max_value=16),
+    k=st.integers(min_value=1, max_value=8),
+)
+def test_two_phase_bottom_k_property(spark, rows, parts, k):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    df = (
+        spark.createDataFrame(rows, "grp string, v long")
+        .distinct()
+        .repartition(parts)
+    )
+    w1 = Window.partitionBy("grp", "pid").orderBy("v")
+    local = (
+        df.withColumn("pid", F.spark_partition_id())
+        .withColumn("lrn", F.row_number().over(w1))
+        .filter(F.col("lrn") <= k)
+        .select("grp", "v")
+    )
+    w2 = Window.partitionBy("grp").orderBy("v")
+    got = {
+        (r["grp"], r["v"], r["rn"])
+        for r in local.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .collect()
+    }
+    # naive python model over the distinct multiset
+    import collections
+
+    by_grp = collections.defaultdict(set)
+    for g, v in rows:
+        by_grp[g].add(v)
+    want = {
+        (g, v, i + 1)
+        for g, vs in by_grp.items()
+        for i, v in enumerate(sorted(vs)[:k])
+    }
+    assert got == want

@@ -90,3 +90,84 @@ def test_embedding_bucket_cap_shares_constant(spark):
     from calaveras_uniteus_etl_spark.plans import queries_similarity as qs
 
     assert qs._BUCKET_CAP == BUCKET_CAP
+
+
+# ---------------------------------------------------------------------------
+# x71 degree-oriented triangle counting — property: equals the naive
+# O(n^3) model on arbitrary small graphs (orientation must count every
+# triangle exactly once, regardless of degree ties).
+# ---------------------------------------------------------------------------
+
+
+from hypothesis import HealthCheck as _HealthCheck
+from hypothesis import given as _given
+from hypothesis import settings as _hyp_settings
+from hypothesis import strategies as _st
+
+
+def _count_triangles_spark(spark, edge_list):
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(min(u, v), max(u, v)) for u, v in edge_list], "u long, v long"
+    ).distinct()
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    rank = lambda d, n: d * F.lit(4294967296).cast("long") + n  # noqa: E731
+    ranked = (
+        edges.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+        .select(
+            "u", "v",
+            rank(F.col("du"), F.col("u")).alias("ru"),
+            rank(F.col("dv"), F.col("v")).alias("rv"),
+        )
+    )
+    fwd = F.col("ru") < F.col("rv")
+    ori = ranked.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(fwd, F.col("rv")).otherwise(F.col("ru")).alias("rdst"),
+    )
+    x, y = ori.alias("x"), ori.alias("y")
+    wedge = x.join(
+        y, (F.col("x.src") == F.col("y.src")) & (F.col("x.rdst") < F.col("y.rdst"))
+    ).select(F.col("x.dst").alias("b"), F.col("y.dst").alias("c"))
+    return wedge.join(
+        ori, (F.col("src") == F.col("b")) & (F.col("dst") == F.col("c"))
+    ).count()
+
+
+@_hyp_settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[_HealthCheck.function_scoped_fixture],
+)
+@_given(
+    edges=_st.lists(
+        _st.tuples(
+            _st.integers(min_value=0, max_value=9),
+            _st.integers(min_value=0, max_value=9),
+        ).filter(lambda e: e[0] != e[1]),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_triangle_orientation_matches_naive(spark, edges):
+    import itertools
+
+    und = {frozenset(e) for e in edges}
+    nodes = sorted({n for e in und for n in e})
+    want = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if {frozenset((a, b)), frozenset((a, c)), frozenset((b, c))} <= und
+    )
+    if not und:
+        return  # empty edge relation: createDataFrame needs rows
+    got = _count_triangles_spark(spark, [tuple(e) for e in und])
+    assert got == want
