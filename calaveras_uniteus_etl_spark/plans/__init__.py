@@ -123,6 +123,8 @@ _NEW_THIS_ROUND: list[str] = [
     "x72_kmv_distinct_sketch",
     "x73_kmv_sketch_merge",
     "x74_leakage_free_split",
+    "x75_ares_sample",
+    "c10_cdc_apply",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 (union = 129) sit in

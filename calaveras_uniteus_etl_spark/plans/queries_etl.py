@@ -353,3 +353,79 @@ def c9_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_rows"))
         .orderBy("status")
     )
+
+
+# ---------------------------------------------------------------------------
+# C10 — CDC apply (ordered change log → current table state)
+#
+# c2's upsert has no DELETE; a Debezium-style change-data-capture feed
+# does. This operator folds an ordered I/U/D log into current state:
+# per key, the HIGHEST-LSN record wins wholesale, and a winning D
+# erases the key. The events stream stands in as the log: per user,
+# ops in (ts, event_id) order — signup=I, click/view/purchase=U,
+# error=D — so the result is each user's live profile (or absence).
+# Reported as per-op-outcome counts plus survivor value stats so the
+# whole state hashes into a few rows.
+#
+# Scale shape: one argmax window partitioned by key (the CDC apply is
+# ALWAYS key-partitioned — this is the merge loop every lakehouse
+# MERGE INTO runs under the hood), then a single aggregate. Nothing
+# driver-side, no ordering beyond the per-key sort.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c10_cdc_apply",
+    oracle="""
+WITH log AS (
+  SELECT user_id AS k, ts, event_id AS lsn, value,
+         CASE event_type WHEN 'signup' THEN 'I'
+                         WHEN 'error' THEN 'D' ELSE 'U' END AS op
+  FROM events
+), latest AS (
+  SELECT k, op, value FROM (
+    SELECT k, op, value,
+           ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts DESC, lsn DESC) AS rn
+    FROM log
+  ) WHERE rn = 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys_seen,
+       CAST(SUM(CASE WHEN op <> 'D' THEN 1 ELSE 0 END) AS BIGINT) AS live_keys,
+       CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS deleted_keys,
+       CAST(CAST(SUM(CASE WHEN op <> 'D'
+                     THEN CAST(value AS DECIMAL(18,6)) END)
+            AS DECIMAL(38,6)) AS DOUBLE) AS live_value_sum
+FROM latest
+""",
+    doc="CDC apply: fold an ordered I/U/D change log (events as the "
+    "feed; error=delete) into current state via per-key argmax — "
+    "last record wins wholesale, a winning delete erases the key. "
+    "The missing DELETE semantics of the c2 upsert family.",
+)
+def c10_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        "ts",
+        F.col("event_id").alias("lsn"),
+        "value",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+    )
+    w = Window.partitionBy("k").orderBy(F.desc("ts"), F.desc("lsn"))
+    latest = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("k", "op", "value")
+    )
+    live = F.col("op") != "D"
+    return latest.agg(
+        F.count("*").cast("bigint").alias("n_keys_seen"),
+        F.sum(F.when(live, 1).otherwise(0)).cast("bigint").alias("live_keys"),
+        F.sum(F.when(~live, 1).otherwise(0)).cast("bigint").alias("deleted_keys"),
+        F.sum(F.when(live, F.col("value").cast("decimal(18,6)")))
+        .cast("decimal(38,6)")
+        .cast("double")
+        .alias("live_value_sum"),
+    )

@@ -2505,3 +2505,90 @@ def x70_gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(pass_all).cast("double") / F.count("*")).alias("retention_rate")
     )
     return m.agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# X75 — weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-Res)
+#
+# x30 draws a Bernoulli sample (each doc independently, sample size
+# varies); A-Res draws EXACTLY k docs per source with probability
+# proportional to weight and without replacement — the curation
+# primitive for "pick the best k representatives, longer docs more
+# likely". Key = −ln(u)/w (the exponential race): the k smallest keys
+# are the sample. u derives from the doc's md5 (deterministic, no
+# query-time randomness), w = n_chars.
+#
+# Determinism: u = (md5_long+1)/2⁶⁰ is exact in both engines; ln()
+# agrees to 1 ulp (~1e-16 relative), so the key is quantized to
+# picoseconds of the race clock (round(key·1e12) → BIGINT): the 1-ulp
+# disagreement is ~8 orders of magnitude below the quantum, and all
+# ranking is integer with doc_id tiebreak.
+#
+# Scale shape: the per-source selection reuses the two-phase bottom-k
+# idiom (x72): partition-local row_number bounds every sort by the
+# partition, survivors (≤ k·P per source) merge on a tiny relation —
+# low-cardinality source grouping never becomes a data-sized sort.
+# ---------------------------------------------------------------------------
+
+_X75_K = 10
+_X75_SCALE = 1_000_000_000_000  # picoscale race clock
+
+
+@register(
+    "x75_ares_sample",
+    oracle=f"""
+WITH keyed AS (
+  SELECT source, doc_id, n_chars,
+         CAST(round(-ln((({{h}}) + 1) / 1152921504606846976.0)
+                    / n_chars * {_X75_SCALE}) AS BIGINT) AS key_pico
+  FROM documents WHERE n_chars > 0
+), ranked AS (
+  SELECT source, doc_id, n_chars, key_pico,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY key_pico, doc_id) AS rank
+  FROM keyed
+)
+SELECT source, rank, doc_id, n_chars, key_pico
+FROM ranked WHERE rank <= {_X75_K}
+ORDER BY source, rank
+""".format(
+        h=__import__(
+            "calaveras_uniteus_etl_spark.functions.hashing",
+            fromlist=["duckdb_md5_long_sql"],
+        ).duckdb_md5_long_sql("'ares:' || CAST(doc_id AS VARCHAR)")
+    ),
+    doc=f"A-Res weighted reservoir: exactly {_X75_K} docs per source, "
+    "probability ∝ n_chars, without replacement — exponential-race "
+    "keys −ln(u)/w from the doc md5, picosecond-quantized BIGINT "
+    "ranking, two-phase bottom-k selection (no data-sized sort).",
+)
+def x75_ares_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calaveras_uniteus_etl_spark.functions.hashing import md5_long
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select("source", "doc_id", "n_chars")
+    )
+    u = (md5_long(F.concat(F.lit("ares:"), F.col("doc_id").cast("string"))) + 1) / F.lit(
+        float(1 << 60)
+    )
+    keyed = d.withColumn(
+        "key_pico",
+        F.round(-F.log(u) / F.col("n_chars") * _X75_SCALE).cast("bigint"),
+    )
+    # two-phase bottom-k per source (x72's idiom)
+    w1 = Window.partitionBy("source", "pid").orderBy("key_pico", "doc_id")
+    local = (
+        keyed.withColumn("pid", F.spark_partition_id())
+        .withColumn("lrn", F.row_number().over(w1))
+        .filter(F.col("lrn") <= _X75_K)
+        .drop("pid", "lrn")
+    )
+    w2 = Window.partitionBy("source").orderBy("key_pico", "doc_id")
+    return (
+        local.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= _X75_K)
+        .select("source", "rank", "doc_id", "n_chars", "key_pico")
+        .orderBy("source", "rank")
+    )
