@@ -125,6 +125,7 @@ _NEW_THIS_ROUND: list[str] = [
     "x74_leakage_free_split",
     "x75_ares_sample",
     "c10_cdc_apply",
+    "x76_jl_projection_audit",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 (union = 129) sit in

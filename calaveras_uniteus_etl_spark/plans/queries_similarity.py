@@ -1562,3 +1562,156 @@ def x69_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# X76 — Johnson–Lindenstrauss projection + distortion audit
+#
+# Dimensionality reduction as a DISTRIBUTED MATRIX MULTIPLY: project
+# every embedding from 64 to 16 dims with a deterministic ±1 random
+# matrix (Achlioptas), expressed relationally — explode the vector to
+# (vec_id, dim, val), join the broadcast (dim, j, sign) matrix, group
+# by (vec_id, j) — the join-aggregate form that scales to any corpus
+# and any d×k (never a d·k-term codegen expression). Everything is
+# exact: embeddings quantize to ints (floor(x·2²⁰), the x23 contract),
+# signs are ±1 from md5, so projections are BIGINT sums.
+#
+# The audit is the JL lemma's promise: pairwise squared distances on
+# the probe set, original vs projected/k, ratio ≈ 1. Both distances
+# are exact BIGINT quadratics; the ratio divides identical operands.
+# ---------------------------------------------------------------------------
+
+_JL_K = 16
+_JL_QSCALE = 1 << 20
+
+
+@register(
+    "x76_jl_projection_audit",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * {_JL_QSCALE}) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id < {_N_QUERY}
+), flat AS (
+  SELECT vec_id, d.dim AS dim, qv[d.dim + 1] AS val
+  FROM q CROSS JOIN (SELECT unnest(range({sim.EMBED_DIM})) AS dim) d
+), r AS (
+  SELECT dim, j,
+         1 - 2 * ({{h}} % 2) AS sign
+  FROM (SELECT unnest(range({sim.EMBED_DIM})) AS dim) dd
+  CROSS JOIN (SELECT unnest(range({_JL_K})) AS j) jj
+), proj AS (
+  SELECT f.vec_id, r.j, CAST(SUM(f.val * r.sign) AS BIGINT) AS p
+  FROM flat f JOIN r ON r.dim = f.dim
+  GROUP BY f.vec_id, r.j
+), pd AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         SUM((a.p - b.p) * (a.p - b.p)) AS d2_proj
+  FROM proj a JOIN proj b ON a.j = b.j AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+), od AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         SUM((a.val - b.val) * (a.val - b.val)) AS d2_orig
+  FROM flat a JOIN flat b ON a.dim = b.dim AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT od.va AS vec_a, od.vb AS vec_b,
+       CAST(od.d2_orig AS BIGINT) AS d2_orig,
+       CAST(pd.d2_proj AS BIGINT) AS d2_proj,
+       CAST(pd.d2_proj AS DOUBLE) / {_JL_K} / NULLIF(od.d2_orig, 0)
+         AS distortion_ratio
+FROM od JOIN pd ON pd.va = od.va AND pd.vb = od.vb
+ORDER BY vec_a, vec_b
+""".format(
+        h=__import__(
+            "calaveras_uniteus_etl_spark.functions.hashing",
+            fromlist=["duckdb_md5_long_sql"],
+        ).duckdb_md5_long_sql(
+            "'jl:' || CAST(dim AS VARCHAR) || ':' || CAST(j AS VARCHAR)"
+        )
+    ),
+    doc=f"JL/Achlioptas ±1 projection 64→{_JL_K} as a relational "
+    "matrix multiply (explode → broadcast sign join → group), exact "
+    "BIGINT projections from quantized embeddings, pairwise "
+    "distance-distortion audit on the probe set (ratio ≈ 1).",
+)
+def x76_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calaveras_uniteus_etl_spark.functions.hashing import md5_long
+
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _N_QUERY)
+    q = e.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> cast(floor(cast(x as double) * {_JL_QSCALE}) as bigint))"
+        ).alias("qv"),
+    )
+    flat = q.select("vec_id", F.posexplode("qv").alias("dim", "val"))
+    dims = spark.range(sim.EMBED_DIM).select(F.col("id").cast("int").alias("dim"))
+    js = spark.range(_JL_K).select(F.col("id").cast("int").alias("j"))
+    r = (
+        dims.crossJoin(js)  # 64×16 constant matrix — broadcast by size
+        .withColumn(
+            "sign",
+            1
+            - 2
+            * F.pmod(
+                md5_long(
+                    F.concat(
+                        F.lit("jl:"),
+                        F.col("dim").cast("string"),
+                        F.lit(":"),
+                        F.col("j").cast("string"),
+                    )
+                ),
+                F.lit(2),
+            ),
+        )
+    )
+    proj = (
+        flat.join(F.broadcast(r), "dim")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("val") * F.col("sign")).cast("bigint").alias("p"))
+    )
+    a, b = proj.alias("a"), proj.alias("b")
+    pd_ = (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
+        .agg(
+            F.sum((F.col("a.p") - F.col("b.p")) * (F.col("a.p") - F.col("b.p")))
+            .alias("d2_proj")
+        )
+    )
+    fa, fb = flat.alias("fa"), flat.alias("fb")
+    od = (
+        fa.join(
+            fb,
+            (F.col("fa.dim") == F.col("fb.dim"))
+            & (F.col("fa.vec_id") < F.col("fb.vec_id")),
+        )
+        .groupBy(F.col("fa.vec_id").alias("va"), F.col("fb.vec_id").alias("vb"))
+        .agg(
+            F.sum(
+                (F.col("fa.val") - F.col("fb.val"))
+                * (F.col("fa.val") - F.col("fb.val"))
+            ).alias("d2_orig")
+        )
+    )
+    return (
+        od.join(pd_, ["va", "vb"])
+        .select(
+            F.col("va").alias("vec_a"),
+            F.col("vb").alias("vec_b"),
+            F.col("d2_orig").cast("bigint"),
+            F.col("d2_proj").cast("bigint"),
+            (
+                F.col("d2_proj").cast("double")
+                / _JL_K
+                / F.nullif(F.col("d2_orig"), F.lit(0))
+            ).alias("distortion_ratio"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )
