@@ -126,6 +126,7 @@ _NEW_THIS_ROUND: list[str] = [
     "x75_ares_sample",
     "c10_cdc_apply",
     "x76_jl_projection_audit",
+    "x77_cluster_labels",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 (union = 129) sit in

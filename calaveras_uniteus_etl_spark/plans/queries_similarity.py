@@ -1715,3 +1715,129 @@ def x76_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_a", "vec_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# X77 — cluster labeling (c-TF-IDF top terms per embedding cluster)
+#
+# Clusters are only useful to a curator once they are EXPLAINED: join
+# the embedding-space partition (the IVF/k-means assignment, x13) back
+# to the documents (vec_id = doc_id in the synthetic star) and label
+# every cluster with its most distinctive terms — class-based TF-IDF
+# (BERTopic's c-TF-IDF): term frequency within the cluster × ln of
+# inverse cluster-frequency. Cross-modal: the only query that joins
+# the embeddings table to document text.
+#
+# Determinism: x12's conventions — the score rounds to 6dp before
+# ranking (ln agrees to 1 ulp, rounding collapses it), ties break on
+# the term. Scale shape: assignment is a broadcast of 16 centroids;
+# tokens shuffle once on (cid, term) with map-side combine; the
+# cluster-df relation is vocabulary-sized and broadcast back.
+# ---------------------------------------------------------------------------
+
+_X77_TOPK = 3
+
+
+@register(
+    "x77_cluster_labels",
+    oracle=f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS c FROM embeddings
+  WHERE vec_id < {_N_CENTROIDS}
+), assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, cents.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_DUCK_COS_RAW.format(a="e.embedding", b="cents.c")} DESC, cents.cid) AS rn
+    FROM embeddings e CROSS JOIN cents
+  ) WHERE rn = 1
+), toks AS (
+  SELECT doc_id, unnest(string_split(
+           lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS term
+  FROM documents
+), ctf AS (
+  SELECT a.cid, t.term, COUNT(*) AS tf
+  FROM toks t JOIN assign a ON a.vec_id = t.doc_id
+  WHERE t.term <> ''
+  GROUP BY a.cid, t.term
+), cdf AS (
+  SELECT term, COUNT(*) AS df FROM ctf GROUP BY term
+), scored AS (
+  SELECT ctf.cid, ctf.term, ctf.tf, cdf.df,
+         ROUND(ctf.tf * ln(CAST({_N_CENTROIDS} AS DOUBLE) / cdf.df), 6)
+           AS ctfidf
+  FROM ctf JOIN cdf USING (term)
+)
+SELECT cid, term, tf, df, ctfidf FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY cid
+                               ORDER BY ctfidf DESC, term) AS rn
+  FROM scored
+) WHERE rn <= {_X77_TOPK}
+ORDER BY cid, ctfidf DESC, term
+""",
+    doc=f"Cluster labeling: c-TF-IDF top-{_X77_TOPK} terms per "
+    "embedding cluster (tf-in-cluster x ln(K/cluster-df), 6dp-rounded "
+    "rank, term tiebreak) — the cross-modal explain step after "
+    "k-means/IVF partitioning.",
+)
+def x77_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select(
+            "vec_id",
+            "embedding",
+            F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        )
+    )
+    cents = e.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c"),
+        F.col("nrm").alias("cn"),
+    )
+    cos_raw = _dot(F.col("embedding"), F.col("c")) / F.nullif(
+        F.col("nrm") * F.col("cn"), F.lit(0.0)
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cc"), F.asc("cid")
+    )
+    assign = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cid", cos_raw.alias("cc"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.split(
+                    F.expr(r"lower(regexp_replace(trim(text), '\\s+', ' '))"), " "
+                )
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    ctf = (
+        toks.join(assign, toks.doc_id == assign.vec_id)
+        .groupBy("cid", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    cdf = ctf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = ctf.join(F.broadcast(cdf), "term").select(
+        "cid",
+        "term",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(_N_CENTROIDS)) / F.col("df")), 6
+        ).alias("ctfidf"),
+    )
+    w = Window.partitionBy("cid").orderBy(F.desc("ctfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _X77_TOPK)
+        .select("cid", "term", "tf", "df", "ctfidf")
+        .orderBy("cid", F.desc("ctfidf"), "term")
+    )
