@@ -127,6 +127,8 @@ _NEW_THIS_ROUND: list[str] = [
     "c10_cdc_apply",
     "x76_jl_projection_audit",
     "x77_cluster_labels",
+    "x79_source_entropy",
+    "x80_heaps_law_curve",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 (union = 129) sit in

@@ -2592,3 +2592,190 @@ def x75_ares_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "rank", "doc_id", "n_chars", "key_pico")
         .orderBy("source", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# X79 — per-source token entropy / perplexity (corpus diversity audit)
+#
+# The mixture-design question x28 weights answer: how DIVERSE is each
+# source's token distribution? Shannon entropy H = −Σ p·ln p over the
+# source's unigram distribution, surfaced with vocab size, TTR, and
+# perplexity e^H. Summing ln-terms in floating point is reduction-
+# order poison, so the x25/x58 micro-nat contract applies: each
+# term's −ln(cnt/total) quantizes to an integer micro-nat, the
+# per-source sum is Σ cnt·q — exact BIGINT — and only the final
+# normalization divides identical operands. Perplexity rounds to 4dp
+# (exp agrees to 1 ulp; rounding collapses it).
+#
+# Scale shape: one (source, term) shuffle with map-side combine; the
+# per-source totals join is |sources| rows, broadcast.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x79_source_entropy",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, unnest(string_split({NORM_DUCK.format(col="text")}, ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT source, term, COUNT(*) AS cnt FROM toks
+  WHERE term <> '' GROUP BY source, term
+), tot AS (
+  SELECT source, CAST(SUM(cnt) AS BIGINT) AS total FROM tf GROUP BY source
+), q AS (
+  SELECT tf.source, tf.cnt,
+         CAST(round(-ln(CAST(tf.cnt AS DOUBLE) / tot.total) * 1000000)
+              AS BIGINT) AS q_micro
+  FROM tf JOIN tot USING (source)
+)
+SELECT q.source AS source,
+       MAX(tot.total) AS n_tokens,
+       COUNT(*) AS vocab_size,
+       CAST(COUNT(*) AS DOUBLE) / MAX(tot.total) AS type_token_ratio,
+       CAST(SUM(q.cnt * q.q_micro) AS DOUBLE) / (1000000.0 * MAX(tot.total))
+         AS entropy_nats,
+       ROUND(exp(CAST(SUM(q.cnt * q.q_micro) AS DOUBLE)
+                 / (1000000.0 * MAX(tot.total))), 4) AS perplexity
+FROM q JOIN tot USING (source)
+GROUP BY q.source
+ORDER BY q.source
+""",
+    doc="Per-source Shannon entropy of the unigram distribution "
+    "(micro-nat integer contract: exact BIGINT Σ cnt·q), vocab size, "
+    "type-token ratio, and 4dp perplexity — the diversity signal "
+    "behind mixture weighting.",
+)
+def x79_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "source",
+            F.explode(
+                F.expr(f"split({NORM_SPARK.format(col='text')}, ' ')")
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy("source", "term").agg(F.count("*").alias("cnt"))
+    tot = tf.groupBy("source").agg(F.sum("cnt").cast("bigint").alias("total"))
+    q = tf.join(F.broadcast(tot), "source").select(
+        "source",
+        "cnt",
+        F.round(-F.log(F.col("cnt").cast("double") / F.col("total")) * 1e6)
+        .cast("bigint")
+        .alias("q_micro"),
+    )
+    ent = F.sum(F.col("cnt") * F.col("q_micro")).cast("double") / (
+        1e6 * F.max("total")
+    )
+    return (
+        q.join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(
+            F.max("total").alias("n_tokens"),
+            F.count("*").alias("vocab_size"),
+            (F.count("*").cast("double") / F.max("total")).alias(
+                "type_token_ratio"
+            ),
+            ent.alias("entropy_nats"),
+            F.round(F.exp(ent), 4).alias("perplexity"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X80 — Heaps-law vocabulary growth curve (vocab vs corpus size)
+#
+# The tokenizer/vocab-sizing audit: how fast does the vocabulary grow
+# as the corpus grows? Scan the corpus in ingest order (doc_id),
+# checkpoint at every decile, report cumulative docs/tokens/distinct
+# terms. Relationally: a term contributes to the vocabulary at its
+# FIRST doc (min doc_id) — one aggregate — then both tokens and
+# first-occurrences histogram into doc-id deciles and cumulative-sum
+# over a 10-row relation (window over a constant-size grain, scale-
+# free). All integers.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x80_heaps_law_curve",
+    oracle=f"""
+WITH n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), toks AS (
+  SELECT doc_id, unnest(string_split({NORM_DUCK.format(col="text")}, ' ')) AS term
+  FROM documents
+), tok_b AS (
+  SELECT LEAST(9, CAST(floor(doc_id * 10 / n.n_docs) AS INT)) AS decile,
+         COUNT(*) AS n_tokens
+  FROM toks CROSS JOIN n WHERE term <> '' GROUP BY 1
+), firsts AS (
+  SELECT term, MIN(doc_id) AS first_doc FROM toks WHERE term <> '' GROUP BY term
+), voc_b AS (
+  SELECT LEAST(9, CAST(floor(first_doc * 10 / n.n_docs) AS INT)) AS decile,
+         COUNT(*) AS new_terms
+  FROM firsts CROSS JOIN n GROUP BY 1
+), doc_b AS (
+  SELECT LEAST(9, CAST(floor(doc_id * 10 / n.n_docs) AS INT)) AS decile,
+         COUNT(*) AS n_docs
+  FROM documents CROSS JOIN n GROUP BY 1
+)
+SELECT d.decile AS decile,
+       CAST(SUM(d.n_docs) OVER w AS BIGINT) AS docs_cum,
+       CAST(SUM(COALESCE(t.n_tokens, 0)) OVER w AS BIGINT) AS tokens_cum,
+       CAST(SUM(COALESCE(v.new_terms, 0)) OVER w AS BIGINT) AS vocab_cum
+FROM doc_b d
+LEFT JOIN tok_b t ON t.decile = d.decile
+LEFT JOIN voc_b v ON v.decile = d.decile
+WINDOW w AS (ORDER BY d.decile ROWS UNBOUNDED PRECEDING)
+ORDER BY decile
+""",
+    doc="Heaps-law audit: cumulative docs/tokens/vocabulary at corpus "
+    "deciles in ingest order — term joins the vocab at its min doc_id; "
+    "the only window runs over the 10-row decile grain.",
+)
+def x80_heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar job, x25's accepted pattern
+    dec = lambda c: F.least(F.lit(9), (c * 10 / n_docs).cast("int"))  # noqa: E731
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(f"split({NORM_SPARK.format(col='text')}, ' ')")
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    tok_b = toks.groupBy(dec(F.col("doc_id")).alias("decile")).agg(
+        F.count("*").alias("n_tokens")
+    )
+    voc_b = (
+        toks.groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(dec(F.col("first_doc")).alias("decile"))
+        .agg(F.count("*").alias("new_terms"))
+    )
+    doc_b = d.groupBy(dec(F.col("doc_id")).alias("decile")).agg(
+        F.count("*").alias("n_docs")
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        doc_b.join(tok_b, "decile", "left")
+        .join(voc_b, "decile", "left")
+        .select(
+            "decile",
+            F.sum("n_docs").over(w).cast("bigint").alias("docs_cum"),
+            F.sum(F.coalesce("n_tokens", F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("tokens_cum"),
+            F.sum(F.coalesce("new_terms", F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("vocab_cum"),
+        )
+        .orderBy("decile")
+    )
