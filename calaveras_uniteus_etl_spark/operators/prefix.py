@@ -21,11 +21,13 @@ stays parallel at any scale:
    shuffle partition — turned into exclusive prefix offsets with a
    window over that tiny relation, then **broadcast** back and added.
 
-The rollup branch recomputes the scan + range shuffle (Catalyst prunes
-the window out of it, but does not reuse the exchange across the
-branches): a deliberate 2× constant on the cheap side of the plan in
-exchange for zero data-sized caching/lineage-truncation — both
-branches stay independently recomputable on executor loss.
+The ranged relation is materialized once (eager ``localCheckpoint``)
+before partition ids are read: both the rollup branch and the output
+branch then consume the same physical blocks. This is load-bearing —
+re-executing the range exchange per branch is NOT safe, because
+``RangePartitioner`` samples with an RDD-id-derived seed, so two
+executions can draw different boundaries and assign boundary-adjacent
+rows different partition ids, silently corrupting the offset join.
 
 The result is bit-exact equal to the global window for integer and
 DECIMAL sums (both are associative/exact); for float sums the
@@ -87,8 +89,21 @@ def prefix_rank(
     n = partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    part = df.repartitionByRange(n, *order).withColumn(
-        _PID, F.spark_partition_id()
+    # The ranged relation is PINNED (eager localCheckpoint) before the
+    # pid is read: the offsets branch below re-reads the same blocks as
+    # the output branch, so partition ids agree BY CONSTRUCTION.
+    # Without the pin, the two branches may each re-execute the range
+    # exchange, and RangePartitioner's sampled boundaries are not
+    # stable across executions (the sample seed derives from the RDD
+    # id) — rows near a boundary can land in different pids per branch
+    # and the offset join silently mis-adds (observed intermittently
+    # at sf0.1 under a vanilla 200-partition session). One data-sized
+    # materialization is the price of multi-consumer determinism —
+    # the same trade x14's label-propagation loop makes per round.
+    part = (
+        df.repartitionByRange(n, *order)
+        .localCheckpoint(eager=True)
+        .withColumn(_PID, F.spark_partition_id())
     )
     w_local = Window.partitionBy(_PID).orderBy(*order)
     local = part.withColumn(_LOCAL_RN, F.row_number().over(w_local))

@@ -99,9 +99,15 @@ _NEVER_CHECKED = [
     "x54_shard_balance",
 ]
 
-# Round-4 additions with no driver evidence yet: they queue directly
-# behind the backlog above so they enter the check window as soon as
-# the backlog drains (round 5+). Update when registering new queries.
+# Additions with no driver evidence yet (x64–x69 landed late in round
+# 3; the rest are round 4's additions): they queue directly behind the
+# backlog above so they enter the check window as the backlog drains.
+# Round-5 rotation: CORRECTNESS_r04 will witness the first 50 names of
+# _NEVER_CHECKED — delete those from the list, promote the 5 spill
+# entries plus everything below into the front block, and the ~26
+# still-unwitnessed names fit inside round 5's single 50-entry window.
+# Every entry here is green under tools/driver_check.py and the
+# sf0.001+sf0.01 oracle compares recorded in the round-4 session.
 _NEW_THIS_ROUND: list[str] = [
     "x64_ivfpq_adc",
     "x65_ngram_containment",
