@@ -135,6 +135,9 @@ _NEW_THIS_ROUND: list[str] = [
     "x77_cluster_labels",
     "x79_source_entropy",
     "x80_heaps_law_curve",
+    "f33_ab_test",
+    "h26_above_avg_orders",
+    "x81_source_kl",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 (union = 129) sit in

@@ -2947,3 +2947,134 @@ def m6_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for chk in checks[1:]:
         out = out.unionAll(chk)
     return out.orderBy("constraint_name")
+
+
+# ---------------------------------------------------------------------------
+# F33 — A/B experiment readout (two-proportion z-test)
+#
+# The statistical-testing family: users hash into arms A/B (md5 —
+# x15's split convention), success = the user ever purchased; the
+# readout is each arm's conversion and the two-proportion z-score
+# under the pooled rate. Counts are exact integers; the z formula is
+# sqrt/division over identical doubles in both engines, and the score
+# is 6dp-rounded (the one libm sqrt agrees to 1 ulp; rounding
+# collapses it). One events scan, one per-user aggregate, a 2-row arm
+# rollup, and a 1-row final join — scale-free beyond the first scan.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f33_ab_test",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), per_user AS (
+  SELECT user_id,
+         CASE WHEN {h} % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         MAX(CASE WHEN event_type = 'purchase' AND rn <= 5
+                  THEN 1 ELSE 0 END) AS converted
+  FROM ordered GROUP BY user_id
+), arms AS (
+  SELECT arm, COUNT(*) AS n_users,
+         CAST(SUM(converted) AS BIGINT) AS conversions,
+         CAST(SUM(converted) AS DOUBLE) / COUNT(*) AS conv_rate
+  FROM per_user GROUP BY arm
+), z AS (
+  SELECT a.conv_rate - b.conv_rate AS diff,
+         (a.conversions + b.conversions)
+           / CAST(a.n_users + b.n_users AS DOUBLE) AS pooled,
+         a.n_users AS na, b.n_users AS nb
+  FROM (SELECT * FROM arms WHERE arm = 'A') a
+  CROSS JOIN (SELECT * FROM arms WHERE arm = 'B') b
+)
+SELECT arms.arm AS arm, arms.n_users, arms.conversions, arms.conv_rate,
+       ROUND(z.diff / NULLIF(sqrt(z.pooled * (1 - z.pooled)
+                                  * (1.0 / z.na + 1.0 / z.nb)), 0), 6)
+         AS z_score
+FROM arms CROSS JOIN z
+ORDER BY arm
+""".format(
+        h=__import__(
+            "calaveras_uniteus_etl_spark.functions.hashing",
+            fromlist=["duckdb_md5_long_sql"],
+        ).duckdb_md5_long_sql("'ab:' || CAST(user_id AS VARCHAR)")
+    ),
+    doc="Two-proportion z-test readout: md5 arm assignment, per-arm "
+    "activation (purchase within the user's first 5 events — a "
+    "variance-rich success metric), pooled-rate z-score 6dp-rounded, "
+    "NULL on a degenerate pooled rate — the experimentation primitive "
+    "over the events stream.",
+)
+def f33_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calaveras_uniteus_etl_spark.functions.hashing import md5_long
+
+    e = table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    per_user = (
+        e.withColumn("rn", F.row_number().over(w_first))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("rn") <= 5), 1
+                ).otherwise(0)
+            ).alias("converted")
+        )
+        .withColumn(
+            "arm",
+            F.when(
+                F.pmod(
+                    md5_long(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))),
+                    F.lit(2),
+                )
+                == 0,
+                "A",
+            ).otherwise("B"),
+        )
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("conversions"),
+        (F.sum("converted").cast("double") / F.count("*")).alias("conv_rate"),
+    )
+    a = arms.filter(F.col("arm") == "A").select(
+        F.col("conv_rate").alias("ra"),
+        F.col("conversions").alias("ca"),
+        F.col("n_users").alias("na"),
+    )
+    b = arms.filter(F.col("arm") == "B").select(
+        F.col("conv_rate").alias("rb"),
+        F.col("conversions").alias("cb"),
+        F.col("n_users").alias("nb"),
+    )
+    z = (
+        a.crossJoin(b)  # 1-row × 1-row scalars
+        .select(
+            (F.col("ra") - F.col("rb")).alias("diff"),
+            (
+                (F.col("ca") + F.col("cb"))
+                / (F.col("na") + F.col("nb")).cast("double")
+            ).alias("pooled"),
+            "na",
+            "nb",
+        )
+        .select(
+            F.round(
+                F.col("diff")
+                / F.nullif(  # degenerate pooled rate (0 or 1) -> NULL z
+                    F.sqrt(
+                        F.col("pooled")
+                        * (1 - F.col("pooled"))
+                        * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("z_score")
+        )
+    )
+    return arms.crossJoin(F.broadcast(z)).select(
+        "arm", "n_users", "conversions", "conv_rate", "z_score"
+    ).orderBy("arm")

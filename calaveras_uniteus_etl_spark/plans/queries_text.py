@@ -2779,3 +2779,113 @@ def x80_heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# X81 — per-source KL divergence from the corpus distribution
+#
+# x79 measures each source's internal diversity; THIS measures how far
+# each source's unigram distribution sits from the corpus-wide one —
+# KL(P_src ‖ P_corpus) = Σ p·ln(p/q), the domain-relevance signal DSIR
+# (x31) scores documents with, here at source grain for mixture
+# design. Terms the corpus has but the source lacks contribute 0
+# (p = 0); every source term exists in the corpus by construction, so
+# q > 0 and the ratio is always finite.
+#
+# Determinism: the x25/x58/x79 micro-nat contract — per-term
+# ln((cnt_src·total_corpus)/(cnt_corpus·total_src)) quantizes to an
+# integer micro-nat (the argument is a division of identical exact
+# doubles; products stay < 2^53), the per-source sum is exact BIGINT
+# Σ cnt·q, and the final normalization divides identical operands.
+# Scale shape: one (source, term) aggregate, one term aggregate, a
+# broadcast join of the (vocab-sized) corpus counts onto the source
+# counts, one rollup.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x81_source_kl",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, unnest(string_split({NORM_DUCK.format(col="text")}, ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT source, term, COUNT(*) AS cnt FROM toks
+  WHERE term <> '' GROUP BY source, term
+), corpus AS (
+  SELECT term, CAST(SUM(cnt) AS BIGINT) AS ccnt FROM tf GROUP BY term
+), tot AS (
+  SELECT source, CAST(SUM(cnt) AS BIGINT) AS total FROM tf GROUP BY source
+), grand AS (
+  SELECT CAST(SUM(ccnt) AS BIGINT) AS g FROM corpus
+), q AS (
+  SELECT tf.source, tf.cnt,
+         CAST(round(ln((CAST(tf.cnt AS DOUBLE) * grand.g)
+                       / (CAST(corpus.ccnt AS DOUBLE) * tot.total)) * 1000000)
+              AS BIGINT) AS q_micro
+  FROM tf
+  JOIN corpus USING (term)
+  JOIN tot USING (source)
+  CROSS JOIN grand
+)
+SELECT q.source AS source,
+       MAX(tot.total) AS n_tokens,
+       CAST(SUM(q.cnt * q.q_micro) AS BIGINT) AS kl_micro_sum,
+       CAST(SUM(q.cnt * q.q_micro) AS DOUBLE) / (1000000.0 * MAX(tot.total))
+         AS kl_nats
+FROM q JOIN tot USING (source)
+GROUP BY q.source
+ORDER BY q.source
+""",
+    doc="KL(source ‖ corpus) over unigram distributions under the "
+    "micro-nat integer contract (exact BIGINT Σ cnt·q) — the source-"
+    "grain domain-relevance divergence behind mixture design.",
+)
+def x81_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "source",
+            F.explode(
+                F.expr(f"split({NORM_SPARK.format(col='text')}, ' ')")
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy("source", "term").agg(F.count("*").alias("cnt"))
+    corpus = tf.groupBy("term").agg(F.sum("cnt").cast("bigint").alias("ccnt"))
+    tot = tf.groupBy("source").agg(F.sum("cnt").cast("bigint").alias("total"))
+    grand = corpus.agg(F.sum("ccnt").cast("bigint").alias("g"))
+    q = (
+        tf.join(F.broadcast(corpus), "term")
+        .join(F.broadcast(tot), "source")
+        .crossJoin(F.broadcast(grand))  # 1-row scalar
+        .select(
+            "source",
+            "cnt",
+            F.round(
+                F.log(
+                    (F.col("cnt").cast("double") * F.col("g"))
+                    / (F.col("ccnt").cast("double") * F.col("total"))
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("q_micro"),
+        )
+    )
+    return (
+        q.join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(
+            F.max("total").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("q_micro"))
+            .cast("bigint")
+            .alias("kl_micro_sum"),
+            (
+                F.sum(F.col("cnt") * F.col("q_micro")).cast("double")
+                / (1e6 * F.max("total"))
+            ).alias("kl_nats"),
+        )
+        .orderBy("source")
+    )

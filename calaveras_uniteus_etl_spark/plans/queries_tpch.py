@@ -876,3 +876,64 @@ def h25_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("supplier")
     )
+
+
+# ---------------------------------------------------------------------------
+# H26 — correlated scalar subquery, decorrelated
+#
+# The classic "rows above their own group's average" shape — in SQL a
+# correlated scalar subquery per row; every serious optimizer
+# decorrelates it into one aggregate + join, and that is how it is
+# written here (window-avg over the customer partition, then filter).
+# Exactness: the per-customer average is exact-decimal sum ÷ count
+# (plans/_exact.py contract); the comparison is decimal-vs-double-free
+# (both sides exact decimals scaled identically).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "h26_above_avg_orders",
+    oracle="""
+WITH stats AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+           AS s,
+         COUNT(*) AS n
+  FROM orders GROUP BY o_custkey
+)
+SELECT o.o_custkey AS custkey,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN CAST(o.o_totalprice AS DECIMAL(12,2)) * st.n
+                          > st.s THEN 1 ELSE 0 END) AS BIGINT)
+         AS above_avg_orders
+FROM orders o JOIN stats st ON st.o_custkey = o.o_custkey
+WHERE st.n >= 10
+GROUP BY o.o_custkey
+ORDER BY custkey
+""",
+    doc="Correlated scalar subquery decorrelated: orders priced above "
+    "their own customer's average (price*n > sum avoids any division "
+    "— pure exact-decimal integer-scaled comparison), per-customer "
+    "counts for customers with >=10 orders.",
+)
+def h26_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_totalprice").cast("decimal(12,2)").alias("p")
+    )
+    w = Window.partitionBy("o_custkey")
+    stats = o.withColumn("s", F.sum("p").over(w).cast("decimal(38,2)")).withColumn(
+        "n", F.count("*").over(w)
+    )
+    return (
+        stats.filter(F.col("n") >= 10)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(
+                F.when(F.col("p") * F.col("n") > F.col("s"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("above_avg_orders"),
+        )
+        .orderBy("custkey")
+    )
