@@ -138,6 +138,13 @@ _NEW_THIS_ROUND: list[str] = [
     "f33_ab_test",
     "h26_above_avg_orders",
     "x81_source_kl",
+    "f34_chi_square",
+    "f35_gini_revenue",
+    "e14_entity_resolution",
+    "e15_basket_lift",
+    "g11_anomaly_flags",
+    "x82_ks_test",
+    "x83_adamic_adar",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 (union = 129) sit in

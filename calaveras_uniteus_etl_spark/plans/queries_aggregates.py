@@ -3078,3 +3078,257 @@ def f33_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return arms.crossJoin(F.broadcast(z)).select(
         "arm", "n_users", "conversions", "conv_rate", "z_score"
     ).orderBy("arm")
+
+
+# ---------------------------------------------------------------------------
+# F34 — chi-square independence test (lang × source contingency)
+#
+# Is document language independent of ingest source? Pearson χ² over
+# the full R×C contingency grid — including the zero-observed cells,
+# which still contribute their expected mass (the classic bug in
+# groupBy-only implementations is dropping them). Observed counts and
+# marginals are exact BIGINTs; each cell's expected value is one IEEE
+# division of exact ints, the (O−E)²/E contribution is two more IEEE
+# ops on identical doubles, and the cross-cell sum goes through the
+# 6dp-decimal quantize-then-exact-sum trick (plans/_exact.py) so the
+# order-dependent double summation never happens. Scale shape: one
+# documents scan fans into three tiny aggregates (cells, row totals,
+# col totals — all bounded by |langs|×|sources|, a constant); the grid
+# completion is a broadcast cross join of two dim-sized distinct
+# lists. Reference analogue: demographic crosstab reports
+# (core/reports/handlers.py crosstab family).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f34_chi_square",
+    oracle="""
+WITH obs AS (
+  SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY lang, source
+), rows_t AS (
+  SELECT lang, COUNT(*) AS rt FROM documents GROUP BY lang
+), cols_t AS (
+  SELECT source, COUNT(*) AS ct FROM documents GROUP BY source
+), n AS (
+  SELECT COUNT(*) AS n FROM documents
+), grid AS (
+  SELECT r.lang, c.source, r.rt, c.ct,
+         COALESCE(o.o, 0) AS o,
+         CAST(r.rt * c.ct AS DOUBLE) / (SELECT n FROM n) AS e
+  FROM rows_t r
+  CROSS JOIN cols_t c
+  LEFT JOIN obs o ON o.lang = r.lang AND o.source = c.source
+)
+SELECT (SELECT n FROM n) AS n_docs,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST((COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1)
+            AS BIGINT) AS dof,
+       CAST(SUM(CAST(ROUND((o - e) * (o - e) / e, 6) AS DECIMAL(38,6)))
+            AS DOUBLE) AS chi2
+FROM grid
+""",
+    doc="Pearson chi-square independence of lang × source: full-grid "
+    "contingency (zero cells included via dim cross join), exact "
+    "integer marginals, per-cell (O-E)^2/E on identical IEEE doubles, "
+    "6dp-decimal exact cross-cell sum.",
+)
+def f34_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    obs = d.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    rows_t = d.groupBy("lang").agg(F.count("*").alias("rt"))
+    cols_t = d.groupBy("source").agg(F.count("*").alias("ct"))
+    n = d.agg(F.count("*").alias("n"))
+    # Full R×C grid: both marginals are constant-sized dims -> the
+    # cross join and both joins below are broadcast by construction.
+    grid = (
+        rows_t.crossJoin(F.broadcast(cols_t))
+        .join(F.broadcast(obs), ["lang", "source"], "left")
+        .crossJoin(F.broadcast(n))  # 1-row scalar
+        .select(
+            "lang",
+            "source",
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+            ((F.col("rt") * F.col("ct")).cast("double") / F.col("n")).alias("e"),
+            "n",
+        )
+    )
+    contrib = (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
+    return grid.agg(
+        F.max("n").alias("n_docs"),
+        F.count_distinct("lang").cast("bigint").alias("n_langs"),
+        F.count_distinct("source").cast("bigint").alias("n_sources"),
+        (
+            (F.count_distinct("lang") - 1) * (F.count_distinct("source") - 1)
+        ).cast("bigint").alias("dof"),
+        F.sum(F.round(contrib, 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F35 — Gini coefficient of revenue concentration
+#
+# The single-number companion to f29's Pareto table: Gini over
+# per-customer revenue via the rank formula on ascending order,
+# G = 2·Σ(i·x_i) / (n·Σx_i) − (n+1)/n. The per-customer relation is
+# data-sized, so the global rank comes from the two-phase prefix
+# operator (operators/prefix.py) — range repartition, partition-local
+# row_number, broadcast offsets — never a single-partition window.
+# Arithmetic: cents are BIGINT, the rank-weighted sum Σ(i·x_i) runs in
+# DECIMAL(38,0) (exact at any scale; BIGINT would overflow ~10⁶
+# customers × 10⁹ cents × 10⁶ rank), and the final two divisions are
+# IEEE ops on identically-rounded decimal→double casts, 9dp-rounded.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f35_gini_revenue",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS rev
+  FROM orders GROUP BY o_custkey
+), cents AS (
+  SELECT o_custkey, rev,
+         CAST(ROUND(rev * 100) AS BIGINT) AS cents
+  FROM per_cust
+), ranked AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS DECIMAL(38,0))
+           AS rn,
+         cents
+  FROM cents
+), sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(cents) AS DECIMAL(38,0)) AS total_cents,
+         CAST(SUM(rn * cents) AS DECIMAL(38,0)) AS weighted
+  FROM ranked
+)
+SELECT n_customers,
+       CAST(total_cents AS DOUBLE) / 100 AS total_revenue,
+       ROUND(CAST(2 * weighted AS DOUBLE)
+               / CAST(n_customers * total_cents AS DOUBLE)
+             - CAST(n_customers + 1 AS DOUBLE) / n_customers, 9) AS gini
+FROM sums
+""",
+    doc="Gini coefficient of per-customer revenue: ascending global "
+    "rank from the distributed prefix operator, DECIMAL(38,0) "
+    "rank-weighted sum, G = 2*sum(i*x)/(n*sum(x)) - (n+1)/n with "
+    "9dp-rounded IEEE divisions over exact operands.",
+)
+def f35_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("decimal(38,2)")
+        .alias("rev")
+    )
+    cents = per_cust.withColumn(
+        "cents", F.round(F.col("rev") * 100).cast("bigint")
+    )
+    ranked = prefix_rank(
+        cents,
+        [F.asc("rev"), F.asc("o_custkey")],
+        rn_col="rn",
+    ).select(F.col("rn").cast("decimal(38,0)").alias("rn"), "cents")
+    sums = ranked.agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("decimal(38,0)").alias("total_cents"),
+        F.sum(F.col("rn") * F.col("cents")).cast("decimal(38,0)")
+        .alias("weighted"),
+    )
+    return sums.select(
+        "n_customers",
+        (F.col("total_cents").cast("double") / 100).alias("total_revenue"),
+        F.round(
+            (F.lit(2) * F.col("weighted")).cast("double")
+            / (F.col("n_customers") * F.col("total_cents")).cast("double")
+            - (F.col("n_customers") + 1).cast("double") / F.col("n_customers"),
+            9,
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# G11 — robust anomaly flags (median/MAD z-scores on daily series)
+#
+# Ops-monitoring primitive: which (event_type, day) counts are
+# anomalous relative to that type's own distribution? Mean/stddev
+# break under the very outliers being hunted, so the score is the
+# robust z: (x − median) / (1.4826·MAD). Exact medians — Spark's
+# `percentile` and DuckDB's `median` both interpolate the middle pair,
+# and on integer counts that midpoint is an exact binary fraction, so
+# the doubles agree bitwise; MAD repeats the trick on |x − med| (exact
+# halves). Scale shape: the daily grid is date×type-grain (bounded,
+# never data-sized), per-type medians are a dim-sized aggregate
+# broadcast back, and the top-20 readout compiles to
+# TakeOrderedAndProject. No window over a data-sized relation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g11_anomaly_flags",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+), med AS (
+  SELECT event_type, median(cnt) AS med FROM daily GROUP BY event_type
+), dev AS (
+  SELECT d.event_type, d.day, d.cnt, m.med,
+         ABS(d.cnt - m.med) AS adev
+  FROM daily d JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+), scored AS (
+  SELECT d.event_type, d.day, d.cnt, d.med, m.mad,
+         ROUND((d.cnt - d.med) / NULLIF(1.4826 * m.mad, 0), 6) AS robust_z
+  FROM dev d JOIN mad m USING (event_type)
+)
+SELECT event_type, day, cnt, med, mad, robust_z,
+       CASE WHEN ABS(robust_z) > 3 THEN TRUE ELSE FALSE END AS is_anomaly
+FROM scored
+ORDER BY ABS(robust_z) DESC, event_type, day
+LIMIT 20
+""",
+    doc="Robust daily anomaly detection: per-type exact median and "
+    "MAD (both interpolated midpoints of integer counts -> bit-equal "
+    "doubles), robust z = (x-med)/(1.4826*MAD), 3-sigma flag, "
+    "deterministic top-20 by |z|.",
+)
+def g11_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", to_day("ts").alias("day")
+    ).agg(F.count("*").alias("cnt"))
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile(cnt, 0.5)").alias("med")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("cnt") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    scored = dev.join(F.broadcast(mad), "event_type").withColumn(
+        "robust_z",
+        F.round(
+            (F.col("cnt") - F.col("med"))
+            / F.nullif(F.lit(1.4826) * F.col("mad"), F.lit(0.0)),
+            6,
+        ),
+    )
+    return (
+        scored.select(
+            "event_type",
+            "day",
+            "cnt",
+            "med",
+            "mad",
+            "robust_z",
+            (F.abs("robust_z") > 3).alias("is_anomaly"),
+        )
+        .orderBy(F.abs("robust_z").desc(), "event_type", "day")
+        .limit(20)
+    )

@@ -2095,3 +2095,117 @@ def x74_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# X83 — Adamic-Adar link prediction on the near-dup graph
+#
+# Which doc pairs are NOT (yet) near-dup edges but share many
+# near-dup neighbors? The curation use: predicted links surface
+# template families the LSH threshold just missed, and rank which
+# candidate pairs to spot-check first. AA(b,c) = Σ_{z∈N(b)∩N(c)}
+# 1/ln(deg z), computed relationally: undirected neighbor lists,
+# wedges through each shared neighbor z, per-pair sum, existing edges
+# anti-joined out. Hub neighbors are capped (deg ≤ 50): a hub's
+# 1/ln(deg) carries ~no signal and its deg² wedge fanout is the one
+# quadratic risk — the cap bounds per-apex work exactly like x71's
+# degree orientation bounds wedge counting. Tight dup clusters are
+# near-cliques, so pure non-edge predictions can be empty — known
+# edges therefore ride along flagged is_edge=TRUE (AA doubles as an
+# edge-strength re-weighting), with predictions ranked first.
+# Determinism: each wedge
+# contributes ROUND(1e6/ln(deg)) as a BIGINT micro-unit (the 0dp round
+# collapses the 1-ulp libm ln divergence), so per-pair sums are exact
+# integers and the top-50 order is total.
+# ---------------------------------------------------------------------------
+
+_X83_DEG_CAP = 50
+
+
+@register(
+    "x83_adamic_adar",
+    oracle=_DUCK_PAIR_CTES
+    + f""", edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM cand WHERE {_X71_EST} >= {_EST_MIN}
+), und AS (
+  SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+), deg AS (
+  SELECT u AS n, COUNT(*) AS d FROM und GROUP BY u
+), nbr AS (
+  SELECT und.u AS z, und.v AS x, deg.d
+  FROM und JOIN deg ON deg.n = und.u
+  WHERE deg.d BETWEEN 2 AND {_X83_DEG_CAP}
+), wedge AS (
+  SELECT a.z, a.d, a.x AS b, c.x AS c
+  FROM nbr a JOIN nbr c ON a.z = c.z AND a.x < c.x
+), scored AS (
+  SELECT b, c, COUNT(*) AS n_common,
+         CAST(SUM(CAST(ROUND(1000000.0 / LN(d), 0) AS BIGINT)) AS BIGINT)
+           AS micro
+  FROM wedge GROUP BY b, c
+), flagged AS (
+  SELECT s.*, CASE WHEN e.u IS NULL THEN FALSE ELSE TRUE END AS is_edge
+  FROM scored s
+  LEFT JOIN edges e ON e.u = s.b AND e.v = s.c
+)
+SELECT b AS doc_a, c AS doc_b, n_common,
+       CAST(micro AS DOUBLE) / 1000000 AS aa_score, is_edge
+FROM flagged
+ORDER BY is_edge, micro DESC, b, c
+LIMIT 50
+""",
+    doc="Adamic-Adar link prediction over the MinHash-LSH near-dup "
+    "graph: shared-neighbor wedges (hub cap deg<=50 bounds the "
+    "quadratic fanout), 1/ln(deg) in exact micro-units, existing edges "
+    "flagged is_edge, deterministic top-50 with predictions first.",
+)
+def x83_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    est = F.col("nm").cast("double") / dd.MINHASH_K
+    # one materialization of the (small) edge list — three consumers
+    edges = (
+        _lsh_pair_matches(spark, sf_dir)
+        .filter(est >= _EST_MIN)
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    und = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy(F.col("u").alias("n")).agg(F.count("*").alias("d"))
+    nbr = (
+        und.join(deg, und.u == deg.n)
+        .filter(F.col("d").between(2, _X83_DEG_CAP))
+        .select(F.col("u").alias("z"), F.col("v").alias("x"), "d")
+    )
+    a, c = nbr.alias("a"), nbr.alias("c")
+    wedge = a.join(
+        c, (F.col("a.z") == F.col("c.z")) & (F.col("a.x") < F.col("c.x"))
+    ).select(
+        F.col("a.x").alias("b"),
+        F.col("c.x").alias("c"),
+        F.round(F.lit(1000000.0) / F.log(F.col("a.d")), 0)
+        .cast("bigint")
+        .alias("w_micro"),
+    )
+    scored = wedge.groupBy("b", "c").agg(
+        F.count("*").alias("n_common"),
+        F.sum("w_micro").cast("bigint").alias("micro"),
+    )
+    flagged = scored.join(
+        edges,
+        (F.col("u") == F.col("b")) & (F.col("v") == F.col("c")),
+        "left",
+    ).withColumn("is_edge", F.col("u").isNotNull())
+    # predicted (non-edge) links rank first; known edges trail as the
+    # re-weighting readout of existing link strength
+    return (
+        flagged.select(
+            F.col("b").alias("doc_a"),
+            F.col("c").alias("doc_b"),
+            "n_common",
+            (F.col("micro").cast("double") / 1000000).alias("aa_score"),
+            "is_edge",
+        )
+        .orderBy("is_edge", F.col("aa_score").desc(), "doc_a", "doc_b")
+        .limit(50)
+    )

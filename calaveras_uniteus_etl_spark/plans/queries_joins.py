@@ -1163,3 +1163,198 @@ def h12_inactive_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# E14 — blocked fuzzy entity resolution (deletion-neighborhood match)
+#
+# Person/record matching — the reference domain's core linkage problem
+# (households and clients arriving from multiple feeds with typo'd
+# names; cf. core/app.py person-merge surface). Naive fuzzy matching
+# is O(n²); attribute blocking alone (nation) still grows
+# quadratically within blocks. This uses DELETION-NEIGHBORHOOD
+# blocking, the provably-complete candidate generator for edit
+# distance 1: every record emits its name plus each single-character
+# deletion variant; two names within edit distance 1 are GUARANTEED to
+# share a variant, so an equi-join on (nation, variant) finds every
+# true match, and the exact levenshtein filter runs only on bucket
+# collisions. Scale shape: per-record blowup is O(name_length)
+# (bounded), each variant bucket is bounded by alphabet size × block
+# cardinality of identical variants — no quadratic term anywhere; the
+# join shuffles on the variant hash, the final distinct dedups
+# multi-variant collisions of the same pair.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "e14_entity_resolution",
+    oracle="""
+WITH variants AS (
+  SELECT c_custkey, c_nationkey, c_name,
+         substr(c_name, 1, CAST(i AS INTEGER))
+           || substr(c_name, CAST(i AS INTEGER) + 2) AS variant
+  FROM customer, UNNEST(range(0, length(c_name))) AS t(i)
+  UNION ALL
+  SELECT c_custkey, c_nationkey, c_name, c_name AS variant FROM customer
+), pairs AS (
+  SELECT DISTINCT a.c_custkey AS id_a, b.c_custkey AS id_b,
+         a.c_nationkey AS nationkey, a.c_name AS name_a, b.c_name AS name_b
+  FROM variants a
+  JOIN variants b
+    ON a.variant = b.variant
+   AND a.c_nationkey = b.c_nationkey
+   AND a.c_custkey < b.c_custkey
+)
+SELECT id_a, id_b, nationkey,
+       CAST(levenshtein(name_a, name_b) AS INTEGER) AS edit_dist
+FROM pairs
+WHERE levenshtein(name_a, name_b) <= 1
+ORDER BY id_a, id_b
+""",
+    doc="Blocked fuzzy entity resolution: deletion-neighborhood "
+    "candidate generation (complete for edit distance 1), equi-join on "
+    "(nation, variant), exact levenshtein confirm — person-linkage "
+    "without the O(n^2) scan.",
+)
+def e14_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_name"
+    )
+    # name + every single-deletion variant (identity covers pure
+    # insert/delete matches where lengths differ)
+    variants = c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_name",
+        F.explode(
+            F.expr(
+                "array_union("
+                "  transform(sequence(0, length(c_name) - 1),"
+                "    i -> concat(substr(c_name, 1, i), substr(c_name, i + 2))),"
+                "  array(c_name))"
+            )
+        ).alias("variant"),
+    )
+    a = variants.alias("a")
+    b = variants.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.variant") == F.col("b.variant"))
+            & (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("id_a"),
+            F.col("b.c_custkey").alias("id_b"),
+            F.col("a.c_nationkey").alias("nationkey"),
+            F.col("a.c_name").alias("name_a"),
+            F.col("b.c_name").alias("name_b"),
+        )
+        .distinct()  # same pair may collide in several variant buckets
+    )
+    return (
+        pairs.withColumn(
+            "edit_dist", F.levenshtein("name_a", "name_b").cast("int")
+        )
+        .filter(F.col("edit_dist") <= 1)
+        .select("id_a", "id_b", "nationkey", "edit_dist")
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E15 — market-basket pair lift (co-occurrence mining)
+#
+# Which part pairs land in the same order more often than chance? The
+# co-occurrence primitive behind recommender candidates and prompt/
+# response template mining. Pair generation is a per-order self-join
+# over the DISTINCT parts of each order — fanout is bounded by the
+# schema's lines-per-order cap, so pair volume is O(orders), never
+# O(parts²). Per-part order counts are a dim-sized aggregate joined
+# onto the pair relation (broadcast); lift = N·c_ab/(c_a·c_b) is one
+# IEEE division of exact BIGINT products (< 2^53 — identical doubles
+# in both engines), so the deterministic top-100 order
+# (lift DESC, part ids) is stable cross-engine.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "e15_basket_lift",
+    oracle="""
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n AS (
+  SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op
+), part_ct AS (
+  SELECT l_partkey, COUNT(*) AS c FROM op GROUP BY l_partkey
+), pair_ct AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS c_ab
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+)
+SELECT part_a, part_b, c_ab AS pair_orders,
+       ca.c AS orders_a, cb.c AS orders_b,
+       ROUND(CAST((SELECT n_orders FROM n) * c_ab AS DOUBLE)
+             / (ca.c * cb.c), 6) AS lift
+FROM pair_ct
+JOIN part_ct ca ON ca.l_partkey = part_a
+JOIN part_ct cb ON cb.l_partkey = part_b
+WHERE c_ab >= 2
+ORDER BY lift DESC, part_a, part_b
+LIMIT 100
+""",
+    doc="Market-basket pair lift: per-order distinct-part self-join "
+    "(fanout bounded by lines-per-order), pair supports vs per-part "
+    "supports, lift = N*c_ab/(c_a*c_b) as one IEEE division over exact "
+    "ints, deterministic top-100.",
+)
+def e15_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n = op.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    part_ct = op.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    a, b = op.alias("a"), op.alias("b")
+    pair_ct = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= 2)
+    )
+    enriched = (
+        pair_ct.join(
+            F.broadcast(part_ct.select(F.col("l_partkey").alias("part_a"),
+                                       F.col("c").alias("orders_a"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(part_ct.select(F.col("l_partkey").alias("part_b"),
+                                       F.col("c").alias("orders_b"))),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n))  # 1-row scalar
+    )
+    return (
+        enriched.select(
+            "part_a",
+            "part_b",
+            F.col("c_ab").alias("pair_orders"),
+            "orders_a",
+            "orders_b",
+            F.round(
+                (F.col("n_orders") * F.col("c_ab")).cast("double")
+                / (F.col("orders_a") * F.col("orders_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(100)
+    )

@@ -2889,3 +2889,107 @@ def x81_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# X82 — two-sample Kolmogorov–Smirnov test (source length distributions)
+#
+# Did src0's and src1's document-length distributions come from the
+# same generator? D = sup |F̂₀(x) − F̂₁(x)| over the merged support,
+# computed relationally: per-length counts per source, the merged
+# distinct-length domain, cumulative counts, max gap. The cumulation
+# runs over the LENGTH DOMAIN — bounded by the representable document
+# sizes, not by corpus row count — so the single-partition window over
+# it stays dim-sized at any corpus scale (the same argument as f19's
+# day-grain windows; contrast x49, which cumulates over the data-sized
+# doc relation and uses the prefix operator). ECDF values are single
+# divisions of exact ints; D and the scaled statistic
+# K = D·√(n₀n₁/(n₀+n₁)) are IEEE ops on identical doubles, 9/6dp
+# rounded.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x82_ks_test",
+    oracle="""
+WITH two AS (
+  SELECT source, n_chars FROM documents WHERE source IN ('src0', 'src1')
+), per_len AS (
+  SELECT n_chars,
+         SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c0,
+         SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS c1
+  FROM two GROUP BY n_chars
+), totals AS (
+  SELECT SUM(c0) AS n0, SUM(c1) AS n1 FROM per_len
+), ecdf AS (
+  SELECT SUM(c0) OVER (ORDER BY n_chars) AS cum0,
+         SUM(c1) OVER (ORDER BY n_chars) AS cum1
+  FROM per_len
+), gaps AS (
+  SELECT MAX(ABS(CAST(cum0 AS DOUBLE) / (SELECT n0 FROM totals)
+                 - CAST(cum1 AS DOUBLE) / (SELECT n1 FROM totals))) AS d
+  FROM ecdf
+)
+SELECT 'src0' AS source_a, 'src1' AS source_b,
+       CAST((SELECT n0 FROM totals) AS BIGINT) AS n_a,
+       CAST((SELECT n1 FROM totals) AS BIGINT) AS n_b,
+       ROUND(d, 9) AS d_stat,
+       ROUND(d * sqrt(CAST((SELECT n0 FROM totals) AS DOUBLE)
+                      * (SELECT n1 FROM totals)
+                      / ((SELECT n0 FROM totals) + (SELECT n1 FROM totals))),
+             6) AS ks_stat
+FROM gaps
+""",
+    doc="Two-sample Kolmogorov-Smirnov over doc-length ECDFs: "
+    "per-length counts, length-domain cumulation (bounded support, "
+    "dim-sized window), D = max ECDF gap, K = D*sqrt(n0*n1/(n0+n1)) — "
+    "the distribution-shift gate between two ingest sources.",
+)
+def x82_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    two = d.filter(F.col("source").isin("src0", "src1"))
+    per_len = two.groupBy("n_chars").agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0)).alias("c1"),
+    )
+    # length-domain cumulation: support is bounded (document sizes),
+    # so this global window never sees a data-sized relation
+    w = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ecdf = per_len.select(
+        F.sum("c0").over(w).alias("cum0"), F.sum("c1").over(w).alias("cum1")
+    )
+    totals = per_len.agg(
+        F.sum("c0").cast("bigint").alias("n0"),
+        F.sum("c1").cast("bigint").alias("n1"),
+    )
+    gaps = (
+        ecdf.crossJoin(F.broadcast(totals))  # 1-row scalar
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum0").cast("double") / F.col("n0")
+                    - F.col("cum1").cast("double") / F.col("n1")
+                )
+            ).alias("d"),
+            F.max("n0").alias("n0"),
+            F.max("n1").alias("n1"),
+        )
+    )
+    return gaps.select(
+        F.lit("src0").alias("source_a"),
+        F.lit("src1").alias("source_b"),
+        F.col("n0").alias("n_a"),
+        F.col("n1").alias("n_b"),
+        F.round("d", 9).alias("d_stat"),
+        F.round(
+            F.col("d")
+            * F.sqrt(
+                F.col("n0").cast("double")
+                * F.col("n1")
+                / (F.col("n0") + F.col("n1"))
+            ),
+            6,
+        ).alias("ks_stat"),
+    )
