@@ -145,6 +145,9 @@ _NEW_THIS_ROUND: list[str] = [
     "g11_anomaly_flags",
     "x82_ks_test",
     "x83_adamic_adar",
+    "m7_compaction_plan",
+    "f36_dow_seasonality",
+    "g12_rolling_correlation",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 (union = 129) sit in

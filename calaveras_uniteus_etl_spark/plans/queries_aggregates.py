@@ -3332,3 +3332,263 @@ def g11_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs("robust_z").desc(), "event_type", "day")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# M7 — file-compaction planner (offset bin-packing per source)
+#
+# The small-files problem at 100 TB: ingest lands millions of tiny
+# objects; the warehouse wants ~fixed-size shards per source. The
+# planner assigns each document to shard = floor(exclusive_byte_offset
+# / target) within its source — contiguous in (source, doc_id) order,
+# so a later compaction job can stream each shard sequentially. The
+# per-source running offset is the scale trap: a window partitioned by
+# source still funnels each source's full doc list through one task.
+# Instead: ONE global prefix sum over (source, doc_id) order via the
+# distributed prefix operator, minus each source's preceding-sources
+# total — per-source totals are a source-grain aggregate (constant
+# sized), cumulated with a tiny window and broadcast back. Exactly the
+# same bytes, fully parallel at any corpus size. All arithmetic is
+# BIGINT; the readout is shard-grain (bounded by corpus/target).
+# ---------------------------------------------------------------------------
+
+_M7_TARGET = 64_000  # bytes per shard (chars ~ bytes in testdata)
+
+
+@register(
+    "m7_compaction_plan",
+    oracle=f"""
+WITH offs AS (
+  SELECT source, doc_id, n_chars,
+         CAST(COALESCE(SUM(n_chars) OVER (
+            PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS byte_off
+  FROM documents
+)
+SELECT source,
+       CAST(byte_off // {_M7_TARGET} AS BIGINT) AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS shard_bytes,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM offs
+GROUP BY source, shard
+ORDER BY source, shard
+""",
+    doc="Compaction planner: per-source exclusive byte offsets assign "
+    "docs to fixed-size contiguous shards. Offsets come from ONE "
+    "global distributed prefix sum minus broadcast per-source bases — "
+    "no per-source single-task window at any corpus size.",
+)
+def m7_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    # global inclusive prefix over the total (source, doc_id) order
+    g = prefix_rank(
+        d,
+        [F.asc("source"), F.asc("doc_id")],
+        "n_chars",
+        cum_col="g_cum",
+    )
+    # source-grain totals -> preceding-sources base offsets (tiny)
+    per_src = d.groupBy("source").agg(F.sum("n_chars").alias("src_bytes"))
+    w_src = Window.orderBy("source").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bases = per_src.select(
+        "source",
+        F.coalesce(F.sum("src_bytes").over(w_src), F.lit(0)).alias("base"),
+    )
+    offs = g.join(F.broadcast(bases), "source").select(
+        "source",
+        "doc_id",
+        "n_chars",
+        # exclusive per-source offset = inclusive global - own - base
+        (F.col("g_cum") - F.col("n_chars") - F.col("base"))
+        .cast("bigint")
+        .alias("byte_off"),
+    )
+    return (
+        offs.groupBy(
+            "source",
+            F.floor(F.col("byte_off") / _M7_TARGET).cast("bigint").alias("shard"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("shard_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F36 — day-of-week seasonality profile
+#
+# The calendar decomposition behind capacity planning and anomaly
+# baselines: how much does each event type's volume swing by weekday?
+# Weekday index is computed engine-neutrally as (days_since_epoch + 3)
+# mod 7 (0 = Monday; 1970-01-01 was a Thursday) — never from locale- or
+# convention-dependent dayofweek()/strftime('%w'). The seasonality
+# index divides two exact-integer averages (per-dow daily mean over
+# overall daily mean), one IEEE division each, 6dp-rounded. Everything
+# is date-grain: the daily rollup is the only data-sized pass.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f36_dow_seasonality",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+), tagged AS (
+  SELECT event_type, day, cnt,
+         CAST((day - DATE '1970-01-01' + 3) % 7 AS BIGINT) AS dow
+  FROM daily
+), overall AS (
+  SELECT event_type,
+         CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS overall_avg
+  FROM tagged GROUP BY event_type
+)
+SELECT t.event_type, t.dow,
+       COUNT(*) AS n_days,
+       CAST(SUM(t.cnt) AS BIGINT) AS total_events,
+       ROUND(CAST(SUM(t.cnt) AS DOUBLE) / COUNT(*), 6) AS avg_daily,
+       ROUND((CAST(SUM(t.cnt) AS DOUBLE) / COUNT(*)) / o.overall_avg, 6)
+         AS seasonality_idx
+FROM tagged t JOIN overall o ON o.event_type = t.event_type
+GROUP BY t.event_type, t.dow, o.overall_avg
+ORDER BY t.event_type, t.dow
+""",
+    doc="Day-of-week seasonality: engine-neutral weekday index "
+    "((epoch_days+3) mod 7, 0=Monday), per-dow daily averages over "
+    "the overall daily mean as a 6dp seasonality index per event type.",
+)
+def f36_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("cnt"))
+    tagged = daily.withColumn(
+        "dow",
+        F.pmod(F.datediff(F.col("day"), F.lit("1970-01-01")) + 3, F.lit(7))
+        .cast("bigint"),
+    )
+    overall = tagged.groupBy("event_type").agg(
+        (F.sum("cnt").cast("double") / F.count("*")).alias("overall_avg")
+    )
+    return (
+        tagged.join(F.broadcast(overall), "event_type")
+        .groupBy("event_type", "dow", "overall_avg")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum("cnt").cast("bigint").alias("total_events"),
+            F.round(F.sum("cnt").cast("double") / F.count("*"), 6)
+            .alias("avg_daily"),
+        )
+        .select(
+            "event_type",
+            "dow",
+            "n_days",
+            "total_events",
+            "avg_daily",
+            F.round(
+                (F.col("total_events").cast("double") / F.col("n_days"))
+                / F.col("overall_avg"),
+                6,
+            ).alias("seasonality_idx"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# G12 — rolling cross-series correlation (purchase vs click volume)
+#
+# Do purchase and click volumes move together week over week? 7-day
+# rolling Pearson r between the two daily series, computed from exact
+# integer rolling sums (Σx, Σy, Σxy, Σx², Σy², n) — never a windowed
+# corr() aggregate, whose internal double accumulation is engine- and
+# order-dependent. r = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)):
+# the variance terms stay exact BIGINTs (their direct product could
+# overflow, so each takes its own sqrt before the multiply), leaving
+# three IEEE ops on identical operands, 6dp-rounded. All windows run
+# on the day-grain series — bounded by the calendar, never data-sized.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g12_rolling_correlation",
+    oracle="""
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS y
+  FROM events GROUP BY 1
+), rolled AS (
+  SELECT day,
+         ROW_NUMBER() OVER (ORDER BY day) AS rn,
+         CAST(SUM(x) OVER w AS BIGINT) AS sx,
+         CAST(SUM(y) OVER w AS BIGINT) AS sy,
+         CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
+         CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+         CAST(SUM(y * y) OVER w AS BIGINT) AS syy
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT day, sx AS sum_purchase, sy AS sum_click,
+       ROUND(CAST(7 * sxy - sx * sy AS DOUBLE)
+             / NULLIF(sqrt(CAST(7 * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(7 * syy - sy * sy AS DOUBLE)), 0),
+             6) AS pearson_r
+FROM rolled
+WHERE rn >= 7
+ORDER BY day
+""",
+    doc="7-day rolling Pearson correlation between purchase and click "
+    "daily volumes from exact integer rolling sums (windowed corr() "
+    "is engine-dependent); day-grain windows only, 6dp-rounded r.",
+)
+def g12_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(to_day("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .alias("y"),
+    )
+    # day-grain relation: the global windows below are calendar-bounded
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    w_rn = Window.orderBy("day")
+    rolled = daily.select(
+        "day",
+        F.row_number().over(w_rn).alias("rn"),
+        F.sum("x").over(w).cast("bigint").alias("sx"),
+        F.sum("y").over(w).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("bigint").alias("syy"),
+    ).filter(F.col("rn") >= 7)
+    return rolled.select(
+        "day",
+        F.col("sx").alias("sum_purchase"),
+        F.col("sy").alias("sum_click"),
+        F.round(
+            (F.lit(7) * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("double")
+            / F.nullif(
+                F.sqrt(
+                    (F.lit(7) * F.col("sxx") - F.col("sx") * F.col("sx"))
+                    .cast("double")
+                )
+                * F.sqrt(
+                    (F.lit(7) * F.col("syy") - F.col("sy") * F.col("sy"))
+                    .cast("double")
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("pearson_r"),
+    ).orderBy("day")
