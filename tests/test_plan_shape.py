@@ -341,3 +341,48 @@ def test_new_user_windows_are_partitioned(spark, name):
         if "Exchange SinglePartition" in ln:
             below = "\n".join(lines[i + 1 : i + 3])
             assert "Window" not in below, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "f34_chi_square",
+        "f35_gini_revenue",
+        "e14_entity_resolution",
+        "e15_basket_lift",
+        "g11_anomaly_flags",
+        "x82_ks_test",
+        "x83_adamic_adar",
+        "m7_compaction_plan",
+        "f36_dow_seasonality",
+        "g12_rolling_correlation",
+    ],
+)
+def test_round4b_queries_have_no_cartesian_product(spark, name):
+    plan = physical(REGISTRY[name].fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_e14_blocking_join_is_equi_join(spark):
+    """Deletion-neighborhood ER hinges on the candidate join being a
+    hash/merge EQUI-join on (variant, nation) — a nested-loop join
+    here means the blocking key fell out of the condition and the
+    plan degenerated to the O(n^2) scan the operator exists to avoid."""
+    plan = physical(REGISTRY["e14_entity_resolution"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan
+
+
+def test_e15_part_counts_broadcast(spark):
+    """The per-part support lookup is dim-sized and must broadcast onto
+    the pair relation; shuffling pairs against part counts would add
+    two needless fact-sized exchanges."""
+    plan = physical(REGISTRY["e15_basket_lift"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_g11_topk_is_take_ordered(spark):
+    plan = physical(REGISTRY["g11_anomaly_flags"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan

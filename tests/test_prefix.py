@@ -129,6 +129,8 @@ _PREFIX_QUERIES = [
     "f29_pareto_revenue",
     "g8_spend_deciles",
     "x49_token_budget_fill",
+    "f35_gini_revenue",
+    "m7_compaction_plan",
 ]
 
 
@@ -152,14 +154,26 @@ def test_no_data_sized_single_partition_window(spark, name):
     # id — a windowspec whose first element is a bare column (no sort
     # direction), i.e. a PARTITION BY.
     assert "windowspecdefinition(__prefix_pid" in plan, plan
-    # Any SinglePartition exchange may exist ONLY on the per-partition
-    # totals branch: the first aggregate beneath it must group on the
-    # partition id (≤ shuffle-partition-count rows), never on data.
+    # Any SinglePartition exchange may exist ONLY where its input is
+    # already partition-collapsed: either the per-partition totals
+    # branch (first aggregate beneath groups on the partition id) or a
+    # global scalar readout whose upstream is a KEYLESS PARTIAL
+    # aggregate (map-side combine leaves ≤ 1 row per partition on the
+    # wire). Anything else is a data-sized single-task funnel.
     lines = plan.splitlines()
     singles = [i for i, ln in enumerate(lines) if "Exchange SinglePartition" in ln]
+    # Per-query documented exception: m7's preceding-sources base
+    # offsets cumulate a SOURCE-GRAIN aggregate (bounded by the number
+    # of ingest sources, never by corpus rows) through a tiny window.
+    dim_grain_keys = {"m7_compaction_plan": "keys=[source"}
     for i in singles:
         agg = _first_hashagg_below(lines, i)
-        assert "__prefix_pid" in agg, (lines[i], agg)
+        scalar_merge = "keys=[]" in agg and "partial_" in agg
+        dim_grain = dim_grain_keys.get(name, "\x00") in agg
+        assert "__prefix_pid" in agg or scalar_merge or dim_grain, (
+            lines[i],
+            agg,
+        )
 
 
 # ---------------------------------------------------------------------------

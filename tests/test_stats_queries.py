@@ -1,0 +1,175 @@
+"""Model checks for the statistical / linkage query family.
+
+The DuckDB oracles prove cross-engine agreement; these prove the MATH
+— each operator is re-derived with a naive single-node Python model on
+the sf0.001 tables and compared, plus the invariants every statistic
+must satisfy regardless of data (bounds, degrees of freedom,
+completeness of blocked candidate generation).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from calaveras_uniteus_etl_spark.plans import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(spark, name):
+    return REGISTRY[name].fn(spark, SF).collect()
+
+
+def _duck(sql):
+    con = duckdb.connect()
+    for t in ("customer", "orders", "documents", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con.execute(sql).fetchall()
+
+
+def test_e14_deletion_blocking_is_complete(spark):
+    """Blocked ER must find EXACTLY the naive O(n^2) within-nation
+    edit-distance-1 pairs — deletion neighborhoods are complete for
+    distance 1, so any missing pair is a blocking bug."""
+
+    def lev_le1(a: str, b: str) -> bool:
+        if abs(len(a) - len(b)) > 1:
+            return False
+        if len(a) > len(b):
+            a, b = b, a
+        if len(a) == len(b):
+            return sum(x != y for x, y in zip(a, b)) <= 1
+        # one insertion: advance past the single mismatch
+        i = j = diffs = 0
+        while i < len(a) and j < len(b):
+            if a[i] == b[j]:
+                i += 1
+                j += 1
+            else:
+                diffs += 1
+                if diffs > 1:
+                    return False
+                j += 1
+        return True
+
+    custs = _duck("SELECT c_custkey, c_nationkey, c_name FROM customer")
+    naive = set()
+    for i, (ka, na, sa) in enumerate(custs):
+        for kb, nb, sb in custs[i + 1:]:
+            if na == nb and lev_le1(sa, sb):
+                naive.add((min(ka, kb), max(ka, kb)))
+    got = {(r.id_a, r.id_b) for r in _rows(spark, "e14_entity_resolution")}
+    assert got == naive
+
+
+def test_f34_chi2_matches_python_model(spark):
+    obs = _duck("SELECT lang, source, COUNT(*) FROM documents GROUP BY 1, 2")
+    langs = sorted({r[0] for r in obs})
+    srcs = sorted({r[1] for r in obs})
+    cell = {(r[0], r[1]): r[2] for r in obs}
+    n = sum(cell.values())
+    rt = {g: sum(v for (a, _), v in cell.items() if a == g) for g in langs}
+    ct = {s: sum(v for (_, b), v in cell.items() if b == s) for s in srcs}
+    chi2 = 0.0
+    for g in langs:
+        for s in srcs:
+            e = rt[g] * ct[s] / n
+            o = cell.get((g, s), 0)
+            chi2 += round((o - e) ** 2 / e, 6)
+    (row,) = _rows(spark, "f34_chi_square")
+    assert row.n_docs == n
+    assert row.dof == (len(langs) - 1) * (len(srcs) - 1)
+    assert row.chi2 >= 0
+    assert row.chi2 == pytest.approx(chi2, abs=1e-6)
+
+
+def test_f35_gini_matches_python_model(spark):
+    rev = _duck(
+        "SELECT CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100)"
+        "       AS BIGINT)"
+        "  FROM orders GROUP BY o_custkey"
+    )
+    xs = sorted(v for (v,) in rev)
+    n, tot = len(xs), sum(xs)
+    weighted = sum((i + 1) * x for i, x in enumerate(xs))
+    gini = 2 * weighted / (n * tot) - (n + 1) / n
+    (row,) = _rows(spark, "f35_gini_revenue")
+    assert 0.0 <= row.gini < 1.0
+    assert row.n_customers == n
+    assert row.gini == pytest.approx(gini, abs=1e-9)
+
+
+def test_x82_ks_bounds_and_model(spark):
+    lens = _duck(
+        "SELECT source, n_chars FROM documents WHERE source IN ('src0','src1')"
+    )
+    a = sorted(v for s, v in lens if s == "src0")
+    b = sorted(v for s, v in lens if s == "src1")
+    support = sorted(set(a) | set(b))
+    import bisect
+
+    d = max(
+        abs(
+            bisect.bisect_right(a, x) / len(a)
+            - bisect.bisect_right(b, x) / len(b)
+        )
+        for x in support
+    )
+    (row,) = _rows(spark, "x82_ks_test")
+    assert 0.0 <= row.d_stat <= 1.0
+    assert row.d_stat == pytest.approx(d, abs=1e-9)
+    assert row.ks_stat == pytest.approx(
+        d * math.sqrt(len(a) * len(b) / (len(a) + len(b))), abs=1e-6
+    )
+
+
+def test_g12_pearson_bounded(spark):
+    rows = _rows(spark, "g12_rolling_correlation")
+    assert rows  # 30-day fixture must yield >= 24 full windows
+    for r in rows:
+        if r.pearson_r is not None:
+            assert -1.0 - 1e-9 <= r.pearson_r <= 1.0 + 1e-9
+
+
+def test_g11_mad_scores_match_python_model(spark):
+    daily = _duck(
+        "SELECT event_type, strftime(ts, '%Y-%m-%d'), COUNT(*)"
+        " FROM events GROUP BY 1, 2"
+    )
+
+    def med(xs):
+        xs = sorted(xs)
+        m = len(xs) // 2
+        return xs[m] if len(xs) % 2 else (xs[m - 1] + xs[m]) / 2
+
+    by_type: dict = {}
+    for t, _, c in daily:
+        by_type.setdefault(t, []).append(c)
+    meds = {t: med(v) for t, v in by_type.items()}
+    mads = {t: med([abs(c - meds[t]) for c in v]) for t, v in by_type.items()}
+    for r in _rows(spark, "g11_anomaly_flags"):
+        assert r.med == meds[r.event_type]
+        assert r.mad == mads[r.event_type]
+        expect = round((r.cnt - r.med) / (1.4826 * r.mad), 6)
+        assert r.robust_z == pytest.approx(expect, abs=1e-9)
+        assert r.is_anomaly == (abs(r.robust_z) > 3)
+
+
+def test_m7_shards_are_contiguous_and_complete(spark):
+    rows = _rows(spark, "m7_compaction_plan")
+    n_docs = _duck("SELECT COUNT(*), SUM(n_chars) FROM documents")[0]
+    assert sum(r.n_docs for r in rows) == n_docs[0]
+    assert sum(r.shard_bytes for r in rows) == n_docs[1]
+    by_src: dict = {}
+    for r in sorted(rows, key=lambda r: (r.source, r.shard)):
+        by_src.setdefault(r.source, []).append(r)
+    for src, shards in by_src.items():
+        # shard ids dense from 0; doc-id ranges strictly increasing
+        assert [s.shard for s in shards] == list(range(len(shards)))
+        for a, b in zip(shards, shards[1:]):
+            assert a.last_doc < b.first_doc
