@@ -148,6 +148,9 @@ _NEW_THIS_ROUND: list[str] = [
     "m7_compaction_plan",
     "f36_dow_seasonality",
     "g12_rolling_correlation",
+    "e16_nearest_event_join",
+    "f37_benford_audit",
+    "x84_rank_biased_overlap",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 (union = 129) sit in

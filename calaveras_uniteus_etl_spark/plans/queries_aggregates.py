@@ -3592,3 +3592,81 @@ def g12_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pearson_r"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# F37 — Benford first-digit audit
+#
+# The fraud/quality screen on monetary columns: does the first
+# significant digit of order totals follow Benford's law
+# P(d) = log10(1 + 1/d)? Digit extraction never touches doubles: the
+# cent-quantized BIGINT's leading decimal digit IS the price's leading
+# significant digit (×100 shifts the decimal point, never the
+# leading digit), and integer→string formatting is identical in both
+# engines. One scan, a 9-row readout; expected shares are one log10 +
+# one division per digit, 9dp-rounded, and observed shares divide
+# exact counts.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f37_benford_audit",
+    oracle="""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)) * 100)
+                               AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS d
+  FROM orders
+  WHERE o_totalprice > 0
+), tot AS (
+  SELECT COUNT(*) AS n FROM digits
+)
+SELECT d AS digit,
+       COUNT(*) AS n_orders,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(tot.n), 9) AS observed_share,
+       ROUND(log10(1 + 1.0 / d), 9) AS benford_share,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(tot.n)
+             - log10(1 + 1.0 / d), 9) AS delta
+FROM digits CROSS JOIN tot
+GROUP BY d
+ORDER BY d
+""",
+    doc="Benford first-digit audit of order totals: leading digit "
+    "from the cent-quantized BIGINT (no double log tricks), observed "
+    "vs log10(1+1/d) expected shares, 9dp deltas — the monetary "
+    "anomaly screen.",
+)
+def f37_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    digits = (
+        o.filter(F.col("o_totalprice") > 0)
+        .select(
+            F.substring(
+                F.round(F.col("o_totalprice").cast("decimal(12,2)") * 100)
+                .cast("bigint")
+                .cast("string"),
+                1,
+                1,
+            )
+            .cast("bigint")
+            .alias("d")
+        )
+    )
+    tot = digits.agg(F.count("*").alias("n"))
+    raw_share = F.col("n_orders").cast("double") / F.col("n")
+    return (
+        digits.crossJoin(F.broadcast(tot))  # 1-row scalar
+        .groupBy(F.col("d").alias("digit"))
+        .agg(F.count("*").alias("n_orders"), F.max("n").alias("n"))
+        .select(
+            "digit",
+            "n_orders",
+            F.round(raw_share, 9).alias("observed_share"),
+            F.round(F.log10(1 + 1.0 / F.col("digit")), 9)
+            .alias("benford_share"),
+            # delta rounds the RAW share difference (matching the
+            # oracle), not the already-rounded observed_share
+            F.round(raw_share - F.log10(1 + 1.0 / F.col("digit")), 9)
+            .alias("delta"),
+        )
+        .orderBy("digit")
+    )

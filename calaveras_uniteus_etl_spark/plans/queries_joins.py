@@ -1358,3 +1358,86 @@ def e15_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "part_a", "part_b")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# E16 — nearest-event temporal join (bidirectional, bucketed)
+#
+# "For each purchase, the nearest same-user error within ±1 hour" —
+# the sensor-alignment / incident-correlation primitive. Unlike the
+# as-of join (e9: most recent BEFORE), nearest looks BOTH directions,
+# so sort-based as-of tricks don't apply directly. Scale-safe shape:
+# errors are keyed by their hour bucket; each purchase probes exactly
+# three buckets (b−1, b, b+1 — ±1h can only land there), making the
+# join a bounded-fanout EQUI-join on (user, bucket), never a range
+# scan. A pair can match in only one bucket (the error's own), so no
+# dedup is needed. The per-purchase argmin window partitions on the
+# purchase id — parallel at any event volume; candidates per purchase
+# are bounded by one user's per-hour error density. All µs arithmetic
+# is exact BIGINT.
+# ---------------------------------------------------------------------------
+
+_E16_WINDOW_US = 3_600_000_000  # ±1 hour in microseconds
+
+
+@register(
+    "e16_nearest_event_join",
+    oracle=f"""
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t
+  FROM events WHERE event_type = 'purchase'
+), r AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t
+  FROM events WHERE event_type = 'error'
+), cand AS (
+  SELECT p.event_id, p.user_id, r.event_id AS error_id,
+         CAST(r.t - p.t AS BIGINT) AS gap_us,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.event_id
+           ORDER BY ABS(r.t - p.t), r.event_id) AS rn
+  FROM p JOIN r
+    ON r.user_id = p.user_id
+   AND r.t BETWEEN p.t - {_E16_WINDOW_US} AND p.t + {_E16_WINDOW_US}
+)
+SELECT event_id, user_id, error_id AS nearest_error_id,
+       gap_us, ABS(gap_us) AS abs_gap_us
+FROM cand WHERE rn = 1
+ORDER BY event_id
+""",
+    doc="Bidirectional nearest-event join: per purchase, the closest "
+    "same-user error within +/-1h via hour-bucket equi-join (purchase "
+    "probes buckets b-1/b/b+1), per-purchase argmin window — bounded "
+    "fanout, no range scan, exact BIGINT microseconds.",
+)
+def e16_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    us = epoch_us("ts")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", us.alias("t")
+    )
+    r = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", us.alias("rt")
+    )
+    bucket = lambda c: F.floor(c / _E16_WINDOW_US).cast("long")  # noqa: E731
+    r_b = r.withColumn("bucket", bucket(F.col("rt")))
+    p_b = p.withColumn(
+        "bucket", F.explode(F.array(*[bucket(F.col("t")) + i for i in (-1, 0, 1)]))
+    )
+    cand = (
+        p_b.join(r_b, ["user_id", "bucket"])
+        .withColumn("gap_us", (F.col("rt") - F.col("t")).cast("bigint"))
+        .filter(F.abs(F.col("gap_us")) <= _E16_WINDOW_US)
+    )
+    w = Window.partitionBy("event_id").orderBy(F.abs(F.col("gap_us")), "error_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("error_id").alias("nearest_error_id"),
+            "gap_us",
+            F.abs(F.col("gap_us")).alias("abs_gap_us"),
+        )
+        .orderBy("event_id")
+    )

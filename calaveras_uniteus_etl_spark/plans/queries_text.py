@@ -2993,3 +2993,101 @@ def x82_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ks_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X84 — rank-biased overlap between two document rankers
+#
+# How much do two curation rankers agree? RBO (Webber et al. 2010,
+# "A similarity measure for indefinite rankings") compares top-K lists
+# with top-weighted emphasis: RBO@K = (1−p)·Σ_{d=1..K} p^{d−1}·X_d/d,
+# X_d = |A∩B in top d|. Rankers here: corpus docs by n_chars vs by
+# whitespace token count (both deterministic with doc_id tiebreak).
+# Relational form — no per-depth recomputation: a doc shared by both
+# top-K lists enters every depth d ≥ m = max(rank_A, rank_B), so its
+# total contribution is Σ_{d=m..K} p^{d−1}/d, evaluated by joining
+# shared docs to a K-row depth table (broadcast). Each term is
+# 12dp-quantized to DECIMAL before the exact sum (p^{d−1} is libm pow
+# — the quantize collapses ulp divergence); the K-deep lists come from
+# TakeOrderedAndProject, so no global sort materializes. One row out.
+# ---------------------------------------------------------------------------
+
+_X84_K = 50
+_X84_P = 0.9
+
+
+@register(
+    "x84_rank_biased_overlap",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+), rank_a AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS ra
+  FROM toks QUALIFY ra <= {_X84_K}
+), rank_b AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) AS rb
+  FROM toks QUALIFY rb <= {_X84_K}
+), shared AS (
+  SELECT GREATEST(a.ra, b.rb) AS m
+  FROM rank_a a JOIN rank_b b USING (doc_id)
+), depths AS (
+  SELECT CAST(unnest(range(1, {_X84_K} + 1)) AS BIGINT) AS d
+), terms AS (
+  SELECT CAST(ROUND(power({_X84_P}, d - 1) / d, 12) AS DECIMAL(38,12)) AS t
+  FROM shared JOIN depths ON depths.d >= shared.m
+)
+SELECT CAST((SELECT COUNT(*) FROM shared) AS BIGINT) AS n_shared,
+       ROUND((1 - {_X84_P}) * CAST(COALESCE(SUM(t), 0) AS DOUBLE), 9) AS rbo
+FROM terms
+""",
+    doc="Rank-biased overlap (p=0.9, K=50) between the char-length "
+    "and token-count rankers: shared docs contribute "
+    "sum_{{d>=max(rank_a,rank_b)}} p^(d-1)/d via a broadcast depth "
+    "table, 12dp-quantized exact sums — the top-weighted ranker "
+    "agreement readout.",
+)
+def x84_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "n_chars",
+        F.when(F.trim("text") == "", 0)
+        .otherwise(F.size(F.split(F.trim("text"), r"\s+")))
+        .alias("n_tokens"),
+    )
+    w_a = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    w_b = Window.orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+    # top-K via orderBy+limit (TakeOrderedAndProject), rank attached
+    # AFTER the K-row cut — the global window then runs on K rows only
+    top_a = (
+        toks.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(_X84_K)
+        .select("doc_id", F.row_number().over(w_a).alias("ra"))
+    )
+    top_b = (
+        toks.orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+        .limit(_X84_K)
+        .select("doc_id", F.row_number().over(w_b).alias("rb"))
+    )
+    shared = top_a.join(top_b, "doc_id").select(
+        F.greatest("ra", "rb").alias("m")
+    )
+    depths = spark.range(1, _X84_K + 1).select(F.col("id").alias("d"))
+    terms = shared.join(F.broadcast(depths), F.col("d") >= F.col("m")).select(
+        F.round(F.pow(F.lit(_X84_P), F.col("d") - 1) / F.col("d"), 12)
+        .cast("decimal(38,12)")
+        .alias("t")
+    )
+    n_shared = shared.agg(F.count("*").cast("bigint").alias("n_shared"))
+    rbo = terms.agg(
+        F.round(
+            (1 - _X84_P)
+            * F.coalesce(F.sum("t"), F.lit(0).cast("decimal(38,12)"))
+            .cast("double"),
+            9,
+        ).alias("rbo")
+    )
+    return n_shared.crossJoin(rbo)  # 1-row × 1-row scalars

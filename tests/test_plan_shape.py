@@ -356,6 +356,9 @@ def test_new_user_windows_are_partitioned(spark, name):
         "m7_compaction_plan",
         "f36_dow_seasonality",
         "g12_rolling_correlation",
+        "e16_nearest_event_join",
+        "f37_benford_audit",
+        "x84_rank_biased_overlap",
     ],
 )
 def test_round4b_queries_have_no_cartesian_product(spark, name):
@@ -386,3 +389,19 @@ def test_e15_part_counts_broadcast(spark):
 def test_g11_topk_is_take_ordered(spark):
     plan = physical(REGISTRY["g11_anomaly_flags"].fn(spark, SF))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_x84_topk_lists_are_take_ordered(spark):
+    """RBO's two K-deep lists must come from TakeOrderedAndProject —
+    a global sort materialization of the corpus per ranker is the
+    regression this guards against."""
+    plan = physical(REGISTRY["x84_rank_biased_overlap"].fn(spark, SF))
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
+
+
+def test_e16_probe_join_is_equi_join(spark):
+    """The nearest-event join must stay an equi-join on
+    (user, bucket) — a nested-loop range join over events x events is
+    the O(n^2) shape the bucketing exists to avoid."""
+    plan = physical(REGISTRY["e16_nearest_event_join"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan, plan

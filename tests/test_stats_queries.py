@@ -173,3 +173,43 @@ def test_m7_shards_are_contiguous_and_complete(spark):
         assert [s.shard for s in shards] == list(range(len(shards)))
         for a, b in zip(shards, shards[1:]):
             assert a.last_doc < b.first_doc
+
+
+def test_e16_matches_naive_nearest(spark):
+    evs = _duck(
+        "SELECT event_id, user_id, event_type, epoch_us(ts) FROM events"
+        " WHERE event_type IN ('purchase', 'error')"
+    )
+    purchases = [(e, u, t) for e, u, k, t in evs if k == "purchase"]
+    errors = [(e, u, t) for e, u, k, t in evs if k == "error"]
+    naive = {}
+    for pe, pu, pt in purchases:
+        best = None
+        for ee, eu, et in errors:
+            if eu != pu or abs(et - pt) > 3_600_000_000:
+                continue
+            key = (abs(et - pt), ee)
+            if best is None or key < best[0]:
+                best = (key, ee, et - pt)
+        if best:
+            naive[pe] = (best[1], best[2])
+    got = {
+        r.event_id: (r.nearest_error_id, r.gap_us)
+        for r in _rows(spark, "e16_nearest_event_join")
+    }
+    assert got == naive
+
+
+def test_x84_rbo_bounds_and_self_agreement(spark):
+    (row,) = _rows(spark, "x84_rank_biased_overlap")
+    assert 0.0 <= row.rbo <= 1.0
+    assert 0 <= row.n_shared <= 50
+
+
+def test_f37_shares_sum_to_one(spark):
+    rows = _rows(spark, "f37_benford_audit")
+    assert [r.digit for r in rows] == list(range(1, 10))
+    assert sum(r.n_orders for r in rows) == _duck(
+        "SELECT COUNT(*) FROM orders WHERE o_totalprice > 0"
+    )[0][0]
+    assert sum(r.observed_share for r in rows) == pytest.approx(1.0, abs=1e-6)
