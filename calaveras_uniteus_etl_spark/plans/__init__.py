@@ -151,6 +151,7 @@ _NEW_THIS_ROUND: list[str] = [
     "e16_nearest_event_join",
     "f37_benford_audit",
     "x84_rank_biased_overlap",
+    "x85_poisson_bootstrap",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 (union = 129) sit in

@@ -3091,3 +3091,126 @@ def x84_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rbo")
     )
     return n_shared.crossJoin(rbo)  # 1-row × 1-row scalars
+
+
+# ---------------------------------------------------------------------------
+# X85 — Poisson bootstrap confidence interval (mean document length)
+#
+# Error bars that survive 100 TB: the classic bootstrap resamples n
+# rows with replacement B times — impossible to coordinate across a
+# cluster — but the POISSON bootstrap (Chamandy et al., "Estimating
+# uncertainty for massive data streams", Google 2012) replaces the
+# multinomial with independent per-row Poisson(1) weights, making each
+# replicate a single weighted aggregate that partial-aggregates
+# map-side like any other sum. Weights are DERANDOMIZED: u =
+# md5(doc_id, replicate) mod 1e9 / 1e9, inverted through the
+# Poisson(1) CDF as literal thresholds — identical integers, identical
+# CASE in both engines. The replicate means are exact-int divisions;
+# the 2.5/97.5 percentile interpolation runs over B=200 identical
+# doubles. Shuffle cost is B rows per map partition (the fanout
+# collapses in the partial aggregate), not B× the data.
+# ---------------------------------------------------------------------------
+
+_X85_B = 200  # bootstrap replicates
+# Poisson(1) CDF: P(X<=k) for k = 0..5; u above the last bucket -> 6
+_X85_CDF = (0.3678794411714423, 0.7357588823428846, 0.9196986029286058,
+            0.9810118431238462, 0.9963401531726563, 0.9994058151824183)
+
+
+def _poisson_weight_sql(u: str) -> str:
+    """Branchless-ish CASE mapping uniform ``u`` to a Poisson(1) draw."""
+    cases = " ".join(
+        f"WHEN {u} < {c!r} THEN {k}" for k, c in enumerate(_X85_CDF)
+    )
+    return f"CASE {cases} ELSE 6 END"
+
+
+@register(
+    "x85_poisson_bootstrap",
+    oracle=f"""
+WITH reps AS (
+  SELECT CAST(unnest(range({_X85_B})) AS BIGINT) AS b
+), draws AS (
+  SELECT r.b, d.n_chars,
+         {_poisson_weight_sql(
+             "(" + __import__(
+                 "calaveras_uniteus_etl_spark.functions.hashing",
+                 fromlist=["duckdb_md5_long_sql"],
+             ).duckdb_md5_long_sql(
+                 "'boot:' || CAST(d.doc_id AS VARCHAR) || ':' || CAST(r.b AS VARCHAR)"
+             ) + " % 1000000000) / 1e9"
+         )} AS w
+  FROM documents d CROSS JOIN reps r
+), means AS (
+  SELECT b,
+         CAST(SUM(w * n_chars) AS DOUBLE) / NULLIF(SUM(w), 0) AS m
+  FROM draws GROUP BY b
+), base AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_len
+  FROM documents
+)
+SELECT base.n_docs,
+       ROUND(base.mean_len, 9) AS mean_len,
+       CAST({_X85_B} AS BIGINT) AS n_replicates,
+       ROUND(quantile_cont(means.m, 0.025), 9) AS ci_lo,
+       ROUND(quantile_cont(means.m, 0.975), 9) AS ci_hi
+FROM means CROSS JOIN base
+GROUP BY base.n_docs, base.mean_len
+""",
+    doc="Poisson bootstrap CI for mean doc length: derandomized "
+    "per-(row, replicate) Poisson(1) weights from md5 uniforms, B=200 "
+    "weighted means that partial-aggregate map-side, 2.5/97.5 "
+    "percentile interval — cluster-scale error bars without "
+    "coordinated resampling.",
+)
+def x85_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calaveras_uniteus_etl_spark.functions.hashing import md5_long
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    reps = spark.range(_X85_B).select(F.col("id").alias("b"))
+    u = (
+        F.pmod(
+            md5_long(
+                F.concat(
+                    F.lit("boot:"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            F.lit(1_000_000_000),
+        )
+        / F.lit(1e9)
+    )
+    w = F.lit(6)
+    for k in range(len(_X85_CDF) - 1, -1, -1):
+        w = F.when(u < _X85_CDF[k], F.lit(k)).otherwise(w)
+    draws = d.crossJoin(F.broadcast(reps)).select(
+        "b", "n_chars", w.alias("w")
+    )
+    means = draws.groupBy("b").agg(
+        (
+            F.sum(F.col("w") * F.col("n_chars")).cast("double")
+            / F.nullif(F.sum("w"), F.lit(0))
+        ).alias("m")
+    )
+    base = d.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("mean_len"),
+    )
+    return (
+        means.crossJoin(F.broadcast(base))  # B-row × 1-row scalar
+        .groupBy("n_docs", "mean_len")
+        .agg(
+            F.expr("percentile(m, 0.025D)").alias("lo"),
+            F.expr("percentile(m, 0.975D)").alias("hi"),
+        )
+        .select(
+            "n_docs",
+            F.round("mean_len", 9).alias("mean_len"),
+            F.lit(_X85_B).cast("bigint").alias("n_replicates"),
+            F.round("lo", 9).alias("ci_lo"),
+            F.round("hi", 9).alias("ci_hi"),
+        )
+    )

@@ -213,3 +213,45 @@ def test_f37_shares_sum_to_one(spark):
         "SELECT COUNT(*) FROM orders WHERE o_totalprice > 0"
     )[0][0]
     assert sum(r.observed_share for r in rows) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_x85_bootstrap_matches_python_model(spark):
+    import hashlib
+
+    from calaveras_uniteus_etl_spark.plans.queries_text import (
+        _X85_B,
+        _X85_CDF,
+    )
+
+    docs = _duck("SELECT doc_id, n_chars FROM documents")
+
+    def md5_long(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def weight(doc_id, b) -> int:
+        u = (md5_long(f"boot:{doc_id}:{b}") % 1_000_000_000) / 1e9
+        for k, c in enumerate(_X85_CDF):
+            if u < c:
+                return k
+        return 6
+
+    means = []
+    for b in range(_X85_B):
+        sw = sx = 0
+        for doc_id, n_chars in docs:
+            w = weight(doc_id, b)
+            sw += w
+            sx += w * n_chars
+        means.append(sx / sw)
+    means.sort()
+
+    def q(p):  # type-7 linear interpolation (Spark percentile/DuckDB)
+        h = (len(means) - 1) * p
+        lo = int(h)
+        return means[lo] + (h - lo) * (means[min(lo + 1, len(means) - 1)] - means[lo])
+
+    (row,) = _rows(spark, "x85_poisson_bootstrap")
+    assert row.ci_lo <= row.ci_hi
+    assert row.ci_lo == pytest.approx(q(0.025), abs=1e-6)
+    assert row.ci_hi == pytest.approx(q(0.975), abs=1e-6)
+    assert row.ci_lo <= row.mean_len <= row.ci_hi
