@@ -152,6 +152,8 @@ _NEW_THIS_ROUND: list[str] = [
     "f37_benford_audit",
     "x84_rank_biased_overlap",
     "x85_poisson_bootstrap",
+    "g13_decile_profile",
+    "f38_mutual_information",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 (union = 129) sit in

@@ -3670,3 +3670,204 @@ def f37_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# G13 — decile → dimension profile (who is in each spend tier?)
+#
+# g8 says how much each decile spends; g13 says WHO they are: per
+# spend decile, customer count, average account balance, and the
+# dominant market segment with its share. The decile comes from the
+# same distributed rank machinery as g8 (prefix_rank + integer tile
+# formula — no single-partition NTILE); attributes attach via one
+# key shuffle join of two customer-grain relations. Dominant-segment
+# argmax is a window over the decile×segment grid (≤ 10×|segments|
+# rows — bounded). Balances aggregate in exact DECIMAL.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g13_decile_profile",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+           AS spend
+  FROM orders GROUP BY o_custkey
+), tiled AS (
+  SELECT s.o_custkey, s.spend,
+         NTILE(10) OVER (ORDER BY s.spend, s.o_custkey) AS decile,
+         c.c_acctbal, c.c_mktsegment
+  FROM spend s JOIN customer c ON c.c_custkey = s.o_custkey
+), per_decile AS (
+  SELECT decile,
+         COUNT(*) AS n_customers,
+         CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2))
+              AS DOUBLE) / COUNT(*) AS avg_acctbal
+  FROM tiled GROUP BY decile
+), seg AS (
+  SELECT decile, c_mktsegment, COUNT(*) AS c,
+         ROW_NUMBER() OVER (PARTITION BY decile
+                            ORDER BY COUNT(*) DESC, c_mktsegment) AS rn
+  FROM tiled GROUP BY decile, c_mktsegment
+)
+SELECT p.decile, p.n_customers,
+       ROUND(p.avg_acctbal, 9) AS avg_acctbal,
+       s.c_mktsegment AS top_segment,
+       ROUND(CAST(s.c AS DOUBLE) / p.n_customers, 6) AS top_segment_share
+FROM per_decile p JOIN seg s ON s.decile = p.decile AND s.rn = 1
+ORDER BY p.decile
+""",
+    doc="Spend-decile demographic profile: distributed-rank deciles "
+    "(g8's prefix machinery), exact-decimal average balances, dominant "
+    "market segment per tier via a bounded decile x segment argmax "
+    "window.",
+)
+def g13_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(X.dec("o_totalprice")).cast("decimal(38,2)").alias("spend")
+    )
+    ranked = prefix_rank(
+        spend,
+        [F.asc("spend"), F.asc("o_custkey")],
+        rn_col="rn",
+        total_rows_col="n_total",
+    )
+    tiled = ranked.withColumn(
+        "decile", ntile_from_rank(F.col("rn"), F.col("n_total"), 10)
+    ).join(c, F.col("o_custkey") == F.col("c_custkey"))
+    per_decile = tiled.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        (
+            F.sum(X.dec("c_acctbal")).cast("decimal(38,2)").cast("double")
+            / F.count("*")
+        ).alias("avg_acctbal"),
+    )
+    w_seg = Window.partitionBy("decile").orderBy(
+        F.desc("c"), F.asc("c_mktsegment")
+    )
+    seg = (
+        tiled.groupBy("decile", "c_mktsegment")
+        .agg(F.count("*").alias("c"))
+        .withColumn("rn", F.row_number().over(w_seg))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        per_decile.join(F.broadcast(seg), "decile")
+        .select(
+            "decile",
+            "n_customers",
+            F.round("avg_acctbal", 9).alias("avg_acctbal"),
+            F.col("c_mktsegment").alias("top_segment"),
+            F.round(F.col("c").cast("double") / F.col("n_customers"), 6)
+            .alias("top_segment_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F38 — mutual information between language and source
+#
+# The information-theoretic companion to f34's chi-square: how many
+# nats does knowing the source tell you about the language?
+# I(X;Y) = Σ p_xy·ln(p_xy/(p_x·p_y)) over OBSERVED cells only
+# (0·ln 0 = 0, so zero cells vanish — no grid completion, unlike
+# chi-square). Marginal entropies ride along and normalize:
+# NMI = I/min(H_lang, H_src). Every per-cell/per-marginal term is an
+# IEEE expression over exact integer ratios, 12dp-quantized to
+# DECIMAL before the cross-cell sum — the same order-independence
+# trick as f34/x79. One scan, three grid-sized aggregates.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f38_mutual_information",
+    oracle="""
+WITH obs AS (
+  SELECT lang, source, COUNT(*) AS c FROM documents GROUP BY lang, source
+), rt AS (
+  SELECT lang, CAST(SUM(c) AS BIGINT) AS r FROM obs GROUP BY lang
+), ct AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS s FROM obs GROUP BY source
+), n AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n FROM obs
+), mi AS (
+  SELECT CAST(SUM(CAST(ROUND(
+           (CAST(o.c AS DOUBLE) / n.n)
+             * LN(CAST(o.c AS DOUBLE) * n.n / (rt.r * ct.s)), 12)
+           AS DECIMAL(38,12))) AS DOUBLE) AS mi_nats
+  FROM obs o
+  JOIN rt ON rt.lang = o.lang
+  JOIN ct ON ct.source = o.source
+  CROSS JOIN n
+), hx AS (
+  SELECT CAST(SUM(CAST(ROUND(
+           -(CAST(r AS DOUBLE) / n.n) * LN(CAST(r AS DOUBLE) / n.n), 12)
+           AS DECIMAL(38,12))) AS DOUBLE) AS h_lang
+  FROM rt CROSS JOIN n
+), hy AS (
+  SELECT CAST(SUM(CAST(ROUND(
+           -(CAST(s AS DOUBLE) / n.n) * LN(CAST(s AS DOUBLE) / n.n), 12)
+           AS DECIMAL(38,12))) AS DOUBLE) AS h_src
+  FROM ct CROSS JOIN n
+)
+SELECT (SELECT n FROM n) AS n_docs,
+       ROUND(mi_nats, 9) AS mi_nats,
+       ROUND(h_lang, 9) AS h_lang,
+       ROUND(h_src, 9) AS h_src,
+       ROUND(mi_nats / NULLIF(LEAST(h_lang, h_src), 0), 6) AS nmi
+FROM mi CROSS JOIN hx CROSS JOIN hy
+""",
+    doc="Mutual information lang<->source in nats with marginal "
+    "entropies and NMI = I/min(H): observed-cell terms over exact "
+    "integer ratios, 12dp-quantized exact sums — the source-balance "
+    "diagnostic beside f34's chi-square.",
+)
+def f38_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    obs = d.groupBy("lang", "source").agg(F.count("*").alias("c"))
+    rt = obs.groupBy("lang").agg(F.sum("c").cast("bigint").alias("r"))
+    ct = obs.groupBy("source").agg(F.sum("c").cast("bigint").alias("s"))
+    n = obs.agg(F.sum("c").cast("bigint").alias("n"))
+
+    def qsum(term, alias):
+        return (
+            F.sum(F.round(term, 12).cast("decimal(38,12)"))
+            .cast("double")
+            .alias(alias)
+        )
+
+    mi_term = (F.col("c").cast("double") / F.col("n")) * F.log(
+        F.col("c").cast("double") * F.col("n") / (F.col("r") * F.col("s"))
+    )
+    mi = (
+        obs.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(n))  # 1-row scalar
+        .agg(qsum(mi_term, "mi_nats"))
+    )
+    px = F.col("r").cast("double") / F.col("n")
+    hx = rt.crossJoin(F.broadcast(n)).agg(qsum(-px * F.log(px), "h_lang"))
+    py = F.col("s").cast("double") / F.col("n")
+    hy = ct.crossJoin(F.broadcast(n)).agg(qsum(-py * F.log(py), "h_src"))
+    return (
+        n.crossJoin(F.broadcast(mi))  # all sides single-row scalars
+        .crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            F.col("n").alias("n_docs"),
+            F.round("mi_nats", 9).alias("mi_nats"),
+            F.round("h_lang", 9).alias("h_lang"),
+            F.round("h_src", 9).alias("h_src"),
+            F.round(
+                F.col("mi_nats")
+                / F.nullif(F.least("h_lang", "h_src"), F.lit(0.0)),
+                6,
+            ).alias("nmi"),
+        )
+    )

@@ -359,6 +359,9 @@ def test_new_user_windows_are_partitioned(spark, name):
         "e16_nearest_event_join",
         "f37_benford_audit",
         "x84_rank_biased_overlap",
+        "x85_poisson_bootstrap",
+        "g13_decile_profile",
+        "f38_mutual_information",
     ],
 )
 def test_round4b_queries_have_no_cartesian_product(spark, name):

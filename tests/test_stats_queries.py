@@ -255,3 +255,40 @@ def test_x85_bootstrap_matches_python_model(spark):
     assert row.ci_lo == pytest.approx(q(0.025), abs=1e-6)
     assert row.ci_hi == pytest.approx(q(0.975), abs=1e-6)
     assert row.ci_lo <= row.mean_len <= row.ci_hi
+
+
+def test_f38_mi_matches_python_model(spark):
+    obs = _duck("SELECT lang, source, COUNT(*) FROM documents GROUP BY 1, 2")
+    n = sum(c for _, _, c in obs)
+    rt: dict = {}
+    ct: dict = {}
+    for g, s, c in obs:
+        rt[g] = rt.get(g, 0) + c
+        ct[s] = ct.get(s, 0) + c
+    mi = sum(
+        round((c / n) * math.log(c * n / (rt[g] * ct[s])), 12)
+        for g, s, c in obs
+    )
+    hx = sum(round(-(r / n) * math.log(r / n), 12) for r in rt.values())
+    hy = sum(round(-(s / n) * math.log(s / n), 12) for s in ct.values())
+    (row,) = _rows(spark, "f38_mutual_information")
+    assert row.mi_nats >= -1e-9  # MI is nonnegative
+    assert row.mi_nats <= min(hx, hy) + 1e-9
+    assert 0.0 <= row.nmi <= 1.0
+    assert row.mi_nats == pytest.approx(mi, abs=1e-9)
+    assert row.h_lang == pytest.approx(hx, abs=1e-9)
+    assert row.h_src == pytest.approx(hy, abs=1e-9)
+
+
+def test_g13_deciles_partition_customers(spark):
+    rows = _rows(spark, "g13_decile_profile")
+    assert [r.decile for r in rows] == list(range(1, 11))
+    n_cust = _duck(
+        "SELECT COUNT(DISTINCT o_custkey) FROM orders"
+    )[0][0]
+    assert sum(r.n_customers for r in rows) == n_cust
+    # NTILE balance: sizes differ by at most 1
+    sizes = [r.n_customers for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    for r in rows:
+        assert 0.0 < r.top_segment_share <= 1.0
