@@ -13,6 +13,7 @@ from calaveras_uniteus_etl_spark.plans import (  # noqa: F401  (import = registe
     queries_etl,
     queries_filters,
     queries_joins,
+    queries_lifecycle,
     queries_multimodal,
     queries_pq,
     queries_reports,
@@ -154,6 +155,12 @@ _NEW_THIS_ROUND: list[str] = [
     "x85_poisson_bootstrap",
     "g13_decile_profile",
     "f38_mutual_information",
+    "f39_kaplan_meier",
+    "f40_linear_attribution",
+    "g14_gap_fill_ffill",
+    "g15_trailing_range_window",
+    "g16_event_precedence",
+    "m8_k_anonymity",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 (union = 129) sit in

@@ -1,0 +1,632 @@
+"""Customer-lifecycle and governance operators (round-4 additions).
+
+Survival analysis, multi-touch attribution, calendar densification,
+RANGE-frame trailing windows, first-occurrence ordering and a
+k-anonymity/l-diversity privacy audit — the "customer lifecycle &
+governance" layer a health-data warehouse (the reference domain,
+core/app.py report endpoints) runs on top of the relational core.
+
+Scale notes per query are in each docstring; the common theme: every
+window is either partitioned by a data key (user/customer) or runs
+over an aggregated grain whose domain is provably small (distinct
+tenure days, event-type pairs), never over a data-sized relation in
+one partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from calaveras_uniteus_etl_spark.functions.hashing import (
+    duckdb_md5_long_sql,
+    md5_long,
+)
+from calaveras_uniteus_etl_spark.plans._exact import (
+    MONEY,
+    VALUE6,
+    dec,
+    exact_sum,
+    o_sum,
+)
+from calaveras_uniteus_etl_spark.plans.catalog import register
+from calaveras_uniteus_etl_spark.plans.tables import table
+
+# ---------------------------------------------------------------------------
+# F39 — Kaplan-Meier survival curve over customer tenure
+#
+# The product-limit estimator (Kaplan & Meier 1958): at each distinct
+# event time t_i, S(t_i) = Π_{j≤i} (1 - d_j/n_j) with d_j = churn
+# events at t_j and n_j = subjects still at risk (tenure ≥ t_j).
+# "Tenure" is days between a customer's first and last order;
+# "churned" means the last order predates a fixed cutoff (constant —
+# no now()), otherwise the subject is right-censored.
+#
+# Cross-engine determinism: each factor's log is quantized once to
+# integer micro-nats (ROUND(ln(1-d/n)·1e6)), the cumulative sum runs
+# over BIGINTs ordered by the unique tenure key, and the final
+# EXP(sum/1e6) rounds to 9dp — identical in Spark and DuckDB. A
+# terminal d=n event (everyone at risk dies) would make ln(0)
+# singular; a cumulative flag pins survival to exactly 0 from that
+# point instead.
+#
+# Scale: customer-grain aggregate shuffles once; the KM window runs
+# over DISTINCT TENURE DAYS (bounded by the calendar span, ~2.4k rows
+# at any SF — an aggregated grain, not a data-sized relation), so the
+# single-partition window is safe by construction.
+# ---------------------------------------------------------------------------
+
+_F39_CUTOFF = "2001-02-01"  # churned iff last order strictly before this
+
+
+@register(
+    "f39_kaplan_meier",
+    oracle=f"""
+WITH cust AS (
+  SELECT o_custkey,
+         date_diff('day', MIN(o_orderdate), MAX(o_orderdate)) AS tenure,
+         CASE WHEN MAX(o_orderdate) < DATE '{_F39_CUTOFF}' THEN 1 ELSE 0 END
+           AS churned
+  FROM orders GROUP BY o_custkey
+), grain AS (
+  SELECT tenure, COUNT(*) AS at_t,
+         CAST(SUM(churned) AS BIGINT) AS d
+  FROM cust GROUP BY tenure
+), risk AS (
+  SELECT tenure, d,
+         CAST(SUM(at_t) OVER (ORDER BY tenure DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS BIGINT)
+           AS n
+  FROM grain
+), km AS (
+  SELECT tenure, d, n,
+         CAST(SUM(CASE WHEN d < n
+                       THEN CAST(ROUND(LN(1.0 - CAST(d AS DOUBLE) / n) * 1e6)
+                                 AS BIGINT)
+                       ELSE 0 END)
+              OVER (ORDER BY tenure
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT)
+           AS log_us,
+         MAX(CASE WHEN d = n THEN 1 ELSE 0 END)
+           OVER (ORDER BY tenure
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS died_out
+  FROM risk WHERE d > 0
+)
+SELECT tenure AS tenure_days, d AS n_events, n AS n_at_risk,
+       CASE WHEN died_out = 1 THEN 0.0
+            ELSE ROUND(EXP(CAST(log_us AS DOUBLE) / 1e6), 9) END AS survival
+FROM km ORDER BY tenure_days
+""",
+    doc="Kaplan-Meier product-limit survival over customer tenure "
+    "(churn = last order before a constant cutoff, else censored): "
+    "micro-nat-quantized log factors cumulated over the distinct-"
+    "tenure grain, d=n extinction pinned to exact 0.",
+)
+def f39_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("tenure"),
+        F.when(
+            F.max("o_orderdate") < F.lit(_F39_CUTOFF).cast("date"), 1
+        )
+        .otherwise(0)
+        .alias("churned"),
+    )
+    grain = cust.groupBy("tenure").agg(
+        F.count("*").alias("at_t"),
+        F.sum("churned").cast("bigint").alias("d"),
+    )
+    # Distinct-tenure grain: bounded by calendar days, safe to window.
+    w_desc = Window.orderBy(F.desc("tenure")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = grain.select(
+        "tenure", "d", F.sum("at_t").over(w_desc).alias("n")
+    ).filter(F.col("d") > 0)
+    w_asc = Window.orderBy("tenure").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    log_term = F.when(
+        F.col("d") < F.col("n"),
+        F.round(
+            F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n")) * 1e6
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    km = risk.select(
+        "tenure",
+        "d",
+        "n",
+        F.sum(log_term).over(w_asc).alias("log_us"),
+        F.max(F.when(F.col("d") == F.col("n"), 1).otherwise(0))
+        .over(w_asc)
+        .alias("died_out"),
+    )
+    return km.select(
+        F.col("tenure").alias("tenure_days"),
+        F.col("d").alias("n_events"),
+        F.col("n").alias("n_at_risk"),
+        F.when(F.col("died_out") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("log_us").cast("double") / 1e6), 9))
+        .alias("survival"),
+    ).orderBy("tenure_days")
+
+
+# ---------------------------------------------------------------------------
+# F40 — linear multi-touch attribution (the fractional twin of s5)
+#
+# s5 credits each purchase to ONE click (last-touch argmax); the other
+# industry-standard model splits the credit EQUALLY across every click
+# in the lookback window. Same interval-join shape, no argmax — each
+# pair carries weight 1/n_clicks(purchase), and credit rolls up per
+# click-hour. Fractions are exact in micro-credit integers: each pair
+# contributes round(1e6/n)/1e6 with the remainder assigned to the
+# EARLIEST click (deterministic in both engines), so per-hour credit
+# sums are bit-identical and total credit per purchase is exactly 1.
+#
+# Scale: one user_id shuffle for the interval join (same as s4/s5),
+# the per-purchase count/rank windows partition by purchase id —
+# already co-partitioned, no extra exchange.
+# ---------------------------------------------------------------------------
+
+_F40_GAP_MIN = 30  # shares s5's lookback constant
+
+
+@register(
+    "f40_linear_attribution",
+    oracle=f"""
+WITH pairs AS (
+  SELECT c.ts AS c_ts, p.event_id AS p_id, p.value AS p_value,
+         COUNT(*) OVER (PARTITION BY p.event_id) AS n_touch,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id
+                            ORDER BY c.ts ASC, c.event_id ASC) AS rn
+  FROM events c
+  JOIN events p
+    ON p.user_id = c.user_id
+   AND p.ts >= c.ts
+   AND p.ts <= c.ts + INTERVAL {_F40_GAP_MIN} MINUTE
+  WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+), credited AS (
+  SELECT c_ts, p_value,
+         CAST((1000000 // n_touch)
+              + CASE WHEN rn = 1 THEN 1000000 % n_touch ELSE 0 END
+              AS BIGINT) AS credit_us
+  FROM pairs
+)
+SELECT time_bucket(INTERVAL '1 hour', c_ts) AS click_hour,
+       CAST(SUM(credit_us) AS BIGINT) AS credit_us,
+       ROUND(CAST(SUM(credit_us) AS DOUBLE) / 1e6, 6) AS purchases_credited,
+       CAST(SUM(CAST(ROUND(p_value * credit_us / 1e6, 12)
+                     AS DECIMAL(38,12))) AS DOUBLE) AS value_credited
+FROM credited
+GROUP BY 1
+ORDER BY click_hour
+""",
+    doc="Linear multi-touch attribution: every click in the 30-min "
+    "lookback splits the purchase credit equally — integer micro-"
+    "credits with the division remainder pinned to the earliest "
+    "click, rolled up per click-hour; fractional twin of s5's "
+    "last-touch argmax.",
+)
+def f40_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calaveras_uniteus_etl_spark.streaming.windows import interval_join
+
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id")
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+        F.col("value").alias("p_value"),
+    )
+    pairs = interval_join(
+        clicks,
+        buys,
+        left_ts="c_ts",
+        right_ts="p_ts",
+        max_gap=f"{_F40_GAP_MIN} minutes",
+        extra=("c_id", "p_id", "p_value"),
+    )
+    w_cnt = Window.partitionBy("p_id")
+    w_rn = Window.partitionBy("p_id").orderBy(
+        F.asc("c_ts"), F.asc("c_id")
+    )
+    credited = (
+        pairs.withColumn("n_touch", F.count("*").over(w_cnt))
+        .withColumn("rn", F.row_number().over(w_rn))
+        .select(
+            "c_ts",
+            "p_value",
+            (
+                F.expr("1000000 div n_touch")
+                + F.when(
+                    F.col("rn") == 1, F.lit(1000000) % F.col("n_touch")
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("credit_us"),
+        )
+    )
+    return (
+        credited.groupBy(F.window("c_ts", "1 hour").alias("win"))
+        .agg(
+            F.sum("credit_us").cast("bigint").alias("credit_us"),
+            F.round(F.sum("credit_us").cast("double") / 1e6, 6).alias(
+                "purchases_credited"
+            ),
+            F.sum(
+                F.round(
+                    F.col("p_value") * F.col("credit_us") / F.lit(1e6), 12
+                ).cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias("value_credited"),
+        )
+        .select(
+            F.col("win.start").alias("click_hour"),
+            "credit_us",
+            "purchases_credited",
+            "value_credited",
+        )
+        .orderBy("click_hour")
+    )
+
+
+# ---------------------------------------------------------------------------
+# G14 — calendar densification + forward fill (gap-fill)
+#
+# Sparse event streams become dense daily series: explode each user's
+# [first_day, last_day] span with sequence(), left-join observed
+# per-day aggregates, then forward-fill the last observed value with
+# last_value(ignoreNulls) over the per-user day order. The audited
+# subset (md5(user) % 8 == 0) keeps the checked output small while the
+# operator itself is corpus-wide.
+#
+# Scale: the explode fans out ≤ span-days rows per user (bounded by
+# the calendar, not the data); the fill window partitions by user_id —
+# one shuffle, no global sort. At 100 TB the same plan holds: day
+# grain × users is the output's intrinsic size.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g14_gap_fill_ffill",
+    oracle=f"""
+WITH keep AS (
+  SELECT user_id FROM (SELECT DISTINCT user_id FROM events) u
+  WHERE {duckdb_md5_long_sql("'gf:' || CAST(user_id AS VARCHAR)")} % 8 = 0
+), daily AS (
+  SELECT e.user_id, CAST(e.ts AS DATE) AS day,
+         CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+              AS DOUBLE) AS day_value
+  FROM events e JOIN keep k ON k.user_id = e.user_id
+  GROUP BY e.user_id, CAST(e.ts AS DATE)
+), span AS (
+  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+), calendar AS (
+  SELECT s.user_id, CAST(gs.d AS DATE) AS day
+  FROM span s, LATERAL (
+    SELECT UNNEST(generate_series(s.d0, s.d1, INTERVAL 1 DAY)) AS d
+  ) gs
+), filled AS (
+  SELECT c.user_id, c.day,
+         d.day_value IS NOT NULL AS observed,
+         LAST_VALUE(d.day_value IGNORE NULLS)
+           OVER (PARTITION BY c.user_id ORDER BY c.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+  FROM calendar c LEFT JOIN daily d
+    ON d.user_id = c.user_id AND d.day = c.day
+)
+SELECT user_id,
+       COUNT(*) AS n_days,
+       CAST(SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_observed,
+       CAST(SUM(CASE WHEN observed THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_filled,
+       CAST(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)
+         AS filled_sum
+FROM filled
+GROUP BY user_id
+ORDER BY user_id
+""",
+    doc="Gap-fill: densify each audited user's day span with "
+    "sequence()/generate_series, forward-fill the last observed "
+    "daily value (last_value ignoreNulls per user), report observed/"
+    "filled day counts and the exact-decimal sum of the dense series.",
+)
+def g14_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    keep = (
+        e.select("user_id")
+        .distinct()
+        .filter(
+            md5_long(F.concat(F.lit("gf:"), F.col("user_id").cast("string")))
+            % 8
+            == 0
+        )
+    )
+    daily = (
+        e.join(F.broadcast(keep), "user_id")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(exact_sum(dec("value", VALUE6), "day_value", scale=6))
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    calendar = span.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1")).alias("day"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = calendar.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.col("day_value").isNotNull().alias("observed"),
+        F.last("day_value", ignorenulls=True).over(w).alias("v"),
+    )
+    return (
+        filled.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum(F.when(F.col("observed"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_observed"),
+            F.sum(F.when(F.col("observed"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_filled"),
+            exact_sum(dec("v", VALUE6), "filled_sum", scale=6),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# G15 — trailing RANGE-frame window (rolling 90-day customer spend)
+#
+# The one windowing mode the suite lacked: a time-RANGE frame (not
+# ROWS) — at each order, the customer's total spend over the trailing
+# 90 days INCLUDING same-day peers. Spark expresses it as
+# rangeBetween(-90, 0) over a day-ordinal; DuckDB as RANGE BETWEEN 90
+# PRECEDING. Both engines give ties (same customer, same date) the
+# identical frame, so the per-order values match exactly; the check
+# output aggregates per order-month to stay small.
+#
+# Scale: the window partitions by o_custkey — per-customer order
+# history through one task, bounded by a customer's lifetime orders
+# (hundreds), not the corpus. One shuffle, reused by the final
+# aggregate's month grain only after the window.
+# ---------------------------------------------------------------------------
+
+_G15_DAYS = 90
+_G15_EPOCH = "1995-01-01"  # day-ordinal origin (any fixed date works)
+
+
+@register(
+    "g15_trailing_range_window",
+    oracle=f"""
+WITH spend AS (
+  SELECT o_custkey, o_orderdate,
+         date_diff('day', DATE '{_G15_EPOCH}', o_orderdate) AS day_ord,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS price
+  FROM orders
+), trail AS (
+  SELECT o_orderdate,
+         CAST(CAST(SUM(price) OVER (
+                PARTITION BY o_custkey ORDER BY day_ord
+                RANGE BETWEEN {_G15_DAYS} PRECEDING AND CURRENT ROW)
+              AS DECIMAL(38,2)) AS DOUBLE) AS trail_spend
+  FROM spend
+)
+SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+       COUNT(*) AS n_orders,
+       {o_sum("trail_spend", "trail_total", prec="DECIMAL(18,2)")},
+       CAST(CAST(SUM(CAST(trail_spend AS DECIMAL(18,2))) AS DECIMAL(38,2))
+            AS DOUBLE) / COUNT(*) AS avg_trailing
+FROM trail
+GROUP BY 1
+ORDER BY order_month
+""",
+    doc="Trailing 90-day per-customer spend via a time-RANGE window "
+    "frame (rangeBetween on a day ordinal — same-day peers share the "
+    "frame in both engines), aggregated to per-month count / total / "
+    "average of the trailing sums.",
+)
+def g15_trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    spend = o.select(
+        "o_custkey",
+        "o_orderdate",
+        F.datediff(
+            F.col("o_orderdate"), F.lit(_G15_EPOCH).cast("date")
+        ).alias("day_ord"),
+        dec("o_totalprice", MONEY).alias("price"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_ord")
+        .rangeBetween(-_G15_DAYS, 0)
+    )
+    trailing = spend.select(
+        "o_orderdate",
+        F.sum("price")
+        .over(w)
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("trail_spend"),
+    )
+    return (
+        trailing.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            exact_sum(dec("trail_spend", "decimal(18,2)"), "trail_total"),
+            (
+                F.sum(dec("trail_spend", "decimal(18,2)"))
+                .cast("decimal(38,2)")
+                .cast("double")
+                / F.count("*")
+            ).alias("avg_trailing"),
+        )
+        .orderBy("order_month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# G16 — first-occurrence precedence census ("A before B" matrix)
+#
+# For every ordered pair of event types: among users who emitted both,
+# how many saw their FIRST A strictly before their FIRST B, after, or
+# at the same microsecond (tie)? The funnel-ordering diagnostic that
+# doesn't assume a fixed funnel (f32 checks one ordered path; this
+# scores all pairs). Shape: one (user, type) min-ts aggregate, then a
+# self-join on user over the 5-type grain — 25× fan-out of a
+# user-count-sized relation, broadcast-free equi-join.
+#
+# Scale: the per-user pivot is one shuffle on user_id; the pair join
+# is user_id-co-partitioned with ≤ |types|² rows per user. Type
+# domains are schema-bounded, so the fan-out constant is fixed.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g16_event_precedence",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, event_type, MIN(ts) AS first_ts
+  FROM events GROUP BY user_id, event_type
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       COUNT(*) AS n_users_both,
+       CAST(SUM(CASE WHEN a.first_ts < b.first_ts THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_a_first,
+       CAST(SUM(CASE WHEN a.first_ts > b.first_ts THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_b_first,
+       CAST(SUM(CASE WHEN a.first_ts = b.first_ts THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_tie
+FROM firsts a
+JOIN firsts b ON b.user_id = a.user_id AND a.event_type < b.event_type
+GROUP BY a.event_type, b.event_type
+ORDER BY type_a, type_b
+""",
+    doc="First-occurrence precedence matrix: for each unordered event-"
+    "type pair, counts of users whose first A precedes / follows / "
+    "ties their first B — the assumption-free funnel-ordering census "
+    "beside f32's fixed-path funnel.",
+)
+def g16_event_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_ts")
+    )
+    a = firsts.select(
+        "user_id",
+        F.col("event_type").alias("type_a"),
+        F.col("first_ts").alias("ts_a"),
+    )
+    b = firsts.select(
+        "user_id",
+        F.col("event_type").alias("type_b"),
+        F.col("first_ts").alias("ts_b"),
+    )
+    pairs = a.join(b, "user_id").filter(F.col("type_a") < F.col("type_b"))
+    return (
+        pairs.groupBy("type_a", "type_b")
+        .agg(
+            F.count("*").alias("n_users_both"),
+            F.sum(F.when(F.col("ts_a") < F.col("ts_b"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_a_first"),
+            F.sum(F.when(F.col("ts_a") > F.col("ts_b"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_b_first"),
+            F.sum(F.when(F.col("ts_a") == F.col("ts_b"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_tie"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# M8 — k-anonymity / l-diversity privacy audit
+#
+# The reference pipeline hashes PHI (B5) but never AUDITS the residual
+# re-identification risk of the quasi-identifiers it keeps. Standard
+# privacy metrics (Sweeney 2002; Machanavajjhala et al. 2007): group
+# rows by the quasi-identifier tuple (market segment × account-balance
+# band), then report, per group-size k: how many equivalence classes
+# have that size, how many rows they cover, and the minimum
+# l-diversity (distinct values of the sensitive attribute, nation)
+# among them. Classes with k < 5 are the publishable-risk set.
+#
+# Scale: two hash aggregates (QI grain, then size grain) — the first
+# shuffles on the QI tuple, the second on a tiny size domain. No
+# windows, no joins.
+# ---------------------------------------------------------------------------
+
+_M8_BAND = 1000  # acctbal band width
+_M8_K = 5  # publishable threshold
+
+
+@register(
+    "m8_k_anonymity",
+    oracle=f"""
+WITH classes AS (
+  SELECT c_mktsegment,
+         CAST(FLOOR(c_acctbal / {_M8_BAND}) AS BIGINT) AS bal_band,
+         COUNT(*) AS k_size,
+         COUNT(DISTINCT c_nationkey) AS l_div
+  FROM customer
+  GROUP BY c_mktsegment, CAST(FLOOR(c_acctbal / {_M8_BAND}) AS BIGINT)
+)
+SELECT k_size,
+       COUNT(*) AS n_classes,
+       CAST(SUM(k_size) AS BIGINT) AS n_rows,
+       MIN(l_div) AS min_l_diversity,
+       CASE WHEN k_size < {_M8_K} THEN 1 ELSE 0 END AS below_k
+FROM classes
+GROUP BY k_size
+ORDER BY k_size
+""",
+    doc="k-anonymity / l-diversity audit: equivalence classes over the "
+    "(market segment, balance band) quasi-identifier, censused by "
+    "class size with minimum nation-diversity per size and a below-"
+    "k=5 risk flag — the privacy gate beside B5's PHI hashing.",
+)
+def m8_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    classes = c.groupBy(
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / _M8_BAND)
+        .cast("bigint")
+        .alias("bal_band"),
+    ).agg(
+        F.count("*").alias("k_size"),
+        F.countDistinct("c_nationkey").alias("l_div"),
+    )
+    return (
+        classes.groupBy("k_size")
+        .agg(
+            F.count("*").alias("n_classes"),
+            F.sum("k_size").cast("bigint").alias("n_rows"),
+            F.min("l_div").alias("min_l_diversity"),
+        )
+        .select(
+            "k_size",
+            "n_classes",
+            "n_rows",
+            "min_l_diversity",
+            F.when(F.col("k_size") < _M8_K, 1).otherwise(0).alias("below_k"),
+        )
+        .orderBy("k_size")
+    )

@@ -408,3 +408,55 @@ def test_e16_probe_join_is_equi_join(spark):
     the O(n^2) shape the bucketing exists to avoid."""
     plan = physical(REGISTRY["e16_nearest_event_join"].fn(spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "f39_kaplan_meier",
+        "f40_linear_attribution",
+        "g14_gap_fill_ffill",
+        "g15_trailing_range_window",
+        "g16_event_precedence",
+        "m8_k_anonymity",
+    ],
+)
+def test_lifecycle_queries_have_no_cartesian_product(spark, name):
+    plan = physical(REGISTRY[name].fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name", ["g14_gap_fill_ffill", "g15_trailing_range_window"]
+)
+def test_lifecycle_user_windows_are_partitioned(spark, name):
+    """g14's forward-fill and g15's RANGE frame sort per user/customer,
+    never globally: every windowspec opens with a PARTITION BY column
+    and no SinglePartition exchange feeds a Window."""
+    plan = physical(REGISTRY[name].fn(spark, SF))
+    specs = [ln for ln in plan.splitlines() if "windowspecdefinition(" in ln]
+    assert specs, plan
+    for ln in specs:
+        first = ln.split("windowspecdefinition(", 1)[1].split(",", 1)[0]
+        assert " ASC" not in first and " DESC" not in first, ln
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            below = "\n".join(lines[i + 1 : i + 3])
+            assert "Window" not in below, plan
+
+
+def test_g16_pair_join_is_equi_join(spark):
+    """The precedence self-join must hash/merge on user_id — a
+    nested-loop over the firsts relation squares the user count."""
+    plan = physical(REGISTRY["g16_event_precedence"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_m8_is_pure_aggregation(spark):
+    """The privacy audit is two hash aggregates — any join or window
+    in the plan means the QI census picked up accidental complexity."""
+    plan = physical(REGISTRY["m8_k_anonymity"].fn(spark, SF))
+    assert "Join" not in plan, plan
+    assert "HashAggregate" in plan, plan
