@@ -161,6 +161,9 @@ _NEW_THIS_ROUND: list[str] = [
     "g15_trailing_range_window",
     "g16_event_precedence",
     "m8_k_anonymity",
+    "x86_editdist_join",
+    "x87_zipf_slope",
+    "x88_stratified_sample",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 (union = 129) sit in

@@ -2209,3 +2209,144 @@ def x83_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("is_edge", F.col("aa_score").desc(), "doc_a", "doc_b")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# X86 — edit-distance similarity join via q-gram count filtering
+#
+# The string-similarity join the MinHash family can't express: pairs
+# within Levenshtein distance k, found WITHOUT the O(n²) scan.
+# Classic count filtering (Gravano et al., VLDB 2001): one edit
+# operation destroys at most q positional q-grams, so ed(s,t) ≤ k
+# forces |grams(s) ∩ grams(t)| ≥ max(|s|,|t|) − 1 − k·q (multiset
+# semantics, q=2). The pipeline: distinct names → occurrence-tagged
+# bigram inverted index (tagging the i-th duplicate gram makes set
+# intersection equal multiset intersection) → equi-join on
+# (gram, occurrence) → per-pair match count → count filter → exact
+# levenshtein verify (JVM built-in). The filter is LOSSLESS for
+# len ≥ 6 at k=2 (bound ≥ 1 ⇒ every true pair shares a gram); the
+# length-6 gate is applied identically in both engines.
+#
+# This complements e14 (deletion-neighborhood ER, complete only for
+# k=1): count filtering scales the threshold without the O(len^k)
+# neighborhood blow-up.
+#
+# Scale: the join universe is the DISTINCT-name relation (vocabulary-
+# sized, not row-count-sized); the gram join is an equi-join on the
+# tagged gram with per-pair counts — one shuffle on the gram key, one
+# on the pair key. The DuckDB oracle is the brute-force quadratic
+# join, so the hash match PROVES candidate completeness end-to-end.
+# ---------------------------------------------------------------------------
+
+_X86_K = 2  # Levenshtein threshold
+_X86_Q = 2  # gram width
+
+
+@register(
+    "x86_editdist_join",
+    oracle=f"""
+WITH names AS (
+  SELECT p_name, COUNT(*) AS n_parts
+  FROM part WHERE length(p_name) >= 6
+  GROUP BY p_name
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS editdist,
+       a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+FROM names a JOIN names b
+  ON a.p_name < b.p_name
+ AND abs(length(a.p_name) - length(b.p_name)) <= {_X86_K}
+ AND levenshtein(a.p_name, b.p_name) <= {_X86_K}
+ORDER BY name_a, name_b
+""",
+    doc="Edit-distance ≤2 similarity join over distinct part names: "
+    "occurrence-tagged bigram inverted index + lossless count filter "
+    "(Gravano et al. 2001) + exact levenshtein verify; the oracle is "
+    "the brute-force quadratic join, so the hash match proves "
+    "candidate completeness.",
+)
+def x86_editdist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    names = (
+        p.filter(F.length("p_name") >= 6)
+        .groupBy("p_name")
+        .agg(F.count("*").alias("n_parts"))
+        .withColumn("nlen", F.length("p_name"))
+    )
+    # occurrence-tagged positional bigrams: (gram, occ) set-intersection
+    # equals the gram multiset intersection
+    grams = names.select(
+        "p_name",
+        "nlen",
+        F.posexplode(F.sequence(F.lit(1), F.col("nlen") - 1)).alias(
+            "_i", "pos"
+        ),
+    ).select(
+        "p_name",
+        "nlen",
+        F.substring(F.col("p_name"), F.col("pos"), _X86_Q).alias("gram"),
+        "pos",
+    )
+    occ_w = WindowSpec.partitionBy("p_name", "gram").orderBy("pos")
+    tagged = grams.select(
+        "p_name",
+        "nlen",
+        "gram",
+        F.row_number().over(occ_w).alias("occ"),
+    )
+    a = tagged.select(
+        F.col("p_name").alias("name_a"),
+        F.col("nlen").alias("len_a"),
+        "gram",
+        "occ",
+    )
+    b = tagged.select(
+        F.col("p_name").alias("name_b"),
+        F.col("nlen").alias("len_b"),
+        "gram",
+        "occ",
+    )
+    cand = (
+        a.join(b, ["gram", "occ"])
+        .filter(
+            (F.col("name_a") < F.col("name_b"))
+            & (
+                F.abs(F.col("len_a") - F.col("len_b")) <= _X86_K
+            )
+        )
+        .groupBy("name_a", "name_b", "len_a", "len_b")
+        .agg(F.count("*").alias("shared"))
+        .filter(
+            F.col("shared")
+            >= F.greatest(F.col("len_a"), F.col("len_b"))
+            - 1
+            - _X86_K * _X86_Q
+        )
+    )
+    verified = cand.withColumn(
+        "editdist",
+        F.levenshtein(F.col("name_a"), F.col("name_b")).cast("bigint"),
+    ).filter(F.col("editdist") <= _X86_K)
+    counts = names.select("p_name", "n_parts")
+    return (
+        verified.join(
+            F.broadcast(
+                counts.select(
+                    F.col("p_name").alias("name_a"),
+                    F.col("n_parts").alias("n_parts_a"),
+                )
+            ),
+            "name_a",
+        )
+        .join(
+            F.broadcast(
+                counts.select(
+                    F.col("p_name").alias("name_b"),
+                    F.col("n_parts").alias("n_parts_b"),
+                )
+            ),
+            "name_b",
+        )
+        .select("name_a", "name_b", "editdist", "n_parts_a", "n_parts_b")
+        .orderBy("name_a", "name_b")
+    )

@@ -3214,3 +3214,210 @@ def x85_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("hi", 9).alias("ci_hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X87 — Zipf's-law fit (log-log OLS over the ranked vocabulary)
+#
+# x80 fits Heaps' law (vocabulary growth); this fits the other classic
+# corpus power law: frequency ∝ rank^(-s). Tokens are the same word
+# regexp as x9, ranked by (count DESC, token ASC) — a total order, so
+# the top-K cut is deterministic in both engines. Coordinates are
+# ln(rank) and ln(freq) quantized once to integer 1e-4 nats; all five
+# OLS moments are then BIGINT sums (every product bounded well inside
+# int64 and 2^53 for K ≤ 500), so slope / intercept / r² divide
+# identical integers — bit-exact cross-engine, same contract as f26.
+#
+# Scale: token counting is one explode + hash aggregate (map-side
+# partial combine); the ranked head is top-K-limited (TakeOrdered) so
+# the rank window runs over ≤ K rows — never a data-sized relation.
+# ---------------------------------------------------------------------------
+
+_X87_TOPK = 500
+_X87_LNQ = 10_000  # ln quantization: 1e-4 nats
+
+
+@register(
+    "x87_zipf_slope",
+    oracle=f"""
+WITH tokens AS (
+  SELECT lower(t) AS token
+  FROM (SELECT UNNEST(regexp_extract_all(text, '[A-Za-z0-9]+')) AS t
+        FROM documents)
+), counts AS (
+  SELECT token, COUNT(*) AS freq FROM tokens GROUP BY token
+), head AS (
+  SELECT token, freq FROM counts
+  ORDER BY freq DESC, token ASC LIMIT {_X87_TOPK}
+), coords AS (
+  SELECT CAST(ROUND(LN(CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC)
+                            AS DOUBLE)) * {_X87_LNQ}) AS BIGINT) AS lx,
+         CAST(ROUND(LN(CAST(freq AS DOUBLE)) * {_X87_LNQ}) AS BIGINT) AS ly
+  FROM head
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(lx) AS BIGINT) AS sx, CAST(SUM(ly) AS BIGINT) AS sy,
+         CAST(SUM(lx * ly) AS BIGINT) AS sxy,
+         CAST(SUM(lx * lx) AS BIGINT) AS sxx,
+         CAST(SUM(ly * ly) AS BIGINT) AS syy
+  FROM coords
+)
+SELECT n AS n_ranks,
+       CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) AS zipf_slope,
+       (CAST(sy AS DOUBLE) / n
+        - (CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx))
+          * (CAST(sx AS DOUBLE) / n)) / {_X87_LNQ} AS ln_c,
+       CAST(n * sxy - sx * sy AS DOUBLE) * (n * sxy - sx * sy)
+         / (CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)) AS r2
+FROM s
+""",
+    doc="Zipf's-law fit: OLS of ln(freq) on ln(rank) over the top-500 "
+    "vocabulary (total-order cut), coordinates quantized to 1e-4 "
+    "nats so all moments are exact BIGINTs — slope, intercept and "
+    "r² bit-identical across engines; companion to x80's Heaps fit.",
+)
+def x87_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        d.select(
+            F.explode(
+                F.expr(r"regexp_extract_all(text, '[A-Za-z0-9]+', 0)")
+            ).alias("t")
+        )
+        .select(F.lower("t").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    head = counts.orderBy(F.desc("freq"), F.asc("token")).limit(_X87_TOPK)
+    # rank window over the top-K-limited head only (≤ 500 rows)
+    rank_w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    coords = head.select(
+        F.round(F.log(F.row_number().over(rank_w).cast("double")) * _X87_LNQ)
+        .cast("bigint")
+        .alias("lx"),
+        F.round(F.log(F.col("freq").cast("double")) * _X87_LNQ)
+        .cast("bigint")
+        .alias("ly"),
+    )
+    s = coords.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("lx").cast("bigint").alias("sx"),
+        F.sum("ly").cast("bigint").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).cast("bigint").alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("ly") * F.col("ly")).cast("bigint").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num.cast("double") / den_x
+    return s.select(
+        F.col("n").alias("n_ranks"),
+        slope.alias("zipf_slope"),
+        (
+            (
+                F.col("sy").cast("double") / F.col("n")
+                - slope * (F.col("sx").cast("double") / F.col("n"))
+            )
+            / _X87_LNQ
+        ).alias("ln_c"),
+        (num.cast("double") * num / (den_x.cast("double") * den_y)).alias(
+            "r2"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X88 — stratified sampling with exact per-stratum allocation
+#
+# x30 keeps rows by independent Bernoulli draws (expected share only);
+# x75 reservoir-samples by weight. Neither guarantees EXACT stratum
+# counts — the property a train/eval split needs. Here each language
+# stratum contributes exactly n_h = max(1, N_h·64 // N) rows (integer
+# proportional allocation), chosen as the n_h smallest salted-md5
+# draws with doc_id as total-order tiebreak — deterministic,
+# shuffle-minimal, reproducible.
+#
+# Scale: one hash aggregate for stratum sizes (broadcast back — the
+# stratum domain is small), one row_number window PARTITIONED BY the
+# stratum key (parallel across strata), no global sort. The audit
+# output is stratum-grain.
+# ---------------------------------------------------------------------------
+
+_X88_TARGET = 64  # total sample size the allocation is scaled to
+
+
+@register(
+    "x88_stratified_sample",
+    oracle=f"""
+WITH sized AS (
+  SELECT lang, COUNT(*) AS n_h FROM documents GROUP BY lang
+), tot AS (
+  SELECT CAST(SUM(n_h) AS BIGINT) AS n FROM sized
+), alloc AS (
+  SELECT lang, n_h,
+         GREATEST(1, CAST(n_h * {_X88_TARGET} // n AS BIGINT)) AS n_target
+  FROM sized CROSS JOIN tot
+), ranked AS (
+  SELECT d.lang, d.doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.lang
+           ORDER BY {_fold("'ss:' || CAST(d.doc_id AS VARCHAR)")} ASC,
+                    d.doc_id ASC) AS rn
+  FROM documents d
+)
+SELECT a.lang, a.n_h AS n_stratum, a.n_target,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(SUM({_fold("'ss:' || CAST(r.doc_id AS VARCHAR)")} % 1000000007)
+            AS BIGINT) AS sample_checksum
+FROM alloc a JOIN ranked r ON r.lang = a.lang AND r.rn <= a.n_target
+GROUP BY a.lang, a.n_h, a.n_target
+ORDER BY a.lang
+""",
+    doc="Exact-allocation stratified sampler: each lang stratum "
+    "contributes exactly max(1, N_h*64 div N) rows chosen by smallest "
+    "salted-md5 draw with doc_id tiebreak — per-stratum row_number "
+    "window, broadcast allocation; audit reports target vs sampled "
+    "and an order-free checksum of the chosen ids.",
+)
+def x88_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calaveras_uniteus_etl_spark.functions.hashing import md5_long
+
+    d = table(spark, sf_dir, "documents")
+    sized = d.groupBy("lang").agg(F.count("*").alias("n_h"))
+    tot = sized.agg(F.sum("n_h").cast("bigint").alias("n"))
+    alloc = sized.crossJoin(F.broadcast(tot)).select(  # 1-row scalar
+        "lang",
+        "n_h",
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.expr(f"n_h * {_X88_TARGET} div n").cast("bigint"),
+        ).alias("n_target"),
+    )
+    draw = md5_long(F.concat(F.lit("ss:"), F.col("doc_id").cast("string")))
+    rank_w = Window.partitionBy("lang").orderBy(
+        draw.asc(), F.col("doc_id").asc()
+    )
+    ranked = d.select(
+        "lang",
+        "doc_id",
+        F.row_number().over(rank_w).alias("rn"),
+        (draw % 1000000007).alias("draw_mod"),
+    )
+    return (
+        ranked.join(F.broadcast(alloc), "lang")
+        .filter(F.col("rn") <= F.col("n_target"))
+        .groupBy("lang", "n_h", "n_target")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sampled"),
+            F.sum("draw_mod").cast("bigint").alias("sample_checksum"),
+        )
+        .select(
+            "lang",
+            F.col("n_h").alias("n_stratum"),
+            "n_target",
+            "n_sampled",
+            "sample_checksum",
+        )
+        .orderBy("lang")
+    )

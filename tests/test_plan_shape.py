@@ -460,3 +460,30 @@ def test_m8_is_pure_aggregation(spark):
     plan = physical(REGISTRY["m8_k_anonymity"].fn(spark, SF))
     assert "Join" not in plan, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_x86_gram_join_is_equi_join(spark):
+    """Count filtering hinges on the candidate join being a hash/merge
+    EQUI-join on (gram, occurrence) — nested-loop here means the whole
+    inverted index degenerated to the quadratic scan."""
+    plan = physical(REGISTRY["x86_editdist_join"].fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_x87_head_is_take_ordered(spark):
+    """The Zipf head must come from TakeOrderedAndProject — a global
+    sort of the full vocabulary is the regression this guards."""
+    plan = physical(REGISTRY["x87_zipf_slope"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_x88_sampling_window_is_partitioned(spark):
+    """The sampler's row_number must partition by the stratum key —
+    parallel across strata, no SinglePartition exchange feeding it."""
+    plan = physical(REGISTRY["x88_stratified_sample"].fn(spark, SF))
+    specs = [ln for ln in plan.splitlines() if "windowspecdefinition(" in ln]
+    assert specs, plan
+    for ln in specs:
+        first = ln.split("windowspecdefinition(", 1)[1].split(",", 1)[0]
+        assert " ASC" not in first and " DESC" not in first, ln

@@ -1,0 +1,160 @@
+"""Model checks for x86 (edit-distance join), x87 (Zipf fit), x88
+(stratified sampler) on sf0.001 — naive Python re-derivations plus the
+invariants each must satisfy on any data."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter, defaultdict
+
+import duckdb
+import pytest
+
+from calaveras_uniteus_etl_spark.plans import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(spark, name):
+    return REGISTRY[name].fn(spark, SF).collect()
+
+
+def _duck(sql):
+    con = duckdb.connect()
+    for t in ("part", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con.execute(sql).fetchall()
+
+
+def _md5_long(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+# ---------------------------------------------------------------------------
+# x86 — edit-distance join
+# ---------------------------------------------------------------------------
+
+
+def test_x86_matches_naive_quadratic_join(spark):
+    """The count-filtered pipeline must return EXACTLY the brute-force
+    pairs — any missing pair is a lossless-filter bug."""
+    names = [
+        r[0]
+        for r in _duck(
+            "SELECT DISTINCT p_name FROM part WHERE length(p_name) >= 6"
+        )
+    ]
+    want = {
+        (a, b): _lev(a, b)
+        for i, a in enumerate(names)
+        for b in names[i + 1 :]
+        if _lev(a, b) <= 2
+    }
+    want = {(min(k), max(k)): v for k, v in want.items()}
+    got = {(r["name_a"], r["name_b"]): r["editdist"] for r in _rows(spark, "x86_editdist_join")}
+    assert got == want
+
+
+def test_x86_count_filter_bound_is_lossless_here(spark):
+    """Precondition of the losslessness argument: every joined name is
+    long enough that the count-filter bound stays ≥ 1 at k=2, q=2."""
+    names = _duck("SELECT DISTINCT p_name FROM part")
+    for (n,) in names:
+        if len(n) >= 6:
+            assert (len(n) - 1) - 2 * 2 >= 1
+
+
+# ---------------------------------------------------------------------------
+# x87 — Zipf slope
+# ---------------------------------------------------------------------------
+
+
+def _zipf_model():
+    import re
+
+    docs = _duck("SELECT text FROM documents")
+    counts = Counter()
+    for (text,) in docs:
+        counts.update(t.lower() for t in re.findall(r"[A-Za-z0-9]+", text))
+    head = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:500]
+    xs = [math.log(i + 1) for i in range(len(head))]
+    ys = [math.log(f) for _, f in head]
+    n = len(head)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return n, slope, r2
+
+
+def test_x87_matches_python_model(spark):
+    n, slope, r2 = _zipf_model()
+    (row,) = _rows(spark, "x87_zipf_slope")
+    assert row["n_ranks"] == n
+    # 1e-4-nat quantization of the coordinates: slope agrees to ~1e-3
+    assert row["zipf_slope"] == pytest.approx(slope, abs=2e-3)
+    assert row["r2"] == pytest.approx(r2, abs=2e-3)
+    assert row["zipf_slope"] < 0  # frequency decays with rank
+    assert 0.0 <= row["r2"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# x88 — stratified sampler
+# ---------------------------------------------------------------------------
+
+
+def _strata_model():
+    rows = _duck("SELECT lang, doc_id FROM documents")
+    strata = defaultdict(list)
+    for lang, doc_id in rows:
+        strata[lang].append(doc_id)
+    n = sum(len(v) for v in strata.values())
+    out = {}
+    for lang, ids in strata.items():
+        n_h = len(ids)
+        n_target = max(1, n_h * 64 // n)
+        chosen = sorted(ids, key=lambda d: (_md5_long(f"ss:{d}"), d))[:n_target]
+        checksum = sum(_md5_long(f"ss:{d}") % 1000000007 for d in chosen)
+        out[lang] = (n_h, n_target, checksum)
+    return out
+
+
+def test_x88_matches_python_model(spark):
+    model = _strata_model()
+    got = {r["lang"]: r for r in _rows(spark, "x88_stratified_sample")}
+    assert set(got) == set(model)
+    for lang, (n_h, n_target, checksum) in model.items():
+        r = got[lang]
+        assert r["n_stratum"] == n_h
+        assert r["n_target"] == n_target
+        assert r["n_sampled"] == n_target  # exact allocation, not expected
+        assert r["sample_checksum"] == checksum
+
+
+def test_x88_allocation_is_exact_and_proportional(spark):
+    rows = _rows(spark, "x88_stratified_sample")
+    total = sum(r["n_stratum"] for r in rows)
+    for r in rows:
+        assert r["n_sampled"] == r["n_target"] <= r["n_stratum"]
+        # proportionality within the integer-floor band
+        lo = r["n_stratum"] * 64 // total
+        assert r["n_target"] == max(1, lo)
