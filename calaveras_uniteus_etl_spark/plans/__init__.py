@@ -164,6 +164,11 @@ _NEW_THIS_ROUND: list[str] = [
     "x86_editdist_join",
     "x87_zipf_slope",
     "x88_stratified_sample",
+    "c11_delta_join_view",
+    "f41_winsorized_stats",
+    "f42_forecast_backtest",
+    "g17_rfm_segments",
+    "x89_khop_reach",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 (union = 129) sit in

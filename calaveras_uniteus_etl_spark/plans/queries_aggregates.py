@@ -3871,3 +3871,165 @@ def f38_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nmi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# F41 — winsorized moments (the clamp-based robust companion to f25)
+#
+# f25 REPORTS robust statistics; winsorization is the PREPROCESSING
+# step ML feature pipelines actually apply — clamp to [p05, p95], then
+# take ordinary moments of the clamped series. Percentiles come from
+# the same exact interpolated-quantile both engines share (proven by
+# f25); clamped values are then bit-identical doubles, each term is
+# quantized once to 12dp DECIMAL, and mean/std divide exact sums —
+# order-independent at any partition count. Two passes total
+# (quantiles, then moments), no window, no join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f41_winsorized_stats",
+    oracle="""
+WITH q AS (
+  SELECT quantile_cont(value, 0.05) AS p05,
+         quantile_cont(value, 0.95) AS p95
+  FROM events WHERE value IS NOT NULL
+), clamped AS (
+  SELECT GREATEST(q.p05, LEAST(q.p95, value)) AS v,
+         CASE WHEN value < q.p05 THEN 1 ELSE 0 END AS lo,
+         CASE WHEN value > q.p95 THEN 1 ELSE 0 END AS hi
+  FROM events CROSS JOIN q WHERE value IS NOT NULL
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST((SELECT p05 FROM q) AS DOUBLE) AS p05,
+       CAST((SELECT p95 FROM q) AS DOUBLE) AS p95,
+       CAST(SUM(lo) AS BIGINT) AS n_clamped_lo,
+       CAST(SUM(hi) AS BIGINT) AS n_clamped_hi,
+       ROUND(CAST(SUM(CAST(ROUND(v, 12) AS DECIMAL(38,12))) AS DOUBLE)
+             / COUNT(*), 9) AS mean_w,
+       ROUND(SQRT(CAST(SUM(CAST(ROUND(v * v, 12) AS DECIMAL(38,12)))
+                       AS DOUBLE) / COUNT(*)
+                  - POW(CAST(SUM(CAST(ROUND(v, 12) AS DECIMAL(38,12)))
+                             AS DOUBLE) / COUNT(*), 2)), 9) AS std_w
+FROM clamped
+""",
+    doc="Winsorized moments: clamp events.value to [p05, p95] (exact "
+    "shared quantiles), then 12dp-quantized exact-decimal mean and "
+    "population std of the clamped series with clamp-side counts — "
+    "the feature-pipeline preprocessing step beside f25's reporting.",
+)
+def f41_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    p05, p95 = e.agg(
+        F.percentile("value", F.lit(0.05)),
+        F.percentile("value", F.lit(0.95)),
+    ).first()
+    v = F.greatest(F.lit(p05), F.least(F.lit(p95), F.col("value")))
+    qsum = lambda t: F.sum(F.round(t, 12).cast("decimal(38,12)")).cast(
+        "double"
+    )
+    mean = qsum(v) / F.count("*")
+    return e.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.lit(p05).cast("double").alias("p05"),
+        F.lit(p95).cast("double").alias("p95"),
+        F.sum(F.when(F.col("value") < F.lit(p05), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clamped_lo"),
+        F.sum(F.when(F.col("value") > F.lit(p95), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clamped_hi"),
+        F.round(mean, 9).alias("mean_w"),
+        F.round(F.sqrt(qsum(v * v) / F.count("*") - F.pow(mean, 2)), 9).alias(
+            "std_w"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F42 — rolling-origin forecast backtest (seasonal-naive vs naive)
+#
+# The evaluation loop every forecasting deployment runs: pick a
+# baseline model family, replay it over history, score the errors.
+# Two zero-parameter baselines on the daily revenue series — naive
+# (ŷ_d = y_{d-1 day}) and seasonal-naive (ŷ_d = y_{d-7 days}) — joined
+# by CALENDAR distance on the day ordinal (an equi-join on day grain,
+# robust to missing days, unlike LAG over present rows). Errors are
+# differences of exact-decimal-derived doubles (bit-identical), each
+# |e| quantized once to 12dp DECIMAL; MAE/MAPE divide exact sums, and
+# the skill score 1 − MAE_snaive/MAE_naive divides identical doubles.
+#
+# Scale: the series is day-grain (calendar-bounded); both forecast
+# joins are self-equi-joins on that grain. The raw-to-grain rollup is
+# the only data-sized stage — one shuffle, map-side combined.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f42_forecast_backtest",
+    oracle="""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1995-01-01', o_orderdate) AS d,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                   AS DECIMAL(38,2)) AS DOUBLE) AS y
+  FROM orders GROUP BY 1
+), scored AS (
+  SELECT t.d, t.y, n.y AS yhat_naive, s.y AS yhat_snaive
+  FROM daily t
+  JOIN daily n ON n.d = t.d - 1
+  JOIN daily s ON s.d = t.d - 7
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+       ROUND(CAST(SUM(CAST(ROUND(ABS(y - yhat_naive), 12)
+                           AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6)
+         AS mae_naive,
+       ROUND(CAST(SUM(CAST(ROUND(ABS(y - yhat_snaive), 12)
+                           AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6)
+         AS mae_snaive,
+       ROUND(CAST(SUM(CAST(ROUND(ABS(y - yhat_snaive) / y, 12)
+                           AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 9)
+         AS mape_snaive,
+       ROUND(1.0 - CAST(SUM(CAST(ROUND(ABS(y - yhat_snaive), 12)
+                                 AS DECIMAL(38,12))) AS DOUBLE)
+                   / CAST(SUM(CAST(ROUND(ABS(y - yhat_naive), 12)
+                                   AS DECIMAL(38,12))) AS DOUBLE), 9)
+         AS skill_vs_naive
+FROM scored
+""",
+    doc="Rolling-origin backtest of naive (t-1) and seasonal-naive "
+    "(t-7) daily-revenue forecasts, joined by calendar day ordinal "
+    "(missing-day robust); 12dp-quantized exact MAE / MAPE and the "
+    "seasonal-vs-naive skill score.",
+)
+def f42_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias("d")
+    ).agg(
+        F.sum(X.dec("o_totalprice"))
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("y")
+    )
+    t = daily.alias("t")
+    n = daily.select(
+        (F.col("d") + 1).alias("dn"), F.col("y").alias("yhat_naive")
+    )
+    s = daily.select(
+        (F.col("d") + 7).alias("ds"), F.col("y").alias("yhat_snaive")
+    )
+    scored = t.join(n, F.col("t.d") == F.col("dn")).join(
+        s, F.col("t.d") == F.col("ds")
+    )
+    qd = lambda term: F.sum(F.round(term, 12).cast("decimal(38,12)")).cast(
+        "double"
+    )
+    e_n = F.abs(F.col("y") - F.col("yhat_naive"))
+    e_s = F.abs(F.col("y") - F.col("yhat_snaive"))
+    return scored.agg(
+        F.count("*").cast("bigint").alias("n_eval"),
+        F.round(qd(e_n) / F.count("*"), 6).alias("mae_naive"),
+        F.round(qd(e_s) / F.count("*"), 6).alias("mae_snaive"),
+        F.round(qd(e_s / F.col("y")) / F.count("*"), 9).alias("mape_snaive"),
+        F.round(F.lit(1.0) - qd(e_s) / qd(e_n), 9).alias("skill_vs_naive"),
+    )

@@ -2350,3 +2350,101 @@ def x86_editdist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("name_a", "name_b", "editdist", "n_parts_a", "n_parts_b")
         .orderBy("name_a", "name_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# X89 — k-hop BFS reach over the near-dup graph (frontier expansion)
+#
+# x14 answers "which cluster" (min-label fixpoint); this answers "how
+# FAR" — the hop distribution of breadth-first reach from a
+# deterministic seed sample, the contamination-blast-radius question
+# ("if these docs are tainted, how much of the corpus is within k
+# links?"). The Spark side is the canonical bounded frontier
+# expansion: per hop, join the frontier against the edge list, strip
+# already-visited nodes with a left-anti join, checkpoint — the
+# iterative-BFS twin of x14's label propagation (different fixpoint,
+# different per-round state: a frontier, not the full label map). The
+# DuckDB oracle walks the same edges with WITH RECURSIVE + min-hop,
+# so the hash match proves both the edge set and the traversal.
+#
+# Scale: each round shuffles frontier-sized relations against the
+# edge list (co-partitioned equi-joins); hops are capped at 3, and
+# every round ends in an eager localCheckpoint to keep lineage flat.
+# ---------------------------------------------------------------------------
+
+from calaveras_uniteus_etl_spark.functions.hashing import (  # noqa: E402
+    duckdb_md5_long_sql as _dd_fold,
+)
+
+_X89_HOPS = 3
+_X89_SEED_MOD = 3  # ~1/3 of graph nodes seed the walk
+
+
+@register(
+    "x89_khop_reach",
+    oracle=_duck_reach_sql()
+    + f""", gnodes AS (
+  SELECT DISTINCT a AS node FROM edges
+), seeds AS (
+  SELECT node FROM gnodes
+  WHERE {_dd_fold("'bfs:' || CAST(node AS VARCHAR)")} % {_X89_SEED_MOD} = 0
+), bfs AS (
+  WITH RECURSIVE r(node, hop) AS (
+    SELECT node, 0 FROM seeds
+    UNION
+    SELECT e.b, r.hop + 1 FROM r JOIN edges e ON e.a = r.node
+    WHERE r.hop < {_X89_HOPS}
+  ) SELECT node, MIN(hop) AS hop FROM r GROUP BY node
+)
+SELECT hop, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM bfs GROUP BY hop ORDER BY hop
+""",
+    doc="Bounded BFS over the MinHash-LSH pair graph: deterministic "
+    "seed sample (md5 mod), 3 rounds of frontier-join expansion with "
+    "left-anti visited pruning and per-round checkpoints; reports "
+    "docs first reached at each hop. Recursive-CTE min-hop oracle "
+    "proves edge set and traversal together.",
+)
+def x89_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calaveras_uniteus_etl_spark.functions.hashing import md5_long
+
+    pairs = x2_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b").cache()
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        )
+        .cache()
+    )
+    try:
+        nodes = edges.select(F.col("a").alias("node")).distinct()
+        seeds = nodes.filter(
+            md5_long(F.concat(F.lit("bfs:"), F.col("node").cast("string")))
+            % _X89_SEED_MOD
+            == 0
+        )
+        visited = seeds.withColumn("hop", F.lit(0)).localCheckpoint(
+            eager=True
+        )
+        frontier = visited.select("node")
+        for hop in range(1, _X89_HOPS + 1):
+            nxt = (
+                edges.join(frontier, edges.a == frontier.node)
+                .select(F.col("b").alias("node"))
+                .distinct()
+                .join(visited.select("node"), "node", "left_anti")
+                .withColumn("hop", F.lit(hop))
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt.select("node")
+        return (
+            visited.groupBy("hop")
+            .agg(F.count("*").cast("bigint").alias("n_docs"))
+            .orderBy("hop")
+        )
+    finally:
+        pairs.unpersist()
+        edges.unpersist()

@@ -429,3 +429,84 @@ def c10_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("live_value_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C11 — incremental maintenance of a JOIN view (delta-join algebra)
+#
+# c8 maintains an AGGREGATE view from deltas; this maintains a JOIN
+# view — the other half of incremental view maintenance (Blakeley et
+# al., SIGMOD 1986). For V = A ⋈ B and inserts ΔA, ΔB:
+#
+#     ΔV = (ΔA ⋈ B_old) ∪ (A_old ⋈ ΔB) ∪ (ΔA ⋈ ΔB)
+#
+# The engine partitions orders/lineitem into "old" and "delta" slices
+# by a deterministic key predicate (orderkey mod), computes the three
+# delta joins, unions them with the old view, and aggregates per
+# order priority. The oracle aggregates the FULL join directly — the
+# hash match proves the delta algebra reconstitutes the total view
+# exactly (no dropped term, no double count).
+#
+# Scale: this is the plan an incremental warehouse runs every batch —
+# the three delta joins touch |Δ|-proportional data on the delta
+# sides; the old view's contribution arrives pre-aggregated (c8's
+# merge would consume it), so only the join keys of the old slices
+# rescan here. Delta sides are broadcast when dim-sized in production;
+# at the check SF the slices are comparable so the equi-joins shuffle.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c11_delta_join_view",
+    oracle="""
+SELECT o.o_orderpriority AS priority,
+       COUNT(*) AS n_lines,
+       CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                     * (1 - CAST(l.l_discount AS DECIMAL(6,4))))
+                 AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY priority
+""",
+    doc="Incremental JOIN-view maintenance: orders/lineitem split into "
+    "old/delta slices by key predicate, view rebuilt as old ⋈ old "
+    "plus the three delta-join terms (ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB); "
+    "the oracle computes the full join directly, so the hash match "
+    "proves the delta algebra loses nothing and double-counts "
+    "nothing.",
+)
+def c11_delta_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(6,4)"))
+        ).alias("rev"),
+    )
+    o_old = o.filter(F.col("o_orderkey") % 10 != 0)
+    o_new = o.filter(F.col("o_orderkey") % 10 == 0)
+    l_old = l.filter(F.col("l_orderkey") % 7 != 0)
+    l_new = l.filter(F.col("l_orderkey") % 7 == 0)
+
+    def j(orders, lines):
+        return orders.join(
+            lines, lines["l_orderkey"] == orders["o_orderkey"]
+        ).select("o_orderpriority", "rev")
+
+    view = (
+        j(o_old, l_old)  # V_old
+        .unionAll(j(o_new, l_old))  # ΔA ⋈ B_old
+        .unionAll(j(o_old, l_new))  # A_old ⋈ ΔB
+        .unionAll(j(o_new, l_new))  # ΔA ⋈ ΔB
+    )
+    return (
+        view.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum("rev").cast("decimal(38,6)").cast("double").alias("revenue"),
+        )
+        .orderBy("priority")
+    )

@@ -630,3 +630,101 @@ def m8_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# G17 — RFM segmentation (three independent quintile cuts, one segment
+#       census)
+#
+# The classic lifecycle scoring: Recency (days since last order at a
+# fixed as-of constant), Frequency (order count), Monetary (lifetime
+# exact-decimal spend), each cut into quintiles INDEPENDENTLY, then a
+# census per (r,f,m) cell. Each quintile is a global NTILE over a
+# data-sized customer relation — so each cut reuses operators/
+# prefix.py's distributed rank (range repartition + broadcast
+# offsets + the shared tile formula) instead of a single-partition
+# NTILE window; three cuts = three range exchanges, the honest
+# minimum for three different total orders. Tile orders are chosen so
+# 5 always means "best" (most recent / most frequent / highest
+# spend), with custkey as the total-order tiebreak in both engines.
+# ---------------------------------------------------------------------------
+
+_G17_ASOF = "2001-08-15"  # fixed as-of date (max order date + 2 weeks)
+
+
+@register(
+    "g17_rfm_segments",
+    oracle=f"""
+WITH cust AS (
+  SELECT o_custkey,
+         date_diff('day', MAX(o_orderdate), DATE '{_G17_ASOF}') AS recency,
+         COUNT(*) AS freq,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+           AS monetary
+  FROM orders GROUP BY o_custkey
+), scored AS (
+  SELECT o_custkey, monetary,
+         NTILE(5) OVER (ORDER BY recency DESC, o_custkey) AS r_q,
+         NTILE(5) OVER (ORDER BY freq ASC,    o_custkey) AS f_q,
+         NTILE(5) OVER (ORDER BY monetary ASC, o_custkey) AS m_q
+  FROM cust
+)
+SELECT r_q * 100 + f_q * 10 + m_q AS segment_code,
+       COUNT(*) AS n_customers,
+       CAST(CAST(SUM(monetary) AS DECIMAL(38,2)) AS DOUBLE) AS segment_value
+FROM scored
+GROUP BY r_q * 100 + f_q * 10 + m_q
+ORDER BY segment_code
+""",
+    doc="RFM segmentation: recency/frequency/monetary quintiles via "
+    "three distributed prefix-rank cuts (no single-partition NTILE), "
+    "5 = best on every axis, censused per (r,f,m) segment code with "
+    "exact-decimal segment value.",
+)
+def g17_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calaveras_uniteus_etl_spark.operators.prefix import (
+        ntile_from_rank,
+        prefix_rank,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(_G17_ASOF).cast("date"), F.max("o_orderdate")
+        ).alias("recency"),
+        F.count("*").alias("freq"),
+        F.sum(dec("o_totalprice", MONEY))
+        .cast("decimal(38,2)")
+        .alias("monetary"),
+    )
+
+    def quintile(df, order, col):
+        ranked = prefix_rank(df, order, rn_col="__rn", total_rows_col="__n")
+        return ranked.withColumn(
+            col, ntile_from_rank(F.col("__rn"), F.col("__n"), 5)
+        ).drop("__rn", "__n")
+
+    scored = quintile(
+        cust, [F.desc("recency"), F.asc("o_custkey")], "r_q"
+    )
+    scored = quintile(
+        scored, [F.asc("freq"), F.asc("o_custkey")], "f_q"
+    )
+    scored = quintile(
+        scored, [F.asc("monetary"), F.asc("o_custkey")], "m_q"
+    )
+    return (
+        scored.groupBy(
+            (
+                F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q")
+            ).alias("segment_code")
+        )
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("monetary")
+            .cast("decimal(38,2)")
+            .cast("double")
+            .alias("segment_value"),
+        )
+        .orderBy("segment_code")
+    )

@@ -1,0 +1,230 @@
+"""Model checks for c11 (delta-join view), f41 (winsorized moments),
+f42 (forecast backtest), g17 (RFM segments), x89 (k-hop BFS reach) on
+sf0.001 — naive Python re-derivations plus per-operator invariants."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter, defaultdict
+
+import duckdb
+import pytest
+
+from calaveras_uniteus_etl_spark.plans import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(spark, name):
+    return REGISTRY[name].fn(spark, SF).collect()
+
+
+def _duck(sql):
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem", "events", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con.execute(sql).fetchall()
+
+
+def _md5_long(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _ntile(rank: int, total: int, n: int) -> int:
+    q, r = divmod(total, n)
+    threshold = r * (q + 1)
+    if rank <= threshold:
+        return (rank - 1) // (q + 1) + 1
+    return r + (rank - threshold - 1) // q + 1
+
+
+# ---------------------------------------------------------------------------
+# c11 — delta-join view
+# ---------------------------------------------------------------------------
+
+
+def test_c11_slices_partition_both_tables(spark):
+    """The old/delta split must be a PARTITION (disjoint, covering) of
+    each table — otherwise the delta algebra silently over/under
+    counts regardless of the join result."""
+    (n_orders,) = _duck("SELECT COUNT(*) FROM orders")[0]
+    (n_old, n_new) = _duck(
+        "SELECT COUNT(*) FILTER (o_orderkey % 10 != 0),"
+        " COUNT(*) FILTER (o_orderkey % 10 = 0) FROM orders"
+    )[0]
+    assert n_old + n_new == n_orders and n_new > 0
+    (n_lines,) = _duck("SELECT COUNT(*) FROM lineitem")[0]
+    (l_old, l_new) = _duck(
+        "SELECT COUNT(*) FILTER (l_orderkey % 7 != 0),"
+        " COUNT(*) FILTER (l_orderkey % 7 = 0) FROM lineitem"
+    )[0]
+    assert l_old + l_new == n_lines and l_new > 0
+
+
+def test_c11_reconstitutes_full_join(spark):
+    want = {
+        p: (n, pytest.approx(rev, abs=1e-6))
+        for p, n, rev in _duck(
+            """
+            SELECT o_orderpriority, COUNT(*),
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                                 * (1 - CAST(l_discount AS DECIMAL(6,4))))
+                             AS DECIMAL(38,6)) AS DOUBLE)
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            GROUP BY 1
+            """
+        )
+    }
+    got = {r["priority"]: (r["n_lines"], r["revenue"]) for r in _rows(spark, "c11_delta_join_view")}
+    assert set(got) == set(want)
+    for p, (n, rev) in want.items():
+        assert got[p][0] == n
+        assert got[p][1] == rev
+
+
+# ---------------------------------------------------------------------------
+# f41 — winsorized moments
+# ---------------------------------------------------------------------------
+
+
+def test_f41_matches_python_model(spark):
+    vals = sorted(
+        v for (v,) in _duck("SELECT value FROM events WHERE value IS NOT NULL")
+    )
+
+    def q_cont(p):
+        # linear-interpolated quantile, the quantile_cont/percentile def
+        idx = p * (len(vals) - 1)
+        lo, frac = int(idx), idx - int(idx)
+        return vals[lo] if frac == 0 else vals[lo] * (1 - frac) + vals[lo + 1] * frac
+
+    p05, p95 = q_cont(0.05), q_cont(0.95)
+    clamped = [min(p95, max(p05, v)) for v in vals]
+    n = len(clamped)
+    mean = sum(clamped) / n
+    var = sum(v * v for v in clamped) / n - mean * mean
+    (row,) = _rows(spark, "f41_winsorized_stats")
+    assert row["n"] == n
+    assert row["p05"] == pytest.approx(p05, rel=1e-12)
+    assert row["p95"] == pytest.approx(p95, rel=1e-12)
+    assert row["n_clamped_lo"] == sum(1 for v in vals if v < p05)
+    assert row["n_clamped_hi"] == sum(1 for v in vals if v > p95)
+    assert row["mean_w"] == pytest.approx(mean, rel=1e-9)
+    assert row["std_w"] == pytest.approx(var**0.5, rel=1e-6)
+    # winsorized std can never exceed the raw std
+    raw_mean = sum(vals) / n
+    raw_std = (sum(v * v for v in vals) / n - raw_mean * raw_mean) ** 0.5
+    assert row["std_w"] <= raw_std + 1e-12
+
+
+# ---------------------------------------------------------------------------
+# f42 — forecast backtest
+# ---------------------------------------------------------------------------
+
+
+def test_f42_matches_python_model(spark):
+    daily = dict(
+        _duck(
+            """
+            SELECT date_diff('day', DATE '1995-01-01', o_orderdate),
+                   CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                             AS DECIMAL(38,2)) AS DOUBLE)
+            FROM orders GROUP BY 1
+            """
+        )
+    )
+    scored = [
+        (y, daily[d - 1], daily[d - 7])
+        for d, y in daily.items()
+        if d - 1 in daily and d - 7 in daily
+    ]
+    n = len(scored)
+    mae_n = sum(abs(y - f) for y, f, _ in scored) / n
+    mae_s = sum(abs(y - f) for y, _, f in scored) / n
+    mape_s = sum(abs(y - f) / y for y, _, f in scored) / n
+    (row,) = _rows(spark, "f42_forecast_backtest")
+    assert row["n_eval"] == n
+    assert row["mae_naive"] == pytest.approx(mae_n, rel=1e-6)
+    assert row["mae_snaive"] == pytest.approx(mae_s, rel=1e-6)
+    assert row["mape_snaive"] == pytest.approx(mape_s, rel=1e-6)
+    assert row["skill_vs_naive"] == pytest.approx(1 - mae_s / mae_n, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# g17 — RFM segments
+# ---------------------------------------------------------------------------
+
+
+def test_g17_matches_python_model(spark):
+    custs = _duck(
+        """
+        SELECT o_custkey,
+               date_diff('day', MAX(o_orderdate), DATE '2001-08-15'),
+               COUNT(*),
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                         AS DECIMAL(38,2)) AS DOUBLE)
+        FROM orders GROUP BY 1
+        """
+    )
+    total = len(custs)
+
+    def tiles(keyfn):
+        order = sorted(custs, key=keyfn)
+        return {
+            row[0]: _ntile(i + 1, total, 5) for i, row in enumerate(order)
+        }
+
+    r_q = tiles(lambda r: (-r[1], r[0]))
+    f_q = tiles(lambda r: (r[2], r[0]))
+    m_q = tiles(lambda r: (r[3], r[0]))
+    segs = defaultdict(lambda: [0, 0.0])
+    for ck, _rec, _fr, mon in custs:
+        code = r_q[ck] * 100 + f_q[ck] * 10 + m_q[ck]
+        segs[code][0] += 1
+        segs[code][1] += mon
+    got = {r["segment_code"]: r for r in _rows(spark, "g17_rfm_segments")}
+    assert set(got) == set(segs)
+    for code, (n, value) in segs.items():
+        assert got[code]["n_customers"] == n
+        assert got[code]["segment_value"] == pytest.approx(value, abs=0.02)
+
+
+def test_g17_quintiles_are_balanced(spark):
+    """Each axis must distribute customers evenly (NTILE balance):
+    per-axis tile sizes differ by at most 1."""
+    rows = _rows(spark, "g17_rfm_segments")
+    for shift in (100, 10, 1):
+        axis = Counter()
+        for r in rows:
+            axis[(r["segment_code"] // shift) % 10] += r["n_customers"]
+        assert set(axis) == {1, 2, 3, 4, 5}
+        assert max(axis.values()) - min(axis.values()) <= 1
+
+
+# ---------------------------------------------------------------------------
+# x89 — k-hop BFS
+# ---------------------------------------------------------------------------
+
+
+def test_x89_matches_python_bfs(spark):
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in REGISTRY["x2_minhash_lsh_pairs"].fn(spark, SF).collect()
+    ]
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    seeds = {n for n in adj if _md5_long(f"bfs:{n}") % 3 == 0}
+    hop = {n: 0 for n in seeds}
+    frontier = set(seeds)
+    for h in (1, 2, 3):
+        nxt = {m for n in frontier for m in adj[n]} - set(hop)
+        for m in nxt:
+            hop[m] = h
+        frontier = nxt
+    want = Counter(hop.values())
+    got = {r["hop"]: r["n_docs"] for r in _rows(spark, "x89_khop_reach")}
+    assert got == dict(want)

@@ -487,3 +487,43 @@ def test_x88_sampling_window_is_partitioned(spark):
     for ln in specs:
         first = ln.split("windowspecdefinition(", 1)[1].split(",", 1)[0]
         assert " ASC" not in first and " DESC" not in first, ln
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "c11_delta_join_view",
+        "f41_winsorized_stats",
+        "f42_forecast_backtest",
+        "g17_rfm_segments",
+    ],
+)
+def test_round4c_queries_have_no_cartesian_product(spark, name):
+    plan = physical(REGISTRY[name].fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_c11_delta_joins_are_equi_joins(spark):
+    """All four view terms must stay hash/merge equi-joins on the
+    order key — the delta algebra buys nothing if a term degenerates
+    to a nested loop."""
+    plan = physical(REGISTRY["c11_delta_join_view"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_g17_has_no_single_partition_ntile(spark):
+    """Three quintile cuts over a data-sized customer relation: each
+    must come from the distributed prefix operator. Every windowspec
+    in the plan must therefore either PARTITION BY a column (the
+    partition-local rank) or operate on the __prefix_pid offsets
+    relation — which is cluster-sized (≤ one row per shuffle
+    partition, sits above a pid-keyed HashAggregate), never the
+    customer relation. A bare data-column global window here means a
+    quintile regressed to single-partition NTILE."""
+    plan = physical(REGISTRY["g17_rfm_segments"].fn(spark, SF))
+    specs = [ln for ln in plan.splitlines() if "windowspecdefinition(" in ln]
+    assert specs, plan
+    for ln in specs:
+        first = ln.split("windowspecdefinition(", 1)[1].split(",", 1)[0]
+        unpartitioned = " ASC" in first or " DESC" in first
+        assert not unpartitioned or "__prefix_pid" in first, ln
