@@ -169,6 +169,9 @@ _NEW_THIS_ROUND: list[str] = [
     "f42_forecast_backtest",
     "g17_rfm_segments",
     "x89_khop_reach",
+    "e17_bloom_prejoin",
+    "m9_zone_map_pruning",
+    "h27_cumulative_crossover",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 (union = 129) sit in

@@ -4033,3 +4033,120 @@ def f42_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(qd(e_s / F.col("y")) / F.count("*"), 9).alias("mape_snaive"),
         F.round(F.lit(1.0) - qd(e_s) / qd(e_n), 9).alias("skill_vs_naive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M9 — zone-map pruning estimate (min/max file skipping)
+#
+# m3 PRESCRIBES a clustered layout (Morton order); this MEASURES what
+# zone maps buy on the layout a warehouse actually has: orders
+# grouped into monthly files (date-clustered, the natural ingest
+# layout), per-file min/max collected for two candidate predicate
+# columns — o_orderdate (correlated with the layout) and o_totalprice
+# (uncorrelated) — and a fixed range predicate evaluated against each
+# file's zone. The contrast IS the result: the date predicate skips
+# almost every file, the price predicate almost none, which is the
+# quantitative argument for m3's re-clustering. Two hash aggregates
+# (file grain, then one row per predicate via a tiny union); zone
+# arithmetic is integer/decimal-exact.
+# ---------------------------------------------------------------------------
+
+_M9_DATE_LO, _M9_DATE_HI = "1998-01-01", "1998-03-31"
+_M9_PRICE_LO, _M9_PRICE_HI = 50000, 60000
+
+
+@register(
+    "m9_zone_map_pruning",
+    oracle=f"""
+WITH filed AS (
+  SELECT (date_diff('day', DATE '1995-01-01', o_orderdate) // 30) AS file_id,
+         o_orderdate, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+  FROM orders
+), zones AS (
+  SELECT file_id, COUNT(*) AS n_rows,
+         MIN(o_orderdate) AS d_min, MAX(o_orderdate) AS d_max,
+         MIN(price) AS p_min, MAX(price) AS p_max
+  FROM filed GROUP BY file_id
+), verdicts AS (
+  SELECT 'orderdate' AS predicate, file_id, n_rows,
+         (d_max < DATE '{_M9_DATE_LO}' OR d_min > DATE '{_M9_DATE_HI}')
+           AS skippable
+  FROM zones
+  UNION ALL
+  SELECT 'totalprice', file_id, n_rows,
+         (p_max < {_M9_PRICE_LO} OR p_min > {_M9_PRICE_HI})
+  FROM zones
+)
+SELECT predicate,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(CASE WHEN skippable THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_skipped,
+       CAST(SUM(CASE WHEN skippable THEN 0 ELSE n_rows END) AS BIGINT)
+         AS rows_scanned,
+       ROUND(CAST(SUM(CASE WHEN skippable THEN 0 ELSE n_rows END) AS DOUBLE)
+             / SUM(n_rows), 6) AS scan_fraction
+FROM verdicts
+GROUP BY predicate
+ORDER BY predicate
+""",
+    doc="Zone-map file-skipping estimate on the natural monthly-file "
+    "layout: per-file min/max zones for a layout-correlated predicate "
+    "(order date) vs an uncorrelated one (total price), reporting "
+    "files skipped and residual scan fraction — the quantitative "
+    "case for m3's re-clustering.",
+)
+def m9_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    filed = o.select(
+        (
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1995-01-01").cast("date")
+            )
+            / 30
+        )
+        .cast("long")
+        .alias("file_id"),
+        "o_orderdate",
+        X.dec("o_totalprice").alias("price"),
+    )
+    zones = filed.groupBy("file_id").agg(
+        F.count("*").alias("n_rows"),
+        F.min("o_orderdate").alias("d_min"),
+        F.max("o_orderdate").alias("d_max"),
+        F.min("price").alias("p_min"),
+        F.max("price").alias("p_max"),
+    )
+    date_skip = (F.col("d_max") < F.lit(_M9_DATE_LO).cast("date")) | (
+        F.col("d_min") > F.lit(_M9_DATE_HI).cast("date")
+    )
+    price_skip = (F.col("p_max") < _M9_PRICE_LO) | (
+        F.col("p_min") > _M9_PRICE_HI
+    )
+    verdicts = zones.select(
+        F.lit("orderdate").alias("predicate"),
+        "file_id",
+        "n_rows",
+        date_skip.alias("skippable"),
+    ).unionByName(
+        zones.select(
+            F.lit("totalprice").alias("predicate"),
+            "file_id",
+            "n_rows",
+            price_skip.alias("skippable"),
+        )
+    )
+    scanned = F.sum(F.when(F.col("skippable"), 0).otherwise(F.col("n_rows")))
+    return (
+        verdicts.groupBy("predicate")
+        .agg(
+            F.count("*").cast("bigint").alias("n_files"),
+            F.sum(F.when(F.col("skippable"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_skipped"),
+            scanned.cast("bigint").alias("rows_scanned"),
+            F.round(
+                scanned.cast("double") / F.sum("n_rows"), 6
+            ).alias("scan_fraction"),
+        )
+        .orderBy("predicate")
+    )

@@ -1441,3 +1441,156 @@ def e16_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# E17 — Bloom-filter pre-join pruning (runtime-filter shape, audited)
+#
+# The join-side use of x34's membership filter: before shuffling a
+# fact table into a semi-join against a filtered dimension, build a
+# Bloom filter over the dim keys (one bit_or aggregate, kilobytes),
+# broadcast it, and drop fact rows that cannot match. This is what
+# Spark's runtime row-level filtering does internally; expressing it
+# relationally makes the payoff AUDITABLE — the output reports fact
+# rows scanned, rows surviving the bloom, exact semi-join matches,
+# and the false-pass overhead, i.e. the shuffle volume the filter
+# saved. md5-derived bit positions are engine-neutral, so the pruning
+# decision — and the audit — is bit-reproducible in DuckDB.
+#
+# Scale: the filter build aggregates the DIM side (small); the fact
+# side is touched map-side only (broadcast probe, no shuffle before
+# the prune). The exact join after pruning shuffles the survivors —
+# at a selective dim, that is the entire saving.
+# ---------------------------------------------------------------------------
+
+_E17_WORDS = 4096
+_E17_BITS = _E17_WORDS * 32
+_E17_K = 3
+_E17_SEGMENT = "BUILDING"
+
+
+def _e17_oracle() -> str:
+    from calaveras_uniteus_etl_spark.functions.hashing import duckdb_md5_long_sql
+
+    # md5_long_seeded prepends "{seed}:" — mirror exactly ("i:#key")
+    dfold = duckdb_md5_long_sql("cast(i as varchar) || ':#' || cast(c_custkey as varchar)")
+    ffold = duckdb_md5_long_sql("cast(i as varchar) || ':#' || cast(o_custkey as varchar)")
+    return f"""
+WITH seeds AS (SELECT unnest(range({_E17_K})) AS i),
+dim AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = '{_E17_SEGMENT}'
+),
+bloom AS (
+  SELECT p // 32 AS word, bit_or(1::BIGINT << (p % 32)) AS w
+  FROM (SELECT {dfold} % {_E17_BITS} AS p FROM dim CROSS JOIN seeds)
+  GROUP BY p // 32
+),
+probe AS (
+  SELECT o.o_orderkey, o.o_custkey, {ffold} % {_E17_BITS} AS p
+  FROM orders o CROSS JOIN seeds
+),
+verdict AS (
+  SELECT o_orderkey, o_custkey,
+         bool_and(COALESCE((w & (1::BIGINT << (p % 32)))
+                           = (1::BIGINT << (p % 32)), FALSE)) AS pass
+  FROM probe LEFT JOIN bloom ON bloom.word = p // 32
+  GROUP BY o_orderkey, o_custkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_fact,
+       CAST((SELECT COUNT(*) FROM dim) AS BIGINT) AS n_dim,
+       CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+       CAST(SUM(CASE WHEN v.o_custkey IN (SELECT c_custkey FROM dim)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_match,
+       CAST(SUM(CASE WHEN pass AND v.o_custkey NOT IN
+                          (SELECT c_custkey FROM dim)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pass,
+       ROUND(1.0 - CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*), 6) AS prune_fraction
+FROM verdict v
+"""
+
+
+@register(
+    "e17_bloom_prejoin",
+    oracle=_e17_oracle(),
+    doc="Bloom pre-join pruning audit: 131072-bit filter over one "
+    "market segment's customer keys, broadcast-probed against every "
+    "order map-side; reports fact rows scanned / bloom survivors / "
+    "exact matches / false passes / pruned fraction — the shuffle "
+    "volume a runtime filter saves, bit-reproducible in both engines.",
+)
+def e17_bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calaveras_uniteus_etl_spark.functions.hashing import md5_long_seeded
+
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    dim = c.filter(F.col("c_mktsegment") == _E17_SEGMENT).select("c_custkey")
+
+    def positions(key_col):
+        return F.array(
+            *[
+                md5_long_seeded(
+                    F.concat(F.lit("#"), key_col.cast("string")), i
+                )
+                % _E17_BITS
+                for i in range(_E17_K)
+            ]
+        )
+
+    bloom = (
+        dim.select(F.explode(positions(F.col("c_custkey"))).alias("p"))
+        .select(
+            (F.col("p") / 32).cast("long").alias("word"),
+            F.expr("shiftleft(1L, cast(p % 32 as int))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("w"))
+    )
+    probe = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.explode(positions(F.col("o_custkey"))).alias("p"),
+    )
+    verdict = (
+        probe.join(
+            F.broadcast(bloom),
+            (F.col("p") / 32).cast("long") == F.col("word"),
+            "left",
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.coalesce(
+                F.expr(
+                    "(w & shiftleft(1L, cast(p % 32 as int)))"
+                    " = shiftleft(1L, cast(p % 32 as int))"
+                ),
+                F.lit(False),
+            ).alias("hit"),
+        )
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.expr("bool_and(hit)").alias("pass"))
+    )
+    exact = verdict.join(
+        F.broadcast(dim.withColumnRenamed("c_custkey", "o_custkey")).withColumn(
+            "is_match", F.lit(1)
+        ),
+        "o_custkey",
+        "left",
+    ).withColumn("is_match", F.coalesce(F.col("is_match"), F.lit(0)))
+    n_dim = dim.count()  # dim-sized scalar, driver-side by design
+    passes = F.sum(F.when(F.col("pass"), 1).otherwise(0))
+    return exact.agg(
+        F.count("*").cast("bigint").alias("n_fact"),
+        F.lit(n_dim).cast("bigint").alias("n_dim"),
+        passes.cast("bigint").alias("n_bloom_pass"),
+        F.sum("is_match").cast("bigint").alias("n_exact_match"),
+        F.sum(
+            F.when(F.col("pass") & (F.col("is_match") == 0), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_false_pass"),
+        F.round(
+            F.lit(1.0) - passes.cast("double") / F.count("*"), 6
+        ).alias("prune_fraction"),
+    )

@@ -937,3 +937,99 @@ def h26_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# H27 — cumulative-series crossover (TPC-DS Q51 shape)
+#
+# The one TPC-DS-only window shape the TPC-H sweep lacks: two daily
+# cumulative revenue series (urgent-priority vs standard-priority
+# orders) full-outer aligned on the day grain, forward-filled where a
+# series has no sales that day, then compared day-by-day — on how
+# many days is the urgent curve ahead, and what is the maximum lead?
+# All windows run on the DAY GRAIN (calendar-bounded — the same
+# safe-by-construction argument as f19/f28), revenue stays in exact
+# DECIMAL through the cumulative sums, and the lead maximum resolves
+# ties with the earlier day.
+# ---------------------------------------------------------------------------
+
+_H27_URGENT = ("1-URGENT", "2-HIGH")
+
+
+@register(
+    "h27_cumulative_crossover",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CASE WHEN o_orderpriority IN {_H27_URGENT}
+                       THEN CAST(o_totalprice AS DECIMAL(12,2)) END)
+              AS DECIMAL(38,2)) AS urgent_rev,
+         CAST(SUM(CASE WHEN o_orderpriority NOT IN {_H27_URGENT}
+                       THEN CAST(o_totalprice AS DECIMAL(12,2)) END)
+              AS DECIMAL(38,2)) AS std_rev
+  FROM orders GROUP BY 1
+), cum AS (
+  SELECT day,
+         CAST(SUM(COALESCE(urgent_rev, 0)) OVER w AS DECIMAL(38,2)) AS cu,
+         CAST(SUM(COALESCE(std_rev, 0)) OVER w AS DECIMAL(38,2)) AS cs
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(CASE WHEN cu > cs THEN 1 ELSE 0 END) AS BIGINT)
+         AS days_urgent_ahead,
+       CAST(MAX(cu - cs) AS DOUBLE) AS max_lead,
+       CAST(MIN(cu - cs) AS DOUBLE) AS max_deficit,
+       strftime((SELECT day FROM cum ORDER BY (cu - cs) DESC, day ASC
+                 LIMIT 1), '%Y-%m-%d') AS peak_lead_day
+FROM cum
+""",
+    doc="TPC-DS Q51 shape: urgent vs standard daily revenue as two "
+    "cumulative series aligned on the day grain (calendar-bounded "
+    "windows), exact-decimal running sums; reports days-ahead count, "
+    "max lead/deficit and the peak-lead day (earlier-day tiebreak).",
+)
+def h27_cumulative_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin(*_H27_URGENT)
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.when(urgent, X.dec("o_totalprice")))
+        .cast("decimal(38,2)")
+        .alias("urgent_rev"),
+        F.sum(F.when(~urgent, X.dec("o_totalprice")))
+        .cast("decimal(38,2)")
+        .alias("std_rev"),
+    )
+    # day-grain window: calendar-bounded, safe by construction
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = daily.select(
+        "day",
+        F.sum(F.coalesce(F.col("urgent_rev"), F.lit(0).cast("decimal(38,2)")))
+        .over(w)
+        .cast("decimal(38,2)")
+        .alias("cu"),
+        F.sum(F.coalesce(F.col("std_rev"), F.lit(0).cast("decimal(38,2)")))
+        .over(w)
+        .cast("decimal(38,2)")
+        .alias("cs"),
+    )
+    lead = F.col("cu") - F.col("cs")
+    peak = (
+        cum.orderBy(F.desc(lead.cast("decimal(38,2)")), F.asc("day"))
+        .limit(1)
+        .select(F.date_format("day", "yyyy-MM-dd").alias("peak_lead_day"))
+    )
+    return (
+        cum.agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.sum(F.when(F.col("cu") > F.col("cs"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("days_urgent_ahead"),
+            F.max(lead).cast("double").alias("max_lead"),
+            F.min(lead).cast("double").alias("max_deficit"),
+        )
+        .crossJoin(F.broadcast(peak))  # 1-row scalar
+    )

@@ -527,3 +527,18 @@ def test_g17_has_no_single_partition_ntile(spark):
         first = ln.split("windowspecdefinition(", 1)[1].split(",", 1)[0]
         unpartitioned = " ASC" in first or " DESC" in first
         assert not unpartitioned or "__prefix_pid" in first, ln
+
+
+def test_e17_bloom_is_broadcast_probe(spark):
+    """The whole point of the bloom pre-join: the fact side must be
+    probed via a BROADCAST of the kilobyte filter — a shuffle of the
+    fact table before the prune would erase the saving."""
+    plan = physical(REGISTRY["e17_bloom_prejoin"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_m9_is_pure_aggregation(spark):
+    plan = physical(REGISTRY["m9_zone_map_pruning"].fn(spark, SF))
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -1,0 +1,152 @@
+"""Model checks for e17 (bloom pre-join), m9 (zone-map pruning), h27
+(cumulative crossover) on sf0.001."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+from decimal import Decimal
+
+import duckdb
+import pytest
+
+from calaveras_uniteus_etl_spark.plans import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(spark, name):
+    return REGISTRY[name].fn(spark, SF).collect()
+
+
+def _duck(sql):
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con.execute(sql).fetchall()
+
+
+def _md5_long(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+# ---------------------------------------------------------------------------
+# e17 — bloom pre-join
+# ---------------------------------------------------------------------------
+
+
+def test_e17_matches_python_bloom(spark):
+    dim = {
+        k
+        for (k,) in _duck(
+            "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
+        )
+    }
+    facts = _duck("SELECT o_orderkey, o_custkey FROM orders")
+    bits = 4096 * 32
+
+    def positions(key):
+        return [_md5_long(f"{i}:#{key}") % bits for i in range(3)]
+
+    filt = set()
+    for k in dim:
+        filt.update(positions(k))
+    n_pass = sum(1 for _, ck in facts if all(p in filt for p in positions(ck)))
+    n_exact = sum(1 for _, ck in facts if ck in dim)
+    (row,) = _rows(spark, "e17_bloom_prejoin")
+    assert row["n_fact"] == len(facts)
+    assert row["n_dim"] == len(dim)
+    assert row["n_bloom_pass"] == n_pass
+    assert row["n_exact_match"] == n_exact
+    assert row["n_false_pass"] == n_pass - n_exact
+    # no false negatives, ever — the filter may only over-approximate
+    assert row["n_bloom_pass"] >= row["n_exact_match"]
+
+
+# ---------------------------------------------------------------------------
+# m9 — zone maps
+# ---------------------------------------------------------------------------
+
+
+def test_m9_matches_python_model(spark):
+    rows = _duck(
+        """
+        SELECT date_diff('day', DATE '1995-01-01', o_orderdate) // 30,
+               o_orderdate, CAST(o_totalprice AS DECIMAL(12,2))
+        FROM orders
+        """
+    )
+    zones = defaultdict(list)
+    for fid, od, price in rows:
+        zones[fid].append((od, price))
+    import datetime
+
+    d_lo = datetime.datetime(1998, 1, 1)
+    d_hi = datetime.datetime(1998, 3, 31)
+    model = {}
+    for pred in ("orderdate", "totalprice"):
+        n_skipped = rows_scanned = 0
+        for members in zones.values():
+            if pred == "orderdate":
+                mn, mx = min(m[0] for m in members), max(m[0] for m in members)
+                skip = mx < d_lo or mn > d_hi
+            else:
+                mn, mx = min(m[1] for m in members), max(m[1] for m in members)
+                skip = mx < 50000 or mn > 60000
+            n_skipped += skip
+            rows_scanned += 0 if skip else len(members)
+        model[pred] = (len(zones), n_skipped, rows_scanned)
+    got = {r["predicate"]: r for r in _rows(spark, "m9_zone_map_pruning")}
+    assert set(got) == set(model)
+    for pred, (n_files, n_skipped, scanned) in model.items():
+        r = got[pred]
+        assert r["n_files"] == n_files
+        assert r["n_skipped"] == n_skipped
+        assert r["rows_scanned"] == scanned
+        assert r["scan_fraction"] == pytest.approx(
+            scanned / len(rows), abs=1e-6
+        )
+
+
+def test_m9_correlated_predicate_prunes_more(spark):
+    """The point of the query: the layout-correlated predicate must
+    skip strictly more files than the uncorrelated one."""
+    got = {r["predicate"]: r for r in _rows(spark, "m9_zone_map_pruning")}
+    assert got["orderdate"]["n_skipped"] > got["totalprice"]["n_skipped"]
+
+
+# ---------------------------------------------------------------------------
+# h27 — cumulative crossover
+# ---------------------------------------------------------------------------
+
+
+def test_h27_matches_python_model(spark):
+    rows = _duck(
+        """
+        SELECT CAST(o_orderdate AS DATE), o_orderpriority,
+               CAST(o_totalprice AS DECIMAL(12,2))
+        FROM orders
+        """
+    )
+    daily = defaultdict(lambda: [Decimal(0), Decimal(0)])
+    for day, prio, price in rows:
+        daily[day][0 if prio in ("1-URGENT", "2-HIGH") else 1] += price
+    cu = cs = Decimal(0)
+    ahead = 0
+    leads = []
+    for day in sorted(daily):
+        cu += daily[day][0]
+        cs += daily[day][1]
+        leads.append((cu - cs, day))
+        ahead += cu > cs
+    max_lead = max(l for l, _ in leads)
+    min_lead = min(l for l, _ in leads)
+    peak_day = min((d for l, d in leads if l == max_lead))
+    (row,) = _rows(spark, "h27_cumulative_crossover")
+    assert row["n_days"] == len(daily)
+    assert row["days_urgent_ahead"] == ahead
+    assert row["max_lead"] == pytest.approx(float(max_lead), abs=1e-6)
+    assert row["max_deficit"] == pytest.approx(float(min_lead), abs=1e-6)
+    assert row["peak_lead_day"] == peak_day.strftime("%Y-%m-%d")
