@@ -172,6 +172,8 @@ _NEW_THIS_ROUND: list[str] = [
     "e17_bloom_prejoin",
     "m9_zone_map_pruning",
     "h27_cumulative_crossover",
+    "f43_cohort_ltv",
+    "d11_prefix_suggest",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 (union = 129) sit in

@@ -13,6 +13,7 @@ from operator import or_
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from calaveras_uniteus_etl_spark.plans.catalog import register
 from calaveras_uniteus_etl_spark.plans.tables import load_tables, table
@@ -499,4 +500,76 @@ def j3_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.reverse(F.substring("c_name", 1, 6)).alias("name_rev"),
         F.repeat(F.lit("-"), (F.col("c_custkey") % 4).cast("int")).alias("dashes"),
         F.substring(F.col("c_name"), -3, 3).alias("name_tail"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D11 — typeahead prefix suggestions (the serving table behind D5)
+#
+# D5 answers one LIKE search; a search box needs the PRECOMPUTED
+# top-k completions for every prefix — the suggestion table a
+# typeahead service loads. Names roll up once, explode to their
+# 2- and 3-char prefixes, and a rank window PARTITIONED BY PREFIX
+# (parallel across prefixes at any scale) keeps the top 3 per prefix
+# by (popularity DESC, name ASC) — a total order, so the cut is
+# engine-independent.
+# ---------------------------------------------------------------------------
+
+_D11_TOPK = 3
+
+
+@register(
+    "d11_prefix_suggest",
+    oracle=f"""
+WITH names AS (
+  SELECT p_name, COUNT(*) AS n_parts FROM part GROUP BY p_name
+), exploded AS (
+  SELECT substr(p_name, 1, plen) AS prefix, p_name, n_parts
+  FROM names CROSS JOIN (SELECT unnest([2, 3]) AS plen) l
+  WHERE length(p_name) >= plen
+), ranked AS (
+  SELECT prefix, p_name, n_parts,
+         ROW_NUMBER() OVER (PARTITION BY prefix
+                            ORDER BY n_parts DESC, p_name ASC) AS rank
+  FROM exploded
+)
+SELECT prefix, rank, p_name AS suggestion, n_parts
+FROM ranked WHERE rank <= {_D11_TOPK}
+ORDER BY prefix, rank
+""",
+    doc="Typeahead suggestion table: every 2- and 3-char prefix of the "
+    "part-name vocabulary mapped to its top-3 completions by "
+    "popularity (prefix-partitioned rank window, total-order "
+    "tiebreak) — the precomputed serving table behind D5's LIKE "
+    "search.",
+)
+def d11_prefix_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    names = p.groupBy("p_name").agg(F.count("*").alias("n_parts"))
+    exploded = (
+        names.select(
+            "p_name",
+            "n_parts",
+            F.explode(F.array(F.lit(2), F.lit(3))).alias("plen"),
+        )
+        .filter(F.length("p_name") >= F.col("plen"))
+        .select(
+            F.expr("substr(p_name, 1, plen)").alias("prefix"),
+            "p_name",
+            "n_parts",
+        )
+    )
+    w = Window.partitionBy("prefix").orderBy(
+        F.desc("n_parts"), F.asc("p_name")
+    )
+    return (
+        exploded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _D11_TOPK)
+        .select(
+            "prefix",
+            "rank",
+            F.col("p_name").alias("suggestion"),
+            "n_parts",
+        )
+        .orderBy("prefix", "rank")
     )

@@ -728,3 +728,104 @@ def g17_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment_code")
     )
+
+
+# ---------------------------------------------------------------------------
+# F43 — cohort LTV curve (the monetary sibling of f10's retention)
+#
+# f10 counts how many of each cohort come back; finance wants how much
+# they are WORTH over time: cumulative revenue per acquisition cohort
+# at each age, divided by the cohort's size — the LTV curve that
+# payback-period decisions read. Cohort = first-order year, age =
+# months since that first order (integer month arithmetic, no
+# date-diff rounding ambiguity). The cumulative window partitions by
+# cohort over the month-age grain — both calendar-bounded, safe at
+# any SF. Revenue stays exact DECIMAL through the running sum; the
+# per-customer division divides identical doubles.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f43_cohort_ltv",
+    oracle="""
+WITH firsts AS (
+  SELECT o_custkey,
+         MIN(date_part('year', o_orderdate) * 12
+             + date_part('month', o_orderdate)) AS first_m
+  FROM orders GROUP BY o_custkey
+), sized AS (
+  SELECT first_m // 12 AS cohort_year, COUNT(*) AS n_customers
+  FROM (SELECT o_custkey, CAST(first_m AS BIGINT) AS first_m FROM firsts) f
+  GROUP BY first_m // 12
+), aged AS (
+  SELECT CAST(f.first_m // 12 AS BIGINT) AS cohort_year,
+         CAST(date_part('year', o.o_orderdate) * 12
+              + date_part('month', o.o_orderdate) - f.first_m AS BIGINT)
+           AS age_months,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+           AS rev
+  FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+  GROUP BY 1, 2
+), curve AS (
+  SELECT cohort_year, age_months,
+         CAST(SUM(rev) OVER (PARTITION BY cohort_year ORDER BY age_months
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS DECIMAL(38,2)) AS cum_rev
+  FROM aged
+)
+SELECT c.cohort_year, c.age_months, s.n_customers,
+       CAST(c.cum_rev AS DOUBLE) AS cum_revenue,
+       ROUND(CAST(c.cum_rev AS DOUBLE) / s.n_customers, 6)
+         AS ltv_per_customer
+FROM curve c JOIN sized s ON s.cohort_year = c.cohort_year
+ORDER BY c.cohort_year, c.age_months
+""",
+    doc="Cohort LTV curve: cumulative exact-decimal revenue per first-"
+    "order-year cohort at each integer month age, divided by cohort "
+    "size — the monetary sibling of f10's retention; cohort-"
+    "partitioned windows over the calendar-bounded age grain.",
+)
+def f43_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    month_idx = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast(
+        "bigint"
+    )
+    firsts = o.groupBy("o_custkey").agg(F.min(month_idx).alias("first_m"))
+    sized = firsts.groupBy(
+        F.expr("first_m div 12").alias("cohort_year")
+    ).agg(F.count("*").alias("n_customers"))
+    aged = (
+        o.join(firsts, "o_custkey")
+        .groupBy(
+            F.expr("first_m div 12").cast("bigint").alias("cohort_year"),
+            (month_idx - F.col("first_m")).cast("bigint").alias("age_months"),
+        )
+        .agg(
+            F.sum(dec("o_totalprice", MONEY))
+            .cast("decimal(38,2)")
+            .alias("rev")
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_year")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = aged.select(
+        "cohort_year",
+        "age_months",
+        F.sum("rev").over(w).cast("decimal(38,2)").alias("cum_rev"),
+    )
+    return (
+        curve.join(F.broadcast(sized), "cohort_year")
+        .select(
+            "cohort_year",
+            "age_months",
+            "n_customers",
+            F.col("cum_rev").cast("double").alias("cum_revenue"),
+            F.round(
+                F.col("cum_rev").cast("double") / F.col("n_customers"), 6
+            ).alias("ltv_per_customer"),
+        )
+        .orderBy("cohort_year", "age_months")
+    )

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import hashlib
 from collections import Counter, defaultdict
+from decimal import Decimal
 
 import duckdb
 import pytest
@@ -21,7 +22,7 @@ def _rows(spark, name):
 
 def _duck(sql):
     con = duckdb.connect()
-    for t in ("customer", "orders", "lineitem", "events", "documents"):
+    for t in ("customer", "orders", "lineitem", "events", "documents", "part"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
@@ -228,3 +229,82 @@ def test_x89_matches_python_bfs(spark):
     want = Counter(hop.values())
     got = {r["hop"]: r["n_docs"] for r in _rows(spark, "x89_khop_reach")}
     assert got == dict(want)
+
+
+# ---------------------------------------------------------------------------
+# f43 — cohort LTV
+# ---------------------------------------------------------------------------
+
+
+def test_f43_matches_python_model(spark):
+    orders = _duck(
+        """
+        SELECT o_custkey,
+               CAST(date_part('year', o_orderdate) * 12
+                    + date_part('month', o_orderdate) AS BIGINT),
+               CAST(o_totalprice AS DECIMAL(12,2))
+        FROM orders
+        """
+    )
+    first_m = {}
+    for ck, m, _ in orders:
+        first_m[ck] = min(first_m.get(ck, m), m)
+    cohort_size = defaultdict(int)
+    for ck, fm in first_m.items():
+        cohort_size[fm // 12] += 1
+    aged = defaultdict(lambda: Decimal(0))
+    for ck, m, price in orders:
+        aged[(first_m[ck] // 12, m - first_m[ck])] += price
+    got = {
+        (r["cohort_year"], r["age_months"]): r
+        for r in _rows(spark, "f43_cohort_ltv")
+    }
+    assert set(got) == set(aged)
+    for cohort in {c for c, _ in aged}:
+        cum = Decimal(0)
+        for age in sorted(a for c, a in aged if c == cohort):
+            cum += aged[(cohort, age)]
+            r = got[(cohort, age)]
+            assert r["n_customers"] == cohort_size[cohort]
+            assert r["cum_revenue"] == pytest.approx(float(cum), abs=0.01)
+            assert r["ltv_per_customer"] == pytest.approx(
+                float(cum) / cohort_size[cohort], abs=1e-4
+            )
+
+
+def test_f43_curve_is_monotone(spark):
+    """LTV only accumulates: within a cohort the curve never dips."""
+    rows = sorted(
+        _rows(spark, "f43_cohort_ltv"),
+        key=lambda r: (r["cohort_year"], r["age_months"]),
+    )
+    last = {}
+    for r in rows:
+        c = r["cohort_year"]
+        assert r["cum_revenue"] >= last.get(c, 0.0) - 1e-9
+        last[c] = r["cum_revenue"]
+
+
+# ---------------------------------------------------------------------------
+# d11 — prefix suggestions
+# ---------------------------------------------------------------------------
+
+
+def test_d11_matches_python_model(spark):
+    names = dict(
+        _duck("SELECT p_name, COUNT(*) FROM part GROUP BY p_name")
+    )
+    model = {}
+    for plen in (2, 3):
+        buckets = defaultdict(list)
+        for name, n in names.items():
+            if len(name) >= plen:
+                buckets[name[:plen]].append((-n, name))
+        for prefix, cands in buckets.items():
+            for rank, (negn, name) in enumerate(sorted(cands)[:3], 1):
+                model[(prefix, rank)] = (name, -negn)
+    got = {
+        (r["prefix"], r["rank"]): (r["suggestion"], r["n_parts"])
+        for r in _rows(spark, "d11_prefix_suggest")
+    }
+    assert got == model

@@ -542,3 +542,22 @@ def test_m9_is_pure_aggregation(spark):
     plan = physical(REGISTRY["m9_zone_map_pruning"].fn(spark, SF))
     assert "Join" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_d11_rank_window_is_prefix_partitioned(spark):
+    plan = physical(REGISTRY["d11_prefix_suggest"].fn(spark, SF))
+    specs = [ln for ln in plan.splitlines() if "windowspecdefinition(" in ln]
+    assert specs, plan
+    for ln in specs:
+        first = ln.split("windowspecdefinition(", 1)[1].split(",", 1)[0]
+        assert " ASC" not in first and " DESC" not in first, ln
+
+
+def test_f43_cohort_window_is_partitioned_and_size_broadcast(spark):
+    plan = physical(REGISTRY["f43_cohort_ltv"].fn(spark, SF))
+    specs = [ln for ln in plan.splitlines() if "windowspecdefinition(" in ln]
+    assert specs, plan
+    for ln in specs:
+        first = ln.split("windowspecdefinition(", 1)[1].split(",", 1)[0]
+        assert " ASC" not in first and " DESC" not in first, ln
+    assert "BroadcastHashJoin" in plan, plan
