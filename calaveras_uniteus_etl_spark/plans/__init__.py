@@ -174,6 +174,7 @@ _NEW_THIS_ROUND: list[str] = [
     "h27_cumulative_crossover",
     "f43_cohort_ltv",
     "d11_prefix_suggest",
+    "x90_ndcg_eval",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 (union = 129) sit in

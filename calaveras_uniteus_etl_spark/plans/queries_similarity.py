@@ -1841,3 +1841,217 @@ def x77_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cid", "term", "tf", "df", "ctfidf")
         .orderBy("cid", F.desc("ctfidf"), "term")
     )
+
+
+# ---------------------------------------------------------------------------
+# X90 — graded ranking-quality eval: NDCG@10 + MRR per ranker
+#
+# x38/x41 audit RECALL (set overlap with the exact ranker); a retrieval
+# deployment tunes on POSITION-WEIGHTED quality. Two rankers over the
+# same probe set — exact cosine and the unnormalized inner product
+# (the classic norm-bias ablation) — scored against binary relevance
+# (label match) with NDCG@10 and MRR. Every rank weight 1/log2(i+1)
+# and its cumulative ideal sum is precomputed in Python as an integer
+# micro-unit literal shared verbatim by both engines, so DCG/IDCG are
+# exact integer sums and per-query NDCG divides identical ints; the
+# per-ranker mean goes through 12dp-quantized decimals.
+#
+# Scale: probes broadcast against the corpus (the x5 shape); rank
+# windows partition per (ranker, query) on the probe-bounded scored
+# relation; label counts broadcast. The ranker comparison is a
+# column-order change, not a second scan.
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+_X90_K = 10
+_X90_PROBE_MOD = 25  # vec_id % 25 == 0 → probe set
+
+_X90_W = [round(1e6 / _math.log2(i + 1)) for i in range(1, _X90_K + 1)]
+_X90_WCUM = [sum(_X90_W[: i + 1]) for i in range(_X90_K)]
+
+_X90_WT_CASE = (
+    "CASE rnk "
+    + " ".join(f"WHEN {i + 1} THEN {w}" for i, w in enumerate(_X90_W))
+    + " ELSE 0 END"
+)
+_X90_IDCG_CASE = (
+    "CASE LEAST(n_rel, 10) "
+    + " ".join(f"WHEN {i + 1} THEN {w}" for i, w in enumerate(_X90_WCUM))
+    + " ELSE 0 END"
+)
+
+_X90_ORACLE = f"""
+WITH probes AS (
+  SELECT vec_id AS query_id, embedding AS q, label AS qlabel
+  FROM embeddings WHERE vec_id % {_X90_PROBE_MOD} = 0
+), rel_counts AS (
+  SELECT label, COUNT(*) AS n_with FROM embeddings GROUP BY label
+), scored AS (
+  SELECT p.query_id, p.qlabel, e.vec_id AS neighbor_id, e.label,
+         list_dot_product(CAST(p.q AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+           AS dot,
+         list_dot_product(CAST(p.q AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+           / NULLIF(sqrt(list_dot_product(CAST(p.q AS DOUBLE[]),
+                                          CAST(p.q AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[]))), 0)
+           AS cosine
+  FROM probes p, embeddings e
+  WHERE e.vec_id <> p.query_id
+), ranked AS (
+  SELECT 'cosine' AS ranker, query_id, qlabel, label,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+  FROM scored
+  UNION ALL
+  SELECT 'dot', query_id, qlabel, label,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dot DESC, neighbor_id ASC)
+  FROM scored
+), grades AS (
+  SELECT ranker, query_id, qlabel,
+         CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel, rnk
+  FROM ranked WHERE rnk <= {_X90_K}
+), per_query AS (
+  SELECT g.ranker, g.query_id,
+         CAST(SUM(g.rel * ({_X90_WT_CASE})) AS BIGINT) AS dcg_us,
+         CAST(MIN(CASE WHEN g.rel = 1 THEN ROUND(1000000.0 / g.rnk)
+                       ELSE 0 END) AS BIGINT) AS _unused,
+         CAST(MAX(CASE WHEN g.rel = 1 THEN ROUND(1000000.0 / g.rnk)
+                       ELSE 0 END) AS BIGINT) AS rr_us
+  FROM grades g GROUP BY g.ranker, g.query_id
+), with_ideal AS (
+  SELECT pq.ranker, pq.query_id, pq.dcg_us, pq.rr_us,
+         (SELECT {_X90_IDCG_CASE} FROM (
+            SELECT CAST(rc.n_with - 1 AS BIGINT) AS n_rel
+            FROM probes p2 JOIN rel_counts rc ON rc.label = p2.qlabel
+            WHERE p2.query_id = pq.query_id)) AS idcg_us
+  FROM per_query pq
+)
+SELECT ranker,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       ROUND(CAST(SUM(CAST(ROUND(CAST(dcg_us AS DOUBLE) / idcg_us, 12)
+                           AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 9)
+         AS mean_ndcg,
+       ROUND(CAST(SUM(CAST(rr_us AS DECIMAL(38,0))) AS DOUBLE)
+             / (COUNT(*) * 1e6), 9) AS mean_mrr,
+       CAST(SUM(CASE WHEN dcg_us = idcg_us THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_perfect
+FROM with_ideal
+GROUP BY ranker
+ORDER BY ranker
+"""
+
+
+@register(
+    "x90_ndcg_eval",
+    oracle=_X90_ORACLE,
+    doc="Ranking-quality eval: NDCG@10 + MRR of the exact-cosine and "
+    "unnormalized-dot rankers against label-match relevance; rank "
+    "weights and ideal cumulative sums are shared integer micro-unit "
+    "literals, so DCG/IDCG are exact and per-query NDCG divides "
+    "identical ints — the position-weighted companion to x38's "
+    "recall audits.",
+)
+def x90_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select("vec_id", "embedding", "label")
+    )
+    probes = e.filter(F.col("vec_id") % _X90_PROBE_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q"),
+        F.col("label").alias("qlabel"),
+    )
+    rel_counts = e.groupBy("label").agg(F.count("*").alias("n_with"))
+    dot = _dot(F.col("q"), F.col("embedding"))
+    qn = F.sqrt(_dot(F.col("q"), F.col("q")))
+    en = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    scored = (
+        e.join(F.broadcast(probes), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "qlabel",
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            dot.alias("dot"),
+            (dot / F.nullif(qn * en, F.lit(0.0))).alias("cosine"),
+        )
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    w_dot = Window.partitionBy("query_id").orderBy(
+        F.desc("dot"), F.asc("neighbor_id")
+    )
+    # both ranks in ONE pass: the two windows share the query_id
+    # exchange (two sorts, one shuffle), then stack() melts to the
+    # (ranker, rnk) long form without rescanning the scored relation
+    ranked = (
+        scored.withColumn("rnk_cos", F.row_number().over(w_cos))
+        .withColumn("rnk_dot", F.row_number().over(w_dot))
+        .select(
+            "query_id",
+            "qlabel",
+            "label",
+            F.expr(
+                "stack(2, 'cosine', rnk_cos, 'dot', rnk_dot)"
+                " as (ranker, rnk)"
+            ),
+        )
+    )
+    grades = ranked.filter(F.col("rnk") <= _X90_K).select(
+        "ranker",
+        "query_id",
+        "qlabel",
+        F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0).alias("rel"),
+        "rnk",
+    )
+    per_query = grades.groupBy("ranker", "query_id", "qlabel").agg(
+        F.sum(F.col("rel") * F.expr(_X90_WT_CASE))
+        .cast("bigint")
+        .alias("dcg_us"),
+        F.max(
+            F.when(
+                F.col("rel") == 1,
+                F.round(F.lit(1000000.0) / F.col("rnk")),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("rr_us"),
+    )
+    ideal = (
+        probes.select("query_id", "qlabel")
+        .join(F.broadcast(rel_counts), F.col("qlabel") == F.col("label"))
+        .select(
+            "query_id",
+            (F.col("n_with") - 1).cast("bigint").alias("n_rel"),
+        )
+        .select("query_id", F.expr(_X90_IDCG_CASE).alias("idcg_us"))
+    )
+    with_ideal = per_query.join(F.broadcast(ideal), "query_id")
+    ndcg = F.col("dcg_us").cast("double") / F.col("idcg_us")
+    return (
+        with_ideal.groupBy("ranker")
+        .agg(
+            F.count("*").cast("bigint").alias("n_queries"),
+            F.round(
+                F.sum(F.round(ndcg, 12).cast("decimal(38,12)")).cast("double")
+                / F.count("*"),
+                9,
+            ).alias("mean_ndcg"),
+            F.round(
+                F.sum(F.col("rr_us").cast("decimal(38,0)")).cast("double")
+                / (F.count("*") * F.lit(1e6)),
+                9,
+            ).alias("mean_mrr"),
+            F.sum(
+                F.when(F.col("dcg_us") == F.col("idcg_us"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_perfect"),
+        )
+        .orderBy("ranker")
+    )

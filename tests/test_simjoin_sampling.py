@@ -158,3 +158,78 @@ def test_x88_allocation_is_exact_and_proportional(spark):
         # proportionality within the integer-floor band
         lo = r["n_stratum"] * 64 // total
         assert r["n_target"] == max(1, lo)
+
+
+# ---------------------------------------------------------------------------
+# x90 — NDCG/MRR ranking eval
+# ---------------------------------------------------------------------------
+
+
+def test_x90_matches_python_model(spark):
+    rows = _duck_embed("SELECT vec_id, embedding, label FROM embeddings")
+    by_id = {vid: (emb, lab) for vid, emb, lab in rows}
+    label_count = Counter(lab for _, _, lab in rows)
+    W = [round(1e6 / math.log2(i + 1)) for i in range(1, 11)]
+    WCUM = [sum(W[: i + 1]) for i in range(10)]
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += float(x) * float(y)
+        return s
+
+    model = {}
+    for ranker in ("cosine", "dot"):
+        ndcgs, rrs, perfect = [], [], 0
+        for qid, (q, qlab) in by_id.items():
+            if qid % 25 != 0:
+                continue
+            scored = []
+            for vid, (emb, lab) in by_id.items():
+                if vid == qid:
+                    continue
+                d = dot(q, emb)
+                key = (
+                    d / ((dot(q, q) ** 0.5) * (dot(emb, emb) ** 0.5))
+                    if ranker == "cosine"
+                    else d
+                )
+                scored.append((-key, vid, lab))
+            scored.sort()
+            top = scored[:10]
+            dcg = sum(
+                W[i] for i, (_, _, lab) in enumerate(top) if lab == qlab
+            )
+            rr = max(
+                (round(1e6 / (i + 1)) for i, (_, _, lab) in enumerate(top)
+                 if lab == qlab),
+                default=0,
+            )
+            idcg = WCUM[min(label_count[qlab] - 1, 10) - 1]
+            ndcgs.append(dcg / idcg)
+            rrs.append(rr)
+            perfect += dcg == idcg
+        model[ranker] = (
+            len(ndcgs),
+            sum(ndcgs) / len(ndcgs),
+            sum(rrs) / (len(rrs) * 1e6),
+            perfect,
+        )
+    got = {r["ranker"]: r for r in _rows(spark, "x90_ndcg_eval")}
+    assert set(got) == set(model)
+    for ranker, (n, ndcg, mrr, perfect) in model.items():
+        r = got[ranker]
+        assert r["n_queries"] == n
+        assert r["mean_ndcg"] == pytest.approx(ndcg, abs=1e-6)
+        assert r["mean_mrr"] == pytest.approx(mrr, abs=1e-6)
+        assert r["n_perfect"] == perfect
+        assert 0.0 <= r["mean_ndcg"] <= 1.0
+        assert 0.0 <= r["mean_mrr"] <= 1.0
+
+
+def _duck_embed(sql):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF}/embeddings.parquet')"
+    )
+    return con.execute(sql).fetchall()
