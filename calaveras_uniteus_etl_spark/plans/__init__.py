@@ -175,6 +175,8 @@ _NEW_THIS_ROUND: list[str] = [
     "f43_cohort_ltv",
     "d11_prefix_suggest",
     "x90_ndcg_eval",
+    "x91_char_entropy_filter",
+    "h28_yoy_switchers",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 (union = 129) sit in

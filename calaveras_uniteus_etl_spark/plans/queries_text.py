@@ -3421,3 +3421,111 @@ def x88_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# X91 — per-document character-entropy gibberish filter
+#
+# x79 measures entropy at SOURCE grain (corpus diagnostics); quality
+# filtering needs it PER DOCUMENT — low char-entropy flags repeated-
+# character junk, high flags random noise, both standard drop rules
+# (C4/RefinedWeb lineage). Per-doc character histogram → Shannon
+# entropy in integer micro-nats (each term quantized once from exact
+# integer ratios, the x79 contract), then a keep/flag census per
+# entropy band. Shape: one explode to (doc, char) grain, two hash
+# aggregates — the explode fans out n_chars rows but carries (doc_id,
+# char) only, and the per-doc rollup happens before anything joins
+# back.
+# ---------------------------------------------------------------------------
+
+_X91_LO_US = 2_700_000  # < 2.7 nats → too repetitive (p05 of corpus)
+_X91_HI_US = 2_900_000  # > 2.9 nats → noise-like (p95 of corpus)
+
+
+@register(
+    "x91_char_entropy_filter",
+    oracle=f"""
+WITH chars AS (
+  SELECT doc_id, UNNEST(string_split_regex(text, '')) AS ch
+  FROM documents WHERE length(text) > 0
+), hist AS (
+  SELECT doc_id, ch, COUNT(*) AS c FROM chars WHERE ch != '' GROUP BY doc_id, ch
+), totals AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM hist GROUP BY doc_id
+), ent AS (
+  SELECT h.doc_id,
+         CAST(SUM(CAST(ROUND(
+           -(CAST(h.c AS DOUBLE) / t.n) * LN(CAST(h.c AS DOUBLE) / t.n) * 1e6)
+           AS BIGINT)) AS BIGINT) AS ent_us
+  FROM hist h JOIN totals t ON t.doc_id = h.doc_id
+  GROUP BY h.doc_id
+), banded AS (
+  SELECT CASE WHEN ent_us < {_X91_LO_US} THEN 'too_repetitive'
+              WHEN ent_us > {_X91_HI_US} THEN 'noise_like'
+              ELSE 'keep' END AS band,
+         ent_us
+  FROM ent
+)
+SELECT band,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(CAST(ent_us AS DECIMAL(38,0))) AS DOUBLE)
+             / (COUNT(*) * 1e6), 6) AS mean_entropy_nats,
+       ROUND(CAST(MIN(ent_us) AS DOUBLE) / 1e6, 6) AS min_entropy,
+       ROUND(CAST(MAX(ent_us) AS DOUBLE) / 1e6, 6) AS max_entropy
+FROM banded
+GROUP BY band
+ORDER BY band
+""",
+    doc="Per-document character-entropy quality filter: Shannon "
+    "entropy of each doc's char histogram in integer micro-nats "
+    "(x79's quantization contract at doc grain), censused into "
+    "too-repetitive / keep / noise-like bands — the C4-style "
+    "gibberish drop rule.",
+)
+def x91_char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    hist = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), "")).alias("ch"),
+        )
+        .filter(F.col("ch") != "")
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").alias("c"))
+    )
+    totals = hist.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n")
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    ent = (
+        hist.join(totals, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.round(-p * F.log(p) * 1e6).cast("bigint"))
+            .cast("bigint")
+            .alias("ent_us")
+        )
+    )
+    band = (
+        F.when(F.col("ent_us") < _X91_LO_US, "too_repetitive")
+        .when(F.col("ent_us") > _X91_HI_US, "noise_like")
+        .otherwise("keep")
+    )
+    return (
+        ent.groupBy(band.alias("band"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum(F.col("ent_us").cast("decimal(38,0)")).cast("double")
+                / (F.count("*") * F.lit(1e6)),
+                6,
+            ).alias("mean_entropy_nats"),
+            F.round(F.min("ent_us").cast("double") / 1e6, 6).alias(
+                "min_entropy"
+            ),
+            F.round(F.max("ent_us").cast("double") / 1e6, 6).alias(
+                "max_entropy"
+            ),
+        )
+        .orderBy("band")
+    )

@@ -1033,3 +1033,125 @@ def h27_cumulative_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(peak))  # 1-row scalar
     )
+
+
+# ---------------------------------------------------------------------------
+# H28 — year-over-year preference switchers (TPC-DS Q4/Q11 shape)
+#
+# The customer-grain YoY self-compare TPC-H lacks: customers whose
+# urgent-priority spend GREW between two fixed years while standard
+# spend SHRANK (channel switchers — Q11 asks the web-vs-store
+# version). One aggregate to the (customer, year, channel) grain,
+# pivoted by CASE, self-joined per customer across the two years
+# (equi-join on custkey), growth compared in exact DECIMAL — no
+# doubles anywhere until the output. Output is the switcher census
+# per market segment plus their spend swing.
+# ---------------------------------------------------------------------------
+
+_H28_Y1, _H28_Y2 = 1999, 2000
+
+
+@register(
+    "h28_yoy_switchers",
+    oracle=f"""
+WITH grain AS (
+  SELECT o_custkey, date_part('year', o_orderdate) AS yr,
+         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN CAST(o_totalprice AS DECIMAL(12,2)) ELSE 0 END)
+              AS DECIMAL(38,2)) AS urgent,
+         CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                       THEN CAST(o_totalprice AS DECIMAL(12,2)) ELSE 0 END)
+              AS DECIMAL(38,2)) AS standard
+  FROM orders WHERE date_part('year', o_orderdate) IN ({_H28_Y1}, {_H28_Y2})
+  GROUP BY 1, 2
+), paired AS (
+  SELECT a.o_custkey,
+         b.urgent - a.urgent AS urgent_delta,
+         b.standard - a.standard AS standard_delta
+  FROM grain a JOIN grain b
+    ON b.o_custkey = a.o_custkey AND a.yr = {_H28_Y1} AND b.yr = {_H28_Y2}
+), switchers AS (
+  SELECT p.o_custkey, p.urgent_delta, p.standard_delta
+  FROM paired p
+  WHERE p.urgent_delta > 0 AND p.standard_delta < 0
+)
+SELECT c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_switchers,
+       CAST(CAST(SUM(s.urgent_delta) AS DECIMAL(38,2)) AS DOUBLE)
+         AS urgent_gain,
+       CAST(CAST(SUM(s.standard_delta) AS DECIMAL(38,2)) AS DOUBLE)
+         AS standard_loss
+FROM switchers s JOIN customer c ON c.c_custkey = s.o_custkey
+GROUP BY c.c_mktsegment
+ORDER BY segment
+""",
+    doc="TPC-DS Q4/Q11 shape: customers whose urgent-priority spend "
+    "grew 1999->2000 while standard spend shrank (channel "
+    "switchers), censused per market segment with exact-decimal "
+    "spend swings; customer-grain pivot + per-customer year "
+    "self-join.",
+)
+def h28_yoy_switchers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    grain = (
+        o.filter(F.year("o_orderdate").isin(_H28_Y1, _H28_Y2))
+        .groupBy("o_custkey", F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.sum(
+                F.when(urgent, X.dec("o_totalprice")).otherwise(
+                    F.lit(0).cast("decimal(12,2)")
+                )
+            )
+            .cast("decimal(38,2)")
+            .alias("urgent"),
+            F.sum(
+                F.when(~urgent, X.dec("o_totalprice")).otherwise(
+                    F.lit(0).cast("decimal(12,2)")
+                )
+            )
+            .cast("decimal(38,2)")
+            .alias("standard"),
+        )
+    )
+    a = grain.filter(F.col("yr") == _H28_Y1).select(
+        "o_custkey",
+        F.col("urgent").alias("u1"),
+        F.col("standard").alias("s1"),
+    )
+    b = grain.filter(F.col("yr") == _H28_Y2).select(
+        "o_custkey",
+        F.col("urgent").alias("u2"),
+        F.col("standard").alias("s2"),
+    )
+    switchers = (
+        a.join(b, "o_custkey")
+        .select(
+            "o_custkey",
+            (F.col("u2") - F.col("u1")).alias("urgent_delta"),
+            (F.col("s2") - F.col("s1")).alias("standard_delta"),
+        )
+        .filter(
+            (F.col("urgent_delta") > 0) & (F.col("standard_delta") < 0)
+        )
+    )
+    return (
+        switchers.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_switchers"),
+            F.sum("urgent_delta")
+            .cast("decimal(38,2)")
+            .cast("double")
+            .alias("urgent_gain"),
+            F.sum("standard_delta")
+            .cast("decimal(38,2)")
+            .cast("double")
+            .alias("standard_loss"),
+        )
+        .orderBy("segment")
+    )

@@ -150,3 +150,45 @@ def test_h27_matches_python_model(spark):
     assert row["max_lead"] == pytest.approx(float(max_lead), abs=1e-6)
     assert row["max_deficit"] == pytest.approx(float(min_lead), abs=1e-6)
     assert row["peak_lead_day"] == peak_day.strftime("%Y-%m-%d")
+
+
+# ---------------------------------------------------------------------------
+# h28 — YoY switchers
+# ---------------------------------------------------------------------------
+
+
+def test_h28_matches_python_model(spark):
+    rows = _duck(
+        """
+        SELECT o_custkey, date_part('year', o_orderdate), o_orderpriority,
+               CAST(o_totalprice AS DECIMAL(12,2))
+        FROM orders WHERE date_part('year', o_orderdate) IN (1999, 2000)
+        """
+    )
+    seg = dict(_duck("SELECT c_custkey, c_mktsegment FROM customer"))
+    grain = defaultdict(lambda: Decimal(0))
+    for ck, yr, prio, price in rows:
+        ch = "u" if prio in ("1-URGENT", "2-HIGH") else "s"
+        grain[(ck, int(yr), ch)] += price
+    custs = {ck for ck, _, _ in grain}
+    model = defaultdict(lambda: [0, Decimal(0), Decimal(0)])
+    for ck in custs:
+        # both years must exist at the grain (inner join semantics)
+        if not any((ck, 1999, c) in grain for c in "us"):
+            continue
+        if not any((ck, 2000, c) in grain for c in "us"):
+            continue
+        ud = grain[(ck, 2000, "u")] - grain[(ck, 1999, "u")]
+        sd = grain[(ck, 2000, "s")] - grain[(ck, 1999, "s")]
+        if ud > 0 and sd < 0:
+            m = model[seg[ck]]
+            m[0] += 1
+            m[1] += ud
+            m[2] += sd
+    got = {r["segment"]: r for r in _rows(spark, "h28_yoy_switchers")}
+    assert set(got) == set(model)
+    for s, (n, gain, loss) in model.items():
+        r = got[s]
+        assert r["n_switchers"] == n
+        assert r["urgent_gain"] == pytest.approx(float(gain), abs=0.01)
+        assert r["standard_loss"] == pytest.approx(float(loss), abs=0.01)

@@ -233,3 +233,37 @@ def _duck_embed(sql):
         f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF}/embeddings.parquet')"
     )
     return con.execute(sql).fetchall()
+
+
+# ---------------------------------------------------------------------------
+# x91 — char entropy filter
+# ---------------------------------------------------------------------------
+
+
+def test_x91_matches_python_model(spark):
+    docs = _duck("SELECT doc_id, text FROM documents WHERE length(text) > 0")
+    bands = defaultdict(lambda: [0, 0, 10**18, -(10**18)])
+    for _doc, text in docs:
+        counts = Counter(text)
+        n = sum(counts.values())
+        ent_us = sum(
+            round(-(c / n) * math.log(c / n) * 1e6) for c in counts.values()
+        )
+        band = (
+            "too_repetitive"
+            if ent_us < 2_700_000
+            else ("noise_like" if ent_us > 2_900_000 else "keep")
+        )
+        b = bands[band]
+        b[0] += 1
+        b[1] += ent_us
+        b[2] = min(b[2], ent_us)
+        b[3] = max(b[3], ent_us)
+    got = {r["band"]: r for r in _rows(spark, "x91_char_entropy_filter")}
+    assert set(got) == set(bands)
+    for band, (n, tot, mn, mx) in bands.items():
+        r = got[band]
+        assert r["n_docs"] == n
+        assert r["mean_entropy_nats"] == pytest.approx(tot / n / 1e6, abs=1e-6)
+        assert r["min_entropy"] == pytest.approx(mn / 1e6, abs=1e-6)
+        assert r["max_entropy"] == pytest.approx(mx / 1e6, abs=1e-6)
