@@ -177,6 +177,7 @@ _NEW_THIS_ROUND: list[str] = [
     "x90_ndcg_eval",
     "x91_char_entropy_filter",
     "h28_yoy_switchers",
+    "e18_grid_radius_join",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 (union = 129) sit in

@@ -1594,3 +1594,155 @@ def e17_bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - passes.cast("double") / F.count("*"), 6
         ).alias("prune_fraction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E18 — grid-bucketed spatial radius join
+#
+# The spatial-blocking join class (none of the other join shapes cover
+# it): pairs within planar radius R, found via grid cells instead of
+# the O(n·m) cross product. Coordinates are md5-derived synthetic
+# lat/lon per key (deterministic, engine-neutral — the tables carry no
+# geo columns); each customer probes the supplier grid at its own cell
+# ±1 in both axes, which is LOSSLESS because the cell edge equals R —
+# no true pair can sit more than one cell away. The distance test is
+# pure planar arithmetic (dlat² + dlon² ≤ R², no libm trig), so both
+# engines compare bit-identical doubles; the oracle is the brute-force
+# cross join, proving the 9-cell blocking loses nothing.
+#
+# Scale: the 9-cell explode fans the PROBE side ×9 with three small
+# columns; the join is an equi-join on (cell_x, cell_y); per-customer
+# min-distance resolves inside the same aggregation. At 100 TB the
+# grid join touches candidate cells only — the cross product never
+# materializes.
+# ---------------------------------------------------------------------------
+
+_E18_R = 2.0  # planar radius; cell edge == R makes ±1 blocking lossless
+
+
+def _e18_oracle() -> str:
+    from calaveras_uniteus_etl_spark.functions.hashing import duckdb_md5_long_sql
+
+    clat = duckdb_md5_long_sql("'lat:' || CAST(c_custkey AS VARCHAR)")
+    clon = duckdb_md5_long_sql("'lon:' || CAST(c_custkey AS VARCHAR)")
+    slat = duckdb_md5_long_sql("'slat:' || CAST(s_suppkey AS VARCHAR)")
+    slon = duckdb_md5_long_sql("'slon:' || CAST(s_suppkey AS VARCHAR)")
+    return f"""
+WITH cust AS (
+  SELECT c_custkey, c_mktsegment,
+         ({clat} % 18000) / 100.0 - 90 AS lat,
+         ({clon} % 36000) / 100.0 - 180 AS lon
+  FROM customer
+), supp AS (
+  SELECT s_suppkey,
+         ({slat} % 18000) / 100.0 - 90 AS lat,
+         ({slon} % 36000) / 100.0 - 180 AS lon
+  FROM supplier
+), pairs AS (
+  SELECT c.c_custkey, c.c_mktsegment,
+         (c.lat - s.lat) * (c.lat - s.lat)
+           + (c.lon - s.lon) * (c.lon - s.lon) AS d2
+  FROM cust c JOIN supp s
+    ON (c.lat - s.lat) * (c.lat - s.lat)
+       + (c.lon - s.lon) * (c.lon - s.lon) <= {_E18_R} * {_E18_R}
+), per_cust AS (
+  SELECT c_custkey, c_mktsegment, COUNT(*) AS n_near, MIN(d2) AS min_d2
+  FROM pairs GROUP BY c_custkey, c_mktsegment
+)
+SELECT c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers_covered,
+       CAST(SUM(n_near) AS BIGINT) AS n_pairs,
+       ROUND(CAST(SUM(CAST(ROUND(SQRT(min_d2), 12) AS DECIMAL(38,12)))
+                  AS DOUBLE) / COUNT(*), 9) AS avg_nearest_dist
+FROM per_cust
+GROUP BY c_mktsegment
+ORDER BY segment
+"""
+
+
+@register(
+    "e18_grid_radius_join",
+    oracle=_e18_oracle(),
+    doc="Spatial radius join via grid blocking: md5-derived planar "
+    "coordinates, customer probes supplier cells at ±1 (lossless — "
+    "cell edge equals the radius), pure-arithmetic distance test; "
+    "brute-force cross-join oracle proves the blocking loses "
+    "nothing. Per-segment coverage, pair count and mean nearest "
+    "distance.",
+)
+def e18_grid_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calaveras_uniteus_etl_spark.functions.hashing import md5_long
+
+    def coord(prefix, key, mod, offs):
+        return (
+            md5_long(F.concat(F.lit(prefix), F.col(key).cast("string")))
+            % mod
+        ) / 100.0 - offs
+
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        coord("lat:", "c_custkey", 18000, 90).alias("lat"),
+        coord("lon:", "c_custkey", 36000, 180).alias("lon"),
+    )
+    supp = table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        coord("slat:", "s_suppkey", 18000, 90).alias("slat"),
+        coord("slon:", "s_suppkey", 36000, 180).alias("slon"),
+    )
+    # probe side fans out to its 9 candidate cells (3 small ints ride)
+    probes = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "lat",
+        "lon",
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(-1, 1), dy ->"
+                f" transform(sequence(-1, 1), dx -> struct("
+                f"   cast(floor((lat + 90) / {_E18_R}) + dy as bigint) as cy,"
+                f"   cast(floor((lon + 180) / {_E18_R}) + dx as bigint) as cx))))"
+            )
+        ).alias("cell"),
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        "lat",
+        "lon",
+        F.col("cell.cy").alias("cell_y"),
+        F.col("cell.cx").alias("cell_x"),
+    )
+    # supplier cells on the shifted origin to match the probe formula
+    supp_cells = supp.select(
+        "s_suppkey",
+        "slat",
+        "slon",
+        F.floor((F.col("slat") + 90) / _E18_R).cast("bigint").alias("cell_y"),
+        F.floor((F.col("slon") + 180) / _E18_R).cast("bigint").alias("cell_x"),
+    )
+    d2 = (F.col("lat") - F.col("slat")) * (F.col("lat") - F.col("slat")) + (
+        F.col("lon") - F.col("slon")
+    ) * (F.col("lon") - F.col("slon"))
+    pairs = (
+        probes.join(supp_cells, ["cell_y", "cell_x"])
+        .filter(d2 <= F.lit(_E18_R * _E18_R))
+        .select("c_custkey", "c_mktsegment", d2.alias("d2"))
+    )
+    per_cust = pairs.groupBy("c_custkey", "c_mktsegment").agg(
+        F.count("*").alias("n_near"), F.min("d2").alias("min_d2")
+    )
+    return (
+        per_cust.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers_covered"),
+            F.sum("n_near").cast("bigint").alias("n_pairs"),
+            F.round(
+                F.sum(
+                    F.round(F.sqrt("min_d2"), 12).cast("decimal(38,12)")
+                ).cast("double")
+                / F.count("*"),
+                9,
+            ).alias("avg_nearest_dist"),
+        )
+        .orderBy("segment")
+    )

@@ -192,3 +192,62 @@ def test_h28_matches_python_model(spark):
         assert r["n_switchers"] == n
         assert r["urgent_gain"] == pytest.approx(float(gain), abs=0.01)
         assert r["standard_loss"] == pytest.approx(float(loss), abs=0.01)
+
+
+# ---------------------------------------------------------------------------
+# e18 — grid radius join
+# ---------------------------------------------------------------------------
+
+
+def test_e18_matches_brute_force(spark):
+    custs = _duck("SELECT c_custkey, c_mktsegment FROM customer")
+    supps = _duck2("SELECT s_suppkey FROM supplier")
+
+    def coord(prefix, key, mod, offs):
+        return (_md5_long(f"{prefix}{key}") % mod) / 100.0 - offs
+
+    spos = [
+        (coord("slat:", sk, 18000, 90), coord("slon:", sk, 36000, 180))
+        for (sk,) in supps
+    ]
+    per_seg = defaultdict(lambda: [0, 0, 0.0])
+    for ck, seg in custs:
+        lat = coord("lat:", ck, 18000, 90)
+        lon = coord("lon:", ck, 36000, 180)
+        d2s = [
+            (lat - sa) ** 2 + (lon - so) ** 2
+            for sa, so in spos
+            if (lat - sa) ** 2 + (lon - so) ** 2 <= 4.0
+        ]
+        if d2s:
+            s = per_seg[seg]
+            s[0] += 1
+            s[1] += len(d2s)
+            s[2] += min(d2s) ** 0.5
+    got = {r["segment"]: r for r in _rows(spark, "e18_grid_radius_join")}
+    assert set(got) == set(per_seg)
+    for seg, (n_cov, n_pairs, dist_sum) in per_seg.items():
+        r = got[seg]
+        assert r["n_customers_covered"] == n_cov
+        assert r["n_pairs"] == n_pairs
+        assert r["avg_nearest_dist"] == pytest.approx(
+            dist_sum / n_cov, abs=1e-6
+        )
+
+
+def _duck2(sql):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW supplier AS SELECT * FROM read_parquet('{SF}/supplier.parquet')"
+    )
+    return con.execute(sql).fetchall()
+
+
+def test_e18_blocking_is_equi_join(spark):
+    """The grid join must be a hash/merge equi-join on the cell key —
+    a nested loop means the blocking key fell out and the plan IS the
+    cross product the grid exists to avoid."""
+    plan = REGISTRY["e18_grid_radius_join"].fn(spark, SF)
+    txt = plan._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in txt, txt
+    assert "BroadcastNestedLoopJoin" not in txt, txt

@@ -49,6 +49,10 @@ QUERIES = (
     "g10_activity_streaks",    # gaps-and-islands per-user windows
     "s7_ewma_drift",           # per-user lag-window EWMA
     "x71_dup_graph_triangles",  # oriented wedge self-join graph census
+    "g17_rfm_segments",        # three distributed prefix-rank cuts
+    "x86_editdist_join",       # q-gram count-filter similarity join
+    "f39_kaplan_meier",        # customer-grain survival rollup
+    "e17_bloom_prejoin",       # broadcast bloom probe over the fact table
 )
 
 # Key columns that must be remapped per replica to keep joins
