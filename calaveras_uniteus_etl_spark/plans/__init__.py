@@ -178,6 +178,7 @@ _NEW_THIS_ROUND: list[str] = [
     "x91_char_entropy_filter",
     "h28_yoy_switchers",
     "e18_grid_radius_join",
+    "s9_incremental_sessionize",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 (union = 129) sit in

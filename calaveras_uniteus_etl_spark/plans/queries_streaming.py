@@ -549,3 +549,152 @@ def s8_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# S9 — incremental sessionization (state handoff across a batch cut)
+#
+# The incremental-warehouse question g2 doesn't answer: when tonight's
+# batch ends mid-session, can tomorrow's run CONTINUE that session
+# without reprocessing history? The operator cuts the stream at a
+# fixed boundary T, fully sessionizes the left half, closes every
+# session that ended more than one gap before T, and carries the at-
+# most-one still-open session per user forward as a STATE ROW
+# (last_ts, running count, original start). The right half is then
+# sessionized with those state rows injected as anchors — an anchor
+# within one gap of the first new event fuses with it, carrying the
+# original session start and event count into the continued session.
+# The census of closed ∪ continued sessions is proven equal to the
+# full-batch result by the oracle, which recomputes sessionization
+# over ALL events in one pass (g2's exact SQL): the hash match IS the
+# exactly-once handoff proof — no session split, lost, or
+# double-counted at the boundary.
+#
+# At most one session per user can be open at T: an earlier session's
+# end precedes the next session's start by more than the gap, so only
+# the last session can reach within gap of the cut. Scale: both
+# halves shuffle once on user_id (the assign_sessions contract); the
+# state relation is ≤ one row per user.
+# ---------------------------------------------------------------------------
+
+from calaveras_uniteus_etl_spark.plans.queries_aggregates import (  # noqa: E402
+    _G2_GAP_US,
+)
+
+_S9_CUT = "2024-01-16 00:00:00"  # batch boundary T
+
+
+@register(
+    "s9_incremental_sessionize",
+    oracle=f"""
+WITH t AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)
+              > {_G2_GAP_US} OR LAG(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), numbered AS (
+  SELECT user_id, t,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sess_idx
+  FROM t
+), sessions AS (
+  SELECT user_id, sess_idx, COUNT(*) AS n_events,
+         MAX(t) - MIN(t) AS dur_us
+  FROM numbered GROUP BY user_id, sess_idx
+)
+SELECT CASE WHEN n_events = 1 THEN '1' WHEN n_events <= 4 THEN '2-4'
+            WHEN n_events <= 9 THEN '5-9' ELSE '10+' END AS bucket,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(SUM(dur_us) AS DOUBLE) / COUNT(*) AS avg_dur_us
+FROM sessions
+GROUP BY 1
+ORDER BY bucket
+""",
+    doc="Incremental sessionization: fully sessionize events before a "
+    "fixed cut, close sessions ending more than one gap before it, "
+    "carry the at-most-one open session per user forward as a state "
+    "anchor (original start + running count), sessionize the rest "
+    "with anchors injected. Oracle recomputes the full batch in one "
+    "pass — the hash match proves the boundary handoff is exact.",
+)
+def s9_incremental_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calaveras_uniteus_etl_spark.operators.sessions import assign_sessions
+
+    cut_us = F.lit(_S9_CUT).cast("timestamp_ntz")
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        epoch_us("ts").alias("t"),
+        epoch_us(cut_us).alias("cut"),
+    )
+    cut_col = F.col("cut")
+
+    # --- phase A: full sessionization of the left half -------------
+    left = e.filter(F.col("t") < cut_col)
+    sess_a = (
+        assign_sessions(left, "user_id", "t", "event_id", _G2_GAP_US)
+        .groupBy("user_id", "sess_idx")
+        .agg(
+            F.min("t").alias("start"),
+            F.max("t").alias("end"),
+            F.count("*").alias("n"),
+            F.first("cut").alias("cut"),
+        )
+    )
+    closed = sess_a.filter(F.col("end") < cut_col - F.lit(_G2_GAP_US)).select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        (F.col("end") - F.col("start")).alias("dur_us"),
+    )
+    open_state = sess_a.filter(
+        F.col("end") >= cut_col - F.lit(_G2_GAP_US)
+    ).select(
+        "user_id",
+        F.col("end").alias("t"),
+        F.lit(-1).cast("long").alias("event_id"),  # sorts before real ids
+        F.col("n").alias("carry_n"),
+        F.col("start").alias("carry_start"),
+    )
+
+    # --- phase B: right half + state anchors ------------------------
+    right = e.filter(F.col("t") >= cut_col).select(
+        "user_id",
+        "t",
+        F.col("event_id").cast("long").alias("event_id"),
+        F.lit(1).alias("carry_n"),
+        F.col("t").alias("carry_start"),
+    )
+    combined = right.unionByName(open_state)
+    sess_b = (
+        assign_sessions(combined, "user_id", "t", "event_id", _G2_GAP_US)
+        .groupBy("user_id", "sess_idx")
+        .agg(
+            F.sum("carry_n").alias("n_events"),
+            (F.max("t") - F.min("carry_start")).alias("dur_us"),
+        )
+        .select("user_id", "n_events", "dur_us")
+    )
+
+    sessions = closed.unionByName(sess_b)
+    bucket = (
+        F.when(F.col("n_events") == 1, "1")
+        .when(F.col("n_events") <= 4, "2-4")
+        .when(F.col("n_events") <= 9, "5-9")
+        .otherwise("10+")
+    )
+    return (
+        sessions.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            (F.sum("dur_us").cast("double") / F.count("*")).alias(
+                "avg_dur_us"
+            ),
+        )
+        .orderBy("bucket")
+    )

@@ -776,3 +776,34 @@ def test_left_outer_interval_join_emits_orphans_after_watermark(spark, tmp_path)
     ).coalesce(1).write.mode("append").parquet(str(rsrc))
     out2 = run_once()
     assert out2 == [(1, True), (2, False)], out2
+
+
+def test_s9_equals_full_batch_sessionization(spark):
+    """The incremental path must reproduce g2's full-batch census
+    EXACTLY — same buckets, same counts, same durations. This is the
+    boundary-handoff proof at the DataFrame level (the driver's hash
+    check proves it against DuckDB too)."""
+    from calaveras_uniteus_etl_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    full = {
+        r["bucket"]: (r["n_sessions"], r["n_events"], r["avg_dur_us"])
+        for r in REGISTRY["g2_session_windows"].fn(spark, sf).collect()
+    }
+    incr = {
+        r["bucket"]: (r["n_sessions"], r["n_events"], r["avg_dur_us"])
+        for r in REGISTRY["s9_incremental_sessionize"].fn(spark, sf).collect()
+    }
+    assert incr == full
+
+
+def test_s9_conserves_events(spark):
+    """Every event lands in exactly one session: bucket-census event
+    totals must sum to the raw event count."""
+    from calaveras_uniteus_etl_spark.plans import REGISTRY
+    from calaveras_uniteus_etl_spark.plans.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["s9_incremental_sessionize"].fn(spark, sf).collect()
+    n_total = table(spark, sf, "events").count()
+    assert sum(r["n_events"] for r in rows) == n_total
