@@ -179,6 +179,8 @@ _NEW_THIS_ROUND: list[str] = [
     "h28_yoy_switchers",
     "e18_grid_radius_join",
     "s9_incremental_sessionize",
+    "f44_downsample_ltob",
+    "x92_bpe_merge_loop",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 (union = 129) sit in

@@ -4150,3 +4150,101 @@ def m9_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("predicate")
     )
+
+
+# ---------------------------------------------------------------------------
+# F44 — largest-triangle downsampling (LTOB) for chart serving
+#
+# A dashboard can't plot 10⁹ points; the standard visually-lossless
+# reduction is largest-triangle downsampling (Steinarsson 2013). The
+# one-bucket variant (LTOB) is fully relational: each point's
+# effective area is the triangle with its immediate neighbors
+# (LAG/LEAD over the day grain — calendar-bounded, safe), and each
+# month-bucket keeps its largest-area point via an argmax struct with
+# (area DESC, day ASC) tiebreak. Area arithmetic is products/sums of
+# exact-decimal-derived doubles — identical operands in both engines,
+# so the argmax choice is deterministic. One day-grain rollup, one
+# window pass, one bucket argmax.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f44_downsample_ltob",
+    oracle="""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1995-01-01', o_orderdate) AS d,
+         strftime(o_orderdate, '%Y-%m') AS bucket,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                   AS DECIMAL(38,2)) AS DOUBLE) AS y
+  FROM orders GROUP BY 1, 2
+), with_nbrs AS (
+  SELECT d, bucket, y,
+         LAG(d)  OVER w AS xp, LAG(y)  OVER w AS yp,
+         LEAD(d) OVER w AS xn, LEAD(y) OVER w AS yn
+  FROM daily WINDOW w AS (ORDER BY d)
+), areas AS (
+  SELECT d, bucket, y,
+         ABS((xp - xn) * (y - yp) - (xp - d) * (yn - yp)) / 2.0 AS area
+  FROM with_nbrs WHERE xp IS NOT NULL AND xn IS NOT NULL
+), picked AS (
+  SELECT bucket, d, y, area,
+         ROW_NUMBER() OVER (PARTITION BY bucket
+                            ORDER BY area DESC, d ASC) AS rn
+  FROM areas
+)
+SELECT bucket, CAST(d AS BIGINT) AS day_ord,
+       y AS value, ROUND(area, 6) AS area
+FROM picked WHERE rn = 1
+ORDER BY bucket
+""",
+    doc="LTOB chart downsampling (Steinarsson 2013): per-day revenue "
+    "series, triangle area with immediate neighbors via LAG/LEAD on "
+    "the calendar-bounded day grain, largest-area point kept per "
+    "month bucket with a deterministic (area, day) tiebreak.",
+)
+def f44_downsample_ltob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("date")
+        ).alias("d"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("bucket"),
+    ).agg(
+        F.sum(X.dec("o_totalprice"))
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("y")
+    )
+    # day-grain window: calendar-bounded, safe by construction
+    w = Window.orderBy("d")
+    nbrs = daily.select(
+        "d",
+        "bucket",
+        "y",
+        F.lag("d").over(w).alias("xp"),
+        F.lag("y").over(w).alias("yp"),
+        F.lead("d").over(w).alias("xn"),
+        F.lead("y").over(w).alias("yn"),
+    ).filter(F.col("xp").isNotNull() & F.col("xn").isNotNull())
+    area = (
+        F.abs(
+            (F.col("xp") - F.col("xn")) * (F.col("y") - F.col("yp"))
+            - (F.col("xp") - F.col("d")) * (F.col("yn") - F.col("yp"))
+        )
+        / 2.0
+    )
+    areas = nbrs.select("d", "bucket", "y", area.alias("area"))
+    pick_w = Window.partitionBy("bucket").orderBy(
+        F.desc("area"), F.asc("d")
+    )
+    return (
+        areas.withColumn("rn", F.row_number().over(pick_w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "bucket",
+            F.col("d").cast("bigint").alias("day_ord"),
+            F.col("y").alias("value"),
+            F.round("area", 6).alias("area"),
+        )
+        .orderBy("bucket")
+    )

@@ -3529,3 +3529,145 @@ def x91_char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+# ---------------------------------------------------------------------------
+# X92 — BPE merge loop (the iterations x60 only scores once)
+#
+# x60 ranks merge candidates for ONE round; training a tokenizer runs
+# the loop: count adjacent symbol pairs (weighted by word frequency),
+# merge the argmax pair everywhere, recount. Three rounds here, on
+# the same vocab-grain representation as x60 (corpus collapses to
+# words × n_uses first — the Heaps'-law shrink that makes the loop
+# cheap at any corpus size). The per-round argmax is a 1-row collect
+# (a scalar steering the next round's plan, the f25 pattern); the
+# merge itself is a literal space-sentinel string replace, left-to-
+# right non-overlapping in Spark, DuckDB, and Python alike. The
+# oracle UNROLLS all three rounds as CTE stages — the hash match
+# proves count → argmax → merge → recount end-to-end.
+# ---------------------------------------------------------------------------
+
+_X92_ROUNDS = 3
+
+
+def _x92_rep_duck() -> str:
+    word = f"unnest(string_split({NORM_DUCK.format(col='text')}, ' '))"
+    return f"""
+WITH toks AS (
+  SELECT {word} AS word FROM documents
+), vocab AS (
+  SELECT word, COUNT(*) AS n_uses FROM toks
+  WHERE length(word) >= {_X60_MIN_WORD} GROUP BY word
+), rep0 AS (
+  SELECT ' ' || array_to_string(string_split_regex(word, ''), ' ') || ' '
+           AS rep,
+         n_uses
+  FROM vocab
+)"""
+
+
+def _x92_oracle() -> str:
+    sql = _x92_rep_duck()
+    pieces = []
+    for r in range(1, _X92_ROUNDS + 1):
+        prev = f"rep{r - 1}"
+        sql += f""", pc{r} AS (
+  SELECT t.pair, CAST(SUM(n_uses) AS BIGINT) AS cnt
+  FROM (
+    SELECT unnest(list_transform(range(len(syms) - 1),
+                  i -> syms[i + 1] || ' ' || syms[i + 2])) AS pair,
+           n_uses
+    FROM (SELECT string_split(trim(rep), ' ') AS syms, n_uses FROM {prev})
+  ) t
+  GROUP BY t.pair
+), best{r} AS (
+  SELECT pair, cnt FROM pc{r} ORDER BY cnt DESC, pair ASC LIMIT 1
+), rep{r} AS (
+  SELECT replace(rep, ' ' || b.pair || ' ',
+                 ' ' || replace(b.pair, ' ', '') || ' ') AS rep,
+         n_uses
+  FROM {prev} CROSS JOIN best{r} b
+), nsym{r} AS (
+  SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS n_symbols
+  FROM (SELECT unnest(string_split(trim(rep), ' ')) AS s FROM rep{r})
+)"""
+        pieces.append(
+            f"SELECT {r} AS merge_round, pair AS merged_pair, cnt AS"
+            f" pair_count, (SELECT n_symbols FROM nsym{r}) AS n_symbols"
+            f" FROM best{r}"
+        )
+    return sql + "\n" + "\nUNION ALL\n".join(pieces) + "\nORDER BY merge_round"
+
+
+@register(
+    "x92_bpe_merge_loop",
+    oracle=_x92_oracle(),
+    doc="BPE tokenizer-training loop: three rounds of weighted "
+    "adjacent-pair counting, argmax merge (1-row collect steering "
+    "the next plan), and literal space-sentinel merges on the vocab "
+    "grain; the oracle unrolls all rounds as CTE stages, proving the "
+    "full count-merge-recount cycle.",
+)
+def x92_bpe_merge_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    rep = (
+        d.select(
+            F.explode(
+                F.expr(f"split({NORM_SPARK.format(col='text')}, ' ')")
+            ).alias("word")
+        )
+        .filter(F.length("word") >= _X60_MIN_WORD)
+        .groupBy("word")
+        .agg(F.count("*").alias("n_uses"))
+        .select(
+            F.concat(
+                F.lit(" "),
+                F.array_join(F.split(F.col("word"), ""), " "),
+                F.lit(" "),
+            ).alias("rep"),
+            "n_uses",
+        )
+    )
+    out = None
+    for r in range(1, _X92_ROUNDS + 1):
+        pairs = rep.select(
+            F.expr("split(trim(rep), ' ')").alias("syms"), "n_uses"
+        ).select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(syms) - 2),"
+                    " i -> concat(syms[i], ' ', syms[i + 1]))"
+                )
+            ).alias("pair"),
+            "n_uses",
+        )
+        counts = pairs.groupBy("pair").agg(
+            F.sum("n_uses").cast("bigint").alias("cnt")
+        )
+        best_df = counts.orderBy(F.desc("cnt"), F.asc("pair")).limit(1)
+        best = best_df.first()  # 1-row scalar steering the next plan
+        merged = best["pair"].replace(" ", "")
+        rep = rep.select(
+            F.expr(
+                "replace(rep, ' ' || '{p}' || ' ', ' ' || '{m}' || ' ')".format(
+                    p=best["pair"], m=merged
+                )
+            ).alias("rep"),
+            "n_uses",
+        ).localCheckpoint(eager=True)
+        nsym = (
+            rep.select(
+                F.explode(F.expr("split(trim(rep), ' ')")).alias("s")
+            )
+            .agg(F.countDistinct("s").cast("bigint").alias("n_symbols"))
+        )
+        row = (
+            best_df.select(
+                F.lit(r).alias("merge_round"),
+                F.col("pair").alias("merged_pair"),
+                F.col("cnt").alias("pair_count"),
+            )
+            .crossJoin(F.broadcast(nsym))  # 1-row scalar
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("merge_round")

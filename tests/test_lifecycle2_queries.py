@@ -308,3 +308,40 @@ def test_d11_matches_python_model(spark):
         for r in _rows(spark, "d11_prefix_suggest")
     }
     assert got == model
+
+
+# ---------------------------------------------------------------------------
+# f44 — LTOB downsampling
+# ---------------------------------------------------------------------------
+
+
+def test_f44_matches_python_model(spark):
+    daily = sorted(
+        _duck(
+            """
+            SELECT date_diff('day', DATE '1995-01-01', o_orderdate),
+                   strftime(o_orderdate, '%Y-%m'),
+                   CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                             AS DECIMAL(38,2)) AS DOUBLE)
+            FROM orders GROUP BY 1, 2
+            """
+        )
+    )
+    best = {}
+    for i in range(1, len(daily) - 1):
+        (xp, _, yp), (d, bucket, y), (xn, _, yn) = (
+            daily[i - 1],
+            daily[i],
+            daily[i + 1],
+        )
+        area = abs((xp - xn) * (y - yp) - (xp - d) * (yn - yp)) / 2.0
+        cur = best.get(bucket)
+        if cur is None or (-area, d) < (-cur[1], cur[0]):
+            best[bucket] = (d, area, y)
+    got = {r["bucket"]: r for r in _rows(spark, "f44_downsample_ltob")}
+    assert set(got) == set(best)
+    for bucket, (d, area, y) in best.items():
+        r = got[bucket]
+        assert r["day_ord"] == d
+        assert r["value"] == pytest.approx(y, abs=0.01)
+        assert r["area"] == pytest.approx(area, abs=1e-4)

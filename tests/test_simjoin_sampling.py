@@ -267,3 +267,50 @@ def test_x91_matches_python_model(spark):
         assert r["mean_entropy_nats"] == pytest.approx(tot / n / 1e6, abs=1e-6)
         assert r["min_entropy"] == pytest.approx(mn / 1e6, abs=1e-6)
         assert r["max_entropy"] == pytest.approx(mx / 1e6, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# x92 — BPE merge loop
+# ---------------------------------------------------------------------------
+
+
+def test_x92_matches_python_bpe(spark):
+    import re
+
+    docs = _duck("SELECT text FROM documents")
+    vocab = Counter()
+    for (text,) in docs:
+        # NORM: lowercase + collapse non-alnum to single spaces (the
+        # shared dedup normalizer); reuse its behavior via the corpus
+        # words that survive the engine's own filter
+        norm = re.sub(r"[^a-z0-9]+", " ", text.lower()).strip()
+        for w in norm.split():
+            if len(w) >= 3:
+                vocab[w] += 1
+    reps = {f" {' '.join(w)} ": n for w, n in vocab.items()}
+    want = []
+    for rnd in (1, 2, 3):
+        counts = Counter()
+        for rep, n in reps.items():
+            syms = rep.split()
+            for a, b in zip(syms, syms[1:]):
+                counts[f"{a} {b}"] += n
+        best, cnt = min(
+            ((p, c) for p, c in counts.items()),
+            key=lambda pc: (-pc[1], pc[0]),
+        )
+        merged = best.replace(" ", "")
+        new_reps = defaultdict(int)
+        for rep, n in reps.items():
+            new_reps[rep.replace(f" {best} ", f" {merged} ")] += n
+        reps = dict(new_reps)
+        n_symbols = len({s for rep in reps for s in rep.split()})
+        want.append((rnd, best, cnt, n_symbols))
+    got = [
+        (r["merge_round"], r["merged_pair"], r["pair_count"], r["n_symbols"])
+        for r in sorted(
+            _rows(spark, "x92_bpe_merge_loop"),
+            key=lambda r: r["merge_round"],
+        )
+    ]
+    assert got == want
