@@ -1955,20 +1955,26 @@ ORDER BY ranker
     "recall audits.",
 )
 def x90_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # norms precomputed PER SIDE (the x5 contract) — never per pair:
+    # the pair relation then evaluates ONE dot chain per candidate.
     e = (
         table(spark, sf_dir, "embeddings")
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
-        .select("vec_id", "embedding", "label")
+        .select(
+            "vec_id",
+            "embedding",
+            "label",
+            F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        )
     )
     probes = e.filter(F.col("vec_id") % _X90_PROBE_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q"),
         F.col("label").alias("qlabel"),
+        F.col("nrm").alias("qn"),
     )
     rel_counts = e.groupBy("label").agg(F.count("*").alias("n_with"))
     dot = _dot(F.col("q"), F.col("embedding"))
-    qn = F.sqrt(_dot(F.col("q"), F.col("q")))
-    en = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
     scored = (
         e.join(F.broadcast(probes), F.col("vec_id") != F.col("query_id"))
         .select(
@@ -1977,7 +1983,9 @@ def x90_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("neighbor_id"),
             "label",
             dot.alias("dot"),
-            (dot / F.nullif(qn * en, F.lit(0.0))).alias("cosine"),
+            (dot / F.nullif(F.col("qn") * F.col("nrm"), F.lit(0.0))).alias(
+                "cosine"
+            ),
         )
     )
     w_cos = Window.partitionBy("query_id").orderBy(
