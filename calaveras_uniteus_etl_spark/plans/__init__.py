@@ -105,10 +105,13 @@ _NEVER_CHECKED = [
 # backlog above so they enter the check window as the backlog drains.
 # Round-5 rotation: CORRECTNESS_r04 will witness the first 50 names of
 # _NEVER_CHECKED — delete those from the list, promote the 5 spill
-# entries plus everything below into the front block, and the ~26
-# still-unwitnessed names fit inside round 5's single 50-entry window.
-# Every entry here is green under tools/driver_check.py and the
-# sf0.001+sf0.01 oracle compares recorded in the round-4 session.
+# entries plus everything below into the front block. With 71 round-4
+# additions the unwitnessed pool (5 + 71 = 76) now spans two check
+# windows: pick the ~26 that spill to round 6 deliberately (suggest
+# the tail of this list — the round-4b additions landed latest and
+# have the freshest tools/driver_check.py evidence). Every entry here
+# is green under tools/driver_check.py at sf0.01 AND sf0.1, plus the
+# 4-config adversarial sweep where it predates the latest run.
 _NEW_THIS_ROUND: list[str] = [
     "x64_ivfpq_adc",
     "x65_ngram_containment",

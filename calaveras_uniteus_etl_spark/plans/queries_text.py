@@ -3627,6 +3627,10 @@ def x92_bpe_merge_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rep"),
             "n_uses",
         )
+        # pin the vocab-grain representation ONCE: every job the loop
+        # issues (argmax collect, merge checkpoint, symbol census)
+        # would otherwise re-tokenize the whole corpus
+        .localCheckpoint(eager=True)
     )
     out = None
     for r in range(1, _X92_ROUNDS + 1):
