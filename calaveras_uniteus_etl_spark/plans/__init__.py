@@ -184,6 +184,7 @@ _NEW_THIS_ROUND: list[str] = [
     "s9_incremental_sessionize",
     "f44_downsample_ltob",
     "x92_bpe_merge_loop",
+    "x93_cluster_silhouette",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 (union = 129) sit in

@@ -2063,3 +2063,127 @@ def x90_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ranker")
     )
+
+
+# ---------------------------------------------------------------------------
+# X93 — centroid silhouette (cluster-validation score per IVF cell)
+#
+# x13 builds the IVF partition and x77 labels it; nothing yet says
+# whether the partition is any GOOD. The centroid-form silhouette
+# does: per vector, a = cosine distance to its own (argmax) centroid
+# and b = distance to the nearest OTHER centroid — which, under
+# argmax assignment, are exactly 1 − top1 and 1 − top2 of its
+# centroid cosines — and s = (b − a) / max(a, b). Clusters whose mean
+# s approaches 0 are blurred into a neighbor (merge candidates);
+# negative means misassignment. One broadcast centroid join, a
+# per-vector top-2 window (partitioned by vec_id — parallel at any
+# scale), 12dp-quantized means per cell.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x93_cluster_silhouette",
+    oracle=f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS c FROM embeddings
+  WHERE vec_id < {_N_CENTROIDS}
+), scored AS (
+  SELECT e.vec_id, cents.cid,
+         {_DUCK_COS_RAW.format(a="e.embedding", b="cents.c")} AS cos
+  FROM embeddings e CROSS JOIN cents
+), ranked AS (
+  SELECT vec_id, cid, cos,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, cid ASC) AS rn
+  FROM scored
+), top2 AS (
+  SELECT o.vec_id, o.cid AS own_cid,
+         1.0 - o.cos AS a_dist, 1.0 - s.cos AS b_dist
+  FROM ranked o JOIN ranked s
+    ON s.vec_id = o.vec_id AND o.rn = 1 AND s.rn = 2
+), sil AS (
+  SELECT own_cid, a_dist, b_dist,
+         CASE WHEN GREATEST(a_dist, b_dist) > 0
+              THEN (b_dist - a_dist) / GREATEST(a_dist, b_dist)
+              ELSE 0.0 END AS s
+  FROM top2
+)
+SELECT own_cid AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       ROUND(CAST(SUM(CAST(ROUND(s, 12) AS DECIMAL(38,12))) AS DOUBLE)
+             / COUNT(*), 9) AS mean_silhouette,
+       ROUND(CAST(SUM(CAST(ROUND(a_dist, 12) AS DECIMAL(38,12))) AS DOUBLE)
+             / COUNT(*), 9) AS mean_own_dist,
+       ROUND(CAST(SUM(CAST(ROUND(b_dist, 12) AS DECIMAL(38,12))) AS DOUBLE)
+             / COUNT(*), 9) AS mean_next_dist
+FROM sil
+GROUP BY own_cid
+ORDER BY cluster_id
+""",
+    doc="Centroid-form silhouette per IVF cell: a = 1 − top1 centroid "
+    "cosine, b = 1 − top2 (nearest other cell under argmax "
+    "assignment), s = (b−a)/max(a,b); 12dp-quantized per-cluster "
+    "means — the cluster-validation gate for x13's partition and "
+    "x29/x77's consumers.",
+)
+def x93_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select(
+            "vec_id",
+            "embedding",
+            F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        )
+    )
+    cents = e.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = _dot(F.col("embedding"), F.col("c")) / F.nullif(
+        F.col("nrm") * F.col("cn"), F.lit(0.0)
+    )
+    scored = e.join(F.broadcast(cents)).select(
+        "vec_id", "cid", cos.alias("cos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cid"))
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    own = ranked.filter(F.col("rn") == 1).select(
+        "vec_id",
+        F.col("cid").alias("own_cid"),
+        (F.lit(1.0) - F.col("cos")).alias("a_dist"),
+    )
+    nxt = ranked.filter(F.col("rn") == 2).select(
+        "vec_id", (F.lit(1.0) - F.col("cos")).alias("b_dist")
+    )
+    sil = own.join(nxt, "vec_id").select(
+        "own_cid",
+        "a_dist",
+        "b_dist",
+        F.when(
+            F.greatest("a_dist", "b_dist") > 0,
+            (F.col("b_dist") - F.col("a_dist"))
+            / F.greatest("a_dist", "b_dist"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("s"),
+    )
+
+    def qmean(col, alias):
+        return F.round(
+            F.sum(F.round(col, 12).cast("decimal(38,12)")).cast("double")
+            / F.count("*"),
+            9,
+        ).alias(alias)
+
+    return (
+        sil.groupBy(F.col("own_cid").alias("cluster_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            qmean(F.col("s"), "mean_silhouette"),
+            qmean(F.col("a_dist"), "mean_own_dist"),
+            qmean(F.col("b_dist"), "mean_next_dist"),
+        )
+        .orderBy("cluster_id")
+    )

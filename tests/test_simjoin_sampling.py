@@ -314,3 +314,48 @@ def test_x92_matches_python_bpe(spark):
         )
     ]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# x93 — centroid silhouette
+# ---------------------------------------------------------------------------
+
+
+def test_x93_matches_python_model(spark):
+    rows = _duck_embed("SELECT vec_id, embedding FROM embeddings")
+    cents = [(vid, emb) for vid, emb in rows if vid < 16]
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += float(x) * float(y)
+        return s
+
+    stats = defaultdict(lambda: [0, 0.0, 0.0, 0.0])
+    for vid, emb in rows:
+        en = dot(emb, emb) ** 0.5
+        cos = sorted(
+            (
+                (-dot(emb, c) / (en * dot(c, c) ** 0.5), cid)
+                for cid, c in cents
+            )
+        )
+        (nc1, cid1), (nc2, _cid2) = cos[0], cos[1]
+        a, b = 1.0 + nc1, 1.0 + nc2
+        s = (b - a) / max(a, b) if max(a, b) > 0 else 0.0
+        st = stats[cid1]
+        st[0] += 1
+        st[1] += s
+        st[2] += a
+        st[3] += b
+    got = {r["cluster_id"]: r for r in _rows(spark, "x93_cluster_silhouette")}
+    assert set(got) == set(stats)
+    for cid, (n, s_sum, a_sum, b_sum) in stats.items():
+        r = got[cid]
+        assert r["n_members"] == n
+        assert r["mean_silhouette"] == pytest.approx(s_sum / n, abs=1e-6)
+        assert r["mean_own_dist"] == pytest.approx(a_sum / n, abs=1e-6)
+        assert r["mean_next_dist"] == pytest.approx(b_sum / n, abs=1e-6)
+        # own centroid is the argmax: a <= b always, so s >= 0
+        assert r["mean_silhouette"] >= 0.0
+        assert r["mean_own_dist"] <= r["mean_next_dist"] + 1e-12

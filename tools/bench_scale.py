@@ -179,6 +179,13 @@ def main() -> int:
                 "the survivor set (data-proportional), sub-linear vs "
                 "the 10x fact growth per-core."
             ),
+            "e17_bloom_prejoin": (
+                "the bloom build side (dim keys) is replica-invariant; "
+                "the probe side is one row per FACT row, so work grows "
+                "with the 10x fact table while the broadcast filter "
+                "stays kilobytes. Data-proportional by design - the "
+                "audit exists to show the shuffle the filter avoids."
+            ),
             "x4_ngram_jaccard": (
                 "replicated docs are EXACT duplicates, the worst case "
                 "for similarity mining: every replica shares every "
