@@ -185,6 +185,7 @@ _NEW_THIS_ROUND: list[str] = [
     "f44_downsample_ltob",
     "x92_bpe_merge_loop",
     "x93_cluster_silhouette",
+    "i3_unpivot_metrics",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 (union = 129) sit in

@@ -4248,3 +4248,58 @@ def f44_downsample_ltob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# I3 — UNPIVOT / MELT (wide → long reshaping, the inverse of f22)
+#
+# f22 pivots long → wide; serving layers and chart APIs constantly
+# need the inverse: a wide per-segment metrics row melted to
+# (segment, metric, value) tuples. Spark 3.4+ has the first-class
+# ``DataFrame.unpivot`` (SQL UNPIVOT); DuckDB's UNPIVOT mirrors it.
+# Values are normalized to DOUBLE before melting (UNPIVOT requires a
+# common type) with the exact-decimal sums computed first, so the
+# long rows carry the same bit patterns the wide table did.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "i3_unpivot_metrics",
+    oracle="""
+WITH wide AS (
+  SELECT c_mktsegment AS segment,
+         CAST(COUNT(*) AS DOUBLE) AS n_customers,
+         CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2))
+              AS DOUBLE) AS total_balance,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+           AS avg_balance
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT segment, metric, value
+FROM wide
+UNPIVOT (value FOR metric IN (n_customers, total_balance, avg_balance))
+ORDER BY segment, metric
+""",
+    doc="UNPIVOT/MELT: the wide per-segment metrics row melted to "
+    "(segment, metric, value) via the first-class DataFrame.unpivot "
+    "— the inverse of f22's pivot; exact-decimal sums computed "
+    "before the reshape so long rows carry identical doubles.",
+)
+def i3_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    wide = c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").cast("double").alias("n_customers"),
+        F.sum(X.dec("c_acctbal"))
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("total_balance"),
+        (F.sum(X.dec("c_acctbal")).cast("double") / F.count("*")).alias(
+            "avg_balance"
+        ),
+    )
+    return wide.unpivot(
+        ids=["segment"],
+        values=["n_customers", "total_balance", "avg_balance"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).orderBy("segment", "metric")
