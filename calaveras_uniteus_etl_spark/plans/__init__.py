@@ -186,6 +186,7 @@ _NEW_THIS_ROUND: list[str] = [
     "x92_bpe_merge_loop",
     "x93_cluster_silhouette",
     "i3_unpivot_metrics",
+    "j4_array_suite",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 (union = 129) sit in

@@ -573,3 +573,78 @@ def d11_prefix_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prefix", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# J4 — array higher-order-function battery (the list-scalar surface)
+#
+# j1/j3 cover datetime and string scalars; the vector columns make
+# the ARRAY surface load-bearing too: size, element filters, bounded
+# folds, slices, argmax. Every HOF here is whole-stage-codegen
+# JVM-side (the "UDFs are the slow path" rule applied to arrays).
+# Cross-engine determinism: counts and max/min compare identical
+# doubles; the two folds (l1 norm, head-3 sum) run LEFT-TO-RIGHT in
+# both engines (Spark ``aggregate`` ≡ DuckDB ``list_reduce``), so
+# the IEEE add sequence — and therefore the result — is bit-identical
+# before the 6dp display round.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j4_array_suite",
+    oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive,
+       CAST(list_max(embedding) AS DOUBLE) AS max_val,
+       CAST(list_min(embedding) AS DOUBLE) AS min_val,
+       ROUND(list_reduce(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE))),
+                         (a, b) -> a + b), 6) AS l1_norm,
+       ROUND(list_reduce(list_transform(embedding[1:3],
+                                        x -> CAST(x AS DOUBLE)),
+                         (a, b) -> a + b), 6) AS head3_sum,
+       CAST(list_position(embedding, list_max(embedding)) AS BIGINT)
+         AS argmax_pos
+FROM embeddings
+WHERE vec_id % 25 = 3
+ORDER BY vec_id
+""",
+    doc="Array HOF battery over the embedding column: size, filtered "
+    "count, max/min, left-fold L1 norm and head-3 sum (Spark "
+    "aggregate ≡ DuckDB list_reduce — same IEEE add order), 1-based "
+    "argmax position; all JVM-side, zero UDFs.",
+)
+def j4_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 25 == 3
+    )
+    dbl = "transform(embedding, x -> cast(x as double))"
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.size(F.expr("filter(embedding, x -> x > 0)"))
+        .cast("bigint")
+        .alias("n_positive"),
+        F.array_max("embedding").cast("double").alias("max_val"),
+        F.array_min("embedding").cast("double").alias("min_val"),
+        F.round(
+            F.expr(
+                f"aggregate({dbl}, cast(0.0 as double),"
+                " (a, x) -> a + abs(x))"
+            ),
+            6,
+        ).alias("l1_norm"),
+        F.round(
+            F.expr(
+                "aggregate(transform(slice(embedding, 1, 3),"
+                " x -> cast(x as double)), cast(0.0 as double),"
+                " (a, x) -> a + x)"
+            ),
+            6,
+        ).alias("head3_sum"),
+        (
+            F.expr("array_position(embedding, array_max(embedding))")
+        )
+        .cast("bigint")
+        .alias("argmax_pos"),
+    ).orderBy("vec_id")
