@@ -187,6 +187,7 @@ _NEW_THIS_ROUND: list[str] = [
     "x93_cluster_silhouette",
     "i3_unpivot_metrics",
     "j4_array_suite",
+    "f45_mann_whitney",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 (union = 129) sit in

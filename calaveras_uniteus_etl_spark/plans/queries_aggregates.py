@@ -4303,3 +4303,122 @@ def i3_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     ).orderBy("segment", "metric")
+
+
+# ---------------------------------------------------------------------------
+# F45 — Mann-Whitney U (rank-sum two-sample test)
+#
+# f33's z-test compares proportions and x82's KS compares CDFs; the
+# workhorse nonparametric location test is Mann-Whitney. Everything
+# reduces to exact integers: ranks live in DOUBLED units so midranks
+# of ties stay integral (avg_rank×2 = 2·|{v' < v}| + t_v + 1), the
+# rank sum and U statistic are BIGINT algebra, and the tie-corrected
+# variance consumes Σ(t³−t) as a BIGINT — the z-score then divides
+# identical doubles built from identical integers. The rank
+# computation runs on the DISTINCT-VALUE grain (a 2dp-bounded domain,
+# not a row-count-sized relation), with a cumulative count window
+# over that grain only.
+# ---------------------------------------------------------------------------
+
+_F45_A, _F45_B = "click", "purchase"
+
+
+@register(
+    "f45_mann_whitney",
+    oracle=f"""
+WITH samples AS (
+  SELECT value, CASE WHEN event_type = '{_F45_A}' THEN 1 ELSE 0 END AS in_a
+  FROM events
+  WHERE event_type IN ('{_F45_A}', '{_F45_B}') AND value IS NOT NULL
+), grain AS (
+  SELECT value, COUNT(*) AS t,
+         CAST(SUM(in_a) AS BIGINT) AS t_a
+  FROM samples GROUP BY value
+), ranked AS (
+  SELECT value, t, t_a,
+         CAST(COALESCE(SUM(t) OVER (ORDER BY value
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS below
+  FROM grain
+), stats AS (
+  SELECT CAST(SUM(t_a) AS BIGINT) AS n1,
+         CAST(SUM(t - t_a) AS BIGINT) AS n2,
+         CAST(SUM((2 * below + t + 1) * t_a) AS BIGINT) AS r1_2,
+         CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term
+  FROM ranked
+)
+SELECT n1, n2,
+       CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) / 2 AS u_stat,
+       ROUND((CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) / 2
+              - CAST(n1 AS DOUBLE) * n2 / 2)
+             / SQRT(CAST(n1 AS DOUBLE) * n2 / 12
+                    * ((n1 + n2 + 1)
+                       - CAST(tie_term AS DOUBLE)
+                         / ((n1 + n2) * CAST(n1 + n2 - 1 AS DOUBLE)))),
+             6) AS z_score,
+       ROUND(1.0 - (CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) / 2) * 2
+                   / (CAST(n1 AS DOUBLE) * n2), 6) AS rank_biserial
+FROM stats
+""",
+    doc="Mann-Whitney U rank-sum test (click vs purchase values): "
+    "midranks in doubled integer units, BIGINT rank-sum and tie-"
+    "corrected variance, z and rank-biserial effect size dividing "
+    "identical integer-derived doubles; distinct-value-grain ranks, "
+    "never a row-sized sort.",
+)
+def f45_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_F45_A, _F45_B)
+        & F.col("value").isNotNull()
+    )
+    grain = e.groupBy("value").agg(
+        F.count("*").alias("t"),
+        F.sum(F.when(F.col("event_type") == _F45_A, 1).otherwise(0))
+        .cast("bigint")
+        .alias("t_a"),
+    )
+    # distinct-value grain (2dp-bounded domain): safe to window
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = grain.select(
+        "value",
+        "t",
+        "t_a",
+        F.coalesce(F.sum("t").over(w), F.lit(0)).cast("bigint").alias(
+            "below"
+        ),
+    )
+    stats = ranked.agg(
+        F.sum("t_a").cast("bigint").alias("n1"),
+        F.sum(F.col("t") - F.col("t_a")).cast("bigint").alias("n2"),
+        F.sum((2 * F.col("below") + F.col("t") + 1) * F.col("t_a"))
+        .cast("bigint")
+        .alias("r1_2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("tie_term"),
+    )
+    u = (F.col("r1_2") - F.col("n1") * (F.col("n1") + 1)).cast("double") / 2
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    n = F.col("n1") + F.col("n2")
+    var = (
+        n1d
+        * n2d
+        / 12
+        * (
+            (n + 1).cast("double")
+            - F.col("tie_term").cast("double")
+            / (n.cast("double") * (n - 1).cast("double"))
+        )
+    )
+    return stats.select(
+        "n1",
+        "n2",
+        u.alias("u_stat"),
+        F.round((u - n1d * n2d / 2) / F.sqrt(var), 6).alias("z_score"),
+        F.round(F.lit(1.0) - u * 2 / (n1d * n2d), 6).alias(
+            "rank_biserial"
+        ),
+    )

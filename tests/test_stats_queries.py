@@ -292,3 +292,41 @@ def test_g13_deciles_partition_customers(spark):
     assert max(sizes) - min(sizes) <= 1
     for r in rows:
         assert 0.0 < r.top_segment_share <= 1.0
+
+
+def test_f45_mann_whitney_matches_python_model(spark):
+    """U, z and rank-biserial re-derived with naive midranks."""
+    rows = _duck(
+        "SELECT event_type, value FROM events"
+        " WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL"
+    )
+    vals = sorted((v, et) for et, v in rows)
+    # midranks with ties
+    ranks = {}
+    i = 0
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j][0] == vals[i][0]:
+            j += 1
+        mid = (i + 1 + j) / 2  # average of ranks i+1..j
+        ranks[vals[i][0]] = mid
+        i = j
+    n1 = sum(1 for _, et in vals if et == "click")
+    n2 = len(vals) - n1
+    r1 = sum(ranks[v] for v, et in vals if et == "click")
+    u = r1 - n1 * (n1 + 1) / 2
+    from collections import Counter as _C
+
+    tie = sum(t**3 - t for t in _C(v for v, _ in vals).values())
+    n = n1 + n2
+    var = n1 * n2 / 12 * ((n + 1) - tie / (n * (n - 1)))
+    z = (u - n1 * n2 / 2) / var**0.5
+    rb = 1 - 2 * u / (n1 * n2)
+    (row,) = _rows(spark, "f45_mann_whitney")
+    assert row["n1"] == n1 and row["n2"] == n2
+    assert row["u_stat"] == pytest.approx(u, abs=1e-9)
+    assert row["z_score"] == pytest.approx(z, abs=1e-6)
+    assert row["rank_biserial"] == pytest.approx(rb, abs=1e-6)
+    # bounds: U in [0, n1*n2], effect size in [-1, 1]
+    assert 0 <= row["u_stat"] <= n1 * n2
+    assert -1.0 <= row["rank_biserial"] <= 1.0
