@@ -188,6 +188,7 @@ _NEW_THIS_ROUND: list[str] = [
     "i3_unpivot_metrics",
     "j4_array_suite",
     "f45_mann_whitney",
+    "g18_concurrency_curve",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 (union = 129) sit in

@@ -4422,3 +4422,125 @@ def f45_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank_biserial"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# G18 — concurrency curve (sweep line over session intervals)
+#
+# "How many sessions were active at once?" — the gauge metric behind
+# capacity planning. Classic sweep line: each g2 session emits a +1
+# boundary at its start and a −1 at end+1μs (inclusive-end
+# encoding), the running sum over the boundary total order IS the
+# concurrency curve, and its max / argmax / time-weighted mean are
+# the operating numbers. The boundary relation is session-count-
+# sized (data-sized), so the running sum comes from operators/
+# prefix.py's distributed rank — no single-partition window — and
+# "next boundary time" joins back on rank+1 (equi-join, co-
+# partitioned by the broadcast offsets pattern). Tie order
+# (t, delta, user_id) releases ends before starts at the same
+# microsecond, mirrored exactly in the oracle.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g18_concurrency_curve",
+    oracle=f"""
+WITH t AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)
+              > {_G2_GAP_US} OR LAG(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), numbered AS (
+  SELECT user_id, t,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sess_idx
+  FROM t
+), sessions AS (
+  SELECT user_id, MIN(t) AS s, MAX(t) AS e
+  FROM numbered GROUP BY user_id, sess_idx
+), bounds AS (
+  SELECT user_id, s AS t, 1 AS delta FROM sessions
+  UNION ALL
+  SELECT user_id, e + 1, -1 FROM sessions
+), curve AS (
+  SELECT t, delta,
+         CAST(SUM(delta) OVER (ORDER BY t, delta, user_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS conc,
+         LEAD(t) OVER (ORDER BY t, delta, user_id) AS t_next
+  FROM bounds
+)
+SELECT CAST((SELECT COUNT(*) FROM sessions) AS BIGINT) AS n_sessions,
+       CAST(MAX(conc) AS BIGINT) AS max_concurrent,
+       CAST(MIN(CASE WHEN conc = (SELECT MAX(conc) FROM curve) THEN t END)
+            AS BIGINT) AS first_peak_us,
+       ROUND(CAST(SUM(CAST(conc * (t_next - t) AS DECIMAL(38,0)))
+                  AS DOUBLE)
+             / (MAX(t) - MIN(t)), 6) AS avg_concurrency
+FROM curve
+""",
+    doc="Sweep-line concurrency gauge over g2's sessions: +1/-1 "
+    "boundary events (inclusive-end encoding), running sum via the "
+    "distributed prefix rank (no single-partition window), max / "
+    "first-peak-time / interval-weighted mean concurrency; the "
+    "(t, delta, user) tie order releases ends before starts and is "
+    "mirrored by the oracle.",
+)
+def g18_concurrency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calaveras_uniteus_etl_spark.operators.sessions import assign_sessions
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", epoch_us("ts").alias("t")
+    )
+    numbered = assign_sessions(e, "user_id", "t", "event_id", _G2_GAP_US)
+    sessions = numbered.groupBy("user_id", "sess_idx").agg(
+        F.min("t").alias("s"), F.max("t").alias("e")
+    )
+    bounds = sessions.select(
+        "user_id", F.col("s").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        sessions.select(
+            "user_id", (F.col("e") + 1).alias("t"), F.lit(-1).alias("delta")
+        )
+    )
+    curve = prefix_rank(
+        bounds,
+        [F.asc("t"), F.asc("delta"), F.asc("user_id")],
+        "delta",
+        cum_col="conc",
+        rn_col="rn",
+    )
+    nxt = curve.select((F.col("rn") - 1).alias("rn"), F.col("t").alias("t_next"))
+    stepped = curve.join(nxt, "rn", "left")
+    n_sessions = sessions.agg(
+        F.count("*").cast("bigint").alias("n_sessions")
+    )
+    peak = stepped.agg(F.max("conc").alias("peak"))
+    return (
+        stepped.crossJoin(F.broadcast(peak))  # 1-row scalar
+        .agg(
+            F.max("conc").cast("bigint").alias("max_concurrent"),
+            F.min(
+                F.when(F.col("conc") == F.col("peak"), F.col("t"))
+            )
+            .cast("bigint")
+            .alias("first_peak_us"),
+            F.round(
+                F.sum(
+                    (
+                        F.col("conc") * (F.col("t_next") - F.col("t"))
+                    ).cast("decimal(38,0)")
+                ).cast("double")
+                / (F.max("t") - F.min("t")),
+                6,
+            ).alias("avg_concurrency"),
+        )
+        .crossJoin(F.broadcast(n_sessions))  # 1-row scalar
+        .select(
+            "n_sessions", "max_concurrent", "first_peak_us", "avg_concurrency"
+        )
+    )

@@ -345,3 +345,47 @@ def test_f44_matches_python_model(spark):
         assert r["day_ord"] == d
         assert r["value"] == pytest.approx(y, abs=0.01)
         assert r["area"] == pytest.approx(area, abs=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# g18 — concurrency curve
+# ---------------------------------------------------------------------------
+
+
+def test_g18_matches_python_sweep_line(spark):
+    events = _duck("SELECT user_id, event_id, epoch_us(ts) FROM events")
+    per_user = defaultdict(list)
+    for uid, eid, t in events:
+        per_user[uid].append((t, eid))
+    gap = 12 * 3600 * 1_000_000
+    sessions = []
+    for uid, evs in per_user.items():
+        evs.sort()
+        start = prev = evs[0][0]
+        for t, _ in evs[1:]:
+            if t - prev > gap:
+                sessions.append((uid, start, prev))
+                start = t
+            prev = t
+        sessions.append((uid, start, prev))
+    bounds = sorted(
+        [(s, 1, uid) for uid, s, _ in sessions]
+        + [(e + 1, -1, uid) for uid, _, e in sessions],
+        key=lambda b: (b[0], b[1], b[2]),
+    )
+    conc = 0
+    curve = []
+    for t, d, _ in bounds:
+        conc += d
+        curve.append((t, conc))
+    peak = max(c for _, c in curve)
+    first_peak = min(t for t, c in curve if c == peak)
+    weighted = sum(
+        c * (curve[i + 1][0] - t) for i, (t, c) in enumerate(curve[:-1])
+    )
+    span = curve[-1][0] - curve[0][0]
+    (row,) = _rows(spark, "g18_concurrency_curve")
+    assert row["n_sessions"] == len(sessions)
+    assert row["max_concurrent"] == peak
+    assert row["first_peak_us"] == first_peak
+    assert row["avg_concurrency"] == pytest.approx(weighted / span, abs=1e-6)

@@ -561,3 +561,16 @@ def test_f43_cohort_window_is_partitioned_and_size_broadcast(spark):
         first = ln.split("windowspecdefinition(", 1)[1].split(",", 1)[0]
         assert " ASC" not in first and " DESC" not in first, ln
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_g18_running_sum_uses_prefix_operator(spark):
+    """The sweep-line running sum runs over a session-count-sized
+    relation: every unpartitioned windowspec in the plan must be the
+    cluster-sized __prefix_pid offsets branch, never the boundary
+    relation itself."""
+    plan = physical(REGISTRY["g18_concurrency_curve"].fn(spark, SF))
+    specs = [ln for ln in plan.splitlines() if "windowspecdefinition(" in ln]
+    for ln in specs:
+        first = ln.split("windowspecdefinition(", 1)[1].split(",", 1)[0]
+        unpartitioned = " ASC" in first or " DESC" in first
+        assert not unpartitioned or "__prefix_pid" in first, ln
