@@ -189,6 +189,7 @@ _NEW_THIS_ROUND: list[str] = [
     "j4_array_suite",
     "f45_mann_whitney",
     "g18_concurrency_curve",
+    "f46_theil_sen",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 (union = 129) sit in

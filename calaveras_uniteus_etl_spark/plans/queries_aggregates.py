@@ -4544,3 +4544,92 @@ def g18_concurrency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_sessions", "max_concurrent", "first_peak_us", "avg_concurrency"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# F46 — Theil-Sen robust trend (median-of-slopes companion to f26)
+#
+# OLS (f26) is mean-like: one corrupted day drags the slope. The
+# Theil-Sen estimator takes the MEDIAN over all pairwise day-slopes —
+# up to ~29% contamination tolerance — and its intercept is the
+# median of per-point residuals against that slope. The pair relation
+# is the DAY GRAIN squared (calendar-bounded on both axes, SF-
+# invariant: ~2.4k days → ~3M pairs regardless of row count), an
+# equi-free range self-join that never touches raw rows. Slopes
+# divide identical exact-decimal-derived doubles; the medians use the
+# shared interpolated quantile (f25's contract).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f46_theil_sen",
+    oracle="""
+WITH weekly AS (
+  SELECT date_diff('day', DATE '1995-01-01', o_orderdate) // 7 AS w,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                   AS DECIMAL(38,2)) AS DOUBLE) AS y
+  FROM orders GROUP BY 1
+), slopes AS (
+  SELECT (b.y - a.y) / (b.w - a.w) AS m
+  FROM weekly a JOIN weekly b ON b.w > a.w
+), med AS (
+  SELECT quantile_cont(m, 0.5) AS ts_slope FROM slopes
+), res AS (
+  SELECT quantile_cont(y - (SELECT ts_slope FROM med) * w, 0.5)
+           AS ts_intercept
+  FROM weekly
+)
+SELECT CAST((SELECT COUNT(*) FROM weekly) AS BIGINT) AS n_weeks,
+       CAST((SELECT COUNT(*) FROM slopes) AS BIGINT) AS n_pairs,
+       ROUND((SELECT ts_slope FROM med), 9) AS ts_slope,
+       ROUND((SELECT ts_intercept FROM res), 6) AS ts_intercept
+""",
+    doc="Theil-Sen robust trend of weekly revenue: median of all "
+    "pairwise week-slopes (week-grain², calendar-bounded and "
+    "SF-invariant, ~60k pairs) with median-residual intercept — the "
+    "contamination-tolerant sibling of f26's OLS, on the shared "
+    "interpolated quantile.",
+)
+def f46_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    weekly = o.groupBy(
+        F.expr(
+            "datediff(o_orderdate, date'1995-01-01') div 7"
+        ).alias("w")
+    ).agg(
+        F.sum(X.dec("o_totalprice"))
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("y")
+    )
+    # the week grain collapses to one partition after its aggregate;
+    # re-spread the stream side so the grain² nested loop fans out
+    # across cores (narrow rows, wide compute — the x5 rebalance)
+    a = weekly.repartition(
+        spark.sparkContext.defaultParallelism, "w"
+    ).select(F.col("w").alias("wa"), F.col("y").alias("ya"))
+    b = weekly.select(F.col("w").alias("wb"), F.col("y").alias("yb"))
+    slopes = a.join(F.broadcast(b), F.col("wb") > F.col("wa")).select(
+        ((F.col("yb") - F.col("ya")) / (F.col("wb") - F.col("wa"))).alias(
+            "m"
+        )
+    )
+    med = slopes.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.percentile("m", F.lit(0.5)).alias("ts_slope"),
+    )
+    with_m = weekly.crossJoin(F.broadcast(med))  # 1-row scalar
+    return (
+        with_m.agg(
+            F.count("*").cast("bigint").alias("n_weeks"),
+            F.first("n_pairs").alias("n_pairs"),
+            F.round(F.first("ts_slope"), 9).alias("ts_slope"),
+            F.round(
+                F.percentile(
+                    F.col("y") - F.col("ts_slope") * F.col("w"), F.lit(0.5)
+                ),
+                6,
+            ).alias("ts_intercept"),
+        )
+        .select("n_weeks", "n_pairs", "ts_slope", "ts_intercept")
+    )

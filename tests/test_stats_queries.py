@@ -330,3 +330,34 @@ def test_f45_mann_whitney_matches_python_model(spark):
     # bounds: U in [0, n1*n2], effect size in [-1, 1]
     assert 0 <= row["u_stat"] <= n1 * n2
     assert -1.0 <= row["rank_biserial"] <= 1.0
+
+
+def test_f46_theil_sen_matches_python_model(spark):
+    rows = _duck(
+        """
+        SELECT date_diff('day', DATE '1995-01-01', o_orderdate) // 7,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                         AS DECIMAL(38,2)) AS DOUBLE)
+        FROM orders GROUP BY 1
+        """
+    )
+    pts = sorted(rows)
+
+    def q_cont(vals, p):
+        vals = sorted(vals)
+        idx = p * (len(vals) - 1)
+        lo, frac = int(idx), idx - int(idx)
+        return vals[lo] if frac == 0 else vals[lo] * (1 - frac) + vals[lo + 1] * frac
+
+    slopes = [
+        (y2 - y1) / (w2 - w1)
+        for i, (w1, y1) in enumerate(pts)
+        for (w2, y2) in pts[i + 1 :]
+    ]
+    m = q_cont(slopes, 0.5)
+    b = q_cont([y - m * w for w, y in pts], 0.5)
+    (row,) = _rows(spark, "f46_theil_sen")
+    assert row["n_weeks"] == len(pts)
+    assert row["n_pairs"] == len(slopes)
+    assert row["ts_slope"] == pytest.approx(m, rel=1e-9)
+    assert row["ts_intercept"] == pytest.approx(b, rel=1e-9)
