@@ -190,6 +190,7 @@ _NEW_THIS_ROUND: list[str] = [
     "f45_mann_whitney",
     "g18_concurrency_curve",
     "f46_theil_sen",
+    "x94_greedy_coverage",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 (union = 129) sit in

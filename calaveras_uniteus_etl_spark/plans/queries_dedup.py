@@ -2448,3 +2448,156 @@ def x89_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         pairs.unpersist()
         edges.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# X94 — greedy max-coverage selection (facility-location curation)
+#
+# Dedup asks "what is redundant"; coverage-driven curation asks the
+# dual: WHICH K DOCUMENTS COVER THE MOST of the corpus's distinct
+# shingles? The lazy-greedy classic (Nemhauser et al. 1978: the
+# (1−1/e) guarantee) runs as a bounded driver loop: per round, score
+# every unpicked candidate by NEW shingles covered (left-anti join
+# against the covered set), take the argmax with a doc-id tiebreak,
+# fold its shingles into the covered set, checkpoint. The oracle
+# UNROLLS all four rounds as CTE stages (b1/c1 … b4/c4), so the hash
+# match proves score → argmax → fold at every step. Candidates are a
+# deterministic md5 fifth of the corpus; docs whose remaining gain is
+# zero drop out of the scoring relation in both engines identically.
+#
+# Scale: each round is one anti-join + count on the (doc, shingle)
+# relation — posting-list-sized, shuffled on the shingle key — and
+# the covered set grows by ≤ one doc's shingles per round.
+# ---------------------------------------------------------------------------
+
+_X94_ROUNDS = 4
+_X94_CAND_MOD = 5
+
+
+def _x94_oracle() -> str:
+    from calaveras_uniteus_etl_spark.functions.hashing import duckdb_md5_long_sql
+
+    keep = duckdb_md5_long_sql("'mc:' || CAST(doc_id AS VARCHAR)")
+    norm = dd.NORM_DUCK.format(col="text")
+    sql = f"""
+WITH words AS (
+  SELECT doc_id, string_split({norm}, ' ') AS w
+  FROM documents
+  WHERE {keep} % {_X94_CAND_MOD} = 0
+), ds AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(len(w) - 2),
+                i -> w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3]))
+           AS shingle
+  FROM words WHERE len(w) >= 3
+)"""
+    picked_docs: list[str] = []
+    pieces = []
+    for r in range(1, _X94_ROUNDS + 1):
+        prev_cov = f"c{r - 1}"
+        not_covered = (
+            f"AND shingle NOT IN (SELECT shingle FROM {prev_cov})"
+            if r > 1
+            else ""
+        )
+        not_picked = (
+            "AND doc_id NOT IN ("
+            + " UNION ALL ".join(
+                f"SELECT doc_id FROM b{i}" for i in range(1, r)
+            )
+            + ")"
+            if r > 1
+            else ""
+        )
+        cov_sel = (
+            f"SELECT shingle FROM {prev_cov} UNION "
+            f"SELECT ds.shingle FROM ds JOIN b{r} USING (doc_id)"
+            if r > 1
+            else f"SELECT DISTINCT ds.shingle FROM ds JOIN b{r} USING (doc_id)"
+        )
+        sql += f""", g{r} AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+  FROM ds WHERE TRUE {not_covered} {not_picked}
+  GROUP BY doc_id
+), b{r} AS (
+  SELECT doc_id, gain FROM g{r} ORDER BY gain DESC, doc_id ASC LIMIT 1
+), c{r} AS (
+  {cov_sel}
+)"""
+        pieces.append(
+            f"SELECT {r} AS round, doc_id AS picked_doc, gain,"
+            f" (SELECT CAST(COUNT(*) AS BIGINT) FROM c{r}) AS covered_total"
+            f" FROM b{r}"
+        )
+        picked_docs.append(f"b{r}")
+    return sql + "\n" + "\nUNION ALL\n".join(pieces) + "\nORDER BY round"
+
+
+@register(
+    "x94_greedy_coverage",
+    oracle=_x94_oracle(),
+    doc="Greedy max-coverage curation: four rounds of score-by-new-"
+    "shingles (left-anti vs the covered set), argmax pick with doc-id "
+    "tiebreak, covered-set fold — the (1−1/e) facility-location "
+    "selection; oracle unrolls every round as CTE stages.",
+)
+def x94_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calaveras_uniteus_etl_spark.functions.hashing import md5_long
+
+    d = table(spark, sf_dir, "documents").filter(
+        md5_long(F.concat(F.lit("mc:"), F.col("doc_id").cast("string")))
+        % _X94_CAND_MOD
+        == 0
+    )
+    words = d.select(
+        "doc_id",
+        F.expr(
+            "split(" + dd.NORM_SPARK.format(col="text") + ", ' ')"
+        ).alias("w"),
+    ).filter(F.size("w") >= 3)
+    ds = (
+        words.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 3),"
+                    " i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # every round re-reads this
+    )
+    covered = None
+    picked: list[int] = []
+    out = None
+    for r in range(1, _X94_ROUNDS + 1):
+        remaining = ds
+        if picked:
+            remaining = remaining.filter(~F.col("doc_id").isin(picked))
+        if covered is not None:
+            remaining = remaining.join(covered, "shingle", "left_anti")
+        gains = remaining.groupBy("doc_id").agg(
+            F.count("*").cast("bigint").alias("gain")
+        )
+        best_df = gains.orderBy(F.desc("gain"), F.asc("doc_id")).limit(1)
+        best = best_df.first()  # 1-row scalar steering the next round
+        picked.append(best["doc_id"])
+        new_cov = ds.filter(F.col("doc_id") == best["doc_id"]).select(
+            "shingle"
+        )
+        covered = (
+            new_cov
+            if covered is None
+            else covered.unionByName(new_cov).distinct()
+        ).localCheckpoint(eager=True)
+        n_cov = covered.agg(
+            F.count("*").cast("bigint").alias("covered_total")
+        )
+        row = best_df.select(
+            F.lit(r).alias("round"),
+            F.col("doc_id").alias("picked_doc"),
+            "gain",
+        ).crossJoin(F.broadcast(n_cov))  # 1-row scalar
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("round")

@@ -359,3 +359,56 @@ def test_x93_matches_python_model(spark):
         # own centroid is the argmax: a <= b always, so s >= 0
         assert r["mean_silhouette"] >= 0.0
         assert r["mean_own_dist"] <= r["mean_next_dist"] + 1e-12
+
+
+# ---------------------------------------------------------------------------
+# x94 — greedy max coverage
+# ---------------------------------------------------------------------------
+
+
+def test_x94_matches_python_greedy(spark):
+    import re
+
+    docs = _duck("SELECT doc_id, text FROM documents")
+    shingles = {}
+    for doc_id, text in docs:
+        if _md5_long(f"mc:{doc_id}") % 5 != 0:
+            continue
+        norm = re.sub(r"\s+", " ", text.strip()).lower()
+        w = norm.split(" ")
+        if len(w) >= 3:
+            shingles[doc_id] = {
+                " ".join(w[i : i + 3]) for i in range(len(w) - 2)
+            }
+    covered = set()
+    picked = set()
+    want = []
+    for rnd in (1, 2, 3, 4):
+        best = min(
+            (
+                (-len(sh - covered), did)
+                for did, sh in shingles.items()
+                if did not in picked and len(sh - covered) > 0
+            )
+        )
+        gain, did = -best[0], best[1]
+        picked.add(did)
+        covered |= shingles[did]
+        want.append((rnd, did, gain, len(covered)))
+    got = [
+        (r["round"], r["picked_doc"], r["gain"], r["covered_total"])
+        for r in sorted(_rows(spark, "x94_greedy_coverage"), key=lambda r: r["round"])
+    ]
+    assert got == want
+
+
+def test_x94_gains_are_diminishing(spark):
+    """Submodularity: greedy marginal gains never increase."""
+    rows = sorted(_rows(spark, "x94_greedy_coverage"), key=lambda r: r["round"])
+    gains = [r["gain"] for r in rows]
+    assert gains == sorted(gains, reverse=True)
+    # covered_total is the running sum of gains (disjoint new shingles)
+    total = 0
+    for r in rows:
+        total += r["gain"]
+        assert r["covered_total"] == total
