@@ -83,3 +83,23 @@ def test_partitioned_table_versions_read_back(spark, tmp_path):
     v0 = wh.read_version("t", 0)
     assert {r.v for r in v0.collect()} == {0}
     assert set(v0.columns) == {"id", "day", "v"}  # partition col survives
+
+
+def test_merge_schema_reads_evolving_parquet(spark, tmp_path):
+    """Schema evolution at the storage layer: a column added in a
+    later load must surface as NULL for old files under mergeSchema —
+    the read-side half of c8/bb22835's schema-evolving upsert."""
+    d = str(tmp_path / "evolving")
+    spark.range(0, 10).selectExpr("id", "cast(id * 2 as double) AS v").write.parquet(
+        d + "/batch=1"
+    )
+    spark.range(10, 20).selectExpr(
+        "id", "cast(id * 2 as double) AS v", "'web' AS channel"
+    ).write.parquet(d + "/batch=2")
+    df = spark.read.option("mergeSchema", "true").parquet(d)
+    assert set(df.columns) >= {"id", "v", "channel"}
+    assert df.count() == 20
+    old = df.filter("id < 10")
+    assert old.filter("channel IS NULL").count() == 10
+    new = df.filter("id >= 10")
+    assert new.filter("channel = 'web'").count() == 10
