@@ -191,6 +191,7 @@ _NEW_THIS_ROUND: list[str] = [
     "g18_concurrency_curve",
     "f46_theil_sen",
     "x94_greedy_coverage",
+    "r5_employee_workload",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 (union = 129) sit in

@@ -490,3 +490,81 @@ def r8_share_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
         ).alias("pct_of_total"),
     ).orderBy(F.desc("share_count"), "method", "language")
+
+
+# ---------------------------------------------------------------------------
+# R5 — workforce workload distribution
+# (reference: core/app.py:3349-3410, /api/reports/workforce/employee-workload)
+#
+# The reference's shape verbatim: entity LEFT JOIN work items,
+# conditional-CASE counts for "active" and "resolved", a derived
+# 1dp resolution-rate percentage, HAVING total > 0, and a two-key
+# DESC ORDER with LIMIT 20 (→ TakeOrderedAndProject). Employees map
+# to suppliers, cases to their lineitems: active = open-status lines,
+# resolved = returned flag. The percentage divides exact BIGINTs and
+# rounds once, as the endpoint does with round(..., 1).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "r5_employee_workload",
+    oracle="""
+SELECT s.s_name AS employee_name,
+       n.n_name AS provider,
+       CAST(COUNT(CASE WHEN l.l_linestatus = 'O' THEN 1 END) AS BIGINT)
+         AS active_cases,
+       CAST(COUNT(l.l_orderkey) AS BIGINT) AS total_cases,
+       CAST(COUNT(CASE WHEN l.l_returnflag = 'R' THEN 1 END) AS BIGINT)
+         AS resolved_cases,
+       ROUND(CAST(COUNT(CASE WHEN l.l_returnflag = 'R' THEN 1 END)
+                  AS DOUBLE) * 100
+             / COUNT(l.l_orderkey), 1) AS resolution_rate
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+LEFT JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_suppkey, s.s_name, n.n_name
+HAVING COUNT(l.l_orderkey) > 0
+ORDER BY active_cases DESC, total_cases DESC, employee_name
+LIMIT 20
+""",
+    doc="Workforce workload (reference core/app.py:3349-3410): "
+    "supplier LEFT JOIN lineitems with conditional active/resolved "
+    "counts, 1dp resolution rate, HAVING total > 0, two-key DESC "
+    "top-20 via TakeOrderedAndProject; name tiebreak added for a "
+    "total order.",
+)
+def r5_employee_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_linestatus", "l_returnflag"
+    )
+    resolved = F.count(F.when(F.col("l_returnflag") == "R", 1))
+    total = F.count("l_orderkey")
+    return (
+        s.join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .join(l, l.l_suppkey == s.s_suppkey, "left")
+        .groupBy(
+            "s_suppkey",
+            F.col("s_name").alias("employee_name"),
+            F.col("n_name").alias("provider"),
+        )
+        .agg(
+            F.count(F.when(F.col("l_linestatus") == "O", 1))
+            .cast("bigint")
+            .alias("active_cases"),
+            total.cast("bigint").alias("total_cases"),
+            resolved.cast("bigint").alias("resolved_cases"),
+            F.round(resolved.cast("double") * 100 / total, 1).alias(
+                "resolution_rate"
+            ),
+        )
+        .filter(F.col("total_cases") > 0)
+        .drop("s_suppkey")
+        .orderBy(
+            F.desc("active_cases"),
+            F.desc("total_cases"),
+            F.asc("employee_name"),
+        )
+        .limit(20)
+    )
