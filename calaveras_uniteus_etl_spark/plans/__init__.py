@@ -192,6 +192,9 @@ _NEW_THIS_ROUND: list[str] = [
     "f46_theil_sen",
     "x94_greedy_coverage",
     "r5_employee_workload",
+    "x95_purged_time_folds",
+    "g19_segment_migration",
+    "f47_capture_recapture",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 (union = 129) sit in

@@ -829,3 +829,192 @@ def f43_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_year", "age_months")
     )
+
+
+# ---------------------------------------------------------------------------
+# G19 — segment-migration matrix (quintile transitions year over year)
+#
+# g17 scores customers once; retention teams watch how they MOVE: the
+# 5×5 matrix of spend-quintile transitions between two fixed years.
+# Each year's quintile is an independent distributed prefix-rank cut
+# over that year's active customers (the g8/g17 operator — no
+# single-partition NTILE), the two scorings join on the customer key,
+# and each origin row is share-normalized. Diagonal mass = segment
+# stability; below-diagonal = churn risk.
+# ---------------------------------------------------------------------------
+
+_G19_Y1, _G19_Y2 = 1999, 2000
+
+
+@register(
+    "g19_segment_migration",
+    oracle=f"""
+WITH spend AS (
+  SELECT o_custkey, date_part('year', o_orderdate) AS yr,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+           AS spend
+  FROM orders WHERE date_part('year', o_orderdate) IN ({_G19_Y1}, {_G19_Y2})
+  GROUP BY 1, 2
+), tiled AS (
+  SELECT o_custkey, yr,
+         NTILE(5) OVER (PARTITION BY yr ORDER BY spend, o_custkey) AS q
+  FROM spend
+), paired AS (
+  SELECT a.o_custkey, a.q AS q_from, b.q AS q_to
+  FROM tiled a JOIN tiled b
+    ON b.o_custkey = a.o_custkey AND a.yr = {_G19_Y1} AND b.yr = {_G19_Y2}
+), totals AS (
+  SELECT q_from, COUNT(*) AS row_n FROM paired GROUP BY q_from
+)
+SELECT p.q_from AS q_from, p.q_to AS q_to,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / t.row_n, 6) AS row_share
+FROM paired p JOIN totals t ON t.q_from = p.q_from
+GROUP BY p.q_from, p.q_to, t.row_n
+ORDER BY p.q_from, p.q_to
+""",
+    doc="Segment-migration matrix: spend quintiles of 1999 vs 2000 "
+    "(independent distributed prefix-rank cuts per year — the "
+    "g8/g17 operator), joined per customer, row-share-normalized "
+    "5×5 transition census.",
+)
+def g19_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calaveras_uniteus_etl_spark.operators.prefix import (
+        ntile_from_rank,
+        prefix_rank,
+    )
+
+    o = table(spark, sf_dir, "orders")
+
+    def year_tiles(year, q_col):
+        spend = (
+            o.filter(F.year("o_orderdate") == year)
+            .groupBy("o_custkey")
+            .agg(
+                F.sum(dec("o_totalprice", MONEY))
+                .cast("decimal(38,2)")
+                .alias("spend")
+            )
+        )
+        ranked = prefix_rank(
+            spend,
+            [F.asc("spend"), F.asc("o_custkey")],
+            rn_col="__rn",
+            total_rows_col="__n",
+        )
+        return ranked.select(
+            "o_custkey",
+            ntile_from_rank(F.col("__rn"), F.col("__n"), 5).alias(q_col),
+        )
+
+    paired = year_tiles(_G19_Y1, "q_from").join(
+        year_tiles(_G19_Y2, "q_to"), "o_custkey"
+    )
+    counts = paired.groupBy("q_from", "q_to").agg(
+        F.count("*").cast("bigint").alias("n_customers")
+    )
+    totals = counts.groupBy("q_from").agg(
+        F.sum("n_customers").alias("row_n")
+    )
+    return (
+        counts.join(F.broadcast(totals), "q_from")
+        .select(
+            "q_from",
+            "q_to",
+            "n_customers",
+            F.round(
+                F.col("n_customers").cast("double") / F.col("row_n"), 6
+            ).alias("row_share"),
+        )
+        .orderBy("q_from", "q_to")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F47 — capture-recapture population estimate (Chapman estimator)
+#
+# The mark-recapture trick applied to warehouse coverage: treat two
+# disjoint periods' active customers as capture samples; the Chapman
+# estimator N̂ = (n1+1)(n2+1)/(m+1) − 1 then estimates the TRUE
+# active population — including customers seen in neither period.
+# The same arithmetic estimates corpus coverage from two crawl
+# snapshots (the dedup-world use). Three distinct-count aggregates
+# feed exact integer algebra; the estimate divides identical
+# integer-derived doubles. The audit column compares N̂ to the
+# directly-counted distinct population.
+# ---------------------------------------------------------------------------
+
+_F47_Y1, _F47_Y2 = 1997, 1998
+
+
+@register(
+    "f47_capture_recapture",
+    oracle=f"""
+WITH p1 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE date_part('year', o_orderdate) = {_F47_Y1}
+), p2 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE date_part('year', o_orderdate) = {_F47_Y2}
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m
+  FROM p1 JOIN p2 USING (o_custkey)
+), stats AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM p1) AS n1,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM p2) AS n2,
+         (SELECT m FROM m) AS m,
+         (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders)
+           AS n_true
+)
+SELECT n1, n2, m, n_true,
+       ROUND(CAST((n1 + 1) AS DOUBLE) * (n2 + 1) / (m + 1) - 1, 4)
+         AS chapman_estimate,
+       ROUND((CAST((n1 + 1) AS DOUBLE) * (n2 + 1) / (m + 1) - 1) / n_true,
+             6) AS estimate_ratio
+FROM stats
+""",
+    doc="Chapman capture-recapture estimate of the active population "
+    "from two disjoint yearly samples: N̂ = (n1+1)(n2+1)/(m+1) − 1 "
+    "over exact distinct counts, audited against the directly "
+    "counted total — the coverage-estimation trick for two crawl "
+    "snapshots.",
+)
+def f47_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    p1 = (
+        o.filter(F.year("o_orderdate") == _F47_Y1)
+        .select("o_custkey")
+        .distinct()
+    )
+    p2 = (
+        o.filter(F.year("o_orderdate") == _F47_Y2)
+        .select("o_custkey")
+        .distinct()
+    )
+    n1 = p1.agg(F.count("*").cast("bigint").alias("n1"))
+    n2 = p2.agg(F.count("*").cast("bigint").alias("n2"))
+    m = p1.join(p2, "o_custkey").agg(
+        F.count("*").cast("bigint").alias("m")
+    )
+    n_true = o.agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("n_true")
+    )
+    chapman = (
+        (F.col("n1") + 1).cast("double")
+        * (F.col("n2") + 1)
+        / (F.col("m") + 1)
+        - 1
+    )
+    return (
+        n1.crossJoin(F.broadcast(n2))  # all sides 1-row scalars
+        .crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(n_true))
+        .select(
+            "n1",
+            "n2",
+            "m",
+            "n_true",
+            F.round(chapman, 4).alias("chapman_estimate"),
+            F.round(chapman / F.col("n_true"), 6).alias("estimate_ratio"),
+        )
+    )

@@ -3675,3 +3675,107 @@ def x92_bpe_merge_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("merge_round")
+
+
+# ---------------------------------------------------------------------------
+# X95 — purged time-series CV folds (embargoed temporal split)
+#
+# x15/x74 split by hash — correct for i.i.d. text, WRONG for temporal
+# data, where training on the future leaks. The time-series answer
+# (cf. López de Prado's purged K-fold) cuts the stream into K
+# contiguous folds and PURGES every event within an embargo gap of a
+# fold boundary, so no residual autocorrelation straddles the cut.
+# Fold edges come from fixed epoch arithmetic (span/K on the known
+# calendar), purge is a pure range predicate — no windows at all, one
+# scan, engine-exact integer microsecond bounds.
+# ---------------------------------------------------------------------------
+
+_X95_FOLDS = 5
+_X95_EMBARGO_US = 6 * 3600 * 1_000_000  # 6h embargo on each side
+
+
+@register(
+    "x95_purged_time_folds",
+    oracle=f"""
+WITH span AS (
+  SELECT MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) + 1 AS t1 FROM events
+), folded AS (
+  SELECT epoch_us(ts) AS t,
+         CAST(LEAST({_X95_FOLDS} - 1,
+                    ({_X95_FOLDS} * (epoch_us(ts) - s.t0)) // (s.t1 - s.t0))
+              AS BIGINT) AS fold,
+         s.t0, s.t1
+  FROM events CROSS JOIN span s
+), flagged AS (
+  SELECT fold,
+         CASE WHEN fold > 0
+                   AND t - (t0 + (fold * (t1 - t0)) // {_X95_FOLDS})
+                       < {_X95_EMBARGO_US} THEN 1
+              WHEN fold < {_X95_FOLDS} - 1
+                   AND (t0 + ((fold + 1) * (t1 - t0)) // {_X95_FOLDS}) - t
+                       <= {_X95_EMBARGO_US} THEN 1
+              ELSE 0 END AS purged
+  FROM folded
+)
+SELECT fold,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(purged) AS BIGINT) AS n_purged,
+       CAST(COUNT(*) - SUM(purged) AS BIGINT) AS n_usable
+FROM flagged
+GROUP BY fold
+ORDER BY fold
+""",
+    doc="Purged time-series CV folds: K contiguous temporal folds by "
+    "integer-microsecond epoch arithmetic, events within a 6h "
+    "embargo of any fold boundary purged (leakage-free temporal "
+    "split — the time-ordered counterpart to x15/x74's hash splits); "
+    "one scan, no windows.",
+)
+def x95_purged_time_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calaveras_uniteus_etl_spark.functions.datetime_ext import epoch_us
+
+    e = table(spark, sf_dir, "events").select(epoch_us("ts").alias("t"))
+    span = e.agg(
+        F.min("t").alias("t0"), (F.max("t") + 1).alias("t1")
+    )
+    k = F.lit(_X95_FOLDS)
+    folded = e.crossJoin(F.broadcast(span)).select(  # 1-row scalar
+        "t",
+        "t0",
+        "t1",
+        F.least(
+            (k - 1).cast("bigint"),
+            F.expr(f"({_X95_FOLDS} * (t - t0)) div (t1 - t0)"),
+        )
+        .cast("bigint")
+        .alias("fold"),
+    )
+    lo_edge = F.col("t0") + F.expr(
+        f"(fold * (t1 - t0)) div {_X95_FOLDS}"
+    )
+    hi_edge = F.col("t0") + F.expr(
+        f"((fold + 1) * (t1 - t0)) div {_X95_FOLDS}"
+    )
+    purged = (
+        F.when(
+            (F.col("fold") > 0)
+            & (F.col("t") - lo_edge < _X95_EMBARGO_US),
+            1,
+        )
+        .when(
+            (F.col("fold") < _X95_FOLDS - 1)
+            & (hi_edge - F.col("t") <= _X95_EMBARGO_US),
+            1,
+        )
+        .otherwise(0)
+    )
+    return (
+        folded.select("fold", purged.alias("purged"))
+        .groupBy("fold")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("purged").cast("bigint").alias("n_purged"),
+            (F.count("*") - F.sum("purged")).cast("bigint").alias("n_usable"),
+        )
+        .orderBy("fold")
+    )

@@ -389,3 +389,94 @@ def test_g18_matches_python_sweep_line(spark):
     assert row["max_concurrent"] == peak
     assert row["first_peak_us"] == first_peak
     assert row["avg_concurrency"] == pytest.approx(weighted / span, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# g19 — segment migration
+# ---------------------------------------------------------------------------
+
+
+def test_g19_matches_python_model(spark):
+    rows = _duck(
+        """
+        SELECT o_custkey, date_part('year', o_orderdate),
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                         AS DECIMAL(38,2)) AS DOUBLE)
+        FROM orders WHERE date_part('year', o_orderdate) IN (1999, 2000)
+        GROUP BY 1, 2
+        """
+    )
+    by_year = defaultdict(list)
+    for ck, yr, spend in rows:
+        by_year[int(yr)].append((spend, ck))
+    tiles = {}
+    for yr, lst in by_year.items():
+        lst.sort()
+        for i, (_, ck) in enumerate(lst):
+            tiles[(yr, ck)] = _ntile(i + 1, len(lst), 5)
+    matrix = defaultdict(int)
+    for yr, ck in list(tiles):
+        if yr == 1999 and (2000, ck) in tiles:
+            matrix[(tiles[(1999, ck)], tiles[(2000, ck)])] += 1
+    row_n = defaultdict(int)
+    for (qf, _qt), n in matrix.items():
+        row_n[qf] += n
+    got = {
+        (r["q_from"], r["q_to"]): r for r in _rows(spark, "g19_segment_migration")
+    }
+    assert set(got) == set(matrix)
+    for key, n in matrix.items():
+        r = got[key]
+        assert r["n_customers"] == n
+        assert r["row_share"] == pytest.approx(n / row_n[key[0]], abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# f47 — capture-recapture
+# ---------------------------------------------------------------------------
+
+
+def test_f47_matches_python_model(spark):
+    rows = _duck(
+        "SELECT o_custkey, date_part('year', o_orderdate) FROM orders"
+    )
+    p1 = {ck for ck, yr in rows if yr == 1997}
+    p2 = {ck for ck, yr in rows if yr == 1998}
+    n_true = len({ck for ck, _ in rows})
+    n1, n2, m = len(p1), len(p2), len(p1 & p2)
+    chapman = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    (row,) = _rows(spark, "f47_capture_recapture")
+    assert (row["n1"], row["n2"], row["m"], row["n_true"]) == (n1, n2, m, n_true)
+    assert row["chapman_estimate"] == pytest.approx(chapman, abs=1e-3)
+    assert row["estimate_ratio"] == pytest.approx(chapman / n_true, abs=1e-5)
+    # the estimator needs overlap; with heavy overlap it lands near
+    # (and statistically around) the true count
+    assert m > 0
+    assert 0.5 < row["estimate_ratio"] < 2.0
+
+
+# ---------------------------------------------------------------------------
+# x95 — purged folds
+# ---------------------------------------------------------------------------
+
+
+def test_x95_matches_python_model(spark):
+    rows = _duck("SELECT epoch_us(ts) FROM events")
+    ts = [t for (t,) in rows]
+    t0, t1 = min(ts), max(ts) + 1
+    K, EMB = 5, 6 * 3600 * 1_000_000
+    folds = defaultdict(lambda: [0, 0])
+    for t in ts:
+        f = min(K - 1, (K * (t - t0)) // (t1 - t0))
+        lo = t0 + (f * (t1 - t0)) // K
+        hi = t0 + ((f + 1) * (t1 - t0)) // K
+        purged = (f > 0 and t - lo < EMB) or (f < K - 1 and hi - t <= EMB)
+        folds[f][0] += 1
+        folds[f][1] += purged
+    got = {r["fold"]: r for r in _rows(spark, "x95_purged_time_folds")}
+    assert set(got) == set(folds)
+    for f, (n, purged) in folds.items():
+        r = got[f]
+        assert r["n_events"] == n
+        assert r["n_purged"] == purged
+        assert r["n_usable"] == n - purged
