@@ -195,6 +195,7 @@ _NEW_THIS_ROUND: list[str] = [
     "x95_purged_time_folds",
     "g19_segment_migration",
     "f47_capture_recapture",
+    "f48_acf",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 (union = 129) sit in

@@ -4633,3 +4633,96 @@ def f46_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_weeks", "n_pairs", "ts_slope", "ts_intercept")
     )
+
+
+# ---------------------------------------------------------------------------
+# F48 — autocorrelation function (ACF, lags 1–14)
+#
+# f36 asserts weekly seasonality and f42 exploits it; the ACF is how
+# you DISCOVER it — corr(y_t, y_{t−k}) per lag, where the lag-7/14
+# spikes are the weekly signature. The daily series is rounded to
+# exact integer dollars (decimal HALF_UP, identical both engines), so
+# every moment of every lag is BIGINT (largest term n·Σxy ≈ 6e18,
+# inside int64) and each lag's correlation divides identical
+# integer-derived doubles. One day-grain relation, a 14-way lag
+# explode, one equi-join on the offset day ordinal — grain-bounded
+# throughout.
+# ---------------------------------------------------------------------------
+
+_F48_MAX_LAG = 14
+
+
+@register(
+    "f48_acf",
+    oracle=f"""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1995-01-01', o_orderdate) AS d,
+         CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                         AS DECIMAL(38,2)), 0) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+), lagged AS (
+  SELECT l.lag, a.y AS x, b.y AS y
+  FROM (SELECT unnest(range(1, {_F48_MAX_LAG} + 1)) AS lag) l
+  JOIN daily a ON TRUE
+  JOIN daily b ON b.d = a.d - l.lag
+), s AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM lagged GROUP BY lag
+)
+SELECT lag, n AS n_pairs,
+       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / SQRT((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+             6) AS acf
+FROM s ORDER BY lag
+""",
+    doc="Autocorrelation of daily revenue at lags 1–14: integer-"
+    "dollar series, BIGINT moments per lag (n·Σxy stays inside "
+    "int64), per-lag Pearson over identical integer-derived doubles "
+    "— the discovery tool behind f36's seasonality and f42's "
+    "seasonal-naive forecast.",
+)
+def f48_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("date")
+        ).alias("d")
+    ).agg(
+        F.round(
+            F.sum(X.dec("o_totalprice")).cast("decimal(38,2)"), 0
+        )
+        .cast("bigint")
+        .alias("y")
+    )
+    lags = spark.range(1, _F48_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = daily.crossJoin(F.broadcast(lags)).select(
+        "lag", (F.col("d") - F.col("lag")).alias("d_prev"), F.col("y").alias("x")
+    )
+    b = daily.select(F.col("d").alias("d_prev"), F.col("y").alias("y"))
+    lagged = a.join(b, "d_prev")
+    s = lagged.groupBy("lag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(
+        (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return s.select(
+        "lag",
+        F.col("n").alias("n_pairs"),
+        F.round(num / den, 6).alias("acf"),
+    ).orderBy("lag")

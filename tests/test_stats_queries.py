@@ -361,3 +361,36 @@ def test_f46_theil_sen_matches_python_model(spark):
     assert row["n_pairs"] == len(slopes)
     assert row["ts_slope"] == pytest.approx(m, rel=1e-9)
     assert row["ts_intercept"] == pytest.approx(b, rel=1e-9)
+
+
+def test_f48_acf_matches_python_model(spark):
+    rows = _duck(
+        """
+        SELECT date_diff('day', DATE '1995-01-01', o_orderdate),
+               CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                               AS DECIMAL(38,2)), 0) AS BIGINT)
+        FROM orders GROUP BY 1
+        """
+    )
+    series = dict(rows)
+    got = {r["lag"]: r for r in _rows(spark, "f48_acf")}
+    assert set(got) == set(range(1, 15))
+    for lag in range(1, 15):
+        pairs = [
+            (series[d], series[d - lag])
+            for d in series
+            if d - lag in series
+        ]
+        n = len(pairs)
+        sx = sum(x for x, _ in pairs)
+        sy = sum(y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        sxx = sum(x * x for x, _ in pairs)
+        syy = sum(y * y for _, y in pairs)
+        corr = (n * sxy - sx * sy) / math.sqrt(
+            (n * sxx - sx * sx) * (n * syy - sy * sy)
+        )
+        r = got[lag]
+        assert r["n_pairs"] == n
+        assert r["acf"] == pytest.approx(corr, abs=1e-6)
+        assert -1.0 <= r["acf"] <= 1.0
