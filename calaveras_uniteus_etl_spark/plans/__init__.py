@@ -196,6 +196,8 @@ _NEW_THIS_ROUND: list[str] = [
     "g19_segment_migration",
     "f47_capture_recapture",
     "f48_acf",
+    "x96_tokenizer_fertility",
+    "f49_anova_oneway",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 (union = 129) sit in

@@ -4726,3 +4726,93 @@ def f48_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_pairs"),
         F.round(num / den, 6).alias("acf"),
     ).orderBy("lag")
+
+
+# ---------------------------------------------------------------------------
+# F49 — one-way ANOVA (numeric-by-categorical association)
+#
+# f34's chi-square handles categorical×categorical and f38's MI the
+# information view; the numeric-by-categorical question ("does doc
+# length depend on source?") is ANOVA. Document lengths are exact
+# integers, so every sum of squares is BIGINT algebra — SS_between =
+# Σ_g n_g·(x̄_g − x̄)² computed WITHOUT means as Σ_g T_g²/n_g − T²/N
+# over integer group totals (each ratio term 12dp-quantized once) —
+# and F = (SS_b/df_b)/(SS_w/df_w) plus η² divide identical doubles.
+# Two hash aggregates: group grain, then one row.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f49_anova_oneway",
+    oracle="""
+WITH g AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(n_chars) AS BIGINT) AS t_g,
+         CAST(SUM(CAST(n_chars AS BIGINT) * n_chars) AS BIGINT) AS ss_g
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+         CAST(SUM(t_g) AS BIGINT) AS t,
+         CAST(SUM(ss_g) AS BIGINT) AS ss,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(CAST(ROUND(CAST(t_g AS DOUBLE) * t_g / n_g, 12)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS sum_tg2_ng
+  FROM g
+)
+SELECT k AS n_groups, n AS n_docs,
+       ROUND(sum_tg2_ng - CAST(t AS DOUBLE) * t / n, 6) AS ss_between,
+       ROUND(CAST(ss AS DOUBLE) - sum_tg2_ng, 6) AS ss_within,
+       ROUND(((sum_tg2_ng - CAST(t AS DOUBLE) * t / n) / (k - 1))
+             / ((CAST(ss AS DOUBLE) - sum_tg2_ng) / (n - k)), 6)
+         AS f_stat,
+       ROUND((sum_tg2_ng - CAST(t AS DOUBLE) * t / n)
+             / (CAST(ss AS DOUBLE) - CAST(t AS DOUBLE) * t / n), 6)
+         AS eta_squared
+FROM tot
+""",
+    doc="One-way ANOVA of document length by source: BIGINT group "
+    "totals, sums of squares via Σ T_g²/n_g − T²/N with 12dp-"
+    "quantized ratio terms, F statistic and η² effect size dividing "
+    "identical doubles — the numeric-by-categorical member of the "
+    "f33/f34/f38/f45 inference suite.",
+)
+def f49_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    g = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_g"),
+        F.sum("n_chars").cast("bigint").alias("t_g"),
+        F.sum(F.col("n_chars").cast("bigint") * F.col("n_chars"))
+        .cast("bigint")
+        .alias("ss_g"),
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("t_g").cast("bigint").alias("t"),
+        F.sum("ss_g").cast("bigint").alias("ss"),
+        F.count("*").cast("bigint").alias("k"),
+        F.sum(
+            F.round(
+                F.col("t_g").cast("double") * F.col("t_g") / F.col("n_g"),
+                12,
+            ).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("sum_tg2_ng"),
+    )
+    nd = F.col("n").cast("double")
+    ss_b = F.col("sum_tg2_ng") - F.col("t").cast("double") * F.col("t") / nd
+    ss_w = F.col("ss").cast("double") - F.col("sum_tg2_ng")
+    ss_t = F.col("ss").cast("double") - F.col("t").cast("double") * F.col(
+        "t"
+    ) / nd
+    return tot.select(
+        F.col("k").alias("n_groups"),
+        F.col("n").alias("n_docs"),
+        F.round(ss_b, 6).alias("ss_between"),
+        F.round(ss_w, 6).alias("ss_within"),
+        F.round(
+            (ss_b / (F.col("k") - 1)) / (ss_w / (F.col("n") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+        F.round(ss_b / ss_t, 6).alias("eta_squared"),
+    )

@@ -3779,3 +3779,70 @@ def x95_purged_time_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+# ---------------------------------------------------------------------------
+# X96 — tokenizer fertility audit (tokens/word, chars/token per lang)
+#
+# The sizing numbers a tokenizer decision needs per language: word
+# fertility (whitespace words per regex token — how much the
+# pre-tokenizer splits) and compression (chars per token — how much
+# a byte-level model would pay). x68 measures vocabulary COVERAGE;
+# this measures SEGMENTATION cost. All counts are exact integers from
+# the same regex contract as x9; ratios divide identical BIGINTs.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x96_tokenizer_fertility",
+    oracle=r"""
+WITH counts AS (
+  SELECT lang,
+         CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+         CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                       ELSE length(string_split_regex(trim(text), '\s+'))
+                  END) AS BIGINT) AS n_words,
+         CAST(SUM(length(regexp_extract_all(text, '[A-Za-z0-9]+')))
+              AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY lang
+)
+SELECT lang, n_docs, n_words, n_tokens,
+       ROUND(CAST(n_tokens AS DOUBLE) / n_words, 6) AS tokens_per_word,
+       ROUND(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS chars_per_token
+FROM counts ORDER BY lang
+""",
+    doc="Tokenizer fertility per language: whitespace-word and regex-"
+    "token counts (x9's contracts), tokens-per-word segmentation "
+    "cost and chars-per-token compression — the sizing audit beside "
+    "x68's coverage.",
+)
+def x96_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
+    counts = d.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+        F.sum(
+            F.when(t == "", 0).otherwise(F.size(F.split(t, r"\s+")))
+        )
+        .cast("bigint")
+        .alias("n_words"),
+        F.sum(
+            F.size(F.expr(r"regexp_extract_all(text, '[A-Za-z0-9]+', 0)"))
+        )
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    return counts.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("n_words"), 6
+        ).alias("tokens_per_word"),
+        F.round(
+            F.col("n_chars").cast("double") / F.col("n_tokens"), 6
+        ).alias("chars_per_token"),
+    ).orderBy("lang")

@@ -394,3 +394,30 @@ def test_f48_acf_matches_python_model(spark):
         assert r["n_pairs"] == n
         assert r["acf"] == pytest.approx(corr, abs=1e-6)
         assert -1.0 <= r["acf"] <= 1.0
+
+
+def test_f49_anova_matches_python_model(spark):
+    rows = _duck("SELECT source, n_chars FROM documents")
+    groups = {}
+    for src, n in rows:
+        groups.setdefault(src, []).append(n)
+    N = sum(len(v) for v in groups.values())
+    T = sum(sum(v) for v in groups.values())
+    SS = sum(x * x for v in groups.values() for x in v)
+    sum_tg2 = sum(sum(v) ** 2 / len(v) for v in groups.values())
+    ss_b = sum_tg2 - T * T / N
+    ss_w = SS - sum_tg2
+    k = len(groups)
+    f_stat = (ss_b / (k - 1)) / (ss_w / (N - k))
+    eta2 = ss_b / (SS - T * T / N)
+    (row,) = _rows(spark, "f49_anova_oneway")
+    assert row["n_groups"] == k and row["n_docs"] == N
+    assert row["ss_between"] == pytest.approx(ss_b, rel=1e-9)
+    assert row["ss_within"] == pytest.approx(ss_w, rel=1e-9)
+    assert row["f_stat"] == pytest.approx(f_stat, rel=1e-6)
+    assert row["eta_squared"] == pytest.approx(eta2, rel=1e-6)
+    # partition of variance: components reassemble the total
+    assert row["ss_between"] + row["ss_within"] == pytest.approx(
+        SS - T * T / N, rel=1e-9
+    )
+    assert 0.0 <= row["eta_squared"] <= 1.0
