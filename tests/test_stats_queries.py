@@ -414,8 +414,8 @@ def test_f49_anova_matches_python_model(spark):
     assert row["n_groups"] == k and row["n_docs"] == N
     assert row["ss_between"] == pytest.approx(ss_b, rel=1e-9)
     assert row["ss_within"] == pytest.approx(ss_w, rel=1e-9)
-    assert row["f_stat"] == pytest.approx(f_stat, rel=1e-6)
-    assert row["eta_squared"] == pytest.approx(eta2, rel=1e-6)
+    assert row["f_stat"] == pytest.approx(f_stat, abs=1e-5)
+    assert row["eta_squared"] == pytest.approx(eta2, abs=1e-6)
     # partition of variance: components reassemble the total
     assert row["ss_between"] + row["ss_within"] == pytest.approx(
         SS - T * T / N, rel=1e-9
