@@ -198,6 +198,7 @@ _NEW_THIS_ROUND: list[str] = [
     "f48_acf",
     "x96_tokenizer_fertility",
     "f49_anova_oneway",
+    "f50_burstiness",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 (union = 129) sit in

@@ -1018,3 +1018,105 @@ def f47_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(chapman / F.col("n_true"), 6).alias("estimate_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# F50 — burstiness census of inter-event gaps
+#
+# g1 profiles gap MAGNITUDE; temporal-dynamics work (Goh & Barabási
+# 2008) asks about gap SHAPE: B = (σ − μ)/(σ + μ) per user, −1 for
+# metronome regularity, 0 for Poisson, → +1 for bursts. Gaps are
+# exact integer SECONDS (µs div 10⁶), so per-user moments are BIGINT
+# sums comfortably inside 2⁵³ (per-user event counts × gap² ≪ 9e15)
+# and σ/μ divide identical integer-derived doubles. One user-
+# partitioned LAG, one user-grain rollup, one census by burstiness
+# band; users with < 3 gaps are excluded (σ undefined territory)
+# identically in both engines.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f50_burstiness",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id,
+         (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id)) // 1000000 AS gap_s
+  FROM events
+), per_user AS (
+  SELECT user_id, CAST(COUNT(gap_s) AS BIGINT) AS n,
+         CAST(SUM(gap_s) AS BIGINT) AS s1,
+         CAST(SUM(gap_s * gap_s) AS BIGINT) AS s2
+  FROM gaps WHERE gap_s IS NOT NULL
+  GROUP BY user_id HAVING COUNT(gap_s) >= 3
+), scored AS (
+  SELECT user_id,
+         (SQRT(CAST(s2 AS DOUBLE) / n
+               - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+          - CAST(s1 AS DOUBLE) / n)
+         / (SQRT(CAST(s2 AS DOUBLE) / n
+                 - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+            + CAST(s1 AS DOUBLE) / n) AS b
+  FROM per_user
+)
+SELECT CASE WHEN b < -0.05 THEN 'regular'
+            WHEN b <= 0.05 THEN 'poisson_like'
+            ELSE 'bursty' END AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(CAST(SUM(CAST(ROUND(b, 12) AS DECIMAL(38,12))) AS DOUBLE)
+             / COUNT(*), 9) AS mean_burstiness
+FROM scored
+GROUP BY 1
+ORDER BY band
+""",
+    doc="Burstiness census (Goh & Barabási): B = (σ−μ)/(σ+μ) of each "
+    "user's integer-second inter-event gaps (BIGINT moments), "
+    "censused into regular / poisson-like / bursty bands with a "
+    "12dp-quantized mean — the gap-shape companion to g1's gap "
+    "magnitudes.",
+)
+def f50_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calaveras_uniteus_etl_spark.functions.datetime_ext import epoch_us
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", epoch_us("ts").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    gaps = e.select(
+        "user_id",
+        F.expr("(t - lag(t) over (partition by user_id order by t, event_id))"
+               " div 1000000").alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    per_user = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("gap_s").cast("bigint").alias("n"),
+            F.sum("gap_s").cast("bigint").alias("s1"),
+            F.sum(F.col("gap_s") * F.col("gap_s"))
+            .cast("bigint")
+            .alias("s2"),
+        )
+        .filter(F.col("n") >= 3)
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    sigma = F.sqrt(F.col("s2").cast("double") / F.col("n") - mu * mu)
+    scored = per_user.select(((sigma - mu) / (sigma + mu)).alias("b"))
+    band = (
+        F.when(F.col("b") < -0.05, "regular")
+        .when(F.col("b") <= 0.05, "poisson_like")
+        .otherwise("bursty")
+    )
+    return (
+        scored.groupBy(band.alias("band"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.round(
+                F.sum(F.round(F.col("b"), 12).cast("decimal(38,12)")).cast(
+                    "double"
+                )
+                / F.count("*"),
+                9,
+            ).alias("mean_burstiness"),
+        )
+        .orderBy("band")
+    )

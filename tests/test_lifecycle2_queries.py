@@ -480,3 +480,42 @@ def test_x95_matches_python_model(spark):
         assert r["n_events"] == n
         assert r["n_purged"] == purged
         assert r["n_usable"] == n - purged
+
+
+# ---------------------------------------------------------------------------
+# f50 — burstiness
+# ---------------------------------------------------------------------------
+
+
+def test_f50_matches_python_model(spark):
+    rows = _duck(
+        "SELECT user_id, event_id, epoch_us(ts) FROM events"
+    )
+    per_user = defaultdict(list)
+    for uid, eid, t in rows:
+        per_user[uid].append((t, eid))
+    bands = defaultdict(lambda: [0, 0.0])
+    for uid, evs in per_user.items():
+        evs.sort()
+        gaps = [
+            (evs[i + 1][0] - evs[i][0]) // 1_000_000
+            for i in range(len(evs) - 1)
+        ]
+        if len(gaps) < 3:
+            continue
+        n = len(gaps)
+        mu = sum(gaps) / n
+        sigma = (sum(g * g for g in gaps) / n - mu * mu) ** 0.5
+        b = (sigma - mu) / (sigma + mu)
+        band = (
+            "regular" if b < -0.05 else ("poisson_like" if b <= 0.05 else "bursty")
+        )
+        bands[band][0] += 1
+        bands[band][1] += b
+    got = {r["band"]: r for r in _rows(spark, "f50_burstiness")}
+    assert set(got) == set(bands)
+    for band, (n, total) in bands.items():
+        r = got[band]
+        assert r["n_users"] == n
+        assert r["mean_burstiness"] == pytest.approx(total / n, abs=1e-6)
+        assert -1.0 <= r["mean_burstiness"] <= 1.0
