@@ -3846,3 +3846,111 @@ def x96_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").cast("double") / F.col("n_tokens"), 6
         ).alias("chars_per_token"),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# X97 — hashed bag-of-words source similarity (feature hashing)
+#
+# Embedding-free text vectorization (Weinberger et al. 2009 feature
+# hashing): every token hashes into one of 64 buckets, per-source
+# bucket counts form an integer vector, and pairwise cosine between
+# source vectors measures corpus-composition similarity — the
+# cheap-and-deterministic cousin of the embedding-based x6/x81
+# comparisons, usable before any model exists. All counts and dot
+# products are BIGINT (bucket counts ≤ millions, squares well inside
+# int64); cosines divide identical integer-derived doubles. The
+# bucket join is a 64-key equi-join between source vectors.
+# ---------------------------------------------------------------------------
+
+_X97_BUCKETS = 64
+
+
+@register(
+    "x97_hashed_bow_source_sim",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+), vec AS (
+  SELECT source,
+         {_fold("'fh:' || tok")} % {_X97_BUCKETS} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY 1, 2
+), norms AS (
+  SELECT source, CAST(SUM(c * c) AS BIGINT) AS n2 FROM vec GROUP BY source
+), dots AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(SUM(a.c * b.c) AS BIGINT) AS dot,
+         CAST(COUNT(*) AS BIGINT) AS shared_buckets
+  FROM vec a JOIN vec b
+    ON b.bucket = a.bucket AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT d.source_a, d.source_b, d.shared_buckets,
+       ROUND(CAST(d.dot AS DOUBLE)
+             / SQRT(CAST(na.n2 AS DOUBLE) * nb.n2), 6) AS cosine
+FROM dots d
+JOIN norms na ON na.source = d.source_a
+JOIN norms nb ON nb.source = d.source_b
+ORDER BY source_a, source_b
+""",
+    doc="Feature-hashed bag-of-words source similarity: tokens hash "
+    "into 64 buckets, per-source integer count vectors, pairwise "
+    "cosine over BIGINT dot products — the embedding-free corpus-"
+    "composition comparison (Weinberger 2009) beside x81's KL.",
+)
+def x97_hashed_bow_source_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calaveras_uniteus_etl_spark.functions.hashing import md5_long
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(
+            F.expr(r"regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("tok"),
+    )
+    vec = toks.groupBy(
+        "source",
+        (
+            md5_long(F.concat(F.lit("fh:"), F.col("tok"))) % _X97_BUCKETS
+        ).alias("bucket"),
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    norms = vec.groupBy("source").agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("n2")
+    )
+    a = vec.select(
+        F.col("source").alias("source_a"), "bucket", F.col("c").alias("ca")
+    )
+    b = vec.select(
+        F.col("source").alias("source_b"), "bucket", F.col("c").alias("cb")
+    )
+    dots = (
+        a.join(b, "bucket")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("dot"),
+            F.count("*").cast("bigint").alias("shared_buckets"),
+        )
+    )
+    na = norms.select(
+        F.col("source").alias("source_a"), F.col("n2").alias("na2")
+    )
+    nb = norms.select(
+        F.col("source").alias("source_b"), F.col("n2").alias("nb2")
+    )
+    return (
+        dots.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_buckets",
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("na2").cast("double") * F.col("nb2")),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -412,3 +412,36 @@ def test_x94_gains_are_diminishing(spark):
     for r in rows:
         total += r["gain"]
         assert r["covered_total"] == total
+
+
+# ---------------------------------------------------------------------------
+# x97 — hashed BoW source similarity
+# ---------------------------------------------------------------------------
+
+
+def test_x97_matches_python_model(spark):
+    import re
+
+    docs = _duck("SELECT source, text FROM documents")
+    vecs = defaultdict(lambda: defaultdict(int))
+    for src, text in docs:
+        for tok in re.findall(r"[a-z0-9]+", text.lower()):
+            vecs[src][_md5_long(f"fh:{tok}") % 64] += 1
+    sources = sorted(vecs)
+    want = {}
+    for i, a in enumerate(sources):
+        for b in sources[i + 1 :]:
+            shared = set(vecs[a]) & set(vecs[b])
+            dot = sum(vecs[a][k] * vecs[b][k] for k in shared)
+            na = sum(c * c for c in vecs[a].values()) ** 0.5
+            nb = sum(c * c for c in vecs[b].values()) ** 0.5
+            want[(a, b)] = (len(shared), dot / (na * nb))
+    got = {
+        (r["source_a"], r["source_b"]): (r["shared_buckets"], r["cosine"])
+        for r in _rows(spark, "x97_hashed_bow_source_sim")
+    }
+    assert set(got) == set(want)
+    for key, (shared, cos) in want.items():
+        assert got[key][0] == shared
+        assert got[key][1] == pytest.approx(cos, abs=1e-6)
+        assert 0.0 <= got[key][1] <= 1.0
