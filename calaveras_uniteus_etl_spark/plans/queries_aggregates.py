@@ -4816,3 +4816,134 @@ def f49_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("f_stat"),
         F.round(ss_b / ss_t, 6).alias("eta_squared"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F51 — changepoint detection (max cumulative-deviation statistic)
+#
+# f30 monitors DISTRIBUTION drift; this finds WHEN the level shifted:
+# the classic nonparametric changepoint statistic D_k = |S_k −
+# (k/n)·S_n| — the gap between the observed cumulative sum and the
+# no-change diagonal — maximized over k (cf. CUSUM / Pettitt). The
+# series is integer-dollar daily revenue (f48's contract), so every
+# S_k is BIGINT; the diagonal term divides identical integers and the
+# argmax resolves ties to the earliest day. Before/after means join
+# the argmax row back via a broadcast scalar — no collect. Windows
+# run on the calendar-bounded day grain only.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f51_changepoint",
+    oracle="""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1995-01-01', o_orderdate) AS d,
+         CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                         AS DECIMAL(38,2)), 0) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+), cum AS (
+  SELECT d, y,
+         CAST(SUM(y) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS s_k,
+         CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS k
+  FROM daily
+), tot AS (
+  SELECT CAST(SUM(y) AS BIGINT) AS s_n, CAST(COUNT(*) AS BIGINT) AS n
+  FROM daily
+), dev AS (
+  SELECT c.d, c.k,
+         ABS(CAST(c.s_k AS DOUBLE)
+             - CAST(c.k AS DOUBLE) * t.s_n / t.n) AS d_k
+  FROM cum c CROSS JOIN tot t
+), peak AS (
+  SELECT d AS cp_day, d_k AS d_max FROM dev
+  ORDER BY d_k DESC, d ASC LIMIT 1
+)
+SELECT (SELECT n FROM tot) AS n_days,
+       CAST(p.cp_day AS BIGINT) AS changepoint_day,
+       ROUND(p.d_max, 4) AS d_max,
+       ROUND(CAST(SUM(CASE WHEN daily.d <= p.cp_day THEN daily.y END)
+                  AS DOUBLE)
+             / COUNT(CASE WHEN daily.d <= p.cp_day THEN 1 END), 4)
+         AS mean_before,
+       ROUND(CAST(SUM(CASE WHEN daily.d > p.cp_day THEN daily.y END)
+                  AS DOUBLE)
+             / COUNT(CASE WHEN daily.d > p.cp_day THEN 1 END), 4)
+         AS mean_after
+FROM daily CROSS JOIN peak p
+GROUP BY p.cp_day, p.d_max
+""",
+    doc="Changepoint detection: max cumulative-deviation statistic "
+    "D_k = |S_k − (k/n)·S_n| over the integer-dollar daily series "
+    "(BIGINT cumulative sums on the day grain, earliest-day argmax "
+    "tiebreak), with broadcast-scalar before/after level means — "
+    "finds WHEN the level shifted, beside f30's distributional "
+    "drift.",
+)
+def f51_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("date")
+        ).alias("d")
+    ).agg(
+        F.round(
+            F.sum(X.dec("o_totalprice")).cast("decimal(38,2)"), 0
+        )
+        .cast("bigint")
+        .alias("y")
+    )
+    # day-grain windows: calendar-bounded, safe by construction
+    w = Window.orderBy("d")
+    cum = daily.select(
+        "d",
+        "y",
+        F.sum("y")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("s_k"),
+        F.row_number().over(w).cast("bigint").alias("k"),
+    )
+    tot = daily.agg(
+        F.sum("y").cast("bigint").alias("s_n"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    dev = cum.crossJoin(F.broadcast(tot)).select(  # 1-row scalar
+        "d",
+        F.abs(
+            F.col("s_k").cast("double")
+            - F.col("k").cast("double") * F.col("s_n") / F.col("n")
+        ).alias("d_k"),
+        "n",
+    )
+    peak = (
+        dev.orderBy(F.desc("d_k"), F.asc("d"))
+        .limit(1)
+        .select(F.col("d").alias("cp_day"), F.col("d_k").alias("d_max"))
+    )
+    with_peak = daily.crossJoin(F.broadcast(peak))  # 1-row scalar
+    before = F.col("d") <= F.col("cp_day")
+    return (
+        with_peak.groupBy("cp_day", "d_max")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.round(
+                F.sum(F.when(before, F.col("y"))).cast("double")
+                / F.count(F.when(before, 1)),
+                4,
+            ).alias("mean_before"),
+            F.round(
+                F.sum(F.when(~before, F.col("y"))).cast("double")
+                / F.count(F.when(~before, 1)),
+                4,
+            ).alias("mean_after"),
+        )
+        .select(
+            "n_days",
+            F.col("cp_day").cast("bigint").alias("changepoint_day"),
+            F.round("d_max", 4).alias("d_max"),
+            "mean_before",
+            "mean_after",
+        )
+    )

@@ -421,3 +421,37 @@ def test_f49_anova_matches_python_model(spark):
         SS - T * T / N, rel=1e-9
     )
     assert 0.0 <= row["eta_squared"] <= 1.0
+
+
+def test_f51_changepoint_matches_python_model(spark):
+    rows = _duck(
+        """
+        SELECT date_diff('day', DATE '1995-01-01', o_orderdate),
+               CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                               AS DECIMAL(38,2)), 0) AS BIGINT)
+        FROM orders GROUP BY 1
+        """
+    )
+    pts = sorted(rows)
+    n = len(pts)
+    s_n = sum(y for _, y in pts)
+    s_k = 0
+    best = None
+    for k, (d, y) in enumerate(pts, 1):
+        s_k += y
+        d_k = abs(s_k - k * s_n / n)
+        if best is None or (-d_k, d) < (-best[0], best[1]):
+            best = (d_k, d)
+    d_max, cp = best
+    before = [y for d, y in pts if d <= cp]
+    after = [y for d, y in pts if d > cp]
+    (row,) = _rows(spark, "f51_changepoint")
+    assert row["n_days"] == n
+    assert row["changepoint_day"] == cp
+    assert row["d_max"] == pytest.approx(d_max, abs=1e-3)
+    assert row["mean_before"] == pytest.approx(
+        sum(before) / len(before), abs=1e-3
+    )
+    assert row["mean_after"] == pytest.approx(
+        sum(after) / len(after), abs=1e-3
+    )
