@@ -174,3 +174,64 @@ def ntile_from_rank(rn: Column, total: Column, n: int) -> Column:
     big_tile = F.floor((rn - F.lit(1)) / (q + F.lit(1))) + F.lit(1)
     small_tile = r + F.floor((rn - threshold - F.lit(1)) / q) + F.lit(1)
     return F.when(in_big, big_tile).otherwise(small_tile).cast("int")
+
+
+def prefix_fold_min(
+    df: DataFrame,
+    order: list[Column],
+    value: str,
+    *,
+    out_col: str,
+    exclusive: bool = False,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Running MIN over a total order — same two-phase plan as
+    :func:`prefix_rank`, generalized to the other associative fold a
+    skyline/staircase needs.
+
+    1. range-repartition on the total order (explicit ``n`` →
+       REPARTITION_BY_NUM, AQE-stable), pin with an eager
+       localCheckpoint so both branches read identical partitions;
+    2. partition-local running min keyed on ``spark_partition_id()``;
+    3. per-partition mins (≤ one row per partition) → exclusive
+       prefix-min offsets via a window over that tiny relation,
+       broadcast back, combined with ``least``.
+
+    ``exclusive=True`` yields the prefix min of STRICTLY PRECEDING
+    rows (NULL for the global first row) — the form a dominance test
+    consumes. MIN is associative and order-insensitive, so the result
+    is exactly the single-partition window's, at any partition count.
+    """
+    n = partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    part = (
+        df.repartitionByRange(n, *order)
+        .localCheckpoint(eager=True)
+        .withColumn(_PID, F.spark_partition_id())
+    )
+    w_local = Window.partitionBy(_PID).orderBy(*order)
+    frame = (
+        w_local.rowsBetween(Window.unboundedPreceding, -1)
+        if exclusive
+        else w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = part.withColumn("__pf_local_min", F.min(value).over(frame))
+
+    totals = local.groupBy(_PID).agg(F.min(value).alias("__pf_part_min"))
+    w_excl = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        F.col(_PID),
+        F.min("__pf_part_min").over(w_excl).alias("__pf_off_min"),
+    )
+    out = local.join(F.broadcast(offsets), _PID).withColumn(
+        out_col,
+        F.when(
+            F.col("__pf_local_min").isNull(), F.col("__pf_off_min")
+        ).otherwise(
+            F.when(
+                F.col("__pf_off_min").isNull(), F.col("__pf_local_min")
+            ).otherwise(F.least("__pf_local_min", "__pf_off_min"))
+        ),
+    )
+    return out.drop(_PID, "__pf_local_min", "__pf_off_min")

@@ -1746,3 +1746,82 @@ def e18_grid_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# E19 — skyline (Pareto frontier) of customers
+#
+# The classic multi-criteria operator (Börzsönyi et al., ICDE 2001):
+# customers not dominated on (lifetime spend ↑, recency days ↓) — the
+# "best on some tradeoff" set a retention team actually contacts. The
+# sort-based 2-D algorithm: order by (spend DESC, recency ASC,
+# custkey), keep a row iff its recency is STRICTLY below the minimum
+# recency of every preceding row — every predecessor has ≥ spend, so
+# any one with ≤ recency dominates. The running min over the
+# customer-grain total order comes from operators/prefix.py's new
+# prefix_fold_min (two-phase, no single-partition window); the oracle
+# states the same exclusive-window rule directly. Spend stays exact
+# DECIMAL end-to-end; the keep rule compares exact integers.
+# ---------------------------------------------------------------------------
+
+_E19_ASOF = "2001-08-15"
+
+
+@register(
+    "e19_skyline_customers",
+    oracle=f"""
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+           AS spend,
+         date_diff('day', MAX(o_orderdate), DATE '{_E19_ASOF}') AS recency
+  FROM orders GROUP BY o_custkey
+), staged AS (
+  SELECT o_custkey, spend, recency,
+         MIN(recency) OVER (ORDER BY spend DESC, recency ASC, o_custkey ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS prev_min
+  FROM cust
+)
+SELECT o_custkey AS custkey,
+       CAST(spend AS DOUBLE) AS spend,
+       CAST(recency AS BIGINT) AS recency_days
+FROM staged
+WHERE prev_min IS NULL OR recency < prev_min
+ORDER BY spend DESC, custkey
+""",
+    doc="Skyline / Pareto frontier on (spend ↑, recency ↓): sort-"
+    "based 2-D algorithm — keep a customer iff strictly fresher than "
+    "every higher-spender — with the running min from the "
+    "distributed prefix-min fold (no single-partition window); "
+    "exact-decimal spend, integer recency.",
+)
+def e19_skyline_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calaveras_uniteus_etl_spark.operators.prefix import prefix_fold_min
+
+    o = table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(X.dec("o_totalprice")).cast("decimal(38,2)").alias("spend"),
+        F.datediff(
+            F.lit(_E19_ASOF).cast("date"), F.max("o_orderdate")
+        ).alias("recency"),
+    )
+    staged = prefix_fold_min(
+        cust,
+        [F.desc("spend"), F.asc("recency"), F.asc("o_custkey")],
+        "recency",
+        out_col="prev_min",
+        exclusive=True,
+    )
+    return (
+        staged.filter(
+            F.col("prev_min").isNull()
+            | (F.col("recency") < F.col("prev_min"))
+        )
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("spend").cast("double").alias("spend"),
+            F.col("recency").cast("bigint").alias("recency_days"),
+        )
+        .orderBy(F.desc("spend"), F.asc("custkey"))
+    )

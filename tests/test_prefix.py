@@ -295,3 +295,73 @@ def test_two_phase_bottom_k_property(spark, rows, parts, k):
         for i, v in enumerate(sorted(vs)[:k])
     }
     assert got == want
+
+
+def test_prefix_fold_min_matches_global_window(spark):
+    """prefix_fold_min (two-phase) must equal the single-partition
+    exclusive running min at every row, at an adversarial partition
+    count."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from calaveras_uniteus_etl_spark.operators.prefix import prefix_fold_min
+
+    df = spark.range(0, 997).selectExpr(
+        "id", "cast((id * 7919) % 499 as long) AS v"
+    )
+    got = {
+        r["id"]: r["pm"]
+        for r in prefix_fold_min(
+            df, [F.asc("id")], "v", out_col="pm", exclusive=True, partitions=13
+        ).collect()
+    }
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r["id"]: r["pm"]
+        for r in df.withColumn("pm", F.min("v").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_e19_skyline_matches_naive_dominance(spark):
+    """The staircase rule must return exactly the rows no other row
+    dominates under (spend >=, recency <=, one strict) with the
+    documented equal-pair tiebreak (earlier custkey wins)."""
+    import duckdb
+
+    from calaveras_uniteus_etl_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf}/orders.parquet')"
+    )
+    custs = con.execute(
+        """
+        SELECT o_custkey,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                         AS DECIMAL(38,2)) AS DOUBLE),
+               date_diff('day', MAX(o_orderdate), DATE '2001-08-15')
+        FROM orders GROUP BY 1
+        """
+    ).fetchall()
+    con.close()
+
+    def dominated(p):
+        ck, sp, rec = p
+        for ck2, sp2, rec2 in custs:
+            if ck2 == ck:
+                continue
+            if sp2 >= sp and rec2 <= rec and (sp2 > sp or rec2 < rec):
+                return True
+            # documented tiebreak: identical pair keeps the lower key
+            if sp2 == sp and rec2 == rec and ck2 < ck:
+                return True
+        return False
+
+    want = sorted(ck for ck, *_ in custs if not dominated((ck, *_)))
+    got = sorted(
+        r["custkey"]
+        for r in REGISTRY["e19_skyline_customers"].fn(spark, sf).collect()
+    )
+    assert got == want
