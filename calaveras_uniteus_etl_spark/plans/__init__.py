@@ -202,6 +202,7 @@ _NEW_THIS_ROUND: list[str] = [
     "x97_hashed_bow_source_sim",
     "f51_changepoint",
     "e19_skyline_customers",
+    "x98_cdc_chunking",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 (union = 129) sit in

@@ -2601,3 +2601,141 @@ def x94_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).crossJoin(F.broadcast(n_cov))  # 1-row scalar
         out = row if out is None else out.unionByName(row)
     return out.orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# X98 — content-defined chunking (CDC boundaries, the dedup-stable cut)
+#
+# x27/x44 chunk by FIXED windows, which shatter on a one-character
+# insertion; storage dedup cuts where the CONTENT says so: a boundary
+# after every position whose trailing 8-char window hashes to
+# 0 mod 64 (expected chunk ≈ 64 chars), so an edit only disturbs the
+# chunks it touches. Per position the window digest is the shared
+# md5 fold (engine-neutral); the chunk index is a per-document
+# cumulative boundary count (document-partitioned window); chunk
+# identity is the md5 of the chunk substring. The census compares
+# chunk mass against distinct chunk mass — the dedup leverage CDC
+# exists to create.
+#
+# Scale: the position explode carries (doc_id, pos) + an 8-char
+# window; all windows/aggregations partition by doc_id except the
+# final corpus census.
+# ---------------------------------------------------------------------------
+
+_X98_WIN = 8
+_X98_MOD = 64  # expected chunk length
+
+
+def _dd_fold_norm() -> str:
+    return dd.NORM_DUCK.format(col="text")
+
+
+@register(
+    "x98_cdc_chunking",
+    oracle=f"""
+WITH norm AS (
+  SELECT doc_id, {_dd_fold_norm()} AS t FROM documents
+  WHERE length({_dd_fold_norm()}) >= {_X98_WIN}
+), pos AS (
+  SELECT doc_id, t, unnest(range({_X98_WIN}, length(t) + 1)) AS p
+  FROM norm
+), marked AS (
+  SELECT doc_id, t, p,
+         CASE WHEN {_dd_fold("'cdc:' || substr(t, p - " + str(_X98_WIN - 1) + ", " + str(_X98_WIN) + ")")}
+                   % {_X98_MOD} = 0
+              THEN 1 ELSE 0 END AS is_boundary
+  FROM pos
+), cut AS (
+  SELECT doc_id, t, p, is_boundary,
+         CAST(SUM(is_boundary) OVER (PARTITION BY doc_id ORDER BY p
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS BIGINT) AS chunk_idx
+  FROM marked
+), chunks AS (
+  SELECT doc_id, COALESCE(chunk_idx, 0) AS chunk_idx,
+         md5(substr(MIN(t), MIN(p) - {_X98_WIN - 1},
+                    MAX(p) - MIN(p) + {_X98_WIN})) AS chunk_hash,
+         MAX(p) - MIN(p) + {_X98_WIN} AS chunk_len
+  FROM cut
+  GROUP BY doc_id, COALESCE(chunk_idx, 0)
+)
+SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       ROUND(CAST(SUM(chunk_len) AS DOUBLE) / COUNT(*), 6)
+         AS mean_chunk_len,
+       CAST(COUNT(DISTINCT chunk_hash) AS BIGINT) AS distinct_chunks,
+       ROUND(1.0 - CAST(COUNT(DISTINCT chunk_hash) AS DOUBLE) / COUNT(*), 6)
+         AS dup_chunk_fraction
+FROM chunks
+""",
+    doc="Content-defined chunking: boundary after every position whose "
+    "trailing 8-char window md5-folds to 0 mod 64 (expected 64-char "
+    "chunks, edit-stable cuts), per-doc cumulative boundary index, "
+    "chunk identity by substring md5; corpus census of chunk mass vs "
+    "distinct mass — the dedup leverage fixed windows (x27/x44) "
+    "cannot give.",
+)
+def x98_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calaveras_uniteus_etl_spark.functions.hashing import md5_long
+
+    norm_expr = dd.NORM_SPARK.format(col="text")
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(norm_expr).alias("t"))
+        .filter(F.length("t") >= _X98_WIN)
+    )
+    pos = d.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(_X98_WIN), F.length("t"))
+        ).alias("p"),
+    )
+    window = F.expr(f"substr(t, p - {_X98_WIN - 1}, {_X98_WIN})")
+    marked = pos.select(
+        "doc_id",
+        "t",
+        "p",
+        F.when(
+            md5_long(F.concat(F.lit("cdc:"), window)) % _X98_MOD == 0, 1
+        )
+        .otherwise(0)
+        .alias("is_boundary"),
+    )
+    w = (
+        WindowSpec.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(WindowSpec.unboundedPreceding, -1)
+    )
+    cut = marked.select(
+        "doc_id",
+        "t",
+        "p",
+        F.coalesce(F.sum("is_boundary").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("chunk_idx"),
+    )
+    chunks = cut.groupBy("doc_id", "chunk_idx").agg(
+        F.md5(
+            F.expr(
+                f"substr(min(t), min(p) - {_X98_WIN - 1},"
+                f" max(p) - min(p) + {_X98_WIN})"
+            )
+        ).alias("chunk_hash"),
+        (F.max("p") - F.min("p") + _X98_WIN).alias("chunk_len"),
+    )
+    return chunks.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.round(
+            F.sum("chunk_len").cast("double") / F.count("*"), 6
+        ).alias("mean_chunk_len"),
+        F.countDistinct("chunk_hash").cast("bigint").alias(
+            "distinct_chunks"
+        ),
+        F.round(
+            F.lit(1.0)
+            - F.countDistinct("chunk_hash").cast("double") / F.count("*"),
+            6,
+        ).alias("dup_chunk_fraction"),
+    )

@@ -445,3 +445,54 @@ def test_x97_matches_python_model(spark):
         assert got[key][0] == shared
         assert got[key][1] == pytest.approx(cos, abs=1e-6)
         assert 0.0 <= got[key][1] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# x98 — content-defined chunking
+# ---------------------------------------------------------------------------
+
+
+def test_x98_matches_python_model(spark):
+    import re
+
+    docs = _duck("SELECT doc_id, text FROM documents")
+    n_docs = n_chunks = total_len = 0
+    hashes = set()
+    for doc_id, text in docs:
+        t = re.sub(r"\s+", " ", text.strip()).lower()
+        if len(t) < 8:
+            continue
+        n_docs += 1
+        # boundaries AFTER position p (1-based) where window hash folds to 0
+        bounds = [
+            p
+            for p in range(8, len(t) + 1)
+            if _md5_long(f"cdc:{t[p - 8:p]}") % 64 == 0
+        ]
+        starts = [8] + [p + 1 for p in bounds if p + 1 <= len(t)]
+        # chunk k spans positions [start_k, next_bound]; reconstruct via
+        # the same min/max-position arithmetic as the query
+        chunk_positions = {}
+        cum = 0
+        bset = set(bounds)
+        for p in range(8, len(t) + 1):
+            chunk_positions.setdefault(cum, []).append(p)
+            if p in bset:
+                cum += 1
+        for _idx, ps in chunk_positions.items():
+            lo, hi = min(ps), max(ps)
+            chunk = t[lo - 8 : hi]
+            n_chunks += 1
+            total_len += hi - lo + 8
+            hashes.add(hashlib.md5(chunk.encode()).hexdigest())
+    (row,) = _rows(spark, "x98_cdc_chunking")
+    assert row["n_docs"] == n_docs
+    assert row["n_chunks"] == n_chunks
+    assert row["mean_chunk_len"] == pytest.approx(total_len / n_chunks, abs=1e-6)
+    assert row["distinct_chunks"] == len(hashes)
+    assert row["dup_chunk_fraction"] == pytest.approx(
+        1 - len(hashes) / n_chunks, abs=1e-6
+    )
+    # CDC exists to expose duplication — some chunk mass must repeat
+    # even at the smallest fixture
+    assert row["dup_chunk_fraction"] > 0.0
