@@ -203,6 +203,7 @@ _NEW_THIS_ROUND: list[str] = [
     "f51_changepoint",
     "e19_skyline_customers",
     "x98_cdc_chunking",
+    "m10_freshness_audit",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 (union = 129) sit in

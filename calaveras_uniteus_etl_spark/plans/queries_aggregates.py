@@ -4947,3 +4947,82 @@ def f51_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_after",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M10 — freshness SLA audit (staleness per table, one union scan set)
+#
+# The first page of every ops dashboard: how stale is each table
+# against its SLA? Max event time per table vs an injected as-of
+# constant (never now() — the determinism contract), lag in hours,
+# verdict against a per-table SLA. min/max aggregates push to
+# parquet footer statistics, so at 100 TB this reads metadata, not
+# data.
+# ---------------------------------------------------------------------------
+
+_M10_ASOF_WH = "2001-08-03 00:00:00"  # warehouse clock
+_M10_ASOF_EV = "2024-01-31 12:00:00"  # event-stream clock
+_M10_SLA_H = {"orders": 72, "lineitem": 72, "events": 1}
+
+
+@register(
+    "m10_freshness_audit",
+    oracle=f"""
+WITH checks AS (
+  SELECT 'orders' AS tbl,
+         CAST((epoch_us(TIMESTAMP '{_M10_ASOF_WH}')
+               - MAX(epoch_us(o_orderdate))) // 1000000 AS BIGINT) AS lag_s,
+         72 AS sla_h
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem',
+         CAST((epoch_us(TIMESTAMP '{_M10_ASOF_WH}')
+               - MAX(epoch_us(l_shipdate))) // 1000000 AS BIGINT), 72
+  FROM lineitem
+  UNION ALL
+  SELECT 'events',
+         CAST((epoch_us(TIMESTAMP '{_M10_ASOF_EV}')
+               - MAX(epoch_us(ts))) // 1000000 AS BIGINT), 1
+  FROM events
+)
+SELECT tbl, lag_s,
+       ROUND(CAST(lag_s AS DOUBLE) / 3600, 4) AS lag_hours,
+       sla_h,
+       CASE WHEN lag_s <= sla_h * 3600 THEN 1 ELSE 0 END AS within_sla
+FROM checks ORDER BY tbl
+""",
+    doc="Freshness SLA audit: per-table max timestamp vs injected "
+    "as-of clocks (no now()), staleness in seconds/hours, SLA "
+    "verdict; max() pushes to parquet footer stats, so the audit "
+    "reads metadata, not data.",
+)
+def m10_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calaveras_uniteus_etl_spark.functions.datetime_ext import epoch_us
+
+    wh_asof = F.lit(_M10_ASOF_WH).cast("timestamp_ntz")
+    ev_asof = F.lit(_M10_ASOF_EV).cast("timestamp_ntz")
+
+    def check(tbl, ts_col, asof, sla_h):
+        t = table(spark, sf_dir, tbl)
+        return t.agg(
+            F.lit(tbl).alias("tbl"),
+            ((epoch_us(asof) - F.max(epoch_us(ts_col))) / 1_000_000)
+            .cast("bigint")
+            .alias("lag_s"),
+            F.lit(sla_h).alias("sla_h"),
+        )
+
+    checks = (
+        check("orders", "o_orderdate", wh_asof, 72)
+        .unionByName(check("lineitem", "l_shipdate", wh_asof, 72))
+        .unionByName(check("events", "ts", ev_asof, 1))
+    )
+    return checks.select(
+        "tbl",
+        "lag_s",
+        F.round(F.col("lag_s").cast("double") / 3600, 4).alias("lag_hours"),
+        "sla_h",
+        F.when(F.col("lag_s") <= F.col("sla_h") * 3600, 1)
+        .otherwise(0)
+        .alias("within_sla"),
+    ).orderBy("tbl")
