@@ -340,3 +340,109 @@ def test_sqlite_week_matches_duckdb_every_day_1996_2026(spark):
     assert len(got) == len(want) == 11323
     mismatches = {d: (got[d], want[d]) for d in want if got[d] != want[d]}
     assert not mismatches, dict(list(mismatches.items())[:5])
+
+
+# ---------------------------------------------------------------------------
+# q-gram count-filter losslessness (x86's candidate bound)
+# ---------------------------------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _tagged_bigrams(s: str):
+    from collections import Counter
+
+    seen = Counter()
+    out = set()
+    for i in range(len(s) - 1):
+        g = s[i : i + 2]
+        seen[g] += 1
+        out.add((g, seen[g]))
+    return out
+
+
+@settings(**_SETTINGS)
+@given(
+    a=st.text(alphabet="abcdef ", min_size=6, max_size=14),
+    b=st.text(alphabet="abcdef ", min_size=6, max_size=14),
+)
+def test_count_filter_bound_never_drops_a_true_pair(a, b):
+    """The theorem x86 relies on (Gravano 2001): if ed(a,b) ≤ 2, the
+    occurrence-tagged bigram overlap is ≥ max(|a|,|b|) − 1 − 2·2.
+    Hypothesis probes random strings, including heavy-repeat ones
+    where multiset semantics matter."""
+    if _lev(a, b) > 2:
+        return
+    shared = len(_tagged_bigrams(a) & _tagged_bigrams(b))
+    bound = max(len(a), len(b)) - 1 - 4
+    assert shared >= bound
+
+
+# ---------------------------------------------------------------------------
+# NTILE formula equivalence (g8/g17/g19's tile arithmetic)
+# ---------------------------------------------------------------------------
+
+
+@settings(**_SETTINGS)
+@given(
+    total=st.integers(min_value=1, max_value=200),
+    n=st.integers(min_value=1, max_value=12),
+)
+def test_ntile_formula_matches_sql_semantics(total, n):
+    """ntile_from_rank must reproduce SQL NTILE exactly: first
+    (total mod n) tiles one row larger, sizes differ by ≤ 1, tiles
+    monotone in rank."""
+    q, r = divmod(total, n)
+
+    def sql_ntile(rank):
+        # reference semantics: distribute remainder to leading tiles
+        threshold = r * (q + 1)
+        if rank <= threshold:
+            return (rank - 1) // (q + 1) + 1
+        return r + (rank - threshold - 1) // q + 1
+
+    tiles = [sql_ntile(k) for k in range(1, total + 1)]
+    assert tiles == sorted(tiles)
+    from collections import Counter
+
+    sizes = Counter(tiles)
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    if total >= n:
+        assert set(sizes) == set(range(1, n + 1))
+
+
+@settings(**_SETTINGS)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=60
+    ),
+    parts=st.integers(min_value=1, max_value=7),
+)
+def test_prefix_fold_min_property(spark, vals, parts):
+    """Two-phase prefix-min == naive running min for arbitrary data
+    and partition counts (inclusive frame)."""
+    from calaveras_uniteus_etl_spark.operators.prefix import prefix_fold_min
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    )
+    got = {
+        r["id"]: r["m"]
+        for r in prefix_fold_min(
+            df, [F.asc("id")], "v", out_col="m", partitions=parts
+        ).collect()
+    }
+    run = None
+    for i, v in enumerate(vals):
+        run = v if run is None else min(run, v)
+        assert got[i] == run
