@@ -204,6 +204,8 @@ _NEW_THIS_ROUND: list[str] = [
     "e19_skyline_customers",
     "x98_cdc_chunking",
     "m10_freshness_audit",
+    "d12_topk_plus_others",
+    "x99_corpus_fingerprint",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 (union = 129) sit in

@@ -2739,3 +2739,77 @@ def x98_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_chunk_fraction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X99 — order-free corpus fingerprint (Merkle-style integrity check)
+#
+# Reproducibility's cheapest tool: a checksum that two environments
+# can compare WITHOUT moving data. Per-doc identity is the shared
+# md5 fold of id + content; a source subtree hash is the SUM of its
+# doc digests mod 2³¹−1 (addition commutes — partition order can't
+# change it — and the small Mersenne modulus keeps even a billion-
+# digest sum inside BIGINT), and the
+# corpus root folds the source hashes the same way. Any single-byte
+# change in any document flips its digest and therefore every hash
+# up the tree. One scan, two tiny aggregates.
+# ---------------------------------------------------------------------------
+
+_X99_MOD = (1 << 31) - 1  # Mersenne prime: 1e9 digests still sum inside BIGINT
+
+
+def _x99_fold(expr: str) -> str:
+    return _dd_fold(expr)
+
+
+@register(
+    "x99_corpus_fingerprint",
+    oracle=f"""
+WITH digests AS (
+  SELECT source,
+         {_x99_fold("CAST(doc_id AS VARCHAR) || '|' || text")}
+           % {_X99_MOD} AS dg
+  FROM documents
+), subtree AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dg) % {_X99_MOD} AS BIGINT) AS source_hash
+  FROM digests GROUP BY source
+)
+SELECT source, n_docs, source_hash,
+       CAST((SELECT SUM(source_hash) % {_X99_MOD} FROM subtree) AS BIGINT)
+         AS corpus_hash
+FROM subtree
+ORDER BY source
+""",
+    doc="Order-free corpus fingerprint: per-doc md5 fold of id+content, "
+    "source subtree hash = sum of digests mod 2³¹−1 (commutative — "
+    "partition-order-proof), corpus root folds the subtrees — the "
+    "cross-environment integrity check behind x50's manifest.",
+)
+def x99_corpus_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calaveras_uniteus_etl_spark.functions.hashing import md5_long
+
+    d = table(spark, sf_dir, "documents")
+    digests = d.select(
+        "source",
+        (
+            md5_long(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit("|"), F.col("text")
+                )
+            )
+            % _X99_MOD
+        ).alias("dg"),
+    )
+    subtree = digests.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.sum("dg") % _X99_MOD).cast("bigint").alias("source_hash"),
+    )
+    root = subtree.agg(
+        (F.sum("source_hash") % _X99_MOD).cast("bigint").alias("corpus_hash")
+    )
+    return (
+        subtree.crossJoin(F.broadcast(root))  # 1-row scalar
+        .select("source", "n_docs", "source_hash", "corpus_hash")
+        .orderBy("source")
+    )

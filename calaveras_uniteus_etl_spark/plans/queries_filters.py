@@ -648,3 +648,84 @@ def j4_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("argmax_pos"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# D12 — top-k + "Others" rollup (the pie-chart serving shape)
+#
+# Every share chart wants "top 3 slices + Others": per market
+# segment, the three highest-revenue nations keep their names and
+# everything else folds into one Others row whose value is the exact
+# remainder. Ranks come from a window PARTITIONED by segment
+# (parallel at any scale); the fold is a conditional relabel + one
+# more exact-decimal aggregate — revenue is conserved by construction
+# and the model test asserts it.
+# ---------------------------------------------------------------------------
+
+_D12_K = 3
+
+
+@register(
+    "d12_topk_plus_others",
+    oracle=f"""
+WITH joined AS (
+  SELECT c.c_mktsegment AS segment, n.n_name AS nation,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+           AS revenue
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT segment, nation, revenue,
+         ROW_NUMBER() OVER (PARTITION BY segment
+                            ORDER BY revenue DESC, nation ASC) AS rnk
+  FROM joined
+)
+SELECT segment,
+       CASE WHEN rnk <= {_D12_K} THEN nation ELSE 'Others' END AS slice,
+       CAST(CAST(SUM(revenue) AS DECIMAL(38,2)) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_nations
+FROM ranked
+GROUP BY segment, CASE WHEN rnk <= {_D12_K} THEN nation ELSE 'Others' END
+ORDER BY segment, revenue DESC, slice
+""",
+    doc="Top-3-plus-Others rollup per market segment: segment-"
+    "partitioned revenue rank, conditional relabel to 'Others', one "
+    "exact-decimal re-aggregate — the pie-chart serving shape with "
+    "revenue conserved by construction.",
+)
+def d12_topk_plus_others(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    joined = (
+        o.join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("decimal(38,2)")
+            .alias("revenue")
+        )
+    )
+    w = Window.partitionBy("segment").orderBy(
+        F.desc("revenue"), F.asc("nation")
+    )
+    ranked = joined.withColumn("rnk", F.row_number().over(w))
+    slice_col = F.when(
+        F.col("rnk") <= _D12_K, F.col("nation")
+    ).otherwise(F.lit("Others"))
+    return (
+        ranked.groupBy("segment", slice_col.alias("slice"))
+        .agg(
+            F.sum("revenue").cast("decimal(38,2)").cast("double").alias(
+                "revenue"
+            ),
+            F.count("*").cast("bigint").alias("n_nations"),
+        )
+        .orderBy("segment", F.desc("revenue"), "slice")
+    )

@@ -519,3 +519,73 @@ def test_f50_matches_python_model(spark):
         assert r["n_users"] == n
         assert r["mean_burstiness"] == pytest.approx(total / n, abs=1e-6)
         assert -1.0 <= r["mean_burstiness"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# d12 — top-k + Others
+# ---------------------------------------------------------------------------
+
+
+def test_d12_conserves_revenue(spark):
+    """The fold must conserve mass: per-segment slice revenues sum to
+    the segment's total revenue, and nation counts sum to the
+    nation-domain size present in that segment."""
+    from calaveras_uniteus_etl_spark.plans import REGISTRY
+
+    rows = REGISTRY["d12_topk_plus_others"].fn(spark, SF).collect()
+    want = {
+        seg: total
+        for seg, total in _duck(
+            """
+            SELECT c_mktsegment,
+                   CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                             AS DECIMAL(38,2)) AS DOUBLE)
+            FROM orders JOIN customer ON c_custkey = o_custkey
+            GROUP BY 1
+            """
+        )
+    }
+    per_seg = defaultdict(float)
+    named = defaultdict(int)
+    for r in rows:
+        per_seg[r["segment"]] += r["revenue"]
+        if r["slice"] != "Others":
+            named[r["segment"]] += 1
+    assert set(per_seg) == set(want)
+    for seg, total in want.items():
+        assert per_seg[seg] == pytest.approx(total, abs=0.05)
+        assert named[seg] <= 3  # at most K named slices
+
+
+# ---------------------------------------------------------------------------
+# x99 — corpus fingerprint
+# ---------------------------------------------------------------------------
+
+
+def test_x99_matches_python_model_and_detects_change(spark):
+    from calaveras_uniteus_etl_spark.plans import REGISTRY
+
+    docs = _duck("SELECT source, doc_id, text FROM documents")
+    M = (1 << 31) - 1
+    import hashlib as _h
+
+    def dg(doc_id, text):
+        return (
+            int(_h.md5(f"{doc_id}|{text}".encode()).hexdigest()[:15], 16) % M
+        )
+
+    subtree = defaultdict(lambda: [0, 0])
+    for src, doc_id, text in docs:
+        subtree[src][0] += 1
+        subtree[src][1] = (subtree[src][1] + dg(doc_id, text)) % M
+    root = sum(h for _, h in subtree.values()) % M
+    got = {r["source"]: r for r in REGISTRY["x99_corpus_fingerprint"].fn(spark, SF).collect()}
+    assert set(got) == set(subtree)
+    for src, (n, h) in subtree.items():
+        assert got[src]["n_docs"] == n
+        assert got[src]["source_hash"] == h
+        assert got[src]["corpus_hash"] == root
+    # sensitivity: flipping one byte of one doc changes its subtree hash
+    src0, d0, t0 = docs[0]
+    altered = (subtree[src0][1] - dg(d0, t0) + dg(d0, t0 + "x")) % M
+    assert altered != subtree[src0][1]
