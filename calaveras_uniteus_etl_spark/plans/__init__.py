@@ -206,6 +206,7 @@ _NEW_THIS_ROUND: list[str] = [
     "m10_freshness_audit",
     "d12_topk_plus_others",
     "x99_corpus_fingerprint",
+    "f52_seasonal_strength",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 (union = 129) sit in

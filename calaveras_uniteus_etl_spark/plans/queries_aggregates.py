@@ -5026,3 +5026,119 @@ def m10_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("within_sla"),
     ).orderBy("tbl")
+
+
+# ---------------------------------------------------------------------------
+# F52 — seasonal-strength index (STL-lite variance decomposition)
+#
+# f36 SHOWS the day-of-week profile; this scores HOW MUCH of the
+# variance it explains — Hyndman's seasonal-strength F_s = max(0,
+# 1 − Var(remainder)/Var(detrended)): trend = centered 7-day mean
+# (same ROWS frame semantics both engines, partial at the edges),
+# detrended = y − trend, seasonal = day-of-week mean of detrended
+# (dow = day-ordinal mod 7, engine-neutral integer — never the
+# engines' differing dayofweek() conventions), remainder = detrended
+# − seasonal. Every squared term quantizes once to 12dp DECIMAL; the
+# variance ratio divides identical doubles. Day-grain windows only.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f52_seasonal_strength",
+    oracle="""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1995-01-01', o_orderdate) AS d,
+         CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                         AS DECIMAL(38,2)), 0) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+), trended AS (
+  SELECT d, y,
+         CAST(y AS DOUBLE)
+           - AVG(CAST(y AS DOUBLE)) OVER (ORDER BY d
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS det
+  FROM daily
+), seasonal AS (
+  SELECT d % 7 AS dow, AVG(det) AS s FROM trended GROUP BY d % 7
+), scored AS (
+  SELECT t.det, t.det - s.s AS rem
+  FROM trended t JOIN seasonal s ON s.dow = t.d % 7
+), moments AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(det, 12) AS DECIMAL(38,12))) AS DOUBLE)
+           AS sd,
+         CAST(SUM(CAST(ROUND(det * det, 12) AS DECIMAL(38,12))) AS DOUBLE)
+           AS sdd,
+         CAST(SUM(CAST(ROUND(rem, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sr,
+         CAST(SUM(CAST(ROUND(rem * rem, 12) AS DECIMAL(38,12))) AS DOUBLE)
+           AS srr
+  FROM scored
+)
+SELECT n AS n_days,
+       ROUND(sdd / n - (sd / n) * (sd / n), 6) AS var_detrended,
+       ROUND(srr / n - (sr / n) * (sr / n), 6) AS var_remainder,
+       ROUND(GREATEST(0.0,
+             1.0 - (srr / n - (sr / n) * (sr / n))
+                   / (sdd / n - (sd / n) * (sd / n))), 6)
+         AS seasonal_strength
+FROM moments
+""",
+    doc="Seasonal-strength index (Hyndman F_s): centered 7-day trend, "
+    "dow = day-ordinal mod 7 seasonal means (engine-neutral, never "
+    "dayofweek()), F_s = max(0, 1 − Var(remainder)/Var(detrended)) "
+    "with 12dp-quantized moments — scores how much variance f36's "
+    "profile explains.",
+)
+def f52_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("date")
+        ).alias("d")
+    ).agg(
+        F.round(
+            F.sum(X.dec("o_totalprice")).cast("decimal(38,2)"), 0
+        )
+        .cast("bigint")
+        .alias("y")
+    )
+    # day-grain window: calendar-bounded, safe by construction
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    trended = daily.select(
+        "d",
+        (
+            F.col("y").cast("double")
+            - F.avg(F.col("y").cast("double")).over(w)
+        ).alias("det"),
+    )
+    seasonal = trended.groupBy((F.col("d") % 7).alias("dow")).agg(
+        F.avg("det").alias("s")
+    )
+    scored = trended.join(
+        F.broadcast(seasonal), (F.col("d") % 7) == F.col("dow")
+    ).select("det", (F.col("det") - F.col("s")).alias("rem"))
+
+    def qsum(term, alias):
+        return (
+            F.sum(F.round(term, 12).cast("decimal(38,12)"))
+            .cast("double")
+            .alias(alias)
+        )
+
+    m = scored.agg(
+        F.count("*").cast("bigint").alias("n"),
+        qsum(F.col("det"), "sd"),
+        qsum(F.col("det") * F.col("det"), "sdd"),
+        qsum(F.col("rem"), "sr"),
+        qsum(F.col("rem") * F.col("rem"), "srr"),
+    )
+    nd = F.col("n").cast("double")
+    var_d = F.col("sdd") / nd - (F.col("sd") / nd) * (F.col("sd") / nd)
+    var_r = F.col("srr") / nd - (F.col("sr") / nd) * (F.col("sr") / nd)
+    return m.select(
+        F.col("n").alias("n_days"),
+        F.round(var_d, 6).alias("var_detrended"),
+        F.round(var_r, 6).alias("var_remainder"),
+        F.round(F.greatest(F.lit(0.0), F.lit(1.0) - var_r / var_d), 6).alias(
+            "seasonal_strength"
+        ),
+    )

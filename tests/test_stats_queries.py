@@ -455,3 +455,41 @@ def test_f51_changepoint_matches_python_model(spark):
     assert row["mean_after"] == pytest.approx(
         sum(after) / len(after), abs=1e-3
     )
+
+
+def test_f52_seasonal_strength_matches_python_model(spark):
+    rows = _duck(
+        """
+        SELECT date_diff('day', DATE '1995-01-01', o_orderdate),
+               CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                               AS DECIMAL(38,2)), 0) AS BIGINT)
+        FROM orders GROUP BY 1
+        """
+    )
+    pts = sorted(rows)
+    n = len(pts)
+    det = []
+    for i, (d, y) in enumerate(pts):
+        lo, hi = max(0, i - 3), min(n, i + 4)
+        trend = sum(v for _, v in pts[lo:hi]) / (hi - lo)
+        det.append((d, y - trend))
+    dow_mean = {}
+    for dow in range(7):
+        vals = [v for d, v in det if d % 7 == dow]
+        dow_mean[dow] = sum(vals) / len(vals)
+    rem = [v - dow_mean[d % 7] for d, v in det]
+    dvals = [v for _, v in det]
+
+    def var(xs):
+        m = sum(xs) / len(xs)
+        return sum(x * x for x in xs) / len(xs) - m * m
+
+    fs = max(0.0, 1.0 - var(rem) / var(dvals))
+    (row,) = _rows(spark, "f52_seasonal_strength")
+    assert row["n_days"] == n
+    assert row["var_detrended"] == pytest.approx(var(dvals), rel=1e-6)
+    assert row["var_remainder"] == pytest.approx(var(rem), rel=1e-6)
+    assert row["seasonal_strength"] == pytest.approx(fs, abs=1e-5)
+    assert 0.0 <= row["seasonal_strength"] <= 1.0
+    # removing the seasonal component can only shrink variance
+    assert row["var_remainder"] <= row["var_detrended"] + 1e-9
