@@ -5064,18 +5064,18 @@ WITH daily AS (
   FROM trended t JOIN seasonal s ON s.dow = t.d % 7
 ), moments AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(CAST(ROUND(det, 12) AS DECIMAL(38,12))) AS DOUBLE)
+         CAST(SUM(CAST(ROUND(det, 3) AS DECIMAL(38,3))) AS DOUBLE)
            AS sd,
-         CAST(SUM(CAST(ROUND(det * det, 12) AS DECIMAL(38,12))) AS DOUBLE)
+         CAST(SUM(CAST(ROUND(det * det, 0) AS DECIMAL(38,0))) AS DOUBLE)
            AS sdd,
-         CAST(SUM(CAST(ROUND(rem, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sr,
-         CAST(SUM(CAST(ROUND(rem * rem, 12) AS DECIMAL(38,12))) AS DOUBLE)
+         CAST(SUM(CAST(ROUND(rem, 3) AS DECIMAL(38,3))) AS DOUBLE) AS sr,
+         CAST(SUM(CAST(ROUND(rem * rem, 0) AS DECIMAL(38,0))) AS DOUBLE)
            AS srr
   FROM scored
 )
 SELECT n AS n_days,
-       ROUND(sdd / n - (sd / n) * (sd / n), 6) AS var_detrended,
-       ROUND(srr / n - (sr / n) * (sr / n), 6) AS var_remainder,
+       sdd / n - (sd / n) * (sd / n) AS var_detrended,
+       srr / n - (sr / n) * (sr / n) AS var_remainder,
        ROUND(GREATEST(0.0,
              1.0 - (srr / n - (sr / n) * (sr / n))
                    / (sdd / n - (sd / n) * (sd / n))), 6)
@@ -5085,7 +5085,7 @@ FROM moments
     doc="Seasonal-strength index (Hyndman F_s): centered 7-day trend, "
     "dow = day-ordinal mod 7 seasonal means (engine-neutral, never "
     "dayofweek()), F_s = max(0, 1 − Var(remainder)/Var(detrended)) "
-    "with 12dp-quantized moments — scores how much variance f36's "
+    "with 2^53-safe quantized moments — scores how much variance f36's "
     "profile explains.",
 )
 def f52_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5117,27 +5117,34 @@ def f52_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(seasonal), (F.col("d") % 7) == F.col("dow")
     ).select("det", (F.col("det") - F.col("s")).alias("rem"))
 
-    def qsum(term, alias):
-        return (
-            F.sum(F.round(term, 12).cast("decimal(38,12)"))
-            .cast("double")
-            .alias(alias)
-        )
-
+    # quantization scales keep every decimal's UNSCALED value < 2^53,
+    # so the decimal->double cast is exact in both engines (a 12dp
+    # scale on 1e12-magnitude squared sums was 1 ulp off at sf0.1)
     m = scored.agg(
         F.count("*").cast("bigint").alias("n"),
-        qsum(F.col("det"), "sd"),
-        qsum(F.col("det") * F.col("det"), "sdd"),
-        qsum(F.col("rem"), "sr"),
-        qsum(F.col("rem") * F.col("rem"), "srr"),
+        F.sum(F.round(F.col("det"), 3).cast("decimal(38,3)"))
+        .cast("double")
+        .alias("sd"),
+        F.sum(F.round(F.col("det") * F.col("det"), 0).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sdd"),
+        F.sum(F.round(F.col("rem"), 3).cast("decimal(38,3)"))
+        .cast("double")
+        .alias("sr"),
+        F.sum(F.round(F.col("rem") * F.col("rem"), 0).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("srr"),
     )
     nd = F.col("n").cast("double")
     var_d = F.col("sdd") / nd - (F.col("sd") / nd) * (F.col("sd") / nd)
     var_r = F.col("srr") / nd - (F.col("sr") / nd) * (F.col("sr") / nd)
     return m.select(
         F.col("n").alias("n_days"),
-        F.round(var_d, 6).alias("var_detrended"),
-        F.round(var_r, 6).alias("var_remainder"),
+        # no display rounding: at 1e12 magnitude a 3dp round is
+        # sub-ulp and implementation-divergent; the raw doubles are
+        # bit-identical by construction
+        var_d.alias("var_detrended"),
+        var_r.alias("var_remainder"),
         F.round(F.greatest(F.lit(0.0), F.lit(1.0) - var_r / var_d), 6).alias(
             "seasonal_strength"
         ),
