@@ -207,6 +207,7 @@ _NEW_THIS_ROUND: list[str] = [
     "d12_topk_plus_others",
     "x99_corpus_fingerprint",
     "f52_seasonal_strength",
+    "f53_grouped_elasticity",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 (union = 129) sit in

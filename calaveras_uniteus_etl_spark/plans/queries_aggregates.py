@@ -5149,3 +5149,95 @@ def f52_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seasonal_strength"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# F53 — grouped log-log regression (price elasticity per part type)
+#
+# f26 fits ONE model; a warehouse fits thousands in one pass — here
+# elasticity (d ln qty / d ln price) per part type, the grouped-OLS
+# shape where every group's moments accumulate in the same hash
+# aggregate. Unit price and quantity are positive, their logs
+# quantize once to integer 1e-4 nats (products bounded well inside
+# int64 per group), and each group's slope/intercept/r² divide
+# identical BIGINT-derived doubles. One join to the part dimension
+# (broadcast), one grouped aggregate — no per-group jobs.
+# ---------------------------------------------------------------------------
+
+_F53_LNQ = 10_000
+
+
+@register(
+    "f53_grouped_elasticity",
+    oracle=f"""
+WITH obs AS (
+  SELECT p.p_type AS ptype,
+         CAST(ROUND(LN(CAST(l.l_extendedprice AS DOUBLE) / l.l_quantity)
+                    * {_F53_LNQ}) AS BIGINT) AS lx,
+         CAST(ROUND(LN(CAST(l.l_quantity AS DOUBLE)) * {_F53_LNQ})
+              AS BIGINT) AS ly
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
+), s AS (
+  SELECT ptype, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(lx) AS BIGINT) AS sx, CAST(SUM(ly) AS BIGINT) AS sy,
+         CAST(SUM(lx * ly) AS BIGINT) AS sxy,
+         CAST(SUM(lx * lx) AS BIGINT) AS sxx,
+         CAST(SUM(ly * ly) AS BIGINT) AS syy
+  FROM obs GROUP BY ptype
+)
+SELECT ptype, n,
+       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+         AS elasticity,
+       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+         AS r2
+FROM s ORDER BY ptype
+""",
+    doc="Grouped log-log OLS: price elasticity of demand per part "
+    "type — logs quantized to integer 1e-4 nats, per-group BIGINT "
+    "moments in ONE hash aggregate (thousands of models in one "
+    "pass), slope and r² dividing identical integer-derived "
+    "doubles; the grouped sibling of f26.",
+)
+def f53_grouped_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    obs = l.join(F.broadcast(p), p.p_partkey == l.l_partkey).select(
+        F.col("p_type").alias("ptype"),
+        F.round(
+            F.log(
+                F.col("l_extendedprice").cast("double")
+                / F.col("l_quantity")
+            )
+            * _F53_LNQ
+        )
+        .cast("bigint")
+        .alias("lx"),
+        F.round(F.log(F.col("l_quantity").cast("double")) * _F53_LNQ)
+        .cast("bigint")
+        .alias("ly"),
+    )
+    s = obs.groupBy("ptype").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("lx").cast("bigint").alias("sx"),
+        F.sum("ly").cast("bigint").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).cast("bigint").alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("ly") * F.col("ly")).cast("bigint").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den_x = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    den_y = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    return s.select(
+        "ptype",
+        "n",
+        F.round(num / den_x, 6).alias("elasticity"),
+        F.round(num * num / (den_x * den_y), 6).alias("r2"),
+    ).orderBy("ptype")

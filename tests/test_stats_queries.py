@@ -493,3 +493,34 @@ def test_f52_seasonal_strength_matches_python_model(spark):
     assert 0.0 <= row["seasonal_strength"] <= 1.0
     # removing the seasonal component can only shrink variance
     assert row["var_remainder"] <= row["var_detrended"] + 1e-9
+
+
+def test_f53_grouped_elasticity_matches_python_model(spark):
+    rows = _duck(
+        """
+        SELECT p.p_type, l.l_quantity, l.l_extendedprice
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
+        """
+    )
+    groups = {}
+    for ptype, qty, price in rows:
+        lx = round(math.log(float(price) / float(qty)) * 10000)
+        ly = round(math.log(float(qty)) * 10000)
+        groups.setdefault(ptype, []).append((lx, ly))
+    got = {r["ptype"]: r for r in _rows(spark, "f53_grouped_elasticity")}
+    assert set(got) == set(groups)
+    for ptype, pts in groups.items():
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        syy = sum(y * y for _, y in pts)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+        r = got[ptype]
+        assert r["n"] == n
+        assert r["elasticity"] == pytest.approx(slope, abs=1e-5)
+        assert r["r2"] == pytest.approx(r2, abs=1e-5)
+        assert 0.0 <= r["r2"] <= 1.0
