@@ -25,7 +25,7 @@ def _rows(spark, name):
 
 def _duck(sql):
     con = duckdb.connect()
-    for t in ("customer", "orders", "documents", "events"):
+    for t in ("customer", "orders", "documents", "events", "lineitem", "part"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
