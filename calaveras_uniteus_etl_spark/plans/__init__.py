@@ -208,6 +208,7 @@ _NEW_THIS_ROUND: list[str] = [
     "x99_corpus_fingerprint",
     "f52_seasonal_strength",
     "f53_grouped_elasticity",
+    "h29_ranked_rollup",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 (union = 129) sit in

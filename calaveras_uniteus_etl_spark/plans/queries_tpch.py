@@ -1155,3 +1155,101 @@ def h28_yoy_switchers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# H29 — ranked rollup (TPC-DS Q67 shape)
+#
+# One ROLLUP pass produces both grains — (segment, nation) detail and
+# segment totals — and a rank window then keeps the top 3 WITHIN EACH
+# GRAIN: detail rows rank within their segment (partitioned window,
+# parallel), total rows rank across the segment domain (bounded by
+# the segment vocabulary). GROUPING() distinguishes the levels in
+# both engines; revenue stays exact DECIMAL through the Expand and
+# both windows; (revenue DESC, name) tiebreaks make every cut
+# deterministic.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "h29_ranked_rollup",
+    oracle="""
+WITH rolled AS (
+  SELECT c.c_mktsegment AS segment, n.n_name AS nation,
+         GROUPING(n.n_name) AS is_total,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+           AS revenue
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY ROLLUP (c.c_mktsegment, n.n_name)
+  HAVING c.c_mktsegment IS NOT NULL
+), ranked AS (
+  SELECT segment, nation, is_total, revenue,
+         CASE WHEN is_total = 0
+              THEN ROW_NUMBER() OVER (PARTITION BY is_total, segment
+                                      ORDER BY revenue DESC, nation)
+              ELSE ROW_NUMBER() OVER (PARTITION BY is_total
+                                      ORDER BY revenue DESC, segment)
+         END AS rnk
+  FROM rolled
+)
+SELECT CASE WHEN is_total = 1 THEN 'segment_total'
+            ELSE 'nation_detail' END AS level,
+       segment,
+       COALESCE(nation, '(all)') AS nation,
+       CAST(revenue AS DOUBLE) AS revenue,
+       CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 3
+ORDER BY level, segment, rnk
+""",
+    doc="Ranked rollup (TPC-DS Q67 shape): one ROLLUP pass yields "
+    "nation detail and segment totals, rank windows keep the top 3 "
+    "within each grain — detail partitioned by segment, totals over "
+    "the bounded segment domain; exact-decimal revenue through "
+    "Expand and both windows.",
+)
+def h29_ranked_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    rolled = (
+        o.join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .rollup("c_mktsegment", "n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("decimal(38,2)")
+            .alias("revenue"),
+            F.grouping("n_name").alias("is_total"),
+        )
+        .filter(F.col("c_mktsegment").isNotNull())
+        .withColumnRenamed("c_mktsegment", "segment")
+        .withColumnRenamed("n_name", "nation")
+    )
+    w_detail = Window.partitionBy("is_total", "segment").orderBy(
+        F.desc("revenue"), F.asc("nation")
+    )
+    # totals: one row per segment — the segment vocabulary bounds it
+    w_total = Window.partitionBy("is_total").orderBy(
+        F.desc("revenue"), F.asc("segment")
+    )
+    ranked = rolled.withColumn(
+        "rnk",
+        F.when(
+            F.col("is_total") == 0, F.row_number().over(w_detail)
+        ).otherwise(F.row_number().over(w_total)),
+    )
+    return (
+        ranked.filter(F.col("rnk") <= 3)
+        .select(
+            F.when(F.col("is_total") == 1, "segment_total")
+            .otherwise("nation_detail")
+            .alias("level"),
+            "segment",
+            F.coalesce(F.col("nation"), F.lit("(all)")).alias("nation"),
+            F.col("revenue").cast("double").alias("revenue"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+        .orderBy("level", "segment", "rnk")
+    )

@@ -574,3 +574,12 @@ def test_g18_running_sum_uses_prefix_operator(spark):
         first = ln.split("windowspecdefinition(", 1)[1].split(",", 1)[0]
         unpartitioned = " ASC" in first or " DESC" in first
         assert not unpartitioned or "__prefix_pid" in first, ln
+
+
+def test_h29_rollup_is_single_expand_pass(spark):
+    """Both grains must come from ONE ROLLUP (Expand) pass — a union
+    of two aggregates would scan the fact join twice."""
+    plan = physical(REGISTRY["h29_ranked_rollup"].fn(spark, SF))
+    assert "Expand" in plan, plan
+    scans = [ln for ln in plan.splitlines() if "orders.parquet" in ln]
+    assert len(scans) == 1, scans
