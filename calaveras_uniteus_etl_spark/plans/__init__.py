@@ -209,6 +209,7 @@ _NEW_THIS_ROUND: list[str] = [
     "f52_seasonal_strength",
     "f53_grouped_elasticity",
     "h29_ranked_rollup",
+    "f54_runs_test",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 (union = 129) sit in

@@ -5241,3 +5241,118 @@ def f53_grouped_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(num / den_x, 6).alias("elasticity"),
         F.round(num * num / (den_x * den_y), 6).alias("r2"),
     ).orderBy("ptype")
+
+
+# ---------------------------------------------------------------------------
+# F54 — runs test (Wald–Wolfowitz randomness of daily moves)
+#
+# Is the revenue series a random walk or does it trend/mean-revert?
+# The runs test answers without distributional assumptions: code each
+# day as up/down vs the previous day (zero moves dropped — both
+# engines identically), count RUNS of consecutive same-sign moves via
+# a LAG comparison on the day grain, and compare against the expected
+# run count E[R] = 2·n₊·n₋/n + 1 with the classic variance. Counts
+# are exact BIGINTs; z divides identical integer-derived doubles.
+# Fewer runs than expected ⇒ momentum; more ⇒ mean reversion.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f54_runs_test",
+    oracle="""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1995-01-01', o_orderdate) AS d,
+         CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                         AS DECIMAL(38,2)), 0) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+), moves AS (
+  SELECT d,
+         CASE WHEN y > LAG(y) OVER (ORDER BY d) THEN 1
+              WHEN y < LAG(y) OVER (ORDER BY d) THEN -1 END AS sgn
+  FROM daily
+), runsrc AS (
+  SELECT d, sgn,
+         CASE WHEN LAG(sgn) OVER (ORDER BY d) IS NULL
+                   OR sgn != LAG(sgn) OVER (ORDER BY d)
+              THEN 1 ELSE 0 END AS is_new_run
+  FROM (SELECT d, sgn FROM moves WHERE sgn IS NOT NULL)
+), s AS (
+  SELECT CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+         CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_down,
+         CAST(SUM(is_new_run) AS BIGINT) AS n_runs
+  FROM runsrc
+)
+SELECT n_up, n_down, n_runs,
+       ROUND(2.0 * n_up * n_down / (n_up + n_down) + 1, 6)
+         AS expected_runs,
+       ROUND((n_runs - (2.0 * n_up * n_down / (n_up + n_down) + 1))
+             / SQRT(2.0 * n_up * n_down
+                    * (2.0 * n_up * n_down - n_up - n_down)
+                    / ((CAST(n_up + n_down AS DOUBLE))
+                       * (CAST(n_up + n_down AS DOUBLE))
+                       * (n_up + n_down - 1))), 6) AS z_score
+FROM s
+""",
+    doc="Wald–Wolfowitz runs test on daily revenue moves: up/down "
+    "coding vs the previous day (zeros dropped), run starts via a "
+    "LAG comparison on the day grain, exact BIGINT counts, z against "
+    "E[R] = 2n₊n₋/n + 1 — momentum vs mean-reversion without "
+    "distributional assumptions.",
+)
+def f54_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("date")
+        ).alias("d")
+    ).agg(
+        F.round(
+            F.sum(X.dec("o_totalprice")).cast("decimal(38,2)"), 0
+        )
+        .cast("bigint")
+        .alias("y")
+    )
+    # day-grain windows: calendar-bounded, safe by construction
+    w = Window.orderBy("d")
+    moves = daily.select(
+        "d",
+        F.when(F.col("y") > F.lag("y").over(w), 1)
+        .when(F.col("y") < F.lag("y").over(w), -1)
+        .alias("sgn"),
+    ).filter(F.col("sgn").isNotNull())
+    runsrc = moves.select(
+        "sgn",
+        F.when(
+            F.lag("sgn").over(w).isNull()
+            | (F.col("sgn") != F.lag("sgn").over(w)),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new_run"),
+    )
+    s = runsrc.agg(
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_up"),
+        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_down"),
+        F.sum("is_new_run").cast("bigint").alias("n_runs"),
+    )
+    nu = F.col("n_up").cast("double")
+    nd_ = F.col("n_down").cast("double")
+    n = nu + nd_
+    exp_r = 2.0 * nu * nd_ / n + 1
+    var_r = (
+        2.0 * nu * nd_ * (2.0 * nu * nd_ - nu - nd_) / (n * n * (n - 1))
+    )
+    return s.select(
+        "n_up",
+        "n_down",
+        "n_runs",
+        F.round(exp_r, 6).alias("expected_runs"),
+        F.round((F.col("n_runs") - exp_r) / F.sqrt(var_r), 6).alias(
+            "z_score"
+        ),
+    )

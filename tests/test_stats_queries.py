@@ -524,3 +524,34 @@ def test_f53_grouped_elasticity_matches_python_model(spark):
         assert r["elasticity"] == pytest.approx(slope, abs=1e-5)
         assert r["r2"] == pytest.approx(r2, abs=1e-5)
         assert 0.0 <= r["r2"] <= 1.0
+
+
+def test_f54_runs_test_matches_python_model(spark):
+    rows = _duck(
+        """
+        SELECT date_diff('day', DATE '1995-01-01', o_orderdate),
+               CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                               AS DECIMAL(38,2)), 0) AS BIGINT)
+        FROM orders GROUP BY 1
+        """
+    )
+    pts = sorted(rows)
+    sgns = []
+    for (d0, y0), (d1, y1) in zip(pts, pts[1:]):
+        if y1 != y0:
+            sgns.append(1 if y1 > y0 else -1)
+    n_up = sum(1 for s in sgns if s == 1)
+    n_down = len(sgns) - n_up
+    runs = 1 + sum(1 for a, b in zip(sgns, sgns[1:]) if a != b)
+    n = n_up + n_down
+    exp_r = 2 * n_up * n_down / n + 1
+    var_r = (
+        2 * n_up * n_down * (2 * n_up * n_down - n) / (n * n * (n - 1))
+    )
+    z = (runs - exp_r) / var_r**0.5
+    (row,) = _rows(spark, "f54_runs_test")
+    assert (row["n_up"], row["n_down"], row["n_runs"]) == (n_up, n_down, runs)
+    assert row["expected_runs"] == pytest.approx(exp_r, abs=1e-5)
+    assert row["z_score"] == pytest.approx(z, abs=1e-5)
+    # runs count is bounded by the move count
+    assert 1 <= row["n_runs"] <= n
