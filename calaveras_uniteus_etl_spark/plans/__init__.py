@@ -210,6 +210,7 @@ _NEW_THIS_ROUND: list[str] = [
     "f53_grouped_elasticity",
     "h29_ranked_rollup",
     "f54_runs_test",
+    "g20_peak_census",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 (union = 129) sit in

@@ -5356,3 +5356,99 @@ def f54_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z_score"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# G20 — local-extrema census (peak/trough days on the revenue series)
+#
+# The alerting primitive behind spike detection: a day is a PEAK when
+# it exceeds both neighbors, a TROUGH when below both (strict on the
+# left, weak on the right — plateau edges resolve identically in both
+# engines). LAG/LEAD on the calendar-bounded day grain, exact integer
+# comparisons, per-kind census with the most extreme day (value, then
+# earliest-day tiebreak).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g20_peak_census",
+    oracle="""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1995-01-01', o_orderdate) AS d,
+         CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                         AS DECIMAL(38,2)), 0) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+), flagged AS (
+  SELECT d, y,
+         CASE WHEN y > LAG(y) OVER w AND y >= LEAD(y) OVER w THEN 'peak'
+              WHEN y < LAG(y) OVER w AND y <= LEAD(y) OVER w THEN 'trough'
+         END AS kind
+  FROM daily WINDOW w AS (ORDER BY d)
+), ranked AS (
+  SELECT kind, d, y,
+         ROW_NUMBER() OVER (
+           PARTITION BY kind
+           ORDER BY CASE WHEN kind = 'peak' THEN -y ELSE y END, d) AS rn
+  FROM flagged WHERE kind IS NOT NULL
+)
+SELECT kind,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(MIN(CASE WHEN rn = 1 THEN d END) AS BIGINT) AS best_day,
+       CAST(MIN(CASE WHEN rn = 1 THEN y END) AS BIGINT) AS best_value
+FROM ranked
+GROUP BY kind
+ORDER BY kind
+""",
+    doc="Local-extrema census: peak (above both neighbors) and trough "
+    "(below both) days on the integer-dollar series — strict-left / "
+    "weak-right plateau rule, LAG/LEAD on the day grain, per-kind "
+    "count with the most extreme day; the spike-alerting primitive.",
+)
+def g20_peak_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("date")
+        ).alias("d")
+    ).agg(
+        F.round(
+            F.sum(X.dec("o_totalprice")).cast("decimal(38,2)"), 0
+        )
+        .cast("bigint")
+        .alias("y")
+    )
+    # day-grain windows: calendar-bounded, safe by construction
+    w = Window.orderBy("d")
+    flagged = daily.select(
+        "d",
+        "y",
+        F.when(
+            (F.col("y") > F.lag("y").over(w))
+            & (F.col("y") >= F.lead("y").over(w)),
+            "peak",
+        )
+        .when(
+            (F.col("y") < F.lag("y").over(w))
+            & (F.col("y") <= F.lead("y").over(w)),
+            "trough",
+        )
+        .alias("kind"),
+    ).filter(F.col("kind").isNotNull())
+    rank_key = F.when(F.col("kind") == "peak", -F.col("y")).otherwise(
+        F.col("y")
+    )
+    w_rank = Window.partitionBy("kind").orderBy(rank_key, F.asc("d"))
+    ranked = flagged.withColumn("rn", F.row_number().over(w_rank))
+    return (
+        ranked.groupBy("kind")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.min(F.when(F.col("rn") == 1, F.col("d")))
+            .cast("bigint")
+            .alias("best_day"),
+            F.min(F.when(F.col("rn") == 1, F.col("y")))
+            .cast("bigint")
+            .alias("best_value"),
+        )
+        .orderBy("kind")
+    )

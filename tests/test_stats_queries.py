@@ -555,3 +555,31 @@ def test_f54_runs_test_matches_python_model(spark):
     assert row["z_score"] == pytest.approx(z, abs=1e-5)
     # runs count is bounded by the move count
     assert 1 <= row["n_runs"] <= n
+
+
+def test_g20_peak_census_matches_python_model(spark):
+    rows = _duck(
+        """
+        SELECT date_diff('day', DATE '1995-01-01', o_orderdate),
+               CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                               AS DECIMAL(38,2)), 0) AS BIGINT)
+        FROM orders GROUP BY 1
+        """
+    )
+    pts = sorted(rows)
+    kinds = {}
+    for i in range(1, len(pts) - 1):
+        d, y = pts[i]
+        yp, yn = pts[i - 1][1], pts[i + 1][1]
+        if y > yp and y >= yn:
+            kinds.setdefault("peak", []).append((d, y))
+        elif y < yp and y <= yn:
+            kinds.setdefault("trough", []).append((d, y))
+    got = {r["kind"]: r for r in _rows(spark, "g20_peak_census")}
+    assert set(got) == set(kinds)
+    for kind, days in kinds.items():
+        r = got[kind]
+        assert r["n_days"] == len(days)
+        best = min(((-y, d) if kind == "peak" else (y, d)) for d, y in days)
+        assert r["best_day"] == best[1]
+        assert r["best_value"] == (-best[0] if kind == "peak" else best[0])
