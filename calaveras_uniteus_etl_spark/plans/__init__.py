@@ -211,6 +211,7 @@ _NEW_THIS_ROUND: list[str] = [
     "h29_ranked_rollup",
     "f54_runs_test",
     "g20_peak_census",
+    "m11_join_cardinality_audit",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 (union = 129) sit in

@@ -5452,3 +5452,99 @@ def g20_peak_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+# ---------------------------------------------------------------------------
+# M11 — join-cardinality estimation audit (the optimizer's own math)
+#
+# Catalyst sizes joins from per-column histograms with a uniformity
+# assumption inside each bucket: |A ⋈ B| ≈ Σ_b rows_A(b)·rows_B(b) /
+# max(ndv_A(b), ndv_B(b)). This query RUNS that textbook estimate on
+# 32 hash buckets of the orders⋈customer key and audits it against
+# the exact join count — the measurable gap between histogram math
+# and reality that motivates m5's skew audit. Per-bucket terms are
+# exact integers with one 12dp-quantized division each; the relative
+# error divides identical doubles.
+# ---------------------------------------------------------------------------
+
+_M11_BUCKETS = 32
+
+
+@register(
+    "m11_join_cardinality_audit",
+    oracle=f"""
+WITH a AS (
+  SELECT o_custkey % {_M11_BUCKETS} AS b,
+         CAST(COUNT(*) AS BIGINT) AS rows_a,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS ndv_a
+  FROM orders GROUP BY 1
+), c AS (
+  SELECT c_custkey % {_M11_BUCKETS} AS b,
+         CAST(COUNT(*) AS BIGINT) AS rows_c,
+         CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS ndv_c
+  FROM customer GROUP BY 1
+), est AS (
+  SELECT CAST(SUM(CAST(ROUND(CAST(rows_a AS DOUBLE) * rows_c
+                             / GREATEST(ndv_a, ndv_c), 12)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS est_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_buckets
+  FROM a JOIN c USING (b)
+), act AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS actual_rows
+  FROM orders JOIN customer ON c_custkey = o_custkey
+)
+SELECT n_buckets, actual_rows,
+       ROUND(est_rows, 4) AS estimated_rows,
+       ROUND((est_rows - actual_rows) / actual_rows, 6) AS rel_error
+FROM est CROSS JOIN act
+""",
+    doc="Join-cardinality estimation audit: the textbook histogram "
+    "estimate Σ rows_A·rows_B / max(ndv_A, ndv_B) over 32 hash "
+    "buckets vs the exact orders⋈customer count — the measurable gap "
+    "between optimizer math and reality that motivates m5's skew "
+    "audit.",
+)
+def m11_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    a = o.groupBy((F.col("o_custkey") % _M11_BUCKETS).alias("b")).agg(
+        F.count("*").cast("bigint").alias("rows_a"),
+        F.countDistinct("o_custkey").cast("bigint").alias("ndv_a"),
+    )
+    cc = c.groupBy((F.col("c_custkey") % _M11_BUCKETS).alias("b")).agg(
+        F.count("*").cast("bigint").alias("rows_c"),
+        F.countDistinct("c_custkey").cast("bigint").alias("ndv_c"),
+    )
+    est = (
+        a.join(cc, "b")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("rows_a").cast("double")
+                    * F.col("rows_c")
+                    / F.greatest("ndv_a", "ndv_c"),
+                    12,
+                ).cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias("est_rows"),
+            F.count("*").cast("bigint").alias("n_buckets"),
+        )
+    )
+    act = (
+        o.join(c, c.c_custkey == o.o_custkey)
+        .agg(F.count("*").cast("bigint").alias("actual_rows"))
+    )
+    return (
+        est.crossJoin(F.broadcast(act))  # 1-row scalar
+        .select(
+            "n_buckets",
+            "actual_rows",
+            F.round("est_rows", 4).alias("estimated_rows"),
+            F.round(
+                (F.col("est_rows") - F.col("actual_rows"))
+                / F.col("actual_rows"),
+                6,
+            ).alias("rel_error"),
+        )
+    )

@@ -10,6 +10,7 @@ completeness of blocked candidate generation).
 from __future__ import annotations
 
 import math
+from collections import defaultdict
 
 import duckdb
 import pytest
@@ -583,3 +584,28 @@ def test_g20_peak_census_matches_python_model(spark):
         best = min(((-y, d) if kind == "peak" else (y, d)) for d, y in days)
         assert r["best_day"] == best[1]
         assert r["best_value"] == (-best[0] if kind == "peak" else best[0])
+
+
+def test_m11_join_cardinality_matches_python_model(spark):
+    orders = [k for (k,) in _duck("SELECT o_custkey FROM orders")]
+    custs = [k for (k,) in _duck("SELECT c_custkey FROM customer")]
+    from collections import Counter as _C
+
+    a_rows, a_ndv = _C(), defaultdict(set)
+    for k in orders:
+        a_rows[k % 32] += 1
+        a_ndv[k % 32].add(k)
+    c_rows, c_ndv = _C(), defaultdict(set)
+    for k in custs:
+        c_rows[k % 32] += 1
+        c_ndv[k % 32].add(k)
+    est = sum(
+        a_rows[b] * c_rows[b] / max(len(a_ndv[b]), len(c_ndv[b]))
+        for b in set(a_rows) & set(c_rows)
+    )
+    cset = set(custs)
+    actual = sum(1 for k in orders if k in cset)
+    (row,) = _rows(spark, "m11_join_cardinality_audit")
+    assert row["actual_rows"] == actual
+    assert row["estimated_rows"] == pytest.approx(est, abs=1e-3)
+    assert row["rel_error"] == pytest.approx((est - actual) / actual, abs=1e-5)
