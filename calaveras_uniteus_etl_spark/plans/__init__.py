@@ -26,93 +26,30 @@ from calaveras_uniteus_etl_spark.plans import (  # noqa: F401  (import = registe
 # The driver's correctness harness walks the registry in order and caps
 # how many entries it checks per round (50 per round so far). Iteration
 # order therefore front-loads the entries with the LEAST driver
-# evidence. After round 3 the union of driver-green rows (r01∪r02∪r03)
-# covers 129 of the 184 registered queries; the 55 below have never
-# received a driver row, so they go first. The round-4 check window
-# covers the first 50; the final five (x41/x42 — x38 already audits the
-# same rankers — plus x44/x50/x54, all unchanged since round 3 and
-# green under tools/driver_check.py reruns) are deliberately ordered
-# last so they are the ones that spill to round 5. Queries added in
-# round 4 register after these via _NEW_THIS_ROUND. All previously
-# green entries sit behind them — their evidence already exists — and
-# f2_approx_count_distinct goes dead last: it is rows-only by design
-# (HLL sketches are engine-private, no SQL oracle) and can never earn a
-# hash-green row, so it must not burn a check slot (its accuracy is
-# covered by a 3·rsd tolerance test in tests/test_approx_tolerance.py).
+# evidence. Rounds 1-3 witnessed 129 distinct names (r01∪r02∪r03);
+# round 4's window covered the 50 names that led the round-4 ordering
+# (the r2/r3 backlog + all round-3 additions). The pool below is what
+# remains unwitnessed after that: the five deliberate round-4 spill
+# entries plus every round-4 addition. The round-5 check window covers
+# the first 50 (5 spill + the 45 oldest round-4 additions); the tail —
+# the round-4b additions, which landed latest and carry the freshest
+# tools/driver_check.py evidence — deliberately spills to round 6.
+# Queries added in round 5 register after these via _NEW_THIS_ROUND.
+# All previously green entries sit behind them — their evidence already
+# exists — and f2_approx_count_distinct goes dead last: it is
+# rows-only by design (HLL sketches are engine-private, no SQL oracle)
+# and can never earn a hash-green row, so it must not burn a check slot
+# (its accuracy is covered by a 3·rsd tolerance test in
+# tests/test_approx_tolerance.py).
 _NEVER_CHECKED = [
-    # --- round-2/3 backlog leftovers (16 of 21; 5 spill below) ---
-    "r6_provider_performance",
-    "r7_correlation_matrix",
-    "x29_semdedup_prune",
-    "x38_ann_recall_audit",
-    "x51_embedding_health",
-    "s3_replay_dedup",
-    "x25_unigram_logprob",
-    "x27_doc_chunking",
-    "x28_source_mixture",
-    "x30_weighted_sample",
-    "x31_dsir_weights",
-    "x37_source_cap",
-    "x43_countmin_freq",
-    "x47_bm25_search",
-    "x48_exact_contamination",
-    "x49_token_budget_fill",
-    # --- round-3 additions, all unwitnessed (34) ---
-    "j2_json_props",
-    "r8_share_mix",
-    "h9_disjunctive_brackets",
-    "h10_priority_semi",
-    "h11_value_share",
-    "h12_inactive_rich",
-    "f31_grouping_sets",
-    "m4_column_profile",
-    "x55_cluster_representative",
-    "h13_volume_shipping",
-    "h14_market_share",
-    "h15_custdist",
-    "h16_promo_effect",
-    "h17_top_supplier",
-    "h18_small_qty_avg",
-    "h19_large_volume_orders",
-    "h20_supplier_variety",
-    "h21_waiting_orders",
-    "h22_min_cost_supplier",
-    "i2_set_ops",
-    "g8_spend_deciles",
-    "x56_pq_codes",
-    "x57_pq_ann_topk",
-    "x58_bigram_logprob",
-    "h23_product_profit",
-    "h24_late_priority_lines",
-    "h25_dominant_part_suppliers",
-    "s4_interval_join",
-    "x59_hybrid_rrf",
-    "x60_bpe_pair_counts",
-    "x61_media_phash_neardup",
-    "x62_hard_negatives",
-    "x63_embed_covariance",
-    "s5_last_touch_attribution",
-    # --- deliberate round-5 spill (positions 51-55) ---
+    # --- round-4 deliberate spill (5) ---
     "x41_ivf_recall_audit",
     "x42_ivf_nprobe_sweep",
     "x44_chunk_dup_census",
     "x50_curation_manifest",
     "x54_shard_balance",
-]
-
-# Additions with no driver evidence yet (x64–x69 landed late in round
-# 3; the rest are round 4's additions): they queue directly behind the
-# backlog above so they enter the check window as the backlog drains.
-# Round-5 rotation: CORRECTNESS_r04 will witness the first 50 names of
-# _NEVER_CHECKED — delete those from the list, promote the 5 spill
-# entries plus everything below into the front block. With 71 round-4
-# additions the unwitnessed pool (5 + 71 = 76) now spans two check
-# windows: pick the ~26 that spill to round 6 deliberately (suggest
-# the tail of this list — the round-4b additions landed latest and
-# have the freshest tools/driver_check.py evidence). Every entry here
-# is green under tools/driver_check.py at sf0.01 AND sf0.1, plus the
-# 4-config adversarial sweep where it predates the latest run.
-_NEW_THIS_ROUND: list[str] = [
+    # --- round-4 additions, oldest first (the first 45 complete the
+    # --- round-5 window; the rest spill to round 6) ---
     "x64_ivfpq_adc",
     "x65_ngram_containment",
     "x66_shingle_novelty",
@@ -214,7 +151,14 @@ _NEW_THIS_ROUND: list[str] = [
     "m11_join_cardinality_audit",
 ]
 
-# Entries with a GREEN driver row in rounds 1-3 (union = 129) sit in
+# Round-5 additions with no driver evidence yet: they queue directly
+# behind the backlog above so they enter the check window as the
+# backlog drains (round 6 window = backlog tail + the head of this
+# list). Every entry must be green under tools/driver_check.py at
+# sf0.01 and sf0.1 before it is registered here.
+_NEW_THIS_ROUND: list[str] = []
+
+# Entries with a GREEN driver row in rounds 1-4 (union = 179) sit in
 # the middle in registration order; f2 stays dead last (rows-only).
 _ROWS_ONLY_LAST = ["f2_approx_count_distinct"]
 
