@@ -156,7 +156,12 @@ _NEVER_CHECKED = [
 # backlog drains (round 6 window = backlog tail + the head of this
 # list). Every entry must be green under tools/driver_check.py at
 # sf0.01 and sf0.1 before it is registered here.
-_NEW_THIS_ROUND: list[str] = []
+_NEW_THIS_ROUND: list[str] = [
+    "f55_fisher_price_index",
+    "f56_nelson_aalen",
+    "g21_interval_union_coverage",
+    "x100_repetition_gate",
+]
 
 # Entries with a GREEN driver row in rounds 1-4 (union = 179) sit in
 # the middle in registration order; f2 stays dead last (rows-only).

@@ -5548,3 +5548,106 @@ def m11_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_error"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# F55 — Laspeyres / Paasche / Fisher price index (yearly, base 1996)
+#
+# The bilateral index-number triple over the lineitem fact: per-part
+# yearly unit values p_t(i) = Σprice/Σqty, then against the base year
+# basket L_t = Σ p_t·q_0 / Σ p_0·q_0 (base-weighted), P_t = Σ p_t·q_t /
+# Σ p_0·q_t (current-weighted), and Fisher's ideal index √(L·P) —
+# the standard CPI construction (Fisher 1922), restricted to the
+# common basket (parts traded in both years).
+#
+# Cross-engine determinism: the unit value is ONE IEEE division of a
+# <2^53-exact decimal sum by an integral quantity sum, quantized to
+# 1e-4 price units (BIGINT); index numerators/denominators are exact
+# DECIMAL(38,0) sums of pm·q products (never the 38-digit cap: pm ≤
+# 1e9, q bounded by yearly part volume); ratios and √ are single
+# correctly-rounded IEEE ops on identical operands.
+#
+# Scale: two shuffles — the (year, partkey) aggregate and the partkey
+# self-join against the base year — then a years-sized output. The
+# base-year side is data-sized (all parts), so the join stays a
+# shuffle join on partkey; no window, no driver loop.
+# ---------------------------------------------------------------------------
+
+_F55_BASE_YEAR = 1996
+
+
+@register(
+    "f55_fisher_price_index",
+    oracle=f"""
+WITH py AS (
+  SELECT CAST(year(l_shipdate) AS BIGINT) AS yr, l_partkey,
+         CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+                         AS DOUBLE)
+                    / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                    * 1e4) AS BIGINT) AS pm,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY 1, 2
+), base AS (
+  SELECT l_partkey, pm AS pm0, q AS q0 FROM py
+  WHERE yr = {_F55_BASE_YEAR}
+), j AS (
+  SELECT t.yr, t.pm, t.q, b.pm0, b.q0
+  FROM py t JOIN base b ON t.l_partkey = b.l_partkey
+)
+SELECT yr, COUNT(*) AS n_parts,
+       CAST(SUM(CAST(pm AS DECIMAL(19,0)) * q0) AS DOUBLE)
+         / CAST(SUM(CAST(pm0 AS DECIMAL(19,0)) * q0) AS DOUBLE)
+         AS laspeyres,
+       CAST(SUM(CAST(pm AS DECIMAL(19,0)) * q) AS DOUBLE)
+         / CAST(SUM(CAST(pm0 AS DECIMAL(19,0)) * q) AS DOUBLE)
+         AS paasche,
+       SQRT((CAST(SUM(CAST(pm AS DECIMAL(19,0)) * q0) AS DOUBLE)
+             / CAST(SUM(CAST(pm0 AS DECIMAL(19,0)) * q0) AS DOUBLE))
+            * (CAST(SUM(CAST(pm AS DECIMAL(19,0)) * q) AS DOUBLE)
+               / CAST(SUM(CAST(pm0 AS DECIMAL(19,0)) * q) AS DOUBLE)))
+         AS fisher
+FROM j GROUP BY yr ORDER BY yr
+""",
+    doc="Yearly Laspeyres/Paasche/Fisher price indices vs a constant "
+    "base year over the common part basket: 1e-4-quantized unit "
+    "values, exact DECIMAL(38,0) basket sums, single-IEEE-op ratios "
+    "and sqrt — the CPI construction as a two-shuffle relational "
+    "plan.",
+)
+def f55_fisher_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    py = li.groupBy(
+        F.year("l_shipdate").cast("bigint").alias("yr"),
+        "l_partkey",
+    ).agg(
+        F.round(
+            F.sum(X.dec("l_extendedprice")).cast("double")
+            / F.sum(F.col("l_quantity").cast("bigint")).cast("double")
+            * 1e4
+        )
+        .cast("bigint")
+        .alias("pm"),
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("q"),
+    )
+    base = py.filter(F.col("yr") == _F55_BASE_YEAR).select(
+        "l_partkey",
+        F.col("pm").alias("pm0"),
+        F.col("q").alias("q0"),
+    )
+    j = py.join(base, "l_partkey")
+    pmd = F.col("pm").cast("decimal(19,0)")
+    pm0d = F.col("pm0").cast("decimal(19,0)")
+    num_l = F.sum(pmd * F.col("q0")).cast("double")
+    den_l = F.sum(pm0d * F.col("q0")).cast("double")
+    num_p = F.sum(pmd * F.col("q")).cast("double")
+    den_p = F.sum(pm0d * F.col("q")).cast("double")
+    return (
+        j.groupBy("yr")
+        .agg(
+            F.count("*").alias("n_parts"),
+            (num_l / den_l).alias("laspeyres"),
+            (num_p / den_p).alias("paasche"),
+            F.sqrt((num_l / den_l) * (num_p / den_p)).alias("fisher"),
+        )
+        .orderBy("yr")
+    )

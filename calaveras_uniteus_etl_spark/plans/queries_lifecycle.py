@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from calaveras_uniteus_etl_spark.functions.datetime_ext import epoch_us
 from calaveras_uniteus_etl_spark.functions.hashing import (
     duckdb_md5_long_sql,
     md5_long,
@@ -1119,4 +1120,237 @@ def f50_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_burstiness"),
         )
         .orderBy("band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F56 — Nelson-Aalen cumulative hazard (f39's estimator-dual)
+#
+# Kaplan-Meier multiplies survival factors; Nelson-Aalen SUMS hazard
+# increments d_j/n_j at each distinct event time (Nelson 1972, Aalen
+# 1978) — the estimator epidemiology uses when the hazard itself (not
+# survival) is the readout, plus its variance Σ d_j(n_j−d_j)/n_j³
+# (Klein 1991). Same churn/censoring frame as f39 (shared constant, no
+# now()); the Fleming-Harrington survival exp(−H) rides along as the
+# cross-check against f39's product-limit curve.
+#
+# Cross-engine determinism: each increment is ONE IEEE division of
+# identical integer-derived doubles, quantized to integer nano-units
+# (hazard) / pico-units (variance) before the cumulative sum, so the
+# running totals are order-free BIGINT arithmetic; the final /1e9,
+# /1e12 and ROUND(EXP(−H), 9) follow f39's validated pattern.
+#
+# Scale: identical to f39 — one customer-grain shuffle, then every
+# window runs over the DISTINCT TENURE DAYS grain (calendar-bounded,
+# ~2.4k rows at any SF), never a data-sized relation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f56_nelson_aalen",
+    oracle=f"""
+WITH cust AS (
+  SELECT o_custkey,
+         date_diff('day', MIN(o_orderdate), MAX(o_orderdate)) AS tenure,
+         CASE WHEN MAX(o_orderdate) < DATE '{_F39_CUTOFF}' THEN 1 ELSE 0 END
+           AS churned
+  FROM orders GROUP BY o_custkey
+), grain AS (
+  SELECT tenure, COUNT(*) AS at_t,
+         CAST(SUM(churned) AS BIGINT) AS d
+  FROM cust GROUP BY tenure
+), risk AS (
+  SELECT tenure, d,
+         CAST(SUM(at_t) OVER (ORDER BY tenure DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS BIGINT)
+           AS n
+  FROM grain
+), na AS (
+  SELECT tenure, d, n,
+         CAST(SUM(CAST(ROUND(CAST(d AS DOUBLE) / n * 1e9) AS BIGINT))
+              OVER (ORDER BY tenure
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS h_nano,
+         CAST(SUM(CAST(ROUND(CAST(d AS DOUBLE) * (n - d) / n / n / n * 1e12)
+                       AS BIGINT))
+              OVER (ORDER BY tenure
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS v_pico
+  FROM risk WHERE d > 0
+)
+SELECT tenure AS tenure_days, d AS n_events, n AS n_at_risk,
+       CAST(h_nano AS DOUBLE) / 1e9 AS cum_hazard,
+       CAST(v_pico AS DOUBLE) / 1e12 AS hazard_var,
+       ROUND(EXP(-CAST(h_nano AS DOUBLE) / 1e9), 9) AS fh_survival
+FROM na ORDER BY tenure_days
+""",
+    doc="Nelson-Aalen cumulative hazard over customer tenure (same "
+    "churn frame as f39): nano-quantized d/n increments and pico-"
+    "quantized d(n-d)/n^3 variance cumulated as BIGINTs over the "
+    "distinct-tenure grain, with the Fleming-Harrington exp(-H) "
+    "survival as the product-limit cross-check.",
+)
+def f56_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("tenure"),
+        F.when(F.max("o_orderdate") < F.lit(_F39_CUTOFF).cast("date"), 1)
+        .otherwise(0)
+        .alias("churned"),
+    )
+    grain = cust.groupBy("tenure").agg(
+        F.count("*").alias("at_t"),
+        F.sum("churned").cast("bigint").alias("d"),
+    )
+    # Distinct-tenure grain: bounded by calendar days, safe to window.
+    w_desc = Window.orderBy(F.desc("tenure")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = grain.select(
+        "tenure", "d", F.sum("at_t").over(w_desc).alias("n")
+    ).filter(F.col("d") > 0)
+    w_asc = Window.orderBy("tenure").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    d, n = F.col("d").cast("double"), F.col("n")
+    h_inc = F.round(d / n * 1e9).cast("bigint")
+    v_inc = F.round(d * (F.col("n") - F.col("d")) / n / n / n * 1e12).cast(
+        "bigint"
+    )
+    na = risk.select(
+        "tenure",
+        "d",
+        "n",
+        F.sum(h_inc).over(w_asc).cast("bigint").alias("h_nano"),
+        F.sum(v_inc).over(w_asc).cast("bigint").alias("v_pico"),
+    )
+    return na.select(
+        F.col("tenure").alias("tenure_days"),
+        F.col("d").alias("n_events"),
+        F.col("n").alias("n_at_risk"),
+        (F.col("h_nano").cast("double") / 1e9).alias("cum_hazard"),
+        (F.col("v_pico").cast("double") / 1e12).alias("hazard_var"),
+        F.round(F.exp(-F.col("h_nano").cast("double") / 1e9), 9).alias(
+            "fh_survival"
+        ),
+    ).orderBy("tenure_days")
+
+
+# ---------------------------------------------------------------------------
+# G21 — interval-union coverage (merge overlapping activity windows)
+#
+# Each event opens a 30-minute activity interval; a user's true active
+# time is the LENGTH OF THE UNION of those intervals — the classic
+# overlap-merge primitive (enrollment overlap, on-call coverage,
+# machine uptime) that naive SUM(length) double-counts. Islands are
+# detected with the prefix-max-end sweep: an interval starts a new
+# island iff its start exceeds the max end of ALL preceding intervals
+# (rows frame ending at 1 PRECEDING), island id = running sum of the
+# start flags — gaps-and-islands generalized from g10's unit-day grain
+# to arbitrary-length microsecond intervals.
+#
+# Cross-engine determinism: all arithmetic is integer µs (epoch_us);
+# the window order (ts, event_id) is a total order so both engines see
+# identical frames. Census output is banded by whole coverage-hours —
+# bounded rows regardless of SF.
+#
+# Scale: every window partitions by user_id; the island grouping
+# reuses the same user_id exchange (Catalyst keeps the partitioning),
+# and the final census is a tiny aggregate. No data-sized relation
+# ever sorts in one task.
+# ---------------------------------------------------------------------------
+
+_G21_LEN_US = 30 * 60 * 1_000_000  # each event opens a 30-min interval
+
+
+@register(
+    "g21_interval_union_coverage",
+    oracle=f"""
+WITH iv AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s,
+         epoch_us(ts) + {_G21_LEN_US} AS e
+  FROM events
+), mk AS (
+  SELECT user_id, event_id, s, e,
+         CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) IS NULL
+                OR s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS ni
+  FROM iv
+), isl AS (
+  SELECT user_id, s, e,
+         SUM(ni) OVER (PARTITION BY user_id ORDER BY s, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM mk
+), spans AS (
+  SELECT user_id, island, MAX(e) - MIN(s) AS len_us
+  FROM isl GROUP BY user_id, island
+), per_user AS (
+  SELECT user_id, COUNT(*) AS n_islands,
+         CAST(SUM(len_us) AS BIGINT) AS coverage_us
+  FROM spans GROUP BY user_id
+)
+SELECT CAST(coverage_us // 3600000000 AS BIGINT) AS coverage_hours_band,
+       COUNT(*) AS n_users,
+       CAST(SUM(n_islands) AS BIGINT) AS n_islands,
+       CAST(SUM(coverage_us) AS BIGINT) AS total_coverage_us
+FROM per_user
+GROUP BY coverage_hours_band
+ORDER BY coverage_hours_band
+""",
+    doc="Union-of-intervals coverage per user (30-min activity windows "
+    "merged via the prefix-max-end island sweep), censused into whole-"
+    "hour coverage bands: the overlap-merge primitive that SUM(length) "
+    "double-counts, in exact integer microseconds.",
+)
+def g21_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        "event_id",
+        epoch_us("ts").alias("s"),
+        (epoch_us("ts") + F.lit(_G21_LEN_US)).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_end = F.max("e").over(w_prev)
+    mk = iv.withColumn(
+        "ni",
+        F.when(prev_end.isNull() | (F.col("s") > prev_end), 1).otherwise(0),
+    )
+    isl = mk.select(
+        "user_id", "s", "e", F.sum("ni").over(w_run).alias("island")
+    )
+    spans = isl.groupBy("user_id", "island").agg(
+        (F.max("e") - F.min("s")).alias("len_us")
+    )
+    per_user = spans.groupBy("user_id").agg(
+        F.count("*").alias("n_islands"),
+        F.sum("len_us").cast("bigint").alias("coverage_us"),
+    )
+    return (
+        per_user.groupBy(
+            F.floor(F.col("coverage_us") / F.lit(3_600_000_000))
+            .cast("bigint")
+            .alias("coverage_hours_band")
+        )
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("n_islands").cast("bigint").alias("n_islands"),
+            F.sum("coverage_us").cast("bigint").alias("total_coverage_us"),
+        )
+        .orderBy("coverage_hours_band")
     )

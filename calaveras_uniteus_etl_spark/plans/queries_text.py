@@ -3954,3 +3954,126 @@ def x97_hashed_bow_source_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# X100 — n-gram repetition gate (Rae et al. 2021 A1.2, x70's companion)
+#
+# x70 checks Gopher's FORMAT rules; this is the REPETITION battery:
+# duplicate-word fraction (1 - distinct/total) and the fraction of
+# n-grams claimed by the single most frequent word 2-gram / 3-gram —
+# the signals that catch boilerplate and template spam that format
+# rules miss. Thresholds are corpus-calibrated (0.60 / 0.05 / 0.04)
+# so each rule splits this synthetic corpus non-degenerately; all
+# predicates are pure integer cross-multiplication.
+#
+# Scale shape: the top-n-gram mode runs RELATIONALLY — explode to
+# (doc_id, gram), count, per-doc max — two shuffles keyed by doc_id
+# (+gram), never an in-memory per-doc hashmap; the census is a 1-row
+# aggregate. A doc with n words emits ~2n gram rows: linear fan-out,
+# no quadratic term anywhere.
+# ---------------------------------------------------------------------------
+
+_X100_FLAGS = {
+    "fail_dup_word": "(5 * (n - nd) > 3 * n)",  # dup-word frac > 0.60
+    "fail_top_2gram": "(20 * topc2 > (n - 1))",  # top-2-gram frac > 0.05
+    "fail_top_3gram": "(25 * topc3 > (n - 2))",  # top-3-gram frac > 0.04
+}
+_X100_FAIL_ANY = " OR ".join(_X100_FLAGS.values())
+
+
+@register(
+    "x100_repetition_gate",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id, string_split({NORM_DUCK.format(col="text")}, ' ') AS w
+  FROM documents
+), s AS (
+  SELECT doc_id, len(w) AS n, len(list_distinct(w)) AS nd FROM m
+), bi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)),
+                               i -> w[i] || ' ' || w[i+1])) AS g
+  FROM m WHERE len(w) >= 2
+), mx2 AS (
+  SELECT doc_id, MAX(c) AS topc2
+  FROM (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY doc_id, g)
+  GROUP BY doc_id
+), tri AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+           AS g
+  FROM m WHERE len(w) >= 3
+), mx3 AS (
+  SELECT doc_id, MAX(c) AS topc3
+  FROM (SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY doc_id, g)
+  GROUP BY doc_id
+), per AS (
+  SELECT s.doc_id, n, nd,
+         COALESCE(topc2, 0) AS topc2, COALESCE(topc3, 0) AS topc3
+  FROM s LEFT JOIN mx2 USING (doc_id) LEFT JOIN mx3 USING (doc_id)
+)
+SELECT COUNT(*) AS n_docs,
+       {", ".join(f"CAST(SUM(CASE WHEN {p} THEN 1 ELSE 0 END) AS BIGINT) AS {r}" for r, p in _X100_FLAGS.items())},
+       CAST(SUM(CASE WHEN NOT ({_X100_FAIL_ANY}) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pass_all,
+       CAST(SUM(CASE WHEN NOT ({_X100_FAIL_ANY}) THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS retention_rate
+FROM per
+""",
+    doc="Repetition rule battery (Rae et al. 2021 A1.2 beside x70's "
+    "format rules): duplicate-word fraction plus top word-2-gram and "
+    "word-3-gram occupancy, mode found relationally (explode, count, "
+    "per-doc max), censused with integer cross-multiplied thresholds.",
+)
+def x100_repetition_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    m = d.select(
+        "doc_id",
+        F.expr(f"split({NORM_SPARK.format(col='text')}, ' ')").alias("w"),
+    )
+    s = m.select(
+        "doc_id",
+        F.expr("size(w)").alias("n"),
+        F.expr("size(array_distinct(w))").alias("nd"),
+    )
+
+    def top_gram(k: int, alias: str) -> DataFrame:
+        gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(k))
+        grams = m.filter(F.expr(f"size(w) >= {k}")).select(
+            "doc_id",
+            F.explode(
+                F.expr(f"transform(sequence(0, size(w) - {k}), i -> {gram})")
+            ).alias("g"),
+        )
+        return (
+            grams.groupBy("doc_id", "g")
+            .count()
+            .groupBy("doc_id")
+            .agg(F.max("count").alias(alias))
+        )
+
+    per = (
+        s.join(top_gram(2, "topc2"), "doc_id", "left")
+        .join(top_gram(3, "topc3"), "doc_id", "left")
+        .select(
+            "n",
+            "nd",
+            F.coalesce("topc2", F.lit(0)).alias("topc2"),
+            F.coalesce("topc3", F.lit(0)).alias("topc3"),
+        )
+    )
+    aggs = [F.count("*").alias("n_docs")]
+    for rule, pred in _X100_FLAGS.items():
+        aggs.append(
+            F.sum(F.when(F.expr(pred), 1).otherwise(0))
+            .cast("bigint")
+            .alias(rule)
+        )
+    pass_all = F.when(~F.expr(_X100_FAIL_ANY), 1).otherwise(0)
+    aggs.append(F.sum(pass_all).cast("bigint").alias("n_pass_all"))
+    aggs.append(
+        (F.sum(pass_all).cast("double") / F.count("*")).alias("retention_rate")
+    )
+    return per.agg(*aggs)

@@ -1,0 +1,220 @@
+"""Model checks for the round-5 additions.
+
+The DuckDB oracles prove cross-engine agreement; these prove the MATH
+— each operator re-derived with a naive single-node Python model on
+the sf0.001 tables, plus the closed-form invariants each estimator
+must satisfy (index-number bounds, estimator inequalities, union
+bounds).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter, defaultdict
+
+import duckdb
+
+from calaveras_uniteus_etl_spark.plans import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(spark, name):
+    return REGISTRY[name].fn(spark, SF).collect()
+
+
+def _duck(sql):
+    con = duckdb.connect()
+    for t in ("customer", "orders", "documents", "events", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con.execute(sql).fetchall()
+
+
+def _round_half_up(x: float) -> int:
+    # F.round / DuckDB ROUND semantics for positive operands
+    return math.floor(x + 0.5)
+
+
+# --- f56 Nelson-Aalen ------------------------------------------------------
+
+
+def _tenure_model():
+    rows = _duck(
+        "SELECT o_custkey, date_diff('day', MIN(o_orderdate),"
+        " MAX(o_orderdate)),"
+        " CASE WHEN MAX(o_orderdate) < DATE '2001-02-01' THEN 1 ELSE 0 END"
+        " FROM orders GROUP BY 1"
+    )
+    return [(t, c) for _, t, c in rows]
+
+
+def test_f56_matches_python_model(spark):
+    subj = _tenure_model()
+    d = Counter(t for t, c in subj if c)
+    h_nano = 0
+    expect = []
+    for t in sorted(d):
+        n = sum(1 for tt, _ in subj if tt >= t)
+        h_nano += _round_half_up(d[t] / n * 1e9)
+        expect.append((t, d[t], n, h_nano / 1e9))
+    got = [
+        (r.tenure_days, r.n_events, r.n_at_risk, r.cum_hazard)
+        for r in _rows(spark, "f56_nelson_aalen")
+    ]
+    assert got == expect
+
+
+def test_f56_dominates_kaplan_meier(spark):
+    """exp(-H_NA) >= S_KM pointwise (1-x <= e^-x per factor) — the
+    classic estimator inequality ties the two survival queries
+    together; equality only in the no-event limit."""
+    na = {r.tenure_days: r.fh_survival for r in _rows(spark, "f56_nelson_aalen")}
+    km = {r.tenure_days: r.survival for r in _rows(spark, "f39_kaplan_meier")}
+    assert set(na) == set(km)
+    for t in na:
+        assert na[t] >= km[t] - 1e-9, (t, na[t], km[t])
+    assert all(v >= 0 for v in na.values())
+
+
+def test_f56_hazard_monotone(spark):
+    rows = sorted(_rows(spark, "f56_nelson_aalen"), key=lambda r: r.tenure_days)
+    for a, b in zip(rows, rows[1:]):
+        assert b.cum_hazard >= a.cum_hazard
+        assert b.hazard_var >= a.hazard_var
+
+
+# --- f55 Fisher price index ------------------------------------------------
+
+
+def _price_model():
+    rows = _duck(
+        "SELECT CAST(year(l_shipdate) AS BIGINT), l_partkey,"
+        " CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE),"
+        " CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)"
+        " FROM lineitem GROUP BY 1, 2"
+    )
+    return {
+        (y, p): (_round_half_up(s / q * 1e4), q) for y, p, s, q in rows
+    }
+
+
+def test_f55_matches_python_model(spark):
+    py = _price_model()
+    base = {p: v for (y, p), v in py.items() if y == 1996}
+    expect = {}
+    for y in sorted({y for y, _ in py}):
+        nl = dl = np_ = dp = 0
+        n_parts = 0
+        for p, (pm0, q0) in base.items():
+            if (y, p) not in py:
+                continue
+            pm, q = py[(y, p)]
+            n_parts += 1
+            nl += pm * q0
+            dl += pm0 * q0
+            np_ += pm * q
+            dp += pm0 * q
+        if n_parts:
+            expect[y] = (n_parts, nl / dl, np_ / dp)
+    got = {
+        r.yr: (r.n_parts, r.laspeyres, r.paasche)
+        for r in _rows(spark, "f55_fisher_price_index")
+    }
+    assert got == expect
+
+
+def test_f55_base_year_is_unity_and_fisher_between(spark):
+    rows = _rows(spark, "f55_fisher_price_index")
+    by_year = {r.yr: r for r in rows}
+    b = by_year[1996]
+    assert b.laspeyres == 1.0 and b.paasche == 1.0 and b.fisher == 1.0
+    for r in rows:
+        lo, hi = sorted((r.laspeyres, r.paasche))
+        assert lo - 1e-12 <= r.fisher <= hi + 1e-12
+        # geometric mean consistency
+        assert math.isclose(
+            r.fisher, math.sqrt(r.laspeyres * r.paasche), rel_tol=1e-12
+        )
+
+
+# --- g21 interval-union coverage -------------------------------------------
+
+
+def _union_len(starts, length):
+    total = 0
+    cur_s = cur_e = None
+    for s in sorted(starts):
+        e = s + length
+        if cur_e is None or s > cur_e:
+            if cur_e is not None:
+                total += cur_e - cur_s
+            cur_s, cur_e = s, e
+        else:
+            cur_e = max(cur_e, e)
+    if cur_e is not None:
+        total += cur_e - cur_s
+    return total
+
+
+def test_g21_matches_python_model(spark):
+    ev = _duck("SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) FROM events")
+    per_user = defaultdict(list)
+    for u, t in ev:
+        per_user[u].append(t)
+    length = 30 * 60 * 1_000_000
+    bands = defaultdict(lambda: [0, 0, 0])
+    for u, starts in per_user.items():
+        cov = _union_len(starts, length)
+        # island count: starts beyond every previous interval's end
+        n_isl, max_end = 0, None
+        for s in sorted(starts):
+            if max_end is None or s > max_end:
+                n_isl += 1
+            max_end = s + length if max_end is None else max(max_end, s + length)
+        assert cov <= len(starts) * length
+        assert cov >= length  # every active user covers >= one window
+        band = cov // 3_600_000_000
+        bands[band][0] += 1
+        bands[band][1] += n_isl
+        bands[band][2] += cov
+    got = {
+        r.coverage_hours_band: (r.n_users, r.n_islands, r.total_coverage_us)
+        for r in _rows(spark, "g21_interval_union_coverage")
+    }
+    assert got == {b: tuple(v) for b, v in bands.items()}
+
+
+# --- x100 repetition gate --------------------------------------------------
+
+
+def test_x100_matches_python_model(spark):
+    docs = _duck("SELECT text FROM documents")
+    n_docs = len(docs)
+    fails = Counter()
+    n_pass = 0
+    for (text,) in docs:
+        w = re.sub(r"\s+", " ", text.strip()).lower().split(" ")
+        n, nd = len(w), len(set(w))
+        top2 = max(
+            Counter(zip(w, w[1:])).values(), default=0
+        )
+        top3 = max(
+            Counter(zip(w, w[1:], w[2:])).values(), default=0
+        )
+        f1 = 5 * (n - nd) > 3 * n
+        f2 = 20 * top2 > (n - 1)
+        f3 = 25 * top3 > (n - 2)
+        fails["fail_dup_word"] += f1
+        fails["fail_top_2gram"] += f2
+        fails["fail_top_3gram"] += f3
+        n_pass += not (f1 or f2 or f3)
+    [r] = _rows(spark, "x100_repetition_gate")
+    assert r.n_docs == n_docs
+    assert r.fail_dup_word == fails["fail_dup_word"]
+    assert r.fail_top_2gram == fails["fail_top_2gram"]
+    assert r.fail_top_3gram == fails["fail_top_3gram"]
+    assert r.n_pass_all == n_pass
+    assert r.retention_rate == n_pass / n_docs
