@@ -161,6 +161,10 @@ _NEW_THIS_ROUND: list[str] = [
     "f56_nelson_aalen",
     "g21_interval_union_coverage",
     "x100_repetition_gate",
+    "f57_hill_tail_index",
+    "x101_unigram_sampling_table",
+    "x102_systematic_resample",
+    "x103_retention_wilson_ci",
 ]
 
 # Entries with a GREEN driver row in rounds 1-4 (union = 179) sit in

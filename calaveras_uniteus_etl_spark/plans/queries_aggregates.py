@@ -5651,3 +5651,86 @@ def f55_fisher_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr")
     )
+
+
+# ---------------------------------------------------------------------------
+# F57 — Hill tail-index estimator (heavy-tail audit)
+#
+# How heavy is the order-value tail? The Hill (1975) estimator over
+# the top-k order statistics: H = (1/k) Σ ln(X_(i) / X_(k+1)),
+# tail index α = 1/H — the standard peaks-over-threshold readout
+# (α < 2 ⇒ infinite variance, Pareto-like revenue concentration).
+#
+# Cross-engine determinism: the top-(k+1) cut is a total order
+# (price DESC, orderkey ASC), each log ratio is ln of one IEEE
+# division of identical doubles, quantized to integer nano-nats
+# before the sum; H and α are single divisions of exact integers
+# cast to double.
+#
+# Scale: TakeOrderedAndProject ships k+1 = 201 rows to one task —
+# the ONLY single-partition step is over that constant-size relation
+# (documented bounded window), everything before it is a parallel
+# top-k reduction.
+# ---------------------------------------------------------------------------
+
+_F57_K = 200
+
+
+@register(
+    "f57_hill_tail_index",
+    oracle=f"""
+WITH top AS (
+  SELECT o_totalprice, o_orderkey,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC)
+           AS rn
+  FROM orders
+  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT {_F57_K + 1}
+), thresh AS (
+  SELECT o_totalprice AS xk1 FROM top WHERE rn = {_F57_K + 1}
+), terms AS (
+  SELECT CAST(ROUND(LN(t.o_totalprice / th.xk1) * 1e9) AS BIGINT) AS ln_nano
+  FROM top t CROSS JOIN thresh th
+  WHERE t.rn <= {_F57_K}
+)
+SELECT {_F57_K} AS k,
+       (SELECT xk1 FROM thresh) AS x_threshold,
+       CAST(SUM(ln_nano) AS DOUBLE) / {_F57_K}e9 AS hill_h,
+       {_F57_K}e9 / CAST(SUM(ln_nano) AS DOUBLE) AS tail_alpha
+FROM terms
+""",
+    doc="Hill tail-index over the top-200 order values: nano-nat-"
+    "quantized log ratios against the (k+1)-th order statistic, "
+    "H and alpha as single exact-integer divisions — the heavy-tail "
+    "variance-exists audit for revenue distributions.",
+)
+def f57_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    top = (
+        o.select("o_totalprice", "o_orderkey")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(_F57_K + 1)
+    )
+    # constant-size relation (201 rows): the global window is bounded
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    ranked = top.withColumn("rn", F.row_number().over(w))
+    thresh = ranked.filter(F.col("rn") == _F57_K + 1).select(
+        F.col("o_totalprice").alias("xk1")
+    )
+    terms = (
+        ranked.filter(F.col("rn") <= _F57_K)
+        .crossJoin(F.broadcast(thresh))  # 1-row scalar
+        .select(
+            F.round(F.log(F.col("o_totalprice") / F.col("xk1")) * 1e9)
+            .cast("bigint")
+            .alias("ln_nano"),
+            "xk1",
+        )
+    )
+    return terms.agg(
+        F.lit(_F57_K).alias("k"),
+        F.first("xk1").alias("x_threshold"),
+        (F.sum("ln_nano").cast("double") / F.lit(_F57_K * 1e9)).alias("hill_h"),
+        (F.lit(_F57_K * 1e9) / F.sum("ln_nano").cast("double")).alias(
+            "tail_alpha"
+        ),
+    )

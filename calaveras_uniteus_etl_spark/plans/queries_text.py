@@ -4077,3 +4077,268 @@ def x100_repetition_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(pass_all).cast("double") / F.count("*")).alias("retention_rate")
     )
     return per.agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# X101 — unigram^0.75 negative-sampling table (word2vec prep)
+#
+# Skip-gram training draws negatives from the smoothed unigram
+# distribution P(w) ∝ count(w)^0.75 (Mikolov et al. 2013 §2.2); the
+# serving artifact is a BUCKET TABLE: each token owns a contiguous
+# slice of a 2^20 grid proportional to its smoothed weight, so a
+# uniform integer draw maps to a token with one range probe. Built
+# here as a relational pipeline: token counts (data-sized shuffle),
+# then weights/cumsum/buckets on the VOCABULARY grain (bounded —
+# the only global window).
+#
+# Cross-engine determinism: c^0.75 is computed as sqrt(sqrt(c·c·c)) —
+# double multiply and sqrt are IEEE correctly-rounded, so both engines
+# produce bit-identical weights with NO libm pow() involved — then
+# quantized to integer micro-units; cumsum and bucket edges are pure
+# BIGINT arithmetic (floor division by the grand total).
+# ---------------------------------------------------------------------------
+
+_X101_GRID = 1 << 20
+
+
+@register(
+    "x101_unigram_sampling_table",
+    oracle=f"""
+WITH words AS (
+  SELECT unnest(string_split({NORM_DUCK.format(col="text")}, ' ')) AS token
+  FROM documents
+), vocab AS (
+  SELECT token, COUNT(*) AS cnt FROM words GROUP BY token
+), wt AS (
+  SELECT token, cnt,
+         CAST(ROUND(SQRT(SQRT(CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE)
+                              * CAST(cnt AS DOUBLE))) * 1e6) AS BIGINT)
+           AS weight_micro
+  FROM vocab
+), cum AS (
+  SELECT token, cnt, weight_micro,
+         CAST(SUM(weight_micro) OVER (ORDER BY cnt DESC, token ASC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS BIGINT) AS c_inc,
+         CAST(SUM(weight_micro) OVER () AS BIGINT) AS total
+  FROM wt
+)
+SELECT token, cnt, weight_micro,
+       CAST(((c_inc - weight_micro) * {_X101_GRID}) // total AS BIGINT)
+         AS bucket_start,
+       CAST((c_inc * {_X101_GRID}) // total AS BIGINT) AS bucket_end
+FROM cum ORDER BY cnt DESC, token ASC
+""",
+    doc="Negative-sampling bucket table: unigram counts smoothed by "
+    "^0.75 (computed as sqrt(sqrt(c^3)) — correctly-rounded IEEE ops "
+    "only, no libm pow), micro-quantized, cumulated over the bounded "
+    "vocabulary grain into contiguous slices of a 2^20 draw grid.",
+)
+def x101_unigram_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(
+            F.split(F.expr(NORM_SPARK.format(col="text")), " ")
+        ).alias("token")
+    )
+    vocab = words.groupBy("token").agg(F.count("*").alias("cnt"))
+    c = F.col("cnt").cast("double")
+    wt = vocab.select(
+        "token",
+        "cnt",
+        F.round(F.sqrt(F.sqrt(c * c * c)) * 1e6)
+        .cast("bigint")
+        .alias("weight_micro"),
+    )
+    # vocabulary grain: bounded global window
+    w_cum = Window.orderBy(F.desc("cnt"), F.asc("token")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy(F.desc("cnt"), F.asc("token")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = wt.select(
+        "token",
+        "cnt",
+        "weight_micro",
+        F.sum("weight_micro").over(w_cum).cast("bigint").alias("c_inc"),
+        F.sum("weight_micro").over(w_all).cast("bigint").alias("total"),
+    )
+    grid = F.lit(_X101_GRID).cast("bigint")
+    return cum.select(
+        "token",
+        "cnt",
+        "weight_micro",
+        F.expr(f"((c_inc - weight_micro) * {_X101_GRID}) div total")
+        .cast("bigint")
+        .alias("bucket_start"),
+        F.expr(f"(c_inc * {_X101_GRID}) div total")
+        .cast("bigint")
+        .alias("bucket_end"),
+    ).orderBy(F.desc("cnt"), F.asc("token"))
+
+
+# ---------------------------------------------------------------------------
+# X102 — systematic (grid) importance resampling
+#
+# x30/x75/x88 sample by hash race or allocation; SYSTEMATIC resampling
+# is the low-variance scheme particle filters and data-mixing recipes
+# use: lay K evenly-spaced grid points over the cumulative weight axis
+# (offset W/2K — deterministic, no RNG) and take each document once
+# per grid point its weight span covers. Long documents can be drawn
+# with multiplicity >1; every stratum of weight W/K contributes
+# exactly one draw — variance provably below multinomial sampling.
+#
+# The cumulative weight axis over EVERY document is a data-sized
+# prefix sum, so it runs on operators/prefix.py's two-phase
+# repartitionByRange plan (partition-local window + broadcast
+# offsets), never a single-partition sort. Grid-point counting per
+# document is closed-form BIGINT arithmetic on the inclusive/exclusive
+# prefix pair: npts(c) = ⌊(2cK − W)/2W⌋ + 1 for 2cK ≥ W.
+# ---------------------------------------------------------------------------
+
+_X102_K = 64
+
+
+@register(
+    "x102_systematic_resample",
+    oracle=f"""
+WITH cum AS (
+  SELECT doc_id, source, n_chars,
+         CAST(SUM(n_chars) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS c_inc,
+         CAST(SUM(n_chars) OVER () AS BIGINT) AS w
+  FROM documents
+), hits AS (
+  SELECT doc_id, source,
+         (CASE WHEN 2 * c_inc * {_X102_K} >= w
+               THEN (2 * c_inc * {_X102_K} - w) // (2 * w) + 1 ELSE 0 END)
+         - (CASE WHEN 2 * (c_inc - n_chars) * {_X102_K} >= w
+                 THEN (2 * (c_inc - n_chars) * {_X102_K} - w) // (2 * w) + 1
+                 ELSE 0 END) AS mult
+  FROM cum
+)
+SELECT source,
+       CAST(SUM(mult) AS BIGINT) AS n_draws,
+       CAST(SUM(CASE WHEN mult > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_drawn,
+       CAST(SUM(doc_id * mult) AS BIGINT) AS draw_checksum
+FROM hits WHERE mult > 0
+GROUP BY source ORDER BY source
+""",
+    doc=f"Systematic resampling: {_X102_K} evenly-spaced grid points "
+    "over the cumulative n_chars axis (deterministic half-stride "
+    "offset, no RNG), per-doc draw multiplicity in closed-form BIGINT "
+    "arithmetic on the distributed prefix sum — the low-variance "
+    "weighted resampler beside the hash-race samplers.",
+)
+def x102_systematic_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calaveras_uniteus_etl_spark.operators.prefix import prefix_rank
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    ranked = prefix_rank(
+        d,
+        [F.asc("doc_id")],
+        "n_chars",
+        cum_col="c_inc",
+        total_sum_col="w",
+    )
+    k2 = 2 * _X102_K
+    npts_inc = F.when(
+        F.expr(f"{k2} * c_inc >= w"),
+        F.expr(f"({k2} * c_inc - w) div (2 * w) + 1"),
+    ).otherwise(F.lit(0))
+    npts_exc = F.when(
+        F.expr(f"{k2} * (c_inc - n_chars) >= w"),
+        F.expr(f"({k2} * (c_inc - n_chars) - w) div (2 * w) + 1"),
+    ).otherwise(F.lit(0))
+    hits = ranked.select(
+        "doc_id", "source", (npts_inc - npts_exc).alias("mult")
+    ).filter(F.col("mult") > 0)
+    return (
+        hits.groupBy("source")
+        .agg(
+            F.sum("mult").cast("bigint").alias("n_draws"),
+            F.sum(F.when(F.col("mult") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs_drawn"),
+            F.sum(F.col("doc_id") * F.col("mult"))
+            .cast("bigint")
+            .alias("draw_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X103 — Wilson score interval on per-source retention
+#
+# Point retention rates (x70/x100) without uncertainty invite bad
+# curation calls on small sources; the Wilson (1927) score interval is
+# the standard small-n-safe CI for a binomial proportion (never
+# escapes [0,1], asymmetric near the edges — unlike the Wald
+# interval). Pass rule: n_chars >= threshold (a deliberately simple
+# gate; the CI machinery is the operator).
+#
+# Cross-engine determinism: z and z² are inlined as Python-repr'd
+# double literals (both engines parse decimal literals to the nearest
+# double → identical bits); everything downstream is +,·,/ and sqrt —
+# all IEEE correctly-rounded — evaluated in the same written order,
+# so the bounds are bit-identical with NO quantization step.
+# ---------------------------------------------------------------------------
+
+_X103_MIN_CHARS = 200
+_X103_Z = 1.96
+_X103_Z2 = _X103_Z * _X103_Z  # exact double product, inlined by repr
+
+
+@register(
+    "x103_retention_wilson_ci",
+    oracle=f"""
+WITH agg AS (
+  SELECT source, COUNT(*) AS n,
+         CAST(SUM(CASE WHEN n_chars >= {_X103_MIN_CHARS} THEN 1 ELSE 0 END)
+              AS BIGINT) AS s
+  FROM documents GROUP BY source
+)
+SELECT source, n, s,
+       CAST(s AS DOUBLE) / n AS p_hat,
+       (CAST(s AS DOUBLE) / n + {_X103_Z2!r} / (2 * n)
+        - {_X103_Z!r} * SQRT((CAST(s AS DOUBLE) / n)
+                             * (1 - CAST(s AS DOUBLE) / n) / n
+                             + {_X103_Z2!r} / (4.0 * n * n)))
+         / (1 + {_X103_Z2!r} / n) AS wilson_low,
+       (CAST(s AS DOUBLE) / n + {_X103_Z2!r} / (2 * n)
+        + {_X103_Z!r} * SQRT((CAST(s AS DOUBLE) / n)
+                             * (1 - CAST(s AS DOUBLE) / n) / n
+                             + {_X103_Z2!r} / (4.0 * n * n)))
+         / (1 + {_X103_Z2!r} / n) AS wilson_high
+FROM agg ORDER BY source
+""",
+    doc="Wilson score 95% CI on per-source retention (pass = n_chars "
+    ">= 200): repr-inlined z constants, correctly-rounded IEEE "
+    "arithmetic in identical evaluation order on both engines — "
+    "uncertainty-aware curation without a quantization step.",
+)
+def x103_retention_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    agg = d.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("n_chars") >= _X103_MIN_CHARS, 1).otherwise(0))
+        .cast("bigint")
+        .alias("s"),
+    )
+    n = F.col("n")
+    p = F.col("s").cast("double") / n
+    z, z2 = F.lit(_X103_Z), F.lit(_X103_Z2)
+    half = z * F.sqrt(p * (F.lit(1) - p) / n + z2 / (F.lit(4.0) * n * n))
+    denom = F.lit(1) + z2 / n
+    return agg.select(
+        "source",
+        "n",
+        "s",
+        p.alias("p_hat"),
+        ((p + z2 / (2 * n) - half) / denom).alias("wilson_low"),
+        ((p + z2 / (2 * n) + half) / denom).alias("wilson_high"),
+    ).orderBy("source")

@@ -218,3 +218,93 @@ def test_x100_matches_python_model(spark):
     assert r.fail_top_3gram == fails["fail_top_3gram"]
     assert r.n_pass_all == n_pass
     assert r.retention_rate == n_pass / n_docs
+
+
+# --- f57 Hill tail index ---------------------------------------------------
+
+
+def test_f57_matches_python_model(spark):
+    prices = sorted(
+        (p, k) for k, p in _duck("SELECT o_orderkey, o_totalprice FROM orders")
+    )
+    top = sorted(prices, key=lambda t: (-t[0], t[1]))[:201]
+    xk1 = top[200][0]
+    s_nano = sum(_round_half_up(math.log(p / xk1) * 1e9) for p, _ in top[:200])
+    [r] = REGISTRY["f57_hill_tail_index"].fn(spark, SF).collect()
+    assert r.k == 200
+    assert r.x_threshold == xk1
+    assert math.isclose(r.hill_h, s_nano / 200e9, rel_tol=1e-12)
+    assert math.isclose(r.tail_alpha, 200e9 / s_nano, rel_tol=1e-12)
+    assert r.hill_h > 0 and r.tail_alpha > 0
+
+
+# --- x101 negative-sampling table ------------------------------------------
+
+
+def test_x101_buckets_partition_the_grid(spark):
+    rows = sorted(
+        _rows(spark, "x101_unigram_sampling_table"),
+        key=lambda r: (-r.cnt, r.token),
+    )
+    grid = 1 << 20
+    assert rows[0].bucket_start == 0
+    assert rows[-1].bucket_end == grid
+    for a, b in zip(rows, rows[1:]):
+        assert a.bucket_end == b.bucket_start  # contiguous, no gaps
+    for r in rows:
+        assert r.bucket_end >= r.bucket_start
+        # slice width tracks the smoothed weight within rounding
+        expect = r.weight_micro / sum(x.weight_micro for x in rows) * grid
+        assert abs((r.bucket_end - r.bucket_start) - expect) <= 2
+
+
+def test_x101_weight_is_count_to_the_3_4(spark):
+    for r in _rows(spark, "x101_unigram_sampling_table"):
+        assert r.weight_micro == _round_half_up(r.cnt**0.75 * 1e6)
+
+
+# --- x102 systematic resample ----------------------------------------------
+
+
+def test_x102_matches_python_model(spark):
+    docs = _duck("SELECT doc_id, source, n_chars FROM documents ORDER BY doc_id")
+    w = sum(c for _, _, c in docs)
+    k = 64
+    per_src = defaultdict(lambda: [0, 0, 0])
+    cum = 0
+
+    def npts(c):
+        return (2 * c * k - w) // (2 * w) + 1 if 2 * c * k >= w else 0
+
+    total_draws = 0
+    for doc_id, src, c in docs:
+        cum += c
+        mult = npts(cum) - npts(cum - c)
+        total_draws += mult
+        if mult > 0:
+            per_src[src][0] += mult
+            per_src[src][1] += 1
+            per_src[src][2] += doc_id * mult
+    assert total_draws == k  # systematic draws exactly K
+    got = {
+        r.source: (r.n_draws, r.n_docs_drawn, r.draw_checksum)
+        for r in _rows(spark, "x102_systematic_resample")
+    }
+    assert got == {s: tuple(v) for s, v in per_src.items()}
+
+
+# --- x103 Wilson interval --------------------------------------------------
+
+
+def test_x103_wilson_properties(spark):
+    rows = _rows(spark, "x103_retention_wilson_ci")
+    for r in rows:
+        assert 0.0 <= r.wilson_low <= r.p_hat <= r.wilson_high <= 1.0
+        z, z2 = 1.96, 1.96 * 1.96
+        n, p = r.n, r.s / r.n
+        half = z * math.sqrt(p * (1 - p) / n + z2 / (4.0 * n * n))
+        denom = 1 + z2 / n
+        assert math.isclose(r.wilson_low, (p + z2 / (2 * n) - half) / denom,
+                            rel_tol=1e-12)
+        assert math.isclose(r.wilson_high, (p + z2 / (2 * n) + half) / denom,
+                            rel_tol=1e-12)
