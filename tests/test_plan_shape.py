@@ -583,3 +583,46 @@ def test_h29_rollup_is_single_expand_pass(spark):
     assert "Expand" in plan, plan
     scans = [ln for ln in plan.splitlines() if "orders.parquet" in ln]
     assert len(scans) == 1, scans
+
+
+def test_x102_resample_prefix_is_distributed(spark):
+    """The cumulative-weight axis spans EVERY document, so its running
+    sum must ride the two-phase prefix operator: any unpartitioned
+    windowspec in the plan is only allowed on the cluster-sized
+    __prefix_pid offsets branch."""
+    plan = physical(REGISTRY["x102_systematic_resample"].fn(spark, SF))
+    specs = [ln for ln in plan.splitlines() if "windowspecdefinition(" in ln]
+    assert specs, plan
+    for ln in specs:
+        first = ln.split("windowspecdefinition(", 1)[1].split(",", 1)[0]
+        unpartitioned = " ASC" in first or " DESC" in first
+        assert not unpartitioned or "__prefix_pid" in first, ln
+
+
+def test_g21_windows_partition_by_user(spark):
+    """Island detection must stay user-partitioned end to end — an
+    unpartitioned window would funnel the whole events table through
+    one task."""
+    plan = physical(REGISTRY["g21_interval_union_coverage"].fn(spark, SF))
+    specs = [ln for ln in plan.splitlines() if "windowspecdefinition(" in ln]
+    assert specs, plan
+    for ln in specs:
+        first = ln.split("windowspecdefinition(", 1)[1].split(",", 1)[0]
+        assert " ASC" not in first and " DESC" not in first, ln
+
+
+def test_x100_gram_mode_is_relational(spark):
+    """The top-n-gram mode must come from explode→count→max (hash
+    aggregates over (doc_id, gram)), never a per-doc in-memory
+    hashmap; and the gram fan-out must not produce a cartesian
+    product."""
+    plan = physical(REGISTRY["x100_repetition_gate"].fn(spark, SF))
+    assert "Generate explode" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_f57_topk_is_take_ordered(spark):
+    """The top-(k+1) cut must plan as TakeOrderedAndProject (parallel
+    partial top-k), not a global sort of the orders table."""
+    plan = physical(REGISTRY["f57_hill_tail_index"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
