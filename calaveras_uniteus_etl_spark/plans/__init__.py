@@ -165,6 +165,10 @@ _NEW_THIS_ROUND: list[str] = [
     "x101_unigram_sampling_table",
     "x102_systematic_resample",
     "x103_retention_wilson_ci",
+    "i4_multiset_ops",
+    "j5_datetime_suite",
+    "x104_eb_shrinkage",
+    "s10_session_window_native",
 ]
 
 # Entries with a GREEN driver row in rounds 1-4 (union = 179) sit in

@@ -5734,3 +5734,67 @@ def f57_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tail_alpha"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# I4 — multiset set operations (INTERSECT ALL / EXCEPT ALL)
+#
+# i2 covers the DISTINCT set operators; the *_ALL variants are a
+# different operator family with BAG semantics — INTERSECT ALL keeps
+# min(multiplicity), EXCEPT ALL subtracts multiplicities — which is
+# what order-frequency comparisons actually need (a customer with 3
+# orders in 1997 and 1 in 1998 contributes 1 to the intersection and
+# 2 to the surplus, not 1/0). Spark plans these as a multiplicity
+# groupBy + generate, fully parallel on the key shuffle.
+#
+# Output is a 2-row census (op, row count, key checksum) so the
+# checked surface is stable while the bag arithmetic is fully
+# exercised.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "i4_multiset_ops",
+    oracle="""
+WITH a AS (
+  SELECT o_custkey AS ck FROM orders WHERE year(o_orderdate) = 1997
+), b AS (
+  SELECT o_custkey AS ck FROM orders WHERE year(o_orderdate) = 1998
+)
+SELECT 'intersect_all' AS op, COUNT(*) AS n_rows,
+       CAST(COALESCE(SUM(ck), 0) AS BIGINT) AS key_checksum
+FROM (SELECT ck FROM a INTERSECT ALL SELECT ck FROM b)
+UNION ALL
+SELECT 'except_all' AS op, COUNT(*) AS n_rows,
+       CAST(COALESCE(SUM(ck), 0) AS BIGINT) AS key_checksum
+FROM (SELECT ck FROM a EXCEPT ALL SELECT ck FROM b)
+ORDER BY op
+""",
+    doc="Bag-semantics set operators: INTERSECT ALL (min multiplicity) "
+    "and EXCEPT ALL (multiplicity surplus) of 1997-vs-1998 customer "
+    "order multisets, censused as row counts + key checksums — the "
+    "*_ALL family i2's DISTINCT operators don't cover.",
+)
+def i4_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1997).select(
+        F.col("o_custkey").alias("ck")
+    )
+    b = o.filter(F.year("o_orderdate") == 1998).select(
+        F.col("o_custkey").alias("ck")
+    )
+
+    def census(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(
+            F.lit(op).alias("op"),
+            F.count("*").alias("n_rows"),
+            F.coalesce(F.sum("ck"), F.lit(0)).cast("bigint").alias(
+                "key_checksum"
+            ),
+        )
+
+    return (
+        census(a.intersectAll(b), "intersect_all")
+        .unionByName(census(a.exceptAll(b), "except_all"))
+        .orderBy("op")
+    )

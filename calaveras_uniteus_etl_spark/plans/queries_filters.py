@@ -729,3 +729,115 @@ def d12_topk_plus_others(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment", F.desc("revenue"), "slice")
     )
+
+
+# ---------------------------------------------------------------------------
+# J5 — calendar scalar battery (date_trunc / last_day / add_months /
+#      quarter / dayofyear)
+#
+# j1 covers julianday/strftime; this completes the calendar scalar
+# surface with the truncation-and-offset functions reporting layers
+# lean on: month/quarter/year truncation, month-end (leap-aware),
+# month addition with end-of-month clamping (add_months ≡ DuckDB
+# + INTERVAL 1 MONTH), quarter and day-of-year ordinals. Grouping by
+# truncated month keeps the output calendar-bounded at any SF.
+#
+# Cross-engine notes: Spark add_months and DuckDB month-interval
+# addition both clamp Jan 31 + 1mo → Feb 28/29; both last_day
+# implementations are leap-aware; day-of-year is 1-based in both.
+# All outputs surface as ISO date strings/BIGINT (identical canon in
+# both engines — DuckDB DATE otherwise round-trips through pandas as
+# datetime64) — no floating point anywhere.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j5_datetime_suite",
+    oracle="""
+SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR)
+         AS month_start,
+       CAST(CAST(date_trunc('quarter', o_orderdate) AS DATE) AS VARCHAR)
+         AS quarter_start,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+       CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE)
+            AS VARCHAR) AS next_month_clamped,
+       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+       CAST(dayofyear(o_orderdate) AS BIGINT) AS doy_of_first,
+       COUNT(*) AS n_orders
+FROM (
+  SELECT o_orderdate,
+         ROW_NUMBER() OVER (PARTITION BY date_trunc('month', o_orderdate)
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+) t
+WHERE rn = 1
+GROUP BY 1, 2, 3, 4, 5, 6
+UNION ALL
+SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR),
+       NULL, NULL, NULL, NULL, NULL, COUNT(*)
+FROM orders GROUP BY 1
+ORDER BY month_start, quarter_start NULLS FIRST
+""",
+    doc="Calendar scalar battery: date_trunc month/quarter, leap-aware "
+    "last_day, add_months with end-of-month clamping, quarter and "
+    "day-of-year ordinals — evaluated on each month's first order row "
+    "(deterministic representative) plus per-month counts, all "
+    "DATE/BIGINT outputs.",
+)
+def j5_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy(F.date_trunc("month", "o_orderdate")).orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    first = (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy(
+            F.date_trunc("month", "o_orderdate")
+            .cast("date")
+            .cast("string")
+            .alias("month_start"),
+            F.date_trunc("quarter", "o_orderdate")
+            .cast("date")
+            .cast("string")
+            .alias("quarter_start"),
+            F.last_day(F.col("o_orderdate").cast("date"))
+            .cast("string")
+            .alias("month_end"),
+            F.add_months(F.col("o_orderdate").cast("date"), 1)
+            .cast("string")
+            .alias("next_month_clamped"),
+            F.quarter("o_orderdate").cast("bigint").alias("qtr"),
+            F.dayofyear("o_orderdate").cast("bigint").alias("doy_of_first"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+    )
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate")
+        .cast("date")
+        .cast("string")
+        .alias("month_start")
+    ).agg(
+        F.lit(None).cast("string").alias("quarter_start"),
+        F.lit(None).cast("string").alias("month_end"),
+        F.lit(None).cast("string").alias("next_month_clamped"),
+        F.lit(None).cast("bigint").alias("qtr"),
+        F.lit(None).cast("bigint").alias("doy_of_first"),
+        F.count("*").alias("n_orders"),
+    )
+    sel = [
+        "month_start",
+        "quarter_start",
+        "month_end",
+        "next_month_clamped",
+        "qtr",
+        "doy_of_first",
+        "n_orders",
+    ]
+    return (
+        first.select(*sel)
+        .unionByName(monthly.select(*sel))
+        .orderBy("month_start", F.col("quarter_start").asc_nulls_first())
+    )

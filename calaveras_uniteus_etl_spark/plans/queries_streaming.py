@@ -698,3 +698,84 @@ def s9_incremental_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# S10 — native session_window ≡ relational gaps-and-islands
+#
+# Spark ships a first-class session operator (F.session_window, the
+# same construct Structured Streaming uses for watermarked session
+# aggregation); this query is the PARITY PROOF against the relational
+# definition: a session is a maximal run of same-user events whose
+# gaps are ≤ 30 min, its span is last_ts + gap − first_ts. The DuckDB
+# oracle computes sessions the only way ANSI SQL can (prefix-max-end
+# island sweep, g21's machinery); Spark computes them with the native
+# operator — hash-identical output means the built-in's merge
+# semantics match the declarative spec exactly, which is what makes
+# the streaming twin (session_window + watermark) trustworthy.
+#
+# Scale: session_window plans as a single user_id shuffle with
+# session merge inside the aggregate — no window function at all on
+# the Spark side.
+# ---------------------------------------------------------------------------
+
+_S10_GAP_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "s10_session_window_native",
+    oracle=f"""
+WITH iv AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s,
+         epoch_us(ts) + {_S10_GAP_US} AS e
+  FROM events
+), mk AS (
+  SELECT user_id, event_id, s, e,
+         CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) IS NULL
+                OR s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS ni
+  FROM iv
+), isl AS (
+  SELECT user_id, s, e,
+         SUM(ni) OVER (PARTITION BY user_id ORDER BY s, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM mk
+), sess AS (
+  SELECT user_id, island, COUNT(*) AS n_events,
+         MAX(e) - MIN(s) AS span_us
+  FROM isl GROUP BY user_id, island
+)
+SELECT user_id,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(SUM(span_us) AS BIGINT) AS total_span_us,
+       CAST(MAX(span_us) AS BIGINT) AS longest_span_us
+FROM sess GROUP BY user_id ORDER BY user_id
+""",
+    doc="Parity proof for Spark's native session_window against the "
+    "ANSI islands definition (30-min gap): per-user session count, "
+    "event count, total and longest session span in exact "
+    "microseconds — the hash match certifies the built-in merge "
+    "semantics the streaming twin relies on.",
+)
+def s10_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    sess = e.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("sw")
+    ).agg(F.count("*").alias("n_events"))
+    span = epoch_us(F.col("sw.end")) - epoch_us(F.col("sw.start"))
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum(span).cast("bigint").alias("total_span_us"),
+            F.max(span).cast("bigint").alias("longest_span_us"),
+        )
+        .orderBy("user_id")
+    )

@@ -4342,3 +4342,105 @@ def x103_retention_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((p + z2 / (2 * n) - half) / denom).alias("wilson_low"),
         ((p + z2 / (2 * n) + half) / denom).alias("wilson_high"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# X104 — empirical-Bayes (beta-binomial) shrinkage of source retention
+#
+# x103 puts intervals on raw per-source rates; the other standard move
+# is to SHRINK them toward the corpus: fit a Beta(α, β) prior across
+# sources by method of moments (Morris 1983) and report each source's
+# posterior mean (s+α)/(n+α+β) — small sources pull strongly to the
+# pooled rate, large ones barely move. The estimator OLAP engines ship
+# as "smoothed rates".
+#
+# Cross-engine determinism: pooled mean and each squared deviation are
+# IEEE ops on identical operands; deviations are quantized to integer
+# pico-units before the cross-source sum (order-free), and the
+# K = m(1-m)/v − 1 / α / β / posterior chain is evaluated in the same
+# written order on both engines. Underdispersion (v ≈ 0 or K ≤ 0)
+# degenerates to the pooled mean via an explicit CASE on both sides.
+#
+# Scale: one data-sized shuffle to the source grain; everything after
+# runs on the bounded source relation with 1-row broadcast scalars.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x104_eb_shrinkage",
+    oracle=f"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n,
+         CAST(SUM(CASE WHEN n_chars >= {_X103_MIN_CHARS} THEN 1 ELSE 0 END)
+              AS BIGINT) AS s
+  FROM documents GROUP BY source
+), t1 AS (
+  SELECT CAST(SUM(s) AS DOUBLE) / SUM(n) AS m, COUNT(*) AS k FROM per
+), t2 AS (
+  SELECT CAST(SUM(CAST(ROUND((CAST(s AS DOUBLE) / n - m)
+                             * (CAST(s AS DOUBLE) / n - m) * 1e12)
+                       AS BIGINT)) AS BIGINT) AS v_pico
+  FROM per CROSS JOIN t1
+)
+SELECT source, n, s,
+       CAST(s AS DOUBLE) / n AS raw_rate,
+       CASE WHEN v_pico <= 0
+              OR (m * (1 - m))
+                 / (CAST(v_pico AS DOUBLE) / (k * 1e12)) - 1 <= 0
+            THEN m
+            ELSE (s + m * ((m * (1 - m))
+                           / (CAST(v_pico AS DOUBLE) / (k * 1e12)) - 1))
+                 / (n + (m * (1 - m))
+                        / (CAST(v_pico AS DOUBLE) / (k * 1e12)) - 1)
+       END AS shrunk_rate
+FROM per CROSS JOIN t1 CROSS JOIN t2
+ORDER BY source
+""",
+    doc="Beta-binomial empirical-Bayes shrinkage of per-source "
+    "retention (method-of-moments prior across sources, pico-"
+    "quantized between-source variance): posterior means that pull "
+    "small sources to the pooled rate — the smoothed-rate companion "
+    "to x103's intervals.",
+)
+def x104_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("n_chars") >= _X103_MIN_CHARS, 1).otherwise(0))
+        .cast("bigint")
+        .alias("s"),
+    )
+    t1 = per.agg(
+        (F.sum("s").cast("double") / F.sum("n")).alias("m"),
+        F.count("*").alias("k"),
+    )
+    r = F.col("s").cast("double") / F.col("n")
+    t2 = (
+        per.crossJoin(F.broadcast(t1))  # 1-row scalar
+        .agg(
+            F.sum(
+                F.round((r - F.col("m")) * (r - F.col("m")) * 1e12).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("v_pico")
+        )
+    )
+    m, k, vp = F.col("m"), F.col("k"), F.col("v_pico")
+    kk = (m * (1 - m)) / (vp.cast("double") / (k * F.lit(1e12))) - 1
+    shrunk = F.when((vp <= 0) | (kk <= 0), m).otherwise(
+        (F.col("s") + m * kk) / (F.col("n") + kk)
+    )
+    return (
+        per.crossJoin(F.broadcast(t1))  # 1-row scalar
+        .crossJoin(F.broadcast(t2))  # 1-row scalar
+        .select(
+            "source",
+            "n",
+            "s",
+            r.alias("raw_rate"),
+            shrunk.alias("shrunk_rate"),
+        )
+        .orderBy("source")
+    )

@@ -308,3 +308,93 @@ def test_x103_wilson_properties(spark):
                             rel_tol=1e-12)
         assert math.isclose(r.wilson_high, (p + z2 / (2 * n) + half) / denom,
                             rel_tol=1e-12)
+
+
+# --- i4 multiset ops -------------------------------------------------------
+
+
+def test_i4_matches_python_model(spark):
+    rows = _duck(
+        "SELECT o_custkey, year(o_orderdate) FROM orders"
+        " WHERE year(o_orderdate) IN (1997, 1998)"
+    )
+    a = Counter(k for k, y in rows if y == 1997)
+    b = Counter(k for k, y in rows if y == 1998)
+    inter = {k: min(a[k], b[k]) for k in a if k in b}
+    exc = {k: a[k] - b.get(k, 0) for k in a if a[k] > b.get(k, 0)}
+    got = {r.op: (r.n_rows, r.key_checksum) for r in _rows(spark, "i4_multiset_ops")}
+    assert got["intersect_all"] == (
+        sum(inter.values()),
+        sum(k * m for k, m in inter.items()),
+    )
+    assert got["except_all"] == (
+        sum(exc.values()),
+        sum(k * m for k, m in exc.items()),
+    )
+
+
+# --- j5 calendar scalars ---------------------------------------------------
+
+
+def test_j5_calendar_identities(spark):
+    import datetime
+
+    rows = [r for r in _rows(spark, "j5_datetime_suite") if r.qtr is not None]
+    assert rows
+    for r in rows:
+        ms = datetime.date.fromisoformat(r.month_start)
+        qs = datetime.date.fromisoformat(r.quarter_start)
+        me = datetime.date.fromisoformat(r.month_end)
+        nm = datetime.date.fromisoformat(r.next_month_clamped)
+        assert ms.day == 1 and qs.day == 1
+        assert qs.month in (1, 4, 7, 10)
+        assert r.qtr == (ms.month - 1) // 3 + 1
+        # month_end is the last day of the representative's month
+        assert (me + datetime.timedelta(days=1)).day == 1
+        assert me.month == ms.month and me.year == ms.year
+        # add_months lands in the following month
+        assert (nm.year * 12 + nm.month) - (ms.year * 12 + ms.month) == 1
+
+
+# --- x104 EB shrinkage -----------------------------------------------------
+
+
+def test_x104_shrinkage_properties(spark):
+    rows = _rows(spark, "x104_eb_shrinkage")
+    ns = sum(r.s for r in rows)
+    nn = sum(r.n for r in rows)
+    m = ns / nn
+    for r in rows:
+        lo, hi = sorted((r.raw_rate, m))
+        # posterior mean lies between the raw rate and the pooled mean
+        assert lo - 1e-12 <= r.shrunk_rate <= hi + 1e-12
+    # smaller sources shrink proportionally harder
+    far = [
+        (r.n, abs(r.shrunk_rate - r.raw_rate) / (abs(m - r.raw_rate) + 1e-15))
+        for r in rows
+        if abs(m - r.raw_rate) > 1e-9
+    ]
+    if len(far) > 2:
+        big_n = max(far)[0]
+        small_n = min(far)[0]
+        big_pull = dict(far)[big_n]
+        small_pull = dict(far)[small_n]
+        assert small_pull >= big_pull - 1e-9
+
+
+# --- s10 native session_window ---------------------------------------------
+
+
+def test_s10_agrees_with_g21_union_coverage(spark):
+    """total session span per user ≡ g21's union-of-intervals coverage
+    (a session's span is exactly the union of its events' 30-min
+    windows) — ties the native operator to the island sweep."""
+    s10 = {r.user_id: r.total_span_us for r in _rows(spark, "s10_session_window_native")}
+    per_user = defaultdict(list)
+    for u, t in _duck(
+        "SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) FROM events"
+    ):
+        per_user[u].append(t)
+    gap = 30 * 60 * 1_000_000
+    for u, starts in per_user.items():
+        assert s10[u] == _union_len(starts, gap)
