@@ -169,6 +169,8 @@ _NEW_THIS_ROUND: list[str] = [
     "j5_datetime_suite",
     "x104_eb_shrinkage",
     "s10_session_window_native",
+    "f59_gumbel_block_maxima",
+    "x105_multiscale_repeat_census",
 ]
 
 # Entries with a GREEN driver row in rounds 1-4 (union = 179) sit in

@@ -5798,3 +5798,115 @@ def i4_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(census(a.exceptAll(b), "except_all"))
         .orderBy("op")
     )
+
+
+# ---------------------------------------------------------------------------
+# F59 — Gumbel block-maxima fit (extreme-value companion to f57)
+#
+# f57 measures the tail's power-law index; extreme-value theory's
+# other workhorse is the BLOCK-MAXIMA fit: take each month's maximum
+# daily revenue and fit a Gumbel distribution by method of moments
+# (β̂ = s·√6/π, μ̂ = x̄ − γβ̂, Coles 2001 §3), then read off the
+# 100-month return level μ̂ − β̂·ln(−ln(0.99)) — the "how big a day
+# should we provision for" number.
+#
+# Cross-engine determinism: daily sums are exact decimals; monthly
+# maxima are decimal MAX (order-free); the mean is one IEEE division
+# of a <2^53-exact decimal sum; squared deviations are quantized to
+# centi-units in a DECIMAL(38,0) accumulator (order-free at any SF —
+# squared revenue deviations overflow BIGINT); γ, π and
+# −ln(−ln(0.99)) are repr-inlined double literals, so every
+# downstream op is correctly-rounded IEEE arithmetic in identical
+# order (√ included).
+#
+# Scale: one day-grain aggregate (data-sized shuffle), then month
+# grain (calendar-bounded) — no global window anywhere.
+# ---------------------------------------------------------------------------
+
+_F59_GAMMA = 0.5772156649015329  # Euler–Mascheroni, repr-inlined
+_F59_PI = 3.141592653589793
+_F59_RL99 = 4.600149226776579  # −ln(−ln(0.99)), repr-inlined
+
+
+@register(
+    "f59_gumbel_block_maxima",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+           AS rev
+  FROM orders GROUP BY 1
+), monthly AS (
+  SELECT date_trunc('month', d) AS mo,
+         CAST(MAX(rev) AS DOUBLE) AS mx
+  FROM daily GROUP BY 1
+), mom AS (
+  SELECT COUNT(*) AS k,
+         CAST(SUM(CAST(mx AS DECIMAL(38,2))) AS DOUBLE) / COUNT(*) AS mean_mx
+  FROM monthly
+), dev AS (
+  SELECT k, mean_mx,
+         CAST(SUM(CAST(ROUND((mx - mean_mx) * (mx - mean_mx) * 1e2)
+                       AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ss_centi
+  FROM monthly CROSS JOIN mom
+  GROUP BY k, mean_mx
+)
+SELECT k AS n_months, mean_mx AS mean_max,
+       CAST(ss_centi AS DOUBLE) / ((k - 1) * 1e2) AS var_max,
+       SQRT(CAST(ss_centi AS DOUBLE) / ((k - 1) * 1e2))
+         * SQRT(6.0) / {_F59_PI!r} AS gumbel_beta,
+       mean_mx - {_F59_GAMMA!r}
+         * (SQRT(CAST(ss_centi AS DOUBLE) / ((k - 1) * 1e2))
+            * SQRT(6.0) / {_F59_PI!r}) AS gumbel_mu,
+       mean_mx - {_F59_GAMMA!r}
+         * (SQRT(CAST(ss_centi AS DOUBLE) / ((k - 1) * 1e2))
+            * SQRT(6.0) / {_F59_PI!r})
+       + (SQRT(CAST(ss_centi AS DOUBLE) / ((k - 1) * 1e2))
+          * SQRT(6.0) / {_F59_PI!r}) * {_F59_RL99!r} AS return_level_p99
+FROM dev
+""",
+    doc="Gumbel block-maxima fit over monthly maxima of exact daily "
+    "revenue: method-of-moments location/scale with micro-quantized "
+    "deviations and repr-inlined γ/π constants, plus the 1-in-100 "
+    "return level — extreme-value provisioning beside f57's Hill "
+    "index.",
+)
+def f59_gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(X.dec("o_totalprice")).cast("decimal(38,2)").alias("rev")
+    )
+    monthly = daily.groupBy(F.date_trunc("month", "d").alias("mo")).agg(
+        F.max("rev").cast("double").alias("mx")
+    )
+    mom = monthly.agg(
+        F.count("*").alias("k"),
+        (F.sum(F.col("mx").cast("decimal(38,2)")).cast("double") / F.count("*"))
+        .alias("mean_mx"),
+    )
+    dev = (
+        monthly.crossJoin(F.broadcast(mom))  # 1-row scalar
+        .groupBy("k", "mean_mx")
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("mx") - F.col("mean_mx"))
+                    * (F.col("mx") - F.col("mean_mx"))
+                    * 1e2
+                ).cast("decimal(38,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("ss_centi")
+        )
+    )
+    var = F.col("ss_centi").cast("double") / ((F.col("k") - 1) * F.lit(1e2))
+    beta = F.sqrt(var) * F.sqrt(F.lit(6.0)) / F.lit(_F59_PI)
+    mu = F.col("mean_mx") - F.lit(_F59_GAMMA) * beta
+    return dev.select(
+        F.col("k").alias("n_months"),
+        F.col("mean_mx").alias("mean_max"),
+        var.alias("var_max"),
+        beta.alias("gumbel_beta"),
+        mu.alias("gumbel_mu"),
+        (mu + beta * F.lit(_F59_RL99)).alias("return_level_p99"),
+    )

@@ -324,6 +324,7 @@ def x12_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from calaveras_uniteus_etl_spark.functions.hashing import duckdb_md5_long_sql as _fold
+from calaveras_uniteus_etl_spark.functions.hashing import duckdb_md5_long_flat_sql as _flat_fold
 
 
 @register(
@@ -4443,4 +4444,125 @@ def x104_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             shrunk.alias("shrunk_rate"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X105 — multi-scale intra-document repeat census
+#
+# x100 catches repeated 2/3-grams at the word grain; this measures
+# INTERNAL EXACT REPETITION AT EVERY SCALE: for span s ∈ {1,2,4,…,64}
+# characters, which documents contain some length-s substring twice,
+# how many repeat classes, how many positions? The multi-span profile
+# separates "repeats a phrase" from "repeats a paragraph" — the
+# signal that drives span-level dedup decisions (x44/x98 chunking)
+# rather than a single fixed n.
+#
+# Substring classes are md5-folded to the repo's standard 60-bit
+# fingerprint (functions/hashing.py — the same family every LSH/CDC
+# operator uses; the oracle applies the IDENTICAL fold, so both
+# engines agree unconditionally), which keeps the one shuffle at a
+# fixed ~24 bytes/row instead of up to 64-char substring keys.
+#
+# Scale: one explode → one (doc, span, digest) hash aggregate → a
+# 7-row census. Fan-out is ~|spans|·chars rows; at extreme corpus
+# scale the spans loop can run as independent passes, and each pass's
+# shuffle is digest-bounded — the same posture as x4's posting lists.
+# No window, no iteration, no driver loop.
+# ---------------------------------------------------------------------------
+
+_X105_SPANS = (1, 2, 4, 8, 16, 32, 64)
+
+
+@register(
+    "x105_multiscale_repeat_census",
+    oracle=f"""
+WITH spans(s) AS (VALUES {", ".join(f"({s})" for s in _X105_SPANS)}),
+m AS (
+  SELECT doc_id, {NORM_DUCK.format(col="text")} AS norm FROM documents
+), pos AS (
+  SELECT m.doc_id, spans.s, m.norm,
+         unnest(generate_series(1, length(m.norm) - spans.s + 1)) AS i
+  FROM m JOIN spans ON length(m.norm) >= spans.s
+), subs AS (
+  SELECT doc_id, s, {_flat_fold("h")} AS dig
+  FROM (SELECT doc_id, s, md5(substr(norm, i, s)) AS h FROM pos)
+), grp AS (
+  SELECT doc_id, s, dig, COUNT(*) AS c
+  FROM subs GROUP BY doc_id, s, dig
+), dup AS (
+  SELECT s, COUNT(DISTINCT doc_id) AS docs, COUNT(*) AS classes,
+         CAST(SUM(c) AS BIGINT) AS positions
+  FROM grp WHERE c >= 2 GROUP BY s
+)
+SELECT CAST(spans.s AS BIGINT) AS span,
+       CAST(COALESCE(dup.docs, 0) AS BIGINT) AS n_docs_with_repeat,
+       CAST(COALESCE(dup.classes, 0) AS BIGINT) AS n_repeat_classes,
+       CAST(COALESCE(dup.positions, 0) AS BIGINT) AS n_repeat_positions
+FROM spans LEFT JOIN dup ON spans.s = dup.s
+ORDER BY span
+""",
+    doc="Exact internal-repeat census at character spans 1..64 "
+    "(60-bit md5 substring classes, identical fold on both engines): "
+    "per span, documents/classes/positions with an intra-doc repeat "
+    "— the multi-scale repetition profile behind span-level dedup "
+    "choices, in one explode + one hash aggregate.",
+)
+def x105_multiscale_repeat_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import LongType
+
+    d = table(spark, sf_dir, "documents")
+    norm_sql = NORM_SPARK.format(col="text")
+    spans_arr = ", ".join(str(s) for s in _X105_SPANS)
+    # one explode producing (span, digest) per position per fitting span
+    subs = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"""
+                flatten(transform(array({spans_arr}), s ->
+                  transform(
+                    filter(sequence(1, greatest(length({norm_sql}) - s + 1, 1)),
+                           i -> i <= length({norm_sql}) - s + 1),
+                    i -> struct(s AS s,
+                                conv(substring(md5(substring({norm_sql}, i, s)), 1, 15),
+                                     16, 10) AS dig))))
+                """
+            )
+        ).alias("e"),
+    ).select(
+        "doc_id",
+        F.col("e.s").alias("s"),
+        F.col("e.dig").cast(LongType()).alias("dig"),
+    )
+    grp = subs.groupBy("doc_id", "s", "dig").agg(F.count("*").alias("c"))
+    dup = (
+        grp.filter(F.col("c") >= 2)
+        .groupBy("s")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias(
+                "n_docs_with_repeat"
+            ),
+            F.count("*").cast("bigint").alias("n_repeat_classes"),
+            F.sum("c").cast("bigint").alias("n_repeat_positions"),
+        )
+    )
+    spans = d.sparkSession.createDataFrame(
+        [(s,) for s in _X105_SPANS], "span int"
+    )
+    return (
+        spans.join(dup, spans.span == dup.s, "left")
+        .select(
+            F.col("span").cast("bigint").alias("span"),
+            F.coalesce("n_docs_with_repeat", F.lit(0))
+            .cast("bigint")
+            .alias("n_docs_with_repeat"),
+            F.coalesce("n_repeat_classes", F.lit(0))
+            .cast("bigint")
+            .alias("n_repeat_classes"),
+            F.coalesce("n_repeat_positions", F.lit(0))
+            .cast("bigint")
+            .alias("n_repeat_positions"),
+        )
+        .orderBy("span")
     )

@@ -398,3 +398,66 @@ def test_s10_agrees_with_g21_union_coverage(spark):
     gap = 30 * 60 * 1_000_000
     for u, starts in per_user.items():
         assert s10[u] == _union_len(starts, gap)
+
+
+# --- f59 Gumbel block maxima -----------------------------------------------
+
+
+def test_f59_matches_python_model(spark):
+    rows = _duck(
+        "SELECT date_trunc('month', d) AS mo, CAST(MAX(rev) AS DOUBLE) FROM ("
+        " SELECT CAST(o_orderdate AS DATE) AS d,"
+        "        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))"
+        "             AS DECIMAL(38,2)) AS rev"
+        " FROM orders GROUP BY 1) GROUP BY 1"
+    )
+    mx = [m for _, m in rows]
+    k = len(mx)
+    mean = sum(mx) / k  # python sum over ~36 floats: tolerance below
+    [r] = _rows(spark, "f59_gumbel_block_maxima")
+    assert r.n_months == k
+    assert math.isclose(r.mean_max, mean, rel_tol=1e-9)
+    var = sum((x - r.mean_max) ** 2 for x in mx) / (k - 1)
+    assert math.isclose(r.var_max, var, rel_tol=1e-6)
+    beta = math.sqrt(r.var_max) * math.sqrt(6.0) / math.pi
+    assert math.isclose(r.gumbel_beta, beta, rel_tol=1e-12)
+    assert math.isclose(
+        r.gumbel_mu, r.mean_max - 0.5772156649015329 * beta, rel_tol=1e-12
+    )
+    # the 1-in-100 return level must exceed the location and the mean
+    assert r.return_level_p99 > r.gumbel_mu
+    assert r.return_level_p99 > r.mean_max
+
+
+# --- x105 multi-scale repeat census ----------------------------------------
+
+
+def test_x105_matches_python_model(spark):
+    docs = _duck("SELECT doc_id, text FROM documents")
+    spans = (1, 2, 4, 8, 16, 32, 64)
+    expect = {s: [0, 0, 0] for s in spans}
+    for doc_id, text in docs:
+        norm = re.sub(r"\s+", " ", text.strip()).lower()
+        for s in spans:
+            if len(norm) < s:
+                continue
+            c = Counter(norm[i : i + s] for i in range(len(norm) - s + 1))
+            dups = {g: n for g, n in c.items() if n >= 2}
+            if dups:
+                expect[s][0] += 1
+                expect[s][1] += len(dups)
+                expect[s][2] += sum(dups.values())
+    got = {
+        r.span: (r.n_docs_with_repeat, r.n_repeat_classes, r.n_repeat_positions)
+        for r in _rows(spark, "x105_multiscale_repeat_census")
+    }
+    assert got == {s: tuple(v) for s, v in expect.items()}
+
+
+def test_x105_repeat_docs_monotone_in_span(spark):
+    """A length-2s repeat contains length-s repeats, so the doc count
+    can only fall as the span grows."""
+    rows = sorted(_rows(spark, "x105_multiscale_repeat_census"),
+                  key=lambda r: r.span)
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_docs_with_repeat <= a.n_docs_with_repeat
