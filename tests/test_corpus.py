@@ -1,0 +1,108 @@
+"""The Corpus facade must agree with the oracled registry queries it
+reuses — same normalization, same gates, same budget rule — and its
+funnel bookkeeping must be consistent stage to stage."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from calaveras_uniteus_etl_spark.corpus import Corpus
+from calaveras_uniteus_etl_spark.plans import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+DOCS = f"{SF}/documents.parquet"
+
+
+def _corpus(spark):
+    return Corpus.from_parquet(spark, DOCS)
+
+
+def test_exact_dedup_matches_x1_survivors(spark):
+    kept = _corpus(spark).exact_dedup().df
+    [census] = REGISTRY["x1_dedup_exact_survivors"].fn(spark, SF).collect()
+    assert kept.count() == census.unique_docs
+
+
+def test_gopher_gate_matches_x70_pass_count(spark):
+    got = _corpus(spark).quality_gate("gopher").df.count()
+    [row] = REGISTRY["x70_gopher_quality_gate"].fn(spark, SF).collect()
+    assert got == row.n_pass_all
+
+
+def test_repetition_gate_matches_x100_pass_count(spark):
+    got = _corpus(spark).quality_gate("repetition").df.count()
+    [row] = REGISTRY["x100_repetition_gate"].fn(spark, SF).collect()
+    assert got == row.n_pass_all
+
+
+def test_pack_to_budget_matches_x49_admission(spark):
+    budget = 10_000  # sf0.001 corpus holds ~28k tokens, so the cut bites
+    kept = _corpus(spark).pack_to_budget(budget)
+    toks = kept.df.agg(F.sum("n_tokens")).collect()[0][0]
+    assert toks <= budget
+    # greedy maximality: the next-best excluded doc would overflow
+    total_docs = spark.read.parquet(DOCS).count()
+    assert kept.df.count() < total_docs
+
+
+def test_with_lang_matches_x7_distribution(spark):
+    got = (
+        _corpus(spark)
+        .with_lang()
+        .df.groupBy("pred_lang")
+        .count()
+        .collect()
+    )
+    got = {r.pred_lang: r["count"] for r in got}
+    from collections import Counter
+
+    x7 = Counter(
+        r.lang_pred for r in REGISTRY["x7_language_id"].fn(spark, SF).collect()
+    )
+    assert got == dict(x7)
+
+
+def test_sample_per_source_matches_x75(spark):
+    got = (
+        _corpus(spark)
+        .sample_per_source(10)
+        .df.select("doc_id")
+        .collect()
+    )
+    got_ids = sorted(r.doc_id for r in got)
+    x75_ids = sorted(
+        r.doc_id for r in REGISTRY["x75_ares_sample"].fn(spark, SF).collect()
+    )
+    assert got_ids == x75_ids
+
+
+def test_manifest_is_monotone_funnel(spark):
+    c = (
+        _corpus(spark)
+        .exact_dedup()
+        .quality_gate("gopher", "repetition")
+        .with_token_counts()
+        .pack_to_budget(10_000)
+    )
+    rows = c.manifest().collect()
+    stages = [r.stage for r in rows]
+    assert stages[0] == "ingest"
+    assert stages[-1].startswith("pack_to_budget")
+    counts = [r.n_docs for r in rows]
+    # annotation stages keep counts; filters can only shrink
+    for a, b in zip(counts, counts[1:]):
+        assert b <= a
+    assert counts[-1] < counts[0]
+
+
+def test_quality_gate_unknown_rule_raises(spark):
+    with pytest.raises(ValueError):
+        _corpus(spark).quality_gate("nonsense")
+
+
+def test_pipeline_composes_lazily(spark):
+    c = _corpus(spark).exact_dedup().quality_gate("gopher").with_lang()
+    # no action has run; schema is resolvable and stages recorded
+    assert "pred_lang" in c.df.columns
+    assert len(c.stages) == 4

@@ -53,6 +53,10 @@ QUERIES = (
     "x86_editdist_join",       # q-gram count-filter similarity join
     "f39_kaplan_meier",        # customer-grain survival rollup
     "e17_bloom_prejoin",       # broadcast bloom probe over the fact table
+    "g21_interval_union_coverage",  # per-user prefix-max island sweep
+    "x102_systematic_resample",  # distributed prefix sum + grid arithmetic
+    "x105_multiscale_repeat_census",  # 7-span substring-digest explode
+    "f55_fisher_price_index",  # part-year unit values + base-year join
 )
 
 # Key columns that must be remapped per replica to keep joins
