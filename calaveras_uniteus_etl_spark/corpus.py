@@ -276,6 +276,16 @@ class Corpus:
         )
         return self._next(f"sample_per_source[{k}]", out)
 
+    def near_dup_dedup(self, min_est_sim: float = 0.5) -> "Corpus":
+        """Drop near-duplicates: x2's MinHash/LSH miner with the
+        keep-smallest-id survivor rule (the larger id of every
+        accepted pair is removed)."""
+        losers = _near_dup_losers(
+            self.df, self.text_col, self.id_col, min_est_sim
+        )
+        out = self.df.join(losers, self.id_col, "left_anti")
+        return self._next(f"near_dup_dedup[{min_est_sim}]", out)
+
     # --- readouts ----------------------------------------------------------
 
     def manifest(self) -> DataFrame:
@@ -293,3 +303,64 @@ class Corpus:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out.orderBy("stage_idx")
+
+
+def _near_dup_losers(
+    df: DataFrame, text_col: str, id_col: str, min_est_sim: float
+):
+    """IDs to drop under the keep-smallest-neighbor near-dup rule.
+
+    x2's MinHash/LSH miner verbatim (same shingles, signatures, band
+    keys, BUCKET_CAP, acceptance bar): a document is dropped iff an
+    accepted near-duplicate with a smaller id exists. Deterministic,
+    one pass; cluster-exact collapse (x14's components) remains the
+    registry's job.
+    """
+    from calaveras_uniteus_etl_spark.operators import dedup as dd
+    from calaveras_uniteus_etl_spark.plans.queries_dedup import BUCKET_CAP
+
+    sigs = (
+        dd.with_shingles(df, text_col)
+        .withColumn("hs", dd.shingle_hashes_expr())
+        .withColumn("sig", dd.minhash_sig_expr())
+        .select(F.col(id_col).alias("__nd_id"), "sig")
+        .cache()
+    )
+    bands = sigs.select(
+        "__nd_id", F.posexplode(dd.band_keys_expr()).alias("band", "band_key")
+    )
+    ok = (
+        bands.groupBy("band", "band_key")
+        .agg(F.count("*").alias("bc"))
+        .filter(F.col("bc") <= BUCKET_CAP)
+        .drop("bc")
+    )
+    bands = bands.join(ok, ["band", "band_key"])
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.__nd_id") < F.col("b.__nd_id")),
+        )
+        .select(
+            F.col("a.__nd_id").alias("__a"), F.col("b.__nd_id").alias("__b")
+        )
+        .distinct()
+    )
+    pairs = cand.join(
+        sigs.select(F.col("__nd_id").alias("__a"), F.col("sig").alias("sa")),
+        "__a",
+    ).join(
+        sigs.select(F.col("__nd_id").alias("__b"), F.col("sig").alias("sb")),
+        "__b",
+    )
+    nm = F.expr(
+        f"size(filter(sequence(0, {dd.MINHASH_K - 1}), i -> sa[i] = sb[i]))"
+    )
+    accepted = pairs.select("__a", "__b", nm.alias("nm")).filter(
+        F.col("nm").cast("double") / dd.MINHASH_K >= min_est_sim
+    )
+    # drop the LARGER id of each accepted pair
+    return accepted.select(F.col("__b").alias(id_col)).distinct()

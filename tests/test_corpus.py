@@ -106,3 +106,26 @@ def test_pipeline_composes_lazily(spark):
     # no action has run; schema is resolvable and stages recorded
     assert "pred_lang" in c.df.columns
     assert len(c.stages) == 4
+
+
+def test_near_dup_dedup_drops_planted_duplicate(spark):
+    """Plant a near-identical copy of an existing doc (one word
+    changed) and an exact copy under new ids: both must be dropped
+    while the originals survive; survivors = x2-accepted pair logic."""
+    base = spark.read.parquet(DOCS)
+    donor = base.orderBy(F.desc("n_chars")).limit(1).collect()[0]
+    near = donor.text.replace(donor.text.split(" ")[0], "zzz", 1)
+    extra = spark.createDataFrame(
+        [
+            (90_001, near, donor.lang, donor.source, len(near)),
+            (90_002, donor.text, donor.lang, donor.source, len(donor.text)),
+        ],
+        base.schema,
+    )
+    c = Corpus(spark, base.unionByName(extra))
+    c.stages = [("ingest", c.df)]
+    kept = c.near_dup_dedup().df
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert donor.doc_id in ids  # smallest id survives
+    assert 90_002 not in ids  # exact copy is also a near-dup: dropped
+    assert 90_001 not in ids  # one-word-changed copy: dropped
