@@ -171,6 +171,9 @@ _NEW_THIS_ROUND: list[str] = [
     "s10_session_window_native",
     "f59_gumbel_block_maxima",
     "x105_multiscale_repeat_census",
+    "x106_ccnet_terciles",
+    "x107_distinct_ngram_diversity",
+    "x108_term_adaptation",
 ]
 
 # Entries with a GREEN driver row in rounds 1-4 (union = 179) sit in

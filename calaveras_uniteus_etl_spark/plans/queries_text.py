@@ -4566,3 +4566,265 @@ def x105_multiscale_repeat_census(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("span")
     )
+
+
+# ---------------------------------------------------------------------------
+# X106 — CCNet head/middle/tail partition by LM score
+#
+# CCNet (Wenzek et al. 2020) splits a crawl into head/middle/tail
+# TERCILES by language-model perplexity and trains on the head: the
+# canonical "learned quality" partition. Here the score is x25's
+# per-doc mean unigram log-prob (same micro-nat contract), and the
+# tercile cut is EXACT by global rank — rank ≤ N/3 is head,
+# ≤ 2N/3 middle, else tail — not an approximate percentile.
+#
+# The global rank over every document rides the distributed prefix
+# operator (repartitionByRange + partition-local row_number +
+# broadcast offsets); the oracle uses a plain window ROW_NUMBER. Ties
+# break on doc_id, so the cut is a total order in both engines, and
+# every bucket boundary is integer arithmetic on (rank, N).
+#
+# Scale: x25's two token passes (map-side combined, broadcast vocab)
+# + one prefix rank + a bucket×source census. No global sort, no
+# single-partition window.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x106_ccnet_terciles",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({NORM_DUCK.format(col="text")}, ' ')) AS term
+  FROM documents
+), vocab AS (
+  SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term
+), total AS (
+  SELECT SUM(cnt) AS n_tokens FROM vocab
+), lp AS (
+  SELECT term,
+         CAST(ROUND(ln(CAST(cnt AS DOUBLE) / n_tokens) * 1e6) AS BIGINT)
+           AS lp_micro
+  FROM vocab CROSS JOIN total
+), scored AS (
+  SELECT t.doc_id,
+         CAST(SUM(lp.lp_micro) AS BIGINT) AS lp_sum,
+         CAST(COUNT(*) AS BIGINT) AS n_toks
+  FROM toks t JOIN lp USING (term) GROUP BY t.doc_id
+), ranked AS (
+  SELECT d.doc_id, d.source, s.n_toks,
+         ROW_NUMBER() OVER (
+           ORDER BY CAST(s.lp_sum AS DOUBLE) / s.n_toks DESC, d.doc_id ASC
+         ) AS rn,
+         COUNT(*) OVER () AS n
+  FROM documents d JOIN scored s USING (doc_id)
+)
+SELECT CASE WHEN 3 * rn <= n THEN 'head'
+            WHEN 3 * rn <= 2 * n THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+FROM ranked
+GROUP BY 1, 2 ORDER BY bucket, source
+""",
+    doc="CCNet head/middle/tail terciles by x25's mean unigram "
+    "log-prob (exact global-rank cuts on the distributed prefix "
+    "operator, total-order tiebreak), censused per bucket and "
+    "source — the learned-quality partition that picks the training "
+    "slice.",
+)
+def x106_ccnet_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calaveras_uniteus_etl_spark.operators.prefix import prefix_rank
+
+    d = table(spark, sf_dir, "documents")
+    scored = x25_unigram_logprob(spark, sf_dir).select(
+        "doc_id",
+        F.col("lp_micro_sum").alias("lp_sum"),
+        F.col("n_tokens").alias("n_toks"),
+    )
+    base = d.select("doc_id", "source").join(scored, "doc_id")
+    score = F.col("lp_sum").cast("double") / F.col("n_toks")
+    ranked = prefix_rank(
+        base.withColumn("__score", score),
+        [F.desc("__score"), F.asc("doc_id")],
+        rn_col="rn",
+        total_rows_col="n",
+    )
+    bucket = (
+        F.when(3 * F.col("rn") <= F.col("n"), "head")
+        .when(3 * F.col("rn") <= 2 * F.col("n"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        ranked.groupBy(bucket.alias("bucket"), "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("bucket", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X107 — distinct-n diversity census (corpus repetitiveness per source)
+#
+# distinct-n (Li et al. 2016, "A Diversity-Promoting Objective
+# Function for Neural Conversation Models"): the fraction of n-gram
+# instances that are unique. Low distinct-2/3 marks templated or
+# self-repetitive sources worth down-weighting before training — the
+# corpus-level cousin of x17's per-doc repetition signals and x105's
+# intra-doc repeat census, aggregated to the (source, n) grain where
+# mixing decisions are made.
+#
+# Scale shape: grams are digested (md5) BEFORE the shuffle so the
+# exchange carries fixed-width digests, and the distinct count is a
+# two-level aggregate — groupBy(source, n, digest) with map-side
+# combine, then a (source, n)-grain rollup — instead of a
+# countDistinct expand over the raw gram stream. Both engines count
+# distinct digests, so collisions (if any) are identical on both
+# sides and the comparison stays exact.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x107_distinct_ngram_diversity",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, string_split({NORM_DUCK.format(col="text")}, ' ') AS t
+  FROM documents
+), grams AS (
+  SELECT source, ns.n,
+         unnest([md5(array_to_string(t[i:i+ns.n-1], ' '))
+                 for i in range(1, len(t)-ns.n+2)]) AS g
+  FROM toks CROSS JOIN (VALUES (1), (2), (3)) ns(n)
+), per_gram AS (
+  SELECT source, n, g, COUNT(*) AS cnt FROM grams GROUP BY 1, 2, 3
+)
+SELECT source, n,
+       CAST(SUM(cnt) AS BIGINT) AS n_grams,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 4) AS distinct_ratio
+FROM per_gram GROUP BY 1, 2 ORDER BY source, n
+""",
+    doc="distinct-n diversity (n=1..3) per source: unique-fraction of "
+    "n-gram instances (Li et al. 2016) — the corpus-grain "
+    "repetitiveness gauge for source down-weighting; digest-grain "
+    "two-level aggregate, no countDistinct expand.",
+)
+def x107_distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.split(F.expr(NORM_SPARK.format(col="text")), " ").alias("t"),
+    )
+    grams = (
+        toks.select(
+            "source",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("n"),
+            "t",
+        )
+        # guard BEFORE sequence(): Spark's sequence(1, k) runs
+        # DESCENDING when k < 1, which would fabricate grams for
+        # docs shorter than n
+        .filter(F.size("t") >= F.col("n"))
+        .select(
+            "source",
+            "n",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - n + 1),"
+                    " i -> md5(array_join(slice(t, i, n), ' ')))"
+                )
+            ).alias("g"),
+        )
+    )
+    per_gram = grams.groupBy("source", "n", "g").agg(F.count("*").alias("cnt"))
+    return (
+        per_gram.groupBy("source", "n")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_grams"),
+            F.count("*").cast("bigint").alias("n_distinct"),
+            F.round(F.count("*").cast("double") / F.sum("cnt"), 4).alias(
+                "distinct_ratio"
+            ),
+        )
+        .orderBy("source", "n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X108 — term adaptation (Church 2000: "the chance of two Noriegas")
+#
+# For each high-DF term: adaptation = P(term recurs in a doc | it
+# occurred once) = df2/df1, vs the base rate P(occurs at all) = df/N.
+# Church's empirical law — adaptation is closer to p/2 than the
+# independence prediction p² — is the statistical fingerprint of
+# topical text; terms whose adaptation ≈ base rate behave like
+# function words. In a curation pipeline this separates content terms
+# (good keyword features, x12's TF-IDF numerators) from glue, with no
+# stopword list.
+#
+# Two map-side-combined aggregates on shrinking grains — (doc, term)
+# then term — a broadcast 1-row N, and a TakeOrderedAndProject top-50:
+# nothing data-sized crosses a single task.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x108_term_adaptation",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split({NORM_DUCK.format(col="text")}, ' ')) AS term
+  FROM documents
+), per AS (
+  SELECT doc_id, term, COUNT(*) AS c FROM toks GROUP BY 1, 2
+), stats AS (
+  SELECT term, COUNT(*) AS df,
+         CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+  FROM per GROUP BY 1
+), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT term, df, df2,
+       ROUND(CAST(df2 AS DOUBLE) / df, 4) AS adaptation,
+       ROUND(CAST(df AS DOUBLE) / n_docs, 4) AS base_rate
+FROM stats CROSS JOIN n
+ORDER BY df DESC, term LIMIT 50
+""",
+    doc="Term adaptation (Church 2000): P(recurrence | occurrence) = "
+    "df2/df vs base rate df/N for the top-50 DF terms — flags "
+    "content terms (adaptation >> base rate) without a stopword "
+    "list; doc-term then term-grain aggregates, broadcast scalar N, "
+    "top-k sort.",
+)
+def x108_term_adaptation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.expr(NORM_SPARK.format(col="text")), " ")).alias(
+            "term"
+        ),
+    )
+    per = toks.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    stats = per.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum(F.when(F.col("c") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("df2"),
+    )
+    n = d.agg(F.count("*").alias("n_docs"))  # 1 row, broadcast by planner
+    return (
+        stats.crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            "df",
+            "df2",
+            F.round(F.col("df2").cast("double") / F.col("df"), 4).alias(
+                "adaptation"
+            ),
+            F.round(F.col("df").cast("double") / F.col("n_docs"), 4).alias(
+                "base_rate"
+            ),
+        )
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(50)
+    )

@@ -461,3 +461,139 @@ def test_x105_repeat_docs_monotone_in_span(spark):
                   key=lambda r: r.span)
     for a, b in zip(rows, rows[1:]):
         assert b.n_docs_with_repeat <= a.n_docs_with_repeat
+
+
+# --- x106 CCNet terciles ---------------------------------------------------
+
+
+def test_x106_matches_python_model(spark):
+    toks = _duck(
+        "SELECT doc_id, unnest(string_split(lower(regexp_replace(trim(text),"
+        " '\\s+', ' ', 'g')), ' ')) FROM documents"
+    )
+    srcs = dict(_duck("SELECT doc_id, source FROM documents"))
+    vocab = Counter(t for _, t in toks)
+    total = sum(vocab.values())
+    lp = {t: _round_half_up(math.log(c / total) * 1e6) for t, c in vocab.items()}
+    per_doc = defaultdict(lambda: [0, 0])
+    for d, t in toks:
+        per_doc[d][0] += lp[t]
+        per_doc[d][1] += 1
+    order = sorted(per_doc, key=lambda d: (-(per_doc[d][0] / per_doc[d][1]), d))
+    n = len(order)
+    expect = defaultdict(lambda: [0, 0])
+    for rn, d in enumerate(order, start=1):
+        b = "head" if 3 * rn <= n else ("middle" if 3 * rn <= 2 * n else "tail")
+        expect[(b, srcs[d])][0] += 1
+        expect[(b, srcs[d])][1] += per_doc[d][1]
+    got = {
+        (r.bucket, r.source): (r.n_docs, r.n_tokens)
+        for r in _rows(spark, "x106_ccnet_terciles")
+    }
+    assert got == {k: tuple(v) for k, v in expect.items()}
+
+
+def test_x106_buckets_are_balanced(spark):
+    rows = _rows(spark, "x106_ccnet_terciles")
+    per_bucket = defaultdict(int)
+    for r in rows:
+        per_bucket[r.bucket] += r.n_docs
+    n = sum(per_bucket.values())
+    assert per_bucket["head"] == n // 3
+    assert per_bucket["head"] + per_bucket["middle"] == (2 * n) // 3
+
+
+# --- x107 distinct-n diversity ---------------------------------------------
+
+
+def _x107_model():
+    toks = _duck(
+        "SELECT source, string_split(lower(regexp_replace(trim(text),"
+        " '\\s+', ' ', 'g')), ' ') FROM documents"
+    )
+    expect = {}
+    for n in (1, 2, 3):
+        per_src = defaultdict(Counter)
+        for src, t in toks:
+            for i in range(len(t) - n + 1):
+                per_src[src][tuple(t[i : i + n])] += 1
+        for src, c in per_src.items():
+            total, distinct = sum(c.values()), len(c)
+            expect[(src, n)] = (
+                total,
+                distinct,
+                _round_half_up(distinct / total * 1e4) / 1e4,
+            )
+    return expect
+
+
+def test_x107_matches_python_model(spark):
+    got = {
+        (r.source, r.n): (r.n_grams, r.n_distinct, r.distinct_ratio)
+        for r in _rows(spark, "x107_distinct_ngram_diversity")
+    }
+    assert got == _x107_model()
+
+
+def test_x107_gram_counts_decrease_with_n(spark):
+    rows = _rows(spark, "x107_distinct_ngram_diversity")
+    by_src = defaultdict(dict)
+    for r in rows:
+        by_src[r.source][r.n] = r
+    for src, d in by_src.items():
+        assert set(d) == {1, 2, 3}
+        # each doc contributes exactly len-n+1 grams, so totals strictly
+        # decrease with n while uniqueness (the diversity signal) rises
+        assert d[1].n_grams > d[2].n_grams > d[3].n_grams
+        assert d[1].distinct_ratio < d[2].distinct_ratio < d[3].distinct_ratio
+
+
+# --- x108 term adaptation ---------------------------------------------------
+
+
+def _x108_model():
+    toks = _duck(
+        "SELECT doc_id, unnest(string_split(lower(regexp_replace(trim(text),"
+        " '\\s+', ' ', 'g')), ' ')) FROM documents"
+    )
+    n_docs = _duck("SELECT COUNT(*) FROM documents")[0][0]
+    per = Counter(toks)
+    df, df2 = Counter(), Counter()
+    for (_, term), c in per.items():
+        df[term] += 1
+        if c >= 2:
+            df2[term] += 1
+    ranked = sorted(df, key=lambda t: (-df[t], t))[:50]
+    return {
+        t: (
+            df[t],
+            df2[t],
+            _round_half_up(df2[t] / df[t] * 1e4) / 1e4,
+            _round_half_up(df[t] / n_docs * 1e4) / 1e4,
+        )
+        for t in ranked
+    }
+
+
+def test_x108_matches_python_model(spark):
+    got = {
+        r.term: (r.df, r.df2, r.adaptation, r.base_rate)
+        for r in _rows(spark, "x108_term_adaptation")
+    }
+    assert got == _x108_model()
+
+
+def test_x108_bounds_and_ranking(spark):
+    # Hard invariants only: the synthetic corpus draws tokens nearly
+    # independently, so Church's adaptation>>independence inequality
+    # (which motivates the metric on real text) is NOT asserted here —
+    # the exact-model test above already pins every value.
+    n_docs = _duck("SELECT COUNT(*) FROM documents")[0][0]
+    rows = _rows(spark, "x108_term_adaptation")
+    assert 0 < len(rows) <= 50
+    dfs = [r.df for r in rows]
+    assert dfs == sorted(dfs, reverse=True)  # top-50 by DF
+    for r in rows:
+        assert 0 <= r.df2 <= r.df <= n_docs
+        assert 0.0 <= r.adaptation <= 1.0
+        assert 0.0 < r.base_rate <= 1.0
