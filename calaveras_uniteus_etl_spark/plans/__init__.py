@@ -174,6 +174,9 @@ _NEW_THIS_ROUND: list[str] = [
     "x106_ccnet_terciles",
     "x107_distinct_ngram_diversity",
     "x108_term_adaptation",
+    "f60_mann_kendall",
+    "f61_spearman_rank_corr",
+    "x109_padding_waste",
 ]
 
 # Entries with a GREEN driver row in rounds 1-4 (union = 179) sit in

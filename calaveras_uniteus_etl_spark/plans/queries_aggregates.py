@@ -5910,3 +5910,253 @@ def f59_gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
         mu.alias("gumbel_mu"),
         (mu + beta * F.lit(_F59_RL99)).alias("return_level_p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F60 — Mann–Kendall trend test on daily revenue
+#
+# The nonparametric complement to f46's Theil–Sen slope (which only
+# ESTIMATES the trend) and f54's runs test (which detects serial
+# dependence, not monotone drift): S = Σ_{i<j} sign(y_j − y_i) over
+# the day-grain revenue series, tie-corrected variance
+# V = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18, continuity-corrected
+# z = (S∓1)/√V. |z| > 1.96 ⇒ a monotone trend at α = 0.05 with no
+# distributional assumption — the standard pre-check before fitting
+# f26/f46 slopes.
+#
+# The pairwise join runs on the DAY grain: its size is bounded by the
+# calendar span squared (~2.4k days → 2.9M sign evaluations), not by
+# data volume, so it is scale-safe by construction — 100 TB adds rows
+# per day, not days. Revenue is the f54 integer-cents convention, so
+# every sign() and tie group is exact integer arithmetic.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f60_mann_kendall",
+    oracle="""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1995-01-01', o_orderdate) AS d,
+         CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                         AS DECIMAL(38,2)), 0) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+), s AS (
+  SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                       WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT)
+           AS s_stat
+  FROM daily a JOIN daily b ON a.d < b.d
+), ties AS (
+  SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tt
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily
+        GROUP BY y HAVING COUNT(*) > 1)
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily)
+SELECT n_days, s_stat,
+       ROUND((n_days * (n_days - 1) * (2 * n_days + 5) - tt) / 18.0, 4)
+         AS var_s,
+       ROUND(CASE WHEN s_stat > 0 THEN (s_stat - 1)
+                    / SQRT((n_days * (n_days - 1) * (2 * n_days + 5) - tt)
+                           / 18.0)
+                  WHEN s_stat < 0 THEN (s_stat + 1)
+                    / SQRT((n_days * (n_days - 1) * (2 * n_days + 5) - tt)
+                           / 18.0)
+                  ELSE 0.0 END, 6) AS z_score
+FROM n CROSS JOIN s CROSS JOIN ties
+""",
+    doc="Mann–Kendall trend test: S = pairwise sign sum over the "
+    "day-grain revenue series (calendar-bounded quadratic), "
+    "tie-corrected variance, continuity-corrected z — the "
+    "distribution-free monotone-trend gate ahead of f26/f46 slope "
+    "fits.",
+)
+def f60_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("date")
+        ).alias("d")
+    ).agg(
+        F.round(F.sum(X.dec("o_totalprice")).cast("decimal(38,2)"), 0)
+        .cast("bigint")
+        .alias("y")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (
+        a.join(b, F.col("a.d") < F.col("b.d"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.y") > F.col("a.y"), 1)
+                .when(F.col("b.y") < F.col("a.y"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    ties = (
+        daily.groupBy("y")
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tt")
+        )
+    )
+    n = daily.agg(F.count("*").cast("bigint").alias("n_days"))
+    # three 1-row scalars — broadcast crossJoins by construction
+    joined = n.crossJoin(F.broadcast(s)).crossJoin(F.broadcast(ties))
+    var_num = (
+        F.col("n_days")
+        * (F.col("n_days") - 1)
+        * (2 * F.col("n_days") + 5)
+        - F.col("tt")
+    )
+    var_s = var_num / F.lit(18.0)
+    z = (
+        F.when(
+            F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt(var_s)
+        )
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return joined.select(
+        "n_days",
+        "s_stat",
+        F.round(var_s, 4).alias("var_s"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F61 — Spearman rank correlation (distributed average ranks)
+#
+# r7 cross-tabulates categories and f26/f46 fit slopes; none measures
+# MONOTONE association. Spearman ρ = Pearson on average ranks, here
+# between per-customer order count and lifetime spend, with the raw
+# Pearson r alongside — the ρ-vs-r gap is the standard nonlinearity
+# probe.
+#
+# Rank assignment is the scale-critical step: a global RANK() window
+# would single-task the customer relation. Instead ranks come from the
+# VALUE grain — groupBy(value) counts, one distributed prefix sum
+# (operators/prefix.py) over the sorted distinct values, then
+# avg-rank = preceding + (cnt+1)/2 joined back. Doubled ranks
+# (2·avg-rank, always integer) keep tie handling in exact arithmetic.
+# All moment sums are DECIMAL(38,0) (bigint products would overflow at
+# ~1e8 customers: Σ(2r)² ≈ 4n³); the three final terms cast to DOUBLE
+# once each, so both engines evaluate the same IEEE expression.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f61_spearman_rank_corr",
+    oracle="""
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(COUNT(*) AS BIGINT) AS x,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+           AS y
+  FROM orders GROUP BY 1
+), vx AS (
+  SELECT x, cnt, SUM(cnt) OVER (ORDER BY x) AS cum
+  FROM (SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM cust GROUP BY x)
+), vy AS (
+  SELECT y, cnt, SUM(cnt) OVER (ORDER BY y) AS cum
+  FROM (SELECT y, CAST(COUNT(*) AS BIGINT) AS cnt FROM cust GROUP BY y)
+), r AS (
+  SELECT c.x, c.y,
+         2 * (vx.cum - vx.cnt) + vx.cnt + 1 AS rx2,
+         2 * (vy.cum - vy.cnt) + vy.cnt + 1 AS ry2
+  FROM cust c JOIN vx USING (x) JOIN vy USING (y)
+), s AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(rx2 AS HUGEINT)) AS sx,
+         SUM(CAST(ry2 AS HUGEINT)) AS sy,
+         SUM(CAST(rx2 AS HUGEINT) * ry2) AS sxy,
+         SUM(CAST(rx2 AS HUGEINT) * rx2) AS sxx,
+         SUM(CAST(ry2 AS HUGEINT) * ry2) AS syy,
+         SUM(CAST(x AS HUGEINT)) AS tx,
+         SUM(CAST(y AS HUGEINT)) AS ty,
+         SUM(CAST(x AS HUGEINT) * y) AS txy,
+         SUM(CAST(x AS HUGEINT) * x) AS txx,
+         SUM(CAST(y AS HUGEINT) * y) AS tyy
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+         AS spearman_rho,
+       ROUND(CAST(n * txy - tx * ty AS DOUBLE)
+             / (SQRT(CAST(n * txx - tx * tx AS DOUBLE))
+                * SQRT(CAST(n * tyy - ty * ty AS DOUBLE))), 6)
+         AS pearson_r
+FROM s
+""",
+    doc="Spearman rank correlation (tie-averaged ranks, doubled to "
+    "stay integer) between per-customer order count and spend, with "
+    "raw Pearson r alongside — ranks via value-grain counts + one "
+    "distributed prefix sum, moments in DECIMAL(38,0), no global "
+    "RANK() window.",
+)
+def f61_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.count("*").cast("bigint").alias("x"),
+        (F.sum(X.dec("o_totalprice")) * 100).cast("bigint").alias("y"),
+    )
+
+    def ranks2(col: str) -> DataFrame:
+        vg = cust.groupBy(col).agg(F.count("*").cast("bigint").alias("cnt"))
+        cum = prefix_rank(
+            vg, [F.asc(col)], value="cnt", cum_col="cum"
+        )
+        return cum.select(
+            col,
+            (2 * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1).alias(
+                f"r2_{col}"
+            ),
+        )
+
+    r = cust.join(ranks2("x"), "x").join(ranks2("y"), "y")
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = r.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(d38(F.col("r2_x"))).alias("sx"),
+        F.sum(d38(F.col("r2_y"))).alias("sy"),
+        F.sum(d38(F.col("r2_x") * F.col("r2_y"))).alias("sxy"),
+        F.sum(d38(F.col("r2_x") * F.col("r2_x"))).alias("sxx"),
+        F.sum(d38(F.col("r2_y") * F.col("r2_y"))).alias("syy"),
+        F.sum(d38(F.col("x"))).alias("tx"),
+        F.sum(d38(F.col("y"))).alias("ty"),
+        F.sum(d38(F.col("x") * F.col("y"))).alias("txy"),
+        F.sum(d38(F.col("x") * F.col("x"))).alias("txx"),
+        F.sum(d38(F.col("y") * F.col("y"))).alias("tyy"),
+    )
+
+    def corr_expr(sab, sa, sb, saa, sbb):
+        num = (F.col("n") * F.col(sab) - F.col(sa) * F.col(sb)).cast(
+            "double"
+        )
+        da = (F.col("n") * F.col(saa) - F.col(sa) * F.col(sa)).cast(
+            "double"
+        )
+        db = (F.col("n") * F.col(sbb) - F.col(sb) * F.col(sb)).cast(
+            "double"
+        )
+        return num / (F.sqrt(da) * F.sqrt(db))
+
+    return s.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.round(corr_expr("sxy", "sx", "sy", "sxx", "syy"), 6).alias(
+            "spearman_rho"
+        ),
+        F.round(corr_expr("txy", "tx", "ty", "txx", "tyy"), 6).alias(
+            "pearson_r"
+        ),
+    )

@@ -4828,3 +4828,70 @@ def x108_term_adaptation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# X109 — padding-waste ablation at candidate context lengths
+#
+# The cost model that justifies x24's sequence packing: if each doc
+# were padded to a multiple of the context length L instead of packed,
+# how many tokens would be padding? seqs = ⌈n/L⌉, waste = seqs·L − n,
+# reported at L ∈ {128, 512, 2048}. waste_pct at the chosen L is the
+# exact throughput headroom packing buys — the number a capacity plan
+# needs before renting the cluster.
+#
+# Pure integer arithmetic per doc, one map-side-combined aggregate per
+# L (explode ×3), no window, no join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x109_padding_waste",
+    oracle=f"""
+WITH toks AS (
+  SELECT len(string_split({NORM_DUCK.format(col="text")}, ' ')) AS n
+  FROM documents
+), per AS (
+  SELECT ls.l, n, (n + ls.l - 1) // ls.l AS seqs
+  FROM toks CROSS JOIN (VALUES (128), (512), (2048)) ls(l)
+)
+SELECT l AS context_len,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(seqs) AS BIGINT) AS n_seqs,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(SUM(seqs * l - n) AS BIGINT) AS padding_tokens,
+       ROUND(CAST(SUM(seqs * l - n) AS DOUBLE) / SUM(seqs * l), 4)
+         AS waste_pct
+FROM per GROUP BY 1 ORDER BY context_len
+""",
+    doc="Padding-waste ablation: per-doc pad-to-L token waste at "
+    "L=128/512/2048 — the unpacked-baseline cost x24's packing "
+    "eliminates; integer ceil-division, single aggregate pass.",
+)
+def x109_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.size(F.split(F.expr(NORM_SPARK.format(col="text")), " ")).alias("n")
+    )
+    per = toks.select(
+        "n",
+        F.explode(
+            F.array(F.lit(128), F.lit(512), F.lit(2048))
+        ).alias("l"),
+    ).withColumn("seqs", F.expr("(n + l - 1) div l"))
+    pad = F.col("seqs") * F.col("l") - F.col("n")
+    return (
+        per.groupBy(F.col("l").alias("context_len"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("seqs").cast("bigint").alias("n_seqs"),
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            F.sum(pad).cast("bigint").alias("padding_tokens"),
+            F.round(
+                F.sum(pad).cast("double")
+                / F.sum(F.col("seqs") * F.col("l")),
+                4,
+            ).alias("waste_pct"),
+        )
+        .orderBy("context_len")
+    )

@@ -597,3 +597,138 @@ def test_x108_bounds_and_ranking(spark):
         assert 0 <= r.df2 <= r.df <= n_docs
         assert 0.0 <= r.adaptation <= 1.0
         assert 0.0 < r.base_rate <= 1.0
+
+
+# --- f60 Mann-Kendall --------------------------------------------------------
+
+
+def _daily_revenue_model():
+    return [
+        y
+        for _, y in sorted(
+            _duck(
+                "SELECT date_diff('day', DATE '1995-01-01', o_orderdate),"
+                " CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))"
+                " AS DECIMAL(38,2)), 0) AS BIGINT)"
+                " FROM orders GROUP BY 1"
+            )
+        )
+    ]
+
+
+def test_f60_matches_python_model(spark):
+    ys = _daily_revenue_model()
+    n = len(ys)
+    s = sum(
+        (1 if ys[j] > ys[i] else -1 if ys[j] < ys[i] else 0)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    tt = sum(
+        t * (t - 1) * (2 * t + 5) for t in Counter(ys).values() if t > 1
+    )
+    var_s = (n * (n - 1) * (2 * n + 5) - tt) / 18.0
+    z = (
+        (s - 1) / math.sqrt(var_s)
+        if s > 0
+        else (s + 1) / math.sqrt(var_s)
+        if s < 0
+        else 0.0
+    )
+    (r,) = _rows(spark, "f60_mann_kendall")
+    assert r.n_days == n
+    assert r.s_stat == s
+    assert abs(r.var_s - var_s) <= 1e-4
+    assert abs(r.z_score - z) <= 1e-6
+
+
+def test_f60_s_bounds(spark):
+    (r,) = _rows(spark, "f60_mann_kendall")
+    max_pairs = r.n_days * (r.n_days - 1) // 2
+    assert -max_pairs <= r.s_stat <= max_pairs
+    assert r.var_s > 0
+
+
+# --- f61 Spearman rank correlation ------------------------------------------
+
+
+def _cust_xy():
+    return _duck(
+        "SELECT CAST(COUNT(*) AS BIGINT),"
+        " CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)"
+        " FROM orders GROUP BY o_custkey"
+    )
+
+
+def _avg_ranks(vals):
+    order = sorted(vals)
+    first = {}
+    for i, v in enumerate(order):
+        first.setdefault(v, i)
+    cnt = Counter(vals)
+    return [first[v] + (cnt[v] + 1) / 2 for v in vals]
+
+
+def _pearson(xs, ys):
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    return (n * sxy - sx * sy) / (
+        math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+    )
+
+
+def test_f61_matches_python_model(spark):
+    pts = _cust_xy()
+    xs = [x for x, _ in pts]
+    ys = [y for _, y in pts]
+    rho = _pearson(_avg_ranks(xs), _avg_ranks(ys))
+    r_raw = _pearson(xs, ys)
+    (r,) = _rows(spark, "f61_spearman_rank_corr")
+    assert r.n_customers == len(pts)
+    assert abs(r.spearman_rho - rho) <= 1e-6
+    assert abs(r.pearson_r - r_raw) <= 1e-6
+
+
+def test_f61_correlations_in_range(spark):
+    (r,) = _rows(spark, "f61_spearman_rank_corr")
+    assert -1.0 <= r.spearman_rho <= 1.0
+    assert -1.0 <= r.pearson_r <= 1.0
+    # order count and total spend must correlate positively
+    assert r.spearman_rho > 0.5 and r.pearson_r > 0.5
+
+
+# --- x109 padding waste -------------------------------------------------------
+
+
+def test_x109_matches_python_model(spark):
+    lens = [
+        n
+        for (n,) in _duck(
+            "SELECT len(string_split(lower(regexp_replace(trim(text),"
+            " '\\s+', ' ', 'g')), ' ')) FROM documents"
+        )
+    ]
+    got = {r.context_len: r for r in _rows(spark, "x109_padding_waste")}
+    assert set(got) == {128, 512, 2048}
+    for L, r in got.items():
+        seqs = sum((n + L - 1) // L for n in lens)
+        toks = sum(lens)
+        waste = seqs * L - toks
+        assert r.n_docs == len(lens)
+        assert r.n_seqs == seqs
+        assert r.n_tokens == toks
+        assert r.padding_tokens == waste
+        assert r.waste_pct == _round_half_up(waste / (seqs * L) * 1e4) / 1e4
+
+
+def test_x109_waste_grows_with_context_len(spark):
+    rows = sorted(_rows(spark, "x109_padding_waste"), key=lambda r: r.context_len)
+    # same corpus at every L, padding (and waste share) monotone in L
+    assert len({r.n_tokens for r in rows}) == 1
+    for a, b in zip(rows, rows[1:]):
+        assert b.padding_tokens >= a.padding_tokens
+        assert b.waste_pct >= a.waste_pct
+        assert b.n_seqs <= a.n_seqs
