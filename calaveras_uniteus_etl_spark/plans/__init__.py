@@ -177,6 +177,7 @@ _NEW_THIS_ROUND: list[str] = [
     "f60_mann_kendall",
     "f61_spearman_rank_corr",
     "x109_padding_waste",
+    "x110_lsh_band_planner",
 ]
 
 # Entries with a GREEN driver row in rounds 1-4 (union = 179) sit in

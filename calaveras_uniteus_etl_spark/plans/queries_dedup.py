@@ -2813,3 +2813,113 @@ def x99_corpus_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "n_docs", "source_hash", "corpus_hash")
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# X110 — LSH band-config cost planner
+#
+# x35 sweeps the retention curve AFTER mining with the production
+# (4,3) banding; this answers the question you must settle BEFORE
+# renting the cluster: for every (bands, rows) factorization of the
+# K=12 signature, how many candidate pairs would the bucket join emit?
+# Bucket sizes are computed for all five configs in ONE pass over the
+# signatures (explode configs × bands, md5 band digests through the
+# shuffle), and Σ sz·(sz−1)/2 per config is the exact join output
+# size. s_star = (1/b)^(1/r) — the S-curve's 50% threshold — is
+# evaluated at codegen time and injected as the SAME literal into both
+# engines, so no cross-engine pow() in the hash-checked output.
+# ---------------------------------------------------------------------------
+
+_X110_CONFIGS = [(12, 1), (6, 2), (4, 3), (3, 4), (2, 6)]
+_X110_STARS = {b: round((1.0 / b) ** (1.0 / r), 4) for b, r in _X110_CONFIGS}
+
+_X110_DUCK_BANDS = "\n  UNION ALL\n".join(
+    f"""  SELECT {b} AS n_bands, {r} AS n_rows,
+         unnest([md5(array_to_string(sig[i*{r}+1:i*{r}+{r}], ','))
+                 for i in range(0, {b})]) AS key
+  FROM sigs"""
+    for b, r in _X110_CONFIGS
+)
+_X110_DUCK_STAR = "CASE " + " ".join(
+    f"WHEN n_bands = {b} THEN {_X110_STARS[b]}" for b, _ in _X110_CONFIGS
+) + " END"
+
+
+@register(
+    "x110_lsh_band_planner",
+    oracle=_DUCK_SIGS
+    + f""", bands AS (
+{_X110_DUCK_BANDS}
+), buckets AS (
+  SELECT n_bands, n_rows, key, CAST(COUNT(*) AS BIGINT) AS sz
+  FROM bands GROUP BY 1, 2, 3
+)
+SELECT n_bands, n_rows,
+       {_X110_DUCK_STAR} AS s_star,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_multi_buckets,
+       CAST(MAX(sz) AS BIGINT) AS max_bucket,
+       CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS candidate_pairs
+FROM buckets GROUP BY 1, 2 ORDER BY n_bands DESC
+""",
+    doc="LSH band-config planner: exact candidate-pair count "
+    "Σ sz·(sz−1)/2, bucket census, and the analytic 50% threshold "
+    "(1/b)^(1/r) for every (bands,rows) factorization of the K=12 "
+    "MinHash signature — one signature pass, all configs exploded "
+    "together, md5 digests through the shuffle.",
+)
+def x110_lsh_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cfgs = F.array(
+        *[
+            F.struct(F.lit(b).alias("b"), F.lit(r).alias("r"))
+            for b, r in _X110_CONFIGS
+        ]
+    )
+    bands = (
+        _spark_sigs(spark, sf_dir)
+        .select("sig", F.explode(cfgs).alias("cfg"))
+        .select(F.col("cfg.b").alias("b"), F.col("cfg.r").alias("r"), "sig")
+        .select(
+            F.col("b").alias("n_bands"),
+            F.col("r").alias("n_rows"),
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, b - 1),"
+                    " i -> md5(concat_ws(',', slice(sig, i * r + 1, r))))"
+                )
+            ).alias("key"),
+        )
+    )
+    buckets = bands.groupBy("n_bands", "n_rows", "key").agg(
+        F.count("*").cast("bigint").alias("sz")
+    )
+    star = F.coalesce(
+        *[
+            F.when(F.col("n_bands") == b, F.lit(_X110_STARS[b]))
+            for b, _ in _X110_CONFIGS
+        ]
+    )
+    return (
+        buckets.groupBy("n_bands", "n_rows")
+        .agg(
+            F.count("*").cast("bigint").alias("n_buckets"),
+            F.sum(F.when(F.col("sz") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_multi_buckets"),
+            F.max("sz").cast("bigint").alias("max_bucket"),
+            F.sum(F.expr("(sz * (sz - 1)) div 2"))
+            .cast("bigint")
+            .alias("candidate_pairs"),
+        )
+        .select(
+            "n_bands",
+            "n_rows",
+            star.alias("s_star"),
+            "n_buckets",
+            "n_multi_buckets",
+            "max_bucket",
+            "candidate_pairs",
+        )
+        .orderBy(F.desc("n_bands"))
+    )

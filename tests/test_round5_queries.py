@@ -732,3 +732,55 @@ def test_x109_waste_grows_with_context_len(spark):
         assert b.padding_tokens >= a.padding_tokens
         assert b.waste_pct >= a.waste_pct
         assert b.n_seqs <= a.n_seqs
+
+
+# --- x110 LSH band planner ---------------------------------------------------
+
+
+def test_x110_matches_python_model(spark):
+    import hashlib
+
+    from calaveras_uniteus_etl_spark.operators import dedup as dd
+    from calaveras_uniteus_etl_spark.plans.queries_dedup import (
+        _X110_CONFIGS,
+        _X110_STARS,
+        _spark_sigs,
+    )
+
+    sigs = [r.sig for r in _spark_sigs(spark, SF).collect()]
+    got = {
+        (r.n_bands, r.n_rows): r for r in _rows(spark, "x110_lsh_band_planner")
+    }
+    assert set(got) == set(_X110_CONFIGS)
+    for b, r_ in _X110_CONFIGS:
+        buckets = Counter()
+        for sig in sigs:
+            for i in range(b):
+                key = ",".join(str(v) for v in sig[i * r_ : i * r_ + r_])
+                buckets[(i, hashlib.md5(key.encode()).hexdigest())] += 1
+        # band index is NOT part of the bucket key in the query: a digest
+        # collision across bands would merge buckets there. Rebuild the
+        # query's exact keying (digest only) for the comparison.
+        by_digest = Counter()
+        for sig in sigs:
+            for i in range(b):
+                key = ",".join(str(v) for v in sig[i * r_ : i * r_ + r_])
+                by_digest[hashlib.md5(key.encode()).hexdigest()] += 1
+        r = got[(b, r_)]
+        assert r.s_star == _X110_STARS[b]
+        assert r.n_buckets == len(by_digest)
+        assert r.n_multi_buckets == sum(1 for v in by_digest.values() if v > 1)
+        assert r.max_bucket == max(by_digest.values())
+        assert r.candidate_pairs == sum(
+            v * (v - 1) // 2 for v in by_digest.values()
+        )
+
+
+def test_x110_pairs_monotone_in_rows(spark):
+    # fewer rows per band -> stricter bucket key is FALSE: more rows per
+    # band means a LONGER key, so buckets only split and pair counts can
+    # only fall as n_rows grows (n_bands falls).
+    rows = sorted(_rows(spark, "x110_lsh_band_planner"), key=lambda r: r.n_rows)
+    for a, b in zip(rows, rows[1:]):
+        assert b.candidate_pairs <= a.candidate_pairs
+        assert 0.0 < a.s_star < b.s_star < 1.0
