@@ -178,6 +178,7 @@ _NEW_THIS_ROUND: list[str] = [
     "f61_spearman_rank_corr",
     "x109_padding_waste",
     "x110_lsh_band_planner",
+    "f62_tukey_outliers",
 ]
 
 # Entries with a GREEN driver row in rounds 1-4 (union = 179) sit in

@@ -6160,3 +6160,138 @@ def f61_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pearson_r"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# F62 — Tukey-fence outlier census with EXACT distributed quartiles
+#
+# f25's robust stats use approx percentiles; this computes exact
+# type-1 (smallest-value-at-ceil-rank) quartiles per order priority
+# WITHOUT a per-group sort window: the value grain is counted, one
+# distributed prefix sum (operators/prefix.py) runs over the total
+# (group, value) order, per-group cumulative counts come from
+# subtracting the 5-row group-offset prefix, and each quartile is a
+# MIN(CASE WHEN cum >= ceil(q·n/4)) aggregate. Fences are evaluated
+# in doubled-decimal arithmetic (2v vs 2q1 − 3·IQR) so the 1.5×IQR
+# rule needs no fractional literal and every comparison is exact.
+# At 100 TB nothing bigger than the value grain crosses a shuffle and
+# no window sees more than one partition's rows (plus the 5-row group
+# rollup).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f62_tukey_outliers",
+    oracle="""
+WITH vg AS (
+  SELECT o_orderpriority AS prio, CAST(o_totalprice AS DECIMAL(12,2)) AS v,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1, 2
+), cum AS (
+  SELECT prio, v, cnt,
+         SUM(cnt) OVER (PARTITION BY prio ORDER BY v) AS pcum
+  FROM vg
+), tot AS (
+  SELECT prio, CAST(SUM(cnt) AS BIGINT) AS n FROM vg GROUP BY 1
+), qs AS (
+  SELECT c.prio, ANY_VALUE(t.n) AS n,
+         MIN(CASE WHEN pcum >= (1 * t.n + 3) // 4 THEN v END) AS q1,
+         MIN(CASE WHEN pcum >= (2 * t.n + 3) // 4 THEN v END) AS q2,
+         MIN(CASE WHEN pcum >= (3 * t.n + 3) // 4 THEN v END) AS q3
+  FROM cum c JOIN tot t USING (prio) GROUP BY 1
+)
+SELECT q.prio, q.n,
+       CAST(q.q1 AS DOUBLE) AS q1,
+       CAST(q.q2 AS DOUBLE) AS q2,
+       CAST(q.q3 AS DOUBLE) AS q3,
+       CAST(SUM(CASE WHEN 2 * g.v < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                     THEN g.cnt ELSE 0 END) AS BIGINT) AS n_low,
+       CAST(SUM(CASE WHEN 2 * g.v > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                     THEN g.cnt ELSE 0 END) AS BIGINT) AS n_high,
+       ROUND(CAST(SUM(CASE WHEN 2 * g.v < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                             OR 2 * g.v > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                           THEN g.cnt ELSE 0 END) AS DOUBLE) / q.n, 4)
+         AS outlier_pct
+FROM vg g JOIN qs q USING (prio)
+GROUP BY q.prio, q.n, q.q1, q.q2, q.q3
+ORDER BY q.prio
+""",
+    doc="Tukey 1.5×IQR outlier census per order priority with EXACT "
+    "type-1 quartiles: value-grain counts + one distributed prefix "
+    "sum (no per-group sort window), doubled-decimal fence "
+    "comparisons — the distribution-free data-quality gate f25's "
+    "approx percentiles can't guarantee.",
+)
+def f62_tukey_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    vg = o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        X.dec("o_totalprice").alias("v"),
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+
+    cum = prefix_rank(
+        vg, [F.asc("prio"), F.asc("v")], value="cnt", cum_col="gcum"
+    )
+    tot = vg.groupBy("prio").agg(F.sum("cnt").cast("bigint").alias("n"))
+    # 5-row group grain: exclusive prefix of group sizes = group offset
+    w5 = Window.orderBy("prio").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offs = tot.select(
+        "prio", "n", (F.sum("n").over(w5) - F.col("n")).alias("start")
+    )
+    pcum = cum.join(F.broadcast(offs), "prio").withColumn(
+        "pcum", F.col("gcum") - F.col("start")
+    )
+
+    # ceil(k·n/4) via integer arithmetic: pcum >= (k·n+3) div 4
+    qs = pcum.groupBy("prio").agg(
+        F.first("n").alias("n"),
+        F.min(
+            F.when(
+                F.col("pcum") >= F.expr("(1 * n + 3) div 4"), F.col("v")
+            )
+        ).alias("q1"),
+        F.min(
+            F.when(
+                F.col("pcum") >= F.expr("(2 * n + 3) div 4"), F.col("v")
+            )
+        ).alias("q2"),
+        F.min(
+            F.when(
+                F.col("pcum") >= F.expr("(3 * n + 3) div 4"), F.col("v")
+            )
+        ).alias("q3"),
+    )
+    low = 2 * F.col("v") < 2 * F.col("q1") - 3 * (F.col("q3") - F.col("q1"))
+    high = 2 * F.col("v") > 2 * F.col("q3") + 3 * (F.col("q3") - F.col("q1"))
+    return (
+        vg.join(F.broadcast(qs), "prio")
+        .groupBy("prio", "n", "q1", "q2", "q3")
+        .agg(
+            F.sum(F.when(low, F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("n_low"),
+            F.sum(F.when(high, F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("n_high"),
+            F.round(
+                F.sum(F.when(low | high, F.col("cnt")).otherwise(0)).cast(
+                    "double"
+                )
+                / F.col("n"),
+                4,
+            ).alias("outlier_pct"),
+        )
+        .select(
+            "prio",
+            "n",
+            F.col("q1").cast("double").alias("q1"),
+            F.col("q2").cast("double").alias("q2"),
+            F.col("q3").cast("double").alias("q3"),
+            "n_low",
+            "n_high",
+            "outlier_pct",
+        )
+        .orderBy("prio")
+    )

@@ -784,3 +784,38 @@ def test_x110_pairs_monotone_in_rows(spark):
     for a, b in zip(rows, rows[1:]):
         assert b.candidate_pairs <= a.candidate_pairs
         assert 0.0 < a.s_star < b.s_star < 1.0
+
+
+# --- f62 Tukey outlier census -------------------------------------------------
+
+
+def test_f62_matches_python_model(spark):
+    from decimal import Decimal
+
+    pts = _duck("SELECT o_orderpriority, o_totalprice FROM orders")
+    per = defaultdict(list)
+    for prio, v in pts:
+        per[prio].append(Decimal(str(v)).quantize(Decimal("0.01")))
+    got = {r.prio: r for r in _rows(spark, "f62_tukey_outliers")}
+    assert set(got) == set(per)
+    for prio, vals in per.items():
+        vals.sort()
+        n = len(vals)
+        q1 = vals[(1 * n + 3) // 4 - 1]
+        q2 = vals[(2 * n + 3) // 4 - 1]
+        q3 = vals[(3 * n + 3) // 4 - 1]
+        iqr = q3 - q1
+        n_low = sum(1 for v in vals if 2 * v < 2 * q1 - 3 * iqr)
+        n_high = sum(1 for v in vals if 2 * v > 2 * q3 + 3 * iqr)
+        r = got[prio]
+        assert r.n == n
+        assert (r.q1, r.q2, r.q3) == (float(q1), float(q2), float(q3))
+        assert (r.n_low, r.n_high) == (n_low, n_high)
+        assert r.outlier_pct == _round_half_up((n_low + n_high) / n * 1e4) / 1e4
+
+
+def test_f62_quartiles_ordered_and_fences_sane(spark):
+    for r in _rows(spark, "f62_tukey_outliers"):
+        assert r.q1 <= r.q2 <= r.q3
+        assert r.n_low + r.n_high < r.n  # fences never reject everything
+        assert 0.0 <= r.outlier_pct < 0.5
