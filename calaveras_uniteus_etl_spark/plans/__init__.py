@@ -179,6 +179,7 @@ _NEW_THIS_ROUND: list[str] = [
     "x109_padding_waste",
     "x110_lsh_band_planner",
     "f62_tukey_outliers",
+    "f63_revenue_var_cvar",
 ]
 
 # Entries with a GREEN driver row in rounds 1-4 (union = 179) sit in

@@ -6295,3 +6295,113 @@ def f62_tukey_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prio")
     )
+
+
+# ---------------------------------------------------------------------------
+# F63 — VaR / expected shortfall of the daily revenue series
+#
+# The downside-risk pair every revenue dashboard wants next to f29's
+# Pareto: the exact type-1 5th-percentile day (VaR₉₅) and the mean of
+# all days at or below it (expected shortfall / CVaR — coherent where
+# VaR alone is not, Artzner et al. 1999). Exactness contract: the
+# day-grain series is the f54 integer convention, the quantile is a
+# MIN(CASE WHEN cum ≥ ceil(0.05·n)) over value-grain cumulative
+# counts (no interpolation), and the tail mean is an integer-sum ÷
+# count double division — identical IEEE ops in both engines.
+#
+# Every relation here is day- or value-grain (calendar-bounded); the
+# one ordered window runs over distinct daily revenues, thousands of
+# rows at any data scale.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f63_revenue_var_cvar",
+    oracle="""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1995-01-01', o_orderdate) AS d,
+         CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                         AS DECIMAL(38,2)), 0) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+), vg AS (
+  SELECT y, CAST(COUNT(*) AS BIGINT) AS cnt FROM daily GROUP BY 1
+), cum AS (
+  SELECT y, cnt, SUM(cnt) OVER (ORDER BY y) AS c FROM vg
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+q AS (
+  SELECT ANY_VALUE(n) AS n,
+         MIN(CASE WHEN c * 20 >= n THEN y END) AS var_p05,
+         MIN(CASE WHEN c * 2 >= n THEN y END) AS median
+  FROM cum CROSS JOIN tot
+)
+SELECT q.n AS n_days, q.var_p05, q.median,
+       CAST(SUM(CASE WHEN d.y <= q.var_p05 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tail_days,
+       CAST(SUM(CASE WHEN d.y <= q.var_p05 THEN d.y ELSE 0 END) AS DOUBLE)
+         / SUM(CASE WHEN d.y <= q.var_p05 THEN 1 ELSE 0 END) AS es_p05,
+       ROUND(CAST(q.var_p05 AS DOUBLE) / q.median, 4) AS var_to_median
+FROM daily d CROSS JOIN q
+GROUP BY q.n, q.var_p05, q.median
+""",
+    doc="Daily-revenue VaR95 (exact type-1 5th percentile, no "
+    "interpolation) and expected shortfall (mean of all tail days, "
+    "integer-sum/count division) — the coherent downside-risk pair; "
+    "value-grain cumulative counts, ceil-rank via c*20 >= n.",
+)
+def f63_revenue_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("date")
+        ).alias("d")
+    ).agg(
+        F.round(F.sum(X.dec("o_totalprice")).cast("decimal(38,2)"), 0)
+        .cast("bigint")
+        .alias("y")
+    )
+    vg = daily.groupBy("y").agg(F.count("*").cast("bigint").alias("cnt"))
+    # distinct-daily-revenue grain: calendar-bounded, window is safe
+    w = Window.orderBy("y").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = vg.select("y", F.sum("cnt").over(w).alias("c"))
+    tot = daily.agg(F.count("*").cast("bigint").alias("n"))
+    q = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.first("n").alias("n"),
+            F.min(
+                F.when(F.col("c") * 20 >= F.col("n"), F.col("y"))
+            ).alias("var_p05"),
+            F.min(
+                F.when(F.col("c") * 2 >= F.col("n"), F.col("y"))
+            ).alias("median"),
+        )
+    )
+    in_tail = F.col("y") <= F.col("var_p05")
+    return (
+        daily.crossJoin(F.broadcast(q))
+        .groupBy("n", "var_p05", "median")
+        .agg(
+            F.sum(F.when(in_tail, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_tail_days"),
+            (
+                F.sum(F.when(in_tail, F.col("y")).otherwise(0)).cast(
+                    "double"
+                )
+                / F.sum(F.when(in_tail, 1).otherwise(0))
+            ).alias("es_p05"),
+            F.round(
+                F.col("var_p05").cast("double") / F.col("median"), 4
+            ).alias("var_to_median"),
+        )
+        .select(
+            F.col("n").alias("n_days"),
+            "var_p05",
+            "median",
+            "n_tail_days",
+            "es_p05",
+            "var_to_median",
+        )
+    )

@@ -819,3 +819,29 @@ def test_f62_quartiles_ordered_and_fences_sane(spark):
         assert r.q1 <= r.q2 <= r.q3
         assert r.n_low + r.n_high < r.n  # fences never reject everything
         assert 0.0 <= r.outlier_pct < 0.5
+
+
+# --- f63 VaR / CVaR -----------------------------------------------------------
+
+
+def test_f63_matches_python_model(spark):
+    ys = sorted(_daily_revenue_model())
+    n = len(ys)
+    var_p05 = ys[-(-n // 20) - 1]  # ceil(n/20), 1-based -> index
+    median = ys[-(-n // 2) - 1]
+    tail = [y for y in ys if y <= var_p05]
+    (r,) = _rows(spark, "f63_revenue_var_cvar")
+    assert r.n_days == n
+    assert r.var_p05 == var_p05
+    assert r.median == median
+    assert r.n_tail_days == len(tail)
+    assert r.es_p05 == sum(tail) / len(tail)
+    assert r.var_to_median == _round_half_up(var_p05 / median * 1e4) / 1e4
+
+
+def test_f63_coherence(spark):
+    (r,) = _rows(spark, "f63_revenue_var_cvar")
+    # ES is a tail mean bounded by its quantile; both sit left of median
+    assert r.es_p05 <= r.var_p05 <= r.median
+    assert 20 * r.n_tail_days >= r.n_days  # ties can only grow the tail
+    assert 0.0 < r.var_to_median <= 1.0
