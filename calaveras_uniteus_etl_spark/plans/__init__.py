@@ -180,6 +180,8 @@ _NEW_THIS_ROUND: list[str] = [
     "x110_lsh_band_planner",
     "f62_tukey_outliers",
     "f63_revenue_var_cvar",
+    "f64_monthly_revenue_bands",
+    "x113_minhash_k_sweep",
 ]
 
 # Entries with a GREEN driver row in rounds 1-4 (union = 179) sit in

@@ -6405,3 +6405,89 @@ def f63_revenue_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "var_to_median",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# F64 — monthly revenue percentile bands (P10/P50/P90 of daily revenue)
+#
+# f18's percentiles are corpus-global and f23's equi-depth histogram
+# is one-dimensional; operations dashboards want the BAND per period:
+# within each calendar month, the exact type-1 P10/P50/P90 of the
+# daily revenue distribution, plus the relative spread — the
+# volatility-seasonality readout that says which months are erratic
+# rather than merely big.
+#
+# Grain safety: the ordered window is PARTITIONED BY month over day
+# rows — ≤ 31 rows per partition at any data scale (the heavy
+# reduction to the day grain happens in the groupBy before it).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f64_monthly_revenue_bands",
+    oracle="""
+WITH daily AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         date_diff('day', DATE '1995-01-01', o_orderdate) AS d,
+         CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                         AS DECIMAL(38,2)), 0) AS BIGINT) AS y
+  FROM orders GROUP BY 1, 2
+), ranked AS (
+  SELECT month, y,
+         ROW_NUMBER() OVER (PARTITION BY month ORDER BY y) AS rn,
+         COUNT(*) OVER (PARTITION BY month) AS n
+  FROM daily
+)
+SELECT month, ANY_VALUE(n) AS n_days,
+       MIN(CASE WHEN rn * 10 >= n THEN y END) AS p10,
+       MIN(CASE WHEN rn * 2 >= n THEN y END) AS p50,
+       MIN(CASE WHEN rn * 10 >= 9 * n THEN y END) AS p90,
+       ROUND(CAST(MIN(CASE WHEN rn * 10 >= 9 * n THEN y END)
+                  - MIN(CASE WHEN rn * 10 >= n THEN y END) AS DOUBLE)
+             / MIN(CASE WHEN rn * 2 >= n THEN y END), 4) AS rel_spread
+FROM ranked GROUP BY month ORDER BY month
+""",
+    doc="Monthly P10/P50/P90 bands of daily revenue (exact type-1 "
+    "ranks, month-partitioned windows over <=31 day rows) with "
+    "relative spread (P90-P10)/P50 — the volatility-seasonality "
+    "readout.",
+)
+def f64_monthly_revenue_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        to_month("o_orderdate").alias("month"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("date")
+        ).alias("d"),
+    ).agg(
+        F.round(F.sum(X.dec("o_totalprice")).cast("decimal(38,2)"), 0)
+        .cast("bigint")
+        .alias("y")
+    )
+    w = Window.partitionBy("month").orderBy("y")
+    ranked = daily.select(
+        "month",
+        "y",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(
+            Window.partitionBy("month").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    p10 = F.min(F.when(F.col("rn") * 10 >= F.col("n"), F.col("y")))
+    p50 = F.min(F.when(F.col("rn") * 2 >= F.col("n"), F.col("y")))
+    p90 = F.min(F.when(F.col("rn") * 10 >= 9 * F.col("n"), F.col("y")))
+    return (
+        ranked.groupBy("month")
+        .agg(
+            F.first("n").alias("n_days"),
+            p10.alias("p10"),
+            p50.alias("p50"),
+            p90.alias("p90"),
+            F.round(
+                (p90 - p10).cast("double") / p50, 4
+            ).alias("rel_spread"),
+        )
+        .orderBy("month")
+    )

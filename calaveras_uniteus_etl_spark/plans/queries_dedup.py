@@ -2923,3 +2923,205 @@ def x110_lsh_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_bands"))
     )
+
+
+# ---------------------------------------------------------------------------
+# X113 — MinHash signature-width (K) sensitivity sweep
+#
+# x110 prices the BANDING; this prices the SIGNATURE: how much
+# estimator accuracy do the last 8 of the 12 MinHash slots actually
+# buy? For the same candidate-pair population as x26 (full-width
+# match >= 6, so the pair set is identical at every arm), the
+# K ∈ {4, 8, 12} prefix estimates are scored against exact shingle
+# Jaccard — MAE, RMSE, worst case — in x26's integer micro-unit
+# contract (quantize each per-pair value to 1e-6 BEFORE summing, so
+# aggregate order can't move a double). Var[est] = J(1−J)/K, so MAE
+# should shrink ~1/√K; a corpus where it doesn't is telling you the
+# collisions are structural, not sampling noise.
+#
+# One signature pass, one inverted-index join (df-capped upstream),
+# arms exploded as data — never one mining run per K.
+# ---------------------------------------------------------------------------
+
+_X113_KS = [4, 8, 12]
+
+
+@register(
+    "x113_minhash_k_sweep",
+    oracle=_DUCK_SIGS
+    + f""", bands AS (
+  SELECT doc_id, sig, t.b AS band, {dd.duck_band_key_sql()} AS band_key
+  FROM sigs CROSS JOIN (SELECT unnest(range({dd.LSH_BANDS})) AS b) t
+), ok AS (
+  SELECT band, band_key FROM bands GROUP BY band, band_key
+  HAVING COUNT(*) <= {BUCKET_CAP}
+), bands_ok AS (
+  SELECT bands.* FROM bands JOIN ok USING (band, band_key)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.sig AS sa, b.sig AS sb
+  FROM bands_ok a JOIN bands_ok b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), est AS (
+  SELECT doc_a, doc_b, sa, sb FROM cand
+  WHERE len(list_filter(range({dd.MINHASH_K}), i -> sa[i+1] = sb[i+1]))
+        >= {_MATCH_MIN}
+), sh AS (
+  SELECT doc_id, unnest({dd.duck_shingle_digests_sql()}) AS g FROM shing
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+  FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+), exact AS (
+  SELECT e.doc_a, e.doc_b, e.sa, e.sb,
+         CAST(ROUND(CAST(COALESCE(i.c, 0) AS DOUBLE)
+                    / (sx.n + sy.n - COALESCE(i.c, 0)) * 1e6) AS BIGINT)
+           AS exact_micro
+  FROM est e
+  LEFT JOIN inter i USING (doc_a, doc_b)
+  JOIN sizes sx ON e.doc_a = sx.doc_id
+  JOIN sizes sy ON e.doc_b = sy.doc_id
+), scored AS (
+  SELECT ks.k,
+         CAST(ROUND(CAST(len(list_filter(range(ks.k),
+                                          i -> sa[i+1] = sb[i+1]))
+                         AS DOUBLE) / ks.k * 1e6) AS BIGINT) AS est_micro,
+         exact_micro
+  FROM exact CROSS JOIN (VALUES (4), (8), (12)) ks(k)
+)
+SELECT k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(ABS(est_micro - exact_micro)) AS DOUBLE)
+         / (1e6 * COUNT(*)) AS mean_abs_err,
+       SQRT(CAST(SUM(CAST(ABS(est_micro - exact_micro) AS HUGEINT)
+                     * ABS(est_micro - exact_micro)) AS DOUBLE)
+            / COUNT(*)) / 1e6 AS rmse,
+       CAST(MAX(ABS(est_micro - exact_micro)) AS DOUBLE) / 1e6
+         AS max_abs_err
+FROM scored GROUP BY k ORDER BY k
+""",
+    doc="MinHash width sweep: K=4/8/12 prefix estimates vs exact "
+    "shingle Jaccard on the SAME x26 candidate population — MAE, "
+    "RMSE, worst case in integer micro-units (arms as data, one "
+    "mining pass). The 1/sqrt(K) check that prices signature width "
+    "before a 100 TB run.",
+)
+def x113_minhash_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = dd.with_shingles(_docs_wide(spark, sf_dir))
+    sigs = (
+        d.withColumn("hs", dd.shingle_hashes_expr())
+        .withColumn("sig", dd.minhash_sig_expr())
+        .select("doc_id", "sig")
+        .cache()
+    )
+    bands = sigs.select(
+        "doc_id", F.posexplode(dd.band_keys_expr()).alias("band", "band_key")
+    )
+    ok = (
+        bands.groupBy("band", "band_key")
+        .agg(F.count("*").alias("bc"))
+        .filter(F.col("bc") <= BUCKET_CAP)
+        .drop("bc")
+    )
+    bands = bands.join(ok, ["band", "band_key"])
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    pairs = cand.join(
+        sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa")),
+        "doc_a",
+    ).join(
+        sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb")),
+        "doc_b",
+    )
+    full_match = F.expr(
+        f"size(filter(sequence(0, {dd.MINHASH_K - 1}), i -> sa[i] = sb[i]))"
+    )
+    est = pairs.filter(full_match >= _MATCH_MIN)
+    sh = d.select("doc_id", F.explode(dd.shingle_digests_expr()).alias("g"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x, y = sh.alias("x"), sh.alias("y")
+    inter = (
+        x.join(
+            y,
+            (F.col("x.g") == F.col("y.g"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    exact = (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("nx")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("ny")),
+            "doc_b",
+        )
+        .select(
+            "sa",
+            "sb",
+            F.round(
+                F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                / (
+                    F.col("nx")
+                    + F.col("ny")
+                    - F.coalesce(F.col("c"), F.lit(0))
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("exact_micro"),
+        )
+    )
+    scored = exact.select(
+        "exact_micro",
+        F.explode(F.array(*[F.lit(k) for k in _X113_KS])).alias("k"),
+        "sa",
+        "sb",
+    ).select(
+        "k",
+        "exact_micro",
+        F.round(
+            F.expr("size(filter(sequence(0, k - 1), i -> sa[i] = sb[i]))")
+            .cast("double")
+            / F.col("k")
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("est_micro"),
+    )
+    err = F.abs(F.col("est_micro") - F.col("exact_micro"))
+    return (
+        scored.groupBy("k")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            (F.sum(err).cast("double") / (1e6 * F.count("*"))).alias(
+                "mean_abs_err"
+            ),
+            (
+                F.sqrt(
+                    F.sum((err * err).cast("decimal(38,0)")).cast("double")
+                    / F.count("*")
+                )
+                / 1e6
+            ).alias("rmse"),
+            (F.max(err).cast("double") / 1e6).alias("max_abs_err"),
+        )
+        .orderBy("k")
+    )

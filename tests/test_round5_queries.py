@@ -845,3 +845,61 @@ def test_f63_coherence(spark):
     assert r.es_p05 <= r.var_p05 <= r.median
     assert 20 * r.n_tail_days >= r.n_days  # ties can only grow the tail
     assert 0.0 < r.var_to_median <= 1.0
+
+
+# --- f64 monthly revenue bands ------------------------------------------------
+
+
+def test_f64_matches_python_model(spark):
+    rows = _duck(
+        "SELECT strftime(o_orderdate, '%Y-%m'),"
+        " date_diff('day', DATE '1995-01-01', o_orderdate),"
+        " CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))"
+        " AS DECIMAL(38,2)), 0) AS BIGINT)"
+        " FROM orders GROUP BY 1, 2"
+    )
+    per = defaultdict(list)
+    for m, _, y in rows:
+        per[m].append(y)
+    got = {r.month: r for r in _rows(spark, "f64_monthly_revenue_bands")}
+    assert set(got) == set(per)
+    for m, ys in per.items():
+        ys.sort()
+        n = len(ys)
+        p10 = ys[-(-n // 10) - 1]
+        p50 = ys[-(-n // 2) - 1]
+        p90 = ys[-(-(9 * n) // 10) - 1]
+        r = got[m]
+        assert (r.n_days, r.p10, r.p50, r.p90) == (n, p10, p50, p90)
+        assert r.rel_spread == _round_half_up((p90 - p10) / p50 * 1e4) / 1e4
+
+
+def test_f64_bands_ordered(spark):
+    for r in _rows(spark, "f64_monthly_revenue_bands"):
+        assert r.p10 <= r.p50 <= r.p90
+        assert 0 < r.n_days <= 31
+        assert r.rel_spread >= 0.0
+
+
+# --- x113 MinHash K sweep -----------------------------------------------------
+
+
+def test_x113_k12_reproduces_x26(spark):
+    # same candidate population, same micro-unit contract: the K=12 arm
+    # must agree with x26's error audit exactly
+    x26 = _rows(spark, "x26_minhash_error")[0]
+    by_k = {r.k: r for r in _rows(spark, "x113_minhash_k_sweep")}
+    assert set(by_k) == {4, 8, 12}
+    assert by_k[12].n_pairs == x26.n_pairs
+    assert by_k[12].mean_abs_err == x26.mean_abs_err
+    assert by_k[12].max_abs_err == x26.max_abs_err
+
+
+def test_x113_estimator_inequalities(spark):
+    rows = _rows(spark, "x113_minhash_k_sweep")
+    n_pairs = {r.n_pairs for r in rows}
+    assert len(n_pairs) == 1  # identical pair population at every arm
+    for r in rows:
+        assert 0.0 <= r.mean_abs_err <= r.rmse + 1e-12  # Jensen
+        assert r.rmse <= r.max_abs_err + 1e-12
+        assert r.max_abs_err <= 1.0
