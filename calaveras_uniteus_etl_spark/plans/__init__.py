@@ -182,6 +182,8 @@ _NEW_THIS_ROUND: list[str] = [
     "f63_revenue_var_cvar",
     "f64_monthly_revenue_bands",
     "x113_minhash_k_sweep",
+    "x112_contamination_n_sweep",
+    "j6_conditional_suite",
 ]
 
 # Entries with a GREEN driver row in rounds 1-4 (union = 179) sit in

@@ -841,3 +841,76 @@ def j5_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(monthly.select(*sel))
         .orderBy("month_start", F.col("quarter_start").asc_nulls_first())
     )
+
+
+# ---------------------------------------------------------------------------
+# J6 — conditional / numeric scalar battery
+#
+# Completes the scalar-parity family (j1 datetime/coalesce, j3
+# strings, j4 arrays, j5 datetime edge cases) with the conditional
+# and numeric constructs ad-hoc SQL leans on hardest: GREATEST/LEAST,
+# TRY_CAST (both the salvageable and the unsalvageable string),
+# SIGN, MOD, WIDTH_BUCKET, bitwise AND, and if() — every expression
+# JVM-side built-ins on one projection, hash-compared cell-for-cell
+# against DuckDB on a deterministic keyed sample.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j6_conditional_suite",
+    oracle="""
+SELECT o_orderkey,
+       CAST(GREATEST(CAST(o_totalprice AS DECIMAL(12,2)),
+                     CAST(100000.00 AS DECIMAL(12,2))) AS DOUBLE)
+         AS hi_floor,
+       CAST(LEAST(CAST(o_totalprice AS DECIMAL(12,2)),
+                  CAST(100000.00 AS DECIMAL(12,2))) AS DOUBLE)
+         AS lo_cap,
+       TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_num,
+       TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast,
+       CAST(SIGN(CAST(o_totalprice AS DECIMAL(12,2))
+                 - CAST(150000.00 AS DECIMAL(12,2))) AS INTEGER)
+         AS price_sign,
+       CAST(o_orderkey % 7 AS BIGINT) AS key_mod7,
+       -- DuckDB has no WIDTH_BUCKET: the arithmetic definition below is
+       -- what Spark's width_bucket must equal on [0, 600000) / 6
+       CAST(CASE WHEN CAST(o_totalprice AS DOUBLE) < 0.0 THEN 0
+                 WHEN CAST(o_totalprice AS DOUBLE) >= 600000.0 THEN 7
+                 ELSE 1 + FLOOR(CAST(o_totalprice AS DOUBLE) / 100000.0)
+            END AS BIGINT) AS price_bucket,
+       CAST(o_orderkey & 255 AS BIGINT) AS key_low_bits,
+       IF(CAST(o_totalprice AS DECIMAL(12,2))
+          > CAST(200000.00 AS DECIMAL(12,2)), 'big', 'small') AS size_label
+FROM orders
+WHERE o_orderkey % 97 = 5
+ORDER BY o_orderkey
+""",
+    doc="Conditional/numeric scalar battery: GREATEST/LEAST on exact "
+    "decimals, TRY_CAST salvage + failure, SIGN, MOD, WIDTH_BUCKET, "
+    "bitwise AND, if() — one projection, zero UDFs, cell-exact vs "
+    "DuckDB.",
+)
+def j6_conditional_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 5)
+    price = F.col("o_totalprice").cast("decimal(12,2)")
+    c100k = F.lit("100000.00").cast("decimal(12,2)")
+    c150k = F.lit("150000.00").cast("decimal(12,2)")
+    c200k = F.lit("200000.00").cast("decimal(12,2)")
+    return o.select(
+        "o_orderkey",
+        F.greatest(price, c100k).cast("double").alias("hi_floor"),
+        F.least(price, c100k).cast("double").alias("lo_cap"),
+        F.expr("try_cast(substr(o_orderpriority, 1, 1) as int)").alias(
+            "prio_num"
+        ),
+        F.expr("try_cast(o_orderpriority as int)").alias("bad_cast"),
+        F.signum(price - c150k).cast("int").alias("price_sign"),
+        (F.col("o_orderkey") % 7).cast("bigint").alias("key_mod7"),
+        F.expr(
+            "width_bucket(cast(o_totalprice as double), 0.0d, 600000.0d, 6)"
+        )
+        .cast("bigint")
+        .alias("price_bucket"),
+        F.expr("o_orderkey & 255").cast("bigint").alias("key_low_bits"),
+        F.when(price > c200k, "big").otherwise("small").alias("size_label"),
+    ).orderBy("o_orderkey")

@@ -4895,3 +4895,117 @@ def x109_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("context_len")
     )
+
+
+# ---------------------------------------------------------------------------
+# X112 — decontamination n-gram width sensitivity (8 / 13 / 21)
+#
+# x18 fixes n=13 (the GPT-3 convention); this sweeps the knob the
+# decontamination papers actually argue about. Shorter grams catch
+# paraphrase-adjacent overlap but flag more innocents; longer grams
+# only catch verbatim inclusion. For each n ∈ {8, 13, 21}: how many
+# train docs collide with the benchmark set at all, and how many
+# distinct gram collisions there are — the exact flagged-volume curve
+# that picks n before a full-corpus decontamination run.
+#
+# Same digest-join shape as x18 at every arm (inverted index on
+# 60-bit gram digests, benchmark side broadcast); arms are separate
+# gram widths, so this is one tokenization per n — the gram windows
+# genuinely differ, there is nothing to share.
+# ---------------------------------------------------------------------------
+
+_X112_NS = [8, 13, 21]
+
+
+def _gramn_duck(src: str, n: int) -> str:
+    from calaveras_uniteus_etl_spark.functions.hashing import duckdb_md5_long_sql
+
+    gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    return f"""
+  SELECT doc_id, unnest(CASE WHEN len(w) >= {n} THEN
+           list_distinct(list_transform(range(1, len(w) - {n - 2}),
+             i -> {duckdb_md5_long_sql(gram)}))
+         ELSE [] END) AS g
+  FROM (SELECT doc_id, string_split({NORM_DUCK.format(col="text")}, ' ') AS w
+        FROM documents {src})"""
+
+
+_X112_ARMS_DUCK = "\nUNION ALL\n".join(
+    f"""SELECT {n} AS n_gram,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE doc_id >= 50)
+         AS n_train_docs,
+       CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_contaminated_docs,
+       CAST(COUNT(DISTINCT (t.doc_id, t.g)) AS BIGINT)
+         AS contaminated_grams,
+       ROUND(CAST(COUNT(DISTINCT t.doc_id) AS DOUBLE)
+             / (SELECT COUNT(*) FROM documents WHERE doc_id >= 50), 4)
+         AS contaminated_rate
+FROM ({_gramn_duck("WHERE doc_id >= 50", n)}) t
+JOIN (SELECT DISTINCT g FROM ({_gramn_duck("WHERE doc_id < 50", n)})) b
+  ON t.g = b.g"""
+    for n in _X112_NS
+)
+
+
+@register(
+    "x112_contamination_n_sweep",
+    oracle=f"SELECT * FROM (\n{_X112_ARMS_DUCK}\n) ORDER BY n_gram",
+    doc="Decontamination width sweep: distinct train-doc and gram "
+    "collisions against the benchmark set at n=8/13/21 — the "
+    "flagged-volume curve that picks the gram width before a "
+    "full-corpus run; x18's digest-join shape at every arm.",
+)
+def x112_contamination_n_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.expr(f"split({NORM_SPARK.format(col='text')}, ' ')").alias("w"),
+    )
+    n_train = d.filter(F.col("doc_id") >= 50).agg(
+        F.count("*").cast("bigint").alias("n_train_docs")
+    )
+    arms = []
+    for n in _X112_NS:
+        gram = "concat(" + ", ' ', ".join(f"w[i+{j}]" for j in range(n)) + ")"
+        grams = words.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"case when size(w) >= {n} then "
+                    f"array_distinct(transform(sequence(0, size(w)-{n}), "
+                    f"i -> cast(conv(substr(md5({gram}), 1, 15), 16, 10)"
+                    " as bigint))) "
+                    "else array() end"
+                )
+            ).alias("g"),
+        )
+        bench = grams.filter(F.col("doc_id") < 50).select("g").distinct()
+        hits = grams.filter(F.col("doc_id") >= 50).join(
+            F.broadcast(bench), "g"
+        )
+        arms.append(
+            hits.agg(
+                F.countDistinct("doc_id")
+                .cast("bigint")
+                .alias("n_contaminated_docs"),
+                F.countDistinct("doc_id", "g")
+                .cast("bigint")
+                .alias("contaminated_grams"),
+            )
+            .crossJoin(F.broadcast(n_train))
+            .select(
+                F.lit(n).alias("n_gram"),
+                "n_train_docs",
+                "n_contaminated_docs",
+                "contaminated_grams",
+                F.round(
+                    F.col("n_contaminated_docs").cast("double")
+                    / F.col("n_train_docs"),
+                    4,
+                ).alias("contaminated_rate"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("n_gram")

@@ -903,3 +903,57 @@ def test_x113_estimator_inequalities(spark):
         assert 0.0 <= r.mean_abs_err <= r.rmse + 1e-12  # Jensen
         assert r.rmse <= r.max_abs_err + 1e-12
         assert r.max_abs_err <= 1.0
+
+
+# --- x112 contamination width sweep --------------------------------------------
+
+
+def test_x112_monotone_in_n(spark):
+    # longer grams are strictly harder to collide on: every (doc, 21-gram)
+    # hit implies hits at 13 and 8 — flagged docs/grams must not grow with n
+    rows = sorted(_rows(spark, "x112_contamination_n_sweep"), key=lambda r: r.n_gram)
+    assert [r.n_gram for r in rows] == [8, 13, 21]
+    assert len({r.n_train_docs for r in rows}) == 1
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_contaminated_docs <= a.n_contaminated_docs
+    for r in rows:
+        assert 0 <= r.n_contaminated_docs <= r.n_train_docs
+        assert r.contaminated_rate == _round_half_up(
+            r.n_contaminated_docs / r.n_train_docs * 1e4
+        ) / 1e4
+
+
+def test_x112_n13_consistent_with_x18(spark):
+    # the n=13 arm flags exactly the docs x18 reports (x18 emits one row
+    # per contaminated train doc)
+    x18_docs = len(_rows(spark, "x18_decontamination"))
+    by_n = {r.n_gram: r for r in _rows(spark, "x112_contamination_n_sweep")}
+    assert by_n[13].n_contaminated_docs == x18_docs
+
+
+# --- j6 conditional suite -------------------------------------------------------
+
+
+def test_j6_matches_python_model(spark):
+    rows = _duck(
+        "SELECT o_orderkey, CAST(o_totalprice AS DOUBLE), o_orderpriority"
+        " FROM orders WHERE o_orderkey % 97 = 5"
+    )
+    got = {r.o_orderkey: r for r in _rows(spark, "j6_conditional_suite")}
+    assert set(got) == {k for k, _, _ in rows}
+    for k, price, prio in rows:
+        r = got[k]
+        assert r.hi_floor == max(price, 100000.0)
+        assert r.lo_cap == min(price, 100000.0)
+        lead = prio.split("-")[0]
+        assert r.prio_num == (int(lead) if lead.isdigit() else None)
+        assert r.bad_cast is None
+        assert r.price_sign == (
+            1 if price > 150000 else -1 if price < 150000 else 0
+        )
+        assert r.key_mod7 == k % 7
+        assert r.price_bucket == (
+            0 if price < 0 else 7 if price >= 600000 else 1 + int(price // 100000)
+        )
+        assert r.key_low_bits == k & 255
+        assert r.size_label == ("big" if price > 200000 else "small")
