@@ -626,3 +626,83 @@ def test_f57_topk_is_take_ordered(spark):
     partial top-k), not a global sort of the orders table."""
     plan = physical(REGISTRY["f57_hill_tail_index"].fn(spark, SF))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x106_ccnet_terciles",
+        "x107_distinct_ngram_diversity",
+        "x108_term_adaptation",
+        "x109_padding_waste",
+        "x110_lsh_band_planner",
+        "x112_contamination_n_sweep",
+        "x113_minhash_k_sweep",
+        "f60_mann_kendall",
+        "f61_spearman_rank_corr",
+        "f62_tukey_outliers",
+        "f63_revenue_var_cvar",
+        "f64_monthly_revenue_bands",
+        "j6_conditional_suite",
+    ],
+)
+def test_round5_queries_have_no_cartesian_product(spark, name):
+    plan = physical(REGISTRY[name].fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name", ["x106_ccnet_terciles", "f61_spearman_rank_corr"]
+)
+def test_round5_ranks_use_prefix_operator(spark, name):
+    """x106's global tercile rank and f61's average ranks run over
+    data-sized relations (documents / customer values): every
+    unpartitioned windowspec must be the cluster-sized __prefix_pid
+    offsets branch, never the data relation itself."""
+    plan = physical(REGISTRY[name].fn(spark, SF))
+    specs = [ln for ln in plan.splitlines() if "windowspecdefinition(" in ln]
+    assert specs, plan
+    for ln in specs:
+        first = ln.split("windowspecdefinition(", 1)[1].split(",", 1)[0]
+        unpartitioned = " ASC" in first or " DESC" in first
+        assert not unpartitioned or "__prefix_pid" in first, ln
+
+
+def test_f62_windows_are_prefix_or_group_grain(spark):
+    """f62's quartiles ride the prefix operator over the (group, value)
+    order; the only other window is the 5-row group-offset rollup
+    (keyed on prio alone) — nothing data-sized may sort in one task."""
+    plan = physical(REGISTRY["f62_tukey_outliers"].fn(spark, SF))
+    specs = [ln for ln in plan.splitlines() if "windowspecdefinition(" in ln]
+    assert specs, plan
+    for ln in specs:
+        first = ln.split("windowspecdefinition(", 1)[1].split(",", 1)[0]
+        unpartitioned = " ASC" in first or " DESC" in first
+        assert (
+            not unpartitioned
+            or "__prefix_pid" in first
+            or first.split(" ")[0].split("#")[0] == "prio"
+        ), ln
+
+
+def test_f64_windows_partition_by_month(spark):
+    plan = physical(REGISTRY["f64_monthly_revenue_bands"].fn(spark, SF))
+    specs = [ln for ln in plan.splitlines() if "windowspecdefinition(" in ln]
+    assert specs, plan
+    for ln in specs:
+        first = ln.split("windowspecdefinition(", 1)[1].split(",", 1)[0]
+        assert " ASC" not in first and " DESC" not in first, ln
+
+
+def test_x108_topk_is_take_ordered(spark):
+    plan = physical(REGISTRY["x108_term_adaptation"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_x110_is_one_signature_pass(spark):
+    """All five band configs must come from ONE signature derivation —
+    a per-config union re-scanning documents five times is the
+    regression the exploded-configs design avoids."""
+    plan = physical(REGISTRY["x110_lsh_band_planner"].fn(spark, SF))
+    scans = [ln for ln in plan.splitlines() if "documents.parquet" in ln]
+    assert len(scans) == 1, scans
