@@ -3125,3 +3125,178 @@ def x113_minhash_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# ---------------------------------------------------------------------------
+# X114 — dedup strategy decision matrix
+#
+# The question every curation run answers before committing compute:
+# how much does each dedup strategy actually remove? One table, three
+# strategies under the keep-lowest-id policy — exact md5 groups (x1),
+# MinHash-LSH pairs at est ≥ 0.5 (x2), SimHash pairs at hamming ≤ 6
+# (x3) — plus their union, each scored as flagged docs AND flagged
+# tokens (docs lie: near-dup strategies preferentially flag long
+# boilerplate docs, so token share ≠ doc share). Exact ⊆ near-dup
+# recall ordering is asserted in the tests, not assumed.
+#
+# Both miners run their production plans (df-capped bucket joins,
+# digests through the shuffle); flag sets are bare ids; every arm is
+# a semi-join + one aggregate. 'any' is the union-distinct of ids,
+# never of pair lists.
+# ---------------------------------------------------------------------------
+
+_X114_SIMHASH_CTES = f""", sfp AS (
+  SELECT doc_id, {dd.duck_simhash_sql()} AS simhash
+  FROM (SELECT b.doc_id, {dd.duck_token_hash_sql()} AS hs FROM base b)
+), sbands AS (
+  SELECT doc_id, simhash,
+         t.k AS band, (simhash // power(256, t.k)::BIGINT) % 256 AS byte
+  FROM sfp CROSS JOIN (SELECT unnest(range({dd.SIMHASH_BYTE_BANDS})) AS k) t
+), sok AS (
+  SELECT band, byte FROM sbands GROUP BY band, byte
+  HAVING COUNT(*) <= {BUCKET_CAP}
+), sbands_ok AS (
+  SELECT sbands.* FROM sbands JOIN sok USING (band, byte)
+), sh_flag AS (
+  SELECT DISTINCT b.doc_id
+  FROM sbands_ok a JOIN sbands_ok b
+    ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
+)"""
+
+
+@register(
+    "x114_dedup_strategy_matrix",
+    oracle=_DUCK_PAIR_CTES
+    + f""", mh_flag AS (
+  SELECT DISTINCT doc_b AS doc_id FROM cand
+  WHERE len(list_filter(range({dd.MINHASH_K}), i -> sa[i+1] = sb[i+1]))
+        >= {_MATCH_MIN}
+){_X114_SIMHASH_CTES}, ex_flag AS (
+  SELECT d.doc_id
+  FROM documents d
+  JOIN (SELECT md5(text) AS h, MIN(doc_id) AS keeper
+        FROM documents GROUP BY 1) g
+    ON md5(d.text) = g.h AND d.doc_id > g.keeper
+), toks AS (
+  SELECT doc_id,
+         CAST(len(string_split({dd.NORM_DUCK.format(col="text")}, ' '))
+              AS BIGINT) AS n
+  FROM documents
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(n) AS BIGINT) AS nt
+  FROM toks
+), any_flag AS (
+  SELECT doc_id FROM ex_flag UNION
+  SELECT doc_id FROM mh_flag UNION
+  SELECT doc_id FROM sh_flag
+), arms AS (
+  SELECT 'exact' AS strategy, doc_id FROM ex_flag UNION ALL
+  SELECT 'minhash', doc_id FROM mh_flag UNION ALL
+  SELECT 'simhash', doc_id FROM sh_flag UNION ALL
+  SELECT 'any', doc_id FROM any_flag
+)
+, stats AS (
+  SELECT strategy,
+         CAST(COUNT(*) AS BIGINT) AS n_flagged_docs,
+         CAST(SUM(t.n) AS BIGINT) AS flagged_tokens,
+         ROUND(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(nd), 4) AS pct_docs,
+         ROUND(CAST(SUM(t.n) AS DOUBLE) / ANY_VALUE(nt), 4) AS pct_tokens
+  FROM arms JOIN toks t USING (doc_id) CROSS JOIN tot
+  GROUP BY strategy
+)
+-- total over strategies: a strategy that flags nothing must still
+-- report an explicit zero row, not vanish
+SELECT s.strategy,
+       COALESCE(n_flagged_docs, 0) AS n_flagged_docs,
+       COALESCE(flagged_tokens, 0) AS flagged_tokens,
+       COALESCE(pct_docs, 0.0) AS pct_docs,
+       COALESCE(pct_tokens, 0.0) AS pct_tokens
+FROM (VALUES ('exact'), ('minhash'), ('simhash'), ('any')) s(strategy)
+LEFT JOIN stats USING (strategy)
+ORDER BY s.strategy
+""",
+    doc="Dedup strategy matrix: flagged docs AND tokens under "
+    "keep-lowest-id for exact md5 (x1), MinHash-LSH est>=0.5 (x2), "
+    "SimHash hamming<=6 (x3), and their union — the "
+    "removal-volume decision table; production miner plans, "
+    "id-only flag sets, one semi-join + aggregate per arm.",
+)
+def x114_dedup_strategy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    keepers = d.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("keeper")
+    )
+    ex_flag = (
+        d.select("doc_id", F.md5("text").alias("h"))
+        .join(keepers, "h")
+        .filter(F.col("doc_id") > F.col("keeper"))
+        .select("doc_id")
+    )
+    mh_flag = (
+        _lsh_pair_matches(spark, sf_dir)
+        .filter(F.col("nm") >= _MATCH_MIN)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    sh_flag = (
+        x3_simhash_pairs(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    any_flag = ex_flag.unionByName(mh_flag).unionByName(sh_flag).distinct()
+    toks = d.select(
+        "doc_id",
+        F.size(F.split(F.expr(dd.NORM_SPARK.format(col="text")), " "))
+        .cast("bigint")
+        .alias("n"),
+    )
+    tot = toks.agg(
+        F.count("*").cast("bigint").alias("nd"),
+        F.sum("n").cast("bigint").alias("nt"),
+    )
+    arms = (
+        ex_flag.select(F.lit("exact").alias("strategy"), "doc_id")
+        .unionByName(mh_flag.select(F.lit("minhash").alias("strategy"), "doc_id"))
+        .unionByName(sh_flag.select(F.lit("simhash").alias("strategy"), "doc_id"))
+        .unionByName(any_flag.select(F.lit("any").alias("strategy"), "doc_id"))
+    )
+    stats = (
+        arms.join(toks, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("strategy")
+        .agg(
+            F.count("*").cast("bigint").alias("n_flagged_docs"),
+            F.sum("n").cast("bigint").alias("flagged_tokens"),
+            F.round(
+                F.count("*").cast("double") / F.first("nd"), 4
+            ).alias("pct_docs"),
+            F.round(
+                F.sum("n").cast("double") / F.first("nt"), 4
+            ).alias("pct_tokens"),
+        )
+    )
+    # total over strategies: a strategy that flags nothing must still
+    # report an explicit zero row, not vanish
+    dim = spark.range(1).select(
+        F.explode(
+            F.array(
+                F.lit("exact"), F.lit("minhash"), F.lit("simhash"), F.lit("any")
+            )
+        ).alias("strategy")
+    )
+    return (
+        dim.join(F.broadcast(stats), "strategy", "left")
+        .select(
+            "strategy",
+            F.coalesce(F.col("n_flagged_docs"), F.lit(0).cast("bigint")).alias(
+                "n_flagged_docs"
+            ),
+            F.coalesce(F.col("flagged_tokens"), F.lit(0).cast("bigint")).alias(
+                "flagged_tokens"
+            ),
+            F.coalesce(F.col("pct_docs"), F.lit(0.0)).alias("pct_docs"),
+            F.coalesce(F.col("pct_tokens"), F.lit(0.0)).alias("pct_tokens"),
+        )
+        .orderBy("strategy")
+    )

@@ -957,3 +957,33 @@ def test_j6_matches_python_model(spark):
         )
         assert r.key_low_bits == k & 255
         assert r.size_label == ("big" if price > 200000 else "small")
+
+
+# --- x114 dedup strategy matrix ------------------------------------------------
+
+
+def test_x114_union_and_bounds(spark):
+    rows = {r.strategy: r for r in _rows(spark, "x114_dedup_strategy_matrix")}
+    assert set(rows) == {"exact", "minhash", "simhash", "any"}
+    n_docs = _duck("SELECT COUNT(*) FROM documents")[0][0]
+    any_ = rows["any"]
+    for s in ("exact", "minhash", "simhash"):
+        r = rows[s]
+        # each single strategy is a subset of the union
+        assert r.n_flagged_docs <= any_.n_flagged_docs
+        assert r.flagged_tokens <= any_.flagged_tokens
+        assert 0 <= r.n_flagged_docs <= n_docs
+        assert 0.0 <= r.pct_docs <= 1.0 and 0.0 <= r.pct_tokens <= 1.0
+    # union bound: |any| <= sum of parts
+    assert any_.n_flagged_docs <= sum(
+        rows[s].n_flagged_docs for s in ("exact", "minhash", "simhash")
+    )
+
+
+def test_x114_minhash_arm_matches_pair_miner(spark):
+    # the minhash arm must flag exactly the distinct doc_b of x2's pair
+    # miner at est >= 0.5
+    pairs = REGISTRY["x2_minhash_lsh_pairs"].fn(spark, SF).collect()
+    flagged = {p.doc_b for p in pairs}
+    rows = {r.strategy: r for r in _rows(spark, "x114_dedup_strategy_matrix")}
+    assert rows["minhash"].n_flagged_docs == len(flagged)
