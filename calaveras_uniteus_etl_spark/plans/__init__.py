@@ -185,6 +185,7 @@ _NEW_THIS_ROUND: list[str] = [
     "x112_contamination_n_sweep",
     "j6_conditional_suite",
     "x114_dedup_strategy_matrix",
+    "x115_dup_graph_hubs",
 ]
 
 # Entries with a GREEN driver row in rounds 1-4 (union = 179) sit in

@@ -3300,3 +3300,80 @@ def x114_dedup_strategy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("strategy")
     )
+
+
+# ---------------------------------------------------------------------------
+# X115 — near-dup graph hub census (degree distribution)
+#
+# x36 sizes the components and x71 counts triangles; neither answers
+# the QA question that decides whether keep-lowest-id is SAFE: are
+# there hub documents with pathological degree (boilerplate
+# attractors that glue unrelated docs into one giant component)? The
+# per-doc degree over x2's pair graph (est ≥ 0.5), censused into
+# degree bands with each band's exact degree range and edge-endpoint
+# share. A fat 11+ band says: mine templates (x46) and strip
+# boilerplate BEFORE clustering, or the union-find will chain.
+#
+# Degrees are one explode + count over id pairs (digest-capped miner
+# upstream); the census is a band-grain rollup. Nothing data-sized
+# sorts or broadcasts.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x115_dup_graph_hubs",
+    oracle=_DUCK_PAIR_CTES
+    + f""", pairs AS (
+  SELECT doc_a, doc_b FROM cand
+  WHERE len(list_filter(range({dd.MINHASH_K}), i -> sa[i+1] = sb[i+1]))
+        >= {_MATCH_MIN}
+), deg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM (SELECT doc_a AS doc_id FROM pairs
+        UNION ALL SELECT doc_b FROM pairs)
+  GROUP BY 1
+)
+SELECT CASE WHEN degree = 1 THEN '1'
+            WHEN degree = 2 THEN '2'
+            WHEN degree <= 5 THEN '3-5'
+            WHEN degree <= 10 THEN '6-10'
+            ELSE '11+' END AS degree_band,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(degree) AS BIGINT) AS min_degree,
+       CAST(MAX(degree) AS BIGINT) AS max_degree,
+       CAST(SUM(degree) AS BIGINT) AS endpoint_share
+FROM deg GROUP BY 1 ORDER BY min_degree
+""",
+    doc="Near-dup graph degree census over x2's pair miner: docs per "
+    "degree band with exact degree ranges and endpoint share — the "
+    "hub/boilerplate-attractor audit that decides whether "
+    "keep-lowest-id clustering is safe; explode + two rollups, no "
+    "sort.",
+)
+def x115_dup_graph_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _lsh_pair_matches(spark, sf_dir).filter(
+        F.col("nm") >= _MATCH_MIN
+    )
+    ends = pairs.select(F.col("doc_a").alias("doc_id")).unionByName(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    deg = ends.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("degree")
+    )
+    band = (
+        F.when(F.col("degree") == 1, "1")
+        .when(F.col("degree") == 2, "2")
+        .when(F.col("degree") <= 5, "3-5")
+        .when(F.col("degree") <= 10, "6-10")
+        .otherwise("11+")
+    )
+    return (
+        deg.groupBy(band.alias("degree_band"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("degree").cast("bigint").alias("min_degree"),
+            F.max("degree").cast("bigint").alias("max_degree"),
+            F.sum("degree").cast("bigint").alias("endpoint_share"),
+        )
+        .orderBy("min_degree")
+    )

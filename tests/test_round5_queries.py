@@ -987,3 +987,31 @@ def test_x114_minhash_arm_matches_pair_miner(spark):
     flagged = {p.doc_b for p in pairs}
     rows = {r.strategy: r for r in _rows(spark, "x114_dedup_strategy_matrix")}
     assert rows["minhash"].n_flagged_docs == len(flagged)
+
+
+# --- x115 dup-graph hub census ---------------------------------------------------
+
+
+def test_x115_degree_conservation(spark):
+    rows = _rows(spark, "x115_dup_graph_hubs")
+    pairs = REGISTRY["x2_minhash_lsh_pairs"].fn(spark, SF).collect()
+    # handshake lemma: total endpoint share == 2 * |edges|
+    assert sum(r.endpoint_share for r in rows) == 2 * len(pairs)
+    deg = Counter()
+    for p in pairs:
+        deg[p.doc_a] += 1
+        deg[p.doc_b] += 1
+    assert sum(r.n_docs for r in rows) == len(deg)
+
+
+def test_x115_band_ranges_are_disjoint_and_ordered(spark):
+    rows = sorted(_rows(spark, "x115_dup_graph_hubs"), key=lambda r: r.min_degree)
+    bounds = {"1": (1, 1), "2": (2, 2), "3-5": (3, 5), "6-10": (6, 10), "11+": (11, None)}
+    for a, b in zip(rows, rows[1:]):
+        assert a.max_degree < b.min_degree
+    for r in rows:
+        lo, hi = bounds[r.degree_band]
+        assert r.min_degree >= lo
+        assert hi is None or r.max_degree <= hi
+        assert r.n_docs >= 1
+        assert r.n_docs * r.min_degree <= r.endpoint_share <= r.n_docs * r.max_degree
