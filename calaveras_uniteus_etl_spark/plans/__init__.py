@@ -186,6 +186,7 @@ _NEW_THIS_ROUND: list[str] = [
     "j6_conditional_suite",
     "x114_dedup_strategy_matrix",
     "x115_dup_graph_hubs",
+    "x116_shard_checksums",
 ]
 
 # Entries with a GREEN driver row in rounds 1-4 (union = 179) sit in

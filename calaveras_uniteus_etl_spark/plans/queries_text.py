@@ -5009,3 +5009,78 @@ def x112_contamination_n_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in arms[1:]:
         out = out.unionByName(a)
     return out.orderBy("n_gram")
+
+
+# ---------------------------------------------------------------------------
+# X116 — order-independent shard checksums (transfer-integrity manifest)
+#
+# After writing training shards (x24/x54) and copying them across
+# storage systems, the receiving side needs to verify integrity
+# WITHOUT re-reading in the same order — distributed writes do not
+# preserve row order, so a stream hash is useless. The standard fix:
+# a commutative checksum. Per shard (x54's salted assignment): the
+# SUM of per-document content digests md5_long('ck:' || doc_id || ':'
+# || md5(text)) reduced mod 2^61−1, plus doc count and id range. Any
+# dropped, duplicated, or corrupted document moves the sum; any
+# reordering does not. Sums ride DECIMAL(38,0) so the reduction is
+# exact at any corpus size before the Mersenne fold.
+# ---------------------------------------------------------------------------
+
+_X116_MOD = 2305843009213693951  # 2^61 - 1
+
+
+@register(
+    "x116_shard_checksums",
+    oracle=f"""
+WITH assigned AS (
+  SELECT {_fold("'shard:' || CAST(doc_id AS VARCHAR)")} % {_X54_SHARDS}
+           AS shard,
+         doc_id,
+         {_fold("'ck:' || CAST(doc_id AS VARCHAR) || ':' || md5(text)")}
+           AS digest
+  FROM documents
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
+       CAST(SUM(CAST(digest AS HUGEINT)) % {_X116_MOD} AS BIGINT)
+         AS checksum
+FROM assigned GROUP BY shard ORDER BY shard
+""",
+    doc="Commutative shard checksums: per-shard SUM of 60-bit content "
+    "digests mod 2^61-1 (exact DECIMAL reduction) with doc counts "
+    "and id ranges — order-independent transfer-integrity "
+    "verification for distributed shard writes.",
+)
+def x116_shard_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calaveras_uniteus_etl_spark.functions.hashing import md5_long
+
+    d = table(spark, sf_dir, "documents")
+    shard = F.expr(
+        "cast(conv(substr(md5(concat('shard:', cast(doc_id as string))), 1, 15),"
+        f" 16, 10) as bigint) % {_X54_SHARDS}"
+    )
+    digest = md5_long(
+        F.concat(
+            F.lit("ck:"),
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.md5("text"),
+        )
+    )
+    assigned = d.select(
+        shard.alias("shard"), "doc_id", digest.alias("digest")
+    )
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+            F.max("doc_id").cast("bigint").alias("max_doc_id"),
+            (F.sum(F.col("digest").cast("decimal(38,0)")) % _X116_MOD)
+            .cast("bigint")
+            .alias("checksum"),
+        )
+        .orderBy("shard")
+    )

@@ -1015,3 +1015,47 @@ def test_x115_band_ranges_are_disjoint_and_ordered(spark):
         assert hi is None or r.max_degree <= hi
         assert r.n_docs >= 1
         assert r.n_docs * r.min_degree <= r.endpoint_share <= r.n_docs * r.max_degree
+
+
+# --- x116 shard checksums --------------------------------------------------------
+
+
+def _md5_long(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_x116_matches_python_model(spark):
+    import hashlib
+
+    docs = _duck("SELECT doc_id, text FROM documents")
+    MOD = 2305843009213693951
+    per = defaultdict(lambda: [0, [], 0])
+    for doc_id, text in docs:
+        shard = _md5_long(f"shard:{doc_id}") % 8
+        h = hashlib.md5(text.encode()).hexdigest()
+        d = _md5_long(f"ck:{doc_id}:{h}")
+        per[shard][0] += 1
+        per[shard][1].append(doc_id)
+        per[shard][2] += d
+    got = {r.shard: r for r in _rows(spark, "x116_shard_checksums")}
+    assert set(got) == set(per)
+    for shard, (n, ids, tot) in per.items():
+        r = got[shard]
+        assert r.n_docs == n
+        assert r.min_doc_id == min(ids)
+        assert r.max_doc_id == max(ids)
+        assert r.checksum == tot % MOD
+
+
+def test_x116_checksum_detects_membership_change(spark):
+    # moving any one doc between shards must change both shard sums:
+    # model-level property of the commutative checksum (no Spark rerun)
+    docs = _duck("SELECT doc_id, text FROM documents LIMIT 2")
+    import hashlib
+
+    d0 = _md5_long(
+        f"ck:{docs[0][0]}:{hashlib.md5(docs[0][1].encode()).hexdigest()}"
+    )
+    assert d0 != 0  # a zero digest would make membership invisible
