@@ -26,75 +26,73 @@ from calaveras_uniteus_etl_spark.plans import (  # noqa: F401  (import = registe
 # The driver's correctness harness walks the registry in order and caps
 # how many entries it checks per round (50 per round so far). Iteration
 # order therefore front-loads the entries with the LEAST driver
-# evidence. Rounds 1-3 witnessed 129 distinct names (r01∪r02∪r03);
-# round 4's window covered the 50 names that led the round-4 ordering
-# (the r2/r3 backlog + all round-3 additions). The pool below is what
-# remains unwitnessed after that: the five deliberate round-4 spill
-# entries plus every round-4 addition. The round-5 check window covers
-# the first 50 (5 spill + the 45 oldest round-4 additions); the tail —
-# the round-4b additions, which landed latest and carry the freshest
-# tools/driver_check.py evidence — deliberately spills to round 6.
-# Queries added in round 5 register after these via _NEW_THIS_ROUND.
-# All previously green entries sit behind them — their evidence already
-# exists — and f2_approx_count_distinct goes dead last: it is
-# rows-only by design (HLL sketches are engine-private, no SQL oracle)
-# and can never earn a hash-green row, so it must not burn a check slot
-# (its accuracy is covered by a 3·rsd tolerance test in
+# evidence. Witnessed union as of round 6: r01∪r02∪r03∪r05 = 179
+# distinct names, all green. ROUND 4 PRODUCED NO CORRECTNESS FILE
+# (CORRECTNESS_r04.json is absent), so the 50 names the round-4 window
+# was supposed to prove were silently dropped from the evidence trail —
+# the round-5 rotation moved them to the middle on the assumption they
+# had been checked. They lead this list again (oldest debt first):
+# block 1 below is exactly that lost round-4 window and forms the
+# round-6 check window. Block 2 is the round-4b additions, block 3 the
+# round-5 additions — they drain in rounds 7-8. All driver-green
+# entries sit behind them, and f2_approx_count_distinct goes dead
+# last: it is rows-only by design (HLL sketches are engine-private, no
+# SQL oracle) and can never earn a hash-green row, so it must not burn
+# a check slot (its accuracy is covered by a 3·rsd tolerance test in
 # tests/test_approx_tolerance.py).
 _NEVER_CHECKED = [
-    # --- round-4 deliberate spill (5) ---
-    "x41_ivf_recall_audit",
-    "x42_ivf_nprobe_sweep",
-    "x44_chunk_dup_census",
-    "x50_curation_manifest",
-    "x54_shard_balance",
-    # --- round-4 additions, oldest first (the first 45 complete the
-    # --- round-5 window; the rest spill to round 6) ---
-    "x64_ivfpq_adc",
-    "x65_ngram_containment",
-    "x66_shingle_novelty",
-    "g9_group_percent_rank",
-    "m5_join_key_skew_audit",
-    "d10_facet_grid",
-    "s6_windowed_topk",
-    "x68_vocab_coverage",
-    "j3_string_suite",
-    "x69_knn_label_eval",
-    "g10_activity_streaks",
-    "x70_gopher_quality_gate",
-    "s7_ewma_drift",
-    "x71_dup_graph_triangles",
-    "f32_ordered_funnel",
-    "m6_constraint_audit",
-    "s8_interval_join_outer",
-    "x72_kmv_distinct_sketch",
-    "x73_kmv_sketch_merge",
-    "x74_leakage_free_split",
-    "x75_ares_sample",
-    "c10_cdc_apply",
-    "x76_jl_projection_audit",
-    "x77_cluster_labels",
-    "x79_source_entropy",
-    "x80_heaps_law_curve",
-    "f33_ab_test",
-    "h26_above_avg_orders",
-    "x81_source_kl",
-    "f34_chi_square",
-    "f35_gini_revenue",
-    "e14_entity_resolution",
-    "e15_basket_lift",
-    "g11_anomaly_flags",
-    "x82_ks_test",
-    "x83_adamic_adar",
-    "m7_compaction_plan",
-    "f36_dow_seasonality",
-    "g12_rolling_correlation",
-    "e16_nearest_event_join",
-    "f37_benford_audit",
-    "x84_rank_biased_overlap",
-    "x85_poisson_bootstrap",
-    "g13_decile_profile",
-    "f38_mutual_information",
+    # --- block 1: the lost round-4 window (50) = the round-6 window ---
+    "f31_grouping_sets",
+    "m4_column_profile",
+    "i2_set_ops",
+    "g8_spend_deciles",
+    "x55_cluster_representative",
+    "j2_json_props",
+    "h9_disjunctive_brackets",
+    "h10_priority_semi",
+    "h11_value_share",
+    "h12_inactive_rich",
+    "x61_media_phash_neardup",
+    "x56_pq_codes",
+    "x57_pq_ann_topk",
+    "r6_provider_performance",
+    "r7_correlation_matrix",
+    "r8_share_mix",
+    "x29_semdedup_prune",
+    "x38_ann_recall_audit",
+    "x51_embedding_health",
+    "x62_hard_negatives",
+    "x63_embed_covariance",
+    "s3_replay_dedup",
+    "s4_interval_join",
+    "s5_last_touch_attribution",
+    "x25_unigram_logprob",
+    "x27_doc_chunking",
+    "x28_source_mixture",
+    "x30_weighted_sample",
+    "x31_dsir_weights",
+    "x37_source_cap",
+    "x43_countmin_freq",
+    "x47_bm25_search",
+    "x48_exact_contamination",
+    "x49_token_budget_fill",
+    "x58_bigram_logprob",
+    "x59_hybrid_rrf",
+    "x60_bpe_pair_counts",
+    "h13_volume_shipping",
+    "h14_market_share",
+    "h15_custdist",
+    "h16_promo_effect",
+    "h17_top_supplier",
+    "h18_small_qty_avg",
+    "h19_large_volume_orders",
+    "h20_supplier_variety",
+    "h21_waiting_orders",
+    "h22_min_cost_supplier",
+    "h23_product_profit",
+    "h24_late_priority_lines",
+    "h25_dominant_part_suppliers",
+    # --- block 2: round-4b additions, unwitnessed (54) ---
     "f39_kaplan_meier",
     "f40_linear_attribution",
     "g14_gap_fill_ffill",
@@ -149,14 +147,7 @@ _NEVER_CHECKED = [
     "f54_runs_test",
     "g20_peak_census",
     "m11_join_cardinality_audit",
-]
-
-# Round-5 additions with no driver evidence yet: they queue directly
-# behind the backlog above so they enter the check window as the
-# backlog drains (round 6 window = backlog tail + the head of this
-# list). Every entry must be green under tools/driver_check.py at
-# sf0.01 and sf0.1 before it is registered here.
-_NEW_THIS_ROUND: list[str] = [
+    # --- block 3: round-5 additions, unwitnessed (30) ---
     "f55_fisher_price_index",
     "f56_nelson_aalen",
     "g21_interval_union_coverage",
@@ -189,7 +180,13 @@ _NEW_THIS_ROUND: list[str] = [
     "x116_shard_checksums",
 ]
 
-# Entries with a GREEN driver row in rounds 1-4 (union = 179) sit in
+# Round-6 additions with no driver evidence yet: they queue directly
+# behind the backlog above so they enter the check window as the
+# backlog drains. Every entry must be green under
+# tools/driver_check.py at sf0.01 and sf0.1 before it is registered.
+_NEW_THIS_ROUND: list[str] = []
+
+# Entries with a GREEN driver row in rounds 1-3 or 5 (union = 179) sit in
 # the middle in registration order; f2 stays dead last (rows-only).
 _ROWS_ONLY_LAST = ["f2_approx_count_distinct"]
 
