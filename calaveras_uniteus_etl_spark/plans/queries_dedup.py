@@ -159,12 +159,16 @@ def _lsh_pair_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     (x33's per-source averages) can sum it deterministically instead of
     averaging doubles.
     """
-    # Cache the signature relation: the LSH self-join would otherwise
-    # re-derive the (md5-heavy) signature subtree on both sides, and
-    # again when signatures are joined back onto the candidates. The
-    # cached relation is K longs per doc — O(corpus), tiny next to the
-    # text it summarizes.
-    sigs = _spark_sigs(spark, sf_dir).cache()
+    # Materialize the signature relation once (eager localCheckpoint):
+    # the LSH self-join would otherwise re-derive the (md5-heavy)
+    # signature subtree on both sides, and again when signatures are
+    # joined back onto the candidates. K longs per doc — O(corpus),
+    # tiny next to the text it summarizes. localCheckpoint, not
+    # cache(): a cache() entry outlives the query in the session
+    # CacheManager (leaking memory across a full-registry run and
+    # rewriting later queries' plans via cache substitution); the
+    # checkpoint's blocks are released with the DataFrame reference.
+    sigs = _spark_sigs(spark, sf_dir).localCheckpoint(eager=True)
     bands = sigs.select(
         "doc_id", F.posexplode(dd.band_keys_expr()).alias("band", "band_key")
     )
@@ -411,7 +415,7 @@ WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= {_JACCARD_MIN}
 )
 def x4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The inverted index is used three times (both self-join sides +
-    # per-doc sizes): cache it once. Postings are (doc_id, bigint
+    # per-doc sizes): materialize it once (eager localCheckpoint). Postings are (doc_id, bigint
     # digest) — the join/shuffle never carries shingle text, and a
     # 60-bit digest makes cross-doc collisions (the only thing that
     # could perturb exactness) a 1-in-2^60 event.
@@ -429,7 +433,7 @@ def x4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df") <= BUCKET_CAP)
         .drop("df")
-        .cache()
+        .localCheckpoint(eager=True)
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -643,7 +647,7 @@ def x26_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.withColumn("hs", dd.shingle_hashes_expr())
         .withColumn("sig", dd.minhash_sig_expr())
         .select("doc_id", "sig")
-        .cache()
+        .localCheckpoint(eager=True)
     )
     bands = sigs.select(
         "doc_id", F.posexplode(dd.band_keys_expr()).alias("band", "band_key")
@@ -1480,7 +1484,7 @@ def x65_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df") <= BUCKET_CAP)
         .drop("df")
-        .cache()
+        .localCheckpoint(eager=True)
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -1549,7 +1553,7 @@ def x66_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = dd.with_shingles(_docs_wide(spark, sf_dir))
     sh = d.select(
         "doc_id", F.explode(dd.shingle_digests_expr()).alias("g")
-    ).cache()
+    ).localCheckpoint(eager=True)
     firsts = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     src = table(spark, sf_dir, "documents").select("doc_id", "source")
     scored = (
@@ -3013,7 +3017,7 @@ def x113_minhash_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.withColumn("hs", dd.shingle_hashes_expr())
         .withColumn("sig", dd.minhash_sig_expr())
         .select("doc_id", "sig")
-        .cache()
+        .localCheckpoint(eager=True)
     )
     bands = sigs.select(
         "doc_id", F.posexplode(dd.band_keys_expr()).alias("band", "band_key")

@@ -145,7 +145,7 @@ def _spark_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
         sim.buckets_array_udf().alias("bks"),
-    ).cache()
+    ).localCheckpoint(eager=True)
 
 
 from calaveras_uniteus_etl_spark.plans.queries_dedup import BUCKET_CAP as _BUCKET_CAP
@@ -161,9 +161,11 @@ def _spark_buckets(vecs: DataFrame) -> DataFrame:
         .filter(F.col("bc") <= _BUCKET_CAP)
         .drop("bc")
     )
-    # cached: both sides of the candidate self-join (and the x6_ann
-    # probe path) read this relation — (vec_id, tbl, bucket) ints only
-    return b.join(F.broadcast(ok), ["tbl", "bucket"]).cache()
+    # materialized eagerly: both sides of the candidate self-join (and
+    # the x6_ann probe path) read this relation — (vec_id, tbl,
+    # bucket) ints only; localCheckpoint keeps it out of the session
+    # CacheManager so nothing leaks past the query
+    return b.join(F.broadcast(ok), ["tbl", "bucket"]).localCheckpoint(eager=True)
 
 
 def _duck_buckets_cte() -> str:
@@ -393,7 +395,7 @@ def x13_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding",
             F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
         )
-        .cache()
+        .localCheckpoint(eager=True)
     )
     cents = e.filter(F.col("vec_id") < _N_CENTROIDS).select(
         F.col("vec_id").alias("cid"),
@@ -660,7 +662,7 @@ def x23_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"transform(embedding, x -> cast(floor(cast(x as double) * {_KM_SCALE}) as bigint))"
         ).alias("q"),
-    ).cache()
+    ).localCheckpoint(eager=True)
     seeds = qvecs.filter(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("cid"),
         F.expr("transform(q, x -> cast(x as double))").alias("c"),

@@ -1244,13 +1244,14 @@ def x31_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term"
         ),
     )
-    # cache: the exploded+hashed token relation feeds four jobs (raw
-    # bucket counts, target bucket counts, the two scalar totals, and
-    # the final per-doc score join) — without the cache the md5-dense
-    # explode re-runs for each. ~3 longs/token, O(corpus tokens).
+    # eager localCheckpoint: the exploded+hashed token relation feeds
+    # four jobs (raw bucket counts, target bucket counts, the two
+    # scalar totals, and the final per-doc score join) — without it
+    # the md5-dense explode re-runs for each, and unlike cache() no
+    # entry outlives the query in the session CacheManager. ~3 longs/token, O(corpus tokens).
     bt = toks.select(
         "doc_id", "lang", (md5_long("term") % _DSIR_B).alias("b")
-    ).cache()
+    ).localCheckpoint(eager=True)
     raw = bt.groupBy("b").agg(F.count("*").alias("r_cnt"))
     tgt = (
         bt.filter(F.col("lang") == _DSIR_TARGET_LANG)
