@@ -4137,6 +4137,8 @@ FROM cum ORDER BY cnt DESC, token ASC
     "vocabulary grain into contiguous slices of a 2^20 draw grid.",
 )
 def x101_unigram_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calaveras_uniteus_etl_spark.operators.prefix import prefix_rank
+
     d = table(spark, sf_dir, "documents")
     words = d.select(
         F.explode(
@@ -4152,19 +4154,24 @@ def x101_unigram_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("weight_micro"),
     )
-    # vocabulary grain: bounded global window
-    w_cum = Window.orderBy(F.desc("cnt"), F.asc("token")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    w_all = Window.orderBy(F.desc("cnt"), F.asc("token")).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    cum = wt.select(
+    # The cumulative sum runs over the whole VOCABULARY, which grows
+    # with the corpus (Heaps' law: ~10⁸ terms at 100 TB) — a global
+    # ORDER BY window would funnel it through one task. Distributed
+    # prefix operator instead: range-repartition on the (cnt DESC,
+    # token) total order, partition-local running sums, broadcast
+    # per-partition offsets. Bit-exact (integer micro-units).
+    cum = prefix_rank(
+        wt,
+        order=[F.desc("cnt"), F.asc("token")],
+        value="weight_micro",
+        cum_col="c_inc",
+        total_sum_col="total",
+    ).select(
         "token",
         "cnt",
         "weight_micro",
-        F.sum("weight_micro").over(w_cum).cast("bigint").alias("c_inc"),
-        F.sum("weight_micro").over(w_all).cast("bigint").alias("total"),
+        F.col("c_inc").cast("bigint").alias("c_inc"),
+        F.col("total").cast("bigint").alias("total"),
     )
     grid = F.lit(_X101_GRID).cast("bigint")
     return cum.select(

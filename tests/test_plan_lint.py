@@ -1,0 +1,147 @@
+"""Registry-wide physical-plan lint — every query, every round.
+
+test_plan_shape.py asserts hand-picked plan properties per query
+family; this file sweeps the ENTIRE registry so a scale regression in
+a NEW query fails CI the day it lands, without anyone remembering to
+write a bespoke plan test. Three properties are linted on every
+registry entry's executed plan at sf0.001:
+
+1. No ``CartesianProduct`` — unless the name is in CARTESIAN_ALLOW
+   with a justification (the relation is dimension-grain by
+   construction, so |A|x|B| is bounded regardless of data volume).
+2. No ``BatchEvalPython`` — row-at-a-time Python UDFs are banned
+   outright; Python reaches the JVM only via Arrow (ArrowEvalPython /
+   MapInPandas / FlatMapGroupsInPandas), which the lint allows.
+3. No data-sized single-partition WindowExec: a ``Window`` whose input
+   is an ``Exchange SinglePartition`` funnels the whole relation
+   through ONE task to sort it. Two shapes are acceptable and
+   recognized:
+   - the distributed-prefix pattern (operators/prefix.py): the window
+     runs over per-partition offsets (≤ one row per shuffle
+     partition), identifiable by its ``__prefix_``/``__pf_`` columns;
+   - windows over GRAIN-BOUNDED relations (days, months, deciles,
+     bounded value domains) — these must be explicitly allowlisted in
+     GLOBAL_WINDOW_ALLOW with the boundedness argument, so every new
+     global window gets a human scale review before it ships.
+
+A stale-entry check keeps both allowlists honest: an entry whose query
+no longer triggers the pattern (or no longer exists) fails the lint
+until it is removed.
+"""
+
+from __future__ import annotations
+
+import re
+
+from calaveras_uniteus_etl_spark.plans import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+# Queries whose CartesianProduct is over dimension-grain inputs.
+CARTESIAN_ALLOW = {
+    "x73_kmv_sketch_merge": (
+        "source-pair self-join: both sides are the distinct `source` "
+        "relation (bounded dimension, ~dozens of rows at any corpus "
+        "size); the KMV sketches themselves are k-bounded"
+    ),
+}
+
+# Queries whose single-partition window is over a GRAIN-bounded
+# relation — cardinality set by a domain (days, months, categories,
+# a quantized value range), not by the data volume.
+GLOBAL_WINDOW_ALLOW = {
+    "r8_share_mix": "share-category grain (report dimension, ~10 rows)",
+    "f39_kaplan_meier": "distinct-tenure-day grain, bounded by the date range",
+    "f56_nelson_aalen": "distinct-tenure-day grain, bounded by the date range",
+    "h27_cumulative_crossover": "calendar-day grain",
+    "f44_downsample_ltob": "calendar-day grain",
+    "f45_mann_whitney": "distinct 2-decimal event-value grain (fixed domain)",
+    "f51_changepoint": "calendar-day grain",
+    "f52_seasonal_strength": "calendar-day grain",
+    "f54_runs_test": "calendar-day grain",
+    "g20_peak_census": "calendar-day grain",
+    "f19_rolling_daily": "calendar-day grain",
+    "g3_user_growth": "calendar-day grain",
+    "g12_rolling_correlation": "calendar-day grain",
+    "f28_yoy_revenue": "calendar-month grain",
+    "f62_tukey_outliers": "order-priority grain (5 values)",
+    "f63_revenue_var_cvar": "per-day revenue grain (<= #days rows)",
+    "m7_compaction_plan": "source grain (bounded dimension)",
+    "x35_lsh_threshold_sweep": "signature-match-count grain (0..K=12)",
+    "x80_heaps_law_curve": "corpus-decile grain (10 rows)",
+    "x82_ks_test": "distinct doc-length grain (bounded by max doc length)",
+}
+
+_WINDOW_RE = re.compile(r"\bWindow \[")
+_PREFIX_MARKERS = ("__prefix_", "__pf_")
+
+
+def _single_partition_windows(plan: str) -> list[str]:
+    """Window lines whose input (within the next 3 lines) is an
+    Exchange SinglePartition, excluding the distributed-prefix shape."""
+    lines = plan.splitlines()
+    hits = []
+    for i, line in enumerate(lines):
+        if not _WINDOW_RE.search(line):
+            continue
+        below = "\n".join(lines[i + 1 : i + 4])
+        if "Exchange SinglePartition" not in below:
+            continue
+        if any(m in line for m in _PREFIX_MARKERS):
+            continue  # prefix-operator offsets: <= one row per partition
+        hits.append(line.strip()[:160])
+    return hits
+
+
+def test_registry_plan_lint(spark):
+    cartesian: dict[str, bool] = {}
+    global_win: dict[str, list[str]] = {}
+    errors: dict[str, str] = {}
+    row_udf: list[str] = []
+
+    for name, spec in REGISTRY.items():
+        try:
+            plan = (
+                spec.fn(spark, SF)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        except Exception as ex:  # noqa: BLE001 - lint must name the query
+            errors[name] = f"{type(ex).__name__}: {ex}"
+            continue
+        if "CartesianProduct" in plan:
+            cartesian[name] = True
+        if "BatchEvalPython" in plan:
+            row_udf.append(name)
+        hits = _single_partition_windows(plan)
+        if hits:
+            global_win[name] = hits
+
+    assert not errors, f"queries failed to plan: {errors}"
+    assert not row_udf, (
+        f"row-at-a-time Python UDF (BatchEvalPython) in: {row_udf}"
+    )
+
+    bad_cartesian = sorted(set(cartesian) - set(CARTESIAN_ALLOW))
+    assert not bad_cartesian, (
+        "CartesianProduct without an allowlist justification: "
+        f"{bad_cartesian}"
+    )
+    stale_cartesian = sorted(set(CARTESIAN_ALLOW) - set(cartesian))
+    assert not stale_cartesian, (
+        f"CARTESIAN_ALLOW entries no longer needed: {stale_cartesian}"
+    )
+
+    bad_win = {
+        n: hits for n, hits in global_win.items()
+        if n not in GLOBAL_WINDOW_ALLOW
+    }
+    assert not bad_win, (
+        "data-sized single-partition window (use operators/prefix.py "
+        f"or allowlist with a boundedness argument): {bad_win}"
+    )
+    stale_win = sorted(set(GLOBAL_WINDOW_ALLOW) - set(global_win))
+    assert not stale_win, (
+        f"GLOBAL_WINDOW_ALLOW entries no longer needed: {stale_win}"
+    )
