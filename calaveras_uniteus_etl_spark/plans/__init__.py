@@ -184,7 +184,10 @@ _NEVER_CHECKED = [
 # behind the backlog above so they enter the check window as the
 # backlog drains. Every entry must be green under
 # tools/driver_check.py at sf0.01 and sf0.1 before it is registered.
-_NEW_THIS_ROUND: list[str] = []
+_NEW_THIS_ROUND: list[str] = [
+    "x117_hll_registers",
+    "x118_hll_shard_merge",
+]
 
 # Entries with a GREEN driver row in rounds 1-3 or 5 (union = 179) sit in
 # the middle in registration order; f2 stays dead last (rows-only).

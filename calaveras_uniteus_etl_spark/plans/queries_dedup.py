@@ -3381,3 +3381,272 @@ def x115_dup_graph_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("min_degree")
     )
+
+
+# ---------------------------------------------------------------------------
+# X117/X118 — deterministic HyperLogLog (hash-checkable, mergeable)
+#
+# f2_approx_count_distinct wraps Spark's approx_count_distinct, whose
+# sketch internals are engine-private — it can only ever earn a
+# rows-only driver check. These two queries implement the HLL
+# estimator itself (Flajolet et al. 2007) from engine-neutral
+# primitives, so the WHOLE sketch — registers, harmonic sum, estimate
+# — is reproduced bit-for-bit by the DuckDB oracle:
+#
+#   h      = 60-bit fold of md5(key)          (same trick as x61)
+#   idx    = h div 2^51    — top 9 bits → m = 512 registers
+#   rest   = h mod 2^51    — 51-bit tail
+#   rho    = leading zeros of rest in a 51-bit field + 1
+#          = 52 - length(bin(rest)), or 52 when rest = 0
+#   M[idx] = max(rho)      — the register table
+#
+# The harmonic mean is kept EXACT until the last step: sum(2^-M[j]) is
+# accumulated as the integer sum(2^(52-M[j])) (every term a bigint
+# shift), so no float ever enters a shuffle. The final estimate
+# alpha_512 * m^2 * 2^52 / sum_scaled is one double expression over
+# identical integers with identical literal parsing and operator order
+# in both engines — bit-identical output, no libm (the small-range
+# ln() correction is deliberately omitted and rel_err reported
+# honestly instead). Scale shape: the register table is ≤ m rows
+# regardless of input size, the groupBy(idx) is a 512-key aggregate
+# with map-side partials, and X118 proves the property that matters at
+# 100 TB — registers max-merge across shards, so a fleet can sketch
+# per split and combine on the driver.
+# ---------------------------------------------------------------------------
+
+from calaveras_uniteus_etl_spark.plans.queries_multimodal import (  # noqa: E402
+    _duck_fold,
+)
+
+_HLL_P = 9
+_HLL_M = 1 << _HLL_P  # 512 registers
+_HLL_TAIL = 51  # 60-bit hash minus 9 index bits
+_HLL_POW = 1 << _HLL_TAIL
+_HLL_2P52 = 1 << (_HLL_TAIL + 1)  # 2^52: scale factor for exact harmonic sum
+# alpha_m for m >= 128 (Flajolet et al. 2007, Fig. 3). The whole
+# numerator alpha * m^2 * 2^52 is folded to ONE Python double literal:
+# bare SQL literals like 0.7213 are DECIMAL in both engines with
+# engine-specific division scales (the plans/_exact.py trap), but a
+# repr'd double parses to the identical IEEE value everywhere, and the
+# single remaining division over identical integers is deterministic.
+_HLL_NUMERATOR = 0.7213 / (1.0 + 1.079 / _HLL_M) * (_HLL_M * _HLL_M) * float(
+    1 << 52
+)
+_HLL_EST_SQL = f"{_HLL_NUMERATOR!r} / CAST(sum_scaled AS DOUBLE)"
+
+_HLL_KEY_SPARK = "cast(event_id as string)"
+_HLL_KEY_DUCK = "CAST(event_id AS VARCHAR)"
+
+
+def _hll_regs_spark(df: DataFrame, key_expr: str) -> DataFrame:
+    """(idx, r) register pairs for every input row (pre-max)."""
+    h = F.conv(F.substring(F.md5(F.expr(key_expr)), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    d = df.select(
+        F.expr(f"{key_expr}").alias("k"), h.alias("h")
+    ).select(
+        F.expr(f"h div {_HLL_POW}").cast("int").alias("idx"),
+        (F.col("h") % _HLL_POW).alias("rest"),
+    )
+    rho = F.when(F.col("rest") == 0, F.lit(_HLL_TAIL + 1)).otherwise(
+        F.lit(_HLL_TAIL + 1) - F.length(F.bin(F.col("rest")))
+    )
+    return d.select("idx", rho.cast("int").alias("r"))
+
+
+def _duck_hll_regs(key: str, src: str) -> str:
+    """CTE body producing (idx, r) pairs from ``src``."""
+    fold = _duck_fold(f"substr(md5({key}), 1, 15)")
+    return f"""
+  SELECT CAST(h // {_HLL_POW} AS INT) AS idx,
+         CAST(CASE WHEN h % {_HLL_POW} = 0 THEN {_HLL_TAIL + 1}
+              ELSE {_HLL_TAIL + 1} - length(bin(h % {_HLL_POW})) END AS INT) AS r
+  FROM (SELECT {fold} AS h FROM {src})
+"""
+
+
+_HLL_SUMMARY_COLS = """
+       CAST({m} AS BIGINT) AS m,
+       n_exact,
+       n_registers_set,
+       sum_scaled,
+       {est} AS hll_estimate,
+       ABS({est} - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)
+         AS rel_err
+"""
+
+
+@register(
+    "x117_hll_registers",
+    oracle=f"""
+WITH pairs AS ({_duck_hll_regs(_HLL_KEY_DUCK, "events")}),
+regs AS (
+  SELECT idx, MAX(r) AS mr FROM pairs GROUP BY idx
+), s AS (
+  SELECT COUNT(*) AS n_registers_set,
+         CAST(SUM(1::BIGINT << (52 - mr)) +
+              ({_HLL_M} - COUNT(*)) * {_HLL_2P52}::BIGINT AS BIGINT)
+           AS sum_scaled
+  FROM regs
+), ex AS (
+  SELECT COUNT(DISTINCT event_id) AS n_exact FROM events
+)
+SELECT {_HLL_SUMMARY_COLS.format(m=_HLL_M, est=_HLL_EST_SQL)}
+FROM s CROSS JOIN ex
+""",
+    doc="Deterministic HyperLogLog over event ids: md5-fold hash, "
+    f"m={_HLL_M} registers via max(rho), EXACT integer harmonic sum "
+    "(2^(52-M[j]) bigint shifts), one final double division — the "
+    "whole sketch hash-checkable against the oracle, unlike the "
+    "engine-private approx_count_distinct (f2).",
+)
+def x117_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    regs = (
+        _hll_regs_spark(e, _HLL_KEY_SPARK)
+        .groupBy("idx")
+        .agg(F.max("r").alias("mr"))
+    )
+    s = regs.agg(
+        F.count("*").alias("n_registers_set"),
+        (
+            F.sum(F.expr("shiftleft(cast(1 as bigint), 52 - mr)"))
+            + (F.lit(_HLL_M) - F.count("*")) * F.lit(_HLL_2P52)
+        )
+        .cast("bigint")
+        .alias("sum_scaled"),
+    )
+    ex = e.agg(F.countDistinct("event_id").alias("n_exact"))
+    est = F.expr(_HLL_EST_SQL)
+    return s.crossJoin(F.broadcast(ex)).select(
+        F.lit(_HLL_M).cast("bigint").alias("m"),
+        "n_exact",
+        "n_registers_set",
+        "sum_scaled",
+        est.alias("hll_estimate"),
+        (
+            F.abs(est - F.col("n_exact").cast("double"))
+            / F.col("n_exact").cast("double")
+        ).alias("rel_err"),
+    )
+
+
+_HLL_SHARDS = 4
+
+
+@register(
+    "x118_hll_shard_merge",
+    oracle=f"""
+WITH pairs AS (
+  SELECT CAST(event_id % {_HLL_SHARDS} AS INT) AS shard,
+         CAST(h // {_HLL_POW} AS INT) AS idx,
+         CAST(CASE WHEN h % {_HLL_POW} = 0 THEN {_HLL_TAIL + 1}
+              ELSE {_HLL_TAIL + 1} - length(bin(h % {_HLL_POW})) END AS INT) AS r
+  FROM (SELECT event_id,
+               {_duck_fold(f"substr(md5({_HLL_KEY_DUCK}), 1, 15)")} AS h
+        FROM events)
+), shard_regs AS (
+  SELECT shard, idx, MAX(r) AS mr FROM pairs GROUP BY shard, idx
+), merged_regs AS (
+  SELECT idx, MAX(mr) AS mr FROM shard_regs GROUP BY idx
+), shard_s AS (
+  SELECT CAST(shard AS VARCHAR) AS scope,
+         COUNT(*) AS n_registers_set,
+         CAST(SUM(1::BIGINT << (52 - mr)) +
+              ({_HLL_M} - COUNT(*)) * {_HLL_2P52}::BIGINT AS BIGINT)
+           AS sum_scaled
+  FROM shard_regs GROUP BY shard
+), merged_s AS (
+  SELECT 'merged' AS scope,
+         COUNT(*) AS n_registers_set,
+         CAST(SUM(1::BIGINT << (52 - mr)) +
+              ({_HLL_M} - COUNT(*)) * {_HLL_2P52}::BIGINT AS BIGINT)
+           AS sum_scaled
+  FROM merged_regs
+), allscopes AS (
+  SELECT * FROM shard_s UNION ALL SELECT * FROM merged_s
+), ex AS (
+  SELECT CAST(event_id % {_HLL_SHARDS} AS VARCHAR) AS scope,
+         COUNT(DISTINCT event_id) AS n_exact
+  FROM events GROUP BY 1
+  UNION ALL
+  SELECT 'merged', COUNT(DISTINCT event_id) FROM events
+)
+SELECT allscopes.scope,
+       n_exact,
+       n_registers_set,
+       sum_scaled,
+       {_HLL_EST_SQL} AS hll_estimate,
+       ABS({_HLL_EST_SQL} - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)
+         AS rel_err
+FROM allscopes JOIN ex ON allscopes.scope = ex.scope
+ORDER BY allscopes.scope
+""",
+    doc="HLL mergeability, the property that matters at 100 TB: "
+    f"registers built per shard (event_id % {_HLL_SHARDS}), max-merged "
+    "into a combined sketch whose estimate is computed from the SAME "
+    "exact-integer pipeline as x117 — per-shard and merged rows side "
+    "by side with their true counts.",
+)
+def x118_hll_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.expr(_HLL_KEY_SPARK)), 1, 15), 16, 10
+    ).cast("bigint")
+    pairs = e.select(
+        (F.col("event_id") % _HLL_SHARDS).cast("int").alias("shard"),
+        h.alias("h"),
+    ).select(
+        "shard",
+        F.expr(f"h div {_HLL_POW}").cast("int").alias("idx"),
+        (F.col("h") % _HLL_POW).alias("rest"),
+    )
+    rho = F.when(F.col("rest") == 0, F.lit(_HLL_TAIL + 1)).otherwise(
+        F.lit(_HLL_TAIL + 1) - F.length(F.bin(F.col("rest")))
+    )
+    pairs = pairs.select("shard", "idx", rho.cast("int").alias("r"))
+    shard_regs = pairs.groupBy("shard", "idx").agg(F.max("r").alias("mr"))
+    merged_regs = shard_regs.groupBy("idx").agg(F.max("mr").alias("mr"))
+
+    def summarize(regs: DataFrame, scope_col) -> DataFrame:
+        gb = regs.groupBy(scope_col.alias("scope")) if scope_col is not None \
+            else regs.groupBy(F.lit("merged").alias("scope"))
+        return gb.agg(
+            F.count("*").alias("n_registers_set"),
+            (
+                F.sum(F.expr("shiftleft(cast(1 as bigint), 52 - mr)"))
+                + (F.lit(_HLL_M) - F.count("*")) * F.lit(_HLL_2P52)
+            )
+            .cast("bigint")
+            .alias("sum_scaled"),
+        )
+
+    s = summarize(
+        shard_regs, F.col("shard").cast("string")
+    ).unionByName(summarize(merged_regs, None))
+    ex = (
+        e.groupBy((F.col("event_id") % _HLL_SHARDS).cast("string").alias("scope"))
+        .agg(F.countDistinct("event_id").alias("n_exact"))
+        .unionByName(
+            e.agg(F.countDistinct("event_id").alias("n_exact")).select(
+                F.lit("merged").alias("scope"), "n_exact"
+            )
+        )
+    )
+    est = F.expr(_HLL_EST_SQL)
+    return (
+        s.join(F.broadcast(ex), "scope")
+        .select(
+            "scope",
+            "n_exact",
+            "n_registers_set",
+            "sum_scaled",
+            est.alias("hll_estimate"),
+            (
+                F.abs(est - F.col("n_exact").cast("double"))
+                / F.col("n_exact").cast("double")
+            ).alias("rel_err"),
+        )
+        .orderBy("scope")
+    )
