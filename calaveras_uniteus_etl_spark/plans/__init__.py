@@ -187,6 +187,10 @@ _NEVER_CHECKED = [
 _NEW_THIS_ROUND: list[str] = [
     "x117_hll_registers",
     "x118_hll_shard_merge",
+    "x119_pmi_collocations",
+    "e20_fellegi_sunter",
+    "f65_calibration_brier",
+    "m12_t_closeness",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 or 5 (union = 179) sit in

@@ -6491,3 +6491,91 @@ def f64_monthly_revenue_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# F65 — calibration curve + Brier decomposition inputs
+#
+# Model-evaluation staple: given per-row predicted probabilities and
+# binary outcomes, bucket predictions into deciles and report, per
+# bin, the mean prediction vs the observed positive rate (the
+# reliability diagram) plus the bin's Brier contribution. The
+# "model" is an in-sample historical-rate predictor — P(urgent) per
+# (market segment, order month, price band) — which keeps the whole
+# pipeline inside the warehouse AND keeps every number an exact
+# integer: predictions are milli-quantized rationals ((pos*1000) div
+# n), outcomes are 0/1000, Brier contributions are Σ(p-y)² in
+# milli² — no float anywhere, so cross-engine parity is exact.
+# Scale shape: one aggregate to build the rate table (group count is
+# bounded by the feature grid, broadcast back), one map-side-combined
+# aggregate over orders for the bins — two shuffles total, both on
+# bounded keys.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f65_calibration_brier",
+    oracle="""
+WITH feat AS (
+  SELECT o_orderkey,
+         c_mktsegment AS seg,
+         CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mon,
+         CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS pband,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+  FROM orders JOIN customer ON c_custkey = o_custkey
+), rates AS (
+  SELECT seg, mon, pband,
+         CAST(SUM(y) * 1000 AS BIGINT) // COUNT(*) AS p_milli
+  FROM feat GROUP BY seg, mon, pband
+), scored AS (
+  SELECT f.y, r.p_milli, CAST(r.p_milli // 100 AS INT) AS bin
+  FROM feat f JOIN rates r USING (seg, mon, pband)
+)
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(p_milli) AS BIGINT) AS sum_pred_milli,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       CAST(SUM((p_milli - 1000 * y) * (p_milli - 1000 * y)) AS BIGINT)
+         AS brier_sum
+FROM scored
+GROUP BY bin
+ORDER BY bin
+""",
+    doc="Reliability diagram + Brier contributions for an in-sample "
+    "historical-rate predictor of urgent orders: milli-quantized "
+    "rational predictions, decile bins, per-bin mean prediction / "
+    "observed positives / sum((p-y)^2) — exact integers end to end.",
+)
+def f65_calibration_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    # customer scales with the data — shuffle join on the key, no
+    # broadcast hint (AQE may still choose one at small SFs)
+    feat = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.month("o_orderdate").cast("int").alias("mon"),
+        F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("pband"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    rates = feat.groupBy("seg", "mon", "pband").agg(
+        F.expr("sum(y) * 1000 div count(*)").cast("bigint").alias("p_milli")
+    )
+    # the rate table is feature-grid-sized (bounded), broadcast back
+    scored = feat.join(F.broadcast(rates), ["seg", "mon", "pband"]).select(
+        "y",
+        "p_milli",
+        F.expr("p_milli div 100").cast("int").alias("bin"),
+    )
+    diff = F.col("p_milli") - 1000 * F.col("y")
+    return (
+        scored.groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("p_milli").cast("bigint").alias("sum_pred_milli"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+            F.sum(diff * diff).cast("bigint").alias("brier_sum"),
+        )
+        .orderBy("bin")
+    )

@@ -1825,3 +1825,182 @@ def e19_skyline_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("spend"), F.asc("custkey"))
     )
+
+
+# ---------------------------------------------------------------------------
+# E20 — Fellegi-Sunter record-linkage scoring
+#
+# e14 finds candidate duplicate records (blocking + edit distance);
+# this scores candidate pairs the way production linkage engines do
+# (Fellegi & Sunter 1969): each compared field contributes a
+# likelihood ratio — m/u on agreement, (1-m)/(1-u) on disagreement —
+# where u (chance-agreement probability) is ESTIMATED FROM THE DATA
+# as sum(n_v^2)/N^2 over the field's value distribution. The u
+# statistics are kept as exact integer rationals (sum of squared
+# counts / squared total), so no float enters an aggregation; the
+# final score is one fixed-order double product over those integers
+# and double-cast m literals, rounded to milli-units — bit-identical
+# across engines. Standard FS uses log-weights; the product of ratios
+# is the same statistic pre-log (monotone), so the ranking is
+# identical and libm stays out of the plan.
+#
+# Blocking: (nationkey, balance cents-digit) — 250 blocks at any
+# scale; a BUCKET_CAP-style guard drops degenerate blocks (inactive
+# at test SFs, mirrored in the oracle) so the within-block self-join
+# can never go quadratic on a skewed block. Scored fields (market
+# segment, balance band, order-activity band) are independent of the
+# block key. The three u-statistic relations are 1-row aggregates,
+# broadcast by construction.
+# ---------------------------------------------------------------------------
+
+_E20_CAP = 1000
+_E20_TOPK = 40
+# m-probabilities (P[field agrees | same entity]) — fixed literals,
+# cast to double explicitly so neither engine does decimal arithmetic.
+_E20_M_SEG = "CAST(0.95 AS DOUBLE)"
+_E20_M_BAND = "CAST(0.80 AS DOUBLE)"
+_E20_M_ACT = "CAST(0.85 AS DOUBLE)"
+
+_E20_RATIO = (
+    "(CASE WHEN {agree} THEN {m} * CAST(u_den AS DOUBLE) / CAST({num} AS DOUBLE) "
+    "ELSE (CAST(1 AS DOUBLE) - {m}) * CAST(u_den AS DOUBLE) "
+    "/ CAST(u_den - {num} AS DOUBLE) END)"
+)
+
+
+def _e20_score_sql() -> str:
+    r_seg = _E20_RATIO.format(agree="seg_agree", m=_E20_M_SEG, num="u_num_seg")
+    r_band = _E20_RATIO.format(
+        agree="band_agree", m=_E20_M_BAND, num="u_num_band"
+    )
+    r_act = _E20_RATIO.format(agree="act_agree", m=_E20_M_ACT, num="u_num_act")
+    return (
+        f"CAST(ROUND({r_seg} * {r_band} * {r_act} * 1000) AS BIGINT)"
+    )
+
+
+@register(
+    "e20_fellegi_sunter",
+    oracle=f"""
+WITH feat AS (
+  SELECT c_custkey AS id, c_nationkey AS nation, c_mktsegment AS seg,
+         CAST(FLOOR(c_acctbal / 500) AS BIGINT) AS band,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) % 10 AS digit
+  FROM customer
+), act AS (
+  SELECT f.id,
+         CASE WHEN o.cnt IS NULL THEN 0
+              WHEN o.cnt <= 2 THEN 1
+              WHEN o.cnt <= 5 THEN 2
+              ELSE 3 END AS act_band
+  FROM feat f LEFT JOIN (
+    SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+  ) o ON o.o_custkey = f.id
+), rec AS (
+  SELECT feat.*, act.act_band FROM feat JOIN act ON act.id = feat.id
+), n AS (
+  SELECT COUNT(*) AS n_rec, CAST(COUNT(*) AS BIGINT) * COUNT(*) AS u_den
+  FROM rec
+), useg AS (
+  SELECT SUM(c * c) AS u_num_seg FROM (
+    SELECT CAST(COUNT(*) AS BIGINT) AS c FROM rec GROUP BY seg)
+), uband AS (
+  SELECT SUM(c * c) AS u_num_band FROM (
+    SELECT CAST(COUNT(*) AS BIGINT) AS c FROM rec GROUP BY band)
+), uact AS (
+  SELECT SUM(c * c) AS u_num_act FROM (
+    SELECT CAST(COUNT(*) AS BIGINT) AS c FROM rec GROUP BY act_band)
+), ok AS (
+  SELECT nation, digit FROM rec GROUP BY nation, digit
+  HAVING COUNT(*) <= {_E20_CAP}
+), blocked AS (
+  SELECT rec.* FROM rec JOIN ok USING (nation, digit)
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         a.seg = b.seg AS seg_agree,
+         a.band = b.band AS band_agree,
+         a.act_band = b.act_band AS act_agree
+  FROM blocked a JOIN blocked b
+    ON a.nation = b.nation AND a.digit = b.digit AND a.id < b.id
+)
+SELECT id_a, id_b, seg_agree, band_agree, act_agree,
+       {_e20_score_sql()} AS score_milli
+FROM pairs CROSS JOIN n CROSS JOIN useg CROSS JOIN uband CROSS JOIN uact
+ORDER BY score_milli DESC, id_a, id_b
+LIMIT {_E20_TOPK}
+""",
+    doc="Fellegi-Sunter linkage scores over blocked candidate pairs: "
+    "per-field likelihood ratios with data-estimated u (exact "
+    "sum-of-squared-counts rationals), fixed-order double product "
+    "rounded to milli-units, capped (nation, balance-digit) blocking, "
+    f"TakeOrdered top-{_E20_TOPK}.",
+)
+def e20_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    feat = c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 500).cast("bigint").alias("band"),
+        (F.round(F.col("c_acctbal") * 100).cast("bigint") % 10).alias("digit"),
+    )
+    cnts = o.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+    act_band = (
+        F.when(F.col("cnt").isNull(), 0)
+        .when(F.col("cnt") <= 2, 1)
+        .when(F.col("cnt") <= 5, 2)
+        .otherwise(3)
+    )
+    rec = feat.join(
+        cnts, feat.id == cnts.o_custkey, "left"
+    ).select("id", "nation", "seg", "band", "digit", act_band.alias("act_band"))
+    n = rec.agg(
+        F.count("*").alias("n_rec"),
+        (F.count("*").cast("bigint") * F.count("*")).alias("u_den"),
+    )
+
+    def u_num(col: str, alias: str) -> DataFrame:
+        return (
+            rec.groupBy(col)
+            .agg(F.count("*").cast("bigint").alias("c"))
+            .agg(F.sum(F.col("c") * F.col("c")).alias(alias))
+        )
+
+    ok = (
+        rec.groupBy("nation", "digit")
+        .agg(F.count("*").alias("bc"))
+        .filter(F.col("bc") <= _E20_CAP)
+        .drop("bc")
+    )
+    blocked = rec.join(ok, ["nation", "digit"])
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.nation") == F.col("b.nation"))
+        & (F.col("a.digit") == F.col("b.digit"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        (F.col("a.seg") == F.col("b.seg")).alias("seg_agree"),
+        (F.col("a.band") == F.col("b.band")).alias("band_agree"),
+        (F.col("a.act_band") == F.col("b.act_band")).alias("act_agree"),
+    )
+    scored = (
+        pairs.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(u_num("seg", "u_num_seg")))
+        .crossJoin(F.broadcast(u_num("band", "u_num_band")))
+        .crossJoin(F.broadcast(u_num("act_band", "u_num_act")))
+        .select(
+            "id_a",
+            "id_b",
+            "seg_agree",
+            "band_agree",
+            "act_agree",
+            F.expr(_e20_score_sql()).alias("score_milli"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("score_milli"), "id_a", "id_b"
+    ).limit(_E20_TOPK)

@@ -1354,3 +1354,120 @@ def g21_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("coverage_hours_band")
     )
+
+
+# ---------------------------------------------------------------------------
+# M12 — t-closeness privacy audit (Earth Mover's Distance over the
+#       ordered sensitive attribute)
+#
+# The step after m8's k-anonymity/l-diversity: a class can be large
+# (high k) and diverse (high l) yet still leak — if its SENSITIVE
+# distribution differs sharply from the global one, membership alone
+# is informative. t-closeness (Li et al. 2007) bounds the EMD between
+# the class and global sensitive distributions; for an ordered
+# attribute the EMD is the mean absolute CDF gap. Both CDFs are
+# milli-quantized integer rationals (cum*1000 div n) before the
+# comparison, so the statistic is exact and engine-identical. Scale
+# shape: one aggregate to the (QI class × sensitive value) grain, a
+# window partitioned BY CLASS for the class CDFs, the global CDF over
+# the 25-value nation grain (bounded), broadcast back; top-k classes
+# via TakeOrdered.
+# ---------------------------------------------------------------------------
+
+_M12_BAND = 1000  # same QI banding as m8
+_M12_TOPK = 20
+
+
+@register(
+    "m12_t_closeness",
+    oracle=f"""
+WITH cv AS (
+  SELECT c_mktsegment AS seg,
+         CAST(FLOOR(c_acctbal / {_M12_BAND}) AS BIGINT) AS bal_band,
+         c_nationkey AS v,
+         COUNT(*) AS cnt
+  FROM customer GROUP BY 1, 2, 3
+), class_cdf AS (
+  SELECT seg, bal_band, v,
+         CAST(SUM(cnt) OVER (PARTITION BY seg, bal_band ORDER BY v) * 1000
+              // (SUM(cnt) OVER (PARTITION BY seg, bal_band)) AS BIGINT)
+           AS pc_milli,
+         SUM(cnt) OVER (PARTITION BY seg, bal_band) AS k_size
+  FROM cv
+), gv AS (
+  SELECT c_nationkey AS v, COUNT(*) AS cnt FROM customer GROUP BY 1
+), g_cdf AS (
+  SELECT v,
+         CAST(SUM(cnt) OVER (ORDER BY v) * 1000
+              // (SUM(cnt) OVER ()) AS BIGINT) AS pg_milli
+  FROM gv
+), nv AS (
+  SELECT COUNT(*) AS n_values FROM gv
+)
+SELECT seg, bal_band,
+       CAST(MAX(k_size) AS BIGINT) AS k_size,
+       CAST(SUM(ABS(pc_milli - pg_milli)) // (MAX(n_values) - 1) AS BIGINT)
+         AS t_milli
+FROM class_cdf JOIN g_cdf USING (v) CROSS JOIN nv
+GROUP BY seg, bal_band
+ORDER BY t_milli DESC, seg, bal_band
+LIMIT {_M12_TOPK}
+""",
+    doc="t-closeness audit over m8's QI classes: milli-quantized CDF "
+    "gap (ordered EMD) between each class's nation distribution and "
+    "the global one — classes ranked by leakage; class CDFs from a "
+    "class-partitioned window, global CDF on the bounded nation "
+    f"grain, top-{_M12_TOPK} TakeOrdered.",
+)
+def m12_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    cv = c.groupBy(
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / _M12_BAND).cast("bigint").alias("bal_band"),
+        F.col("c_nationkey").alias("v"),
+    ).agg(F.count("*").alias("cnt"))
+    w_cls = Window.partitionBy("seg", "bal_band").orderBy("v")
+    w_cls_all = Window.partitionBy("seg", "bal_band")
+    class_cdf = cv.select(
+        "seg",
+        "bal_band",
+        "v",
+        (F.sum("cnt").over(w_cls) * 1000)
+        .cast("bigint")
+        .alias("_cum_scaled"),
+        F.sum("cnt").over(w_cls_all).alias("k_size"),
+    ).select(
+        "seg",
+        "bal_band",
+        "v",
+        F.expr("_cum_scaled div k_size").cast("bigint").alias("pc_milli"),
+        "k_size",
+    )
+    gv = c.groupBy(F.col("c_nationkey").alias("v")).agg(
+        F.count("*").alias("cnt")
+    )
+    # nation grain: 25 rows at any scale — bounded global window
+    w_g = Window.orderBy("v")
+    w_g_all = Window.partitionBy()
+    g_cdf = gv.select(
+        "v",
+        (F.sum("cnt").over(w_g) * 1000).cast("bigint").alias("_cum_scaled"),
+        F.sum("cnt").over(w_g_all).alias("_n"),
+    ).select(
+        "v", F.expr("_cum_scaled div _n").cast("bigint").alias("pg_milli")
+    )
+    nv = gv.agg(F.count("*").alias("n_values"))
+    return (
+        class_cdf.join(F.broadcast(g_cdf), "v")
+        .crossJoin(F.broadcast(nv))
+        .groupBy("seg", "bal_band")
+        .agg(
+            F.max("k_size").cast("bigint").alias("k_size"),
+            F.expr(
+                "cast(sum(abs(pc_milli - pg_milli)) div (max(n_values) - 1) "
+                "as bigint)"
+            ).alias("t_milli"),
+        )
+        .orderBy(F.desc("t_milli"), "seg", "bal_band")
+        .limit(_M12_TOPK)
+    )

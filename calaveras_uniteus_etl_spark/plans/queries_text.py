@@ -5092,3 +5092,123 @@ def x116_shard_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# X119 — PMI collocation mining (log-free, exact ordering)
+#
+# Classic corpus collocation extraction: bigrams whose joint frequency
+# far exceeds the independence expectation. PMI = log2(p(xy)/(p(x)p(y)))
+# is monotone in the LIFT ratio c_xy * N / (c_x * c_y), so the ranking
+# is computed WITHOUT logs — no libm, no cross-engine ulp risk (the
+# x58 micro-nat rounding trick works, but a pure mul/div pipeline is
+# deterministic by IEEE alone). The lift is rounded to micro-units
+# from one identically-ordered double expression in both engines.
+# Scale shape: unigram and bigram counts are map-side-combined
+# aggregates; the count join-back is a shuffle join on the bigram key
+# (vocab-sized state must never broadcast); the min-count filter
+# prunes the long tail BEFORE the joins; final top-k is
+# TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+
+_X119_MIN_COUNT = 5
+_X119_TOPK = 50
+
+
+@register(
+    "x119_pmi_collocations",
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id, string_split({NORM_DUCK.format(col="text")}, ' ') AS w
+  FROM documents
+), toks AS (
+  SELECT unnest(w) AS term FROM docs
+), n AS (
+  SELECT COUNT(*) AS n_tok FROM toks
+), cu AS (
+  SELECT term, COUNT(*) AS c1 FROM toks GROUP BY term
+), bge AS (
+  SELECT b.w1 AS w1, b.w2 AS w2 FROM (
+    SELECT unnest(list_transform(range(len(w) - 1),
+                  i -> struct_pack(w1 := w[i + 1], w2 := w[i + 2]))) AS b
+    FROM docs WHERE len(w) >= 2
+  )
+), cbg AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM bge GROUP BY w1, w2
+  HAVING COUNT(*) >= {_X119_MIN_COUNT}
+)
+SELECT cbg.w1, cbg.w2,
+       CAST(c2 AS BIGINT) AS pair_count,
+       CAST(a.c1 AS BIGINT) AS w1_count,
+       CAST(b.c1 AS BIGINT) AS w2_count,
+       CAST(ROUND(CAST(c2 AS DOUBLE) * CAST(n_tok AS DOUBLE)
+                  / (CAST(a.c1 AS DOUBLE) * CAST(b.c1 AS DOUBLE)) * 1e6)
+            AS BIGINT) AS lift_micro
+FROM cbg
+JOIN cu a ON a.term = cbg.w1
+JOIN cu b ON b.term = cbg.w2
+CROSS JOIN n
+ORDER BY lift_micro DESC, cbg.w1, cbg.w2
+LIMIT {_X119_TOPK}
+""",
+    doc="Top collocations by PMI-equivalent lift c_xy*N/(c_x*c_y): "
+    f"bigram count >= {_X119_MIN_COUNT}, micro-unit rounding from one "
+    "identically-ordered double expression (no logs), shuffle join of "
+    "vocab-sized counts, TakeOrdered top-"
+    f"{_X119_TOPK}.",
+)
+def x119_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    docs = d.select(
+        "doc_id",
+        F.expr(f"split({NORM_SPARK.format(col='text')}, ' ')").alias("w"),
+    )
+    toks = docs.select(F.explode("w").alias("term"))
+    # corpus token total: scalar two-stage count job, never a collect
+    n_tok = toks.count()
+    cu = toks.groupBy("term").agg(F.count("*").alias("c1"))
+    bge = (
+        docs.filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(w, 1, size(w) - 1), "
+                    "slice(w, 2, size(w) - 1), "
+                    "(a, b) -> struct(a AS w1, b AS w2))"
+                )
+            ).alias("b")
+        )
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    cbg = (
+        bge.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+        .filter(F.col("c2") >= _X119_MIN_COUNT)
+    )
+    a = cu.select(F.col("term").alias("w1"), F.col("c1").alias("c1a"))
+    b = cu.select(F.col("term").alias("w2"), F.col("c1").alias("c1b"))
+    lift = (
+        F.round(
+            F.col("c2").cast("double")
+            * F.lit(float(n_tok))
+            / (F.col("c1a").cast("double") * F.col("c1b").cast("double"))
+            * F.lit(1e6)
+        )
+        .cast("bigint")
+    )
+    return (
+        cbg.join(a, "w1")
+        .join(b, "w2")
+        .select(
+            "w1",
+            "w2",
+            F.col("c2").cast("bigint").alias("pair_count"),
+            F.col("c1a").cast("bigint").alias("w1_count"),
+            F.col("c1b").cast("bigint").alias("w2_count"),
+            lift.alias("lift_micro"),
+        )
+        .orderBy(F.desc("lift_micro"), "w1", "w2")
+        .limit(_X119_TOPK)
+    )

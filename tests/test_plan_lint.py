@@ -70,6 +70,7 @@ GLOBAL_WINDOW_ALLOW = {
     "x35_lsh_threshold_sweep": "signature-match-count grain (0..K=12)",
     "x80_heaps_law_curve": "corpus-decile grain (10 rows)",
     "x82_ks_test": "distinct doc-length grain (bounded by max doc length)",
+    "m12_t_closeness": "nation grain (25 values): global sensitive CDF",
 }
 
 _WINDOW_RE = re.compile(r"\bWindow \[")
