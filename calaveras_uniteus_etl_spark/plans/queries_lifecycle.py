@@ -1387,13 +1387,6 @@ WITH cv AS (
          c_nationkey AS v,
          COUNT(*) AS cnt
   FROM customer GROUP BY 1, 2, 3
-), class_cdf AS (
-  SELECT seg, bal_band, v,
-         CAST(SUM(cnt) OVER (PARTITION BY seg, bal_band ORDER BY v) * 1000
-              // (SUM(cnt) OVER (PARTITION BY seg, bal_band)) AS BIGINT)
-           AS pc_milli,
-         SUM(cnt) OVER (PARTITION BY seg, bal_band) AS k_size
-  FROM cv
 ), gv AS (
   SELECT c_nationkey AS v, COUNT(*) AS cnt FROM customer GROUP BY 1
 ), g_cdf AS (
@@ -1403,6 +1396,22 @@ WITH cv AS (
   FROM gv
 ), nv AS (
   SELECT COUNT(*) AS n_values FROM gv
+), grid AS (
+  -- densify: the class CDF must be evaluated at EVERY sensitive
+  -- value, not only the ones the class contains — a sparse class
+  -- carries its cumulative forward through absent values
+  SELECT c.seg, c.bal_band, gv.v, COALESCE(cv.cnt, 0) AS cnt
+  FROM (SELECT DISTINCT seg, bal_band FROM cv) c
+  CROSS JOIN gv
+  LEFT JOIN cv ON cv.seg = c.seg AND cv.bal_band = c.bal_band
+             AND cv.v = gv.v
+), class_cdf AS (
+  SELECT seg, bal_band, v,
+         CAST(SUM(cnt) OVER (PARTITION BY seg, bal_band ORDER BY v) * 1000
+              // (SUM(cnt) OVER (PARTITION BY seg, bal_band)) AS BIGINT)
+           AS pc_milli,
+         SUM(cnt) OVER (PARTITION BY seg, bal_band) AS k_size
+  FROM grid
 )
 SELECT seg, bal_band,
        CAST(MAX(k_size) AS BIGINT) AS k_size,
@@ -1426,9 +1435,25 @@ def m12_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("c_acctbal") / _M12_BAND).cast("bigint").alias("bal_band"),
         F.col("c_nationkey").alias("v"),
     ).agg(F.count("*").alias("cnt"))
+    gv = c.groupBy(F.col("c_nationkey").alias("v")).agg(
+        F.count("*").alias("cnt")
+    )
+    # densify the (class x sensitive-value) grid: a sparse class must
+    # still contribute a CDF point at every value (cumulative carried
+    # through absences), or its EMD is undercounted. The value
+    # relation is nation-grain (25 rows) — broadcast cross join.
+    grid = (
+        cv.select("seg", "bal_band")
+        .distinct()
+        .crossJoin(F.broadcast(gv.select("v")))
+        .join(cv, ["seg", "bal_band", "v"], "left")
+        .select(
+            "seg", "bal_band", "v", F.coalesce("cnt", F.lit(0)).alias("cnt")
+        )
+    )
     w_cls = Window.partitionBy("seg", "bal_band").orderBy("v")
     w_cls_all = Window.partitionBy("seg", "bal_band")
-    class_cdf = cv.select(
+    class_cdf = grid.select(
         "seg",
         "bal_band",
         "v",
@@ -1442,9 +1467,6 @@ def m12_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         F.expr("_cum_scaled div k_size").cast("bigint").alias("pc_milli"),
         "k_size",
-    )
-    gv = c.groupBy(F.col("c_nationkey").alias("v")).agg(
-        F.count("*").alias("cnt")
     )
     # nation grain: 25 rows at any scale — bounded global window
     w_g = Window.orderBy("v")
