@@ -191,6 +191,8 @@ _NEW_THIS_ROUND: list[str] = [
     "e20_fellegi_sunter",
     "f65_calibration_brier",
     "m12_t_closeness",
+    "x120_histogram_quantiles",
+    "f66_roc_auc",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 or 5 (union = 179) sit in

@@ -6579,3 +6579,230 @@ def f65_calibration_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# X120 — histogram quantiles (the approximate-quantile-at-scale shape)
+#
+# Exact distributed quantiles need either a global sort or the
+# two-phase prefix machinery (f62); the shape that actually runs on
+# 100 TB telemetry is a FIXED-DOMAIN equi-width histogram — one
+# map-side-combined aggregate to a bounded bin table (mergeable
+# across shards/days by bin-wise addition, same property x118 proves
+# for HLL), then quantiles interpolated inside the located bin. Every
+# step is integer: prices in cents, bin width an exact cents
+# constant, target rank = ceil(q*N/100) via div, interpolation
+# ((rank - cum_before) * width) div bin_cnt. The 5 quantile arms are
+# data (a broadcast VALUES relation), so one non-equi broadcast join
+# against the 256-row cumulative bin table locates all arms in one
+# pass — no per-arm jobs. Error is bounded by one bin width
+# (~$2.3k on a $600k domain), priced against the exact quartiles in
+# tests/test_round6_queries.py.
+# ---------------------------------------------------------------------------
+
+_X120_BINS = 256
+_X120_DOMAIN_CENTS = 60_000_000  # [$0, $600k) — fixed, data-independent
+_X120_W = _X120_DOMAIN_CENTS // _X120_BINS
+_X120_QS = (25, 50, 75, 90, 99)
+
+
+@register(
+    "x120_histogram_quantiles",
+    oracle=f"""
+WITH vals AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+), bins AS (
+  SELECT LEAST(cents // {_X120_W}, {_X120_BINS - 1}) AS bin,
+         COUNT(*) AS cnt
+  FROM vals GROUP BY 1
+), cum AS (
+  SELECT bin, cnt,
+         SUM(cnt) OVER (ORDER BY bin) AS cum,
+         SUM(cnt) OVER (ORDER BY bin) - cnt AS cum_before,
+         SUM(cnt) OVER () AS n_total
+  FROM bins
+), arms AS (
+  SELECT unnest([{", ".join(str(q) for q in _X120_QS)}]) AS q
+), located AS (
+  SELECT q, n_total,
+         (q * n_total + 99) // 100 AS target_rank,
+         bin, cum_before, cnt
+  FROM arms JOIN cum
+    ON (q * n_total + 99) // 100 > cum_before
+   AND (q * n_total + 99) // 100 <= cum
+)
+SELECT CAST(q AS INT) AS q,
+       CAST(n_total AS BIGINT) AS n_total,
+       CAST(target_rank AS BIGINT) AS target_rank,
+       CAST(bin AS BIGINT) AS bin_idx,
+       CAST(cum_before AS BIGINT) AS cum_before,
+       CAST(cnt AS BIGINT) AS bin_cnt,
+       CAST(bin * {_X120_W}
+            + ((target_rank - cum_before) * {_X120_W}) // cnt AS BIGINT)
+         AS est_cents
+FROM located
+ORDER BY q
+""",
+    doc=f"Equi-width {_X120_BINS}-bin histogram over a fixed cents "
+    "domain -> quantile interpolation, all-integer: one bounded-key "
+    "aggregate (bin table mergeable across shards), cumulative over "
+    "the bin grain, 5 quantile arms located by one broadcast non-equi "
+    "join. Error <= one bin width by construction.",
+)
+def x120_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    vals = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    bins = vals.groupBy(
+        F.least(
+            F.expr(f"cents div {_X120_W}"), F.lit(_X120_BINS - 1)
+        ).alias("bin")
+    ).agg(F.count("*").alias("cnt"))
+    # bin grain: bounded 256-row relation — global window is safe
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = bins.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        (F.sum("cnt").over(w_cum) - F.col("cnt")).alias("cum_before"),
+        F.sum("cnt").over(w_all).alias("n_total"),
+    )
+    arms = spark.range(len(_X120_QS)).select(
+        F.element_at(
+            F.array(*[F.lit(q) for q in _X120_QS]), F.col("id").cast("int") + 1
+        ).alias("q")
+    )
+    rank = F.expr("(q * n_total + 99) div 100")
+    located = F.broadcast(arms).join(
+        cum,
+        (rank > F.col("cum_before")) & (rank <= F.col("cum")),
+    )
+    return located.select(
+        F.col("q").cast("int").alias("q"),
+        F.col("n_total").cast("bigint").alias("n_total"),
+        rank.cast("bigint").alias("target_rank"),
+        F.col("bin").cast("bigint").alias("bin_idx"),
+        F.col("cum_before").cast("bigint").alias("cum_before"),
+        F.col("cnt").cast("bigint").alias("bin_cnt"),
+        (
+            F.col("bin") * _X120_W
+            + F.expr(f"((q * n_total + 99) div 100 - cum_before) "
+                     f"* {_X120_W} div cnt")
+        )
+        .cast("bigint")
+        .alias("est_cents"),
+    ).orderBy("q")
+
+
+# ---------------------------------------------------------------------------
+# F66 — grouped ROC AUC (rank-sum form)
+#
+# The discrimination complement to f65's calibration: per market
+# segment, the probability that a random urgent order outscores a
+# random non-urgent one under the same historical-rate predictor.
+# AUC is computed in the Mann-Whitney rank-sum form with mid-rank tie
+# handling, entirely on the PREDICTION-VALUE GRAIN (p_milli has at
+# most 1001 distinct values, so the per-segment window runs over a
+# bounded relation, never the orders). Doubled ranks keep the
+# arithmetic integral: r2 = 2*below + t + 1 is twice the mid-rank,
+# AUC = (sum_pos(r2) - n1*(n1+1)) / (2*n1*n0). Rank-sum products are
+# accumulated in DECIMAL(38,0) — at 100 TB a segment can hold >2e9
+# orders and sum(t_pos * r2) ~ 2n² overflows BIGINT — and the final
+# AUC is one double division of the exact decimals, micro-rounded.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f66_roc_auc",
+    oracle="""
+WITH feat AS (
+  SELECT c_mktsegment AS seg,
+         CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mon,
+         CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS pband,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+  FROM orders JOIN customer ON c_custkey = o_custkey
+), rates AS (
+  SELECT seg, mon, pband,
+         CAST(SUM(y) * 1000 AS BIGINT) // COUNT(*) AS p_milli
+  FROM feat GROUP BY seg, mon, pband
+), scored AS (
+  SELECT f.seg, f.y, r.p_milli
+  FROM feat f JOIN rates r USING (seg, mon, pband)
+), grain AS (
+  SELECT seg, p_milli, COUNT(*) AS t, SUM(y) AS t_pos
+  FROM scored GROUP BY seg, p_milli
+), ranked AS (
+  SELECT seg, p_milli, t, t_pos,
+         SUM(t) OVER (PARTITION BY seg ORDER BY p_milli) - t AS below
+  FROM grain
+), s AS (
+  SELECT seg,
+         CAST(SUM(t_pos) AS DECIMAL(38,0)) AS n1,
+         CAST(SUM(t - t_pos) AS DECIMAL(38,0)) AS n0,
+         SUM(CAST(t_pos AS DECIMAL(38,0)) * (2 * below + t + 1)) AS r2_pos
+  FROM ranked GROUP BY seg
+)
+SELECT seg,
+       CAST(n1 AS BIGINT) AS n_pos,
+       CAST(n0 AS BIGINT) AS n_neg,
+       CAST(ROUND(CAST(r2_pos - n1 * (n1 + 1) AS DOUBLE)
+                  / CAST(2 * n1 * n0 AS DOUBLE) * 1e6) AS BIGINT)
+         AS auc_micro
+FROM s
+ORDER BY seg
+""",
+    doc="Per-segment ROC AUC of the f65 rate predictor via the "
+    "Mann-Whitney rank-sum with mid-rank ties, computed on the "
+    "bounded p_milli grain (<=1001 values/segment); DECIMAL(38,0) "
+    "rank sums (2n^2 overflows BIGINT at 100 TB segment sizes), one "
+    "final double division micro-rounded.",
+)
+def f66_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    feat = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.month("o_orderdate").cast("int").alias("mon"),
+        F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("pband"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    rates = feat.groupBy("seg", "mon", "pband").agg(
+        F.expr("sum(y) * 1000 div count(*)").cast("bigint").alias("p_milli")
+    )
+    scored = feat.join(F.broadcast(rates), ["seg", "mon", "pband"]).select(
+        "seg", "y", "p_milli"
+    )
+    grain = scored.groupBy("seg", "p_milli").agg(
+        F.count("*").alias("t"), F.sum("y").alias("t_pos")
+    )
+    w = Window.partitionBy("seg").orderBy("p_milli")
+    ranked = grain.select(
+        "seg",
+        "p_milli",
+        "t",
+        "t_pos",
+        (F.sum("t").over(w) - F.col("t")).alias("below"),
+    )
+    s = ranked.groupBy("seg").agg(
+        F.sum("t_pos").cast("decimal(38,0)").alias("n1"),
+        F.sum(F.col("t") - F.col("t_pos")).cast("decimal(38,0)").alias("n0"),
+        F.sum(
+            F.col("t_pos").cast("decimal(38,0)")
+            * (2 * F.col("below") + F.col("t") + 1)
+        ).alias("r2_pos"),
+    )
+    auc = F.round(
+        (F.col("r2_pos") - F.col("n1") * (F.col("n1") + 1)).cast("double")
+        / (2 * F.col("n1") * F.col("n0")).cast("double")
+        * F.lit(1e6)
+    ).cast("bigint")
+    return s.select(
+        "seg",
+        F.col("n1").cast("bigint").alias("n_pos"),
+        F.col("n0").cast("bigint").alias("n_neg"),
+        auc.alias("auc_micro"),
+    ).orderBy("seg")

@@ -71,6 +71,7 @@ GLOBAL_WINDOW_ALLOW = {
     "x80_heaps_law_curve": "corpus-decile grain (10 rows)",
     "x82_ks_test": "distinct doc-length grain (bounded by max doc length)",
     "m12_t_closeness": "nation grain (25 values): global sensitive CDF",
+    "x120_histogram_quantiles": "fixed 256-bin histogram grain",
 }
 
 _WINDOW_RE = re.compile(r"\bWindow \[")

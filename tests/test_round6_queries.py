@@ -194,3 +194,59 @@ def test_x119_lift_identity(spark):
         assert r["pair_count"] >= 5
         # a pair can't outnumber either constituent
         assert r["pair_count"] <= min(r["w1_count"], r["w2_count"])
+
+
+# ---------------------------------------------------------------------------
+# x120 — histogram quantiles
+# ---------------------------------------------------------------------------
+
+
+def test_x120_within_one_bin_of_exact(spark):
+    rows = {r["q"]: r for r in _rows(spark, "x120_histogram_quantiles")}
+    assert set(rows) == {25, 50, 75, 90, 99}
+    width = 60_000_000 // 256
+    for q, r in rows.items():
+        [(exact,)] = _duck(
+            f"SELECT quantile_disc(CAST(ROUND(o_totalprice*100) AS BIGINT), "
+            f"{q / 100}) FROM orders"
+        )
+        assert abs(r["est_cents"] - exact) <= width, (q, r["est_cents"], exact)
+        # rank bookkeeping: the located bin really contains the target
+        assert r["cum_before"] < r["target_rank"] <= r["cum_before"] + r["bin_cnt"]
+    [(n,)] = _duck("SELECT COUNT(*) FROM orders")
+    assert all(r["n_total"] == n for r in rows.values())
+
+
+# ---------------------------------------------------------------------------
+# f66 — grouped ROC AUC
+# ---------------------------------------------------------------------------
+
+
+def test_f66_matches_naive_auc(spark):
+    rows = _rows(spark, "f66_roc_auc")
+    assert len(rows) == 5
+    naive = _duck(
+        """
+        WITH feat AS (
+          SELECT c_mktsegment AS seg,
+                 CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mon,
+                 CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS pband,
+                 CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+          FROM orders JOIN customer ON c_custkey = o_custkey
+        ), rates AS (
+          SELECT seg, mon, pband,
+                 CAST(SUM(y) * 1000 AS BIGINT) // COUNT(*) AS p
+          FROM feat GROUP BY seg, mon, pband
+        ), sc AS (SELECT f.seg, f.y, r.p FROM feat f JOIN rates r USING (seg, mon, pband))
+        SELECT a.seg,
+               SUM(CASE WHEN a.p > b.p THEN 1.0 WHEN a.p = b.p THEN 0.5 ELSE 0 END)
+                 / COUNT(*) AS auc
+        FROM sc a JOIN sc b ON a.seg = b.seg AND a.y = 1 AND b.y = 0
+        GROUP BY a.seg
+        """
+    )
+    got = {r["seg"]: r["auc_micro"] / 1e6 for r in rows}
+    for seg, auc in naive:
+        assert abs(got[seg] - auc) < 1e-6, (seg, got[seg], auc)
+    for r in rows:
+        assert 0 <= r["auc_micro"] <= 1_000_000
