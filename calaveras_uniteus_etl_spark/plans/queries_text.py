@@ -5212,3 +5212,138 @@ def x119_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift_micro"), "w1", "w2")
         .limit(_X119_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# X121 — water-filling source budget allocator
+#
+# The quota solver between x28's mixture weights and x49's greedy
+# budget fill: given per-source token counts and a total token
+# budget, find the water level L such that sum_s min(n_s, L) spends
+# the budget — small sources keep everything, large sources are
+# capped at L, the classic fair-allocation / temperature-flattening
+# primitive for corpus mixing. Closed form over the SORTED source
+# grain: for the first capped row (ascending n), L = (B - cum_before)
+# div (#remaining); validity pinned by (prev_n <= L < n). Integer
+# remainder goes +1 to the largest capped sources (deterministic
+# tie-break by name). Everything runs on the source grain (~dozens of
+# rows at any corpus size — the token counts come from one map-side-
+# combined aggregate over the corpus); the grain windows are bounded.
+# ---------------------------------------------------------------------------
+
+_X121_BUDGET_PCT = 60
+
+
+@register(
+    "x121_waterfill_budget",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT source, unnest(string_split({NORM_DUCK.format(col="text")}, ' ')) AS t
+        FROM documents)
+  GROUP BY source
+), tot AS (
+  SELECT SUM(n) AS total, COUNT(*) AS s,
+         SUM(n) * {_X121_BUDGET_PCT} // 100 AS b
+  FROM toks
+), ordered AS (
+  SELECT source, n,
+         ROW_NUMBER() OVER (ORDER BY n, source) AS rn,
+         SUM(n) OVER (ORDER BY n, source) - n AS cum_before,
+         LAG(n) OVER (ORDER BY n, source) AS prev_n
+  FROM toks
+), cand AS (
+  SELECT rn, cum_before,
+         (b - cum_before) // (s - rn + 1) AS level,
+         b - cum_before - ((b - cum_before) // (s - rn + 1)) * (s - rn + 1)
+           AS remainder
+  FROM ordered CROSS JOIN tot
+  WHERE n > (b - cum_before) // (s - rn + 1)
+    AND (prev_n IS NULL OR prev_n <= (b - cum_before) // (s - rn + 1))
+), lvl AS (
+  -- no cand row means the budget covers the whole corpus
+  SELECT COALESCE(MAX(level), 9223372036854775807) AS level,
+         COALESCE(MAX(remainder), 0) AS remainder
+  FROM cand
+)
+SELECT source,
+       n AS n_tokens,
+       n > level AS capped,
+       CAST(CASE WHEN n <= level THEN n
+            ELSE level + CASE WHEN ROW_NUMBER() OVER (
+                   PARTITION BY (n > level) ORDER BY n DESC, source
+                 ) <= remainder AND n > level THEN 1 ELSE 0 END
+            END AS BIGINT) AS quota
+FROM toks CROSS JOIN lvl
+ORDER BY source
+""",
+    doc=f"Water-filling allocation of a {_X121_BUDGET_PCT}% token "
+    "budget across sources: closed-form level on the sorted source "
+    "grain, small sources uncapped, large sources capped at the "
+    "level, integer remainder to the largest capped sources — the "
+    "fair corpus-mixing quota solver; sum(quota) == budget exactly.",
+)
+def x121_waterfill_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = (
+        d.select(
+            "source",
+            F.explode(
+                F.expr(f"split({NORM_SPARK.format(col='text')}, ' ')")
+            ).alias("t"),
+        )
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = toks.agg(
+        F.sum("n").alias("total"),
+        F.count("*").alias("s"),
+        F.expr(f"sum(n) * {_X121_BUDGET_PCT} div 100").alias("b"),
+    )
+    # source grain (bounded): global windows over ~dozens of rows
+    w_ord = Window.orderBy("n", "source")
+    ordered = (
+        toks.crossJoin(F.broadcast(tot))
+        .withColumn("rn", F.row_number().over(w_ord))
+        .withColumn("cum_before", F.sum("n").over(w_ord) - F.col("n"))
+        .withColumn("prev_n", F.lag("n").over(w_ord))
+    )
+    level_expr = F.expr("(b - cum_before) div (s - rn + 1)")
+    cand = ordered.filter(
+        (F.col("n") > level_expr)
+        & (F.col("prev_n").isNull() | (F.col("prev_n") <= level_expr))
+    ).select(
+        level_expr.alias("level"),
+        (
+            F.col("b")
+            - F.col("cum_before")
+            - level_expr * (F.col("s") - F.col("rn") + 1)
+        ).alias("remainder"),
+    )
+    lvl = cand.agg(
+        F.coalesce(F.max("level"), F.lit(9223372036854775807)).alias("level"),
+        F.coalesce(F.max("remainder"), F.lit(0)).alias("remainder"),
+    )
+    w_extra = Window.partitionBy(F.col("n") > F.col("level")).orderBy(
+        F.desc("n"), F.asc("source")
+    )
+    quota = F.when(F.col("n") <= F.col("level"), F.col("n")).otherwise(
+        F.col("level")
+        + F.when(
+            (F.row_number().over(w_extra) <= F.col("remainder"))
+            & (F.col("n") > F.col("level")),
+            1,
+        ).otherwise(0)
+    )
+    return (
+        toks.crossJoin(F.broadcast(lvl))
+        .select(
+            "source",
+            F.col("n").alias("n_tokens"),
+            (F.col("n") > F.col("level")).alias("capped"),
+            quota.cast("bigint").alias("quota"),
+        )
+        .orderBy("source")
+    )

@@ -72,6 +72,7 @@ GLOBAL_WINDOW_ALLOW = {
     "x82_ks_test": "distinct doc-length grain (bounded by max doc length)",
     "m12_t_closeness": "nation grain (25 values): global sensitive CDF",
     "x120_histogram_quantiles": "fixed 256-bin histogram grain",
+    "x121_waterfill_budget": "source grain (~dozens of sources)",
 }
 
 _WINDOW_RE = re.compile(r"\bWindow \[")

@@ -250,3 +250,32 @@ def test_f66_matches_naive_auc(spark):
         assert abs(got[seg] - auc) < 1e-6, (seg, got[seg], auc)
     for r in rows:
         assert 0 <= r["auc_micro"] <= 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# x121 — water-filling budget
+# ---------------------------------------------------------------------------
+
+
+def test_x121_waterfill_invariants(spark):
+    rows = _rows(spark, "x121_waterfill_budget")
+    [(total,)] = _duck(
+        "SELECT COUNT(*) FROM (SELECT unnest(string_split(lower("
+        "regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' ')) AS t, source "
+        "FROM documents)"
+    )
+    budget = total * 60 // 100
+    assert sum(r["quota"] for r in rows) == budget  # exact spend
+    for r in rows:
+        assert 0 <= r["quota"] <= r["n_tokens"]
+    capped = [r for r in rows if r["capped"]]
+    uncapped = [r for r in rows if not r["capped"]]
+    # every uncapped source keeps everything
+    for r in uncapped:
+        assert r["quota"] == r["n_tokens"]
+    if capped:
+        lo = min(r["quota"] for r in capped)
+        hi = max(r["quota"] for r in capped)
+        assert hi - lo <= 1  # capped quotas differ only by the remainder +1
+        # no uncapped source exceeds the level (sortedness of the cut)
+        assert all(r["n_tokens"] <= hi for r in uncapped)
