@@ -276,6 +276,60 @@ class Corpus:
         )
         return self._next(f"sample_per_source[{k}]", out)
 
+    def waterfill_budget(
+        self,
+        pct: int = 60,
+        source_col: str = "source",
+        token_col: str = "n_tokens",
+    ) -> "Corpus":
+        """Cap each source at the water-filling token level (x121's
+        solver): small sources keep everything, large sources are cut
+        at the common level that spends ``pct``% of total tokens —
+        the fair corpus-mixing quota, per-doc admission in ingest
+        (id) order. Level math runs on the bounded source grain; the
+        per-source fill is a source-partitioned running sum."""
+        from pyspark.sql.window import Window
+
+        df = self.df
+        if token_col not in df.columns:
+            df = self.with_token_counts(token_col).df
+        toks = df.groupBy(source_col).agg(
+            F.sum(token_col).cast("bigint").alias("__n")
+        )
+        tot = toks.agg(
+            F.count("*").alias("__s"),
+            F.expr(f"sum(__n) * {int(pct)} div 100").alias("__b"),
+        )
+        w_ord = Window.orderBy("__n", source_col)
+        ordered = (
+            toks.crossJoin(F.broadcast(tot))
+            .withColumn("__rn", F.row_number().over(w_ord))
+            .withColumn(
+                "__cb", F.sum("__n").over(w_ord) - F.col("__n")
+            )
+            .withColumn("__pn", F.lag("__n").over(w_ord))
+        )
+        lvl_expr = F.expr("(__b - __cb) div (__s - __rn + 1)")
+        lvl = (
+            ordered.filter(
+                (F.col("__n") > lvl_expr)
+                & (F.col("__pn").isNull() | (F.col("__pn") <= lvl_expr))
+            )
+            .agg(
+                F.coalesce(F.max(lvl_expr), F.lit(9223372036854775807)).alias(
+                    "__level"
+                )
+            )
+        )
+        w_fill = Window.partitionBy(source_col).orderBy(self.id_col)
+        out = (
+            df.crossJoin(F.broadcast(lvl))
+            .withColumn("__cum", F.sum(token_col).over(w_fill))
+            .filter(F.col("__cum") <= F.col("__level"))
+            .drop("__cum", "__level")
+        )
+        return self._next(f"waterfill_budget[{pct}%]", out)
+
     def near_dup_dedup(self, min_est_sim: float = 0.5) -> "Corpus":
         """Drop near-duplicates: x2's MinHash/LSH miner with the
         keep-smallest-id survivor rule (the larger id of every

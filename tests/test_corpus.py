@@ -129,3 +129,38 @@ def test_near_dup_dedup_drops_planted_duplicate(spark):
     assert donor.doc_id in ids  # smallest id survives
     assert 90_002 not in ids  # exact copy is also a near-dup: dropped
     assert 90_001 not in ids  # one-word-changed copy: dropped
+
+
+def test_waterfill_budget_stage(spark):
+    c = Corpus.from_parquet(
+        spark, f"{SF}/documents.parquet"
+    ).with_token_counts()
+    total = c.df.agg(F.sum("n_tokens")).first()[0]
+    out = c.waterfill_budget(60)
+    kept = out.df.groupBy("source").agg(
+        F.sum("n_tokens").alias("kept"), F.count("*").alias("n")
+    )
+    rows = {r["source"]: r for r in kept.collect()}
+    orig = {
+        r["source"]: r["t"]
+        for r in c.df.groupBy("source")
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    budget = total * 60 // 100
+    # never exceeds the budget; spends a decent fraction of it (doc
+    # granularity forfeits at most one doc per source)
+    kept_total = sum(r["kept"] for r in rows.values())
+    assert kept_total <= budget
+    max_doc = c.df.agg(F.max("n_tokens")).first()[0]
+    assert kept_total >= budget - max_doc * len(orig)
+    # capped sources end within one doc of the common level; uncapped
+    # sources keep everything
+    levels = [r["kept"] for s, r in rows.items() if r["kept"] < orig[s]]
+    if levels:
+        lo, hi = min(levels), max(levels)
+        assert hi - lo <= max_doc
+    for s, t in orig.items():
+        if s in rows and rows[s]["kept"] == t:
+            continue  # uncapped: intact
+        assert s in rows, f"source {s} vanished entirely"

@@ -57,6 +57,12 @@ QUERIES = (
     "x102_systematic_resample",  # distributed prefix sum + grid arithmetic
     "x105_multiscale_repeat_census",  # 7-span substring-digest explode
     "f55_fisher_price_index",  # part-year unit values + base-year join
+    "x117_hll_registers",      # 512-register sketch aggregate
+    "x119_pmi_collocations",   # bigram counts + vocab-sized join-back
+    "x120_histogram_quantiles",  # bounded-bin histogram + arm locate
+    "e20_fellegi_sunter",      # capped block self-join + u-stat broadcasts
+    "f66_roc_auc",             # rank-sum AUC on the prediction grain
+    "x121_waterfill_budget",   # source-grain quota solver
 )
 
 # Key columns that must be remapped per replica to keep joins
