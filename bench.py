@@ -106,6 +106,9 @@ def main() -> None:
         "x57_pq_ann_topk",
         "x64_ivfpq_adc",
         "f29_pareto_revenue",
+        "x117_hll_registers",
+        "x120_histogram_quantiles",
+        "x121_waterfill_budget",
     ]
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     line = json.dumps(

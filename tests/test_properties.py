@@ -446,3 +446,98 @@ def test_prefix_fold_min_property(spark, vals, parts):
     for i, v in enumerate(vals):
         run = v if run is None else min(run, v)
         assert got[i] == run
+
+
+# ---------------------------------------------------------------------------
+# Round-6 closed forms: water-filling level and histogram quantiles
+# ---------------------------------------------------------------------------
+
+
+def _waterfill(ns: list[int], pct: int):
+    """Python mirror of x121's closed-form solver (integer semantics)."""
+    s = len(ns)
+    total = sum(ns)
+    b = total * pct // 100
+    order = sorted(range(s), key=lambda i: (ns[i], i))
+    cum = 0
+    level, rem = None, 0
+    for k, i in enumerate(order):
+        remaining = s - k
+        lvl = (b - cum) // remaining
+        prev = ns[order[k - 1]] if k > 0 else None
+        if ns[i] > lvl and (prev is None or prev <= lvl):
+            level, rem = lvl, b - cum - lvl * remaining
+            break
+        cum += ns[i]
+    if level is None:
+        return list(ns), None  # budget covers everything
+    quotas = [min(n, level) for n in ns]
+    capped = sorted(
+        (i for i in range(s) if ns[i] > level), key=lambda i: (-ns[i], i)
+    )
+    for j, i in enumerate(capped):
+        if j < rem:
+            quotas[i] += 1
+    return quotas, level
+
+
+@given(
+    ns=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1,
+                max_size=40),
+    pct=st.integers(min_value=1, max_value=99),
+)
+@settings(max_examples=300, deadline=None)
+def test_waterfill_closed_form_properties(ns, pct):
+    total = sum(ns)
+    b = total * pct // 100
+    quotas, level = _waterfill(ns, pct)
+    assert all(0 <= q <= n for q, n in zip(quotas, ns))
+    if level is None:
+        # only possible when the budget covers every token
+        assert b >= total
+        assert quotas == ns
+        return
+    assert sum(quotas) == b  # exact spend, remainder included
+    # the closed-form level is the brute-force maximal feasible level
+    def spend(lv):
+        return sum(min(n, lv) for n in ns)
+    assert spend(level) <= b
+    assert spend(level + 1) + 0 >= b  # one more level would overspend
+    # monotonicity: a larger source never gets a smaller quota
+    for (na, qa) in zip(ns, quotas):
+        for (nb, qb) in zip(ns, quotas):
+            if na >= nb:
+                assert qa >= qb - 1  # +1 remainder can break ties by 1 only
+
+
+def _hist_quantile(cents: list[int], q: int, bins=256, domain=60_000_000):
+    """Python mirror of x120's integer interpolation."""
+    w = domain // bins
+    hist = {}
+    for c in cents:
+        hist[min(c // w, bins - 1)] = hist.get(min(c // w, bins - 1), 0) + 1
+    n = len(cents)
+    rank = (q * n + 99) // 100
+    cum = 0
+    for b in sorted(hist):
+        if cum < rank <= cum + hist[b]:
+            return b * w + (rank - cum) * w // hist[b]
+        cum += hist[b]
+    raise AssertionError("rank not located")
+
+
+@given(
+    cents=st.lists(
+        st.integers(min_value=0, max_value=59_999_999), min_size=1,
+        max_size=500,
+    ),
+    q=st.sampled_from([25, 50, 75, 90, 99]),
+)
+@settings(max_examples=300, deadline=None)
+def test_histogram_quantile_within_one_bin(cents, q):
+    w = 60_000_000 // 256
+    est = _hist_quantile(cents, q)
+    ordered = sorted(cents)
+    rank = (q * len(cents) + 99) // 100
+    exact = ordered[rank - 1]  # quantile_disc: value at the target rank
+    assert abs(est - exact) <= w
