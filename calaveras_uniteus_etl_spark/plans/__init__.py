@@ -194,6 +194,7 @@ _NEW_THIS_ROUND: list[str] = [
     "x120_histogram_quantiles",
     "f66_roc_auc",
     "x121_waterfill_budget",
+    "x122_grouped_hll",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 or 5 (union = 179) sit in

@@ -3650,3 +3650,114 @@ def x118_hll_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("scope")
     )
+
+
+# ---------------------------------------------------------------------------
+# X122 — grouped HLL: per-source distinct-term estimates
+#
+# The sketch composed with GROUP BY — the production shape for
+# cardinality monitoring (distinct terms per source, distinct users
+# per day) where exact COUNT(DISTINCT) would shuffle every token.
+# Registers live at the (source, idx) grain: |sources| x 512 rows no
+# matter how many tokens flow in, one map-side-combined aggregate.
+# Same exact-integer pipeline as x117 (the estimate divides identical
+# integers), with the per-source exact count alongside as the audit.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x122_grouped_hll",
+    oracle=f"""
+WITH toks AS (
+  SELECT DISTINCT source, t AS term FROM (
+    SELECT source,
+           unnest(string_split({dd.NORM_DUCK.format(col="text")}, ' ')) AS t
+    FROM documents)
+), pairs AS (
+  SELECT source,
+         CAST(h // {_HLL_POW} AS INT) AS idx,
+         CAST(CASE WHEN h % {_HLL_POW} = 0 THEN {_HLL_TAIL + 1}
+              ELSE {_HLL_TAIL + 1} - length(bin(h % {_HLL_POW})) END AS INT) AS r
+  FROM (SELECT source,
+               {_duck_fold("substr(md5(term), 1, 15)")} AS h
+        FROM toks)
+), regs AS (
+  SELECT source, idx, MAX(r) AS mr FROM pairs GROUP BY source, idx
+), s AS (
+  SELECT source,
+         COUNT(*) AS n_registers_set,
+         CAST(SUM(1::BIGINT << (52 - mr)) +
+              ({_HLL_M} - COUNT(*)) * {_HLL_2P52}::BIGINT AS BIGINT)
+           AS sum_scaled
+  FROM regs GROUP BY source
+), ex AS (
+  SELECT source, COUNT(*) AS n_exact FROM toks GROUP BY source
+)
+SELECT s.source,
+       n_exact,
+       n_registers_set,
+       sum_scaled,
+       {_HLL_EST_SQL} AS hll_estimate,
+       ABS({_HLL_EST_SQL} - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)
+         AS rel_err
+FROM s JOIN ex ON ex.source = s.source
+ORDER BY s.source
+""",
+    doc="Per-source distinct-term HLL (the sketch composed with "
+    "GROUP BY): registers at the (source, idx) grain — |sources|x512 "
+    "rows at any corpus size, one map-side aggregate — same "
+    "exact-integer estimate pipeline as x117, exact counts alongside "
+    "as the audit.",
+)
+def x122_grouped_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_wide(spark, sf_dir)
+    toks = d.select(
+        "source",
+        F.explode(
+            F.expr(f"split({dd.NORM_SPARK.format(col='text')}, ' ')")
+        ).alias("term"),
+    ).distinct()
+    h = F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("bigint")
+    pairs = (
+        toks.withColumn("h", h)
+        .select(
+            "source",
+            F.expr(f"h div {_HLL_POW}").cast("int").alias("idx"),
+            (F.col("h") % _HLL_POW).alias("rest"),
+        )
+        .select(
+            "source",
+            "idx",
+            F.when(F.col("rest") == 0, F.lit(_HLL_TAIL + 1))
+            .otherwise(F.lit(_HLL_TAIL + 1) - F.length(F.bin(F.col("rest"))))
+            .cast("int")
+            .alias("r"),
+        )
+    )
+    regs = pairs.groupBy("source", "idx").agg(F.max("r").alias("mr"))
+    s = regs.groupBy("source").agg(
+        F.count("*").alias("n_registers_set"),
+        (
+            F.sum(F.expr("shiftleft(cast(1 as bigint), 52 - mr)"))
+            + (F.lit(_HLL_M) - F.count("*")) * F.lit(_HLL_2P52)
+        )
+        .cast("bigint")
+        .alias("sum_scaled"),
+    )
+    ex = toks.groupBy("source").agg(F.count("*").alias("n_exact"))
+    est = F.expr(_HLL_EST_SQL)
+    return (
+        s.join(ex, "source")
+        .select(
+            "source",
+            "n_exact",
+            "n_registers_set",
+            "sum_scaled",
+            est.alias("hll_estimate"),
+            (
+                F.abs(est - F.col("n_exact").cast("double"))
+                / F.col("n_exact").cast("double")
+            ).alias("rel_err"),
+        )
+        .orderBy("source")
+    )

@@ -279,3 +279,38 @@ def test_x121_waterfill_invariants(spark):
         assert hi - lo <= 1  # capped quotas differ only by the remainder +1
         # no uncapped source exceeds the level (sortedness of the cut)
         assert all(r["n_tokens"] <= hi for r in uncapped)
+
+
+# ---------------------------------------------------------------------------
+# x122 — grouped HLL
+# ---------------------------------------------------------------------------
+
+
+def test_x122_per_source_registers_match_python_model(spark):
+    rows = {r["source"]: r for r in _rows(spark, "x122_grouped_hll")}
+    toks = _duck(
+        "SELECT DISTINCT source, t FROM (SELECT source, unnest("
+        "string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', "
+        "'g')), ' ')) AS t FROM documents)"
+    )
+    per = {}
+    for src, term in toks:
+        per.setdefault(src, set()).add(term)
+    assert set(rows) == set(per)
+    for src, terms in per.items():
+        regs = _py_hll_registers_str(terms)
+        model_sum = sum(1 << (52 - r) for r in regs.values()) + (
+            512 - len(regs)
+        ) * (1 << 52)
+        assert rows[src]["n_exact"] == len(terms)
+        assert rows[src]["sum_scaled"] == model_sum, src
+
+
+def _py_hll_registers_str(keys):
+    regs = {}
+    for k in keys:
+        h = int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+        idx, rest = h >> 51, h & ((1 << 51) - 1)
+        rho = 52 if rest == 0 else 52 - rest.bit_length()
+        regs[idx] = max(regs.get(idx, 0), rho)
+    return regs
