@@ -6650,50 +6650,21 @@ ORDER BY q
     "join. Error <= one bin width by construction.",
 )
 def x120_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calaveras_uniteus_etl_spark.operators.sketches import (
+        histogram_bins,
+        histogram_quantiles,
+    )
+
     o = table(spark, sf_dir, "orders")
     vals = o.select(
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
     )
-    bins = vals.groupBy(
-        F.least(
-            F.expr(f"cents div {_X120_W}"), F.lit(_X120_BINS - 1)
-        ).alias("bin")
-    ).agg(F.count("*").alias("cnt"))
-    # bin grain: bounded 256-row relation — global window is safe
-    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.partitionBy()
-    cum = bins.select(
-        "bin",
-        "cnt",
-        F.sum("cnt").over(w_cum).alias("cum"),
-        (F.sum("cnt").over(w_cum) - F.col("cnt")).alias("cum_before"),
-        F.sum("cnt").over(w_all).alias("n_total"),
+    bins = histogram_bins(
+        vals, "cents", bins=_X120_BINS, domain=_X120_DOMAIN_CENTS
     )
-    arms = spark.range(len(_X120_QS)).select(
-        F.element_at(
-            F.array(*[F.lit(q) for q in _X120_QS]), F.col("id").cast("int") + 1
-        ).alias("q")
+    return histogram_quantiles(
+        bins, _X120_QS, bins=_X120_BINS, domain=_X120_DOMAIN_CENTS
     )
-    rank = F.expr("(q * n_total + 99) div 100")
-    located = F.broadcast(arms).join(
-        cum,
-        (rank > F.col("cum_before")) & (rank <= F.col("cum")),
-    )
-    return located.select(
-        F.col("q").cast("int").alias("q"),
-        F.col("n_total").cast("bigint").alias("n_total"),
-        rank.cast("bigint").alias("target_rank"),
-        F.col("bin").cast("bigint").alias("bin_idx"),
-        F.col("cum_before").cast("bigint").alias("cum_before"),
-        F.col("cnt").cast("bigint").alias("bin_cnt"),
-        (
-            F.col("bin") * _X120_W
-            + F.expr(f"((q * n_total + 99) div 100 - cum_before) "
-                     f"* {_X120_W} div cnt")
-        )
-        .cast("bigint")
-        .alias("est_cents"),
-    ).orderBy("q")
 
 
 # ---------------------------------------------------------------------------

@@ -3418,41 +3418,20 @@ from calaveras_uniteus_etl_spark.plans.queries_multimodal import (  # noqa: E402
     _duck_fold,
 )
 
-_HLL_P = 9
-_HLL_M = 1 << _HLL_P  # 512 registers
-_HLL_TAIL = 51  # 60-bit hash minus 9 index bits
-_HLL_POW = 1 << _HLL_TAIL
-_HLL_2P52 = 1 << (_HLL_TAIL + 1)  # 2^52: scale factor for exact harmonic sum
-# alpha_m for m >= 128 (Flajolet et al. 2007, Fig. 3). The whole
-# numerator alpha * m^2 * 2^52 is folded to ONE Python double literal:
-# bare SQL literals like 0.7213 are DECIMAL in both engines with
-# engine-specific division scales (the plans/_exact.py trap), but a
-# repr'd double parses to the identical IEEE value everywhere, and the
-# single remaining division over identical integers is deterministic.
-_HLL_NUMERATOR = 0.7213 / (1.0 + 1.079 / _HLL_M) * (_HLL_M * _HLL_M) * float(
-    1 << 52
+from calaveras_uniteus_etl_spark.operators.sketches import (  # noqa: E402
+    HLL_2P52 as _HLL_2P52,
+    HLL_EST_SQL as _HLL_EST_SQL,
+    HLL_M as _HLL_M,
+    HLL_TAIL as _HLL_TAIL,
+    hll_distinct,
+    hll_merge,
+    hll_registers,
+    hll_summarize,
 )
-_HLL_EST_SQL = f"{_HLL_NUMERATOR!r} / CAST(sum_scaled AS DOUBLE)"
 
-_HLL_KEY_SPARK = "cast(event_id as string)"
+_HLL_POW = 1 << _HLL_TAIL
+
 _HLL_KEY_DUCK = "CAST(event_id AS VARCHAR)"
-
-
-def _hll_regs_spark(df: DataFrame, key_expr: str) -> DataFrame:
-    """(idx, r) register pairs for every input row (pre-max)."""
-    h = F.conv(F.substring(F.md5(F.expr(key_expr)), 1, 15), 16, 10).cast(
-        "bigint"
-    )
-    d = df.select(
-        F.expr(f"{key_expr}").alias("k"), h.alias("h")
-    ).select(
-        F.expr(f"h div {_HLL_POW}").cast("int").alias("idx"),
-        (F.col("h") % _HLL_POW).alias("rest"),
-    )
-    rho = F.when(F.col("rest") == 0, F.lit(_HLL_TAIL + 1)).otherwise(
-        F.lit(_HLL_TAIL + 1) - F.length(F.bin(F.col("rest")))
-    )
-    return d.select("idx", rho.cast("int").alias("r"))
 
 
 def _duck_hll_regs(key: str, src: str) -> str:
@@ -3503,23 +3482,10 @@ FROM s CROSS JOIN ex
 )
 def x117_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
-    regs = (
-        _hll_regs_spark(e, _HLL_KEY_SPARK)
-        .groupBy("idx")
-        .agg(F.max("r").alias("mr"))
-    )
-    s = regs.agg(
-        F.count("*").alias("n_registers_set"),
-        (
-            F.sum(F.expr("shiftleft(cast(1 as bigint), 52 - mr)"))
-            + (F.lit(_HLL_M) - F.count("*")) * F.lit(_HLL_2P52)
-        )
-        .cast("bigint")
-        .alias("sum_scaled"),
-    )
+    s = hll_distinct(e, "event_id")
     ex = e.agg(F.countDistinct("event_id").alias("n_exact"))
     est = F.expr(_HLL_EST_SQL)
-    return s.crossJoin(F.broadcast(ex)).select(
+    return s.drop("hll_estimate").crossJoin(F.broadcast(ex)).select(
         F.lit(_HLL_M).cast("bigint").alias("m"),
         "n_exact",
         "n_registers_set",
@@ -3590,41 +3556,26 @@ ORDER BY allscopes.scope
     "by side with their true counts.",
 )
 def x118_hll_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "events")
-    h = F.conv(
-        F.substring(F.md5(F.expr(_HLL_KEY_SPARK)), 1, 15), 16, 10
-    ).cast("bigint")
-    pairs = e.select(
-        (F.col("event_id") % _HLL_SHARDS).cast("int").alias("shard"),
-        h.alias("h"),
-    ).select(
-        "shard",
-        F.expr(f"h div {_HLL_POW}").cast("int").alias("idx"),
-        (F.col("h") % _HLL_POW).alias("rest"),
+    e = table(spark, sf_dir, "events").withColumn(
+        "shard", (F.col("event_id") % _HLL_SHARDS).cast("int")
     )
-    rho = F.when(F.col("rest") == 0, F.lit(_HLL_TAIL + 1)).otherwise(
-        F.lit(_HLL_TAIL + 1) - F.length(F.bin(F.col("rest")))
-    )
-    pairs = pairs.select("shard", "idx", rho.cast("int").alias("r"))
-    shard_regs = pairs.groupBy("shard", "idx").agg(F.max("r").alias("mr"))
-    merged_regs = shard_regs.groupBy("idx").agg(F.max("mr").alias("mr"))
-
-    def summarize(regs: DataFrame, scope_col) -> DataFrame:
-        gb = regs.groupBy(scope_col.alias("scope")) if scope_col is not None \
-            else regs.groupBy(F.lit("merged").alias("scope"))
-        return gb.agg(
-            F.count("*").alias("n_registers_set"),
-            (
-                F.sum(F.expr("shiftleft(cast(1 as bigint), 52 - mr)"))
-                + (F.lit(_HLL_M) - F.count("*")) * F.lit(_HLL_2P52)
-            )
-            .cast("bigint")
-            .alias("sum_scaled"),
+    shard_regs = hll_registers(e, "event_id", "shard")
+    merged_regs = hll_merge(shard_regs)
+    s = (
+        hll_summarize(shard_regs, "shard")
+        .select(
+            F.col("shard").cast("string").alias("scope"),
+            "n_registers_set",
+            "sum_scaled",
         )
-
-    s = summarize(
-        shard_regs, F.col("shard").cast("string")
-    ).unionByName(summarize(merged_regs, None))
+        .unionByName(
+            hll_summarize(merged_regs).select(
+                F.lit("merged").alias("scope"),
+                "n_registers_set",
+                "sum_scaled",
+            )
+        )
+    )
     ex = (
         e.groupBy((F.col("event_id") % _HLL_SHARDS).cast("string").alias("scope"))
         .agg(F.countDistinct("event_id").alias("n_exact"))
@@ -3717,33 +3668,7 @@ def x122_grouped_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"split({dd.NORM_SPARK.format(col='text')}, ' ')")
         ).alias("term"),
     ).distinct()
-    h = F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("bigint")
-    pairs = (
-        toks.withColumn("h", h)
-        .select(
-            "source",
-            F.expr(f"h div {_HLL_POW}").cast("int").alias("idx"),
-            (F.col("h") % _HLL_POW).alias("rest"),
-        )
-        .select(
-            "source",
-            "idx",
-            F.when(F.col("rest") == 0, F.lit(_HLL_TAIL + 1))
-            .otherwise(F.lit(_HLL_TAIL + 1) - F.length(F.bin(F.col("rest"))))
-            .cast("int")
-            .alias("r"),
-        )
-    )
-    regs = pairs.groupBy("source", "idx").agg(F.max("r").alias("mr"))
-    s = regs.groupBy("source").agg(
-        F.count("*").alias("n_registers_set"),
-        (
-            F.sum(F.expr("shiftleft(cast(1 as bigint), 52 - mr)"))
-            + (F.lit(_HLL_M) - F.count("*")) * F.lit(_HLL_2P52)
-        )
-        .cast("bigint")
-        .alias("sum_scaled"),
-    )
+    s = hll_distinct(toks, "term", "source").drop("hll_estimate")
     ex = toks.groupBy("source").agg(F.count("*").alias("n_exact"))
     est = F.expr(_HLL_EST_SQL)
     return (
