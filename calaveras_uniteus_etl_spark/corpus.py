@@ -342,6 +342,36 @@ class Corpus:
 
     # --- readouts ----------------------------------------------------------
 
+    def heavy_terms(self, k: int = 40) -> DataFrame:
+        """Exact phi-heavy hitters (phi = 1/k) over the current corpus:
+        every term with frequency > N/k, with exact counts and shares
+        (x123's two-phase plan — local candidate pruning, broadcast
+        exact recount; the long tail is never hash-aggregated)."""
+        from calaveras_uniteus_etl_spark.operators.sketches import (
+            local_heavy_candidates,
+        )
+
+        toks = self.df.select(
+            F.explode(F.split(_norm_expr(self.text_col), " ")).alias("term")
+        ).filter(F.col("term") != "")
+        cand = local_heavy_candidates(toks, "term", k=k).distinct()
+        total = toks.agg(F.count("*").cast("bigint").alias("n"))
+        return (
+            toks.join(F.broadcast(cand), "term")
+            .groupBy("term")
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+            .crossJoin(F.broadcast(total))  # 1-row scalar
+            .filter(F.col("cnt") * k > F.col("n"))
+            .select(
+                "term",
+                "cnt",
+                F.round(F.col("cnt").cast("double") / F.col("n"), 6).alias(
+                    "share"
+                ),
+            )
+            .orderBy(F.desc("cnt"), "term")
+        )
+
     def manifest(self) -> DataFrame:
         """Per-stage retention funnel: one row per pipeline stage."""
         parts = []

@@ -182,3 +182,45 @@ def histogram_quantiles(
         .cast("bigint")
         .alias("est_cents"),
     ).orderBy("q")
+
+
+# ---------------------------------------------------------------------------
+# Heavy-hitter candidates (Misra-Gries-style local pruning)
+# ---------------------------------------------------------------------------
+
+
+def local_heavy_candidates(
+    df: DataFrame, term_col: str = "term", *, k: int
+) -> DataFrame:
+    """Candidate generation for exact phi-heavy hitters (phi = 1/k).
+
+    Arrow-batched local counting with the Misra-Gries guarantee: a
+    value whose GLOBAL count exceeds N/k must, by pigeonhole, exceed
+    n_b/k in at least one batch b (sum(n_b) = N), so the union of
+    per-batch survivors is a deterministic SUPERSET of every true
+    heavy hitter regardless of how rows fall into batches. Each task
+    emits at most k-1 candidates per Arrow batch instead of shuffling
+    its whole long tail, so the exact recount that follows joins
+    against a bounded broadcast relation -- the two-phase shape that
+    makes exact heavy hitters tractable when the term domain is far
+    larger than executor memory.
+
+    Returns a one-column DataFrame of candidate terms (with
+    duplicates across batches; ``.distinct()`` it before broadcast).
+    """
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField(term_col, T.StringType())])
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            s = pdf[term_col]
+            if len(s) == 0:
+                continue
+            vc = s.value_counts()
+            keep = vc[vc * k > len(s)]
+            yield pd.DataFrame({term_col: keep.index.astype(str)})
+
+    return df.select(term_col).mapInPandas(gen, schema=schema)

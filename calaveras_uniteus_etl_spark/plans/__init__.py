@@ -195,6 +195,15 @@ _NEW_THIS_ROUND: list[str] = [
     "f66_roc_auc",
     "x121_waterfill_budget",
     "x122_grouped_hll",
+    "x123_heavy_hitters",
+    "x124_source_jsd",
+    "f67_kruskal_wallis",
+    "m13_referential_integrity",
+    "x125_mahalanobis_outliers",
+    "f68_cross_correlation",
+    "m14_dp_histogram",
+    "m15_bloom_sizing",
+    "j7_regex_suite",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 or 5 (union = 179) sit in

@@ -6777,3 +6777,537 @@ def f66_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n0").cast("bigint").alias("n_neg"),
         auc.alias("auc_micro"),
     ).orderBy("seg")
+
+
+# ---------------------------------------------------------------------------
+# F67 — Kruskal-Wallis rank test (robust numeric-by-categorical)
+#
+# f49's ANOVA assumes the group distributions are normal-ish; the
+# rank-based Kruskal-Wallis H test is its robust sibling (the k-group
+# extension of f45's Mann-Whitney). Does shipped quantity depend on
+# return flag? Everything reduces to the VALUE DOMAIN (quantities are
+# the integers 1..50, so all windows run over a bounded 50-row grain
+# — the x82/f19 domain-grain argument): per-value totals give exact
+# mid-ranks as the INTEGER 2·midrank = 2·cum_before + t + 1, group
+# rank sums are exact BIGINT Σ cnt·mr2, the cross-group Σ R_g²/n_g
+# uses f49's 12dp-quantized decimal sum (order-independent), and the
+# tie correction 1 − Σ(t³−t)/(N³−N) is BIGINT over the value grain.
+# Scale shape: one (value, group) hash aggregate over the fact, then
+# domain-sized relations only.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f67_kruskal_wallis",
+    oracle="""
+WITH v AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q, l_returnflag AS flag,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2
+), vt AS (
+  SELECT q, CAST(SUM(c) AS BIGINT) AS t FROM v GROUP BY q
+), mr AS (
+  SELECT q, t,
+         CAST(2 * (SUM(t) OVER (ORDER BY q
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t)
+              + t + 1 AS BIGINT) AS mr2
+  FROM vt
+), g AS (
+  SELECT flag, CAST(SUM(c) AS BIGINT) AS n_g,
+         CAST(SUM(c * mr.mr2) AS BIGINT) AS r2_g
+  FROM v JOIN mr USING (q) GROUP BY flag
+), tot AS (
+  SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(CAST(ROUND(CAST(r2_g AS DOUBLE) * r2_g / (4.0 * n_g), 12)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS s
+  FROM g
+), ties AS (
+  SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS t3 FROM vt
+)
+SELECT tot.n AS n_rows, tot.k AS n_groups,
+       ROUND(12.0 / (tot.n * (tot.n + 1.0)) * tot.s - 3.0 * (tot.n + 1), 6)
+         AS h_stat,
+       ROUND(1.0 - CAST(ties.t3 AS DOUBLE)
+                   / (CAST(tot.n AS DOUBLE) * tot.n * tot.n - tot.n), 6)
+         AS tie_correction,
+       ROUND((12.0 / (tot.n * (tot.n + 1.0)) * tot.s - 3.0 * (tot.n + 1))
+             / (1.0 - CAST(ties.t3 AS DOUBLE)
+                      / (CAST(tot.n AS DOUBLE) * tot.n * tot.n - tot.n)), 6)
+         AS h_corrected
+FROM tot CROSS JOIN ties
+""",
+    doc="Kruskal-Wallis H test of quantity by return flag: exact "
+    "integer mid-ranks on the bounded value domain (mr2 = 2·cum_before "
+    "+ t + 1), BIGINT group rank sums, f49's 12dp-quantized decimal "
+    "cross-group sum, and the Σ(t³−t) tie correction — the robust "
+    "rank-based member of the f33/f34/f45/f49 inference suite.",
+)
+def f67_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    v = li.groupBy(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.col("l_returnflag").alias("flag"),
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    vt = v.groupBy("q").agg(F.sum("c").cast("bigint").alias("t"))
+    # value-domain window: bounded by the 50 representable quantities
+    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    mr = vt.select(
+        "q",
+        "t",
+        (2 * (F.sum("t").over(w) - F.col("t")) + F.col("t") + 1)
+        .cast("bigint")
+        .alias("mr2"),
+    )
+    g = (
+        v.join(F.broadcast(mr), "q")
+        .groupBy("flag")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_g"),
+            F.sum(F.col("c") * F.col("mr2")).cast("bigint").alias("r2_g"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("k"),
+        F.sum(
+            F.round(
+                F.col("r2_g").cast("double")
+                * F.col("r2_g")
+                / (F.lit(4.0) * F.col("n_g")),
+                12,
+            ).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("s"),
+    )
+    ties = vt.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("t3")
+    )
+    h = (
+        F.lit(12.0) / (F.col("n") * (F.col("n") + F.lit(1.0))) * F.col("s")
+        - F.lit(3.0) * (F.col("n") + 1)
+    )
+    tie_c = F.lit(1.0) - F.col("t3").cast("double") / (
+        F.col("n").cast("double") * F.col("n") * F.col("n") - F.col("n")
+    )
+    return (
+        tot.crossJoin(F.broadcast(ties))  # 1-row scalars
+        .select(
+            F.col("n").alias("n_rows"),
+            F.col("k").alias("n_groups"),
+            F.round(h, 6).alias("h_stat"),
+            F.round(tie_c, 6).alias("tie_correction"),
+            F.round(h / tie_c, 6).alias("h_corrected"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# M13 — referential-integrity audit (FK orphan census)
+#
+# m10 audits freshness and m11 cardinality estimates; the remaining
+# ops question a warehouse load keeps answering is "did every foreign
+# key land?". One query sweeps every FK edge of the star schema and
+# reports orphan rows/keys per edge — the post-load gate that catches
+# a truncated dimension file before queries silently drop rows via
+# inner joins. Each edge is an anti-join (Catalyst broadcasts the
+# small parent sides; the lineitem edges shuffle id pairs only) plus
+# a child-side aggregate; the 7 one-row results union into a bounded
+# relation. NULL FKs count as orphans on both engines (anti-join and
+# NOT EXISTS agree: a NULL key matches nothing).
+# ---------------------------------------------------------------------------
+
+_M13_RELS = [
+    # (edge label, child table, fk col, parent table, pk col)
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+]
+
+
+def _m13_edge_sql(rel: str, child: str, fk: str, parent: str, pk: str) -> str:
+    orphan = (
+        f"SELECT {fk} AS k FROM {child} ch WHERE NOT EXISTS "
+        f"(SELECT 1 FROM {parent} p WHERE p.{pk} = ch.{fk})"
+    )
+    return f"""
+SELECT relation, child_rows, child_keys, orphan_rows, orphan_keys,
+       ROUND(CAST(orphan_rows AS DOUBLE) / child_rows, 6) AS orphan_rate
+FROM (
+  SELECT '{rel}' AS relation,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM {child}) AS child_rows,
+         (SELECT CAST(COUNT(DISTINCT {fk}) AS BIGINT) FROM {child})
+           AS child_keys,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM ({orphan}) o) AS orphan_rows,
+         (SELECT CAST(COUNT(DISTINCT k) AS BIGINT) FROM ({orphan}) o)
+           AS orphan_keys
+) t"""
+
+
+@register(
+    "m13_referential_integrity",
+    oracle="\nUNION ALL".join(
+        _m13_edge_sql(*rel) for rel in _M13_RELS
+    )
+    + "\nORDER BY relation",
+    doc="Referential-integrity audit over all 7 FK edges of the star "
+    "schema: child row/key counts, orphan rows/keys via anti-join "
+    "(broadcast parents where small), orphan rate — the post-load "
+    "gate before inner joins silently drop unmatched rows.",
+)
+def m13_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = []
+    for rel, child, fk, parent, pk in _M13_RELS:
+        ch = table(spark, sf_dir, child)
+        pa = table(spark, sf_dir, parent).select(F.col(pk).alias(fk))
+        tot = ch.agg(
+            F.count("*").cast("bigint").alias("child_rows"),
+            F.countDistinct(fk).cast("bigint").alias("child_keys"),
+        )
+        orph = ch.join(pa, fk, "left_anti").agg(
+            F.count("*").cast("bigint").alias("orphan_rows"),
+            F.countDistinct(fk).cast("bigint").alias("orphan_keys"),
+        )
+        parts.append(
+            tot.crossJoin(F.broadcast(orph)).select(  # 1-row scalars
+                F.lit(rel).alias("relation"),
+                "child_rows",
+                "child_keys",
+                "orphan_rows",
+                "orphan_keys",
+                F.round(
+                    F.col("orphan_rows").cast("double")
+                    / F.col("child_rows"),
+                    6,
+                ).alias("orphan_rate"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("relation")
+
+
+# ---------------------------------------------------------------------------
+# F68 — lead-lag cross-correlation between two event series
+#
+# f48's ACF correlates a series with ITS OWN past; operations questions
+# are usually about two DIFFERENT series ("do clicks lead purchases,
+# and by how many days?"). Classic sample cross-correlation
+# r_xy(lag) = corr(x_t, y_{t+lag}) over the daily grain, lags −7..+7.
+# x = daily purchase cents (exact BIGINT via the s7 cent contract),
+# y = daily click count. The f48 machinery carries over unchanged:
+# the lag arms are a broadcast relation, alignment is one equi-join on
+# the shifted day key, and every moment (Σx, Σy, Σxy, Σxx, Σyy) is an
+# exact BIGINT so the Pearson ratio divides identical doubles.
+# Scale shape: two day-grain aggregates, a broadcast crossJoin with 15
+# lag arms, one (lag) hash aggregate — no data-sized window anywhere.
+# ---------------------------------------------------------------------------
+
+_F68_MAX_LAG = 7
+
+
+@register(
+    "f68_cross_correlation",
+    oracle=f"""
+WITH x AS (
+  SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), y AS (
+  SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events WHERE event_type = 'click' GROUP BY 1
+), lags AS (
+  SELECT unnest(range(-{_F68_MAX_LAG}, {_F68_MAX_LAG + 1})) AS lag
+), aligned AS (
+  SELECT l.lag, x.x, y.y
+  FROM x CROSS JOIN lags l
+  JOIN y ON y.d = x.d + l.lag
+), s AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM aligned GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+             6) AS xcorr
+FROM s
+ORDER BY lag
+""",
+    doc="Cross-correlation of daily purchase cents vs daily click "
+    f"count at lags −{_F68_MAX_LAG}..+{_F68_MAX_LAG}: exact BIGINT "
+    "moments per lag arm (f48's contract on two series), broadcast "
+    "lag relation, one day-grain equi-join — answers 'do clicks lead "
+    "purchases?'",
+)
+def f68_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    day = F.datediff(
+        F.to_date("ts"), F.lit("2024-01-01").cast("date")
+    ).alias("d")
+    x = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(day)
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    y = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy(day)
+        .agg(F.count("*").cast("bigint").alias("y"))
+    )
+    lags = spark.range(-_F68_MAX_LAG, _F68_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    aligned = (
+        x.crossJoin(F.broadcast(lags))
+        .join(
+            y.select(F.col("d").alias("d_y"), "y"),
+            F.col("d_y") == F.col("d") + F.col("lag"),
+        )
+    )
+    s = aligned.groupBy("lag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(
+        (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return s.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").alias("n_pairs"),
+        F.round(num / den, 6).alias("xcorr"),
+    ).orderBy("lag")
+
+
+# ---------------------------------------------------------------------------
+# M14 — differential-privacy noise release audit (Laplace mechanism)
+#
+# m8 (k-anonymity) and m12 (t-closeness) audit whether a release is
+# safe to publish; the third standard tool PUBLISHES under a noise
+# budget: the Laplace mechanism adds Lap(Δf/ε) to each count
+# (Dwork et al. 2006 — sensitivity Δf = 1 for a disjoint histogram).
+# Real deployments draw from a seeded generator; reproducing a
+# generator cross-engine is hopeless, so the draw is derived from the
+# same primitive the HLL sketch trusts: a 60-bit md5 fold of the cell
+# key is an integer h, u = h/2^60 is uniform, and the inverse CDF
+# −sign(u−½)·ln(1−2|u−½|)/ε is the Laplace sample. Everything before
+# the ln is INTEGER algebra (1−2|u−½| = (2^60 − |2h − 2^60|)/2^60),
+# the ln micro-quantizes (x81 contract), and the final noisy count
+# adds a division of identical operands — bit-identical releases on
+# both engines, auditable against the true counts they would replace.
+# Scale shape: one hash aggregate on the nation grain + a broadcast
+# dimension join; noise is a per-row expression.
+# ---------------------------------------------------------------------------
+
+from calaveras_uniteus_etl_spark.plans.queries_multimodal import (  # noqa: E402
+    _duck_fold as _duck_fold_sql,
+)
+
+_M14_EPS = 1.0  # privacy budget epsilon (sensitivity 1 histogram)
+_M14_POW60 = 1 << 60
+
+
+@register(
+    "m14_dp_histogram",
+    oracle=f"""
+WITH cells AS (
+  SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS true_count
+  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY n.n_name
+), h AS (
+  SELECT nation, true_count,
+         {_duck_fold_sql("substr(md5('m14|' || nation), 1, 15)")} AS hh
+  FROM cells
+), u AS (
+  SELECT nation, true_count,
+         CASE WHEN 2 * hh >= {_M14_POW60} THEN 1 ELSE -1 END AS sgn,
+         {_M14_POW60} - ABS(2 * hh - {_M14_POW60}) AS num
+  FROM h
+), z AS (
+  SELECT nation, true_count, sgn,
+         CAST(round(ln(CAST(num AS DOUBLE) / {_M14_POW60}) * 1000000)
+              AS BIGINT) AS ln_micro
+  FROM u
+)
+SELECT nation, true_count,
+       ROUND(-sgn * CAST(ln_micro AS DOUBLE) / (1000000.0 * {_M14_EPS}), 6)
+         AS noise,
+       ROUND(true_count
+             - sgn * CAST(ln_micro AS DOUBLE) / (1000000.0 * {_M14_EPS}), 6)
+         AS noisy_count
+FROM z
+ORDER BY nation
+""",
+    doc=f"Laplace-mechanism DP release (eps = {_M14_EPS}, sensitivity-1 "
+    "histogram) of customer counts per nation: the noise draw derives "
+    "from a 60-bit md5 fold of the cell key via the inverse CDF — "
+    "integer algebra up to one micro-quantized ln — so the release is "
+    "bit-identical across engines and auditable against the true "
+    "counts; completes the m8/m12 privacy suite.",
+)
+def m14_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    cells = (
+        c.join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            c.c_nationkey == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").cast("bigint").alias("true_count"))
+    )
+    hh = F.conv(
+        F.substring(F.md5(F.concat(F.lit("m14|"), F.col("nation"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    u = cells.select(
+        "nation",
+        "true_count",
+        F.when(2 * hh >= _M14_POW60, 1).otherwise(-1).alias("sgn"),
+        (F.lit(_M14_POW60) - F.abs(2 * hh - _M14_POW60)).alias("num"),
+    )
+    ln_micro = (
+        F.round(F.log(F.col("num").cast("double") / _M14_POW60) * 1e6)
+        .cast("bigint")
+        .alias("ln_micro")
+    )
+    z = u.select("nation", "true_count", "sgn", ln_micro)
+    noise = -F.col("sgn") * F.col("ln_micro").cast("double") / (
+        F.lit(1000000.0) * _M14_EPS
+    )
+    return z.select(
+        "nation",
+        "true_count",
+        F.round(noise, 6).alias("noise"),
+        F.round(F.col("true_count") + noise, 6).alias("noisy_count"),
+    ).orderBy("nation")
+
+
+# ---------------------------------------------------------------------------
+# M15 — bloom-filter sizing advisor
+#
+# e17 PROVES a bloom prejoin works; capacity planning needs the sizes
+# BEFORE the build: for each fact FK column, the classic optima
+# m = ⌈−n·ln p / (ln 2)²⌉ bits and k = round(m/n · ln 2) hashes at the
+# target false-positive rates. NDVs are exact COUNT(DISTINCTs) (one
+# pass per fact table); the transcendental factors are NOT computed at
+# runtime (two libm's can disagree by an ulp and flip a ⌈·⌉ at an
+# integer boundary) — they are repr'd Python double literals embedded
+# identically in both dialects, so bits/hashes are integer-identical
+# everywhere. Scale shape: per-column distinct aggregates + a 2-row
+# broadcast arm relation.
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+_M15_FPS = (0.01, 0.001)
+# -ln(p)/(ln 2)^2 and ln 2, frozen as repr'd literals (see docstring)
+_M15_MULT = {p: repr(-_math.log(p) / _math.log(2) ** 2) for p in _M15_FPS}
+_M15_LN2 = repr(_math.log(2))
+_M15_COLS = [
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("orders", "o_custkey"),
+]
+
+
+def _m15_oracle() -> str:
+    ndv = "\nUNION ALL\n".join(
+        f"SELECT '{t}.{c}' AS key_col, "
+        f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv FROM {t}"
+        for t, c in _M15_COLS
+    )
+    arms = "\nUNION ALL\n".join(
+        f"SELECT {p!r} AS fp, {_M15_MULT[p]} AS mult" for p in _M15_FPS
+    )
+    return f"""
+WITH ndv AS ({ndv}), arms AS ({arms}),
+calc AS (
+  SELECT key_col, ndv, fp,
+         CAST(ceil(CAST(ndv AS DOUBLE) * mult) AS BIGINT) AS bits
+  FROM ndv CROSS JOIN arms
+)
+SELECT key_col, ndv, fp, bits,
+       CAST(round(CAST(bits AS DOUBLE) / ndv * {_M15_LN2}) AS BIGINT)
+         AS k_hashes,
+       CAST((bits + 7) // 8 AS BIGINT) AS n_bytes
+FROM calc
+ORDER BY key_col, fp DESC
+"""
+
+
+@register(
+    "m15_bloom_sizing",
+    oracle=_m15_oracle(),
+    doc="Bloom-filter sizing advisor: exact NDV per fact FK column, "
+    "optimal bits m = ceil(-n ln p / ln^2 2) and hash count "
+    "k = round(m/n * ln 2) at 1% and 0.1% target FP — transcendental "
+    "factors frozen as repr'd literals so the integer outputs are "
+    "engine-identical; the capacity plan behind e17's prejoin.",
+)
+def m15_bloom_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ndvs = []
+    for t, c in _M15_COLS:
+        ndvs.append(
+            table(spark, sf_dir, t).agg(
+                F.lit(f"{t}.{c}").alias("key_col"),
+                F.countDistinct(c).cast("bigint").alias("ndv"),
+            )
+        )
+    ndv = ndvs[0]
+    for d in ndvs[1:]:
+        ndv = ndv.unionAll(d)
+    arms = spark.range(len(_M15_FPS)).select(
+        F.element_at(
+            F.array(*[F.lit(p) for p in _M15_FPS]), F.col("id").cast("int") + 1
+        ).alias("fp"),
+        F.element_at(
+            F.array(*[F.expr(_M15_MULT[p]) for p in _M15_FPS]),
+            F.col("id").cast("int") + 1,
+        ).alias("mult"),
+    )
+    calc = ndv.crossJoin(F.broadcast(arms)).select(
+        "key_col",
+        "ndv",
+        "fp",
+        F.ceil(F.col("ndv").cast("double") * F.col("mult"))
+        .cast("bigint")
+        .alias("bits"),
+    )
+    return calc.select(
+        "key_col",
+        "ndv",
+        "fp",
+        "bits",
+        F.round(
+            F.col("bits").cast("double") / F.col("ndv") * F.expr(_M15_LN2)
+        )
+        .cast("bigint")
+        .alias("k_hashes"),
+        F.expr("(bits + 7) div 8").cast("bigint").alias("n_bytes"),
+    ).orderBy("key_col", F.desc("fp"))

@@ -914,3 +914,52 @@ def j6_conditional_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("o_orderkey & 255").cast("bigint").alias("key_low_bits"),
         F.when(price > c200k, "big").otherwise("small").alias("size_label"),
     ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# J7 — regex-function battery (completes the scalar surface)
+#
+# j3 covered the positional string functions; the reference's search
+# endpoints also lean on pattern functions (LIKE variants and regexp
+# helpers). Patterns stay in the common Java-regex/RE2 subset
+# (character classes, +, anchors — no lookaround, no backrefs) so both
+# engines compile identical semantics; parity is byte-for-byte through
+# the hash canon on the same bounded key window as j1/j3.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j7_regex_suite",
+    oracle=r"""
+SELECT c_custkey,
+       regexp_extract(c_name, '([0-9]+)', 1) AS first_digit_run,
+       regexp_replace(c_name, '[0-9]', '#', 'g') AS digits_masked,
+       CAST(len(regexp_extract_all(c_name, '0+')) AS BIGINT) AS n_zero_runs,
+       regexp_matches(c_name, '00') AS has_double_zero,
+       (c_name ILIKE '%customer%') AS ilike_hit,
+       string_split(c_name, '#')[2] AS after_hash,
+       regexp_extract(c_name, '[1-9][0-9]*$') AS nonzero_tail,
+       regexp_matches(c_mktsegment, '^(HOUSE|MACH)') AS seg_starts_hm
+FROM customer WHERE c_custkey < 80
+""",
+    doc="Regex-scalar battery: REGEXP_EXTRACT with group, global "
+    "REGEXP_REPLACE, match counting, boolean RLIKE, ILIKE, "
+    "split-part, anchored extraction — the pattern half of the "
+    "reference's search surface, restricted to the Java/RE2 common "
+    "subset; all Catalyst built-ins.",
+)
+def j7_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 80)
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("first_digit_run"),
+        F.regexp_replace("c_name", r"[0-9]", "#").alias("digits_masked"),
+        F.regexp_count("c_name", F.lit(r"0+"))
+        .cast("bigint")
+        .alias("n_zero_runs"),
+        F.col("c_name").rlike("00").alias("has_double_zero"),
+        F.expr("c_name ilike '%customer%'").alias("ilike_hit"),
+        F.element_at(F.split("c_name", "#"), 2).alias("after_hash"),
+        F.regexp_extract("c_name", r"[1-9][0-9]*$", 0).alias("nonzero_tail"),
+        F.col("c_mktsegment").rlike("^(HOUSE|MACH)").alias("seg_starts_hm"),
+    )

@@ -2189,3 +2189,113 @@ def x93_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# X125 — embedding outlier census (diagonal Mahalanobis distance)
+#
+# x51 gates on norms (a degenerate-vector check); a corpus health pass
+# also wants DISTRIBUTIONAL outliers — vectors far from the centroid
+# relative to per-dimension spread. Full Mahalanobis needs a d×d
+# inverse; the standard at-scale proxy is the diagonal form
+# Σ_j (x_j − μ_j)²/σ_j² (a per-dimension z-score energy), which only
+# needs d means and variances. Fixed-point contract (x23): embeddings
+# quantize to floor(x·2^20) BIGINTs, so Σx and Σx² per dimension are
+# exact integers (Σx² through DECIMAL(38,0) — past 2^53 at corpus
+# scale), μ and σ² divide identical operands, and each dimension's
+# z² contribution quantizes to an integer micro before the per-vector
+# BIGINT sum — order-free everywhere. Constant dimensions (σ² = 0)
+# are excluded on both engines by the same predicate.
+# Scale shape: one (dim) aggregate (64 rows, broadcast back), one
+# groupBy(vec_id) that reuses the vec_id partitioning, top-k via
+# TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+
+_X125_TOPK = 20
+_X125_SCALE = 1 << 20
+
+
+@register(
+    "x125_mahalanobis_outliers",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * {_X125_SCALE}) AS BIGINT)) AS q
+  FROM embeddings
+), ex AS (
+  SELECT vec_id, label, d.dim AS dim, q[d.dim + 1] AS val
+  FROM q CROSS JOIN (SELECT unnest(range({sim.EMBED_DIM})) AS dim) d
+), st AS (
+  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(val) AS BIGINT) AS s,
+         CAST(SUM(CAST(val AS DECIMAL(38,0)) * val) AS DECIMAL(38,0)) AS ss
+  FROM ex GROUP BY dim
+), z AS (
+  SELECT ex.vec_id, ex.label,
+         CAST(round((val - CAST(s AS DOUBLE) / n)
+                    * (val - CAST(s AS DOUBLE) / n)
+                    / ((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n)
+                    * 1000000) AS BIGINT) AS zmicro
+  FROM ex JOIN st USING (dim)
+  WHERE CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n > 0
+)
+SELECT vec_id, CAST(MAX(label) AS INT) AS label,
+       CAST(SUM(zmicro) AS BIGINT) AS maha2_micro
+FROM z GROUP BY vec_id
+ORDER BY maha2_micro DESC, vec_id
+LIMIT {_X125_TOPK}
+""",
+    doc=f"Diagonal-Mahalanobis embedding outliers: fixed-point "
+    f"(floor(x·2^20)) per-dimension exact moments, micro-quantized z² "
+    f"contributions summed as BIGINTs per vector, top-{_X125_TOPK} by "
+    "distance — the distributional sibling of x51's norm gate.",
+)
+def x125_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    ex = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.expr(
+                "transform(embedding, x -> "
+                f"cast(floor(cast(x as double) * {_X125_SCALE}) as bigint))"
+            )
+        ).alias("dim", "val"),
+    )
+    st = ex.groupBy("dim").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("val").cast("bigint").alias("s"),
+        F.sum(F.col("val").cast("decimal(38,0)") * F.col("val"))
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    dv = F.col("val") - F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ) / F.col("n")
+    z = (
+        ex.join(F.broadcast(st), "dim")
+        .filter(
+            F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s") / F.col("n")
+            > 0
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.round(dv * dv / var * 1e6).cast("bigint").alias("zmicro"),
+        )
+    )
+    return (
+        z.groupBy("vec_id")  # reuses the vec_id partitioning
+        .agg(
+            F.max("label").cast("int").alias("label"),
+            F.sum("zmicro").cast("bigint").alias("maha2_micro"),
+        )
+        .orderBy(F.desc("maha2_micro"), "vec_id")
+        .limit(_X125_TOPK)
+    )

@@ -5347,3 +5347,236 @@ def x121_waterfill_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# X123 — exact heavy hitters via local candidate pruning
+#
+# x22 ranks the global top-k and x43 sketches frequencies with
+# count-min; THIS answers the threshold question exactly — every term
+# with frequency > N/k (phi-heavy hitters, phi = 1/k) — without ever
+# shuffling the long tail. Phase 1 is Arrow-batched local counting
+# (operators/sketches.local_heavy_candidates): by pigeonhole a global
+# heavy hitter must be batch-heavy somewhere, so the union of
+# per-batch survivors (≤ k−1 per batch) is a deterministic SUPERSET
+# of the answer no matter how rows land in batches/partitions. Phase 2
+# recounts ONLY the candidates — a broadcast semi-join (candidate set
+# is bounded by k·#batches, not vocabulary size) feeding one hash
+# aggregate — then applies the exact integer threshold cnt·k > N.
+# The candidate SET varies with partitioning; the OUTPUT never does:
+# phase 2 recounts exactly and the final filter is partition-blind.
+# Scale shape: at 100 TB the vocabulary (trillions of n-grams) never
+# fits a hash aggregate, but candidates do; this is the standard
+# two-phase exact-HH plan (cf. Misra-Gries 1982).
+# ---------------------------------------------------------------------------
+
+_X123_K = 40  # phi = 1/40: report terms above 2.5% of all tokens
+
+
+@register(
+    "x123_heavy_hitters",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(string_split({NORM_DUCK.format(col="text")}, ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks WHERE term <> '' GROUP BY term
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM tf
+)
+SELECT term, cnt, ROUND(CAST(cnt AS DOUBLE) / tot.n, 6) AS share
+FROM tf CROSS JOIN tot
+WHERE cnt * {_X123_K} > tot.n
+ORDER BY cnt DESC, term
+""",
+    doc=f"Exact phi-heavy hitters (phi = 1/{_X123_K}): Misra-Gries-style "
+    "per-batch candidate pruning (pigeonhole superset guarantee), then "
+    "a broadcast-semi-join exact recount and the integer threshold "
+    "cnt*k > N — the two-phase plan that never hash-aggregates the "
+    "long tail.",
+)
+def x123_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calaveras_uniteus_etl_spark.operators.sketches import (
+        local_heavy_candidates,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.expr(f"split({NORM_SPARK.format(col='text')}, ' ')")
+        ).alias("term")
+    ).filter(F.col("term") != "")
+    cand = local_heavy_candidates(toks, "term", k=_X123_K).distinct()
+    total = toks.agg(F.count("*").cast("bigint").alias("n"))  # 1-row scalar
+    return (
+        toks.join(F.broadcast(cand), "term")  # semi-shaped: cand is tiny
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .crossJoin(F.broadcast(total))  # 1-row scalar
+        .filter(F.col("cnt") * _X123_K > F.col("n"))
+        .select(
+            "term",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("n"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.desc("cnt"), "term")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X124 — pairwise Jensen-Shannon divergence between source vocabularies
+#
+# x81 measures each source against the corpus (asymmetric KL, corpus
+# support guarantees finiteness); mixture DESIGN also needs the
+# source-vs-source distance matrix, and KL breaks there (sources have
+# disjoint term mass → infinite). JSD is the standard fix:
+# JSD(P,Q) = ½KL(P‖M) + ½KL(Q‖M), M = (P+Q)/2 — always finite,
+# symmetric, bounded by ln 2. The relational trick: only SHARED terms
+# need per-term log ratios (one self-join of the (source, term)
+# aggregate on term with source_a < source_b — every pair in one
+# shuffle); for a term one side lacks, p/m = 2 exactly, so the whole
+# disjoint mass contributes (total − shared)·ln 2 in closed form and
+# is never enumerated.
+#
+# Determinism: the x81 micro-nat contract — per-term
+# ln(2·c_a·T_b / (c_a·T_b + c_b·T_a)) quantizes to an integer
+# micro-nat (numerator/denominator are exact integer products < 2^53
+# cast once to double), weighted sums are exact BIGINT Σ cnt·μ, and
+# the final normalization adds two divisions of identical operands.
+# ---------------------------------------------------------------------------
+
+_LN2_MICRO_DUCK = "CAST(round(ln(2.0) * 1000000) AS BIGINT)"
+
+
+@register(
+    "x124_source_jsd",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, unnest(string_split({NORM_DUCK.format(col="text")}, ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks WHERE term <> '' GROUP BY source, term
+), tot AS (
+  SELECT source, CAST(SUM(cnt) AS BIGINT) AS total FROM tf GROUP BY source
+), pair AS (
+  SELECT a.source AS sa, b.source AS sb, ta.total AS tota, tb.total AS totb,
+         a.cnt AS ca, b.cnt AS cb,
+         CAST(round(ln((2.0 * a.cnt * tb.total)
+                       / CAST(a.cnt * tb.total + b.cnt * ta.total AS DOUBLE))
+                    * 1000000) AS BIGINT) AS mu_a,
+         CAST(round(ln((2.0 * b.cnt * ta.total)
+                       / CAST(a.cnt * tb.total + b.cnt * ta.total AS DOUBLE))
+                    * 1000000) AS BIGINT) AS mu_b
+  FROM tf a JOIN tf b ON a.term = b.term AND a.source < b.source
+  JOIN tot ta ON ta.source = a.source
+  JOIN tot tb ON tb.source = b.source
+), agg AS (
+  SELECT sa, sb, CAST(COUNT(*) AS BIGINT) AS shared_terms,
+         MAX(tota) AS tota, MAX(totb) AS totb,
+         CAST(SUM(ca) AS BIGINT) AS shared_a,
+         CAST(SUM(cb) AS BIGINT) AS shared_b,
+         CAST(SUM(ca * mu_a) AS BIGINT) AS wa,
+         CAST(SUM(cb * mu_b) AS BIGINT) AS wb
+  FROM pair GROUP BY sa, sb
+)
+SELECT sa AS source_a, sb AS source_b, shared_terms,
+       tota - shared_a AS only_a_tokens,
+       totb - shared_b AS only_b_tokens,
+       CAST(wa + (tota - shared_a) * {_LN2_MICRO_DUCK} AS DOUBLE)
+         / (2000000.0 * tota)
+       + CAST(wb + (totb - shared_b) * {_LN2_MICRO_DUCK} AS DOUBLE)
+         / (2000000.0 * totb) AS jsd_nats
+FROM agg
+ORDER BY source_a, source_b
+""",
+    doc="Pairwise Jensen-Shannon divergence between source unigram "
+    "distributions: shared terms via one self-join micro-nat sum, "
+    "disjoint mass in closed form as (total − shared)·ln 2 — the "
+    "symmetric always-finite source distance matrix behind mixture "
+    "design, exact BIGINT weighted sums.",
+)
+def x124_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(
+            F.expr(f"split({NORM_SPARK.format(col='text')}, ' ')")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("source", "term").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    tot = tf.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("total")
+    )
+    a, b = tf.alias("a"), tf.alias("b")
+    ta = tot.select(
+        F.col("source").alias("sa"), F.col("total").alias("tota")
+    )
+    tb = tot.select(
+        F.col("source").alias("sb"), F.col("total").alias("totb")
+    )
+    den = (
+        F.col("ca") * F.col("totb") + F.col("cb") * F.col("tota")
+    ).cast("double")
+    mu_a = (
+        F.round(
+            F.log((F.lit(2.0) * F.col("ca") * F.col("totb")) / den) * 1e6
+        )
+        .cast("bigint")
+        .alias("mu_a")
+    )
+    mu_b = (
+        F.round(
+            F.log((F.lit(2.0) * F.col("cb") * F.col("tota")) / den) * 1e6
+        )
+        .cast("bigint")
+        .alias("mu_b")
+    )
+    pair = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .select(
+            F.col("a.source").alias("sa"),
+            F.col("b.source").alias("sb"),
+            F.col("a.cnt").alias("ca"),
+            F.col("b.cnt").alias("cb"),
+        )
+        .join(F.broadcast(ta), "sa")
+        .join(F.broadcast(tb), "sb")
+        .select("sa", "sb", "tota", "totb", "ca", "cb", mu_a, mu_b)
+    )
+    agg = pair.groupBy("sa", "sb").agg(
+        F.count("*").cast("bigint").alias("shared_terms"),
+        F.max("tota").alias("tota"),
+        F.max("totb").alias("totb"),
+        F.sum("ca").cast("bigint").alias("shared_a"),
+        F.sum("cb").cast("bigint").alias("shared_b"),
+        F.sum(F.col("ca") * F.col("mu_a")).cast("bigint").alias("wa"),
+        F.sum(F.col("cb") * F.col("mu_b")).cast("bigint").alias("wb"),
+    )
+    ln2 = F.round(F.log(F.lit(2.0)) * 1e6).cast("bigint")
+    return agg.select(
+        F.col("sa").alias("source_a"),
+        F.col("sb").alias("source_b"),
+        "shared_terms",
+        (F.col("tota") - F.col("shared_a")).alias("only_a_tokens"),
+        (F.col("totb") - F.col("shared_b")).alias("only_b_tokens"),
+        (
+            (F.col("wa") + (F.col("tota") - F.col("shared_a")) * ln2).cast(
+                "double"
+            )
+            / (F.lit(2000000.0) * F.col("tota"))
+            + (F.col("wb") + (F.col("totb") - F.col("shared_b")) * ln2).cast(
+                "double"
+            )
+            / (F.lit(2000000.0) * F.col("totb"))
+        ).alias("jsd_nats"),
+    ).orderBy("source_a", "source_b")

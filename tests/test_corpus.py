@@ -164,3 +164,15 @@ def test_waterfill_budget_stage(spark):
         if s in rows and rows[s]["kept"] == t:
             continue  # uncapped: intact
         assert s in rows, f"source {s} vanished entirely"
+
+
+def test_heavy_terms_matches_x123(spark):
+    got = [
+        (r["term"], r["cnt"], r["share"])
+        for r in _corpus(spark).heavy_terms(k=40).collect()
+    ]
+    want = [
+        (r["term"], r["cnt"], r["share"])
+        for r in REGISTRY["x123_heavy_hitters"].fn(spark, SF).collect()
+    ]
+    assert got == want and len(got) > 0

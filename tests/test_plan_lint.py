@@ -73,6 +73,7 @@ GLOBAL_WINDOW_ALLOW = {
     "m12_t_closeness": "nation grain (25 values): global sensitive CDF",
     "x120_histogram_quantiles": "fixed 256-bin histogram grain",
     "x121_waterfill_budget": "source grain (~dozens of sources)",
+    "f67_kruskal_wallis": "quantity value grain (integers 1..50)",
 }
 
 _WINDOW_RE = re.compile(r"\bWindow \[")

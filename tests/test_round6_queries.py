@@ -314,3 +314,307 @@ def _py_hll_registers_str(keys):
         rho = 52 if rest == 0 else 52 - rest.bit_length()
         regs[idx] = max(regs.get(idx, 0), rho)
     return regs
+
+
+# ---------------------------------------------------------------------------
+# x123 — exact heavy hitters (two-phase)
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+
+
+def _py_term_counts():
+    rows = _duck(f"SELECT {_NORM_SQL} FROM documents")
+    from collections import Counter
+
+    c = Counter()
+    for (norm,) in rows:
+        c.update(t for t in norm.split(" ") if t)
+    return c
+
+
+def test_x123_matches_exact_python_counts(spark):
+    counts = _py_term_counts()
+    n = sum(counts.values())
+    expect = sorted(
+        ((t, c) for t, c in counts.items() if c * 40 > n),
+        key=lambda tc: (-tc[1], tc[0]),
+    )
+    rows = _rows(spark, "x123_heavy_hitters")
+    assert [(r["term"], r["cnt"]) for r in rows] == expect
+    for r in rows:
+        assert r["share"] == round(r["cnt"] / n, 6)
+
+
+def test_x123_candidates_are_a_superset_under_any_partitioning(spark):
+    """Pigeonhole guarantee: per-batch survivors cover every true HH."""
+    from pyspark.sql import functions as F
+
+    from calaveras_uniteus_etl_spark.operators.sketches import (
+        local_heavy_candidates,
+    )
+    from calaveras_uniteus_etl_spark.plans.queries_text import NORM_SPARK
+    from calaveras_uniteus_etl_spark.plans.tables import table
+
+    counts = _py_term_counts()
+    n = sum(counts.values())
+    true_hh = {t for t, c in counts.items() if c * 40 > n}
+    toks = (
+        table(spark, SF, "documents")
+        .select(
+            F.explode(
+                F.expr(f"split({NORM_SPARK.format(col='text')}, ' ')")
+            ).alias("term")
+        )
+        .filter(F.col("term") != "")
+    )
+    for parts in (1, 3, 17):
+        cand = {
+            r["term"]
+            for r in local_heavy_candidates(
+                toks.repartition(parts), "term", k=40
+            ).collect()
+        }
+        assert true_hh <= cand, parts
+
+
+# ---------------------------------------------------------------------------
+# x124 — pairwise Jensen-Shannon divergence
+# ---------------------------------------------------------------------------
+
+
+def test_x124_matches_float_jsd_and_bounds(spark):
+    import math as m
+
+    rows = _rows(spark, "x124_source_jsd")
+    # 20 sources -> 190 ordered pairs
+    assert len(rows) == 190
+    per = {}
+    for (src, norm) in _duck(f"SELECT source, {_NORM_SQL} FROM documents"):
+        d = per.setdefault(src, {})
+        for t in norm.split(" "):
+            if t:
+                d[t] = d.get(t, 0) + 1
+    for r in rows[:25]:
+        pa, qa = per[r["source_a"]], per[r["source_b"]]
+        ta, tb = sum(pa.values()), sum(qa.values())
+        jsd = 0.0
+        for t in set(pa) | set(qa):
+            p = pa.get(t, 0) / ta
+            q = qa.get(t, 0) / tb
+            mix = (p + q) / 2
+            if p:
+                jsd += 0.5 * p * m.log(p / mix)
+            if q:
+                jsd += 0.5 * q * m.log(q / mix)
+        assert 0.0 <= r["jsd_nats"] <= m.log(2) + 1e-9
+        assert abs(r["jsd_nats"] - jsd) < 1e-4  # micro-nat quantization
+        shared_a = sum(pa[t] for t in pa if t in qa)
+        assert r["only_a_tokens"] == ta - shared_a
+
+
+# ---------------------------------------------------------------------------
+# f67 — Kruskal-Wallis
+# ---------------------------------------------------------------------------
+
+
+def test_f67_matches_python_rank_model(spark):
+    [(n, k, h_stat, tie_c, h_corr)] = _rows(spark, "f67_kruskal_wallis")
+    data = _duck(
+        "SELECT CAST(l_quantity AS BIGINT), l_returnflag FROM lineitem"
+    )
+    assert n == len(data) and k == 3
+    # mid-ranks over the value domain
+    from collections import Counter, defaultdict
+
+    vt = Counter(q for q, _ in data)
+    cum, mid = 0, {}
+    for q in sorted(vt):
+        mid[q] = cum + (vt[q] + 1) / 2
+        cum += vt[q]
+    rsum, ng = defaultdict(float), Counter()
+    for q, flag in data:
+        rsum[flag] += mid[q]
+        ng[flag] += 1
+    s = sum(rsum[f] ** 2 / ng[f] for f in rsum)
+    h = 12.0 / (n * (n + 1)) * s - 3 * (n + 1)
+    c = 1.0 - sum(t**3 - t for t in vt.values()) / (n**3 - n)
+    assert abs(h_stat - h) < 1e-4
+    assert abs(tie_c - c) < 2e-6  # tie_c is 6dp-rounded
+    assert abs(h_corr - h / c) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# m13 — referential integrity
+# ---------------------------------------------------------------------------
+
+
+def test_m13_counts_and_clean_fks(spark):
+    rows = {r["relation"]: r for r in _rows(spark, "m13_referential_integrity")}
+    assert len(rows) == 7
+    [(n_orders,)] = _duck("SELECT COUNT(*) FROM orders")
+    assert rows["orders->customer"]["child_rows"] == n_orders
+    # the synthetic star schema is referentially clean: audit proves it
+    for r in rows.values():
+        assert r["orphan_rows"] == 0 and r["orphan_rate"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# x125 — diagonal Mahalanobis outliers
+# ---------------------------------------------------------------------------
+
+
+def test_x125_matches_python_fixed_point_model(spark):
+    import math as m
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF}/embeddings.parquet')"
+    )
+    vecs = con.execute(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    q = {vid: [m.floor(float(x) * (1 << 20)) for x in emb] for vid, emb in vecs}
+    dims = len(next(iter(q.values())))
+    nvec = len(q)
+    maha = {vid: 0 for vid in q}
+    for j in range(dims):
+        vals = [q[vid][j] for vid in q]
+        s, ss = sum(vals), sum(v * v for v in vals)
+        # mirror the engine op order exactly: double(ss) - double(s)*s/n
+        s_d, ss_d = float(s), float(ss)
+        if not (ss_d - s_d * s / nvec > 0):
+            continue
+        var = (ss_d - s_d * s / nvec) / nvec
+        mu = s_d / nvec
+        for vid in q:
+            dv = q[vid][j] - mu
+            # engines round half away from zero, not banker's
+            maha[vid] += m.floor(dv * dv / var * 1e6 + 0.5)
+    top = sorted(maha.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    rows = _rows(spark, "x125_mahalanobis_outliers")
+    assert [(r["vec_id"], r["maha2_micro"]) for r in rows] == top
+
+
+# ---------------------------------------------------------------------------
+# f68 — cross-correlation
+# ---------------------------------------------------------------------------
+
+
+def test_f68_matches_python_pearson_model(spark):
+    rows = _rows(spark, "f68_cross_correlation")
+    assert [r["lag"] for r in rows] == list(range(-7, 8))
+    daily = _duck(
+        "SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,"
+        " event_type, CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT),"
+        " COUNT(*) FROM events WHERE event_type IN ('purchase','click')"
+        " GROUP BY 1, 2"
+    )
+    x = {d: cents for d, et, cents, _ in daily if et == "purchase"}
+    y = {d: n for d, et, _, n in daily if et == "click"}
+    import math as m
+
+    for r in rows:
+        lag = r["lag"]
+        pairs = [(x[d], y[d + lag]) for d in x if d + lag in y]
+        n = len(pairs)
+        assert r["n_pairs"] == n
+        sx = sum(p for p, _ in pairs)
+        sy = sum(q for _, q in pairs)
+        sxy = sum(p * q for p, q in pairs)
+        sxx = sum(p * p for p, _ in pairs)
+        syy = sum(q * q for _, q in pairs)
+        num = n * sxy - sx * sy
+        den = m.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        assert abs(r["xcorr"] - num / den) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# m14 — DP histogram release
+# ---------------------------------------------------------------------------
+
+
+def test_m14_noise_matches_python_laplace_model(spark):
+    import math as m
+
+    rows = _rows(spark, "m14_dp_histogram")
+    assert len(rows) == 25
+    for r in rows:
+        h = int(
+            hashlib.md5(f"m14|{r['nation']}".encode()).hexdigest()[:15], 16
+        )
+        num = (1 << 60) - abs(2 * h - (1 << 60))
+        sgn = 1 if 2 * h >= (1 << 60) else -1
+        ln_micro = m.floor(m.log(num / (1 << 60)) * 1e6 + 0.5)
+        noise = -sgn * ln_micro / 1e6
+        assert abs(r["noise"] - noise) < 2e-6
+        assert abs(r["noisy_count"] - (r["true_count"] + noise)) < 2e-6
+        # Laplace(1/eps=1): |noise| is Exp(1)-ish, sanity-bound it
+        assert abs(noise) < 25
+
+
+def test_m14_true_counts_match_duck(spark):
+    rows = {r["nation"]: r["true_count"] for r in _rows(spark, "m14_dp_histogram")}
+    for nation, n in _duck(
+        "SELECT n_name, COUNT(*) FROM customer c JOIN "
+        "read_parquet('/root/testdata/sf0.001/nation.parquet') n "
+        "ON n.n_nationkey = c.c_nationkey GROUP BY 1"
+    ):
+        assert rows[nation] == n
+
+
+# ---------------------------------------------------------------------------
+# m15 — bloom sizing advisor
+# ---------------------------------------------------------------------------
+
+
+def test_m15_matches_closed_form(spark):
+    import math as m
+
+    rows = _rows(spark, "m15_bloom_sizing")
+    assert len(rows) == 8  # 4 key columns x 2 fp targets
+    ndv = dict(
+        _duck(
+            "SELECT 'lineitem.l_orderkey', COUNT(DISTINCT l_orderkey) FROM lineitem "
+            "UNION ALL SELECT 'lineitem.l_partkey', COUNT(DISTINCT l_partkey) FROM lineitem "
+            "UNION ALL SELECT 'lineitem.l_suppkey', COUNT(DISTINCT l_suppkey) FROM lineitem "
+            "UNION ALL SELECT 'orders.o_custkey', COUNT(DISTINCT o_custkey) FROM orders"
+        )
+    )
+    for r in rows:
+        n = ndv[r["key_col"]]
+        assert r["ndv"] == n
+        mult = -m.log(r["fp"]) / m.log(2) ** 2
+        bits = m.ceil(n * mult)
+        assert r["bits"] == bits
+        assert r["k_hashes"] == m.floor(bits / n * m.log(2) + 0.5)
+        assert r["n_bytes"] == (bits + 7) // 8
+        # textbook sanity: ~9.6 bits/key at 1%, ~14.4 at 0.1%
+        assert 9 <= r["bits"] / n <= 15
+
+
+# ---------------------------------------------------------------------------
+# j7 — regex battery
+# ---------------------------------------------------------------------------
+
+
+def test_j7_matches_python_re(spark):
+    import re
+
+    rows = _rows(spark, "j7_regex_suite")
+    names = dict(
+        _duck("SELECT c_custkey, c_name FROM customer WHERE c_custkey < 80")
+    )
+    assert len(rows) == len(names)
+    for r in rows[:20]:
+        name = names[r["c_custkey"]]
+        mo = re.search(r"([0-9]+)", name)
+        assert r["first_digit_run"] == (mo.group(1) if mo else "")
+        assert r["digits_masked"] == re.sub(r"[0-9]", "#", name)
+        assert r["n_zero_runs"] == len(re.findall(r"0+", name))
+        assert r["has_double_zero"] == bool(re.search("00", name))
+        assert r["ilike_hit"] is True
+        assert r["after_hash"] == name.split("#")[1]
+        tail = re.search(r"[1-9][0-9]*$", name)
+        assert r["nonzero_tail"] == (tail.group(0) if tail else "")
