@@ -134,21 +134,29 @@ def histogram_quantiles(
     *,
     bins: int,
     domain: int,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Locate integer-interpolated quantile estimates in a bin table.
 
     All-integer: target rank = ceil(q*N/100) via div, in-bin
     interpolation ((rank - cum_before) * width) div cnt. The
-    cumulative runs over the bounded bin grain; the quantile arms are
-    a broadcast relation located in one non-equi join. Error <= one
-    bin width by construction.
+    cumulative runs over the bounded bin grain (per group when
+    ``group_cols`` is set — the window is group-partitioned, so it
+    parallelizes across groups); the quantile arms are a broadcast
+    relation located in one non-equi join. Error <= one bin width by
+    construction.
     """
     from pyspark.sql.window import Window
 
     w = domain // bins
-    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.partitionBy()
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(*group_cols)
     cum = bin_table.select(
+        *group_cols,
         "bin",
         "cnt",
         F.sum("cnt").over(w_cum).alias("cum"),
@@ -167,6 +175,7 @@ def histogram_quantiles(
         cum, (rank > F.col("cum_before")) & (rank <= F.col("cum"))
     )
     return located.select(
+        *group_cols,
         F.col("q").cast("int").alias("q"),
         F.col("n_total").cast("bigint").alias("n_total"),
         rank.cast("bigint").alias("target_rank"),
@@ -181,7 +190,7 @@ def histogram_quantiles(
         )
         .cast("bigint")
         .alias("est_cents"),
-    ).orderBy("q")
+    ).orderBy(*group_cols, "q")
 
 
 # ---------------------------------------------------------------------------

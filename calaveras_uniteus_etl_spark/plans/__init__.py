@@ -204,6 +204,8 @@ _NEW_THIS_ROUND: list[str] = [
     "m14_dp_histogram",
     "m15_bloom_sizing",
     "j7_regex_suite",
+    "x126_source_length_quantiles",
+    "g22_growth_accounting",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 or 5 (union = 179) sit in

@@ -7311,3 +7311,206 @@ def m15_bloom_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("k_hashes"),
         F.expr("(bits + 7) div 8").cast("bigint").alias("n_bytes"),
     ).orderBy("key_col", F.desc("fp"))
+
+
+# ---------------------------------------------------------------------------
+# X126 — per-source length quantiles (GROUPED mergeable histogram)
+#
+# x120 proves the fixed-domain histogram sketch globally; curation
+# dashboards need it PER SOURCE ("is src7 suddenly shipping short
+# docs?"). Same all-integer machinery with one change: the bin table
+# keys on (source, bin) — still bounded (|sources|·128 rows), still
+# bin-wise mergeable across shards — and the cumulative/location
+# windows partition by source, so they parallelize across groups
+# instead of funnelling through one partition. Exercises the
+# group_cols path of operators/sketches.histogram_quantiles.
+# ---------------------------------------------------------------------------
+
+_X126_BINS = 128
+_X126_DOMAIN = 1024  # chars — fixed, data-independent
+_X126_W = _X126_DOMAIN // _X126_BINS
+_X126_QS = (25, 50, 90)
+
+
+@register(
+    "x126_source_length_quantiles",
+    oracle=f"""
+WITH bins AS (
+  SELECT source, LEAST(n_chars // {_X126_W}, {_X126_BINS - 1}) AS bin,
+         COUNT(*) AS cnt
+  FROM documents GROUP BY 1, 2
+), cum AS (
+  SELECT source, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY source ORDER BY bin) - cnt
+           AS cum_before,
+         SUM(cnt) OVER (PARTITION BY source) AS n_total
+  FROM bins
+), arms AS (
+  SELECT unnest([{", ".join(str(q) for q in _X126_QS)}]) AS q
+), located AS (
+  SELECT source, q, n_total,
+         (q * n_total + 99) // 100 AS target_rank,
+         bin, cum_before, cnt
+  FROM arms JOIN cum
+    ON (q * n_total + 99) // 100 > cum_before
+   AND (q * n_total + 99) // 100 <= cum
+)
+SELECT source, CAST(q AS INT) AS q,
+       CAST(n_total AS BIGINT) AS n_total,
+       CAST(target_rank AS BIGINT) AS target_rank,
+       CAST(bin AS BIGINT) AS bin_idx,
+       CAST(cum_before AS BIGINT) AS cum_before,
+       CAST(cnt AS BIGINT) AS bin_cnt,
+       CAST(bin * {_X126_W}
+            + ((target_rank - cum_before) * {_X126_W}) // cnt AS BIGINT)
+         AS est_cents
+FROM located
+ORDER BY source, q
+""",
+    doc=f"Per-source document-length quantiles from a grouped "
+    f"{_X126_BINS}-bin fixed-domain histogram: (source, bin) table "
+    "stays bounded and bin-wise mergeable, cumulative windows "
+    "partition by source — the grouped path of the x120 sketch.",
+)
+def x126_source_length_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from calaveras_uniteus_etl_spark.operators.sketches import (
+        histogram_bins,
+        histogram_quantiles,
+    )
+
+    d = table(spark, sf_dir, "documents").select("source", "n_chars")
+    bins = histogram_bins(
+        d,
+        "n_chars",
+        bins=_X126_BINS,
+        domain=_X126_DOMAIN,
+        group_cols=("source",),
+    )
+    return histogram_quantiles(
+        bins,
+        _X126_QS,
+        bins=_X126_BINS,
+        domain=_X126_DOMAIN,
+        group_cols=("source",),
+    )
+
+
+# ---------------------------------------------------------------------------
+# G22 — growth accounting (new / retained / resurrected / churned)
+#
+# The canonical product-analytics decomposition of daily active users
+# (a.k.a. the "quick ratio" inputs): on each day every active user is
+# exactly one of NEW (first day ever), RETAINED (active yesterday) or
+# RESURRECTED (returns after a gap), and a user active on d but not on
+# d+1 CHURNS on d+1 (counted through the end of the observed window).
+# All user-partitioned lag/lead windows (parallel across users at any
+# scale), then one day-grain conditional aggregate; the only global
+# is a broadcast 1-row max-day scalar bounding the churn horizon.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g22_growth_accounting",
+    oracle="""
+WITH act AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d
+  FROM events
+), seq AS (
+  SELECT user_id, d,
+         LAG(d)  OVER (PARTITION BY user_id ORDER BY d) AS prev_d,
+         LEAD(d) OVER (PARTITION BY user_id ORDER BY d) AS next_d
+  FROM act
+), horizon AS (
+  SELECT MAX(d) AS max_d FROM act
+), states AS (
+  SELECT d,
+         CASE WHEN prev_d IS NULL THEN 'new'
+              WHEN d - prev_d = 1 THEN 'retained'
+              ELSE 'resurrected' END AS state
+  FROM seq
+  UNION ALL
+  SELECT s.d + 1 AS d, 'churned' AS state
+  FROM seq s CROSS JOIN horizon h
+  WHERE (s.next_d IS NULL OR s.next_d > s.d + 1) AND s.d + 1 <= h.max_d
+)
+SELECT CAST(d AS BIGINT) AS d,
+       CAST(SUM(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       CAST(SUM(CASE WHEN state = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_retained,
+       CAST(SUM(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_resurrected,
+       CAST(SUM(CASE WHEN state = 'churned' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_churned,
+       CAST(SUM(CASE WHEN state = 'new' THEN 1 ELSE 0 END)
+            + SUM(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END)
+            - SUM(CASE WHEN state = 'churned' THEN 1 ELSE 0 END) AS BIGINT)
+         AS net_growth
+FROM states
+GROUP BY d
+ORDER BY d
+""",
+    doc="Growth accounting: every daily active user classified "
+    "new/retained/resurrected via user-partitioned lag windows, "
+    "churn on the day after a user's last consecutive day (bounded "
+    "by a broadcast max-day scalar), one day-grain conditional "
+    "aggregate with the net-growth (quick-ratio numerator) column.",
+)
+def g22_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    act = e.select(
+        "user_id",
+        F.datediff(
+            F.to_date("ts"), F.lit("2024-01-01").cast("date")
+        ).alias("d"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    seq = act.select(
+        "user_id",
+        "d",
+        F.lag("d").over(w).alias("prev_d"),
+        F.lead("d").over(w).alias("next_d"),
+    )
+    horizon = act.agg(F.max("d").alias("max_d"))  # 1-row scalar
+    states = seq.select(
+        "d",
+        F.when(F.col("prev_d").isNull(), "new")
+        .when(F.col("d") - F.col("prev_d") == 1, "retained")
+        .otherwise("resurrected")
+        .alias("state"),
+    ).unionAll(
+        seq.crossJoin(F.broadcast(horizon))
+        .filter(
+            (F.col("next_d").isNull() | (F.col("next_d") > F.col("d") + 1))
+            & (F.col("d") + 1 <= F.col("max_d"))
+        )
+        .select((F.col("d") + 1).alias("d"), F.lit("churned").alias("state"))
+    )
+    cnt = lambda s: F.sum(  # noqa: E731 - tiny local shorthand
+        F.when(F.col("state") == s, 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        states.groupBy("d")
+        .agg(
+            cnt("new").alias("n_new"),
+            cnt("retained").alias("n_retained"),
+            cnt("resurrected").alias("n_resurrected"),
+            cnt("churned").alias("n_churned"),
+            (cnt("new") + cnt("resurrected") - cnt("churned"))
+            .cast("bigint")
+            .alias("net_growth"),
+        )
+        .select(
+            F.col("d").cast("bigint").alias("d"),
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            "n_churned",
+            "net_growth",
+        )
+        .orderBy("d")
+    )

@@ -618,3 +618,80 @@ def test_j7_matches_python_re(spark):
         assert r["after_hash"] == name.split("#")[1]
         tail = re.search(r"[1-9][0-9]*$", name)
         assert r["nonzero_tail"] == (tail.group(0) if tail else "")
+
+
+# ---------------------------------------------------------------------------
+# x126 — grouped histogram quantiles
+# ---------------------------------------------------------------------------
+
+
+def test_x126_within_one_bin_of_exact_per_source(spark):
+    rows = _rows(spark, "x126_source_length_quantiles")
+    exact = {}
+    for src, qd in _duck(
+        "SELECT source, quantile_disc(n_chars, [0.25, 0.50, 0.90]) "
+        "FROM documents GROUP BY source"
+    ):
+        for q, v in zip((25, 50, 90), qd):
+            exact[(src, q)] = v
+    assert len(rows) == len(exact)  # every (source, q) located exactly once
+    for r in rows:
+        err = abs(r["est_cents"] - exact[(r["source"], r["q"])])
+        assert err <= 8, r  # one 8-char bin width
+
+
+def test_x126_group_totals_conserve_docs(spark):
+    rows = _rows(spark, "x126_source_length_quantiles")
+    per_source = dict(_duck("SELECT source, COUNT(*) FROM documents GROUP BY 1"))
+    for r in rows:
+        assert r["n_total"] == per_source[r["source"]]
+
+
+# ---------------------------------------------------------------------------
+# g22 — growth accounting
+# ---------------------------------------------------------------------------
+
+
+def test_g22_matches_python_model_and_identities(spark):
+    rows = {r["d"]: r for r in _rows(spark, "g22_growth_accounting")}
+    act = _duck(
+        "SELECT DISTINCT user_id, "
+        "date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) FROM events"
+    )
+    days = {}
+    for uid, d in act:
+        days.setdefault(uid, set()).add(d)
+    max_d = max(d for s in days.values() for d in s)
+    from collections import Counter
+
+    model = {s: Counter() for s in ("new", "retained", "resurrected", "churned")}
+    for uid, ds in days.items():
+        sds = sorted(ds)
+        for i, d in enumerate(sds):
+            if i == 0:
+                model["new"][d] += 1
+            elif d - sds[i - 1] == 1:
+                model["retained"][d] += 1
+            else:
+                model["resurrected"][d] += 1
+            if (d + 1 not in ds) and d + 1 <= max_d:
+                model["churned"][d + 1] += 1
+    all_days = set().union(*(c.keys() for c in model.values()))
+    assert set(rows) == all_days
+    for d, r in rows.items():
+        assert r["n_new"] == model["new"][d]
+        assert r["n_retained"] == model["retained"][d]
+        assert r["n_resurrected"] == model["resurrected"][d]
+        assert r["n_churned"] == model["churned"][d]
+        assert (
+            r["net_growth"]
+            == r["n_new"] + r["n_resurrected"] - r["n_churned"]
+        )
+    # conservation: DAU(d) - DAU(d-1) == net growth counted on day d
+    dau = Counter()
+    for uid, ds in days.items():
+        for d in ds:
+            dau[d] += 1
+    for d, r in rows.items():
+        if d - 1 in dau or d in dau:
+            assert dau.get(d, 0) - dau.get(d - 1, 0) == r["net_growth"], d
