@@ -206,6 +206,8 @@ _NEW_THIS_ROUND: list[str] = [
     "j7_regex_suite",
     "x126_source_length_quantiles",
     "g22_growth_accounting",
+    "f69_cohen_kappa",
+    "f70_gini_split",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 or 5 (union = 179) sit in

@@ -7514,3 +7514,138 @@ def g22_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+# ---------------------------------------------------------------------------
+# F70 — decision-stump split finder (weighted Gini impurity)
+#
+# The smallest interesting "learner" a SQL engine can train: the best
+# single threshold on order value for predicting urgency — i.e. the
+# root split a decision tree / GBDT would pick. Prices bucket onto
+# x120's fixed 256-bin cents grain, so candidate thresholds live on a
+# BOUNDED relation: cumulative (n, positives) per bin boundary give
+# each split's left/right class counts exactly, and the weighted Gini
+# 2·[pos_l(n_l−pos_l)/n_l + pos_r(n_r−pos_r)/n_r]/N is one fixed
+# expression over those BIGINTs (empty sides contribute 0 by CASE).
+# The argmin is a total order (impurity, then lowest boundary) — the
+# same winning split on both engines. Scale shape: one bounded-key
+# aggregate over the fact, then 256-row windows (allowlisted grain).
+# ---------------------------------------------------------------------------
+
+_F70_BINS = 256
+_F70_DOMAIN = 60_000_000  # cents, the x120 domain
+_F70_W = _F70_DOMAIN // _F70_BINS
+
+
+@register(
+    "f70_gini_split",
+    oracle=f"""
+WITH rows_ AS (
+  SELECT LEAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) // {_F70_W},
+               {_F70_BINS - 1}) AS bin,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+  FROM orders
+), bins AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos
+  FROM rows_ GROUP BY bin
+), cum AS (
+  SELECT bin,
+         CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS n_l,
+         CAST(SUM(pos) OVER (ORDER BY bin) AS BIGINT) AS pos_l,
+         CAST(SUM(n) OVER () AS BIGINT) AS n_tot,
+         CAST(SUM(pos) OVER () AS BIGINT) AS pos_tot
+  FROM bins
+), splits AS (
+  SELECT bin, n_l, pos_l, n_tot - n_l AS n_r, pos_tot - pos_l AS pos_r,
+         n_tot, pos_tot,
+         2.0 * ((CASE WHEN n_l = 0 THEN 0.0
+                 ELSE CAST(pos_l AS DOUBLE) * (n_l - pos_l) / n_l END)
+              + (CASE WHEN n_tot - n_l = 0 THEN 0.0
+                 ELSE CAST(pos_tot - pos_l AS DOUBLE)
+                      * ((n_tot - n_l) - (pos_tot - pos_l))
+                      / (n_tot - n_l) END)) / n_tot AS impurity
+  FROM cum WHERE n_l < n_tot
+), best AS (
+  SELECT * FROM splits ORDER BY impurity ASC, bin ASC LIMIT 1
+)
+SELECT CAST((bin + 1) * {_F70_W} AS BIGINT) AS threshold_cents,
+       n_l AS n_left, pos_l AS pos_left, n_r AS n_right, pos_r AS pos_right,
+       ROUND(impurity, 6) AS split_gini,
+       ROUND(2.0 * CAST(pos_tot AS DOUBLE) * (n_tot - pos_tot)
+             / n_tot / n_tot, 6) AS base_gini,
+       ROUND(2.0 * CAST(pos_tot AS DOUBLE) * (n_tot - pos_tot)
+             / n_tot / n_tot - impurity, 6) AS gain
+FROM best
+""",
+    doc="Decision-stump training in SQL: best order-value threshold "
+    "for predicting urgency by weighted Gini impurity over the "
+    "bounded 256-bin cents grain — exact BIGINT left/right class "
+    "counts per candidate boundary, one shared impurity expression, "
+    "(impurity, boundary) total-order argmin; reports the split, "
+    "both side counts, and the impurity gain over the root.",
+)
+def f70_gini_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    rows_ = o.select(
+        F.least(
+            F.expr(
+                f"cast(round(o_totalprice * 100) as bigint) div {_F70_W}"
+            ),
+            F.lit(_F70_BINS - 1),
+        ).alias("bin"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    bins = rows_.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    # bounded 256-bin grain windows (allowlisted, never data-sized)
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = bins.select(
+        "bin",
+        F.sum("n").over(w_cum).cast("bigint").alias("n_l"),
+        F.sum("pos").over(w_cum).cast("bigint").alias("pos_l"),
+        F.sum("n").over(w_all).cast("bigint").alias("n_tot"),
+        F.sum("pos").over(w_all).cast("bigint").alias("pos_tot"),
+    )
+    n_r = F.col("n_tot") - F.col("n_l")
+    pos_r = F.col("pos_tot") - F.col("pos_l")
+    left = F.when(F.col("n_l") == 0, F.lit(0.0)).otherwise(
+        F.col("pos_l").cast("double")
+        * (F.col("n_l") - F.col("pos_l"))
+        / F.col("n_l")
+    )
+    right = F.when(n_r == 0, F.lit(0.0)).otherwise(
+        pos_r.cast("double") * (n_r - pos_r) / n_r
+    )
+    splits = cum.filter(F.col("n_l") < F.col("n_tot")).select(
+        "bin",
+        "n_l",
+        "pos_l",
+        n_r.alias("n_r"),
+        pos_r.alias("pos_r"),
+        "n_tot",
+        "pos_tot",
+        (F.lit(2.0) * (left + right) / F.col("n_tot")).alias("impurity"),
+    )
+    best = splits.orderBy(F.asc("impurity"), F.asc("bin")).limit(1)
+    base = (
+        F.lit(2.0)
+        * F.col("pos_tot").cast("double")
+        * (F.col("n_tot") - F.col("pos_tot"))
+        / F.col("n_tot")
+        / F.col("n_tot")
+    )
+    return best.select(
+        ((F.col("bin") + 1) * _F70_W).cast("bigint").alias("threshold_cents"),
+        F.col("n_l").alias("n_left"),
+        F.col("pos_l").alias("pos_left"),
+        F.col("n_r").alias("n_right"),
+        F.col("pos_r").alias("pos_right"),
+        F.round("impurity", 6).alias("split_gini"),
+        F.round(base, 6).alias("base_gini"),
+        F.round(base - F.col("impurity"), 6).alias("gain"),
+    )

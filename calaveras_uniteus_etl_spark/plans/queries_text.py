@@ -5580,3 +5580,112 @@ def x124_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(2000000.0) * F.col("totb"))
         ).alias("jsd_nats"),
     ).orderBy("source_a", "source_b")
+
+
+# ---------------------------------------------------------------------------
+# F69 — Cohen's kappa (chance-corrected classifier agreement)
+#
+# x7's confusion matrix shows WHERE the language-ID heuristic errs;
+# model-eval dashboards summarize it as one chance-corrected number:
+# κ = (p_o − p_e)/(1 − p_e), with p_o the observed agreement and
+# p_e = Σ_c row_c·col_c / N² the agreement two independent raters with
+# these marginals would reach by luck (Cohen 1960). Everything reduces
+# to the class-grain confusion matrix (≤ 5×5 here): diagonal sum,
+# row/col marginals, and Σ row·col are exact BIGINTs, p_o/p_e divide
+# identical integers, and κ divides the two resulting doubles — the
+# same expression tree both engines.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f69_cohen_kappa",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split({NORM_DUCK.format(col="text")}, ' ') AS w
+  FROM documents
+), cm AS (
+  SELECT lang AS actual, {_X7_PRED_DUCK} AS pred, CAST(COUNT(*) AS BIGINT) AS n
+  FROM toks GROUP BY 1, 2
+), marg AS (
+  SELECT COALESCE(r.actual, c.pred) AS cls,
+         COALESCE(r.row_n, 0) AS row_n, COALESCE(c.col_n, 0) AS col_n
+  FROM (SELECT actual, CAST(SUM(n) AS BIGINT) AS row_n FROM cm GROUP BY 1) r
+  FULL JOIN (SELECT pred, CAST(SUM(n) AS BIGINT) AS col_n FROM cm GROUP BY 1) c
+    ON r.actual = c.pred
+), s AS (
+  SELECT (SELECT CAST(SUM(n) AS BIGINT) FROM cm) AS n_docs,
+         (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM cm
+           WHERE actual = pred) AS n_agree,
+         (SELECT CAST(SUM(row_n * col_n) AS BIGINT) FROM marg) AS pe_num
+), r AS (
+  SELECT n_docs, n_agree,
+         CAST(n_agree AS DOUBLE) / n_docs AS po,
+         CAST(pe_num AS DOUBLE) / (n_docs * n_docs) AS pe
+  FROM s
+)
+SELECT n_docs, n_agree,
+       ROUND(po, 6) AS p_observed,
+       ROUND(pe, 6) AS p_expected,
+       ROUND((po - pe) / (1 - pe), 6) AS kappa
+FROM r
+""",
+    doc="Cohen's kappa of the x7 language-ID heuristic vs the labeled "
+    "lang column: chance-corrected agreement from the bounded "
+    "confusion-matrix grain — exact BIGINT diagonal/marginals, "
+    "p_o/p_e as divisions of identical integers, one κ expression "
+    "shared by both engines.",
+)
+def f69_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    cm = (
+        d.withColumn(
+            "w", F.expr(f"split({NORM_SPARK.format(col='text')}, ' ')")
+        )
+        .groupBy(
+            F.col("lang").alias("actual"),
+            F.expr(_X7_PRED_SPARK).alias("pred"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    rowm = cm.groupBy("actual").agg(
+        F.sum("n").cast("bigint").alias("row_n")
+    )
+    colm = cm.groupBy("pred").agg(F.sum("n").cast("bigint").alias("col_n"))
+    marg = rowm.join(
+        colm, rowm.actual == colm.pred, "full_outer"
+    ).select(
+        F.coalesce(F.col("row_n"), F.lit(0)).alias("row_n"),
+        F.coalesce(F.col("col_n"), F.lit(0)).alias("col_n"),
+    )
+    tot = cm.agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.coalesce(
+            F.sum(F.when(F.col("actual") == F.col("pred"), F.col("n"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_agree"),
+    )
+    pe_num = marg.agg(
+        F.sum(F.col("row_n") * F.col("col_n"))
+        .cast("bigint")
+        .alias("pe_num")
+    )
+    r = tot.crossJoin(F.broadcast(pe_num)).select(  # 1-row scalars
+        "n_docs",
+        "n_agree",
+        (F.col("n_agree").cast("double") / F.col("n_docs")).alias("po"),
+        (
+            F.col("pe_num").cast("double")
+            / (F.col("n_docs") * F.col("n_docs"))
+        ).alias("pe"),
+    )
+    return r.select(
+        "n_docs",
+        "n_agree",
+        F.round("po", 6).alias("p_observed"),
+        F.round("pe", 6).alias("p_expected"),
+        F.round(
+            (F.col("po") - F.col("pe")) / (F.lit(1) - F.col("pe")), 6
+        ).alias("kappa"),
+    )

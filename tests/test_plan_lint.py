@@ -74,6 +74,7 @@ GLOBAL_WINDOW_ALLOW = {
     "x120_histogram_quantiles": "fixed 256-bin histogram grain",
     "x121_waterfill_budget": "source grain (~dozens of sources)",
     "f67_kruskal_wallis": "quantity value grain (integers 1..50)",
+    "f70_gini_split": "fixed 256-bin cents grain (candidate thresholds)",
 }
 
 _WINDOW_RE = re.compile(r"\bWindow \[")

@@ -695,3 +695,75 @@ def test_g22_matches_python_model_and_identities(spark):
     for d, r in rows.items():
         if d - 1 in dau or d in dau:
             assert dau.get(d, 0) - dau.get(d - 1, 0) == r["net_growth"], d
+
+
+# ---------------------------------------------------------------------------
+# f69 — Cohen's kappa
+# ---------------------------------------------------------------------------
+
+
+def test_f69_matches_confusion_matrix_kappa(spark):
+    [(n_docs, n_agree, po, pe, kappa)] = _rows(spark, "f69_cohen_kappa")
+    cm = {
+        (r["lang_actual"], r["lang_pred"]): r["n_docs"]
+        for r in _rows(spark, "x7_language_confusion")
+    }
+    n = sum(cm.values())
+    agree = sum(v for (a, p), v in cm.items() if a == p)
+    rows_m, cols_m = {}, {}
+    for (a, p), v in cm.items():
+        rows_m[a] = rows_m.get(a, 0) + v
+        cols_m[p] = cols_m.get(p, 0) + v
+    pe_num = sum(rows_m.get(c, 0) * cols_m.get(c, 0)
+                 for c in set(rows_m) | set(cols_m))
+    assert n_docs == n and n_agree == agree
+    assert abs(po - agree / n) < 1e-6
+    assert abs(pe - pe_num / n / n) < 1e-6
+    model_kappa = (agree / n - pe_num / n**2) / (1 - pe_num / n**2)
+    assert abs(kappa - model_kappa) < 1e-5
+    assert -1.0 <= kappa <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# f70 — Gini decision stump
+# ---------------------------------------------------------------------------
+
+
+def test_f70_matches_python_stump(spark):
+    [row] = _rows(spark, "f70_gini_split")
+    data = _duck(
+        "SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT), "
+        "CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END FROM orders"
+    )
+    w = 60_000_000 // 256
+    from collections import Counter
+
+    n_b, pos_b = Counter(), Counter()
+    for cents, y in data:
+        b = min(cents // w, 255)
+        n_b[b] += 1
+        pos_b[b] += y
+    n_tot, pos_tot = sum(n_b.values()), sum(pos_b.values())
+    best = None
+    n_l = pos_l = 0
+    for b in sorted(n_b):
+        n_l += n_b[b]
+        pos_l += pos_b[b]
+        if n_l >= n_tot:
+            break
+        n_r, pos_r = n_tot - n_l, pos_tot - pos_l
+        left = pos_l * (n_l - pos_l) / n_l if n_l else 0.0
+        right = pos_r * (n_r - pos_r) / n_r if n_r else 0.0
+        imp = 2.0 * (left + right) / n_tot
+        if best is None or imp < best[0]:
+            best = (imp, b, n_l, pos_l, n_r, pos_r)
+    imp, b, n_l, pos_l, n_r, pos_r = best
+    assert row["threshold_cents"] == (b + 1) * w
+    assert (row["n_left"], row["pos_left"]) == (n_l, pos_l)
+    assert (row["n_right"], row["pos_right"]) == (n_r, pos_r)
+    assert abs(row["split_gini"] - imp) < 1e-6
+    base = 2.0 * pos_tot * (n_tot - pos_tot) / n_tot / n_tot
+    assert abs(row["base_gini"] - base) < 1e-6
+    assert abs(row["gain"] - (base - imp)) < 1e-6
+    # a split can never be worse than the root
+    assert row["gain"] >= -1e-12
