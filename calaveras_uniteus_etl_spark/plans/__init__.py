@@ -208,6 +208,7 @@ _NEW_THIS_ROUND: list[str] = [
     "g22_growth_accounting",
     "f69_cohen_kappa",
     "f70_gini_split",
+    "g23_engagement_ratios",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 or 5 (union = 179) sit in

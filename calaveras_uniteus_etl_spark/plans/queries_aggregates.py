@@ -7649,3 +7649,90 @@ def f70_gini_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(base, 6).alias("base_gini"),
         F.round(base - F.col("impurity"), 6).alias("gain"),
     )
+
+
+# ---------------------------------------------------------------------------
+# G23 — engagement ratios (DAU / WAU / MAU, stickiness)
+#
+# g22 decomposes WHO moved; the other standing product dashboard asks
+# HOW MANY are around at each horizon: daily actives, trailing-7-day
+# and trailing-28-day actives, and the stickiness ratios DAU/WAU and
+# DAU/MAU. Rolling DISTINCT does not decompose into a running sum
+# (a user active twice in the window must count once), so each day's
+# WAU/MAU is an explicit membership count: the distinct (user, day)
+# relation joins the bounded day grid on a range predicate — a
+# constant ≤ 28× row multiplier, partitionable by day at any scale —
+# and one hash aggregate per day counts distinct users. Ratios divide
+# exact integers.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g23_engagement_ratios",
+    oracle="""
+WITH act AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d
+  FROM events
+), grid AS (
+  SELECT DISTINCT d FROM act
+), win AS (
+  SELECT g.d,
+         CAST(COUNT(DISTINCT CASE WHEN a.d = g.d THEN a.user_id END)
+              AS BIGINT) AS dau,
+         CAST(COUNT(DISTINCT CASE WHEN a.d > g.d - 7 THEN a.user_id END)
+              AS BIGINT) AS wau,
+         CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS mau
+  FROM grid g JOIN act a ON a.d BETWEEN g.d - 27 AND g.d
+  GROUP BY g.d
+)
+SELECT CAST(d AS BIGINT) AS d, dau, wau, mau,
+       ROUND(CAST(dau AS DOUBLE) / wau, 6) AS dau_wau,
+       ROUND(CAST(dau AS DOUBLE) / mau, 6) AS dau_mau
+FROM win
+ORDER BY d
+""",
+    doc="Engagement dashboard: DAU, trailing-7-day WAU, trailing-28-day "
+    "MAU and the DAU/WAU, DAU/MAU stickiness ratios — rolling DISTINCT "
+    "via one range join of the distinct (user, day) relation against "
+    "the bounded day grid (≤ 28× multiplier, day-partitionable), one "
+    "conditional distinct aggregate per day.",
+)
+def g23_engagement_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    act = e.select(
+        "user_id",
+        F.datediff(
+            F.to_date("ts"), F.lit("2024-01-01").cast("date")
+        ).alias("d"),
+    ).distinct()
+    grid = act.select("d").distinct().select(F.col("d").alias("g_d"))
+    joined = F.broadcast(grid).join(
+        act,
+        (F.col("d") >= F.col("g_d") - 27) & (F.col("d") <= F.col("g_d")),
+    )
+    win = joined.groupBy("g_d").agg(
+        F.countDistinct(
+            F.when(F.col("d") == F.col("g_d"), F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("dau"),
+        F.countDistinct(
+            F.when(F.col("d") > F.col("g_d") - 7, F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("wau"),
+        F.countDistinct("user_id").cast("bigint").alias("mau"),
+    )
+    return win.select(
+        F.col("g_d").cast("bigint").alias("d"),
+        "dau",
+        "wau",
+        "mau",
+        F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+            "dau_wau"
+        ),
+        F.round(F.col("dau").cast("double") / F.col("mau"), 6).alias(
+            "dau_mau"
+        ),
+    ).orderBy("d")

@@ -767,3 +767,30 @@ def test_f70_matches_python_stump(spark):
     assert abs(row["gain"] - (base - imp)) < 1e-6
     # a split can never be worse than the root
     assert row["gain"] >= -1e-12
+
+
+# ---------------------------------------------------------------------------
+# g23 — engagement ratios
+# ---------------------------------------------------------------------------
+
+
+def test_g23_matches_python_rolling_distinct(spark):
+    rows = {r["d"]: r for r in _rows(spark, "g23_engagement_ratios")}
+    act = _duck(
+        "SELECT DISTINCT user_id, "
+        "date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) FROM events"
+    )
+    by_day = {}
+    for uid, d in act:
+        by_day.setdefault(d, set()).add(uid)
+    assert set(rows) == set(by_day)
+    for d, r in rows.items():
+        dau = by_day[d]
+        wau = set().union(*(by_day.get(x, set()) for x in range(d - 6, d + 1)))
+        mau = set().union(*(by_day.get(x, set()) for x in range(d - 27, d + 1)))
+        assert r["dau"] == len(dau)
+        assert r["wau"] == len(wau)
+        assert r["mau"] == len(mau)
+        assert r["dau"] <= r["wau"] <= r["mau"]  # window nesting
+        assert r["dau_wau"] == round(len(dau) / len(wau), 6)
+        assert r["dau_mau"] == round(len(dau) / len(mau), 6)
