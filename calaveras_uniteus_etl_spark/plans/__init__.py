@@ -209,6 +209,7 @@ _NEW_THIS_ROUND: list[str] = [
     "f69_cohen_kappa",
     "f70_gini_split",
     "g23_engagement_ratios",
+    "x127_simpson_paradox",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 or 5 (union = 179) sit in

@@ -7736,3 +7736,142 @@ def g23_engagement_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dau_mau"
         ),
     ).orderBy("d")
+
+
+# ---------------------------------------------------------------------------
+# X127 — Simpson's-paradox detector (aggregate vs stratified reversal)
+#
+# Every self-serve dashboard eventually ships a wrong conclusion of the
+# form "type A monetizes better than type B" that reverses once a
+# confounder is stratified out. This audits all event-type pairs: the
+# AGGREGATE mean-value ordering vs the PER-DAY orderings — reporting
+# how many day strata agree, disagree, or tie, and flagging the full
+# paradox (aggregate says one thing, a majority of strata say the
+# opposite). Means are ratios of exact cent/count BIGINTs, compared
+# cross-multiplied (sum_a·n_b vs sum_b·n_a — integer compares, no
+# division, no epsilon). Scale shape: one (day, type) aggregate, a
+# bounded type-pair self-join on the day grain, one pair rollup.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x127_simpson_paradox",
+    oracle="""
+WITH cells AS (
+  SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+         event_type AS t,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), agg AS (
+  SELECT t, CAST(SUM(cents) AS BIGINT) AS cents, CAST(SUM(n) AS BIGINT) AS n
+  FROM cells GROUP BY t
+), pair_agg AS (
+  SELECT a.t AS type_a, b.t AS type_b,
+         CASE WHEN a.cents * b.n > b.cents * a.n THEN 1
+              WHEN a.cents * b.n < b.cents * a.n THEN -1 ELSE 0 END
+           AS agg_sign
+  FROM agg a JOIN agg b ON a.t < b.t
+), strata AS (
+  SELECT p.type_a, p.type_b, p.agg_sign,
+         CASE WHEN ca.cents * cb.n > cb.cents * ca.n THEN 1
+              WHEN ca.cents * cb.n < cb.cents * ca.n THEN -1 ELSE 0 END
+           AS day_sign
+  FROM pair_agg p
+  JOIN cells ca ON ca.t = p.type_a
+  JOIN cells cb ON cb.t = p.type_b AND cb.d = ca.d
+)
+SELECT type_a, type_b, CAST(MAX(agg_sign) AS INT) AS agg_sign,
+       CAST(COUNT(*) AS BIGINT) AS n_strata,
+       CAST(SUM(CASE WHEN day_sign = agg_sign THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_agree,
+       CAST(SUM(CASE WHEN day_sign = -agg_sign AND day_sign <> 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_reverse,
+       (SUM(CASE WHEN day_sign = -agg_sign AND day_sign <> 0
+                 THEN 1 ELSE 0 END) * 2 > COUNT(*)) AS paradox
+FROM strata
+GROUP BY type_a, type_b
+ORDER BY type_a, type_b
+""",
+    doc="Simpson's-paradox audit over event-type pairs: aggregate "
+    "mean-value ordering vs per-day stratified orderings, compared "
+    "cross-multiplied on exact cent/count BIGINTs (no division, no "
+    "epsilon); flags pairs where a majority of day strata reverse "
+    "the aggregate conclusion.",
+)
+def x127_simpson_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        F.datediff(
+            F.to_date("ts"), F.lit("2024-01-01").cast("date")
+        ).alias("d"),
+        F.col("event_type").alias("t"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    agg = cells.groupBy("t").agg(
+        F.sum("cents").cast("bigint").alias("cents"),
+        F.sum("n").cast("bigint").alias("n"),
+    )
+
+    def sign(ca, na, cb, nb):
+        return (
+            F.when(ca * nb > cb * na, 1)
+            .when(ca * nb < cb * na, -1)
+            .otherwise(0)
+        )
+
+    a, b = agg.alias("a"), agg.alias("b")
+    pair_agg = a.join(b, F.col("a.t") < F.col("b.t")).select(
+        F.col("a.t").alias("type_a"),
+        F.col("b.t").alias("type_b"),
+        sign(
+            F.col("a.cents"), F.col("a.n"), F.col("b.cents"), F.col("b.n")
+        ).alias("agg_sign"),
+    )
+    ca, cb = cells.alias("ca"), cells.alias("cb")
+    strata = (
+        F.broadcast(pair_agg)  # bounded type-pair relation
+        .join(ca, F.col("ca.t") == F.col("type_a"))
+        .join(
+            cb,
+            (F.col("cb.t") == F.col("type_b"))
+            & (F.col("cb.d") == F.col("ca.d")),
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "agg_sign",
+            sign(
+                F.col("ca.cents"),
+                F.col("ca.n"),
+                F.col("cb.cents"),
+                F.col("cb.n"),
+            ).alias("day_sign"),
+        )
+    )
+    reverse = F.sum(
+        F.when(
+            (F.col("day_sign") == -F.col("agg_sign"))
+            & (F.col("day_sign") != 0),
+            1,
+        ).otherwise(0)
+    )
+    return (
+        strata.groupBy("type_a", "type_b")
+        .agg(
+            F.max("agg_sign").cast("int").alias("agg_sign"),
+            F.count("*").cast("bigint").alias("n_strata"),
+            F.sum(
+                F.when(F.col("day_sign") == F.col("agg_sign"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_agree"),
+            reverse.cast("bigint").alias("n_reverse"),
+            (reverse * 2 > F.count("*")).alias("paradox"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -794,3 +794,43 @@ def test_g23_matches_python_rolling_distinct(spark):
         assert r["dau"] <= r["wau"] <= r["mau"]  # window nesting
         assert r["dau_wau"] == round(len(dau) / len(wau), 6)
         assert r["dau_mau"] == round(len(dau) / len(mau), 6)
+
+
+# ---------------------------------------------------------------------------
+# x127 — Simpson's paradox detector
+# ---------------------------------------------------------------------------
+
+
+def test_x127_matches_python_sign_model(spark):
+    rows = _rows(spark, "x127_simpson_paradox")
+    assert len(rows) == 10  # 5 event types -> 10 ordered pairs
+    cells = {}
+    for d, t, cents, n in _duck(
+        "SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)), "
+        "event_type, SUM(CAST(round(value*100) AS BIGINT)), COUNT(*) "
+        "FROM events GROUP BY 1, 2"
+    ):
+        cells[(d, t)] = (cents, n)
+
+    def sgn(a, b):
+        return (a > b) - (a < b)
+
+    for r in rows:
+        ta, tb = r["type_a"], r["type_b"]
+        ca = sum(c for (d, t), (c, n) in cells.items() if t == ta)
+        na = sum(n for (d, t), (c, n) in cells.items() if t == ta)
+        cb = sum(c for (d, t), (c, n) in cells.items() if t == tb)
+        nb = sum(n for (d, t), (c, n) in cells.items() if t == tb)
+        agg_sign = sgn(ca * nb, cb * na)
+        assert r["agg_sign"] == agg_sign
+        days = {d for (d, t) in cells if t in (ta, tb)}
+        both = [d for d in days if (d, ta) in cells and (d, tb) in cells]
+        assert r["n_strata"] == len(both)
+        agree = rev = 0
+        for d in both:
+            (xc, xn), (yc, yn) = cells[(d, ta)], cells[(d, tb)]
+            s = sgn(xc * yn, yc * xn)
+            agree += s == agg_sign
+            rev += s == -agg_sign and s != 0
+        assert r["n_agree"] == agree and r["n_reverse"] == rev
+        assert r["paradox"] == (2 * rev > len(both))
