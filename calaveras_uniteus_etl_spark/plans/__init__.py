@@ -210,6 +210,7 @@ _NEW_THIS_ROUND: list[str] = [
     "f70_gini_split",
     "g23_engagement_ratios",
     "x127_simpson_paradox",
+    "f71_dispersion_index",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 or 5 (union = 179) sit in

@@ -7875,3 +7875,92 @@ def x127_simpson_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# F71 — index of dispersion (Poisson overdispersion diagnostic)
+#
+# Count-model sanity: if user event counts were Poisson, the variance-
+# to-mean ratio (index of dispersion) would be ~1; D = (n−1)·s²/x̄ is
+# the classic chi-square-distributed dispersion statistic (Fisher).
+# Per event type: per-user counts are exact BIGINTs from one hash
+# aggregate, Σc and Σc² are exact, the sample variance uses the
+# n-denominator-free form (nΣc² − (Σc)²)/(n(n−1)), and every ratio
+# divides identical doubles. Users with zero events of a type are
+# REAL zeros — the user universe comes from the full table, so each
+# type's n is the same and types are comparable.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f71_dispersion_index",
+    oracle="""
+WITH universe AS (
+  SELECT DISTINCT user_id FROM events
+), per_user AS (
+  SELECT u.user_id, t.event_type,
+         CAST(COALESCE(c.cnt, 0) AS BIGINT) AS c
+  FROM universe u
+  CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+  LEFT JOIN (
+    SELECT user_id, event_type, COUNT(*) AS cnt
+    FROM events GROUP BY 1, 2
+  ) c ON c.user_id = u.user_id AND c.event_type = t.event_type
+), s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS sc,
+         CAST(SUM(c * c) AS BIGINT) AS scc
+  FROM per_user GROUP BY event_type
+)
+SELECT event_type, n AS n_users, sc AS n_events,
+       ROUND(CAST(sc AS DOUBLE) / n, 6) AS mean_c,
+       ROUND((CAST(n AS DOUBLE) * scc - CAST(sc AS DOUBLE) * sc)
+             / (CAST(n AS DOUBLE) * (n - 1)), 6) AS var_c,
+       ROUND(((CAST(n AS DOUBLE) * scc - CAST(sc AS DOUBLE) * sc)
+              / (CAST(n AS DOUBLE) * (n - 1)))
+             / (CAST(sc AS DOUBLE) / n), 6) AS dispersion,
+       ROUND((n - 1) * ((CAST(n AS DOUBLE) * scc - CAST(sc AS DOUBLE) * sc)
+                        / (CAST(n AS DOUBLE) * (n - 1)))
+             / (CAST(sc AS DOUBLE) / n), 6) AS chi2_stat
+FROM s
+ORDER BY event_type
+""",
+    doc="Index of dispersion per event type: variance-to-mean ratio of "
+    "per-user counts (real zeros from the full user universe), exact "
+    "BIGINT moments, D = (n−1)·s²/x̄ — flags overdispersed event "
+    "streams a Poisson capacity model would underprovision.",
+)
+def f71_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    universe = e.select("user_id").distinct()
+    types = e.select("event_type").distinct()
+    counts = e.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("cnt")
+    )
+    per_user = (
+        universe.crossJoin(F.broadcast(types))  # bounded type dimension
+        .join(counts, ["user_id", "event_type"], "left")
+        .select(
+            "event_type",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("c"),
+        )
+    )
+    s = per_user.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("scc"),
+    )
+    nd = F.col("n").cast("double")
+    mean_c = F.col("sc").cast("double") / F.col("n")
+    var_c = (nd * F.col("scc") - F.col("sc").cast("double") * F.col("sc")) / (
+        nd * (F.col("n") - 1)
+    )
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_users"),
+        F.col("sc").alias("n_events"),
+        F.round(mean_c, 6).alias("mean_c"),
+        F.round(var_c, 6).alias("var_c"),
+        F.round(var_c / mean_c, 6).alias("dispersion"),
+        F.round((F.col("n") - 1) * var_c / mean_c, 6).alias("chi2_stat"),
+    ).orderBy("event_type")

@@ -834,3 +834,29 @@ def test_x127_matches_python_sign_model(spark):
             rev += s == -agg_sign and s != 0
         assert r["n_agree"] == agree and r["n_reverse"] == rev
         assert r["paradox"] == (2 * rev > len(both))
+
+
+# ---------------------------------------------------------------------------
+# f71 — dispersion index
+# ---------------------------------------------------------------------------
+
+
+def test_f71_matches_python_moments(spark):
+    rows = _rows(spark, "f71_dispersion_index")
+    assert len(rows) == 5
+    data = _duck("SELECT user_id, event_type FROM events")
+    users = {u for u, _ in data}
+    from collections import Counter
+
+    per = Counter(data)
+    for r in rows:
+        cs = [per.get((u, r["event_type"]), 0) for u in users]
+        n, sc = len(cs), sum(cs)
+        scc = sum(c * c for c in cs)
+        assert r["n_users"] == n and r["n_events"] == sc
+        mean = sc / n
+        var = (n * scc - sc * sc) / (n * (n - 1))
+        assert abs(r["mean_c"] - mean) < 1e-6
+        assert abs(r["var_c"] - var) < 1e-6
+        assert abs(r["dispersion"] - var / mean) < 1e-5
+        assert abs(r["chi2_stat"] - (n - 1) * var / mean) < 1e-3
