@@ -7964,3 +7964,81 @@ def f71_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var_c / mean_c, 6).alias("dispersion"),
         F.round((F.col("n") - 1) * var_c / mean_c, 6).alias("chi2_stat"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# G24 — inter-arrival gap statistics (exponentiality check)
+#
+# f71 asks whether COUNTS are Poisson; the dual diagnostic asks
+# whether GAPS are exponential: for a memoryless arrival process the
+# coefficient of variation of inter-arrival times is 1 (CV > 1 =
+# bursty, CV < 1 = regular). Per event type: per-user consecutive
+# gaps in microseconds from a user-partitioned lag window (parallel
+# across users at any scale — never a global sort), then one moment
+# aggregate. Timestamps are exact integer epoch-µs (epoch_us, the
+# NTZ-safe extractor), so Σg and Σg² are exact (DECIMAL(38,0) for
+# the squares — µs² passes 2^53), mean/variance divide identical
+# operands, and CV² is reported instead of CV: it avoids a sqrt and
+# is the textbook burstiness index.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g24_interarrival_stats",
+    oracle="""
+WITH ts_us AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events
+), gaps AS (
+  SELECT event_type,
+         us - LAG(us) OVER (PARTITION BY user_id, event_type
+                            ORDER BY us, event_id) AS g
+  FROM ts_us
+), s AS (
+  SELECT event_type, CAST(COUNT(g) AS BIGINT) AS n,
+         CAST(SUM(g) AS BIGINT) AS sg,
+         CAST(SUM(CAST(g AS DECIMAL(38,0)) * g) AS DECIMAL(38,0)) AS sgg
+  FROM gaps WHERE g IS NOT NULL GROUP BY event_type
+)
+SELECT event_type, n AS n_gaps,
+       CAST(sg // n AS BIGINT) AS mean_gap_us,
+       ROUND((CAST(n AS DOUBLE) * CAST(sgg AS DOUBLE)
+              - CAST(sg AS DOUBLE) * sg)
+             / (CAST(sg AS DOUBLE) * sg), 6) AS cv2
+FROM s
+ORDER BY event_type
+""",
+    doc="Inter-arrival burstiness per event type: per-user consecutive "
+    "gaps from user-partitioned lag windows on exact epoch-µs, "
+    "CV² = (n·Σg² − (Σg)²)/(Σg)² computed as one shared expression — "
+    "memoryless arrivals give CV² ≈ 1, bursty streams exceed it; the "
+    "gap-side dual of f71's count-side Poisson check.",
+)
+def g24_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    ts_us = e.select(
+        "user_id", "event_type", "event_id", epoch_us("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    gaps = ts_us.select(
+        "event_type", (F.col("us") - F.lag("us").over(w)).alias("g")
+    ).filter(F.col("g").isNotNull())
+    s = gaps.groupBy("event_type").agg(
+        F.count("g").cast("bigint").alias("n"),
+        F.sum("g").cast("bigint").alias("sg"),
+        F.sum(F.col("g").cast("decimal(38,0)") * F.col("g"))
+        .cast("decimal(38,0)")
+        .alias("sgg"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_gaps"),
+        F.expr("sg div n").cast("bigint").alias("mean_gap_us"),
+        F.round(
+            (
+                F.col("n").cast("double") * F.col("sgg").cast("double")
+                - F.col("sg").cast("double") * F.col("sg")
+            )
+            / (F.col("sg").cast("double") * F.col("sg")),
+            6,
+        ).alias("cv2"),
+    ).orderBy("event_type")

@@ -860,3 +860,33 @@ def test_f71_matches_python_moments(spark):
         assert abs(r["var_c"] - var) < 1e-6
         assert abs(r["dispersion"] - var / mean) < 1e-5
         assert abs(r["chi2_stat"] - (n - 1) * var / mean) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# g24 — inter-arrival statistics
+# ---------------------------------------------------------------------------
+
+
+def test_g24_matches_python_gap_moments(spark):
+    rows = _rows(spark, "g24_interarrival_stats")
+    assert len(rows) == 5
+    data = _duck(
+        "SELECT user_id, event_type, event_id, epoch_us(ts) FROM events"
+    )
+    per = {}
+    for uid, et, eid, us in data:
+        per.setdefault((uid, et), []).append((us, eid))
+    gaps_by_type = {}
+    for (uid, et), evs in per.items():
+        evs.sort()
+        for (a, _), (b, _) in zip(evs, evs[1:]):
+            gaps_by_type.setdefault(et, []).append(b - a)
+    for r in rows:
+        gs = gaps_by_type[r["event_type"]]
+        n, sg = len(gs), sum(gs)
+        sgg = sum(g * g for g in gs)
+        assert r["n_gaps"] == n
+        assert r["mean_gap_us"] == sg // n
+        cv2 = (n * float(sgg) - float(sg) * sg) / (float(sg) * sg)
+        assert abs(r["cv2"] - cv2) < 1e-6
+        assert r["cv2"] > 0
