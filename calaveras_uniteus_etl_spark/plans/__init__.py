@@ -212,6 +212,7 @@ _NEW_THIS_ROUND: list[str] = [
     "x127_simpson_paradox",
     "f71_dispersion_index",
     "g24_interarrival_stats",
+    "x128_pii_census",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 or 5 (union = 179) sit in

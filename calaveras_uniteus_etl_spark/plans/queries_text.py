@@ -5689,3 +5689,108 @@ def f69_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("po") - F.col("pe")) / (F.lit(1) - F.col("pe")), 6
         ).alias("kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X128 — PII detection census (pre-training scrub gate)
+#
+# Before text ships to a trainer, a scrub pass counts and masks
+# PII-shaped spans. Detectors are deliberately simple regexes in the
+# Java-regex/RE2 common subset (no lookaround): email, international-
+# phone-shaped digit runs, SSN-shaped triples, and 16-digit PAN-shaped
+# runs. The census reports per-source document counts, per-detector
+# span totals, and the rate of any-PII docs; a scrub PREVIEW md5 of
+# the fully-masked text proves both engines mask identically without
+# shipping the text anywhere. On this synthetic corpus every count is
+# legitimately zero — the audit proving a clean corpus is the same
+# query that catches a dirty one (m13's philosophy). B5's salted PHI
+# hash (functions/hashing.py) is the complementary op for fields that
+# must survive as join keys.
+# ---------------------------------------------------------------------------
+
+_X128_PATS = {
+    # name -> (duckdb regex, spark regex) — identical strings, listed
+    # once; kept in a dict so both dialects are generated from it
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9 ()-]{7,}[0-9]",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+    "pan": r"[0-9]{16}",
+}
+_X128_MASK = "[PII]"
+
+
+def _x128_duck_cols() -> str:
+    cols = []
+    for name, pat in _X128_PATS.items():
+        cols.append(
+            f"CAST(SUM(len(regexp_extract_all(text, '{pat}'))) AS BIGINT)"
+            f" AS n_{name}"
+        )
+    any_hit = " OR ".join(
+        f"regexp_matches(text, '{p}')" for p in _X128_PATS.values()
+    )
+    scrub = "text"
+    for pat in _X128_PATS.values():
+        scrub = f"regexp_replace({scrub}, '{pat}', '{_X128_MASK}', 'g')"
+    cols.append(
+        f"CAST(SUM(CASE WHEN {any_hit} THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_pii_docs"
+    )
+    cols.append(f"min(md5({scrub})) AS scrub_digest_min")
+    return ",\n       ".join(cols)
+
+
+@register(
+    "x128_pii_census",
+    oracle=f"""
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       {_x128_duck_cols()},
+       ROUND(CAST(SUM(CASE WHEN {" OR ".join(
+           f"regexp_matches(text, '{p}')" for p in _X128_PATS.values()
+       )} THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS pii_rate
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+    doc="PII scrub census per source: span counts for email/phone/SSN/"
+    "PAN-shaped detectors (RE2-subset regexes), any-PII doc rate, and "
+    "an md5 digest of the fully-masked text proving both engines "
+    "scrub identically — the audit gate before text reaches a "
+    "trainer; complements B5's salted PHI hashing.",
+)
+def x128_pii_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    aggs = [F.count("*").cast("bigint").alias("n_docs")]
+    for name, pat in _X128_PATS.items():
+        aggs.append(
+            F.sum(
+                F.size(
+                    F.regexp_extract_all(
+                        F.col("text"), F.lit(pat), F.lit(0)
+                    )
+                )
+            )
+            .cast("bigint")
+            .alias(f"n_{name}")
+        )
+    any_hit = None
+    for pat in _X128_PATS.values():
+        hit = F.col("text").rlike(pat)
+        any_hit = hit if any_hit is None else (any_hit | hit)
+    scrub = F.col("text")
+    for pat in _X128_PATS.values():
+        scrub = F.regexp_replace(scrub, pat, _X128_MASK)
+    aggs.append(
+        F.sum(F.when(any_hit, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pii_docs")
+    )
+    aggs.append(F.min(F.md5(scrub)).alias("scrub_digest_min"))
+    aggs.append(
+        F.round(
+            F.sum(F.when(any_hit, 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("pii_rate")
+    )
+    return d.groupBy("source").agg(*aggs).orderBy("source")

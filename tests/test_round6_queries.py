@@ -890,3 +890,58 @@ def test_g24_matches_python_gap_moments(spark):
         cv2 = (n * float(sgg) - float(sg) * sg) / (float(sg) * sg)
         assert abs(r["cv2"] - cv2) < 1e-6
         assert r["cv2"] > 0
+
+
+# ---------------------------------------------------------------------------
+# x128 — PII census
+# ---------------------------------------------------------------------------
+
+
+def test_x128_clean_corpus_and_digest(spark):
+    rows = _rows(spark, "x128_pii_census")
+    assert len(rows) == 20
+    clean_digest = dict(
+        _duck("SELECT source, min(md5(text)) FROM documents GROUP BY source")
+    )
+    for r in rows:
+        # the synthetic corpus is PII-free; the audit must prove it
+        for det in ("n_email", "n_phone", "n_ssn", "n_pan"):
+            assert r[det] == 0, (r["source"], det)
+        assert r["n_pii_docs"] == 0 and r["pii_rate"] == 0.0
+        # no masking happened -> scrub digest == plain-text digest
+        assert r["scrub_digest_min"] == clean_digest[r["source"]]
+
+
+def test_x128_detectors_fire_on_planted_pii(spark):
+    import re
+
+    from calaveras_uniteus_etl_spark.plans.queries_text import (
+        _X128_MASK,
+        _X128_PATS,
+    )
+
+    planted = (
+        "reach me at jane.doe+spam@example.co.uk or +1 (415) 555-0199, "
+        "ssn 123-45-6789, card 4242424242424242"
+    )
+    hits = {n: len(re.findall(p, planted)) for n, p in _X128_PATS.items()}
+    assert all(v >= 1 for v in hits.values()), hits
+    scrubbed = planted
+    for p in _X128_PATS.values():
+        scrubbed = re.sub(p, _X128_MASK, scrubbed)
+    for p in _X128_PATS.values():
+        assert not re.search(p, scrubbed)
+    # the Spark expressions agree with Python re on the same text
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(planted,)], ["text"])
+    got = df.select(
+        *[
+            F.size(
+                F.regexp_extract_all(F.col("text"), F.lit(p), F.lit(0))
+            ).alias(n)
+            for n, p in _X128_PATS.items()
+        ]
+    ).collect()[0]
+    for n in _X128_PATS:
+        assert got[n] == hits[n], n
