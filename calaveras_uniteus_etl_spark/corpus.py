@@ -372,6 +372,36 @@ class Corpus:
             .orderBy(F.desc("cnt"), "term")
         )
 
+    def pii_census(self) -> DataFrame:
+        """Per-source PII detector counts over the current corpus —
+        x128's regex battery (email/phone/SSN/PAN spans, any-PII doc
+        rate) on whatever survives the pipeline so far."""
+        from calaveras_uniteus_etl_spark.plans.queries_text import (
+            _X128_PATS,
+        )
+
+        t = F.col(self.text_col)
+        aggs = [F.count("*").cast("bigint").alias("n_docs")]
+        any_hit = None
+        for name, pat in _X128_PATS.items():
+            aggs.append(
+                F.sum(
+                    F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+                )
+                .cast("bigint")
+                .alias(f"n_{name}")
+            )
+            hit = t.rlike(pat)
+            any_hit = hit if any_hit is None else (any_hit | hit)
+        aggs.append(
+            F.round(
+                F.sum(F.when(any_hit, 1).otherwise(0)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("pii_rate")
+        )
+        return self.df.groupBy("source").agg(*aggs).orderBy("source")
+
     def manifest(self) -> DataFrame:
         """Per-stage retention funnel: one row per pipeline stage."""
         parts = []

@@ -213,6 +213,7 @@ _NEW_THIS_ROUND: list[str] = [
     "f71_dispersion_index",
     "g24_interarrival_stats",
     "x128_pii_census",
+    "x129_feature_hash_collisions",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 or 5 (union = 179) sit in

@@ -5794,3 +5794,123 @@ def x128_pii_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pii_rate")
     )
     return d.groupBy("source").agg(*aggs).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# X129 — feature-hashing collision audit
+#
+# The hashing trick (Weinberger et al. 2009) buckets an unbounded
+# vocabulary into m dims with no dictionary; its one cost is
+# collisions. For m ∈ {256, 1024, 4096}: distinct terms, occupied
+# buckets, colliding terms (terms minus buckets), and the collision
+# rate — beside the birthday-problem expectation
+# E[occupied] = m·(1 − (1−1/m)^V) frozen per arm as a repr'd Python
+# literal factor... no: V is data-dependent, so the expectation is
+# computed as exp(V·ln(1−1/m)) with the ln(1−1/m) factor per arm
+# frozen as a repr'd literal (libm-safe) and ONE exp over identical
+# doubles. Buckets come from the md5 fold mod m — engine-neutral,
+# and the same bucketing a downstream hashed-BoW model (x97) uses.
+# Scale shape: one distinct-term aggregate, a 3-arm broadcast, one
+# (arm) aggregate over (term, bucket) pairs.
+# ---------------------------------------------------------------------------
+
+import math as _m
+
+_X129_DIMS = (256, 1024, 4096)
+_X129_LN = {m: repr(_m.log(1.0 - 1.0 / m)) for m in _X129_DIMS}
+
+
+def _x129_duck() -> str:
+    from calaveras_uniteus_etl_spark.functions.hashing import (
+        duckdb_md5_long_sql,
+    )
+
+    h = duckdb_md5_long_sql("term")
+    arms = "\nUNION ALL\n".join(
+        f"SELECT {m} AS m, {_X129_LN[m]} AS ln1m" for m in _X129_DIMS
+    )
+    return f"""
+WITH terms AS (
+  SELECT DISTINCT unnest(string_split({NORM_DUCK.format(col="text")}, ' '))
+    AS term
+  FROM documents
+), vocab AS (
+  SELECT term, {h} AS h FROM terms WHERE term <> ''
+), arms AS ({arms}),
+hit AS (
+  SELECT a.m, a.ln1m, v.h % a.m AS bucket
+  FROM vocab v CROSS JOIN arms a
+), s AS (
+  SELECT m, ln1m, CAST(COUNT(*) AS BIGINT) AS v_terms,
+         CAST(COUNT(DISTINCT bucket) AS BIGINT) AS occupied
+  FROM hit GROUP BY m, ln1m
+)
+SELECT CAST(m AS BIGINT) AS m, v_terms, occupied,
+       v_terms - occupied AS colliding,
+       ROUND(CAST(v_terms - occupied AS DOUBLE) / v_terms, 6)
+         AS collision_rate,
+       ROUND(m * (1.0 - exp(v_terms * ln1m)), 4) AS expected_occupied
+FROM s
+ORDER BY m
+""",
+
+
+@register(
+    "x129_feature_hash_collisions",
+    oracle=_x129_duck()[0],
+    doc="Feature-hashing collision audit at m ∈ {256, 1024, 4096}: "
+    "vocabulary size, occupied buckets and collision rate under the "
+    "engine-neutral md5-fold bucketing, beside the birthday "
+    "expectation m·(1−exp(V·ln(1−1/m))) with the per-arm ln factor "
+    "frozen as a repr'd literal — prices the hashing trick before a "
+    "hashed-BoW model (x97) commits to a width.",
+)
+def x129_feature_hash_collisions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from calaveras_uniteus_etl_spark.functions.hashing import md5_long
+
+    d = table(spark, sf_dir, "documents")
+    terms = (
+        d.select(
+            F.explode(
+                F.expr(f"split({NORM_SPARK.format(col='text')}, ' ')")
+            ).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    vocab = terms.select(md5_long(F.col("term")).alias("h"))
+    arms = spark.range(len(_X129_DIMS)).select(
+        F.element_at(
+            F.array(*[F.lit(m) for m in _X129_DIMS]),
+            F.col("id").cast("int") + 1,
+        ).alias("m"),
+        F.element_at(
+            F.array(*[F.expr(_X129_LN[m]) for m in _X129_DIMS]),
+            F.col("id").cast("int") + 1,
+        ).alias("ln1m"),
+    )
+    hit = vocab.crossJoin(F.broadcast(arms)).select(
+        "m", "ln1m", (F.col("h") % F.col("m")).alias("bucket")
+    )
+    s = hit.groupBy("m", "ln1m").agg(
+        F.count("*").cast("bigint").alias("v_terms"),
+        F.countDistinct("bucket").cast("bigint").alias("occupied"),
+    )
+    return s.select(
+        F.col("m").cast("bigint").alias("m"),
+        "v_terms",
+        "occupied",
+        (F.col("v_terms") - F.col("occupied")).alias("colliding"),
+        F.round(
+            (F.col("v_terms") - F.col("occupied")).cast("double")
+            / F.col("v_terms"),
+            6,
+        ).alias("collision_rate"),
+        F.round(
+            F.col("m")
+            * (F.lit(1.0) - F.exp(F.col("v_terms") * F.col("ln1m"))),
+            4,
+        ).alias("expected_occupied"),
+    ).orderBy("m")

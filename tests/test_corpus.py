@@ -176,3 +176,15 @@ def test_heavy_terms_matches_x123(spark):
         for r in REGISTRY["x123_heavy_hitters"].fn(spark, SF).collect()
     ]
     assert got == want and len(got) > 0
+
+
+def test_pii_census_matches_x128_counts(spark):
+    got = {r["source"]: r for r in _corpus(spark).pii_census().collect()}
+    want = {
+        r["source"]: r
+        for r in REGISTRY["x128_pii_census"].fn(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for s in got:
+        for c in ("n_docs", "n_email", "n_phone", "n_ssn", "n_pan", "pii_rate"):
+            assert got[s][c] == want[s][c], (s, c)

@@ -945,3 +945,36 @@ def test_x128_detectors_fire_on_planted_pii(spark):
     ).collect()[0]
     for n in _X128_PATS:
         assert got[n] == hits[n], n
+
+
+# ---------------------------------------------------------------------------
+# x129 — feature-hash collisions
+# ---------------------------------------------------------------------------
+
+
+def test_x129_matches_python_bucketing(spark):
+    import math as m
+
+    rows = _rows(spark, "x129_feature_hash_collisions")
+    assert [r["m"] for r in rows] == [256, 1024, 4096]
+    terms = {
+        t
+        for (norm,) in _duck(
+            r"SELECT lower(regexp_replace(trim(text), '\s+', ' ', 'g')) "
+            "FROM documents"
+        )
+        for t in norm.split(" ")
+        if t
+    }
+    for r in rows:
+        buckets = {
+            int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % r["m"]
+            for t in terms
+        }
+        assert r["v_terms"] == len(terms)
+        assert r["occupied"] == len(buckets)
+        assert r["colliding"] == len(terms) - len(buckets)
+        expected = r["m"] * (1.0 - m.exp(len(terms) * m.log(1 - 1 / r["m"])))
+        assert abs(r["expected_occupied"] - expected) < 1e-3
+        # the observed occupancy should be near the birthday expectation
+        assert abs(r["occupied"] - expected) <= 4 * m.sqrt(r["m"]) + 2
