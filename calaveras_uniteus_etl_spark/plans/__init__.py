@@ -214,6 +214,7 @@ _NEW_THIS_ROUND: list[str] = [
     "g24_interarrival_stats",
     "x128_pii_census",
     "x129_feature_hash_collisions",
+    "x130_log_odds_terms",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 or 5 (union = 179) sit in

@@ -5914,3 +5914,128 @@ def x129_feature_hash_collisions(
             4,
         ).alias("expected_occupied"),
     ).orderBy("m")
+
+
+# ---------------------------------------------------------------------------
+# X130 — source-discriminative terms (log-odds with a Dirichlet prior)
+#
+# TF-IDF (x16) finds terms rare ACROSS DOCS; mixture design wants the
+# terms that DISTINGUISH A SOURCE from the rest of the corpus, and the
+# standard tool is Monroe/Colaresi/Quinn's log-odds-ratio with an
+# informative Dirichlet prior ("Fightin' Words", 2008): smoothing by
+# α_w = α0·p_w (corpus-proportional) keeps rare terms from dominating,
+# and the z-score δ/√(1/(y_iw+α_w) + 1/(y_jw+α_w)) ranks by evidence,
+# not just effect size. Counts are exact BIGINTs from two hash
+# aggregates; α_w, both log-odds and the variance evaluate as ONE
+# shared expression over identical doubles (products < 2^53 before
+# any division), 6dp-rounded; the per-source top-3 cut is a window
+# over the source-partitioned term relation with a (z, term) total
+# order. i-side zero counts are real zeros via the rest-of-corpus
+# complement (y_rest = c_w − y_iw), never dropped rows.
+# ---------------------------------------------------------------------------
+
+_X130_ALPHA0 = 100.0  # prior mass, corpus-proportionally allocated
+_X130_TOPK = 3
+
+
+@register(
+    "x130_log_odds_terms",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, unnest(string_split({NORM_DUCK.format(col="text")}, ' '))
+    AS term
+  FROM documents
+), tf AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS y
+  FROM toks WHERE term <> '' GROUP BY 1, 2
+), corpus AS (
+  SELECT term, CAST(SUM(y) AS BIGINT) AS c FROM tf GROUP BY term
+), grand AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS g FROM corpus
+), tot AS (
+  SELECT source, CAST(SUM(y) AS BIGINT) AS n FROM tf GROUP BY source
+), scored AS (
+  SELECT tf.source, tf.term, tf.y,
+         corpus.c - tf.y AS y_rest, tot.n, grand.g - tot.n AS n_rest,
+         {_X130_ALPHA0!r} * corpus.c / grand.g AS aw,
+         {_X130_ALPHA0!r} AS a0
+  FROM tf
+  JOIN corpus USING (term) JOIN tot USING (source) CROSS JOIN grand
+), z AS (
+  SELECT source, term, y,
+         ROUND(
+           (ln((y + aw) / (n + a0 - y - aw))
+            - ln((y_rest + aw) / (n_rest + a0 - y_rest - aw)))
+           / sqrt(1.0 / (y + aw) + 1.0 / (y_rest + aw)), 6) AS z_score
+  FROM scored
+)
+SELECT source, term, y AS term_count, z_score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY z_score DESC, term) AS rn
+  FROM z
+) WHERE rn <= {_X130_TOPK}
+ORDER BY source, z_score DESC, term
+""",
+    doc="Source-discriminative terms by Monroe et al.'s log-odds ratio "
+    f"with an informative Dirichlet prior (α0 = {_X130_ALPHA0:g}, "
+    "corpus-proportional α_w), z-scored and cut to the top-3 per "
+    "source under a (z, term) total order — the 'what makes this "
+    "source different' signal beside x16's TF-IDF and x81's KL.",
+)
+def x130_log_odds_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(
+            F.expr(f"split({NORM_SPARK.format(col='text')}, ' ')")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("source", "term").agg(
+        F.count("*").cast("bigint").alias("y")
+    )
+    corpus = tf.groupBy("term").agg(F.sum("y").cast("bigint").alias("c"))
+    grand = corpus.agg(F.sum("c").cast("bigint").alias("g"))
+    tot = tf.groupBy("source").agg(F.sum("y").cast("bigint").alias("n"))
+    a0 = F.lit(_X130_ALPHA0)
+    scored = (
+        tf.join(F.broadcast(corpus), "term")
+        .join(F.broadcast(tot), "source")
+        .crossJoin(F.broadcast(grand))  # 1-row scalar
+        .select(
+            "source",
+            "term",
+            "y",
+            (F.col("c") - F.col("y")).alias("y_rest"),
+            "n",
+            (F.col("g") - F.col("n")).alias("n_rest"),
+            (a0 * F.col("c") / F.col("g")).alias("aw"),
+        )
+    )
+    delta = F.log(
+        (F.col("y") + F.col("aw"))
+        / (F.col("n") + a0 - F.col("y") - F.col("aw"))
+    ) - F.log(
+        (F.col("y_rest") + F.col("aw"))
+        / (F.col("n_rest") + a0 - F.col("y_rest") - F.col("aw"))
+    )
+    var = F.lit(1.0) / (F.col("y") + F.col("aw")) + F.lit(1.0) / (
+        F.col("y_rest") + F.col("aw")
+    )
+    z = scored.select(
+        "source",
+        "term",
+        "y",
+        F.round(delta / F.sqrt(var), 6).alias("z_score"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("z_score"), "term")
+    return (
+        z.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _X130_TOPK)
+        .select(
+            "source",
+            "term",
+            F.col("y").alias("term_count"),
+            "z_score",
+        )
+        .orderBy("source", F.desc("z_score"), "term")
+    )

@@ -978,3 +978,44 @@ def test_x129_matches_python_bucketing(spark):
         assert abs(r["expected_occupied"] - expected) < 1e-3
         # the observed occupancy should be near the birthday expectation
         assert abs(r["occupied"] - expected) <= 4 * m.sqrt(r["m"]) + 2
+
+
+# ---------------------------------------------------------------------------
+# x130 — log-odds discriminative terms
+# ---------------------------------------------------------------------------
+
+
+def test_x130_matches_python_monroe_model(spark):
+    import math as m
+
+    rows = _rows(spark, "x130_log_odds_terms")
+    assert len(rows) == 60  # 3 per source
+    tf, corpus, tot = {}, {}, {}
+    for (src, norm) in _duck(
+        r"SELECT source, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) "
+        "FROM documents"
+    ):
+        for t in norm.split(" "):
+            if t:
+                tf[(src, t)] = tf.get((src, t), 0) + 1
+                corpus[t] = corpus.get(t, 0) + 1
+                tot[src] = tot.get(src, 0) + 1
+    g = sum(corpus.values())
+    a0 = 100.0
+    by_src = {}
+    for (src, t), y in tf.items():
+        aw = a0 * corpus[t] / g
+        y_rest, n, n_rest = corpus[t] - y, tot[src], g - tot[src]
+        delta = m.log((y + aw) / (n + a0 - y - aw)) - m.log(
+            (y_rest + aw) / (n_rest + a0 - y_rest - aw)
+        )
+        z = round(delta / m.sqrt(1.0 / (y + aw) + 1.0 / (y_rest + aw)), 6)
+        by_src.setdefault(src, []).append((z, t, y))
+    for src, scored in by_src.items():
+        top = sorted(scored, key=lambda s: (-s[0], s[1]))[:3]
+        got = [
+            (r["z_score"], r["term"], r["term_count"])
+            for r in rows
+            if r["source"] == src
+        ]
+        assert got == top, src
