@@ -215,6 +215,7 @@ _NEW_THIS_ROUND: list[str] = [
     "x128_pii_census",
     "x129_feature_hash_collisions",
     "x130_log_odds_terms",
+    "f72_ab_readout",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 or 5 (union = 179) sit in

@@ -8042,3 +8042,130 @@ def g24_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cv2"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# F72 — A/B experiment readout (assignment, SRM guardrail, effect)
+#
+# The standing experimentation query: deterministic 50/50 hash
+# assignment of customers (md5 fold mod 2 — the x15 split primitive,
+# so assignment is reproducible and join-free to audit), per-arm
+# conversion to "has an urgent order", and the two guardrails every
+# experiment readout needs: the SAMPLE-RATIO-MISMATCH chi-square
+# ((n_a−n_b)²/(n_a+n_b) for a 50/50 design — a broken bucketing
+# invalidates everything downstream) and the pooled two-proportion
+# z-statistic for the effect. All counts are exact BIGINTs from one
+# customer-grain aggregate over a semi-joined flag; every ratio
+# divides identical doubles, z = diff/√(p̂(1−p̂)(1/n_a+1/n_b)).
+# ---------------------------------------------------------------------------
+
+
+from calaveras_uniteus_etl_spark.functions.hashing import (  # noqa: E402
+    duckdb_md5_long_sql as _duck_md5_sql,
+)
+
+_F72_FOLD = _duck_md5_sql("CAST(c_custkey AS VARCHAR)")
+
+
+@register(
+    "f72_ab_readout",
+    oracle=f"""
+WITH assign AS (
+  SELECT c_custkey,
+         {{fold}} % 2 AS arm
+  FROM customer
+), conv AS (
+  SELECT a.c_custkey, a.arm,
+         CASE WHEN EXISTS (
+           SELECT 1 FROM orders o
+           WHERE o.o_custkey = a.c_custkey
+             AND o.o_orderpriority = '1-URGENT'
+         ) THEN 1 ELSE 0 END AS y
+  FROM assign a
+), s AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS c_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS c_b
+  FROM conv
+)
+SELECT n_a, n_b, c_a, c_b,
+       ROUND(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 6)
+         AS srm_chi2,
+       ROUND(CAST(c_a AS DOUBLE) / n_a, 6) AS rate_a,
+       ROUND(CAST(c_b AS DOUBLE) / n_b, 6) AS rate_b,
+       ROUND((CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a)
+             / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 6) AS z_stat
+FROM s
+""".format(fold=_F72_FOLD),
+    doc="A/B readout with guardrails: deterministic md5 50/50 customer "
+    "assignment, urgent-order conversion per arm, the sample-ratio-"
+    "mismatch chi-square that invalidates broken bucketing, and the "
+    "pooled two-proportion z-statistic — exact BIGINT counts, shared "
+    "ratio expressions.",
+)
+def f72_ab_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calaveras_uniteus_etl_spark.functions.hashing import md5_long
+
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    urgent = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    conv = (
+        c.select("c_custkey")
+        .join(urgent.withColumn("y", F.lit(1)), "c_custkey", "left")
+        .select(
+            (md5_long(F.col("c_custkey").cast("string")) % 2).alias("arm"),
+            F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+        )
+    )
+    s = conv.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("c_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("c_b"),
+    )
+    pooled = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    rate_a = F.col("c_a").cast("double") / F.col("n_a")
+    rate_b = F.col("c_b").cast("double") / F.col("n_b")
+    return s.select(
+        "n_a",
+        "n_b",
+        "c_a",
+        "c_b",
+        F.round(
+            ((F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b")))
+            .cast("double")
+            / (F.col("n_a") + F.col("n_b")),
+            6,
+        ).alias("srm_chi2"),
+        F.round(rate_a, 6).alias("rate_a"),
+        F.round(rate_b, 6).alias("rate_b"),
+        F.round(
+            (rate_b - rate_a)
+            / F.sqrt(
+                pooled
+                * (F.lit(1.0) - pooled)
+                * (
+                    F.lit(1.0) / F.col("n_a")
+                    + F.lit(1.0) / F.col("n_b")
+                )
+            ),
+            6,
+        ).alias("z_stat"),
+    )

@@ -1019,3 +1019,44 @@ def test_x130_matches_python_monroe_model(spark):
             if r["source"] == src
         ]
         assert got == top, src
+
+
+# ---------------------------------------------------------------------------
+# f72 — A/B readout
+# ---------------------------------------------------------------------------
+
+
+def test_f72_matches_python_experiment_model(spark):
+    import math as m
+
+    [row] = _rows(spark, "f72_ab_readout")
+    custs = [c for (c,) in _duck("SELECT c_custkey FROM customer")]
+    urgent = {
+        c
+        for (c,) in _duck(
+            "SELECT DISTINCT o_custkey FROM orders "
+            "WHERE o_orderpriority = '1-URGENT'"
+        )
+    }
+    arms = {
+        c: int(hashlib.md5(str(c).encode()).hexdigest()[:15], 16) % 2
+        for c in custs
+    }
+    n_a = sum(1 for c in custs if arms[c] == 0)
+    n_b = len(custs) - n_a
+    c_a = sum(1 for c in custs if arms[c] == 0 and c in urgent)
+    c_b = sum(1 for c in custs if arms[c] == 1 and c in urgent)
+    assert (row["n_a"], row["n_b"], row["c_a"], row["c_b"]) == (
+        n_a,
+        n_b,
+        c_a,
+        c_b,
+    )
+    assert abs(row["srm_chi2"] - (n_a - n_b) ** 2 / (n_a + n_b)) < 1e-6
+    # a healthy 50/50 hash split: chi2 < 10.83 (p = 0.001 threshold)
+    assert row["srm_chi2"] < 10.83
+    p = (c_a + c_b) / (n_a + n_b)
+    z = (c_b / n_b - c_a / n_a) / m.sqrt(
+        p * (1 - p) * (1 / n_a + 1 / n_b)
+    )
+    assert abs(row["z_stat"] - z) < 1e-5

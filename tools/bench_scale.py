@@ -63,6 +63,14 @@ QUERIES = (
     "e20_fellegi_sunter",      # capped block self-join + u-stat broadcasts
     "f66_roc_auc",             # rank-sum AUC on the prediction grain
     "x121_waterfill_budget",   # source-grain quota solver
+    "x123_heavy_hitters",      # Arrow candidate pruning + exact recount
+    "x124_source_jsd",         # (source, term) self-join divergence matrix
+    "g22_growth_accounting",   # per-user lag/lead + day-grain rollup
+    "g23_engagement_ratios",   # day-grid range join rolling DISTINCT
+    "m13_referential_integrity",  # anti-joins across every FK edge
+    "f67_kruskal_wallis",      # value-grain rank sums
+    "x125_mahalanobis_outliers",  # dim explode + vec_id regroup top-k
+    "x130_log_odds_terms",     # vocab-sized prior-smoothed scoring
 )
 
 # Key columns that must be remapped per replica to keep joins
