@@ -216,6 +216,7 @@ _NEW_THIS_ROUND: list[str] = [
     "x129_feature_hash_collisions",
     "x130_log_odds_terms",
     "f72_ab_readout",
+    "x131_temperature_mixture",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 or 5 (union = 179) sit in

@@ -6039,3 +6039,129 @@ def x130_log_odds_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", F.desc("z_score"), "term")
     )
+
+
+# ---------------------------------------------------------------------------
+# X131 — temperature-balanced language mixture (exact integer quotas)
+#
+# Multilingual corpora are sampled with temperature: raw shares p_l
+# flattened to p_l^τ (τ<1 boosts low-resource languages — the
+# XLM-R/mT5 recipe). τ = 0.5 is the one exponent with an exact
+# engine-neutral transform (IEEE sqrt, no libm pow/exp): weights are
+# micro-quantized √n_l BIGINTs, so the normalizer is an exact integer
+# sum, and a 10 000-doc budget allocates by LARGEST REMAINDER on pure
+# integer arithmetic — base = B·w div W, then the B − Σbase leftover
+# docs go to the largest (B·w mod W, lang) remainders — quotas sum to
+# B exactly, bit-identically, on any engine or partitioning. The τ=1
+# (proportional) arm rides along for comparison.
+# Scale shape: one lang-grain aggregate; everything after runs on the
+# bounded language dimension.
+# ---------------------------------------------------------------------------
+
+_X131_BUDGET = 10_000
+
+
+@register(
+    "x131_temperature_mixture",
+    oracle=f"""
+WITH langs AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
+), w AS (
+  SELECT lang, n,
+         CAST(round(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS w05,
+         n AS w10
+  FROM langs
+), tot AS (
+  SELECT CAST(SUM(w05) AS BIGINT) AS s05, CAST(SUM(w10) AS BIGINT) AS s10,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM w
+), arms AS (
+  SELECT w.lang, w.n, t.tau,
+         CASE WHEN t.tau = 5 THEN w.w05 ELSE w.w10 END AS wt,
+         CASE WHEN t.tau = 5 THEN tot.s05 ELSE tot.s10 END AS s
+  FROM w CROSS JOIN (SELECT unnest([5, 10]) AS tau) t CROSS JOIN tot
+), alloc AS (
+  SELECT lang, n, tau, wt, s,
+         {_X131_BUDGET} * wt // s AS base,
+         {_X131_BUDGET} * wt % s AS rem,
+         {_X131_BUDGET}
+           - SUM({_X131_BUDGET} * wt // s) OVER (PARTITION BY tau)
+           AS leftover,
+         ROW_NUMBER() OVER (PARTITION BY tau
+                            ORDER BY {_X131_BUDGET} * wt % s DESC, lang)
+           AS rem_rank
+  FROM arms
+)
+SELECT lang, CAST(tau AS INT) AS tau_x10, n AS n_docs,
+       CAST(wt AS BIGINT) AS weight,
+       CAST(base + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS quota
+FROM alloc
+ORDER BY tau_x10, lang
+""",
+    doc="Temperature-balanced language mixture: τ=0.5 weights as "
+    "micro-quantized IEEE √n (no libm pow), τ=1 proportional arm, and "
+    f"a {_X131_BUDGET}-doc budget allocated by largest remainder on "
+    "pure integer arithmetic — quotas sum to the budget exactly on "
+    "any engine; the multilingual sampling recipe at lang grain.",
+)
+def x131_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    langs = d.groupBy("lang").agg(F.count("*").cast("bigint").alias("n"))
+    w = langs.select(
+        "lang",
+        "n",
+        F.round(F.sqrt(F.col("n").cast("double")) * 1e6)
+        .cast("bigint")
+        .alias("w05"),
+        F.col("n").alias("w10"),
+    )
+    tot = w.agg(
+        F.sum("w05").cast("bigint").alias("s05"),
+        F.sum("w10").cast("bigint").alias("s10"),
+    )
+    taus = spark.range(2).select(
+        F.when(F.col("id") == 0, 5).otherwise(10).alias("tau")
+    )
+    arms = (
+        w.crossJoin(F.broadcast(taus))
+        .crossJoin(F.broadcast(tot))  # 1-row scalar
+        .select(
+            "lang",
+            "n",
+            "tau",
+            F.when(F.col("tau") == 5, F.col("w05"))
+            .otherwise(F.col("w10"))
+            .alias("wt"),
+            F.when(F.col("tau") == 5, F.col("s05"))
+            .otherwise(F.col("s10"))
+            .alias("s"),
+        )
+    )
+    b = F.lit(_X131_BUDGET)
+    base = F.expr(f"{_X131_BUDGET} * wt div s")
+    rem = b * F.col("wt") % F.col("s")
+    # language-grain windows: bounded by the lang dimension
+    w_tau = Window.partitionBy("tau")
+    w_rank = Window.partitionBy("tau").orderBy(F.desc(rem), "lang")
+    alloc = arms.select(
+        "lang",
+        "n",
+        "tau",
+        "wt",
+        base.alias("base"),
+        (b - F.sum(base).over(w_tau)).alias("leftover"),
+        F.row_number().over(w_rank).alias("rem_rank"),
+    )
+    return alloc.select(
+        "lang",
+        F.col("tau").cast("int").alias("tau_x10"),
+        F.col("n").alias("n_docs"),
+        F.col("wt").cast("bigint").alias("weight"),
+        (
+            F.col("base")
+            + F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("quota"),
+    ).orderBy("tau_x10", "lang")

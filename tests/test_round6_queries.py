@@ -1060,3 +1060,37 @@ def test_f72_matches_python_experiment_model(spark):
         p * (1 - p) * (1 / n_a + 1 / n_b)
     )
     assert abs(row["z_stat"] - z) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# x131 — temperature mixture
+# ---------------------------------------------------------------------------
+
+
+def test_x131_quotas_sum_to_budget_and_flatten(spark):
+    import math as m
+
+    rows = _rows(spark, "x131_temperature_mixture")
+    langs = dict(_duck("SELECT lang, COUNT(*) FROM documents GROUP BY lang"))
+    by_tau = {}
+    for r in rows:
+        by_tau.setdefault(r["tau_x10"], []).append(r)
+    assert set(by_tau) == {5, 10}
+    for tau, rs in by_tau.items():
+        assert {r["lang"] for r in rs} == set(langs)
+        # exact budget conservation — the largest-remainder property
+        assert sum(r["quota"] for r in rs) == 10_000
+        for r in rs:
+            assert r["n_docs"] == langs[r["lang"]]
+            if tau == 5:
+                assert r["weight"] == m.floor(
+                    m.sqrt(langs[r["lang"]]) * 1e6 + 0.5
+                )
+            else:
+                assert r["weight"] == langs[r["lang"]]
+    # τ=0.5 flattens: low-resource languages gain share vs proportional
+    smallest = min(langs, key=lambda l: (langs[l], l))
+    q5 = {r["lang"]: r["quota"] for r in by_tau[5]}
+    q10 = {r["lang"]: r["quota"] for r in by_tau[10]}
+    if len(set(langs.values())) > 1:
+        assert q5[smallest] >= q10[smallest]
