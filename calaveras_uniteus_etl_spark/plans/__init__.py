@@ -217,6 +217,7 @@ _NEW_THIS_ROUND: list[str] = [
     "x130_log_odds_terms",
     "f72_ab_readout",
     "x131_temperature_mixture",
+    "f73_cuped_readout",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 or 5 (union = 179) sit in

@@ -8169,3 +8169,128 @@ def f72_ab_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F73 — CUPED variance reduction (pre-period covariate adjustment)
+#
+# f72 reads an experiment; CUPED (Deng et al. 2013) is how mature
+# platforms make the same experiment decisive with less traffic:
+# adjust the outcome by a pre-period covariate, Y' = Y − θ(X − x̄),
+# θ = cov(X,Y)/var(X), cutting metric variance by ρ² — the readout
+# every growth team wants BEFORE committing to a sample size. Here
+# X = a customer's 1995 revenue, Y = their 1996 revenue (cents, real
+# zeros for inactive years via the full customer universe). All five
+# moments are exact (BIGINT cents; squared sums through DECIMAL(38,0)
+# — cents² overflows 2^63 at warehouse scale), and θ, ρ², and the
+# variance-reduction percentage evaluate as one shared expression
+# over identical doubles. One customer-grain conditional aggregate,
+# one 1-row reduce.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f73_cuped_readout",
+    oracle="""
+WITH per_cust AS (
+  SELECT c.c_custkey,
+         CAST(COALESCE(SUM(CASE WHEN o.o_orderdate >= DATE '1995-01-01'
+                                 AND o.o_orderdate < DATE '1996-01-01'
+                            THEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                            END), 0) AS BIGINT) AS x,
+         CAST(COALESCE(SUM(CASE WHEN o.o_orderdate >= DATE '1996-01-01'
+                                 AND o.o_orderdate < DATE '1997-01-01'
+                            THEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                            END), 0) AS BIGINT) AS y
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy
+  FROM per_cust
+)
+SELECT n AS n_customers,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * sx), 6) AS theta,
+       ROUND(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * sy)
+              * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * sy))
+             / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * sx)
+                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * sy)), 6) AS rho2,
+       ROUND(100.0 * ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * sy)
+              * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * sy))
+             / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * sx)
+                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * sy)), 4) AS var_reduction_pct
+FROM s
+""",
+    doc="CUPED readout: theta = cov(X,Y)/var(X) and rho-squared between "
+    "a customer's 1995 (pre-period) and 1996 revenue — exact cents "
+    "moments with DECIMAL(38,0) squared sums, real zeros from the "
+    "full customer universe; the variance-reduction a platform gains "
+    "by covariate-adjusting before sizing the next f72 experiment.",
+)
+def f73_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    in_year = lambda y: (  # noqa: E731 - tiny local shorthand
+        (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("date"))
+    )
+    per_cust = (
+        c.select("c_custkey")
+        .join(o, o.o_custkey == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(F.sum(F.when(in_year(1995), cents)), F.lit(0))
+            .cast("bigint")
+            .alias("x"),
+            F.coalesce(F.sum(F.when(in_year(1996), cents)), F.lit(0))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    s = per_cust.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    cov_n = nd * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy")
+    varx_n = nd * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx")
+    vary_n = nd * F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy")
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.round(cov_n / varx_n, 6).alias("theta"),
+        F.round((cov_n * cov_n) / (varx_n * vary_n), 6).alias("rho2"),
+        F.round(
+            F.lit(100.0) * (cov_n * cov_n) / (varx_n * vary_n), 4
+        ).alias("var_reduction_pct"),
+    )

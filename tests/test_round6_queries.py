@@ -1094,3 +1094,44 @@ def test_x131_quotas_sum_to_budget_and_flatten(spark):
     q10 = {r["lang"]: r["quota"] for r in by_tau[10]}
     if len(set(langs.values())) > 1:
         assert q5[smallest] >= q10[smallest]
+
+
+# ---------------------------------------------------------------------------
+# f73 — CUPED readout
+# ---------------------------------------------------------------------------
+
+
+def test_f73_matches_python_cuped_model(spark):
+    [row] = _rows(spark, "f73_cuped_readout")
+    per = {
+        c: (0, 0)
+        for (c,) in _duck("SELECT c_custkey FROM customer")
+    }
+    for c, x, y in _duck(
+        "SELECT o_custkey, "
+        "SUM(CASE WHEN o_orderdate >= DATE '1995-01-01' AND "
+        "o_orderdate < DATE '1996-01-01' "
+        "THEN CAST(round(o_totalprice*100) AS BIGINT) ELSE 0 END), "
+        "SUM(CASE WHEN o_orderdate >= DATE '1996-01-01' AND "
+        "o_orderdate < DATE '1997-01-01' "
+        "THEN CAST(round(o_totalprice*100) AS BIGINT) ELSE 0 END) "
+        "FROM orders GROUP BY 1"
+    ):
+        if c in per:
+            per[c] = (int(x), int(y))
+    n = len(per)
+    xs = [x for x, _ in per.values()]
+    ys = [y for _, y in per.values()]
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in per.values())
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    cov_n = n * float(sxy) - float(sx) * sy
+    varx_n = n * float(sxx) - float(sx) * sx
+    vary_n = n * float(syy) - float(sy) * sy
+    assert row["n_customers"] == n
+    assert abs(row["theta"] - cov_n / varx_n) < 1e-5
+    rho2 = (cov_n * cov_n) / (varx_n * vary_n)
+    assert abs(row["rho2"] - rho2) < 1e-5
+    assert 0.0 <= row["rho2"] <= 1.0
+    assert abs(row["var_reduction_pct"] - 100.0 * rho2) < 1e-3
