@@ -218,6 +218,7 @@ _NEW_THIS_ROUND: list[str] = [
     "f72_ab_readout",
     "x131_temperature_mixture",
     "f73_cuped_readout",
+    "f74_power_analysis",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 or 5 (union = 179) sit in

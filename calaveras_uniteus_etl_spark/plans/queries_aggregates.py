@@ -8294,3 +8294,95 @@ def f73_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(100.0) * (cov_n * cov_n) / (varx_n * vary_n), 4
         ).alias("var_reduction_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F74 — power analysis (sample size for the next experiment)
+#
+# Completes the f72/f73 experimentation suite: given the measured base
+# conversion rate, the per-arm sample size a two-proportion test needs
+# at α = 0.05 (two-sided), power 0.8 — n = 2(z_{α/2}+z_β)²·p̂(1−p̂)/δ²
+# — for absolute MDEs of 1/2/5 points. The z constants are repr'd
+# Python literals (scipy-free, libm-free); p̂ is a division of exact
+# BIGINTs; each arm's n evaluates as one shared expression and rounds
+# UP with ceil (undersizing an experiment is the failure mode).
+# Scale shape: one 1-row aggregate + a 3-row broadcast arm relation.
+# ---------------------------------------------------------------------------
+
+_F74_Z = repr((1.959963984540054 + 0.8416212335729143) ** 2)  # (z_a/2+z_b)^2
+_F74_MDES = (0.01, 0.02, 0.05)
+
+
+@register(
+    "f74_power_analysis",
+    oracle=f"""
+WITH base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_cust,
+         CAST(SUM(CASE WHEN EXISTS (
+           SELECT 1 FROM orders o
+           WHERE o.o_custkey = c.c_custkey
+             AND o.o_orderpriority = '1-URGENT'
+         ) THEN 1 ELSE 0 END) AS BIGINT) AS n_conv
+  FROM customer c
+), arms AS (
+  SELECT unnest([{", ".join(repr(m) for m in _F74_MDES)}]) AS mde
+)
+SELECT mde, n_cust, n_conv,
+       ROUND(CAST(n_conv AS DOUBLE) / n_cust, 6) AS p_base,
+       CAST(ceil(2.0 * {_F74_Z}
+                 * (CAST(n_conv AS DOUBLE) / n_cust)
+                 * (1.0 - CAST(n_conv AS DOUBLE) / n_cust)
+                 / (mde * mde)) AS BIGINT) AS n_per_arm
+FROM base CROSS JOIN arms
+ORDER BY mde
+""",
+    doc="Experiment sample sizing at alpha=0.05 two-sided, power 0.8: "
+    "n per arm = 2(z_a/2+z_b)^2 p(1-p)/mde^2 for 1/2/5-point absolute "
+    "MDEs, with the z constants frozen as repr'd literals and the base "
+    "rate an exact-integer division — closes the f72/f73 "
+    "experimentation loop.",
+)
+def f74_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    urgent = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    base = (
+        c.select("c_custkey")
+        .join(urgent.withColumn("y", F.lit(1)), "c_custkey", "left")
+        .agg(
+            F.count("*").cast("bigint").alias("n_cust"),
+            F.sum(F.coalesce(F.col("y"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_conv"),
+        )
+    )
+    arms = spark.range(len(_F74_MDES)).select(
+        F.element_at(
+            F.array(*[F.lit(m) for m in _F74_MDES]),
+            F.col("id").cast("int") + 1,
+        ).alias("mde")
+    )
+    p = F.col("n_conv").cast("double") / F.col("n_cust")
+    return (
+        base.crossJoin(F.broadcast(arms))  # 1-row scalar x 3 arms
+        .select(
+            "mde",
+            "n_cust",
+            "n_conv",
+            F.round(p, 6).alias("p_base"),
+            F.ceil(
+                F.lit(2.0)
+                * F.expr(_F74_Z)
+                * p
+                * (F.lit(1.0) - p)
+                / (F.col("mde") * F.col("mde"))
+            )
+            .cast("bigint")
+            .alias("n_per_arm"),
+        )
+        .orderBy("mde")
+    )

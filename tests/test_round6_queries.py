@@ -1135,3 +1135,30 @@ def test_f73_matches_python_cuped_model(spark):
     assert abs(row["rho2"] - rho2) < 1e-5
     assert 0.0 <= row["rho2"] <= 1.0
     assert abs(row["var_reduction_pct"] - 100.0 * rho2) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# f74 — power analysis
+# ---------------------------------------------------------------------------
+
+
+def test_f74_matches_python_sample_size(spark):
+    import math as m
+
+    rows = _rows(spark, "f74_power_analysis")
+    assert [r["mde"] for r in rows] == [0.01, 0.02, 0.05]
+    [(n_cust,)] = _duck("SELECT COUNT(*) FROM customer")
+    [(n_conv,)] = _duck(
+        "SELECT COUNT(*) FROM customer c WHERE EXISTS ("
+        "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+        "AND o.o_orderpriority = '1-URGENT')"
+    )
+    z2 = (1.959963984540054 + 0.8416212335729143) ** 2
+    p = n_conv / n_cust
+    for r in rows:
+        assert (r["n_cust"], r["n_conv"]) == (n_cust, n_conv)
+        assert r["p_base"] == round(p, 6)
+        assert r["n_per_arm"] == m.ceil(2.0 * z2 * p * (1 - p) / r["mde"] ** 2)
+    # sizing is monotone: smaller effects need more samples
+    ns = [r["n_per_arm"] for r in rows]
+    assert ns[0] > ns[1] > ns[2]
