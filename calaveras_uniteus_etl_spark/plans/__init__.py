@@ -219,6 +219,8 @@ _NEW_THIS_ROUND: list[str] = [
     "x131_temperature_mixture",
     "f73_cuped_readout",
     "f74_power_analysis",
+    "j8_bitwise_suite",
+    "g25_event_trigrams",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 or 5 (union = 179) sit in

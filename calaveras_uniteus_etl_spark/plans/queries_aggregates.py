@@ -8386,3 +8386,65 @@ def f74_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mde")
     )
+
+
+# ---------------------------------------------------------------------------
+# G25 — frequent event-type sequences (top behavioral trigrams)
+#
+# g7's transition matrix is the first-order (bigram) view of behavior;
+# product analytics also asks "what three-step PATHS are most common?"
+# — the sequential-pattern question. Per user, consecutive event-type
+# trigrams via two LEAD windows (user-partitioned — parallel at any
+# scale, the g10/g24 contract, with (ts, event_id) total order inside
+# each user), then one global count and a top-10 with a full
+# tie-break. Sequence support (distinct users) rides along so bursty
+# single users can't dominate the read.
+# ---------------------------------------------------------------------------
+
+_G25_TOPK = 10
+
+
+@register(
+    "g25_event_trigrams",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_type AS e1,
+         LEAD(event_type, 1) OVER w AS e2,
+         LEAD(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), tri AS (
+  SELECT user_id, e1, e2, e3 FROM seq WHERE e3 IS NOT NULL
+)
+SELECT e1, e2, e3,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM tri
+GROUP BY e1, e2, e3
+ORDER BY n_occurrences DESC, e1, e2, e3
+LIMIT {_G25_TOPK}
+""",
+    doc="Top behavioral trigrams: per-user consecutive event-type "
+    "3-sequences from two LEAD windows (user-partitioned, (ts, "
+    "event_id) total order), counted globally with distinct-user "
+    f"support, top-{_G25_TOPK} under a full tie-break — the "
+    "sequential-pattern view beside g7's one-step transition matrix.",
+)
+def g25_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.groupBy("e1", "e2", "e3")
+        .agg(
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy(F.desc("n_occurrences"), "e1", "e2", "e3")
+        .limit(_G25_TOPK)
+    )

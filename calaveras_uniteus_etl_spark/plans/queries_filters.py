@@ -963,3 +963,73 @@ def j7_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("c_name", r"[1-9][0-9]*$", 0).alias("nonzero_tail"),
         F.col("c_mktsegment").rlike("^(HOUSE|MACH)").alias("seg_starts_hm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J8 — bitwise-function battery (flags, masks, popcount)
+#
+# The last scalar family: bitwise ops power flag columns, bucket
+# masks, and the bit-level sketches elsewhere in this repo (x61's
+# hamming verify, x34's bloom words). AND/OR/XOR/NOT, shifts, and
+# POPCOUNT over the key window, plus the BIT_OR / BIT_AND / BIT_XOR
+# aggregates over a per-key flag byte — all Catalyst built-ins with
+# DuckDB twins, byte-exact through the hash canon.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j8_bitwise_suite",
+    oracle="""
+WITH k AS (
+  SELECT c_custkey, c_custkey % 256 AS flags FROM customer
+   WHERE c_custkey < 80
+)
+SELECT c_custkey,
+       flags & 15 AS low_nibble,
+       flags | 128 AS with_msb,
+       xor(flags, 255) AS inverted_byte,
+       flags << 1 AS doubled,
+       flags >> 2 AS quartered,
+       CAST(bit_count(CAST(flags AS BIGINT)) AS INT) AS popcount,
+       CASE WHEN flags & 1 = 1 THEN TRUE ELSE FALSE END AS is_odd,
+       (SELECT CAST(bit_or(c_custkey % 256) AS BIGINT) FROM k) AS agg_or,
+       (SELECT CAST(bit_and(c_custkey % 256 | 16) AS BIGINT) FROM k)
+         AS agg_and,
+       (SELECT CAST(bit_xor(c_custkey % 256) AS BIGINT) FROM k) AS agg_xor
+FROM k
+ORDER BY c_custkey
+""",
+    doc="Bitwise battery: AND/OR/XOR/shifts/popcount per key plus "
+    "BIT_OR/BIT_AND/BIT_XOR aggregates over a flag byte — the scalar "
+    "family behind flag columns and the repo's bit-level sketches "
+    "(bloom words, hamming verify); all Catalyst built-ins.",
+)
+def j8_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 80)
+    k = c.select(
+        "c_custkey", (F.col("c_custkey") % 256).alias("flags")
+    )
+    aggs = k.agg(
+        F.bit_or(F.col("flags")).cast("bigint").alias("agg_or"),
+        F.bit_and(F.col("flags").bitwiseOR(16))
+        .cast("bigint")
+        .alias("agg_and"),
+        F.bit_xor(F.col("flags")).cast("bigint").alias("agg_xor"),
+    )
+    return (
+        k.crossJoin(F.broadcast(aggs))  # 1-row scalar
+        .select(
+            "c_custkey",
+            F.col("flags").bitwiseAND(15).alias("low_nibble"),
+            F.col("flags").bitwiseOR(128).alias("with_msb"),
+            F.col("flags").bitwiseXOR(255).alias("inverted_byte"),
+            F.expr("flags << 1").alias("doubled"),
+            F.expr("flags >> 2").alias("quartered"),
+            F.bit_count("flags").cast("int").alias("popcount"),
+            (F.col("flags").bitwiseAND(1) == 1).alias("is_odd"),
+            "agg_or",
+            "agg_and",
+            "agg_xor",
+        )
+        .orderBy("c_custkey")
+    )

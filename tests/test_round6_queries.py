@@ -1162,3 +1162,65 @@ def test_f74_matches_python_sample_size(spark):
     # sizing is monotone: smaller effects need more samples
     ns = [r["n_per_arm"] for r in rows]
     assert ns[0] > ns[1] > ns[2]
+
+
+# ---------------------------------------------------------------------------
+# j8 — bitwise battery
+# ---------------------------------------------------------------------------
+
+
+def test_j8_matches_python_bit_model(spark):
+    rows = _rows(spark, "j8_bitwise_suite")
+    keys = sorted(
+        c for (c,) in _duck("SELECT c_custkey FROM customer WHERE c_custkey < 80")
+    )
+    assert [r["c_custkey"] for r in rows] == keys
+    import functools
+    import operator
+
+    flags = [k % 256 for k in keys]
+    agg_or = functools.reduce(operator.or_, flags)
+    agg_and = functools.reduce(operator.and_, [f | 16 for f in flags])
+    agg_xor = functools.reduce(operator.xor, flags)
+    for r, k in zip(rows, keys):
+        f = k % 256
+        assert r["low_nibble"] == f & 15
+        assert r["with_msb"] == f | 128
+        assert r["inverted_byte"] == f ^ 255
+        assert r["doubled"] == f << 1
+        assert r["quartered"] == f >> 2
+        assert r["popcount"] == bin(f).count("1")
+        assert r["is_odd"] == bool(f & 1)
+        assert (r["agg_or"], r["agg_and"], r["agg_xor"]) == (
+            agg_or,
+            agg_and,
+            agg_xor,
+        )
+
+
+# ---------------------------------------------------------------------------
+# g25 — event trigrams
+# ---------------------------------------------------------------------------
+
+
+def test_g25_matches_python_sequence_model(spark):
+    rows = _rows(spark, "g25_event_trigrams")
+    data = _duck("SELECT user_id, ts, event_id, event_type FROM events")
+    per = {}
+    for uid, ts, eid, et in data:
+        per.setdefault(uid, []).append((ts, eid, et))
+    from collections import Counter
+
+    occ, users = Counter(), {}
+    for uid, evs in per.items():
+        evs.sort()
+        ets = [et for _, _, et in evs]
+        for a, b, c in zip(ets, ets[1:], ets[2:]):
+            occ[(a, b, c)] += 1
+            users.setdefault((a, b, c), set()).add(uid)
+    top = sorted(occ.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [
+        ((r["e1"], r["e2"], r["e3"]), r["n_occurrences"]) for r in rows
+    ] == top
+    for r in rows:
+        assert r["n_users"] == len(users[(r["e1"], r["e2"], r["e3"])])
