@@ -221,6 +221,7 @@ _NEW_THIS_ROUND: list[str] = [
     "f74_power_analysis",
     "j8_bitwise_suite",
     "g25_event_trigrams",
+    "r9_quarterly_review",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 or 5 (union = 179) sit in

@@ -568,3 +568,70 @@ def r5_employee_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# R9 — quarterly business review (multi-metric rollup)
+#
+# The reference's dashboard endpoints each return one metric per call
+# (core/app.py:3229-3284 and siblings); a QBR wants them TOGETHER on
+# one grain. Per calendar quarter: exact-decimal revenue, order count,
+# distinct active customers, average order value (exact sum / count),
+# and the urgent-order share — one pass over the fact, one hash
+# aggregate on the bounded quarter grain. Quarter keys are integer
+# year·10 + q (engine-neutral; no to_char formatting differences).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "r9_quarterly_review",
+    oracle="""
+SELECT CAST(year(o_orderdate) * 10 + quarter(o_orderdate) AS BIGINT)
+         AS yq,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                 AS DECIMAL(38,2)) AS DOUBLE) AS revenue,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+         AS avg_order_value,
+       ROUND(CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+         AS urgent_share
+FROM orders
+GROUP BY 1
+ORDER BY yq
+""",
+    doc="Quarterly business review: revenue (exact decimal), order "
+    "count, distinct active customers, average order value and "
+    "urgent share on the bounded quarter grain — the one-call QBR "
+    "rollup over the reference's per-metric dashboard endpoints "
+    "(core/app.py:3229-3284).",
+)
+def r9_quarterly_review(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calaveras_uniteus_etl_spark.plans import _exact as X
+
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            (
+                F.year("o_orderdate") * 10 + F.quarter("o_orderdate")
+            )
+            .cast("bigint")
+            .alias("yq")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+            X.exact_sum(X.dec("o_totalprice"), "revenue"),
+            X.exact_avg(X.dec("o_totalprice"), F.lit(1), "avg_order_value"),
+            F.round(
+                F.sum(
+                    F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+                    .otherwise(0)
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("urgent_share"),
+        )
+        .orderBy("yq")
+    )

@@ -1224,3 +1224,30 @@ def test_g25_matches_python_sequence_model(spark):
     ] == top
     for r in rows:
         assert r["n_users"] == len(users[(r["e1"], r["e2"], r["e3"])])
+
+
+# ---------------------------------------------------------------------------
+# r9 — quarterly review
+# ---------------------------------------------------------------------------
+
+
+def test_r9_matches_duck_rollup(spark):
+    rows = {r["yq"]: r for r in _rows(spark, "r9_quarterly_review")}
+    want = {
+        yq: (n, nc, float(rev), urg)
+        for yq, n, nc, rev, urg in _duck(
+            "SELECT year(o_orderdate) * 10 + quarter(o_orderdate), COUNT(*), "
+            "COUNT(DISTINCT o_custkey), "
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)), "
+            "ROUND(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 "
+            "ELSE 0 END) * 1.0 / COUNT(*), 6) FROM orders GROUP BY 1"
+        )
+    }
+    assert set(rows) == set(want)
+    for yq, r in rows.items():
+        n, nc, rev, urg = want[yq]
+        assert (r["n_orders"], r["n_customers"]) == (n, nc)
+        assert r["revenue"] == rev
+        assert abs(r["avg_order_value"] - rev / n) < 1e-6
+        assert abs(r["urgent_share"] - float(urg)) < 1e-9
+        assert 0.0 <= r["urgent_share"] <= 1.0
