@@ -222,6 +222,7 @@ _NEW_THIS_ROUND: list[str] = [
     "j8_bitwise_suite",
     "g25_event_trigrams",
     "r9_quarterly_review",
+    "m16_partition_gaps",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 or 5 (union = 179) sit in

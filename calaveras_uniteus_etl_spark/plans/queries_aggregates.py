@@ -8448,3 +8448,112 @@ def g25_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "e1", "e2", "e3")
         .limit(_G25_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# M16 — partition-gap audit (data completeness over the date grid)
+#
+# m10 audits freshness (is the LATEST data here?); the other
+# completeness failure is a HOLE — a day that loaded nothing for one
+# stream while its neighbors are fine. Per event type: the expected
+# day grid (global min..max, one broadcast sequence — never a
+# data-sized window), present days, missing days, and the first/last
+# missing day for triage (NULL-free sentinels: -1 when complete, so
+# the audit row hashes deterministically). On the synthetic feed every
+# stream is complete — the green audit is the point, exactly like
+# m13's zero-orphan proof.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m16_partition_gaps",
+    oracle="""
+WITH act AS (
+  SELECT DISTINCT event_type,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d
+  FROM events
+), bounds AS (
+  SELECT MIN(d) AS lo, MAX(d) AS hi FROM act
+), grid AS (
+  SELECT t.event_type, g.d
+  FROM (SELECT DISTINCT event_type FROM act) t
+  CROSS JOIN (SELECT unnest(generate_series(
+        (SELECT lo FROM bounds), (SELECT hi FROM bounds))) AS d) g
+), missing AS (
+  SELECT g.event_type, g.d
+  FROM grid g LEFT JOIN act a
+    ON a.event_type = g.event_type AND a.d = g.d
+  WHERE a.d IS NULL
+)
+SELECT t.event_type,
+       (SELECT hi - lo + 1 FROM bounds) AS expected_days,
+       CAST(COUNT(a.d) AS BIGINT) AS present_days,
+       CAST((SELECT hi - lo + 1 FROM bounds) - COUNT(a.d) AS BIGINT)
+         AS missing_days,
+       CAST(COALESCE((SELECT MIN(m.d) FROM missing m
+                      WHERE m.event_type = t.event_type), -1) AS BIGINT)
+         AS first_gap_day,
+       CAST(COALESCE((SELECT MAX(m.d) FROM missing m
+                      WHERE m.event_type = t.event_type), -1) AS BIGINT)
+         AS last_gap_day
+FROM (SELECT DISTINCT event_type FROM act) t
+LEFT JOIN act a ON a.event_type = t.event_type
+GROUP BY t.event_type
+ORDER BY t.event_type
+""",
+    doc="Partition-gap audit: per event type, expected day grid "
+    "(global min..max broadcast sequence) vs present days, missing "
+    "count and first/last gap day (-1 sentinels when complete) — "
+    "catches the silent hole m10's freshness lag cannot; the "
+    "completeness sibling of m13's zero-orphan proof.",
+)
+def m16_partition_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    act = e.select(
+        "event_type",
+        F.datediff(
+            F.to_date("ts"), F.lit("2024-01-01").cast("date")
+        ).alias("d"),
+    ).distinct()
+    bounds = act.agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )  # 1-row scalar
+    types = act.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d"),
+            (F.col("hi") - F.col("lo") + 1).alias("expected_days"),
+        )
+    )
+    missing = grid.join(act, ["event_type", "d"], "left_anti")
+    miss_stats = missing.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("missing_days"),
+        F.min("d").cast("bigint").alias("first_gap_day"),
+        F.max("d").cast("bigint").alias("last_gap_day"),
+    )
+    present = act.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("present_days")
+    )
+    return (
+        grid.select("event_type", "expected_days")
+        .distinct()
+        .join(present, "event_type")
+        .join(miss_stats, "event_type", "left")
+        .select(
+            "event_type",
+            F.col("expected_days").cast("bigint").alias("expected_days"),
+            "present_days",
+            F.coalesce("missing_days", F.lit(0))
+            .cast("bigint")
+            .alias("missing_days"),
+            F.coalesce("first_gap_day", F.lit(-1))
+            .cast("bigint")
+            .alias("first_gap_day"),
+            F.coalesce("last_gap_day", F.lit(-1))
+            .cast("bigint")
+            .alias("last_gap_day"),
+        )
+        .orderBy("event_type")
+    )

@@ -1251,3 +1251,35 @@ def test_r9_matches_duck_rollup(spark):
         assert abs(r["avg_order_value"] - rev / n) < 1e-6
         assert abs(r["urgent_share"] - float(urg)) < 1e-9
         assert 0.0 <= r["urgent_share"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# m16 — partition gaps
+# ---------------------------------------------------------------------------
+
+
+def test_m16_matches_python_gap_model(spark):
+    rows = {r["event_type"]: r for r in _rows(spark, "m16_partition_gaps")}
+    act = _duck(
+        "SELECT DISTINCT event_type, "
+        "date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) FROM events"
+    )
+    per = {}
+    for et, d in act:
+        per.setdefault(et, set()).add(d)
+    lo = min(min(s) for s in per.values())
+    hi = max(max(s) for s in per.values())
+    assert set(rows) == set(per)
+    for et, present in per.items():
+        r = rows[et]
+        missing = sorted(set(range(lo, hi + 1)) - present)
+        assert r["expected_days"] == hi - lo + 1
+        assert r["present_days"] == len(present)
+        assert r["missing_days"] == len(missing)
+        if missing:
+            assert r["first_gap_day"] == missing[0]
+            assert r["last_gap_day"] == missing[-1]
+        else:
+            assert r["first_gap_day"] == -1 and r["last_gap_day"] == -1
+        # internal consistency
+        assert r["present_days"] + r["missing_days"] == r["expected_days"]
