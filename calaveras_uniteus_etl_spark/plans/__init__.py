@@ -223,6 +223,7 @@ _NEW_THIS_ROUND: list[str] = [
     "g25_event_trigrams",
     "r9_quarterly_review",
     "m16_partition_gaps",
+    "x132_source_data_card",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 or 5 (union = 179) sit in

@@ -6165,3 +6165,148 @@ def x131_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("quota"),
     ).orderBy("tau_x10", "lang")
+
+
+# ---------------------------------------------------------------------------
+# X132 — per-source data card (datasheet summary)
+#
+# Every released corpus ships a datasheet ("Datasheets for Datasets",
+# Gebru et al. 2021); this emits its quantitative core in one query —
+# per source: volume (docs, tokens), exact-dup rate (distinct
+# normalization fingerprints, x10's md5 contract), language mix
+# (count + Shannon entropy in nats under the x81 micro-nat contract),
+# and Gopher-gate retention (x70's integer rule battery, same
+# fragments). Composition, not new math: one doc-grain pass feeds a
+# source-grain aggregate; the lang-entropy sub-aggregate is a bounded
+# (source, lang) relation broadcast back.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x132_source_data_card",
+    oracle=f"""
+WITH m AS (
+  SELECT source, norm, w,
+         len(w) AS n,
+         length(norm) - (len(w) - 1) AS chars,
+         len(list_filter(w, t -> t IN ({_X70_STOP_ALL}))) AS stop,
+         len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS alpha,
+         length(norm) - length(regexp_replace(norm, '[0-9]', '', 'g'))
+           AS digits,
+         length(norm) AS normlen
+  FROM (
+    SELECT source, {NORM_DUCK.format(col="text")} AS norm,
+           string_split({NORM_DUCK.format(col="text")}, ' ') AS w
+    FROM documents
+  )
+), base AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(w)) AS BIGINT) AS n_tokens,
+         CAST(COUNT(DISTINCT md5(norm)) AS BIGINT) AS uniq_fp,
+         CAST(SUM(CASE WHEN NOT ({_X70_FAIL_ANY}) THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_pass
+  FROM m GROUP BY source
+), lc AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+), lt AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS nd,
+         CAST(COUNT(*) AS BIGINT) AS n_langs
+  FROM lc GROUP BY source
+), ent AS (
+  SELECT lc.source,
+         CAST(SUM(c * CAST(round(ln(CAST(c AS DOUBLE) / lt.nd) * 1000000)
+                           AS BIGINT)) AS BIGINT) AS emicro
+  FROM lc JOIN lt USING (source) GROUP BY lc.source
+)
+SELECT base.source, n_docs, n_tokens, uniq_fp,
+       ROUND(1.0 - CAST(uniq_fp AS DOUBLE) / n_docs, 6) AS dup_rate,
+       lt.n_langs,
+       ROUND(-CAST(ent.emicro AS DOUBLE) / (1000000.0 * n_docs), 6)
+         AS lang_entropy_nats,
+       ROUND(CAST(n_pass AS DOUBLE) / n_docs, 6) AS gopher_retention
+FROM base JOIN lt ON lt.source = base.source
+JOIN ent ON ent.source = base.source
+ORDER BY base.source
+""",
+    doc="Per-source data card (the datasheet's quantitative core): "
+    "docs, tokens, exact-dup rate from x10's md5 fingerprints, "
+    "language count + Shannon entropy (x81 micro-nat contract), and "
+    "x70 Gopher retention — one doc-grain pass plus a bounded "
+    "(source, lang) sub-aggregate.",
+)
+def x132_source_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    norm_sql = NORM_SPARK.format(col="text")
+    m = d.select(
+        "source",
+        F.expr(norm_sql).alias("norm"),
+        F.expr(f"split({norm_sql}, ' ')").alias("w"),
+    ).select(
+        "source",
+        "norm",
+        "w",
+        F.expr("size(w)").alias("n"),
+        F.expr("length(norm) - (size(w) - 1)").alias("chars"),
+        F.expr(f"size(filter(w, t -> t in ({_X70_STOP_ALL})))").alias(
+            "stop"
+        ),
+        F.expr("size(filter(w, t -> t rlike '[a-z]'))").alias("alpha"),
+        F.expr(
+            "length(norm) - length(regexp_replace(norm, '[0-9]', ''))"
+        ).alias("digits"),
+        F.length("norm").alias("normlen"),
+    )
+    base = m.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.expr("size(w)")).cast("bigint").alias("n_tokens"),
+        F.countDistinct(F.md5("norm")).cast("bigint").alias("uniq_fp"),
+        F.sum(F.when(~F.expr(_X70_FAIL_ANY), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pass"),
+    )
+    lc = d.groupBy("source", "lang").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    lt = lc.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("nd"),
+        F.count("*").cast("bigint").alias("n_langs"),
+    )
+    ent = (
+        lc.join(F.broadcast(lt), "source")
+        .select(
+            "source",
+            (
+                F.col("c")
+                * F.round(
+                    F.log(F.col("c").cast("double") / F.col("nd")) * 1e6
+                ).cast("bigint")
+            ).alias("term"),
+        )
+        .groupBy("source")
+        .agg(F.sum("term").cast("bigint").alias("emicro"))
+    )
+    return (
+        base.join(F.broadcast(lt.select("source", "n_langs")), "source")
+        .join(F.broadcast(ent), "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "uniq_fp",
+            F.round(
+                F.lit(1.0) - F.col("uniq_fp").cast("double") / F.col("n_docs"),
+                6,
+            ).alias("dup_rate"),
+            "n_langs",
+            F.round(
+                -F.col("emicro").cast("double")
+                / (F.lit(1000000.0) * F.col("n_docs")),
+                6,
+            ).alias("lang_entropy_nats"),
+            F.round(
+                F.col("n_pass").cast("double") / F.col("n_docs"), 6
+            ).alias("gopher_retention"),
+        )
+        .orderBy("source")
+    )

@@ -1283,3 +1283,37 @@ def test_m16_matches_python_gap_model(spark):
             assert r["first_gap_day"] == -1 and r["last_gap_day"] == -1
         # internal consistency
         assert r["present_days"] + r["missing_days"] == r["expected_days"]
+
+
+# ---------------------------------------------------------------------------
+# x132 — source data card
+# ---------------------------------------------------------------------------
+
+
+def test_x132_consistent_with_component_queries(spark):
+    import math as m
+
+    rows = {r["source"]: r for r in _rows(spark, "x132_source_data_card")}
+    assert len(rows) == 20
+    counts = dict(_duck("SELECT source, COUNT(*) FROM documents GROUP BY 1"))
+    langs = {}
+    for src, lang, c in _duck(
+        "SELECT source, lang, COUNT(*) FROM documents GROUP BY 1, 2"
+    ):
+        langs.setdefault(src, {})[lang] = c
+    # pass-all retention must aggregate to x70's corpus-wide number
+    [x70] = _rows(spark, "x70_gopher_quality_gate")
+    total_pass = sum(
+        round(r["gopher_retention"] * counts[s])
+        for s, r in rows.items()
+    )
+    assert total_pass == x70["n_pass_all"]
+    for src, r in rows.items():
+        assert r["n_docs"] == counts[src]
+        assert r["n_langs"] == len(langs[src])
+        assert 0.0 <= r["dup_rate"] < 1.0
+        assert r["uniq_fp"] <= r["n_docs"]
+        n = counts[src]
+        h = -sum(c * m.log(c / n) for c in langs[src].values()) / n
+        assert abs(r["lang_entropy_nats"] - h) < 1e-4
+        assert 0.0 <= r["gopher_retention"] <= 1.0
