@@ -228,6 +228,9 @@ _NEW_THIS_ROUND: list[str] = [
     "r9_quarterly_review",
     "m16_partition_gaps",
     "x132_source_data_card",
+    "f75_dow_uniformity",
+    "f76_hhi_concentration",
+    "g26_time_to_first_purchase",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 or 5 (union = 179) sit in

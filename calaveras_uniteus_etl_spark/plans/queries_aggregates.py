@@ -8557,3 +8557,220 @@ def m16_partition_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# F75 — day-of-week uniformity (chi-square goodness of fit)
+#
+# The inference suite has independence (f34), ANOVA (f49), rank tests
+# (f45/f67); the missing member is GOODNESS OF FIT against a stated
+# model: are orders uniform over the day of week, or does the feed
+# have a weekly pulse? χ² = Σ (O_d − E)²/E with E = N/7. The exact
+# form avoids the fractional E: χ² = (7·Σ O_d² − N²) / N — pure
+# integer numerator (BIGINT, O² ≤ N²), one division of identical
+# operands. Day-of-week uses dayofweek() on both engines (Sunday=1
+# contract on each). One bounded 7-row aggregate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f75_dow_uniformity",
+    oracle="""
+WITH d AS (
+  SELECT dayofweek(o_orderdate) AS dow, CAST(COUNT(*) AS BIGINT) AS o
+  FROM orders GROUP BY 1
+), s AS (
+  SELECT CAST(SUM(o) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(o * o) AS BIGINT) AS oo,
+         CAST(MIN(o) AS BIGINT) AS min_day, CAST(MAX(o) AS BIGINT) AS max_day
+  FROM d
+)
+SELECT n AS n_orders, k AS n_days_present, min_day, max_day,
+       ROUND((7.0 * oo - CAST(n AS DOUBLE) * n) / n, 6) AS chi2_stat,
+       CAST(6 AS INT) AS df
+FROM s
+""",
+    doc="Chi-square goodness of fit of order volume against a uniform "
+    "day-of-week model: exact integer form (7·ΣO² − N²)/N — no "
+    "fractional expected counts — plus min/max day volumes; the "
+    "goodness-of-fit member of the f34/f45/f49/f67 inference suite.",
+)
+def f75_dow_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    d = o.groupBy(F.dayofweek("o_orderdate").alias("dow")).agg(
+        F.count("*").cast("bigint").alias("o")
+    )
+    s = d.agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("k"),
+        F.sum(F.col("o") * F.col("o")).cast("bigint").alias("oo"),
+        F.min("o").cast("bigint").alias("min_day"),
+        F.max("o").cast("bigint").alias("max_day"),
+    )
+    return s.select(
+        F.col("n").alias("n_orders"),
+        F.col("k").alias("n_days_present"),
+        "min_day",
+        "max_day",
+        F.round(
+            (F.lit(7.0) * F.col("oo") - F.col("n").cast("double") * F.col("n"))
+            / F.col("n"),
+            6,
+        ).alias("chi2_stat"),
+        F.lit(6).cast("int").alias("df"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F76 — Herfindahl-Hirschman concentration index
+#
+# f35's Gini measures inequality of the distribution; HHI = Σ share²
+# is the antitrust/portfolio standard for CONCENTRATION ("could one
+# participant's failure sink the metric?") and is the number a data
+# platform watches for source dependence. Computed for revenue by
+# nation: exact cent totals per nation, then HHI = Σ c_i² / (Σ c_i)²
+# — the share never materializes, both engines divide identical
+# integer-derived doubles (cents² through DECIMAL(38,0)). Also in
+# basis points (×10 000, the reporting convention) and the effective
+# number of participants 1/HHI. One bounded nation-grain aggregate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f76_hhi_concentration",
+    oracle="""
+WITH per_nation AS (
+  SELECT n.n_name,
+         CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY n.n_name
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(cents) AS BIGINT) AS tot,
+         CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS DECIMAL(38,0))
+           AS cc
+  FROM per_nation
+)
+SELECT k AS n_nations, tot AS total_cents,
+       ROUND(CAST(cc AS DOUBLE) / (CAST(tot AS DOUBLE) * tot), 6) AS hhi,
+       ROUND(10000.0 * CAST(cc AS DOUBLE) / (CAST(tot AS DOUBLE) * tot), 2)
+         AS hhi_bps,
+       ROUND((CAST(tot AS DOUBLE) * tot) / CAST(cc AS DOUBLE), 4)
+         AS effective_n
+FROM s
+""",
+    doc="Herfindahl-Hirschman index of revenue concentration by nation: "
+    "HHI = Σc²/(Σc)² on exact cent totals (DECIMAL(38,0) squares, "
+    "shares never materialize), in raw and basis-point form plus the "
+    "effective participant count 1/HHI — the concentration sibling of "
+    "f35's Gini.",
+)
+def f76_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    per_nation = (
+        o.join(c, c.c_custkey == o.o_custkey)
+        .join(
+            F.broadcast(n), n.n_nationkey == c.c_nationkey
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    s = per_nation.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("cents").cast("bigint").alias("tot"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents"))
+        .cast("decimal(38,0)")
+        .alias("cc"),
+    )
+    hhi = F.col("cc").cast("double") / (
+        F.col("tot").cast("double") * F.col("tot")
+    )
+    return s.select(
+        F.col("k").alias("n_nations"),
+        F.col("tot").alias("total_cents"),
+        F.round(hhi, 6).alias("hhi"),
+        F.round(F.lit(10000.0) * hhi, 2).alias("hhi_bps"),
+        F.round(
+            (F.col("tot").cast("double") * F.col("tot"))
+            / F.col("cc").cast("double"),
+            4,
+        ).alias("effective_n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# G26 — time to first purchase (activation latency histogram)
+#
+# Activation is THE early product metric: how long from a user's
+# first signup event to their first purchase? Per user: min signup
+# ts, min purchase ts AFTER it (exact epoch-µs, user-grain
+# aggregates — no window needed for firsts), the latency bucketed to
+# whole hours, plus the never-converted census. The histogram is
+# bounded by the observation window in hours; -1 buckets the
+# never-converted so the census rides in the same relation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g26_time_to_first_purchase",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS s_us,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p_us
+  FROM events GROUP BY user_id
+), lat AS (
+  SELECT user_id,
+         CASE WHEN s_us IS NOT NULL AND p_us IS NOT NULL AND p_us >= s_us
+              THEN (p_us - s_us) // 3600000000 ELSE -1 END AS hours_bucket
+  FROM firsts
+  WHERE s_us IS NOT NULL
+)
+SELECT CAST(hours_bucket AS BIGINT) AS hours_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM lat
+GROUP BY hours_bucket
+ORDER BY hours_bucket
+""",
+    doc="Activation latency: hours from each user's first signup to "
+    "their first subsequent purchase (exact epoch-µs firsts from one "
+    "user-grain aggregate, integer-hour buckets, -1 = signed up but "
+    "never converted) — the bounded histogram behind an activation "
+    "funnel.",
+)
+def g26_time_to_first_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", epoch_us("ts"))
+        ).alias("s_us"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", epoch_us("ts"))
+        ).alias("p_us"),
+    )
+    lat = firsts.filter(F.col("s_us").isNotNull()).select(
+        F.when(
+            F.col("p_us").isNotNull() & (F.col("p_us") >= F.col("s_us")),
+            F.expr("(p_us - s_us) div 3600000000"),
+        )
+        .otherwise(-1)
+        .alias("hours_bucket")
+    )
+    return (
+        lat.groupBy("hours_bucket")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .select(
+            F.col("hours_bucket").cast("bigint").alias("hours_bucket"),
+            "n_users",
+        )
+        .orderBy("hours_bucket")
+    )

@@ -1317,3 +1317,70 @@ def test_x132_consistent_with_component_queries(spark):
         h = -sum(c * m.log(c / n) for c in langs[src].values()) / n
         assert abs(r["lang_entropy_nats"] - h) < 1e-4
         assert 0.0 <= r["gopher_retention"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# f75 / f76 / g26
+# ---------------------------------------------------------------------------
+
+
+def test_f75_matches_python_gof(spark):
+    [row] = _rows(spark, "f75_dow_uniformity")
+    days = dict(
+        _duck("SELECT dayofweek(o_orderdate), COUNT(*) FROM orders GROUP BY 1")
+    )
+    n = sum(days.values())
+    chi2 = sum((o - n / 7) ** 2 / (n / 7) for o in days.values())
+    # pad absent weekdays as zero-count cells
+    chi2 += (7 - len(days)) * (n / 7)
+    assert row["n_orders"] == n
+    assert row["n_days_present"] == len(days)
+    assert row["min_day"] == min(days.values())
+    assert row["max_day"] == max(days.values())
+    assert abs(row["chi2_stat"] - chi2) < 1e-4
+    assert row["df"] == 6
+
+
+def test_f76_matches_python_hhi(spark):
+    [row] = _rows(spark, "f76_hhi_concentration")
+    cents = [
+        c
+        for (_, c) in _duck(
+            "SELECT c.c_nationkey, "
+            "SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) "
+            "FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey "
+            "GROUP BY 1"
+        )
+    ]
+    tot = sum(cents)
+    hhi = sum(c * c for c in cents) / (tot * tot)
+    assert row["n_nations"] == len(cents)
+    assert row["total_cents"] == tot
+    assert abs(row["hhi"] - hhi) < 1e-6
+    assert abs(row["hhi_bps"] - round(10000 * hhi, 2)) < 0.02
+    assert abs(row["effective_n"] - 1 / hhi) < 1e-3
+    # concentration bounds: 1/k <= HHI <= 1
+    assert 1 / len(cents) - 1e-9 <= row["hhi"] <= 1.0
+
+
+def test_g26_matches_python_latency_model(spark):
+    rows = {r["hours_bucket"]: r["n_users"] for r in _rows(spark, "g26_time_to_first_purchase")}
+    data = _duck("SELECT user_id, event_type, epoch_us(ts) FROM events")
+    s_us, p_us = {}, {}
+    for uid, et, us in data:
+        if et == "signup":
+            s_us[uid] = min(s_us.get(uid, us), us)
+        elif et == "purchase":
+            p_us[uid] = min(p_us.get(uid, us), us)
+    from collections import Counter
+
+    model = Counter()
+    for uid, s in s_us.items():
+        p = p_us.get(uid)
+        if p is not None and p >= s:
+            model[(p - s) // 3600000000] += 1
+        else:
+            model[-1] += 1
+    assert rows == dict(model)
+    # conservation: every signed-up user appears exactly once
+    assert sum(rows.values()) == len(s_us)
