@@ -231,6 +231,8 @@ _NEW_THIS_ROUND: list[str] = [
     "f75_dow_uniformity",
     "f76_hhi_concentration",
     "g26_time_to_first_purchase",
+    "f77_negbin_fit",
+    "m17_expectation_battery",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 or 5 (union = 179) sit in

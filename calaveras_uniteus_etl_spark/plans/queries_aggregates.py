@@ -8774,3 +8774,219 @@ def g26_time_to_first_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hours_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# F77 — negative-binomial fit (method of moments)
+#
+# f71 DETECTS overdispersion; the follow-up question is "then what
+# model?" — the standard count model is the negative binomial, and
+# its method-of-moments fit is closed-form: r = x̄²/(s² − x̄),
+# p = x̄/s². Per event type over per-user counts (f71's universe with
+# real zeros): exact BIGINT moments, one shared expression per
+# parameter, plus the fitted P(0) = p^r via exp(r·ln p) with the ln
+# micro-quantized (x81 contract) against the OBSERVED zero fraction —
+# the one-line goodness check a capacity planner actually reads.
+# Types where s² ≤ x̄ (no overdispersion) report r/p as -1 sentinels.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f77_negbin_fit",
+    oracle="""
+WITH universe AS (
+  SELECT DISTINCT user_id FROM events
+), per_user AS (
+  SELECT u.user_id, t.event_type, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS c
+  FROM universe u
+  CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+  LEFT JOIN (SELECT user_id, event_type, COUNT(*) AS cnt
+             FROM events GROUP BY 1, 2) c
+    ON c.user_id = u.user_id AND c.event_type = t.event_type
+), s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS sc,
+         CAST(SUM(c * c) AS BIGINT) AS scc,
+         CAST(SUM(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
+  FROM per_user GROUP BY event_type
+), mom AS (
+  SELECT event_type, n, sc, scc, zeros,
+         CAST(sc AS DOUBLE) / n AS mean_c,
+         (CAST(n AS DOUBLE) * scc - CAST(sc AS DOUBLE) * sc)
+           / (CAST(n AS DOUBLE) * (n - 1)) AS var_c
+  FROM s
+)
+SELECT event_type, n AS n_users,
+       ROUND(mean_c, 6) AS mean_c,
+       ROUND(var_c, 6) AS var_c,
+       ROUND(CASE WHEN var_c > mean_c
+                  THEN mean_c * mean_c / (var_c - mean_c)
+                  ELSE -1 END, 6) AS r_hat,
+       ROUND(CASE WHEN var_c > mean_c THEN mean_c / var_c ELSE -1 END, 6)
+         AS p_hat,
+       ROUND(CAST(zeros AS DOUBLE) / n, 6) AS zero_frac_obs,
+       ROUND(CASE WHEN var_c > mean_c
+             THEN exp((mean_c * mean_c / (var_c - mean_c))
+                      * (CAST(round(ln(mean_c / var_c) * 1000000) AS BIGINT)
+                         / 1000000.0))
+             ELSE -1 END, 6) AS zero_frac_fit
+FROM mom
+ORDER BY event_type
+""",
+    doc="Negative-binomial method-of-moments fit per event type over "
+    "per-user counts (real zeros): r = m²/(s²−m), p = m/s², with the "
+    "fitted zero probability p^r via exp(r·micro-quantized ln p) "
+    "beside the observed zero fraction — the model a capacity planner "
+    "fits after f71 flags overdispersion; -1 sentinels when the data "
+    "is not overdispersed.",
+)
+def f77_negbin_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    universe = e.select("user_id").distinct()
+    types = e.select("event_type").distinct()
+    counts = e.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("cnt")
+    )
+    per_user = (
+        universe.crossJoin(F.broadcast(types))
+        .join(counts, ["user_id", "event_type"], "left")
+        .select(
+            "event_type",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("c"),
+        )
+    )
+    s = per_user.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("scc"),
+        F.sum(F.when(F.col("c") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("zeros"),
+    )
+    nd = F.col("n").cast("double")
+    mean_c = F.col("sc").cast("double") / F.col("n")
+    var_c = (nd * F.col("scc") - F.col("sc").cast("double") * F.col("sc")) / (
+        nd * (F.col("n") - 1)
+    )
+    over = var_c > mean_c
+    r_hat = mean_c * mean_c / (var_c - mean_c)
+    ln_p_micro = (
+        F.round(F.log(mean_c / var_c) * 1e6).cast("bigint") / F.lit(1e6)
+    )
+    return (
+        s.select(
+            "event_type",
+            F.col("n").alias("n_users"),
+            F.round(mean_c, 6).alias("mean_c"),
+            F.round(var_c, 6).alias("var_c"),
+            F.round(F.when(over, r_hat).otherwise(-1), 6).alias("r_hat"),
+            F.round(
+                F.when(over, mean_c / var_c).otherwise(-1), 6
+            ).alias("p_hat"),
+            F.round(
+                F.col("zeros").cast("double") / F.col("n"), 6
+            ).alias("zero_frac_obs"),
+            F.round(
+                F.when(over, F.exp(r_hat * ln_p_micro)).otherwise(-1), 6
+            ).alias("zero_frac_fit"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# M17 — expectation battery (declarative data-quality gate)
+#
+# The "expectations" pattern (cf. Great Expectations): a load is
+# gated by a battery of declared invariants, each returning checked/
+# violation counts and a pass flag in ONE relation — the artifact a
+# scheduler consumes. Checks are declared as (name, table, predicate)
+# data and expanded into per-table single-pass conditional aggregates
+# (one scan per table regardless of how many checks it carries), then
+# unioned on the bounded check grain. The battery here covers the
+# classic four failure classes: domain bounds (price > 0, 0 ≤
+# discount ≤ 0.1, 1 ≤ quantity ≤ 50, value > 0), set membership
+# (returnflag, orderpriority enums), range sanity (order dates inside
+# the business window), and null keys. All-green on the synthetic
+# feed — the proving audit, like m13/m16.
+# ---------------------------------------------------------------------------
+
+_M17_CHECKS: list[tuple[str, str, str]] = [
+    # (check name, table, VIOLATION predicate — same text both engines)
+    ("customer_key_not_null", "customer", "c_custkey IS NULL"),
+    ("customer_mktsegment_enum", "customer",
+     "c_mktsegment NOT IN ('AUTOMOBILE','BUILDING','FURNITURE',"
+     "'HOUSEHOLD','MACHINERY')"),
+    ("events_value_positive", "events", "value <= 0 OR value IS NULL"),
+    ("lineitem_discount_domain", "lineitem",
+     "l_discount < 0 OR l_discount > 0.1"),
+    ("lineitem_quantity_domain", "lineitem",
+     "l_quantity < 1 OR l_quantity > 50"),
+    ("lineitem_returnflag_enum", "lineitem",
+     "l_returnflag NOT IN ('A','N','R')"),
+    ("orders_date_window", "orders",
+     "o_orderdate < DATE '1990-01-01' OR o_orderdate >= DATE '2010-01-01'"),
+    ("orders_price_positive", "orders", "o_totalprice <= 0"),
+    ("orders_priority_enum", "orders",
+     "o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM',"
+     "'4-NOT SPECIFIED','5-LOW')"),
+]
+
+
+def _m17_oracle() -> str:
+    by_table: dict[str, list[tuple[str, str]]] = {}
+    for name, tbl, pred in _M17_CHECKS:
+        by_table.setdefault(tbl, []).append((name, pred))
+    parts = []
+    for tbl, checks in by_table.items():
+        for name, pred in checks:
+            parts.append(
+                f"SELECT '{name}' AS check_name,"
+                f" CAST(COUNT(*) AS BIGINT) AS n_checked,"
+                f" CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT)"
+                f" AS n_violations,"
+                f" SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) = 0 AS passed"
+                f" FROM {tbl}"
+            )
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY check_name"
+
+
+@register(
+    "m17_expectation_battery",
+    oracle=_m17_oracle(),
+    doc="Declarative expectation battery: 9 invariants (domain bounds, "
+    "enum membership, date windows, null keys) expanded from a checks-"
+    "as-data list into per-table conditional aggregates, one bounded "
+    "relation of checked/violation counts and pass flags — the "
+    "scheduler-facing gate in the m13/m16 proving-audit family.",
+)
+def m17_expectation_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    by_table: dict[str, list[tuple[str, str]]] = {}
+    for name, tbl, pred in _M17_CHECKS:
+        by_table.setdefault(tbl, []).append((name, pred))
+    parts = []
+    for tbl, checks in by_table.items():
+        df = table(spark, sf_dir, tbl)
+        # one scan per table: all its checks ride one aggregate
+        agg = df.agg(
+            F.count("*").cast("bigint").alias("n_checked"),
+            *[
+                F.sum(F.when(F.expr(pred), 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"v_{i}")
+                for i, (_, pred) in enumerate(checks)
+            ],
+        )
+        for i, (name, _) in enumerate(checks):
+            parts.append(
+                agg.select(
+                    F.lit(name).alias("check_name"),
+                    "n_checked",
+                    F.col(f"v_{i}").alias("n_violations"),
+                    (F.col(f"v_{i}") == 0).alias("passed"),
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("check_name")

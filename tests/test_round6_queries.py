@@ -1384,3 +1384,52 @@ def test_g26_matches_python_latency_model(spark):
     assert rows == dict(model)
     # conservation: every signed-up user appears exactly once
     assert sum(rows.values()) == len(s_us)
+
+
+# ---------------------------------------------------------------------------
+# f77 / m17
+# ---------------------------------------------------------------------------
+
+
+def test_f77_matches_python_negbin_model(spark):
+    import math as m
+
+    rows = _rows(spark, "f77_negbin_fit")
+    assert len(rows) == 5
+    data = _duck("SELECT user_id, event_type FROM events")
+    users = {u for u, _ in data}
+    from collections import Counter
+
+    per = Counter(data)
+    for r in rows:
+        cs = [per.get((u, r["event_type"]), 0) for u in users]
+        n, sc = len(cs), sum(cs)
+        scc = sum(c * c for c in cs)
+        mean = sc / n
+        var = (n * scc - sc * sc) / (n * (n - 1))
+        assert abs(r["mean_c"] - mean) < 1e-6
+        assert abs(r["var_c"] - var) < 1e-6
+        assert r["zero_frac_obs"] == round(
+            sum(1 for c in cs if c == 0) / n, 6
+        )
+        if var > mean:
+            r_mm = mean * mean / (var - mean)
+            assert abs(r["r_hat"] - r_mm) < 1e-5
+            assert abs(r["p_hat"] - mean / var) < 1e-6
+            fit = m.exp(r_mm * (m.floor(m.log(mean / var) * 1e6 + 0.5) / 1e6))
+            assert abs(r["zero_frac_fit"] - fit) < 1e-5
+            assert 0.0 <= r["zero_frac_fit"] <= 1.0
+        else:
+            assert r["r_hat"] == -1 and r["p_hat"] == -1
+
+
+def test_m17_all_expectations_pass_and_count(spark):
+    rows = {r["check_name"]: r for r in _rows(spark, "m17_expectation_battery")}
+    assert len(rows) == 9
+    [(n_orders,)] = _duck("SELECT COUNT(*) FROM orders")
+    [(n_lineitem,)] = _duck("SELECT COUNT(*) FROM lineitem")
+    assert rows["orders_price_positive"]["n_checked"] == n_orders
+    assert rows["lineitem_quantity_domain"]["n_checked"] == n_lineitem
+    # the synthetic feed satisfies every declared invariant
+    for name, r in rows.items():
+        assert r["n_violations"] == 0 and r["passed"] is True, name
