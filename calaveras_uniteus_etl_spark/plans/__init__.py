@@ -233,6 +233,7 @@ _NEW_THIS_ROUND: list[str] = [
     "g26_time_to_first_purchase",
     "f77_negbin_fit",
     "m17_expectation_battery",
+    "g27_ship_latency_percentiles",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 or 5 (union = 179) sit in

@@ -8990,3 +8990,103 @@ def m17_expectation_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("check_name")
+
+
+# ---------------------------------------------------------------------------
+# G27 — ship-latency percentiles (exact, bounded value grain)
+#
+# "How long from order to ship, by priority?" — the operations
+# question behind every SLA. Latency in whole days is a BOUNDED
+# domain (TPC-H ships within ~4 months), so exact p50/p90/p99 need no
+# sketch and no global sort: one (priority, latency) hash aggregate,
+# a priority-partitioned cumulative over the ≤ ~125-row value grain,
+# and each percentile is the smallest latency whose cumulative count
+# reaches ceil(q·N/100) — located by a min-aggregate, all integers.
+# ---------------------------------------------------------------------------
+
+_G27_QS = (50, 90, 99)
+
+
+@register(
+    "g27_ship_latency_percentiles",
+    oracle=f"""
+WITH lat AS (
+  SELECT o.o_orderpriority AS priority,
+         date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2
+), cum AS (
+  SELECT priority, d, c,
+         CAST(SUM(c) OVER (PARTITION BY priority ORDER BY d) AS BIGINT)
+           AS cum,
+         CAST(SUM(c) OVER (PARTITION BY priority) AS BIGINT) AS n
+  FROM lat
+), arms AS (
+  SELECT unnest([{", ".join(str(q) for q in _G27_QS)}]) AS q
+)
+SELECT priority, CAST(q AS INT) AS q, MAX(n) AS n_lines,
+       CAST(MIN(CASE WHEN cum >= (q * n + 99) // 100 THEN d END) AS BIGINT)
+         AS latency_days
+FROM cum CROSS JOIN arms
+GROUP BY priority, q
+ORDER BY priority, q
+""",
+    doc="Exact ship-latency percentiles per order priority: the "
+    "(priority, whole-day latency) grain is bounded, so p50/p90/p99 "
+    "come from a priority-partitioned cumulative plus a min-locate — "
+    "all integers, no sketch, no global sort; the SLA view beside "
+    "f6's avg/min/max.",
+)
+def g27_ship_latency_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    lat = (
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(
+                F.to_date("l_shipdate"), F.to_date("o_orderdate")
+            ).alias("d"),
+        )
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    # bounded (priority, latency-day) grain windows
+    w_cum = (
+        Window.partitionBy("priority")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("priority")
+    cum = lat.select(
+        "priority",
+        "d",
+        F.sum("c").over(w_cum).cast("bigint").alias("cum"),
+        F.sum("c").over(w_all).cast("bigint").alias("n"),
+    )
+    arms = spark.range(len(_G27_QS)).select(
+        F.element_at(
+            F.array(*[F.lit(q) for q in _G27_QS]),
+            F.col("id").cast("int") + 1,
+        ).alias("q")
+    )
+    rank = F.expr("(q * n + 99) div 100")
+    return (
+        cum.crossJoin(F.broadcast(arms))
+        .groupBy("priority", "q")
+        .agg(
+            F.max("n").alias("n_lines"),
+            F.min(F.when(F.col("cum") >= rank, F.col("d")))
+            .cast("bigint")
+            .alias("latency_days"),
+        )
+        .select(
+            "priority",
+            F.col("q").cast("int").alias("q"),
+            "n_lines",
+            "latency_days",
+        )
+        .orderBy("priority", "q")
+    )

@@ -1433,3 +1433,30 @@ def test_m17_all_expectations_pass_and_count(spark):
     # the synthetic feed satisfies every declared invariant
     for name, r in rows.items():
         assert r["n_violations"] == 0 and r["passed"] is True, name
+
+
+# ---------------------------------------------------------------------------
+# g27 — ship latency percentiles
+# ---------------------------------------------------------------------------
+
+
+def test_g27_matches_python_exact_percentiles(spark):
+    import math as m
+
+    rows = _rows(spark, "g27_ship_latency_percentiles")
+    assert len(rows) == 15  # 5 priorities x 3 quantiles
+    data = _duck(
+        "SELECT o.o_orderpriority, date_diff('day', CAST(o.o_orderdate AS "
+        "DATE), CAST(l.l_shipdate AS DATE)) FROM lineitem l JOIN orders o "
+        "ON o.o_orderkey = l.l_orderkey"
+    )
+    per = {}
+    for pr, d in data:
+        per.setdefault(pr, []).append(d)
+    for r in rows:
+        lats = sorted(per[r["priority"]])
+        n = len(lats)
+        assert r["n_lines"] == n
+        target = m.ceil(r["q"] * n / 100)
+        assert r["latency_days"] == lats[target - 1], (r["priority"], r["q"])
+        assert r["latency_days"] >= 0
