@@ -234,6 +234,7 @@ _NEW_THIS_ROUND: list[str] = [
     "f77_negbin_fit",
     "m17_expectation_battery",
     "g27_ship_latency_percentiles",
+    "f78_wilcoxon_signed_rank",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 or 5 (union = 179) sit in

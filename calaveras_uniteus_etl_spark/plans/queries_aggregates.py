@@ -9090,3 +9090,123 @@ def g27_ship_latency_percentiles(
         )
         .orderBy("priority", "q")
     )
+
+
+# ---------------------------------------------------------------------------
+# F78 — Wilcoxon signed-rank test (paired, distributed ranks)
+#
+# The inference suite's PAIRED member: did the same customers spend
+# differently in 1996 than 1995? (f45's Mann-Whitney assumes
+# independent groups; pairing removes between-customer variance.)
+# Zero diffs drop (standard Wilcoxon); |d| reduces to its value grain
+# (one hash aggregate), exact integer mid-ranks mr2 = 2·cum_before +
+# t + 1 come from the DISTRIBUTED prefix operator over the (|d|)
+# total order — the f62 machinery, no single-partition window — and
+# W⁺ is the exact BIGINT Σ pos_t·mr2 (kept doubled to stay integral
+# under mid-rank halves). The normal approximation
+# z = (W⁺ − n(n+1)/4)/√(n(n+1)(2n+1)/24 − Σ(t³−t)/48) divides
+# identical doubles, 6dp.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f78_wilcoxon_signed_rank",
+    oracle="""
+WITH per_cust AS (
+  SELECT c.c_custkey,
+         CAST(COALESCE(SUM(CASE WHEN o.o_orderdate >= DATE '1995-01-01'
+                                 AND o.o_orderdate < DATE '1996-01-01'
+                            THEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                            END), 0) AS BIGINT) AS x,
+         CAST(COALESCE(SUM(CASE WHEN o.o_orderdate >= DATE '1996-01-01'
+                                 AND o.o_orderdate < DATE '1997-01-01'
+                            THEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                            END), 0) AS BIGINT) AS y
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+), diffs AS (
+  SELECT y - x AS d, ABS(y - x) AS absd FROM per_cust WHERE y <> x
+), vg AS (
+  SELECT absd, CAST(COUNT(*) AS BIGINT) AS t,
+         CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos_t
+  FROM diffs GROUP BY absd
+), cum AS (
+  SELECT absd, t, pos_t,
+         CAST(SUM(t) OVER (ORDER BY absd) AS BIGINT) AS gcum
+  FROM vg
+), s AS (
+  SELECT CAST(SUM(t) AS BIGINT) AS n,
+         CAST(SUM(pos_t * (2 * (gcum - t) + t + 1)) AS BIGINT) AS w2p,
+         CAST(SUM(t * t * t - t) AS BIGINT) AS t3
+  FROM cum
+)
+SELECT n AS n_pairs, w2p AS w2_plus, t3 AS tie_cubes,
+       ROUND((w2p / 2.0 - CAST(n AS DOUBLE) * (n + 1) / 4)
+             / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24
+                    - CAST(t3 AS DOUBLE) / 48), 6) AS z_stat
+FROM s
+""",
+    doc="Wilcoxon signed-rank on paired customer spend (1995 vs 1996 "
+    "cents): zero diffs dropped, exact integer mid-ranks over the "
+    "|d| value grain via the distributed prefix operator (f62 "
+    "machinery — no single-partition window on the Spark side), "
+    "doubled rank sum kept BIGINT, tie-corrected normal z — the "
+    "paired member beside f45's independent-groups Mann-Whitney.",
+)
+def f78_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    in_year = lambda y: (  # noqa: E731 - tiny local shorthand
+        (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("date"))
+    )
+    per_cust = (
+        c.select("c_custkey")
+        .join(o, o.o_custkey == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(F.sum(F.when(in_year(1995), cents)), F.lit(0))
+            .cast("bigint")
+            .alias("x"),
+            F.coalesce(F.sum(F.when(in_year(1996), cents)), F.lit(0))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    diffs = per_cust.filter(F.col("y") != F.col("x")).select(
+        (F.col("y") - F.col("x")).alias("d"),
+        F.abs(F.col("y") - F.col("x")).alias("absd"),
+    )
+    vg = diffs.groupBy("absd").agg(
+        F.count("*").cast("bigint").alias("t"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("pos_t"),
+    )
+    cum = prefix_rank(vg, [F.asc("absd")], value="t", cum_col="gcum")
+    s = cum.agg(
+        F.sum("t").cast("bigint").alias("n"),
+        F.sum(
+            F.col("pos_t")
+            * (2 * (F.col("gcum") - F.col("t")) + F.col("t") + 1)
+        )
+        .cast("bigint")
+        .alias("w2p"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("t3"),
+    )
+    nd = F.col("n").cast("double")
+    z = (
+        F.col("w2p") / F.lit(2.0) - nd * (F.col("n") + 1) / 4
+    ) / F.sqrt(
+        nd * (F.col("n") + 1) * (2 * F.col("n") + 1) / 24
+        - F.col("t3").cast("double") / 48
+    )
+    return s.select(
+        F.col("n").alias("n_pairs"),
+        F.col("w2p").alias("w2_plus"),
+        F.col("t3").alias("tie_cubes"),
+        F.round(z, 6).alias("z_stat"),
+    )

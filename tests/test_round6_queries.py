@@ -1460,3 +1460,45 @@ def test_g27_matches_python_exact_percentiles(spark):
         target = m.ceil(r["q"] * n / 100)
         assert r["latency_days"] == lats[target - 1], (r["priority"], r["q"])
         assert r["latency_days"] >= 0
+
+
+# ---------------------------------------------------------------------------
+# f78 — Wilcoxon signed-rank
+# ---------------------------------------------------------------------------
+
+
+def test_f78_matches_python_paired_rank_model(spark):
+    import math as m
+
+    [row] = _rows(spark, "f78_wilcoxon_signed_rank")
+    per = {c: [0, 0] for (c,) in _duck("SELECT c_custkey FROM customer")}
+    for c, x, y in _duck(
+        "SELECT o_custkey, "
+        "SUM(CASE WHEN o_orderdate >= DATE '1995-01-01' AND o_orderdate < "
+        "DATE '1996-01-01' THEN CAST(round(o_totalprice*100) AS BIGINT) "
+        "ELSE 0 END), "
+        "SUM(CASE WHEN o_orderdate >= DATE '1996-01-01' AND o_orderdate < "
+        "DATE '1997-01-01' THEN CAST(round(o_totalprice*100) AS BIGINT) "
+        "ELSE 0 END) FROM orders GROUP BY 1"
+    ):
+        if c in per:
+            per[c] = [int(x), int(y)]
+    diffs = [y - x for x, y in per.values() if y != x]
+    n = len(diffs)
+    assert row["n_pairs"] == n
+    # mid-ranks of |d| (doubled to stay integral)
+    from collections import Counter
+
+    vt = Counter(abs(d) for d in diffs)
+    cum, mr2 = 0, {}
+    for v in sorted(vt):
+        mr2[v] = 2 * cum + vt[v] + 1
+        cum += vt[v]
+    w2p = sum(mr2[abs(d)] for d in diffs if d > 0)
+    assert row["w2_plus"] == w2p
+    t3 = sum(t**3 - t for t in vt.values())
+    assert row["tie_cubes"] == t3
+    z = (w2p / 2 - n * (n + 1) / 4) / m.sqrt(
+        n * (n + 1) * (2 * n + 1) / 24 - t3 / 48
+    )
+    assert abs(row["z_stat"] - z) < 1e-5
