@@ -235,6 +235,7 @@ _NEW_THIS_ROUND: list[str] = [
     "m17_expectation_battery",
     "g27_ship_latency_percentiles",
     "f78_wilcoxon_signed_rank",
+    "x133_cross_source_dups",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 or 5 (union = 179) sit in

@@ -6310,3 +6310,103 @@ def x132_source_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# X133 — cross-source duplicate leakage (syndication census)
+#
+# x132's dup_rate is WITHIN-source; the curation risk that actually
+# skews mixtures is CROSS-source duplication (syndicated/mirrored
+# content): a doc counted once per source inflates every source's
+# apparent contribution. Fingerprints (x10's md5 contract) reduce
+# each doc to a digest; digests appearing in ≥ 2 sources produce the
+# source-pair census — pairs shuffle digests only (never text), the
+# per-digest source list is bounded by the source dimension, and the
+# pair expansion is the bounded |sources|² worst case. Reports per
+# source pair: shared distinct fingerprints and involved doc counts.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x133_cross_source_dups",
+    oracle=f"""
+WITH fp AS (
+  SELECT source,
+         md5({NORM_DUCK.format(col="text")}) AS fp,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1, 2
+), grid AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM (SELECT DISTINCT source FROM documents) a
+  JOIN (SELECT DISTINCT source FROM documents) b ON a.source < b.source
+), pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         a.n_docs AS docs_a, b.n_docs AS docs_b
+  FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+), hits AS (
+  SELECT source_a, source_b,
+         CAST(COUNT(*) AS BIGINT) AS shared_fingerprints,
+         CAST(SUM(docs_a) AS BIGINT) AS docs_in_a,
+         CAST(SUM(docs_b) AS BIGINT) AS docs_in_b
+  FROM pairs GROUP BY source_a, source_b
+)
+SELECT g.source_a, g.source_b,
+       CAST(COALESCE(h.shared_fingerprints, 0) AS BIGINT)
+         AS shared_fingerprints,
+       CAST(COALESCE(h.docs_in_a, 0) AS BIGINT) AS docs_in_a,
+       CAST(COALESCE(h.docs_in_b, 0) AS BIGINT) AS docs_in_b
+FROM grid g LEFT JOIN hits h
+  ON h.source_a = g.source_a AND h.source_b = g.source_b
+ORDER BY g.source_a, g.source_b
+""",
+    doc="Cross-source duplicate census: normalization fingerprints "
+    "(x10 md5 contract) self-joined across sources — digests shuffle, "
+    "text never does — reporting shared distinct fingerprints and "
+    "involved doc counts on the FULL bounded pair grid (zeros kept: the "
+    "all-clear is the audit), beside x132's within-source dup rate.",
+)
+def x133_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    fp = d.groupBy(
+        "source",
+        F.md5(
+            F.expr(NORM_SPARK.format(col="text"))
+        ).alias("fp"),
+    ).agg(F.count("*").cast("bigint").alias("n_docs"))
+    srcs = d.select("source").distinct()
+    ga, gb = srcs.alias("ga"), srcs.alias("gb")
+    grid = ga.join(
+        F.broadcast(gb), F.col("ga.source") < F.col("gb.source")
+    ).select(
+        F.col("ga.source").alias("source_a"),
+        F.col("gb.source").alias("source_b"),
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.fp") == F.col("b.fp"))
+        & (F.col("a.source") < F.col("b.source")),
+    ).select(
+        F.col("a.source").alias("source_a"),
+        F.col("b.source").alias("source_b"),
+        F.col("a.n_docs").alias("docs_a"),
+        F.col("b.n_docs").alias("docs_b"),
+    )
+    hits = pairs.groupBy("source_a", "source_b").agg(
+        F.count("*").cast("bigint").alias("shared_fingerprints"),
+        F.sum("docs_a").cast("bigint").alias("docs_in_a"),
+        F.sum("docs_b").cast("bigint").alias("docs_in_b"),
+    )
+    return (
+        grid.join(F.broadcast(hits), ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce("shared_fingerprints", F.lit(0))
+            .cast("bigint")
+            .alias("shared_fingerprints"),
+            F.coalesce("docs_in_a", F.lit(0)).cast("bigint").alias("docs_in_a"),
+            F.coalesce("docs_in_b", F.lit(0)).cast("bigint").alias("docs_in_b"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -1502,3 +1502,36 @@ def test_f78_matches_python_paired_rank_model(spark):
         n * (n + 1) * (2 * n + 1) / 24 - t3 / 48
     )
     assert abs(row["z_stat"] - z) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# x133 — cross-source duplicate census
+# ---------------------------------------------------------------------------
+
+
+def test_x133_matches_python_fingerprint_model(spark):
+    rows = {
+        (r["source_a"], r["source_b"]): r
+        for r in _rows(spark, "x133_cross_source_dups")
+    }
+    assert len(rows) == 190
+    fps = {}
+    for src, fp, n in _duck(
+        r"SELECT source, md5(lower(regexp_replace(trim(text), '\s+', ' ',"
+        r" 'g'))), COUNT(*) FROM documents GROUP BY 1, 2"
+    ):
+        fps.setdefault(fp, {})[src] = n
+    from collections import Counter
+
+    shared, da, db = Counter(), Counter(), Counter()
+    for fp, srcs in fps.items():
+        ss = sorted(srcs)
+        for i, s1 in enumerate(ss):
+            for s2 in ss[i + 1:]:
+                shared[(s1, s2)] += 1
+                da[(s1, s2)] += srcs[s1]
+                db[(s1, s2)] += srcs[s2]
+    for pair, r in rows.items():
+        assert r["shared_fingerprints"] == shared.get(pair, 0), pair
+        assert r["docs_in_a"] == da.get(pair, 0)
+        assert r["docs_in_b"] == db.get(pair, 0)
