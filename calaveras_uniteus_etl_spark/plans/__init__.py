@@ -236,6 +236,7 @@ _NEW_THIS_ROUND: list[str] = [
     "g27_ship_latency_percentiles",
     "f78_wilcoxon_signed_rank",
     "x133_cross_source_dups",
+    "e21_null_safe_join",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 or 5 (union = 179) sit in

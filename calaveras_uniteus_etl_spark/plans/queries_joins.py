@@ -2004,3 +2004,87 @@ def e20_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("score_milli"), "id_a", "id_b"
     ).limit(_E20_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# E21 — null-safe join semantics (the NULL-key parity battery)
+#
+# Every engine pair disagrees somewhere on NULLs; joins are where it
+# costs rows. This pins the contract: a derived key that is NULL for
+# one bucket of rows (NULLIF on a sentinel), joined three ways —
+# standard equality (NULL matches nothing), null-safe equality
+# (Spark <=>, DuckDB IS NOT DISTINCT FROM: NULL matches NULL), and a
+# COALESCE-bridged key (the portable workaround) — with the row
+# counts of each proving the semantics byte-for-byte across engines.
+# One bounded nation-grain relation on each side.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "e21_null_safe_join",
+    oracle="""
+WITH l AS (
+  SELECT NULLIF(c_nationkey % 5, 0) AS k, CAST(COUNT(*) AS BIGINT) AS n_l
+  FROM customer GROUP BY 1
+), r AS (
+  SELECT NULLIF(s_nationkey % 5, 0) AS k, CAST(COUNT(*) AS BIGINT) AS n_r
+  FROM supplier GROUP BY 1
+)
+SELECT 'coalesce_bridge' AS join_kind,
+       CAST(COUNT(*) AS BIGINT) AS n_key_pairs,
+       CAST(SUM(l.n_l * r.n_r) AS BIGINT) AS n_row_pairs
+FROM l JOIN r ON COALESCE(l.k, -1) = COALESCE(r.k, -1)
+UNION ALL
+SELECT 'null_safe_eq' AS join_kind,
+       CAST(COUNT(*) AS BIGINT) AS n_key_pairs,
+       CAST(SUM(l.n_l * r.n_r) AS BIGINT) AS n_row_pairs
+FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+UNION ALL
+SELECT 'standard_eq' AS join_kind,
+       CAST(COUNT(*) AS BIGINT) AS n_key_pairs,
+       CAST(SUM(l.n_l * r.n_r) AS BIGINT) AS n_row_pairs
+FROM l JOIN r ON l.k = r.k
+ORDER BY join_kind
+""",
+    doc="NULL-key join parity: a NULLIF-derived key joined by standard "
+    "equality (NULL matches nothing), null-safe equality (Spark <=> / "
+    "DuckDB IS NOT DISTINCT FROM) and the portable COALESCE bridge — "
+    "key-pair and row-pair counts pin the semantics across engines; "
+    "null_safe_eq and coalesce_bridge must agree, standard_eq must "
+    "drop exactly the NULL bucket.",
+)
+def e21_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    l = c.groupBy(
+        F.nullif(F.col("c_nationkey") % 5, F.lit(0)).alias("k")
+    ).agg(F.count("*").cast("bigint").alias("n_l"))
+    r = s.groupBy(
+        F.nullif(F.col("s_nationkey") % 5, F.lit(0)).alias("k")
+    ).agg(F.count("*").cast("bigint").alias("n_r"))
+    la, ra = l.alias("la"), r.alias("ra")
+
+    def census(kind: str, cond) -> DataFrame:
+        return (
+            la.join(ra, cond)
+            .agg(
+                F.lit(kind).alias("join_kind"),
+                F.count("*").cast("bigint").alias("n_key_pairs"),
+                F.sum(F.col("la.n_l") * F.col("ra.n_r"))
+                .cast("bigint")
+                .alias("n_row_pairs"),
+            )
+        )
+
+    out = (
+        census(
+            "coalesce_bridge",
+            F.coalesce(F.col("la.k"), F.lit(-1))
+            == F.coalesce(F.col("ra.k"), F.lit(-1)),
+        )
+        .unionAll(
+            census("null_safe_eq", F.col("la.k").eqNullSafe(F.col("ra.k")))
+        )
+        .unionAll(census("standard_eq", F.col("la.k") == F.col("ra.k")))
+    )
+    return out.orderBy("join_kind")

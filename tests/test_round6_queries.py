@@ -1535,3 +1535,40 @@ def test_x133_matches_python_fingerprint_model(spark):
         assert r["shared_fingerprints"] == shared.get(pair, 0), pair
         assert r["docs_in_a"] == da.get(pair, 0)
         assert r["docs_in_b"] == db.get(pair, 0)
+
+
+# ---------------------------------------------------------------------------
+# e21 — null-safe join semantics
+# ---------------------------------------------------------------------------
+
+
+def test_e21_null_semantics_identities(spark):
+    rows = {r["join_kind"]: r for r in _rows(spark, "e21_null_safe_join")}
+    assert set(rows) == {"coalesce_bridge", "null_safe_eq", "standard_eq"}
+    # null-safe equality and the COALESCE bridge are the same relation
+    assert (
+        rows["null_safe_eq"]["n_key_pairs"]
+        == rows["coalesce_bridge"]["n_key_pairs"]
+    )
+    assert (
+        rows["null_safe_eq"]["n_row_pairs"]
+        == rows["coalesce_bridge"]["n_row_pairs"]
+    )
+    # standard equality drops exactly the NULL bucket (both sides have
+    # one: nationkeys divisible by 5 exist in customer and supplier)
+    assert (
+        rows["standard_eq"]["n_key_pairs"]
+        == rows["null_safe_eq"]["n_key_pairs"] - 1
+    )
+    [(n_c,)] = _duck(
+        "SELECT COUNT(*) FROM customer WHERE c_nationkey % 5 = 0"
+    )
+    n_s = _duck(
+        "SELECT COUNT(*) FROM read_parquet("
+        f"'{SF}/supplier.parquet') WHERE s_nationkey % 5 = 0"
+    )[0][0]
+    assert (
+        rows["null_safe_eq"]["n_row_pairs"]
+        - rows["standard_eq"]["n_row_pairs"]
+        == n_c * n_s
+    )
