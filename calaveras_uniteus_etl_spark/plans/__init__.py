@@ -237,6 +237,8 @@ _NEW_THIS_ROUND: list[str] = [
     "f78_wilcoxon_signed_rank",
     "x133_cross_source_dups",
     "e21_null_safe_join",
+    "x134_class_balance_weights",
+    "x135_truncation_loss",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 or 5 (union = 179) sit in

@@ -2299,3 +2299,93 @@ def x125_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("maha2_micro"), "vec_id")
         .limit(_X125_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# X134 — class-balance weights (inverse-frequency + effective number)
+#
+# Imbalanced labels need reweighting before training; the two standard
+# recipes are inverse frequency (w ∝ n_total/n_c) and the effective
+# number of samples (Cui et al. 2019): w ∝ (1−β)/(1−β^{n_c}), which
+# discounts duplicate-ish samples inside a class. β^n with INTEGER n
+# is exp(n·ln β) — ln β is frozen as a repr'd Python literal (no
+# runtime libm disagreement feeds the exponent) and one exp evaluates
+# over identical doubles. Inverse frequency normalizes to mean 1 over
+# SAMPLES (Σ n_c·w = N); effective number to mean 1 over CLASSES (a
+# 12dp-quantized decimal sum) — both from exact integer class counts.
+# One label-grain aggregate (bounded), everything after on the class
+# dimension.
+# ---------------------------------------------------------------------------
+
+import math as _m134
+
+_X134_BETA = 0.999
+_X134_LN_BETA = repr(_m134.log(_X134_BETA))
+
+
+@register(
+    "x134_class_balance_weights",
+    oracle=f"""
+WITH cls AS (
+  SELECT CAST(label AS INT) AS label, CAST(COUNT(*) AS BIGINT) AS n_c
+  FROM embeddings GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n_c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k
+  FROM cls
+), eff AS (
+  SELECT label, n_c,
+         (1.0 - {_X134_BETA!r}) / (1.0 - exp(n_c * {_X134_LN_BETA}))
+           AS raw_eff
+  FROM cls
+), norm AS (
+  SELECT CAST(SUM(CAST(ROUND(raw_eff, 12) AS DECIMAL(38,12))) AS DOUBLE)
+           AS sum_eff
+  FROM eff
+)
+SELECT e.label, e.n_c,
+       ROUND(CAST(t.n AS DOUBLE) / (t.k * e.n_c), 6) AS w_inv_freq,
+       ROUND(e.raw_eff * t.k / n1.sum_eff, 6) AS w_eff_num
+FROM eff e CROSS JOIN tot t CROSS JOIN norm n1
+ORDER BY e.label
+""",
+    doc=f"Class-balance weights over embedding labels: inverse "
+    f"frequency and Cui et al.'s effective number (β = {_X134_BETA}, "
+    "β^n as exp(n·repr-frozen ln β)); inverse frequency sample-mean-1, "
+    "effective number class-mean-1 via a 12dp-quantized decimal sum — "
+    "the reweighting table a trainer consumes for imbalanced classes.",
+)
+def x134_class_balance_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    cls = e.groupBy(F.col("label").cast("int").alias("label")).agg(
+        F.count("*").cast("bigint").alias("n_c")
+    )
+    tot = cls.agg(
+        F.sum("n_c").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    raw_eff = (F.lit(1.0) - F.lit(_X134_BETA)) / (
+        F.lit(1.0) - F.exp(F.col("n_c") * F.expr(_X134_LN_BETA))
+    )
+    eff = cls.select("label", "n_c", raw_eff.alias("raw_eff"))
+    norm = eff.agg(
+        F.sum(F.round(F.col("raw_eff"), 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sum_eff")
+    )
+    return (
+        eff.crossJoin(F.broadcast(tot))  # 1-row scalars
+        .crossJoin(F.broadcast(norm))
+        .select(
+            "label",
+            "n_c",
+            F.round(
+                F.col("n").cast("double") / (F.col("k") * F.col("n_c")), 6
+            ).alias("w_inv_freq"),
+            F.round(
+                F.col("raw_eff") * F.col("k") / F.col("sum_eff"), 6
+            ).alias("w_eff_num"),
+        )
+        .orderBy("label")
+    )

@@ -6410,3 +6410,99 @@ def x133_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# X135 — context-window truncation loss (limit-arm sweep)
+#
+# x109 prices PADDING waste (docs shorter than the window); the dual
+# cost is TRUNCATION — tokens cut from docs LONGER than the window.
+# For L ∈ {64, 128, 256, 512} whitespace tokens: docs affected, total
+# tokens lost Σ max(0, n − L), the loss share of the corpus, and the
+# retained share — the table that picks a context length before
+# packing (x49) commits to one. Token counts are x9's whitespace
+# contract; the limit arms are a broadcast relation over one per-doc
+# token-count aggregate, all integer until the final shares.
+# ---------------------------------------------------------------------------
+
+_X135_LIMITS = (64, 128, 256, 512)
+
+
+@register(
+    "x135_truncation_loss",
+    oracle=f"""
+WITH toks AS (
+  SELECT CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n
+  FROM documents
+), arms AS (
+  SELECT unnest([{", ".join(str(x) for x in _X135_LIMITS)}]) AS lim
+), s AS (
+  SELECT lim, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN n > lim THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_truncated,
+         CAST(SUM(CASE WHEN n > lim THEN n - lim ELSE 0 END) AS BIGINT)
+           AS tokens_lost
+  FROM toks CROSS JOIN arms GROUP BY lim
+)
+SELECT CAST(lim AS BIGINT) AS lim, n_docs, docs_truncated, tokens_lost,
+       ROUND(CAST(tokens_lost AS DOUBLE) / n_tokens, 6) AS loss_share,
+       ROUND(1.0 - CAST(tokens_lost AS DOUBLE) / n_tokens, 6)
+         AS retained_share
+FROM s
+ORDER BY lim
+""",
+    doc="Context-window truncation loss at limits 64/128/256/512 "
+    "whitespace tokens: docs affected, tokens cut, loss and retained "
+    "shares — the dual of x109's padding waste; integer arithmetic "
+    "until the final shares, one per-doc aggregate with broadcast "
+    "limit arms.",
+)
+def x135_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
+    toks = d.select(
+        F.when(t == "", 0)
+        .otherwise(F.size(F.split(t, r"\s+")))
+        .cast("long")
+        .alias("n")
+    )
+    arms = spark.range(len(_X135_LIMITS)).select(
+        F.element_at(
+            F.array(*[F.lit(x) for x in _X135_LIMITS]),
+            F.col("id").cast("int") + 1,
+        ).alias("lim")
+    )
+    s = (
+        toks.crossJoin(F.broadcast(arms))
+        .groupBy("lim")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("n") > F.col("lim"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("docs_truncated"),
+            F.sum(
+                F.when(
+                    F.col("n") > F.col("lim"), F.col("n") - F.col("lim")
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("tokens_lost"),
+        )
+    )
+    return s.select(
+        F.col("lim").cast("bigint").alias("lim"),
+        "n_docs",
+        "docs_truncated",
+        "tokens_lost",
+        F.round(
+            F.col("tokens_lost").cast("double") / F.col("n_tokens"), 6
+        ).alias("loss_share"),
+        F.round(
+            F.lit(1.0)
+            - F.col("tokens_lost").cast("double") / F.col("n_tokens"),
+            6,
+        ).alias("retained_share"),
+    ).orderBy("lim")

@@ -1572,3 +1572,61 @@ def test_e21_null_semantics_identities(spark):
         - rows["standard_eq"]["n_row_pairs"]
         == n_c * n_s
     )
+
+
+# ---------------------------------------------------------------------------
+# x134 / x135
+# ---------------------------------------------------------------------------
+
+
+def test_x134_matches_python_weight_model(spark):
+    import math as m
+
+    rows = _rows(spark, "x134_class_balance_weights")
+    con = duckdb.connect()
+    counts = dict(
+        con.execute(
+            f"SELECT CAST(label AS INT), COUNT(*) FROM "
+            f"read_parquet('{SF}/embeddings.parquet') GROUP BY 1"
+        ).fetchall()
+    )
+    n, k = sum(counts.values()), len(counts)
+    beta = 0.999
+    raw = {
+        lbl: (1 - beta) / (1 - m.exp(c * m.log(beta)))
+        for lbl, c in counts.items()
+    }
+    sum_eff = sum(raw.values())
+    assert len(rows) == k
+    for r in rows:
+        c = counts[r["label"]]
+        assert r["n_c"] == c
+        assert abs(r["w_inv_freq"] - n / (k * c)) < 1e-6
+        assert abs(r["w_eff_num"] - raw[r["label"]] * k / sum_eff) < 1e-5
+    # normalization contracts: inverse-frequency is mean-1 over SAMPLES
+    # (sum of n_c * w = n), effective-number is mean-1 over CLASSES
+    assert abs(sum(counts[r["label"]] * r["w_inv_freq"] for r in rows) / n - 1.0) < 1e-4
+    assert abs(sum(r["w_eff_num"] for r in rows) / k - 1.0) < 1e-4
+
+
+def test_x135_matches_python_truncation_model(spark):
+    rows = _rows(spark, "x135_truncation_loss")
+    assert [r["lim"] for r in rows] == [64, 128, 256, 512]
+    import re
+
+    lens = [
+        len(re.split(r"\s+", t.strip())) if t.strip() else 0
+        for (t,) in _duck("SELECT text FROM documents")
+    ]
+    total = sum(lens)
+    for r in rows:
+        lim = r["lim"]
+        lost = sum(max(0, n - lim) for n in lens)
+        assert r["n_docs"] == len(lens)
+        assert r["docs_truncated"] == sum(1 for n in lens if n > lim)
+        assert r["tokens_lost"] == lost
+        assert r["loss_share"] == round(lost / total, 6)
+        assert abs(r["retained_share"] - (1 - lost / total)) < 2e-6
+    # monotone: a larger window never loses more
+    losses = [r["tokens_lost"] for r in rows]
+    assert losses == sorted(losses, reverse=True)
