@@ -2389,3 +2389,113 @@ def x134_class_balance_weights(
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# X136 — leave-one-class-out centroid influence
+#
+# "Which class drags the embedding distribution?" — the cheap,
+# exact answer is leave-one-out algebra on SUMS: removing class c
+# moves the centroid from G/N to (G − S_c)/(N − n_c) per dimension,
+# with no second pass over the data. Fixed-point contract (x23):
+# values quantize to floor(x·2^20) BIGINTs so per-(class, dim) sums
+# are exact; each dimension's squared shift micro-quantizes before
+# the per-class BIGINT sum (x125's order-free pattern); classes rank
+# by the exact integer shift2_micro. Scale shape: one (label, dim)
+# aggregate (bounded: |classes|·64 rows), pure closed-form algebra
+# after.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x136_class_centroid_influence",
+    oracle=f"""
+WITH q AS (
+  SELECT CAST(label AS INT) AS label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * {1 << 20}) AS BIGINT)) AS q
+  FROM embeddings
+), ex AS (
+  SELECT label, d.dim AS dim, q[d.dim + 1] AS val
+  FROM q CROSS JOIN (SELECT unnest(range({sim.EMBED_DIM})) AS dim) d
+), ld AS (
+  SELECT label, dim, CAST(SUM(val) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n_l
+  FROM ex GROUP BY label, dim
+), gd AS (
+  SELECT dim, CAST(SUM(s) AS BIGINT) AS g, CAST(SUM(n_l) AS BIGINT) AS n
+  FROM ld GROUP BY dim
+), shift AS (
+  SELECT ld.label, ld.n_l,
+         CAST(round((CAST(gd.g AS DOUBLE) / gd.n
+                     - CAST(gd.g - ld.s AS DOUBLE) / (gd.n - ld.n_l))
+                    * (CAST(gd.g AS DOUBLE) / gd.n
+                       - CAST(gd.g - ld.s AS DOUBLE) / (gd.n - ld.n_l))
+                    * 1000000) AS BIGINT) AS term_micro
+  FROM ld JOIN gd USING (dim)
+)
+SELECT label, CAST(MAX(n_l) AS BIGINT) AS n_vecs,
+       CAST(SUM(term_micro) AS BIGINT) AS shift2_micro,
+       ROUND(sqrt(CAST(SUM(term_micro) AS DOUBLE) / 1000000.0), 6)
+         AS shift_q
+FROM shift
+GROUP BY label
+ORDER BY shift2_micro DESC, label
+""",
+    doc="Leave-one-class-out centroid influence: removing class c moves "
+    "the centroid from G/N to (G−S_c)/(N−n_c) — exact closed-form "
+    "algebra on fixed-point per-(class, dim) sums, micro-quantized "
+    "squared shifts summed as BIGINTs, classes ranked by the exact "
+    "integer — which class drags the embedding distribution, with no "
+    "second data pass.",
+)
+def x136_class_centroid_influence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    ex = e.select(
+        F.col("label").cast("int").alias("label"),
+        F.posexplode(
+            F.expr(
+                "transform(embedding, x -> "
+                f"cast(floor(cast(x as double) * {1 << 20}) as bigint))"
+            )
+        ).alias("dim", "val"),
+    )
+    ld = ex.groupBy("label", "dim").agg(
+        F.sum("val").cast("bigint").alias("s"),
+        F.count("*").cast("bigint").alias("n_l"),
+    )
+    gd = ld.groupBy("dim").agg(
+        F.sum("s").cast("bigint").alias("g"),
+        F.sum("n_l").cast("bigint").alias("n"),
+    )
+    gc = F.col("g").cast("double") / F.col("n")
+    loo = (F.col("g") - F.col("s")).cast("double") / (
+        F.col("n") - F.col("n_l")
+    )
+    shift = ld.join(F.broadcast(gd), "dim").select(
+        "label",
+        "n_l",
+        F.round((gc - loo) * (gc - loo) * 1e6)
+        .cast("bigint")
+        .alias("term_micro"),
+    )
+    return (
+        shift.groupBy("label")
+        .agg(
+            F.max("n_l").cast("bigint").alias("n_vecs"),
+            F.sum("term_micro").cast("bigint").alias("shift2_micro"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            "shift2_micro",
+            F.round(
+                F.sqrt(F.col("shift2_micro").cast("double") / 1e6), 6
+            ).alias("shift_q"),
+        )
+        .orderBy(F.desc("shift2_micro"), "label")
+    )

@@ -1630,3 +1630,46 @@ def test_x135_matches_python_truncation_model(spark):
     # monotone: a larger window never loses more
     losses = [r["tokens_lost"] for r in rows]
     assert losses == sorted(losses, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# x136 — class centroid influence
+# ---------------------------------------------------------------------------
+
+
+def test_x136_matches_python_loo_model(spark):
+    import math as m
+
+    rows = _rows(spark, "x136_class_centroid_influence")
+    con = duckdb.connect()
+    vecs = con.execute(
+        f"SELECT CAST(label AS INT), embedding FROM "
+        f"read_parquet('{SF}/embeddings.parquet')"
+    ).fetchall()
+    dims = len(vecs[0][1])
+    per = {}
+    for lbl, emb in vecs:
+        q = [m.floor(float(x) * (1 << 20)) for x in emb]
+        st = per.setdefault(lbl, [0] * dims + [0])
+        for j in range(dims):
+            st[j] += q[j]
+        st[dims] += 1
+    g = [sum(per[l][j] for l in per) for j in range(dims)]
+    n = sum(per[l][dims] for l in per)
+    model = {}
+    for lbl, st in per.items():
+        tot = 0
+        for j in range(dims):
+            gc = g[j] / n
+            loo = (g[j] - st[j]) / (n - st[dims])
+            tot += m.floor((gc - loo) * (gc - loo) * 1e6 + 0.5)
+        model[lbl] = (st[dims], tot)
+    assert len(rows) == len(model)
+    for r in rows:
+        n_l, tot = model[r["label"]]
+        assert r["n_vecs"] == n_l
+        assert r["shift2_micro"] == tot
+        assert abs(r["shift_q"] - round(m.sqrt(tot / 1e6), 6)) < 1e-9
+    # sorted by exact integer influence, descending
+    vals = [r["shift2_micro"] for r in rows]
+    assert vals == sorted(vals, reverse=True)
