@@ -240,6 +240,7 @@ _NEW_THIS_ROUND: list[str] = [
     "x134_class_balance_weights",
     "x135_truncation_loss",
     "x136_class_centroid_influence",
+    "f79_mcnemar_test",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 or 5 (union = 179) sit in

@@ -6506,3 +6506,143 @@ def x135_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("retained_share"),
     ).orderBy("lim")
+
+
+# ---------------------------------------------------------------------------
+# F79 — McNemar's test (paired classifier comparison)
+#
+# f69 scores ONE classifier against labels; shipping a change needs
+# the PAIRED question: does the full 8-stopword language-ID beat a
+# degraded 4-stopword variant on the same documents? Accuracy deltas
+# mislead on paired data — McNemar's test uses only the DISCORDANT
+# cells: b = full right / degraded wrong, c = full wrong / degraded
+# right, χ² = (b−c)²/(b+c) (the continuity-corrected form
+# (|b−c|−1)²/(b+c) rides along). Both predictors evaluate in one
+# projection over the shared token array; every cell is an exact
+# BIGINT; the statistics divide identical integers.
+# ---------------------------------------------------------------------------
+
+
+def _x7_pred_variant(n_stop: int) -> tuple[str, str]:
+    """(spark, duck) CASE predictors using the first n_stop stopwords."""
+
+    def hits_spark(lang: str) -> str:
+        lits = ", ".join(f"'{t}'" for t in _STOPWORDS[lang][:n_stop])
+        return f"size(filter(w, t -> t in ({lits})))"
+
+    def hits_duck(lang: str) -> str:
+        lits = ", ".join(f"'{t}'" for t in _STOPWORDS[lang][:n_stop])
+        return f"len(list_filter(w, t -> t IN ({lits})))"
+
+    return (
+        _pred_case({lang: hits_spark(lang) for lang in _LANG_ORDER}),
+        _pred_case({lang: hits_duck(lang) for lang in _LANG_ORDER}),
+    )
+
+
+_F79_SPARK4, _F79_DUCK4 = _x7_pred_variant(4)
+
+
+@register(
+    "f79_mcnemar_test",
+    oracle=f"""
+WITH preds AS (
+  SELECT lang,
+         ({_X7_PRED_DUCK}) AS p_full,
+         ({_F79_DUCK4}) AS p_half
+  FROM (
+    SELECT lang, string_split({NORM_DUCK.format(col="text")}, ' ') AS w
+    FROM documents
+  )
+), cells AS (
+  SELECT CAST(SUM(CASE WHEN p_full = lang AND p_half = lang
+                  THEN 1 ELSE 0 END) AS BIGINT) AS both_right,
+         CAST(SUM(CASE WHEN p_full = lang AND p_half <> lang
+                  THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN p_full <> lang AND p_half = lang
+                  THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN p_full <> lang AND p_half <> lang
+                  THEN 1 ELSE 0 END) AS BIGINT) AS both_wrong
+  FROM preds
+)
+SELECT both_right, b AS full_only_right, c AS half_only_right, both_wrong,
+       ROUND(CAST((b - c) * (b - c) AS DOUBLE) / NULLIF(b + c, 0), 6)
+         AS mcnemar_chi2,
+       ROUND(CAST((ABS(b - c) - 1) * (ABS(b - c) - 1) AS DOUBLE)
+             / NULLIF(b + c, 0), 6) AS mcnemar_chi2_cc
+FROM cells
+""",
+    doc="McNemar's paired test: the full 8-stopword language-ID vs a "
+    "degraded 4-stopword variant on the same docs — discordant cells "
+    "b/c as exact BIGINTs, χ² = (b−c)²/(b+c) plus the continuity-"
+    "corrected form; the paired-classifier member of the eval suite "
+    "beside f69's κ.",
+)
+def f79_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    preds = d.withColumn(
+        "w", F.expr(f"split({NORM_SPARK.format(col='text')}, ' ')")
+    ).select(
+        "lang",
+        F.expr(_X7_PRED_SPARK).alias("p_full"),
+        F.expr(_F79_SPARK4).alias("p_half"),
+    )
+    cells = preds.agg(
+        F.sum(
+            F.when(
+                (F.col("p_full") == F.col("lang"))
+                & (F.col("p_half") == F.col("lang")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("both_right"),
+        F.sum(
+            F.when(
+                (F.col("p_full") == F.col("lang"))
+                & (F.col("p_half") != F.col("lang")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("b"),
+        F.sum(
+            F.when(
+                (F.col("p_full") != F.col("lang"))
+                & (F.col("p_half") == F.col("lang")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("c"),
+        F.sum(
+            F.when(
+                (F.col("p_full") != F.col("lang"))
+                & (F.col("p_half") != F.col("lang")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("both_wrong"),
+    )
+    bc = F.col("b") + F.col("c")
+    return cells.select(
+        "both_right",
+        F.col("b").alias("full_only_right"),
+        F.col("c").alias("half_only_right"),
+        "both_wrong",
+        F.round(
+            ((F.col("b") - F.col("c")) * (F.col("b") - F.col("c")))
+            .cast("double")
+            / F.nullif(bc, F.lit(0)),
+            6,
+        ).alias("mcnemar_chi2"),
+        F.round(
+            (
+                (F.abs(F.col("b") - F.col("c")) - 1)
+                * (F.abs(F.col("b") - F.col("c")) - 1)
+            ).cast("double")
+            / F.nullif(bc, F.lit(0)),
+            6,
+        ).alias("mcnemar_chi2_cc"),
+    )

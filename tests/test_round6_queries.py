@@ -1673,3 +1673,34 @@ def test_x136_matches_python_loo_model(spark):
     # sorted by exact integer influence, descending
     vals = [r["shift2_micro"] for r in rows]
     assert vals == sorted(vals, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# f79 — McNemar
+# ---------------------------------------------------------------------------
+
+
+def test_f79_cells_conserve_and_chi2(spark):
+    [row] = _rows(spark, "f79_mcnemar_test")
+    [(n_docs,)] = _duck("SELECT COUNT(*) FROM documents")
+    cells = (
+        row["both_right"],
+        row["full_only_right"],
+        row["half_only_right"],
+        row["both_wrong"],
+    )
+    assert sum(cells) == n_docs
+    b, c = row["full_only_right"], row["half_only_right"]
+    if b + c > 0:
+        assert row["mcnemar_chi2"] == round((b - c) ** 2 / (b + c), 6)
+        assert row["mcnemar_chi2_cc"] == round(
+            (abs(b - c) - 1) ** 2 / (b + c), 6
+        )
+    # the full 8-stopword model must dominate its 4-stopword ablation
+    # in paired wins (more stopwords can only add evidence here)
+    assert b >= c
+    # full-model accuracy from the cells equals f69's observed agreement
+    [(k_docs, n_agree, *_rest)] = [
+        (r["n_docs"], r["n_agree"]) for r in _rows(spark, "f69_cohen_kappa")
+    ]
+    assert row["both_right"] + row["full_only_right"] == n_agree
