@@ -241,6 +241,7 @@ _NEW_THIS_ROUND: list[str] = [
     "x135_truncation_loss",
     "x136_class_centroid_influence",
     "f79_mcnemar_test",
+    "g28_max_drawdown",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 or 5 (union = 179) sit in

@@ -9210,3 +9210,113 @@ def f78_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t3").alias("tie_cubes"),
         F.round(z, 6).alias("z_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# G28 — maximum drawdown (peak-to-trough of the cumulative series)
+#
+# f63 prices tail DAYS (VaR/ES); risk reviews also ask about the
+# worst SUSTAINED stretch: the maximum drawdown of cumulative net
+# flow — here daily revenue vs its running mean as the flow proxy
+# (pure revenue never draws down; subtracting the global daily mean
+# makes the series mean-zero so drawdowns are meaningful). All on the
+# f48 integer-dollar day grain: cumulative sums are exact after
+# scaling by the day count (y·D − T keeps everything integer — no
+# division), running max is an integer window, drawdown = runmax −
+# cum, and the argmax resolves (depth, day) totally. Day-grain
+# windows only (calendar-bounded).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g28_max_drawdown",
+    oracle="""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1995-01-01', o_orderdate) AS d,
+         CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                         AS DECIMAL(38,2)), 0) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(y) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS nd
+  FROM daily
+), centered AS (
+  -- flow scaled by nd: y*nd - t is integer and mean-zero
+  SELECT d, y * tot.nd - tot.t AS f FROM daily CROSS JOIN tot
+), cum AS (
+  SELECT d,
+         CAST(SUM(f) OVER (ORDER BY d) AS BIGINT) AS c
+  FROM centered
+), dd AS (
+  SELECT d, c,
+         CAST(MAX(c) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS runmax
+  FROM cum
+), worst AS (
+  SELECT d AS trough_day, runmax - c AS depth_scaled
+  FROM dd ORDER BY runmax - c DESC, d ASC LIMIT 1
+)
+SELECT (SELECT nd FROM tot) AS n_days,
+       CAST(w.trough_day AS BIGINT) AS trough_day,
+       CAST(w.depth_scaled AS BIGINT) AS depth_scaled,
+       ROUND(CAST(w.depth_scaled AS DOUBLE) / (SELECT nd FROM tot), 4)
+         AS depth_dollars
+FROM worst w
+""",
+    doc="Maximum drawdown of cumulative mean-centered daily revenue: "
+    "the flow is scaled by the day count (y·D − T) so cumulative sums "
+    "and the running max stay exact integers with no division, the "
+    "worst (depth, day) resolves under a total order, and the dollar "
+    "depth is one final division — the sustained-stretch risk view "
+    "beside f63's per-day VaR; calendar-bounded day-grain windows.",
+)
+def g28_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("date")
+        ).alias("d")
+    ).agg(
+        F.round(
+            F.sum(X.dec("o_totalprice")).cast("decimal(38,2)"), 0
+        )
+        .cast("bigint")
+        .alias("y")
+    )
+    tot = daily.agg(
+        F.sum("y").cast("bigint").alias("t"),
+        F.count("*").cast("bigint").alias("nd"),
+    )
+    centered = daily.crossJoin(F.broadcast(tot)).select(
+        "d",
+        (F.col("y") * F.col("nd") - F.col("t")).alias("f"),
+        "nd",
+    )
+    # calendar-bounded day-grain windows (f48/f51 contract)
+    w_cum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    dd = centered.select(
+        "d",
+        "nd",
+        F.sum("f").over(w_cum).cast("bigint").alias("c"),
+    ).select(
+        "d",
+        "nd",
+        "c",
+        F.max("c").over(w_cum).cast("bigint").alias("runmax"),
+    )
+    worst = (
+        dd.select(
+            "nd",
+            F.col("d").alias("trough_day"),
+            (F.col("runmax") - F.col("c")).alias("depth_scaled"),
+        )
+        .orderBy(F.desc("depth_scaled"), F.asc("trough_day"))
+        .limit(1)
+    )
+    return worst.select(
+        F.col("nd").alias("n_days"),
+        F.col("trough_day").cast("bigint").alias("trough_day"),
+        F.col("depth_scaled").cast("bigint").alias("depth_scaled"),
+        F.round(
+            F.col("depth_scaled").cast("double") / F.col("nd"), 4
+        ).alias("depth_dollars"),
+    )

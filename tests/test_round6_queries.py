@@ -1704,3 +1704,33 @@ def test_f79_cells_conserve_and_chi2(spark):
         (r["n_docs"], r["n_agree"]) for r in _rows(spark, "f69_cohen_kappa")
     ]
     assert row["both_right"] + row["full_only_right"] == n_agree
+
+
+# ---------------------------------------------------------------------------
+# g28 — max drawdown
+# ---------------------------------------------------------------------------
+
+
+def test_g28_matches_python_drawdown_model(spark):
+    [row] = _rows(spark, "g28_max_drawdown")
+    daily = dict(
+        _duck(
+            "SELECT date_diff('day', DATE '1995-01-01', o_orderdate), "
+            "CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) "
+            "AS DECIMAL(38,2)), 0) AS BIGINT) FROM orders GROUP BY 1"
+        )
+    )
+    nd, t = len(daily), sum(daily.values())
+    cum, runmax, best = 0, None, None
+    for d in sorted(daily):
+        cum += daily[d] * nd - t
+        runmax = cum if runmax is None else max(runmax, cum)
+        depth = runmax - cum
+        if best is None or depth > best[0]:
+            best = (depth, d)
+    depth, trough = best
+    assert row["n_days"] == nd
+    assert row["depth_scaled"] == depth
+    assert row["trough_day"] == trough
+    assert abs(row["depth_dollars"] - round(depth / nd, 4)) < 1e-9
+    assert depth >= 0
