@@ -242,6 +242,7 @@ _NEW_THIS_ROUND: list[str] = [
     "x136_class_centroid_influence",
     "f79_mcnemar_test",
     "g28_max_drawdown",
+    "f80_partial_correlation",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 or 5 (union = 179) sit in

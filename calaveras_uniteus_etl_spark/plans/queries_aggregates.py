@@ -9320,3 +9320,134 @@ def g28_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("depth_scaled").cast("double") / F.col("nd"), 4
         ).alias("depth_dollars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F80 — partial correlation (controlling for a confounder)
+#
+# The correlation family (f26 OLS, f48 ACF, f61 Spearman, f68 lead-
+# lag) lacks its confounder-aware member: does quantity correlate
+# with line revenue ONCE DISCOUNT IS HELD FIXED? Partial correlation
+# is closed-form from the three pairwise Pearson r's:
+# r_xy.z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)). All three come
+# from ONE pass of exact integer moments (quantity integral, price
+# cents, discount in basis points — products through DECIMAL(38,0))
+# and the final expression divides identical doubles, 6dp.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f80_partial_correlation",
+    oracle="""
+WITH v AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+         CAST(round(l_discount * 10000) AS BIGINT) AS z
+  FROM lineitem
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(z) AS BIGINT) AS sz,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * z) AS DECIMAL(38,0)) AS sxz,
+         CAST(SUM(CAST(y AS DECIMAL(38,0)) * z) AS DECIMAL(38,0)) AS syz,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy,
+         CAST(SUM(CAST(z AS DECIMAL(38,0)) * z) AS DECIMAL(38,0)) AS szz
+  FROM v
+), r AS (
+  SELECT n,
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * sy)
+         / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * sx)
+                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * sy)) AS r_xy,
+         (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+          - CAST(sx AS DOUBLE) * sz)
+         / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * sx)
+                * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                   - CAST(sz AS DOUBLE) * sz)) AS r_xz,
+         (CAST(n AS DOUBLE) * CAST(syz AS DOUBLE)
+          - CAST(sy AS DOUBLE) * sz)
+         / sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * sy)
+                * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                   - CAST(sz AS DOUBLE) * sz)) AS r_yz
+  FROM s
+)
+SELECT n AS n_lines,
+       ROUND(r_xy, 6) AS r_xy,
+       ROUND(r_xz, 6) AS r_xz,
+       ROUND(r_yz, 6) AS r_yz,
+       ROUND((r_xy - r_xz * r_yz)
+             / sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz)), 6)
+         AS r_xy_given_z
+FROM r
+""",
+    doc="Partial correlation of quantity vs line revenue controlling "
+    "for discount: the three Pearson r's from ONE pass of exact "
+    "integer moments (cents / basis points, DECIMAL(38,0) products), "
+    "then the closed-form r_xy.z — the confounder-aware member of "
+    "the correlation family.",
+)
+def f80_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+        F.round(F.col("l_discount") * 10000).cast("bigint").alias("z"),
+    )
+
+    def dprod(a, b):
+        return (
+            F.sum(F.col(a).cast("decimal(38,0)") * F.col(b))
+            .cast("decimal(38,0)")
+            .alias(f"s{a}{b}")
+        )
+
+    s = v.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("z").cast("bigint").alias("sz"),
+        dprod("x", "y"),
+        dprod("x", "z"),
+        dprod("y", "z"),
+        dprod("x", "x"),
+        dprod("y", "y"),
+        dprod("z", "z"),
+    )
+    nd = F.col("n").cast("double")
+
+    def pear(sab, sa, sb, saa, sbb):
+        num = nd * F.col(sab).cast("double") - F.col(sa).cast(
+            "double"
+        ) * F.col(sb)
+        den = F.sqrt(
+            (nd * F.col(saa).cast("double") - F.col(sa).cast("double") * F.col(sa))
+            * (nd * F.col(sbb).cast("double") - F.col(sb).cast("double") * F.col(sb))
+        )
+        return num / den
+
+    r = s.select(
+        "n",
+        pear("sxy", "sx", "sy", "sxx", "syy").alias("r_xy"),
+        pear("sxz", "sx", "sz", "sxx", "szz").alias("r_xz"),
+        pear("syz", "sy", "sz", "syy", "szz").alias("r_yz"),
+    )
+    return r.select(
+        F.col("n").alias("n_lines"),
+        F.round("r_xy", 6).alias("r_xy"),
+        F.round("r_xz", 6).alias("r_xz"),
+        F.round("r_yz", 6).alias("r_yz"),
+        F.round(
+            (F.col("r_xy") - F.col("r_xz") * F.col("r_yz"))
+            / F.sqrt(
+                (F.lit(1.0) - F.col("r_xz") * F.col("r_xz"))
+                * (F.lit(1.0) - F.col("r_yz") * F.col("r_yz"))
+            ),
+            6,
+        ).alias("r_xy_given_z"),
+    )

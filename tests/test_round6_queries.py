@@ -1734,3 +1734,44 @@ def test_g28_matches_python_drawdown_model(spark):
     assert row["trough_day"] == trough
     assert abs(row["depth_dollars"] - round(depth / nd, 4)) < 1e-9
     assert depth >= 0
+
+
+# ---------------------------------------------------------------------------
+# f80 — partial correlation
+# ---------------------------------------------------------------------------
+
+
+def test_f80_matches_python_partial_corr(spark):
+    import math as m
+
+    [row] = _rows(spark, "f80_partial_correlation")
+    data = _duck(
+        "SELECT CAST(l_quantity AS BIGINT), "
+        "CAST(round(l_extendedprice*100) AS BIGINT), "
+        "CAST(round(l_discount*10000) AS BIGINT) FROM lineitem"
+    )
+    n = len(data)
+    assert row["n_lines"] == n
+
+    def pearson(ai, bi):
+        sa = sum(r[ai] for r in data)
+        sb = sum(r[bi] for r in data)
+        sab = sum(r[ai] * r[bi] for r in data)
+        saa = sum(r[ai] * r[ai] for r in data)
+        sbb = sum(r[bi] * r[bi] for r in data)
+        return (n * sab - sa * sb) / m.sqrt(
+            (n * saa - sa * sa) * (n * sbb - sb * sb)
+        )
+
+    r_xy, r_xz, r_yz = pearson(0, 1), pearson(0, 2), pearson(1, 2)
+    assert abs(row["r_xy"] - r_xy) < 1e-5
+    assert abs(row["r_xz"] - r_xz) < 1e-5
+    assert abs(row["r_yz"] - r_yz) < 1e-5
+    part = (r_xy - r_xz * r_yz) / m.sqrt(
+        (1 - r_xz**2) * (1 - r_yz**2)
+    )
+    assert abs(row["r_xy_given_z"] - part) < 1e-5
+    # the synthetic generator draws price independent of quantity, so
+    # only the correlation-coefficient bounds are data-independent
+    for col in ("r_xy", "r_xz", "r_yz", "r_xy_given_z"):
+        assert -1.0 <= row[col] <= 1.0
