@@ -9451,3 +9451,95 @@ def f80_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r_xy_given_z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# G29 — rolling z-score anomaly days (trailing-window control chart)
+#
+# The monitoring primitive behind every alert rule: flag days whose
+# revenue sits k·σ from the TRAILING week's mean (the trailing frame
+# excludes today — an anomaly must not mask itself). On the f48
+# integer-dollar day grain: trailing Σy and Σy² are exact BIGINTs
+# from ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING, the sample variance
+# uses the n-denominator-free integer form, and the flag compares
+# CROSS-MULTIPLIED integers — (n·y − Σy)² vs k²·n·(nΣy² − (Σy)²)/(n−1)
+# rearranged to avoid ALL division: (n−1)·(n·y − Σy)² > k²·n·(nΣy²−(Σy)²).
+# Output: flagged days with their deviation in exact scaled units.
+# Day-grain windows only (calendar-bounded).
+# ---------------------------------------------------------------------------
+
+_G29_K2 = 4  # k = 2 sigma, squared (integer)
+
+
+@register(
+    "g29_anomaly_days",
+    oracle=f"""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1995-01-01', o_orderdate) AS d,
+         CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                         AS DECIMAL(38,2)), 0) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+), trail AS (
+  SELECT d, y,
+         CAST(COUNT(y) OVER w AS BIGINT) AS n,
+         CAST(SUM(y) OVER w AS BIGINT) AS sy,
+         CAST(SUM(y * y) OVER w AS BIGINT) AS syy
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT CAST(d AS BIGINT) AS d, y,
+       CAST(n * y - sy AS BIGINT) AS dev_scaled,
+       CAST((n - 1) * (n * y - sy) * (n * y - sy) AS BIGINT) AS lhs,
+       CAST({_G29_K2} * n * (n * syy - sy * sy) AS BIGINT) AS rhs
+FROM trail
+WHERE n >= 5
+  AND (n - 1) * (n * y - sy) * (n * y - sy)
+      > {_G29_K2} * n * (n * syy - sy * sy)
+ORDER BY d
+""",
+    doc="Trailing-week control chart: days whose revenue deviates more "
+    "than 2σ from the PRECEDING 7 days (frame excludes today so an "
+    "anomaly cannot mask itself), decided entirely by cross-"
+    "multiplied integer comparison — (n−1)(ny−Σy)² > k²n(nΣy²−(Σy)²), "
+    "no division, no sqrt; the alert-rule primitive beside f30/f51.",
+)
+def g29_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("date")
+        ).alias("d")
+    ).agg(
+        F.round(
+            F.sum(X.dec("o_totalprice")).cast("decimal(38,2)"), 0
+        )
+        .cast("bigint")
+        .alias("y")
+    )
+    # calendar-bounded day-grain window, trailing frame excludes today
+    w = Window.orderBy("d").rowsBetween(-7, -1)
+    trail = daily.select(
+        "d",
+        "y",
+        F.count("y").over(w).cast("bigint").alias("n"),
+        F.sum("y").over(w).cast("bigint").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("bigint").alias("syy"),
+    )
+    dev = F.col("n") * F.col("y") - F.col("sy")
+    lhs = (F.col("n") - 1) * dev * dev
+    rhs = (
+        F.lit(_G29_K2)
+        * F.col("n")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return (
+        trail.filter((F.col("n") >= 5) & (lhs > rhs))
+        .select(
+            F.col("d").cast("bigint").alias("d"),
+            "y",
+            dev.cast("bigint").alias("dev_scaled"),
+            lhs.cast("bigint").alias("lhs"),
+            rhs.cast("bigint").alias("rhs"),
+        )
+        .orderBy("d")
+    )

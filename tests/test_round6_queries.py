@@ -1775,3 +1775,35 @@ def test_f80_matches_python_partial_corr(spark):
     # only the correlation-coefficient bounds are data-independent
     for col in ("r_xy", "r_xz", "r_yz", "r_xy_given_z"):
         assert -1.0 <= row[col] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# g29 — anomaly days
+# ---------------------------------------------------------------------------
+
+
+def test_g29_matches_python_control_chart(spark):
+    rows = {r["d"]: r for r in _rows(spark, "g29_anomaly_days")}
+    daily = dict(
+        _duck(
+            "SELECT date_diff('day', DATE '1995-01-01', o_orderdate), "
+            "CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) "
+            "AS DECIMAL(38,2)), 0) AS BIGINT) FROM orders GROUP BY 1"
+        )
+    )
+    days = sorted(daily)
+    flagged = {}
+    for i, d in enumerate(days):
+        win = [daily[days[j]] for j in range(max(0, i - 7), i)]
+        n = len(win)
+        if n < 5:
+            continue
+        sy, syy = sum(win), sum(v * v for v in win)
+        y = daily[d]
+        dev = n * y - sy
+        if (n - 1) * dev * dev > 4 * n * (n * syy - sy * sy):
+            flagged[d] = dev
+    assert set(rows) == set(flagged)
+    for d, r in rows.items():
+        assert r["dev_scaled"] == flagged[d]
+        assert r["lhs"] > r["rhs"]  # the flag condition, restated
