@@ -9543,3 +9543,121 @@ def g29_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+# ---------------------------------------------------------------------------
+# F81 — effect sizes (Cohen's d, Hedges' g)
+#
+# The inference suite answers "is there a difference?"; the decision-
+# maker's question is "HOW BIG?" — standardized effect sizes. Between
+# urgent and non-urgent order values: Cohen's d = (x̄₁−x̄₂)/s_pooled
+# with the pooled SD from exact cent moments, and Hedges' g applies
+# the small-sample correction J ≈ 1 − 3/(4·df − 1) (the standard
+# rational approximation — algebraic, no gamma function, identical
+# on both engines). Every moment is an exact integer (DECIMAL(38,0)
+# squares); the final expressions divide identical doubles, 6dp.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f81_effect_sizes",
+    oracle="""
+WITH v AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS grp,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+), s AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS sc,
+         CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) AS scc
+  FROM v GROUP BY grp
+), w AS (
+  SELECT MAX(CASE WHEN grp = 1 THEN n END) AS n1,
+         MAX(CASE WHEN grp = 0 THEN n END) AS n0,
+         MAX(CASE WHEN grp = 1 THEN sc END) AS sc1,
+         MAX(CASE WHEN grp = 0 THEN sc END) AS sc0,
+         MAX(CASE WHEN grp = 1 THEN scc END) AS scc1,
+         MAX(CASE WHEN grp = 0 THEN scc END) AS scc0
+  FROM s
+), d AS (
+  SELECT n1, n0,
+         CAST(sc1 AS DOUBLE) / n1 - CAST(sc0 AS DOUBLE) / n0 AS mean_diff,
+         sqrt(((CAST(scc1 AS DOUBLE) - CAST(sc1 AS DOUBLE) * sc1 / n1)
+               + (CAST(scc0 AS DOUBLE) - CAST(sc0 AS DOUBLE) * sc0 / n0))
+              / (n1 + n0 - 2)) AS s_pooled
+  FROM w
+)
+SELECT n1 AS n_urgent, n0 AS n_other,
+       ROUND(mean_diff / 100, 4) AS mean_diff_dollars,
+       ROUND(s_pooled / 100, 4) AS pooled_sd_dollars,
+       ROUND(mean_diff / s_pooled, 6) AS cohens_d,
+       ROUND((mean_diff / s_pooled)
+             * (1.0 - 3.0 / (4.0 * (n1 + n0 - 2) - 1)), 6) AS hedges_g
+FROM d
+""",
+    doc="Standardized effect sizes between urgent and non-urgent order "
+    "values: Cohen's d from exact cent moments (pooled SD, "
+    "DECIMAL(38,0) squares) and Hedges' g via the rational small-"
+    "sample correction 1 − 3/(4·df − 1) — the 'how big' companion to "
+    "the f34/f45/f49/f67/f78 significance suite.",
+)
+def f81_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    v = o.select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+    )
+    s = v.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("sc"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+        .cast("decimal(38,0)")
+        .alias("scc"),
+    )
+    pick = lambda col, g: F.max(  # noqa: E731 - tiny local shorthand
+        F.when(F.col("grp") == g, F.col(col))
+    )
+    w = s.agg(
+        pick("n", 1).alias("n1"),
+        pick("n", 0).alias("n0"),
+        pick("sc", 1).alias("sc1"),
+        pick("sc", 0).alias("sc0"),
+        pick("scc", 1).alias("scc1"),
+        pick("scc", 0).alias("scc0"),
+    )
+    mean_diff = F.col("sc1").cast("double") / F.col("n1") - F.col(
+        "sc0"
+    ).cast("double") / F.col("n0")
+    ss1 = F.col("scc1").cast("double") - F.col("sc1").cast("double") * F.col(
+        "sc1"
+    ) / F.col("n1")
+    ss0 = F.col("scc0").cast("double") - F.col("sc0").cast("double") * F.col(
+        "sc0"
+    ) / F.col("n0")
+    s_pooled = F.sqrt((ss1 + ss0) / (F.col("n1") + F.col("n0") - 2))
+    d = w.select(
+        "n1",
+        "n0",
+        mean_diff.alias("mean_diff"),
+        s_pooled.alias("s_pooled"),
+    )
+    return d.select(
+        F.col("n1").alias("n_urgent"),
+        F.col("n0").alias("n_other"),
+        F.round(F.col("mean_diff") / 100, 4).alias("mean_diff_dollars"),
+        F.round(F.col("s_pooled") / 100, 4).alias("pooled_sd_dollars"),
+        F.round(F.col("mean_diff") / F.col("s_pooled"), 6).alias(
+            "cohens_d"
+        ),
+        F.round(
+            (F.col("mean_diff") / F.col("s_pooled"))
+            * (
+                F.lit(1.0)
+                - F.lit(3.0)
+                / (F.lit(4.0) * (F.col("n1") + F.col("n0") - 2) - 1)
+            ),
+            6,
+        ).alias("hedges_g"),
+    )

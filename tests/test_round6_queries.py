@@ -1807,3 +1807,34 @@ def test_g29_matches_python_control_chart(spark):
     for d, r in rows.items():
         assert r["dev_scaled"] == flagged[d]
         assert r["lhs"] > r["rhs"]  # the flag condition, restated
+
+
+# ---------------------------------------------------------------------------
+# f81 — effect sizes
+# ---------------------------------------------------------------------------
+
+
+def test_f81_matches_python_effect_model(spark):
+    import math as m
+
+    [row] = _rows(spark, "f81_effect_sizes")
+    data = _duck(
+        "SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END, "
+        "CAST(round(o_totalprice*100) AS BIGINT) FROM orders"
+    )
+    g1 = [c for g, c in data if g == 1]
+    g0 = [c for g, c in data if g == 0]
+    n1, n0 = len(g1), len(g0)
+    assert (row["n_urgent"], row["n_other"]) == (n1, n0)
+    mean_diff = sum(g1) / n1 - sum(g0) / n0
+    ss1 = sum(c * c for c in g1) - sum(g1) ** 2 / n1
+    ss0 = sum(c * c for c in g0) - sum(g0) ** 2 / n0
+    sp = m.sqrt((ss1 + ss0) / (n1 + n0 - 2))
+    d = mean_diff / sp
+    assert abs(row["mean_diff_dollars"] - mean_diff / 100) < 1e-2
+    assert abs(row["pooled_sd_dollars"] - sp / 100) < 1e-2
+    assert abs(row["cohens_d"] - d) < 1e-5
+    j = 1 - 3 / (4 * (n1 + n0 - 2) - 1)
+    assert abs(row["hedges_g"] - d * j) < 1e-5
+    # the correction always shrinks |d|, and vanishes as df grows
+    assert abs(row["hedges_g"]) <= abs(row["cohens_d"]) + 1e-12
