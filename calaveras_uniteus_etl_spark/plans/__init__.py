@@ -245,6 +245,7 @@ _NEW_THIS_ROUND: list[str] = [
     "f80_partial_correlation",
     "g29_anomaly_days",
     "f81_effect_sizes",
+    "x137_winnowing",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 or 5 (union = 179) sit in

@@ -3686,3 +3686,174 @@ def x122_grouped_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# X137 — winnowing: minimizer fingerprint selection (MOSS)
+#
+# The shingle pipeline (x2/x10) fingerprints EVERY k-gram; winnowing
+# (Schleimer/Wilkerson/Aiken 2003 — the MOSS algorithm) keeps a
+# guaranteed subset: in every window of w consecutive k-gram hashes,
+# keep the minimum (rightmost on ties). Any match of length ≥ w+k−1
+# words stays detectable while only ~2/(w+1) of grams are stored.
+#
+# Relational trick: encode (hash, rightmost-tie) as ONE integer key
+# k = h_small·C − pos (h folded to 40 bits so the product fits BIGINT;
+# pos < C). The winner of the window anchored at position a is
+# min(key) over [a, a+w−1], and because the key ENCODES the position,
+# the winning position recovers as (−min_key) mod C — so the selected
+# set is just DISTINCT (doc, (−win_min) mod C) over valid anchors: one
+# doc-partitioned look-ahead window, no self-join, no second pass.
+# Output: per-source totals, selection density beside the 2/(w+1)
+# theory, distinct selected digests.
+# ---------------------------------------------------------------------------
+
+_X137_K = 5  # words per shingle
+_X137_W = 4  # winnowing window, in grams
+_X137_C = 2_000_000  # position modulus (> max grams/doc by construction)
+_X137_HMOD = 1 << 40  # fold the 60-bit hash so key = h*C - pos fits BIGINT
+
+from calaveras_uniteus_etl_spark.functions.hashing import (  # noqa: E402
+    duckdb_md5_long_sql as _x137_md5sql,
+)
+
+# DuckDB twin of the Spark gram expression concat_ws(' ', slice(w,i,K))
+_duck_fold_sql_x137 = _x137_md5sql(
+    f"array_to_string(w[i:i+{_X137_K - 1}], ' ')"
+)
+
+
+@register(
+    "x137_winnowing",
+    oracle=f"""
+WITH docs AS (
+  SELECT source, doc_id,
+         string_split({dd.NORM_DUCK.format(col="text")}, ' ') AS w
+  FROM documents
+), grams AS (
+  SELECT source, doc_id, i AS pos,
+         ({_duck_fold_sql_x137}) % {_X137_HMOD} AS h
+  FROM docs, unnest(range(1, len(w) - {_X137_K} + 2)) AS t(i)
+  WHERE len(w) >= {_X137_K}
+), keyed AS (
+  SELECT source, doc_id, pos, h,
+         h * {_X137_C} - pos AS key,
+         MAX(pos) OVER (PARTITION BY doc_id) AS max_pos
+  FROM grams
+), anchors AS (
+  SELECT doc_id,
+         ((((- MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN CURRENT ROW AND {_X137_W - 1} FOLLOWING)))
+           % {_X137_C}) + {_X137_C}) % {_X137_C} AS win_pos,
+         pos, max_pos
+  FROM keyed
+), chosen AS (
+  SELECT DISTINCT a.doc_id, a.win_pos AS pos
+  FROM anchors a
+  WHERE a.pos <= a.max_pos - {_X137_W - 1}
+), picked AS (
+  SELECT k.source, k.doc_id, k.pos, k.h
+  FROM keyed k JOIN chosen c ON c.doc_id = k.doc_id AND c.pos = k.pos
+)
+SELECT g.source,
+       CAST(COUNT(*) AS BIGINT) AS total_grams,
+       CAST((SELECT COUNT(*) FROM picked p
+             WHERE p.source = g.source) AS BIGINT) AS selected,
+       ROUND(CAST((SELECT COUNT(*) FROM picked p
+                   WHERE p.source = g.source) AS DOUBLE)
+             / COUNT(*), 6) AS density,
+       ROUND(2.0 / ({_X137_W} + 1), 6) AS density_theory,
+       CAST((SELECT COUNT(DISTINCT p.h) FROM picked p
+             WHERE p.source = g.source) AS BIGINT) AS distinct_digests
+FROM grams g
+GROUP BY g.source
+ORDER BY g.source
+""",
+    doc=f"Winnowing (MOSS): word-{_X137_K}-gram hashes folded to 40 "
+    f"bits, window-of-{_X137_W} minimizers with the rightmost-tie rule "
+    "encoded in one integer key h·C − pos whose argmin POSITION "
+    "recovers as (−min) mod C — one doc-partitioned look-ahead window, "
+    "no self-join; per-source selection density beside the 2/(w+1) "
+    "theory — the guaranteed-coverage fingerprint subset for matches "
+    f"≥ {_X137_W + _X137_K - 1} words.",
+)
+def x137_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calaveras_uniteus_etl_spark.functions.hashing import md5_long
+
+    d = table(spark, sf_dir, "documents")
+    norm = dd.NORM_SPARK.format(col="text")
+    grams = (
+        d.select(
+            "source",
+            "doc_id",
+            F.expr(f"split({norm}, ' ')").alias("w"),
+        )
+        .filter(F.size("w") >= _X137_K)
+        .select(
+            "source",
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {_X137_K} + 1), "
+                    f"i -> concat_ws(' ', slice(w, i, {_X137_K})))"
+                )
+            ).alias("pos0", "gram"),
+        )
+        .select(
+            "source",
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            (md5_long(F.col("gram")) % _X137_HMOD).alias("h"),
+        )
+    )
+    w_doc = WindowSpec.partitionBy("doc_id")
+    w_ahead = (
+        WindowSpec.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, _X137_W - 1)
+    )
+    keyed = grams.select(
+        "source",
+        "doc_id",
+        "pos",
+        "h",
+        (F.col("h") * _X137_C - F.col("pos")).alias("key"),
+        F.max("pos").over(w_doc).alias("max_pos"),
+    )
+    anchors = keyed.select(
+        "doc_id",
+        "pos",
+        "max_pos",
+        F.pmod(-F.min("key").over(w_ahead), F.lit(_X137_C)).alias(
+            "win_pos"
+        ),
+    )
+    chosen = (
+        anchors.filter(F.col("pos") <= F.col("max_pos") - (_X137_W - 1))
+        .select("doc_id", F.col("win_pos").alias("pos"))
+        .distinct()
+    )
+    picked = keyed.join(chosen, ["doc_id", "pos"]).select(
+        "source", "doc_id", "pos", "h"
+    )
+    totals = grams.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("total_grams")
+    )
+    stats = picked.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("selected"),
+        F.countDistinct("h").cast("bigint").alias("distinct_digests"),
+    )
+    return (
+        totals.join(F.broadcast(stats), "source")
+        .select(
+            "source",
+            "total_grams",
+            "selected",
+            F.round(
+                F.col("selected").cast("double") / F.col("total_grams"), 6
+            ).alias("density"),
+            F.round(F.lit(2.0) / (_X137_W + 1), 6).alias("density_theory"),
+            "distinct_digests",
+        )
+        .orderBy("source")
+    )

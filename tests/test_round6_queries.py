@@ -1838,3 +1838,52 @@ def test_f81_matches_python_effect_model(spark):
     assert abs(row["hedges_g"] - d * j) < 1e-5
     # the correction always shrinks |d|, and vanishes as df grows
     assert abs(row["hedges_g"]) <= abs(row["cohens_d"]) + 1e-12
+
+
+# ---------------------------------------------------------------------------
+# x137 — winnowing
+# ---------------------------------------------------------------------------
+
+
+def test_x137_matches_python_winnowing_model(spark):
+    rows = {r["source"]: r for r in _rows(spark, "x137_winnowing")}
+    docs = _duck(
+        r"SELECT source, doc_id, lower(regexp_replace(trim(text), '\s+',"
+        r" ' ', 'g')) FROM documents"
+    )
+    K, W, C, HMOD = 5, 4, 2_000_000, 1 << 40
+    from collections import defaultdict
+
+    totals = defaultdict(int)
+    sel_count = defaultdict(int)
+    sel_hashes = defaultdict(set)
+    for src, doc_id, norm in docs:
+        ws = norm.split(" ")
+        if len(ws) < K:
+            continue
+        grams = [
+            " ".join(ws[i:i + K]) for i in range(len(ws) - K + 1)
+        ]
+        hs = [
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % HMOD
+            for g in grams
+        ]
+        n = len(hs)
+        totals[src] += n
+        keys = [hs[i] * C - (i + 1) for i in range(n)]
+        chosen = set()
+        for a in range(0, n - W + 1):
+            m = min(keys[a:a + W])
+            chosen.add((-m) % C)  # position of the window min
+        sel_count[src] += len(chosen)
+        for pos in chosen:
+            sel_hashes[src].add(hs[pos - 1])
+    for src, r in rows.items():
+        assert r["total_grams"] == totals[src]
+        assert r["selected"] == sel_count[src], src
+        assert r["distinct_digests"] == len(sel_hashes[src])
+        # density near the 2/(w+1) theory
+        assert abs(r["density"] - r["density_theory"]) < 0.08
+        # guaranteed coverage: every window has at least one selection,
+        # so density can never fall below 1/w
+        assert r["density"] >= 1.0 / W - 1e-9
