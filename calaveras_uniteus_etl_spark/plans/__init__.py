@@ -180,14 +180,14 @@ _NEVER_CHECKED = [
     "x116_shard_checksums",
 ]
 
-# Round-6 additions with no driver evidence yet (39 entries): they
-# queue directly behind the backlog above so they enter the check
-# window as the backlog drains. Every entry was green under
-# tools/driver_check.py at BOTH sf0.01 and sf0.1 before registration,
-# is covered by a Python model test in tests/test_round6_queries.py,
-# and the FINAL registry re-proved green in one vanilla-session gate
-# run at the end of the round: 352/352 at sf0.01 in 433s
-# (tools/driver_check.py, 2026-08-15).
+# Round-6 additions with no driver evidence yet: they queue directly
+# behind the backlog above so they enter the check window as the
+# backlog drains. Every entry was green under tools/driver_check.py
+# at BOTH sf0.01 and sf0.1 before registration, is covered by a
+# Python model test in tests/test_round6_queries.py, and the FINAL
+# registry re-proved green in one vanilla-session gate run at the end
+# of the round: 370/370 at sf0.01 in 398s (tools/driver_check.py,
+# 2026-08-15).
 _NEW_THIS_ROUND: list[str] = [
     "x117_hll_registers",
     "x118_hll_shard_merge",
