@@ -246,6 +246,7 @@ _NEW_THIS_ROUND: list[str] = [
     "g29_anomaly_days",
     "f81_effect_sizes",
     "x137_winnowing",
+    "x138_rule_ablation",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 or 5 (union = 179) sit in

@@ -6646,3 +6646,130 @@ def f79_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mcnemar_chi2_cc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X138 — quality-rule ablation (marginal and unique kills per rule)
+#
+# x70 reports how many docs each rule fails; TUNING the gate needs the
+# ablation view: how many docs fail ONLY this rule (its unique kills —
+# what relaxing it would reclaim), and what retention becomes with the
+# rule removed. One pass computes all rule booleans per doc; the
+# per-rule rollup counts fails, unique kills, pass-all retention, and
+# leave-one-rule-out retention — all exact integers over the x70
+# fragments, no second scan.
+# ---------------------------------------------------------------------------
+
+
+def _x138_arms_duck() -> str:
+    arms = []
+    for rule in _X70_FLAGS:
+        others = " OR ".join(p for r2, p in _X70_FLAGS.items() if r2 != rule)
+        arms.append(
+            f"SELECT '{rule}' AS rule, "
+            f"CAST(SUM(CASE WHEN {_X70_FLAGS[rule]} THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS n_fail, "
+            f"CAST(SUM(CASE WHEN ({_X70_FLAGS[rule]}) AND NOT ({others}) "
+            f"THEN 1 ELSE 0 END) AS BIGINT) AS unique_kills, "
+            f"CAST(SUM(CASE WHEN NOT ({others}) THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS pass_without_rule, "
+            f"CAST(SUM(CASE WHEN NOT ({_X70_FAIL_ANY}) THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS pass_all, "
+            f"CAST(COUNT(*) AS BIGINT) AS n_docs FROM m"
+        )
+    return "\nUNION ALL\n".join(arms)
+
+
+@register(
+    "x138_rule_ablation",
+    oracle=f"""
+WITH m AS (
+  SELECT len(w) AS n,
+         length(norm) - (len(w) - 1) AS chars,
+         len(list_filter(w, t -> t IN ({_X70_STOP_ALL}))) AS stop,
+         len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS alpha,
+         length(norm) - length(regexp_replace(norm, '[0-9]', '', 'g'))
+           AS digits,
+         length(norm) AS normlen
+  FROM (
+    SELECT {NORM_DUCK.format(col="text")} AS norm,
+           string_split({NORM_DUCK.format(col="text")}, ' ') AS w
+    FROM documents
+  )
+)
+SELECT rule, n_fail, unique_kills,
+       ROUND(CAST(pass_all AS DOUBLE) / n_docs, 6) AS retention,
+       ROUND(CAST(pass_without_rule AS DOUBLE) / n_docs, 6)
+         AS retention_without_rule,
+       ROUND(CAST(pass_without_rule - pass_all AS DOUBLE) / n_docs, 6)
+         AS reclaim_share
+FROM ({_x138_arms_duck()})
+ORDER BY rule
+""",
+    doc="Gopher-gate ablation: per rule, total fails, UNIQUE kills "
+    "(docs no other rule catches), and leave-one-rule-out retention "
+    "with the reclaim share — the tuning view over x70's battery, one "
+    "scan, exact integers.",
+)
+def x138_rule_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    norm_sql = NORM_SPARK.format(col="text")
+    m = d.select(
+        F.expr(norm_sql).alias("norm"),
+        F.expr(f"split({norm_sql}, ' ')").alias("w"),
+    ).select(
+        F.expr("size(w)").alias("n"),
+        F.expr("length(norm) - (size(w) - 1)").alias("chars"),
+        F.expr(f"size(filter(w, t -> t in ({_X70_STOP_ALL})))").alias(
+            "stop"
+        ),
+        F.expr("size(filter(w, t -> t rlike '[a-z]'))").alias("alpha"),
+        F.expr(
+            "length(norm) - length(regexp_replace(norm, '[0-9]', ''))"
+        ).alias("digits"),
+        F.length("norm").alias("normlen"),
+    )
+    parts = []
+    for rule, pred in _X70_FLAGS.items():
+        others = " OR ".join(
+            p for r2, p in _X70_FLAGS.items() if r2 != rule
+        )
+        agg = m.agg(
+            F.lit(rule).alias("rule"),
+            F.sum(F.when(F.expr(pred), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_fail"),
+            F.sum(
+                F.when(F.expr(pred) & ~F.expr(others), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("unique_kills"),
+            F.sum(F.when(~F.expr(others), 1).otherwise(0))
+            .cast("bigint")
+            .alias("pass_without_rule"),
+            F.sum(F.when(~F.expr(_X70_FAIL_ANY), 1).otherwise(0))
+            .cast("bigint")
+            .alias("pass_all"),
+            F.count("*").cast("bigint").alias("n_docs"),
+        )
+        parts.append(agg)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.select(
+        "rule",
+        "n_fail",
+        "unique_kills",
+        F.round(
+            F.col("pass_all").cast("double") / F.col("n_docs"), 6
+        ).alias("retention"),
+        F.round(
+            F.col("pass_without_rule").cast("double") / F.col("n_docs"),
+            6,
+        ).alias("retention_without_rule"),
+        F.round(
+            (F.col("pass_without_rule") - F.col("pass_all")).cast("double")
+            / F.col("n_docs"),
+            6,
+        ).alias("reclaim_share"),
+    ).orderBy("rule")

@@ -1887,3 +1887,32 @@ def test_x137_matches_python_winnowing_model(spark):
         # guaranteed coverage: every window has at least one selection,
         # so density can never fall below 1/w
         assert r["density"] >= 1.0 / W - 1e-9
+
+
+# ---------------------------------------------------------------------------
+# x138 — rule ablation
+# ---------------------------------------------------------------------------
+
+
+def test_x138_consistent_with_x70(spark):
+    rows = {r["rule"]: r for r in _rows(spark, "x138_rule_ablation")}
+    [x70] = _rows(spark, "x70_gopher_quality_gate")
+    n_docs = x70["n_docs"]
+    assert len(rows) == 5
+    for rule, r in rows.items():
+        # per-rule fail counts must equal x70's own columns
+        assert r["n_fail"] == x70[rule], rule
+        assert 0 <= r["unique_kills"] <= r["n_fail"]
+        # removing a rule can only increase retention, by exactly the
+        # share of its unique kills
+        assert r["retention"] == round(x70["n_pass_all"] / n_docs, 6)
+        assert (
+            abs(
+                r["retention_without_rule"]
+                - (x70["n_pass_all"] + r["unique_kills"]) / n_docs
+            )
+            < 2e-6
+        )
+        assert abs(
+            r["reclaim_share"] - r["unique_kills"] / n_docs
+        ) < 2e-6
