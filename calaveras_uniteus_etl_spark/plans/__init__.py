@@ -247,6 +247,7 @@ _NEW_THIS_ROUND: list[str] = [
     "f81_effect_sizes",
     "x137_winnowing",
     "x138_rule_ablation",
+    "f82_welch_t",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 or 5 (union = 179) sit in

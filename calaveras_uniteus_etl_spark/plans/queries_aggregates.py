@@ -9661,3 +9661,123 @@ def f81_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hedges_g"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F82 — Welch's t (unequal variances) with Welch-Satterthwaite df
+#
+# f81 sizes the effect; the significance test practitioners actually
+# default to is WELCH's t — no equal-variance assumption, so it stays
+# valid when the urgent segment is noisier than the rest. t =
+# (x̄₁−x̄₂)/√(s₁²/n₁ + s₂²/n₂) and the Welch-Satterthwaite degrees of
+# freedom ν = (v₁+v₂)²/(v₁²/(n₁−1) + v₂²/(n₂−1)) with vᵢ = sᵢ²/nᵢ —
+# all from the SAME exact cent moments as f81 (one pass, DECIMAL(38,0)
+# squares), evaluated as shared double expressions, 6dp.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f82_welch_t",
+    oracle="""
+WITH v AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS grp,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+), s AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS sc,
+         CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) AS scc
+  FROM v GROUP BY grp
+), w AS (
+  SELECT MAX(CASE WHEN grp = 1 THEN n END) AS n1,
+         MAX(CASE WHEN grp = 0 THEN n END) AS n0,
+         MAX(CASE WHEN grp = 1 THEN sc END) AS sc1,
+         MAX(CASE WHEN grp = 0 THEN sc END) AS sc0,
+         MAX(CASE WHEN grp = 1 THEN scc END) AS scc1,
+         MAX(CASE WHEN grp = 0 THEN scc END) AS scc0
+  FROM s
+), parts AS (
+  SELECT n1, n0,
+         CAST(sc1 AS DOUBLE) / n1 - CAST(sc0 AS DOUBLE) / n0 AS mean_diff,
+         ((CAST(scc1 AS DOUBLE) - CAST(sc1 AS DOUBLE) * sc1 / n1)
+          / (n1 - 1)) / n1 AS v1,
+         ((CAST(scc0 AS DOUBLE) - CAST(sc0 AS DOUBLE) * sc0 / n0)
+          / (n0 - 1)) / n0 AS v0
+  FROM w
+)
+SELECT n1 AS n_urgent, n0 AS n_other,
+       ROUND(mean_diff / sqrt(v1 + v0), 6) AS welch_t,
+       ROUND((v1 + v0) * (v1 + v0)
+             / (v1 * v1 / (n1 - 1) + v0 * v0 / (n0 - 1)), 4) AS df_ws
+FROM parts
+""",
+    doc="Welch's unequal-variance t between urgent and non-urgent order "
+    "values with the Welch-Satterthwaite df — the default two-sample "
+    "test, from the same one-pass exact cent moments as f81; shared "
+    "double expressions, 6dp.",
+)
+def f82_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    v = o.select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+    )
+    s = v.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("sc"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+        .cast("decimal(38,0)")
+        .alias("scc"),
+    )
+    pick = lambda col, g: F.max(  # noqa: E731 - tiny local shorthand
+        F.when(F.col("grp") == g, F.col(col))
+    )
+    w = s.agg(
+        pick("n", 1).alias("n1"),
+        pick("n", 0).alias("n0"),
+        pick("sc", 1).alias("sc1"),
+        pick("sc", 0).alias("sc0"),
+        pick("scc", 1).alias("scc1"),
+        pick("scc", 0).alias("scc0"),
+    )
+    mean_diff = F.col("sc1").cast("double") / F.col("n1") - F.col(
+        "sc0"
+    ).cast("double") / F.col("n0")
+    v1 = (
+        (
+            F.col("scc1").cast("double")
+            - F.col("sc1").cast("double") * F.col("sc1") / F.col("n1")
+        )
+        / (F.col("n1") - 1)
+    ) / F.col("n1")
+    v0 = (
+        (
+            F.col("scc0").cast("double")
+            - F.col("sc0").cast("double") * F.col("sc0") / F.col("n0")
+        )
+        / (F.col("n0") - 1)
+    ) / F.col("n0")
+    parts = w.select(
+        "n1",
+        "n0",
+        mean_diff.alias("mean_diff"),
+        v1.alias("v1"),
+        v0.alias("v0"),
+    )
+    return parts.select(
+        F.col("n1").alias("n_urgent"),
+        F.col("n0").alias("n_other"),
+        F.round(
+            F.col("mean_diff") / F.sqrt(F.col("v1") + F.col("v0")), 6
+        ).alias("welch_t"),
+        F.round(
+            (F.col("v1") + F.col("v0")) * (F.col("v1") + F.col("v0"))
+            / (
+                F.col("v1") * F.col("v1") / (F.col("n1") - 1)
+                + F.col("v0") * F.col("v0") / (F.col("n0") - 1)
+            ),
+            4,
+        ).alias("df_ws"),
+    )

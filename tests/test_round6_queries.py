@@ -1916,3 +1916,37 @@ def test_x138_consistent_with_x70(spark):
         assert abs(
             r["reclaim_share"] - r["unique_kills"] / n_docs
         ) < 2e-6
+
+
+# ---------------------------------------------------------------------------
+# f82 — Welch's t
+# ---------------------------------------------------------------------------
+
+
+def test_f82_matches_python_welch_model(spark):
+    import math as m
+
+    [row] = _rows(spark, "f82_welch_t")
+    data = _duck(
+        "SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END, "
+        "CAST(round(o_totalprice*100) AS BIGINT) FROM orders"
+    )
+    g1 = [c for g, c in data if g == 1]
+    g0 = [c for g, c in data if g == 0]
+    n1, n0 = len(g1), len(g0)
+    assert (row["n_urgent"], row["n_other"]) == (n1, n0)
+
+    def var_over_n(xs):
+        n = len(xs)
+        s = sum(xs)
+        ss = sum(x * x for x in xs)
+        return ((ss - s * s / n) / (n - 1)) / n
+
+    v1, v0 = var_over_n(g1), var_over_n(g0)
+    mean_diff = sum(g1) / n1 - sum(g0) / n0
+    t = mean_diff / m.sqrt(v1 + v0)
+    df = (v1 + v0) ** 2 / (v1**2 / (n1 - 1) + v0**2 / (n0 - 1))
+    assert abs(row["welch_t"] - t) < 1e-5
+    assert abs(row["df_ws"] - df) < 1e-2
+    # Welch df is bounded by min(n)-1 below and n1+n0-2 above
+    assert min(n1, n0) - 1 <= row["df_ws"] <= n1 + n0 - 2
