@@ -75,6 +75,8 @@ GLOBAL_WINDOW_ALLOW = {
     "x121_waterfill_budget": "source grain (~dozens of sources)",
     "f67_kruskal_wallis": "quantity value grain (integers 1..50)",
     "f70_gini_split": "fixed 256-bin cents grain (candidate thresholds)",
+    "g28_max_drawdown": "calendar-day grain",
+    "g29_anomaly_days": "calendar-day grain",
 }
 
 _WINDOW_RE = re.compile(r"\bWindow \[")
