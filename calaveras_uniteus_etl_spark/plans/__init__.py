@@ -249,6 +249,7 @@ _NEW_THIS_ROUND: list[str] = [
     "x137_winnowing",
     "x138_rule_ablation",
     "f82_welch_t",
+    "m18_double_fire_audit",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 or 5 (union = 179) sit in

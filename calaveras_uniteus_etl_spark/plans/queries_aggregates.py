@@ -9781,3 +9781,76 @@ def f82_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("df_ws"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M18 — double-fire event audit (client retry / dedup-miss detector)
+#
+# The classic instrumentation bug: a client retry or a missing
+# idempotency key fires the same event twice. Suspected double-fires
+# are consecutive events of the SAME user, type, and value cents
+# within one second — found with one user/type-partitioned lag window
+# over exact epoch-µs (no self-join), reported per type with the
+# suspect share. Zero on a clean feed — the m13/m16/m17 proving-audit
+# family; the same query catches a real client bug at any scale.
+# ---------------------------------------------------------------------------
+
+_M18_WINDOW_US = 1_000_000  # 1 second
+
+
+@register(
+    "m18_double_fire_audit",
+    oracle=f"""
+WITH seq AS (
+  SELECT event_type,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us,
+         CAST(round(value * 100) AS BIGINT)
+           - LAG(CAST(round(value * 100) AS BIGINT)) OVER w AS dv
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type
+               ORDER BY epoch_us(ts), event_id)
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(SUM(CASE WHEN gap_us < {_M18_WINDOW_US} AND dv = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect,
+       ROUND(CAST(SUM(CASE WHEN gap_us < {_M18_WINDOW_US} AND dv = 0
+                      THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS suspect_share
+FROM seq
+WHERE gap_us IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+""",
+    doc="Double-fire audit: consecutive same-user same-type events with "
+    "identical value cents inside one second, from one user/type-"
+    "partitioned lag window over exact epoch-µs — the retry/idempotency "
+    "bug detector; zero on a clean feed (the proving-audit family).",
+)
+def m18_double_fire_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        epoch_us("ts"), F.col("event_id")
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    seq = e.select(
+        "event_type",
+        (epoch_us("ts") - F.lag(epoch_us("ts")).over(w)).alias("gap_us"),
+        (cents - F.lag(cents).over(w)).alias("dv"),
+    ).filter(F.col("gap_us").isNotNull())
+    suspect = F.sum(
+        F.when(
+            (F.col("gap_us") < _M18_WINDOW_US) & (F.col("dv") == 0), 1
+        ).otherwise(0)
+    )
+    return (
+        seq.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_gaps"),
+            suspect.cast("bigint").alias("n_suspect"),
+            F.round(
+                suspect.cast("double") / F.count("*"), 6
+            ).alias("suspect_share"),
+        )
+        .orderBy("event_type")
+    )

@@ -1950,3 +1950,33 @@ def test_f82_matches_python_welch_model(spark):
     assert abs(row["df_ws"] - df) < 1e-2
     # Welch df is bounded by min(n)-1 below and n1+n0-2 above
     assert min(n1, n0) - 1 <= row["df_ws"] <= n1 + n0 - 2
+
+
+# ---------------------------------------------------------------------------
+# m18 — double-fire audit
+# ---------------------------------------------------------------------------
+
+
+def test_m18_matches_python_retry_model(spark):
+    rows = {r["event_type"]: r for r in _rows(spark, "m18_double_fire_audit")}
+    data = _duck(
+        "SELECT user_id, event_type, event_id, epoch_us(ts), "
+        "CAST(round(value*100) AS BIGINT) FROM events"
+    )
+    per = {}
+    for uid, et, eid, us, c in data:
+        per.setdefault((uid, et), []).append((us, eid, c))
+    from collections import Counter
+
+    gaps, suspects = Counter(), Counter()
+    for (uid, et), evs in per.items():
+        evs.sort()
+        for (u1, _, c1), (u2, _, c2) in zip(evs, evs[1:]):
+            gaps[et] += 1
+            if u2 - u1 < 1_000_000 and c1 == c2:
+                suspects[et] += 1
+    assert set(rows) == set(gaps)
+    for et, r in rows.items():
+        assert r["n_gaps"] == gaps[et]
+        assert r["n_suspect"] == suspects[et]
+        assert r["suspect_share"] == round(suspects[et] / gaps[et], 6)
