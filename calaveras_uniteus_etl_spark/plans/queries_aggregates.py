@@ -9854,3 +9854,95 @@ def m18_double_fire_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# G30 — circular time-of-day statistics (mean hour, concentration)
+#
+# "When during the day does each event type happen?" — arithmetic
+# means break on a circle (23:00 and 01:00 average to noon); the
+# right tool is circular statistics: θ = 2π·(µs into the day)/86400e6,
+# mean direction from (Σcos θ, Σsin θ), concentration R̄ = |Σe^{iθ}|/n
+# (1 = perfectly peaked, 0 = uniform). Per-row cos/sin are libm, so
+# each QUANTIZES to an exact micro integer before the sums (the x81
+# contract — a 1-ulp libm disagreement is 10 orders below the
+# quantum), sums are exact BIGINTs, and the mean hour comes from one
+# atan2 over identical integer-derived doubles, folded to [0, 24).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g30_circular_time_stats",
+    oracle="""
+WITH theta AS (
+  SELECT event_type,
+         2 * pi() * (epoch_us(ts) % 86400000000) / 86400000000.0 AS th
+  FROM events
+), q AS (
+  SELECT event_type,
+         CAST(round(cos(th) * 1000000) AS BIGINT) AS c_micro,
+         CAST(round(sin(th) * 1000000) AS BIGINT) AS s_micro
+  FROM theta
+), s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c_micro) AS BIGINT) AS sc,
+         CAST(SUM(s_micro) AS BIGINT) AS ss
+  FROM q GROUP BY event_type
+)
+SELECT event_type, n AS n_events,
+       ROUND(sqrt(CAST(sc AS DOUBLE) * sc + CAST(ss AS DOUBLE) * ss)
+             / (1000000.0 * n), 6) AS resultant_r,
+       ROUND(((atan2(CAST(ss AS DOUBLE), CAST(sc AS DOUBLE))
+               / (2 * pi()) * 24) + 24) % 24, 4) AS mean_hour
+FROM s
+ORDER BY event_type
+""",
+    doc="Circular time-of-day statistics per event type: per-row cos/sin "
+    "micro-quantized before exact BIGINT sums (libm ulp-safe), "
+    "concentration R̄ = |Σe^iθ|/n and the circular mean hour from one "
+    "atan2 over identical operands — 23:00 and 01:00 average to "
+    "midnight, not noon; R̄ ≈ 0 flags a uniform (clockless) stream.",
+)
+def g30_circular_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math as m
+
+    e = table(spark, sf_dir, "events")
+    th = (
+        F.lit(2 * m.pi)
+        * (epoch_us("ts") % 86400000000).cast("double")
+        / F.lit(86400000000.0)
+    )
+    q = e.select(
+        "event_type",
+        F.round(F.cos(th) * 1e6).cast("bigint").alias("c_micro"),
+        F.round(F.sin(th) * 1e6).cast("bigint").alias("s_micro"),
+    )
+    s = q.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c_micro").cast("bigint").alias("sc"),
+        F.sum("s_micro").cast("bigint").alias("ss"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.round(
+            F.sqrt(
+                F.col("sc").cast("double") * F.col("sc")
+                + F.col("ss").cast("double") * F.col("ss")
+            )
+            / (F.lit(1000000.0) * F.col("n")),
+            6,
+        ).alias("resultant_r"),
+        F.round(
+            F.pmod(
+                F.atan2(
+                    F.col("ss").cast("double"), F.col("sc").cast("double")
+                )
+                / F.lit(2 * m.pi)
+                * 24
+                + 24,
+                F.lit(24.0),
+            ),
+            4,
+        ).alias("mean_hour"),
+    ).orderBy("event_type")

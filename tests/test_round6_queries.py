@@ -1980,3 +1980,32 @@ def test_m18_matches_python_retry_model(spark):
         assert r["n_gaps"] == gaps[et]
         assert r["n_suspect"] == suspects[et]
         assert r["suspect_share"] == round(suspects[et] / gaps[et], 6)
+
+
+# ---------------------------------------------------------------------------
+# g30 — circular time statistics
+# ---------------------------------------------------------------------------
+
+
+def test_g30_matches_python_circular_model(spark):
+    import math as m
+
+    rows = {r["event_type"]: r for r in _rows(spark, "g30_circular_time_stats")}
+    data = _duck("SELECT event_type, epoch_us(ts) FROM events")
+    per = {}
+    for et, us in data:
+        th = 2 * m.pi * (us % 86400000000) / 86400000000.0
+        c = m.floor(m.cos(th) * 1e6 + 0.5)
+        s_ = m.floor(m.sin(th) * 1e6 + 0.5)
+        sc, ss, n = per.get(et, (0, 0, 0))
+        per[et] = (sc + c, ss + s_, n + 1)
+    assert set(rows) == set(per)
+    for et, (sc, ss, n) in per.items():
+        r = rows[et]
+        assert r["n_events"] == n
+        rbar = m.sqrt(float(sc) * sc + float(ss) * ss) / (1e6 * n)
+        assert abs(r["resultant_r"] - rbar) < 1e-6
+        hour = (m.atan2(float(ss), float(sc)) / (2 * m.pi) * 24 + 24) % 24
+        assert abs(r["mean_hour"] - hour) < 1e-3
+        assert 0.0 <= r["resultant_r"] <= 1.0
+        assert 0.0 <= r["mean_hour"] < 24.0
