@@ -251,6 +251,7 @@ _NEW_THIS_ROUND: list[str] = [
     "f82_welch_t",
     "m18_double_fire_audit",
     "g30_circular_time_stats",
+    "d13_rank_semantics",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 or 5 (union = 179) sit in

@@ -1033,3 +1033,84 @@ def j8_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# D13 — ranking-function tie semantics (the window parity battery)
+#
+# The four ranking functions disagree exactly where data ties, and a
+# report that silently swaps one for another returns different rows.
+# This pins all four on a TIE-RICH ordering (quantity has ~heavy
+# duplication inside each priority): ROW_NUMBER (arbitrary within
+# ties unless totally ordered — so the ordering here adds the unique
+# key), RANK (gaps after ties), DENSE_RANK (no gaps), NTILE(4)
+# (near-equal buckets), plus PERCENT_RANK pinned at 6dp. Windows are
+# priority-partitioned; output is the per-priority census of each
+# function's distinct values and maxima — tie semantics in numbers,
+# byte-exact across engines.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d13_rank_semantics",
+    oracle="""
+WITH ranked AS (
+  SELECT o_orderpriority AS prio,
+         ROW_NUMBER() OVER w AS rn,
+         RANK() OVER wq AS rk,
+         DENSE_RANK() OVER wq AS drk,
+         NTILE(4) OVER w AS nt,
+         PERCENT_RANK() OVER wq AS pr
+  FROM (SELECT o_orderpriority,
+               CAST(round(o_totalprice) AS BIGINT) % 100 AS q,
+               o_orderkey
+        FROM orders) t
+  WINDOW w AS (PARTITION BY prio ORDER BY q, o_orderkey),
+         wq AS (PARTITION BY prio ORDER BY q)
+)
+SELECT prio,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MAX(rn) AS BIGINT) AS max_row_number,
+       CAST(MAX(rk) AS BIGINT) AS max_rank,
+       CAST(MAX(drk) AS BIGINT) AS distinct_values,
+       CAST(COUNT(DISTINCT nt) AS BIGINT) AS n_tiles,
+       ROUND(MAX(pr), 6) AS max_percent_rank
+FROM ranked
+GROUP BY prio
+ORDER BY prio
+""",
+    doc="Ranking-function tie battery on a tie-rich key: ROW_NUMBER "
+    "under a total order, RANK (gaps), DENSE_RANK (= distinct tie "
+    "groups), NTILE(4), PERCENT_RANK at 6dp — per-priority maxima and "
+    "censuses pin each function's tie semantics byte-exactly across "
+    "engines; the window-function sibling of e21's NULL-join parity.",
+)
+def d13_rank_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    t = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        (F.round(F.col("o_totalprice")).cast("bigint") % 100).alias("q"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("prio").orderBy("q", "o_orderkey")
+    wq = Window.partitionBy("prio").orderBy("q")
+    ranked = t.select(
+        "prio",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(wq).alias("rk"),
+        F.dense_rank().over(wq).alias("drk"),
+        F.ntile(4).over(w).alias("nt"),
+        F.percent_rank().over(wq).alias("pr"),
+    )
+    return (
+        ranked.groupBy("prio")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.max("rn").cast("bigint").alias("max_row_number"),
+            F.max("rk").cast("bigint").alias("max_rank"),
+            F.max("drk").cast("bigint").alias("distinct_values"),
+            F.countDistinct("nt").cast("bigint").alias("n_tiles"),
+            F.round(F.max("pr"), 6).alias("max_percent_rank"),
+        )
+        .orderBy("prio")
+    )

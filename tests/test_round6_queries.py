@@ -2009,3 +2009,35 @@ def test_g30_matches_python_circular_model(spark):
         assert abs(r["mean_hour"] - hour) < 1e-3
         assert 0.0 <= r["resultant_r"] <= 1.0
         assert 0.0 <= r["mean_hour"] < 24.0
+
+
+# ---------------------------------------------------------------------------
+# d13 — rank semantics
+# ---------------------------------------------------------------------------
+
+
+def test_d13_tie_semantics_identities(spark):
+    rows = {r["prio"]: r for r in _rows(spark, "d13_rank_semantics")}
+    counts = {}
+    for prio, q in _duck(
+        "SELECT o_orderpriority, CAST(round(o_totalprice) AS BIGINT) % 100 "
+        "FROM orders"
+    ):
+        counts.setdefault(prio, {}).setdefault(q, 0)
+        counts[prio][q] += 1
+    assert set(rows) == set(counts)
+    for prio, r in rows.items():
+        n = sum(counts[prio].values())
+        distinct = len(counts[prio])
+        last_tie = max(counts[prio])  # group of the largest key value
+        assert r["n_rows"] == n
+        # row_number is a total order: max == n; rank's max is the
+        # start of the LAST tie group; dense_rank's max counts groups
+        assert r["max_row_number"] == n
+        assert r["max_rank"] == n - counts[prio][last_tie] + 1
+        assert r["distinct_values"] == distinct
+        assert r["n_tiles"] == 4
+        # percent_rank max = (max_rank - 1) / (n - 1)
+        assert r["max_percent_rank"] == round(
+            (n - counts[prio][last_tie]) / (n - 1), 6
+        )
