@@ -252,6 +252,8 @@ _NEW_THIS_ROUND: list[str] = [
     "m18_double_fire_audit",
     "g30_circular_time_stats",
     "d13_rank_semantics",
+    "f83_sign_test",
+    "g31_weekend_lift",
 ]
 
 # Entries with a GREEN driver row in rounds 1-3 or 5 (union = 179) sit in

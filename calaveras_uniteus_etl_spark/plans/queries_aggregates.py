@@ -9946,3 +9946,190 @@ def g30_circular_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mean_hour"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# F83 — sign test (distribution-free paired direction)
+#
+# The bluntest, most assumption-free paired test: count customers who
+# spent MORE in 1996 than 1995 vs fewer (ties drop), and compare to a
+# fair coin — z = (n⁺ − n⁻)/√(n⁺ + n⁻). Where f78's signed-rank uses
+# magnitudes, the sign test survives ANY monotone transform of spend;
+# disagreement between the two flags magnitude-driven effects. Counts
+# are exact BIGINTs from the shared f73/f78 per-customer cents shape;
+# z divides identical integer-derived doubles.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f83_sign_test",
+    oracle="""
+WITH per_cust AS (
+  SELECT c.c_custkey,
+         CAST(COALESCE(SUM(CASE WHEN o.o_orderdate >= DATE '1995-01-01'
+                                 AND o.o_orderdate < DATE '1996-01-01'
+                            THEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                            END), 0) AS BIGINT) AS x,
+         CAST(COALESCE(SUM(CASE WHEN o.o_orderdate >= DATE '1996-01-01'
+                                 AND o.o_orderdate < DATE '1997-01-01'
+                            THEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                            END), 0) AS BIGINT) AS y
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+), s AS (
+  SELECT CAST(SUM(CASE WHEN y > x THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(SUM(CASE WHEN y < x THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+         CAST(SUM(CASE WHEN y = x THEN 1 ELSE 0 END) AS BIGINT) AS n_tie
+  FROM per_cust
+)
+SELECT n_pos, n_neg, n_tie,
+       ROUND(CAST(n_pos - n_neg AS DOUBLE) / sqrt(n_pos + n_neg), 6)
+         AS z_stat
+FROM s
+""",
+    doc="Sign test on paired customer spend (1996 vs 1995): up/down/tie "
+    "counts from the shared per-customer cents shape, z = "
+    "(n⁺−n⁻)/√(n⁺+n⁻) — assumption-free direction, surviving any "
+    "monotone transform; disagreement with f78's signed-rank flags "
+    "magnitude-driven effects.",
+)
+def f83_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    in_year = lambda y: (  # noqa: E731 - tiny local shorthand
+        (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("date"))
+    )
+    per_cust = (
+        c.select("c_custkey")
+        .join(o, o.o_custkey == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(F.sum(F.when(in_year(1995), cents)), F.lit(0))
+            .cast("bigint")
+            .alias("x"),
+            F.coalesce(F.sum(F.when(in_year(1996), cents)), F.lit(0))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    s = per_cust.agg(
+        F.sum(F.when(F.col("y") > F.col("x"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+        F.sum(F.when(F.col("y") < F.col("x"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_neg"),
+        F.sum(F.when(F.col("y") == F.col("x"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_tie"),
+    )
+    return s.select(
+        "n_pos",
+        "n_neg",
+        "n_tie",
+        F.round(
+            (F.col("n_pos") - F.col("n_neg")).cast("double")
+            / F.sqrt(F.col("n_pos") + F.col("n_neg")),
+            6,
+        ).alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# G31 — weekend lift (day-type revenue ratio)
+#
+# The business twin of f75's uniformity test: HOW MUCH does weekend
+# daily revenue differ from weekday? Mean daily revenue per day type
+# (exact dollar sums over the f48 day grain, counts of calendar days
+# with any order), the lift ratio weekend/weekday, and the per-order
+# value split — ratios of exact integer-derived doubles, 6dp; one
+# bounded day-grain aggregate feeding a 2-row rollup.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g31_weekend_lift",
+    oracle="""
+WITH daily AS (
+  SELECT o_orderdate AS day,
+         CASE WHEN dayofweek(o_orderdate) IN (0, 6) THEN 1 ELSE 0 END
+           AS is_weekend,
+         CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                         AS DECIMAL(38,2)), 0) AS BIGINT) AS y,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1, 2
+), s AS (
+  SELECT CAST(SUM(CASE WHEN is_weekend = 1 THEN y END) AS BIGINT) AS rev_we,
+         CAST(SUM(CASE WHEN is_weekend = 0 THEN y END) AS BIGINT) AS rev_wd,
+         CAST(COUNT(CASE WHEN is_weekend = 1 THEN 1 END) AS BIGINT) AS d_we,
+         CAST(COUNT(CASE WHEN is_weekend = 0 THEN 1 END) AS BIGINT) AS d_wd,
+         CAST(SUM(CASE WHEN is_weekend = 1 THEN n_orders END) AS BIGINT)
+           AS o_we,
+         CAST(SUM(CASE WHEN is_weekend = 0 THEN n_orders END) AS BIGINT)
+           AS o_wd
+  FROM daily
+)
+SELECT d_we AS weekend_days, d_wd AS weekday_days,
+       o_we AS weekend_orders, o_wd AS weekday_orders,
+       ROUND(CAST(rev_we AS DOUBLE) / d_we, 4) AS weekend_daily_rev,
+       ROUND(CAST(rev_wd AS DOUBLE) / d_wd, 4) AS weekday_daily_rev,
+       ROUND((CAST(rev_we AS DOUBLE) / d_we)
+             / (CAST(rev_wd AS DOUBLE) / d_wd), 6) AS lift
+FROM s
+""",
+    doc="Weekend revenue lift: mean daily revenue on weekend vs weekday "
+    "calendar days (exact dollar day grain; output is label-free so "
+    "the Sunday=0/1 dialect difference cannot leak — weekend is the "
+    "{Sat, Sun} SET on both engines), with order counts and the lift "
+    "ratio — the effect-size twin of f75's uniformity chi-square.",
+)
+def g31_weekend_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    # Spark dayofweek: Sunday=1, Saturday=7; DuckDB: Sunday=0, Saturday=6.
+    # Both predicates select the same {Saturday, Sunday} day set.
+    daily = o.groupBy(
+        F.col("o_orderdate").alias("day"),
+        F.when(F.dayofweek("o_orderdate").isin(1, 7), 1)
+        .otherwise(0)
+        .alias("is_weekend"),
+    ).agg(
+        F.round(
+            F.sum(X.dec("o_totalprice")).cast("decimal(38,2)"), 0
+        )
+        .cast("bigint")
+        .alias("y"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    )
+    s = daily.agg(
+        F.sum(F.when(F.col("is_weekend") == 1, F.col("y")))
+        .cast("bigint")
+        .alias("rev_we"),
+        F.sum(F.when(F.col("is_weekend") == 0, F.col("y")))
+        .cast("bigint")
+        .alias("rev_wd"),
+        F.count(F.when(F.col("is_weekend") == 1, 1))
+        .cast("bigint")
+        .alias("d_we"),
+        F.count(F.when(F.col("is_weekend") == 0, 1))
+        .cast("bigint")
+        .alias("d_wd"),
+        F.sum(F.when(F.col("is_weekend") == 1, F.col("n_orders")))
+        .cast("bigint")
+        .alias("o_we"),
+        F.sum(F.when(F.col("is_weekend") == 0, F.col("n_orders")))
+        .cast("bigint")
+        .alias("o_wd"),
+    )
+    we = F.col("rev_we").cast("double") / F.col("d_we")
+    wd = F.col("rev_wd").cast("double") / F.col("d_wd")
+    return s.select(
+        F.col("d_we").alias("weekend_days"),
+        F.col("d_wd").alias("weekday_days"),
+        F.col("o_we").alias("weekend_orders"),
+        F.col("o_wd").alias("weekday_orders"),
+        F.round(we, 4).alias("weekend_daily_rev"),
+        F.round(wd, 4).alias("weekday_daily_rev"),
+        F.round(we / wd, 6).alias("lift"),
+    )

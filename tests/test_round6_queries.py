@@ -2041,3 +2041,56 @@ def test_d13_tie_semantics_identities(spark):
         assert r["max_percent_rank"] == round(
             (n - counts[prio][last_tie]) / (n - 1), 6
         )
+
+
+# ---------------------------------------------------------------------------
+# f83 / g31
+# ---------------------------------------------------------------------------
+
+
+def test_f83_matches_python_sign_model(spark):
+    import math as m
+
+    [row] = _rows(spark, "f83_sign_test")
+    per = {c: [0, 0] for (c,) in _duck("SELECT c_custkey FROM customer")}
+    for c, x, y in _duck(
+        "SELECT o_custkey, "
+        "SUM(CASE WHEN o_orderdate >= DATE '1995-01-01' AND o_orderdate < "
+        "DATE '1996-01-01' THEN CAST(round(o_totalprice*100) AS BIGINT) "
+        "ELSE 0 END), "
+        "SUM(CASE WHEN o_orderdate >= DATE '1996-01-01' AND o_orderdate < "
+        "DATE '1997-01-01' THEN CAST(round(o_totalprice*100) AS BIGINT) "
+        "ELSE 0 END) FROM orders GROUP BY 1"
+    ):
+        if c in per:
+            per[c] = [int(x), int(y)]
+    pos = sum(1 for x, y in per.values() if y > x)
+    neg = sum(1 for x, y in per.values() if y < x)
+    tie = sum(1 for x, y in per.values() if y == x)
+    assert (row["n_pos"], row["n_neg"], row["n_tie"]) == (pos, neg, tie)
+    assert abs(row["z_stat"] - (pos - neg) / m.sqrt(pos + neg)) < 1e-5
+    assert pos + neg + tie == len(per)
+
+
+def test_g31_matches_python_lift_model(spark):
+    [row] = _rows(spark, "g31_weekend_lift")
+    daily = {}
+    for day, dow, rev, n in _duck(
+        "SELECT o_orderdate, dayofweek(o_orderdate), "
+        "CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) "
+        "AS DECIMAL(38,2)), 0) AS BIGINT), COUNT(*) FROM orders GROUP BY 1, 2"
+    ):
+        daily[day] = (dow in (0, 6), int(rev), n)
+    we = [(r, n) for is_w, r, n in daily.values() if is_w]
+    wd = [(r, n) for is_w, r, n in daily.values() if not is_w]
+    assert row["weekend_days"] == len(we)
+    assert row["weekday_days"] == len(wd)
+    assert row["weekend_orders"] == sum(n for _, n in we)
+    assert row["weekday_orders"] == sum(n for _, n in wd)
+    we_rev = sum(r for r, _ in we) / len(we)
+    wd_rev = sum(r for r, _ in wd) / len(wd)
+    assert abs(row["weekend_daily_rev"] - we_rev) < 1e-2
+    assert abs(row["weekday_daily_rev"] - wd_rev) < 1e-2
+    assert abs(row["lift"] - we_rev / wd_rev) < 1e-5
+    # the 2:5 day ratio is roughly reflected in order volume
+    assert row["weekend_days"] + row["weekday_days"] == len(daily)
