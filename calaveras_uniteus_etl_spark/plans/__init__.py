@@ -186,9 +186,9 @@ _NEVER_CHECKED = [
 # at BOTH sf0.01 and sf0.1 before registration, is covered by a
 # Python model test in tests/test_round6_queries.py, and the FINAL
 # registry re-proved green in one vanilla-session gate run at the end
-# of the round: 375/375 at sf0.01 in 383s (tools/driver_check.py,
+# of the round: 377/377 at sf0.01 in 387s (tools/driver_check.py,
 # 2026-08-15); end-of-round pytest 971 passed and the registry-wide
-# plan lint re-ran green at the final 375-plan tree.
+# plan lint re-ran green on the final tree.
 _NEW_THIS_ROUND: list[str] = [
     "x117_hll_registers",
     "x118_hll_shard_merge",
