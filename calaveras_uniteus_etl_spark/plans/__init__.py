@@ -26,22 +26,27 @@ from calaveras_uniteus_etl_spark.plans import (  # noqa: F401  (import = registe
 # The driver's correctness harness walks the registry in order and caps
 # how many entries it checks per round (50 per round so far). Iteration
 # order therefore front-loads the entries with the LEAST driver
-# evidence. Witnessed union as of round 6: r01∪r02∪r03∪r05 = 179
-# distinct names, all green. ROUND 4 PRODUCED NO CORRECTNESS FILE
-# (CORRECTNESS_r04.json is absent), so the 50 names the round-4 window
-# was supposed to prove were silently dropped from the evidence trail —
-# the round-5 rotation moved them to the middle on the assumption they
-# had been checked. They lead this list again (oldest debt first):
-# block 1 below is exactly that lost round-4 window and forms the
-# round-6 check window. Block 2 is the round-4b additions, block 3 the
-# round-5 additions — they drain in rounds 7-8. All driver-green
-# entries sit behind them, and f2_approx_count_distinct goes dead
-# last: it is rows-only by design (HLL sketches are engine-private, no
-# SQL oracle) and can never earn a hash-green row, so it must not burn
-# a check slot (its accuracy is covered by a 3·rsd tolerance test in
+# evidence. Which entries already have evidence is DERIVED — at import
+# time _reorder_registry() reads every CORRECTNESS_r*.json at the repo
+# root and front-loads the registry names with no green row there. The
+# hand-rotated _NEVER_CHECKED list this replaces went stale three
+# rounds running (and round 4's missing file silently dropped a whole
+# window); deriving from the driver's own evidence files kills that
+# defect class: a new CORRECTNESS file automatically rotates the next
+# round's window, with no manual edit.
+#
+# _ADDITION_ORDER below is the only remaining list, and it is
+# APPEND-ONLY: it records the historical order queries were added, so
+# the oldest evidence debt drains first. Entries are never removed or
+# reordered — once a name earns a green driver row, the derivation
+# skips past it here. New queries append at the bottom.
+# f2_approx_count_distinct is pinned dead last: it is rows-only by
+# design (HLL sketches are engine-private, no SQL oracle) and can
+# never earn a hash-green row, so it must not burn a check slot (its
+# accuracy is covered by a 3·rsd tolerance test in
 # tests/test_approx_tolerance.py).
-_NEVER_CHECKED = [
-    # --- block 1: the lost round-4 window (50) = the round-6 window ---
+_ADDITION_ORDER = [
+    # --- the lost round-4 window (50) = the round-6 window, green r06 ---
     "f31_grouping_sets",
     "m4_column_profile",
     "i2_set_ops",
@@ -178,18 +183,7 @@ _NEVER_CHECKED = [
     "x114_dedup_strategy_matrix",
     "x115_dup_graph_hubs",
     "x116_shard_checksums",
-]
-
-# Round-6 additions with no driver evidence yet: they queue directly
-# behind the backlog above so they enter the check window as the
-# backlog drains. Every entry was green under tools/driver_check.py
-# at BOTH sf0.01 and sf0.1 before registration, is covered by a
-# Python model test in tests/test_round6_queries.py, and the FINAL
-# registry re-proved green in one vanilla-session gate run at the end
-# of the round: 377/377 at sf0.01 in 387s (tools/driver_check.py,
-# 2026-08-15); end-of-round pytest 971 passed and the registry-wide
-# plan lint re-ran green on the final tree.
-_NEW_THIS_ROUND: list[str] = [
+    # --- round-6 additions (64) ---
     "x117_hll_registers",
     "x118_hll_shard_merge",
     "x119_pmi_collocations",
@@ -256,17 +250,69 @@ _NEW_THIS_ROUND: list[str] = [
     "g31_weekend_lift",
 ]
 
-# Entries with a GREEN driver row in rounds 1-3 or 5 (union = 179) sit in
-# the middle in registration order; f2 stays dead last (rows-only).
+# Rows-only-by-design entries that can never earn a hash-green row —
+# pinned dead last so they never burn a driver check slot.
 _ROWS_ONLY_LAST = ["f2_approx_count_distinct"]
 
 
+def _driver_green_names(root=None) -> set[str]:
+    """Names with at least one green row in any CORRECTNESS_r*.json.
+
+    Green = the driver's hard signal: no error, row counts matched,
+    and the value hash did not mismatch (hash_match is None for the
+    weaker rows-only check — that still counts as witnessed, since
+    the driver will never produce a stronger row for those). A FAILED
+    row (err, count mismatch, or hash mismatch) does NOT count, so a
+    regressed query rotates back to the front of the next window.
+    """
+    import json
+    from pathlib import Path
+
+    if root is None:
+        root = Path(__file__).resolve().parents[2]
+    green: set[str] = set()
+    for path in sorted(Path(root).glob("CORRECTNESS_r*.json")):
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue  # an unreadable evidence file must not crash imports
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if (
+                row.get("err") is None
+                and row.get("rows_match") is True
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+            ):
+                green.add(name)
+    return green
+
+
 def _reorder_registry() -> None:
-    front = [n for n in _NEVER_CHECKED + _NEW_THIS_ROUND if n in REGISTRY]
-    placed = set(front) | set(_ROWS_ONLY_LAST)
+    """Front-load registry names with no green driver row.
+
+    Unwitnessed names come first, ordered by _ADDITION_ORDER (oldest
+    debt first; names missing from the hint keep registration order
+    behind it). Witnessed names follow in registration order; the
+    rows-only entries go dead last. Derived entirely from the
+    CORRECTNESS_r*.json evidence files — no per-round edits.
+    """
+    green = _driver_green_names()
+    hint_pos = {n: i for i, n in enumerate(_ADDITION_ORDER)}
+    pinned = set(_ROWS_ONLY_LAST)
+    debt = [
+        n
+        for n in REGISTRY
+        if n not in green and n not in pinned
+    ]
+    debt.sort(key=lambda n: hint_pos.get(n, len(hint_pos)))
+    placed = set(debt) | pinned
     middle = [n for n in REGISTRY if n not in placed]
     back = [n for n in _ROWS_ONLY_LAST if n in REGISTRY]
-    ordered = {n: REGISTRY[n] for n in front + middle + back}
+    ordered = {n: REGISTRY[n] for n in debt + middle + back}
     REGISTRY.clear()
     REGISTRY.update(ordered)
 

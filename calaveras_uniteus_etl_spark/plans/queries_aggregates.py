@@ -7103,23 +7103,23 @@ def f68_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# M14 — differential-privacy noise release audit (Laplace mechanism)
+# M14 — Laplace-SHAPED perturbation plumbing (NOT a privacy mechanism)
 #
 # m8 (k-anonymity) and m12 (t-closeness) audit whether a release is
-# safe to publish; the third standard tool PUBLISHES under a noise
-# budget: the Laplace mechanism adds Lap(Δf/ε) to each count
-# (Dwork et al. 2006 — sensitivity Δf = 1 for a disjoint histogram).
-# Real deployments draw from a seeded generator; reproducing a
-# generator cross-engine is hopeless, so the draw is derived from the
-# same primitive the HLL sketch trusts: a 60-bit md5 fold of the cell
-# key is an integer h, u = h/2^60 is uniform, and the inverse CDF
-# −sign(u−½)·ln(1−2|u−½|)/ε is the Laplace sample. Everything before
-# the ln is INTEGER algebra (1−2|u−½| = (2^60 − |2h − 2^60|)/2^60),
-# the ln micro-quantizes (x81 contract), and the final noisy count
-# adds a division of identical operands — bit-identical releases on
-# both engines, auditable against the true counts they would replace.
+# safe to publish; a real DP release would add Lap(Δf/ε) drawn from a
+# cryptographic RNG (Dwork et al. 2006 — sensitivity Δf = 1 for a
+# disjoint histogram). THIS QUERY IS NOT THAT: the "noise" here is a
+# deterministic function of the cell key (a 60-bit md5 fold → uniform
+# u → inverse-CDF Laplace shape), and the true counts are emitted
+# alongside the perturbed ones, so the effective epsilon is infinite
+# and no privacy is provided. The determinism is the point — it
+# exercises the exact arithmetic pipeline a Laplace release runs
+# (integer algebra 1−2|u−½| = (2^60 − |2h − 2^60|)/2^60, one
+# micro-quantized ln per the x81 contract, a same-operand division)
+# bit-identically on both engines, so swapping in a real RNG draw for
+# h is the ONLY change a production DP deployment needs.
 # Scale shape: one hash aggregate on the nation grain + a broadcast
-# dimension join; noise is a per-row expression.
+# dimension join; the perturbation is a per-row expression.
 # ---------------------------------------------------------------------------
 
 from calaveras_uniteus_etl_spark.plans.queries_multimodal import (  # noqa: E402
@@ -7161,12 +7161,13 @@ SELECT nation, true_count,
 FROM z
 ORDER BY nation
 """,
-    doc=f"Laplace-mechanism DP release (eps = {_M14_EPS}, sensitivity-1 "
-    "histogram) of customer counts per nation: the noise draw derives "
-    "from a 60-bit md5 fold of the cell key via the inverse CDF — "
-    "integer algebra up to one micro-quantized ln — so the release is "
-    "bit-identical across engines and auditable against the true "
-    "counts; completes the m8/m12 privacy suite.",
+    doc=f"Deterministic Laplace-SHAPED perturbation (eps = {_M14_EPS}, "
+    "sensitivity-1 histogram) of customer counts per nation — NOT a "
+    "privacy mechanism: the draw is a function of the cell key (60-bit "
+    "md5 fold via the inverse CDF) and true counts are emitted "
+    "alongside, so effective epsilon is infinite. It reproducibility-"
+    "tests the exact arithmetic pipeline a real Laplace release runs; "
+    "a DP deployment swaps the hash for an RNG draw.",
 )
 def m14_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
