@@ -48,23 +48,30 @@ def main() -> None:
             if spec is not None:
                 spec.fn(spark, warm_dir).count()
 
-    # best-of-two per query: a single pass is exposed to transient
-    # machine load (observed 2-4x spikes); the min of two runs is the
-    # standard noise-resistant estimator for a deterministic workload
+    # Best-of-two per query, as two INTERLEAVED full passes (pass 1
+    # times every query in registry order, then pass 2 re-times them
+    # all) rather than back-to-back repeats. Back-to-back runs made
+    # the number order-sensitive: a query moved to the front of the
+    # registry ran "cold" (right after warmup) both times, while a
+    # mid-run query enjoyed a fully warmed session — the r6 rotation
+    # made the streaming trio look 3x slower with unchanged plans.
+    # With an interleaved second pass, every query's second sample
+    # runs against a fully warm session, so the min is comparable
+    # across rounds regardless of registry order.
     timings: dict[str, float] = {}
-    for name in headline:
-        spec = REGISTRY.get(name)
-        if spec is None:
-            continue
-        best = None
-        for _ in range(2):
+    for _pass in range(2):
+        for name in headline:
+            spec = REGISTRY.get(name)
+            if spec is None:
+                continue
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
             n = df.count()
             dt = time.perf_counter() - t0
             assert n >= 0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 4)
+            prev = timings.get(name)
+            timings[name] = dt if prev is None else min(prev, dt)
+    timings = {name: round(t, 4) for name, t in timings.items()}
     total = round(sum(timings.values()), 4)
 
     sf_label = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
