@@ -1423,10 +1423,8 @@ FROM q
     "independent) — the gate before vectors reach an index.",
 )
 def x51_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    )
-    nrm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    e = _spark_base(spark, sf_dir)
+    nrm = F.col("nrm")
     q = e.select(
         nrm.alias("nrm"),
         F.round(nrm * 1e6).cast("bigint").alias("nrm_micro"),
@@ -1986,15 +1984,7 @@ ORDER BY cid, ctfidf DESC, term
     "k-means/IVF partitioning.",
 )
 def x77_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = (
-        table(spark, sf_dir, "embeddings")
-        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
-        .select(
-            "vec_id",
-            "embedding",
-            F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
-        )
-    )
+    e = _spark_base(spark, sf_dir)
     cents = e.filter(F.col("vec_id") < _N_CENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("c"),
         F.col("nrm").alias("cn"),
@@ -2332,15 +2322,7 @@ ORDER BY cluster_id
     "x29/x77's consumers.",
 )
 def x93_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = (
-        table(spark, sf_dir, "embeddings")
-        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
-        .select(
-            "vec_id",
-            "embedding",
-            F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
-        )
-    )
+    e = _spark_base(spark, sf_dir)
     cents = e.filter(F.col("vec_id") < _N_CENTROIDS).select(
         F.col("vec_id").alias("cid"),
         F.col("embedding").alias("c"),

@@ -21,6 +21,9 @@ _SLOW_MODULES = {
     "test_scale_guards",
     "test_cross_engine_edge_cases",
     "test_harness_mutation",
+    "test_properties",
+    "test_prefix",
+    "test_approx_tolerance",
 }
 
 
