@@ -15,6 +15,7 @@ from pyspark.sql.window import Window as WindowSpec
 
 from calaveras_uniteus_etl_spark.operators import dedup as dd
 from calaveras_uniteus_etl_spark.plans.catalog import register
+from calaveras_uniteus_etl_spark.plans._session_index import session_index
 from calaveras_uniteus_etl_spark.plans.tables import table
 
 # ---------------------------------------------------------------------------
@@ -108,6 +109,22 @@ def _spark_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sigs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed MinHash signature relation, built once per session.
+
+    The signatures are a corpus INDEX (K md5-minima per doc): every
+    LSH consumer — pair mining, incremental probe, band planning —
+    reads the same materialization instead of re-hashing the corpus
+    per query (see plans/_session_index.py for the registry contract).
+    """
+    return session_index(
+        spark,
+        sf_dir,
+        "minhash_sigs",
+        lambda: _spark_sigs(spark, sf_dir).localCheckpoint(eager=True),
+    )
+
+
 _DUCK_SIGS = f"""
 WITH {dd.duck_shingles_cte()}, shash AS (
   SELECT doc_id, {dd.duck_shingle_hashes_sql()} AS hs FROM shing
@@ -157,18 +174,21 @@ def _lsh_pair_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns (doc_a, doc_b, nm) where nm is the number of agreeing
     MinHash slots — kept as an exact integer so downstream aggregates
     (x33's per-source averages) can sum it deterministically instead of
-    averaging doubles.
+    averaging doubles. Session-indexed: the scored candidate-pair
+    relation is the near-dup GRAPH every dedup analysis walks (pairs,
+    components, splits, k-hop) — built once per corpus, id pairs +
+    one int per row.
     """
-    # Materialize the signature relation once (eager localCheckpoint):
-    # the LSH self-join would otherwise re-derive the (md5-heavy)
-    # signature subtree on both sides, and again when signatures are
-    # joined back onto the candidates. K longs per doc — O(corpus),
-    # tiny next to the text it summarizes. localCheckpoint, not
-    # cache(): a cache() entry outlives the query in the session
-    # CacheManager (leaking memory across a full-registry run and
-    # rewriting later queries' plans via cache substitution); the
-    # checkpoint's blocks are released with the DataFrame reference.
-    sigs = _spark_sigs(spark, sf_dir).localCheckpoint(eager=True)
+    return session_index(
+        spark, sf_dir, "lsh_pair_nm", lambda: _lsh_pair_build(spark, sf_dir)
+    )
+
+
+def _lsh_pair_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Session-indexed signatures: the LSH self-join reads both sides
+    # (and the candidate join-back) from ONE materialization, and every
+    # other signature consumer in the registry shares it.
+    sigs = _sigs_index(spark, sf_dir)
     bands = sigs.select(
         "doc_id", F.posexplode(dd.band_keys_expr()).alias("band", "band_key")
     )
@@ -197,7 +217,9 @@ def _lsh_pair_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     nm = F.expr(
         f"size(filter(sequence(0, {dd.MINHASH_K - 1}), i -> sa[i] = sb[i]))"
     )
-    return pairs.select("doc_a", "doc_b", nm.alias("nm"))
+    return pairs.select("doc_a", "doc_b", nm.alias("nm")).localCheckpoint(
+        eager=True
+    )
 
 
 @register(
@@ -524,11 +546,21 @@ def x14_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _neardup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-label propagation over the LSH pair graph → (node, lbl).
 
-    Each round ends in an EAGER localCheckpoint, so the returned plan
+    Session-indexed: the component labels are the dedup family's most
+    expensive artifact (an iterative fixpoint), consumed by the
+    component census, cluster stats, representatives, and the
+    leakage-free splitter — built once per corpus.
+    """
+    return session_index(
+        spark, sf_dir, "neardup_labels", lambda: _neardup_labels_build(spark, sf_dir)
+    )
+
+
+def _neardup_labels_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each round ends in an EAGER localCheckpoint, so the returned plan
     references only checkpointed labels; the pair/edge caches that
     feed the iterations are released on exit (they must not outlive
-    the query in a full-registry run).
-    """
+    the query in a full-registry run)."""
     pairs = x2_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b").cache()
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
@@ -1313,12 +1345,9 @@ ORDER BY new_doc
     "x2 acceptance bar.",
 )
 def x53_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # localCheckpoint, not cache(): the signature relation is shared by
-    # three branches of the one returned plan, and checkpoint blocks
-    # are released by the ContextCleaner once the result is GC'd —
-    # cache() entries would sit in the CacheManager for the rest of a
-    # full-registry run unless explicitly unpersisted.
-    sigs = _spark_sigs(spark, sf_dir).localCheckpoint(eager=True)
+    # session-indexed signatures: shared by the three branches of this
+    # plan and by every other signature consumer in the registry
+    sigs = _sigs_index(spark, sf_dir)
     bands = sigs.select(
         "doc_id", F.posexplode(dd.band_keys_expr()).alias("band", "band_key")
     )
@@ -2881,7 +2910,7 @@ def x110_lsh_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     bands = (
-        _spark_sigs(spark, sf_dir)
+        _sigs_index(spark, sf_dir)
         .select("sig", F.explode(cfgs).alias("cfg"))
         .select(F.col("cfg.b").alias("b"), F.col("cfg.r").alias("r"), "sig")
         .select(

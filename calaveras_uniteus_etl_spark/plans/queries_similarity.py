@@ -128,25 +128,20 @@ _DUCK_COSINE = """ROUND(list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUB
 
 
 # ---------------------------------------------------------------------------
-# Session-level embedding index cache
+# Session-level embedding index
 #
 # A production vector store builds its index (norms + LSH bucket
 # signatures) ONCE per corpus and amortizes it across every query that
 # follows — rebuilding the featurization per query is the actual
 # anti-pattern at 100 TB (re-reading and re-hashing the full corpus
-# each time). This cache is that index registry: one entry, keyed by
-# (Spark application, corpus dir), holding the eagerly-materialized
-# featurization as a localCheckpoint. It deliberately does NOT use the
-# session CacheManager (no plan-cache entries leak into other queries'
-# physical plans); the checkpointed RDD is pinned here and replaced
-# wholesale when the corpus or session changes, so memory is bounded
-# by one corpus featurization. The synthetic corpora under
-# /root/testdata are immutable, so keying by directory is exact; a
-# deployment over mutable data would add a snapshot/version component
-# to the key.
+# each time). The registry contract (keying, eviction, why not the
+# session CacheManager) lives in plans/_session_index.py.
 # ---------------------------------------------------------------------------
 
-_INDEX_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+from calaveras_uniteus_etl_spark.plans._session_index import (
+    _CACHE as _SESSION_CACHE,
+    session_index,
+)
 
 
 def _vec_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -158,10 +153,12 @@ def _vec_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     candidate joins carry these 3 small ints until the final
     embedding join-back.
     """
-    key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _INDEX_CACHE.get(key)
-    if hit is not None:
-        return hit
+    return session_index(
+        spark, sf_dir, "embedding_index", lambda: _vec_index_build(spark, sf_dir)
+    )
+
+
+def _vec_index_build(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     # repartition first: the synthetic source is one parquet file → one
     # task, which would serialize the 32 hyperplane dot products per
     # vector onto a single core. At scale the source arrives already
@@ -185,8 +182,6 @@ def _vec_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         .drop("bc")
     )
     buckets = b.join(F.broadcast(ok), ["tbl", "bucket"]).localCheckpoint(eager=True)
-    _INDEX_CACHE.clear()  # hold exactly one corpus featurization
-    _INDEX_CACHE[key] = (vecs, buckets)
     return vecs, buckets
 
 
@@ -271,9 +266,9 @@ def _spark_buckets(vecs: DataFrame) -> DataFrame:
     alongside it — computed once per session. A foreign ``vecs``
     (tests composing their own featurization) gets a fresh build.
     """
-    for cached_vecs, cached_buckets in _INDEX_CACHE.values():
-        if cached_vecs is vecs:
-            return cached_buckets
+    for key, val in _SESSION_CACHE.items():
+        if key[2] == "embedding_index" and val[0] is vecs:
+            return val[1]
     b = vecs.select("vec_id", F.posexplode("bks").alias("tbl", "bucket"))
     ok = (
         b.groupBy("tbl", "bucket")
