@@ -48,6 +48,38 @@ def main() -> None:
             if spec is not None:
                 spec.fn(spark, warm_dir).count()
 
+    # Session-index build cost, timed EXPLICITLY (ADVICE r07): the
+    # per-query numbers below are deliberately warm-index marginal
+    # costs — the production posture, where a corpus is indexed once
+    # and amortized across the workload — so the one-time build would
+    # otherwise land in no query's best-of-two. Clear the registry,
+    # then time each artifact's cold build at the bench SF in
+    # dependency order (each line is the MARGINAL cost given its
+    # predecessors: pair mining on top of signatures, labels on top of
+    # pairs). Totals below exclude these; BENCH_FULL.json carries them.
+    from calaveras_uniteus_etl_spark.plans._session_index import (
+        session_index_clear,
+    )
+    from calaveras_uniteus_etl_spark.plans.queries_dedup import (
+        _lsh_pair_matches,
+        _neardup_labels,
+        _sigs_index,
+    )
+    from calaveras_uniteus_etl_spark.plans.queries_similarity import _vec_index
+
+    session_index_clear()
+    index_build: dict[str, float] = {}
+    for bname, bfn in [
+        ("minhash_sigs", _sigs_index),
+        ("lsh_pair_nm", _lsh_pair_matches),
+        ("neardup_labels", _neardup_labels),
+        ("embedding_index", _vec_index),
+    ]:
+        t0 = time.perf_counter()
+        bfn(spark, sf_dir)
+        index_build[bname] = round(time.perf_counter() - t0, 4)
+    index_build["total"] = round(sum(index_build.values()), 4)
+
     # Best-of-two per query, as two INTERLEAVED full passes (pass 1
     # times every query in registry order, then pass 2 re-times them
     # all) rather than back-to-back repeats. Back-to-back runs made
@@ -92,6 +124,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "index_build": index_build,
+                "index_timing": "warm",  # per-query numbers are warm-index
                 "sf": sf_val,
             },
             f,
@@ -125,6 +159,7 @@ def main() -> None:
             "unit": "sec",
             "queries": {q: timings[q] for q in subset if q in timings},
             "slowest": slowest,
+            "index_build_sec": index_build,
             "n_queries": len(timings),
             "detail": "BENCH_FULL.json",
             "sf": sf_val,

@@ -15,21 +15,125 @@ need explicit unpersist bookkeeping. Checkpointed RDDs pinned here are
 plain leaf relations; replacing an entry drops the reference and the
 ContextCleaner reclaims the blocks.
 
-Memory bound: entries for any other (application, corpus) pair are
-evicted whenever a new corpus is indexed, so at most one corpus'
-artifacts are ever held. The driver's test corpora are immutable, so
-keying by directory is exact; a deployment over mutable data adds a
-snapshot/version component to the key.
+Memory bound: a small LRU of corpus scopes (``_MAX_SCOPES``) — a
+workload alternating two corpora in one session (the test suite runs
+sf0.001 and sf0.01) keeps both warm instead of thrashing a full
+rebuild on every switch; a third corpus evicts the least-recently-used
+one. The driver's test corpora are immutable, so keying by directory
+is exact; a deployment over mutable data adds a snapshot/version
+component to the key.
+
+Durability: ``localCheckpoint`` blocks live in executor storage and
+die with their executor — on a cluster with dynamic allocation or
+preemption a lost executor would otherwise fail every downstream
+consumer with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND and no recompute path
+(the lineage is truncated by design). Every cache hit therefore runs a
+driver-side health check: the leaf RDD ids captured at build time must
+still report fully-cached partitions in the block manager's storage
+info (a metadata lookup, no job). A lost block invalidates the entry
+and the artifact is rebuilt once from source. The residual race — all
+blocks healthy at lookup, executor dies mid-consumption — fails that
+one action; the NEXT access rebuilds, which is the same contract a
+production vector store gives for a node loss during a query.
 """
 
 from __future__ import annotations
 
+import os
+import threading
 from collections.abc import Callable
 from typing import Any
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
+# Guarded by _LOCK: concurrent consumers of the same artifact must not
+# race duplicate builds (the second would leak the first's checkpoint
+# blocks until the ContextCleaner notices). Builds run under the lock —
+# coarse, but index builds are rare and idempotent-expensive.
+_LOCK = threading.RLock()
 _CACHE: dict[tuple[str, str, str], Any] = {}
+# key -> [(leaf rdd id, partition count), ...] captured at build time.
+_LEAF_RDDS: dict[tuple[str, str, str], list[tuple[int, int]]] = {}
+# (application, corpus) scopes, least-recently-used first.
+_SCOPES: list[tuple[str, str]] = []
+_MAX_SCOPES = 2
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Eagerly materialize an index artifact as a lineage-free leaf.
+
+    Default: ``localCheckpoint`` — executor-local blocks, fastest, and
+    the lost-block rebuild path below covers executor death. With
+    ``SPARK_GRAFT_INDEX_CHECKPOINT_DIR`` set (a reliable filesystem —
+    HDFS/S3/NFS on a cluster), artifacts use a RELIABLE checkpoint
+    instead: the materialization survives executor loss and dynamic
+    deallocation outright, trading build latency for durability — the
+    right posture for long-lived 100 TB sessions under preemption.
+    """
+    ckpt_dir = os.environ.get("SPARK_GRAFT_INDEX_CHECKPOINT_DIR")
+    if not ckpt_dir:
+        return df.localCheckpoint(eager=True)
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isEmpty():
+        sc.setCheckpointDir(ckpt_dir)
+    return df.checkpoint(eager=True)
+
+
+def _artifact_dataframes(artifact: Any) -> list[DataFrame]:
+    if isinstance(artifact, DataFrame):
+        return [artifact]
+    if isinstance(artifact, (tuple, list)):
+        return [x for x in artifact if isinstance(x, DataFrame)]
+    return []
+
+
+def _leaf_rdd_infos(artifact: Any) -> list[tuple[int, int]]:
+    """(rdd id, partition count) for every LogicalRDD leaf in the
+    artifact's analyzed plans — the blocks whose loss must trigger a
+    rebuild. Non-RDD leaves (a build that returns a plain plan) yield
+    nothing, which degrades to the no-health-check behavior."""
+    infos: list[tuple[int, int]] = []
+    for df in _artifact_dataframes(artifact):
+        try:
+            leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+            for i in range(leaves.size()):
+                leaf = leaves.apply(i)
+                if leaf.getClass().getSimpleName() != "LogicalRDD":
+                    continue
+                rdd = leaf.rdd()
+                if rdd.getCheckpointFile().isDefined():
+                    # reliable checkpoint: file-backed, survives
+                    # executor loss — no block health check needed
+                    continue
+                infos.append((int(rdd.id()), int(rdd.getNumPartitions())))
+        except Exception:  # noqa: BLE001 — introspection must never break a query
+            continue
+    return infos
+
+
+def _blocks_healthy(spark: SparkSession, infos: list[tuple[int, int]]) -> bool:
+    """True iff every captured leaf RDD still reports all partitions
+    cached. Driver-side storage metadata only — no job is launched."""
+    if not infos:
+        return True
+    try:
+        live: dict[int, int] = {}
+        for info in spark.sparkContext._jsc.sc().getRDDStorageInfo():
+            live[int(info.id())] = int(info.numCachedPartitions())
+        return all(live.get(rdd_id, 0) >= nparts for rdd_id, nparts in infos)
+    except Exception:  # noqa: BLE001 — introspection must never break a query
+        return True
+
+
+def _touch_scope(scope: tuple[str, str]) -> None:
+    if scope in _SCOPES:
+        _SCOPES.remove(scope)
+    _SCOPES.append(scope)
+    while len(_SCOPES) > _MAX_SCOPES:
+        victim = _SCOPES.pop(0)
+        for key in [k for k in _CACHE if (k[0], k[1]) == victim]:
+            del _CACHE[key]
+            _LEAF_RDDS.pop(key, None)
 
 
 def session_index(
@@ -39,14 +143,37 @@ def session_index(
 
     `build` must return an eagerly-materialized relation (or tuple of
     relations) — typically `.localCheckpoint(eager=True)` — so every
-    consumer reads a lineage-free leaf.
+    consumer reads a lineage-free leaf. A hit whose checkpoint blocks
+    were lost (executor death, manual unpersist) is evicted and rebuilt
+    transparently.
     """
     scope = (spark.sparkContext.applicationId, sf_dir)
     key = (*scope, name)
-    hit = _CACHE.get(key)
-    if hit is None:
-        hit = build()
-        for stale in [k for k in _CACHE if (k[0], k[1]) != scope]:
-            del _CACHE[stale]
-        _CACHE[key] = hit
+    with _LOCK:
+        hit = _CACHE.get(key)
+        if hit is not None and not _blocks_healthy(spark, _LEAF_RDDS.get(key, [])):
+            del _CACHE[key]
+            _LEAF_RDDS.pop(key, None)
+            hit = None
+        if hit is None:
+            hit = build()
+            _CACHE[key] = hit
+            _LEAF_RDDS[key] = _leaf_rdd_infos(hit)
+        _touch_scope(scope)
     return hit
+
+
+def session_index_peek(spark: SparkSession, sf_dir: str, name: str) -> Any:
+    """Cached artifact for (session, corpus, name), or None — an
+    explicit lookup API so no caller identity-probes the private dict."""
+    with _LOCK:
+        return _CACHE.get((spark.sparkContext.applicationId, sf_dir, name))
+
+
+def session_index_clear() -> None:
+    """Drop every cached artifact (bench cold-build timing, tests).
+    References are released; the ContextCleaner reclaims the blocks."""
+    with _LOCK:
+        _CACHE.clear()
+        _LEAF_RDDS.clear()
+        _SCOPES.clear()

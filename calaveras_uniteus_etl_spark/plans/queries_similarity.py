@@ -139,7 +139,7 @@ _DUCK_COSINE = """ROUND(list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUB
 # ---------------------------------------------------------------------------
 
 from calaveras_uniteus_etl_spark.plans._session_index import (
-    _CACHE as _SESSION_CACHE,
+    materialize,
     session_index,
 )
 
@@ -158,7 +158,11 @@ def _vec_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     )
 
 
-def _vec_index_build(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+def _vec_featurize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAZY featurization plan — norms + SRP-LSH signatures over the
+    corpus scan. Split out from the build so the plan lint can walk it;
+    the checkpoint in _vec_index_build would otherwise hide it behind a
+    leaf."""
     # repartition first: the synthetic source is one parquet file → one
     # task, which would serialize the 32 hyperplane dot products per
     # vector onto a single core. At scale the source arrives already
@@ -166,12 +170,16 @@ def _vec_index_build(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataF
     e = table(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism, "vec_id"
     )
-    vecs = e.select(
+    return e.select(
         "vec_id",
         "embedding",
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
         sim.buckets_array_udf().alias("bks"),
-    ).localCheckpoint(eager=True)
+    )
+
+
+def _postings_plan(vecs: DataFrame) -> DataFrame:
+    """The LAZY capped-postings plan over a featurized relation."""
     b = vecs.select("vec_id", F.posexplode("bks").alias("tbl", "bucket"))
     # the cap relation has at most N_TABLES * 2^N_PLANES rows regardless
     # of corpus size — broadcast it so the cap filter never shuffles b
@@ -181,7 +189,12 @@ def _vec_index_build(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataF
         .filter(F.col("bc") <= _BUCKET_CAP)
         .drop("bc")
     )
-    buckets = b.join(F.broadcast(ok), ["tbl", "bucket"]).localCheckpoint(eager=True)
+    return b.join(F.broadcast(ok), ["tbl", "bucket"])
+
+
+def _vec_index_build(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    vecs = materialize(_vec_featurize_plan(spark, sf_dir))
+    buckets = materialize(_postings_plan(vecs))
     return vecs, buckets
 
 
@@ -258,27 +271,6 @@ def _payload_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
 from calaveras_uniteus_etl_spark.plans.queries_dedup import BUCKET_CAP as _BUCKET_CAP
 
 
-def _spark_buckets(vecs: DataFrame) -> DataFrame:
-    """Capped (vec_id, tbl, bucket) postings for an index relation.
-
-    When ``vecs`` is the index-cached featurization (the only caller
-    path in the registry), this returns the postings materialized
-    alongside it — computed once per session. A foreign ``vecs``
-    (tests composing their own featurization) gets a fresh build.
-    """
-    for key, val in _SESSION_CACHE.items():
-        if key[2] == "embedding_index" and val[0] is vecs:
-            return val[1]
-    b = vecs.select("vec_id", F.posexplode("bks").alias("tbl", "bucket"))
-    ok = (
-        b.groupBy("tbl", "bucket")
-        .agg(F.count("*").alias("bc"))
-        .filter(F.col("bc") <= _BUCKET_CAP)
-        .drop("bc")
-    )
-    return b.join(F.broadcast(ok), ["tbl", "bucket"]).localCheckpoint(eager=True)
-
-
 def _duck_buckets_cte() -> str:
     # ids only — candidate mining never carries the vector payload;
     # scoring joins embeddings back by id (mirrors the Spark plan)
@@ -324,19 +316,8 @@ SELECT query_id, neighbor_id, cosine FROM (
     "before exact cosine ranking — the scale path next to X5's brute "
     "force.",
 )
-def x6_ann_lsh_topk(
-    spark: SparkSession,
-    sf_dir: str,
-    *,
-    vecs: DataFrame | None = None,
-    buckets: DataFrame | None = None,
-) -> DataFrame:
-    # composites pass prebuilt (vecs, buckets) so the featurization —
-    # the corpus scan, norms, and the Arrow bucket pass — materializes
-    # once per composite, not once per branch
-    if vecs is None:
-        vecs = _spark_vecs(spark, sf_dir)
-    b = buckets if buckets is not None else _spark_buckets(vecs)
+def x6_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs, b = _vec_index(spark, sf_dir)
     probes = b.filter(F.col("vec_id") < _N_QUERY).select(
         F.col("vec_id").alias("query_id"), "tbl", "bucket"
     )
@@ -400,8 +381,7 @@ WHERE cosine >= {_NEARDUP_MIN}
     "the same buckets exactly.",
 )
 def x6_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vecs = _spark_vecs(spark, sf_dir)
-    b = _spark_buckets(vecs)
+    vecs, b = _vec_index(spark, sf_dir)
     a, c = b.alias("a"), b.alias("c")
     # candidate mining carries only (vec_id, vec_id): the distinct and
     # the shuffle never see the 64-float payload
@@ -850,8 +830,7 @@ SELECT cid, vec_a AS kept_id, vec_b AS pruned_id, cosine FROM (
     f"pairs; cosine >= {_X29_TAU} prunes to the lowest-id survivor.",
 )
 def x29_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vecs = _spark_vecs(spark, sf_dir)
-    b = _spark_buckets(vecs)
+    vecs, b = _vec_index(spark, sf_dir)
     qvecs = vecs.select(
         "vec_id",
         F.expr(
@@ -1491,8 +1470,7 @@ ORDER BY vec_a, vec_b
     "id-pair candidate shuffle, payloads join back late (x6 shape).",
 )
 def x62_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vecs = _spark_vecs(spark, sf_dir)
-    b = _spark_buckets(vecs)
+    vecs, b = _vec_index(spark, sf_dir)
     # payload sides come from the parquet scan, not the checkpointed
     # index: the scan carries size stats, so Catalyst broadcasts these
     # joins at small corpora and falls back to shuffle joins at scale —

@@ -152,3 +152,48 @@ def test_registry_plan_lint(spark):
     assert not stale_win, (
         f"GLOBAL_WINDOW_ALLOW entries no longer needed: {stale_win}"
     )
+
+
+def test_session_index_build_plans_lint(spark):
+    """The registry lint above sees a checkpoint LEAF wherever a query
+    reads a session-indexed artifact — the featurization upstream of
+    the leaf is invisible to it. Lint the BUILD plans explicitly (the
+    lazy pre-checkpoint shapes), so the indexing layer can't hide a
+    cartesian, a row-wise Python UDF, or a data-sized global sort."""
+    from pyspark.sql import functions as F
+
+    from calaveras_uniteus_etl_spark.plans.queries_dedup import (
+        _label_step,
+        _lsh_pair_plan,
+        _spark_sigs,
+    )
+    from calaveras_uniteus_etl_spark.plans.queries_similarity import (
+        _postings_plan,
+        _vec_featurize_plan,
+    )
+
+    feat = _vec_featurize_plan(spark, SF)
+    pairs = _lsh_pair_plan(spark, SF).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+    )
+    builds = {
+        "minhash_sigs": _spark_sigs(spark, SF),
+        "lsh_pair_nm": _lsh_pair_plan(spark, SF),
+        "neardup_label_step": _label_step(edges, labels),
+        "embedding_featurize": feat,
+        "embedding_postings": _postings_plan(feat),
+    }
+    for name, df in builds.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BatchEvalPython" not in plan, (name, plan)
+        hits = _single_partition_windows(plan)
+        assert not hits, (name, hits)

@@ -702,7 +702,19 @@ def test_x108_topk_is_take_ordered(spark):
 def test_x110_is_one_signature_pass(spark):
     """All five band configs must come from ONE signature derivation —
     a per-config union re-scanning documents five times is the
-    regression the exploded-configs design avoids."""
+    regression the exploded-configs design avoids. x110 reads the
+    session-indexed signature relation, so its own plan shows at most
+    one scan (zero when the index leaf stands in for it); the companion
+    assertion pins the index BUILD plan to exactly one scan, so the
+    single-pass property survives the indexing layer."""
     plan = physical(REGISTRY["x110_lsh_band_planner"].fn(spark, SF))
     scans = [ln for ln in plan.splitlines() if "documents.parquet" in ln]
-    assert len(scans) == 1, scans
+    assert len(scans) <= 1, scans
+
+    from calaveras_uniteus_etl_spark.plans.queries_dedup import _spark_sigs
+
+    build = physical(_spark_sigs(spark, SF))
+    build_scans = [
+        ln for ln in build.splitlines() if "documents.parquet" in ln
+    ]
+    assert len(build_scans) == 1, build_scans

@@ -63,13 +63,22 @@ def test_debt_ordered_by_addition_hint():
 
 
 def test_green_extraction_semantics(tmp_path):
-    # green = no err + rows matched + neither schema nor hash mismatched;
-    # a failing row must NOT count (so regressions rotate back to front)
+    # green = no err + rows matched + hash MATCHED; a hash-less row
+    # (hash_match None) counts only for rows-only-by-design queries
+    # (_ROWS_ONLY_LAST membership or an explicit rows_only flag) — a
+    # driver timeout that skips hashing must not retire an oracled
+    # query on row-count evidence alone (ADVICE r07). A failing row
+    # must NOT count (so regressions rotate back to the front).
     rows = {
         "good_hash": {"rows_match": True, "schema_match": True,
                       "hash_match": True, "err": None},
-        "good_rows_only": {"rows_match": True, "schema_match": None,
-                           "hash_match": None, "err": None},
+        "good_flagged_rows_only": {"rows_match": True, "schema_match": None,
+                                   "hash_match": None, "err": None,
+                                   "rows_only": True},
+        "f2_approx_count_distinct": {"rows_match": True, "schema_match": None,
+                                     "hash_match": None, "err": None},
+        "hashless_oracled": {"rows_match": True, "schema_match": True,
+                             "hash_match": None, "err": None},
         "bad_hash": {"rows_match": True, "schema_match": True,
                      "hash_match": False, "err": None},
         "bad_rows": {"rows_match": False, "schema_match": None,
@@ -84,10 +93,37 @@ def test_green_extraction_semantics(tmp_path):
                                 "hash_match": True, "err": None}})
     )
     green = _driver_green_names(root=tmp_path)
-    assert green == {"good_hash", "good_rows_only", "bad_err"}
+    assert green == {
+        "good_hash",
+        "good_flagged_rows_only",
+        "f2_approx_count_distinct",
+        "bad_err",
+    }
 
 
 def test_unreadable_evidence_file_does_not_crash(tmp_path):
     (tmp_path / "CORRECTNESS_r01.json").write_text("{not json")
     (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps(["a", "list"]))
     assert _driver_green_names(root=tmp_path) == set()
+
+
+def test_evidence_root_resolution_found_files(monkeypatch):
+    # ADVICE r07: if the default root resolution (or an override) finds
+    # zero evidence files while the registry is non-empty, every query
+    # silently counts as unwitnessed debt and the rotation is defeated.
+    # Pin that the import-time derivation actually parsed files in this
+    # checkout, and that the env override is honored.
+    import calaveras_uniteus_etl_spark.plans as plans
+
+    _driver_green_names()  # default root = this repo checkout
+    assert plans._EVIDENCE_FILES_PARSED > 0, (
+        "no CORRECTNESS_r*.json parsed from the default evidence root — "
+        "rotation would treat all queries as unwitnessed"
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_EVIDENCE_ROOT", "/nonexistent/path")
+    assert _driver_green_names() == set()
+    assert plans._EVIDENCE_FILES_PARSED == 0
+    monkeypatch.delenv("SPARK_GRAFT_EVIDENCE_ROOT")
+    _driver_green_names()
+    assert plans._EVIDENCE_FILES_PARSED > 0
