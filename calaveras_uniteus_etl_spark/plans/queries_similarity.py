@@ -209,12 +209,6 @@ def _spark_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vecs.select("vec_id", "embedding", "nrm")
 
 
-def _spark_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vectors with bucket ids and a precomputed norm (index-cached)."""
-    vecs, _ = _vec_index(spark, sf_dir)
-    return vecs
-
-
 def _probe_pair_scores(e: DataFrame) -> DataFrame:
     """(query_id, neighbor_id, cosine) for every probe × corpus pair.
 
