@@ -694,6 +694,26 @@ def test_f64_windows_partition_by_month(spark):
         assert " ASC" not in first and " DESC" not in first, ln
 
 
+def test_e12_fixpoint_is_one_lazy_broadcast_chain(spark):
+    """e12's rank iterations run over the nation-grain edge graph as a
+    single lazy broadcast-join chain — the returned plan must contain
+    the full iteration chain (2 broadcast joins per iteration: contrib
+    + rank join-back) above exactly one checkpointed edges leaf. A plan
+    that is just a leaf means per-iteration eager checkpoints crept
+    back (3 barrier jobs for 25-row states); a SortMergeJoin means a
+    rank state stopped broadcasting."""
+    from calaveras_uniteus_etl_spark.plans.queries_joins import _RANK_ITERS
+
+    plan = physical(REGISTRY["e12_link_rank"].fn(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2 * _RANK_ITERS, plan
+    assert "SortMergeJoin" not in plan, plan
+    # the fact-sized work happened ONCE, in the eager edge-graph build:
+    # the returned iteration plan must read only the materialized graph
+    # (checkpoint leaves), never re-scan the fact tables
+    assert "lineitem.parquet" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+
+
 def test_x108_topk_is_take_ordered(spark):
     plan = physical(REGISTRY["x108_term_adaptation"].fn(spark, SF))
     assert "TakeOrderedAndProject" in plan, plan
