@@ -3390,14 +3390,13 @@ def m7_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         cum_col="g_cum",
     )
-    # source-grain totals -> preceding-sources base offsets (tiny)
-    per_src = d.groupBy("source").agg(F.sum("n_chars").alias("src_bytes"))
-    w_src = Window.orderBy("source").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    bases = per_src.select(
-        "source",
-        F.coalesce(F.sum("src_bytes").over(w_src), F.lit(0)).alias("base"),
+    # Preceding-sources base offsets straight off the prefix output:
+    # each source's first row carries g_cum - n_chars = bytes before
+    # the source, so MIN per source is the base. Deriving it from g
+    # (a checkpoint-leaf consumer) avoids re-scanning documents and
+    # re-running a source rollup on the raw relation.
+    bases = g.groupBy("source").agg(
+        F.min(F.col("g_cum") - F.col("n_chars")).alias("base")
     )
     offs = g.join(F.broadcast(bases), "source").select(
         "source",
@@ -6232,13 +6231,15 @@ def f62_tukey_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = prefix_rank(
         vg, [F.asc("prio"), F.asc("v")], value="cnt", cum_col="gcum"
     )
-    tot = vg.groupBy("prio").agg(F.sum("cnt").cast("bigint").alias("n"))
-    # 5-row group grain: exclusive prefix of group sizes = group offset
-    w5 = Window.orderBy("prio").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    offs = tot.select(
-        "prio", "n", (F.sum("n").over(w5) - F.col("n")).alias("start")
+    # Group offsets straight off the prefix output: the first value row
+    # of a group carries gcum - cnt = rows before the group, so
+    # MIN(gcum - cnt) per prio is the group's start and SUM(cnt) its
+    # size. Deriving both from `cum` (a checkpoint-leaf consumer) keeps
+    # the plan to ONE parquet scan + ONE value-grain shuffle — the old
+    # vg-based rollup re-scanned orders and re-ran the groupBy.
+    offs = cum.groupBy("prio").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.min(F.col("gcum") - F.col("cnt")).alias("start"),
     )
     pcum = cum.join(F.broadcast(offs), "prio").withColumn(
         "pcum", F.col("gcum") - F.col("start")
@@ -6266,7 +6267,8 @@ def f62_tukey_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     low = 2 * F.col("v") < 2 * F.col("q1") - 3 * (F.col("q3") - F.col("q1"))
     high = 2 * F.col("v") > 2 * F.col("q3") + 3 * (F.col("q3") - F.col("q1"))
     return (
-        vg.join(F.broadcast(qs), "prio")
+        cum.select("prio", "v", "cnt")
+        .join(F.broadcast(qs), "prio")
         .groupBy("prio", "n", "q1", "q2", "q3")
         .agg(
             F.sum(F.when(low, F.col("cnt")).otherwise(0))

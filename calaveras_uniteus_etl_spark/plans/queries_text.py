@@ -927,11 +927,16 @@ def x25_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.expr(f"split({NORM_SPARK.format(col='text')}, ' ')")).alias("term"),
     )
     vocab = toks.groupBy("term").agg(F.count("*").alias("cnt"))
-    # scalar total: a cheap two-stage count job, never a row collect
-    n_tokens = vocab.agg(F.sum("cnt")).first()[0]
-    lp = vocab.select(
+    # Corpus token total as a lazy 1-row broadcast scalar: an eager
+    # .first() here would run the whole tokenize+rollup as a separate
+    # blocking job and then re-run it in the main plan. Same IEEE
+    # double division either way (cnt/total), so values are unchanged.
+    tot = vocab.agg(F.sum("cnt").cast("double").alias("__n_tokens"))
+    lp = vocab.crossJoin(F.broadcast(tot)).select(
         "term",
-        F.round(F.log(F.col("cnt").cast("double") / F.lit(float(n_tokens))) * 1e6)
+        F.round(
+            F.log(F.col("cnt").cast("double") / F.col("__n_tokens")) * 1e6
+        )
         .cast("bigint")
         .alias("lp_micro"),
     )
@@ -1245,10 +1250,11 @@ def x31_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     # eager localCheckpoint: the exploded+hashed token relation feeds
-    # four jobs (raw bucket counts, target bucket counts, the two
-    # scalar totals, and the final per-doc score join) — without it
-    # the md5-dense explode re-runs for each, and unlike cache() no
-    # entry outlives the query in the session CacheManager. ~3 longs/token, O(corpus tokens).
+    # three plan branches (raw bucket counts, target bucket counts,
+    # the final per-doc score join) plus the lazy totals scalar —
+    # without it the md5-dense explode re-runs for each, and unlike
+    # cache() no entry outlives the query in the session CacheManager.
+    # ~3 longs/token, O(corpus tokens).
     bt = toks.select(
         "doc_id", "lang", (md5_long("term") % _DSIR_B).alias("b")
     ).localCheckpoint(eager=True)
@@ -1258,26 +1264,46 @@ def x31_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("b")
         .agg(F.count("*").alias("t_cnt"))
     )
-    # two scalar totals (cheap two-stage count jobs, like x25's)
-    r_total = raw.agg(F.sum("r_cnt")).first()[0]
-    t_total = tgt.agg(F.sum("t_cnt")).first()[0] or 0
-    lr = raw.join(tgt, "b", "left").select(
-        "b",
-        F.round(
-            (
-                F.log(
-                    (F.coalesce(F.col("t_cnt"), F.lit(0)) + 1).cast("double")
-                    / F.lit(float(t_total + _DSIR_B))
-                )
-                - F.log(
-                    (F.col("r_cnt") + 1).cast("double")
-                    / F.lit(float(r_total + _DSIR_B))
-                )
+    # Both corpus totals as ONE lazy 1-row broadcast scalar off the
+    # checkpoint leaf (two eager .first() calls here were two extra
+    # blocking jobs). float(total + B) and the double cast of the
+    # BIGINT sum produce identical IEEE operands, so lr_micro holds.
+    totals = bt.agg(
+        (F.count("*") + F.lit(_DSIR_B)).cast("double").alias("__r_den"),
+        (
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("lang") == _DSIR_TARGET_LANG, 1).otherwise(0)
+                ),
+                F.lit(0),
             )
-            * 1e6
+            + F.lit(_DSIR_B)
         )
-        .cast("bigint")
-        .alias("lr_micro"),
+        .cast("double")
+        .alias("__t_den"),
+    )
+    lr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("t_cnt"), F.lit(0)) + 1).cast(
+                            "double"
+                        )
+                        / F.col("__t_den")
+                    )
+                    - F.log(
+                        (F.col("r_cnt") + 1).cast("double") / F.col("__r_den")
+                    )
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("lr_micro"),
+        )
     )
     return (
         bt.join(F.broadcast(lr), "b")
@@ -1936,16 +1962,21 @@ def x54_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = d.select(
         shard.alias("shard"), F.size(F.split(norm, " ")).alias("n_tokens")
     )
-    total_tokens = assigned.agg(F.sum("n_tokens")).first()[0]
+    # corpus token total as a lazy 1-row broadcast scalar — an eager
+    # .first() would scan+tokenize documents once just for the literal
+    tot = assigned.agg(F.sum("n_tokens").cast("double").alias("__all_tokens"))
     return (
         assigned.groupBy("shard")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").cast("bigint").alias("n_tokens"),
-            (F.sum("n_tokens").cast("double") / F.lit(float(total_tokens))).alias(
-                "token_share"
-            ),
+            F.sum("n_tokens").cast("double").alias("__shard_tokens"),
         )
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "token_share", F.col("__shard_tokens") / F.col("__all_tokens")
+        )
+        .drop("__shard_tokens", "__all_tokens")
         .orderBy("shard")
     )
 
@@ -2030,21 +2061,28 @@ def x58_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
     )
     cu = toks.groupBy("term").agg(F.count("*").alias("c1"))
-    # vocab size: scalar aggregate job, never a row collect
-    v = cu.count()
+    # Vocabulary size as a lazy 1-row broadcast scalar (x25's pattern):
+    # an eager .count() would run tokenize+rollup as its own blocking
+    # job before the main plan re-ran it. float(v) and the double cast
+    # produce the same IEEE operand, so lp_micro is unchanged.
+    vsz = cu.agg(F.count("*").cast("double").alias("__v"))
     cbg = bge.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
-    lp = cbg.join(cu, cbg.w1 == cu.term).select(
-        "w1",
-        "w2",
-        F.round(
-            F.log(
-                (F.col("c2").cast("double") + F.lit(1.0))
-                / (F.col("c1").cast("double") + F.lit(float(v)))
+    lp = (
+        cbg.join(cu, cbg.w1 == cu.term)
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log(
+                    (F.col("c2").cast("double") + F.lit(1.0))
+                    / (F.col("c1").cast("double") + F.col("__v"))
+                )
+                * 1e6
             )
-            * 1e6
+            .cast("bigint")
+            .alias("lp_micro"),
         )
-        .cast("bigint")
-        .alias("lp_micro"),
     )
     # lp is corpus-vocabulary-sized: shuffle join on the bigram key
     # (broadcast would ship data-sized state to every executor)
@@ -5167,7 +5205,9 @@ def x119_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks = docs.select(F.explode("w").alias("term"))
     # corpus token total: scalar two-stage count job, never a collect
-    n_tok = toks.count()
+    # corpus token total as a lazy 1-row broadcast scalar — an eager
+    # .count() here re-ran the whole tokenize pass as its own job
+    ntok = toks.agg(F.count("*").cast("double").alias("__n_tok"))
     cu = toks.groupBy("term").agg(F.count("*").alias("c1"))
     bge = (
         docs.filter(F.size("w") >= 2)
@@ -5192,7 +5232,7 @@ def x119_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     lift = (
         F.round(
             F.col("c2").cast("double")
-            * F.lit(float(n_tok))
+            * F.col("__n_tok")
             / (F.col("c1a").cast("double") * F.col("c1b").cast("double"))
             * F.lit(1e6)
         )
@@ -5201,6 +5241,7 @@ def x119_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cbg.join(a, "w1")
         .join(b, "w2")
+        .crossJoin(F.broadcast(ntok))
         .select(
             "w1",
             "w2",

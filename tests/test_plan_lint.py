@@ -64,9 +64,7 @@ GLOBAL_WINDOW_ALLOW = {
     "g3_user_growth": "calendar-day grain",
     "g12_rolling_correlation": "calendar-day grain",
     "f28_yoy_revenue": "calendar-month grain",
-    "f62_tukey_outliers": "order-priority grain (5 values)",
     "f63_revenue_var_cvar": "per-day revenue grain (<= #days rows)",
-    "m7_compaction_plan": "source grain (bounded dimension)",
     "x35_lsh_threshold_sweep": "signature-match-count grain (0..K=12)",
     "x80_heaps_law_curve": "corpus-decile grain (10 rows)",
     "x82_ks_test": "distinct doc-length grain (bounded by max doc length)",
