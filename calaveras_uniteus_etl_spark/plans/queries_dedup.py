@@ -689,12 +689,9 @@ FROM scored
 )
 def x26_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = dd.with_shingles(_docs_wide(spark, sf_dir))
-    sigs = (
-        d.withColumn("hs", dd.shingle_hashes_expr())
-        .withColumn("sig", dd.minhash_sig_expr())
-        .select("doc_id", "sig")
-        .localCheckpoint(eager=True)
-    )
+    # full K-lane signatures are exactly the session sig index's
+    # shape — consume it instead of re-hashing the corpus per query
+    sigs = _sigs_index(spark, sf_dir)
     bands = sigs.select(
         "doc_id", F.posexplode(dd.band_keys_expr()).alias("band", "band_key")
     )
@@ -3056,12 +3053,9 @@ FROM scored GROUP BY k ORDER BY k
 )
 def x113_minhash_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = dd.with_shingles(_docs_wide(spark, sf_dir))
-    sigs = (
-        d.withColumn("hs", dd.shingle_hashes_expr())
-        .withColumn("sig", dd.minhash_sig_expr())
-        .select("doc_id", "sig")
-        .localCheckpoint(eager=True)
-    )
+    # full K-lane signatures are exactly the session sig index's
+    # shape — consume it instead of re-hashing the corpus per query
+    sigs = _sigs_index(spark, sf_dir)
     bands = sigs.select(
         "doc_id", F.posexplode(dd.band_keys_expr()).alias("band", "band_key")
     )
@@ -3855,31 +3849,36 @@ def x137_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pos")
         .rowsBetween(0, _X137_W - 1)
     )
-    keyed = grams.select(
-        "source",
-        "doc_id",
-        "pos",
-        "h",
-        (F.col("h") * _X137_C - F.col("pos")).alias("key"),
-        F.max("pos").over(w_doc).alias("max_pos"),
-    )
-    anchors = keyed.select(
-        "doc_id",
-        "pos",
-        "max_pos",
-        F.pmod(-F.min("key").over(w_ahead), F.lit(_X137_C)).alias(
-            "win_pos"
-        ),
+    # Both doc-keyed windows ride ONE doc_id exchange, and the result
+    # is pinned (eager localCheckpoint) because three consumers need
+    # it — the anchor filter, the picked join-back, and the per-source
+    # gram totals. Unpinned, the k-gram posexplode + md5 pass re-ran
+    # per consumer (3 full tokenize passes). ~5 longs + source per
+    # gram, the same order as the window shuffle already in the plan.
+    keyed = (
+        grams.select(
+            "source",
+            "doc_id",
+            "pos",
+            "h",
+            (F.col("h") * _X137_C - F.col("pos")).alias("key"),
+            F.max("pos").over(w_doc).alias("max_pos"),
+        )
+        .withColumn(
+            "win_pos",
+            F.pmod(-F.min("key").over(w_ahead), F.lit(_X137_C)),
+        )
+        .localCheckpoint(eager=True)
     )
     chosen = (
-        anchors.filter(F.col("pos") <= F.col("max_pos") - (_X137_W - 1))
+        keyed.filter(F.col("pos") <= F.col("max_pos") - (_X137_W - 1))
         .select("doc_id", F.col("win_pos").alias("pos"))
         .distinct()
     )
     picked = keyed.join(chosen, ["doc_id", "pos"]).select(
         "source", "doc_id", "pos", "h"
     )
-    totals = grams.groupBy("source").agg(
+    totals = keyed.groupBy("source").agg(
         F.count("*").cast("bigint").alias("total_grams")
     )
     stats = picked.groupBy("source").agg(

@@ -1312,7 +1312,16 @@ LIMIT 100
 )
 def e15_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
+    # The distinct (order, part) relation feeds FOUR consumers (the
+    # order-count scalar, the per-part counts, and both sides of the
+    # pair self-join); pin it once (eager localCheckpoint) so the scan
+    # + distinct shuffle run once instead of four times. Two longs per
+    # row — the same relation the self-join shuffle already carries.
+    op = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n = op.agg(F.count_distinct("l_orderkey").alias("n_orders"))
     part_ct = op.groupBy("l_partkey").agg(F.count("*").alias("c"))
     a, b = op.alias("a"), op.alias("b")

@@ -1632,9 +1632,9 @@ def x47_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    # Serves the avgdl .first() below AND three branches of the
-    # returned plan; localCheckpoint so the blocks free on GC instead
-    # of lingering in the CacheManager (see x53).
+    # Serves the lazy avgdl scalar AND three branches of the returned
+    # plan; localCheckpoint so the blocks free on GC instead of
+    # lingering in the CacheManager (see x53).
     toks = d.select(
         "doc_id",
         F.explode(F.expr(f"split({NORM_SPARK.format(col='text')}, ' ')")).alias(
@@ -1642,21 +1642,28 @@ def x47_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).localCheckpoint(eager=True)
     lens = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # avgdl / n_docs as a lazy 1-row broadcast scalar (x59's pattern):
+    # the eager .first() here was a separate blocking job over the
+    # checkpoint. n_docs - df is exact in double far past 2^53, so
+    # idf_micro is bit-identical to the integer-literal form.
     stats = lens.agg(
-        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
-        F.count("*").alias("n_docs"),
-    ).first()
-    avgdl, n_docs = stats["avgdl"], stats["n_docs"]
+        (F.sum("dl").cast("double") / F.count("*")).alias("__avgdl"),
+        F.count("*").cast("double").alias("__n_docs"),
+    )
     tf = (
         toks.filter(F.col("term").isin(*_BM25_TERMS))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
     df_rel = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    idf = df_rel.select(
+    idf = df_rel.crossJoin(F.broadcast(stats)).select(
         "term",
+        "__avgdl",
         F.round(
-            F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+            F.log(
+                (F.col("__n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1
+            )
             * 1e6
         )
         .cast("bigint")
@@ -1666,7 +1673,8 @@ def x47_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tf")
         / (
             F.col("tf")
-            + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.lit(avgdl))
+            + _BM25_K1
+            * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("__avgdl"))
         )
         * 1e6
     ).cast("bigint")
@@ -2212,21 +2220,28 @@ def x59_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).localCheckpoint(eager=True)
     lens = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # avgdl / n_docs as a lazy 1-row broadcast scalar (an eager
+    # .first() here was a separate blocking job over the checkpoint).
+    # n_docs - df is exact in double far past 2^53, so idf_micro is
+    # bit-identical to the integer-literal form.
     stats = lens.agg(
-        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
-        F.count("*").alias("n_docs"),
-    ).first()
-    avgdl, n_docs = stats["avgdl"], stats["n_docs"]
+        (F.sum("dl").cast("double") / F.count("*")).alias("__avgdl"),
+        F.count("*").cast("double").alias("__n_docs"),
+    )
     tf = (
         toks.filter(F.col("term").isin(*_BM25_TERMS))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
     df_rel = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    idf = df_rel.select(
+    idf = df_rel.crossJoin(F.broadcast(stats)).select(
         "term",
+        "__avgdl",
         F.round(
-            F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+            F.log(
+                (F.col("__n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1
+            )
             * 1e6
         )
         .cast("bigint")
@@ -2236,7 +2251,8 @@ def x59_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tf")
         / (
             F.col("tf")
-            + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.lit(avgdl))
+            + _BM25_K1
+            * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("__avgdl"))
         )
         * 1e6
     ).cast("bigint")
