@@ -1,16 +1,19 @@
-"""Real media codecs built on the standard library.
+"""Real media codecs built on the standard library (+ numpy).
 
-The container ships no PIL/libav/librosa, but two formats need no
-external codec at all: PNG (zlib inflate + per-scanline unfilter) and
-WAV (RIFF header + PCM frames via the stdlib ``wave`` module). These
+The container ships no PIL/libav/librosa, but three formats need no
+external codec at all: PNG (zlib inflate + per-scanline unfilter),
+WAV (RIFF header + PCM frames via the stdlib ``wave`` module), and
+baseline JPEG (Huffman + IDCT in :mod:`functions.jpeg`). These
 decoders are complete, honest implementations for those formats —
-pixel-exact PNG reconstruction for 8-bit grey/RGB/RGBA and full PCM
-sample recovery for WAV — so the multimodal plumbing
+pixel-exact PNG reconstruction for 8-bit grey/RGB/RGBA, full PCM
+sample recovery for WAV, and spec-faithful baseline-sequential JPEG
+(4:4:4/4:2:2/4:2:0, restart markers) — so the multimodal plumbing
 (operators/multimodal.py) has a REAL decode path end to end.
 
-Other formats (JPEG, MP3, MP4, ...) still require an external codec:
-:func:`decode_image_any` falls through to Pillow behind an import
-guard and raises ``NotImplementedError`` when it is absent.
+Remaining formats (progressive JPEG, MP3, MP4, ...) still require an
+external codec: :func:`decode_image_any` falls through to Pillow
+behind an import guard and raises ``NotImplementedError`` when it is
+absent.
 
 ``sniff_media`` keys the dispatch on magic bytes, so opaque synthetic
 payloads (the driver's testdata) keep using the deterministic fake
@@ -228,16 +231,24 @@ def encode_wav(
 
 
 def decode_image_any(payload: bytes) -> dict:
-    """Decode any image: PNG natively, everything else via Pillow if
-    installed, else NotImplementedError (clearly-marked stub path)."""
+    """Decode any image: PNG and baseline JPEG natively, everything
+    else via Pillow if installed, else NotImplementedError
+    (clearly-marked stub path)."""
     if payload.startswith(PNG_MAGIC):
         return decode_png(payload)
+    if payload.startswith(JPEG_MAGIC):
+        from calaveras_uniteus_etl_spark.functions.jpeg import decode_jpeg
+
+        try:
+            return decode_jpeg(payload)
+        except NotImplementedError:
+            pass  # progressive/12-bit/arithmetic: try Pillow below
     try:
         from PIL import Image
     except ImportError as exc:
         raise NotImplementedError(
-            "non-PNG image decode requires Pillow, which is not "
-            "installed in this environment"
+            "non-PNG/baseline-JPEG image decode requires Pillow, which "
+            "is not installed in this environment"
         ) from exc
     img = Image.open(io.BytesIO(payload))
     arr = np.asarray(img)

@@ -44,8 +44,9 @@ FEATURE_SCHEMA = (
 
 
 def decode_media(payload: bytes, media_type: str) -> dict:
-    """Real decode: PNG and PCM WAV natively (functions/codecs.py),
-    other image formats via Pillow when installed.
+    """Real decode: PNG, PCM WAV, and baseline JPEG natively
+    (functions/codecs.py, functions/jpeg.py); progressive JPEG via
+    Pillow when installed.
 
     Raises ``NotImplementedError`` for formats with no available codec
     (e.g. video containers without libav) rather than silently faking;
@@ -57,7 +58,7 @@ def decode_media(payload: bytes, media_type: str) -> dict:
     if kind == "wav":
         return codecs.decode_wav(payload)
     if kind == "jpeg":
-        return codecs.decode_image_any(payload)  # Pillow-guarded
+        return codecs.decode_image_any(payload)  # native baseline path
     raise ValueError(
         f"unrecognized {media_type} payload (no known magic bytes); "
         "extract_features falls back to the deterministic fake decode"
@@ -81,10 +82,10 @@ def _real_features(payload: bytes, media_type: str) -> dict | None:
     try:
         decoded = decode_media(payload, media_type)
     except NotImplementedError:
-        # Recognized format, no codec available (e.g. JPEG without
-        # Pillow): identity features with NULL dimensions — never a
-        # fake decode of a real payload. Downstream quarantines on
-        # NULL dims.
+        # Recognized format, no codec available (e.g. progressive
+        # JPEG without Pillow): identity features with NULL dimensions
+        # — never a fake decode of a real payload. Downstream
+        # quarantines on NULL dims.
         return base
     except (ValueError, OSError, EOFError, zlib.error, struct.error,
             wave.Error):

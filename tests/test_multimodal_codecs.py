@@ -184,3 +184,132 @@ def test_subsecond_wav_duration_rounds_not_floors():
     assert codecs.decode_wav(half_sec)["duration_s"] == 1  # was 0 (floor)
     short = codecs.encode_wav(np.zeros(3000, dtype=np.int16), 16000)
     assert codecs.decode_wav(short)["duration_s"] == 0  # < 0.5 s rounds down
+
+
+# --- baseline JPEG codec (functions/jpeg.py) --------------------------------
+
+
+def test_jpeg_dct_basis_is_orthonormal():
+    from calaveras_uniteus_etl_spark.functions.jpeg import fdct_2d, idct_2d
+
+    blk = _rng(3).uniform(-128, 127, (8, 8))
+    np.testing.assert_allclose(idct_2d(fdct_2d(blk)), blk, atol=1e-9)
+
+
+def test_jpeg_uniform_image_decodes_to_hand_computed_value():
+    """DC-only path with a hand-checkable expectation: a uniform block
+    quantizes to one DC coefficient, so every decoded pixel equals
+    clip(round(q00*round(8*(v-128)/q00)/8)+128) exactly."""
+    from calaveras_uniteus_etl_spark.functions.jpeg import (
+        QUANT_LUMA,
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    q00 = int(QUANT_LUMA[0, 0])
+    for v in (0, 73, 128, 200, 255):
+        img = np.full((16, 24), v, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg_baseline(img))
+        dc = round(8 * (v - 128) / q00) * q00
+        expect = min(255, max(0, round(dc / 8) + 128))
+        assert out["pixels"].shape == (16, 24, 1)
+        assert np.all(out["pixels"] == expect), (v, expect)
+
+
+def test_jpeg_grayscale_roundtrip_bounded_error():
+    """Smooth gradient with non-multiple-of-8 dims: decode must be
+    within tight quantization error of the source."""
+    from calaveras_uniteus_etl_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    img = (np.add.outer(np.arange(37), np.arange(53)) * 2 % 256).astype(
+        np.uint8
+    )
+    out = decode_jpeg(encode_jpeg_baseline(img))
+    assert (out["width"], out["height"], out["channels"]) == (53, 37, 1)
+    err = np.abs(out["pixels"][:, :, 0].astype(int) - img.astype(int))
+    assert err.max() <= 16, err.max()
+
+
+@pytest.mark.parametrize("subsample", [False, True])
+def test_jpeg_rgb_roundtrip_444_and_420(subsample):
+    from calaveras_uniteus_etl_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    r = np.tile(np.linspace(0, 255, 40), (32, 1))
+    g = np.tile(np.linspace(0, 255, 32)[:, None], (1, 40))
+    b = np.full((32, 40), 90.0)
+    img = np.stack([r, g, b], axis=2).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg_baseline(img, subsample_420=subsample))
+    assert (out["width"], out["height"], out["channels"]) == (40, 32, 3)
+    err = np.abs(out["pixels"].astype(int) - img.astype(int))
+    assert err.max() <= (20 if subsample else 12), err.max()
+
+
+def test_jpeg_restart_markers_roundtrip():
+    from calaveras_uniteus_etl_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    r = np.tile(np.linspace(0, 255, 40), (32, 1))
+    g = np.tile(np.linspace(0, 255, 32)[:, None], (1, 40))
+    b = np.full((32, 40), 90.0)
+    img = np.stack([r, g, b], axis=2).astype(np.uint8)
+    for interval in (1, 3, 7):
+        out = decode_jpeg(encode_jpeg_baseline(img, restart_interval=interval))
+        err = np.abs(out["pixels"].astype(int) - img.astype(int))
+        assert err.max() <= 12, (interval, err.max())
+
+
+def test_jpeg_corrupt_and_unsupported_streams():
+    from calaveras_uniteus_etl_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01not a jpeg")
+    with pytest.raises(ValueError):  # magic + garbage marker stream
+        decode_jpeg(codecs.JPEG_MAGIC + b"\x00" * 64)
+    good = bytearray(encode_jpeg_baseline(np.full((8, 8), 99, np.uint8)))
+    with pytest.raises(ValueError):  # truncated entropy stream
+        decode_jpeg(bytes(good[: len(good) // 2]))
+    # progressive SOF2 must raise NotImplementedError (Pillow fallback)
+    sof0 = bytes(good).find(b"\xff\xc0")
+    prog = bytes(good[:sof0]) + b"\xff\xc2" + bytes(good[sof0 + 2 :])
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(prog)
+
+
+def test_jpeg_flows_through_extract_features(spark):
+    """End-to-end: a real baseline JPEG payload comes back with REAL
+    dimensions through the mapInPandas feature extractor — the path
+    that previously required Pillow."""
+    from calaveras_uniteus_etl_spark.functions.jpeg import (
+        encode_jpeg_baseline,
+    )
+
+    img = _rng(9).integers(0, 256, size=(24, 17, 3), dtype=np.uint8)
+    payload = encode_jpeg_baseline(img)
+    assert codecs.sniff_media(payload) == "jpeg"
+    df = spark.createDataFrame(
+        [(1, bytearray(payload), "image")],
+        "doc_id long, payload binary, media_type string",
+    )
+    row = extract_features(df).collect()[0]
+    assert (row.width, row.height) == (17, 24)
+
+
+def test_jpeg_decode_media_dispatch():
+    from calaveras_uniteus_etl_spark.functions.jpeg import (
+        encode_jpeg_baseline,
+    )
+
+    img = np.full((8, 8), 50, dtype=np.uint8)
+    out = decode_media(encode_jpeg_baseline(img), "image")
+    assert (out["width"], out["height"], out["channels"]) == (8, 8, 1)
