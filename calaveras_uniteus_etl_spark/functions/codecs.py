@@ -39,12 +39,18 @@ _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 def sniff_media(payload: bytes) -> str | None:
     """Identify a payload by magic bytes; None = unknown/opaque."""
+    from calaveras_uniteus_etl_spark.functions import containers
+
     if payload.startswith(PNG_MAGIC):
         return "png"
     if payload.startswith(RIFF_MAGIC) and payload[8:12] == b"WAVE":
         return "wav"
     if payload.startswith(JPEG_MAGIC):
         return "jpeg"
+    if containers.sniff_mp4(payload):
+        return "mp4"
+    if containers.sniff_mp3(payload):
+        return "mp3"
     return None
 
 

@@ -59,6 +59,14 @@ def decode_media(payload: bytes, media_type: str) -> dict:
         return codecs.decode_wav(payload)
     if kind == "jpeg":
         return codecs.decode_image_any(payload)  # native baseline path
+    if kind in ("mp4", "mp3"):
+        # container METADATA parses natively (functions/containers.py,
+        # used by _real_features below); pixel/sample access would
+        # need libav, which is not in this environment
+        raise NotImplementedError(
+            f"{kind} sample decode requires libav; container metadata "
+            "is available via extract_features"
+        )
     raise ValueError(
         f"unrecognized {media_type} payload (no known magic bytes); "
         "extract_features falls back to the deterministic fake decode"
@@ -79,6 +87,21 @@ def _real_features(payload: bytes, media_type: str) -> dict | None:
         "duration_s": None,
         "sample_rate": None,
     }
+    if kind in ("mp4", "mp3"):
+        # real container metadata without sample decode — duration,
+        # dims, sample rate straight from moov / the MPEG frame header
+        from calaveras_uniteus_etl_spark.functions import containers
+
+        try:
+            meta = (
+                containers.parse_mp4_meta(payload)
+                if kind == "mp4"
+                else containers.parse_mp3_meta(payload)
+            )
+        except (ValueError, struct.error):
+            return base  # corrupt container: quarantine on NULL dims
+        base.update({k: meta.get(k) for k in base if k in meta})
+        return base
     try:
         decoded = decode_media(payload, media_type)
     except NotImplementedError:

@@ -313,3 +313,124 @@ def test_jpeg_decode_media_dispatch():
     img = np.full((8, 8), 50, dtype=np.uint8)
     out = decode_media(encode_jpeg_baseline(img), "image")
     assert (out["width"], out["height"], out["channels"]) == (8, 8, 1)
+
+
+# --- container metadata: MP4 box tree + MP3 frame header --------------------
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def _make_mp4(
+    duration_ms: int = 5000, width: int = 640, height: int = 360,
+    audio_rate: int = 48000,
+) -> bytes:
+    """Minimal ISO-BMFF fixture: ftyp + moov(mvhd, video trak, audio
+    trak), all headers spec-shaped (14496-12)."""
+    import struct
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mvhd = _box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"                      # version 0 + flags
+        + struct.pack(">II", 0, 0)               # ctime, mtime
+        + struct.pack(">II", 1000, duration_ms)  # timescale, duration
+        + b"\x00" * 80,                          # rate..next_track_id
+    )
+    tkhd_v = _box(
+        b"tkhd",
+        b"\x00\x00\x00\x07" + b"\x00" * 72
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    trak_v = _box(b"trak", tkhd_v)
+    tkhd_a = _box(
+        b"tkhd",
+        b"\x00\x00\x00\x07" + b"\x00" * 72 + struct.pack(">II", 0, 0),
+    )
+    mdhd = _box(
+        b"mdhd",
+        b"\x00\x00\x00\x00" + struct.pack(">II", 0, 0)
+        + struct.pack(">II", audio_rate, audio_rate * 5) + b"\x00" * 4,
+    )
+    hdlr = _box(
+        b"hdlr", b"\x00" * 8 + b"soun" + b"\x00" * 12 + b"SoundHandler\x00"
+    )
+    mdia = _box(b"mdia", mdhd + hdlr)
+    trak_a = _box(b"trak", tkhd_a + mdia)
+    moov = _box(b"moov", mvhd + trak_v + trak_a)
+    return ftyp + moov
+
+
+def _make_mp3(n_bytes: int = 32000, with_id3: bool = True) -> bytes:
+    """CBR MPEG1 Layer III 128 kbps 44.1 kHz frame header + padding."""
+    import struct
+
+    id3 = b""
+    if with_id3:
+        tag_body = b"\x00" * 100
+        id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 100 >> 7, 100 & 0x7F]) + tag_body
+    # sync=FFF, MPEG1 (11), Layer III (01), no CRC (1) -> 0xFF 0xFB
+    # bitrate idx 9 (128 kbps), samplerate idx 0 (44100), no padding
+    header = bytes([0xFF, 0xFB, 0x90, 0x00])
+    return id3 + header + b"\x00" * (n_bytes - len(id3) - 4)
+
+
+def test_mp4_metadata_parses_natively():
+    from calaveras_uniteus_etl_spark.functions.containers import (
+        parse_mp4_meta,
+    )
+
+    payload = _make_mp4(duration_ms=7499, width=1280, height=720,
+                        audio_rate=44100)
+    assert codecs.sniff_media(payload) == "mp4"
+    meta = parse_mp4_meta(payload)
+    assert meta["duration_s"] == 7  # 7.499 s rounds half-up to 7
+    assert (meta["width"], meta["height"]) == (1280, 720)
+    assert meta["sample_rate"] == 44100
+
+
+def test_mp3_metadata_parses_natively():
+    from calaveras_uniteus_etl_spark.functions.containers import (
+        parse_mp3_meta,
+    )
+
+    payload = _make_mp3(n_bytes=32000)  # ~2 s at 128 kbps
+    assert codecs.sniff_media(payload) == "mp3"
+    meta = parse_mp3_meta(payload)
+    assert meta["sample_rate"] == 44100
+    assert meta["duration_s"] == 2
+    bare = _make_mp3(n_bytes=160000, with_id3=False)  # 10 s, no ID3
+    assert codecs.sniff_media(bare) == "mp3"
+    assert parse_mp3_meta(bare)["duration_s"] == 10
+
+
+def test_container_metadata_flows_through_extract_features(spark):
+    mp4 = _make_mp4(duration_ms=5000, width=640, height=360)
+    mp3 = _make_mp3(n_bytes=48000)  # 3 s at 128 kbps
+    corrupt_mp4 = mp4[:16]  # ftyp only, no moov
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(mp4), "video"),
+            (2, bytearray(mp3), "audio"),
+            (3, bytearray(corrupt_mp4), "video"),
+        ],
+        "doc_id long, payload binary, media_type string",
+    )
+    rows = {r.doc_id: r for r in extract_features(df).collect()}
+    assert (rows[1].width, rows[1].height, rows[1].duration_s) == (
+        640, 360, 5,
+    )
+    assert (rows[2].sample_rate, rows[2].duration_s) == (44100, 3)
+    # corrupt container quarantines with NULL dims, real identity
+    assert rows[3].width is None and rows[3].duration_s is None
+    assert rows[3].n_bytes == len(corrupt_mp4)
+
+
+def test_container_sample_decode_stays_honest():
+    with pytest.raises(NotImplementedError):
+        decode_media(_make_mp4(), "video")
+    with pytest.raises(NotImplementedError):
+        decode_media(_make_mp3(), "audio")
