@@ -434,3 +434,45 @@ def test_container_sample_decode_stays_honest():
         decode_media(_make_mp4(), "video")
     with pytest.raises(NotImplementedError):
         decode_media(_make_mp3(), "audio")
+
+
+def test_mp4_box_order_and_largesize_robustness():
+    """moov placement and 64-bit largesize boxes must not confuse the
+    walk; trailing mdat junk is ignored."""
+    import struct
+
+    base = _make_mp4(duration_ms=3000, width=320, height=240)
+    ftyp_end = 8 + struct.unpack(">I", base[0:4])[0] - 8  # end of ftyp
+    ftyp, moov = base[:ftyp_end], base[ftyp_end:]
+    mdat = _box(b"mdat", b"\x00" * 64)
+    # largesize wrapper: size=1 + 64-bit size field
+    big_mdat = (
+        struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + 32)
+        + b"\x00" * 32
+    )
+    from calaveras_uniteus_etl_spark.functions.containers import (
+        parse_mp4_meta,
+    )
+
+    for payload in (
+        ftyp + mdat + moov,            # moov after mdat (streaming layout)
+        ftyp + big_mdat + moov,        # 64-bit largesize box before moov
+        ftyp + moov + mdat,            # trailing data
+    ):
+        meta = parse_mp4_meta(payload)
+        assert meta["duration_s"] == 3
+        assert (meta["width"], meta["height"]) == (320, 240)
+
+
+def test_mp3_sync_search_skips_leading_junk():
+    """The frame-sync scan must tolerate non-frame bytes between the
+    ID3 tag and the first frame header (padding, encoder junk)."""
+    from calaveras_uniteus_etl_spark.functions.containers import (
+        parse_mp3_meta,
+    )
+
+    body = _make_mp3(n_bytes=32000, with_id3=False)
+    junk = b"\x00LAME3.100\x00\x00" 
+    payload = body[:0] + junk + body  # junk before the first sync
+    meta = parse_mp3_meta(payload)
+    assert meta["sample_rate"] == 44100
