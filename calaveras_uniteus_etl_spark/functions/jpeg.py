@@ -518,23 +518,28 @@ def encode_jpeg_baseline(
     pixels: np.ndarray,
     *,
     subsample_420: bool = False,
+    subsample_422: bool = False,
     restart_interval: int = 0,
 ) -> bytes:
     """Encode uint8 HxW (grayscale) or HxWx3 (RGB) as a baseline JPEG
     with the Annex K tables — the fixture twin of :func:`decode_jpeg`
     (same role as ``codecs.encode_wav``).
 
-    ``subsample_420`` switches color images from 4:4:4 to 4:2:0 (2x2
-    box-filtered chroma); ``restart_interval`` emits DRI + RSTn markers
-    every N MCUs. Both exist so tests can exercise the decoder's
-    subsampling and restart paths with real streams.
+    ``subsample_420`` / ``subsample_422`` switch color images from
+    4:4:4 to 2x2- / 2x1-box-filtered chroma; ``restart_interval``
+    emits DRI + RSTn markers every N MCUs. All exist so tests can
+    exercise the decoder's subsampling and restart paths with real
+    streams.
     """
     px = np.asarray(pixels)
     if px.ndim == 3 and px.shape[2] == 1:
         px = px[:, :, 0]
     gray = px.ndim == 2
     h, w = px.shape[:2]
-    sub = 2 if (subsample_420 and not gray) else 1
+    if subsample_420 and subsample_422:
+        raise ValueError("pick one of subsample_420 / subsample_422")
+    sh = 2 if ((subsample_420 or subsample_422) and not gray) else 1
+    sv = 2 if (subsample_420 and not gray) else 1
 
     if gray:
         planes = [px.astype(np.float64)]
@@ -549,19 +554,19 @@ def encode_jpeg_baseline(
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        if sub == 2:
-            # pad to even dims, then 2x2 box filter the chroma planes
-            ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+        if sh == 2 or sv == 2:
+            # pad to the subsampling grid, then box filter the chroma
+            ph, pw = -(-h // sv) * sv, -(-w // sh) * sh
             cb = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
             cr = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
-            cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-            cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cb = cb.reshape(ph // sv, sv, pw // sh, sh).mean(axis=(1, 3))
+            cr = cr.reshape(ph // sv, sv, pw // sh, sh).mean(axis=(1, 3))
         planes = [y, cb, cr]
         quants = [QUANT_LUMA, QUANT_CHROMA, QUANT_CHROMA]
-        luma_hv = (sub << 4) | sub
+        luma_hv = (sh << 4) | sv
         comp_spec = [(1, luma_hv, 0), (2, 0x11, 1), (3, 0x11, 1)]
         scan_spec = [(1, 0x00), (2, 0x11), (3, 0x11)]
-        samp = [(sub, sub), (1, 1), (1, 1)]
+        samp = [(sh, sv), (1, 1), (1, 1)]
 
     out = bytearray(b"\xff\xd8")  # SOI
 

@@ -1584,6 +1584,58 @@ _BM25_B = 0.75
 _BM25_TOPK = 20
 
 
+
+def _bm25_lex_scores(toks):
+    """Okapi BM25 lexical scores for the fixed query _BM25_TERMS over a
+    tokenized (doc_id, term) relation -> (doc_id, score_pico).
+
+    Shared by x47 (pure BM25 top-k) and x59 (the lexical arm of the
+    hybrid RRF fusion). avgdl / n_docs ride a lazy 1-row broadcast
+    scalar (an eager .first() would be a separate blocking job over
+    the token checkpoint); n_docs - df is exact in double far past
+    2^53, so idf_micro is bit-identical to the integer-literal form.
+    """
+    lens = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = lens.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("__avgdl"),
+        F.count("*").cast("double").alias("__n_docs"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_rel = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = df_rel.crossJoin(F.broadcast(stats)).select(
+        "term",
+        "__avgdl",
+        F.round(
+            F.log(
+                (F.col("__n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1
+            )
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("idf_micro"),
+    )
+    tfnorm = F.round(
+        F.col("tf")
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("__avgdl"))
+        )
+        * 1e6
+    ).cast("bigint")
+    return (
+        tf.join(F.broadcast(idf), "term")
+        .join(lens, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("idf_micro") * tfnorm).alias("score_pico"))
+    )
+
+
 @register(
     "x47_bm25_search",
     oracle=f"""
@@ -1641,48 +1693,8 @@ def x47_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term"
         ),
     ).localCheckpoint(eager=True)
-    lens = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    # avgdl / n_docs as a lazy 1-row broadcast scalar (x59's pattern):
-    # the eager .first() here was a separate blocking job over the
-    # checkpoint. n_docs - df is exact in double far past 2^53, so
-    # idf_micro is bit-identical to the integer-literal form.
-    stats = lens.agg(
-        (F.sum("dl").cast("double") / F.count("*")).alias("__avgdl"),
-        F.count("*").cast("double").alias("__n_docs"),
-    )
-    tf = (
-        toks.filter(F.col("term").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    df_rel = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    idf = df_rel.crossJoin(F.broadcast(stats)).select(
-        "term",
-        "__avgdl",
-        F.round(
-            F.log(
-                (F.col("__n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-                + 1
-            )
-            * 1e6
-        )
-        .cast("bigint")
-        .alias("idf_micro"),
-    )
-    tfnorm = F.round(
-        F.col("tf")
-        / (
-            F.col("tf")
-            + _BM25_K1
-            * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("__avgdl"))
-        )
-        * 1e6
-    ).cast("bigint")
     return (
-        tf.join(F.broadcast(idf), "term")
-        .join(lens, "doc_id")
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("idf_micro") * tfnorm).alias("score_pico"))
+        _bm25_lex_scores(toks)
         .select("doc_id", F.col("score_pico").cast("bigint").alias("score_pico"))
         .orderBy(F.desc("score_pico"), "doc_id")
         .limit(_BM25_TOPK)
@@ -2219,49 +2231,7 @@ def x59_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term"
         ),
     ).localCheckpoint(eager=True)
-    lens = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    # avgdl / n_docs as a lazy 1-row broadcast scalar (an eager
-    # .first() here was a separate blocking job over the checkpoint).
-    # n_docs - df is exact in double far past 2^53, so idf_micro is
-    # bit-identical to the integer-literal form.
-    stats = lens.agg(
-        (F.sum("dl").cast("double") / F.count("*")).alias("__avgdl"),
-        F.count("*").cast("double").alias("__n_docs"),
-    )
-    tf = (
-        toks.filter(F.col("term").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    df_rel = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    idf = df_rel.crossJoin(F.broadcast(stats)).select(
-        "term",
-        "__avgdl",
-        F.round(
-            F.log(
-                (F.col("__n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-                + 1
-            )
-            * 1e6
-        )
-        .cast("bigint")
-        .alias("idf_micro"),
-    )
-    tfnorm = F.round(
-        F.col("tf")
-        / (
-            F.col("tf")
-            + _BM25_K1
-            * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("__avgdl"))
-        )
-        * 1e6
-    ).cast("bigint")
-    lex = (
-        tf.join(F.broadcast(idf), "term")
-        .join(lens, "doc_id")
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("idf_micro") * tfnorm).alias("score_pico"))
-    )
+    lex = _bm25_lex_scores(toks)
     # Candidate cutoff FIRST (TakeOrderedAndProject — a per-partition
     # top-N reduce, no all-rows single-partition shuffle), so the
     # global ROW_NUMBER window only ever sorts _X59_CAND rows.

@@ -233,8 +233,8 @@ def test_jpeg_grayscale_roundtrip_bounded_error():
     assert err.max() <= 16, err.max()
 
 
-@pytest.mark.parametrize("subsample", [False, True])
-def test_jpeg_rgb_roundtrip_444_and_420(subsample):
+@pytest.mark.parametrize("mode", ["444", "420", "422"])
+def test_jpeg_rgb_roundtrip_all_subsamplings(mode):
     from calaveras_uniteus_etl_spark.functions.jpeg import (
         decode_jpeg,
         encode_jpeg_baseline,
@@ -244,10 +244,16 @@ def test_jpeg_rgb_roundtrip_444_and_420(subsample):
     g = np.tile(np.linspace(0, 255, 32)[:, None], (1, 40))
     b = np.full((32, 40), 90.0)
     img = np.stack([r, g, b], axis=2).astype(np.uint8)
-    out = decode_jpeg(encode_jpeg_baseline(img, subsample_420=subsample))
+    out = decode_jpeg(
+        encode_jpeg_baseline(
+            img,
+            subsample_420=(mode == "420"),
+            subsample_422=(mode == "422"),
+        )
+    )
     assert (out["width"], out["height"], out["channels"]) == (40, 32, 3)
     err = np.abs(out["pixels"].astype(int) - img.astype(int))
-    assert err.max() <= (20 if subsample else 12), err.max()
+    assert err.max() <= (12 if mode == "444" else 20), (mode, err.max())
 
 
 def test_jpeg_restart_markers_roundtrip():
