@@ -69,6 +69,12 @@ def _png_chunks(payload: bytes):
 
 def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
     """Reverse PNG scanline filters (types 0-4) into raw sample bytes."""
+    if len(raw) < height * (1 + stride):
+        # a VALID zlib stream can still inflate to fewer bytes than the
+        # raster needs (corrupt IDAT): typed error so the mapInPandas
+        # feature pass quarantines the row instead of crashing on an
+        # out-of-range read
+        raise ValueError("PNG raster shorter than height x stride")
     out = np.zeros((height, stride), dtype=np.uint8)
     pos = 0
     prev = np.zeros(stride, dtype=np.uint16)
@@ -140,6 +146,10 @@ def decode_png(payload: bytes) -> dict:
     if width is None:
         raise ValueError("PNG missing IHDR")
     channels = _PNG_CHANNELS[color_type]
+    if not width or not height or width * height * channels > (1 << 28):
+        # corrupt IHDR dims would drive a giant raster allocation:
+        # quarantine the row, never OOM the mapInPandas batch
+        raise ValueError(f"implausible PNG dimensions {width}x{height}")
     stride = width * channels
     raw = zlib.decompress(bytes(idat))
     if len(raw) != (stride + 1) * height:
@@ -190,12 +200,18 @@ def decode_wav(payload: bytes) -> dict:
     Returns sample_rate/n_channels/n_frames/duration_s and the sample
     array (n_frames x n_channels, int16 for 16-bit PCM).
     """
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        n_channels = w.getnchannels()
-        sample_rate = w.getframerate()
-        n_frames = w.getnframes()
-        sampwidth = w.getsampwidth()
-        frames = w.readframes(n_frames)
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            n_channels = w.getnchannels()
+            sample_rate = w.getframerate()
+            n_frames = w.getnframes()
+            sampwidth = w.getsampwidth()
+            frames = w.readframes(n_frames)
+    except RuntimeError as exc:
+        # the stdlib wave module raises BARE RuntimeError on some
+        # corrupt chunk layouts (seek past end); retype it so the
+        # feature pass quarantines instead of crashing the batch
+        raise ValueError("corrupt WAV chunk structure") from exc
     if sampwidth == 2:
         samples = np.frombuffer(frames, dtype="<i2").reshape(-1, n_channels)
     elif sampwidth == 1:

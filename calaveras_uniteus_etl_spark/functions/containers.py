@@ -95,6 +95,13 @@ def parse_mp4_meta(payload: bytes) -> dict:
     fragmented-only stream) — callers quarantine on that, same as any
     other codec error.
     """
+    try:
+        return _parse_mp4_meta(payload)
+    except (IndexError, struct.error) as exc:  # truncated box bodies
+        raise ValueError("truncated MP4 box structure") from exc
+
+
+def _parse_mp4_meta(payload: bytes) -> dict:
     moov = _find_box(payload, 0, len(payload), b"moov")
     if moov is None:
         raise ValueError("MP4 stream has no moov box")

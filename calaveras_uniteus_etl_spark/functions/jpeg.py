@@ -313,6 +313,13 @@ def _decode_jpeg(payload: bytes) -> dict:
             if precision != 8:
                 raise NotImplementedError(f"{precision}-bit JPEG not supported")
             height, width = struct.unpack(">HH", seg[1:5])
+            if not width or not height or width * height > (1 << 26):
+                # zero or implausible dims (a flipped SOF byte can ask
+                # for a 65535x65535 plane = 34 GB): quarantine, never
+                # let one corrupt file OOM the whole mapInPandas batch
+                raise ValueError(
+                    f"implausible JPEG dimensions {width}x{height}"
+                )
             ncomp = seg[5]
             comps = []
             for i in range(ncomp):
@@ -344,8 +351,19 @@ def _decode_jpeg(payload: bytes) -> dict:
     comps = frame["comps"]
     by_id = {c["id"]: c for c in comps}
     for sc in scan:
+        if sc["id"] not in by_id:
+            raise ValueError(f"SOS component {sc['id']} not in frame")
         by_id[sc["id"]]["dc_t"] = sc["dc"]
         by_id[sc["id"]]["ac_t"] = sc["ac"]
+    for c in comps:
+        if "dc_t" not in c:
+            raise ValueError(f"frame component {c['id']} missing from scan")
+        if (0, c["dc_t"]) not in huff or (1, c["ac_t"]) not in huff:
+            raise ValueError("scan references an undefined Huffman table")
+        if c["tq"] not in qt:
+            raise ValueError("frame references an undefined quant table")
+        if not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4):
+            raise ValueError(f"bad sampling factors {c['h']}x{c['v']}")
     max_h = max(c["h"] for c in comps)
     max_v = max(c["v"] for c in comps)
     mcux = -(-frame["w"] // (8 * max_h))
@@ -416,8 +434,17 @@ def _decode_block(reader, dct, act, pred, comp) -> np.ndarray:
     while True:
         try:
             ssss = reader.decode_symbol(dct)
+            if ssss > 15:
+                # a corrupt DHT can map a code to any byte; category
+                # 16+ is not legal baseline (T.81 F.1.2.1)
+                raise ValueError(f"invalid DC category {ssss}")
             diff = _extend(reader.read_bits(ssss), ssss) if ssss else 0
             pred[comp["id"]] += diff
+            if abs(pred[comp["id"]]) > (1 << 40):
+                # valid streams keep |DC| < 2^15; runaway predictors
+                # only come from corrupt entropy data and would
+                # eventually overflow the int64 coefficient buffer
+                raise ValueError("corrupt DC predictor")
             coeffs[0] = pred[comp["id"]]
             k = 1
             while k < 64:

@@ -482,3 +482,79 @@ def test_mp3_sync_search_skips_leading_junk():
     payload = body[:0] + junk + body  # junk before the first sync
     meta = parse_mp3_meta(payload)
     assert meta["sample_rate"] == 44100
+
+
+def test_quarantine_contract_fuzz():
+    """THE 100-TB property: _real_features must never raise for ANY
+    corruption of a valid payload (or pure random bytes) — a typed
+    codec error quarantines the row; anything else would kill the
+    whole mapInPandas batch. Seeded corpus: byte flips, truncations,
+    extensions, splices over every supported format."""
+    import random
+    import struct
+
+    from calaveras_uniteus_etl_spark.functions.jpeg import (
+        encode_jpeg_baseline,
+    )
+    from calaveras_uniteus_etl_spark.operators import multimodal as mm
+
+    img = _rng(0).integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    samples = _rng(1).integers(-3000, 3000, 8000, dtype=np.int16)
+    valid = {
+        "png": codecs.encode_png(img),
+        "wav": codecs.encode_wav(samples, 16000),
+        "jpeg": encode_jpeg_baseline(img),
+        "jpeg420rst": encode_jpeg_baseline(
+            img, subsample_420=True, restart_interval=2
+        ),
+        "mp4": _make_mp4(),
+        "mp3": _make_mp3(n_bytes=4096),
+    }
+    random.seed(42)
+    for kind, payload in valid.items():
+        pb = bytearray(payload)
+        for _ in range(400):
+            b = bytearray(pb)
+            mode = random.randrange(5)
+            if mode == 0:
+                for _ in range(random.randrange(1, 10)):
+                    b[random.randrange(len(b))] = random.randrange(256)
+            elif mode == 1:
+                b = b[: random.randrange(1, len(b))]
+            elif mode == 2:
+                b += bytes(
+                    random.randrange(256)
+                    for _ in range(random.randrange(1, 64))
+                )
+            elif mode == 3:
+                i, j = sorted(random.randrange(len(b)) for _ in range(2))
+                b = b[:i] + b[j:]
+            else:
+                b[random.randrange(len(b))] = random.randrange(256)
+                b = b[: random.randrange(8, len(b) + 1)]
+            out = mm._real_features(bytes(b), "image")  # must not raise
+            assert out is None or isinstance(out, dict)
+    for _ in range(500):
+        junk = bytes(
+            random.randrange(256) for _ in range(random.randrange(1, 512))
+        )
+        out = mm._real_features(junk, "image")
+        assert out is None or isinstance(out, dict)
+
+
+def test_jpeg_implausible_dims_quarantine():
+    """A flipped SOF byte asking for a 65535x65535 plane must raise a
+    typed error, never attempt a 34 GB allocation."""
+    import struct
+
+    from calaveras_uniteus_etl_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    good = bytearray(encode_jpeg_baseline(np.full((8, 8), 99, np.uint8)))
+    sof = bytes(good).find(b"\xff\xc0")
+    # SOF0 payload: len(2) precision(1) height(2) width(2) ...
+    good[sof + 5 : sof + 9] = struct.pack(">HH", 65535, 65535)
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(good))
