@@ -1,13 +1,14 @@
 """Real media codecs built on the standard library (+ numpy).
 
-The container ships no PIL/libav/librosa, but three formats need no
-external codec at all: PNG (zlib inflate + per-scanline unfilter),
-WAV (RIFF header + PCM frames via the stdlib ``wave`` module), and
-baseline JPEG (Huffman + IDCT in :mod:`functions.jpeg`). These
+The container ships no PIL/libav/librosa, but four formats need no
+external codec at all: PNG (zlib inflate + per-scanline unfilter,
+incl. indexed-color PLTE/tRNS), WAV (RIFF header + PCM frames via the
+stdlib ``wave`` module), baseline JPEG (Huffman + IDCT in
+:mod:`functions.jpeg`), and GIF (LZW, interlace, frame census). These
 decoders are complete, honest implementations for those formats —
-pixel-exact PNG reconstruction for 8-bit grey/RGB/RGBA, full PCM
-sample recovery for WAV, and spec-faithful baseline-sequential JPEG
-(4:4:4/4:2:2/4:2:0, restart markers) — so the multimodal plumbing
+pixel-exact PNG/GIF reconstruction, full PCM sample recovery for WAV,
+and spec-faithful baseline-sequential JPEG (4:4:4/4:2:2/4:2:0,
+restart markers) — so the multimodal plumbing
 (operators/multimodal.py) has a REAL decode path end to end.
 
 Remaining formats (progressive JPEG, MP3, MP4, ...) still require an
@@ -47,6 +48,8 @@ def sniff_media(payload: bytes) -> str | None:
         return "wav"
     if payload.startswith(JPEG_MAGIC):
         return "jpeg"
+    if payload[:4] == GIF_MAGIC and payload[4:6] in (b"7a", b"9a"):
+        return "gif"
     if containers.sniff_mp4(payload):
         return "mp4"
     if containers.sniff_mp3(payload):
@@ -120,16 +123,20 @@ def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
 
 
 def decode_png(payload: bytes) -> dict:
-    """Decode an 8-bit non-interlaced grey/grey+A/RGB/RGBA PNG.
+    """Decode an 8-bit non-interlaced PNG: grey/grey+A/RGB/RGBA plus
+    indexed-color (PLTE, optional tRNS alpha).
 
     Returns width/height/channels and the pixel array
     (height x width x channels, uint8). Raises on formats outside that
-    envelope (16-bit, palette, interlaced) — honesty over silent junk.
+    envelope (16-bit, interlaced) — honesty over silent junk.
     """
     if not payload.startswith(PNG_MAGIC):
         raise ValueError("not a PNG payload")
     width = height = None
+    color_type = None
     idat = bytearray()
+    plte = None
+    trns = None
     for ctype, data in _png_chunks(payload):
         if ctype == b"IHDR":
             width, height, bit_depth, color_type, _comp, _filt, interlace = (
@@ -137,15 +144,27 @@ def decode_png(payload: bytes) -> dict:
             )
             if bit_depth != 8:
                 raise NotImplementedError("only 8-bit PNG supported")
-            if color_type not in _PNG_CHANNELS:
-                raise NotImplementedError("palette PNG not supported")
+            if color_type not in _PNG_CHANNELS and color_type != 3:
+                raise NotImplementedError(
+                    f"PNG color type {color_type} not supported"
+                )
             if interlace != 0:
                 raise NotImplementedError("interlaced PNG not supported")
+        elif ctype == b"PLTE":
+            if len(data) % 3 or not data:
+                raise ValueError("bad PLTE chunk length")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(data, dtype=np.uint8)
         elif ctype == b"IDAT":
             idat.extend(data)
     if width is None:
         raise ValueError("PNG missing IHDR")
-    channels = _PNG_CHANNELS[color_type]
+    # indexed-color (type 3): one palette index per pixel in the
+    # raster, expanded to RGB (or RGBA when a tRNS chunk is present)
+    # after unfiltering — the dominant web-PNG variant next to RGB(A)
+    paletted = color_type == 3
+    channels = 1 if paletted else _PNG_CHANNELS[color_type]
     if not width or not height or width * height * channels > (1 << 28):
         # corrupt IHDR dims would drive a giant raster allocation:
         # quarantine the row, never OOM the mapInPandas batch
@@ -157,6 +176,21 @@ def decode_png(payload: bytes) -> dict:
     pixels = _unfilter(raw, height, stride, channels).reshape(
         height, width, channels
     )
+    if paletted:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        idx = pixels[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full(len(plte), 255, dtype=np.uint8)
+            alpha[: min(len(trns), len(plte))] = trns[: len(plte)]
+            pixels = np.dstack([rgb, alpha[idx]])
+            channels = 4
+        else:
+            pixels = rgb
+            channels = 3
     return {
         "width": width,
         "height": height,
@@ -258,6 +292,8 @@ def decode_image_any(payload: bytes) -> dict:
     (clearly-marked stub path)."""
     if payload.startswith(PNG_MAGIC):
         return decode_png(payload)
+    if payload[:4] == GIF_MAGIC and payload[4:6] in (b"7a", b"9a"):
+        return decode_gif(payload)
     if payload.startswith(JPEG_MAGIC):
         from calaveras_uniteus_etl_spark.functions.jpeg import decode_jpeg
 
@@ -282,3 +318,249 @@ def decode_image_any(payload: bytes) -> dict:
         "channels": arr.shape[2],
         "pixels": arr,
     }
+
+
+# --- GIF (87a/89a): LZW decode, first frame + frame census ------------------
+
+GIF_MAGIC = b"GIF8"
+
+
+def decode_gif(payload: bytes) -> dict:
+    """Decode a GIF87a/89a: first frame as HxWxC pixels (RGB, or RGBA
+    when the first frame's graphic-control extension marks a
+    transparent index), plus n_frames counted across the stream.
+
+    LZW per ITU/CompuServe spec: LSB-first codes, clear/EOD, width
+    growth to 12 bits; interlaced frames are de-interlaced. Corrupt
+    streams raise ValueError (quarantine), same contract as the other
+    codecs.
+    """
+    try:
+        return _decode_gif(payload)
+    except (IndexError, struct.error) as exc:
+        raise ValueError("truncated GIF stream") from exc
+
+
+def _decode_gif(payload: bytes) -> dict:
+    if payload[:4] != GIF_MAGIC or payload[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF payload")
+    width, height, packed, _bg, _aspect = struct.unpack(
+        "<HHBBB", payload[6:13]
+    )
+    if not width or not height or width * height > (1 << 26):
+        raise ValueError(f"implausible GIF dimensions {width}x{height}")
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(
+            payload, dtype=np.uint8, count=3 * n, offset=pos
+        ).reshape(-1, 3)
+        pos += 3 * n
+
+    n_frames = 0
+    first = None  # (pixels HxWxC)
+    transparent = None
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            label = payload[pos]
+            pos += 1
+            subs = []
+            while payload[pos]:
+                ln = payload[pos]
+                subs.append(payload[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1  # block terminator
+            if label == 0xF9 and first is None and subs:
+                gce = subs[0]
+                if len(gce) >= 4 and gce[0] & 0x01:
+                    transparent = gce[3]
+        elif block == 0x2C:  # image descriptor
+            _left, _top, fw, fh, fpacked = struct.unpack(
+                "<HHHHB", payload[pos : pos + 9]
+            )
+            pos += 9
+            lct = None
+            if fpacked & 0x80:
+                n = 2 << (fpacked & 0x07)
+                lct = np.frombuffer(
+                    payload, dtype=np.uint8, count=3 * n, offset=pos
+                ).reshape(-1, 3)
+                pos += 3 * n
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos]:
+                ln = payload[pos]
+                data.extend(payload[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            n_frames += 1
+            if first is None:
+                if not fw or not fh or fw * fh > (1 << 26):
+                    raise ValueError(
+                        f"implausible GIF frame dimensions {fw}x{fh}"
+                    )
+                table = lct if lct is not None else gct
+                if table is None:
+                    raise ValueError("GIF frame has no color table")
+                idx = _lzw_decode(bytes(data), min_code, fw * fh)
+                arr = np.frombuffer(
+                    bytes(idx), dtype=np.uint8, count=fw * fh
+                ).reshape(fh, fw)
+                if fpacked & 0x40:  # interlaced: 4-pass row order
+                    out = np.zeros_like(arr)
+                    rows = (
+                        list(range(0, fh, 8))
+                        + list(range(4, fh, 8))
+                        + list(range(2, fh, 4))
+                        + list(range(1, fh, 2))
+                    )
+                    for src, dst in enumerate(rows):
+                        out[dst] = arr[src]
+                    arr = out
+                if int(arr.max(initial=0)) >= len(table):
+                    raise ValueError("GIF palette index out of range")
+                rgb = table[arr]
+                if transparent is not None and transparent < len(table):
+                    alpha = np.where(arr == transparent, 0, 255).astype(
+                        np.uint8
+                    )
+                    first = np.dstack([rgb, alpha])
+                else:
+                    first = rgb
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02X}")
+    if first is None:
+        raise ValueError("GIF stream has no image frame")
+    return {
+        "width": first.shape[1],
+        "height": first.shape[0],
+        "channels": first.shape[2],
+        "pixels": first,
+        "n_frames": n_frames,
+    }
+
+
+def _lzw_decode(data: bytes, min_code: int, n_pixels: int) -> bytearray:
+    """GIF LZW: LSB-first codes, clear/EOD, 12-bit cap."""
+    if not 2 <= min_code <= 11:
+        raise ValueError(f"bad LZW minimum code size {min_code}")
+    clear = 1 << min_code
+    eod = clear + 1
+
+    def fresh():
+        return {i: bytes([i]) for i in range(clear)}
+
+    table = fresh()
+    width = min_code + 1
+    next_code = eod + 1
+    out = bytearray()
+    prev = None
+    acc = nbits = 0
+    i = 0
+    while len(out) < n_pixels:
+        while nbits < width:
+            if i >= len(data):
+                raise ValueError("LZW stream exhausted before raster filled")
+            acc |= data[i] << nbits
+            nbits += 8
+            i += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = fresh()
+            width = min_code + 1
+            next_code = eod + 1
+            prev = None
+            continue
+        if code == eod:
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                raise ValueError("LZW code before any literal")
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"invalid LZW code {code}")
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < n_pixels:
+        raise ValueError("GIF raster shorter than frame size")
+    return out[:n_pixels]
+
+
+def encode_gif(pixels: np.ndarray, *, interlace: bool = False) -> bytes:
+    """Minimal GIF89a writer for an RGB image — the test/fixture twin
+    of :func:`decode_gif`. Quantizes to the image's distinct colors
+    (must be <= 256) and emits a clear-code-per-pixel LZW stream
+    (spec-legal, never grows the code table)."""
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.dstack([arr, arr, arr])
+    h, w = arr.shape[:2]
+    flat = arr.reshape(-1, 3)
+    palette, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError("encode_gif fixture supports <= 256 colors")
+    bits = max(2, int(len(palette) - 1).bit_length())
+    size_field = bits - 1
+    table = np.zeros((2 << size_field, 3), dtype=np.uint8)
+    table[: len(palette)] = palette
+
+    out = bytearray(b"GIF89a")
+    out.extend(struct.pack("<HHBBB", w, h, 0x80 | size_field, 0, 0))
+    out.extend(table.tobytes())
+    out.extend(b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0
+    ))
+    min_code = bits
+    clear = 1 << min_code
+    eod = clear + 1
+    width_bits = min_code + 1
+    acc = nbits = 0
+    stream = bytearray()
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width_bits
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    seq = idx.reshape(h, w)
+    if interlace:
+        rows = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+        seq = seq[rows]
+    emit(clear)
+    for v in seq.reshape(-1):
+        emit(int(v))
+        emit(clear)  # keep the table empty: fixed code width, spec-legal
+    emit(eod)
+    if nbits:
+        stream.append(acc & 0xFF)
+    out.append(min_code)
+    for off in range(0, len(stream), 255):
+        chunk = stream[off : off + 255]
+        out.append(len(chunk))
+        out.extend(chunk)
+    out.extend(b"\x00\x3b")
+    return bytes(out)

@@ -59,6 +59,8 @@ def decode_media(payload: bytes, media_type: str) -> dict:
         return codecs.decode_wav(payload)
     if kind == "jpeg":
         return codecs.decode_image_any(payload)  # native baseline path
+    if kind == "gif":
+        return codecs.decode_gif(payload)
     if kind in ("mp4", "mp3"):
         # container METADATA parses natively (functions/containers.py,
         # used by _real_features below); pixel/sample access would

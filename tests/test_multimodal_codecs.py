@@ -558,3 +558,120 @@ def test_jpeg_implausible_dims_quarantine():
     good[sof + 5 : sof + 9] = struct.pack(">HH", 65535, 65535)
     with pytest.raises(ValueError):
         decode_jpeg(bytes(good))
+
+
+# --- indexed-color PNG + GIF ------------------------------------------------
+
+
+def _make_palette_png(idx: np.ndarray, palette: np.ndarray,
+                      trns: bytes | None = None) -> bytes:
+    """Hand-built indexed-color PNG (color type 3, filter 0 rows)."""
+    import struct
+    import zlib
+
+    h, w = idx.shape
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    raster = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    out = codecs.PNG_MAGIC + chunk(b"IHDR", ihdr)
+    out += chunk(b"PLTE", palette.tobytes())
+    if trns is not None:
+        out += chunk(b"tRNS", trns)
+    out += chunk(b"IDAT", zlib.compress(raster)) + chunk(b"IEND", b"")
+    return out
+
+
+def test_palette_png_decodes_to_rgb_and_rgba():
+    palette = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [10, 20, 30]], dtype=np.uint8
+    )
+    idx = _rng(11).integers(0, 4, (7, 5), dtype=np.uint8)
+    out = codecs.decode_png(_make_palette_png(idx, palette))
+    assert (out["width"], out["height"], out["channels"]) == (5, 7, 3)
+    np.testing.assert_array_equal(out["pixels"], palette[idx])
+    # tRNS: index 0 fully transparent, others opaque
+    out = codecs.decode_png(
+        _make_palette_png(idx, palette, trns=bytes([0, 255, 255, 255]))
+    )
+    assert out["channels"] == 4
+    np.testing.assert_array_equal(out["pixels"][:, :, :3], palette[idx])
+    np.testing.assert_array_equal(
+        out["pixels"][:, :, 3], np.where(idx == 0, 0, 255)
+    )
+
+
+def test_palette_png_corruption_is_typed():
+    palette = np.array([[1, 2, 3]], dtype=np.uint8)
+    idx = np.zeros((3, 3), dtype=np.uint8)
+    good = _make_palette_png(idx, palette)
+    # out-of-range palette index
+    bad_idx = np.full((3, 3), 7, dtype=np.uint8)
+    with pytest.raises(ValueError):
+        codecs.decode_png(_make_palette_png(bad_idx, palette))
+    assert codecs.decode_png(good)["channels"] == 3
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+def test_gif_roundtrip_pixel_exact(interlace):
+    img = (_rng(12).integers(0, 5, (13, 9, 3), dtype=np.uint8)) * 50
+    payload = codecs.encode_gif(img, interlace=interlace)
+    assert codecs.sniff_media(payload) == "gif"
+    out = codecs.decode_gif(payload)
+    assert (out["width"], out["height"], out["channels"]) == (9, 13, 3)
+    np.testing.assert_array_equal(out["pixels"], img)
+    assert out["n_frames"] == 1
+
+
+def test_gif_flows_through_extract_features(spark):
+    img = (_rng(13).integers(0, 3, (16, 11, 3), dtype=np.uint8)) * 100
+    df = spark.createDataFrame(
+        [(1, bytearray(codecs.encode_gif(img)), "image")],
+        "doc_id long, payload binary, media_type string",
+    )
+    row = extract_features(df).collect()[0]
+    assert (row.width, row.height) == (11, 16)
+
+
+def test_gif_and_palette_png_quarantine_fuzz():
+    """Extend the quarantine property to the two new decode paths."""
+    import random
+
+    from calaveras_uniteus_etl_spark.operators import multimodal as mm
+
+    img = (_rng(14).integers(0, 6, (12, 12, 3), dtype=np.uint8)) * 40
+    palette = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8
+    )
+    idx = _rng(15).integers(0, 3, (10, 8), dtype=np.uint8)
+    valid = {
+        "gif": codecs.encode_gif(img),
+        "gif_i": codecs.encode_gif(img, interlace=True),
+        "plte": _make_palette_png(idx, palette),
+    }
+    random.seed(99)
+    for payload in valid.values():
+        pb = bytearray(payload)
+        for _ in range(400):
+            b = bytearray(pb)
+            mode = random.randrange(4)
+            if mode == 0:
+                for _ in range(random.randrange(1, 8)):
+                    b[random.randrange(len(b))] = random.randrange(256)
+            elif mode == 1:
+                b = b[: random.randrange(1, len(b))]
+            elif mode == 2:
+                b += bytes(
+                    random.randrange(256)
+                    for _ in range(random.randrange(1, 32))
+                )
+            else:
+                i, j = sorted(random.randrange(len(b)) for _ in range(2))
+                b = b[:i] + b[j:]
+            out = mm._real_features(bytes(b), "image")  # must not raise
+            assert out is None or isinstance(out, dict)
