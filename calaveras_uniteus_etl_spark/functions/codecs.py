@@ -11,10 +11,10 @@ and spec-faithful baseline-sequential JPEG (4:4:4/4:2:2/4:2:0,
 restart markers) — so the multimodal plumbing
 (operators/multimodal.py) has a REAL decode path end to end.
 
-Remaining formats (progressive JPEG, MP3, MP4, ...) still require an
-external codec: :func:`decode_image_any` falls through to Pillow
-behind an import guard and raises ``NotImplementedError`` when it is
-absent.
+Remaining formats (arithmetic/12-bit/lossless JPEG, MP3/MP4 sample
+data, ...) still require an external codec: :func:`decode_image_any`
+falls through to Pillow behind an import guard and raises
+``NotImplementedError`` when it is absent.
 
 ``sniff_media`` keys the dispatch on magic bytes, so opaque synthetic
 payloads (the driver's testdata) keep using the deterministic fake
@@ -287,9 +287,9 @@ def encode_wav(
 
 
 def decode_image_any(payload: bytes) -> dict:
-    """Decode any image: PNG and baseline JPEG natively, everything
-    else via Pillow if installed, else NotImplementedError
-    (clearly-marked stub path)."""
+    """Decode any image: PNG, GIF, and baseline + progressive JPEG
+    natively, everything else via Pillow if installed, else
+    NotImplementedError (clearly-marked stub path)."""
     if payload.startswith(PNG_MAGIC):
         return decode_png(payload)
     if payload[:4] == GIF_MAGIC and payload[4:6] in (b"7a", b"9a"):
@@ -300,7 +300,7 @@ def decode_image_any(payload: bytes) -> dict:
         try:
             return decode_jpeg(payload)
         except NotImplementedError:
-            pass  # progressive/12-bit/arithmetic: try Pillow below
+            pass  # 12-bit/arithmetic/lossless: try Pillow below
     try:
         from PIL import Image
     except ImportError as exc:

@@ -31,10 +31,21 @@ import struct
 MP4_BRANDS = b"ftyp"
 ID3_MAGIC = b"ID3"
 
-# MPEG audio tables: bitrate kbps by [version_group][layer][index]
+# MPEG audio tables (ISO 11172-3 / 13818-3): bitrate kbps by layer.
+# Layer bits in the header: 3=Layer I, 2=Layer II, 1=Layer III.
+_MP3_BITRATE_V1_L1 = [
+    0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448,
+]
+_MP3_BITRATE_V1_L2 = [
+    0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384,
+]
 _MP3_BITRATE_V1_L3 = [
     0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
 ]
+_MP3_BITRATE_V2_L1 = [
+    0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256,
+]
+# MPEG2/2.5 Layers II and III share one table
 _MP3_BITRATE_V2_L3 = [
     0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160,
 ]
@@ -49,16 +60,64 @@ def sniff_mp4(payload: bytes) -> bool:
     return len(payload) >= 12 and payload[4:8] == MP4_BRANDS
 
 
+def _frame_info(payload: bytes, pos: int):
+    """(frame_length, sample_rate, bitrate_bps) for an MPEG audio frame
+    header at ``pos``, or None when the 4 bytes there are not a valid
+    header (bad sync, reserved version/layer, reserved/free bitrate
+    index, reserved samplerate index)."""
+    if pos + 4 > len(payload):
+        return None
+    if payload[pos] != 0xFF or (payload[pos + 1] & 0xE0) != 0xE0:
+        return None
+    h1 = payload[pos + 1]
+    h2 = payload[pos + 2]
+    version = (h1 >> 3) & 0x03  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5, 1=reserved
+    layer = (h1 >> 1) & 0x03    # 3=I, 2=II, 1=III, 0=reserved
+    if version == 1 or layer == 0:
+        return None
+    br_idx = (h2 >> 4) & 0x0F
+    sr_idx = (h2 >> 2) & 0x03
+    if br_idx in (0, 15) or sr_idx == 3:  # free-format / reserved
+        return None
+    padding = (h2 >> 1) & 0x01
+    sample_rate = _MP3_SAMPLERATE[version][sr_idx]
+    v1 = version == 3
+    if layer == 3:  # Layer I: slots of 4 bytes
+        table = _MP3_BITRATE_V1_L1 if v1 else _MP3_BITRATE_V2_L1
+        bitrate = table[br_idx] * 1000
+        frame_len = (12 * bitrate // sample_rate + padding) * 4
+    elif layer == 2:  # Layer II: 1152 samples always
+        table = _MP3_BITRATE_V1_L2 if v1 else _MP3_BITRATE_V2_L3
+        bitrate = table[br_idx] * 1000
+        frame_len = 144 * bitrate // sample_rate + padding
+    else:  # Layer III: 1152 samples MPEG1, 576 MPEG2/2.5
+        table = _MP3_BITRATE_V1_L3 if v1 else _MP3_BITRATE_V2_L3
+        bitrate = table[br_idx] * 1000
+        frame_len = (144 if v1 else 72) * bitrate // sample_rate + padding
+    return frame_len, sample_rate, bitrate
+
+
 def sniff_mp3(payload: bytes) -> bool:
+    """True when the payload is plausibly an MPEG audio stream.
+
+    A bare 0xFF 0xEx sync prefix is far too weak a magic (any opaque
+    payload starting with those bits would be misrouted away from the
+    deterministic fake-decode path), so this requires a FULLY valid
+    first frame header — non-reserved version/layer AND non-reserved
+    bitrate/samplerate indices — and, when the payload extends past the
+    first frame, a second valid header at the computed frame boundary.
+    Payloads shorter than one frame (a truncated single-frame stream)
+    are accepted on the first header alone.
+    """
     if payload.startswith(ID3_MAGIC):
         return True
-    return (
-        len(payload) >= 4
-        and payload[0] == 0xFF
-        and (payload[1] & 0xE0) == 0xE0
-        and (payload[1] & 0x18) != 0x08  # reserved version
-        and (payload[1] & 0x06) != 0x00  # reserved layer
-    )
+    info = _frame_info(payload, 0)
+    if info is None:
+        return False
+    frame_len = info[0]
+    if frame_len + 4 > len(payload):
+        return True
+    return _frame_info(payload, frame_len) is not None
 
 
 def _walk_boxes(data: bytes, start: int, end: int):
@@ -165,30 +224,13 @@ def parse_mp3_meta(payload: bytes) -> dict:
     end = min(len(payload) - 4, off + 65536)  # bounded sync search
     pos = off
     while pos <= end:
-        if payload[pos] == 0xFF and (payload[pos + 1] & 0xE0) == 0xE0:
-            h1 = payload[pos + 1]
-            h2 = payload[pos + 2]
-            version = (h1 >> 3) & 0x03  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
-            layer = (h1 >> 1) & 0x03    # 1=Layer III
-            br_idx = (h2 >> 4) & 0x0F
-            sr_idx = (h2 >> 2) & 0x03
-            if (
-                version != 1
-                and layer == 1
-                and 0 < br_idx < 15
-                and sr_idx < 3
-            ):
-                sample_rate = _MP3_SAMPLERATE[version][sr_idx]
-                table = (
-                    _MP3_BITRATE_V1_L3
-                    if version == 3
-                    else _MP3_BITRATE_V2_L3
-                )
-                bitrate = table[br_idx] * 1000
-                audio_bytes = len(payload) - off
-                return {
-                    "duration_s": int(audio_bytes * 8 / bitrate + 0.5),
-                    "sample_rate": sample_rate,
-                }
+        info = _frame_info(payload, pos)
+        if info is not None:
+            _frame_len, sample_rate, bitrate = info
+            audio_bytes = len(payload) - off
+            return {
+                "duration_s": int(audio_bytes * 8 / bitrate + 0.5),
+                "sample_rate": sample_rate,
+            }
         pos += 1
     raise ValueError("no MPEG audio frame header found")

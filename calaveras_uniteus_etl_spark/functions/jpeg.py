@@ -1,22 +1,27 @@
-"""Baseline JPEG codec in pure Python + numpy (no Pillow/libjpeg).
+"""JPEG codec in pure Python + numpy (no Pillow/libjpeg).
 
-Decoder: baseline sequential DCT (SOF0), 8-bit precision, Huffman
-entropy coding — the overwhelmingly dominant JPEG variant on the
-open web. Grayscale and YCbCr with arbitrary sampling factors
-(4:4:4 / 4:2:2 / 4:2:0 all fall out of the general MCU walk),
-restart markers (DRI/RSTn) included. Progressive (SOF2), 12-bit,
-lossless, hierarchical, and arithmetic-coded streams raise
+Decoder: baseline sequential DCT (SOF0/1) AND progressive DCT (SOF2),
+8-bit precision, Huffman entropy coding — together the overwhelmingly
+dominant JPEG variants on the open web. Grayscale and YCbCr with
+arbitrary sampling factors (4:4:4 / 4:2:2 / 4:2:0 all fall out of the
+general MCU walk), restart markers (DRI/RSTn) included; progressive
+streams support the full Annex G toolbox (spectral selection, DC/AC
+successive approximation, EOB runs, embedded correction bits).
+12-bit, lossless, hierarchical, and arithmetic-coded streams raise
 ``NotImplementedError`` — those fall through to the import-guarded
 Pillow path in :func:`codecs.decode_image_any`, exactly like the
 pre-existing non-PNG stub.
 
 Encoder: the test/fixture twin (same role as ``codecs.encode_wav``) —
-baseline 4:4:4 with the JPEG Annex K example tables. It exists so the
-test suite can build real entropy-coded streams whose decoded output
-has a hand-checkable bound (quantization error only), including
-DC-only images where the exact pixel value is computable by hand:
-a uniform block decodes to clip(round(q[0,0] * round(8*(v-128)/q[0,0])
-/ 8) + 128).
+baseline with the JPEG Annex K example tables, plus
+:func:`encode_jpeg_progressive` emitting the classic successive-
+approximation scan script (identical quantized coefficients, so
+progressive and baseline decode pixel-exactly equal). It exists so
+the test suite can build real entropy-coded streams whose decoded
+output has a hand-checkable bound (quantization error only),
+including DC-only images where the exact pixel value is computable by
+hand: a uniform block decodes to clip(round(q[0,0] *
+round(8*(v-128)/q[0,0]) / 8) + 128).
 
 Reference parity note: the reference system ships no image codec at
 all (SURVEY §2 "multimodal" rows are engine extensions); this module
@@ -241,15 +246,17 @@ class _RestartPending(Exception):
 
 
 def decode_jpeg(payload: bytes) -> dict:
-    """Decode a baseline JPEG to ``{width, height, channels, pixels}``.
+    """Decode a baseline or progressive JPEG to
+    ``{width, height, channels, pixels}``.
 
     ``pixels`` is uint8 HxWxC (C=1 grayscale, C=3 RGB via the JFIF
-    YCbCr transform). Raises ``NotImplementedError`` for progressive /
-    12-bit / arithmetic streams and ``ValueError`` for corrupt ones.
+    YCbCr transform). Raises ``NotImplementedError`` for 12-bit /
+    arithmetic / lossless streams and ``ValueError`` for corrupt ones.
     """
     try:
         return _decode_jpeg(payload)
-    except IndexError as exc:  # truncated header/table walking off the end
+    except (IndexError, struct.error) as exc:
+        # truncated header/table/segment body walking off the end
         raise ValueError("truncated JPEG stream") from exc
 
 
@@ -262,6 +269,8 @@ def _decode_jpeg(payload: bytes) -> dict:
     frame = None
     restart_interval = 0
     scan = None
+    coef = None  # progressive: {cid: (blocks_y, blocks_x, 64) int32}
+    blocks_nonint = None  # progressive: {cid: (bh, bw) non-interleaved dims
 
     while pos + 1 < len(payload):
         if payload[pos] != 0xFF:
@@ -308,7 +317,7 @@ def _decode_jpeg(payload: bytes) -> dict:
                 values = list(seg[p + 17 : p + 17 + nval])
                 huff[(tclass, tid)] = _canonical_codes(bits, values)
                 p += 17 + nval
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline+extended seq.
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progr.
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError(f"{precision}-bit JPEG not supported")
@@ -327,8 +336,11 @@ def _decode_jpeg(payload: bytes) -> dict:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
-            frame = {"w": width, "h": height, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {
+                "w": width, "h": height, "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF marker 0x{marker:02X}) not supported"
@@ -341,12 +353,43 @@ def _decode_jpeg(payload: bytes) -> dict:
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan.append({"id": cs, "dc": tt >> 4, "ac": tt & 0x0F})
-            pos += seglen
-            break
+            if frame is None:
+                raise ValueError("JPEG scan before frame header")
+            if not frame["progressive"]:
+                pos += seglen
+                break
+            # progressive: Ss/Se/Ah/Al select the spectral band and
+            # approximation bits; decode this scan's entropy data into
+            # the coefficient store and keep walking markers (a SOF2
+            # stream carries many scans before EOI).
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            if coef is None:
+                coef, blocks_nonint = _alloc_coef_store(frame)
+            reader = _BitReader(payload, pos + seglen)
+            try:
+                _progressive_scan(
+                    reader, frame, scan, ss, se, ahal >> 4, ahal & 0x0F,
+                    restart_interval, huff, coef, blocks_nonint,
+                )
+            except _RestartPending as exc:
+                # an RSTn where the scan expects entropy bits only
+                # happens in corrupt streams (valid encoders restart
+                # exactly on the DRI grid the walk already consumes)
+                raise ValueError(
+                    "unexpected restart marker in progressive scan"
+                ) from exc
+            pos = reader.pos
+            continue
         pos += seglen
 
     if frame is None or scan is None:
         raise ValueError("JPEG stream has no frame/scan")
+
+    if frame["progressive"]:
+        max_h = max(c["h"] for c in frame["comps"])
+        max_v = max(c["v"] for c in frame["comps"])
+        planes = _reconstruct_progressive(frame, coef, qt)
+        return _compose_image(frame, planes, max_h, max_v)
 
     comps = frame["comps"]
     by_id = {c["id"]: c for c in comps}
@@ -373,6 +416,12 @@ def _decode_jpeg(payload: bytes) -> dict:
         for c in comps
     }
 
+    # The entropy-coded segment interleaves component data in SOS scan
+    # order (ISO 10918-1 §B.2.3) — a spec-legal stream may list scan
+    # components in a different order than the SOF frame header, so the
+    # MCU walk must follow the scan list, not frame order.
+    scan_comps = [by_id[sc["id"]] for sc in scan]
+
     reader = _BitReader(payload, pos)
     pred = {c["id"]: 0 for c in comps}
     mcu_count = 0
@@ -384,7 +433,7 @@ def _decode_jpeg(payload: bytes) -> dict:
                 reader.skip_restart()
                 pred = {c["id"]: 0 for c in comps}
             mcu_count += 1
-            for c in comps:
+            for c in scan_comps:
                 dct = huff[(0, c["dc_t"])]
                 act = huff[(1, c["ac_t"])]
                 q = qt[c["tq"]]
@@ -399,9 +448,14 @@ def _decode_jpeg(payload: bytes) -> dict:
                         x0 = (mx * c["h"] + bx) * 8
                         planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = px
 
-    # upsample subsampled planes to full resolution, crop, color-convert
+    return _compose_image(frame, planes, max_h, max_v)
+
+
+def _compose_image(frame: dict, planes: dict, max_h: int, max_v: int) -> dict:
+    """Upsample subsampled planes to full resolution, crop to the frame
+    dimensions, and color-convert (shared baseline/progressive tail)."""
     full = []
-    for c in comps:
+    for c in frame["comps"]:
         p = planes[c["id"]]
         if c["h"] != max_h or c["v"] != max_v:
             p = np.repeat(
@@ -468,6 +522,254 @@ def _decode_block(reader, dct, act, pred, comp) -> np.ndarray:
             for cid in pred:
                 pred[cid] = 0
             coeffs[:] = 0
+
+
+# --- progressive (SOF2) scan decoding (T.81 Annex G) ------------------------
+#
+# A progressive stream delivers the SAME quantized coefficients as a
+# sequential one, split across many scans: by spectral band (Ss..Se,
+# DC-only or an AC range) and by bit precision (successive
+# approximation: a first pass at Al bits of headroom, then 1-bit
+# refinement passes Ah -> Al = Ah-1). Decoding therefore accumulates
+# into a per-component zig-zag coefficient store; reconstruction after
+# EOI is the ordinary dequantize + IDCT tail shared with baseline.
+
+
+def _alloc_coef_store(frame: dict):
+    """Per-component coefficient store on the MCU-padded block grid,
+    plus each component's NON-interleaved block dims (AC scans and
+    single-component DC scans walk those, not the padded grid)."""
+    comps = frame["comps"]
+    for c in comps:
+        if not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4):
+            raise ValueError(f"bad sampling factors {c['h']}x{c['v']}")
+    max_h = max(c["h"] for c in comps)
+    max_v = max(c["v"] for c in comps)
+    mcux = -(-frame["w"] // (8 * max_h))
+    mcuy = -(-frame["h"] // (8 * max_v))
+    coef = {}
+    nonint = {}
+    for c in comps:
+        coef[c["id"]] = np.zeros(
+            (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32
+        )
+        # T.81 A.1.1: samples = ceil(dim * sampling / max_sampling),
+        # blocks = ceil(samples / 8)
+        sw = -(-frame["w"] * c["h"] // max_h)
+        sh = -(-frame["h"] * c["v"] // max_v)
+        nonint[c["id"]] = (-(-sh // 8), -(-sw // 8))
+    frame["mcux"], frame["mcuy"] = mcux, mcuy
+    return coef, nonint
+
+
+def _progressive_scan(
+    reader, frame, scan, ss, se, ah, al, restart_interval, huff, coef,
+    blocks_nonint,
+) -> None:
+    """Decode one SOS of a progressive stream into the coefficient
+    store. DC scans (Ss=0) may interleave components; AC scans carry
+    exactly one component (T.81 G.1.1.1)."""
+    by_id = {c["id"]: c for c in frame["comps"]}
+    for sc in scan:
+        if sc["id"] not in by_id:
+            raise ValueError(f"SOS component {sc['id']} not in frame")
+    if al > 13 or ah > 14 or (ah and ah != al + 1):
+        raise ValueError(f"bad successive approximation Ah={ah} Al={al}")
+    if ss == 0:
+        if se != 0:
+            raise ValueError("DC scan must have Se=0 (T.81 G.1.1.1)")
+        for sc in scan:
+            if ah == 0 and (0, sc["dc"]) not in huff:
+                raise ValueError("DC scan references an undefined table")
+        _progressive_dc_scan(
+            reader, frame, scan, ah, al, restart_interval, huff, coef,
+            blocks_nonint, by_id,
+        )
+        return
+    if len(scan) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if se < ss or se > 63:
+        raise ValueError(f"bad spectral band {ss}..{se}")
+    sc = scan[0]
+    if (1, sc["ac"]) not in huff:
+        raise ValueError("AC scan references an undefined Huffman table")
+    act = huff[(1, sc["ac"])]
+    store = coef[sc["id"]]
+    bh, bw = blocks_nonint[sc["id"]]
+    if ah == 0:
+        _ac_first_scan(reader, act, store, bh, bw, ss, se, al,
+                       restart_interval)
+    else:
+        _ac_refine_scan(reader, act, store, bh, bw, ss, se, al,
+                        restart_interval)
+
+
+def _progressive_dc_scan(
+    reader, frame, scan, ah, al, restart_interval, huff, coef,
+    blocks_nonint, by_id,
+) -> None:
+    pred = {sc["id"]: 0 for sc in scan}
+    interleaved = len(scan) > 1
+
+    def decode_dc(sc, by, bx):
+        store = coef[sc["id"]]
+        if ah == 0:
+            dct = huff[(0, sc["dc"])]
+            ssss = reader.decode_symbol(dct)
+            if ssss > 15:
+                raise ValueError(f"invalid DC category {ssss}")
+            diff = _extend(reader.read_bits(ssss), ssss) if ssss else 0
+            pred[sc["id"]] += diff
+            if abs(pred[sc["id"]]) > (1 << 26):
+                raise ValueError("corrupt DC predictor")
+            store[by, bx, 0] = pred[sc["id"]] << al
+        else:
+            if reader.read_bit():
+                store[by, bx, 0] |= 1 << al
+
+    unit = 0  # restart-interval unit: MCUs (interleaved) or blocks
+    if interleaved:
+        for my in range(frame["mcuy"]):
+            for mx in range(frame["mcux"]):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    reader.skip_restart()
+                    for cid in pred:
+                        pred[cid] = 0
+                unit += 1
+                for sc in scan:  # scan-list order (G.1.1.1.1)
+                    c = by_id[sc["id"]]
+                    for vy in range(c["v"]):
+                        for vx in range(c["h"]):
+                            decode_dc(
+                                sc, my * c["v"] + vy, mx * c["h"] + vx
+                            )
+    else:
+        sc = scan[0]
+        bh, bw = blocks_nonint[sc["id"]]
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    reader.skip_restart()
+                    pred[sc["id"]] = 0
+                unit += 1
+                decode_dc(sc, by, bx)
+
+
+def _ac_first_scan(
+    reader, act, store, bh, bw, ss, se, al, restart_interval
+) -> None:
+    """First AC pass for a band: ordinary RLE plus EOBn run codes
+    (symbol r<<4 with r<15: a run of 2^r + ext-bits all-EOB blocks)."""
+    eobrun = 0
+    unit = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and unit and unit % restart_interval == 0:
+                reader.skip_restart()
+                eobrun = 0
+            unit += 1
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            block = store[by, bx]
+            k = ss
+            while k <= se:
+                rs = reader.decode_symbol(act)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r < 15:  # EOBn
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.read_bits(r)
+                        break
+                    k += 16  # ZRL
+                    continue
+                k += r
+                if k > se:
+                    raise ValueError("AC run past end of spectral band")
+                block[k] = _extend(reader.read_bits(s), s) << al
+                k += 1
+
+
+def _ac_refine_scan(
+    reader, act, store, bh, bw, ss, se, al, restart_interval
+) -> None:
+    """AC successive-approximation refinement (T.81 G.1.2.3): newly
+    significant coefficients arrive as (run, magnitude-1) symbols with
+    a sign bit; every already-nonzero coefficient passed over — and,
+    inside an EOB run, every nonzero coefficient in the band — carries
+    one embedded correction bit."""
+    p1 = 1 << al
+    eobrun = 0
+    unit = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and unit and unit % restart_interval == 0:
+                reader.skip_restart()
+                eobrun = 0
+            unit += 1
+            block = store[by, bx]
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = reader.decode_symbol(act)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r < 15:  # EOBn (covers this block too)
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.read_bits(r)
+                            break
+                        newval = 0  # ZRL: skip 16 zero-history coeffs
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "refinement magnitude must be 1"
+                            )
+                        newval = p1 if reader.read_bit() else -p1
+                    # advance r zero-history positions, refining the
+                    # nonzero-history coefficients passed over
+                    while k <= se:
+                        if block[k] != 0:
+                            if reader.read_bit() and not (block[k] & p1):
+                                block[k] += p1 if block[k] >= 0 else -p1
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval and k <= se:
+                        block[k] = newval
+                    k += 1
+            if eobrun > 0:
+                # EOB run: refine remaining nonzero coeffs in the band
+                while k <= se:
+                    if block[k] != 0 and reader.read_bit() and not (
+                        block[k] & p1
+                    ):
+                        block[k] += p1 if block[k] >= 0 else -p1
+                    k += 1
+                eobrun -= 1
+
+
+def _reconstruct_progressive(frame, coef, qt) -> dict:
+    """Dequantize + IDCT the accumulated coefficient store (vectorized
+    over all blocks of each component)."""
+    if coef is None:
+        raise ValueError("progressive JPEG stream has no scan data")
+    planes = {}
+    for c in frame["comps"]:
+        if c["tq"] not in qt:
+            raise ValueError("frame references an undefined quant table")
+        zz = coef[c["id"]]  # (by, bx, 64) zig-zag order
+        by, bx = zz.shape[:2]
+        raster = np.zeros((by, bx, 64))
+        raster[:, :, ZIGZAG] = zz
+        blocks = raster.reshape(by, bx, 8, 8) * qt[c["tq"]]
+        # spatial = A.T @ coeffs @ A for every block at once
+        px = np.einsum("ij,abjk,kl->abil", _A.T, blocks, _A) + 128.0
+        planes[c["id"]] = px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+    return planes
 
 
 # --- encoder twin (fixtures/tests) -----------------------------------------
@@ -541,23 +843,10 @@ def _encode_block(
         writer.write(code, length)
 
 
-def encode_jpeg_baseline(
-    pixels: np.ndarray,
-    *,
-    subsample_420: bool = False,
-    subsample_422: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode uint8 HxW (grayscale) or HxWx3 (RGB) as a baseline JPEG
-    with the Annex K tables — the fixture twin of :func:`decode_jpeg`
-    (same role as ``codecs.encode_wav``).
-
-    ``subsample_420`` / ``subsample_422`` switch color images from
-    4:4:4 to 2x2- / 2x1-box-filtered chroma; ``restart_interval``
-    emits DRI + RSTn markers every N MCUs. All exist so tests can
-    exercise the decoder's subsampling and restart paths with real
-    streams.
-    """
+def _prepare_frame(pixels, subsample_420: bool, subsample_422: bool):
+    """Color-convert + chroma-subsample into per-component sample
+    planes with their table/sampling specs (shared by the baseline and
+    progressive encoders)."""
     px = np.asarray(pixels)
     if px.ndim == 3 and px.shape[2] == 1:
         px = px[:, :, 0]
@@ -594,7 +883,13 @@ def encode_jpeg_baseline(
         comp_spec = [(1, luma_hv, 0), (2, 0x11, 1), (3, 0x11, 1)]
         scan_spec = [(1, 0x00), (2, 0x11), (3, 0x11)]
         samp = [(sh, sv), (1, 1), (1, 1)]
+    return gray, h, w, planes, quants, comp_spec, scan_spec, samp
 
+
+def _emit_jpeg_headers(
+    sof_marker: int, gray: bool, h: int, w: int, comp_spec, restart_interval
+):
+    """SOI + DQT + SOF + DHT (+DRI) prologue; returns (out, segment)."""
     out = bytearray(b"\xff\xd8")  # SOI
 
     def segment(marker: int, body: bytes) -> None:
@@ -607,7 +902,7 @@ def encode_jpeg_baseline(
     sof = struct.pack(">BHHB", 8, h, w, len(comp_spec))
     for cid, hv, tq in comp_spec:
         sof += bytes([cid, hv, tq])
-    segment(0xC0, sof)
+    segment(sof_marker, sof)
     specs = [(0x00, DC_LUMA_SPEC), (0x10, AC_LUMA_SPEC)]
     if not gray:
         specs += [(0x01, DC_CHROMA_SPEC), (0x11, AC_CHROMA_SPEC)]
@@ -615,8 +910,45 @@ def encode_jpeg_baseline(
         segment(0xC4, bytes([tcid]) + bytes(bits) + bytes(values))
     if restart_interval:
         segment(0xDD, struct.pack(">H", restart_interval))
+    return out, segment
+
+
+def encode_jpeg_baseline(
+    pixels: np.ndarray,
+    *,
+    subsample_420: bool = False,
+    subsample_422: bool = False,
+    restart_interval: int = 0,
+    scan_order: tuple[int, ...] | None = None,
+) -> bytes:
+    """Encode uint8 HxW (grayscale) or HxWx3 (RGB) as a baseline JPEG
+    with the Annex K tables — the fixture twin of :func:`decode_jpeg`
+    (same role as ``codecs.encode_wav``).
+
+    ``subsample_420`` / ``subsample_422`` switch color images from
+    4:4:4 to 2x2- / 2x1-box-filtered chroma; ``restart_interval``
+    emits DRI + RSTn markers every N MCUs; ``scan_order`` (a
+    permutation of 0-based component indices, e.g. ``(2, 0, 1)``)
+    emits the SOS list AND the interleaved entropy data in that order
+    while SOF keeps frame order — a spec-legal layout (ISO 10918-1
+    §B.2.3) that exercises the decoder's scan-order MCU walk. All
+    exist so tests can exercise the decoder's subsampling, restart,
+    and component-order paths with real streams.
+    """
+    gray, h, w, planes, quants, comp_spec, scan_spec, samp = _prepare_frame(
+        pixels, subsample_420, subsample_422
+    )
+    out, segment = _emit_jpeg_headers(
+        0xC0, gray, h, w, comp_spec, restart_interval
+    )
+    order = list(scan_order) if scan_order is not None else list(
+        range(len(scan_spec))
+    )
+    if sorted(order) != list(range(len(scan_spec))):
+        raise ValueError(f"scan_order must permute 0..{len(scan_spec) - 1}")
     sos = bytes([len(scan_spec)])
-    for cid, tt in scan_spec:
+    for ci in order:
+        cid, tt = scan_spec[ci]
         sos += bytes([cid, tt])
     sos += bytes([0, 63, 0])
     segment(0xDA, sos)
@@ -653,7 +985,8 @@ def encode_jpeg_baseline(
                 rst_idx += 1
                 preds = [[0] for _ in planes]
             mcu_count += 1
-            for ci, p in enumerate(padded):
+            for ci in order:  # entropy data follows the SOS scan order
+                p = padded[ci]
                 ch, cv = samp[ci]
                 for by in range(cv):
                     for bx in range(ch):
@@ -668,5 +1001,278 @@ def encode_jpeg_baseline(
                         _encode_block(writer, zz, dc, ac, preds[ci])
     writer.flush()
     out.extend(writer.out)
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
+
+
+# --- progressive encoder twin -----------------------------------------------
+
+# The Annex K sequential AC tables define no EOBn symbols (r<<4, r=1..14
+# — progressive-only codes), so the progressive twin ships its own AC
+# table, as real progressive encoders do: a flat canonical table with
+# all 256 symbols (128 at 8 bits, 128 at 9; the all-ones code stays
+# unused as T.81 C.2 requires). Deliberately simple over compact — the
+# fixture optimizes decoder coverage, not stream size.
+PROG_AC_SPEC = (
+    [0, 0, 0, 0, 0, 0, 0, 128, 128, 0, 0, 0, 0, 0, 0, 0],
+    list(range(256)),
+)
+
+
+class _ScanWriter(_BitWriter):
+    """_BitWriter plus RSTn emission and an AC EOB-run accumulator."""
+
+    def __init__(self, ac_codes=None) -> None:
+        super().__init__()
+        self.ac_codes = ac_codes
+        self.rst_idx = 0
+        self.eobrun = 0
+        self.corr_bits: list[int] = []  # buffered inside the EOB run
+
+    def restart(self) -> None:
+        self.flush()
+        self.out.extend(b"\xff" + bytes([0xD0 + (self.rst_idx % 8)]))
+        self.rst_idx += 1
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            code, length = self.ac_codes[r << 4]
+            self.write(code, length)
+            if r:
+                self.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for bit in self.corr_bits:
+            self.write(bit, 1)
+        self.corr_bits = []
+
+
+def _quantized_store(planes, quants, samp, mcux, mcuy):
+    """Zig-zag quantized coefficient arrays (by, bx, 64) per component
+    on the MCU-padded grid — the single coefficient source every
+    progressive scan reads from."""
+    stores = []
+    for ci, p in enumerate(planes):
+        ch, cv = samp[ci]
+        th, tw = mcuy * cv * 8, mcux * ch * 8
+        pad = np.pad(
+            p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"
+        )
+        by, bx = th // 8, tw // 8
+        blocks = (
+            pad.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3) - 128.0
+        )
+        coeffs = np.einsum("ij,abjk,kl->abil", _A, blocks, _A.T)
+        zz = np.round(coeffs / quants[ci]).astype(np.int64).reshape(
+            by, bx, 64
+        )[:, :, ZIGZAG]
+        stores.append(zz)
+    return stores
+
+
+def _emit_dc_scan(writer, stores, samp, comp_idx, mcux, mcuy, ah, al,
+                  dc_codes, restart_interval) -> None:
+    """Interleaved DC scan: first pass (Ah=0) Huffman-codes the
+    point-transformed DC diffs; refinement passes emit one raw bit."""
+    preds = {ci: 0 for ci in comp_idx}
+    unit = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and unit and unit % restart_interval == 0:
+                writer.restart()
+                preds = {ci: 0 for ci in comp_idx}
+            unit += 1
+            for ci in comp_idx:
+                ch, cv = samp[ci]
+                for vy in range(cv):
+                    for vx in range(ch):
+                        c0 = int(stores[ci][my * cv + vy, mx * ch + vx, 0])
+                        if ah == 0:
+                            v = c0 >> al  # arithmetic shift (G.1.2.1)
+                            diff = v - preds[ci]
+                            preds[ci] = v
+                            s = _ssss(diff)
+                            code, length = dc_codes[ci][s]
+                            writer.write(code, length)
+                            if s:
+                                writer.write(_amplitude(diff, s), s)
+                        else:
+                            writer.write((c0 >> al) & 1, 1)
+
+
+def _emit_ac_first_scan(writer, store, bh, bw, ss, se, al,
+                        restart_interval) -> None:
+    unit = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and unit and unit % restart_interval == 0:
+                writer.flush_eobrun()
+                writer.restart()
+            unit += 1
+            block = store[by, bx]
+            r = 0
+            for k in range(ss, se + 1):
+                c = int(block[k])
+                v = (abs(c) >> al) * (1 if c >= 0 else -1)  # toward zero
+                if v == 0:
+                    r += 1
+                    continue
+                writer.flush_eobrun()
+                while r > 15:
+                    code, length = writer.ac_codes[0xF0]  # ZRL
+                    writer.write(code, length)
+                    r -= 16
+                s = _ssss(v)
+                code, length = writer.ac_codes[(r << 4) | s]
+                writer.write(code, length)
+                writer.write(_amplitude(v, s), s)
+                r = 0
+            if r > 0:
+                writer.eobrun += 1
+                if writer.eobrun == 0x7FFF:
+                    writer.flush_eobrun()
+
+
+def _emit_ac_refine_scan(writer, store, bh, bw, ss, se, al,
+                         restart_interval) -> None:
+    """T.81 G.1.2.3 AC refinement (the jpegtran/libjpeg shape): newly
+    significant coefficients as (run, 1) + sign, correction bits for
+    passed-over significant coefficients buffered and flushed with the
+    next symbol or EOB run."""
+    unit = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and unit and unit % restart_interval == 0:
+                writer.flush_eobrun()
+                writer.restart()
+            unit += 1
+            block = store[by, bx]
+            absv = [abs(int(block[k])) >> al for k in range(ss, se + 1)]
+            eob_k = ss - 1  # band index of the last NEWLY significant
+            for i, t in enumerate(absv):
+                if t == 1:
+                    eob_k = ss + i
+            r = 0
+            br: list[int] = []
+            for k in range(ss, se + 1):
+                t = absv[k - ss]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob_k:
+                    writer.flush_eobrun()
+                    code, length = writer.ac_codes[0xF0]
+                    writer.write(code, length)
+                    r -= 16
+                    for bit in br:
+                        writer.write(bit, 1)
+                    br = []
+                if t > 1:  # already significant: buffer the next bit
+                    br.append(t & 1)
+                    continue
+                writer.flush_eobrun()
+                code, length = writer.ac_codes[(r << 4) | 1]
+                writer.write(code, length)
+                writer.write(1 if int(block[k]) >= 0 else 0, 1)
+                for bit in br:
+                    writer.write(bit, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                writer.eobrun += 1
+                writer.corr_bits.extend(br)
+                if writer.eobrun == 0x7FFF:
+                    writer.flush_eobrun()
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray,
+    *,
+    subsample_420: bool = False,
+    subsample_422: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Progressive (SOF2) twin of :func:`encode_jpeg_baseline`.
+
+    Emits the classic successive-approximation scan script — DC first
+    pass at Al=1, DC refinement, then per component an AC 1..63 first
+    pass at Al=1 and its refinement — so a decoder must exercise every
+    progressive mechanism (spectral selection, DC/AC successive
+    approximation, EOB runs, embedded correction bits). The quantized
+    coefficients are IDENTICAL to the baseline encoder's for the same
+    input, so ``decode_jpeg(progressive) == decode_jpeg(baseline)``
+    pixel-exactly — the roundtrip test asserts that equivalence.
+    """
+    gray, h, w, planes, quants, comp_spec, scan_spec, samp = _prepare_frame(
+        pixels, subsample_420, subsample_422
+    )
+    out, segment = _emit_jpeg_headers(
+        0xC2, gray, h, w, comp_spec, restart_interval
+    )
+    # redefine the AC tables with the EOBn-capable progressive spec
+    # (a later DHT overrides an earlier id — T.81 B.2.4.2)
+    for tcid in ([0x10] if gray else [0x10, 0x11]):
+        segment(
+            0xC4,
+            bytes([tcid]) + bytes(PROG_AC_SPEC[0]) + bytes(PROG_AC_SPEC[1]),
+        )
+    max_h = max(s[0] for s in samp)
+    max_v = max(s[1] for s in samp)
+    mcux = -(-w // (8 * max_h))
+    mcuy = -(-h // (8 * max_v))
+    stores = _quantized_store(planes, quants, samp, mcux, mcuy)
+    dc_codes = [
+        _encode_codes(*(DC_LUMA_SPEC if ci == 0 else DC_CHROMA_SPEC))
+        for ci in range(len(planes))
+    ]
+    ac_codes = [_encode_codes(*PROG_AC_SPEC) for _ci in range(len(planes))]
+    comp_idx = list(range(len(planes)))
+
+    def emit_scan(scomps, ss, se, ah, al, body) -> None:
+        sos = bytes([len(scomps)])
+        for ci in scomps:
+            cid, tt = scan_spec[ci]
+            sos += bytes([cid, tt])
+        sos += bytes([ss, se, (ah << 4) | al])
+        segment(0xDA, sos)
+        writer = _ScanWriter(ac_codes[scomps[0]])
+        body(writer)
+        writer.flush_eobrun()
+        writer.flush()
+        out.extend(writer.out)
+
+    # 1-2: DC first pass + refinement (interleaved over all components)
+    emit_scan(
+        comp_idx, 0, 0, 0, 1,
+        lambda wr: _emit_dc_scan(wr, stores, samp, comp_idx, mcux, mcuy,
+                                 0, 1, dc_codes, restart_interval),
+    )
+    emit_scan(
+        comp_idx, 0, 0, 1, 0,
+        lambda wr: _emit_dc_scan(wr, stores, samp, comp_idx, mcux, mcuy,
+                                 1, 0, dc_codes, restart_interval),
+    )
+    # 3-4: per component, AC 1..63 first pass then refinement over the
+    # component's NON-interleaved block grid (T.81 A.1.1 dims)
+    for ci in comp_idx:
+        ch, cv = samp[ci]
+        bw = -(-(-(-w * ch // max_h)) // 8)
+        bh = -(-(-(-h * cv // max_v)) // 8)
+        emit_scan(
+            [ci], 1, 63, 0, 1,
+            lambda wr, ci=ci, bh=bh, bw=bw: _emit_ac_first_scan(
+                wr, stores[ci], bh, bw, 1, 63, 1, restart_interval
+            ),
+        )
+    for ci in comp_idx:
+        ch, cv = samp[ci]
+        bw = -(-(-(-w * ch // max_h)) // 8)
+        bh = -(-(-(-h * cv // max_v)) // 8)
+        emit_scan(
+            [ci], 1, 63, 1, 0,
+            lambda wr, ci=ci, bh=bh, bw=bw: _emit_ac_refine_scan(
+                wr, stores[ci], bh, bw, 1, 63, 0, restart_interval
+            ),
+        )
     out.extend(b"\xff\xd9")  # EOI
     return bytes(out)

@@ -7,12 +7,16 @@ row-at-a-time, batches stream through the worker (no whole-partition
 materialization), and the output schema is a fixed contract so
 downstream plans stay columnar.
 
-Decode is REAL for formats the standard library can handle —
-PNG (zlib inflate + unfilter) and PCM WAV (RIFF), via
-functions/codecs.py — dispatched on magic bytes. Formats needing an
-external codec (JPEG/MP3/MP4) go through a Pillow import guard and
-raise ``NotImplementedError`` when it is absent. Payloads with no
-recognizable magic (the driver's synthetic testdata) fall back to the
+Decode is REAL for formats numpy + the standard library can handle —
+PNG incl. indexed-color (zlib inflate + unfilter), GIF (LZW +
+interlace), PCM WAV (RIFF) via functions/codecs.py, and baseline
+JPEG (Huffman + IDCT) via functions/jpeg.py — dispatched on magic
+bytes. MP4 and MP3 parse REAL container metadata (duration,
+dimensions, sample rate) via functions/containers.py; their sample
+decode, and arithmetic/12-bit JPEG, go through a Pillow import
+guard and raise ``NotImplementedError`` when it is absent. Payloads
+with no recognizable magic (the driver's synthetic testdata) fall
+back to the
 DETERMINISTIC FAKE decode — md5-derived pseudo-dimensions — which
 keeps every bit of the Spark-side plumbing (schema, batching,
 partitioning, UDF signature) oracle-checkable: the differential gate
@@ -44,9 +48,9 @@ FEATURE_SCHEMA = (
 
 
 def decode_media(payload: bytes, media_type: str) -> dict:
-    """Real decode: PNG, PCM WAV, and baseline JPEG natively
-    (functions/codecs.py, functions/jpeg.py); progressive JPEG via
-    Pillow when installed.
+    """Real decode: PNG, GIF, PCM WAV, and baseline + progressive JPEG
+    natively (functions/codecs.py, functions/jpeg.py); arithmetic/
+    12-bit JPEG via Pillow when installed.
 
     Raises ``NotImplementedError`` for formats with no available codec
     (e.g. video containers without libav) rather than silently faking;
@@ -107,7 +111,7 @@ def _real_features(payload: bytes, media_type: str) -> dict | None:
     try:
         decoded = decode_media(payload, media_type)
     except NotImplementedError:
-        # Recognized format, no codec available (e.g. progressive
+        # Recognized format, no codec available (e.g. arithmetic
         # JPEG without Pillow): identity features with NULL dimensions
         # — never a fake decode of a real payload. Downstream
         # quarantines on NULL dims.

@@ -256,6 +256,34 @@ def test_jpeg_rgb_roundtrip_all_subsamplings(mode):
     assert err.max() <= (12 if mode == "444" else 20), (mode, err.max())
 
 
+def test_jpeg_sos_order_differs_from_sof_order():
+    """ISO 10918-1 §B.2.3: the entropy stream interleaves components in
+    SOS scan-list order, which may differ from SOF frame order. A
+    decoder that walks frame order assigns Cb/Cr data to the wrong
+    planes — colors swap. The strongly-colored fixture makes that
+    failure visible (error would be ~hundreds, not <=12)."""
+    from calaveras_uniteus_etl_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    r = np.tile(np.linspace(0, 255, 40), (32, 1))
+    g = np.tile(np.linspace(0, 255, 32)[:, None], (1, 40))
+    b = np.full((32, 40), 90.0)
+    img = np.stack([r, g, b], axis=2).astype(np.uint8)
+    for order in ((2, 0, 1), (1, 2, 0), (2, 1, 0)):
+        out = decode_jpeg(encode_jpeg_baseline(img, scan_order=order))
+        err = np.abs(out["pixels"].astype(int) - img.astype(int))
+        assert err.max() <= 12, (order, err.max())
+    # subsampled variant too: the scan-order walk must compose with
+    # per-component block grids
+    out = decode_jpeg(
+        encode_jpeg_baseline(img, subsample_420=True, scan_order=(2, 0, 1))
+    )
+    err = np.abs(out["pixels"].astype(int) - img.astype(int))
+    assert err.max() <= 20, err.max()
+
+
 def test_jpeg_restart_markers_roundtrip():
     from calaveras_uniteus_etl_spark.functions.jpeg import (
         decode_jpeg,
@@ -285,11 +313,72 @@ def test_jpeg_corrupt_and_unsupported_streams():
     good = bytearray(encode_jpeg_baseline(np.full((8, 8), 99, np.uint8)))
     with pytest.raises(ValueError):  # truncated entropy stream
         decode_jpeg(bytes(good[: len(good) // 2]))
-    # progressive SOF2 must raise NotImplementedError (Pillow fallback)
+    # a baseline stream relabeled SOF2 is a MALFORMED progressive
+    # stream (its single scan claims the full 0..63 band, illegal for
+    # a progressive DC scan) -> typed ValueError, quarantined
     sof0 = bytes(good).find(b"\xff\xc0")
     prog = bytes(good[:sof0]) + b"\xff\xc2" + bytes(good[sof0 + 2 :])
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_jpeg(prog)
+    # genuinely unsupported SOF variants still raise NotImplementedError
+    loss = bytes(good[:sof0]) + b"\xff\xc3" + bytes(good[sof0 + 2 :])
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(loss)
+
+
+def test_jpeg_progressive_decodes_pixel_exact_to_baseline():
+    """SOF2 and SOF0 carry the SAME quantized coefficients for the
+    same input, so the two decodes must agree pixel-for-pixel — across
+    color/gray, every subsampling, flat + noise content (EOB runs,
+    ZRL, deep refinement), odd dims, and restart markers."""
+    from calaveras_uniteus_etl_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    rng = _rng(11)
+    noise = rng.integers(0, 256, size=(33, 41, 3), dtype=np.uint8)
+    half = np.full((64, 64, 3), 200, np.uint8)
+    half[32:] = rng.integers(0, 256, size=(32, 64, 3), dtype=np.uint8)
+    gray = np.outer(np.linspace(0, 255, 17), np.ones(23)).astype(np.uint8)
+    cases = [
+        (noise, {}),
+        (noise, {"subsample_420": True}),
+        (noise, {"subsample_422": True}),
+        (half, {}),                      # long EOB runs then dense AC
+        (np.full((128, 96, 3), 77, np.uint8), {}),  # all-EOB scans
+        (gray, {}),
+        (rng.integers(0, 256, size=(3, 5, 3), dtype=np.uint8), {}),
+        (np.array([[[10, 200, 30]]], dtype=np.uint8), {}),
+        (noise, {"restart_interval": 3}),
+        (noise, {"subsample_420": True, "restart_interval": 2}),
+    ]
+    for img, kw in cases:
+        base = decode_jpeg(encode_jpeg_baseline(img, **kw))
+        prog = decode_jpeg(encode_jpeg_progressive(img, **kw))
+        assert np.array_equal(base["pixels"], prog["pixels"]), kw
+        assert (prog["width"], prog["height"]) == (
+            img.shape[1], img.shape[0],
+        )
+
+
+def test_jpeg_progressive_flows_through_extract_features(spark):
+    """A progressive payload comes back with REAL dimensions through
+    the mapInPandas extractor — no Pillow, no stub."""
+    from calaveras_uniteus_etl_spark.functions.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    img = _rng(13).integers(0, 256, size=(19, 27, 3), dtype=np.uint8)
+    payload = encode_jpeg_progressive(img)
+    assert codecs.sniff_media(payload) == "jpeg"
+    df = spark.createDataFrame(
+        [(1, bytearray(payload), "image")],
+        "doc_id long, payload binary, media_type string",
+    )
+    row = extract_features(df).collect()[0]
+    assert (row.width, row.height) == (27, 19)
 
 
 def test_jpeg_flows_through_extract_features(spark):
@@ -371,17 +460,21 @@ def _make_mp4(
 
 
 def _make_mp3(n_bytes: int = 32000, with_id3: bool = True) -> bytes:
-    """CBR MPEG1 Layer III 128 kbps 44.1 kHz frame header + padding."""
-    import struct
-
+    """CBR MPEG1 Layer III 128 kbps 44.1 kHz stream: a sync header at
+    every 417-byte frame boundary (as a real CBR encoder emits), last
+    frame truncated to hit n_bytes exactly."""
     id3 = b""
     if with_id3:
         tag_body = b"\x00" * 100
         id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 100 >> 7, 100 & 0x7F]) + tag_body
     # sync=FFF, MPEG1 (11), Layer III (01), no CRC (1) -> 0xFF 0xFB
     # bitrate idx 9 (128 kbps), samplerate idx 0 (44100), no padding
+    # frame length = 144 * 128000 // 44100 = 417 bytes
     header = bytes([0xFF, 0xFB, 0x90, 0x00])
-    return id3 + header + b"\x00" * (n_bytes - len(id3) - 4)
+    frame = header + b"\x00" * (417 - len(header))
+    audio_len = n_bytes - len(id3)
+    n_frames = -(-audio_len // len(frame))  # ceil
+    return id3 + (frame * n_frames)[:audio_len]
 
 
 def test_mp4_metadata_parses_natively():
@@ -411,6 +504,49 @@ def test_mp3_metadata_parses_natively():
     bare = _make_mp3(n_bytes=160000, with_id3=False)  # 10 s, no ID3
     assert codecs.sniff_media(bare) == "mp3"
     assert parse_mp3_meta(bare)["duration_s"] == 10
+
+
+def test_mp3_sniff_rejects_sync_lookalikes():
+    """A payload that merely starts with 0xFF 0xEx sync bits must NOT
+    classify as mp3 (it would be misrouted off the deterministic
+    fake-decode path): the sniff demands non-reserved bitrate and
+    samplerate indices AND a second valid header at the computed frame
+    boundary when the payload extends past one frame."""
+    from calaveras_uniteus_etl_spark.functions.containers import sniff_mp3
+
+    # valid sync + version/layer but reserved bitrate index (0xF_)
+    assert not sniff_mp3(bytes([0xFF, 0xFB, 0xF0, 0x00]) + b"\x00" * 4096)
+    # free-format bitrate index 0 — rejected (length not computable)
+    assert not sniff_mp3(bytes([0xFF, 0xFB, 0x00, 0x00]) + b"\x00" * 4096)
+    # reserved samplerate index (..11..)
+    assert not sniff_mp3(bytes([0xFF, 0xFB, 0x9C, 0x00]) + b"\x00" * 4096)
+    # fully valid first header but garbage where frame 2's sync should
+    # be (417-byte MPEG1 L3 frame at 128 kbps / 44.1 kHz)
+    assert not sniff_mp3(bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 4096)
+    # genuine multi-frame stream still sniffs
+    assert sniff_mp3(_make_mp3(n_bytes=4096, with_id3=False))
+    # single truncated frame accepted on the first header alone
+    assert sniff_mp3(bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 100)
+
+
+def test_mp3_layer2_frame_header_parses():
+    """Layer II CBR: bitrate table and 144-factor frame length differ
+    from Layer III; the parser reports real duration/sample rate."""
+    from calaveras_uniteus_etl_spark.functions.containers import (
+        parse_mp3_meta,
+        sniff_mp3,
+    )
+
+    # sync=FFF, MPEG1 (11), Layer II (10), no CRC (1) -> 0xFF 0xFD
+    # bitrate idx 12 (256 kbps), samplerate idx 1 (48000), no padding
+    # frame length = 144 * 256000 // 48000 = 768 bytes
+    header = bytes([0xFF, 0xFD, 0xC4, 0x00])
+    frame = header + b"\x00" * (768 - len(header))
+    payload = frame * 42  # 32256 bytes ~= 1.008 s at 256 kbps
+    assert sniff_mp3(payload)
+    meta = parse_mp3_meta(payload)
+    assert meta["sample_rate"] == 48000
+    assert meta["duration_s"] == 1
 
 
 def test_container_metadata_flows_through_extract_features(spark):
@@ -495,6 +631,7 @@ def test_quarantine_contract_fuzz():
 
     from calaveras_uniteus_etl_spark.functions.jpeg import (
         encode_jpeg_baseline,
+        encode_jpeg_progressive,
     )
     from calaveras_uniteus_etl_spark.operators import multimodal as mm
 
@@ -505,6 +642,10 @@ def test_quarantine_contract_fuzz():
         "wav": codecs.encode_wav(samples, 16000),
         "jpeg": encode_jpeg_baseline(img),
         "jpeg420rst": encode_jpeg_baseline(
+            img, subsample_420=True, restart_interval=2
+        ),
+        "jpegprog": encode_jpeg_progressive(img),
+        "jpegprogrst": encode_jpeg_progressive(
             img, subsample_420=True, restart_interval=2
         ),
         "mp4": _make_mp4(),

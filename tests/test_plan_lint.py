@@ -48,34 +48,208 @@ CARTESIAN_ALLOW = {
 
 # Queries whose single-partition window is over a GRAIN-bounded
 # relation — cardinality set by a domain (days, months, categories,
-# a quantized value range), not by the data volume.
+# a quantized value range), not by the data volume. Each entry is
+# (reason, bound, probe): the probe computes the actual window-key
+# cardinality from the source tables at lint SF and
+# test_global_window_allow_bounds asserts it <= bound — so every
+# boundedness argument is pinned by a measured number, not prose.
+# Probe keys (resolved in _GRAIN_PROBES): the grain the query windows.
 GLOBAL_WINDOW_ALLOW = {
-    "r8_share_mix": "share-category grain (report dimension, ~10 rows)",
-    "f39_kaplan_meier": "distinct-tenure-day grain, bounded by the date range",
-    "f56_nelson_aalen": "distinct-tenure-day grain, bounded by the date range",
-    "h27_cumulative_crossover": "calendar-day grain",
-    "f44_downsample_ltob": "calendar-day grain",
-    "f45_mann_whitney": "distinct 2-decimal event-value grain (fixed domain)",
-    "f51_changepoint": "calendar-day grain",
-    "f52_seasonal_strength": "calendar-day grain",
-    "f54_runs_test": "calendar-day grain",
-    "g20_peak_census": "calendar-day grain",
-    "f19_rolling_daily": "calendar-day grain",
-    "g3_user_growth": "calendar-day grain",
-    "g12_rolling_correlation": "calendar-day grain",
-    "f28_yoy_revenue": "calendar-month grain",
-    "f63_revenue_var_cvar": "per-day revenue grain (<= #days rows)",
-    "x35_lsh_threshold_sweep": "signature-match-count grain (0..K=12)",
-    "x80_heaps_law_curve": "corpus-decile grain (10 rows)",
-    "x82_ks_test": "distinct doc-length grain (bounded by max doc length)",
-    "m12_t_closeness": "nation grain (25 values): global sensitive CDF",
-    "x120_histogram_quantiles": "fixed 256-bin histogram grain",
-    "x121_waterfill_budget": "source grain (~dozens of sources)",
-    "f67_kruskal_wallis": "quantity value grain (integers 1..50)",
-    "f70_gini_split": "fixed 256-bin cents grain (candidate thresholds)",
-    "g28_max_drawdown": "calendar-day grain",
-    "g29_anomaly_days": "calendar-day grain",
+    "r8_share_mix": (
+        "share-category grain (method x language report dimension)",
+        30, "share_categories",
+    ),
+    "f39_kaplan_meier": (
+        "distinct-tenure-day grain, bounded by the date range",
+        3000, "tenure_days",
+    ),
+    "f56_nelson_aalen": (
+        "distinct-tenure-day grain, bounded by the date range",
+        3000, "tenure_days",
+    ),
+    "h27_cumulative_crossover": ("calendar-day grain", 3000, "order_days"),
+    "f44_downsample_ltob": ("calendar-day grain", 3000, "order_days"),
+    "f45_mann_whitney": (
+        "2dp-quantized event-value grain (<= 100*max_value+1 rows; "
+        "~18k observed at sf0.1 vs ~6M raw events)",
+        60_000, "event_values",
+    ),
+    "f51_changepoint": ("calendar-day grain", 3000, "order_days"),
+    "f52_seasonal_strength": ("calendar-day grain", 3000, "order_days"),
+    "f54_runs_test": ("calendar-day grain", 3000, "order_days"),
+    "g20_peak_census": ("calendar-day grain", 3000, "order_days"),
+    "f19_rolling_daily": ("calendar-day grain", 3000, "event_days"),
+    "g3_user_growth": ("calendar-day grain", 3000, "event_days"),
+    "g12_rolling_correlation": ("calendar-day grain", 3000, "event_days"),
+    "f28_yoy_revenue": ("calendar-month grain", 120, "order_months"),
+    "f63_revenue_var_cvar": (
+        "per-day revenue grain (<= #days rows)", 3000, "order_days",
+    ),
+    "x35_lsh_threshold_sweep": (
+        "signature-match-count grain (6..K=12)", 7, "lsh_match_counts",
+    ),
+    "x80_heaps_law_curve": ("corpus-decile grain", 10, "doc_deciles"),
+    "x82_ks_test": (
+        "distinct doc-length grain (bounded by max doc length)",
+        4096, "doc_lengths",
+    ),
+    "m12_t_closeness": (
+        "nation grain: global sensitive CDF", 25, "nations",
+    ),
+    "x120_histogram_quantiles": (
+        "fixed 256-bin histogram grain", 256, "x120_bins",
+    ),
+    "x121_waterfill_budget": (
+        "source grain (~dozens of sources)", 64, "doc_sources",
+    ),
+    "f67_kruskal_wallis": (
+        "quantity value grain (integers 1..50)", 50, "quantities",
+    ),
+    "f70_gini_split": (
+        "fixed 256-bin cents grain (candidate thresholds)",
+        256, "f70_bins",
+    ),
+    "g28_max_drawdown": ("calendar-day grain", 3000, "order_days"),
+    "g29_anomaly_days": ("calendar-day grain", 3000, "order_days"),
 }
+
+# Grain probes: each computes the window-key cardinality a
+# GLOBAL_WINDOW_ALLOW entry claims is bounded, from the source tables
+# at lint SF. Import-light lambdas; heavier probes import inside.
+def _pq(spark, name):
+    return spark.read.parquet(f"{SF}/{name}.parquet")
+
+
+def _share_categories(spark):
+    from pyspark.sql import functions as F
+
+    return (
+        _pq(spark, "events")
+        .select(
+            "event_type",
+            (F.get_json_object("props", "$.k").cast("long") % 3).alias("l"),
+        )
+        .distinct()
+        .count()
+    )
+
+
+def _tenure_days(spark):
+    from pyspark.sql import functions as F
+
+    return (
+        _pq(spark, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("t")
+        )
+        .select("t")
+        .distinct()
+        .count()
+    )
+
+
+def _distinct(tbl, expr_sql):
+    def probe(spark):
+        return (
+            _pq(spark, tbl)
+            .selectExpr(f"{expr_sql} AS k")
+            .distinct()
+            .count()
+        )
+
+    return probe
+
+
+def _lsh_match_counts(spark):
+    from pyspark.sql import functions as F
+
+    from calaveras_uniteus_etl_spark.plans.queries_dedup import (
+        _lsh_pair_matches,
+    )
+
+    return (
+        _lsh_pair_matches(spark, SF)
+        .filter(F.col("nm") >= 6)
+        .select("nm")
+        .distinct()
+        .count()
+    )
+
+
+def _doc_deciles(spark):
+    from pyspark.sql import functions as F
+
+    d = _pq(spark, "documents")
+    n = d.count()
+    return (
+        d.select(
+            F.least(F.lit(9), (F.col("doc_id") * 10 / n).cast("int")).alias(
+                "k"
+            )
+        )
+        .distinct()
+        .count()
+    )
+
+
+def _x120_bins(spark):
+    from calaveras_uniteus_etl_spark.plans.queries_aggregates import (
+        _X120_BINS,
+        _X120_W,
+    )
+
+    return _distinct(
+        "orders",
+        f"least(cast(round(o_totalprice * 100) as bigint) div {_X120_W}, "
+        f"{_X120_BINS - 1})",
+    )(spark)
+
+
+def _f70_bins(spark):
+    from calaveras_uniteus_etl_spark.plans.queries_aggregates import (
+        _F70_BINS,
+        _F70_W,
+    )
+
+    return _distinct(
+        "orders",
+        f"least(cast(round(o_totalprice * 100) as bigint) div {_F70_W}, "
+        f"{_F70_BINS - 1})",
+    )(spark)
+
+
+_GRAIN_PROBES = {
+    "share_categories": _share_categories,
+    "tenure_days": _tenure_days,
+    "order_days": _distinct("orders", "o_orderdate"),
+    "order_months": _distinct("orders", "date_format(o_orderdate, 'yyyy-MM')"),
+    "event_days": _distinct("events", "to_date(ts)"),
+    "event_values": _distinct("events", "value"),
+    "lsh_match_counts": _lsh_match_counts,
+    "doc_deciles": _doc_deciles,
+    "doc_lengths": _distinct("documents", "n_chars"),
+    "nations": _distinct("customer", "c_nationkey"),
+    "x120_bins": _x120_bins,
+    "doc_sources": _distinct("documents", "source"),
+    "quantities": _distinct("lineitem", "cast(l_quantity as bigint)"),
+    "f70_bins": _f70_bins,
+}
+
+
+def test_global_window_allow_bounds(spark):
+    """Every GLOBAL_WINDOW_ALLOW boundedness argument is pinned by a
+    measured number: the claimed window-key grain, computed from the
+    source tables at lint SF, must not exceed the entry's bound. A
+    value-domain drift (doc lengths ballooning, a new quantity range)
+    fails here instead of silently invalidating the scale story."""
+    failures = {}
+    for name, (reason, bound, probe_key) in GLOBAL_WINDOW_ALLOW.items():
+        got = _GRAIN_PROBES[probe_key](spark)
+        if got > bound:
+            failures[name] = f"{probe_key}={got} > bound {bound} ({reason})"
+    assert not failures, f"allowlisted grain exceeds its bound: {failures}"
+
 
 _WINDOW_RE = re.compile(r"\bWindow \[")
 _PREFIX_MARKERS = ("__prefix_", "__pf_")
