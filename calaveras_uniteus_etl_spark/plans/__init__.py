@@ -290,7 +290,13 @@ def _driver_green_names(root=None) -> set[str]:
     rows_only = set(_ROWS_ONLY_LAST)
     green: set[str] = set()
     parsed = 0
-    for path in sorted(Path(root).glob("CORRECTNESS_r*.json")):
+    # live receipts at the root + superseded rounds relocated to
+    # evidence/archive/ (the hygiene move must not turn archived green
+    # rows back into rotation debt)
+    paths = sorted(Path(root).glob("CORRECTNESS_r*.json")) + sorted(
+        Path(root).glob("evidence/archive/CORRECTNESS_r*.json")
+    )
+    for path in paths:
         try:
             rows = json.loads(path.read_text())
         except (OSError, ValueError):

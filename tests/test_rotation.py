@@ -101,6 +101,24 @@ def test_green_extraction_semantics(tmp_path):
     }
 
 
+def test_archived_evidence_still_counts(tmp_path):
+    """Superseded receipts live in evidence/archive/ (round-9 hygiene
+    move); their green rows must keep counting, or archiving a round
+    would silently turn its witnessed queries back into rotation
+    debt."""
+    good = {"rows_match": True, "schema_match": True,
+            "hash_match": True, "err": None}
+    (tmp_path / "CORRECTNESS_r50.json").write_text(
+        json.dumps({"live_q": good})
+    )
+    arch = tmp_path / "evidence" / "archive"
+    arch.mkdir(parents=True)
+    (arch / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"archived_q": good})
+    )
+    assert _driver_green_names(root=tmp_path) == {"live_q", "archived_q"}
+
+
 def test_unreadable_evidence_file_does_not_crash(tmp_path):
     (tmp_path / "CORRECTNESS_r01.json").write_text("{not json")
     (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps(["a", "list"]))
