@@ -2,7 +2,7 @@
 
 The container ships no PIL/libav/librosa, but four formats need no
 external codec at all: PNG (zlib inflate + per-scanline unfilter,
-incl. indexed-color PLTE/tRNS), WAV (RIFF header + PCM frames via the
+incl. indexed-color PLTE/tRNS and Adam7 interlacing), WAV (RIFF header + PCM frames via the
 stdlib ``wave`` module), baseline JPEG (Huffman + IDCT in
 :mod:`functions.jpeg`), and GIF (LZW, interlace, frame census). These
 decoders are complete, honest implementations for those formats —
@@ -122,18 +122,50 @@ def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass
+# (PNG spec / ISO 15948 §8.2); each pass is an independently filtered
+# reduced image, all concatenated in one zlib stream.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _deinterlace_adam7(
+    raw: bytes, width: int, height: int, channels: int
+) -> np.ndarray:
+    """Unfilter the seven Adam7 sub-images and scatter them onto the
+    full raster (empty passes — too-small dims — carry no bytes)."""
+    out = np.zeros((height, width, channels), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = max(0, -(-(width - x0) // dx))
+        ph = max(0, -(-(height - y0) // dy))
+        if pw == 0 or ph == 0:
+            continue
+        stride = pw * channels
+        need = ph * (1 + stride)
+        sub = _unfilter(raw[pos : pos + need], ph, stride, channels)
+        pos += need
+        out[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+    if pos != len(raw):
+        raise ValueError("PNG pixel data length mismatch")
+    return out
+
+
 def decode_png(payload: bytes) -> dict:
-    """Decode an 8-bit non-interlaced PNG: grey/grey+A/RGB/RGBA plus
-    indexed-color (PLTE, optional tRNS alpha).
+    """Decode an 8-bit PNG: grey/grey+A/RGB/RGBA plus indexed-color
+    (PLTE, optional tRNS alpha), non-interlaced or Adam7-interlaced.
 
     Returns width/height/channels and the pixel array
     (height x width x channels, uint8). Raises on formats outside that
-    envelope (16-bit, interlaced) — honesty over silent junk.
+    envelope (16-bit) — honesty over silent junk.
     """
     if not payload.startswith(PNG_MAGIC):
         raise ValueError("not a PNG payload")
     width = height = None
     color_type = None
+    interlaced = False
     idat = bytearray()
     plte = None
     trns = None
@@ -148,8 +180,9 @@ def decode_png(payload: bytes) -> dict:
                 raise NotImplementedError(
                     f"PNG color type {color_type} not supported"
                 )
-            if interlace != 0:
-                raise NotImplementedError("interlaced PNG not supported")
+            if interlace not in (0, 1):
+                raise ValueError(f"bad PNG interlace method {interlace}")
+            interlaced = interlace == 1
         elif ctype == b"PLTE":
             if len(data) % 3 or not data:
                 raise ValueError("bad PLTE chunk length")
@@ -171,11 +204,14 @@ def decode_png(payload: bytes) -> dict:
         raise ValueError(f"implausible PNG dimensions {width}x{height}")
     stride = width * channels
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != (stride + 1) * height:
-        raise ValueError("PNG pixel data length mismatch")
-    pixels = _unfilter(raw, height, stride, channels).reshape(
-        height, width, channels
-    )
+    if interlaced:
+        pixels = _deinterlace_adam7(raw, width, height, channels)
+    else:
+        if len(raw) != (stride + 1) * height:
+            raise ValueError("PNG pixel data length mismatch")
+        pixels = _unfilter(raw, height, stride, channels).reshape(
+            height, width, channels
+        )
     if paletted:
         if plte is None:
             raise ValueError("palette PNG missing PLTE chunk")
@@ -199,17 +235,30 @@ def decode_png(payload: bytes) -> dict:
     }
 
 
-def encode_png(pixels: np.ndarray) -> bytes:
+def encode_png(pixels: np.ndarray, *, interlace: bool = False) -> bytes:
     """Minimal PNG writer (filter 0 per scanline) — the test/fixture
-    twin of :func:`decode_png`, also handy for sink-side thumbnails."""
+    twin of :func:`decode_png`, also handy for sink-side thumbnails.
+    ``interlace=True`` emits the Adam7 pass layout so tests can
+    exercise the deinterlacing decode path with real streams."""
     arr = np.ascontiguousarray(pixels, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     height, width, channels = arr.shape
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
-    raw = b"".join(
-        b"\x00" + arr[y].tobytes() for y in range(height)
-    )
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = arr[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            parts.append(
+                b"".join(b"\x00" + sub[y].tobytes() for y in range(sub.shape[0]))
+            )
+        raw = b"".join(parts)
+    else:
+        raw = b"".join(
+            b"\x00" + arr[y].tobytes() for y in range(height)
+        )
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -219,7 +268,9 @@ def encode_png(pixels: np.ndarray) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, color_type, 0, 0, 1 if interlace else 0
+    )
     return (
         PNG_MAGIC
         + chunk(b"IHDR", ihdr)

@@ -705,8 +705,10 @@ def test_jpeg_implausible_dims_quarantine():
 
 
 def _make_palette_png(idx: np.ndarray, palette: np.ndarray,
-                      trns: bytes | None = None) -> bytes:
-    """Hand-built indexed-color PNG (color type 3, filter 0 rows)."""
+                      trns: bytes | None = None,
+                      interlace: bool = False) -> bytes:
+    """Hand-built indexed-color PNG (color type 3, filter 0 rows;
+    optionally Adam7-interlaced)."""
     import struct
     import zlib
 
@@ -718,14 +720,67 @@ def _make_palette_png(idx: np.ndarray, palette: np.ndarray,
             + struct.pack(">I", zlib.crc32(ctype + data))
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
-    raster = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 1 if interlace else 0)
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in codecs._ADAM7:
+            sub = idx[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            parts.append(
+                b"".join(b"\x00" + sub[y].tobytes() for y in range(sub.shape[0]))
+            )
+        raster = b"".join(parts)
+    else:
+        raster = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
     out = codecs.PNG_MAGIC + chunk(b"IHDR", ihdr)
     out += chunk(b"PLTE", palette.tobytes())
     if trns is not None:
         out += chunk(b"tRNS", trns)
     out += chunk(b"IDAT", zlib.compress(raster)) + chunk(b"IEND", b"")
     return out
+
+
+def test_png_adam7_interlaced_decodes_pixel_exact():
+    """Adam7 sub-images scatter back to the identical raster across
+    gray/RGB/RGBA, odd dims, degenerate 1-pixel-wide/-tall shapes
+    (empty passes), and indexed-color with tRNS."""
+    rng = _rng(29)
+    for shape in [(32, 40, 3), (17, 23), (9, 7, 4), (1, 1, 3),
+                  (2, 3, 3), (100, 1, 3), (1, 100)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        plain = codecs.decode_png(codecs.encode_png(img))
+        inter = codecs.decode_png(codecs.encode_png(img, interlace=True))
+        assert np.array_equal(plain["pixels"], inter["pixels"]), shape
+    palette = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [10, 20, 30]], dtype=np.uint8
+    )
+    idx = rng.integers(0, 4, (13, 11), dtype=np.uint8)
+    out = codecs.decode_png(
+        _make_palette_png(idx, palette, trns=bytes([0, 255, 255, 255]),
+                          interlace=True)
+    )
+    assert out["channels"] == 4
+    np.testing.assert_array_equal(out["pixels"][:, :, :3], palette[idx])
+    np.testing.assert_array_equal(
+        out["pixels"][:, :, 3], np.where(idx == 0, 0, 255)
+    )
+    # short pass data is a typed quarantine, not a crash
+    good = bytearray(codecs.encode_png(
+        rng.integers(0, 256, (20, 20, 3), dtype=np.uint8), interlace=True
+    ))
+    with pytest.raises(ValueError):
+        # valid zlib stream that inflates to too few pass bytes
+        import struct
+        import zlib
+
+        short = zlib.compress(b"\x00" * 10)
+        def chunk(ctype, data):
+            return (struct.pack(">I", len(data)) + ctype + data
+                    + struct.pack(">I", zlib.crc32(ctype + data)))
+        ihdr = struct.pack(">IIBBBBB", 20, 20, 8, 2, 0, 0, 1)
+        codecs.decode_png(codecs.PNG_MAGIC + chunk(b"IHDR", ihdr)
+                          + chunk(b"IDAT", short) + chunk(b"IEND", b""))
 
 
 def test_palette_png_decodes_to_rgb_and_rgba():
