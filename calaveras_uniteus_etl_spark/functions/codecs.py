@@ -2,7 +2,8 @@
 
 The container ships no PIL/libav/librosa, but four formats need no
 external codec at all: PNG (zlib inflate + per-scanline unfilter,
-incl. indexed-color PLTE/tRNS and Adam7 interlacing), WAV (RIFF header + PCM frames via the
+incl. indexed-color PLTE/tRNS, Adam7 interlacing, and every legal
+bit depth 1/2/4/8/16), WAV (RIFF header + PCM frames via the
 stdlib ``wave`` module), baseline JPEG (Huffman + IDCT in
 :mod:`functions.jpeg`), and GIF (LZW, interlace, frame census). These
 decoders are complete, honest implementations for those formats —
@@ -34,7 +35,7 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 RIFF_MAGIC = b"RIFF"
 JPEG_MAGIC = b"\xff\xd8\xff"
 
-# PNG color type -> samples per pixel (8-bit depth only)
+# PNG color type -> samples per pixel
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
@@ -131,40 +132,75 @@ _ADAM7 = (
 )
 
 
+def _samples(
+    rows: np.ndarray, width: int, bit_depth: int, spp: int
+) -> np.ndarray:
+    """(height, stride) unfiltered bytes -> (height, width, spp)
+    samples: uint16 for 16-bit, raw d-bit values (unscaled) below 8."""
+    h = rows.shape[0]
+    if bit_depth == 8:
+        return rows[:, : width * spp].reshape(h, width, spp)
+    if bit_depth == 16:
+        arr = rows[:, : width * spp * 2].reshape(h, width, spp, 2)
+        return (arr[..., 0].astype(np.uint16) << 8) | arr[..., 1]
+    # 1/2/4-bit (spp == 1): MSB-first packed samples, row-padded
+    bits = np.unpackbits(rows, axis=1)[:, : width * bit_depth]
+    groups = bits.reshape(h, width, bit_depth)
+    weights = 1 << np.arange(bit_depth - 1, -1, -1, dtype=np.uint8)
+    return (groups * weights).sum(axis=2, dtype=np.uint16).astype(
+        np.uint8
+    )[:, :, None]
+
+
 def _deinterlace_adam7(
-    raw: bytes, width: int, height: int, channels: int
+    raw: bytes, width: int, height: int, bit_depth: int, spp: int
 ) -> np.ndarray:
     """Unfilter the seven Adam7 sub-images and scatter them onto the
     full raster (empty passes — too-small dims — carry no bytes)."""
-    out = np.zeros((height, width, channels), dtype=np.uint8)
+    dtype = np.uint16 if bit_depth == 16 else np.uint8
+    out = np.zeros((height, width, spp), dtype=dtype)
     pos = 0
     for x0, y0, dx, dy in _ADAM7:
         pw = max(0, -(-(width - x0) // dx))
         ph = max(0, -(-(height - y0) // dy))
         if pw == 0 or ph == 0:
             continue
-        stride = pw * channels
+        stride = -(-pw * spp * bit_depth // 8)
+        fbpp = max(1, spp * bit_depth // 8)
         need = ph * (1 + stride)
-        sub = _unfilter(raw[pos : pos + need], ph, stride, channels)
+        sub = _unfilter(raw[pos : pos + need], ph, stride, fbpp)
         pos += need
-        out[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+        out[y0::dy, x0::dx] = _samples(sub, pw, bit_depth, spp)
     if pos != len(raw):
         raise ValueError("PNG pixel data length mismatch")
     return out
 
 
+# legal (color_type, bit_depth) combinations per ISO 15948 table 11.1
+_PNG_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+
+
 def decode_png(payload: bytes) -> dict:
-    """Decode an 8-bit PNG: grey/grey+A/RGB/RGBA plus indexed-color
-    (PLTE, optional tRNS alpha), non-interlaced or Adam7-interlaced.
+    """Decode a PNG: grey/grey+A/RGB/RGBA plus indexed-color (PLTE,
+    optional tRNS alpha), every legal bit depth (1/2/4/8/16),
+    non-interlaced or Adam7-interlaced.
 
     Returns width/height/channels and the pixel array
-    (height x width x channels, uint8). Raises on formats outside that
-    envelope (16-bit) — honesty over silent junk.
+    (height x width x channels) — uint8 for depths <= 8 (sub-byte grey
+    scaled to the full 0..255 range), uint16 for 16-bit, with the
+    source depth reported as ``bit_depth``.
     """
     if not payload.startswith(PNG_MAGIC):
         raise ValueError("not a PNG payload")
     width = height = None
     color_type = None
+    bit_depth = 8
     interlaced = False
     idat = bytearray()
     plte = None
@@ -174,11 +210,13 @@ def decode_png(payload: bytes) -> dict:
             width, height, bit_depth, color_type, _comp, _filt, interlace = (
                 struct.unpack(">IIBBBBB", data)
             )
-            if bit_depth != 8:
-                raise NotImplementedError("only 8-bit PNG supported")
-            if color_type not in _PNG_CHANNELS and color_type != 3:
+            if color_type not in _PNG_DEPTHS:
                 raise NotImplementedError(
                     f"PNG color type {color_type} not supported"
+                )
+            if bit_depth not in _PNG_DEPTHS[color_type]:
+                raise ValueError(
+                    f"illegal PNG depth {bit_depth} for type {color_type}"
                 )
             if interlace not in (0, 1):
                 raise ValueError(f"bad PNG interlace method {interlace}")
@@ -198,20 +236,29 @@ def decode_png(payload: bytes) -> dict:
     # after unfiltering — the dominant web-PNG variant next to RGB(A)
     paletted = color_type == 3
     channels = 1 if paletted else _PNG_CHANNELS[color_type]
-    if not width or not height or width * height * channels > (1 << 28):
+    nbytes = width * height * channels * (2 if bit_depth == 16 else 1)
+    if not width or not height or nbytes > (1 << 28):
         # corrupt IHDR dims would drive a giant raster allocation:
         # quarantine the row, never OOM the mapInPandas batch
         raise ValueError(f"implausible PNG dimensions {width}x{height}")
-    stride = width * channels
+    bits_pp = channels * bit_depth
+    stride = -(-width * bits_pp // 8)
+    fbpp = max(1, bits_pp // 8)  # filter distance is byte-granular
     raw = zlib.decompress(bytes(idat))
     if interlaced:
-        pixels = _deinterlace_adam7(raw, width, height, channels)
+        pixels = _deinterlace_adam7(raw, width, height, bit_depth, channels)
     else:
         if len(raw) != (stride + 1) * height:
             raise ValueError("PNG pixel data length mismatch")
-        pixels = _unfilter(raw, height, stride, channels).reshape(
-            height, width, channels
+        pixels = _samples(
+            _unfilter(raw, height, stride, fbpp), width, bit_depth, channels
         )
+    if not paletted and bit_depth < 8:
+        # scale d-bit grey to the full 8-bit range (255/(2^d-1) is an
+        # exact integer for d in 1/2/4)
+        pixels = (
+            pixels.astype(np.uint16) * (255 // ((1 << bit_depth) - 1))
+        ).astype(np.uint8)
     if paletted:
         if plte is None:
             raise ValueError("palette PNG missing PLTE chunk")
@@ -232,6 +279,7 @@ def decode_png(payload: bytes) -> dict:
         "height": height,
         "channels": channels,
         "pixels": pixels,
+        "bit_depth": bit_depth,
     }
 
 

@@ -741,6 +741,116 @@ def _make_palette_png(idx: np.ndarray, palette: np.ndarray,
     return out
 
 
+def _make_depth_png(width, height, bit_depth, color_type, raster,
+                    plte=None, trns=None, interlace=0) -> bytes:
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    out = codecs.PNG_MAGIC + chunk(b"IHDR", struct.pack(
+        ">IIBBBBB", width, height, bit_depth, color_type, 0, 0, interlace))
+    if plte is not None:
+        out += chunk(b"PLTE", plte.tobytes())
+    if trns is not None:
+        out += chunk(b"tRNS", trns)
+    return out + chunk(b"IDAT", zlib.compress(raster)) + chunk(b"IEND", b"")
+
+
+def _pack_bits(vals: np.ndarray, d: int) -> bytes:
+    """One row of d-bit samples packed MSB-first (PNG sub-byte layout)."""
+    bits = np.zeros((len(vals), d), dtype=np.uint8)
+    for i in range(d):
+        bits[:, i] = (vals >> (d - 1 - i)) & 1
+    flat = bits.reshape(-1)
+    flat = np.concatenate(
+        [flat, np.zeros((-len(flat)) % 8, dtype=np.uint8)]
+    )
+    return np.packbits(flat).tobytes()
+
+
+def test_png_sub_byte_and_16bit_depths_decode():
+    """The full legal depth matrix (ISO 15948 11.1): 1/2/4-bit grey
+    scaled to 0..255, 1/2/4-bit palette indices, 16-bit grey/RGB as
+    uint16 — each against a hand-packed raster, composing with Adam7
+    where the spec allows."""
+    rng = _rng(31)
+    # sub-byte grey, exact integer scaling 255/(2^d-1)
+    for d in (1, 2, 4):
+        w, h = 13, 7
+        vals = rng.integers(0, 1 << d, (h, w), dtype=np.uint8)
+        raster = b"".join(b"\x00" + _pack_bits(vals[y], d) for y in range(h))
+        out = codecs.decode_png(_make_depth_png(w, h, d, 0, raster))
+        exp = (vals.astype(np.uint16) * (255 // ((1 << d) - 1))).astype(
+            np.uint8
+        )[:, :, None]
+        np.testing.assert_array_equal(out["pixels"], exp)
+        assert out["bit_depth"] == d
+    # 4-bit palette, 1-bit palette with tRNS alpha
+    palette = np.arange(48, dtype=np.uint8).reshape(16, 3)
+    idx = rng.integers(0, 16, (9, 11), dtype=np.uint8)
+    raster = b"".join(b"\x00" + _pack_bits(idx[y], 4) for y in range(9))
+    out = codecs.decode_png(_make_depth_png(11, 9, 4, 3, raster, plte=palette))
+    np.testing.assert_array_equal(out["pixels"], palette[idx])
+    pal2 = np.array([[255, 255, 255], [0, 0, 0]], dtype=np.uint8)
+    idx2 = rng.integers(0, 2, (8, 10), dtype=np.uint8)
+    raster = b"".join(b"\x00" + _pack_bits(idx2[y], 1) for y in range(8))
+    out = codecs.decode_png(
+        _make_depth_png(10, 8, 1, 3, raster, plte=pal2, trns=bytes([0]))
+    )
+    assert out["channels"] == 4
+    np.testing.assert_array_equal(
+        out["pixels"][:, :, 3], np.where(idx2 == 0, 0, 255)
+    )
+    # 16-bit grey + RGB keep full precision as uint16
+    vals16 = rng.integers(0, 65536, (6, 9), dtype=np.uint16)
+    raster = b"".join(
+        b"\x00" + vals16[y].byteswap().tobytes() for y in range(6)
+    )
+    out = codecs.decode_png(_make_depth_png(9, 6, 16, 0, raster))
+    assert out["pixels"].dtype == np.uint16 and out["bit_depth"] == 16
+    np.testing.assert_array_equal(out["pixels"][:, :, 0], vals16)
+    # 16-bit RGB under Adam7
+    w, h = 12, 10
+    img16 = rng.integers(0, 65536, (h, w, 3), dtype=np.uint16)
+    parts = []
+    for x0, y0, dx, dy in codecs._ADAM7:
+        sub = img16[y0::dy, x0::dx]
+        if sub.shape[0] and sub.shape[1]:
+            parts.append(b"".join(
+                b"\x00" + sub[y].byteswap().tobytes()
+                for y in range(sub.shape[0])
+            ))
+    out = codecs.decode_png(
+        _make_depth_png(w, h, 16, 2, b"".join(parts), interlace=1)
+    )
+    np.testing.assert_array_equal(out["pixels"], img16)
+    # 2-bit grey under Adam7 (sub-byte per-pass strides)
+    w, h = 11, 9
+    g2 = rng.integers(0, 4, (h, w), dtype=np.uint8)
+    parts = []
+    for x0, y0, dx, dy in codecs._ADAM7:
+        sub = g2[y0::dy, x0::dx]
+        if sub.shape[0] and sub.shape[1]:
+            parts.append(b"".join(
+                b"\x00" + _pack_bits(sub[y], 2)
+                for y in range(sub.shape[0])
+            ))
+    out = codecs.decode_png(
+        _make_depth_png(w, h, 2, 0, b"".join(parts), interlace=1)
+    )
+    np.testing.assert_array_equal(
+        out["pixels"], (g2.astype(np.uint16) * 85).astype(np.uint8)[:, :, None]
+    )
+    # illegal depth/type combos are typed errors (16-bit palette)
+    with pytest.raises(ValueError):
+        codecs.decode_png(_make_depth_png(4, 4, 16, 3, b""))
+    with pytest.raises(ValueError):
+        codecs.decode_png(_make_depth_png(4, 4, 2, 2, b""))
+
+
 def test_png_adam7_interlaced_decodes_pixel_exact():
     """Adam7 sub-images scatter back to the identical raster across
     gray/RGB/RGBA, odd dims, degenerate 1-pixel-wide/-tall shapes
