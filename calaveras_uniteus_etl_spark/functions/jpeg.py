@@ -2,9 +2,10 @@
 
 Decoder: baseline sequential DCT (SOF0/1) AND progressive DCT (SOF2),
 8-bit precision, Huffman entropy coding — together the overwhelmingly
-dominant JPEG variants on the open web. Grayscale and YCbCr with
-arbitrary sampling factors (4:4:4 / 4:2:2 / 4:2:0 all fall out of the
-general MCU walk), restart markers (DRI/RSTn) included; progressive
+dominant JPEG variants on the open web. Grayscale, YCbCr, and
+4-component CMYK / YCCK (Adobe APP14 transform tag) with arbitrary
+sampling factors (4:4:4 / 4:2:2 / 4:2:0 all fall out of the general
+MCU walk), restart markers (DRI/RSTn) included; progressive
 streams support the full Annex G toolbox (spectral selection, DC/AC
 successive approximation, EOB runs, embedded correction bits).
 12-bit, lossless, hierarchical, and arithmetic-coded streams raise
@@ -271,6 +272,7 @@ def _decode_jpeg(payload: bytes) -> dict:
     scan = None
     coef = None  # progressive: {cid: (blocks_y, blocks_x, 64) int32}
     blocks_nonint = None  # progressive: {cid: (bh, bw) non-interleaved dims
+    adobe_transform = None  # APP14: 0=CMYK/unknown, 1=YCbCr, 2=YCCK
 
     while pos + 1 < len(payload):
         if payload[pos] != 0xFF:
@@ -345,6 +347,9 @@ def _decode_jpeg(payload: bytes) -> dict:
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF marker 0x{marker:02X}) not supported"
             )
+        elif marker == 0xEE:  # APP14 (Adobe color-transform tag)
+            if seg[:5] == b"Adobe" and len(seg) >= 12:
+                adobe_transform = seg[11]
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[0:2])
         elif marker == 0xDA:  # SOS
@@ -389,7 +394,7 @@ def _decode_jpeg(payload: bytes) -> dict:
         max_h = max(c["h"] for c in frame["comps"])
         max_v = max(c["v"] for c in frame["comps"])
         planes = _reconstruct_progressive(frame, coef, qt)
-        return _compose_image(frame, planes, max_h, max_v)
+        return _compose_image(frame, planes, max_h, max_v, adobe_transform)
 
     comps = frame["comps"]
     by_id = {c["id"]: c for c in comps}
@@ -448,12 +453,16 @@ def _decode_jpeg(payload: bytes) -> dict:
                         x0 = (mx * c["h"] + bx) * 8
                         planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = px
 
-    return _compose_image(frame, planes, max_h, max_v)
+    return _compose_image(frame, planes, max_h, max_v, adobe_transform)
 
 
-def _compose_image(frame: dict, planes: dict, max_h: int, max_v: int) -> dict:
+def _compose_image(
+    frame: dict, planes: dict, max_h: int, max_v: int, adobe=None
+) -> dict:
     """Upsample subsampled planes to full resolution, crop to the frame
-    dimensions, and color-convert (shared baseline/progressive tail)."""
+    dimensions, and color-convert (shared baseline/progressive tail).
+    ``adobe`` is the APP14 transform tag: a 4-component stream is YCCK
+    when it says 2, plain (Adobe-convention) CMYK otherwise."""
     full = []
     for c in frame["comps"]:
         p = planes[c["id"]]
@@ -466,7 +475,21 @@ def _compose_image(frame: dict, planes: dict, max_h: int, max_v: int) -> dict:
         out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)[:, :, None]
         return {
             "width": frame["w"], "height": frame["h"],
-            "channels": 1, "pixels": out,
+            "channels": 1, "pixels": out, "colorspace": "gray",
+        }
+    if len(full) == 4:
+        if adobe == 2:  # YCCK: invert the YCbCr transform, un-invert CMY
+            y, cb, cr, k = full
+            r = y + 1.402 * (cr - 128.0)
+            g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+            b = y + 1.772 * (cb - 128.0)
+            full = [255.0 - r, 255.0 - g, 255.0 - b, k]
+        out = np.clip(np.round(np.stack(full, axis=2)), 0, 255).astype(
+            np.uint8
+        )
+        return {
+            "width": frame["w"], "height": frame["h"],
+            "channels": 4, "pixels": out, "colorspace": "cmyk",
         }
     if len(full) != 3:
         raise NotImplementedError(f"{len(full)}-component JPEG not supported")
@@ -478,7 +501,7 @@ def _compose_image(frame: dict, planes: dict, max_h: int, max_v: int) -> dict:
     out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     return {
         "width": frame["w"], "height": frame["h"],
-        "channels": 3, "pixels": out,
+        "channels": 3, "pixels": out, "colorspace": "rgb",
     }
 
 
@@ -843,17 +866,25 @@ def _encode_block(
         writer.write(code, length)
 
 
-def _prepare_frame(pixels, subsample_420: bool, subsample_422: bool):
+def _prepare_frame(
+    pixels, subsample_420: bool, subsample_422: bool, ycck: bool = False
+):
     """Color-convert + chroma-subsample into per-component sample
     planes with their table/sampling specs (shared by the baseline and
-    progressive encoders)."""
+    progressive encoders). 4-channel input is CMYK: stored as-is
+    (Adobe transform 0) or YCCK-converted (transform 2, the Photoshop
+    default) — ``table_sel`` says which DC/AC table class each
+    component codes with."""
     px = np.asarray(pixels)
     if px.ndim == 3 and px.shape[2] == 1:
         px = px[:, :, 0]
     gray = px.ndim == 2
+    cmyk = px.ndim == 3 and px.shape[2] == 4
     h, w = px.shape[:2]
     if subsample_420 and subsample_422:
         raise ValueError("pick one of subsample_420 / subsample_422")
+    if cmyk and (subsample_420 or subsample_422):
+        raise ValueError("chroma subsampling is a YCbCr-only option")
     sh = 2 if ((subsample_420 or subsample_422) and not gray) else 1
     sv = 2 if (subsample_420 and not gray) else 1
 
@@ -863,6 +894,29 @@ def _prepare_frame(pixels, subsample_420: bool, subsample_422: bool):
         comp_spec = [(1, 0x11, 0)]
         scan_spec = [(1, 0x00)]
         samp = [(1, 1)]
+        table_sel = [0]
+    elif cmyk:
+        c = px[:, :, 0].astype(np.float64)
+        m = px[:, :, 1].astype(np.float64)
+        ye = px[:, :, 2].astype(np.float64)
+        k = px[:, :, 3].astype(np.float64)
+        if ycck:
+            # YCCK (Adobe transform 2): YCbCr forward transform of the
+            # INVERTED CMY, K passes through untouched
+            r, g, b = 255.0 - c, 255.0 - m, 255.0 - ye
+            planes = [
+                0.299 * r + 0.587 * g + 0.114 * b,
+                -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+                0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+                k,
+            ]
+        else:
+            planes = [c, m, ye, k]
+        quants = [QUANT_LUMA] * 4
+        comp_spec = [(i + 1, 0x11, 0) for i in range(4)]
+        scan_spec = [(i + 1, 0x00) for i in range(4)]
+        samp = [(1, 1)] * 4
+        table_sel = [0, 0, 0, 0]
     else:
         r = px[:, :, 0].astype(np.float64)
         g = px[:, :, 1].astype(np.float64)
@@ -883,7 +937,8 @@ def _prepare_frame(pixels, subsample_420: bool, subsample_422: bool):
         comp_spec = [(1, luma_hv, 0), (2, 0x11, 1), (3, 0x11, 1)]
         scan_spec = [(1, 0x00), (2, 0x11), (3, 0x11)]
         samp = [(sh, sv), (1, 1), (1, 1)]
-    return gray, h, w, planes, quants, comp_spec, scan_spec, samp
+        table_sel = [0, 1, 1]
+    return gray, h, w, planes, quants, comp_spec, scan_spec, samp, table_sel
 
 
 def _emit_jpeg_headers(
@@ -920,10 +975,12 @@ def encode_jpeg_baseline(
     subsample_422: bool = False,
     restart_interval: int = 0,
     scan_order: tuple[int, ...] | None = None,
+    ycck: bool = False,
 ) -> bytes:
-    """Encode uint8 HxW (grayscale) or HxWx3 (RGB) as a baseline JPEG
-    with the Annex K tables — the fixture twin of :func:`decode_jpeg`
-    (same role as ``codecs.encode_wav``).
+    """Encode uint8 HxW (grayscale), HxWx3 (RGB), or HxWx4 (CMYK,
+    stored per Adobe transform 0, or YCCK when ``ycck=True``) as a
+    baseline JPEG with the Annex K tables — the fixture twin of
+    :func:`decode_jpeg` (same role as ``codecs.encode_wav``).
 
     ``subsample_420`` / ``subsample_422`` switch color images from
     4:4:4 to 2x2- / 2x1-box-filtered chroma; ``restart_interval``
@@ -935,12 +992,20 @@ def encode_jpeg_baseline(
     exist so tests can exercise the decoder's subsampling, restart,
     and component-order paths with real streams.
     """
-    gray, h, w, planes, quants, comp_spec, scan_spec, samp = _prepare_frame(
-        pixels, subsample_420, subsample_422
+    (gray, h, w, planes, quants, comp_spec, scan_spec, samp,
+     table_sel) = _prepare_frame(
+        pixels, subsample_420, subsample_422, ycck
     )
     out, segment = _emit_jpeg_headers(
         0xC0, gray, h, w, comp_spec, restart_interval
     )
+    if len(comp_spec) == 4:
+        # Adobe APP14: how a 4-component stream's colors are encoded
+        # (transform 2 = YCCK, 0 = plain CMYK)
+        segment(
+            0xEE,
+            b"Adobe" + struct.pack(">HHHB", 100, 0, 0, 2 if ycck else 0),
+        )
     order = list(scan_order) if scan_order is not None else list(
         range(len(scan_spec))
     )
@@ -997,7 +1062,11 @@ def encode_jpeg_baseline(
                             fdct_2d(block) / quants[ci]
                         ).astype(np.int64)
                         zz = coeffs.reshape(-1)[ZIGZAG]
-                        dc, ac = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
+                        dc, ac = (
+                            (dc_l, ac_l)
+                            if table_sel[ci] == 0
+                            else (dc_c, ac_c)
+                        )
                         _encode_block(writer, zz, dc, ac, preds[ci])
     writer.flush()
     out.extend(writer.out)
@@ -1062,7 +1131,12 @@ def _quantized_store(planes, quants, samp, mcux, mcuy):
         blocks = (
             pad.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3) - 128.0
         )
-        coeffs = np.einsum("ij,abjk,kl->abil", _A, blocks, _A.T)
+        # same association as fdct_2d ((_A @ block) @ _A.T) so the
+        # quantized coefficients match the baseline encoder BITWISE —
+        # a different float summation order (e.g. einsum) flips
+        # np.round on exact-.5 ties and breaks the progressive ==
+        # baseline pixel-exactness contract
+        coeffs = np.matmul(np.matmul(_A, blocks), _A.T)
         zz = np.round(coeffs / quants[ci]).astype(np.int64).reshape(
             by, bx, 64
         )[:, :, ZIGZAG]
@@ -1191,8 +1265,10 @@ def encode_jpeg_progressive(
     subsample_420: bool = False,
     subsample_422: bool = False,
     restart_interval: int = 0,
+    ycck: bool = False,
 ) -> bytes:
-    """Progressive (SOF2) twin of :func:`encode_jpeg_baseline`.
+    """Progressive (SOF2) twin of :func:`encode_jpeg_baseline`
+    (4-channel input encodes CMYK / YCCK the same way).
 
     Emits the classic successive-approximation scan script — DC first
     pass at Al=1, DC refinement, then per component an AC 1..63 first
@@ -1203,12 +1279,18 @@ def encode_jpeg_progressive(
     input, so ``decode_jpeg(progressive) == decode_jpeg(baseline)``
     pixel-exactly — the roundtrip test asserts that equivalence.
     """
-    gray, h, w, planes, quants, comp_spec, scan_spec, samp = _prepare_frame(
-        pixels, subsample_420, subsample_422
+    (gray, h, w, planes, quants, comp_spec, scan_spec, samp,
+     table_sel) = _prepare_frame(
+        pixels, subsample_420, subsample_422, ycck
     )
     out, segment = _emit_jpeg_headers(
         0xC2, gray, h, w, comp_spec, restart_interval
     )
+    if len(comp_spec) == 4:
+        segment(
+            0xEE,
+            b"Adobe" + struct.pack(">HHHB", 100, 0, 0, 2 if ycck else 0),
+        )
     # redefine the AC tables with the EOBn-capable progressive spec
     # (a later DHT overrides an earlier id — T.81 B.2.4.2)
     for tcid in ([0x10] if gray else [0x10, 0x11]):
@@ -1222,7 +1304,7 @@ def encode_jpeg_progressive(
     mcuy = -(-h // (8 * max_v))
     stores = _quantized_store(planes, quants, samp, mcux, mcuy)
     dc_codes = [
-        _encode_codes(*(DC_LUMA_SPEC if ci == 0 else DC_CHROMA_SPEC))
+        _encode_codes(*(DC_LUMA_SPEC if table_sel[ci] == 0 else DC_CHROMA_SPEC))
         for ci in range(len(planes))
     ]
     ac_codes = [_encode_codes(*PROG_AC_SPEC) for _ci in range(len(planes))]

@@ -284,6 +284,37 @@ def test_jpeg_sos_order_differs_from_sof_order():
     assert err.max() <= 20, err.max()
 
 
+def test_jpeg_cmyk_and_ycck_roundtrip():
+    """4-component JPEG: plain CMYK (Adobe transform 0) and YCCK
+    (transform 2, the Photoshop default — YCbCr of the inverted CMY,
+    K untouched). Decode reports channels=4 / colorspace 'cmyk' with
+    quantization-bounded error, and the progressive twin stays
+    pixel-exact to baseline for both transforms."""
+    from calaveras_uniteus_etl_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    c = np.tile(np.linspace(0, 255, 40), (32, 1))
+    img = np.stack(
+        [c, np.flipud(c), np.full((32, 40), 80.0), np.fliplr(c)], axis=2
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg_baseline(img))
+    assert (out["channels"], out["colorspace"]) == (4, "cmyk")
+    assert np.abs(out["pixels"].astype(int) - img.astype(int)).max() <= 12
+    outy = decode_jpeg(encode_jpeg_baseline(img, ycck=True))
+    assert (outy["channels"], outy["colorspace"]) == (4, "cmyk")
+    assert np.abs(outy["pixels"].astype(int) - img.astype(int)).max() <= 16
+    noise = _rng(23).integers(0, 256, size=(24, 33, 4), dtype=np.uint8)
+    for kw in ({}, {"ycck": True}):
+        base = decode_jpeg(encode_jpeg_baseline(noise, **kw))
+        prog = decode_jpeg(encode_jpeg_progressive(noise, **kw))
+        assert np.array_equal(base["pixels"], prog["pixels"]), kw
+    with pytest.raises(ValueError):  # subsampling is a YCbCr-only knob
+        encode_jpeg_baseline(img, subsample_420=True)
+
+
 def test_jpeg_restart_markers_roundtrip():
     from calaveras_uniteus_etl_spark.functions.jpeg import (
         decode_jpeg,
@@ -647,6 +678,25 @@ def test_quarantine_contract_fuzz():
         "jpegprog": encode_jpeg_progressive(img),
         "jpegprogrst": encode_jpeg_progressive(
             img, subsample_420=True, restart_interval=2
+        ),
+        "jpegycck": encode_jpeg_baseline(
+            _rng(4).integers(0, 256, (16, 16, 4), dtype=np.uint8), ycck=True
+        ),
+        "png_adam7": codecs.encode_png(img, interlace=True),
+        "png_pal4": _make_depth_png(
+            11, 9, 4, 3,
+            b"".join(
+                b"\x00" + _pack_bits(row, 4)
+                for row in _rng(2).integers(0, 16, (9, 11), dtype=np.uint8)
+            ),
+            plte=np.arange(48, dtype=np.uint8).reshape(16, 3),
+        ),
+        "png_16bit": _make_depth_png(
+            9, 6, 16, 0,
+            b"".join(
+                b"\x00" + row.byteswap().tobytes()
+                for row in _rng(3).integers(0, 65536, (6, 9), dtype=np.uint16)
+            ),
         ),
         "mp4": _make_mp4(),
         "mp3": _make_mp3(n_bytes=4096),
