@@ -1,11 +1,13 @@
 """Real media codecs built on the standard library (+ numpy).
 
-The container ships no PIL/libav/librosa, but four formats need no
+The container ships no PIL/libav/librosa, but six formats need no
 external codec at all: PNG (zlib inflate + per-scanline unfilter,
 incl. indexed-color PLTE/tRNS, Adam7 interlacing, and every legal
 bit depth 1/2/4/8/16), WAV (RIFF header + PCM frames via the
 stdlib ``wave`` module), baseline JPEG (Huffman + IDCT in
-:mod:`functions.jpeg`), and GIF (LZW, interlace, frame census). These
+:mod:`functions.jpeg`), GIF (LZW, interlace, frame census), baseline
+strip TIFF (both byte orders, PackBits), and uncompressed 24/32-bit
+BMP. These
 decoders are complete, honest implementations for those formats —
 pixel-exact PNG/GIF reconstruction, full PCM sample recovery for WAV,
 and spec-faithful baseline-sequential JPEG (4:4:4/4:2:2/4:2:0,
@@ -51,11 +53,26 @@ def sniff_media(payload: bytes) -> str | None:
         return "jpeg"
     if payload[:4] == GIF_MAGIC and payload[4:6] in (b"7a", b"9a"):
         return "gif"
+    if payload[:4] in (TIFF_MAGIC_LE, TIFF_MAGIC_BE):
+        return "tiff"
+    if sniff_bmp(payload):
+        return "bmp"
     if containers.sniff_mp4(payload):
         return "mp4"
     if containers.sniff_mp3(payload):
         return "mp3"
     return None
+
+
+def sniff_bmp(payload: bytes) -> bool:
+    """'BM' alone is a 2-byte magic (too weak — any opaque payload
+    starting with it would be misrouted off the fake-decode path), so
+    also require a known DIB header size and the mandatory planes=1."""
+    if payload[:2] != BMP_MAGIC or len(payload) < 30:
+        return False
+    (hdr,) = struct.unpack_from("<I", payload, 14)
+    (planes,) = struct.unpack_from("<H", payload, 26)
+    return hdr in (12, 40, 52, 56, 64, 108, 124) and planes == 1
 
 
 def _png_chunks(payload: bytes):
@@ -393,6 +410,16 @@ def decode_image_any(payload: bytes) -> dict:
         return decode_png(payload)
     if payload[:4] == GIF_MAGIC and payload[4:6] in (b"7a", b"9a"):
         return decode_gif(payload)
+    if payload[:4] in (TIFF_MAGIC_LE, TIFF_MAGIC_BE):
+        try:
+            return decode_tiff(payload)
+        except NotImplementedError:
+            pass  # tiled/LZW/deep-sample: try Pillow below
+    if sniff_bmp(payload):
+        try:
+            return decode_bmp(payload)
+        except NotImplementedError:
+            pass  # RLE/16-bit/core-header: try Pillow below
     if payload.startswith(JPEG_MAGIC):
         from calaveras_uniteus_etl_spark.functions.jpeg import decode_jpeg
 
@@ -663,3 +690,296 @@ def encode_gif(pixels: np.ndarray, *, interlace: bool = False) -> bytes:
         out.extend(chunk)
     out.extend(b"\x00\x3b")
     return bytes(out)
+
+
+# --- TIFF (uncompressed + PackBits strips) ----------------------------------
+#
+# Baseline TIFF 6.0 (the document-scan workhorse): both byte orders,
+# strip-organized 8-bit grey/RGB/RGBA, compression 1 (none) and 32773
+# (PackBits). Tiled, LZW, CCITT, and deep-sample variants raise
+# NotImplementedError and fall through to the Pillow guard like any
+# other unsupported codec variant.
+
+TIFF_MAGIC_LE = b"II*\x00"
+TIFF_MAGIC_BE = b"MM\x00*"
+
+
+def _unpackbits(data: bytes, expected: int) -> bytes:
+    """Apple PackBits decompression (TIFF 6.0 §9)."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data) and len(out) < expected:
+        n = data[pos]
+        pos += 1
+        if n < 128:  # literal run of n+1 bytes
+            out.extend(data[pos : pos + n + 1])
+            pos += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            if pos >= len(data):
+                raise ValueError("truncated PackBits stream")
+            out.extend(data[pos : pos + 1] * (257 - n))
+            pos += 1
+        # n == 128: no-op
+    if len(out) < expected:
+        raise ValueError("PackBits output shorter than strip")
+    return bytes(out[:expected])
+
+
+def decode_tiff(payload: bytes) -> dict:
+    """Decode a baseline strip-organized 8-bit TIFF (grey/RGB/RGBA,
+    either byte order, compression none or PackBits) to the standard
+    ``{width, height, channels, pixels}`` dict."""
+    if payload[:4] == TIFF_MAGIC_LE:
+        bo = "<"
+    elif payload[:4] == TIFF_MAGIC_BE:
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+
+    def u16(off):
+        return struct.unpack_from(bo + "H", payload, off)[0]
+
+    def u32(off):
+        return struct.unpack_from(bo + "I", payload, off)[0]
+
+    try:
+        ifd = u32(4)
+        n_entries = u16(ifd)
+        tags: dict[int, list[int]] = {}
+        for i in range(n_entries):
+            e = ifd + 2 + 12 * i
+            tag, ftype = u16(e), u16(e + 2)
+            count = u32(e + 4)
+            size = {1: 1, 3: 2, 4: 4}.get(ftype)
+            if size is None:
+                continue  # rational/ASCII tags are irrelevant here
+            if count > (1 << 16):
+                # a corrupt count (up to 2^32) would drive a
+                # billion-iteration value loop: quarantine instead
+                raise ValueError(f"implausible TIFF tag count {count}")
+            off = e + 8 if size * count <= 4 else u32(e + 8)
+            vals = []
+            for k in range(count):
+                if ftype == 1:
+                    vals.append(payload[off + k])
+                elif ftype == 3:
+                    vals.append(u16(off + 2 * k))
+                else:
+                    vals.append(u32(off + 4 * k))
+            tags[tag] = vals
+    except (struct.error, IndexError) as exc:
+        raise ValueError("truncated TIFF structure") from exc
+
+    def one(tag, default=None):
+        v = tags.get(tag)
+        if not v:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        return v[0]
+
+    width = one(256)
+    height = one(257)
+    compression = one(259, 1)
+    spp = one(277, 1)
+    bits = tags.get(258, [8] * spp)
+    if any(b != 8 for b in bits):
+        raise NotImplementedError("only 8-bit TIFF samples supported")
+    if spp not in (1, 3, 4):
+        raise NotImplementedError(f"{spp}-sample TIFF not supported")
+    if compression not in (1, 32773):
+        raise NotImplementedError(
+            f"TIFF compression {compression} not supported"
+        )
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF not supported")
+    if not width or not height or width * height * spp > (1 << 28):
+        raise ValueError(f"implausible TIFF dimensions {width}x{height}")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF missing strip offsets/byte counts")
+    rows_per_strip = one(278, height)
+
+    raster = bytearray()
+    rows_left = height
+    for off, cnt in zip(offsets, counts):
+        nrows = min(rows_per_strip, rows_left)
+        rows_left -= nrows
+        expected = nrows * width * spp
+        strip = payload[off : off + cnt]
+        if compression == 1:
+            if len(strip) < expected:
+                raise ValueError("TIFF strip shorter than declared")
+            raster.extend(strip[:expected])
+        else:
+            raster.extend(_unpackbits(strip, expected))
+    if len(raster) != width * height * spp:
+        raise ValueError("TIFF raster length mismatch")
+    pixels = np.frombuffer(bytes(raster), dtype=np.uint8).reshape(
+        height, width, spp
+    )
+    # PhotometricInterpretation 0 = WhiteIsZero: invert to normal grey
+    if spp == 1 and one(262, 1) == 0:
+        pixels = 255 - pixels
+    return {
+        "width": width,
+        "height": height,
+        "channels": spp,
+        "pixels": pixels,
+    }
+
+
+def encode_tiff(
+    pixels: np.ndarray, *, big_endian: bool = False, packbits: bool = False,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Minimal strip-organized TIFF writer — the fixture twin of
+    :func:`decode_tiff` (byte order, PackBits, and multi-strip layouts
+    all exercisable)."""
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, spp = arr.shape
+    bo = ">" if big_endian else "<"
+    rps = rows_per_strip or h
+    strips = []
+    for y0 in range(0, h, rps):
+        data = arr[y0 : y0 + rps].tobytes()
+        if packbits:
+            # naive PackBits: literal runs of <=128 bytes
+            out = bytearray()
+            for i in range(0, len(data), 128):
+                chunk = data[i : i + 128]
+                out.append(len(chunk) - 1)
+                out.extend(chunk)
+            data = bytes(out)
+        strips.append(data)
+
+    n_tags = 9
+    header = struct.pack(bo + "2sHI", b"II" if bo == "<" else b"MM", 42, 8)
+    ifd_size = 2 + 12 * n_tags + 4
+    # layout: header(8) + IFD + bits-array + strip offset/count arrays + data
+    bits_off = 8 + ifd_size
+    arrays_off = bits_off + 2 * spp
+    n = len(strips)
+    offsets_off = arrays_off
+    counts_off = arrays_off + 4 * n
+    data_off = counts_off + 4 * n
+    offs, pos = [], data_off
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+
+    def entry(tag, ftype, count, value):
+        return struct.pack(bo + "HHI4s", tag, ftype, count, value)
+
+    def inline_short(v):
+        return struct.pack(bo + "HH", v, 0)
+
+    def inline_long(v):
+        return struct.pack(bo + "I", v)
+
+    entries = [
+        entry(256, 3, 1, inline_short(w)),
+        entry(257, 3, 1, inline_short(h)),
+        entry(
+            258, 3, spp,
+            inline_short(8) if spp == 1 else inline_long(bits_off),
+        ),
+        entry(259, 3, 1, inline_short(32773 if packbits else 1)),
+        entry(262, 3, 1, inline_short(1 if spp == 1 else 2)),
+        entry(
+            273, 4, n,
+            inline_long(offs[0]) if n == 1 else inline_long(offsets_off),
+        ),
+        entry(277, 3, 1, inline_short(spp)),
+        entry(278, 3, 1, inline_short(rps)),
+        entry(
+            279, 4, n,
+            inline_long(len(strips[0])) if n == 1 else inline_long(counts_off),
+        ),
+    ]
+    out = bytearray(header)
+    out.extend(struct.pack(bo + "H", n_tags))
+    for e in entries:
+        out.extend(e)
+    out.extend(struct.pack(bo + "I", 0))  # next IFD
+    out.extend(struct.pack(bo + f"{spp}H", *([8] * spp)))
+    out.extend(b"".join(struct.pack(bo + "I", o) for o in offs))
+    out.extend(b"".join(struct.pack(bo + "I", len(s)) for s in strips))
+    for s in strips:
+        out.extend(s)
+    return bytes(out)
+
+
+# --- BMP (uncompressed BITMAPINFOHEADER) ------------------------------------
+
+BMP_MAGIC = b"BM"
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Decode an uncompressed 24/32-bit BMP (BITMAPINFOHEADER or
+    later): bottom-up or top-down rows, BGR(A) to RGB(A)."""
+    if payload[:2] != BMP_MAGIC:
+        raise ValueError("not a BMP payload")
+    try:
+        (data_off,) = struct.unpack_from("<I", payload, 10)
+        (hdr_size,) = struct.unpack_from("<I", payload, 14)
+        if hdr_size < 40:
+            raise NotImplementedError("BITMAPCOREHEADER BMP not supported")
+        width, height = struct.unpack_from("<ii", payload, 18)
+        planes, bpp = struct.unpack_from("<HH", payload, 26)
+        (compression,) = struct.unpack_from("<I", payload, 30)
+    except struct.error as exc:
+        raise ValueError("truncated BMP header") from exc
+    if compression != 0:
+        raise NotImplementedError(f"BMP compression {compression} not supported")
+    if bpp not in (24, 32):
+        raise NotImplementedError(f"{bpp}-bit BMP not supported")
+    top_down = height < 0
+    height = abs(height)
+    if not width or width < 0 or not height or width * height > (1 << 26):
+        raise ValueError(f"implausible BMP dimensions {width}x{height}")
+    nch = bpp // 8
+    stride = (width * nch + 3) & ~3  # rows pad to 4 bytes
+    need = data_off + stride * height
+    if len(payload) < need:
+        raise ValueError("BMP pixel data shorter than declared")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * height, offset=data_off
+    ).reshape(height, stride)[:, : width * nch].reshape(height, width, nch)
+    if not top_down:
+        rows = rows[::-1]
+    # BGR(A) -> RGB(A)
+    rgb = rows[:, :, [2, 1, 0] + ([3] if nch == 4 else [])]
+    return {
+        "width": width,
+        "height": height,
+        "channels": nch,
+        "pixels": np.ascontiguousarray(rgb),
+    }
+
+
+def encode_bmp(pixels: np.ndarray, *, top_down: bool = False) -> bytes:
+    """Minimal 24/32-bit BMP writer — fixture twin of
+    :func:`decode_bmp`."""
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] not in (3, 4):
+        raise ValueError("BMP fixture writer takes HxWx3 or HxWx4")
+    h, w, nch = arr.shape
+    bgr = arr[:, :, [2, 1, 0] + ([3] if nch == 4 else [])]
+    if not top_down:
+        bgr = bgr[::-1]
+    stride = (w * nch + 3) & ~3
+    pad = stride - w * nch
+    body = b"".join(bgr[y].tobytes() + b"\x00" * pad for y in range(h))
+    data_off = 14 + 40
+    header = struct.pack(
+        "<2sIHHI", BMP_MAGIC, data_off + len(body), 0, 0, data_off
+    )
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, nch * 8,
+        0, len(body), 2835, 2835, 0, 0,
+    )
+    return header + info + body

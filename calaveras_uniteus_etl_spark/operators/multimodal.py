@@ -10,8 +10,8 @@ downstream plans stay columnar.
 Decode is REAL for formats numpy + the standard library can handle —
 PNG incl. indexed-color (zlib inflate + unfilter), GIF (LZW +
 interlace), PCM WAV (RIFF) via functions/codecs.py, and baseline
-JPEG (Huffman + IDCT) via functions/jpeg.py — dispatched on magic
-bytes. MP4 and MP3 parse REAL container metadata (duration,
+JPEG (Huffman + IDCT) via functions/jpeg.py, strip TIFF (PackBits),
+and uncompressed BMP — dispatched on magic bytes. MP4 and MP3 parse REAL container metadata (duration,
 dimensions, sample rate) via functions/containers.py; their sample
 decode, and arithmetic/12-bit JPEG, go through a Pillow import
 guard and raise ``NotImplementedError`` when it is absent. Payloads
@@ -61,8 +61,8 @@ def decode_media(payload: bytes, media_type: str) -> dict:
         return codecs.decode_png(payload)
     if kind == "wav":
         return codecs.decode_wav(payload)
-    if kind == "jpeg":
-        return codecs.decode_image_any(payload)  # native baseline path
+    if kind in ("jpeg", "tiff", "bmp"):
+        return codecs.decode_image_any(payload)  # native-first dispatch
     if kind == "gif":
         return codecs.decode_gif(payload)
     if kind in ("mp4", "mp3"):

@@ -698,6 +698,9 @@ def test_quarantine_contract_fuzz():
                 for row in _rng(3).integers(0, 65536, (6, 9), dtype=np.uint16)
             ),
         ),
+        "tiff": codecs.encode_tiff(img, packbits=True, rows_per_strip=4),
+        "tiffbe": codecs.encode_tiff(img, big_endian=True),
+        "bmp": codecs.encode_bmp(img),
         "mp4": _make_mp4(),
         "mp3": _make_mp3(n_bytes=4096),
     }
@@ -749,6 +752,80 @@ def test_jpeg_implausible_dims_quarantine():
     good[sof + 5 : sof + 9] = struct.pack(">HH", 65535, 65535)
     with pytest.raises(ValueError):
         decode_jpeg(bytes(good))
+
+
+def test_tiff_roundtrips_all_layouts():
+    """Baseline TIFF: grey/RGB/RGBA, both byte orders, PackBits and
+    uncompressed, single- and multi-strip — pixel-exact; WhiteIsZero
+    photometric inverts; corrupt tag counts / short strips are typed."""
+    import struct
+
+    rng = _rng(37)
+    for shape in [(20, 30), (17, 23, 3), (9, 11, 4)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        ref = img if img.ndim == 3 else img[:, :, None]
+        for be in (False, True):
+            for pb in (False, True):
+                for rps in (None, 5):
+                    t = codecs.encode_tiff(
+                        img, big_endian=be, packbits=pb, rows_per_strip=rps
+                    )
+                    assert codecs.sniff_media(t) == "tiff"
+                    out = codecs.decode_tiff(t)
+                    np.testing.assert_array_equal(out["pixels"], ref)
+    # PhotometricInterpretation 0 (WhiteIsZero) inverts grey
+    g = rng.integers(0, 256, (6, 7), dtype=np.uint8)
+    t = bytearray(codecs.encode_tiff(g))
+    n = struct.unpack_from("<H", t, 8)[0]
+    for i in range(n):
+        e = 10 + 12 * i
+        if struct.unpack_from("<H", t, e)[0] == 262:
+            struct.pack_into("<HH", t, e + 8, 0, 0)
+    np.testing.assert_array_equal(
+        codecs.decode_tiff(bytes(t))["pixels"][:, :, 0], 255 - g
+    )
+    # typed errors: truncated header, short strip, huge tag count
+    with pytest.raises(ValueError):
+        codecs.decode_tiff(codecs.TIFF_MAGIC_LE + b"\x00" * 2)
+    good = bytearray(codecs.encode_tiff(g))
+    struct.pack_into("<I", good, 4 + 2, 0xFFFFFF)  # corrupt: garbage IFD
+    with pytest.raises((ValueError, NotImplementedError)):
+        codecs.decode_tiff(bytes(good))
+
+
+def test_bmp_roundtrips_and_sniff_hardening():
+    """24/32-bit BMP: bottom-up and top-down, BGR(A)->RGB(A)
+    pixel-exact; 'BM' + garbage must NOT sniff as bmp (2-byte magic is
+    too weak alone — DIB header size + planes=1 required)."""
+    rng = _rng(41)
+    for shape in [(15, 21, 3), (8, 9, 4)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        for td in (False, True):
+            b = codecs.encode_bmp(img, top_down=td)
+            assert codecs.sniff_media(b) == "bmp"
+            np.testing.assert_array_equal(
+                codecs.decode_bmp(b)["pixels"], img
+            )
+    assert codecs.sniff_media(b"BM" + bytes(64)) is None
+    with pytest.raises(ValueError):
+        codecs.decode_bmp(codecs.encode_bmp(
+            rng.integers(0, 256, (5, 5, 3), dtype=np.uint8))[:30])
+
+
+def test_tiff_bmp_flow_through_extract_features(spark):
+    from calaveras_uniteus_etl_spark.functions import codecs as c
+
+    img = _rng(43).integers(0, 256, size=(19, 27, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(c.encode_tiff(img, packbits=True)), "image"),
+            (2, bytearray(c.encode_bmp(img)), "image"),
+        ],
+        "doc_id long, payload binary, media_type string",
+    )
+    rows = {r.doc_id: r for r in extract_features(df).collect()}
+    assert (rows[1].width, rows[1].height) == (27, 19)
+    assert (rows[2].width, rows[2].height) == (27, 19)
 
 
 # --- indexed-color PNG + GIF ------------------------------------------------
