@@ -68,11 +68,16 @@ def sniff_bmp(payload: bytes) -> bool:
     """'BM' alone is a 2-byte magic (too weak — any opaque payload
     starting with it would be misrouted off the fake-decode path), so
     also require a known DIB header size and the mandatory planes=1."""
-    if payload[:2] != BMP_MAGIC or len(payload) < 30:
+    if payload[:2] != BMP_MAGIC or len(payload) < 28:
         return False
     (hdr,) = struct.unpack_from("<I", payload, 14)
-    (planes,) = struct.unpack_from("<H", payload, 26)
-    return hdr in (12, 40, 52, 56, 64, 108, 124) and planes == 1
+    if hdr not in (12, 40, 52, 56, 64, 108, 124):
+        return False
+    # BITMAPCOREHEADER (12) keeps planes at offset 22; the INFO
+    # family at 26 — reading the wrong one would misroute real
+    # core-header BMPs onto the fake-decode path
+    (planes,) = struct.unpack_from("<H", payload, 22 if hdr == 12 else 26)
+    return planes == 1
 
 
 def _png_chunks(payload: bytes):
@@ -261,12 +266,27 @@ def decode_png(payload: bytes) -> dict:
     bits_pp = channels * bit_depth
     stride = -(-width * bits_pp // 8)
     fbpp = max(1, bits_pp // 8)  # filter distance is byte-granular
-    raw = zlib.decompress(bytes(idat))
+    if interlaced:
+        expected = sum(
+            ph * (1 + -(-pw * bits_pp // 8))
+            for pw, ph in (
+                (max(0, -(-(width - x0) // dx)), max(0, -(-(height - y0) // dy)))
+                for x0, y0, dx, dy in _ADAM7
+            )
+            if pw and ph
+        )
+    else:
+        expected = (stride + 1) * height
+    # bound the inflate to the raster size the header promises — an
+    # unbounded zlib.decompress would let a deflate bomb (~1000x
+    # expansion) OOM the executor before any length check runs
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), expected + 1)
+    if len(raw) != expected:
+        raise ValueError("PNG pixel data length mismatch")
     if interlaced:
         pixels = _deinterlace_adam7(raw, width, height, bit_depth, channels)
     else:
-        if len(raw) != (stride + 1) * height:
-            raise ValueError("PNG pixel data length mismatch")
         pixels = _samples(
             _unfilter(raw, height, stride, fbpp), width, bit_depth, channels
         )
@@ -793,6 +813,10 @@ def decode_tiff(payload: bytes) -> dict:
         )
     if 322 in tags or 323 in tags:
         raise NotImplementedError("tiled TIFF not supported")
+    if one(284, 1) != 1:
+        # planar (R-strips then G then B) would pass every length
+        # check and silently interleave garbage — refuse instead
+        raise NotImplementedError("planar-configuration TIFF not supported")
     if not width or not height or width * height * spp > (1 << 28):
         raise ValueError(f"implausible TIFF dimensions {width}x{height}")
     offsets = tags.get(273)

@@ -320,6 +320,12 @@ def _decode_jpeg(payload: bytes) -> dict:
                 huff[(tclass, tid)] = _canonical_codes(bits, values)
                 p += 17 + nval
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progr.
+            if frame is not None:
+                # one SOF per frame (T.81 B.2.1); a second one in a
+                # corrupt stream would orphan the progressive
+                # coefficient store's MCU geometry — typed error, not
+                # a KeyError escaping the quarantine contract
+                raise ValueError("duplicate SOF marker")
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError(f"{precision}-bit JPEG not supported")

@@ -812,6 +812,63 @@ def test_bmp_roundtrips_and_sniff_hardening():
             rng.integers(0, 256, (5, 5, 3), dtype=np.uint8))[:30])
 
 
+def test_codec_hardening_review_findings():
+    """Round-9 review regressions: (1) duplicate SOF in a progressive
+    stream is a typed ValueError, not a KeyError escaping the
+    quarantine; (2) planar TIFF refuses instead of silently
+    interleaving garbage; (3) BITMAPCOREHEADER BMPs sniff correctly
+    (planes at offset 22, not 26) so a real payload never fake-decodes;
+    (4) a PNG deflate bomb is length-bounded at inflate time."""
+    import struct
+    import zlib
+
+    from calaveras_uniteus_etl_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+    from calaveras_uniteus_etl_spark.operators import multimodal as mm
+
+    rng = _rng(47)
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    stream = encode_jpeg_progressive(img)
+    i = stream.find(b"\xff\xc2")
+    (seglen,) = struct.unpack(">H", stream[i + 2 : i + 4])
+    j = stream.find(b"\xff\xda")
+    dup = stream[:j] + stream[i : i + 2 + seglen] + stream[j:]
+    with pytest.raises(ValueError):
+        decode_jpeg(dup)
+    assert mm._real_features(dup, "image")["width"] is None
+
+    t = bytearray(codecs.encode_tiff(
+        rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    ))
+    n = struct.unpack_from("<H", t, 8)[0]
+    for k in range(n):
+        e = 10 + 12 * k
+        if struct.unpack_from("<H", t, e)[0] == 262:
+            struct.pack_into("<H", t, e, 284)   # -> PlanarConfiguration
+            struct.pack_into("<HH", t, e + 8, 2, 0)
+    with pytest.raises(NotImplementedError):
+        codecs.decode_tiff(bytes(t))
+
+    core = (b"BM" + struct.pack("<IHHI", 32, 0, 0, 26)
+            + struct.pack("<IHHHH", 12, 4, 2, 1, 24) + b"\x00" * 32)
+    assert codecs.sniff_media(core) == "bmp"
+    f = mm._real_features(core, "image")
+    assert f is not None and f["width"] is None  # quarantine, not fake
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    bomb = (codecs.PNG_MAGIC
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * (10 << 20)))
+            + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        codecs.decode_png(bomb)
+
+
 def test_tiff_bmp_flow_through_extract_features(spark):
     from calaveras_uniteus_etl_spark.functions import codecs as c
 
