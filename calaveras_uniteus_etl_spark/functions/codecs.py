@@ -762,13 +762,23 @@ def decode_tiff(payload: bytes) -> dict:
     def u32(off):
         return struct.unpack_from(bo + "I", payload, off)[0]
 
+    # Only these tag ids are ever consumed below; values of any other
+    # tag are never materialized.  Without this allowlist a crafted IFD
+    # (65535 entries × 65536-count SHORT tags sharing one value region)
+    # drives ~4.3e9 unpack iterations and ~100 GB of int lists — the
+    # per-tag count cap alone does not bound the AGGREGATE.
+    wanted = {256, 257, 258, 259, 262, 273, 277, 278, 279, 284, 322, 323}
+    total_vals_cap = 1 << 20  # aggregate bound across the whole IFD
     try:
         ifd = u32(4)
         n_entries = u16(ifd)
         tags: dict[int, list[int]] = {}
+        total_vals = 0
         for i in range(n_entries):
             e = ifd + 2 + 12 * i
             tag, ftype = u16(e), u16(e + 2)
+            if tag not in wanted:
+                continue  # never decode values the decoder won't read
             count = u32(e + 4)
             size = {1: 1, 3: 2, 4: 4}.get(ftype)
             if size is None:
@@ -777,6 +787,9 @@ def decode_tiff(payload: bytes) -> dict:
                 # a corrupt count (up to 2^32) would drive a
                 # billion-iteration value loop: quarantine instead
                 raise ValueError(f"implausible TIFF tag count {count}")
+            total_vals += count
+            if total_vals > total_vals_cap:
+                raise ValueError("implausible TIFF IFD aggregate value count")
             off = e + 8 if size * count <= 4 else u32(e + 8)
             vals = []
             for k in range(count):
@@ -817,6 +830,10 @@ def decode_tiff(payload: bytes) -> dict:
         # planar (R-strips then G then B) would pass every length
         # check and silently interleave garbage — refuse instead
         raise NotImplementedError("planar-configuration TIFF not supported")
+    if one(262, 1 if spp == 1 else 2) not in (0, 1, 2):
+        # palette (3) would return raw indices as grey, CMYK (5) would
+        # be mislabeled RGBA — same silent-wrong-pixels class as planar
+        raise NotImplementedError("TIFF photometric beyond grey/RGB not supported")
     if not width or not height or width * height * spp > (1 << 28):
         raise ValueError(f"implausible TIFF dimensions {width}x{height}")
     offsets = tags.get(273)

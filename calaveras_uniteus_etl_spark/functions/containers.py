@@ -108,9 +108,26 @@ def sniff_mp3(payload: bytes) -> bool:
     first frame, a second valid header at the computed frame boundary.
     Payloads shorter than one frame (a truncated single-frame stream)
     are accepted on the first header alone.
+
+    An ``ID3`` prefix alone is just as weak a magic as a bare sync
+    word: an opaque payload that happens to start with ASCII "ID3"
+    must not be misrouted. The tag header must parse (10 bytes,
+    syncsafe size), and a valid frame header must appear within the
+    same bounded sync window :func:`parse_mp3_meta` scans behind the
+    tag. Tag-only payloads (nothing after the tag) are accepted
+    explicitly.
     """
     if payload.startswith(ID3_MAGIC):
-        return True
+        if len(payload) < 10 or any(b & 0x80 for b in payload[6:10]):
+            return False  # bare "ID3" prefix / corrupt syncsafe size
+        boundary = _id3_size(payload)
+        if len(payload) <= boundary + 4:
+            return True  # tag-only (or truncated-tag) payload
+        end = min(len(payload) - 4, boundary + 65536)
+        return any(
+            _frame_info(payload, pos) is not None
+            for pos in range(boundary, end + 1)
+        )
     info = _frame_info(payload, 0)
     if info is None:
         return False

@@ -795,8 +795,12 @@ def _reconstruct_progressive(frame, coef, qt) -> dict:
         raster = np.zeros((by, bx, 64))
         raster[:, :, ZIGZAG] = zz
         blocks = raster.reshape(by, bx, 8, 8) * qt[c["tq"]]
-        # spatial = A.T @ coeffs @ A for every block at once
-        px = np.einsum("ij,abjk,kl->abil", _A.T, blocks, _A) + 128.0
+        # spatial = A.T @ coeffs @ A for every block at once.  Batched
+        # matmul (not einsum) so the float summation association is
+        # identical to idct_2d's by construction — a different
+        # contraction order can flip np.round on exact-.5 ties and
+        # break the "progressive == baseline pixel-exact" contract.
+        px = np.matmul(np.matmul(_A.T, blocks), _A) + 128.0
         planes[c["id"]] = px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
     return planes
 

@@ -8,6 +8,8 @@ every PNG filter type and end-to-end dims through mapInPandas.
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 import pytest
 
@@ -1165,3 +1167,111 @@ def test_gif_and_palette_png_quarantine_fuzz():
                 b = b[:i] + b[j:]
             out = mm._real_features(bytes(b), "image")  # must not raise
             assert out is None or isinstance(out, dict)
+
+
+def test_round10_advice_regressions():
+    """Round-10 advice regressions: (1) a crafted IFD whose AGGREGATE
+    value count is huge (many per-tag-cap-passing entries sharing one
+    value region) is a typed ValueError, not an hour of unpack_from;
+    (2) unwanted tags are never materialized, so a 65k-entry IFD of
+    irrelevant tags terminates immediately; (3) palette/CMYK
+    photometrics refuse instead of returning wrong pixels; (4) a bare
+    'ID3' prefix on garbage no longer sniffs as mp3."""
+    import struct
+
+    from calaveras_uniteus_etl_spark.functions.containers import sniff_mp3
+
+    # (1) 64 entries, each tag 273 BYTE count 65536 (passes the
+    # per-tag cap) sharing ONE in-bounds value region -> aggregate
+    # 4.2M values; must trip the IFD aggregate cap, not run to term
+    n_bomb = 64
+    region = 8 + 2 + 12 * n_bomb + 4
+    entries = b"".join(
+        struct.pack("<HHII", 273, 1, 1 << 16, region) for _ in range(n_bomb)
+    )
+    bomb = (
+        b"II*\x00" + struct.pack("<I", 8)
+        + struct.pack("<H", n_bomb) + entries + struct.pack("<I", 0)
+        + b"\x00" * (1 << 16)
+    )
+    with pytest.raises(ValueError, match="aggregate"):
+        codecs.decode_tiff(bomb)
+
+    # (2) 60k entries of an unconsumed tag id: skipped without
+    # materializing values; fails fast on the missing width tag
+    many = b"".join(
+        struct.pack("<HHII", 700, 3, 1 << 16, 8) for _ in range(60000)
+    )
+    junk_ifd = (
+        b"II*\x00" + struct.pack("<I", 8)
+        + struct.pack("<H", 60000) + many + struct.pack("<I", 0)
+    )
+    t0 = time.monotonic()
+    with pytest.raises(ValueError):
+        codecs.decode_tiff(junk_ifd)
+    assert time.monotonic() - t0 < 5.0
+
+    # (3) photometric 3 (palette) / 5 (CMYK) refuse
+    rng = _rng(53)
+    grey = codecs.encode_tiff(rng.integers(0, 256, (6, 7), dtype=np.uint8))
+    rgba = codecs.encode_tiff(
+        rng.integers(0, 256, (6, 7, 4), dtype=np.uint8)
+    )
+    for payload, photometric in ((grey, 3), (rgba, 5)):
+        t = bytearray(payload)
+        n = struct.unpack_from("<H", t, 8)[0]
+        for i in range(n):
+            e = 10 + 12 * i
+            if struct.unpack_from("<H", t, e)[0] == 262:
+                struct.pack_into("<HH", t, e + 8, photometric, 0)
+        with pytest.raises(NotImplementedError, match="photometric"):
+            codecs.decode_tiff(bytes(t))
+
+    # (4) sniff_mp3: ID3 prefix alone is not enough
+    assert not sniff_mp3(b"ID3" + b"\xff" * 64)          # corrupt syncsafe
+    assert not sniff_mp3(b"ID3\x04\x00\x00" + bytes([0, 0, 0, 32])
+                         + b"\x00" * 32 + b"garbage-not-a-frame" * 40)
+    tag_only = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 32]) + b"\x00" * 32
+    assert sniff_mp3(tag_only)                           # tag-only: explicit
+    assert sniff_mp3(_make_mp3(n_bytes=4096, with_id3=True))
+    # padding between tag and first frame still sniffs (parse_mp3_meta
+    # tolerates it, so the router must too)
+    body = _make_mp3(n_bytes=2048, with_id3=False)
+    assert sniff_mp3(tag_only + b"\x00" * 100 + body)
+
+
+def test_progressive_idct_association_matches_idct_2d_bitwise():
+    """The vectorized progressive IDCT must share idct_2d's float
+    summation association EXACTLY (batched matmul, not einsum): any
+    reordering can flip np.round on .5 ties and break the
+    'progressive == baseline pixel-exact' contract. Bitwise-compare
+    the batch against a per-block idct_2d loop, on tie-prone ramps as
+    well as noise."""
+    from calaveras_uniteus_etl_spark.functions.jpeg import (
+        ZIGZAG,
+        _reconstruct_progressive,
+        idct_2d,
+    )
+
+    rng = _rng(59)
+    qt = {0: rng.integers(1, 64, (8, 8)).astype(np.float64)}
+    cases = [
+        rng.integers(-1024, 1024, (3, 4, 64)).astype(np.float64),
+        np.tile(np.arange(64, dtype=np.float64), (2, 5, 1)),  # ramp/ties
+        np.zeros((2, 2, 64)),
+    ]
+    for zz in cases:
+        frame = {"comps": [{"id": 1, "tq": 0}]}
+        planes = _reconstruct_progressive(frame, {1: zz}, qt)
+        by, bx = zz.shape[:2]
+        raster = np.zeros((by, bx, 64))
+        raster[:, :, ZIGZAG] = zz
+        blocks = raster.reshape(by, bx, 8, 8) * qt[0]
+        expect = np.zeros((by * 8, bx * 8))
+        for i in range(by):
+            for j in range(bx):
+                expect[i * 8:(i + 1) * 8, j * 8:(j + 1) * 8] = (
+                    idct_2d(blocks[i, j]) + 128.0
+                )
+        # bitwise equality, not allclose: same primitive, same order
+        assert np.array_equal(planes[1], expect)

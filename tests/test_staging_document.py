@@ -153,3 +153,14 @@ def test_binary_renderers_import_guarded(report, tmp_path):
         D.render_docx(report, str(tmp_path / "r.docx"))
     with pytest.raises((ImportError, NotImplementedError)):
         D.render_pdf(report, str(tmp_path / "r.pdf"))
+
+
+def test_row_cap_breach_is_observable(spark):
+    """_ROW_CAP is defensive-only (every handler is top-k-capped
+    upstream), so an actual clip means an upstream bug — it must raise,
+    never silently truncate (round-10 advice item)."""
+    at_cap = spark.range(D._ROW_CAP).select("id")
+    assert len(D._rows(at_cap)) == D._ROW_CAP  # exactly at cap: fine
+    over = spark.range(D._ROW_CAP + 1).select("id")
+    with pytest.raises(ValueError, match="_ROW_CAP"):
+        D._rows(over)
