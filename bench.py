@@ -23,8 +23,48 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # picked. Resolved inside main() after the registry imports.
 
 
+def _calibration() -> dict[str, float]:
+    """Single-core CPU baseline recorded INTO the bench receipt.
+
+    Box throughput varies ~1.3× between sessions with identical code
+    (r9 bench moved 216.6→278.4s on a zero-query-diff tree; verified
+    environmental by an A/B control). These three numbers — pure-Python
+    loop, BLAS float64 matmul, hashlib md5 — let any two rounds' bench
+    totals be normalized mechanically instead of argued. Measured
+    BEFORE the Spark session exists, so the box is idle.
+    """
+    import hashlib
+
+    import numpy as np
+
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(20_000_000):
+        acc += i
+    py = time.perf_counter() - t0
+
+    a = np.random.default_rng(0).random((2048, 2048))
+    b = np.random.default_rng(1).random((2048, 2048))
+    t0 = time.perf_counter()
+    for _ in range(6):
+        b = a @ b
+        b *= 1e-4  # keep magnitudes bounded across iterations
+    mm = time.perf_counter() - t0
+
+    buf = b"\xa5" * (64 << 20)
+    t0 = time.perf_counter()
+    hashlib.md5(buf).hexdigest()
+    md = time.perf_counter() - t0
+    return {
+        "py_loop_20M_s": round(py, 4),
+        "matmul6x2048_s": round(mm, 4),
+        "md5_64MB_s": round(md, 4),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    calibration = _calibration()
     from calaveras_uniteus_etl_spark.session import get_spark
     from calaveras_uniteus_etl_spark.plans import REGISTRY
 
@@ -126,6 +166,7 @@ def main() -> None:
                 "queries": timings,
                 "index_build": index_build,
                 "index_timing": "warm",  # per-query numbers are warm-index
+                "calibration": calibration,
                 "sf": sf_val,
             },
             f,

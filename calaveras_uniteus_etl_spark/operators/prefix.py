@@ -58,11 +58,11 @@ _PART_ROWS = "__prefix_part_rows"
 def prefix_rank(
     df: DataFrame,
     order: list[Column],
-    value: str | None = None,
+    value: str | list[str] | None = None,
     *,
-    cum_col: str | None = None,
+    cum_col: str | list[str | None] | None = None,
     rn_col: str | None = None,
-    total_sum_col: str | None = None,
+    total_sum_col: str | list[str | None] | None = None,
     total_rows_col: str | None = None,
     partitions: int | None = None,
 ) -> DataFrame:
@@ -77,14 +77,37 @@ def prefix_rank(
     - ``rn_col``: global 1-based ``row_number`` in ``order`` (BIGINT).
     - ``total_sum_col`` / ``total_rows_col``: grand total of ``value`` /
       row count, attached to every row (replaces ``... OVER ()``).
+
+    ``value`` may be a LIST of measure columns, with ``cum_col`` /
+    ``total_sum_col`` lists of matching length (``None`` entries skip
+    that output for that measure). All measures share ONE range
+    exchange, one pinned materialization, and one offsets broadcast —
+    a k-measure scan costs the same shuffle as a 1-measure scan
+    (two-sample ECDFs, multi-metric Pareto), instead of k pinned
+    range-partitioned copies of the relation.
     """
-    if cum_col is None and rn_col is None and total_sum_col is None and (
-        total_rows_col is None
-    ):
+    values: list[str] = (
+        [] if value is None else [value] if isinstance(value, str) else list(value)
+    )
+    cum_cols: list[str | None] = (
+        [None] * len(values)
+        if cum_col is None
+        else [cum_col] if isinstance(cum_col, str) else list(cum_col)
+    )
+    tot_cols: list[str | None] = (
+        [None] * len(values)
+        if total_sum_col is None
+        else [total_sum_col] if isinstance(total_sum_col, str)
+        else list(total_sum_col)
+    )
+    if values and (len(cum_cols) != len(values) or len(tot_cols) != len(values)):
+        raise ValueError("prefix_rank: cum_col/total_sum_col length != value length")
+    wants_sum_output = any(c is not None for c in cum_cols + tot_cols)
+    if rn_col is None and total_rows_col is None and not wants_sum_output:
         raise ValueError("prefix_rank: request at least one output column")
-    need_sum = value is not None and (cum_col or total_sum_col)
-    if (cum_col or total_sum_col) and value is None:
+    if wants_sum_output and not values:
         raise ValueError("prefix_rank: cum_col/total_sum_col need a value column")
+    need_sum = bool(values) and wants_sum_output
 
     n = partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
@@ -108,19 +131,19 @@ def prefix_rank(
     w_local = Window.partitionBy(_PID).orderBy(*order)
     local = part.withColumn(_LOCAL_RN, F.row_number().over(w_local))
     if need_sum:
-        local = local.withColumn(
-            _LOCAL_SUM,
-            F.sum(value).over(
-                w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
+        w_run = w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        for i, (v, cc) in enumerate(zip(values, cum_cols)):
+            if cc is not None:
+                local = local.withColumn(f"{_LOCAL_SUM}{i}", F.sum(v).over(w_run))
 
     # Per-partition totals: ≤ one row per shuffle partition, so the
     # global windows below run over a cluster-sized (not data-sized)
     # relation and the join back is broadcast by construction.
     aggs = [F.count(F.lit(1)).alias(_PART_ROWS)]
     if need_sum:
-        aggs.append(F.sum(value).alias(_PART_SUM))
+        for i, (v, cc, tc) in enumerate(zip(values, cum_cols, tot_cols)):
+            if cc is not None or tc is not None:
+                aggs.append(F.sum(v).alias(f"{_PART_SUM}{i}"))
     totals = local.groupBy(_PID).agg(*aggs)
     w_excl = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
     w_all = Window.orderBy(_PID).rowsBetween(
@@ -134,24 +157,32 @@ def prefix_rank(
     if total_rows_col is not None:
         off_cols.append(F.sum(_PART_ROWS).over(w_all).alias(total_rows_col))
     if need_sum:
-        sum_type = totals.schema[_PART_SUM].dataType
-        off_cols.append(
-            F.coalesce(
-                F.sum(_PART_SUM).over(w_excl), F.lit(0).cast(sum_type)
-            ).alias(_OFF_SUM)
-        )
-    if total_sum_col is not None:
-        off_cols.append(F.sum(_PART_SUM).over(w_all).alias(total_sum_col))
+        for i, (cc, tc) in enumerate(zip(cum_cols, tot_cols)):
+            part_sum = f"{_PART_SUM}{i}"
+            if cc is not None:
+                sum_type = totals.schema[part_sum].dataType
+                off_cols.append(
+                    F.coalesce(
+                        F.sum(part_sum).over(w_excl), F.lit(0).cast(sum_type)
+                    ).alias(f"{_OFF_SUM}{i}")
+                )
+            if tc is not None:
+                off_cols.append(F.sum(part_sum).over(w_all).alias(tc))
     offsets = totals.select(*off_cols)
 
     out = local.join(F.broadcast(offsets), _PID)
-    if cum_col is not None:
-        out = out.withColumn(cum_col, F.col(_LOCAL_SUM) + F.col(_OFF_SUM))
+    drop = [_PID, _LOCAL_RN, _OFF_ROWS]
+    for i, cc in enumerate(cum_cols):
+        if cc is not None:
+            out = out.withColumn(
+                cc, F.col(f"{_LOCAL_SUM}{i}") + F.col(f"{_OFF_SUM}{i}")
+            )
+            drop += [f"{_LOCAL_SUM}{i}", f"{_OFF_SUM}{i}"]
     if rn_col is not None:
         out = out.withColumn(
             rn_col, (F.col(_LOCAL_RN).cast("bigint") + F.col(_OFF_ROWS))
         )
-    return out.drop(_PID, _LOCAL_SUM, _LOCAL_RN, _OFF_SUM, _OFF_ROWS)
+    return out.drop(*drop)
 
 
 def ntile_from_rank(rn: Column, total: Column, n: int) -> Column:

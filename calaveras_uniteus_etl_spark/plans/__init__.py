@@ -248,6 +248,20 @@ _ADDITION_ORDER = [
     "d13_rank_semantics",
     "f83_sign_test",
     "g31_weekend_lift",
+    # --- round-10 additions (10): freeze lifted after CORRECTNESS_r09 ---
+    "f84_inequality_indices",
+    "f85_ljung_box",
+    "f86_jarque_bera",
+    "f87_cramers_v_gtest",
+    "f88_permutation_test",
+    "f89_ks_two_sample",
+    "g32_record_breaking_days",
+    "g33_transition_entropy",
+    "g34_funnel_conversion",
+    "h30_multiband_counts",
+    "f90_markov_stationary",
+    "h31_dense_order_buyers",
+    "h32_am_pm_ratio",
 ]
 
 # Rows-only-by-design entries that can never earn a hash-green row —

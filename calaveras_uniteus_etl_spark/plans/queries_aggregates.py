@@ -10136,3 +10136,1109 @@ def g31_weekend_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(wd, 4).alias("weekday_daily_rev"),
         F.round(we / wd, 6).alias("lift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F84 — income-inequality indices (Gini / Theil / Atkinson / Hoover)
+#
+# The concentration view f29's Pareto shares only sketch: four standard
+# inequality measures over per-customer revenue in one pass. Gini uses
+# the rank formula G = 2·Σr·x/(n·Σx) − (n+1)/n over a DISTRIBUTED total
+# order (prefix_rank two-phase rank — no single-partition window), so
+# the plan survives 10⁸⁺ customers. Rank products are exact DECIMAL;
+# the ln-based terms (Theil, Atkinson) are O(1) ratios x/μ quantized
+# per-term at 8–10dp before the order-independent decimal sum, keeping
+# libm last-ulp noise far below the rounding grain. Engine extension —
+# no reference counterpart (closest surface: spend rollups,
+# /root/reference/core/app.py:2510-2560).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f84_inequality_indices",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                   AS DECIMAL(38,2)) * 100 AS BIGINT) AS x
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT x, o_custkey,
+         CAST(ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS BIGINT) AS r
+  FROM per_cust
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx
+  FROM per_cust
+), s AS (
+  SELECT
+    CAST(SUM(CAST(r AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0)))
+         AS DOUBLE) AS srx,
+    CAST(SUM(CAST(ROUND((x / mu) * LN(x / mu), 8) AS DECIMAL(38,8)))
+         AS DOUBLE) AS st,
+    CAST(SUM(CAST(ROUND(LN(x / mu), 10) AS DECIMAL(38,10)))
+         AS DOUBLE) AS sl,
+    CAST(SUM(CAST(ROUND(ABS(x - mu), 6) AS DECIMAL(38,6)))
+         AS DOUBLE) AS sa
+  FROM ranked CROSS JOIN (SELECT CAST(sx AS DOUBLE) / n AS mu FROM tot) m
+)
+SELECT n AS n_cust,
+       ROUND(CAST(sx AS DOUBLE) / n, 6) AS mean_cents,
+       ROUND(2.0 * srx / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini,
+       ROUND(st / CAST(n AS DOUBLE), 6) AS theil_t,
+       ROUND(1.0 - EXP(sl / CAST(n AS DOUBLE)), 6) AS atkinson,
+       ROUND(sa / (2.0 * CAST(sx AS DOUBLE)), 6) AS hoover
+FROM s CROSS JOIN tot
+""",
+    doc="Gini (distributed rank formula), Theil T, Atkinson(ε=1) and "
+    "Hoover index over per-customer revenue cents: exact decimal rank "
+    "products, O(1)-ratio log terms quantized before the decimal sum.",
+)
+def f84_inequality_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        (F.sum(X.dec("o_totalprice")).cast("decimal(38,2)") * 100)
+        .cast("bigint")
+        .alias("x")
+    )
+    ranked = prefix_rank(
+        per_cust,
+        [F.asc("x"), F.asc("o_custkey")],
+        "x",
+        rn_col="r",
+        total_sum_col="sx",
+        total_rows_col="n",
+    )
+    base = ranked.withColumn("mu", F.col("sx").cast("double") / F.col("n"))
+    ratio = F.col("x") / F.col("mu")
+    s = base.agg(
+        F.max("n").alias("n_cust"),
+        F.max("sx").alias("sx"),
+        F.sum(F.col("r").cast("decimal(18,0)") * F.col("x").cast("decimal(18,0)"))
+        .cast("double")
+        .alias("srx"),
+        F.sum(F.round(ratio * F.log(ratio), 8).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("st"),
+        F.sum(F.round(F.log(ratio), 10).cast("decimal(38,10)"))
+        .cast("double")
+        .alias("sl"),
+        F.sum(
+            F.round(F.abs(F.col("x") - F.col("mu")), 6).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("sa"),
+    )
+    nd = F.col("n_cust").cast("double")
+    sxd = F.col("sx").cast("double")
+    return s.select(
+        F.col("n_cust"),
+        F.round(sxd / F.col("n_cust"), 6).alias("mean_cents"),
+        F.round(
+            F.lit(2.0) * F.col("srx") / (nd * sxd) - (nd + F.lit(1.0)) / nd, 6
+        ).alias("gini"),
+        F.round(F.col("st") / nd, 6).alias("theil_t"),
+        F.round(F.lit(1.0) - F.exp(F.col("sl") / nd), 6).alias("atkinson"),
+        F.round(F.col("sa") / (F.lit(2.0) * sxd), 6).alias("hoover"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F85 — Ljung–Box portmanteau test on daily revenue
+#
+# f48 reports per-lag autocorrelation; this is the hypothesis test on
+# top: Q_m = n(n+2)·Σ_{k≤m} ρ_k²/(n−k) with ρ_k = c_k/c_0 computed
+# around the FIXED series mean (textbook form), over the observed-day
+# series joined at calendar lag k (f48/f51 day-grain contract, pair
+# counts disclosed per lag). Deviations are exact-integer-minus-
+# identical-double — no libm anywhere — so per-term 6dp quantization
+# before the decimal sum gives bit-identical statistics. Engine
+# extension (reference has no time-series tests).
+# ---------------------------------------------------------------------------
+
+_F85_LAGS = 7
+
+
+@register(
+    "f85_ljung_box",
+    oracle=f"""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1995-01-01', o_orderdate) AS d,
+         CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                         AS DECIMAL(38,2)), 0) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS sy
+  FROM daily
+), base AS (
+  SELECT d, y, n, CAST(sy AS DOUBLE) / n AS mu FROM daily CROSS JOIN tot
+), c0t AS (
+  SELECT CAST(SUM(CAST(ROUND((y - mu) * (y - mu), 6) AS DECIMAL(38,6)))
+              AS DOUBLE) AS c0,
+         MAX(n) AS n
+  FROM base
+), lagged AS (
+  SELECT l.lag, a.y - a.mu AS dx, b.y - b.mu AS dy
+  FROM (SELECT unnest(range(1, {_F85_LAGS} + 1)) AS lag) l
+  JOIN base a ON TRUE
+  JOIN base b ON b.d = a.d - l.lag
+), ck AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(CAST(ROUND(dx * dy, 6) AS DECIMAL(38,6))) AS DOUBLE) AS ck
+  FROM lagged GROUP BY lag
+)
+SELECT lag, n_pairs, ROUND(ck / c0, 6) AS rho,
+       ROUND((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)) *
+             CAST(SUM(CAST(ROUND((ck / c0) * (ck / c0)
+                                 / (CAST(n AS DOUBLE) - lag), 12)
+                           AS DECIMAL(38,12)))
+                  OVER (ORDER BY lag ROWS UNBOUNDED PRECEDING)
+                  AS DOUBLE), 6) AS q_stat
+FROM ck CROSS JOIN c0t
+ORDER BY lag
+""",
+    doc="Ljung–Box Q at lags 1–7 on the integer-dollar daily series: "
+    "fixed-mean autocovariances with 6dp per-term quantization, "
+    "cumulative Q over the 7-row lag relation.",
+)
+def f85_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("date")
+        ).alias("d")
+    ).agg(
+        F.round(F.sum(X.dec("o_totalprice")).cast("decimal(38,2)"), 0)
+        .cast("bigint")
+        .alias("y")
+    )
+    tot = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+    )
+    base = daily.crossJoin(F.broadcast(tot)).select(
+        "d", "y", "n", (F.col("sy").cast("double") / F.col("n")).alias("mu")
+    )
+    dev = F.col("y") - F.col("mu")
+    c0t = base.agg(
+        F.sum(F.round(dev * dev, 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("c0"),
+        F.max("n").alias("n"),
+    )
+    lags = spark.range(1, _F85_LAGS + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = base.crossJoin(F.broadcast(lags)).select(
+        "lag", (F.col("d") - F.col("lag")).alias("d_prev"), dev.alias("dx")
+    )
+    b = base.select(F.col("d").alias("d_prev"), dev.alias("dy"))
+    ck = (
+        a.join(b, "d_prev")
+        .groupBy("lag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum(F.round(F.col("dx") * F.col("dy"), 6).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("ck"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    rho = F.col("ck") / F.col("c0")
+    w = Window.orderBy("lag").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ck.crossJoin(F.broadcast(c0t))
+        .select(
+            "lag",
+            "n_pairs",
+            F.round(rho, 6).alias("rho"),
+            F.round(
+                (nd * (nd + F.lit(2.0)))
+                * F.sum(
+                    F.round(rho * rho / (nd - F.col("lag")), 12).cast(
+                        "decimal(38,12)"
+                    )
+                )
+                .over(w)
+                .cast("double"),
+                6,
+            ).alias("q_stat"),
+        )
+        .orderBy("lag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F86 — Jarque–Bera normality screen per market segment
+#
+# Distribution-shape audit the drift monitors (f30/f65) assume away:
+# skewness, excess kurtosis, and the JB statistic of order values per
+# customer segment, from four raw power sums over exact integer
+# dollars. Moments up to x⁴ stay in DECIMAL(38,0) (dollar grain keeps
+# Σx⁴ < 10³⁸ far past 100 TB row counts); every downstream step is
+# identical IEEE double algebra — sqrt only, no pow/libm. One broadcast
+# dim join + one 5-group hash aggregate. Engine extension.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f86_jarque_bera",
+    oracle="""
+WITH base AS (
+  SELECT c.c_mktsegment AS mktsegment,
+         CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)), 0) AS BIGINT) AS x
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), s AS (
+  SELECT mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(18,0))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(x * x AS DECIMAL(18,0))) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(x * x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+              AS DOUBLE) AS s3,
+         CAST(SUM(CAST(x * x AS DECIMAL(19,0)) * CAST(x * x AS DECIMAL(19,0)))
+              AS DOUBLE) AS s4
+  FROM base GROUP BY mktsegment
+), m AS (
+  SELECT mktsegment, n,
+         s1 / n AS m1, s2 / n AS r2, s3 / n AS r3, s4 / n AS r4
+  FROM s
+), c AS (
+  SELECT mktsegment, n, m1,
+         r2 - m1 * m1 AS m2,
+         r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1 AS m3,
+         r4 - 4.0 * m1 * r3 + 6.0 * (m1 * m1) * r2
+            - 3.0 * (m1 * m1) * (m1 * m1) AS m4
+  FROM m
+), g AS (
+  SELECT mktsegment, n, m1,
+         m3 / (m2 * SQRT(m2)) AS skew,
+         m4 / (m2 * m2) - 3.0 AS kurt
+  FROM c
+)
+SELECT mktsegment, n AS n_orders,
+       ROUND(m1, 6) AS mean_dollars,
+       ROUND(skew, 6) AS skewness,
+       ROUND(kurt, 6) AS kurtosis_excess,
+       ROUND((CAST(n AS DOUBLE) / 6.0)
+             * (skew * skew + (kurt * kurt) / 4.0), 6) AS jb_stat
+FROM g ORDER BY mktsegment
+""",
+    doc="Per-segment skewness / excess kurtosis / Jarque–Bera from "
+    "exact DECIMAL power sums of integer order dollars; sqrt-only "
+    "double algebra, identical association on both engines.",
+)
+def f86_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.round(X.dec("o_totalprice"), 0).cast("bigint").alias("x"),
+    )
+    xx = F.col("x") * F.col("x")
+    s = base.groupBy("mktsegment").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("x").cast("decimal(18,0)")).cast("double").alias("s1"),
+        F.sum(xx.cast("decimal(18,0)")).cast("double").alias("s2"),
+        F.sum(xx.cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)"))
+        .cast("double")
+        .alias("s3"),
+        F.sum(xx.cast("decimal(19,0)") * xx.cast("decimal(19,0)"))
+        .cast("double")
+        .alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    m = s.select(
+        "mktsegment",
+        "n",
+        (F.col("s1") / F.col("n")).alias("m1"),
+        (F.col("s2") / F.col("n")).alias("r2"),
+        (F.col("s3") / F.col("n")).alias("r3"),
+        (F.col("s4") / F.col("n")).alias("r4"),
+    )
+    m1 = F.col("m1")
+    cdf = m.select(
+        "mktsegment",
+        "n",
+        "m1",
+        (F.col("r2") - m1 * m1).alias("m2"),
+        (
+            F.col("r3") - F.lit(3.0) * m1 * F.col("r2")
+            + F.lit(2.0) * m1 * m1 * m1
+        ).alias("m3"),
+        (
+            F.col("r4") - F.lit(4.0) * m1 * F.col("r3")
+            + F.lit(6.0) * (m1 * m1) * F.col("r2")
+            - F.lit(3.0) * (m1 * m1) * (m1 * m1)
+        ).alias("m4"),
+    )
+    g = cdf.select(
+        "mktsegment",
+        "n",
+        "m1",
+        (F.col("m3") / (F.col("m2") * F.sqrt(F.col("m2")))).alias("skew"),
+        (F.col("m4") / (F.col("m2") * F.col("m2")) - F.lit(3.0)).alias("kurt"),
+    )
+    return g.select(
+        "mktsegment",
+        F.col("n").alias("n_orders"),
+        F.round(F.col("m1"), 6).alias("mean_dollars"),
+        F.round(F.col("skew"), 6).alias("skewness"),
+        F.round(F.col("kurt"), 6).alias("kurtosis_excess"),
+        F.round(
+            (nd / F.lit(6.0))
+            * (
+                F.col("skew") * F.col("skew")
+                + (F.col("kurt") * F.col("kurt")) / F.lit(4.0)
+            ),
+            6,
+        ).alias("jb_stat"),
+    ).orderBy("mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# F87 — Cramér's V + likelihood-ratio G-test (segment × priority)
+#
+# f34's chi-square names the statistic; this adds the effect size and
+# the likelihood-ratio twin over the FULL r×c grid (zero cells enter
+# with their expected mass, as the textbook demands — f34 works on the
+# observed grid). Expected counts divide exact integers; per-cell terms
+# are 12dp-quantized before the order-independent decimal sum; the only
+# libm call is LN on an O(1) observed/expected ratio. Two grid-sized
+# aggregates over one fact⋈broadcast-dim join. Engine extension.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f87_cramers_v_gtest",
+    oracle="""
+WITH base AS (
+  SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), obs AS (
+  SELECT seg, pri, CAST(COUNT(*) AS BIGINT) AS o FROM base GROUP BY seg, pri
+), rt AS (
+  SELECT seg, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY seg
+), ct AS (
+  SELECT pri, CAST(SUM(o) AS BIGINT) AS s FROM obs GROUP BY pri
+), tot AS (
+  SELECT CAST(SUM(o) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT seg) AS BIGINT) AS kr,
+         CAST(COUNT(DISTINCT pri) AS BIGINT) AS kc
+  FROM obs
+), grid AS (
+  SELECT rt.seg, ct.pri, rt.r, ct.s, COALESCE(obs.o, 0) AS o
+  FROM rt CROSS JOIN ct
+  LEFT JOIN obs ON obs.seg = rt.seg AND obs.pri = ct.pri
+), terms AS (
+  SELECT CAST(r AS DOUBLE) * s / n AS e, o
+  FROM grid CROSS JOIN tot
+), agg AS (
+  SELECT
+    CAST(SUM(CAST(ROUND((o - e) * (o - e) / e, 12) AS DECIMAL(38,12)))
+         AS DOUBLE) AS chi2,
+    CAST(SUM(CASE WHEN o > 0
+                  THEN CAST(ROUND(o * LN(o / e), 12) AS DECIMAL(38,12))
+                  ELSE CAST(0 AS DECIMAL(38,12)) END)
+         AS DOUBLE) AS glog
+  FROM terms
+)
+SELECT n, kr AS n_segments, kc AS n_priorities,
+       (kr - 1) * (kc - 1) AS dof,
+       ROUND(chi2, 6) AS chi2,
+       ROUND(SQRT(chi2 / (CAST(n AS DOUBLE)
+                          * (LEAST(kr, kc) - 1))), 6) AS cramers_v,
+       ROUND(2.0 * glog, 6) AS g_stat
+FROM agg CROSS JOIN tot
+""",
+    doc="Full-grid chi-square with Cramér's V effect size and the "
+    "likelihood-ratio G-test over mktsegment × orderpriority; exact "
+    "integer marginals, 12dp per-cell quantization.",
+)
+def f87_cramers_v_gtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("pri")
+    )
+    obs = base.groupBy("seg", "pri").agg(F.count("*").cast("bigint").alias("o"))
+    rt = obs.groupBy("seg").agg(F.sum("o").cast("bigint").alias("r"))
+    ct = obs.groupBy("pri").agg(F.sum("o").cast("bigint").alias("s"))
+    tot = obs.agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.countDistinct("seg").cast("bigint").alias("kr"),
+        F.countDistinct("pri").cast("bigint").alias("kc"),
+    )
+    grid = (
+        rt.crossJoin(ct)
+        .join(obs, ["seg", "pri"], "left")
+        .select("r", "s", F.coalesce(F.col("o"), F.lit(0)).alias("o"))
+    )
+    terms = grid.crossJoin(F.broadcast(tot)).select(
+        (F.col("r").cast("double") * F.col("s") / F.col("n")).alias("e"),
+        "o",
+    )
+    zero = F.lit(0).cast("decimal(38,12)")
+    agg = terms.agg(
+        F.sum(
+            F.round(
+                (F.col("o") - F.col("e")) * (F.col("o") - F.col("e"))
+                / F.col("e"),
+                12,
+            ).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("chi2"),
+        F.sum(
+            F.when(
+                F.col("o") > 0,
+                F.round(
+                    F.col("o") * F.log(F.col("o") / F.col("e")), 12
+                ).cast("decimal(38,12)"),
+            ).otherwise(zero)
+        )
+        .cast("double")
+        .alias("glog"),
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "n",
+        F.col("kr").alias("n_segments"),
+        F.col("kc").alias("n_priorities"),
+        ((F.col("kr") - 1) * (F.col("kc") - 1)).alias("dof"),
+        F.round(F.col("chi2"), 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n").cast("double") * (F.least("kr", "kc") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+        F.round(F.lit(2.0) * F.col("glog"), 6).alias("g_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F88 — deterministic permutation test (urgent vs standard order value)
+#
+# The nonparametric A/B readout f72 can't give: a null distribution for
+# the mean-difference statistic, built from R=128 label reshuffles that
+# are DETERMINISTIC (md5-salted per rep×order, the x30/x88 sampling
+# idiom — never rand()), so Spark and DuckDB draw byte-identical
+# permutations. Labels are reassigned binomially at the observed group
+# share (basis-point threshold from exact integer ops) — the
+# exchangeable-under-H0 variant that needs no global shuffle of actual
+# labels. The R-fold explode is map-side only: partial aggregation
+# collapses it to R rows before any exchange, so the plan's shuffle
+# mass is R×partitions rows at any data scale. Engine extension.
+# ---------------------------------------------------------------------------
+
+_F88_REPS = 128
+
+
+@register(
+    "f88_permutation_test",
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS a,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+), obs AS (
+  SELECT CAST(SUM(a) AS BIGINT) AS na,
+         CAST(COUNT(*) - SUM(a) AS BIGINT) AS nb,
+         CAST(SUM(CASE WHEN a = 1 THEN cents ELSE 0 END) AS BIGINT) AS sa,
+         CAST(SUM(CASE WHEN a = 0 THEN cents ELSE 0 END) AS BIGINT) AS sb
+  FROM base
+), par AS (
+  SELECT na, nb, sa, sb,
+         CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb AS diff_obs,
+         CAST(FLOOR(10000.0 * na / (na + nb)) AS BIGINT) AS thr
+  FROM obs
+), draws AS (
+  SELECT r.rep,
+         CASE WHEN list_reduce(list_transform(
+                string_split_regex(substr(md5(
+                  'perm:' || CAST(r.rep AS VARCHAR) || ':'
+                          || CAST(b.o_orderkey AS VARCHAR)), 1, 15), ''),
+                x -> strpos('0123456789abcdef', x) - 1),
+                (a, b) -> a * 16 + b) % 10000 < p.thr
+              THEN 1 ELSE 0 END AS ar,
+         b.cents
+  FROM base b
+  CROSS JOIN (SELECT unnest(range(1, {_F88_REPS} + 1)) AS rep) r
+  CROSS JOIN par p
+), per_rep AS (
+  SELECT rep,
+         CAST(SUM(ar) AS BIGINT) AS nar,
+         CAST(COUNT(*) - SUM(ar) AS BIGINT) AS nbr,
+         CAST(SUM(CASE WHEN ar = 1 THEN cents ELSE 0 END) AS BIGINT) AS sar,
+         CAST(SUM(CASE WHEN ar = 0 THEN cents ELSE 0 END) AS BIGINT) AS sbr
+  FROM draws GROUP BY rep
+), verdicts AS (
+  SELECT CAST(SUM(CASE WHEN ABS(CAST(sar AS DOUBLE) / nar
+                                - CAST(sbr AS DOUBLE) / nbr)
+                            >= ABS(p.diff_obs)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+  FROM per_rep CROSS JOIN par p
+)
+SELECT na + nb AS n_orders, na AS n_urgent, thr AS thr_bp,
+       ROUND(diff_obs, 6) AS diff_obs_cents,
+       {_F88_REPS} AS n_reps, n_extreme,
+       ROUND((1.0 + n_extreme) / ({_F88_REPS} + 1.0), 6) AS p_value
+FROM par CROSS JOIN verdicts
+""",
+    doc="Hash-seeded permutation test of mean order value, urgent vs "
+    "standard priority: 128 deterministic md5 label reshuffles at the "
+    "observed group share, add-one p-value; reproducible byte-for-byte "
+    "in any engine with md5.",
+)
+def f88_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calaveras_uniteus_etl_spark.functions.hashing import md5_long
+
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("a"),
+        (X.dec("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    obs = base.agg(
+        F.sum("a").cast("bigint").alias("na"),
+        (F.count("*") - F.sum("a")).cast("bigint").alias("nb"),
+        F.sum(F.when(F.col("a") == 1, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("sa"),
+        F.sum(F.when(F.col("a") == 0, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("sb"),
+    )
+    par = obs.select(
+        "na",
+        "nb",
+        "sa",
+        "sb",
+        (
+            F.col("sa").cast("double") / F.col("na")
+            - F.col("sb").cast("double") / F.col("nb")
+        ).alias("diff_obs"),
+        F.floor(
+            F.lit(10000.0) * F.col("na") / (F.col("na") + F.col("nb"))
+        )
+        .cast("bigint")
+        .alias("thr"),
+    )
+    reps = spark.range(1, _F88_REPS + 1).select(F.col("id").alias("rep"))
+    draws = (
+        base.crossJoin(F.broadcast(reps))
+        .crossJoin(F.broadcast(par))
+        .select(
+            "rep",
+            F.when(
+                md5_long(
+                    F.concat(
+                        F.lit("perm:"),
+                        F.col("rep").cast("string"),
+                        F.lit(":"),
+                        F.col("o_orderkey").cast("string"),
+                    )
+                )
+                % 10000
+                < F.col("thr"),
+                1,
+            )
+            .otherwise(0)
+            .alias("ar"),
+            "cents",
+        )
+    )
+    per_rep = draws.groupBy("rep").agg(
+        F.sum("ar").cast("bigint").alias("nar"),
+        (F.count("*") - F.sum("ar")).cast("bigint").alias("nbr"),
+        F.sum(F.when(F.col("ar") == 1, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("sar"),
+        F.sum(F.when(F.col("ar") == 0, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("sbr"),
+    )
+    verdicts = per_rep.crossJoin(F.broadcast(par)).agg(
+        F.sum(
+            F.when(
+                F.abs(
+                    F.col("sar").cast("double") / F.col("nar")
+                    - F.col("sbr").cast("double") / F.col("nbr")
+                )
+                >= F.abs(F.col("diff_obs")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_extreme")
+    )
+    return par.crossJoin(verdicts).select(
+        (F.col("na") + F.col("nb")).alias("n_orders"),
+        F.col("na").alias("n_urgent"),
+        F.col("thr").alias("thr_bp"),
+        F.round(F.col("diff_obs"), 6).alias("diff_obs_cents"),
+        F.lit(_F88_REPS).alias("n_reps"),
+        "n_extreme",
+        F.round(
+            (F.lit(1.0) + F.col("n_extreme")) / F.lit(_F88_REPS + 1.0), 6
+        ).alias("p_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F89 — two-sample Kolmogorov–Smirnov (urgent vs standard order value)
+#
+# The distribution-level companion to f88's mean test: D = max over the
+# pooled value grid of |F̂₁ − F̂₂|. Both ECDFs come from ONE multi-
+# measure prefix_rank pass over the distinct-cents grain (two
+# cumulative counts sharing a single range exchange — the reason
+# prefix_rank grew list-valued measures), so no single-partition
+# window touches a data-sized relation and the argmax is a
+# TakeOrderedAndProject. Counts are exact integers; D divides
+# identical doubles. Engine extension.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f89_ks_two_sample",
+    oracle="""
+WITH base AS (
+  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS a,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+  FROM orders
+), vals AS (
+  SELECT x,
+         CAST(SUM(a) AS BIGINT) AS c1,
+         CAST(COUNT(*) - SUM(a) AS BIGINT) AS c2
+  FROM base GROUP BY x
+), cum AS (
+  SELECT x,
+         SUM(c1) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cum1,
+         SUM(c2) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cum2,
+         SUM(c1) OVER () AS n1,
+         SUM(c2) OVER () AS n2
+  FROM vals
+), d AS (
+  SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2, x,
+         ABS(CAST(cum1 AS DOUBLE) / n1 - CAST(cum2 AS DOUBLE) / n2) AS dd
+  FROM cum
+)
+SELECT n1, n2,
+       ROUND(dd, 6) AS ks_stat,
+       x AS ks_at_cents,
+       ROUND(SQRT(CAST(n1 AS DOUBLE) * n2 / (CAST(n1 AS DOUBLE) + n2))
+             * dd, 6) AS ks_scaled
+FROM d ORDER BY dd DESC, x LIMIT 1
+""",
+    doc="Two-sample KS statistic over order values (urgent vs standard "
+    "priority): distinct-cents grain, one multi-measure distributed "
+    "prefix scan for both ECDFs, exact counts, argmax with total-order "
+    "tiebreak.",
+)
+def f89_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("a"),
+        (X.dec("o_totalprice") * 100).cast("bigint").alias("x"),
+    )
+    vals = base.groupBy("x").agg(
+        F.sum("a").cast("bigint").alias("c1"),
+        (F.count("*") - F.sum("a")).cast("bigint").alias("c2"),
+    )
+    ranked = prefix_rank(
+        vals,
+        [F.asc("x")],
+        ["c1", "c2"],
+        cum_col=["cum1", "cum2"],
+        total_sum_col=["n1", "n2"],
+    )
+    dd = F.abs(
+        F.col("cum1").cast("double") / F.col("n1")
+        - F.col("cum2").cast("double") / F.col("n2")
+    )
+    top = (
+        ranked.select("x", "n1", "n2", dd.alias("dd"))
+        .orderBy(F.desc("dd"), F.asc("x"))
+        .limit(1)
+    )
+    return top.select(
+        "n1",
+        "n2",
+        F.round(F.col("dd"), 6).alias("ks_stat"),
+        F.col("x").alias("ks_at_cents"),
+        F.round(
+            F.sqrt(
+                F.col("n1").cast("double")
+                * F.col("n2")
+                / (F.col("n1").cast("double") + F.col("n2"))
+            )
+            * F.col("dd"),
+            6,
+        ).alias("ks_scaled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# G32 — record-breaking-day census
+#
+# Extreme-value bookkeeping on the revenue series (the empirical twin
+# of f59's Gumbel fit): which days beat every prior day, per year. The
+# running max is a window over the DAY GRAIN — calendar-bounded, so
+# the single-partition window is over ≤ a few thousand rows regardless
+# of data volume (f48/f51/g28 contract); everything below it is one
+# hash aggregate. Integer dollars end-to-end. Engine extension.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g32_record_breaking_days",
+    oracle="""
+WITH daily AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS yr,
+         date_diff('day', DATE '1995-01-01', o_orderdate) AS d,
+         CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                         AS DECIMAL(38,2)), 0) AS BIGINT) AS y
+  FROM orders GROUP BY 1, 2
+), flagged AS (
+  SELECT yr, d, y,
+         MAX(y) OVER (ORDER BY d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prevmax
+  FROM daily
+)
+SELECT CAST(yr AS BIGINT) AS yr,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(CASE WHEN prevmax IS NULL OR y > prevmax
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_records,
+       CAST(MAX(y) AS BIGINT) AS best_day_rev,
+       CAST(MAX(CASE WHEN prevmax IS NULL OR y > prevmax THEN d END)
+            AS BIGINT) AS last_record_d
+FROM flagged GROUP BY yr ORDER BY yr
+""",
+    doc="Days whose revenue beats every prior day, censused per year: "
+    "day-grain running max (bounded window), integer-dollar series, "
+    "record counts and the latest record day ordinal.",
+)
+def g32_record_breaking_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("date")
+        ).alias("d"),
+    ).agg(
+        F.round(F.sum(X.dec("o_totalprice")).cast("decimal(38,2)"), 0)
+        .cast("bigint")
+        .alias("y")
+    )
+    # calendar-bounded day-grain window (f48/f51/g28 contract)
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    flagged = daily.withColumn("prevmax", F.max("y").over(w))
+    rec = F.col("prevmax").isNull() | (F.col("y") > F.col("prevmax"))
+    return (
+        flagged.groupBy(F.col("yr").cast("bigint").alias("yr"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.sum(F.when(rec, 1).otherwise(0)).cast("bigint").alias("n_records"),
+            F.max("y").cast("bigint").alias("best_day_rev"),
+            F.max(F.when(rec, F.col("d"))).cast("bigint").alias("last_record_d"),
+        )
+        .orderBy("yr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# G33 — transition entropy (how predictable is the next event?)
+#
+# The information-theoretic readout over g7's transition matrix:
+# conditional entropy H(next | prev = t) per event type, in bits. The
+# plan is g7's (one LAG pass over the user partition, grid rollup) plus
+# a 5-row entropy fold; probabilities divide exact counts and the log2
+# terms are O(1), 12dp-quantized before the decimal sum. Engine
+# extension.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g33_transition_entropy",
+    oracle="""
+WITH ordered AS (
+  SELECT event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+), counts AS (
+  SELECT prev_type, event_type AS curr_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ordered WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, curr_type
+), rt AS (
+  SELECT prev_type, CAST(SUM(c) AS BIGINT) AS r FROM counts GROUP BY prev_type
+)
+SELECT c.prev_type,
+       MAX(rt.r) AS n_out,
+       CAST(COUNT(*) AS BIGINT) AS n_next_types,
+       ROUND(-CAST(SUM(CAST(ROUND((CAST(c.c AS DOUBLE) / rt.r)
+                                  * LOG2(CAST(c.c AS DOUBLE) / rt.r), 12)
+                            AS DECIMAL(38,12))) AS DOUBLE), 6) AS h_bits
+FROM counts c JOIN rt USING (prev_type)
+GROUP BY c.prev_type ORDER BY c.prev_type
+""",
+    doc="Conditional entropy of the next event type given the previous "
+    "one, in bits per event type: g7's transition grid + a quantized "
+    "entropy fold over exact count ratios.",
+)
+def g33_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .select("prev_type", F.col("event_type").alias("curr_type"))
+    )
+    counts = pairs.groupBy("prev_type", "curr_type").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    rt = counts.groupBy("prev_type").agg(F.sum("c").cast("bigint").alias("r"))
+    p = F.col("c").cast("double") / F.col("r")
+    return (
+        counts.join(F.broadcast(rt), "prev_type")
+        .groupBy("prev_type")
+        .agg(
+            F.max("r").alias("n_out"),
+            F.count("*").cast("bigint").alias("n_next_types"),
+            F.round(
+                -F.sum(F.round(p * F.log2(p), 12).cast("decimal(38,12)"))
+                .cast("double"),
+                6,
+            ).alias("h_bits"),
+        )
+        .orderBy("prev_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# G34 — ordered funnel conversion (view → click → purchase)
+#
+# The sequence query s5's attribution assumes: how many users complete
+# each ORDERED step, where step k counts only events strictly after the
+# user's step-(k−1) time. Three per-user min-timestamp aggregates
+# chained by semi-structured joins — all three shuffles hash on
+# user_id, so Catalyst reuses the exchange; no window, no explode.
+# Timestamps compare as epoch microseconds (cross-engine NTZ contract).
+# Engine extension.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g34_funnel_conversion",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS u FROM events
+), s1 AS (
+  SELECT user_id, MIN(u) AS t1 FROM e WHERE event_type = 'view'
+  GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.u) AS t2
+  FROM e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.u > s1.t1
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.u) AS t3
+  FROM e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.u > s2.t2
+  GROUP BY e.user_id
+), tot AS (
+  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM e
+), steps AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS step1_users,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS step2_users,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS step3_users,
+         (SELECT CAST(SUM(s3.t3 - s1.t1) AS BIGINT)
+          FROM s3 JOIN s1 ON s3.user_id = s1.user_id) AS sum_us
+)
+SELECT n_users, step1_users, step2_users, step3_users,
+       ROUND(CAST(step1_users AS DOUBLE) / n_users, 6) AS conv_view,
+       ROUND(CAST(step2_users AS DOUBLE) / step1_users, 6) AS conv_click,
+       ROUND(CAST(step3_users AS DOUBLE) / step2_users, 6) AS conv_purchase,
+       ROUND(CAST(sum_us AS DOUBLE) / step3_users / 3600e6, 6)
+         AS avg_hours_to_convert
+FROM steps CROSS JOIN tot
+""",
+    doc="Strictly-ordered three-step funnel over per-user event "
+    "streams: chained min-timestamp joins on user_id (one reusable "
+    "hash exchange), per-step conversion rates, average hours from "
+    "first view to qualifying purchase.",
+)
+def g34_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", epoch_us(F.col("ts")).alias("u")
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("u").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("u") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("u").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("u") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("u").alias("t3"))
+    )
+    tot = ev.agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    c1 = s1.agg(F.count("*").cast("bigint").alias("step1_users"))
+    c2 = s2.agg(F.count("*").cast("bigint").alias("step2_users"))
+    c3 = s3.agg(F.count("*").cast("bigint").alias("step3_users"))
+    dur = (
+        s3.join(s1, "user_id")
+        .agg(F.sum(F.col("t3") - F.col("t1")).cast("bigint").alias("sum_us"))
+    )
+    steps = c1.crossJoin(c2).crossJoin(c3).crossJoin(dur).crossJoin(tot)
+    return steps.select(
+        "n_users",
+        "step1_users",
+        "step2_users",
+        "step3_users",
+        F.round(
+            F.col("step1_users").cast("double") / F.col("n_users"), 6
+        ).alias("conv_view"),
+        F.round(
+            F.col("step2_users").cast("double") / F.col("step1_users"), 6
+        ).alias("conv_click"),
+        F.round(
+            F.col("step3_users").cast("double") / F.col("step2_users"), 6
+        ).alias("conv_purchase"),
+        F.round(
+            F.col("sum_us").cast("double")
+            / F.col("step3_users")
+            / F.lit(3600e6),
+            6,
+        ).alias("avg_hours_to_convert"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F90 — stationary distribution of the event-type Markov chain
+#
+# g7 gives the one-step transition matrix; this converges it: 20
+# unrolled power-iteration steps π_{t+1} = π_t·P from the uniform
+# start. The chain lives on the EVENT-TYPE grain (≤ a handful of
+# states at any data volume), so the iteration is 20 joins over a
+# dimension-sized relation — the data-sized work is exactly one LAG
+# pass + one grid rollup, same as g7. Each step's terms are
+# 14dp-quantized before the (≤ k-term) decimal sum, so both engines
+# walk bit-identical iterates. Engine extension: the iterative-
+# algorithm shape (label propagation x14, BPE merges x92) on the
+# analytics surface.
+# ---------------------------------------------------------------------------
+
+_F90_ITERS = 20
+
+
+def _f90_oracle() -> str:
+    steps = []
+    prev = "d0"
+    for i in range(1, _F90_ITERS + 1):
+        steps.append(
+            f"d{i} AS (SELECT t.curr_type AS st, "
+            "CAST(SUM(CAST(ROUND(d.w * t.p, 14) AS DECIMAL(38,14))) "
+            "AS DOUBLE) AS w "
+            f"FROM {prev} d JOIN trans t ON t.prev_type = d.st "
+            "GROUP BY t.curr_type)"
+        )
+        prev = f"d{i}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH ordered AS (
+  SELECT event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+), counts AS (
+  SELECT prev_type, event_type AS curr_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ordered WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, curr_type
+), rt AS (
+  SELECT prev_type, CAST(SUM(c) AS BIGINT) AS r FROM counts GROUP BY prev_type
+), trans AS (
+  SELECT c.prev_type, c.curr_type, CAST(c.c AS DOUBLE) / rt.r AS p
+  FROM counts c JOIN rt USING (prev_type)
+), states AS (
+  SELECT prev_type AS st FROM rt
+), d0 AS (
+  SELECT st, CAST(1.0 AS DOUBLE) / k AS w
+  FROM states CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM states) kk
+),
+{chain}
+SELECT st AS event_type, ROUND(w, 8) AS stationary_prob
+FROM {prev} ORDER BY st
+"""
+
+
+@register(
+    "f90_markov_stationary",
+    oracle=_f90_oracle(),
+    doc="Stationary distribution of the event-type transition chain "
+    "via 20 quantized power-iteration steps over the state grain; "
+    "bit-identical iterates on both engines.",
+)
+def f90_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .select("prev_type", F.col("event_type").alias("curr_type"))
+    )
+    counts = pairs.groupBy("prev_type", "curr_type").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    rt = counts.groupBy("prev_type").agg(F.sum("c").cast("bigint").alias("r"))
+    trans = counts.join(rt, "prev_type").select(
+        "prev_type",
+        "curr_type",
+        (F.col("c").cast("double") / F.col("r")).alias("p"),
+    )
+    # The state set is dimension-sized: pin it once so the 20-step
+    # loop below iterates over a settled tiny relation, not 20
+    # re-expansions of the LAG pass.
+    trans = trans.localCheckpoint(eager=True)
+    states = trans.select(F.col("prev_type").alias("st")).distinct()
+    k = states.agg(F.count("*").cast("bigint").alias("k"))
+    dist = states.crossJoin(F.broadcast(k)).select(
+        "st", (F.lit(1.0) / F.col("k")).alias("w")
+    )
+    for _ in range(_F90_ITERS):
+        dist = (
+            dist.join(trans, dist.st == trans.prev_type)
+            .select(
+                F.col("curr_type").alias("st"),
+                F.round(F.col("w") * F.col("p"), 14)
+                .cast("decimal(38,14)")
+                .alias("term"),
+            )
+            .groupBy("st")
+            .agg(F.sum("term").cast("double").alias("w"))
+        )
+    return dist.select(
+        F.col("st").alias("event_type"),
+        F.round(F.col("w"), 8).alias("stationary_prob"),
+    ).orderBy("event_type")

@@ -1253,3 +1253,172 @@ def h29_ranked_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("level", "segment", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# H30 — multi-band single-scan counts (TPC-DS Q88 shape)
+#
+# TPC-DS Q88 answers "how many sales fall in each of 8 disjoint bands"
+# with EIGHT separate scans cross-joined (s1..s8 subqueries). The
+# Spark-first expression is one filtered columnar scan with eight
+# conditional aggregates — the scan predicate is the UNION of the
+# bands (pushed to parquet), the band split is a map-side CASE, and
+# the whole plan is a single partial+final hash aggregate with no
+# join at all. At 100 TB that is literally 8× less I/O than the
+# benchmark's own formulation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "h30_multiband_counts",
+    oracle="""
+SELECT
+  CAST(SUM(CASE WHEN l_quantity BETWEEN 1  AND 5  THEN 1 ELSE 0 END) AS BIGINT) AS band1,
+  CAST(SUM(CASE WHEN l_quantity BETWEEN 6  AND 10 THEN 1 ELSE 0 END) AS BIGINT) AS band2,
+  CAST(SUM(CASE WHEN l_quantity BETWEEN 11 AND 15 THEN 1 ELSE 0 END) AS BIGINT) AS band3,
+  CAST(SUM(CASE WHEN l_quantity BETWEEN 16 AND 20 THEN 1 ELSE 0 END) AS BIGINT) AS band4,
+  CAST(SUM(CASE WHEN l_quantity BETWEEN 21 AND 25 THEN 1 ELSE 0 END) AS BIGINT) AS band5,
+  CAST(SUM(CASE WHEN l_quantity BETWEEN 26 AND 30 THEN 1 ELSE 0 END) AS BIGINT) AS band6,
+  CAST(SUM(CASE WHEN l_quantity BETWEEN 31 AND 35 THEN 1 ELSE 0 END) AS BIGINT) AS band7,
+  CAST(SUM(CASE WHEN l_quantity BETWEEN 36 AND 40 THEN 1 ELSE 0 END) AS BIGINT) AS band8,
+  CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_quantity BETWEEN 1 AND 40
+  AND l_discount BETWEEN 0.02 AND 0.08
+""",
+    doc="TPC-DS Q88-style eight-band census re-expressed as ONE "
+    "filtered scan with conditional aggregates instead of eight "
+    "cross-joined subqueries; the union-of-bands predicate pushes to "
+    "the parquet reader.",
+)
+def h30_multiband_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(1, 40)
+        & F.col("l_discount").between(0.02, 0.08)
+    )
+
+    def band(lo: int, hi: int, alias: str):
+        return (
+            F.sum(
+                F.when(F.col("l_quantity").between(lo, hi), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(alias)
+        )
+
+    return li.agg(
+        band(1, 5, "band1"),
+        band(6, 10, "band2"),
+        band(11, 15, "band3"),
+        band(16, 20, "band4"),
+        band(21, 25, "band5"),
+        band(26, 30, "band6"),
+        band(31, 35, "band7"),
+        band(36, 40, "band8"),
+        F.count("*").cast("bigint").alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# H31 — dense-order buyer distribution (TPC-DS Q34 shape)
+#
+# Q34's "households buying 15–20 items per trip" pattern: per-order
+# line counts band-filtered, rolled up per customer, then the
+# DISTRIBUTION of dense-order counts (Q34 lists customers; at 100 TB
+# the bounded output is the histogram, Q13-style). Both aggregates
+# hash on their natural keys (orderkey, then custkey); output is
+# dense-count grain — a dozen rows at any scale.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "h31_dense_order_buyers",
+    oracle="""
+WITH per_order AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY l_orderkey
+), dense AS (
+  SELECT o.o_custkey, CAST(COUNT(*) AS BIGINT) AS n_dense
+  FROM per_order p JOIN orders o ON p.l_orderkey = o.o_orderkey
+  WHERE p.n_lines BETWEEN 5 AND 7
+  GROUP BY o.o_custkey
+)
+SELECT n_dense AS dense_orders,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM dense GROUP BY n_dense ORDER BY n_dense
+""",
+    doc="TPC-DS Q34 shape: orders with 5-7 lineitems per customer, "
+    "surfaced as the dense-order-count distribution (bounded output) "
+    "instead of a customer list.",
+)
+def h31_dense_order_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count("*").cast("bigint").alias("n_lines")
+    )
+    dense = (
+        per_order.filter(F.col("n_lines").between(5, 7))
+        .join(o, per_order.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.count("*").cast("bigint").alias("n_dense"))
+    )
+    return (
+        dense.groupBy(F.col("n_dense").alias("dense_orders"))
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+        .orderBy("dense_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# H32 — morning/evening activity ratio (TPC-DS Q90 shape)
+#
+# Q90 divides web-sales counts in two hour bands; here per event type
+# over the event stream: one scan, two conditional counts per group,
+# exact-integer ratio. The hour-band predicate is a union pushed to
+# the scan; no join (Q90's household-demographics gate has no
+# counterpart column, so the band census stands alone).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "h32_am_pm_ratio",
+    oracle="""
+SELECT event_type,
+       CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 8 AND 11
+                     THEN 1 ELSE 0 END) AS BIGINT) AS am_events,
+       CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 19 AND 22
+                     THEN 1 ELSE 0 END) AS BIGINT) AS pm_events,
+       ROUND(CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 8 AND 11
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / SUM(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 19 AND 22
+                        THEN 1 ELSE 0 END), 6) AS am_pm_ratio
+FROM events
+WHERE EXTRACT(hour FROM ts) BETWEEN 8 AND 11
+   OR EXTRACT(hour FROM ts) BETWEEN 19 AND 22
+GROUP BY event_type ORDER BY event_type
+""",
+    doc="TPC-DS Q90 shape: morning (08-11h) vs evening (19-22h) event "
+    "counts and their ratio per event type, one filtered scan with "
+    "conditional aggregates.",
+)
+def h32_am_pm_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("h")
+    )
+    am = F.col("h").between(8, 11)
+    pm = F.col("h").between(19, 22)
+    return (
+        e.filter(am | pm)
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(am, 1).otherwise(0)).cast("bigint").alias("am_events"),
+            F.sum(F.when(pm, 1).otherwise(0)).cast("bigint").alias("pm_events"),
+            F.round(
+                F.sum(F.when(am, 1).otherwise(0)).cast("double")
+                / F.sum(F.when(pm, 1).otherwise(0)),
+                6,
+            ).alias("am_pm_ratio"),
+        )
+        .orderBy("event_type")
+    )

@@ -75,6 +75,12 @@ GLOBAL_WINDOW_ALLOW = {
         60_000, "event_values",
     ),
     "f51_changepoint": ("calendar-day grain", 3000, "order_days"),
+    "f85_ljung_box": (
+        "lag grain: the cumulative-Q window runs over the 7-row "
+        "per-lag autocovariance relation",
+        7, "lags",
+    ),
+    "g32_record_breaking_days": ("calendar-day grain", 3000, "order_days"),
     "f52_seasonal_strength": ("calendar-day grain", 3000, "order_days"),
     "f54_runs_test": ("calendar-day grain", 3000, "order_days"),
     "g20_peak_census": ("calendar-day grain", 3000, "order_days"),

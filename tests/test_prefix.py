@@ -365,3 +365,42 @@ def test_e19_skyline_matches_naive_dominance(spark):
         for r in REGISTRY["e19_skyline_customers"].fn(spark, sf).collect()
     )
     assert got == want
+
+
+@pytest.mark.parametrize("n_rows,parts", [(7, 32), (5000, 3)])
+def test_prefix_rank_multi_measure_matches_global_window(spark, n_rows, parts):
+    """List-valued measures: every cum/total matches the naive global
+    window bit-exactly, sharing one range exchange; None entries skip
+    that output; mixed per-measure output selection works."""
+    df = _demo(spark, n_rows, 10).withColumn(
+        "w", (F.col("id") * 13 % 17 - 5).cast("bigint")
+    )
+    order = [F.asc("k"), F.asc("id")]
+    got = prefix_rank(
+        df,
+        order,
+        ["v", "w"],
+        cum_col=["cum_v", "cum_w"],
+        rn_col="rn",
+        total_sum_col=[None, "tot_w"],
+        total_rows_col="n_rows",
+        partitions=parts,
+    )
+    w = Window.orderBy(*order)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    alln = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    want = df.select(
+        "id",
+        F.sum("v").over(run).alias("cum_v"),
+        F.sum("w").over(run).alias("cum_w"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.sum("w").over(alln).alias("tot_w"),
+        F.count(F.lit(1)).over(alln).alias("n_rows"),
+    )
+    cols = ["id", "cum_v", "cum_w", "rn", "tot_w", "n_rows"]
+    assert sorted(got.select(*cols).collect()) == sorted(want.collect())
+
+
+def test_prefix_rank_multi_measure_validation():
+    with pytest.raises(ValueError, match="length"):
+        prefix_rank(None, [], ["a", "b"], cum_col=["x"], rn_col="rn")
