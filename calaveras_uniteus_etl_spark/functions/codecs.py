@@ -5,8 +5,10 @@ external codec at all: PNG (zlib inflate + per-scanline unfilter,
 incl. indexed-color PLTE/tRNS, Adam7 interlacing, and every legal
 bit depth 1/2/4/8/16), WAV (RIFF header + PCM frames via the
 stdlib ``wave`` module), baseline JPEG (Huffman + IDCT in
-:mod:`functions.jpeg`), GIF (LZW, interlace, frame census), baseline
-strip TIFF (both byte orders, PackBits), and uncompressed 24/32-bit
+:mod:`functions.jpeg`), GIF (LZW, interlace, frame census), TIFF
+(both byte orders; strip- and tile-organized; compression none, LZW
+with the TIFF early-change convention, deflate, or PackBits; horizontal-
+differencing predictor), and uncompressed 24/32-bit
 BMP. These
 decoders are complete, honest implementations for those formats —
 pixel-exact PNG/GIF reconstruction, full PCM sample recovery for WAV,
@@ -434,7 +436,7 @@ def decode_image_any(payload: bytes) -> dict:
         try:
             return decode_tiff(payload)
         except NotImplementedError:
-            pass  # tiled/LZW/deep-sample: try Pillow below
+            pass  # deflate/JPEG-in-TIFF/deep-sample/palette: try Pillow below
     if sniff_bmp(payload):
         try:
             return decode_bmp(payload)
@@ -745,10 +747,138 @@ def _unpackbits(data: bytes, expected: int) -> bytes:
     return bytes(out[:expected])
 
 
+_LZW_CLEAR = 256
+_LZW_EOI = 257
+
+
+def _lzw_decode_tiff(data: bytes, expected: int) -> bytes:
+    """TIFF-variant LZW (compression 5): MSB-first bit packing, 9→12
+    bit codes with the EARLY-CHANGE convention (width grows when the
+    next free code reaches 2^w − 1, one code before the GIF variant),
+    ClearCode 256 / EOI 257. Output is bounded by ``expected`` — the
+    header-derived segment size — so a forged stream can never
+    materialize more than one segment of pixels (quarantine-contract
+    rule 4: every allocation bounded by header expectations).
+    """
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    next_code = 258
+    prev: bytes | None = None
+    bitbuf = 0
+    bitcnt = 0
+    pos = 0
+    n = len(data)
+    while len(out) < expected:
+        while bitcnt < width:
+            if pos >= n:
+                raise ValueError("TIFF LZW stream truncated")
+            bitbuf = (bitbuf << 8) | data[pos]
+            pos += 1
+            bitcnt += 8
+        bitcnt -= width
+        code = (bitbuf >> bitcnt) & ((1 << width) - 1)
+        if code == _LZW_EOI:
+            break
+        if code == _LZW_CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            next_code = 258
+            prev = None
+            continue
+        if not table:
+            raise ValueError("TIFF LZW code before ClearCode")
+        if code < len(table) and (code < 256 or code >= 258):
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt TIFF LZW code")
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table.append(prev + entry[:1])
+            next_code += 1
+            # the decoder's add lags the encoder's by one code, so its
+            # early change fires one entry sooner than the encoder's
+            # (1<<w)-1: the first width-(w+1) code arrives while the
+            # decoder's count still reads (1<<w)-2
+            if next_code == (1 << width) - 2 and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < expected:
+        raise ValueError("TIFF LZW output shorter than segment")
+    return bytes(out[:expected])
+
+
+def _lzw_encode_tiff(data: bytes) -> bytes:
+    """Encoder twin of :func:`_lzw_decode_tiff` (fixtures/tests)."""
+    out = bytearray()
+    bitbuf = 0
+    bitcnt = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, bitcnt
+        bitbuf = (bitbuf << width) | code
+        bitcnt += width
+        while bitcnt >= 8:
+            bitcnt -= 8
+            out.append((bitbuf >> bitcnt) & 0xFF)
+
+    def fresh() -> dict[bytes, int]:
+        return {bytes([i]): i for i in range(256)}
+
+    table = fresh()
+    width = 9
+    next_code = 258
+    emit(_LZW_CLEAR, width)
+    omega = b""
+    for i in range(len(data)):
+        k = data[i : i + 1]
+        if omega + k in table:
+            omega += k
+            continue
+        emit(table[omega], width)
+        table[omega + k] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        omega = k
+        if next_code >= 4094:  # table nearly full: restart (TIFF 6.0 LZW)
+            emit(table[omega], width)
+            emit(_LZW_CLEAR, width)
+            table = fresh()
+            width = 9
+            next_code = 258
+            omega = b""
+    if omega:
+        emit(table[omega], width)
+    emit(_LZW_EOI, width)
+    if bitcnt:
+        out.append((bitbuf << (8 - bitcnt)) & 0xFF)
+    return bytes(out)
+
+
+def _undo_predictor2(seg: np.ndarray) -> np.ndarray:
+    """Undo TIFF Predictor 2 (horizontal differencing) on a (rows,
+    width, spp) uint8 segment: per-row, per-channel cumulative sum
+    mod 256. Rows never cross segment boundaries."""
+    return seg.astype(np.uint32).cumsum(axis=1, dtype=np.uint32).astype(
+        np.uint8
+    )
+
+
+def _apply_predictor2(seg: np.ndarray) -> np.ndarray:
+    """Encoder twin of :func:`_undo_predictor2`."""
+    d = seg.astype(np.int32)
+    d[:, 1:, :] = d[:, 1:, :] - d[:, :-1, :]
+    return (d % 256).astype(np.uint8)
+
+
 def decode_tiff(payload: bytes) -> dict:
-    """Decode a baseline strip-organized 8-bit TIFF (grey/RGB/RGBA,
-    either byte order, compression none or PackBits) to the standard
-    ``{width, height, channels, pixels}`` dict."""
+    """Decode an 8-bit TIFF (grey/RGB/RGBA, either byte order, strip-
+    or tile-organized, compression none / LZW / deflate / PackBits, horizontal-
+    differencing predictor) to the standard ``{width, height,
+    channels, pixels}`` dict."""
     if payload[:4] == TIFF_MAGIC_LE:
         bo = "<"
     elif payload[:4] == TIFF_MAGIC_BE:
@@ -767,7 +897,10 @@ def decode_tiff(payload: bytes) -> dict:
     # (65535 entries × 65536-count SHORT tags sharing one value region)
     # drives ~4.3e9 unpack iterations and ~100 GB of int lists — the
     # per-tag count cap alone does not bound the AGGREGATE.
-    wanted = {256, 257, 258, 259, 262, 273, 277, 278, 279, 284, 322, 323}
+    wanted = {
+        256, 257, 258, 259, 262, 273, 277, 278, 279, 284,
+        317, 322, 323, 324, 325,
+    }
     total_vals_cap = 1 << 20  # aggregate bound across the whole IFD
     try:
         ifd = u32(4)
@@ -820,12 +953,15 @@ def decode_tiff(payload: bytes) -> dict:
         raise NotImplementedError("only 8-bit TIFF samples supported")
     if spp not in (1, 3, 4):
         raise NotImplementedError(f"{spp}-sample TIFF not supported")
-    if compression not in (1, 32773):
+    if compression not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
             f"TIFF compression {compression} not supported"
         )
-    if 322 in tags or 323 in tags:
-        raise NotImplementedError("tiled TIFF not supported")
+    predictor = one(317, 1)
+    if predictor not in (1, 2):
+        # predictor 3 (floating point) would pass length checks and
+        # come out as noise — refuse, same class as planar below
+        raise NotImplementedError(f"TIFF predictor {predictor} not supported")
     if one(284, 1) != 1:
         # planar (R-strips then G then B) would pass every length
         # check and silently interleave garbage — refuse instead
@@ -836,30 +972,71 @@ def decode_tiff(payload: bytes) -> dict:
         raise NotImplementedError("TIFF photometric beyond grey/RGB not supported")
     if not width or not height or width * height * spp > (1 << 28):
         raise ValueError(f"implausible TIFF dimensions {width}x{height}")
-    offsets = tags.get(273)
-    counts = tags.get(279)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise ValueError("TIFF missing strip offsets/byte counts")
-    rows_per_strip = one(278, height)
 
-    raster = bytearray()
-    rows_left = height
-    for off, cnt in zip(offsets, counts):
-        nrows = min(rows_per_strip, rows_left)
-        rows_left -= nrows
-        expected = nrows * width * spp
-        strip = payload[off : off + cnt]
+    def segment(off: int, cnt: int, expected: int) -> bytes:
+        raw = payload[off : off + cnt]
         if compression == 1:
-            if len(strip) < expected:
-                raise ValueError("TIFF strip shorter than declared")
-            raster.extend(strip[:expected])
-        else:
-            raster.extend(_unpackbits(strip, expected))
-    if len(raster) != width * height * spp:
-        raise ValueError("TIFF raster length mismatch")
-    pixels = np.frombuffer(bytes(raster), dtype=np.uint8).reshape(
-        height, width, spp
-    )
+            if len(raw) < expected:
+                raise ValueError("TIFF segment shorter than declared")
+            return raw[:expected]
+        if compression == 5:
+            return _lzw_decode_tiff(raw, expected)
+        if compression in (8, 32946):
+            # bounded inflate: a deflate bomb can never materialize
+            # more than one segment (same guard as the PNG IDAT path)
+            d = zlib.decompressobj()
+            try:
+                out = d.decompress(raw, expected)
+            except zlib.error as exc:
+                raise ValueError("corrupt TIFF deflate segment") from exc
+            if len(out) < expected:
+                raise ValueError("TIFF deflate output shorter than segment")
+            return out
+        return _unpackbits(raw, expected)
+
+    tiled = 322 in tags or 323 in tags
+    if tiled:
+        tw, th = one(322), one(323)
+        offsets, counts = tags.get(324), tags.get(325)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF missing tile offsets/byte counts")
+        if not tw or not th or tw * th * spp > (1 << 26):
+            raise ValueError(f"implausible TIFF tile size {tw}x{th}")
+        across = -(-width // tw)
+        down = -(-height // th)
+        if across * down != len(offsets):
+            raise ValueError("TIFF tile count does not cover the image")
+        padded = np.zeros((down * th, across * tw, spp), dtype=np.uint8)
+        for idx, (off, cnt) in enumerate(zip(offsets, counts)):
+            tile = np.frombuffer(
+                segment(off, cnt, th * tw * spp), dtype=np.uint8
+            ).reshape(th, tw, spp)
+            if predictor == 2:
+                tile = _undo_predictor2(tile)
+            ty, tx = divmod(idx, across)
+            padded[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw] = tile
+        pixels = padded[:height, :width]
+    else:
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF missing strip offsets/byte counts")
+        rows_per_strip = one(278, height)
+        raster = bytearray()
+        rows_left = height
+        for off, cnt in zip(offsets, counts):
+            nrows = min(rows_per_strip, rows_left)
+            rows_left -= nrows
+            raster.extend(segment(off, cnt, nrows * width * spp))
+        if len(raster) != width * height * spp:
+            raise ValueError("TIFF raster length mismatch")
+        pixels = np.frombuffer(bytes(raster), dtype=np.uint8).reshape(
+            height, width, spp
+        )
+        if predictor == 2:
+            # strip rows are full image rows; differencing never
+            # crosses a row, so the undo applies to the whole raster
+            pixels = _undo_predictor2(pixels)
     # PhotometricInterpretation 0 = WhiteIsZero: invert to normal grey
     if spp == 1 and one(262, 1) == 0:
         pixels = 255 - pixels
@@ -873,20 +1050,25 @@ def decode_tiff(payload: bytes) -> dict:
 
 def encode_tiff(
     pixels: np.ndarray, *, big_endian: bool = False, packbits: bool = False,
-    rows_per_strip: int | None = None,
+    rows_per_strip: int | None = None, lzw: bool = False,
+    deflate: bool = False, predictor: int = 1,
+    tile: tuple[int, int] | None = None,
 ) -> bytes:
-    """Minimal strip-organized TIFF writer — the fixture twin of
-    :func:`decode_tiff` (byte order, PackBits, and multi-strip layouts
-    all exercisable)."""
+    """Minimal TIFF writer — the fixture twin of :func:`decode_tiff`
+    (byte order, PackBits/LZW/deflate, multi-strip, tiled, and
+    predictor-2 layouts all exercisable)."""
+    if packbits + lzw + deflate > 1:
+        raise ValueError("pick one compression")
     arr = np.ascontiguousarray(pixels, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, spp = arr.shape
     bo = ">" if big_endian else "<"
-    rps = rows_per_strip or h
-    strips = []
-    for y0 in range(0, h, rps):
-        data = arr[y0 : y0 + rps].tobytes()
+
+    def compress(seg: np.ndarray) -> bytes:
+        if predictor == 2:
+            seg = _apply_predictor2(seg)
+        data = seg.tobytes()
         if packbits:
             # naive PackBits: literal runs of <=128 bytes
             out = bytearray()
@@ -894,23 +1076,31 @@ def encode_tiff(
                 chunk = data[i : i + 128]
                 out.append(len(chunk) - 1)
                 out.extend(chunk)
-            data = bytes(out)
-        strips.append(data)
+            return bytes(out)
+        if lzw:
+            return _lzw_encode_tiff(data)
+        if deflate:
+            return zlib.compress(data)
+        return data
 
-    n_tags = 9
-    header = struct.pack(bo + "2sHI", b"II" if bo == "<" else b"MM", 42, 8)
-    ifd_size = 2 + 12 * n_tags + 4
-    # layout: header(8) + IFD + bits-array + strip offset/count arrays + data
-    bits_off = 8 + ifd_size
-    arrays_off = bits_off + 2 * spp
-    n = len(strips)
-    offsets_off = arrays_off
-    counts_off = arrays_off + 4 * n
-    data_off = counts_off + 4 * n
-    offs, pos = [], data_off
-    for s in strips:
-        offs.append(pos)
-        pos += len(s)
+    segments: list[bytes] = []
+    if tile is not None:
+        tw, th = tile
+        across, down = -(-w // tw), -(-h // th)
+        padded = np.zeros((down * th, across * tw, spp), dtype=np.uint8)
+        padded[:h, :w] = arr
+        for ty in range(down):
+            for tx in range(across):
+                segments.append(
+                    compress(
+                        padded[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw]
+                    )
+                )
+        rps = None
+    else:
+        rps = rows_per_strip or h
+        for y0 in range(0, h, rps):
+            segments.append(compress(arr[y0 : y0 + rps]))
 
     def entry(tag, ftype, count, value):
         return struct.pack(bo + "HHI4s", tag, ftype, count, value)
@@ -921,6 +1111,27 @@ def encode_tiff(
     def inline_long(v):
         return struct.pack(bo + "I", v)
 
+    compression = 5 if lzw else 8 if deflate else 32773 if packbits else 1
+    n = len(segments)
+    # tags laid out after the sizes are known; compute n_tags first
+    n_tags = 7 + (2 if tile is None else 3) + (1 if predictor == 2 else 0)
+    header = struct.pack(bo + "2sHI", b"II" if bo == "<" else b"MM", 42, 8)
+    ifd_size = 2 + 12 * n_tags + 4
+    # layout: header(8) + IFD + bits-array + offset/count arrays + data
+    bits_off = 8 + ifd_size
+    arrays_off = bits_off + 2 * spp
+    offsets_off = arrays_off
+    counts_off = arrays_off + 4 * n
+    data_off = counts_off + 4 * n
+    offs, pos = [], data_off
+    for s in segments:
+        offs.append(pos)
+        pos += len(s)
+
+    off_value = inline_long(offs[0]) if n == 1 else inline_long(offsets_off)
+    cnt_value = (
+        inline_long(len(segments[0])) if n == 1 else inline_long(counts_off)
+    )
     entries = [
         entry(256, 3, 1, inline_short(w)),
         entry(257, 3, 1, inline_short(h)),
@@ -928,19 +1139,27 @@ def encode_tiff(
             258, 3, spp,
             inline_short(8) if spp == 1 else inline_long(bits_off),
         ),
-        entry(259, 3, 1, inline_short(32773 if packbits else 1)),
+        entry(259, 3, 1, inline_short(compression)),
         entry(262, 3, 1, inline_short(1 if spp == 1 else 2)),
-        entry(
-            273, 4, n,
-            inline_long(offs[0]) if n == 1 else inline_long(offsets_off),
-        ),
         entry(277, 3, 1, inline_short(spp)),
-        entry(278, 3, 1, inline_short(rps)),
-        entry(
-            279, 4, n,
-            inline_long(len(strips[0])) if n == 1 else inline_long(counts_off),
-        ),
     ]
+    if tile is None:
+        entries += [
+            entry(273, 4, n, off_value),
+            entry(278, 3, 1, inline_short(rps)),
+            entry(279, 4, n, cnt_value),
+        ]
+    else:
+        entries += [
+            entry(322, 3, 1, inline_short(tile[0])),
+            entry(323, 3, 1, inline_short(tile[1])),
+            entry(324, 4, n, off_value),
+            entry(325, 4, n, cnt_value),
+        ]
+    if predictor == 2:
+        entries.append(entry(317, 3, 1, inline_short(2)))
+    entries.sort(key=lambda e: struct.unpack_from(bo + "H", e)[0])
+    assert len(entries) == n_tags
     out = bytearray(header)
     out.extend(struct.pack(bo + "H", n_tags))
     for e in entries:
@@ -948,8 +1167,8 @@ def encode_tiff(
     out.extend(struct.pack(bo + "I", 0))  # next IFD
     out.extend(struct.pack(bo + f"{spp}H", *([8] * spp)))
     out.extend(b"".join(struct.pack(bo + "I", o) for o in offs))
-    out.extend(b"".join(struct.pack(bo + "I", len(s)) for s in strips))
-    for s in strips:
+    out.extend(b"".join(struct.pack(bo + "I", len(s)) for s in segments))
+    for s in segments:
         out.extend(s)
     return bytes(out)
 

@@ -70,21 +70,37 @@ def test_png_roundtrip_property(dims, channels, interlace, seed):
     dims=_dims,
     channels=st.sampled_from([0, 1, 3, 4]),
     big_endian=st.booleans(),
-    packbits=st.booleans(),
-    rows_per_strip=st.one_of(st.none(), st.integers(min_value=1, max_value=9)),
+    compression=st.sampled_from(["none", "packbits", "lzw", "deflate"]),
+    predictor=st.sampled_from([1, 2]),
+    layout=st.one_of(
+        st.none(),  # single strip
+        st.integers(min_value=1, max_value=9),  # rows per strip
+        st.tuples(  # tile grid
+            st.integers(min_value=1, max_value=12),
+            st.integers(min_value=1, max_value=12),
+        ),
+    ),
     seed=st.integers(min_value=0, max_value=2**31),
 )
 def test_tiff_roundtrip_property(
-    dims, channels, big_endian, packbits, rows_per_strip, seed
+    dims, channels, big_endian, compression, predictor, layout, seed
 ):
     h, w = dims
     if channels == 2:  # TIFF path supports 1/3/4 samples
         channels = 1
     img = _img(seed, h, w, channels)
-    t = codecs.encode_tiff(
-        img, big_endian=big_endian, packbits=packbits,
-        rows_per_strip=rows_per_strip,
+    kw = dict(
+        big_endian=big_endian,
+        packbits=compression == "packbits",
+        lzw=compression == "lzw",
+        deflate=compression == "deflate",
+        predictor=predictor,
     )
+    if isinstance(layout, tuple):
+        kw["tile"] = layout
+    else:
+        kw["rows_per_strip"] = layout
+    t = codecs.encode_tiff(img, **kw)
     out = codecs.decode_tiff(t)
     ref = img if img.ndim == 3 else img[:, :, None]
     np.testing.assert_array_equal(out["pixels"], ref)

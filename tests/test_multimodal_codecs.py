@@ -1275,3 +1275,131 @@ def test_progressive_idct_association_matches_idct_2d_bitwise():
                 )
         # bitwise equality, not allclose: same primitive, same order
         assert np.array_equal(planes[1], expect)
+
+
+def test_tiff_lzw_predictor_tiles_roundtrip_and_fixture():
+    """TIFF LZW (early-change, MSB-first), Predictor 2, and tile
+    organization: (1) the encoder reproduces a HAND-COMPUTED spec
+    stream byte-for-byte (codes 256,7,258,8,8,258,6,6,257 @ 9 bits for
+    input 7 7 7 8 8 7 7 6 6 — worked by hand from the TIFF 6.0 LZW
+    algorithm, so encoder+decoder cannot share a self-consistent
+    wrong convention on the base algorithm); (2) width transitions
+    9→10→11→12 and the 4094-restart roundtrip (random + run-heavy +
+    KwKwK inputs); (3) every layout × compression × predictor combo
+    is pixel-exact; (4) predictor 2 actually helps on gradients."""
+    import struct
+
+    from calaveras_uniteus_etl_spark.functions.codecs import (
+        _lzw_decode_tiff,
+        _lzw_encode_tiff,
+    )
+
+    hand = bytes.fromhex("8001e0408044080c068080")
+    assert _lzw_encode_tiff(bytes([7, 7, 7, 8, 8, 7, 7, 6, 6])) == hand
+    assert _lzw_decode_tiff(hand, 9) == bytes([7, 7, 7, 8, 8, 7, 7, 6, 6])
+
+    rng = _rng(61)
+    for data in [
+        rng.integers(0, 256, 300, dtype=np.uint8).tobytes(),   # 9->10
+        rng.integers(0, 256, 2000, dtype=np.uint8).tobytes(),  # ->11
+        rng.integers(0, 256, 400_000, dtype=np.uint8).tobytes(),  # restart
+        b"abcabcab" * 30000,   # deep strings
+        b"a" * 10000,          # KwKwK chains
+    ]:
+        assert _lzw_decode_tiff(_lzw_encode_tiff(data), len(data)) == data
+
+    for shape in [(20, 30), (17, 23, 3), (9, 11, 4)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        ref = img if img.ndim == 3 else img[:, :, None]
+        for kw in [
+            dict(lzw=True),
+            dict(lzw=True, predictor=2),
+            dict(predictor=2),
+            dict(packbits=True, predictor=2),
+            dict(tile=(8, 8)),
+            dict(tile=(16, 8), lzw=True),
+            dict(tile=(8, 16), lzw=True, predictor=2, big_endian=True),
+            dict(lzw=True, rows_per_strip=5, big_endian=True),
+            dict(deflate=True),
+            dict(deflate=True, predictor=2, big_endian=True),
+            dict(tile=(8, 8), deflate=True, predictor=2),
+        ]:
+            t = codecs.encode_tiff(img, **kw)
+            assert codecs.sniff_media(t) == "tiff", kw
+            np.testing.assert_array_equal(
+                codecs.decode_tiff(t)["pixels"], ref
+            )
+
+    grad = np.tile(np.arange(256, dtype=np.uint8), (64, 1))
+    assert len(codecs.encode_tiff(grad, lzw=True, predictor=2)) < len(
+        codecs.encode_tiff(grad, lzw=True)
+    )
+
+    # typed quarantine: truncated LZW stream; forged tile count; an
+    # unsupported predictor; a segment count too small for the image
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    t = codecs.encode_tiff(img, lzw=True)
+    with pytest.raises(ValueError):
+        codecs.decode_tiff(t[: len(t) - 40])
+    # deflate: bounded inflate (a bomb segment yields exactly one
+    # segment's bytes or a typed error), corrupt stream is typed
+    td = codecs.encode_tiff(img, deflate=True)
+    with pytest.raises(ValueError):
+        codecs.decode_tiff(td[: len(td) - 40])
+    tiled = bytearray(codecs.encode_tiff(img, tile=(8, 8)))
+
+    def patch_tag(buf, tag, value):
+        n = struct.unpack_from("<H", buf, 8)[0]
+        for i in range(n):
+            e = 10 + 12 * i
+            if struct.unpack_from("<H", buf, e)[0] == tag:
+                struct.pack_into("<HH", buf, e + 8, value, 0)
+
+    patch_tag(tiled, 322, 16)  # claims 16-wide tiles -> count mismatch
+    with pytest.raises(ValueError, match="tile count"):
+        codecs.decode_tiff(bytes(tiled))
+    pred3 = bytearray(codecs.encode_tiff(img, predictor=2))
+    patch_tag(pred3, 317, 3)
+    with pytest.raises(NotImplementedError, match="predictor"):
+        codecs.decode_tiff(bytes(pred3))
+
+
+def test_tiff_lzw_payloads_quarantine_fuzz(spark):
+    """The new TIFF paths obey the quarantine contract: LZW/tiled/
+    predictor payloads flow through _real_features with REAL dims, and
+    300 structural corruptions of each never raise out of the batch."""
+    import random
+
+    from calaveras_uniteus_etl_spark.operators import multimodal as mm
+
+    rng = _rng(67)
+    img = rng.integers(0, 256, (24, 17, 3), dtype=np.uint8)
+    valid = {
+        "lzw": codecs.encode_tiff(img, lzw=True),
+        "lzw_pred": codecs.encode_tiff(img, lzw=True, predictor=2),
+        "tiled": codecs.encode_tiff(img, tile=(8, 8), lzw=True),
+        "deflate": codecs.encode_tiff(img, deflate=True, predictor=2),
+    }
+    for payload in valid.values():
+        out = mm._real_features(payload, "image")
+        assert (out["width"], out["height"]) == (17, 24)
+    random.seed(71)
+    for payload in valid.values():
+        for _ in range(300):
+            b = bytearray(payload)
+            mode = random.randrange(4)
+            if mode == 0:
+                for _ in range(random.randrange(1, 8)):
+                    b[random.randrange(len(b))] = random.randrange(256)
+            elif mode == 1:
+                b = b[: random.randrange(1, len(b))]
+            elif mode == 2:
+                b += bytes(
+                    random.randrange(256)
+                    for _ in range(random.randrange(1, 32))
+                )
+            else:
+                i, j = sorted(random.randrange(len(b)) for _ in range(2))
+                b = b[:i] + b[j:]
+            out = mm._real_features(bytes(b), "image")  # must not raise
+            assert out is None or isinstance(out, dict)
