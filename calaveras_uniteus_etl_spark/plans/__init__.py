@@ -262,6 +262,9 @@ _ADDITION_ORDER = [
     "f90_markov_stationary",
     "h31_dense_order_buyers",
     "h32_am_pm_ratio",
+    "f91_odds_ratio",
+    "f92_kendall_tau_grid",
+    "x139_prefix_dup_census",
 ]
 
 # Rows-only-by-design entries that can never earn a hash-green row —

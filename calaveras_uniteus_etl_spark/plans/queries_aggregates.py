@@ -11242,3 +11242,210 @@ def f90_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("st").alias("event_type"),
         F.round(F.col("w"), 8).alias("stationary_prob"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# F91 — odds ratio / relative risk with Wald CI (2×2 epidemiology view)
+#
+# The case-control readout the A/B family (f72/f81/f82) lacks: does an
+# URGENT order carry different odds of containing a returned line? One
+# fact-fact shuffle on orderkey builds the per-order outcome flag, one
+# 1-row aggregate the 2×2 table; OR/RR/CI are scalar libm over exact
+# BIGINT cells, rounded at 6dp. Engine extension.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f91_odds_ratio",
+    oracle="""
+WITH per_order AS (
+  SELECT o.o_orderkey,
+         CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS a,
+         MAX(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, a
+), cells AS (
+  SELECT
+    CAST(SUM(CASE WHEN a = 1 AND ret = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+    CAST(SUM(CASE WHEN a = 1 AND ret = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+    CAST(SUM(CASE WHEN a = 0 AND ret = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+    CAST(SUM(CASE WHEN a = 0 AND ret = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+  FROM per_order
+)
+SELECT n11, n10, n01, n00,
+       ROUND(CAST(n11 AS DOUBLE) * n00 / (CAST(n10 AS DOUBLE) * n01), 6)
+         AS odds_ratio,
+       ROUND((CAST(n11 AS DOUBLE) / (n11 + n10))
+             / (CAST(n01 AS DOUBLE) / (n01 + n00)), 6) AS relative_risk,
+       ROUND(EXP(LN(CAST(n11 AS DOUBLE) * n00 / (CAST(n10 AS DOUBLE) * n01))
+                 - 1.96 * SQRT(1.0 / n11 + 1.0 / n10 + 1.0 / n01 + 1.0 / n00)),
+             6) AS or_ci_lo,
+       ROUND(EXP(LN(CAST(n11 AS DOUBLE) * n00 / (CAST(n10 AS DOUBLE) * n01))
+                 + 1.96 * SQRT(1.0 / n11 + 1.0 / n10 + 1.0 / n01 + 1.0 / n00)),
+             6) AS or_ci_hi
+FROM cells
+""",
+    doc="Odds ratio + relative risk of a returned line given urgent "
+    "priority, with the Wald 95% CI — exact 2×2 cells, scalar-only "
+    "libm.",
+)
+def f91_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("a"),
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    per_order = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "a")
+        .agg(
+            F.max(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("ret")
+        )
+    )
+    cells = per_order.agg(
+        *[
+            F.sum(
+                F.when((F.col("a") == av) & (F.col("ret") == rv), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(nm)
+            for nm, av, rv in [
+                ("n11", 1, 1), ("n10", 1, 0), ("n01", 0, 1), ("n00", 0, 0)
+            ]
+        ]
+    )
+    orr = (
+        F.col("n11").cast("double") * F.col("n00")
+        / (F.col("n10").cast("double") * F.col("n01"))
+    )
+    se = F.sqrt(
+        F.lit(1.0) / F.col("n11")
+        + F.lit(1.0) / F.col("n10")
+        + F.lit(1.0) / F.col("n01")
+        + F.lit(1.0) / F.col("n00")
+    )
+    return cells.select(
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(orr, 6).alias("odds_ratio"),
+        F.round(
+            (F.col("n11").cast("double") / (F.col("n11") + F.col("n10")))
+            / (F.col("n01").cast("double") / (F.col("n01") + F.col("n00"))),
+            6,
+        ).alias("relative_risk"),
+        F.round(F.exp(F.log(orr) - F.lit(1.96) * se), 6).alias("or_ci_lo"),
+        F.round(F.exp(F.log(orr) + F.lit(1.96) * se), 6).alias("or_ci_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F92 — Kendall's τ-b on the (quantity, discount) grid
+#
+# Rank correlation without f61's mid-rank machinery OR the O(n²) pair
+# walk: quantity and discount live on a BOUNDED grid (50 × 11 cells),
+# so concordant/discordant pair mass is exact cell-count algebra over
+# the ≤550-row grid's non-equi self-joins (BroadcastNestedLoopJoin over
+# a dimension-sized relation — never a data-sized cartesian). Tie
+# corrections from the marginals; all products in DECIMAL(38,0), one
+# final sqrt. The same grain trick as f45's Mann-Whitney. Engine
+# extension.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f92_kendall_tau_grid",
+    oracle="""
+WITH grid AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS y,
+         CAST(COUNT(*) AS DECIMAL(18,0)) AS n
+  FROM lineitem GROUP BY 1, 2
+), conc AS (
+  SELECT CAST(SUM(a.n * b.n) AS DOUBLE) AS c
+  FROM grid a JOIN grid b ON a.x < b.x AND a.y < b.y
+), disc AS (
+  SELECT CAST(SUM(a.n * b.n) AS DOUBLE) AS d
+  FROM grid a JOIN grid b ON a.x < b.x AND a.y > b.y
+), tx AS (
+  SELECT CAST(SUM(t * (t - 1)) AS DOUBLE) / 2 AS n1
+  FROM (SELECT CAST(SUM(n) AS DECIMAL(18,0)) AS t FROM grid GROUP BY x)
+), ty AS (
+  SELECT CAST(SUM(t * (t - 1)) AS DOUBLE) / 2 AS n2
+  FROM (SELECT CAST(SUM(n) AS DECIMAL(18,0)) AS t FROM grid GROUP BY y)
+), tot AS (
+  SELECT CAST(nn * (nn - 1) AS DOUBLE) / 2 AS n0,
+         CAST(nn AS BIGINT) AS n_lines
+  FROM (SELECT CAST(SUM(n) AS DECIMAL(18,0)) AS nn FROM grid)
+)
+SELECT n_lines, c AS concordant, d AS discordant,
+       ROUND((c - d) / SQRT((n0 - n1) * (n0 - n2)), 6) AS tau_b
+FROM conc CROSS JOIN disc CROSS JOIN tx CROSS JOIN ty CROSS JOIN tot
+""",
+    doc="Kendall's τ-b between line quantity and discount from exact "
+    "cell-count algebra on the bounded 50×11 grid — concordant/"
+    "discordant mass via dimension-grain non-equi self-joins, tie "
+    "corrections from the marginals.",
+)
+def f92_kendall_tau_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    grid = li.groupBy(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("y"),
+    ).agg(F.count("*").cast("decimal(18,0)").alias("n"))
+    grid = grid.localCheckpoint(eager=True)  # grid is ≤550 rows: pin once
+    a, b = grid.alias("a"), grid.alias("b")
+    conc = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.x") < F.col("b.x")) & (F.col("a.y") < F.col("b.y")),
+        )
+        .agg(F.sum(F.col("a.n") * F.col("b.n")).cast("double").alias("c"))
+    )
+    disc = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.x") < F.col("b.x")) & (F.col("a.y") > F.col("b.y")),
+        )
+        .agg(F.sum(F.col("a.n") * F.col("b.n")).cast("double").alias("d"))
+    )
+    tx = (
+        grid.groupBy("x")
+        .agg(F.sum("n").cast("decimal(18,0)").alias("t"))
+        .agg(
+            (F.sum(F.col("t") * (F.col("t") - 1)).cast("double") / 2).alias("n1")
+        )
+    )
+    ty = (
+        grid.groupBy("y")
+        .agg(F.sum("n").cast("decimal(18,0)").alias("t"))
+        .agg(
+            (F.sum(F.col("t") * (F.col("t") - 1)).cast("double") / 2).alias("n2")
+        )
+    )
+    tot = grid.agg(F.sum("n").cast("decimal(18,0)").alias("nn")).select(
+        ((F.col("nn") * (F.col("nn") - 1)).cast("double") / 2).alias("n0"),
+        F.col("nn").cast("bigint").alias("n_lines"),
+    )
+    return (
+        conc.crossJoin(disc)
+        .crossJoin(tx)
+        .crossJoin(ty)
+        .crossJoin(tot)
+        .select(
+            "n_lines",
+            F.col("c").alias("concordant"),
+            F.col("d").alias("discordant"),
+            F.round(
+                (F.col("c") - F.col("d"))
+                / F.sqrt((F.col("n0") - F.col("n1")) * (F.col("n0") - F.col("n2"))),
+                6,
+            ).alias("tau_b"),
+        )
+    )

@@ -6800,3 +6800,64 @@ def x138_rule_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("reclaim_share"),
     ).orderBy("rule")
+
+
+# ---------------------------------------------------------------------------
+# X139 — prefix-duplicate census (boilerplate-head detector)
+#
+# Web-scale corpora carry families of documents sharing a long common
+# HEAD (templated boilerplate, mirrored landing pages) that full-doc
+# fingerprints (x23) and MinHash (x2) under-weight because the tails
+# differ. The census groups on md5 of the first 32 chars — one hash-
+# aggregate on a fixed-width key, no text shuffled — and reports the
+# per-source duplicate-prefix mass, the triage number that decides
+# whether a head-truncation pass belongs in the dedup pipeline.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x139_prefix_dup_census",
+    oracle="""
+WITH groups AS (
+  SELECT source, md5(substr(text, 1, 32)) AS pfx,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY source, pfx
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_prefixes,
+       CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_prefixes,
+       CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+         AS docs_in_dup_groups,
+       CAST(MAX(c) AS BIGINT) AS max_group,
+       ROUND(CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+             / SUM(c), 6) AS dup_share
+FROM groups GROUP BY source ORDER BY source
+""",
+    doc="Per-source census of documents sharing a 32-char head "
+    "(md5-keyed hash aggregate): duplicate-prefix group counts, doc "
+    "mass, and share — the boilerplate-head triage beside x23/x2.",
+)
+def x139_prefix_dup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    groups = d.groupBy(
+        "source", F.md5(F.substring("text", 1, 32)).alias("pfx")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    dup = F.col("c") >= 2
+    return (
+        groups.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_prefixes"),
+            F.sum(F.when(dup, 1).otherwise(0)).cast("bigint").alias("dup_prefixes"),
+            F.sum(F.when(dup, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("docs_in_dup_groups"),
+            F.max("c").cast("bigint").alias("max_group"),
+            F.round(
+                F.sum(F.when(dup, F.col("c")).otherwise(0)).cast("double")
+                / F.sum("c"),
+                6,
+            ).alias("dup_share"),
+        )
+        .orderBy("source")
+    )
