@@ -225,8 +225,17 @@ def _f70_bins(spark):
     )(spark)
 
 
+def _f85_lags(spark):
+    from calaveras_uniteus_etl_spark.plans.queries_aggregates import (
+        _F85_LAGS,
+    )
+
+    return _F85_LAGS
+
+
 _GRAIN_PROBES = {
     "share_categories": _share_categories,
+    "lags": _f85_lags,
     "tenure_days": _tenure_days,
     "order_days": _distinct("orders", "o_orderdate"),
     "order_months": _distinct("orders", "date_format(o_orderdate, 'yyyy-MM')"),
