@@ -7,8 +7,8 @@ bit depth 1/2/4/8/16), WAV (RIFF header + PCM frames via the
 stdlib ``wave`` module), baseline JPEG (Huffman + IDCT in
 :mod:`functions.jpeg`), GIF (LZW, interlace, frame census), TIFF
 (both byte orders; strip- and tile-organized; compression none, LZW
-with the TIFF early-change convention, deflate, or PackBits; horizontal-
-differencing predictor), and uncompressed 24/32-bit
+with the TIFF early-change convention, deflate, or PackBits; palette
+via ColorMap; horizontal-differencing predictor), and uncompressed 24/32-bit
 BMP. These
 decoders are complete, honest implementations for those formats —
 pixel-exact PNG/GIF reconstruction, full PCM sample recovery for WAV,
@@ -436,7 +436,7 @@ def decode_image_any(payload: bytes) -> dict:
         try:
             return decode_tiff(payload)
         except NotImplementedError:
-            pass  # deflate/JPEG-in-TIFF/deep-sample/palette: try Pillow below
+            pass  # JPEG-in-TIFF/CCITT/deep-sample/planar: try Pillow below
     if sniff_bmp(payload):
         try:
             return decode_bmp(payload)
@@ -876,7 +876,8 @@ def _apply_predictor2(seg: np.ndarray) -> np.ndarray:
 
 def decode_tiff(payload: bytes) -> dict:
     """Decode an 8-bit TIFF (grey/RGB/RGBA, either byte order, strip-
-    or tile-organized, compression none / LZW / deflate / PackBits, horizontal-
+    or tile-organized, compression none / LZW / deflate / PackBits,
+    palette via ColorMap, horizontal-
     differencing predictor) to the standard ``{width, height,
     channels, pixels}`` dict."""
     if payload[:4] == TIFF_MAGIC_LE:
@@ -899,7 +900,7 @@ def decode_tiff(payload: bytes) -> dict:
     # per-tag count cap alone does not bound the AGGREGATE.
     wanted = {
         256, 257, 258, 259, 262, 273, 277, 278, 279, 284,
-        317, 322, 323, 324, 325,
+        317, 320, 322, 323, 324, 325,
     }
     total_vals_cap = 1 << 20  # aggregate bound across the whole IFD
     try:
@@ -966,10 +967,17 @@ def decode_tiff(payload: bytes) -> dict:
         # planar (R-strips then G then B) would pass every length
         # check and silently interleave garbage — refuse instead
         raise NotImplementedError("planar-configuration TIFF not supported")
-    if one(262, 1 if spp == 1 else 2) not in (0, 1, 2):
-        # palette (3) would return raw indices as grey, CMYK (5) would
-        # be mislabeled RGBA — same silent-wrong-pixels class as planar
-        raise NotImplementedError("TIFF photometric beyond grey/RGB not supported")
+    photometric = one(262, 1 if spp == 1 else 2)
+    if photometric == 3:
+        # palette: indices expand through the ColorMap (tag 320,
+        # 3 × 2^bits SHORT entries, 16-bit per channel)
+        cmap = tags.get(320)
+        if spp != 1 or not cmap or len(cmap) != 3 * 256:
+            raise ValueError("palette TIFF missing a 3x256 ColorMap")
+    elif photometric not in (0, 1, 2):
+        # CMYK (5) would be mislabeled RGBA — same silent-wrong-pixels
+        # class as planar below
+        raise NotImplementedError("TIFF photometric beyond grey/RGB/palette not supported")
     if not width or not height or width * height * spp > (1 << 28):
         raise ValueError(f"implausible TIFF dimensions {width}x{height}")
 
@@ -1038,8 +1046,19 @@ def decode_tiff(payload: bytes) -> dict:
             # crosses a row, so the undo applies to the whole raster
             pixels = _undo_predictor2(pixels)
     # PhotometricInterpretation 0 = WhiteIsZero: invert to normal grey
-    if spp == 1 and one(262, 1) == 0:
+    if spp == 1 and photometric == 0:
         pixels = 255 - pixels
+    if photometric == 3:
+        # expand indices through the ColorMap: reds, greens, blues as
+        # three 256-entry 16-bit planes, scaled to 8-bit
+        lut = (
+            np.asarray(cmap, dtype=np.uint16)
+            .reshape(3, 256)
+            .T.astype(np.uint16)
+            >> 8
+        ).astype(np.uint8)
+        pixels = lut[pixels[:, :, 0]]
+        spp = 3
     return {
         "width": width,
         "height": height,
@@ -1053,16 +1072,20 @@ def encode_tiff(
     rows_per_strip: int | None = None, lzw: bool = False,
     deflate: bool = False, predictor: int = 1,
     tile: tuple[int, int] | None = None,
+    palette: np.ndarray | None = None,
 ) -> bytes:
     """Minimal TIFF writer — the fixture twin of :func:`decode_tiff`
-    (byte order, PackBits/LZW/deflate, multi-strip, tiled, and
-    predictor-2 layouts all exercisable)."""
+    (byte order, PackBits/LZW/deflate, multi-strip, tiled, palette,
+    and predictor-2 layouts all exercisable). ``palette`` is a
+    (256, 3) uint8 colormap; ``pixels`` are then 2-D indices."""
     if packbits + lzw + deflate > 1:
         raise ValueError("pick one compression")
     arr = np.ascontiguousarray(pixels, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, spp = arr.shape
+    if palette is not None and (spp != 1 or palette.shape != (256, 3)):
+        raise ValueError("palette TIFF needs 2-D indices + (256,3) colormap")
     bo = ">" if big_endian else "<"
 
     def compress(seg: np.ndarray) -> bytes:
@@ -1114,12 +1137,18 @@ def encode_tiff(
     compression = 5 if lzw else 8 if deflate else 32773 if packbits else 1
     n = len(segments)
     # tags laid out after the sizes are known; compute n_tags first
-    n_tags = 7 + (2 if tile is None else 3) + (1 if predictor == 2 else 0)
+    n_tags = (
+        7
+        + (2 if tile is None else 3)
+        + (1 if predictor == 2 else 0)
+        + (1 if palette is not None else 0)
+    )
     header = struct.pack(bo + "2sHI", b"II" if bo == "<" else b"MM", 42, 8)
     ifd_size = 2 + 12 * n_tags + 4
-    # layout: header(8) + IFD + bits-array + offset/count arrays + data
+    # layout: header(8) + IFD + bits + colormap + offset/count arrays + data
     bits_off = 8 + ifd_size
-    arrays_off = bits_off + 2 * spp
+    cmap_off = bits_off + 2 * spp
+    arrays_off = cmap_off + (2 * 3 * 256 if palette is not None else 0)
     offsets_off = arrays_off
     counts_off = arrays_off + 4 * n
     data_off = counts_off + 4 * n
@@ -1140,9 +1169,16 @@ def encode_tiff(
             inline_short(8) if spp == 1 else inline_long(bits_off),
         ),
         entry(259, 3, 1, inline_short(compression)),
-        entry(262, 3, 1, inline_short(1 if spp == 1 else 2)),
+        entry(
+            262, 3, 1,
+            inline_short(
+                3 if palette is not None else 1 if spp == 1 else 2
+            ),
+        ),
         entry(277, 3, 1, inline_short(spp)),
     ]
+    if palette is not None:
+        entries.append(entry(320, 3, 3 * 256, inline_long(cmap_off)))
     if tile is None:
         entries += [
             entry(273, 4, n, off_value),
@@ -1166,6 +1202,11 @@ def encode_tiff(
         out.extend(e)
     out.extend(struct.pack(bo + "I", 0))  # next IFD
     out.extend(struct.pack(bo + f"{spp}H", *([8] * spp)))
+    if palette is not None:
+        # reds, greens, blues planes; 8-bit values scaled to 16-bit
+        for ch in range(3):
+            for v in palette[:, ch]:
+                out.extend(struct.pack(bo + "H", int(v) * 257))
     out.extend(b"".join(struct.pack(bo + "I", o) for o in offs))
     out.extend(b"".join(struct.pack(bo + "I", len(s)) for s in segments))
     for s in segments:

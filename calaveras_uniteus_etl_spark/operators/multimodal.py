@@ -11,7 +11,7 @@ Decode is REAL for formats numpy + the standard library can handle —
 PNG incl. indexed-color (zlib inflate + unfilter), GIF (LZW +
 interlace), PCM WAV (RIFF) via functions/codecs.py, and baseline
 JPEG (Huffman + IDCT) via functions/jpeg.py, TIFF (strips or tiles;
-none/LZW/deflate/PackBits compression; predictor 2),
+none/LZW/deflate/PackBits compression; palette; predictor 2),
 and uncompressed BMP — dispatched on magic bytes. MP4 and MP3 parse REAL container metadata (duration,
 dimensions, sample rate) via functions/containers.py; their sample
 decode, and arithmetic/12-bit JPEG, go through a Pillow import

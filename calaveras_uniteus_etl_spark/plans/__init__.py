@@ -265,6 +265,9 @@ _ADDITION_ORDER = [
     "f91_odds_ratio",
     "f92_kendall_tau_grid",
     "x139_prefix_dup_census",
+    "f93_cochran_armitage",
+    "f94_peaks_over_threshold",
+    "m19_id_order_audit",
 ]
 
 # Rows-only-by-design entries that can never earn a hash-green row —

@@ -11449,3 +11449,233 @@ def f92_kendall_tau_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tau_b"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# F93 — Cochran–Armitage trend test (ordered priority × returned line)
+#
+# f87 asks "are segment and priority associated at all"; this asks the
+# sharper ordered question: does return probability TREND across the
+# 1→5 priority scale? Scores are the priority digits; the statistic is
+# T = Σtᵢrᵢ − p̂·Σtᵢnᵢ with Var = p̂(1−p̂)(Σtᵢ²nᵢ − (Σtᵢnᵢ)²/N) —
+# entirely exact-integer sums combined in identical IEEE doubles, one
+# sqrt. Reuses f91's per-order outcome grain. Engine extension.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f93_cochran_armitage",
+    oracle="""
+WITH per_order AS (
+  SELECT CAST(substr(o.o_orderpriority, 1, 1) AS BIGINT) AS t,
+         MAX(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, t
+), g AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(ret) AS BIGINT) AS r_g
+  FROM per_order GROUP BY t
+), s AS (
+  SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+         CAST(SUM(r_g) AS BIGINT) AS r,
+         CAST(SUM(t * r_g) AS BIGINT) AS str_r,
+         CAST(SUM(t * n_g) AS BIGINT) AS str_n,
+         CAST(SUM(t * t * n_g) AS BIGINT) AS st2n
+  FROM g
+)
+SELECT n AS n_orders, r AS n_returned,
+       ROUND(CAST(str_r AS DOUBLE)
+             - (CAST(r AS DOUBLE) / n) * str_n, 6) AS trend_t,
+       ROUND((CAST(str_r AS DOUBLE) - (CAST(r AS DOUBLE) / n) * str_n)
+             / SQRT((CAST(r AS DOUBLE) / n) * (1.0 - CAST(r AS DOUBLE) / n)
+                    * (CAST(st2n AS DOUBLE)
+                       - CAST(str_n AS DOUBLE) * str_n / n)), 6) AS z_stat
+FROM s
+""",
+    doc="Cochran–Armitage test for a monotone trend in return "
+    "probability across the ordered 1-5 priority scale; exact integer "
+    "score sums, one sqrt.",
+)
+def f93_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("t"),
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    per_order = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "t")
+        .agg(
+            F.max(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("ret")
+        )
+    )
+    g = per_order.groupBy("t").agg(
+        F.count("*").cast("bigint").alias("n_g"),
+        F.sum("ret").cast("bigint").alias("r_g"),
+    )
+    s = g.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("r_g").cast("bigint").alias("r"),
+        F.sum(F.col("t") * F.col("r_g")).cast("bigint").alias("str_r"),
+        F.sum(F.col("t") * F.col("n_g")).cast("bigint").alias("str_n"),
+        F.sum(F.col("t") * F.col("t") * F.col("n_g"))
+        .cast("bigint")
+        .alias("st2n"),
+    )
+    p = F.col("r").cast("double") / F.col("n")
+    t_stat = F.col("str_r").cast("double") - p * F.col("str_n")
+    var = (
+        p
+        * (F.lit(1.0) - p)
+        * (
+            F.col("st2n").cast("double")
+            - F.col("str_n").cast("double") * F.col("str_n") / F.col("n")
+        )
+    )
+    return s.select(
+        F.col("n").alias("n_orders"),
+        F.col("r").alias("n_returned"),
+        F.round(t_stat, 6).alias("trend_t"),
+        F.round(t_stat / F.sqrt(var), 6).alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F94 — peaks-over-threshold GPD moment fit (tail risk beyond f57/f59)
+#
+# f57 fits the tail index from order statistics, f59 from block maxima;
+# the third classical view is peaks-over-threshold: excesses above a
+# fixed high threshold follow a Generalized Pareto, whose moment
+# estimators ξ̂ = (1 − m²/s²)/2 and β̂ = m(m²/s² + 1)/2 need only the
+# excess mean and variance — two exact-cents sums from one filtered
+# scan (the predicate pushes to parquet). Engine extension.
+# ---------------------------------------------------------------------------
+
+_F94_THRESHOLD_CENTS = 30_000_000  # $300,000
+
+
+@register(
+    "f94_peaks_over_threshold",
+    oracle=f"""
+WITH exc AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+         - {_F94_THRESHOLD_CENTS} AS y
+  FROM orders
+  WHERE CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        > {_F94_THRESHOLD_CENTS}
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(y AS DECIMAL(18,0))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+              AS DOUBLE) AS s2
+  FROM exc
+)
+SELECT n AS n_exceedances,
+       {_F94_THRESHOLD_CENTS} AS threshold_cents,
+       ROUND(s1 / n, 6) AS mean_excess,
+       ROUND((1.0 - (s1 / n) * (s1 / n) / (s2 / n - (s1 / n) * (s1 / n)))
+             / 2.0, 6) AS xi_hat,
+       ROUND((s1 / n) * ((s1 / n) * (s1 / n)
+                         / (s2 / n - (s1 / n) * (s1 / n)) + 1.0)
+             / 2.0, 6) AS beta_hat
+FROM s
+""",
+    doc="Generalized-Pareto moment fit to order-value excesses over a "
+    "fixed $300k threshold: mean excess, ξ̂ and β̂ from two exact "
+    "decimal sums on a pushdown-filtered scan.",
+)
+def f94_peaks_over_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    cents = (X.dec("o_totalprice") * 100).cast("bigint")
+    exc = o.select(
+        (cents - F.lit(_F94_THRESHOLD_CENTS)).alias("y")
+    ).filter(cents > F.lit(_F94_THRESHOLD_CENTS))
+    s = exc.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("y").cast("decimal(18,0)")).cast("double").alias("s1"),
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    m = F.col("s1") / F.col("n")
+    v = F.col("s2") / F.col("n") - m * m
+    return s.select(
+        F.col("n").alias("n_exceedances"),
+        F.lit(_F94_THRESHOLD_CENTS).alias("threshold_cents"),
+        F.round(m, 6).alias("mean_excess"),
+        F.round((F.lit(1.0) - m * m / v) / F.lit(2.0), 6).alias("xi_hat"),
+        F.round(m * (m * m / v + F.lit(1.0)) / F.lit(2.0), 6).alias("beta_hat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M19 — event-id ordering audit (ingestion-order data-quality check)
+#
+# Monotone surrogate keys are the silent assumption behind CDC replay
+# (c10) and keyset pagination (d9): if event_id order disagrees with
+# timestamp order, both are subtly wrong. One LAG pass over the user
+# partition (the g1/g7 sort, reused) counts inversions — pairs where
+# the id DECREASES while time advances — per user and overall. Engine
+# extension to the proving-audit family (m13/m16/m18).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m19_id_order_audit",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_id,
+         LAG(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_id
+  FROM events
+), pairs AS (
+  SELECT user_id, CASE WHEN prev_id > event_id THEN 1 ELSE 0 END AS inv
+  FROM ordered WHERE prev_id IS NOT NULL
+), per_user AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(inv) AS BIGINT) AS n_inv
+  FROM pairs GROUP BY user_id
+)
+SELECT CAST(SUM(n_pairs) AS BIGINT) AS n_pairs,
+       CAST(SUM(n_inv) AS BIGINT) AS n_inversions,
+       ROUND(CAST(SUM(n_inv) AS DOUBLE) / SUM(n_pairs), 6)
+         AS inversion_rate,
+       CAST(SUM(CASE WHEN n_inv > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS users_affected,
+       CAST(COUNT(*) AS BIGINT) AS users_total
+FROM per_user
+""",
+    doc="Do event ids advance with time? Per-user LAG inversion count "
+    "(id decreasing while ts advances) — the monotone-surrogate-key "
+    "audit behind CDC replay and keyset pagination.",
+)
+def m19_id_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.withColumn("prev_id", F.lag("event_id").over(w))
+        .filter(F.col("prev_id").isNotNull())
+        .select(
+            "user_id",
+            F.when(F.col("prev_id") > F.col("event_id"), 1)
+            .otherwise(0)
+            .alias("inv"),
+        )
+    )
+    per_user = pairs.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum("inv").cast("bigint").alias("n_inv"),
+    )
+    return per_user.agg(
+        F.sum("n_pairs").cast("bigint").alias("n_pairs"),
+        F.sum("n_inv").cast("bigint").alias("n_inversions"),
+        F.round(
+            F.sum("n_inv").cast("double") / F.sum("n_pairs"), 6
+        ).alias("inversion_rate"),
+        F.sum(F.when(F.col("n_inv") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("users_affected"),
+        F.count("*").cast("bigint").alias("users_total"),
+    )

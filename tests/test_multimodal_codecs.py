@@ -1211,20 +1211,24 @@ def test_round10_advice_regressions():
         codecs.decode_tiff(junk_ifd)
     assert time.monotonic() - t0 < 5.0
 
-    # (3) photometric 3 (palette) / 5 (CMYK) refuse
+    # (3) photometric 3 without a ColorMap / 5 (CMYK) refuse — never
+    # raw indices as grey or CMYK relabeled RGBA
     rng = _rng(53)
     grey = codecs.encode_tiff(rng.integers(0, 256, (6, 7), dtype=np.uint8))
     rgba = codecs.encode_tiff(
         rng.integers(0, 256, (6, 7, 4), dtype=np.uint8)
     )
-    for payload, photometric in ((grey, 3), (rgba, 5)):
+    for payload, photometric, exc, msg in (
+        (grey, 3, ValueError, "ColorMap"),
+        (rgba, 5, NotImplementedError, "photometric"),
+    ):
         t = bytearray(payload)
         n = struct.unpack_from("<H", t, 8)[0]
         for i in range(n):
             e = 10 + 12 * i
             if struct.unpack_from("<H", t, e)[0] == 262:
                 struct.pack_into("<HH", t, e + 8, photometric, 0)
-        with pytest.raises(NotImplementedError, match="photometric"):
+        with pytest.raises(exc, match=msg):
             codecs.decode_tiff(bytes(t))
 
     # (4) sniff_mp3: ID3 prefix alone is not enough
@@ -1403,3 +1407,33 @@ def test_tiff_lzw_payloads_quarantine_fuzz(spark):
                 b = b[:i] + b[j:]
             out = mm._real_features(bytes(b), "image")  # must not raise
             assert out is None or isinstance(out, dict)
+
+
+def test_tiff_palette_roundtrips_and_refuses_missing_colormap():
+    """Photometric-3 TIFF: indices expand through the 3×256 16-bit
+    ColorMap (8-bit scaled v·257, recovered by >>8) across every
+    compression/layout; a palette payload whose ColorMap is absent is
+    a typed ValueError, never raw indices returned as grey."""
+    import struct
+
+    rng = _rng(73)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, (19, 13), dtype=np.uint8)
+    for kw in [
+        dict(),
+        dict(lzw=True),
+        dict(big_endian=True, packbits=True),
+        dict(tile=(8, 8), deflate=True),
+        dict(lzw=True, predictor=2),
+    ]:
+        out = codecs.decode_tiff(codecs.encode_tiff(idx, palette=pal, **kw))
+        assert out["channels"] == 3, kw
+        np.testing.assert_array_equal(out["pixels"], pal[idx])
+    t = bytearray(codecs.encode_tiff(idx, palette=pal))
+    n = struct.unpack_from("<H", t, 8)[0]
+    for i in range(n):
+        e = 10 + 12 * i
+        if struct.unpack_from("<H", t, e)[0] == 320:
+            struct.pack_into("<H", t, e, 999)
+    with pytest.raises(ValueError, match="ColorMap"):
+        codecs.decode_tiff(bytes(t))

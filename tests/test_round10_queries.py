@@ -167,3 +167,25 @@ def test_prefix_dup_census_conserves(spark):
         assert r.dup_prefixes <= r.n_prefixes
         assert r.docs_in_dup_groups >= 2 * r.dup_prefixes
         assert 0.0 <= r.dup_share <= 1.0
+
+
+def test_cochran_armitage_consistency(spark):
+    row = _run(spark, "f93_cochran_armitage")[0]
+    assert 0 <= row.n_returned <= row.n_orders
+    # z and T share a sign (variance is positive)
+    assert (row.trend_t >= 0) == (row.z_stat >= 0)
+
+
+def test_pot_gpd_moments(spark):
+    row = _run(spark, "f94_peaks_over_threshold")[0]
+    assert row.n_exceedances > 0
+    assert row.mean_excess > 0
+    assert row.beta_hat > 0  # scale parameter is positive by construction
+    assert row.xi_hat < 0.5  # moment estimator bound (finite variance)
+
+
+def test_id_order_audit_conserves(spark):
+    row = _run(spark, "m19_id_order_audit")[0]
+    assert 0 <= row.n_inversions <= row.n_pairs
+    assert 0 <= row.users_affected <= row.users_total
+    assert 0.0 <= row.inversion_rate <= 1.0
