@@ -115,14 +115,18 @@ def sniff_mp3(payload: bytes) -> bool:
     syncsafe size), and a valid frame header must appear within the
     same bounded sync window :func:`parse_mp3_meta` scans behind the
     tag. Tag-only payloads (nothing after the tag) are accepted
-    explicitly.
+    explicitly — but only when the declared syncsafe size actually
+    fits: a forged 10-byte header declaring a huge tag size must not
+    route arbitrary trailing bytes as mp3.
     """
     if payload.startswith(ID3_MAGIC):
         if len(payload) < 10 or any(b & 0x80 for b in payload[6:10]):
             return False  # bare "ID3" prefix / corrupt syncsafe size
         boundary = _id3_size(payload)
+        if boundary > len(payload):
+            return False  # declared tag exceeds payload — forged header
         if len(payload) <= boundary + 4:
-            return True  # tag-only (or truncated-tag) payload
+            return True  # tag-only payload (whole tag present)
         end = min(len(payload) - 4, boundary + 65536)
         return any(
             _frame_info(payload, pos) is not None

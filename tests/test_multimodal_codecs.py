@@ -1237,6 +1237,12 @@ def test_round10_advice_regressions():
                          + b"\x00" * 32 + b"garbage-not-a-frame" * 40)
     tag_only = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 32]) + b"\x00" * 32
     assert sniff_mp3(tag_only)                           # tag-only: explicit
+    # (4b, round-11 advice) a forged header declaring a syncsafe tag
+    # size LARGER than the payload must not accept via the tag-only
+    # path — the declared tag has to actually fit
+    forged = b"ID3\x04\x00\x00" + bytes([0x0F, 0x7F, 0x7F, 0x7F])
+    assert not sniff_mp3(forged + b"arbitrary bytes here" * 10)
+    assert not sniff_mp3(forged)                         # header alone
     assert sniff_mp3(_make_mp3(n_bytes=4096, with_id3=True))
     # padding between tag and first frame still sniffs (parse_mp3_meta
     # tolerates it, so the router must too)

@@ -158,9 +158,11 @@ def test_binary_renderers_import_guarded(report, tmp_path):
 def test_row_cap_breach_is_observable(spark):
     """_ROW_CAP is defensive-only (every handler is top-k-capped
     upstream), so an actual clip means an upstream bug — it must raise,
-    never silently truncate (round-10 advice item)."""
+    never silently truncate (round-10 advice item), and the message
+    must name the offending section so the bug is locatable (round-11
+    advice item)."""
     at_cap = spark.range(D._ROW_CAP).select("id")
-    assert len(D._rows(at_cap)) == D._ROW_CAP  # exactly at cap: fine
+    assert len(D._rows(at_cap, "at_cap")) == D._ROW_CAP  # exactly at cap: fine
     over = spark.range(D._ROW_CAP + 1).select("id")
-    with pytest.raises(ValueError, match="_ROW_CAP"):
-        D._rows(over)
+    with pytest.raises(ValueError, match="'network'.*_ROW_CAP"):
+        D._rows(over, "network")
