@@ -268,6 +268,13 @@ _ADDITION_ORDER = [
     "f93_cochran_armitage",
     "f94_peaks_over_threshold",
     "m19_id_order_audit",
+    # --- round-11 additions ---
+    "h33_repeat_part_buyers",
+    "h34_weekly_shortfall",
+    "f95_holt_trend",
+    "f96_isotonic_discount",
+    "f97_bh_fdr",
+    "x140_curriculum_stages",
 ]
 
 # Rows-only-by-design entries that can never earn a hash-green row —

@@ -11679,3 +11679,77 @@ def m19_id_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("users_affected"),
         F.count("*").cast("bigint").alias("users_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F95 — Holt linear-trend smoothing of monthly revenue
+#
+# Double exponential smoothing (level + trend) is the classic
+# short-horizon forecaster the f42 backtest and f28 YoY views lead to.
+# The recursion l_t = αy_t + (1−α)(l_{t-1}+b_{t-1}) is sequential — not
+# a window, not an associative fold — so the Spark plan aggregates the
+# fact table to the bounded month grain FIRST (distributed, exact
+# decimal) and runs the scan as ONE Arrow batch through
+# operators/smoothing.py (applyInPandas, grain-guarded). α = β = 0.5
+# are exact binary fractions and the recursion's expression tree is
+# written identically in the UDF and in this recursive-CTE oracle, so
+# the doubles match bit-for-bit cross-engine. Engine extension (the
+# reference has no time-series operators).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f95_holt_trend",
+    oracle="""
+WITH RECURSIVE monthly AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+              AS DOUBLE) AS y
+  FROM orders GROUP BY month
+), idx AS (
+  SELECT month, y, ROW_NUMBER() OVER (ORDER BY month) AS t FROM monthly
+), hw AS (
+  SELECT t, month, y,
+         y AS level, CAST(0 AS DOUBLE) AS trend, y AS fitted
+  FROM idx WHERE t = 1
+  UNION ALL
+  SELECT i.t, i.month, i.y,
+         0.5 * i.y + 0.5 * (hw.level + hw.trend) AS level,
+         0.5 * ((0.5 * i.y + 0.5 * (hw.level + hw.trend)) - hw.level)
+           + 0.5 * hw.trend AS trend,
+         hw.level + hw.trend AS fitted
+  FROM hw JOIN idx i ON i.t = hw.t + 1
+)
+SELECT month, y,
+       ROUND(level, 6) AS level,
+       ROUND(trend, 6) AS trend,
+       ROUND(fitted, 6) AS fitted,
+       ROUND(y - fitted, 6) AS residual
+FROM hw
+ORDER BY month
+""",
+    doc="Holt linear-trend (double exponential) smoothing of monthly "
+    "revenue: distributed exact-decimal aggregation to the month "
+    "grain, then one sequential Arrow batch (operators/smoothing.py); "
+    "α=β=0.5 exact halvings keep the recursion bit-identical to the "
+    "recursive-CTE oracle.",
+)
+def f95_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calaveras_uniteus_etl_spark.operators.smoothing import holt_linear
+
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(to_month("o_orderdate").alias("month")).agg(
+        F.sum(X.dec("o_totalprice"))
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("y")
+    )
+    fit = holt_linear(monthly, "month", "y")
+    return fit.select(
+        "month",
+        "y",
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("fitted", 6).alias("fitted"),
+        F.round(F.col("y") - F.col("fitted"), 6).alias("residual"),
+    ).orderBy("month")

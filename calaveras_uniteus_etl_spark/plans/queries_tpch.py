@@ -1422,3 +1422,209 @@ def h32_am_pm_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# H33 — cross-year repeat part buyers (TPC-DS Q64 shape)
+#
+# Q64 chains the same sale through two channels/years and compares the
+# two acquisitions side by side. On this schema: customers who bought
+# the SAME part in both 1999 and 2000, with each year's quantity and
+# revenue and the year-over-year revenue delta. The scale posture is
+# aggregate-then-self-join: lineitem⋈orders reduces to the
+# (custkey, partkey, year) grain FIRST, so the year-pair join shuffles
+# small aggregate rows on (custkey, partkey) — never fact payloads.
+# ---------------------------------------------------------------------------
+
+_H33_Y1, _H33_Y2 = 1999, 2000
+
+
+@register(
+    "h33_repeat_part_buyers",
+    oracle=f"""
+WITH cpy AS (
+  SELECT o.o_custkey AS custkey, l.l_partkey AS partkey,
+         EXTRACT(year FROM o.o_orderdate) AS yr,
+         CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS BIGINT) AS qty,
+         CAST(SUM({_REV_SQL}) AS DECIMAL(38,6)) AS rev
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE EXTRACT(year FROM o.o_orderdate) IN ({_H33_Y1}, {_H33_Y2})
+  GROUP BY 1, 2, 3
+)
+SELECT a.custkey AS custkey, a.partkey AS partkey,
+       a.qty AS y1_qty, b.qty AS y2_qty,
+       CAST(a.rev AS DOUBLE) AS y1_rev, CAST(b.rev AS DOUBLE) AS y2_rev,
+       CAST(b.rev - a.rev AS DOUBLE) AS rev_delta
+FROM cpy a
+JOIN cpy b ON a.custkey = b.custkey AND a.partkey = b.partkey
+WHERE a.yr = {_H33_Y1} AND b.yr = {_H33_Y2}
+ORDER BY rev_delta DESC, custkey, partkey
+LIMIT 15
+""",
+    doc="TPC-DS Q64 shape: customers who bought the same part in both "
+    f"{_H33_Y1} and {_H33_Y2}, with per-year quantity/revenue and the "
+    "YoY revenue delta — (cust, part, year) aggregation first, then a "
+    "year-pair self-join on the aggregate grain.",
+)
+def h33_repeat_part_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("yr")
+    )
+    cpy = (
+        l.join(o.filter(F.col("yr").isin(_H33_Y1, _H33_Y2)),
+               l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_partkey").alias("partkey"),
+            "yr",
+        )
+        .agg(
+            F.sum(X.dec("l_quantity")).cast("bigint").alias("qty"),
+            F.sum(_rev()).cast("decimal(38,6)").alias("rev"),
+        )
+    )
+    a = cpy.filter(F.col("yr") == _H33_Y1).alias("a")
+    b = cpy.filter(F.col("yr") == _H33_Y2).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.custkey") == F.col("b.custkey"))
+            & (F.col("a.partkey") == F.col("b.partkey")),
+        )
+        .select(
+            F.col("a.custkey").alias("custkey"),
+            F.col("a.partkey").alias("partkey"),
+            F.col("a.qty").alias("y1_qty"),
+            F.col("b.qty").alias("y2_qty"),
+            F.col("a.rev").cast("double").alias("y1_rev"),
+            F.col("b.rev").cast("double").alias("y2_rev"),
+            (F.col("b.rev") - F.col("a.rev")).cast("double").alias("rev_delta"),
+        )
+        .orderBy(F.desc("rev_delta"), "custkey", "partkey")
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# H34 — weekly demand-vs-shipment shortfall (TPC-DS Q72 shape)
+#
+# Q72 joins catalog demand to the NEXT week's inventory and flags the
+# weeks where stock cannot cover the promised sale. On this schema:
+# per (part, order-week) quantity ordered vs the quantity actually
+# shipped in the FOLLOWING week — a lag join on a derived weekly grain.
+# Both sides are aggregated to (partkey, week) BEFORE the lag join, so
+# the shuffle carries one row per part-week; the part dimension joins
+# broadcast for the brand rollup. Week = days-since-1992-01-01 div 7
+# (integer division — identical in both engines; no ISO-week
+# semantics drift).
+# ---------------------------------------------------------------------------
+
+_H34_EPOCH = "1992-01-01"
+
+
+@register(
+    "h34_weekly_shortfall",
+    oracle=f"""
+WITH demand AS (
+  SELECT l.l_partkey AS partkey,
+         CAST(datediff('day', DATE '{_H34_EPOCH}', o.o_orderdate)
+              AS BIGINT) // 7 AS wk,
+         CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2)))
+              AS DECIMAL(38,2)) AS d_qty
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2
+), supply AS (
+  SELECT l_partkey AS partkey,
+         CAST(datediff('day', DATE '{_H34_EPOCH}', l_shipdate)
+              AS BIGINT) // 7 AS wk,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)))
+              AS DECIMAL(38,2)) AS s_qty
+  FROM lineitem
+  GROUP BY 1, 2
+), lagged AS (
+  SELECT d.partkey, d.wk, d.d_qty,
+         COALESCE(s.s_qty, CAST(0 AS DECIMAL(38,2))) AS s_qty
+  FROM demand d
+  LEFT JOIN supply s ON s.partkey = d.partkey AND s.wk = d.wk + 1
+)
+SELECT p.p_brand AS brand,
+       CAST(COUNT(*) AS BIGINT) AS n_part_weeks,
+       CAST(SUM(CASE WHEN g.s_qty < g.d_qty THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_shortfall,
+       ROUND(CAST(SUM(CASE WHEN g.s_qty < g.d_qty THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS shortfall_rate,
+       CAST(SUM(CASE WHEN g.d_qty > g.s_qty THEN g.d_qty - g.s_qty
+                     ELSE CAST(0 AS DECIMAL(38,2)) END)
+            AS DOUBLE) AS backlog_qty
+FROM lagged g
+JOIN part p ON p.p_partkey = g.partkey
+GROUP BY p.p_brand
+ORDER BY brand
+""",
+    doc="TPC-DS Q72 shape: per (part, week) quantity ordered vs the "
+    "quantity shipped the FOLLOWING week (lag join on the aggregated "
+    "weekly grain), rolled up to brand shortfall counts/rates and the "
+    "exact-decimal backlog mass.",
+)
+def h34_weekly_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+
+    def wk(col: str) -> F.Column:
+        return F.expr(
+            f"CAST(datediff({col}, DATE '{_H34_EPOCH}') AS BIGINT) div 7"
+        )
+
+    demand = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("l_partkey").alias("partkey"),
+            wk("o_orderdate").alias("wk"),
+        )
+        .agg(F.sum(X.dec("l_quantity")).cast("decimal(38,2)").alias("d_qty"))
+    )
+    supply = l.groupBy(
+        F.col("l_partkey").alias("partkey"),
+        wk("l_shipdate").alias("wk"),
+    ).agg(F.sum(X.dec("l_quantity")).cast("decimal(38,2)").alias("s_qty"))
+    lagged = (
+        demand.alias("d")
+        .join(
+            supply.alias("s"),
+            (F.col("s.partkey") == F.col("d.partkey"))
+            & (F.col("s.wk") == F.col("d.wk") + 1),
+            "left",
+        )
+        .select(
+            F.col("d.partkey").alias("partkey"),
+            F.col("d.d_qty").alias("d_qty"),
+            F.coalesce(
+                F.col("s.s_qty"), F.lit(0).cast("decimal(38,2)")
+            ).alias("s_qty"),
+        )
+    )
+    short = F.when(F.col("s_qty") < F.col("d_qty"), 1).otherwise(0)
+    return (
+        lagged.join(F.broadcast(p), F.col("partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_part_weeks"),
+            F.sum(short).cast("bigint").alias("n_shortfall"),
+            F.round(
+                F.sum(short).cast("double") / F.count("*"), 6
+            ).alias("shortfall_rate"),
+            F.sum(
+                F.when(
+                    F.col("d_qty") > F.col("s_qty"),
+                    F.col("d_qty") - F.col("s_qty"),
+                ).otherwise(F.lit(0).cast("decimal(38,2)"))
+            )
+            .cast("double")
+            .alias("backlog_qty"),
+        )
+        .orderBy("brand")
+    )
