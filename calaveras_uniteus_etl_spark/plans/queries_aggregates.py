@@ -11753,3 +11753,283 @@ def f95_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("fitted", 6).alias("fitted"),
         F.round(F.col("y") - F.col("fitted"), 6).alias("residual"),
     ).orderBy("month")
+
+
+# ---------------------------------------------------------------------------
+# F96 — weighted isotonic regression (PAVA) of discount vs quantity
+#
+# Isotonic regression is usually presented as the sequential
+# pool-adjacent-violators algorithm, but its solution has a CLOSED
+# minimax form — fit_i = max_{j≤i} min_{k≥i} weightedMean(y_j..y_k) —
+# which needs only cumulative sums on the grain and a bounded pair
+# join, so BOTH engines compute it declaratively (no recursion, no
+# UDF). The grain is l_quantity (integers 1..50): the fact scan
+# reduces to 50 rows distributed, the window/cross joins run on the
+# bounded grain (lint-allowlisted, probed). All means are exact-
+# decimal-difference / count-difference divisions — identical doubles
+# cross-engine. Engine extension (monotone calibration for the f8x
+# battery / ML score calibration).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f96_isotonic_discount",
+    oracle="""
+WITH grain AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l_discount AS DECIMAL(6,4))) AS DECIMAL(38,4)) AS s
+  FROM lineitem GROUP BY q
+), cum AS (
+  SELECT q, n, s,
+         CAST(SUM(s) OVER (ORDER BY q) AS DECIMAL(38,4)) AS cs,
+         CAST(SUM(n) OVER (ORDER BY q) AS BIGINT) AS cn
+  FROM grain
+), pairs AS (
+  SELECT j.q AS jq, k.q AS kq,
+         CAST(k.cs - (j.cs - j.s) AS DOUBLE)
+           / CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS seg_mean
+  FROM cum j JOIN cum k ON j.q <= k.q
+), inner_min AS (
+  SELECT i.q AS q, p.jq AS jq, MIN(p.seg_mean) AS m
+  FROM cum i JOIN pairs p ON p.jq <= i.q AND p.kq >= i.q
+  GROUP BY i.q, p.jq
+)
+SELECT g.q AS quantity, g.n AS n_lines,
+       ROUND(CAST(g.s AS DOUBLE) / g.n, 6) AS raw_avg_discount,
+       ROUND(MAX(im.m), 6) AS iso_fit
+FROM grain g JOIN inner_min im ON im.q = g.q
+GROUP BY g.q, g.n, g.s
+ORDER BY quantity
+""",
+    doc="Weighted isotonic regression of mean discount on quantity via "
+    "the minimax identity fit_i = max_{j<=i} min_{k>=i} mean(j..k): "
+    "fact scan reduces to the 50-row quantity grain, then bounded "
+    "grain-pair joins — PAVA with no recursion and no UDF.",
+)
+def f96_isotonic_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    grain = l.groupBy(
+        F.col("l_quantity").cast("bigint").alias("q")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(X.dec("l_discount", X.RATE)).cast("decimal(38,4)").alias("s"),
+    )
+    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grain.select(
+        "q",
+        "n",
+        "s",
+        F.sum("s").over(w).cast("decimal(38,4)").alias("cs"),
+        F.sum("n").over(w).cast("bigint").alias("cn"),
+    )
+    j, k = cum.alias("j"), cum.alias("k")
+    pairs = j.join(k, F.col("j.q") <= F.col("k.q")).select(
+        F.col("j.q").alias("jq"),
+        F.col("k.q").alias("kq"),
+        (
+            (F.col("k.cs") - (F.col("j.cs") - F.col("j.s"))).cast("double")
+            / (F.col("k.cn") - (F.col("j.cn") - F.col("j.n"))).cast("double")
+        ).alias("seg_mean"),
+    )
+    i = cum.select(F.col("q")).alias("i")
+    inner_min = (
+        i.join(
+            pairs,
+            (F.col("jq") <= F.col("i.q")) & (F.col("kq") >= F.col("i.q")),
+        )
+        .groupBy(F.col("i.q").alias("q"), "jq")
+        .agg(F.min("seg_mean").alias("m"))
+    )
+    return (
+        grain.alias("g")
+        .join(inner_min.alias("im"), F.col("im.q") == F.col("g.q"))
+        .groupBy(
+            F.col("g.q").alias("quantity"),
+            F.col("g.n").alias("n_lines"),
+            F.col("g.s").alias("__s"),
+        )
+        .agg(
+            F.round(
+                F.col("__s").cast("double") / F.col("n_lines"), 6
+            ).alias("raw_avg_discount"),
+            F.round(F.max("m"), 6).alias("iso_fit"),
+        )
+        .drop("__s")
+        .orderBy("quantity")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F97 — Benjamini-Hochberg FDR over the per-nation mean-balance battery
+#
+# The f8x family computes single test statistics; running a BATTERY of
+# 25 per-nation tests needs multiple-comparison control. Two-sample
+# Welch z per nation (nation vs rest — exact decimal sums, identical
+# double algebra both engines), two-sided p via the Abramowitz-Stegun
+# 7.1.26 erfc polynomial (same nesting both engines; exp() is the only
+# libm call, ~1 ulp cross-engine, 6dp-round safe), then the BH
+# step-up: rank p ascending, reject every rank ≤ the largest k with
+# p_(k) ≤ k·q/m. Rank windows run on the bounded nation grain
+# (lint-allowlisted, probed = 25). Engine extension.
+# ---------------------------------------------------------------------------
+
+_F97_Q = 0.10  # target false-discovery rate
+
+
+@register(
+    "f97_bh_fdr",
+    oracle=f"""
+WITH per_nation AS (
+  SELECT n.n_name AS nation,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS s1,
+         CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))
+                  * CAST(c.c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS s2
+  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY n.n_name
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS tn,
+         CAST(SUM(s1) AS DECIMAL(38,2)) AS ts1,
+         CAST(SUM(s2) AS DECIMAL(38,4)) AS ts2
+  FROM per_nation
+), z AS (
+  SELECT nation, n,
+         (CAST(s1 AS DOUBLE) / n
+          - CAST(ts1 - s1 AS DOUBLE) / (tn - n))
+         / SQRT(
+             ((CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)) / n
+             + ((CAST(ts2 - s2 AS DOUBLE)
+                 - CAST(ts1 - s1 AS DOUBLE) * CAST(ts1 - s1 AS DOUBLE)
+                   / (tn - n)) / (tn - n - 1)) / (tn - n)
+           ) AS z_stat
+  FROM per_nation, tot
+), pv AS (
+  SELECT nation, n, z_stat,
+         (1.0 / (1.0 + 0.3275911 * (ABS(z_stat) / SQRT(2.0))))
+         * (0.254829592
+            + (1.0 / (1.0 + 0.3275911 * (ABS(z_stat) / SQRT(2.0))))
+            * (-0.284496736
+               + (1.0 / (1.0 + 0.3275911 * (ABS(z_stat) / SQRT(2.0))))
+               * (1.421413741
+                  + (1.0 / (1.0 + 0.3275911 * (ABS(z_stat) / SQRT(2.0))))
+                  * (-1.453152027
+                     + (1.0 / (1.0 + 0.3275911 * (ABS(z_stat) / SQRT(2.0))))
+                     * 1.061405429))))
+         * EXP(-(ABS(z_stat) / SQRT(2.0)) * (ABS(z_stat) / SQRT(2.0)))
+           AS p_value
+  FROM z
+), ranked AS (
+  SELECT nation, n, z_stat, p_value,
+         CAST(ROW_NUMBER() OVER (ORDER BY p_value, nation) AS BIGINT)
+           AS p_rank,
+         CAST(COUNT(*) OVER () AS BIGINT) AS m
+  FROM pv
+), cut AS (
+  SELECT *,
+         CAST(p_rank AS DOUBLE) * {_F97_Q} / m AS bh_crit,
+         MAX(CASE WHEN p_value <= CAST(p_rank AS DOUBLE) * {_F97_Q} / m
+                  THEN p_rank END) OVER () AS kmax
+  FROM ranked
+)
+SELECT nation, n AS n_customers,
+       ROUND(z_stat, 6) AS z_stat,
+       ROUND(p_value, 6) AS p_value,
+       p_rank,
+       ROUND(bh_crit, 6) AS bh_crit,
+       CAST(CASE WHEN p_rank <= COALESCE(kmax, 0) THEN 1 ELSE 0 END
+            AS BIGINT) AS rejected
+FROM cut
+ORDER BY p_rank
+""",
+    doc="Benjamini-Hochberg FDR control over 25 per-nation Welch "
+    "z-tests (mean account balance, nation vs rest): exact-decimal "
+    "moment sums, A&S-7.1.26 erfc p-values, step-up rejection at "
+    f"q={_F97_Q} on the bounded nation grain.",
+)
+def f97_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    nt = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    bal = X.dec("c_acctbal")
+    per = (
+        c.join(F.broadcast(nt), c.c_nationkey == nt.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(bal).cast("decimal(38,2)").alias("s1"),
+            F.sum(bal * bal).cast("decimal(38,4)").alias("s2"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.sum("s1").cast("decimal(38,2)").alias("ts1"),
+        F.sum("s2").cast("decimal(38,4)").alias("ts2"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    nn, tnn = F.col("n"), F.col("tn") - F.col("n")
+    mean = F.col("s1").cast("double") / nn
+    mean_r = (F.col("ts1") - F.col("s1")).cast("double") / tnn
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / nn
+    ) / (nn - F.lit(1))
+    s1r = (F.col("ts1") - F.col("s1")).cast("double")
+    var_r = (
+        (F.col("ts2") - F.col("s2")).cast("double") - s1r * s1r / tnn
+    ) / (tnn - F.lit(1))
+    z = (mean - mean_r) / F.sqrt(var / nn + var_r / tnn)
+    zc = j.select("nation", "n", z.alias("z_stat"))
+    x = F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    p = (
+        t
+        * (
+            F.lit(0.254829592)
+            + t
+            * (
+                F.lit(-0.284496736)
+                + t
+                * (
+                    F.lit(1.421413741)
+                    + t * (F.lit(-1.453152027) + t * F.lit(1.061405429))
+                )
+            )
+        )
+        * F.exp(-x * x)
+    )
+    pv = zc.select("nation", "n", "z_stat", p.alias("p_value"))
+    w_all = Window.partitionBy()
+    ranked = pv.select(
+        "nation",
+        "n",
+        "z_stat",
+        "p_value",
+        F.row_number()
+        .over(Window.orderBy("p_value", "nation"))
+        .cast("bigint")
+        .alias("p_rank"),
+        F.count("*").over(w_all).cast("bigint").alias("m"),
+    )
+    crit = F.col("p_rank").cast("double") * F.lit(_F97_Q) / F.col("m")
+    cut = ranked.select(
+        "*",
+        crit.alias("bh_crit"),
+        F.max(
+            F.when(F.col("p_value") <= crit, F.col("p_rank"))
+        )
+        .over(w_all)
+        .alias("kmax"),
+    )
+    return cut.select(
+        "nation",
+        F.col("n").alias("n_customers"),
+        F.round("z_stat", 6).alias("z_stat"),
+        F.round("p_value", 6).alias("p_value"),
+        "p_rank",
+        F.round("bh_crit", 6).alias("bh_crit"),
+        F.when(F.col("p_rank") <= F.coalesce(F.col("kmax"), F.lit(0)), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("rejected"),
+    ).orderBy("p_rank")

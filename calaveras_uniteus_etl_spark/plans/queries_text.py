@@ -6861,3 +6861,107 @@ def x139_prefix_dup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# X140 — curriculum staging by equal token mass
+#
+# Curriculum training orders the corpus easy -> hard and feeds it in
+# stages; the staging that keeps every stage the same TRAINING cost
+# splits on cumulative TOKENS, not document count. Difficulty proxy:
+# integer milli-chars-per-word (longer words ~ harder text — same
+# class of proxy as the x11 quality score), totally ordered with
+# doc_id as tiebreak. The stage boundary is an integer-exact prefix
+# computation: stage = K * exclusive_cum_tokens // total_tokens — on
+# the Spark side via the distributed two-phase prefix operator (no
+# single-partition window over documents), on the oracle side via a
+# window cumsum. Engine extension (x49 admits a budgeted prefix; this
+# PARTITIONS the whole corpus into equal-mass stages).
+# ---------------------------------------------------------------------------
+
+_X140_K = 8  # number of curriculum stages
+
+
+@register(
+    "x140_curriculum_stages",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, n_chars,
+         len(string_split({NORM_DUCK.format(col="text")}, ' ')) AS n_tokens,
+         (1000 * n_chars)
+           // len(string_split({NORM_DUCK.format(col="text")}, ' '))
+           AS difficulty_milli
+  FROM documents
+), ranked AS (
+  SELECT *,
+         CAST(SUM(n_tokens) OVER (ORDER BY difficulty_milli, doc_id)
+              AS BIGINT) AS cum_tokens,
+         CAST(SUM(n_tokens) OVER () AS BIGINT) AS total_tokens
+  FROM scored
+), staged AS (
+  SELECT *,
+         LEAST({_X140_K - 1},
+               ({_X140_K} * (cum_tokens - n_tokens)) // total_tokens)
+           AS stage
+  FROM ranked
+)
+SELECT CAST(stage AS BIGINT) AS stage,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+       CAST(MIN(difficulty_milli) AS BIGINT) AS min_difficulty,
+       CAST(MAX(difficulty_milli) AS BIGINT) AS max_difficulty,
+       ROUND(CAST(SUM(1000 * n_chars) AS DOUBLE) / SUM(n_tokens) / 1000, 6)
+         AS chars_per_word
+FROM staged
+GROUP BY stage
+ORDER BY stage
+""",
+    doc=f"Equal-token-mass curriculum staging: corpus totally ordered "
+    "by integer milli-chars-per-word difficulty, split into "
+    f"{_X140_K} stages on the exclusive token prefix (distributed "
+    "two-phase prefix rank — no single-partition window); per-stage "
+    "doc/token mass and difficulty envelope.",
+)
+def x140_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calaveras_uniteus_etl_spark.operators.prefix import prefix_rank
+
+    d = table(spark, sf_dir, "documents")
+    norm = F.expr(NORM_SPARK.format(col="text"))
+    scored = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(F.split(norm, " ")).cast("bigint").alias("n_tokens"),
+    ).withColumn(
+        "difficulty_milli",
+        F.expr("(1000 * n_chars) div n_tokens"),
+    )
+    ranked = prefix_rank(
+        scored,
+        order=[F.col("difficulty_milli"), F.col("doc_id")],
+        value="n_tokens",
+        cum_col="cum_tokens",
+        total_sum_col="total_tokens",
+    )
+    staged = ranked.withColumn(
+        "stage",
+        F.expr(
+            f"least({_X140_K - 1}, "
+            f"({_X140_K} * (cum_tokens - n_tokens)) div total_tokens)"
+        ).cast("bigint"),
+    )
+    return (
+        staged.groupBy("stage")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("tokens"),
+            F.min("difficulty_milli").cast("bigint").alias("min_difficulty"),
+            F.max("difficulty_milli").cast("bigint").alias("max_difficulty"),
+            F.round(
+                F.sum(F.lit(1000) * F.col("n_chars")).cast("double")
+                / F.sum("n_tokens")
+                / F.lit(1000),
+                6,
+            ).alias("chars_per_word"),
+        )
+        .orderBy("stage")
+    )

@@ -117,6 +117,16 @@ GLOBAL_WINDOW_ALLOW = {
     ),
     "g28_max_drawdown": ("calendar-day grain", 3000, "order_days"),
     "g29_anomaly_days": ("calendar-day grain", 3000, "order_days"),
+    "f96_isotonic_discount": (
+        "quantity value grain (integers 1..50): the cumsum windows run "
+        "over the 50-row grain the fact scan reduces to",
+        50, "quantities",
+    ),
+    "f97_bh_fdr": (
+        "nation grain: BH rank/step-up windows over 25 per-nation "
+        "test rows",
+        25, "nations",
+    ),
 }
 
 # Grain probes: each computes the window-key cardinality a

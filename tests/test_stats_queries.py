@@ -609,3 +609,138 @@ def test_m11_join_cardinality_matches_python_model(spark):
     assert row["actual_rows"] == actual
     assert row["estimated_rows"] == pytest.approx(est, abs=1e-3)
     assert row["rel_error"] == pytest.approx((est - actual) / actual, abs=1e-5)
+
+
+def test_f95_holt_matches_naive_recursion(spark):
+    """Holt smoothing must equal the naive single-node recursion on
+    the monthly series, and the fitted one-step forecasts must be the
+    prior level+trend (anchor: fitted_1 = y_1)."""
+    monthly = _duck(
+        "SELECT strftime(o_orderdate, '%Y-%m') AS m, "
+        "CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) "
+        "AS DECIMAL(38,2)) AS DOUBLE) FROM orders GROUP BY m ORDER BY m"
+    )
+    level = trend = None
+    expect = {}
+    for i, (m, y) in enumerate(monthly):
+        if i == 0:
+            level, trend, fitted = y, 0.0, y
+        else:
+            fitted = level + trend
+            new_level = 0.5 * y + 0.5 * (level + trend)
+            trend = 0.5 * (new_level - level) + 0.5 * trend
+            level = new_level
+        expect[m] = (round(level, 6), round(trend, 6), round(fitted, 6))
+    rows = _rows(spark, "f95_holt_trend")
+    assert len(rows) == len(monthly)
+    for r in rows:
+        el, et, ef = expect[r["month"]]
+        assert r["level"] == pytest.approx(el, abs=1e-9)
+        assert r["trend"] == pytest.approx(et, abs=1e-9)
+        assert r["fitted"] == pytest.approx(ef, abs=1e-9)
+        assert r["residual"] == pytest.approx(
+            round(r["y"] - r["fitted"], 6), abs=1e-6
+        )
+
+
+def test_f96_isotonic_matches_pava(spark):
+    """The minimax closed form must equal the classic sequential
+    pool-adjacent-violators algorithm (weighted), and the fit must be
+    monotone non-decreasing in quantity."""
+    grain = _duck(
+        "SELECT CAST(l_quantity AS BIGINT) q, COUNT(*) n, "
+        "CAST(SUM(CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) s "
+        "FROM lineitem GROUP BY q ORDER BY q"
+    )
+    # weighted PAVA: pool blocks while a violator exists
+    blocks = []  # [sum, weight, count_of_grain_rows]
+    for _, n, s in grain:
+        blocks.append([s, n, 1])
+        while len(blocks) > 1 and (
+            blocks[-2][0] / blocks[-2][1] > blocks[-1][0] / blocks[-1][1]
+        ):
+            s2, w2, c2 = blocks.pop()
+            blocks[-1][0] += s2
+            blocks[-1][1] += w2
+            blocks[-1][2] += c2
+    pava = []
+    for s, w, c in blocks:
+        pava.extend([s / w] * c)
+    rows = sorted(_rows(spark, "f96_isotonic_discount"),
+                  key=lambda r: r["quantity"])
+    assert len(rows) == len(grain)
+    fits = [r["iso_fit"] for r in rows]
+    assert fits == sorted(fits)  # isotonic by construction
+    for r, expect, (q, n, _) in zip(rows, pava, grain):
+        assert r["quantity"] == q and r["n_lines"] == n
+        assert r["iso_fit"] == pytest.approx(round(expect, 6), abs=1e-6)
+
+
+def test_f97_bh_matches_manual_stepup(spark):
+    """BH rejection set must equal the manual step-up on the query's
+    own p-values, and the erfc-polynomial p must track math.erfc to
+    the approximation's documented 1.5e-7 bound."""
+    rows = sorted(_rows(spark, "f97_bh_fdr"), key=lambda r: r["p_rank"])
+    m = len(rows)
+    assert [r["p_rank"] for r in rows] == list(range(1, m + 1))
+    ps = [r["p_value"] for r in rows]
+    assert ps == sorted(ps)
+    kmax = max(
+        (i + 1 for i, p in enumerate(ps) if p <= (i + 1) * 0.10 / m),
+        default=0,
+    )
+    for i, r in enumerate(rows):
+        assert r["rejected"] == (1 if i + 1 <= kmax else 0)
+        assert r["bh_crit"] == pytest.approx(
+            round((i + 1) * 0.10 / m, 6), abs=1e-6
+        )
+        true_p = math.erfc(abs(r["z_stat"]) / math.sqrt(2.0))
+        assert r["p_value"] == pytest.approx(true_p, abs=2e-6)
+
+
+def test_x140_stages_partition_the_corpus(spark):
+    """Curriculum stages must partition the corpus (doc and token
+    masses add up), be difficulty-ordered, and balance token mass to
+    within one document's tokens per boundary."""
+    totals = _duck(
+        "SELECT COUNT(*), SUM(len(string_split("
+        "lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' '))), "
+        "MAX(len(string_split("
+        "lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')))"
+        " FROM documents"
+    )[0]
+    n_docs, n_tokens, max_doc_tokens = totals
+    rows = sorted(_rows(spark, "x140_curriculum_stages"),
+                  key=lambda r: r["stage"])
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert sum(r["tokens"] for r in rows) == n_tokens
+    assert [r["stage"] for r in rows] == list(range(len(rows)))
+    # stages are difficulty-ordered: envelopes may touch (ties) but
+    # can never invert
+    for a, b in zip(rows, rows[1:]):
+        assert a["min_difficulty"] <= b["min_difficulty"]
+        assert a["max_difficulty"] <= b["max_difficulty"]
+    # equal-mass up to one document straddling each boundary
+    ideal = n_tokens / 8
+    for r in rows:
+        assert abs(r["tokens"] - ideal) <= max_doc_tokens
+
+
+def test_holt_linear_refuses_unbounded_grain(spark):
+    """The sequential Arrow scan is only legitimate on a BOUNDED
+    grain: a mis-grained caller (fact-table cardinality) must fail
+    loudly inside the task, not funnel the relation through one
+    worker."""
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from calaveras_uniteus_etl_spark.operators.smoothing import holt_linear
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        F.col("id").cast("string").alias("t"),
+        F.col("id").cast("double").alias("y"),
+    )
+    with pytest.raises(PythonException, match="max_rows"):
+        holt_linear(df, "t", "y", max_rows=10).collect()
+    assert holt_linear(df, "t", "y", max_rows=100).count() == 100
