@@ -344,6 +344,65 @@ def cmd_ingest(spark, a) -> int:
     return 0
 
 
+def cmd_sync(spark, a) -> int:
+    from datetime import datetime
+
+    from calaveras_uniteus_etl_spark.config import ETLConfig, PHIConfig
+    from calaveras_uniteus_etl_spark.sync import (
+        load_config,
+        save_config,
+        sync_loop,
+    )
+    from calaveras_uniteus_etl_spark.warehouse import Warehouse
+
+    wh = Warehouse(spark, a.warehouse)
+    if a.configure:
+        cfg = save_config(
+            spark,
+            wh,
+            enabled=not a.disabled,
+            interval_minutes=a.interval_minutes,
+            now=datetime.now(),
+            username=a.username,
+        )
+        _emit(
+            {
+                "configured": True,
+                "enabled": cfg.enabled,
+                "interval_minutes": cfg.interval_minutes,
+                "next_run": cfg.next_run,
+            }
+        )
+        return 0
+    etl_cfg = ETLConfig(
+        input_dir=a.input_dir,
+        warehouse_dir=a.warehouse,
+        phi=PHIConfig(enabled=not a.no_phi),
+    )
+    if a.input_dir is None:
+        raise SystemExit("sync: --input-dir is required unless --configure")
+    ticks = 1 if a.once else a.max_ticks
+    results = sync_loop(
+        spark,
+        wh,
+        etl_cfg,
+        poll_seconds=a.poll_seconds,
+        max_ticks=ticks,
+        on_tick=_emit,
+    )
+    # _emit already streamed each tick; summarize scheduling state
+    cfg = load_config(wh)
+    _emit(
+        {
+            "ticks": len(results),
+            "ran": sum(1 for r in results if r.get("ran")),
+            "last_run": cfg.last_run,
+            "next_run": cfg.next_run,
+        }
+    )
+    return 0
+
+
 def cmd_report(spark, a) -> int:
     reg = _report_registry()
     if a.name not in reg:
@@ -435,6 +494,26 @@ def build_parser() -> argparse.ArgumentParser:
     pi.add_argument("--reprocess", action="store_true")
     pi.add_argument("--latest-only", action="store_true")
     pi.set_defaults(fn=cmd_ingest)
+
+    ps = sub.add_parser(
+        "sync",
+        help="automated-sync scheduler: configure, or poll and ingest when due",
+    )
+    ps.add_argument("--warehouse", required=True)
+    ps.add_argument("--input-dir", default=None)
+    ps.add_argument("--no-phi", action="store_true")
+    ps.add_argument(
+        "--configure",
+        action="store_true",
+        help="write the automated_sync_config row and exit",
+    )
+    ps.add_argument("--disabled", action="store_true")
+    ps.add_argument("--interval-minutes", type=int, default=60)
+    ps.add_argument("--username", default="")
+    ps.add_argument("--once", action="store_true", help="one tick, no polling")
+    ps.add_argument("--max-ticks", type=int, default=None)
+    ps.add_argument("--poll-seconds", type=float, default=60.0)
+    ps.set_defaults(fn=cmd_sync)
 
     pr = sub.add_parser("report", help="run a named report")
     pr.add_argument("--name", required=True)

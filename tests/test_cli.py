@@ -206,3 +206,103 @@ def test_warehouse_reads_legacy_housing_column(spark, tmp_path):
     assert "housing_current_status" in got.columns
     assert "housing_status" not in got.columns
     assert got.first()["housing_current_status"] == "housed"
+
+
+def test_cli_sync_schedule_with_fake_clock(spark, tmp_path, capsys):
+    """The automated-sync twin (reference core/app.py:221-310 poller +
+    1569-1648 config endpoints): configure writes the single-row
+    table; a fake-clock schedule proves (a) disabled -> never runs,
+    (b) the first due tick runs ONCE and re-arms next_run one interval
+    out BEFORE ingesting, (c) a not-yet-due tick is a no-op, (d) a
+    long downtime collapses to one catch-up run."""
+    from datetime import datetime, timedelta
+
+    from calaveras_uniteus_etl_spark.config import ETLConfig, PHIConfig
+    from calaveras_uniteus_etl_spark.sync import (
+        load_config,
+        save_config,
+        sync_loop,
+        sync_tick,
+    )
+    from calaveras_uniteus_etl_spark.warehouse import Warehouse
+
+    inp = tmp_path / "input"
+    inp.mkdir()
+    (inp / "people_20240101.txt").write_text(PEOPLE)
+    wh_dir = str(tmp_path / "wh")
+    wh = Warehouse(spark, wh_dir)
+    etl_cfg = ETLConfig(
+        input_dir=str(inp), warehouse_dir=wh_dir, phi=PHIConfig(enabled=False)
+    )
+    t0 = datetime(2024, 3, 1, 12, 0, 0)
+
+    # (a) unconfigured/disabled: the tick refuses
+    assert sync_tick(spark, wh, etl_cfg, t0) == {
+        "ran": False,
+        "reason": "disabled",
+    }
+
+    # configure via the CLI surface (parity with the POST endpoint)
+    rc, out = _run(
+        spark,
+        [
+            "sync", "--warehouse", wh_dir, "--configure",
+            "--interval-minutes", "30", "--username", "op",
+        ],
+        capsys,
+    )
+    assert rc == 0 and out["enabled"] is True
+    cfg = load_config(wh)
+    assert cfg.interval_minutes == 30 and cfg.next_run is not None
+    # the CLI stamped the wall clock; pin the schedule to the fake
+    # epoch so the tick arithmetic below is deterministic
+    save_config(
+        spark, wh, enabled=True, interval_minutes=30, now=t0, username="op"
+    )
+    assert load_config(wh).next_run == (
+        t0 + timedelta(minutes=30)
+    ).isoformat()
+
+    # (b) drive a 3-tick schedule with a fake clock: due, not-due,
+    # due-again — exactly two ingests
+    times = iter(
+        [
+            t0 + timedelta(minutes=31),  # past next_run -> runs
+            t0 + timedelta(minutes=40),  # before the re-armed slot
+            t0 + timedelta(minutes=62),  # past it -> runs again
+        ]
+    )
+    slept: list[float] = []
+    results = sync_loop(
+        spark,
+        wh,
+        etl_cfg,
+        poll_seconds=60.0,
+        max_ticks=3,
+        clock=lambda: next(times),
+        sleep=slept.append,
+    )
+    assert [r["ran"] for r in results] == [True, False, True]
+    assert slept == [60.0, 60.0]  # no sleep before the first tick
+    first = results[0]
+    # re-armed one interval from the TICK time, stamped before ingest
+    assert first["last_run"] == (t0 + timedelta(minutes=31)).isoformat()
+    assert first["next_run"] == (t0 + timedelta(minutes=61)).isoformat()
+    assert first["n_tasks"] == 1
+    # second run found no new files (md5 skip) but still re-armed
+    cfg = load_config(wh)
+    assert cfg.next_run == (t0 + timedelta(minutes=92)).isoformat()
+
+    # (d) downtime: jump the clock a day ahead — exactly ONE catch-up
+    late = t0 + timedelta(days=1)
+    out = sync_tick(spark, wh, etl_cfg, late)
+    assert out["ran"] is True
+    assert not sync_tick(spark, wh, etl_cfg, late + timedelta(minutes=1))[
+        "ran"
+    ]
+
+    # (c) save_config disabled clears the schedule
+    save_config(
+        spark, wh, enabled=False, interval_minutes=30, now=late, username="op"
+    )
+    assert load_config(wh).next_run is None
