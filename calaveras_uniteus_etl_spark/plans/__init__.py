@@ -275,6 +275,9 @@ _ADDITION_ORDER = [
     "f96_isotonic_discount",
     "f97_bh_fdr",
     "x140_curriculum_stages",
+    "h35_month_deviation",
+    "f98_chow_break",
+    "x141_source_containment",
 ]
 
 # Rows-only-by-design entries that can never earn a hash-green row —

@@ -12033,3 +12033,164 @@ def f97_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rejected"),
     ).orderBy("p_rank")
+
+
+# ---------------------------------------------------------------------------
+# F98 — Chow structural-break test on the daily revenue trend
+#
+# f51 detects WHERE a level change happened (CUSUM); the Chow test
+# answers the confirmatory question: did the linear trend CHANGE at a
+# known date? Fit OLS lines to the day-grain revenue before and after
+# the split and compare pooled vs split residual sums of squares:
+# F = ((RSS_p − RSS_1 − RSS_2)/k) / ((RSS_1 + RSS_2)/(n − 2k)), k=2.
+# Every moment (n, Σt, Σy, Σty, Σt², Σy²) is an exact BIGINT on the
+# day grain — y is quantized to whole k$ by integer division so Σy²
+# stays far below 2^53 at any SF — and the RSS algebra is the same
+# double expression tree in both engines. Engine extension.
+# ---------------------------------------------------------------------------
+
+_F98_BREAK = "1998-01-01"
+_F98_EPOCH = "1992-01-01"
+
+
+def _f98_rss_sql(n: str, st: str, sy: str, sty: str, st2: str, sy2: str) -> str:
+    """RSS of an OLS line from exact integer moments (DOUBLE algebra —
+    written with the same tree as the Spark twin below)."""
+    return (
+        f"((CAST({sy2} AS DOUBLE) - CAST({sy} AS DOUBLE) * CAST({sy} AS DOUBLE) / {n})"
+        f" - (CAST({sty} AS DOUBLE) - CAST({st} AS DOUBLE) * CAST({sy} AS DOUBLE) / {n})"
+        f" * (CAST({sty} AS DOUBLE) - CAST({st} AS DOUBLE) * CAST({sy} AS DOUBLE) / {n})"
+        f" / (CAST({st2} AS DOUBLE) - CAST({st} AS DOUBLE) * CAST({st} AS DOUBLE) / {n}))"
+    )
+
+
+def _f98_rss_col(n, st, sy, sty, st2, sy2) -> F.Column:
+    syy = sy2.cast("double") - sy.cast("double") * sy.cast("double") / n
+    sxy = sty.cast("double") - st.cast("double") * sy.cast("double") / n
+    sxx = st2.cast("double") - st.cast("double") * st.cast("double") / n
+    return syy - sxy * sxy / sxx
+
+
+_F98_MOM = """
+WITH daily AS (
+  SELECT CAST(datediff('day', DATE '{epoch}', o_orderdate) AS BIGINT) AS t,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+              AS BIGINT) // 100000 AS y,
+         CASE WHEN o_orderdate < DATE '{brk}' THEN 0 ELSE 1 END AS seg
+  FROM orders GROUP BY o_orderdate
+), seg_m AS (
+  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(t * y) AS BIGINT) AS sty,
+         CAST(SUM(t * t) AS BIGINT) AS st2,
+         CAST(SUM(y * y) AS BIGINT) AS sy2
+  FROM daily GROUP BY seg
+), wide AS (
+  SELECT
+    MAX(CASE WHEN seg = 0 THEN n END) AS n1,
+    MAX(CASE WHEN seg = 0 THEN st END) AS st_1,
+    MAX(CASE WHEN seg = 0 THEN sy END) AS sy_1,
+    MAX(CASE WHEN seg = 0 THEN sty END) AS sty_1,
+    MAX(CASE WHEN seg = 0 THEN st2 END) AS st2_1,
+    MAX(CASE WHEN seg = 0 THEN sy2 END) AS sy2_1,
+    MAX(CASE WHEN seg = 1 THEN n END) AS n2,
+    MAX(CASE WHEN seg = 1 THEN st END) AS st_2,
+    MAX(CASE WHEN seg = 1 THEN sy END) AS sy_2,
+    MAX(CASE WHEN seg = 1 THEN sty END) AS sty_2,
+    MAX(CASE WHEN seg = 1 THEN st2 END) AS st2_2,
+    MAX(CASE WHEN seg = 1 THEN sy2 END) AS sy2_2
+  FROM seg_m
+)
+"""
+
+
+@register(
+    "f98_chow_break",
+    oracle=(
+        _F98_MOM.format(epoch=_F98_EPOCH, brk=_F98_BREAK)
+        + f"""
+SELECT n1 AS n_pre, n2 AS n_post,
+       '{_F98_BREAK}' AS break_date,
+       ROUND({_f98_rss_sql('(n1 + n2)', '(st_1 + st_2)', '(sy_1 + sy_2)',
+                           '(sty_1 + sty_2)', '(st2_1 + st2_2)',
+                           '(sy2_1 + sy2_2)')}, 6) AS rss_pooled,
+       ROUND({_f98_rss_sql('n1', 'st_1', 'sy_1', 'sty_1', 'st2_1', 'sy2_1')},
+             6) AS rss_pre,
+       ROUND({_f98_rss_sql('n2', 'st_2', 'sy_2', 'sty_2', 'st2_2', 'sy2_2')},
+             6) AS rss_post,
+       ROUND((({_f98_rss_sql('(n1 + n2)', '(st_1 + st_2)', '(sy_1 + sy_2)',
+                             '(sty_1 + sty_2)', '(st2_1 + st2_2)',
+                             '(sy2_1 + sy2_2)')}
+               - {_f98_rss_sql('n1', 'st_1', 'sy_1', 'sty_1', 'st2_1', 'sy2_1')}
+               - {_f98_rss_sql('n2', 'st_2', 'sy_2', 'sty_2', 'st2_2', 'sy2_2')})
+              / 2.0)
+             / (({_f98_rss_sql('n1', 'st_1', 'sy_1', 'sty_1', 'st2_1', 'sy2_1')}
+                 + {_f98_rss_sql('n2', 'st_2', 'sy_2', 'sty_2', 'st2_2', 'sy2_2')})
+                / (n1 + n2 - 4)), 6) AS chow_f
+FROM wide
+"""
+    ),
+    doc="Chow test for a linear-trend break in daily revenue at "
+    f"{_F98_BREAK}: exact integer OLS moments per segment (k$-"
+    "quantized day grain), pooled-vs-split RSS in identical double "
+    "algebra, F with (2, n-4) degrees of freedom.",
+)
+def f98_chow_break(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    cents = (X.dec("o_totalprice") * 100).cast("bigint")
+    daily = (
+        o.groupBy("o_orderdate")
+        .agg(F.sum(cents).cast("bigint").alias("yc"))
+        .select(
+            F.expr(
+                f"CAST(datediff(o_orderdate, DATE '{_F98_EPOCH}') AS BIGINT)"
+            ).alias("t"),
+            F.expr("yc div 100000").alias("y"),
+            F.when(
+                F.col("o_orderdate") < F.lit(_F98_BREAK).cast("date"), 0
+            )
+            .otherwise(1)
+            .alias("seg"),
+        )
+    )
+    seg_m = daily.groupBy("seg").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).cast("bigint").alias("sty"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("st2"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("sy2"),
+    )
+
+    def seg(col: str, s: int) -> F.Column:
+        return F.max(F.when(F.col("seg") == s, F.col(col)))
+
+    wide = seg_m.agg(
+        *[
+            seg(c, s).alias(f"{c}_{s + 1}")
+            for s in (0, 1)
+            for c in ("n", "st", "sy", "sty", "st2", "sy2")
+        ]
+    )
+    m1 = [F.col(f"{c}_1") for c in ("n", "st", "sy", "sty", "st2", "sy2")]
+    m2 = [F.col(f"{c}_2") for c in ("n", "st", "sy", "sty", "st2", "sy2")]
+    mp = [a + b for a, b in zip(m1, m2)]
+    rss1, rss2, rssp = (
+        _f98_rss_col(*m1),
+        _f98_rss_col(*m2),
+        _f98_rss_col(*mp),
+    )
+    n_tot = F.col("n_1") + F.col("n_2")
+    return wide.select(
+        F.col("n_1").alias("n_pre"),
+        F.col("n_2").alias("n_post"),
+        F.lit(_F98_BREAK).alias("break_date"),
+        F.round(rssp, 6).alias("rss_pooled"),
+        F.round(rss1, 6).alias("rss_pre"),
+        F.round(rss2, 6).alias("rss_post"),
+        F.round(
+            ((rssp - rss1 - rss2) / F.lit(2.0))
+            / ((rss1 + rss2) / (n_tot - F.lit(4))),
+            6,
+        ).alias("chow_f"),
+    )

@@ -3899,3 +3899,111 @@ def x137_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# X141 — source-pair contamination matrix (corpus-level containment)
+#
+# x48 probes specific benchmark spans and x65 flags doc-inside-doc
+# containment; curation ALSO needs the corpus-level view: how much of
+# source A's shingle vocabulary appears anywhere in source B (the
+# "is dataset X already inside dataset Y" audit run before mixing
+# corpora). Grain: the distinct (source, shingle-digest) relation —
+# shingles are md5-folded to 60-bit keys once (no text shuffles), the
+# equi-join on the digest fans out per shingle only to the sources
+# that share it (≤ |sources|² pairs per shingle, a bounded dimension),
+# and the matrix itself is dimension-grain output.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x141_source_containment",
+    oracle=f"""
+WITH base AS (
+  SELECT source, {dd.NORM_DUCK.format(col="text")} AS norm,
+         string_split({dd.NORM_DUCK.format(col="text")}, ' ') AS w
+  FROM documents
+), shing AS (
+  SELECT source,
+         CASE WHEN len(w) >= {dd.SHINGLE_WORDS} THEN
+           list_distinct(list_transform(
+             range(1, len(w) - {dd.SHINGLE_WORDS - 2}),
+             i -> {" || ' ' || ".join(f"w[i+{j}]" for j in range(dd.SHINGLE_WORDS))}))
+         ELSE [norm] END AS shingles
+  FROM base
+), sh AS (
+  SELECT DISTINCT source, {dd.duckdb_md5_long_sql("g")} AS h
+  FROM (SELECT source, unnest(shingles) AS g FROM shing)
+), sizes AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM sh GROUP BY source
+), common AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT c.src_a, c.src_b, c.n_common,
+       sa.n_shingles AS n_a, sb.n_shingles AS n_b,
+       ROUND(CAST(c.n_common AS DOUBLE) / sa.n_shingles, 6) AS containment_a,
+       ROUND(CAST(c.n_common AS DOUBLE) / sb.n_shingles, 6) AS containment_b,
+       ROUND(CAST(c.n_common AS DOUBLE)
+             / (sa.n_shingles + sb.n_shingles - c.n_common), 6) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.source = c.src_a
+JOIN sizes sb ON sb.source = c.src_b
+ORDER BY src_a, src_b
+""",
+    doc="Source-pair contamination matrix: distinct shingle-digest "
+    "vocabulary per source, pairwise intersection via one digest "
+    "equi-join (never text), directional containment and Jaccard per "
+    "ordered source pair — the pre-mixing corpus-overlap audit.",
+)
+def x141_source_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = dd.with_shingles(_docs_wide(spark, sf_dir))
+    sh = (
+        d.select(
+            "source",
+            F.explode(dd.shingle_digests_expr()).alias("h"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_shingles")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("src_a"), F.col("n_shingles").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("src_b"), F.col("n_shingles").alias("n_b")
+    )
+    nc = F.col("n_common").cast("double")
+    return (
+        common.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(nc / F.col("n_a"), 6).alias("containment_a"),
+            F.round(nc / F.col("n_b"), 6).alias("containment_b"),
+            F.round(
+                nc / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )

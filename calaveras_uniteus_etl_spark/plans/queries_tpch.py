@@ -1628,3 +1628,93 @@ def h34_weekly_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# H35 — monthly deviation from brand-year average (TPC-DS Q47 shape)
+#
+# Q47 finds the category/brand months whose sales deviate most from
+# the year's average. Shape: one (brand, year, month) aggregate of the
+# part-joined fact, a second rollup to (brand, year), joined back —
+# no window needed, so the whole plan is two hash aggregates plus a
+# broadcast-able dimension-grain join; the deviation filter and the
+# top-k run on the bounded brand-month grain.
+# ---------------------------------------------------------------------------
+
+_H35_DEV = 0.2  # |month / yearly avg − 1| threshold
+
+
+@register(
+    "h35_month_deviation",
+    oracle=f"""
+WITH monthly AS (
+  SELECT p.p_brand AS brand,
+         CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS yr,
+         CAST(EXTRACT(month FROM l.l_shipdate) AS BIGINT) AS mon,
+         CAST(SUM({_REV_SQL}) AS DECIMAL(38,6)) AS rev
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2, 3
+), yearly AS (
+  SELECT brand, yr,
+         CAST(SUM(rev) AS DECIMAL(38,6)) AS yrev,
+         CAST(COUNT(*) AS BIGINT) AS n_months
+  FROM monthly GROUP BY brand, yr
+)
+SELECT m.brand AS brand, m.yr AS yr, m.mon AS mon,
+       CAST(m.rev AS DOUBLE) AS revenue,
+       ROUND(CAST(y.yrev AS DOUBLE) / y.n_months, 6) AS yearly_avg,
+       ROUND(CAST(m.rev AS DOUBLE)
+             / (CAST(y.yrev AS DOUBLE) / y.n_months), 6) AS ratio
+FROM monthly m JOIN yearly y ON y.brand = m.brand AND y.yr = m.yr
+WHERE ABS(CAST(m.rev AS DOUBLE)
+          / (CAST(y.yrev AS DOUBLE) / y.n_months) - 1.0) > {_H35_DEV}
+ORDER BY ABS(CAST(m.rev AS DOUBLE)
+             / (CAST(y.yrev AS DOUBLE) / y.n_months) - 1.0) DESC,
+         brand, yr, mon
+LIMIT 20
+""",
+    doc="TPC-DS Q47 shape: brand-months whose revenue deviates more "
+    f"than {_H35_DEV:.0%} from the brand's yearly monthly average — "
+    "two hash aggregates joined on the bounded (brand, year) grain, "
+    "top-20 by deviation magnitude.",
+)
+def h35_month_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    monthly = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.year("l_shipdate").cast("bigint").alias("yr"),
+            F.month("l_shipdate").cast("bigint").alias("mon"),
+        )
+        .agg(F.sum(_rev()).cast("decimal(38,6)").alias("rev"))
+    )
+    yearly = monthly.groupBy("brand", "yr").agg(
+        F.sum("rev").cast("decimal(38,6)").alias("yrev"),
+        F.count("*").cast("bigint").alias("n_months"),
+    )
+    m, y = monthly.alias("m"), yearly.alias("y")
+    avg = F.col("y.yrev").cast("double") / F.col("y.n_months")
+    ratio = F.col("m.rev").cast("double") / avg
+    dev = F.abs(ratio - F.lit(1.0))
+    return (
+        m.join(
+            y,
+            (F.col("y.brand") == F.col("m.brand"))
+            & (F.col("y.yr") == F.col("m.yr")),
+        )
+        .filter(dev > F.lit(_H35_DEV))
+        .select(
+            F.col("m.brand").alias("brand"),
+            F.col("m.yr").alias("yr"),
+            F.col("m.mon").alias("mon"),
+            F.col("m.rev").cast("double").alias("revenue"),
+            F.round(avg, 6).alias("yearly_avg"),
+            F.round(ratio, 6).alias("ratio"),
+            dev.alias("__dev"),
+        )
+        .orderBy(F.desc("__dev"), "brand", "yr", "mon")
+        .limit(20)
+        .drop("__dev")
+    )
