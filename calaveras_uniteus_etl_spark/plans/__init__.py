@@ -278,6 +278,7 @@ _ADDITION_ORDER = [
     "h35_month_deviation",
     "f98_chow_break",
     "x141_source_containment",
+    "x142_soft_dedup_weights",
 ]
 
 # Rows-only-by-design entries that can never earn a hash-green row —

@@ -4007,3 +4007,94 @@ def x141_source_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# X142 — soft dedup: duplicate-count downweighting instead of removal
+#
+# Hard dedup (x14's keeper selection) throws occurrences away; the
+# soft alternative keeps EVERY document and downweights it by its
+# near-dup cluster size (weight 1/|cluster|), preserving corpus
+# diversity while equalizing duplicated mass — the reweighting view of
+# dedup used by data-mixture work. Weights are micro-quantized
+# (⌊10⁶/|cluster|⌋, an integer) so every per-source mass is an EXACT
+# bigint sum — no float summation-order drift — divided once at the
+# end. Reuses the session-indexed component labels (the iterative
+# fixpoint is built once per corpus) and the x14 recursive-CTE oracle.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x142_soft_dedup_weights",
+    oracle=_duck_reach_sql()
+    + f""", sizes AS (
+  SELECT component, CAST(COUNT(*) AS BIGINT) AS sz FROM reach GROUP BY component
+), weighted AS (
+  SELECT d.source,
+         len(string_split({dd.NORM_DUCK.format(col="d.text")}, ' '))
+           AS n_tokens,
+         CASE WHEN r.node IS NOT NULL THEN 1 ELSE 0 END AS clustered,
+         1000000 // COALESCE(s.sz, 1) AS w_micro
+  FROM documents d
+  LEFT JOIN reach r ON r.node = d.doc_id
+  LEFT JOIN sizes s ON s.component = r.component
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(clustered) AS BIGINT) AS n_clustered,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+       ROUND(CAST(SUM(n_tokens * w_micro) AS DOUBLE) / 1000000, 6)
+         AS eff_tokens,
+       ROUND(CAST(SUM(n_tokens * w_micro) AS DOUBLE) / 1000000
+             / SUM(n_tokens), 6) AS retention
+FROM weighted
+GROUP BY source
+ORDER BY source
+""",
+    doc="Soft dedup: every document kept, weighted 1/|near-dup "
+    "cluster| (micro-quantized so per-source masses are exact integer "
+    "sums); per-source raw vs effective token mass and the retention "
+    "ratio — the reweighting alternative to x14's keeper deletion.",
+)
+def x142_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = dd.with_shingles(_docs_wide(spark, sf_dir)).select(
+        "doc_id",
+        "source",
+        F.size(F.split("norm", " ")).cast("bigint").alias("n_tokens"),
+    )
+    labels = _neardup_labels(spark, sf_dir)
+    sizes = labels.groupBy("lbl").agg(
+        F.count("*").cast("bigint").alias("sz")
+    )
+    weighted = (
+        d.join(labels, d.doc_id == labels.node, "left")
+        .join(F.broadcast(sizes), "lbl", "left")
+        .select(
+            "source",
+            "n_tokens",
+            F.when(F.col("node").isNotNull(), 1).otherwise(0).alias(
+                "clustered"
+            ),
+            F.expr("1000000 div coalesce(sz, 1)").alias("w_micro"),
+        )
+    )
+    return (
+        weighted.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("clustered").cast("bigint").alias("n_clustered"),
+            F.sum("n_tokens").cast("bigint").alias("tokens"),
+            F.round(
+                F.sum(F.col("n_tokens") * F.col("w_micro")).cast("double")
+                / F.lit(1000000),
+                6,
+            ).alias("eff_tokens"),
+            F.round(
+                F.sum(F.col("n_tokens") * F.col("w_micro")).cast("double")
+                / F.lit(1000000)
+                / F.sum("n_tokens"),
+                6,
+            ).alias("retention"),
+        )
+        .orderBy("source")
+    )
