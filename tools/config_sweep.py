@@ -10,7 +10,9 @@ joins disabled (every join becomes a shuffle join, so join-side
 ordering changes), and whole-stage codegen off (interpreted evaluation
 path) — and fails if ANY query's value canon drifts under ANY config.
 
-Usage: python tools/config_sweep.py [sf_dir]
+Usage: python tools/config_sweep.py [sf_dir] [config|-] [query ...]
+(config "-" = all configs; trailing query names restrict the sweep —
+used to pre-check a round's new additions before the full receipt run)
 """
 
 from __future__ import annotations
@@ -42,6 +44,9 @@ CONFIGS = {
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only_cfg = sys.argv[2] if len(sys.argv) > 2 else None
+    if only_cfg == "-":
+        only_cfg = None
+    only_queries = set(sys.argv[3:])
 
     failures: list[tuple[str, str, str]] = []
     for cfg_name, conf in CONFIGS.items():
@@ -68,6 +73,8 @@ def main() -> int:
         n = 0
         for name, spec in REGISTRY.items():
             if spec.oracle is None:
+                continue
+            if only_queries and name not in only_queries:
                 continue
             n += 1
             try:
