@@ -11808,6 +11808,8 @@ ORDER BY quantity
     "grain-pair joins — PAVA with no recursion and no UDF.",
 )
 def f96_isotonic_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from calaveras_uniteus_etl_spark.plans._session_index import materialize
+
     l = table(spark, sf_dir, "lineitem")
     grain = l.groupBy(
         F.col("l_quantity").cast("bigint").alias("q")
@@ -11816,12 +11818,18 @@ def f96_isotonic_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(X.dec("l_discount", X.RATE)).cast("decimal(38,4)").alias("s"),
     )
     w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
-    cum = grain.select(
-        "q",
-        "n",
-        "s",
-        F.sum("s").over(w).cast("decimal(38,4)").alias("cs"),
-        F.sum("n").over(w).cast("bigint").alias("cn"),
+    # Pin the 50-row cumulated grain once: the pair join, the i-grain
+    # probe and the final rollup all reference this relation — without
+    # the pin each reference re-runs the FULL lineitem scan (4 scans
+    # for one query at 100 TB).
+    cum = materialize(
+        grain.select(
+            "q",
+            "n",
+            "s",
+            F.sum("s").over(w).cast("decimal(38,4)").alias("cs"),
+            F.sum("n").over(w).cast("bigint").alias("cn"),
+        )
     )
     j, k = cum.alias("j"), cum.alias("k")
     pairs = j.join(k, F.col("j.q") <= F.col("k.q")).select(
@@ -11842,7 +11850,7 @@ def f96_isotonic_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("seg_mean").alias("m"))
     )
     return (
-        grain.alias("g")
+        cum.select("q", "n", "s").alias("g")
         .join(inner_min.alias("im"), F.col("im.q") == F.col("g.q"))
         .groupBy(
             F.col("g.q").alias("quantity"),
