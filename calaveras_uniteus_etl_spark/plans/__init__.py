@@ -279,6 +279,7 @@ _ADDITION_ORDER = [
     "f98_chow_break",
     "x141_source_containment",
     "x142_soft_dedup_weights",
+    "x143_bigram_entropy_rate",
 ]
 
 # Rows-only-by-design entries that can never earn a hash-green row —

@@ -6965,3 +6965,128 @@ def x140_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage")
     )
+
+
+# ---------------------------------------------------------------------------
+# X143 — bigram conditional-entropy rate per source
+#
+# x25/x58 score documents under corpus LMs and x87 fits the Zipf
+# slope; the missing corpus-level number is the entropy RATE: how many
+# bits the NEXT word carries once the previous word is known,
+# H(w2|w1) = H(w1,w2) − H(w1), per source — low rate = templated/
+# repetitive source, high rate = diverse text (the quick screen before
+# spending LM compute). Both entropies fold over the (source, w1, w2)
+# bigram count relation (joint) and its w1 marginal — exact counts,
+# each p·log2 p term 12dp-quantized before an exact decimal sum (the
+# g33 contract), so partition order never moves the hash.
+# ---------------------------------------------------------------------------
+
+_X143_Q = (
+    "CAST(ROUND((CAST({c} AS DOUBLE) / {n}) * LOG2(CAST({c} AS DOUBLE) / {n}),"
+    " 12) AS DECIMAL(38,12))"
+)
+
+
+@register(
+    "x143_bigram_entropy_rate",
+    oracle=f"""
+WITH base AS (
+  SELECT source, string_split({NORM_DUCK.format(col="text")}, ' ') AS w
+  FROM documents
+), idx AS (
+  SELECT source, w, unnest(range(1, len(w))) AS i FROM base WHERE len(w) >= 2
+), big AS (
+  SELECT source, w[i] AS w1, w[i + 1] AS w2 FROM idx
+), joint AS (
+  SELECT source, w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+  FROM big GROUP BY source, w1, w2
+), tot AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM joint GROUP BY source
+), h_joint AS (
+  SELECT j.source,
+         MAX(t.n) AS n_bigrams,
+         CAST(COUNT(*) AS BIGINT) AS v_bigrams,
+         -CAST(SUM({_X143_Q.format(c="j.c", n="t.n")}) AS DOUBLE) AS hj
+  FROM joint j JOIN tot t ON t.source = j.source
+  GROUP BY j.source
+), marg AS (
+  SELECT source, w1, CAST(SUM(c) AS BIGINT) AS c
+  FROM joint GROUP BY source, w1
+), h_prev AS (
+  SELECT m.source,
+         -CAST(SUM({_X143_Q.format(c="m.c", n="t.n")}) AS DOUBLE) AS hp
+  FROM marg m JOIN tot t ON t.source = m.source
+  GROUP BY m.source
+)
+SELECT j.source, j.n_bigrams, j.v_bigrams,
+       ROUND(j.hj, 6) AS h_joint_bits,
+       ROUND(p.hp, 6) AS h_prev_bits,
+       ROUND(j.hj - p.hp, 6) AS h_rate_bits
+FROM h_joint j JOIN h_prev p ON p.source = j.source
+ORDER BY j.source
+""",
+    doc="Bigram conditional-entropy rate per source, H(w2|w1) = "
+    "H(w1,w2) − H(w1) in bits: exact bigram/marginal counts, "
+    "12dp-quantized p·log2 p terms summed as exact decimals — the "
+    "templated-vs-diverse screen run before LM-based scoring.",
+)
+def x143_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    norm = NORM_SPARK.format(col="text")
+    big = (
+        d.select(
+            "source",
+            F.expr(f"split({norm}, ' ')").alias("w"),
+        )
+        .filter(F.size("w") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 2), "
+                    "i -> struct(w[i] AS w1, w[i + 1] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("source", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    joint = big.groupBy("source", "w1", "w2").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    tot = joint.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+
+    def h_term(c: F.Column, n: F.Column) -> F.Column:
+        p = c.cast("double") / n
+        return F.round(p * F.log2(p), 12).cast("decimal(38,12)")
+
+    hj = (
+        joint.join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(
+            F.max("n").alias("n_bigrams"),
+            F.count("*").cast("bigint").alias("v_bigrams"),
+            (-F.sum(h_term(F.col("c"), F.col("n"))).cast("double")).alias("hj"),
+        )
+    )
+    marg = joint.groupBy("source", "w1").agg(
+        F.sum("c").cast("bigint").alias("c")
+    )
+    hp = (
+        marg.join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(
+            (-F.sum(h_term(F.col("c"), F.col("n"))).cast("double")).alias("hp")
+        )
+    )
+    return (
+        hj.join(hp, "source")
+        .select(
+            "source",
+            "n_bigrams",
+            "v_bigrams",
+            F.round("hj", 6).alias("h_joint_bits"),
+            F.round("hp", 6).alias("h_prev_bits"),
+            F.round(F.col("hj") - F.col("hp"), 6).alias("h_rate_bits"),
+        )
+        .orderBy("source")
+    )
