@@ -117,11 +117,10 @@ GLOBAL_WINDOW_ALLOW = {
     ),
     "g28_max_drawdown": ("calendar-day grain", 3000, "order_days"),
     "g29_anomaly_days": ("calendar-day grain", 3000, "order_days"),
-    "f96_isotonic_discount": (
-        "quantity value grain (integers 1..50): the cumsum windows run "
-        "over the 50-row grain the fact scan reduces to",
-        50, "quantities",
-    ),
+    # f96_isotonic_discount's cumsum window ALSO runs on the 50-row
+    # quantity grain, but it executes inside the eager materialize()
+    # pin, so the returned plan the lint sweeps never contains it —
+    # no allowlist entry needed (the stale-entry check enforces this).
     "f97_bh_fdr": (
         "nation grain: BH rank/step-up windows over 25 per-nation "
         "test rows",
