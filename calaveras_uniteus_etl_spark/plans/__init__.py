@@ -280,6 +280,13 @@ _ADDITION_ORDER = [
     "x141_source_containment",
     "x142_soft_dedup_weights",
     "x143_bigram_entropy_rate",
+    # --- round-11 second-session additions ---
+    "f99_anderson_darling",
+    "h36_channel_growth",
+    "f100_pinball_quantiles",
+    "f101_grubbs_outlier",
+    "x144_shard_novelty",
+    "x145_top_principal_direction",
 ]
 
 # Rows-only-by-design entries that can never earn a hash-green row —

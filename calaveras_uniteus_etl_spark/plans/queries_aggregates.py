@@ -12202,3 +12202,314 @@ def f98_chow_break(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chow_f"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F99 — two-sample Anderson–Darling (urgent vs standard order value)
+#
+# The tail-sensitive companion to f89's KS on the same split: the
+# Scholz–Stephens A²kN statistic (k = 2, right-continuous ECDF, ties
+# collapsed to the distinct-cents grain), which for two samples
+# reduces to
+#
+#   A² = Σ_{j : B_j < N}  l_j · D_j² / (n·m · B_j · (N − B_j)),
+#   D_j = N·M_j − n·B_j
+#
+# with M_j / B_j the sample-1 / pooled cumulative counts at grid
+# value j and l_j the pooled multiplicity. Both cumulative counts
+# come from ONE multi-measure prefix_rank pass (f89's plan shape —
+# a single range exchange, no single-partition window). D_j, B_j and
+# every denominator factor are exact integers below 2^53, so the
+# per-term double algebra is IEEE-deterministic; terms are
+# 12dp-quantized before an exact decimal sum (g33 contract).
+# Engine extension.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f99_anderson_darling",
+    oracle="""
+WITH base AS (
+  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS a,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+  FROM orders
+), vals AS (
+  SELECT x,
+         CAST(SUM(a) AS BIGINT) AS c1,
+         CAST(COUNT(*) AS BIGINT) AS l
+  FROM base GROUP BY x
+), cum AS (
+  SELECT l,
+         CAST(SUM(c1) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS m,
+         CAST(SUM(l) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS b,
+         CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+         CAST(SUM(l) OVER () AS BIGINT) AS nn
+  FROM vals
+), terms AS (
+  SELECT n1, nn - n1 AS n2, nn,
+         ROUND(((CAST(nn * m - n1 * b AS DOUBLE) / n1)
+                * (CAST(nn * m - n1 * b AS DOUBLE) / (nn - n1)))
+               * l / CAST(b * (nn - b) AS DOUBLE), 12) AS t
+  FROM cum WHERE b < nn
+)
+SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       ROUND(CAST(SUM(CAST(t AS DECIMAL(38,12))) AS DOUBLE), 6) AS ad_stat
+FROM terms
+""",
+    doc="Two-sample Anderson–Darling A² over order values (urgent vs "
+    "standard priority): distinct-cents grain, one multi-measure "
+    "distributed prefix scan for both cumulative counts, exact-integer "
+    "term numerators, 12dp-quantized terms under an exact decimal sum.",
+)
+def f99_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("a"),
+        (X.dec("o_totalprice") * 100).cast("bigint").alias("x"),
+    )
+    vals = base.groupBy("x").agg(
+        F.sum("a").cast("bigint").alias("c1"),
+        F.count("*").cast("bigint").alias("l"),
+    )
+    ranked = prefix_rank(
+        vals,
+        [F.asc("x")],
+        ["c1", "l"],
+        cum_col=["m", "b"],
+        total_sum_col=["n1", "nn"],
+    )
+    d = (F.col("nn") * F.col("m") - F.col("n1") * F.col("b")).cast("double")
+    n2 = F.col("nn") - F.col("n1")
+    term = F.round(
+        ((d / F.col("n1")) * (d / n2))
+        * F.col("l")
+        / (F.col("b") * (F.col("nn") - F.col("b"))).cast("double"),
+        12,
+    )
+    return (
+        ranked.filter(F.col("b") < F.col("nn"))
+        .select(
+            "n1",
+            n2.alias("n2"),
+            term.alias("t"),
+        )
+        .agg(
+            F.max("n1").alias("n1"),
+            F.max("n2").alias("n2"),
+            F.count("*").cast("bigint").alias("n_terms"),
+            F.round(
+                F.sum(F.col("t").cast("decimal(38,12)")).cast("double"), 6
+            ).alias("ad_stat"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F100 — pinball-loss quantile fit (quantile "regression" lite)
+#
+# Evaluates the pinball (check) loss L_τ(q) = Σ ρ_τ(y − q) for EVERY
+# candidate q on the distinct-cents grid and reports the argmin per
+# τ ∈ {10, 25, 50, 75, 90}% — the empirical τ-quantile, derived the
+# way a quantile regression would derive it instead of via a sort
+# position. The trick that makes the grid sweep one pass: with
+# cumulative count/sum (cc, cs) at q and grand totals (n, st),
+#
+#   100·L_τ(q) = τ·((st − cs) − q·(n − cc)) + (100 − τ)·(q·cc − cs)
+#
+# so every candidate's loss is O(1) arithmetic on ONE multi-measure
+# prefix_rank pass (no q×data join), all in exact bigint cents×percent
+# units. The per-τ argmin is a lexicographic struct-min hash
+# aggregate with the value tiebreak. Engine extension.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f100_pinball_quantiles",
+    oracle="""
+WITH vals AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY x
+), cum AS (
+  SELECT x,
+         CAST(SUM(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cc,
+         CAST(SUM(x * c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cs,
+         CAST(SUM(c) OVER () AS BIGINT) AS n,
+         CAST(SUM(x * c) OVER () AS BIGINT) AS st
+  FROM vals
+), losses AS (
+  SELECT t.tau, x, n,
+         t.tau * ((st - cs) - x * (n - cc))
+           + (100 - t.tau) * (x * cc - cs) AS loss
+  FROM cum CROSS JOIN (VALUES (10), (25), (50), (75), (90)) t(tau)
+), best AS (
+  SELECT tau, x, loss, n,
+         ROW_NUMBER() OVER (PARTITION BY tau ORDER BY loss, x) AS rn
+  FROM losses
+)
+SELECT CAST(tau AS BIGINT) AS tau_pct,
+       x AS q_cents,
+       CAST(loss AS BIGINT) AS loss_cp,
+       n AS n_orders
+FROM best WHERE rn = 1 ORDER BY tau_pct
+""",
+    doc="Pinball-loss quantile fit over order values: loss of every "
+    "distinct-cents candidate from one multi-measure prefix scan "
+    "(cumulative count+sum), exact bigint cents×percent units, per-τ "
+    "argmin as a struct-min aggregate — the quantile-regression view "
+    "of the {10,25,50,75,90}% quantiles.",
+)
+def f100_pinball_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    vals = (
+        o.select((X.dec("o_totalprice") * 100).cast("bigint").alias("x"))
+        .groupBy("x")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .select("x", "c", (F.col("x") * F.col("c")).alias("s"))
+    )
+    ranked = prefix_rank(
+        vals,
+        [F.asc("x")],
+        ["c", "s"],
+        cum_col=["cc", "cs"],
+        total_sum_col=["n", "st"],
+    )
+    tau = F.col("tau")
+    loss = tau * (
+        (F.col("st") - F.col("cs"))
+        - F.col("x") * (F.col("n") - F.col("cc"))
+    ) + (F.lit(100) - tau) * (F.col("x") * F.col("cc") - F.col("cs"))
+    # explode first (tau must exist as an input column before the loss
+    # projection can reference it), then fold the candidate losses
+    losses = ranked.select(
+        F.explode(
+            F.array(*[F.lit(t) for t in (10, 25, 50, 75, 90)])
+        ).alias("tau"),
+        "x",
+        "cc",
+        "cs",
+        "n",
+        "st",
+    ).select("tau", "n", loss.alias("loss"), "x")
+    return (
+        losses.groupBy(F.col("tau").cast("bigint").alias("tau_pct"))
+        .agg(
+            F.min(F.struct("loss", "x")).alias("b"),
+            F.max("n").alias("n_orders"),
+        )
+        .select(
+            "tau_pct",
+            F.col("b.x").alias("q_cents"),
+            F.col("b.loss").cast("bigint").alias("loss_cp"),
+            "n_orders",
+        )
+        .orderBy("tau_pct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F101 — Grubbs outlier statistic per year (max studentized deviate)
+#
+# The formal single-outlier test over the daily-revenue series, per
+# year: G = max_i |y_i − ȳ| / s. Complements f62's Tukey fences (rule
+# of thumb) and g29's anomaly days with the studentized-deviate
+# statistic itself. Arithmetic contract mirrors f98: the day grain is
+# k$-quantized so the per-year moments (n, Σy, Σy²) are exact
+# bigints, the deviation argmax |n·y − Σy| is an exact integer
+# comparison (no float argmax), and the final G divides identically-
+# derived doubles. The day-grain window for the arg-day is calendar-
+# bounded (f48/f51/g28 contract). Engine extension.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f101_grubbs_outlier",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+         date_diff('day', DATE '1995-01-01', o_orderdate) AS d,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT)
+           // 100000 AS y
+  FROM orders GROUP BY 1, 2
+), mom AS (
+  SELECT yr, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(y * y) AS BIGINT) AS sy2
+  FROM daily GROUP BY yr
+), dev AS (
+  SELECT daily.yr, d, y, n, sy, sy2,
+         ABS(n * y - sy) AS adev,
+         ROW_NUMBER() OVER (PARTITION BY daily.yr
+                            ORDER BY ABS(n * y - sy) DESC, d) AS rn
+  FROM daily JOIN mom ON mom.yr = daily.yr
+)
+SELECT yr, n AS n_days,
+       ROUND(CAST(sy AS DOUBLE) / n, 6) AS mean_kusd,
+       ROUND(SQRT(CAST(n * sy2 - sy * sy AS DOUBLE) / (n * (n - 1))), 6)
+         AS sd_kusd,
+       ROUND((CAST(adev AS DOUBLE) / n)
+             / SQRT(CAST(n * sy2 - sy * sy AS DOUBLE) / (n * (n - 1))), 6)
+         AS g_stat,
+       CAST(d AS BIGINT) AS out_day,
+       y AS out_rev_kusd
+FROM dev WHERE rn = 1 ORDER BY yr
+""",
+    doc="Grubbs max-studentized-deviate per year over k$-quantized "
+    "daily revenue: exact integer moments and an exact-integer "
+    "deviation argmax on the bounded day grain; G divides "
+    "identically-derived doubles.",
+)
+def f101_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    cents = X.dec("o_totalprice") * 100
+    daily = (
+        o.groupBy(
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1995-01-01").cast("date")
+            ).alias("d"),
+        )
+        .agg(F.sum(cents).cast("bigint").alias("yc"))
+        .select("yr", "d", F.expr("yc div 100000").alias("y"))
+    )
+    mom = daily.groupBy("yr").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("sy2"),
+    )
+    # year moments are a bounded grain — broadcast back onto the days
+    joined = daily.join(F.broadcast(mom), "yr")
+    adev = F.abs(F.col("n") * F.col("y") - F.col("sy"))
+    w = Window.partitionBy("yr").orderBy(F.desc("adev"), F.asc("d"))
+    dev = joined.withColumn("adev", adev).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    var_n = (
+        F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")
+    ).cast("double")
+    sd = F.sqrt(var_n / (F.col("n") * (F.col("n") - 1)))
+    return (
+        dev.filter(F.col("rn") == 1)
+        .select(
+            "yr",
+            F.col("n").alias("n_days"),
+            F.round(F.col("sy").cast("double") / F.col("n"), 6).alias(
+                "mean_kusd"
+            ),
+            F.round(sd, 6).alias("sd_kusd"),
+            F.round(
+                (F.col("adev").cast("double") / F.col("n")) / sd, 6
+            ).alias("g_stat"),
+            F.col("d").cast("bigint").alias("out_day"),
+            F.col("y").alias("out_rev_kusd"),
+        )
+        .orderBy("yr")
+    )

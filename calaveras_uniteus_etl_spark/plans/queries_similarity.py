@@ -2651,3 +2651,196 @@ def x136_class_centroid_influence(
         )
         .orderBy(F.desc("shift2_micro"), "label")
     )
+
+
+# ---------------------------------------------------------------------------
+# X145 — top principal direction of the embedding cloud (power iteration)
+#
+# The dominant eigenvector of x63's covariance matrix — the direction
+# every "all-but-the-top" embedding post-processing (Mu & Viswanath
+# 2018) removes first, and the axis a feature-collapse audit inspects.
+# The data-sized work is exactly x63's one-pass integer covariance
+# (milli-quantized values, exact BIGINT numerators n·Σxy − Σx·Σy);
+# the iteration then runs on the DIMENSION grain (64×64 rows, pinned
+# once), so 12 power steps cost 12 joins over a settled tiny relation.
+#
+# Iteration shape matters: a per-step ∞-norm rescale would reference
+# each iterate TWICE (max scalar + division), doubling the logical
+# plan per step — 2^12 blowup on BOTH engines. Instead the matrix is
+# normalized ONCE by its max-|entry| (exact integer max), the chain
+# w_{t+1} = Ĉ·w_t stays strictly linear, and λ is recovered at the
+# end as max|w_12| / max|w_11| rescaled back to covariance units.
+# Determinism contract is f90's: 14dp-quantized products under exact
+# decimal sums each step, maxima over exact values, final ratios as
+# doubles of identically-derived operands — both engines walk
+# bit-identical iterates. Engine extension.
+# ---------------------------------------------------------------------------
+
+_X145_ITERS = 12
+
+
+def _x145_oracle() -> str:
+    steps = []
+    for i in range(1, _X145_ITERS + 1):
+        steps.append(
+            f"w{i} AS (SELECT c.di AS dim, "
+            "CAST(SUM(CAST(ROUND(c.cw * v.w, 14) AS DECIMAL(38,14))) "
+            f"AS DOUBLE) AS w FROM cs c JOIN w{i - 1} v ON v.dim = c.dj "
+            "GROUP BY c.di)"
+        )
+    chain = ",\n".join(steps)
+    last, prev = f"w{_X145_ITERS}", f"w{_X145_ITERS - 1}"
+    from calaveras_uniteus_etl_spark.operators import similarity as sim
+
+    return f"""
+WITH q AS (
+  SELECT vec_id, d.dim AS dim,
+         CAST(ROUND(CAST(embedding[d.dim + 1] AS DOUBLE) * 1000) AS BIGINT)
+           AS qv
+  FROM embeddings CROSS JOIN (SELECT unnest(range({sim.EMBED_DIM})) AS dim) d
+), n AS (
+  SELECT COUNT(DISTINCT vec_id) AS n FROM q
+), sums AS (
+  SELECT dim, CAST(SUM(qv) AS BIGINT) AS sx FROM q GROUP BY dim
+), prods AS (
+  SELECT a.dim AS di, b.dim AS dj, CAST(SUM(a.qv * b.qv) AS BIGINT) AS sxy
+  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+  GROUP BY a.dim, b.dim
+), covu AS (
+  SELECT di, dj, CAST(n.n * sxy - sa.sx * sb.sx AS BIGINT) AS cv
+  FROM prods
+  JOIN sums sa ON sa.dim = di
+  JOIN sums sb ON sb.dim = dj
+  CROSS JOIN n
+), cov AS (
+  SELECT di, dj, cv FROM covu
+  UNION ALL
+  SELECT dj AS di, di AS dj, cv FROM covu WHERE di <> dj
+), mxc AS (
+  SELECT CAST(MAX(ABS(cv)) AS BIGINT) AS mx FROM covu
+), cs AS (
+  SELECT di, dj,
+         ROUND(CAST(cv AS DOUBLE) / CAST(mx AS DOUBLE), 14) AS cw
+  FROM cov CROSS JOIN mxc
+), w0 AS (
+  SELECT dim, CAST(1.0 AS DOUBLE) AS w
+  FROM (SELECT unnest(range({sim.EMBED_DIM})) AS dim)
+),
+{chain},
+mlast AS (SELECT MAX(ABS(w)) AS m FROM {last}),
+mprev AS (SELECT MAX(ABS(w)) AS m FROM {prev})
+SELECT CAST(v.dim AS INT) AS dim,
+       ROUND(v.w / mlast.m, 8) AS loading,
+       ROUND((mlast.m / mprev.m) * CAST(mxc.mx AS DOUBLE), 2) AS lambda_num
+FROM {last} v CROSS JOIN mlast CROSS JOIN mprev CROSS JOIN mxc
+ORDER BY dim
+"""
+
+
+@register(
+    "x145_top_principal_direction",
+    oracle=_x145_oracle(),
+    doc="Dominant eigenvector of the embedding covariance via "
+    f"{_X145_ITERS} quantized power-iteration steps on the pinned "
+    "64×64 integer-covariance grain (matrix max-normalized ONCE so "
+    "the chain stays linear; 14dp-quantized terms under exact decimal "
+    "sums — bit-identical iterates); λ recovered from the last two "
+    "iterates' maxima. The all-but-the-top / feature-collapse audit "
+    "direction.",
+)
+def x145_top_principal_direction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    q = (
+        e.select("vec_id", F.posexplode("embedding").alias("dim", "v"))
+        .select(
+            "vec_id",
+            "dim",
+            F.round(F.col("v").cast("double") * 1000)
+            .cast("bigint")
+            .alias("qv"),
+        )
+        .localCheckpoint(eager=True)  # feeds sums + prods once
+    )
+    # lazy 1-row broadcast scalar (no eager driver count)
+    nrow = q.agg(F.count_distinct("vec_id").cast("bigint").alias("n"))
+    sums = q.groupBy("dim").agg(F.sum("qv").cast("bigint").alias("sx"))
+    a, b = q.alias("a"), q.alias("b")
+    prods = (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.vec_id"))
+            & (F.col("a.dim") <= F.col("b.dim")),
+        )
+        .groupBy(F.col("a.dim").alias("di"), F.col("b.dim").alias("dj"))
+        .agg(F.sum(F.col("a.qv") * F.col("b.qv")).cast("bigint").alias("sxy"))
+    )
+    sa = sums.select(F.col("dim").alias("di"), F.col("sx").alias("sxa"))
+    sb = sums.select(F.col("dim").alias("dj"), F.col("sx").alias("sxb"))
+    covu = (
+        prods.join(F.broadcast(sa), "di")
+        .join(F.broadcast(sb), "dj")
+        .crossJoin(F.broadcast(nrow))
+        .select(
+            "di",
+            "dj",
+            (F.col("n") * F.col("sxy") - F.col("sxa") * F.col("sxb"))
+            .cast("bigint")
+            .alias("cv"),
+        )
+    )
+    # the 64×64 grain is dimension-bounded: pin it BEFORE the mirror
+    # union so the per-vector product join runs once and the 12-step
+    # loop iterates over a settled tiny relation (f90 contract)
+    covu = covu.localCheckpoint(eager=True)
+    cov = covu.union(
+        covu.filter(F.col("di") != F.col("dj")).select(
+            F.col("dj").alias("di"), F.col("di").alias("dj"), "cv"
+        )
+    )
+    mxc = covu.agg(F.max(F.abs(F.col("cv"))).cast("bigint").alias("mx"))
+    cs = cov.crossJoin(F.broadcast(mxc)).select(
+        "di",
+        "dj",
+        F.round(
+            F.col("cv").cast("double") / F.col("mx").cast("double"), 14
+        ).alias("cw"),
+    )
+    v = spark.range(sim.EMBED_DIM).select(
+        F.col("id").cast("int").alias("dim"), F.lit(1.0).alias("w")
+    )
+    prev = None
+    for _ in range(_X145_ITERS):
+        prev = v
+        v = (
+            cs.join(v, F.col("dj") == F.col("dim"))
+            .select(
+                "di",
+                F.round(F.col("cw") * F.col("w"), 14)
+                .cast("decimal(38,14)")
+                .alias("term"),
+            )
+            .groupBy("di")
+            .agg(F.sum("term").cast("double").alias("w"))
+            .select(F.col("di").alias("dim"), "w")
+        )
+    mlast = v.agg(F.max(F.abs(F.col("w"))).alias("m_last"))
+    mprev = prev.agg(F.max(F.abs(F.col("w"))).alias("m_prev"))
+    return (
+        v.crossJoin(F.broadcast(mlast))
+        .crossJoin(F.broadcast(mprev))
+        .crossJoin(F.broadcast(mxc))
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            F.round(F.col("w") / F.col("m_last"), 8).alias("loading"),
+            F.round(
+                (F.col("m_last") / F.col("m_prev"))
+                * F.col("mx").cast("double"),
+                2,
+            ).alias("lambda_num"),
+        )
+        .orderBy("dim")
+    )

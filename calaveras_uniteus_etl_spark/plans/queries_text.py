@@ -7090,3 +7090,97 @@ def x143_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# X144 — shard-over-shard n-gram novelty (temporal dedup decay)
+#
+# The ingestion-ordering view of dedup: split the corpus into 10
+# doc_id-ordered shards (the stand-in for crawl snapshots) and ask,
+# per shard, what fraction of its DISTINCT 3-grams was never seen in
+# any earlier shard. Falling novelty is the curve that decides when
+# continued crawling stops paying for itself — the shard-grain
+# companion of x48's exact-contamination probe and x133's
+# cross-source dup census.
+#
+# Scale shape: 3-grams are digested (md5) before any shuffle, the
+# (shard, gram) census and the first-shard reduction are two
+# map-side-combined hash aggregates on digest keys, and the
+# first-occurrence join is digest⋈digest equi-join — candidate volume
+# is the distinct-gram count, never n². The shard assignment needs
+# MAX(doc_id), attached as a LAZY broadcast scalar (one-row
+# crossJoin, no eager driver .first()).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x144_shard_novelty",
+    oracle=f"""
+WITH mx AS (
+  SELECT MAX(doc_id) AS mxid FROM documents
+), toks AS (
+  SELECT CAST((doc_id * 10) // (mxid + 1) AS BIGINT) AS shard,
+         string_split({NORM_DUCK.format(col="text")}, ' ') AS t
+  FROM documents CROSS JOIN mx
+), grams AS (
+  SELECT shard,
+         unnest([md5(array_to_string(t[i:i+2], ' '))
+                 for i in range(1, len(t) - 1)]) AS g
+  FROM toks WHERE len(t) >= 3
+), per_sg AS (
+  SELECT shard, g, CAST(COUNT(*) AS BIGINT) AS c
+  FROM grams GROUP BY shard, g
+), firsts AS (
+  SELECT g, MIN(shard) AS first_shard FROM per_sg GROUP BY g
+)
+SELECT p.shard,
+       CAST(SUM(p.c) AS BIGINT) AS n_instances,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(CASE WHEN f.first_shard = p.shard THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       ROUND(CAST(SUM(CASE WHEN f.first_shard = p.shard THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS novelty_ratio
+FROM per_sg p JOIN firsts f ON f.g = p.g
+GROUP BY p.shard ORDER BY p.shard
+""",
+    doc="Per-shard 3-gram novelty over 10 doc_id-ordered shards: "
+    "fraction of each shard's distinct digested 3-grams first seen in "
+    "that shard — the crawl-snapshot diminishing-returns curve; "
+    "digest-grain aggregates and join, lazy broadcast MAX(doc_id).",
+)
+def x144_shard_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("doc_id").alias("mxid"))
+    toks = d.crossJoin(F.broadcast(mx)).select(
+        F.expr("CAST((doc_id * 10) div (mxid + 1) AS BIGINT)").alias(
+            "shard"
+        ),
+        F.split(F.expr(NORM_SPARK.format(col="text")), " ").alias("t"),
+    )
+    grams = toks.filter(F.size("t") >= 3).select(
+        "shard",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 2),"
+                " i -> md5(array_join(slice(t, i, 3), ' ')))"
+            )
+        ).alias("g"),
+    )
+    per_sg = grams.groupBy("shard", "g").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    firsts = per_sg.groupBy("g").agg(F.min("shard").alias("first_shard"))
+    novel = F.when(F.col("first_shard") == F.col("shard"), 1).otherwise(0)
+    return (
+        per_sg.join(firsts, "g")
+        .groupBy("shard")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_instances"),
+            F.count("*").cast("bigint").alias("n_distinct"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            F.round(
+                F.sum(novel).cast("double") / F.count("*"), 6
+            ).alias("novelty_ratio"),
+        )
+        .orderBy("shard")
+    )

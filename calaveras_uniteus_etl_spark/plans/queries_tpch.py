@@ -1730,3 +1730,114 @@ def h35_month_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .drop("__dev")
     )
+
+
+# ---------------------------------------------------------------------------
+# H36 — cross-year channel growth comparison (TPC-DS Q11 shape)
+#
+# Q11's signature move on the TPC-H model: per customer, total spend
+# per year (1996 vs 1997) per "channel" (urgent- vs standard-priority
+# orders, the stand-in for store vs web), then keep customers whose
+# urgent-channel growth ratio beats their standard-channel ratio.
+# One conditional-aggregation pivot over the date-pruned fact (the
+# h33 lesson: a single hash aggregate, not a year×channel self-join);
+# the growth comparison is EXACT — cross-multiplied in decimal, never
+# a double-vs-double inequality — and the displayed ratios divide
+# identical exact integers. Customer dimension broadcasts.
+# Reference anchor: the report surface's year-over-year comparisons
+# (core/reports/handlers.py date-window pairs); shape from TPC-DS Q11.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "h36_channel_growth",
+    oracle="""
+WITH t AS (
+  SELECT o_custkey AS ck,
+         EXTRACT(year FROM o_orderdate) AS yr,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS u,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+  WHERE EXTRACT(year FROM o_orderdate) IN (1996, 1997)
+), w AS (
+  SELECT ck,
+         CAST(SUM(CASE WHEN yr = 1996 AND u = 1 THEN cents ELSE 0 END)
+              AS BIGINT) AS u94,
+         CAST(SUM(CASE WHEN yr = 1997 AND u = 1 THEN cents ELSE 0 END)
+              AS BIGINT) AS u95,
+         CAST(SUM(CASE WHEN yr = 1996 AND u = 0 THEN cents ELSE 0 END)
+              AS BIGINT) AS s94,
+         CAST(SUM(CASE WHEN yr = 1997 AND u = 0 THEN cents ELSE 0 END)
+              AS BIGINT) AS s95
+  FROM t GROUP BY ck
+)
+SELECT c.c_custkey AS custkey, c.c_name AS name,
+       u94 AS urgent_1996_cents, u95 AS urgent_1997_cents,
+       s94 AS standard_1996_cents, s95 AS standard_1997_cents,
+       ROUND(CAST(u95 AS DOUBLE) / u94, 6) AS urgent_ratio,
+       ROUND(CAST(s95 AS DOUBLE) / s94, 6) AS standard_ratio
+FROM w JOIN customer c ON c.c_custkey = w.ck
+WHERE u94 > 0 AND s94 > 0
+  AND CAST(u95 AS DECIMAL(18,0)) * CAST(s94 AS DECIMAL(18,0))
+      > CAST(s95 AS DECIMAL(18,0)) * CAST(u94 AS DECIMAL(18,0))
+ORDER BY CAST(u95 AS DOUBLE) / u94 DESC, c.c_custkey
+LIMIT 20
+""",
+    doc="TPC-DS Q11 shape: customers whose urgent-channel 1996→1997 "
+    "spend growth beats their standard-channel growth — one "
+    "conditional-aggregation pivot over the date-pruned orders scan, "
+    "exact cross-multiplied ratio comparison in decimal, top-20 by "
+    "urgent growth.",
+)
+def h36_channel_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    cents = (X.dec("o_totalprice") * 100).cast("bigint")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+
+    def bucket(yr: int, is_urgent: bool) -> F.Column:
+        cond = (F.year("o_orderdate") == yr) & (
+            urgent if is_urgent else ~urgent
+        )
+        return (
+            F.sum(F.when(cond, cents).otherwise(F.lit(0)))
+            .cast("bigint")
+        )
+
+    w = (
+        o.filter(F.year("o_orderdate").isin(1996, 1997))
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            bucket(1996, True).alias("u94"),
+            bucket(1997, True).alias("u95"),
+            bucket(1996, False).alias("s94"),
+            bucket(1997, False).alias("s95"),
+        )
+    )
+    d18 = "decimal(18,0)"
+    grew_faster = (
+        F.col("u95").cast(d18) * F.col("s94").cast(d18)
+        > F.col("s95").cast(d18) * F.col("u94").cast(d18)
+    )
+    ratio = F.col("u95").cast("double") / F.col("u94")
+    return (
+        w.filter((F.col("u94") > 0) & (F.col("s94") > 0) & grew_faster)
+        .join(F.broadcast(c), F.col("ck") == F.col("c_custkey"))
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("u94").alias("urgent_1996_cents"),
+            F.col("u95").alias("urgent_1997_cents"),
+            F.col("s94").alias("standard_1996_cents"),
+            F.col("s95").alias("standard_1997_cents"),
+            F.round(ratio, 6).alias("urgent_ratio"),
+            F.round(
+                F.col("s95").cast("double") / F.col("s94"), 6
+            ).alias("standard_ratio"),
+            ratio.alias("__r"),
+        )
+        .orderBy(F.desc("__r"), "custkey")
+        .limit(20)
+        .drop("__r")
+    )
