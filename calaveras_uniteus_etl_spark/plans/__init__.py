@@ -287,6 +287,7 @@ _ADDITION_ORDER = [
     "f101_grubbs_outlier",
     "x144_shard_novelty",
     "x145_top_principal_direction",
+    "m20_benford_audit",
 ]
 
 # Rows-only-by-design entries that can never earn a hash-green row —

@@ -12513,3 +12513,106 @@ def f101_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr")
     )
+
+
+# ---------------------------------------------------------------------------
+# M20 — Benford first-digit audit (fabricated-amounts screen)
+#
+# The classic forensic-accounting check on the money column: the
+# first significant digit of every order total against Benford's
+# log10(1 + 1/d) law, with the chi-square distance. The digit is
+# extracted from the EXACT integer cents as a string head (no float
+# log), the nine Benford shares are host-computed literals injected
+# into BOTH plans (zero libm dependence), and the chi-square folds
+# 12dp-quantized terms over the 9-row digit grain under an exact
+# decimal sum (g33 contract). One hash aggregate + a broadcast
+# scalar; the digit grain is constant-bounded. Engine extension
+# (reference anchor: the data-quality battery, core/etl_service.py).
+# ---------------------------------------------------------------------------
+
+_M20_BENFORD = {d: _math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def _m20_oracle() -> str:
+    vals = ", ".join(
+        f"({d}, {p:.17g})" for d, p in _M20_BENFORD.items()
+    )
+    return f"""
+WITH digits AS (
+  SELECT CAST(SUBSTR(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                          AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders
+), counts AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM digits GROUP BY digit
+), tot AS (
+  SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM counts
+), terms AS (
+  SELECT digit, n_obs, n, p,
+         ROUND((CAST(n_obs AS DOUBLE) - n * p)
+               * (CAST(n_obs AS DOUBLE) - n * p) / (n * p), 12) AS t
+  FROM counts
+  JOIN (VALUES {vals}) b(digit, p) USING (digit)
+  CROSS JOIN tot
+), chi AS (
+  SELECT CAST(SUM(CAST(t AS DECIMAL(38,12))) AS DOUBLE) AS chi2 FROM terms
+)
+SELECT CAST(digit AS INT) AS digit, n_obs,
+       ROUND(CAST(n_obs AS DOUBLE) / n, 6) AS share,
+       ROUND(p, 6) AS benford_p,
+       ROUND(CAST(n_obs AS DOUBLE) / n - p, 6) AS deviation,
+       ROUND(chi2, 6) AS chi2_total
+FROM terms CROSS JOIN chi ORDER BY digit
+"""
+
+
+@register(
+    "m20_benford_audit",
+    oracle=_m20_oracle(),
+    doc="Benford's-law audit of order totals: first significant digit "
+    "of the exact integer cents vs log10(1+1/d) (host-injected "
+    "literals), per-digit share/deviation plus a 12dp-quantized "
+    "chi-square fold over the constant 9-digit grain.",
+)
+def m20_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    cents = (X.dec("o_totalprice") * 100).cast("bigint")
+    digits = o.select(
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(
+        F.count("*").cast("bigint").alias("n_obs")
+    )
+    bens = spark.createDataFrame(
+        [(d, p) for d, p in _M20_BENFORD.items()], "digit int, p double"
+    )
+    tot = counts.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    obs = F.col("n_obs").cast("double")
+    exp = F.col("n") * F.col("p")
+    terms = (
+        counts.join(F.broadcast(bens), "digit")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            "n",
+            "p",
+            F.round((obs - exp) * (obs - exp) / exp, 12).alias("t"),
+        )
+    )
+    chi = terms.agg(
+        F.sum(F.col("t").cast("decimal(38,12)"))
+        .cast("double")
+        .alias("chi2")
+    )
+    return (
+        terms.crossJoin(F.broadcast(chi))
+        .select(
+            F.col("digit").cast("int").alias("digit"),
+            "n_obs",
+            F.round(obs / F.col("n"), 6).alias("share"),
+            F.round(F.col("p"), 6).alias("benford_p"),
+            F.round(obs / F.col("n") - F.col("p"), 6).alias("deviation"),
+            F.round(F.col("chi2"), 6).alias("chi2_total"),
+        )
+        .orderBy("digit")
+    )

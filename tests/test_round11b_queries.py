@@ -233,3 +233,32 @@ def test_x145_matches_numpy_power_iteration(spark):
         cos = abs(got @ top) / (np.linalg.norm(got) * np.linalg.norm(top))
         assert cos > 0.999
         assert lam == pytest.approx(lam1, rel=0.01)
+
+
+def test_m20_benford_matches_python_model(spark):
+    """Counts, shares and chi2 re-derived naively; Benford shares sum
+    to 1 and observed shares partition the order count."""
+    digs = _duck(
+        "SELECT CAST(SUBSTR(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2))"
+        " * 100 AS BIGINT) AS VARCHAR), 1, 1) AS INT), COUNT(*)"
+        " FROM orders GROUP BY 1"
+    )
+    counts = dict(digs)
+    n = sum(counts.values())
+    ps = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
+    chi2 = sum(
+        (counts.get(d, 0) - n * p) ** 2 / (n * p) for d, p in ps.items()
+        if d in counts
+    )
+    rows = sorted(_rows(spark, "m20_benford_audit"), key=lambda r: r["digit"])
+    assert [r["digit"] for r in rows] == sorted(counts)
+    assert sum(r["n_obs"] for r in rows) == n
+    assert sum(ps.values()) == pytest.approx(1.0, abs=1e-12)
+    for r in rows:
+        assert r["n_obs"] == counts[r["digit"]]
+        assert r["share"] == pytest.approx(counts[r["digit"]] / n, abs=1e-6)
+        assert r["benford_p"] == pytest.approx(ps[r["digit"]], abs=1e-6)
+        assert r["deviation"] == pytest.approx(
+            counts[r["digit"]] / n - ps[r["digit"]], abs=2e-6
+        )
+        assert r["chi2_total"] == pytest.approx(chi2, abs=1e-4)
