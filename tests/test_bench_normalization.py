@@ -27,17 +27,12 @@ from calaveras_uniteus_etl_spark.plans import REGISTRY  # noqa: E402
 
 # Known-and-dispositioned regressions may be waived here, each with a
 # justification the judge can audit. Empty = everything must pass.
-WAIVERS: dict[str, str] = {
-    "x3_simhash_pairs": (
-        "r11 receipts: raw 2.15->4.43s with md5 probe flat, but the "
-        "same-box worktree A/B (tools/time_queries.py --best 3, "
-        "EVIDENCE.md r11 disposition) measured the r10 receipt tree "
-        "417b04a at 4.04s and HEAD at 3.87s — identical within 5%, no "
-        "tree-over-tree delta, code untouched since r10. The 2.15s "
-        "baseline sample is the outlier (same session whose matmul "
-        "probe read 5.2x slow); session noise, not a regression."
-    ),
-}
+# (Cleared at the r11→r12 baseline rotation. The r11 round waived
+# x3_simhash_pairs against the r10 baseline after a worktree A/B
+# showed zero tree-over-tree delta — see the EVIDENCE.md r11
+# disposition; the waiver must NOT outlive the baseline it excused,
+# or it would mask a real future regression on that query.)
+WAIVERS: dict[str, str] = {}
 
 
 def test_probe_assignment_by_plan_family():
