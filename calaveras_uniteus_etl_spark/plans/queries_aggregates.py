@@ -2358,25 +2358,35 @@ SELECT * FROM (
 )
 def m4_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
-    s = o.agg(
+    # Two aggregates instead of one wide one: mixing string MIN/MAX
+    # (immutable agg buffers) into the 4-way multi-distinct rewrite
+    # forced the WHOLE query onto SortAggregate over the 5×-Expanded
+    # rows — two full sorts of 5n wide rows. Split, the extremes pass
+    # hash-aggregates the raw rows and the distinct pass hash-
+    # aggregates the Expand, and the two 1-row results cross-join for
+    # free. Same values, same single-row shape.
+    plain = o.agg(
         F.count("*").alias("n_rows"),
         (F.count("*") - F.count("o_orderstatus")).alias("null_status"),
-        F.countDistinct("o_orderstatus").alias("nd_status"),
         F.min("o_orderstatus").alias("min_status"),
         F.max("o_orderstatus").alias("max_status"),
         (F.count("*") - F.count("o_orderpriority")).alias("null_prio"),
-        F.countDistinct("o_orderpriority").alias("nd_prio"),
         F.min("o_orderpriority").alias("min_prio"),
         F.max("o_orderpriority").alias("max_prio"),
         (F.count("*") - F.count("o_totalprice")).alias("null_price"),
-        F.countDistinct("o_totalprice").alias("nd_price"),
         F.min("o_totalprice").cast("double").alias("min_price"),
         F.max("o_totalprice").cast("double").alias("max_price"),
         (F.count("*") - F.count("o_orderkey")).alias("null_key"),
-        F.countDistinct("o_orderkey").alias("nd_key"),
         F.min("o_orderkey").cast("double").alias("min_key"),
         F.max("o_orderkey").cast("double").alias("max_key"),
     )
+    nd = o.agg(
+        F.countDistinct("o_orderstatus").alias("nd_status"),
+        F.countDistinct("o_orderpriority").alias("nd_prio"),
+        F.countDistinct("o_totalprice").alias("nd_price"),
+        F.countDistinct("o_orderkey").alias("nd_key"),
+    )
+    s = plain.crossJoin(F.broadcast(nd))
     return s.select(
         F.expr(
             """stack(4,
@@ -11223,12 +11233,25 @@ def f90_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     trans = trans.localCheckpoint(eager=True)
     states = trans.select(F.col("prev_type").alias("st")).distinct()
     k = states.agg(F.count("*").cast("bigint").alias("k"))
-    dist = states.crossJoin(F.broadcast(k)).select(
-        "st", (F.lit(1.0) / F.col("k")).alias("w")
+    # The iterate lives on the STATE grain (bounded dimension at any
+    # data volume), so a single partition is its correct layout:
+    # coalesce(1) makes every per-step join and groupBy below satisfy
+    # its distribution requirement without an Exchange, fusing all 20
+    # steps into ONE stage instead of 20 AQE-scheduled shuffle rounds
+    # (the profiled plan ran ~290 stages for this query). The
+    # data-sized work — the LAG pass and the transition rollup — stays
+    # fully distributed above.
+    dist = (
+        states.crossJoin(F.broadcast(k))
+        .select("st", (F.lit(1.0) / F.col("k")).alias("w"))
+        .coalesce(1)
     )
+    # Broadcast the settled transition relation into every step: the
+    # stream side stays single-partition, the 20 identical broadcast
+    # subtrees collapse to one build via exchange reuse.
     for _ in range(_F90_ITERS):
         dist = (
-            dist.join(trans, dist.st == trans.prev_type)
+            dist.join(F.broadcast(trans), dist.st == trans.prev_type)
             .select(
                 F.col("curr_type").alias("st"),
                 F.round(F.col("w") * F.col("p"), 14)

@@ -368,7 +368,14 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
 def x3_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = dd.with_shingles(_docs_wide(spark, sf_dir))
     hs, sim = dd.simhash_exprs()
-    fp = d.withColumn("hs", hs).select("doc_id", sim.alias("simhash"))
+    # The fingerprint subtree (one md5 per token + 32 bit-vote array
+    # passes) is referenced THREE times below — bucket counts plus both
+    # self-join sides — and Catalyst does not share it, so the dominant
+    # cost ran 3×. Pin the tiny (doc_id, simhash) relation once; the
+    # banded join then reads a lineage-free leaf.
+    fp = d.withColumn("hs", hs).select(
+        "doc_id", sim.alias("simhash")
+    ).localCheckpoint(eager=True)
     bands = fp.select(
         "doc_id",
         "simhash",
@@ -449,21 +456,27 @@ def x4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 60-bit digest makes cross-doc collisions (the only thing that
     # could perturb exactness) a 1-in-2^60 event.
     d = dd.with_shingles(_docs_wide(spark, sf_dir))
-    sh_all = d.select("doc_id", F.explode(dd.shingle_digests_expr()).alias("g"))
+    # Pin the postings BEFORE the df-cap: the md5-dense digest pass
+    # runs once, and the cap no longer needs a COUNT window (a full
+    # shuffle + sort of every posting) — a hash aggregate over the
+    # pinned postings yields the (rare) over-cap digests, removed with
+    # a broadcast anti-join. Same ≤cap shingle universe on both sides.
+    sh_all = d.select(
+        "doc_id", F.explode(dd.shingle_digests_expr()).alias("g")
+    ).localCheckpoint(eager=True)
     # posting-list df-cap (same rationale as BUCKET_CAP): a shingle in
     # D docs adds D(D-1)/2 shared-pair increments, so boilerplate
     # shingles dominate the self-join quadratically at corpus scale.
     # Jaccard is then computed over the <=cap shingle universe on BOTH
     # sides (sizes after the filter, so numerator and denominator
     # agree). Inactive at test SFs (max df 25 at sf0.1).
-    sh = (
-        sh_all.withColumn(
-            "df", F.count("*").over(WindowSpec.partitionBy("g"))
-        )
-        .filter(F.col("df") <= BUCKET_CAP)
-        .drop("df")
-        .localCheckpoint(eager=True)
+    over_cap = (
+        sh_all.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > BUCKET_CAP)
+        .select("g")
     )
+    sh = sh_all.join(F.broadcast(over_cap), "g", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
@@ -1517,15 +1530,19 @@ def x65_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # containment denominator is min(|A|,|B|) so a small doc fully
     # inside a large one scores ~1.0 regardless of the size gap.
     d = dd.with_shingles(_docs_wide(spark, sf_dir))
-    sh_all = d.select("doc_id", F.explode(dd.shingle_digests_expr()).alias("g"))
-    sh = (
-        sh_all.withColumn(
-            "df", F.count("*").over(WindowSpec.partitionBy("g"))
-        )
-        .filter(F.col("df") <= BUCKET_CAP)
-        .drop("df")
-        .localCheckpoint(eager=True)
+    # Same restructure as x4: pin the postings BEFORE the df-cap (one
+    # md5 pass), enforce the cap via hash aggregate + broadcast
+    # anti-join instead of a COUNT window's full postings shuffle+sort.
+    sh_all = d.select(
+        "doc_id", F.explode(dd.shingle_digests_expr()).alias("g")
+    ).localCheckpoint(eager=True)
+    over_cap = (
+        sh_all.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > BUCKET_CAP)
+        .select("g")
     )
+    sh = sh_all.join(F.broadcast(over_cap), "g", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
@@ -3960,12 +3977,17 @@ ORDER BY src_a, src_b
 )
 def x141_source_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = dd.with_shingles(_docs_wide(spark, sf_dir))
+    # The distinct (source, digest) vocabulary — normalize + shingle +
+    # one md5 per shingle + a distinct shuffle — feeds the size counts
+    # AND both sides of the pairwise equi-join. Pin it once instead of
+    # running the md5-dense subtree three times.
     sh = (
         d.select(
             "source",
             F.explode(dd.shingle_digests_expr()).alias("h"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     sizes = sh.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_shingles")

@@ -2809,14 +2809,23 @@ def x145_top_principal_direction(
             F.col("cv").cast("double") / F.col("mx").cast("double"), 14
         ).alias("cw"),
     )
-    v = spark.range(sim.EMBED_DIM).select(
-        F.col("id").cast("int").alias("dim"), F.lit(1.0).alias("w")
+    # The iterate is a 64-row dimension-grain vector: keep it on ONE
+    # partition so every per-step join and groupBy satisfies its
+    # distribution without an Exchange — the 12 steps fuse into a
+    # single stage (the profiled plan previously carried 294 Exchanges
+    # for 24 logical ones). The mirrored matrix rides in as one reused
+    # broadcast built from the pinned covu leaf; the data-sized work
+    # (explode + product self-join) stays distributed above.
+    v = (
+        spark.range(sim.EMBED_DIM)
+        .select(F.col("id").cast("int").alias("dim"), F.lit(1.0).alias("w"))
+        .coalesce(1)
     )
     prev = None
     for _ in range(_X145_ITERS):
         prev = v
         v = (
-            cs.join(v, F.col("dj") == F.col("dim"))
+            v.join(F.broadcast(cs), F.col("dim") == F.col("dj"))
             .select(
                 "di",
                 F.round(F.col("cw") * F.col("w"), 14)

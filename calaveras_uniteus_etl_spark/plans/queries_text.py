@@ -765,7 +765,12 @@ def x22_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         F.explode(F.expr(f"split({NORM_SPARK.format(col='text')}, ' ')")).alias("term")
     ).filter(F.col("term") != "")
-    tf = toks.groupBy("term").agg(F.count("*").alias("tf"))
+    # term counts feed BOTH the top-k and the corpus-total scalar: pin
+    # the vocabulary-sized relation once instead of running the
+    # normalize+split+explode+groupBy subtree twice
+    tf = toks.groupBy("term").agg(F.count("*").alias("tf")).localCheckpoint(
+        eager=True
+    )
     top = tf.orderBy(F.desc("tf"), F.asc("term")).limit(_VOCAB_TOPK)
     total = tf.agg(F.sum("tf").alias("total_tf"))
     w = Window.orderBy(F.desc("tf"), F.asc("term"))
@@ -4989,10 +4994,15 @@ JOIN (SELECT DISTINCT g FROM ({_gramn_duck("WHERE doc_id < 50", n)})) b
 )
 def x112_contamination_n_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
+    # The normalized word arrays feed SIX subtrees (bench + train side
+    # of each of the three gram-width arms): pin them once so the
+    # regex-normalize + split pass (and the scan under it) runs once,
+    # not six times. The per-arm md5 gram digests still differ and are
+    # computed per arm — that part is genuinely unshareable.
     words = d.select(
         "doc_id",
         F.expr(f"split({NORM_SPARK.format(col='text')}, ' ')").alias("w"),
-    )
+    ).localCheckpoint(eager=True)
     n_train = d.filter(F.col("doc_id") >= 50).agg(
         F.count("*").cast("bigint").alias("n_train_docs")
     )

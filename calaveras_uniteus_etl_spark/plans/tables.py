@@ -26,6 +26,19 @@ TABLE_NAMES = (
     "embeddings",
 )
 
+# Lazy-plan memo: (applicationId, sf_dir, name) -> resolved DataFrame.
+# Every spark.read.parquet call pays a driver-side file listing plus a
+# parquet footer read to resolve the schema (~100 ms per call); a
+# workload that builds hundreds of plans over the same ten tables pays
+# it hundreds of times for identical results. The memo returns the SAME
+# lazy scan definition instead — exactly what a catalog table is. No
+# data is materialized or pinned: the entry is an unexecuted plan, so
+# every action still computes from the parquet files. Keyed by
+# applicationId so a restarted session (tests stop/start Spark) never
+# sees another session's plan objects, with stale-session entries
+# evicted on that first miss.
+_TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
 # Dimension tables small enough to broadcast at any realistic scale
 # factor (region/nation are fixed-size; supplier/part/customer grow
 # slowly). Fact tables (orders/lineitem/events) are never broadcast.
@@ -82,11 +95,21 @@ def _normalize_events_ts(df: DataFrame) -> DataFrame:
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}")
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, name)
+    hit = _TABLE_MEMO.get(key)
+    if hit is not None:
+        return hit
+    # first miss from a new session: drop plans owned by dead sessions
+    if any(k[0] != app_id for k in _TABLE_MEMO):
+        for k in [k for k in _TABLE_MEMO if k[0] != app_id]:
+            del _TABLE_MEMO[k]
     if name == "events":
         _enable_nanos_as_long(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = _normalize_events_ts(df)
+    _TABLE_MEMO[key] = df
     return df
 
 
@@ -111,7 +134,11 @@ def events_in_range(
         return int(t.timestamp()) * 1_000_000_000
 
     _enable_nanos_as_long(spark)
-    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    key = (spark.sparkContext.applicationId, sf_dir, "__events_raw")
+    raw = _TABLE_MEMO.get(key)
+    if raw is None:
+        raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        _TABLE_MEMO[key] = raw
     if isinstance(raw.schema["ts"].dataType, LongType):
         filtered = raw.filter(
             (F.col("ts") >= F.lit(ns(start_iso))) & (F.col("ts") <= F.lit(ns(end_iso)))
