@@ -65,6 +65,7 @@ def prefix_rank(
     total_sum_col: str | list[str | None] | None = None,
     total_rows_col: str | None = None,
     partitions: int | None = None,
+    pin_input: bool = False,
 ) -> DataFrame:
     """Attach running-total / rank / grand-total columns over a total order.
 
@@ -85,6 +86,16 @@ def prefix_rank(
     a k-measure scan costs the same shuffle as a 1-measure scan
     (two-sample ECDFs, multi-metric Pareto), instead of k pinned
     range-partitioned copies of the relation.
+
+    ``pin_input=True`` materializes ``df`` (eager localCheckpoint)
+    BEFORE the range exchange. ``repartitionByRange`` executes its
+    child subtree twice — once for the RangePartitioner's boundary
+    sampling job and once for the exchange itself — so callers whose
+    input is a nontrivial subtree (a scan + aggregation, a join)
+    should pin: the subtree then runs once and both passes read the
+    pinned blocks. Leave False when the input is a bare scan or an
+    already-pinned leaf, where the extra materialization would cost
+    more than the re-execution it saves.
     """
     values: list[str] = (
         [] if value is None else [value] if isinstance(value, str) else list(value)
@@ -112,6 +123,8 @@ def prefix_rank(
     n = partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
+    if pin_input:
+        df = df.localCheckpoint(eager=True)
     # The ranged relation is PINNED (eager localCheckpoint) before the
     # pid is read: the offsets branch below re-reads the same blocks as
     # the output branch, so partition ids agree BY CONSTRUCTION.
@@ -215,6 +228,7 @@ def prefix_fold_min(
     out_col: str,
     exclusive: bool = False,
     partitions: int | None = None,
+    pin_input: bool = False,
 ) -> DataFrame:
     """Running MIN over a total order — same two-phase plan as
     :func:`prefix_rank`, generalized to the other associative fold a
@@ -232,10 +246,16 @@ def prefix_fold_min(
     rows (NULL for the global first row) — the form a dominance test
     consumes. MIN is associative and order-insensitive, so the result
     is exactly the single-partition window's, at any partition count.
+
+    ``pin_input``: same contract as :func:`prefix_rank` — pin a
+    nontrivial input subtree once instead of letting the range
+    boundary sampling re-execute it.
     """
     n = partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
+    if pin_input:
+        df = df.localCheckpoint(eager=True)
     part = (
         df.repartitionByRange(n, *order)
         .localCheckpoint(eager=True)

@@ -2150,6 +2150,7 @@ def f29_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         rn_col="rn",
         total_sum_col="total_cents",
         total_rows_col="n_cust",
+        pin_input=True,  # orders scan+agg would run 2x in the sampling pass
     ).select("rn", "n_cust", "cum_cents", "total_cents")
     pct = spark.createDataFrame([(10,), (20,), (50,)], "p int")
     hit = F.when(F.col("rn") <= F.col("n_cust") * F.col("p") / 100, True)
@@ -2524,6 +2525,7 @@ def g8_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.asc("spend"), F.asc("o_custkey")],
         rn_col="rn",
         total_rows_col="n_total",
+        pin_input=True,  # orders scan+agg would run 2x in the sampling pass
     )
     tiled = ranked.withColumn(
         "decile", ntile_from_rank(F.col("rn"), F.col("n_total"), 10)
@@ -3241,6 +3243,7 @@ def f35_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents,
         [F.asc("rev"), F.asc("o_custkey")],
         rn_col="rn",
+        pin_input=True,  # orders scan+agg would run 2x in the sampling pass
     ).select(F.col("rn").cast("decimal(38,0)").alias("rn"), "cents")
     sums = ranked.agg(
         F.count("*").cast("bigint").alias("n_customers"),
@@ -3745,6 +3748,7 @@ def g13_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.asc("spend"), F.asc("o_custkey")],
         rn_col="rn",
         total_rows_col="n_total",
+        pin_input=True,  # orders scan+agg would run 2x in the sampling pass
     )
     tiled = ranked.withColumn(
         "decile", ntile_from_rank(F.col("rn"), F.col("n_total"), 10)
@@ -4522,6 +4526,9 @@ def g18_concurrency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "delta",
         cum_col="conc",
         rn_col="rn",
+        # the session-assignment windows + rollup above would run 2x
+        # in the range boundary sampling pass
+        pin_input=True,
     )
     nxt = curve.select((F.col("rn") - 1).alias("rn"), F.col("t").alias("t_next"))
     stepped = curve.join(nxt, "rn", "left")
@@ -6115,10 +6122,13 @@ FROM s
 )
 def f61_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
+    # cust feeds FIVE subtrees (two value-grain rollups, each executed
+    # twice by the range boundary sampling, plus the final join): pin
+    # it once so the orders scan+aggregate runs once.
     cust = o.groupBy("o_custkey").agg(
         F.count("*").cast("bigint").alias("x"),
         (F.sum(X.dec("o_totalprice")) * 100).cast("bigint").alias("y"),
-    )
+    ).localCheckpoint(eager=True)
 
     def ranks2(col: str) -> DataFrame:
         vg = cust.groupBy(col).agg(F.count("*").cast("bigint").alias("cnt"))
@@ -6239,7 +6249,11 @@ def f62_tukey_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").cast("bigint").alias("cnt"))
 
     cum = prefix_rank(
-        vg, [F.asc("prio"), F.asc("v")], value="cnt", cum_col="gcum"
+        vg,
+        [F.asc("prio"), F.asc("v")],
+        value="cnt",
+        cum_col="gcum",
+        pin_input=True,  # orders scan+agg would run 2x in the sampling pass
     )
     # Group offsets straight off the prefix output: the first value row
     # of a group carries gcum - cnt = rows before the group, so
@@ -9197,7 +9211,13 @@ def f78_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("pos_t"),
     )
-    cum = prefix_rank(vg, [F.asc("absd")], value="t", cum_col="gcum")
+    cum = prefix_rank(
+        vg,
+        [F.asc("absd")],
+        value="t",
+        cum_col="gcum",
+        pin_input=True,  # two scans+aggs above would run 2x in sampling
+    )
     s = cum.agg(
         F.sum("t").cast("bigint").alias("n"),
         F.sum(
@@ -10218,6 +10238,7 @@ def f84_inequality_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
         rn_col="r",
         total_sum_col="sx",
         total_rows_col="n",
+        pin_input=True,  # orders scan+agg would run 2x in the sampling pass
     )
     base = ranked.withColumn("mu", F.col("sx").cast("double") / F.col("n"))
     ratio = F.col("x") / F.col("mu")
@@ -10869,6 +10890,7 @@ def f89_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.asc("x")],
         ["c1", "c2"],
         cum_col=["cum1", "cum2"],
+        pin_input=True,  # orders scan+agg would run 2x in the sampling pass
         total_sum_col=["n1", "n2"],
     )
     dd = F.abs(
@@ -12306,6 +12328,7 @@ def f99_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["c1", "l"],
         cum_col=["m", "b"],
         total_sum_col=["n1", "nn"],
+        pin_input=True,  # orders scan+agg would run 2x in the sampling pass
     )
     d = (F.col("nn") * F.col("m") - F.col("n1") * F.col("b")).cast("double")
     n2 = F.col("nn") - F.col("n1")
@@ -12404,6 +12427,7 @@ def f100_pinball_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["c", "s"],
         cum_col=["cc", "cs"],
         total_sum_col=["n", "st"],
+        pin_input=True,  # orders scan+agg would run 2x in the sampling pass
     )
     tau = F.col("tau")
     loss = tau * (

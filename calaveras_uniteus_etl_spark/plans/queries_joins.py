@@ -1821,6 +1821,9 @@ def e19_skyline_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "recency",
         out_col="prev_min",
         exclusive=True,
+        # pin the orders scan+aggregate: the range boundary sampling
+        # would otherwise execute it a second time
+        pin_input=True,
     )
     return (
         staged.filter(

@@ -700,7 +700,13 @@ def g17_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def quintile(df, order, col):
-        ranked = prefix_rank(df, order, rn_col="__rn", total_rows_col="__n")
+        # pin each cut's input: the first is the orders scan+RFM
+        # aggregate, the later ones re-derive the previous cut's
+        # window+join — all nontrivial, all otherwise executed twice
+        # by the range boundary sampling
+        ranked = prefix_rank(
+            df, order, rn_col="__rn", total_rows_col="__n", pin_input=True
+        )
         return ranked.withColumn(
             col, ntile_from_rank(F.col("__rn"), F.col("__n"), 5)
         ).drop("__rn", "__n")
@@ -902,6 +908,7 @@ def g19_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             [F.asc("spend"), F.asc("o_custkey")],
             rn_col="__rn",
             total_rows_col="__n",
+            pin_input=True,  # per-year orders scan+agg would run 2x
         )
         return ranked.select(
             "o_custkey",

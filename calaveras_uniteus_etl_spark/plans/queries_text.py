@@ -931,11 +931,19 @@ def x25_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.expr(f"split({NORM_SPARK.format(col='text')}, ' ')")).alias("term"),
     )
-    vocab = toks.groupBy("term").agg(F.count("*").alias("cnt"))
-    # Corpus token total as a lazy 1-row broadcast scalar: an eager
-    # .first() here would run the whole tokenize+rollup as a separate
-    # blocking job and then re-run it in the main plan. Same IEEE
-    # double division either way (cnt/total), so values are unchanged.
+    # The vocab rollup feeds BOTH the total-tokens scalar and the
+    # log-prob table — unpinned, the tokenize+rollup subtree executed
+    # twice (once inside the broadcast scalar, once for lp), making
+    # three full tokenize passes with the scoring join below. Pin the
+    # vocabulary-sized (Heaps' law) relation once; the token stream
+    # itself stays unmaterialized and is tokenized exactly twice —
+    # once into the vocab, once for the scoring join — the honest
+    # two-pass unigram-LM shape.
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
     tot = vocab.agg(F.sum("cnt").cast("double").alias("__n_tokens"))
     lp = vocab.crossJoin(F.broadcast(tot)).select(
         "term",
@@ -1843,6 +1851,9 @@ def x49_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.desc("quality_proxy"), F.asc("doc_id")],
         "n_tokens",
         cum_col="cum_tokens",
+        # regex-normalize+tokenize scoring pass would run 2x in the
+        # range boundary sampling
+        pin_input=True,
     )
     admitted = ranked.filter(F.col("cum_tokens") <= _X49_BUDGET)
     return (
@@ -4195,6 +4206,7 @@ def x101_unigram_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         value="weight_micro",
         cum_col="c_inc",
         total_sum_col="total",
+        pin_input=True,  # tokenize+vocab rollup would run 2x in sampling
     ).select(
         "token",
         "cnt",
@@ -4686,6 +4698,10 @@ def x106_ccnet_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.desc("__score"), F.asc("doc_id")],
         rn_col="rn",
         total_rows_col="n",
+        # base embeds x25's multi-pass unigram LM scoring — by far the
+        # most expensive prefix input in the registry; sampling must
+        # not execute it twice
+        pin_input=True,
     )
     bucket = (
         F.when(3 * F.col("rn") <= F.col("n"), "head")
@@ -6951,6 +6967,7 @@ def x140_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         value="n_tokens",
         cum_col="cum_tokens",
         total_sum_col="total_tokens",
+        pin_input=True,  # regex-tokenize difficulty pass would run 2x
     )
     staged = ranked.withColumn(
         "stage",

@@ -96,6 +96,51 @@ def test_prefix_rank_rank_only_no_value(spark):
     assert {r.n for r in rows} == {100}
 
 
+def test_prefix_rank_pin_input_identical(spark):
+    """pin_input=True (pre-pin the input so range-boundary sampling
+    does not re-execute the input subtree — r11 optimization) must be
+    result-identical to the unpinned path, including on a derived
+    (non-leaf) input with duplicate sort keys."""
+    base = _demo(spark, 700, 6)
+    df = base.groupBy("k", (F.col("id") % 50).alias("b")).agg(
+        F.sum("v").alias("v2")
+    )
+    order = [F.asc("k"), F.asc("b")]
+    kw = dict(
+        value="v2",
+        cum_col="cum",
+        rn_col="rn",
+        total_sum_col="tot",
+        total_rows_col="n",
+        partitions=8,
+    )
+    got = prefix_rank(df, order, pin_input=True, **kw)
+    want = prefix_rank(df, order, pin_input=False, **kw)
+    cols = ["k", "b", "v2", "rn", "cum", "tot", "n"]
+    assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+        map(tuple, want.select(*cols).collect())
+    )
+
+
+def test_prefix_fold_min_pin_input_identical(spark):
+    from calaveras_uniteus_etl_spark.operators.prefix import prefix_fold_min
+
+    df = _demo(spark, 400, 7).groupBy("k").agg(F.min("v").alias("mv"))
+    order = [F.desc("mv"), F.asc("k")]
+    got = prefix_fold_min(
+        df, order, "mv", out_col="pm", exclusive=True, pin_input=True,
+        partitions=5,
+    )
+    want = prefix_fold_min(
+        df, order, "mv", out_col="pm", exclusive=True, pin_input=False,
+        partitions=5,
+    )
+    cols = ["k", "mv", "pm"]
+    assert sorted(
+        map(tuple, got.select(*cols).fillna(-(10**9), "pm").collect())
+    ) == sorted(map(tuple, want.select(*cols).fillna(-(10**9), "pm").collect()))
+
+
 def test_prefix_rank_arg_validation(spark):
     df = _demo(spark, 10, 3)
     with pytest.raises(ValueError, match="at least one"):
