@@ -2631,7 +2631,14 @@ def x94_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     covered = None
     picked: list[int] = []
-    out = None
+    # Greedy steering is inherently driver-side (each round's argmax
+    # decides the next round's anti-join), so every per-round value is
+    # ALREADY a collected 1-row scalar. Emit those scalars directly:
+    # the previous unionByName-of-plans output re-executed every
+    # round's anti-join + groupBy a second time when the final result
+    # was evaluated. Nothing is cached across runs — the scalars are
+    # computed fresh from the pinned shingle relation each invocation.
+    rows: list[tuple[int, int, int, int]] = []
     for r in range(1, _X94_ROUNDS + 1):
         remaining = ds
         if picked:
@@ -2641,8 +2648,9 @@ def x94_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         gains = remaining.groupBy("doc_id").agg(
             F.count("*").cast("bigint").alias("gain")
         )
-        best_df = gains.orderBy(F.desc("gain"), F.asc("doc_id")).limit(1)
-        best = best_df.first()  # 1-row scalar steering the next round
+        best = (
+            gains.orderBy(F.desc("gain"), F.asc("doc_id")).limit(1).first()
+        )  # 1-row scalar steering the next round
         picked.append(best["doc_id"])
         new_cov = ds.filter(F.col("doc_id") == best["doc_id"]).select(
             "shingle"
@@ -2652,16 +2660,12 @@ def x94_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             if covered is None
             else covered.unionByName(new_cov).distinct()
         ).localCheckpoint(eager=True)
-        n_cov = covered.agg(
-            F.count("*").cast("bigint").alias("covered_total")
-        )
-        row = best_df.select(
-            F.lit(r).alias("round"),
-            F.col("doc_id").alias("picked_doc"),
-            "gain",
-        ).crossJoin(F.broadcast(n_cov))  # 1-row scalar
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("round")
+        n_cov = covered.count()  # pinned blocks — no recompute
+        rows.append((r, int(best["doc_id"]), int(best["gain"]), int(n_cov)))
+    return spark.createDataFrame(
+        rows,
+        "round int, picked_doc bigint, gain bigint, covered_total bigint",
+    ).orderBy("round")
 
 
 # ---------------------------------------------------------------------------

@@ -1222,6 +1222,10 @@ def e14_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # name + every single-deletion variant (identity covers pure
     # insert/delete matches where lengths differ)
+    # The deletion-variant explode (a Generate of ~name-length rows per
+    # customer) feeds BOTH sides of the blocking self-join below —
+    # Catalyst does not share the subtree, so the explode ran twice.
+    # Pin it once; both join sides read the pinned blocks.
     variants = c.select(
         "c_custkey",
         "c_nationkey",
@@ -1234,7 +1238,7 @@ def e14_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "  array(c_name))"
             )
         ).alias("variant"),
-    )
+    ).localCheckpoint(eager=True)
     a = variants.alias("a")
     b = variants.alias("b")
     pairs = (

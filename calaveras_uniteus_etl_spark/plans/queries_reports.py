@@ -355,29 +355,58 @@ def r6_provider_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     f_gap = F.when(F.col("o_orderstatus") == "F", gap_us)
 
-    def distinct_if(status: str, alias: str):
-        return F.countDistinct(
-            F.when(F.col("o_orderstatus") == status, F.col("l_orderkey"))
-        ).alias(alias)
-
-    total = F.countDistinct("l_orderkey")
-    fulfilled = F.countDistinct(
-        F.when(F.col("o_orderstatus") == "F", F.col("l_orderkey"))
-    )
-    return (
+    # The direct translation is a 5-way COUNT(DISTINCT CASE ...) — a
+    # 5x Expand over the joined fact feeding the aggregation shuffle.
+    # Every distinct is keyed on l_orderkey, and status/custkey are
+    # CONSTANT per order, so pre-aggregating the join output to the
+    # (provider, order) grain first makes them plain conditional
+    # counts; the per-order gap stats (sum/count/min/max over lineitem
+    # rows) re-aggregate losslessly because sum-of-sums, min-of-mins
+    # etc. The one remaining distinct (unique customers) plans as a
+    # two-level aggregate — no Expand anywhere, and the agg shuffle
+    # carries order-grain rows once instead of ~5x.
+    per_order = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy(F.col("l_suppkey").alias("provider"))
+        .groupBy(
+            F.col("l_suppkey").alias("provider"),
+            F.col("l_orderkey").alias("order_id"),
+        )
+        .agg(
+            F.first("o_custkey").alias("custkey"),
+            F.first("o_orderstatus").alias("status"),
+            F.sum(f_gap).alias("gap_sum"),
+            F.count(f_gap).alias("gap_n"),
+            F.min(f_gap).alias("gap_min"),
+            F.max(f_gap).alias("gap_max"),
+        )
+    )
+
+    def n_if(status: str, alias: str):
+        return (
+            F.count(F.when(F.col("status") == status, F.lit(1)))
+            .alias(alias)
+        )
+
+    total = F.count("*")
+    fulfilled = F.count(F.when(F.col("status") == "F", F.lit(1)))
+    return (
+        per_order.groupBy("provider")
         .agg(
             total.alias("total_orders"),
-            F.countDistinct("o_custkey").alias("unique_customers"),
-            distinct_if("O", "open_orders"),
-            distinct_if("P", "partial_orders"),
-            distinct_if("F", "fulfilled_orders"),
+            F.countDistinct("custkey").alias("unique_customers"),
+            n_if("O", "open_orders"),
+            n_if("P", "partial_orders"),
+            n_if("F", "fulfilled_orders"),
             F.round(
-                F.sum(f_gap).cast("double") / 86400e6 / F.count(f_gap), 1
+                F.sum("gap_sum").cast("double") / 86400e6 / F.sum("gap_n"),
+                1,
             ).alias("avg_days"),
-            F.round(F.min(f_gap).cast("double") / 86400e6, 1).alias("min_days"),
-            F.round(F.max(f_gap).cast("double") / 86400e6, 1).alias("max_days"),
+            F.round(F.min("gap_min").cast("double") / 86400e6, 1).alias(
+                "min_days"
+            ),
+            F.round(F.max("gap_max").cast("double") / 86400e6, 1).alias(
+                "max_days"
+            ),
             F.round(fulfilled * 100.0 / total, 1).alias("completion_rate"),
         )
         .filter(F.col("total_orders") >= 5)

@@ -1298,6 +1298,10 @@ def x42_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.nullif(F.col("qn") * F.col("nn"), F.lit(0.0)),
         4,
     )
+    # Pinned: the per-pair cosine relation feeds BOTH output branches
+    # (recall hits AND total-candidate counts) — unpinned, the join +
+    # dot-product subtree executed twice. nprobe-bounded candidate
+    # rows of 4 scalars each, far smaller than the corpus.
     scored_pairs = (
         pairs.join(F.broadcast(probes), "query_id")
         .join(
@@ -1309,6 +1313,7 @@ def x42_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neighbor_id",
         )
         .select("query_id", "neighbor_id", "entry", cosine.alias("cosine"))
+        .localCheckpoint(eager=True)
     )
     arms = spark.createDataFrame(
         [(int(k),) for k in _SWEEP_PROBES], "nprobe int"

@@ -1608,7 +1608,16 @@ def _bm25_lex_scores(toks):
     the token checkpoint); n_docs - df is exact in double far past
     2^53, so idf_micro is bit-identical to the integer-literal form.
     """
-    lens = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # lens feeds the avgdl scalar AND the tf-norm join; tf feeds the
+    # df rollup AND the score join. Each unpinned reference re-ran a
+    # full pass + shuffle over the token stream — pin the doc-grain
+    # (lens) and query-term-grain (tf) rollups so the token stream is
+    # read exactly twice (once per rollup), not four times.
+    lens = (
+        toks.groupBy("doc_id")
+        .agg(F.count("*").alias("dl"))
+        .localCheckpoint(eager=True)
+    )
     stats = lens.agg(
         (F.sum("dl").cast("double") / F.count("*")).alias("__avgdl"),
         F.count("*").cast("double").alias("__n_docs"),
@@ -1617,6 +1626,7 @@ def _bm25_lex_scores(toks):
         toks.filter(F.col("term").isin(*_BM25_TERMS))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
     )
     df_rel = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     idf = df_rel.crossJoin(F.broadcast(stats)).select(
@@ -2077,10 +2087,14 @@ def x58_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
+    # The normalized word arrays feed the unigram stream AND both
+    # bigram consumers (counts + the scoring join) — unpinned, the
+    # regex-normalize pass ran four times. Pin the arrays once; the
+    # downstream explodes re-run over pinned blocks (cheap).
     docs = d.select(
         "doc_id",
         F.expr(f"split({NORM_SPARK.format(col='text')}, ' ')").alias("w"),
-    )
+    ).localCheckpoint(eager=True)
     toks = docs.select("doc_id", F.explode("w").alias("term"))
     bge = (
         docs.filter(F.size("w") >= 2)
@@ -2096,11 +2110,13 @@ def x58_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
     )
-    cu = toks.groupBy("term").agg(F.count("*").alias("c1"))
-    # Vocabulary size as a lazy 1-row broadcast scalar (x25's pattern):
-    # an eager .count() would run tokenize+rollup as its own blocking
-    # job before the main plan re-ran it. float(v) and the double cast
-    # produce the same IEEE operand, so lp_micro is unchanged.
+    # Unigram counts feed the vocab-size scalar AND the smoothing
+    # join: pin the vocabulary-sized rollup once (x25's r11 pattern).
+    cu = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("c1"))
+        .localCheckpoint(eager=True)
+    )
     vsz = cu.agg(F.count("*").cast("double").alias("__v"))
     cbg = bge.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     lp = (

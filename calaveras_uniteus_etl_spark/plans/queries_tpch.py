@@ -557,15 +557,20 @@ def h21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderstatus") == "F")
         .select("o_orderkey")
     )
-    ord_stats = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp")
+    # Both per-order rollups (all suppliers / R-row suppliers) in ONE
+    # fact pass and ONE shuffle: countDistinct over a conditional
+    # projection replaces the second scan + second aggregation +
+    # second semi-join. n_r_supp = 0 for orders with no R rows, which
+    # the = 1 gate excludes exactly as the old R-filtered rollup did.
+    stats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_r_supp"),
     )
-    r_stats = (
-        li.filter(F.col("l_returnflag") == "R")
-        .groupBy("l_orderkey")
-        .agg(F.countDistinct("l_suppkey").alias("n_r_supp"))
-        .withColumnRenamed("l_orderkey", "r_orderkey")
-    )
+    gate = stats.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1)
+    ).select("l_orderkey")
     l1 = (
         li.filter(F.col("l_returnflag") == "R")
         .select("l_orderkey", "l_suppkey")
@@ -574,16 +579,7 @@ def h21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        l1.join(
-            ord_stats.filter(F.col("n_supp") >= 2).select("l_orderkey"),
-            "l_orderkey",
-            "semi",
-        )
-        .join(
-            r_stats.filter(F.col("n_r_supp") == 1).select("r_orderkey"),
-            F.col("l_orderkey") == F.col("r_orderkey"),
-            "semi",
-        )
+        l1.join(gate, "l_orderkey", "semi")
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
