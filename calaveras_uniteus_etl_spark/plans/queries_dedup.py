@@ -207,7 +207,12 @@ def _lsh_pair_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bc") <= BUCKET_CAP)
         .drop("bc")
     )
-    bands = bands.join(ok, ["band", "band_key"])
+    # capped band keys feed two downstream consumers (self-join
+    # sides / new-old split) — pin so the posexplode + cap join run
+    # once, not per consumer
+    bands = bands.join(ok, ["band", "band_key"]).localCheckpoint(
+        eager=True
+    )
     a, b = bands.alias("a"), bands.alias("b")
     # distinct over bare id pairs — never over the signature arrays
     cand = (
@@ -714,7 +719,12 @@ def x26_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bc") <= BUCKET_CAP)
         .drop("bc")
     )
-    bands = bands.join(ok, ["band", "band_key"])
+    # capped band keys feed two downstream consumers (self-join
+    # sides / new-old split) — pin so the posexplode + cap join run
+    # once, not per consumer
+    bands = bands.join(ok, ["band", "band_key"]).localCheckpoint(
+        eager=True
+    )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -1381,7 +1391,12 @@ def x53_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bc") <= BUCKET_CAP)
         .drop("bc")
     )
-    bands = bands.join(ok, ["band", "band_key"])
+    # capped band keys feed two downstream consumers (self-join
+    # sides / new-old split) — pin so the posexplode + cap join run
+    # once, not per consumer
+    bands = bands.join(ok, ["band", "band_key"]).localCheckpoint(
+        eager=True
+    )
     new_b = bands.filter(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").alias("new_doc"), "band", "band_key"
     )
@@ -1827,6 +1842,7 @@ def x72_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(src, "doc_id")
         .select("source", "g")
         .distinct()
+        .localCheckpoint(eager=True)  # feeds sketch AND exact audit (x73's pin)
     )
     # phase 1: bottom-k within each (source, physical partition)
     part = sh.withColumn("pid", F.spark_partition_id())
@@ -3086,7 +3102,12 @@ def x113_minhash_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bc") <= BUCKET_CAP)
         .drop("bc")
     )
-    bands = bands.join(ok, ["band", "band_key"])
+    # capped band keys feed two downstream consumers (self-join
+    # sides / new-old split) — pin so the posexplode + cap join run
+    # once, not per consumer
+    bands = bands.join(ok, ["band", "band_key"]).localCheckpoint(
+        eager=True
+    )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

@@ -496,7 +496,15 @@ def x13_ann_ivf_topk(
     # (vec_id, cid, cc) ints+double, never 16 copies of the embedding
     scored = e.crossJoin(F.broadcast(cents)).select("vec_id", "cid", cos_raw.alias("cc"))
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("cid"))
-    ranked = scored.withColumn("rn", F.row_number().over(w_assign))
+    # top-nprobe rows only — (vec_id, cid, rn) ints; feeds BOTH the
+    # corpus assignment (rn=1) and the probe lists — unpinned, the
+    # 16-cosine-per-vector assignment window executed twice
+    ranked = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= _N_PROBE)
+        .select("vec_id", "cid", "rn")
+        .localCheckpoint(eager=True)
+    )
     assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cid")
     probe_lists = (
         ranked.filter((F.col("vec_id") < _N_QUERY) & (F.col("rn") <= _N_PROBE))
@@ -836,7 +844,10 @@ def x29_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("transform(q, x -> cast(x as double))").alias("c"),
     )
     assign = _km_assign_spark(qvecs, seeds).select("vec_id", "cid")
-    ba = b.join(assign, "vec_id")
+    # (tbl, bucket, cid, vec_id) ints; feeds BOTH candidate self-join
+    # sides — unpinned, the k-means argmin (K distances per vector)
+    # executed twice
+    ba = b.join(assign, "vec_id").localCheckpoint(eager=True)
     x, y = ba.alias("x"), ba.alias("y")
     cand = (
         x.join(

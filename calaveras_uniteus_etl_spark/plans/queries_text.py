@@ -294,7 +294,13 @@ def x12_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.expr(f"split({NORM_SPARK.format(col='text')}, ' ')")).alias("term"),
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # tf feeds the document-frequency rollup AND the scoring join —
+    # unpinned, the tokenize + (doc, term) aggregation ran twice
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     df_rel = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = d.count()  # scalar; at scale a cheap count job, never a collect of rows
     scored = tf.join(F.broadcast(df_rel), "term").select(
@@ -542,7 +548,9 @@ def x18_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "else array() end"
             )
         ).alias("g"),
-    )
+        # one long per gram; feeds the bench probe set AND the train
+        # side — unpinned, the md5-per-gram pass ran twice
+    ).localCheckpoint(eager=True)
     bench = grams.filter(F.col("doc_id") < 50).select("g").distinct()
     train = grams.filter(F.col("doc_id") >= 50)
     return (
@@ -3550,6 +3558,9 @@ def x91_char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ch") != "")
         .groupBy("doc_id", "ch")
         .agg(F.count("*").alias("c"))
+        # feeds the per-doc totals AND the entropy join — unpinned,
+        # the char-level explode + rollup ran twice
+        .localCheckpoint(eager=True)
     )
     totals = hist.groupBy("doc_id").agg(
         F.sum("c").cast("bigint").alias("n")
@@ -3967,12 +3978,19 @@ def x97_hashed_bow_source_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(r"regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
         ).alias("tok"),
     )
-    vec = toks.groupBy(
-        "source",
-        (
-            md5_long(F.concat(F.lit("fh:"), F.col("tok"))) % _X97_BUCKETS
-        ).alias("bucket"),
-    ).agg(F.count("*").cast("bigint").alias("c"))
+    # (source, bucket) grain — ≤ |sources| × _X97_BUCKETS rows; feeds
+    # both dot-product sides and both norm lookups — unpinned, the
+    # tokenize + md5-bucket rollup ran four times
+    vec = (
+        toks.groupBy(
+            "source",
+            (
+                md5_long(F.concat(F.lit("fh:"), F.col("tok"))) % _X97_BUCKETS
+            ).alias("bucket"),
+        )
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     norms = vec.groupBy("source").agg(
         F.sum(F.col("c") * F.col("c")).cast("bigint").alias("n2")
     )
@@ -5227,16 +5245,23 @@ def x119_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
+    # The normalized word arrays feed the unigram rollup AND the
+    # bigram explode, and the unigram rollup feeds THREE consumers
+    # (both sides of the PMI join + the token-total scalar) — unpinned,
+    # the regex-normalize pass ran four times. Pin the arrays and the
+    # vocabulary-sized rollup; the token total is sum(c1) over the
+    # pinned vocab (identical value, no extra tokenize pass).
     docs = d.select(
         "doc_id",
         F.expr(f"split({NORM_SPARK.format(col='text')}, ' ')").alias("w"),
-    )
+    ).localCheckpoint(eager=True)
     toks = docs.select(F.explode("w").alias("term"))
-    # corpus token total: scalar two-stage count job, never a collect
-    # corpus token total as a lazy 1-row broadcast scalar — an eager
-    # .count() here re-ran the whole tokenize pass as its own job
-    ntok = toks.agg(F.count("*").cast("double").alias("__n_tok"))
-    cu = toks.groupBy("term").agg(F.count("*").alias("c1"))
+    cu = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("c1"))
+        .localCheckpoint(eager=True)
+    )
+    ntok = cu.agg(F.sum("c1").cast("double").alias("__n_tok"))
     bge = (
         docs.filter(F.size("w") >= 2)
         .select(
@@ -7093,8 +7118,13 @@ def x143_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     )
-    joint = big.groupBy("source", "w1", "w2").agg(
-        F.count("*").cast("bigint").alias("c")
+    # joint feeds the per-source totals, the joint-entropy rollup AND
+    # the w1 marginal — unpinned, the regex + bigram explode + groupBy
+    # ran three times
+    joint = (
+        big.groupBy("source", "w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
     )
     tot = joint.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
 
@@ -7209,8 +7239,12 @@ def x144_shard_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
-    per_sg = grams.groupBy("shard", "g").agg(
-        F.count("*").cast("bigint").alias("c")
+    # (shard, digest) grain; feeds the first-shard rollup AND the
+    # novelty join — unpinned, the md5-per-gram pass ran twice
+    per_sg = (
+        grams.groupBy("shard", "g")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
     )
     firsts = per_sg.groupBy("g").agg(F.min("shard").alias("first_shard"))
     novel = F.when(F.col("first_shard") == F.col("shard"), 1).otherwise(0)
