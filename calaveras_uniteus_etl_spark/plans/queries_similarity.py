@@ -665,15 +665,24 @@ def _sqdist_duck(vcol: str, ccol: str) -> str:
 
 
 def _km_assign_spark(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-    """argmin_cid dist(v, c) via broadcast crossJoin + window rank."""
+    """argmin_cid dist(v, c) via broadcast crossJoin + min-struct agg.
+
+    The (dist ASC, cid ASC) rank-1 row of the former window is exactly
+    MIN(STRUCT(dist, cid)) — dist is a null-free sum of squares, so the
+    lexicographic struct minimum reproduces the tie-break bit-for-bit.
+    The agg collapses the K rows per vector map-side (the crossJoin
+    emits them contiguously), so the exchange carries n rows instead of
+    n·K and the per-vector sort disappears (guide §2.3/§2.4).
+    """
     d = F.expr(_sqdist_spark("q", "c"))
     scored = vecs.crossJoin(F.broadcast(cents)).select(
         "vec_id", "q", "cid", d.alias("dist")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cid"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        scored.groupBy("vec_id", "q")
+        .agg(
+            F.min(F.struct(F.col("dist"), F.col("cid")))["cid"].alias("cid")
+        )
         .select("vec_id", "q", "cid")
     )
 
@@ -1267,9 +1276,19 @@ def x42_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = e.crossJoin(F.broadcast(cents)).select(
         "vec_id", "cid", cos_raw.alias("cc")
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("cid"))
-    ranked = scored.withColumn("rn", F.row_number().over(w_assign)).cache()
-    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cid")
+    # Corpus assignment = rank-1 of (cc DESC NULLS LAST, cid ASC), which
+    # is MIN(STRUCT(coalesce(-cc, +inf), cid)) exactly (cc is null only
+    # for zero-norm vectors; +inf reproduces NULLS LAST). The agg
+    # collapses the 16 centroid rows per vector map-side — the former
+    # full-corpus window shuffled and sorted n·16 rows and cached them.
+    assign = scored.groupBy("vec_id").agg(
+        F.min(
+            F.struct(
+                F.coalesce(-F.col("cc"), F.lit(float("inf"))).alias("o"),
+                F.col("cid").alias("cid"),
+            )
+        )["cid"].alias("cid")
+    )
     probes = e.filter(F.col("vec_id") < _N_QUERY).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
@@ -1295,9 +1314,17 @@ def x42_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window pass for all arms, ONE action total (the old shape ran
     # 2 actions per arm plus per-arm cosine recompute).
     max_np = max(_SWEEP_PROBES)
-    pl = ranked.filter(
-        (F.col("vec_id") < _N_QUERY) & (F.col("rn") <= max_np)
-    ).select(F.col("vec_id").alias("query_id"), "cid", F.col("rn").alias("entry"))
+    # probe-list ranking only needs the _N_QUERY probe vectors: rank
+    # that tiny slice with a window instead of windowing the corpus
+    w_probe = Window.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("cid"))
+    pl = (
+        scored.filter(F.col("vec_id") < _N_QUERY)
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= max_np)
+        .select(
+            F.col("vec_id").alias("query_id"), "cid", F.col("rn").alias("entry")
+        )
+    )
     pairs = (
         F.broadcast(pl)
         .join(assign, "cid")
@@ -1361,7 +1388,6 @@ def x42_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # feeds on (e belongs to the session index cache — not released).
     out = out.localCheckpoint(eager=True)
     exact.unpersist()
-    ranked.unpersist()
     return out
 
 
@@ -1605,27 +1631,37 @@ LIMIT {_COV_TOPK}
     "upper-triangle product explode, one corpus-wide reduce.",
 )
 def x63_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-vector quantized array, pinned once: the n/sums/prods branches
+    # all read it. The upper-triangle products are emitted PER ROW (one
+    # flatten'd 2080-entry struct array per vector) and reduced by one
+    # map-side-partial groupBy((di, dj)) — the former per-vector explode
+    # self-join shuffled n·64 rows to both SMJ sides and sorted them;
+    # this shape shuffles only ≤2080 partial rows per task (guide §2.3/
+    # §2.4: aggregate before the shuffle, remove the join outright).
     e = table(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism, "vec_id"
     )
-    q = e.select(
-        "vec_id", F.posexplode("embedding").alias("dim", "v")
-    ).select(
+    base = e.select(
         "vec_id",
-        "dim",
-        F.round(F.col("v").cast("double") * 1000).cast("bigint").alias("qv"),
-    ).localCheckpoint(eager=True)  # feeds three branches below once
-    n = q.select("vec_id").distinct().count()
-    sums = q.groupBy("dim").agg(F.sum("qv").cast("bigint").alias("sx"))
-    a, b = q.alias("a"), q.alias("b")
+        F.expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))"
+        ).alias("qa"),
+    ).localCheckpoint(eager=True)
+    n = base.agg(F.count_distinct("vec_id")).first()[0]
+    sums = (
+        base.select(F.posexplode("qa").alias("dim", "qv"))
+        .groupBy("dim")
+        .agg(F.sum("qv").cast("bigint").alias("sx"))
+    )
+    tri = F.expr(
+        f"flatten(transform(sequence(0, {sim.EMBED_DIM - 1}), i -> "
+        f"transform(sequence(i, {sim.EMBED_DIM - 1}), j -> "
+        "struct(i as di, j as dj, qa[i] * qa[j] as p))))"
+    )
     prods = (
-        a.join(
-            b,
-            (F.col("a.vec_id") == F.col("b.vec_id"))
-            & (F.col("a.dim") <= F.col("b.dim")),
-        )
-        .groupBy(F.col("a.dim").alias("di"), F.col("b.dim").alias("dj"))
-        .agg(F.sum(F.col("a.qv") * F.col("b.qv")).cast("bigint").alias("sxy"))
+        base.select(F.explode(tri).alias("t"))
+        .groupBy(F.col("t.di").alias("di"), F.col("t.dj").alias("dj"))
+        .agg(F.sum("t.p").cast("bigint").alias("sxy"))
     )
     sa = sums.select(F.col("dim").alias("di"), F.col("sx").alias("sxa"))
     sb = sums.select(F.col("dim").alias("dj"), F.col("sx").alias("sxb"))
@@ -1698,6 +1734,9 @@ ORDER BY probe_label
     "candidates replace the cross join at corpus scale).",
 )
 def x69_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pinned: the scan + repartition + 64-term norm subtree feeds the
+    # corpus side AND the broadcast probe build — unpinned, each ran
+    # it separately (two full shuffles of the embedding payload).
     e = (
         table(spark, sf_dir, "embeddings")
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
@@ -1707,6 +1746,7 @@ def x69_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
         )
+        .localCheckpoint(eager=True)
     )
     probes = e.filter(F.col("vec_id") % 10 == 0).select(
         F.col("vec_id").alias("probe_id"),
@@ -2135,6 +2175,8 @@ ORDER BY ranker
 def x90_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # norms precomputed PER SIDE (the x5 contract) — never per pair:
     # the pair relation then evaluates ONE dot chain per candidate.
+    # Pinned: the subtree feeds the corpus side, the probe broadcast,
+    # rel_counts AND the ideal broadcast — 4 executions unpinned.
     e = (
         table(spark, sf_dir, "embeddings")
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
@@ -2144,6 +2186,7 @@ def x90_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
         )
+        .localCheckpoint(eager=True)
     )
     probes = e.filter(F.col("vec_id") % _X90_PROBE_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
@@ -2767,32 +2810,35 @@ ORDER BY dim
 def x145_top_principal_direction(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    # Quantized per-vector arrays pinned once; the covariance numerator
+    # comes from a PER-ROW upper-triangle product flatten reduced by a
+    # map-side-partial groupBy — x63's shape (the former explode
+    # self-join shuffled and sorted n·64 rows on both SMJ sides).
     e = table(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism, "vec_id"
     )
-    q = (
-        e.select("vec_id", F.posexplode("embedding").alias("dim", "v"))
-        .select(
-            "vec_id",
-            "dim",
-            F.round(F.col("v").cast("double") * 1000)
-            .cast("bigint")
-            .alias("qv"),
-        )
-        .localCheckpoint(eager=True)  # feeds sums + prods once
-    )
+    base = e.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))"
+        ).alias("qa"),
+    ).localCheckpoint(eager=True)
     # lazy 1-row broadcast scalar (no eager driver count)
-    nrow = q.agg(F.count_distinct("vec_id").cast("bigint").alias("n"))
-    sums = q.groupBy("dim").agg(F.sum("qv").cast("bigint").alias("sx"))
-    a, b = q.alias("a"), q.alias("b")
+    nrow = base.agg(F.count_distinct("vec_id").cast("bigint").alias("n"))
+    sums = (
+        base.select(F.posexplode("qa").alias("dim", "qv"))
+        .groupBy("dim")
+        .agg(F.sum("qv").cast("bigint").alias("sx"))
+    )
+    tri = F.expr(
+        f"flatten(transform(sequence(0, {sim.EMBED_DIM - 1}), i -> "
+        f"transform(sequence(i, {sim.EMBED_DIM - 1}), j -> "
+        "struct(i as di, j as dj, qa[i] * qa[j] as p))))"
+    )
     prods = (
-        a.join(
-            b,
-            (F.col("a.vec_id") == F.col("b.vec_id"))
-            & (F.col("a.dim") <= F.col("b.dim")),
-        )
-        .groupBy(F.col("a.dim").alias("di"), F.col("b.dim").alias("dj"))
-        .agg(F.sum(F.col("a.qv") * F.col("b.qv")).cast("bigint").alias("sxy"))
+        base.select(F.explode(tri).alias("t"))
+        .groupBy(F.col("t.di").alias("di"), F.col("t.dj").alias("dj"))
+        .agg(F.sum("t.p").cast("bigint").alias("sxy"))
     )
     sa = sums.select(F.col("dim").alias("di"), F.col("sx").alias("sxa"))
     sb = sums.select(F.col("dim").alias("dj"), F.col("sx").alias("sxb"))
@@ -2852,6 +2898,18 @@ def x145_top_principal_direction(
             .agg(F.sum("term").cast("double").alias("w"))
             .select(F.col("di").alias("dim"), "w")
         )
+    # Pin the LAST TWO iterates in one action: lazy, the λ maxima and
+    # the final projection each re-walked the whole 12-step chain (and
+    # re-built the cs broadcast) — 3 executions for one loop. The union
+    # shares the single cs broadcast via ReusedExchange, so the chain
+    # runs once; everything below reads 128 pinned rows.
+    pinned = (
+        prev.select(F.lit(0).alias("step"), "dim", "w")
+        .union(v.select(F.lit(1).alias("step"), "dim", "w"))
+        .localCheckpoint(eager=True)
+    )
+    prev = pinned.filter(F.col("step") == 0).select("dim", "w")
+    v = pinned.filter(F.col("step") == 1).select("dim", "w")
     mlast = v.agg(F.max(F.abs(F.col("w"))).alias("m_last"))
     mprev = prev.agg(F.max(F.abs(F.col("w"))).alias("m_prev"))
     return (
