@@ -3750,9 +3750,17 @@ def g13_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         total_rows_col="n_total",
         pin_input=True,  # orders scan+agg would run 2x in the sampling pass
     )
-    tiled = ranked.withColumn(
-        "decile", ntile_from_rank(F.col("rn"), F.col("n_total"), 10)
-    ).join(c, F.col("o_custkey") == F.col("c_custkey"))
+    tiled = (
+        ranked.withColumn(
+            "decile", ntile_from_rank(F.col("rn"), F.col("n_total"), 10)
+        )
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        # pinned: the decile census AND the top-segment branch both
+        # consume it — unpinned, each re-ran the prefix window + the
+        # customer join; 3 narrow columns per customer
+        .select("decile", "c_acctbal", "c_mktsegment")
+        .localCheckpoint(eager=True)
+    )
     per_decile = tiled.groupBy("decile").agg(
         F.count("*").alias("n_customers"),
         (
@@ -4529,7 +4537,10 @@ def g18_concurrency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the session-assignment windows + rollup above would run 2x
         # in the range boundary sampling pass
         pin_input=True,
-    )
+        # output pinned: the rn-shifted self-join below reads the curve
+        # TWICE — unpinned, each side re-ran the prefix window + the
+        # offsets broadcast over the ranged blocks
+    ).localCheckpoint(eager=True)
     nxt = curve.select((F.col("rn") - 1).alias("rn"), F.col("t").alias("t_next"))
     stepped = curve.join(nxt, "rn", "left")
     n_sessions = sessions.agg(
@@ -6254,7 +6265,10 @@ def f62_tukey_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         value="cnt",
         cum_col="gcum",
         pin_input=True,  # orders scan+agg would run 2x in the sampling pass
-    )
+        # pinned: THREE consumers below (group offsets, quartile agg,
+        # fence census) — unpinned, each re-ran the partition-local
+        # prefix window + offsets broadcast over the ranged blocks
+    ).localCheckpoint(eager=True)
     # Group offsets straight off the prefix output: the first value row
     # of a group carries gcum - cnt = rows before the group, so
     # MIN(gcum - cnt) per prio is the group's start and SUM(cnt) its

@@ -1968,9 +1968,15 @@ def e20_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("cnt") <= 5, 2)
         .otherwise(3)
     )
-    rec = feat.join(
-        cnts, feat.id == cnts.o_custkey, "left"
-    ).select("id", "nation", "seg", "band", "digit", act_band.alias("act_band"))
+    # Pinned: rec feeds SIX subtrees (the n scalar, three u-statistic
+    # rollups, the block census, and both blocked self-join sides) —
+    # unpinned, each broadcast build re-ran the customer⋈order-counts
+    # join. Six narrow ints per customer.
+    rec = (
+        feat.join(cnts, feat.id == cnts.o_custkey, "left")
+        .select("id", "nation", "seg", "band", "digit", act_band.alias("act_band"))
+        .localCheckpoint(eager=True)
+    )
     n = rec.agg(
         F.count("*").alias("n_rec"),
         (F.count("*").cast("bigint") * F.count("*")).alias("u_den"),

@@ -1606,32 +1606,50 @@ _BM25_TOPK = 20
 
 
 
-def _bm25_lex_scores(toks):
+def _bm25_doc_stats(d):
+    """(doc_id, dl, qtoks) in ONE normalize+split pass per document.
+
+    ``dl`` is the full token count (size of the split array) and
+    ``qtoks`` keeps only the query-term tokens, so the token stream is
+    never exploded or materialized — the former shape checkpointed
+    every (doc_id, term) row just to count lengths and filter ~3 terms
+    back out (guide §2.3: shuffle/pin metadata, not payloads). The
+    null-split filter reproduces explode semantics exactly (a doc
+    whose normalized text is NULL emitted no token rows before).
+    """
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    arr = F.expr(f"split({NORM_SPARK.format(col='text')}, ' ')")
+    return (
+        d.select("doc_id", arr.alias("__w"))
+        .filter(F.col("__w").isNotNull())
+        .select(
+            "doc_id",
+            F.size("__w").cast("long").alias("dl"),
+            F.expr(f"filter(__w, t -> t in ({terms}))").alias("qtoks"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _bm25_lex_scores(docs):
     """Okapi BM25 lexical scores for the fixed query _BM25_TERMS over a
-    tokenized (doc_id, term) relation -> (doc_id, score_pico).
+    ``_bm25_doc_stats`` relation -> (doc_id, score_pico).
 
     Shared by x47 (pure BM25 top-k) and x59 (the lexical arm of the
     hybrid RRF fusion). avgdl / n_docs ride a lazy 1-row broadcast
     scalar (an eager .first() would be a separate blocking job over
-    the token checkpoint); n_docs - df is exact in double far past
+    the pinned doc stats); n_docs - df is exact in double far past
     2^53, so idf_micro is bit-identical to the integer-literal form.
     """
-    # lens feeds the avgdl scalar AND the tf-norm join; tf feeds the
-    # df rollup AND the score join. Each unpinned reference re-ran a
-    # full pass + shuffle over the token stream — pin the doc-grain
-    # (lens) and query-term-grain (tf) rollups so the token stream is
-    # read exactly twice (once per rollup), not four times.
-    lens = (
-        toks.groupBy("doc_id")
-        .agg(F.count("*").alias("dl"))
-        .localCheckpoint(eager=True)
-    )
+    lens = docs.select("doc_id", "dl")
     stats = lens.agg(
         (F.sum("dl").cast("double") / F.count("*")).alias("__avgdl"),
         F.count("*").cast("double").alias("__n_docs"),
     )
+    # query-term-grain rollup off the pinned doc stats; counts equal
+    # the former token-stream filter + groupBy exactly
     tf = (
-        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        docs.select("doc_id", F.explode("qtoks").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
         .localCheckpoint(eager=True)
@@ -1715,17 +1733,8 @@ def x47_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    # Serves the lazy avgdl scalar AND three branches of the returned
-    # plan; localCheckpoint so the blocks free on GC instead of
-    # lingering in the CacheManager (see x53).
-    toks = d.select(
-        "doc_id",
-        F.explode(F.expr(f"split({NORM_SPARK.format(col='text')}, ' ')")).alias(
-            "term"
-        ),
-    ).localCheckpoint(eager=True)
     return (
-        _bm25_lex_scores(toks)
+        _bm25_lex_scores(_bm25_doc_stats(d))
         .select("doc_id", F.col("score_pico").cast("bigint").alias("score_pico"))
         .orderBy(F.desc("score_pico"), "doc_id")
         .limit(_BM25_TOPK)
@@ -2265,13 +2274,7 @@ def x59_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    toks = d.select(
-        "doc_id",
-        F.explode(F.expr(f"split({NORM_SPARK.format(col='text')}, ' ')")).alias(
-            "term"
-        ),
-    ).localCheckpoint(eager=True)
-    lex = _bm25_lex_scores(toks)
+    lex = _bm25_lex_scores(_bm25_doc_stats(d))
     # Candidate cutoff FIRST (TakeOrderedAndProject — a per-partition
     # top-N reduce, no all-rows single-partition shuffle), so the
     # global ROW_NUMBER window only ever sorts _X59_CAND rows.
