@@ -918,8 +918,13 @@ def g19_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     paired = year_tiles(_G19_Y1, "q_from").join(
         year_tiles(_G19_Y2, "q_to"), "o_custkey"
     )
-    counts = paired.groupBy("q_from", "q_to").agg(
-        F.count("*").cast("bigint").alias("n_customers")
+    # Pinned: the 25-row migration matrix feeds the row-total broadcast
+    # AND the final share join — unpinned, each re-executed BOTH year
+    # cuts (two prefix windows + the customer join) end to end.
+    counts = (
+        paired.groupBy("q_from", "q_to")
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+        .localCheckpoint(eager=True)
     )
     totals = counts.groupBy("q_from").agg(
         F.sum("n_customers").alias("row_n")

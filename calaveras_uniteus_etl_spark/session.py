@@ -14,6 +14,52 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _install_jvm_function_cache() -> None:
+    """Memoize PySpark's per-call JVM function lookup.
+
+    Classic-mode ``F.<fn>(...)`` resolves
+    ``getattr(getattr(sc._jvm, "org.apache.spark.sql.functions"), name)``
+    on EVERY invocation — two py4j reflection round trips (~0.4 ms on
+    this gateway) before the actual call. Query construction here
+    builds thousands of Column expressions per plan, so the lookup
+    dominates driver-side plan-build time (guide §7.3: planning time
+    is real time). The JavaMember handle is stable for the lifetime of
+    the JVM, so cache it per (SparkContext, name); entries die with
+    the context (WeakKeyDictionary). Pure lookup memoization — no
+    behavior change, nothing data-dependent.
+    """
+    try:
+        from pyspark.sql.functions import builtin as _builtin
+    except ImportError:  # pragma: no cover - future layout change
+        return
+    if getattr(_builtin._get_jvm_function, "_cuetl_cached", False):
+        return
+    import weakref
+
+    orig = _builtin._get_jvm_function
+    cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+    def _cached_get_jvm_function(name, sc):
+        try:
+            per = cache.get(sc)
+        except TypeError:  # un-weakref-able context: fall through
+            return orig(name, sc)
+        if per is None:
+            per = {}
+            cache[sc] = per
+        fn = per.get(name)
+        if fn is None:
+            fn = orig(name, sc)
+            per[name] = fn
+        return fn
+
+    _cached_get_jvm_function._cuetl_cached = True
+    _builtin._get_jvm_function = _cached_get_jvm_function
+
+
+_install_jvm_function_cache()
+
+
 def get_spark(
     app_name: str = "calaveras-uniteus-etl-spark",
     master: str | None = None,
