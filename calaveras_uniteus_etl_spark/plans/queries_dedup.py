@@ -2006,15 +2006,28 @@ def x73_kmv_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == _KMV_K)
         .select("source", (F.lit(_KMV_EST_NUM) / F.col("g")).alias("est_single"))
     )
+    # exact overlap without the digest self-join: each digest's sorted
+    # source list (≤ |sources| entries) emits its ascending pairs via a
+    # nested transform — the SMJ's exchange+two sorts over every
+    # (source, digest) row collapse into one groupBy(g) exchange and a
+    # map-side pair count (guide §2.4; the e15 shape)
+    per_g = sh.groupBy("g").agg(
+        F.sort_array(F.collect_list("source")).alias("ss")
+    )
     exact = (
-        sh.alias("x")
-        .join(
-            sh.alias("y"),
-            (F.col("x.g") == F.col("y.g"))
-            & (F.col("x.source") < F.col("y.source")),
+        per_g.filter(F.size("ss") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, size(ss) - 2), i -> "
+                    "transform(sequence(i + 1, size(ss) - 1), j -> "
+                    "struct(ss[i] as source_a, ss[j] as source_b))))"
+                )
+            ).alias("t")
         )
         .groupBy(
-            F.col("x.source").alias("source_a"), F.col("y.source").alias("source_b")
+            F.col("t.source_a").alias("source_a"),
+            F.col("t.source_b").alias("source_b"),
         )
         .agg(F.count("*").alias("exact_overlap"))
     )
@@ -4017,17 +4030,26 @@ def x141_source_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = sh.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_shingles")
     )
-    a, b = sh.alias("a"), sh.alias("b")
+    # common shingles without the digest self-join: each digest's
+    # sorted source list (≤ |sources| entries) emits its ascending
+    # pairs via a nested transform — the SMJ's exchange + two sorts
+    # over every (source, digest) row collapse into one groupBy(h)
+    # exchange and a map-side pair count (guide §2.4; the e15 shape)
+    per_h = sh.groupBy("h").agg(
+        F.sort_array(F.collect_list("source")).alias("ss")
+    )
     common = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.source") < F.col("b.source")),
+        per_h.filter(F.size("ss") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, size(ss) - 2), i -> "
+                    "transform(sequence(i + 1, size(ss) - 1), j -> "
+                    "struct(ss[i] as src_a, ss[j] as src_b))))"
+                )
+            ).alias("t")
         )
-        .groupBy(
-            F.col("a.source").alias("src_a"),
-            F.col("b.source").alias("src_b"),
-        )
+        .groupBy(F.col("t.src_a").alias("src_a"), F.col("t.src_b").alias("src_b"))
         .agg(F.count("*").cast("bigint").alias("n_common"))
     )
     sa = sizes.select(

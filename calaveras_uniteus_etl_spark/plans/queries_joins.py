@@ -1328,17 +1328,28 @@ def e15_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = op.agg(F.count_distinct("l_orderkey").alias("n_orders"))
     part_ct = op.groupBy("l_partkey").agg(F.count("*").alias("c"))
-    a, b = op.alias("a"), op.alias("b")
+    # Pair generation per order WITHOUT the self-join: collect each
+    # order's distinct parts into one sorted array and emit the
+    # ascending pairs with a nested transform — fanout stays bounded
+    # by lines-per-order exactly as the join's was, but the SMJ (one
+    # exchange + two sorts over the pinned relation) collapses into
+    # the single groupBy(l_orderkey) exchange, and the pair counts
+    # partial-aggregate map-side (guide §2.3/§2.4).
+    per_order = op.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_partkey")).alias("ps")
+    )
     pair_ct = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        per_order.filter(F.size("ps") >= 2)  # sequence(0,-1) is an error
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, size(ps) - 2), i -> "
+                    "transform(sequence(i + 1, size(ps) - 1), j -> "
+                    "struct(ps[i] as part_a, ps[j] as part_b))))"
+                )
+            ).alias("t")
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
+        .groupBy(F.col("t.part_a").alias("part_a"), F.col("t.part_b").alias("part_b"))
         .agg(F.count("*").alias("c_ab"))
         .filter(F.col("c_ab") >= 2)
     )
