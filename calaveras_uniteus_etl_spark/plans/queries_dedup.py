@@ -2668,6 +2668,7 @@ def x94_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # was evaluated. Nothing is cached across runs — the scalars are
     # computed fresh from the pinned shingle relation each invocation.
     rows: list[tuple[int, int, int, int]] = []
+    n_cov = 0
     for r in range(1, _X94_ROUNDS + 1):
         remaining = ds
         if picked:
@@ -2689,8 +2690,10 @@ def x94_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             if covered is None
             else covered.unionByName(new_cov).distinct()
         ).localCheckpoint(eager=True)
-        n_cov = covered.count()  # pinned blocks — no recompute
-        rows.append((r, int(best["doc_id"]), int(best["gain"]), int(n_cov)))
+        # |covered| grows by exactly the winner's gain (its uncovered
+        # shingles) — no per-round count job over the pinned blocks
+        n_cov += int(best["gain"])
+        rows.append((r, int(best["doc_id"]), int(best["gain"]), n_cov))
     return spark.createDataFrame(
         rows,
         "round int, picked_doc bigint, gain bigint, covered_total bigint",
