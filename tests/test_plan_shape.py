@@ -671,10 +671,15 @@ def test_round5_ranks_use_prefix_operator(spark, name):
 def test_f62_windows_are_prefix_or_group_grain(spark):
     """f62's quartiles ride the prefix operator over the (group, value)
     order; the only other window is the 5-row group-offset rollup
-    (keyed on prio alone) — nothing data-sized may sort in one task."""
+    (keyed on prio alone) — nothing data-sized may sort in one task.
+
+    The prefix output is pinned (r11: three consumers), so the final
+    plan normally reads the checkpoint leaf and carries NO windows at
+    all — that shape is the optimized one. Any window that DOES appear
+    must still be prefix- or group-grain."""
     plan = physical(REGISTRY["f62_tukey_outliers"].fn(spark, SF))
     specs = [ln for ln in plan.splitlines() if "windowspecdefinition(" in ln]
-    assert specs, plan
+    assert specs or "Scan ExistingRDD" in plan, plan
     for ln in specs:
         first = ln.split("windowspecdefinition(", 1)[1].split(",", 1)[0]
         unpartitioned = " ASC" in first or " DESC" in first
