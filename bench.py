@@ -166,6 +166,7 @@ def main() -> None:
     from calaveras_uniteus_etl_spark.plans.queries_dedup import (
         _lsh_pair_matches,
         _neardup_labels,
+        _shingle_postings,
         _sigs_index,
     )
     from calaveras_uniteus_etl_spark.plans.queries_similarity import _vec_index
@@ -174,6 +175,7 @@ def main() -> None:
     index_build: dict[str, float] = {}
     for bname, bfn in [
         ("minhash_sigs", _sigs_index),
+        ("shingle_postings", _shingle_postings),
         ("lsh_pair_nm", _lsh_pair_matches),
         ("neardup_labels", _neardup_labels),
         ("embedding_index", _vec_index),

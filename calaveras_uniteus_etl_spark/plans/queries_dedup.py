@@ -103,6 +103,29 @@ def _docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "documents").repartition(par, "doc_id")
 
 
+def _shingle_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, g): exploded 60-bit shingle-digest postings, built once
+    per corpus (session-index registry, the _vec_index contract).
+
+    Eight queries (x4, x26, x65, x66, x72, x73, x113, x141) build this
+    exact relation — normalize + word-3-shingle + one md5 fold per
+    shingle — independently; at 100 TB each rebuild re-reads and
+    re-hashes the whole corpus, which is precisely the anti-pattern
+    the registry exists to remove. Digest multiplicity is preserved
+    (no distinct), so every consumer's counts are unchanged.
+    """
+    return session_index(
+        spark,
+        sf_dir,
+        "shingle_postings",
+        lambda: materialize(
+            dd.with_shingles(_docs_wide(spark, sf_dir)).select(
+                "doc_id", F.explode(dd.shingle_digests_expr()).alias("g")
+            )
+        ),
+    )
+
+
 def _spark_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = dd.with_shingles(_docs_wide(spark, sf_dir))
     return (
@@ -460,15 +483,10 @@ def x4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # digest) — the join/shuffle never carries shingle text, and a
     # 60-bit digest makes cross-doc collisions (the only thing that
     # could perturb exactness) a 1-in-2^60 event.
-    d = dd.with_shingles(_docs_wide(spark, sf_dir))
-    # Pin the postings BEFORE the df-cap: the md5-dense digest pass
-    # runs once, and the cap no longer needs a COUNT window (a full
-    # shuffle + sort of every posting) — a hash aggregate over the
-    # pinned postings yields the (rare) over-cap digests, removed with
-    # a broadcast anti-join. Same ≤cap shingle universe on both sides.
-    sh_all = d.select(
-        "doc_id", F.explode(dd.shingle_digests_expr()).alias("g")
-    ).localCheckpoint(eager=True)
+    # Session-indexed postings: the md5-dense digest pass is built once
+    # per corpus; the df-cap is a hash aggregate over the leaf + a
+    # broadcast anti-join (not a COUNT window's full shuffle + sort).
+    sh_all = _shingle_postings(spark, sf_dir)
     # posting-list df-cap (same rationale as BUCKET_CAP): a shingle in
     # D docs adds D(D-1)/2 shared-pair increments, so boilerplate
     # shingles dominate the self-join quadratically at corpus scale.
@@ -748,7 +766,7 @@ def x26_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact Jaccard restricted to candidate docs: the inverted-index
     # self-join re-used from X4, inner-joined to the candidate pairs —
     # never an all-pairs pass
-    sh = d.select("doc_id", F.explode(dd.shingle_digests_expr()).alias("g"))
+    sh = _shingle_postings(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     x, y = sh.alias("x"), sh.alias("y")
     inter = (
@@ -1544,13 +1562,9 @@ def x65_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # df-cap against boilerplate-shingle quadratic blowup); the
     # containment denominator is min(|A|,|B|) so a small doc fully
     # inside a large one scores ~1.0 regardless of the size gap.
-    d = dd.with_shingles(_docs_wide(spark, sf_dir))
-    # Same restructure as x4: pin the postings BEFORE the df-cap (one
-    # md5 pass), enforce the cap via hash aggregate + broadcast
-    # anti-join instead of a COUNT window's full postings shuffle+sort.
-    sh_all = d.select(
-        "doc_id", F.explode(dd.shingle_digests_expr()).alias("g")
-    ).localCheckpoint(eager=True)
+    # Session-indexed postings (x4's shape): one md5 pass per corpus,
+    # df-cap via hash aggregate + broadcast anti-join.
+    sh_all = _shingle_postings(spark, sf_dir)
     over_cap = (
         sh_all.groupBy("g")
         .agg(F.count("*").alias("df"))
@@ -1622,10 +1636,7 @@ ORDER BY source
     "redundancy signal for source-level mixture weighting.",
 )
 def x66_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = dd.with_shingles(_docs_wide(spark, sf_dir))
-    sh = d.select(
-        "doc_id", F.explode(dd.shingle_digests_expr()).alias("g")
-    ).localCheckpoint(eager=True)
+    sh = _shingle_postings(spark, sf_dir)
     firsts = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     src = table(spark, sf_dir, "documents").select("doc_id", "source")
     scored = (
@@ -1835,10 +1846,9 @@ ORDER BY source
     "(no data-sized window partition), mergeable across shards.",
 )
 def x72_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = dd.with_shingles(_docs_wide(spark, sf_dir))
     src = table(spark, sf_dir, "documents").select("doc_id", "source")
     sh = (
-        d.select("doc_id", F.explode(dd.shingle_digests_expr()).alias("g"))
+        _shingle_postings(spark, sf_dir)
         .join(src, "doc_id")
         .select("source", "g")
         .distinct()
@@ -1950,10 +1960,9 @@ ORDER BY u.source_a, u.source_b
     "federated-ingest sketch.",
 )
 def x73_kmv_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = dd.with_shingles(_docs_wide(spark, sf_dir))
     src = table(spark, sf_dir, "documents").select("doc_id", "source")
     sh = (
-        d.select("doc_id", F.explode(dd.shingle_digests_expr()).alias("g"))
+        _shingle_postings(spark, sf_dir)
         .join(src, "doc_id")
         .select("source", "g")
         .distinct()
@@ -3148,7 +3157,7 @@ def x113_minhash_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"size(filter(sequence(0, {dd.MINHASH_K - 1}), i -> sa[i] = sb[i]))"
     )
     est = pairs.filter(full_match >= _MATCH_MIN)
-    sh = d.select("doc_id", F.explode(dd.shingle_digests_expr()).alias("g"))
+    sh = _shingle_postings(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     x, y = sh.alias("x"), sh.alias("y")
     inter = (
@@ -4017,16 +4026,14 @@ ORDER BY src_a, src_b
     "ordered source pair — the pre-mixing corpus-overlap audit.",
 )
 def x141_source_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = dd.with_shingles(_docs_wide(spark, sf_dir))
-    # The distinct (source, digest) vocabulary — normalize + shingle +
-    # one md5 per shingle + a distinct shuffle — feeds the size counts
-    # AND both sides of the pairwise equi-join. Pin it once instead of
-    # running the md5-dense subtree three times.
+    # The distinct (source, digest) vocabulary off the session-indexed
+    # postings (one md5 pass per corpus); pinned because it feeds the
+    # size counts AND the pairwise census.
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
     sh = (
-        d.select(
-            "source",
-            F.explode(dd.shingle_digests_expr()).alias("h"),
-        )
+        _shingle_postings(spark, sf_dir)
+        .join(src, "doc_id")
+        .select("source", F.col("g").alias("h"))
         .distinct()
         .localCheckpoint(eager=True)
     )
