@@ -1467,20 +1467,26 @@ def x43_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    # Shared by the sketch build and the exact-count probe within one
-    # returned plan; localCheckpoint blocks self-release on GC where a
-    # cache() entry would outlive the query (see x53).
-    toks = (
-        d.select(
-            F.explode(
-                F.expr(f"split({NORM_SPARK.format(col='text')}, ' ')")
-            ).alias("term")
-        )
-        .filter(F.col("term") != "")
+    # Term-frequency rollup FIRST: the sketch's cell counts are sums of
+    # per-term counts (the D md5 digests are functions of the TERM, not
+    # the occurrence), so hashing each distinct term once and summing
+    # its count gives bit-identical cell totals with md5 work divided
+    # by the mean term frequency — and the token stream is never
+    # materialized (guide §2.3). The term-grain rollup is pinned: it
+    # feeds the sketch AND the exact-count probe.
+    toks = d.select(
+        F.explode(
+            F.expr(f"split({NORM_SPARK.format(col='text')}, ' ')")
+        ).alias("term")
+    ).filter(F.col("term") != "")
+    tf = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("exact_n"))
         .localCheckpoint(eager=True)
     )
 
-    cells = toks.select(
+    cells = tf.select(
+        "exact_n",
         F.explode(
             F.array(
                 *[
@@ -1491,16 +1497,11 @@ def x43_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for i in range(_CMS_D)
                 ]
             )
-        ).alias("c")
-    ).select("c.d", "c.bucket")
-    cms = cells.groupBy("d", "bucket").agg(F.count("*").alias("cnt"))
+        ).alias("c"),
+    ).select("c.d", "c.bucket", "exact_n")
+    cms = cells.groupBy("d", "bucket").agg(F.sum("exact_n").alias("cnt"))
 
-    exact = (
-        toks.groupBy("term")
-        .agg(F.count("*").alias("exact_n"))
-        .orderBy(F.desc("exact_n"), F.asc("term"))
-        .limit(_CMS_AUDIT_K)
-    )
+    exact = tf.orderBy(F.desc("exact_n"), F.asc("term")).limit(_CMS_AUDIT_K)
     probe_cells = exact.select(
         "term",
         "exact_n",
