@@ -169,7 +169,11 @@ def main() -> None:
         _shingle_postings,
         _sigs_index,
     )
+    from calaveras_uniteus_etl_spark.plans.queries_multimodal import (
+        _features_index,
+    )
     from calaveras_uniteus_etl_spark.plans.queries_similarity import _vec_index
+    from calaveras_uniteus_etl_spark.plans.queries_text import _tok_index
 
     session_index_clear()
     index_build: dict[str, float] = {}
@@ -179,6 +183,8 @@ def main() -> None:
         ("lsh_pair_nm", _lsh_pair_matches),
         ("neardup_labels", _neardup_labels),
         ("embedding_index", _vec_index),
+        ("media_features", _features_index),
+        ("tokenized_corpus", _tok_index),
     ]:
         t0 = time.perf_counter()
         bfn(spark, sf_dir)
@@ -209,7 +215,16 @@ def main() -> None:
             prev = timings.get(name)
             timings[name] = dt if prev is None else min(prev, dt)
     timings = {name: round(t, 4) for name, t in timings.items()}
-    total = round(sum(timings.values()), 4)
+    queries_total = round(sum(timings.values()), 4)
+    # r11 verdict item 1 (measurement-bug fix, declared in
+    # OPTIMIZATION_r12.md): the headline `value` now INCLUDES the
+    # session-index build — per-query numbers stay warm-index marginal
+    # costs (unchanged methodology, comparable round-over-round), but
+    # the one-time build no longer lives in an untimed bucket, so work
+    # migrated into an index artifact keeps paying its cost in the
+    # printed total. `queries_total_sec` preserves the old headline for
+    # comparison against pre-r12 receipts.
+    total = round(queries_total + index_build["total"], 4)
 
     # CPU-normalized round-over-round ratios (r10 verdict item 1):
     # BENCH_BASELINE.json is the prior round's final BENCH_FULL,
@@ -242,9 +257,10 @@ def main() -> None:
         json.dump(
             {
                 "metric": "headline_queries_total",
-                "value": total,
+                "value": total,  # queries + index build (r12)
                 "unit": "sec",
                 "queries": timings,
+                "queries_total_sec": queries_total,
                 "index_build": index_build,
                 "index_timing": "warm",  # per-query numbers are warm-index
                 "calibration": calibration,
@@ -279,9 +295,10 @@ def main() -> None:
     line = json.dumps(
         {
             "metric": "headline_queries_total",
-            "value": total,
+            "value": total,  # queries + index build (r12)
             "unit": "sec",
             "queries": {q: timings[q] for q in subset if q in timings},
+            "queries_total_sec": queries_total,
             "slowest": slowest,
             "index_build_sec": index_build,
             "n_queries": len(timings),

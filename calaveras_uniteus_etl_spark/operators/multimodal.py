@@ -33,6 +33,7 @@ import wave
 import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -166,16 +167,64 @@ def _fake_features(payload: bytes, media_type: str) -> dict:
     return out
 
 
+def _masked_i32(vals: np.ndarray, keep: np.ndarray) -> pd.arrays.IntegerArray:
+    return pd.arrays.IntegerArray(vals.astype("int32"), mask=~keep)
+
+
+def _fake_feature_frame(
+    doc_ids: np.ndarray, media_types: np.ndarray, payloads: list[bytes]
+) -> pd.DataFrame:
+    """Vectorized fake decode for a whole batch of unrecognized
+    payloads: md5 per row (C-speed hashlib), every derived column
+    computed columnarly with numpy — identical formulas to
+    ``_fake_features``, without the per-row dict/DataFrame-of-dicts
+    construction that dominated the old kernel (guide §4.2: hand whole
+    batches to vectorized code)."""
+    n = len(payloads)
+    digests = [hashlib.md5(p).hexdigest() for p in payloads]
+    h1 = np.fromiter((int(d[:15], 16) for d in digests), dtype=np.int64, count=n)
+    h2 = np.fromiter((int(d[15:30], 16) for d in digests), dtype=np.int64, count=n)
+    mt = np.asarray(media_types, dtype=object)
+    img = mt == "image"
+    aud = mt == "audio"
+    vid = ~(img | aud)
+    has_dims = img | vid
+    has_dur = aud | vid
+    return pd.DataFrame(
+        {
+            "doc_id": doc_ids,
+            "media_type": media_types,
+            "n_bytes": np.fromiter(
+                (len(p) for p in payloads), dtype=np.int64, count=n
+            ),
+            "digest": digests,
+            "width": _masked_i32(h1 % 1920 + 1, has_dims),
+            "height": _masked_i32(h2 % 1080 + 1, has_dims),
+            "duration_s": _masked_i32(h1 % 600 + 1, has_dur),
+            "sample_rate": _masked_i32(8000 + (h2 % 8) * 4000, aud),
+        }
+    )
+
+
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: one output row per media row, per batch.
 
     Streams Arrow batches — peak memory is one batch, not one
     partition, which is what keeps this viable when payloads are MBs.
+    Batches with no recognizable magic anywhere (the synthetic-corpus
+    common case) take a fully vectorized fake-decode path; batches
+    containing real payloads fall back to the per-row codec dispatch.
     """
     for pdf in batches:
+        payloads = [bytes(p) for p in pdf["payload"]]
+        if not any(codecs.sniff_media(p) for p in payloads):
+            yield _fake_feature_frame(
+                pdf["doc_id"].values, pdf["media_type"].values, payloads
+            )
+            continue
         feats = [
-            _real_features(bytes(p), mt) or _fake_features(bytes(p), mt)
-            for p, mt in zip(pdf["payload"], pdf["media_type"])
+            _real_features(p, mt) or _fake_features(p, mt)
+            for p, mt in zip(payloads, pdf["media_type"])
         ]
         out = pd.DataFrame(feats)
         out.insert(0, "media_type", pdf["media_type"].values)

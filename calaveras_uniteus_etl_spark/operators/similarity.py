@@ -33,6 +33,14 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# INVARIANT: every row of the embeddings table carries exactly
+# EMBED_DIM entries (the corpus generator emits fixed-width vectors;
+# tests/test_r12_optimizations.py pins it at the test SFs). Plans index
+# embedding arrays at fixed positions up to EMBED_DIM-1 — e.g. the
+# x63/x145 upper-triangle product `qa[i]` under sequence(0, 63) — which
+# under ANSI mode (Spark 4 default) throws INVALID_ARRAY_INDEX on a
+# shorter array instead of yielding NULL. A ragged corpus must be
+# length-gated at ingest before these plans run.
 EMBED_DIM = 64
 N_TABLES = 8
 # bits per table → 2^6 buckets/table. Tuned against the synthetic

@@ -126,6 +126,54 @@ def _shingle_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Broadcast ceiling for the df-cap anti-join's build side (x4/x65).
+# The over-cap digest set has a PROVABLE upper bound — a digest needs
+# > BUCKET_CAP postings to qualify, so #over_cap <= n_postings /
+# BUCKET_CAP — and the gate compares that bound, not an optimizer
+# estimate, against this ceiling (guide §3.2: broadcast only when the
+# small side is provably small). 4M bigint keys ~= 64 MB hashed; past
+# that the anti-join falls back to a shuffle (no hint), where AQE still
+# picks the strategy from runtime sizes. At the driver's SFs the bound
+# is tiny, so the broadcast plan is unchanged.
+_OVERCAP_BROADCAST_MAX_ROWS = 4_000_000
+
+
+def _postings_count(spark: SparkSession, sf_dir: str) -> int:
+    """Exact posting count of the session shingle index, computed once
+    per corpus (one count job over the checkpointed leaf) and reused by
+    every df-cap gate."""
+    return session_index(
+        spark,
+        sf_dir,
+        "shingle_postings_count",
+        lambda: _shingle_postings(spark, sf_dir).count(),
+    )
+
+
+def _df_capped_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting list with over-cap (df > BUCKET_CAP) digests removed.
+
+    The cap is a hash aggregate over the session postings leaf plus an
+    anti-join — broadcast when the bound on the over-cap set fits
+    comfortably, shuffle otherwise (at 100 TB with heavy boilerplate
+    the over-cap set can outgrow a broadcast relation). A shingle in D
+    docs adds D(D-1)/2 shared-pair increments downstream, so this gate
+    is what keeps the x4/x65 self-joins from going quadratic; inactive
+    at the driver's SFs (max df 25 at sf0.1).
+    """
+    sh_all = _shingle_postings(spark, sf_dir)
+    over_cap = (
+        sh_all.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > BUCKET_CAP)
+        .select("g")
+    )
+    bound = _postings_count(spark, sf_dir) // BUCKET_CAP
+    if bound <= _OVERCAP_BROADCAST_MAX_ROWS:
+        over_cap = F.broadcast(over_cap)
+    return sh_all.join(over_cap, "g", "left_anti")
+
+
 def _spark_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = dd.with_shingles(_docs_wide(spark, sf_dir))
     return (
@@ -485,21 +533,11 @@ def x4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # could perturb exactness) a 1-in-2^60 event.
     # Session-indexed postings: the md5-dense digest pass is built once
     # per corpus; the df-cap is a hash aggregate over the leaf + a
-    # broadcast anti-join (not a COUNT window's full shuffle + sort).
-    sh_all = _shingle_postings(spark, sf_dir)
-    # posting-list df-cap (same rationale as BUCKET_CAP): a shingle in
-    # D docs adds D(D-1)/2 shared-pair increments, so boilerplate
-    # shingles dominate the self-join quadratically at corpus scale.
-    # Jaccard is then computed over the <=cap shingle universe on BOTH
+    # size-gated anti-join (not a COUNT window's full shuffle + sort).
+    # Jaccard is computed over the <=cap shingle universe on BOTH
     # sides (sizes after the filter, so numerator and denominator
-    # agree). Inactive at test SFs (max df 25 at sf0.1).
-    over_cap = (
-        sh_all.groupBy("g")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > BUCKET_CAP)
-        .select("g")
-    )
-    sh = sh_all.join(F.broadcast(over_cap), "g", "left_anti")
+    # agree).
+    sh = _df_capped_postings(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
@@ -724,7 +762,6 @@ FROM scored
     "arithmetic end-to-end.",
 )
 def x26_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = dd.with_shingles(_docs_wide(spark, sf_dir))
     # full K-lane signatures are exactly the session sig index's
     # shape — consume it instead of re-hashing the corpus per query
     sigs = _sigs_index(spark, sf_dir)
@@ -1563,15 +1600,8 @@ def x65_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # containment denominator is min(|A|,|B|) so a small doc fully
     # inside a large one scores ~1.0 regardless of the size gap.
     # Session-indexed postings (x4's shape): one md5 pass per corpus,
-    # df-cap via hash aggregate + broadcast anti-join.
-    sh_all = _shingle_postings(spark, sf_dir)
-    over_cap = (
-        sh_all.groupBy("g")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > BUCKET_CAP)
-        .select("g")
-    )
-    sh = sh_all.join(F.broadcast(over_cap), "g", "left_anti")
+    # df-cap via hash aggregate + size-gated anti-join.
+    sh = _df_capped_postings(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
@@ -3114,7 +3144,6 @@ FROM scored GROUP BY k ORDER BY k
     "before a 100 TB run.",
 )
 def x113_minhash_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = dd.with_shingles(_docs_wide(spark, sf_dir))
     # full K-lane signatures are exactly the session sig index's
     # shape — consume it instead of re-hashing the corpus per query
     sigs = _sigs_index(spark, sf_dir)

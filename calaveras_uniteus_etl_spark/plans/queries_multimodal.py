@@ -15,6 +15,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from calaveras_uniteus_etl_spark.operators.multimodal import extract_features
+from calaveras_uniteus_etl_spark.plans._session_index import (
+    materialize,
+    session_index,
+)
 from calaveras_uniteus_etl_spark.plans.catalog import register
 from calaveras_uniteus_etl_spark.plans.tables import table
 
@@ -63,8 +67,28 @@ FROM documents
     "batched mapInPandas decode (deterministic fake; real codecs stub "
     "behind import-try) with fixed output schema.",
 )
+def _features_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-indexed media featurization: the Arrow mapInPandas
+    decode (operators/multimodal.py:extract_features) runs ONCE per
+    corpus and every media consumer — x11 features/rollup, x39 resize
+    planning, x40 frame sampling, x61 perceptual near-dup — reads the
+    same checkpointed (doc_id, media_type, n_bytes, digest, width,
+    height, duration_s, sample_rate) relation. Re-decoding payloads per
+    query is the §8 anti-pattern at 100 TB: every decision downstream
+    of the decode depends only on these ~60 bytes/row, so the heavy
+    payload bytes cross the decode boundary exactly once. Registered in
+    bench.py's index-build phase, so the build cost is explicitly timed
+    (and counted in the headline total)."""
+    return session_index(
+        spark,
+        sf_dir,
+        "media_features",
+        lambda: materialize(extract_features(_media(spark, sf_dir))),
+    )
+
+
 def x11_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return extract_features(_media(spark, sf_dir))
+    return _features_index(spark, sf_dir)
 
 
 @register(
@@ -88,7 +112,7 @@ GROUP BY media_type
     "totals — the mapInPandas output feeding a normal hash aggregate.",
 )
 def x11_multimodal_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    feats = extract_features(_media(spark, sf_dir))
+    feats = _features_index(spark, sf_dir)
     return feats.groupBy("media_type").agg(
         F.count("*").alias("n_items"),
         F.sum("n_bytes").alias("total_bytes"),
@@ -132,13 +156,45 @@ FROM dims
     doc=f"Aspect-preserving resize plan into {_TW}x{_TH} for image/"
     "video payloads: binding side by integer cross-multiplication, "
     "floor on the other — never upscales, audio passes through NULL. "
-    "Runs through the real Arrow mapInPandas plumbing "
-    "(operators/multimodal.py:resize_plan).",
+    "Consumes the session media featurization (decode runs once per "
+    "corpus); the payload-bearing mapInPandas path remains "
+    "operators/multimodal.py:resize_plan.",
 )
 def x39_media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from calaveras_uniteus_etl_spark.operators.multimodal import resize_plan
-
-    return resize_plan(_media(spark, sf_dir), _TW, _TH)
+    # The plan depends only on (width, height) — integer arithmetic the
+    # JVM evaluates directly over the decoded-once featurization
+    # (operators/multimodal.py:resize_fit, mirrored expression-for-
+    # expression; equivalence pinned by
+    # tests/test_r12_optimizations.py). The old shape re-decoded every
+    # payload through a second Arrow pass per invocation.
+    f = _features_index(spark, sf_dir).select(
+        "doc_id", "media_type", "width", "height"
+    )
+    w, h = F.col("width"), F.col("height")
+    fits = (w <= _TW) & (h <= _TH)
+    h_binds = F.lit(_TW) * h >= F.lit(_TH) * w
+    out_w = (
+        F.when(w.isNull(), F.lit(None).cast("int"))
+        .when(fits, w)
+        .when(h_binds, F.expr(f"(width * {_TH}) div height").cast("int"))
+        .otherwise(F.lit(_TW))
+    )
+    out_h = (
+        F.when(w.isNull(), F.lit(None).cast("int"))
+        .when(fits, h)
+        .when(h_binds, F.lit(_TH))
+        .otherwise(F.expr(f"(height * {_TW}) div width").cast("int"))
+    )
+    resized = F.when(w.isNull(), F.lit(False)).otherwise(~fits)
+    return f.select(
+        "doc_id",
+        "media_type",
+        "width",
+        "height",
+        out_w.alias("out_width"),
+        out_h.alias("out_height"),
+        resized.alias("resized"),
+    )
 
 
 @register(
@@ -157,14 +213,49 @@ ORDER BY doc_id, frame_idx
 """,
     doc="Per-video frame sampling: every 48th frame at the fake "
     "decoder's 24 fps, capped at 16 frames/video, one row per sampled "
-    "frame with its millisecond offset — fan-out inside the Arrow "
-    "batch (operators/multimodal.py:sample_frames), never a driver "
-    "loop.",
+    "frame with its millisecond offset — fan-out via sequence+explode "
+    "over the session featurization, never a driver loop; the payload-"
+    "bearing mapInPandas path remains operators/multimodal.py:"
+    "sample_frames.",
 )
 def x40_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from calaveras_uniteus_etl_spark.operators.multimodal import sample_frames
+    # Frame indices depend only on duration_s: k*48 for k < min(16,
+    # ceil(duration*24/48)) — a sequence+explode over the decoded-once
+    # featurization (operators/multimodal.py:_frame_batches mirrored;
+    # equivalence pinned by tests/test_r12_optimizations.py). The old
+    # shape re-decoded every payload per invocation to read duration.
+    from calaveras_uniteus_etl_spark.operators.multimodal import (
+        FPS,
+        FRAME_EVERY_N,
+        FRAME_MAX,
+    )
 
-    return sample_frames(_media(spark, sf_dir))
+    vids = (
+        _features_index(spark, sf_dir)
+        .filter(F.col("media_type") == "video")
+        .select("doc_id", "duration_s")
+    )
+    return (
+        vids.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(FRAME_MAX - 1))
+            ).alias("k"),
+            "duration_s",
+        )
+        .filter(
+            F.col("k") * FRAME_EVERY_N
+            < F.col("duration_s").cast("bigint") * FPS
+        )
+        .select(
+            "doc_id",
+            (F.col("k") * FRAME_EVERY_N).cast("int").alias("frame_idx"),
+            F.expr(
+                f"(cast(k as bigint) * {FRAME_EVERY_N} * 1000) div {FPS}"
+            ).alias("t_offset_ms"),
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -229,12 +320,19 @@ ORDER BY doc_a, doc_b
     f"{_X61_MAX_HAM}.",
 )
 def x61_media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = _media(spark, sf_dir).filter(F.col("media_type") == "image")
-    imgs = m.select(
-        "doc_id",
-        F.conv(F.substring(F.md5("payload"), 1, 15), 16, 10)
-        .cast("bigint")
-        .alias("h"),
+    # The 60-bit fingerprint is a fold of the payload digest the
+    # session featurization already carries — consume it instead of
+    # re-encoding and re-hashing every payload (and shuffling the
+    # payload bytes through _media's repartition) per invocation.
+    imgs = (
+        _features_index(spark, sf_dir)
+        .filter(F.col("media_type") == "image")
+        .select(
+            "doc_id",
+            F.conv(F.substring("digest", 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
     )
     keyed = imgs.select(
         "doc_id",

@@ -28,15 +28,23 @@ def _install_jvm_function_cache() -> None:
     the context (WeakKeyDictionary). Pure lookup memoization — no
     behavior change, nothing data-dependent.
     """
+    # Internals-coupled by nature (verified against PySpark 4.1): any
+    # layout change — module move OR function rename/removal — must
+    # degrade to a silent no-op, never break package import.
+    # tests/test_r11_optimizations.py pins that the cache is active on
+    # the tested Spark version, so an un-install fails loudly in CI
+    # rather than silently losing the optimization.
     try:
         from pyspark.sql.functions import builtin as _builtin
     except ImportError:  # pragma: no cover - future layout change
         return
-    if getattr(_builtin._get_jvm_function, "_cuetl_cached", False):
+    orig = getattr(_builtin, "_get_jvm_function", None)
+    if orig is None:  # pragma: no cover - future rename/removal
+        return
+    if getattr(orig, "_cuetl_cached", False):
         return
     import weakref
 
-    orig = _builtin._get_jvm_function
     cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
     def _cached_get_jvm_function(name, sc):
