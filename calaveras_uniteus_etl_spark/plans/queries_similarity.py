@@ -872,8 +872,15 @@ def x29_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x.vec_id").alias("vec_a"),
             F.col("y.vec_id").alias("vec_b"),
         )
+        # ONE exchange for dedup + the final window (§2.4): hash-
+        # partition on the window key FIRST — vec_b is a subset of the
+        # distinct keys, so the dedup aggregate runs on that
+        # partitioning without re-shuffling, and the vec_b window
+        # reuses it. The old distinct().repartition("vec_a") shape paid
+        # three exchanges (distinct keys, vec_a, then the window's
+        # vec_b).
+        .repartition(spark.sparkContext.defaultParallelism, "vec_b")
         .distinct()
-        .repartition(spark.sparkContext.defaultParallelism, "vec_a")
     )
     # payload join-backs from the parquet scan (stats visible -> CBO
     # broadcasts when small, shuffles when huge); see _payload_sides
@@ -1300,12 +1307,16 @@ def x42_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = (
         # the exact arm scores the same corpus — reuse the cached e
-        # instead of re-scanning + re-norming it inside x5
+        # instead of re-scanning + re-norming it inside x5. Consumed
+        # by exactly ONE join below, so it stays lazy: the r11 .cache()
+        # added a materialization barrier (plus an unpersist and an
+        # eager output checkpoint to sequence it) for a relation that
+        # is never reused — three extra jobs per invocation (§5:
+        # persist only when reuse outweighs the pressure).
         x5_cosine_topk(spark, sf_dir, vecs=e)
         .withColumn("rn", F.row_number().over(w_exact))
         .filter(F.col("rn") <= _ANN_TOPK)
         .select("query_id", "neighbor_id")
-        .cache()
     )
     # Sweep arms as DATA, not a driver loop: each (query, neighbor)
     # candidate pair enters the sweep at the rank its neighbor's
@@ -1385,10 +1396,6 @@ def x42_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nprobe")
     )
-    # Materialize before releasing the query-local caches the plan
-    # feeds on (e belongs to the session index cache — not released).
-    out = out.localCheckpoint(eager=True)
-    exact.unpersist()
     return out
 
 
@@ -1539,8 +1546,12 @@ def x62_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.label").alias("label_a"),
             F.col("c.label").alias("label_b"),
         )
-        .distinct()
+        # ONE exchange for dedup + the top-N window (§2.4): partition
+        # on the window key (vec_a ⊂ distinct keys) BEFORE the dedup
+        # aggregate, so distinct runs without another shuffle and the
+        # vec_a window reuses the partitioning — was two exchanges.
         .repartition(spark.sparkContext.defaultParallelism, "vec_a")
+        .distinct()
     )
     aside = lab.select(
         F.col("vec_id").alias("vec_a"),
