@@ -168,6 +168,7 @@ def main() -> None:
         _neardup_labels,
         _shingle_postings,
         _sigs_index,
+        _simhash_fp,
     )
     from calaveras_uniteus_etl_spark.plans.queries_multimodal import (
         _features_index,
@@ -185,6 +186,7 @@ def main() -> None:
         ("embedding_index", _vec_index),
         ("media_features", _features_index),
         ("tokenized_corpus", _tok_index),
+        ("simhash_fp", _simhash_fp),
     ]:
         t0 = time.perf_counter()
         bfn(spark, sf_dir)

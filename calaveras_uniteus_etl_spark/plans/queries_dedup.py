@@ -410,10 +410,26 @@ SELECT doc_id, {dd.duck_simhash_sql()} AS simhash FROM hashes
     doc="32-bit SimHash fingerprint: per-token md5-derived hashes, "
     "majority bit vote — built-in array exprs only.",
 )
+def _simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) session artifact: the md5-per-token fingerprint
+    pass runs ONCE per corpus. Three query paths rebuild this exact
+    relation per invocation otherwise — x3_simhash, x3_simhash_pairs,
+    and x114_dedup_strategy_matrix (via the pairs) — re-reading and
+    re-hashing the whole corpus each time (the registry's
+    anti-pattern). Timed in bench.py's index-build phase."""
+
+    def build() -> DataFrame:
+        d = dd.with_shingles(_docs_wide(spark, sf_dir))
+        hs, sim = dd.simhash_exprs()
+        return materialize(
+            d.withColumn("hs", hs).select("doc_id", sim.alias("simhash"))
+        )
+
+    return session_index(spark, sf_dir, "simhash_fp", build)
+
+
 def x3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = dd.with_shingles(_docs_wide(spark, sf_dir))
-    hs, sim = dd.simhash_exprs()
-    return d.withColumn("hs", hs).select("doc_id", sim.alias("simhash"))
+    return _simhash_fp(spark, sf_dir)
 
 
 @register(
@@ -442,16 +458,12 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
     "32-bit fingerprint) → hamming distance ≤ 6.",
 )
 def x3_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = dd.with_shingles(_docs_wide(spark, sf_dir))
-    hs, sim = dd.simhash_exprs()
     # The fingerprint subtree (one md5 per token + 32 bit-vote array
     # passes) is referenced THREE times below — bucket counts plus both
-    # self-join sides — and Catalyst does not share it, so the dominant
-    # cost ran 3×. Pin the tiny (doc_id, simhash) relation once; the
-    # banded join then reads a lineage-free leaf.
-    fp = d.withColumn("hs", hs).select(
-        "doc_id", sim.alias("simhash")
-    ).localCheckpoint(eager=True)
+    # self-join sides — and is now a session artifact shared with
+    # x3_simhash and x114: the banded join reads a lineage-free leaf
+    # built once per corpus.
+    fp = _simhash_fp(spark, sf_dir)
     bands = fp.select(
         "doc_id",
         "simhash",
