@@ -111,6 +111,17 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # PySpark 4 wraps every DataFrame/Column API call to capture
+        # the user call site for error context: getActiveSession + a
+        # conf read + PySparkCurrentOrigin.set/clear = 3+ py4j round
+        # trips per call (~4-6 ms each on this gateway). Plan
+        # construction here issues hundreds of wrapped calls per query,
+        # so the capture dominates driver-side plan-build time (guide
+        # §7.3: planning time is real time; measured: h14_market_share
+        # build 0.65->0.14 s, x138_rule_ablation 1.28->0.40 s). Results
+        # are unchanged — only error messages lose the Python call-site
+        # line. Flip to true when debugging a plan.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -171,7 +171,7 @@ def test_bm25_doc_stats_match_token_stream(spark, sf_dir):
         .agg(F.count("*").alias("tf"))
         .collect()
     }
-    docs = _bm25_doc_stats(d)
+    docs = _bm25_doc_stats(spark, sf_dir)  # r12: reads the tokenized-corpus artifact
     new_lens = {r.doc_id: r.dl for r in docs.select("doc_id", "dl").collect()}
     new_tf = {
         (r.doc_id, r.term): r.tf
