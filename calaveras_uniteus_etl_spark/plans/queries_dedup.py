@@ -3923,90 +3923,83 @@ ORDER BY g.source
     f"≥ {_X137_W + _X137_K - 1} words.",
 )
 def x137_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from calaveras_uniteus_etl_spark.functions.hashing import md5_long
+    # lazy import: queries_text transitively imports this module via
+    # queries_multimodal, so the tokenized-corpus artifact is resolved
+    # at call time, not at module import
+    from calaveras_uniteus_etl_spark.plans.queries_text import _tok_index
 
-    d = table(spark, sf_dir, "documents")
-    norm = dd.NORM_SPARK.format(col="text")
-    grams = (
-        d.select(
-            "source",
-            "doc_id",
-            F.expr(f"split({norm}, ' ')").alias("w"),
-        )
+    # Winnowing state is strictly PER DOCUMENT (the sliding min runs
+    # over a doc's own gram sequence), so the whole selection computes
+    # inside array expressions — no doc_id exchange, no gram-relation
+    # checkpoint, no anchor distinct, no picked join-back (§2.4: the
+    # former shape shuffled and pinned every gram just to run two
+    # doc-keyed windows whose partitions were single documents). Per
+    # doc: hs = folded gram hashes, keys[p] = h·C − p, anchor p picks
+    # pmod(−min(keys[p..p+W−1]), C) ≡ the position of the window's
+    # min-key gram, and array_distinct reproduces the DISTINCT over
+    # anchor picks. Arrays are doc-length-bounded — the same bound the
+    # per-doc window partitions had — so this is scale-safe.
+    md5_fold = (
+        f"cast(conv(substr(md5(concat_ws(' ', slice(w, i, {_X137_K}))), 1, 15),"
+        f" 16, 10) as bigint) % {_X137_HMOD}"
+    )
+    per_doc = (
+        _tok_index(spark, sf_dir)
+        .select("source", "w")
         .filter(F.size("w") >= _X137_K)
         .select(
             "source",
-            "doc_id",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(1, size(w) - {_X137_K} + 1), "
-                    f"i -> concat_ws(' ', slice(w, i, {_X137_K})))"
-                )
-            ).alias("pos0", "gram"),
+            F.expr(
+                f"transform(sequence(1, size(w) - {_X137_K} + 1), i -> {md5_fold})"
+            ).alias("hs"),
         )
         .select(
             "source",
-            "doc_id",
-            (F.col("pos0") + 1).alias("pos"),
-            (md5_long(F.col("gram")) % _X137_HMOD).alias("h"),
+            F.size("hs").alias("n_grams"),
+            F.expr(
+                f"""
+                case when size(hs) >= {_X137_W} then
+                  transform(
+                    array_distinct(transform(
+                      sequence(1, size(hs) - {_X137_W} + 1),
+                      p -> pmod(-array_min(transform(
+                             sequence(p, p + {_X137_W} - 1),
+                             q -> hs[q - 1] * cast({_X137_C} as bigint) - q)),
+                           cast({_X137_C} as bigint)))),
+                    p -> hs[cast(p as int) - 1])
+                else array() end
+                """
+            ).alias("picked_hs"),
         )
     )
-    w_doc = WindowSpec.partitionBy("doc_id")
-    w_ahead = (
-        WindowSpec.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(0, _X137_W - 1)
+    # ONE pass, ONE aggregate: posexplode_outer keeps a (null-pick)
+    # row for docs too short to anchor, so per-doc gram totals ride
+    # the pick rows (counted once, at pick index 0 / the null row) and
+    # both rollups fuse — no checkpoint, no broadcast join of two
+    # aggregates over the same relation.
+    rows = per_doc.select(
+        "source",
+        "n_grams",
+        F.posexplode_outer("picked_hs").alias("pidx", "h"),
     )
-    # Both doc-keyed windows ride ONE doc_id exchange, and the result
-    # is pinned (eager localCheckpoint) because three consumers need
-    # it — the anchor filter, the picked join-back, and the per-source
-    # gram totals. Unpinned, the k-gram posexplode + md5 pass re-ran
-    # per consumer (3 full tokenize passes). ~5 longs + source per
-    # gram, the same order as the window shuffle already in the plan.
-    keyed = (
-        grams.select(
-            "source",
-            "doc_id",
-            "pos",
-            "h",
-            (F.col("h") * _X137_C - F.col("pos")).alias("key"),
-            F.max("pos").over(w_doc).alias("max_pos"),
-        )
-        .withColumn(
-            "win_pos",
-            F.pmod(-F.min("key").over(w_ahead), F.lit(_X137_C)),
-        )
-        .localCheckpoint(eager=True)
-    )
-    chosen = (
-        keyed.filter(F.col("pos") <= F.col("max_pos") - (_X137_W - 1))
-        .select("doc_id", F.col("win_pos").alias("pos"))
-        .distinct()
-    )
-    picked = keyed.join(chosen, ["doc_id", "pos"]).select(
-        "source", "doc_id", "pos", "h"
-    )
-    totals = keyed.groupBy("source").agg(
-        F.count("*").cast("bigint").alias("total_grams")
-    )
-    stats = picked.groupBy("source").agg(
-        F.count("*").cast("bigint").alias("selected"),
+    first_row = F.col("pidx").isNull() | (F.col("pidx") == 0)
+    agg = rows.groupBy("source").agg(
+        F.sum(F.when(first_row, F.col("n_grams")).otherwise(0))
+        .cast("bigint")
+        .alias("total_grams"),
+        F.count("h").cast("bigint").alias("selected"),
         F.countDistinct("h").cast("bigint").alias("distinct_digests"),
     )
-    return (
-        totals.join(F.broadcast(stats), "source")
-        .select(
-            "source",
-            "total_grams",
-            "selected",
-            F.round(
-                F.col("selected").cast("double") / F.col("total_grams"), 6
-            ).alias("density"),
-            F.round(F.lit(2.0) / (_X137_W + 1), 6).alias("density_theory"),
-            "distinct_digests",
-        )
-        .orderBy("source")
-    )
+    return agg.select(
+        "source",
+        "total_grams",
+        "selected",
+        F.round(
+            F.col("selected").cast("double") / F.col("total_grams"), 6
+        ).alias("density"),
+        F.round(F.lit(2.0) / (_X137_W + 1), 6).alias("density_theory"),
+        "distinct_digests",
+    ).orderBy("source")
 
 
 # ---------------------------------------------------------------------------
