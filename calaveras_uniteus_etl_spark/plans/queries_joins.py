@@ -1316,27 +1316,26 @@ LIMIT 100
 )
 def e15_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    # The distinct (order, part) relation feeds FOUR consumers (the
-    # order-count scalar, the per-part counts, and both sides of the
-    # pair self-join); pin it once (eager localCheckpoint) so the scan
-    # + distinct shuffle run once instead of four times. Two longs per
-    # row — the same relation the self-join shuffle already carries.
-    op = (
+    # ONE exchange feeds everything (§2.4): collect_set dedups the
+    # (order, part) multiset INSIDE the per-order groupBy — partially
+    # map-side — so the former standalone distinct (its own full
+    # exchange over the same rows, plus a checkpoint barrier) is gone
+    # outright. The order-grain array relation is the single pinned
+    # artifact all four consumers read: the order-count scalar and the
+    # per-part order counts both derive from it (count of rows /
+    # explode of the distinct-parts arrays), not from a second pass
+    # over lineitem.
+    per_order = (
         li.select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
         .localCheckpoint(eager=True)
     )
-    n = op.agg(F.count_distinct("l_orderkey").alias("n_orders"))
-    part_ct = op.groupBy("l_partkey").agg(F.count("*").alias("c"))
-    # Pair generation per order WITHOUT the self-join: collect each
-    # order's distinct parts into one sorted array and emit the
-    # ascending pairs with a nested transform — fanout stays bounded
-    # by lines-per-order exactly as the join's was, but the SMJ (one
-    # exchange + two sorts over the pinned relation) collapses into
-    # the single groupBy(l_orderkey) exchange, and the pair counts
-    # partial-aggregate map-side (guide §2.3/§2.4).
-    per_order = op.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_list("l_partkey")).alias("ps")
+    n = per_order.agg(F.count("*").cast("bigint").alias("n_orders"))
+    part_ct = (
+        per_order.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("c"))
     )
     pair_ct = (
         per_order.filter(F.size("ps") >= 2)  # sequence(0,-1) is an error
